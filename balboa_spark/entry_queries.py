@@ -1,0 +1,186 @@
+"""Query/oracle registry backing __spark_entry__.py.
+
+Each engine query is built with the library operators (DataFrame API);
+each oracle is ANSI SQL sharing the exact observation-mapping text
+(balboa_spark.obsmap) so DuckDB computes the same logical result.
+Column names are aliased identically on both sides — the driver's
+compare sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from balboa_spark.obsmap import OBS_SQL, AGG_BODY, with_agg_cte, with_obs_cte
+from balboa_spark.operators.aggregate import aggregate
+from balboa_spark.operators.query import (
+    Query,
+    aliases,
+    cidr_search,
+    entries,
+    rest_search,
+)
+from balboa_spark.functions.net import cidr_to_range
+from balboa_spark.session import load_tables
+
+# Lookup subjects known to exist at sf0.01 (and harmless if absent:
+# both engine and oracle would return the same empty set).
+RRNAME_SUBJECT = "host7.dom0.example"  # user_id=7
+RDATA_SUBJECT = "10.3.0.0"  # event_id=0, user_id=8
+CIDR_SUBJECT = "10.2.0.0/16"
+
+OBS_COLS = ("rrname", "sensor_id", "rrtype", "rdata", "count", "first_seen", "last_seen")
+
+_AGG_SELECT = (
+    "SELECT rrname, sensor_id, rrtype, rdata, count, first_seen, last_seen FROM observations"
+)
+
+
+def _obs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("events",))
+    return spark.sql(OBS_SQL)
+
+
+def _agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregate(_obs_stream(spark, sf_dir)).select(*OBS_COLS)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_observations_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3: the core group-merge fold."""
+    return _agg(spark, sf_dir)
+
+
+def q_entries_rrname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: forward lookup by rrname + canonical order + limit."""
+    return entries(_agg(spark, sf_dir), Query(rrname=RRNAME_SUBJECT, limit=1000))
+
+
+def q_entries_rrname_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+F5: forward lookup with residual rrtype+sensor_id filters."""
+    return entries(
+        _agg(spark, sf_dir),
+        Query(rrname=RRNAME_SUBJECT, rrtype="A", sensor_id="sensor7", limit=1000),
+    )
+
+
+def q_entries_rdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: inverted lookup by rdata."""
+    return entries(_agg(spark, sf_dir), Query(rdata=RDATA_SUBJECT, limit=1000))
+
+
+def q_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: alias self-join for the entries of RRNAME_SUBJECT."""
+    agg = _agg(spark, sf_dir)
+    e = entries(agg, Query(rrname=RRNAME_SUBJECT, limit=1000))
+    return aliases(e, agg).select("e_rrname", "e_sensor_id", "e_rdata", *OBS_COLS)
+
+
+def q_rest_dual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: CIRCL REST dual search (rrname ∪ rdata, duplicates kept)."""
+    return rest_search(_agg(spark, sf_dir), RRNAME_SUBJECT, limit=2000)
+
+
+def q_cidr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: CIDR range query as a single numeric range predicate."""
+    return cidr_search(_agg(spark, sf_dir), CIDR_SUBJECT, limit=100000)
+
+
+def q_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: total number of aggregate entries."""
+    return aggregate(_obs_stream(spark, sf_dir)).agg(
+        F.count(F.lit(1)).alias("total_count")
+    )
+
+
+def q_input_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events→input_observation normalization itself (projection,
+    CASE mapping, concat scalar functions — §2.11 analog)."""
+    return _obs_stream(spark, sf_dir).select(
+        "rrname", "sensor_id", "rrtype", "rdata", "count", "rcode", "ts_start", "ts_end"
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL, same column aliases)
+# ---------------------------------------------------------------------------
+
+def _entries_oracle(where: str, limit: int = 1000) -> str:
+    return with_agg_cte(
+        f"{_AGG_SELECT} WHERE {where} "
+        f"ORDER BY rrname, sensor_id, rrtype, rdata LIMIT {limit}"
+    )
+
+
+_CIDR_LO, _CIDR_HI = cidr_to_range(CIDR_SUBJECT)
+
+_IP_LONG = (
+    "(cast(split_part(rdata, '.', 1) as bigint) * 16777216 + "
+    "cast(split_part(rdata, '.', 2) as bigint) * 65536 + "
+    "cast(split_part(rdata, '.', 3) as bigint) * 256 + "
+    "cast(split_part(rdata, '.', 4) as bigint))"
+)
+
+ORACLES: dict[str, str] = {
+    "observations_agg": with_agg_cte(_AGG_SELECT),
+    "entries_rrname": _entries_oracle(f"rrname = '{RRNAME_SUBJECT}'"),
+    "entries_rrname_residual": _entries_oracle(
+        f"rrname = '{RRNAME_SUBJECT}' AND rrtype = 'A' AND sensor_id = 'sensor7'"
+    ),
+    "entries_rdata": _entries_oracle(f"rdata = '{RDATA_SUBJECT}'"),
+    "aliases": with_agg_cte(
+        f"""
+        SELECT e.rrname AS e_rrname, e.sensor_id AS e_sensor_id,
+               e.rdata AS e_rdata,
+               o.rrname, o.sensor_id, o.rrtype, o.rdata,
+               o.count, o.first_seen, o.last_seen
+        FROM (SELECT DISTINCT rrname, sensor_id, rdata FROM observations
+              WHERE rrname = '{RRNAME_SUBJECT}' AND rrtype IN ('A','AAAA')) e
+        JOIN observations o
+          ON o.rdata = e.rdata AND o.sensor_id = e.sensor_id
+         AND o.rrname <> e.rrname
+        """
+    ),
+    "rest_dual_search": with_agg_cte(
+        f"""
+        SELECT * FROM (
+          ({_AGG_SELECT} WHERE rrname = '{RRNAME_SUBJECT}'
+            ORDER BY rrname, sensor_id, rrtype, rdata LIMIT 2000)
+          UNION ALL
+          ({_AGG_SELECT} WHERE rdata = '{RRNAME_SUBJECT}'
+            ORDER BY rrname, sensor_id, rrtype, rdata LIMIT 2000)
+        ) LIMIT 2000
+        """
+    ),
+    "cidr_search": with_agg_cte(
+        f"""
+        {_AGG_SELECT}
+        WHERE rdata SIMILAR TO '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}'
+          AND {_IP_LONG} BETWEEN {_CIDR_LO} AND {_CIDR_HI}
+        ORDER BY rrname, sensor_id, rrtype, rdata LIMIT 100000
+        """
+    ),
+    "total_count": with_agg_cte("SELECT count(*) AS total_count FROM observations"),
+    "input_normalize": with_obs_cte(
+        "SELECT rrname, sensor_id, rrtype, rdata, count, rcode, ts_start, ts_end "
+        "FROM input_observations"
+    ),
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "observations_agg": q_observations_agg,
+    "entries_rrname": q_entries_rrname,
+    "entries_rrname_residual": q_entries_rrname_residual,
+    "entries_rdata": q_entries_rdata,
+    "aliases": q_aliases,
+    "rest_dual_search": q_rest_dual_search,
+    "cidr_search": q_cidr_search,
+    "total_count": q_total_count,
+    "input_normalize": q_input_normalize,
+}

@@ -1,0 +1,50 @@
+"""String scalar functions (§2.11) — Column expressions only."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def strip_trailing_dot(c: Column) -> Column:
+    """Trim a single trailing '.' from a domain name.
+
+    Reference: strings.TrimRight(name, ".") in the packetbeat and
+    gamelinux parsers (format/format_packetbeat.go:56-57,
+    format/format_gamelinux.go:55-56). TrimRight removes ALL trailing
+    dots, so we match with a greedy anchor.
+    """
+    return F.regexp_replace(c, r"\.+$", "")
+
+
+def dns_wire_to_name(raw: Column) -> Column:
+    """DNS wire-format label sequence -> dotted name
+    (format/format_nmsg.go:11-27).
+
+    Input: BinaryType column of length-prefixed labels, e.g.
+    b"\\x03www\\x07example\\x03com\\x00" -> "www.example.com".
+
+    Implemented as a recursive SQL expression over the byte array using
+    aggregate() on a position sequence — stays JVM-side. Labels are
+    bounded at 63 bytes and names at 255, so a bounded unroll via
+    aggregate over up to 127 label positions is safe.
+    """
+    # Walk positions: state = struct(pos, acc). At each step, read the
+    # length byte at pos; if 0 or past end, stop (keep state); else
+    # append the label and jump pos+len+1.
+    # F.aggregate over a fixed 127-element sequence (max labels in a
+    # 255-byte name).
+    def step(state, _):
+        pos = state.getField("pos")
+        acc = state.getField("acc")
+        ln = F.conv(F.hex(F.substring(raw, pos, 1)), 16, 10).cast("int")
+        done = pos.isNull() | (pos > F.length(raw)) | ln.isNull() | (ln == 0) | (ln > 63)
+        label = F.substring(raw, pos + 1, ln).cast("string")
+        new_acc = F.when(acc == "", label).otherwise(F.concat_ws(".", acc, label))
+        return F.when(done, state).otherwise(
+            F.struct((pos + ln + 1).alias("pos"), new_acc.alias("acc"))
+        )
+
+    init = F.struct(F.lit(1).alias("pos"), F.lit("").alias("acc"))
+    seq = F.sequence(F.lit(1), F.lit(127))
+    return F.aggregate(seq, init, step).getField("acc")

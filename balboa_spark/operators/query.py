@@ -1,0 +1,136 @@
+"""Q1-Q4, J1, U1-U2, C1: the read-side operators.
+
+The reference's entire logical plan language is 4 nullable equality
+predicates + a limit (db/db_protocol.go:42-46), plus three composites:
+the alias self-join (query/query_graphql.go:380-398), the REST
+dual-search union (query/query_rest.go:41-82), and the client-side CIDR
+expansion (cmd/balboa/cmds/query.go:41-57) which we promote to a real
+range-predicate operator (the reference README itself wishes for this,
+README.md:361-363).
+
+Scan strategy at 100 TB: `entries` runs against whichever sorted layout
+matches the driving predicate (rrname -> forward copy, rdata ->
+inverted copy; see plans/planner.py), so the equality filter prunes to
+one hash bucket and skips row groups via Parquet min/max on the sort
+column — the columnar analog of the reference's prefix seek + early
+break (rocksdb-impl.c:293-294,345-354).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from balboa_spark.functions.net import cidr_to_range, ip4_to_long
+from balboa_spark.schemas import OBSERVATION_KEY
+
+#: GraphQL/REST default result limit (query/query_graphql.go:179,
+#: query/query_rest.go:22-24).
+DEFAULT_LIMIT = 1000
+
+
+@dataclass
+class Query:
+    """Mirror of the reference's QueryRequest (db/db_protocol.go:42-46)."""
+
+    rdata: str | None = None
+    rrname: str | None = None
+    rrtype: str | None = None
+    sensor_id: str | None = None
+    limit: int = DEFAULT_LIMIT
+
+    def validate(self) -> None:
+        # query/query_graphql.go:242-246: at least one of rdata/rrname.
+        if self.rdata is None and self.rrname is None:
+            raise ValueError("query must provide rdata or rrname")
+
+
+def _canonical(df: DataFrame) -> DataFrame:
+    """Deterministic result order = the reference's key order
+    (rrname, sensor_id, rrtype, rdata) — rocksdb-impl.c:772-783."""
+    return df.orderBy(*OBSERVATION_KEY)
+
+
+def entries(obs: DataFrame, q: Query) -> DataFrame:
+    """Q1/Q2/Q3: point lookup with residual filters and limit.
+
+    The driving predicate (rrname else rdata) plus residual equality
+    filters (rocksdb-impl.c:356-377,525-538) all push down to the scan;
+    dispatch between forward/inverted layout happens in plans/planner.py
+    when a stored layout is used.
+    """
+    q.validate()
+    df = obs
+    if q.rrname is not None:
+        df = df.filter(F.col("rrname") == q.rrname)
+    elif q.rdata is not None:
+        df = df.filter(F.col("rdata") == q.rdata)
+    # residuals (F5)
+    if q.rrname is not None and q.rdata is not None:
+        df = df.filter(F.col("rdata") == q.rdata)
+    if q.rrtype is not None:
+        df = df.filter(F.col("rrtype") == q.rrtype)
+    if q.sensor_id is not None:
+        df = df.filter(F.col("sensor_id") == q.sensor_id)
+    return _canonical(df).limit(q.limit)
+
+
+def aliases(entry_df: DataFrame, obs: DataFrame, per_entry_limit: int = DEFAULT_LIMIT) -> DataFrame:
+    """J1: for each A/AAAA entry, all entries sharing (rdata, sensor_id)
+    with a different rrname (query/query_graphql.go:380-398).
+
+    The reference issues one Search per entry (N+1); here it is a single
+    join. The entry side of an interactive query is small -> broadcast
+    it; Spark then streams the big observations table past an in-memory
+    hash map with zero shuffle. The per-alias limit becomes a windowed
+    row_number, preserving the reference's per-entry cap.
+
+    Output: entry key columns prefixed e_*, alias columns as-is.
+    """
+    e = (
+        entry_df.filter(F.col("rrtype").isin("A", "AAAA"))
+        .select(
+            F.col("rrname").alias("e_rrname"),
+            F.col("sensor_id").alias("e_sensor_id"),
+            F.col("rdata").alias("e_rdata"),
+        )
+        .distinct()
+    )
+    joined = F.broadcast(e).join(
+        obs,
+        (F.col("e_rdata") == obs["rdata"])
+        & (F.col("e_sensor_id") == obs["sensor_id"])
+        & (F.col("e_rrname") != obs["rrname"]),
+        "inner",
+    )
+    w = Window.partitionBy("e_rrname", "e_sensor_id", "e_rdata").orderBy(*OBSERVATION_KEY)
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_entry_limit)
+        .drop("_rn")
+    )
+
+
+def rest_search(obs: DataFrame, subject: str, limit: int = DEFAULT_LIMIT) -> DataFrame:
+    """U2: CIRCL REST semantics — subject searched as rrname AND as
+    rdata, results concatenated, duplicates preserved
+    (query/query_rest.go:58-69; duplicate preservation documented at
+    README.md:291-293)."""
+    r = entries(obs, Query(rrname=subject, limit=limit))
+    d = entries(obs, Query(rdata=subject, limit=limit))
+    return r.unionAll(d).limit(limit)
+
+
+def cidr_search(obs: DataFrame, cidr: str, limit: int = DEFAULT_LIMIT) -> DataFrame:
+    """C1 promoted to an engine operator: rdata-as-IPv4 within a CIDR.
+
+    The reference expands the CIDR client-side and issues one query per
+    host (cmd/balboa/cmds/query.go:41-57, dropping network & broadcast
+    for prefixes < /31). Here it is a single numeric range predicate —
+    one scan, no fan-out, pushes down to Parquet.
+    """
+    lo, hi = cidr_to_range(cidr)
+    ip = ip4_to_long(F.col("rdata"))
+    return _canonical(obs.filter(ip.isNotNull() & (ip >= lo) & (ip <= hi))).limit(limit)

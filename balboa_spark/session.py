@@ -1,0 +1,94 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on local[N]; the same config block is what we'd
+submit to a real cluster (minus master / driver memory, which come
+from spark-submit). Session timezone is pinned to UTC so timestamp
+semantics match the DuckDB oracle and are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "balboa_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BALBOA_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS); read the
+        # raw int64 and convert in load_tables (Spark has no ns type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Register every driver parquet table as a temp view; return dict of DataFrames."""
+    if names is None:
+        names = (
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+            "embeddings",
+        )
+    # Defensive runtime confs: the driver calls queries() with its own
+    # session; pin the confs correctness depends on (UTC timestamps,
+    # ns-parquet reading) if they are runtime-settable here.
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(path):
+            df = _read_parquet_norm(spark, path)
+            df.createOrReplaceTempView(n)
+            out[n] = df
+    return out
+
+
+def _read_parquet_norm(spark: SparkSession, path: str):
+    """Read parquet, converting TIMESTAMP(NANOS) columns (which Spark
+    surfaces as raw int64 under nanosAsLong) back to TimestampType by
+    truncating to microseconds — the same floor DuckDB applies, so the
+    oracle sees identical values."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    try:
+        arrow_schema = pq.read_schema(path)
+        ns_cols = [f.name for f in arrow_schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        ns_cols = []
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
