@@ -64,7 +64,7 @@ def ip4_to_long(ip: Column) -> Column:
     """
     parts = F.split(ip, r"\.")
     valid = ip.rlike(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
-    octet = lambda i: parts.getItem(i).cast("long")  # noqa: E731
+    octet = lambda i: parts.getItem(i).try_cast("long")  # noqa: E731
     in_range = (
         (octet(0) <= 255) & (octet(1) <= 255) & (octet(2) <= 255) & (octet(3) <= 255)
     )

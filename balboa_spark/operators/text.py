@@ -1,0 +1,143 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in Column functions (JVM-side,
+whole-stage codegen); no Python UDFs. Each operator has a DuckDB-SQL
+twin in entry_queries_docs.py so the driver's oracle hash-checks it.
+
+Operators:
+- tokenize / token_count: whitespace + BPE-ish regex token counting
+- lang_id: n-gram/stopword-ratio language heuristic
+- quality_score: length / punctuation / stopword / repetition signals
+- fingerprint: normalized-text hash + shingle fingerprint (rolling-
+  hash analog)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists (deterministic, oracle-shared).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pas"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "no"),
+}
+
+#: BPE-ish token regex: runs of word chars, or single non-space symbol
+#: — a cheap stand-in for a byte-pair pre-tokenizer's word split.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (empty strings removed)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count via regexp extraction (regexp_count is
+    equivalent to len(regexp_extract_all(...)) and stays codegen'd)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens (with repeats) found in the language's
+    stopword list."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Language with the highest stopword-hit ratio; 'und' when no list
+    scores > 0. Deterministic tie-break: alphabetical language order
+    wins (de > en > es > fr precedence encoded by >= comparisons)."""
+    scores = {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
+    langs = sorted(STOPWORDS)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse-alphabetical order with strict > so that the
+    # alphabetically-first language wins ties
+    for lang in reversed(langs):
+        s = scores[lang]
+        take = s >= best_score  # later (alphabetically earlier) wins ties
+        best = F.when(take & (s > 0), F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1] (rounded to 4 decimals):
+
+        0.25 * min(1, n_tokens/64)          -- enough content
+      + 0.25 * (1 - punct_ratio)            -- not symbol soup
+      + 0.25 * min(1, 4*stopword_ratio)     -- natural-language-ness
+      + 0.25 * (distinct_tokens/n_tokens)   -- not repetitive
+
+    Every term is a plain column expression; the same arithmetic runs
+    in the DuckDB oracle.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    n_d = n.cast("double")
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double")
+    chars = F.length(text).cast("double")
+    sw = F.size(F.filter(toks, lambda t: F.array_contains(_all_stopwords(), t))).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_d
+    score = (
+        0.25 * F.least(F.lit(1.0), n_d / 64.0)
+        + 0.25 * (1.0 - punct / F.greatest(chars, F.lit(1.0)))
+        + 0.25 * F.least(F.lit(1.0), 4.0 * sw / F.greatest(n_d, F.lit(1.0)))
+        + 0.25 * distinct_ratio
+    )
+    return F.when(n > 0, F.round(score, 4)).otherwise(F.lit(0.0))
+
+
+def _all_stopwords() -> Column:
+    flat = sorted({w for ws in STOPWORDS.values() for w in ws})
+    return F.array(*[F.lit(w) for w in flat])
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text — the exact-dedup key."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+
+
+def shingle_fingerprint(text: Column, k: int = 3) -> Column:
+    """Rolling-hash-style fingerprint: lexicographic min of md5 over
+    word k-shingles (a 1-hash MinHash; robust to local edits where
+    ``fingerprint`` is not)."""
+    return F.array_min(
+        F.transform(_shingles(tokens(text), k), lambda s: F.md5(s))
+    )
+
+
+def _shingles(toks: Column, k: int) -> Column:
+    """Word k-shingles as ' '-joined strings; empty array if fewer than
+    k tokens."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass profile: id, token counts, language guess, quality,
+    fingerprints. Single projection — no shuffle, no UDF."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        lang_id(t).alias("lang_guess"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp_exact"),
+        shingle_fingerprint(t).alias("fp_shingle"),
+    )

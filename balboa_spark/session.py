@@ -29,6 +29,8 @@ def get_spark(app_name: str = "balboa_spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("BALBOA_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # local-literal relations (tests, tiny dims) don't need 32 tasks
+        .config("spark.sql.leafNodeDefaultParallelism", "8")
         # driver testdata stores events.ts as TIMESTAMP(NANOS); read the
         # raw int64 and convert in load_tables (Spark has no ns type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

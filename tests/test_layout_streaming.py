@@ -1,0 +1,133 @@
+"""Storage layout (dual sorted copies, Q1-Q7 jobs) + streaming ingest
+(T1-T5) end-to-end tests.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from balboa_spark.operators.aggregate import aggregate
+from balboa_spark.operators.query import Query
+from balboa_spark.plans.layout import ObservationStore
+
+
+def seed_obs(spark):
+    """The reference's canonical 3-observation seed
+    (query/query_graphql_test.go:151-183; FIXTURES.md §2)."""
+    ts = dt.datetime(2020, 1, 1)
+    rows = [
+        (10, "NOERROR", "1.2.3.4", "A", "foo", "abc", ts, ts, []),
+        (10, "NOERROR", "1.2.3.5", "A", "bar", "abc", ts, ts, []),
+        (1, "NOERROR", "1.2.3.4", "A", "baz", "abc", ts, ts, []),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "count long, rcode string, rdata string, rrtype string, rrname string,"
+        " sensor_id string, ts_start timestamp, ts_end timestamp, tags array<string>",
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = ObservationStore(spark, str(tmp_path / "store"), num_buckets=4)
+    s.write(aggregate(seed_obs(spark)))
+    return s
+
+
+def test_reference_seed_semantics(store):
+    """rdata=1.2.3.4 -> exactly foo+baz; rrname=foo -> 1 row; miss -> 0
+    (query_graphql_test.go:77-146, query_rest_test.go:124-174)."""
+    by_rdata = store.query(Query(rdata="1.2.3.4"))
+    assert sorted(r.rrname for r in by_rdata.collect()) == ["baz", "foo"]
+    by_rrname = store.query(Query(rrname="foo")).collect()
+    assert len(by_rrname) == 1 and by_rrname[0].rdata == "1.2.3.4"
+    assert store.query(Query(rrname="nonexist")).count() == 0
+    assert store.query(Query(rdata="nonexist")).count() == 0
+
+
+def test_bucket_pruning_plan(store):
+    """The physical plan must contain a partition filter on bucket —
+    the columnar prefix-seek (SURVEY §4)."""
+    plan = store.query(Query(rrname="foo"))._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+
+
+def test_merge_then_query(spark, store):
+    ts2 = dt.datetime(2021, 6, 1)
+    more = spark.createDataFrame(
+        [(5, "NOERROR", "1.2.3.4", "A", "foo", "abc", ts2, ts2, [])],
+        seed_obs(spark).schema,
+    )
+    store.merge(more)
+    r = store.query(Query(rrname="foo")).collect()[0]
+    assert r["count"] == 15
+    assert r.first_seen == dt.datetime(2020, 1, 1)
+    assert r.last_seen == ts2
+
+
+def test_dump_jsonize_replay_backup(spark, store, tmp_path):
+    dump = str(tmp_path / "dump")
+    store.dump(dump)
+    assert spark.read.parquet(dump).count() == 3
+
+    nd = str(tmp_path / "nd")
+    store.jsonize(nd)
+    objs = [json.loads(l) for f in os.listdir(nd) if f.endswith(".json")
+            for l in open(os.path.join(nd, f))]
+    assert {o["rrname"] for o in objs} == {"foo", "bar", "baz"}
+    assert all(isinstance(o["time_first"], int) for o in objs)
+
+    # replay doubles counts (documented at-least-once caveat, T5)
+    store.replay(dump)
+    r = store.query(Query(rrname="foo")).collect()[0]
+    assert r["count"] == 20
+
+    bdir = str(tmp_path / "bak")
+    store.backup(bdir)
+    restored = ObservationStore(spark, bdir, num_buckets=4)
+    assert restored.query(Query(rrname="foo")).count() == 1
+
+
+SURI = (
+    '{"timestamp": "2019-01-01T00:00:0%d.000001+0000", "event_type": "dns",'
+    ' "dns": {"type": "answer", "rcode": "NOERROR", "rrname": "stream.example.com",'
+    ' "rrtype": "A", "ttl": 8, "rdata": "9.9.9.%d"}}'
+)
+
+
+def test_streaming_ingest_foreachbatch(spark, tmp_path):
+    """T1: files land -> micro-batch -> fold visible in the store."""
+    from balboa_spark.streaming.ingest import ingest_stream
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "b1.ndjson").write_text("\n".join(SURI % (i, i) for i in range(3)) + "\n")
+
+    store = ObservationStore(spark, str(tmp_path / "sstore"), num_buckets=2)
+    store.write(aggregate(seed_obs(spark).limit(0)))  # empty init
+
+    q = ingest_stream(
+        spark,
+        str(land),
+        "suricata_dns",
+        stores={"default": store},
+        sensor_id="sensorX",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        # second file lands mid-stream
+        (land / "b2.ndjson").write_text(SURI % (9, 0) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = store.query(Query(rrname="stream.example.com")).collect()
+    assert len(rows) == 3
+    agg = {r.rdata: r["count"] for r in rows}
+    assert agg["9.9.9.0"] == 2  # folded across two micro-batches

@@ -1,0 +1,143 @@
+"""Selector engine (F1-F4) + tag routing (U3) tests.
+
+Fixture = the reference's own shipped config (FIXTURES.md §4):
+- unwanted_regex.txt: ^.*[.]de$  (mode filter -> tag filtered_tlds on NON-match)
+- cobaltstrike_regex.txt: ^.*[a-z]{3}[.]stage[.][0-9]+[.].*$
+  (mode select, ingest: [filtered_tlds] -> tag possible_cobaltstrike)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from balboa_spark.streaming.selectors import (
+    SelectorRule,
+    compile_selectors,
+    load_selector_yaml,
+    route,
+)
+
+RULES = [
+    SelectorRule(
+        name="unwanted",
+        tags=["filtered_tlds"],
+        mode="filter",
+        patterns=[r"^.*[.]de$"],
+    ),
+    SelectorRule(
+        name="cobaltstrike",
+        tags=["possible_cobaltstrike"],
+        mode="select",
+        patterns=[r"^.*[a-z]{3}[.]stage[.][0-9]+[.].*$"],
+        ingest=["filtered_tlds"],
+    ),
+]
+
+
+def obs(spark, *rrnames):
+    ts = dt.datetime(2020, 1, 1)
+    rows = [(1, "NOERROR", "1.2.3.4", "A", n, "s1", ts, ts, []) for n in rrnames]
+    return spark.createDataFrame(
+        rows,
+        "count long, rcode string, rdata string, rrtype string, rrname string,"
+        " sensor_id string, ts_start timestamp, ts_end timestamp, tags array<string>",
+    )
+
+
+def test_reference_selector_composition(spark):
+    """README.md:149-150: non-.de rows get filtered_tlds; of those, the
+    CobaltStrike pattern additionally gets possible_cobaltstrike."""
+    df = obs(
+        spark,
+        "web.de",                      # .de -> no tags
+        "example.com",                 # non-.de -> filtered_tlds
+        "xyzabc.stage.123.evil.com",   # non-.de + CS pattern -> both tags
+        "abc.stage.1.x.de",            # .de -> no tags (gate blocks CS rule)
+    )
+    tagged = compile_selectors(RULES)(df)
+    got = {r.rrname: sorted(r.tags) for r in tagged.collect()}
+    assert got["web.de"] == []
+    assert got["example.com"] == ["filtered_tlds"]
+    assert got["xyzabc.stage.123.evil.com"] == ["filtered_tlds", "possible_cobaltstrike"]
+    assert got["abc.stage.1.x.de"] == []
+
+
+def test_rows_never_dropped(spark):
+    df = obs(spark, "a.de", "b.com", "c.org")
+    assert compile_selectors(RULES)(df).count() == 3
+
+
+def test_cycle_rejected():
+    cyc = [
+        SelectorRule(name="a", tags=["t1"], mode="select", patterns=["x"], ingest=["t2"]),
+        SelectorRule(name="b", tags=["t2"], mode="select", patterns=["x"], ingest=["t1"]),
+    ]
+    with pytest.raises(ValueError, match="cyclic"):
+        compile_selectors(cyc)
+
+
+def test_predicate_and_pandas_rules(spark):
+    """X2: the scriptable (Lua-equivalent) selector slot."""
+    import pandas as pd
+
+    rules = [
+        SelectorRule(
+            name="long_names",
+            tags=["long"],
+            mode="predicate",
+            predicate=lambda df: F.length("rrname") > 10,
+        ),
+        SelectorRule(
+            name="has_digit",
+            tags=["digit"],
+            mode="pandas",
+            pandas_fn=lambda s: s.str.contains(r"\d"),
+        ),
+    ]
+    df = obs(spark, "short.de", "a-quite-long-name.com", "x1.de")
+    got = {r.rrname: sorted(r.tags) for r in compile_selectors(rules)(df).collect()}
+    assert got["short.de"] == []
+    assert got["a-quite-long-name.com"] == ["long"]
+    assert got["x1.de"] == ["digit"]
+
+
+def test_routing_partition_property(spark):
+    """§2.12 #8: disjoint-tag routes union back to the input."""
+    df = obs(spark, "web.de", "example.com", "xyzabc.stage.123.evil.com")
+    tagged = compile_selectors(RULES)(df).cache()
+    routes = route(
+        tagged,
+        {
+            "catch_all": [],
+            "cs_sink": ["possible_cobaltstrike"],
+            "tld_sink": ["filtered_tlds"],
+        },
+    )
+    assert routes["catch_all"].count() == 3
+    assert routes["cs_sink"].count() == 1
+    assert routes["tld_sink"].count() == 2  # CS row carries both tags
+    assert "tags" not in routes["cs_sink"].columns  # stripped before sink
+
+
+def test_yaml_loader():
+    cfg = {
+        "selectors": {
+            "unwanted": {"file": "unwanted_regex.txt", "mode": "filter", "tags": ["filtered_tlds"]},
+            "cs": {
+                "file": "cobaltstrike_regex.txt",
+                "mode": "select",
+                "tags": ["possible_cobaltstrike"],
+                "ingest": ["filtered_tlds"],
+            },
+        }
+    }
+    files = {
+        "unwanted_regex.txt": [r"^.*[.]de$"],
+        "cobaltstrike_regex.txt": [r"^.*[a-z]{3}[.]stage[.][0-9]+[.].*$"],
+    }
+    rules = load_selector_yaml(cfg, files)
+    assert {r.name for r in rules} == {"unwanted", "cs"}
+    assert next(r for r in rules if r.name == "cs").ingest == ("filtered_tlds",)
