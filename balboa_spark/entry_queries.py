@@ -173,6 +173,12 @@ ORACLES: dict[str, str] = {
     ),
 }
 
+from balboa_spark.entry_queries_docs import ORACLES_DOCS, QUERIES_DOCS
+from balboa_spark.entry_queries_extra import ORACLES_EXTRA, QUERIES_EXTRA
+
+ORACLES.update(ORACLES_DOCS)
+ORACLES.update(ORACLES_EXTRA)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "observations_agg": q_observations_agg,
     "entries_rrname": q_entries_rrname,
@@ -184,3 +190,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "total_count": q_total_count,
     "input_normalize": q_input_normalize,
 }
+QUERIES.update(QUERIES_DOCS)
+QUERIES.update(QUERIES_EXTRA)

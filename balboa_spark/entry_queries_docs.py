@@ -1,0 +1,366 @@
+"""Driver queries + DuckDB oracles for the training-data-pipeline
+operators (dedup, similarity, text analysis, multimodal stats) over the
+``documents`` and ``embeddings`` tables.
+
+The oracle SQL is GENERATED from the same constants the Spark operators
+use (stopword lists, hash seeds, band layout), so both sides express
+one definition. All hashing is md5 (identical hex output everywhere);
+all floats are rounded before compare.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from balboa_spark.operators import dedup, similarity, text
+from balboa_spark.operators.text import STOPWORDS
+from balboa_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# shared corpus: documents + planted near-duplicate variants
+# (variant = doc with its last token dropped, id + 10000) so the
+# near-dup operators have genuine positives to find.
+# ---------------------------------------------------------------------------
+
+PLANT_MAX_ID = 100
+
+#: DuckDB corpus CTE (normalized text on both branches)
+CORPUS_SQL = f"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+corpus AS (
+  SELECT doc_id, array_to_string(tk, ' ') AS text FROM toks
+  UNION ALL
+  SELECT doc_id + 10000, array_to_string(list_slice(tk, 1, len(tk) - 1), ' ')
+  FROM toks WHERE doc_id < {PLANT_MAX_ID}
+)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, names=("documents",))
+    docs = t["documents"]
+    tk = text.tokens(F.col("text"))
+    base = docs.select(F.col("doc_id"), F.array_join(tk, " ").alias("text"))
+    variant = docs.filter(F.col("doc_id") < PLANT_MAX_ID).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(F.slice(tk, 1, F.size(tk) - 1), " ").alias("text"),
+    )
+    return base.unionByName(variant)
+
+
+# ---------------------------------------------------------------------------
+# text profile
+# ---------------------------------------------------------------------------
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return text.text_profile(t["documents"])
+
+
+def _sw_hits_sql(lang: str, toks: str = "tk") -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({toks}, t -> list_contains([{lst}], t)))"
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(STOPWORDS)  # de, en, es, fr — alphabetical wins ties
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        conds.append(f"s_{lang} > 0")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+def _all_sw_sql() -> str:
+    flat = sorted({w for ws in STOPWORDS.values() for w in ws})
+    return "[" + ", ".join(f"'{w}'" for w in flat) + "]"
+
+
+_SHINGLES_SQL = (
+    "list_transform(range(1, greatest(len(tk) - 1, 1)),"
+    " i -> array_to_string(list_slice(tk, i, i + 2), ' '))"
+)
+
+TEXT_PROFILE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, tk,
+         {_sw_hits_sql('de')} AS s_de,
+         {_sw_hits_sql('en')} AS s_en,
+         {_sw_hits_sql('es')} AS s_es,
+         {_sw_hits_sql('fr')} AS s_fr,
+         len(tk) AS n,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         length(text) AS n_chars,
+         len(list_filter(tk, t -> list_contains({_all_sw_sql()}, t))) AS n_sw,
+         len(list_distinct(tk)) AS n_distinct
+  FROM toks
+)
+SELECT doc_id,
+       n AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS n_bpe_tokens,
+       {_lang_id_sql()} AS lang_guess,
+       CASE WHEN n > 0 THEN round(
+           0.25 * least(1.0, n / 64.0)
+         + 0.25 * (1.0 - n_punct / greatest(n_chars, 1.0))
+         + 0.25 * least(1.0, 4.0 * n_sw / greatest(n, 1.0))
+         + 0.25 * (n_distinct / CAST(n AS DOUBLE)), 4) ELSE 0.0 END AS quality,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_exact,
+       CASE WHEN len(tk) >= 3 THEN
+         list_aggregate(list_transform({_SHINGLES_SQL}, s -> md5(s)), 'min')
+       ELSE NULL END AS fp_shingle
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_corpus(spark, sf_dir))
+
+
+DEDUP_EXACT_ORACLE = f"""
+WITH {CORPUS_SQL}
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+       count(*) AS n_docs, min(doc_id) AS keep_id
+FROM corpus GROUP BY 1
+"""
+
+NUM_HASHES, NUM_BANDS, SHINGLE_K = 16, 4, 3
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _corpus(spark, sf_dir), num_hashes=NUM_HASHES, num_bands=NUM_BANDS, k=SHINGLE_K
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_oracle() -> str:
+    mh = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5(concat('h{h}|', s))), 'min') AS mh{h}"
+        for h in range(NUM_HASHES)
+    )
+    band_exprs = []
+    for b in range(NUM_BANDS):
+        cols = ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        band_exprs.append(
+            f"SELECT doc_id AS id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_exprs)
+    return f"""
+WITH {CORPUS_SQL},
+ctoks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM corpus
+),
+shingled AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM ctoks WHERE len(tk) >= {SHINGLE_K}
+),
+sigs AS (
+  SELECT doc_id,
+         {mh}
+  FROM shingled
+),
+bands AS ({bands})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_corpus(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(tk, t -> ascii(substr(md5(t), {j + 1}, 1)) % 2 = 1))"
+        f" >= len(tk) THEN {2**j} ELSE 0 END)::BIGINT"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    pref_div = 2 ** (dedup.SIMHASH_BITS - 8)
+    return f"""
+WITH {CORPUS_SQL},
+ctoks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id AS id, {bit_terms} AS sh
+  FROM ctoks WHERE len(tk) > 0
+),
+pref AS (SELECT id, sh, floor(sh / {pref_div}.0) AS pref FROM sh)
+SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sh, b.sh)) AS hamming
+FROM pref a JOIN pref b ON a.pref = b.pref AND a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+JACCARD_K, JACCARD_T = 3, 0.5
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), k=JACCARD_K, threshold=JACCARD_T
+    ).orderBy("id_a", "id_b")
+
+
+JACCARD_ORACLE = f"""
+WITH {CORPUS_SQL},
+ctoks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM corpus
+),
+shingle_set AS (
+  SELECT DISTINCT doc_id AS id, unnest(list_distinct({_SHINGLES_SQL})) AS s
+  FROM ctoks WHERE len(tk) >= {JACCARD_K}
+),
+ok AS (SELECT s FROM shingle_set GROUP BY s HAVING count(*) <= 1000),
+fs AS (SELECT id, shingle_set.s FROM shingle_set JOIN ok ON shingle_set.s = ok.s),
+sizes AS (SELECT id, count(*) AS sz FROM fs GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM fs a JOIN fs b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= {JACCARD_T}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+TOPK = 20
+COS_T = 0.3
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.topk_brute(emb, list(qvec), k=TOPK)
+
+
+EMBEDDING_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_inner_product(v, qv)
+             / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6) AS cos
+FROM e, q
+ORDER BY cos DESC, vec_id
+LIMIT {TOPK}
+"""
+
+
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    return similarity.cosine_pairs(t["embeddings"], COS_T).orderBy("id_a", "id_b")
+
+
+EMBEDDING_PAIRS_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.v, b.v)
+             / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.v, b.v)
+            / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) >= {COS_T}
+ORDER BY id_a, id_b
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN (LSH-bucketed) top-k — no SQL oracle (the bucketing is the
+    point); recall vs brute force is asserted in tests."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.lsh_bucketed_topk(emb, list(qvec), k=TOPK)
+
+
+# ---------------------------------------------------------------------------
+# multimodal stats (payload = utf8 bytes of text, deterministic fake)
+# ---------------------------------------------------------------------------
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from balboa_spark.operators.multimodal import media_stats
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    media = t["documents"].select(
+        F.col("doc_id").alias("asset_id"),
+        mt.alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("fake").alias("format"),
+        (F.col("n_chars") % 640).cast("int").alias("width"),
+        (F.col("n_chars") % 480).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return media_stats(media).orderBy("media_type")
+
+
+MEDIA_STATS_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS asset_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         text, n_chars % 640 AS width, n_chars % 480 AS height
+  FROM documents
+)
+SELECT media_type, count(*) AS n_assets,
+       sum(octet_length(encode(text))) AS total_bytes,
+       round(avg(width), 2) AS avg_width,
+       round(avg(height), 2) AS avg_height
+FROM media GROUP BY media_type ORDER BY media_type
+"""
+
+
+QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_profile": q_text_profile,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "embedding_topk": q_embedding_topk,
+    "embedding_cosine_pairs": q_embedding_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,  # rows-only: no oracle entry
+    "media_stats": q_media_stats,
+}
+
+ORACLES_DOCS: dict[str, str] = {
+    "text_profile": TEXT_PROFILE_ORACLE,
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_ngram_jaccard": JACCARD_ORACLE,
+    "embedding_topk": EMBEDDING_TOPK_ORACLE,
+    "embedding_cosine_pairs": EMBEDDING_PAIRS_ORACLE,
+    "media_stats": MEDIA_STATS_ORACLE,
+}

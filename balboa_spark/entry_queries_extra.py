@@ -1,0 +1,313 @@
+"""Additional driver queries closing out the §2.12 operator contract
+and exposing the general OLAP surface Spark gives the engine for free
+(SURVEY §2.4 note: grouping/window/join operators beyond the
+reference's own).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from balboa_spark.obsmap import OBS_SQL, with_agg_cte, with_obs_cte
+from balboa_spark.operators.aggregate import aggregate, merge_increment
+from balboa_spark.session import load_tables
+
+
+def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("events",))
+    return spark.sql(OBS_SQL)
+
+
+# --- §2.12 #4: incremental re-aggregation invariant ------------------------
+
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge(agg(batch even), batch odd) — oracle is the one-shot
+    aggregate, so the driver verifies the associativity law itself."""
+    obs = _obs(spark, sf_dir)
+    b1 = obs.filter(F.col("event_id") % 2 == 0)
+    b2 = obs.filter(F.col("event_id") % 2 == 1)
+    return merge_increment(aggregate(b1), b2).select(
+        "rrname", "sensor_id", "rrtype", "rdata", "count", "first_seen", "last_seen"
+    )
+
+
+AGG_INCREMENTAL_ORACLE = with_agg_cte(
+    "SELECT rrname, sensor_id, rrtype, rdata, count, first_seen, last_seen FROM observations"
+)
+
+
+# --- §2.12 #2: explode of array and map columns ----------------------------
+
+def q_explode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + explode (the P1/P2 flatMap shape) expressed
+    over events: each event becomes 2 rows (start/end markers)."""
+    load_tables(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        SELECT event_id, marker, value
+        FROM (SELECT event_id, value, array('start', 'end') AS markers FROM events)
+        LATERAL VIEW explode(markers) AS marker
+        """
+    ).select("event_id", "marker", F.round("value", 2).alias("value"))
+
+
+EXPLODE_ORACLE = """
+SELECT event_id, unnest(['start', 'end']) AS marker, round(value, 2) AS value
+FROM events
+"""
+
+
+# --- §2.12 #8: tag-routing partition property ------------------------------
+
+def q_tag_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint regex-tag routes over the observation stream; output
+    per-route row counts + the total, proving the routes partition the
+    input (U3/F1-F4 through the driver gate)."""
+    from balboa_spark.streaming.selectors import SelectorRule, compile_selectors, route
+
+    obs = _obs(spark, sf_dir).withColumn("tags", F.array().cast("array<string>"))
+    rules = [
+        SelectorRule(name="dom0", tags=["t_dom0"], mode="select", patterns=[r"\.dom0\."]),
+        SelectorRule(name="rest", tags=["t_rest"], mode="filter", patterns=[r"\.dom0\."]),
+    ]
+    tagged = compile_selectors(rules)(obs)
+    routes = route(tagged, {"dom0": ["t_dom0"], "rest": ["t_rest"]})
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("route"), "n")
+        for name, df in sorted(routes.items())
+    ]
+    total = tagged.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("total").alias("route"), "n"
+    )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out.unionAll(total)
+
+
+TAG_ROUTING_ORACLE = with_obs_cte(
+    """
+    SELECT 'dom0' AS route, count(*) AS n FROM input_observations WHERE regexp_matches(rrname, '\\.dom0\\.')
+    UNION ALL
+    SELECT 'rest', count(*) FROM input_observations WHERE NOT regexp_matches(rrname, '\\.dom0\\.')
+    UNION ALL
+    SELECT 'total', count(*) FROM input_observations
+    """
+)
+
+
+# --- F7: COF projection (API output shape) ---------------------------------
+
+def q_cof_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation -> COF wire fields with unix-seconds AND rfc3339
+    time variants (observation/observation.go:26-37,
+    query/query_graphql.go:333-376)."""
+    agg = aggregate(_obs(spark, sf_dir))
+    return agg.select(
+        F.col("rrname"),
+        F.col("rrtype"),
+        F.col("rdata"),
+        F.col("sensor_id"),
+        F.col("count"),
+        F.unix_timestamp("first_seen").alias("time_first"),
+        F.unix_timestamp("last_seen").alias("time_last"),
+        F.date_format("first_seen", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("time_first_rfc3339"),
+        F.date_format("last_seen", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("time_last_rfc3339"),
+    )
+
+
+COF_ORACLE = with_agg_cte(
+    """
+    SELECT rrname, rrtype, rdata, sensor_id, count,
+           epoch(first_seen)::BIGINT AS time_first,
+           epoch(last_seen)::BIGINT AS time_last,
+           strftime(first_seen, '%Y-%m-%dT%H:%M:%SZ') AS time_first_rfc3339,
+           strftime(last_seen, '%Y-%m-%dT%H:%M:%SZ') AS time_last_rfc3339
+    FROM observations
+    """
+)
+
+
+# --- U1: multi-backend union (duplicates preserved) ------------------------
+
+def q_multi_backend_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two 'backends' (A-records store; sensor0-only store) answering
+    the same rdata query; results concatenated WITH duplicates
+    (db/db_remote.go:133-202, README.md:291-293)."""
+    from balboa_spark.operators.query import Query, entries
+
+    agg = aggregate(_obs(spark, sf_dir))
+    be1 = agg.filter(F.col("rrtype") == "A")
+    be2 = agg.filter(F.col("sensor_id") == "sensor0")
+    q = Query(rdata="10.0.0.0", limit=1000)
+    return entries(be1, q).unionAll(entries(be2, q)).select(
+        "rrname", "sensor_id", "rrtype", "rdata", "count", "first_seen", "last_seen"
+    )
+
+
+MULTI_BACKEND_ORACLE = with_agg_cte(
+    """
+    SELECT * FROM (
+      (SELECT rrname, sensor_id, rrtype, rdata, count, first_seen, last_seen
+       FROM observations WHERE rrtype = 'A' AND rdata = '10.0.0.0'
+       ORDER BY rrname, sensor_id, rrtype, rdata LIMIT 1000)
+      UNION ALL
+      (SELECT rrname, sensor_id, rrtype, rdata, count, first_seen, last_seen
+       FROM observations WHERE sensor_id = 'sensor0' AND rdata = '10.0.0.0'
+       ORDER BY rrname, sensor_id, rrtype, rdata LIMIT 1000)
+    )
+    """
+)
+
+
+# --- general OLAP surface (joins, windows, scan-agg) -----------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join with broadcast dims: order revenue per nation."""
+    t = load_tables(spark, sf_dir, names=("orders", "customer", "nation"))
+    o, c, n = t["orders"], t["customer"], t["nation"]
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+JOIN_ENRICH_ORACLE = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: 3 largest orders per customer segment."""
+    t = load_tables(spark, sf_dir, names=("orders", "customer"))
+    j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+TOPK_PER_GROUP_ORACLE = """
+SELECT c_mktsegment, rk, o_orderkey, o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rk <= 3
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative gap counting — the classic
+    streaming-adjacent window pattern (30-minute gap)."""
+    load_tables(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                  + INTERVAL '30' MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+          )
+        )
+        GROUP BY user_id, session_id
+        """
+    )
+
+
+SESSIONIZE_ORACLE = """
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "agg_incremental": q_agg_incremental,
+    "explode_normalize": q_explode_normalize,
+    "tag_routing_counts": q_tag_routing_counts,
+    "cof_projection": q_cof_projection,
+    "multi_backend_union": q_multi_backend_union,
+    "tpch_q1": q_tpch_q1,
+    "join_enrich": q_join_enrich,
+    "topk_per_group": q_topk_per_group,
+    "events_sessionize": q_events_sessionize,
+}
+
+ORACLES_EXTRA: dict[str, str] = {
+    "agg_incremental": AGG_INCREMENTAL_ORACLE,
+    "explode_normalize": EXPLODE_ORACLE,
+    "tag_routing_counts": TAG_ROUTING_ORACLE,
+    "cof_projection": COF_ORACLE,
+    "multi_backend_union": MULTI_BACKEND_ORACLE,
+    "tpch_q1": TPCH_Q1_ORACLE,
+    "join_enrich": JOIN_ENRICH_ORACLE,
+    "topk_per_group": TOPK_PER_GROUP_ORACLE,
+    "events_sessionize": SESSIONIZE_ORACLE,
+}

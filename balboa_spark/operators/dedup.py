@@ -60,11 +60,16 @@ def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
     lexicographic min is a proper MinHash; using seeded prefixes makes
     the H functions independent."""
     sh = _shingles(tokens(text), k)
+
+    # NB: the lambda must take exactly ONE parameter — PySpark treats a
+    # two-parameter lambda (incl. bound defaults) as (element, index).
+    def seeded(h: int):
+        prefix = F.lit(f"h{h}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(sh, lambda s, h=h: F.md5(F.concat(F.lit(f"h{h}|"), s)))
-            ).alias(f"mh{h}")
+            F.array_min(F.transform(sh, seeded(h))).alias(f"mh{h}")
             for h in range(num_hashes)
         ]
     )
@@ -133,11 +138,14 @@ def simhash(text: Column) -> Column:
     identically in the DuckDB oracle."""
     toks = tokens(text)
     n = F.size(toks).cast("long")
+
+    # one-parameter lambda per bit (see minhash_signature note)
+    def bit_pred(j: int):
+        return lambda t: F.ascii(F.substring(F.md5(t), j + 1, 1)) % 2 == 1
+
     bits = []
     for j in range(SIMHASH_BITS):
-        ones = F.size(
-            F.filter(toks, lambda t, j=j: F.ascii(F.substring(F.md5(t), j + 1, 1)) % 2 == 1)
-        ).cast("long")
+        ones = F.size(F.filter(toks, bit_pred(j))).cast("long")
         bits.append(F.when(ones * 2 >= n, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")))
     total = bits[0]
     for b in bits[1:]:

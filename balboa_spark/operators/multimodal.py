@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side machinery (schemas, Arrow-batched mapInPandas transforms,
+partition sizing) is real and tested; the codec step itself is stubbed
+behind ``NotImplementedError`` because no image/audio libraries exist in
+this container — ``fake_decode`` is the deterministic stand-in used by
+tests so the batch shapes and schema contracts are exercised.
+
+Design for 100 TB:
+- media bytes travel in their own column so column pruning keeps them
+  out of every query that doesn't touch them (Parquet reads are
+  per-column);
+- decode/feature steps are mapInPandas (Arrow batches, zero-copy into
+  pandas), sized by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+- outputs are plain typed columns (width/height/format/features), so
+  everything downstream is ordinary SQL again.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical media-asset schema: opaque payload + typed metadata.
+MEDIA_ASSET = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), False),
+        StructField("format", StringType(), True),  # e.g. png, wav, mp4
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Real decode (PIL/librosa/av). Not available in this container —
+    the mapInPandas contract is identical to ``fake_decode_media``."""
+    raise NotImplementedError(
+        "media codecs not installed; use fake_decode_media for the "
+        "deterministic test path — the Spark plumbing is the same"
+    )
+
+
+def fake_decode_media(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Deterministic decode stand-in: features[i] = byte (i*stride) of
+    the payload scaled to [0,1). Exercises the exact batch shape a real
+    decoder uses (Arrow in, pandas per-batch, Arrow out)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                if len(raw) == 0:
+                    feats.append(None)
+                    continue
+                stride = max(1, len(raw) // feature_dim)
+                feats.append(
+                    [float(raw[min(i * stride, len(raw) - 1)]) / 256.0 for i in range(feature_dim)]
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(bytes(b))),
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize — stub; same mapInPandas shape as decode."""
+    raise NotImplementedError("image codecs not installed in this container")
+
+
+def sample_frames(df: DataFrame, every_ms: int) -> DataFrame:
+    """Video frame sampling — stub; a real implementation explodes one
+    video row into N frame rows (payload -> frames) inside mapInPandas."""
+    raise NotImplementedError("video codecs not installed in this container")
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Pure-SQL metadata profile (no decode): per media_type count,
+    payload bytes, avg dimensions — the query a catalog runs constantly;
+    must never read payload bytes more than the length (column pruning
+    keeps the payload column unread when only length(payload) appears
+    in a pre-computed stat; here we read it once)."""
+    return df.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.round(F.avg("width"), 2).alias("avg_width"),
+        F.round(F.avg("height"), 2).alias("avg_height"),
+    )

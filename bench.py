@@ -1,0 +1,135 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Reproduces the reference's own load shapes (BASELINE.md):
+- ingest_fold      — the merge-upsert write path (mkjson.py ingest analog)
+- store_build      — dual-layout construction (write amplification 2x,
+                     like the o/i keyspaces)
+- lookup_storm     — balboa bench's 10,000 random-IPv4 rdata point
+                     lookups (cmd/balboa/cmds/bench.go:52-101), restated
+                     Spark-first as ONE batch semi-join instead of 10k
+                     serial queries
+- point_queries    — per-query latency through the bucket-pruned store
+plus the scale-path extensions: tpch_q1 scan-agg, minhash near-dup,
+embedding top-k.
+
+Run: python bench.py   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from balboa_spark.entry_queries import RRNAME_SUBJECT
+    from balboa_spark.obsmap import OBS_SQL
+    from balboa_spark.operators.aggregate import aggregate
+    from balboa_spark.operators.query import Query
+    from balboa_spark.operators import dedup, similarity
+    from balboa_spark.plans.layout import ObservationStore
+    from balboa_spark.session import get_spark, load_tables
+
+    spark = get_spark("balboa-bench")
+    load_tables(spark, SF_DIR)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 3)
+
+        return deco
+
+    obs = spark.sql(OBS_SQL)
+    tmp = tempfile.mkdtemp(prefix="balboa_bench_")
+    store = ObservationStore(spark, os.path.join(tmp, "store"), num_buckets=8)
+
+    @timed("ingest_fold")
+    def _():
+        aggregate(obs).write.mode("overwrite").format("noop").save()
+
+    @timed("store_build")
+    def _():
+        store.write(aggregate(obs))
+
+    @timed("lookup_storm")
+    def _():
+        # 10,000 random-IPv4 subjects (seeded, driver-side) -> one
+        # broadcast semi-join against the inverted layout
+        import random
+
+        rnd = random.Random(42)
+        subjects = [
+            f"10.{rnd.randrange(5)}.{rnd.randrange(25)}.{rnd.randrange(13)}"
+            for _ in range(10000)
+        ]
+        subj_df = spark.createDataFrame([(s,) for s in subjects], "rdata string")
+        hits = store.inverted().join(F.broadcast(subj_df.distinct()), "rdata")
+        hits.write.mode("overwrite").format("noop").save()
+
+    @timed("point_queries")
+    def _():
+        for i in range(20):
+            store.query(Query(rdata=f"10.{i % 5}.{i % 25}.{i % 13}", limit=1000)).collect()
+        store.query(Query(rrname=RRNAME_SUBJECT, limit=1000)).collect()
+
+    @timed("tpch_q1")
+    def _():
+        spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty, count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= date '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            """
+        ).write.mode("overwrite").format("noop").save()
+
+    @timed("dedup_minhash")
+    def _():
+        docs = spark.table("documents").select("doc_id", "text")
+        dedup.minhash_lsh_pairs(docs).write.mode("overwrite").format("noop").save()
+
+    @timed("embedding_topk")
+    def _():
+        emb = spark.table("embeddings")
+        qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        similarity.topk_brute(emb, qvec, k=20).collect()
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "balboa_spark bench: ingest fold + dual-layout build + "
+                "10k-rdata lookup storm + point queries + scan-agg + dedup + ann",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Tests for training-data pipeline operators: dedup families,
+similarity search (incl. ANN recall), text analysis, multimodal
+plumbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from balboa_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tables):
+    return tables["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(spark, tables):
+    return tables["embeddings"]
+
+
+def test_exact_dedup_removes_planted_copies(spark, docs):
+    dup = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = docs.unionByName(dup)
+    kept = dedup.exact_dedup(corpus)
+    assert kept.count() == docs.count()  # copies removed
+    # representative is the min id (the original)
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    toks = text.tokens(F.col("text"))
+    variant = docs.limit(30).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(variant)
+    pairs = dedup.minhash_lsh_pairs(corpus).collect()
+    planted = {(r.id_a, r.id_b) for r in pairs if r.id_b == r.id_a + 50000}
+    assert len(planted) >= 25  # high recall on 1-token-removed variants
+
+
+def test_simhash_distance_zero_for_identical(spark, docs):
+    two = docs.limit(1).select("doc_id", "text")
+    copy = two.withColumn("doc_id", F.col("doc_id") + 7)
+    pairs = dedup.simhash_pairs(two.unionByName(copy)).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 0
+
+
+def test_jaccard_exact_values(spark):
+    rows = [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w q r")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()}
+    # doc1: shingles {abc,bcd,cde,def}; doc2: {abc,bcd,cde,deg}; inter=3, union=5
+    assert out == {(1, 2): 0.6}
+
+
+def test_ann_recall_vs_brute(spark, emb):
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    brute = [r.vec_id for r in similarity.topk_brute(emb, qvec, k=10).collect()]
+    ann = [r.vec_id for r in similarity.lsh_bucketed_topk(emb, qvec, k=10).collect()]
+    recall = len(set(brute) & set(ann)) / 10
+    assert recall >= 0.5, f"ANN recall too low: {recall} ({ann} vs {brute})"
+    assert ann[0] == 0  # the query vector itself is its own nearest
+
+
+def test_lang_id_on_clear_text(spark):
+    rows = [
+        (1, "the cat and the dog is in the house"),
+        (2, "der hund und die katze ist ein tier"),
+        (3, "el perro y la casa es un animal"),
+        (4, "zzz qqq www"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang for r in
+           df.select("doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_quality_score_ordering(spark):
+    rows = [(1, "the quick brown fox jumps over a lazy dog and it is fine"),
+            (2, "x x x x x x x x x x x x"),
+            (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.q for r in
+           df.select("doc_id", text.quality_score(F.col("text")).alias("q")).collect()}
+    assert got[1] > got[2] > got[3] == 0.0
+
+
+def test_multimodal_fake_decode(spark):
+    from balboa_spark.operators.multimodal import MEDIA_ASSET, fake_decode_media
+
+    rows = [
+        (1, "image", bytearray(b"0123456789abcdef"), "fake", 4, 4, None),
+        (2, "audio", bytearray(b""), "fake", None, None, 1000),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_ASSET)
+    out = {r.asset_id: r for r in fake_decode_media(df, feature_dim=4).collect()}
+    assert out[1].n_bytes == 16
+    assert len(out[1].features) == 4
+    assert out[1].features[0] == ord("0") / 256.0  # deterministic
+    assert out[2].features is None  # empty payload -> no features
+    assert out[2].n_bytes == 0
+
+
+def test_multimodal_stubs_raise(spark):
+    from balboa_spark.operators import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(None)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(None, 1, 1)
