@@ -335,7 +335,7 @@ WITH media AS (
   FROM documents
 )
 SELECT media_type, count(*) AS n_assets,
-       sum(octet_length(encode(text))) AS total_bytes,
+       cast(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        round(avg(width), 2) AS avg_width,
        round(avg(height), 2) AS avg_height
 FROM media GROUP BY media_type ORDER BY media_type

@@ -122,8 +122,8 @@ def q_cof_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 COF_ORACLE = with_agg_cte(
     """
     SELECT rrname, rrtype, rdata, sensor_id, count,
-           epoch(first_seen)::BIGINT AS time_first,
-           epoch(last_seen)::BIGINT AS time_last,
+           epoch(date_trunc('second', first_seen))::BIGINT AS time_first,
+           epoch(date_trunc('second', last_seen))::BIGINT AS time_last,
            strftime(first_seen, '%Y-%m-%dT%H:%M:%SZ') AS time_first_rfc3339,
            strftime(last_seen, '%Y-%m-%dT%H:%M:%SZ') AS time_last_rfc3339
     FROM observations
@@ -273,8 +273,8 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM (
     SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

@@ -63,7 +63,7 @@ def with_obs_cte(body_sql: str) -> str:
 #: SQLite upsert, backend/balboa-sqlite/sqlite-impl.c:175-184).
 AGG_BODY = """
 SELECT rrname, sensor_id, rrtype, rdata,
-       sum(count) AS count,
+       cast(sum(count) AS BIGINT) AS count,
        min(ts_start) AS first_seen,
        max(ts_end) AS last_seen
 FROM input_observations

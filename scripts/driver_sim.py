@@ -86,14 +86,21 @@ def main() -> int:
             print(f"[FAIL] {name}: oracle error: {ex}")
             failed.append(name)
             continue
+        from balboa_spark.arrowcmp import type_mismatches
+
         ok_cols = sorted(s_cols) == sorted(d_cols)
         ok_n = len(s_rows) == len(d_rows)
+        tm = type_mismatches(df, con.sql(os_[name])) if ok_cols else ["cols differ"]
+        ok_types = not tm
         ok_vals = canon(s_cols, s_rows) == canon(d_cols, d_rows) if ok_cols and ok_n else False
-        status = "OK" if (ok_cols and ok_n and ok_vals) else "FAIL"
+        status = "OK" if (ok_cols and ok_n and ok_vals and ok_types) else "FAIL"
         print(
             f"[{status}] {name}: rows={len(s_rows)}/{len(d_rows)} cols={ok_cols} "
-            f"vals={ok_vals} ({time.time()-t0:.1f}s)"
+            f"types={ok_types} vals={ok_vals} ({time.time()-t0:.1f}s)"
         )
+        if tm and ok_cols:
+            for m in tm:
+                print(f"    type: {m}")
         if status == "FAIL":
             failed.append(name)
             if ok_cols and ok_n:

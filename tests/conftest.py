@@ -68,13 +68,19 @@ def canonical_rows(cols, rows):
 
 def assert_matches_oracle(spark_df, duck_con, oracle_sql, check_rows=True):
     """Driver-gate replica: same row count, same column-name set, same
-    order-insensitive value multiset."""
+    order-insensitive value multiset, AND same canonical Arrow types
+    (the driver's value hash is representation-sensitive: DuckDB
+    HUGEINT != Spark LongType even for equal ints — round-1 lesson)."""
+    from balboa_spark.arrowcmp import type_mismatches
+
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
     rel = duck_con.sql(oracle_sql)
     d_cols = rel.columns
     d_rows = rel.fetchall()
     assert sorted(s_cols) == sorted(d_cols), f"columns differ: {s_cols} vs {d_cols}"
+    tm = type_mismatches(spark_df, duck_con.sql(oracle_sql))
+    assert not tm, f"arrow type mismatch (driver hash would fail): {tm}"
     assert len(s_rows) == len(d_rows), f"row count {len(s_rows)} vs oracle {len(d_rows)}"
     if check_rows:
         _, s_canon = canonical_rows(s_cols, [[r[c] for c in s_cols] for r in s_rows])

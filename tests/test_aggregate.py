@@ -20,7 +20,7 @@ def test_aggregate_matches_oracle(spark, tables, duck):
     oracle = with_obs_cte(
         """
         SELECT rrname, sensor_id, rrtype, rdata,
-               sum(count) AS count,
+               cast(sum(count) AS BIGINT) AS count,
                min(ts_start) AS first_seen,
                max(ts_end) AS last_seen
         FROM input_observations
