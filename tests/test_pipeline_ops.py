@@ -59,12 +59,18 @@ def test_jaccard_exact_values(spark):
 
 
 def test_ann_recall_vs_brute(spark, emb):
-    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
-    brute = [r.vec_id for r in similarity.topk_brute(emb, qvec, k=10).collect()]
-    ann = [r.vec_id for r in similarity.lsh_bucketed_topk(emb, qvec, k=10).collect()]
-    recall = len(set(brute) & set(ann)) / 10
-    assert recall >= 0.5, f"ANN recall too low: {recall} ({ann} vs {brute})"
-    assert ann[0] == 0  # the query vector itself is its own nearest
+    """Recall >= 0.9 per query on the hardest case (near-uniform
+    embeddings, top-neighbor cosine ~0.37). Deterministic: planes are
+    md5-seeded, so this is a regression bar, not a flaky sample."""
+    recalls = []
+    for qid in (0, 13, 26, 39):
+        qvec = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
+        brute = [r.vec_id for r in similarity.topk_brute(emb, qvec, k=10).collect()]
+        ann = [r.vec_id for r in similarity.lsh_bucketed_topk(emb, qvec, k=10).collect()]
+        if qid == 0:
+            assert ann[0] == 0  # the query vector itself is its own nearest
+        recalls.append(len(set(brute) & set(ann)) / 10)
+    assert min(recalls) >= 0.9, f"ANN recall too low: {recalls}"
 
 
 def test_lang_id_on_clear_text(spark):
