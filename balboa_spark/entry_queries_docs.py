@@ -188,12 +188,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
+    # The engine's pigeonhole block bucketing is EXACT for
+    # hamming <= 3 over 4 blocks, so the oracle is the semantically
+    # clean brute-force all-pairs SQL — no bucketing artifact to mirror.
     bit_terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(tk, t -> ascii(substr(md5(t), {j + 1}, 1)) % 2 = 1))"
         f" >= len(tk) THEN {2**j} ELSE 0 END)::BIGINT"
         for j in range(dedup.SIMHASH_BITS)
     )
-    pref_div = 2 ** (dedup.SIMHASH_BITS - 8)
     return f"""
 WITH {CORPUS_SQL},
 ctoks AS (
@@ -203,10 +205,9 @@ ctoks AS (
 sh AS (
   SELECT doc_id AS id, {bit_terms} AS sh
   FROM ctoks WHERE len(tk) > 0
-),
-pref AS (SELECT id, sh, floor(sh / {pref_div}.0) AS pref FROM sh)
+)
 SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sh, b.sh)) AS hamming
-FROM pref a JOIN pref b ON a.pref = b.pref AND a.id < b.id
+FROM sh a JOIN sh b ON a.id < b.id
 WHERE bit_count(xor(a.sh, b.sh)) <= 3
 ORDER BY id_a, id_b
 """

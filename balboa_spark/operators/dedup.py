@@ -41,14 +41,20 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one representative (min id) per identical normalized text."""
+    """Keep one representative (min id) per identical normalized text.
+
+    One shuffle on the fingerprint (uniform md5 — skew-free), no join:
+    the representative is chosen by a min-over-group window. This
+    replaces the round-1 corpus-cardinality broadcast of the keep-set,
+    which could not survive a large corpus."""
+    from pyspark.sql import Window
+
     w_fp = df.withColumn("fp", fingerprint(F.col(text_col)))
-    keep = exact_dedup_groups(df, text_col, id_col).select("fp", "keep_id")
+    keep = F.min(id_col).over(Window.partitionBy("fp"))
     return (
-        w_fp.join(F.broadcast(keep), ["fp"])  # keep-set is tiny relative to corpus? no —
-        # same cardinality as groups; at scale use a semi-join instead:
-        .filter(F.col(id_col) == F.col("keep_id"))
-        .drop("fp", "keep_id")
+        w_fp.withColumn("_keep", keep)
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("fp", "_keep")
     )
 
 
@@ -75,21 +81,6 @@ def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
     )
 
 
-def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
-    """Band digests: band b = md5 of its ``rows_per_band`` signature
-    slots joined — equal band digest <=> equal slot values."""
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.get(sig, b * rows_per_band + r) for r in range(rows_per_band)]
-                )
-            )
-            for b in range(num_bands)
-        ]
-    )
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -100,28 +91,62 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
 
-    Plan shape: project signatures (no shuffle) -> explode bands ->
+    Plan shape: project shingles once -> project the H min-hashes (each
+    referenced exactly once by its band digest) -> explode bands ->
     shuffle on (band_idx, band_hash) -> per-bucket self-join ->
     distinct pairs. No cross join anywhere; bucket sizes are bounded
     because a band collision already implies high similarity.
+
+    Round-1 lesson: passing the assembled signature *expression* into
+    F.get-based banding duplicated the whole 16-min-hash subtree per
+    slot (64 array_min nodes, re-tokenizing every doc ~16x — 262 s for
+    5k docs). Staged projections + one-use-per-expression keep the
+    optimized plan at exactly H array_min nodes over one shingle
+    column; Catalyst's CollapseProject leaves multi-referenced
+    non-cheap aliases staged.
     """
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signature(F.col(text_col), num_hashes, k)
-    bands = (
-        df.filter(F.size(tokens(F.col(text_col))) >= k)
-        .select(F.col(id_col).alias("id"), minhash_bands(sig, num_bands, rows_per_band).alias("bands"))
-        .select("id", F.posexplode("bands").alias("band_idx", "band_hash"))
+
+    def seeded(h: int):
+        prefix = F.lit(f"h{h}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    shingled = df.filter(F.size(tokens(F.col(text_col))) >= k).select(
+        F.col(id_col).alias("id"),
+        _shingles(tokens(F.col(text_col)), k).alias("sh"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    sig_cols = shingled.select(
+        "id",
+        *[
+            F.array_min(F.transform(F.col("sh"), seeded(h))).alias(f"mh{h}")
+            for h in range(num_hashes)
+        ],
+    )
+    band_digests = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        for b in range(num_bands)
+    ]
+    bands = sig_cols.select(
+        "id", F.posexplode(F.array(*band_digests)).alias("band_idx", "band_hash")
+    )
+    # Bucket-group instead of self-join: one shuffle on the band key and
+    # the signatures are computed ONCE (a self-join re-derives the whole
+    # signature subtree on each side — measured 1.6x slower at sf0.1).
+    # Bucket membership lists stay small because a band collision
+    # already implies high similarity.
+    grouped = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        grouped.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -153,34 +178,59 @@ def simhash(text: Column) -> Column:
     return F.when(n > 0, total).otherwise(F.lit(None).cast("long"))
 
 
+SIMHASH_BLOCKS = 4
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    prefix_bits: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+    """ALL pairs with SimHash Hamming distance <= max_hamming — exact,
+    via pigeonhole block bucketing (Charikar-style multi-table).
 
-    Scale path: docs are bucketed on the top ``prefix_bits`` bits
-    (near-dups collide there with high probability when distance is
-    small), so the quadratic compare runs per-bucket, not globally.
+    The 32-bit fingerprint is cut into 4 disjoint 8-bit blocks; docs
+    are bucketed on (block_idx, block_value). Any pair differing in
+    <= 3 bits leaves at least one of the 4 blocks untouched (pigeonhole),
+    so candidate generation has perfect recall and the Hamming filter
+    makes the result exact. This fixes round 1's single-prefix table,
+    which missed near-dups whose differing bit fell in the prefix and
+    skewed one bucket. Candidate compare is per-bucket (shuffle on
+    (block_idx, block_value)), never a cross join; the 4x bucket
+    replication is the standard recall/space trade.
+
+    Requires max_hamming < SIMHASH_BLOCKS for exactness.
     """
     sh = df.select(
         F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
     ).filter(F.col("sh").isNotNull())
-    pref = F.floor(F.col("sh") / F.lit(2 ** (SIMHASH_BITS - prefix_bits)))
-    sh = sh.withColumn("pref", pref)
-    a, b = sh.alias("a"), sh.alias("b")
+    block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
+    blocks = F.array(
+        *[
+            (F.col("sh").bitwiseAND(F.lit((2**block_bits - 1) << (t * block_bits))))
+            for t in range(SIMHASH_BLOCKS)
+        ]
+    )
+    keyed = sh.select(
+        "id", "sh", F.posexplode(blocks).alias("block_idx", "block_val")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
-        a.join(b, (F.col("a.pref") == F.col("b.pref")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .filter(ham <= max_hamming)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             ham.alias("hamming"),
         )
+        .distinct()
     )
 
 
@@ -204,6 +254,8 @@ def ngram_jaccard_pairs(
     dropped shingles can only lower recall for pairs already below the
     threshold when corpus-frequent boilerplate is excluded.
     """
+    from pyspark.sql import Window
+
     sh = (
         df.select(
             F.col(id_col).alias("id"),
@@ -211,23 +263,28 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    # stop-shingle cap
-    freq_ok = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(
-        F.col("df_") <= max_doc_freq
+    # Stop-shingle cap via a count-over-shingle window: one shuffle on
+    # s (which the inverted-index join needs anyway), and no broadcast
+    # of the shingle vocabulary (corpus-cardinality — round-1 hazard).
+    sh = (
+        sh.withColumn("df_", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .filter(F.col("df_") <= max_doc_freq)
+        .drop("df_")
     )
-    sh = sh.join(F.broadcast(freq_ok.select("s")), "s")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # Set sizes ride the same rows via a window on id — no second scan.
+    sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.sz").alias("sz_a"),
+            F.first("b.sz").alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     jac = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter
         .withColumn(
             "jaccard",
             F.round(
