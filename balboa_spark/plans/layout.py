@@ -21,6 +21,29 @@ values, requiring a second point-get per hit, :542-565), the inverted
 copy carries full values: columnar storage makes the duplication cheap
 (zstd over sorted columns) and removes the double lookup.
 
+Consistency model (fixes two round-1 defects):
+
+- Every write lands in a fresh generation directory ``gen-<n>/``; the
+  only commit point is an atomic rename of ``manifest.json`` pointing
+  readers at the new generation. A crash mid-write leaves the old
+  generation fully intact — there is no window where forward and
+  inverted layouts disagree (the round-1 swap moved three paths
+  sequentially).
+- ``merge`` is *selective*: it computes the set of hash buckets the
+  batch's keys fall in, re-folds ONLY those partitions (partition
+  pruning makes the read proportional to the touched buckets), writes
+  them into the new generation, and hard-links the untouched bucket
+  directories from the previous generation (metadata-only, no data
+  copy). Merge cost therefore scales with batch size, not store size
+  — the columnar analog of RocksDB merge touching only written keys
+  (rocksdb-impl.c:812-822). On an object store the links become
+  manifest file-list entries (the Iceberg/Delta pattern).
+- The manifest records ``last_epoch``: a replayed micro-batch (crash
+  between the checkpoint commit and a route's merge) is skipped, which
+  upgrades the reference's documented at-least-once double-count
+  caveat (backend/PROTOCOL.md:31) to exactly-once per store — the
+  epoch gate and the data flip are the same atomic rename.
+
 Scale: bucket count is a constructor knob — 8 for local tests, 4096 at
 100 TB so a bucket is ~25 GB and a point query touches 1/4096 of the
 data. Writes repartition by the bucket expression so each task writes
@@ -37,15 +60,32 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from balboa_spark.operators.aggregate import aggregate, merge_increment
-from balboa_spark.operators.query import DEFAULT_LIMIT, Query
+from balboa_spark.operators.aggregate import merge_increment
+from balboa_spark.operators.query import Query
 from balboa_spark.schemas import INVERTED_KEY, OBSERVATION_KEY
 
 MANIFEST = "manifest.json"
 
+_LAYOUTS = {
+    "by_rrname": ("rrname", OBSERVATION_KEY),
+    "by_rdata": ("rdata", INVERTED_KEY),
+}
+
 
 def _bucket(col: str, n: int):
     return F.pmod(F.hash(F.col(col)), F.lit(n)).alias("bucket")
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hard-link every file under src into the same relative path under
+    dst — O(#files) metadata ops, zero data movement. Parquet files are
+    immutable once written, so shared blocks are safe."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        target = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(target, exist_ok=True)
+        for fn in files:
+            os.link(os.path.join(root, fn), os.path.join(target, fn))
 
 
 class ObservationStore:
@@ -55,79 +95,183 @@ class ObservationStore:
         self.spark = spark
         self.path = path
         self.num_buckets = num_buckets
+        self._layout_cache: dict[tuple[int, str], DataFrame] = {}
+
+    # -- manifest (the single source of truth) ------------------------------
+
+    def _manifest(self) -> dict | None:
+        p = os.path.join(self.path, MANIFEST)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            man = json.load(f)
+        # a store is defined by its on-disk layout, not the ctor arg
+        self.num_buckets = man["num_buckets"]
+        return man
+
+    def _flip_manifest(self, man: dict) -> None:
+        """The one commit point: atomic rename of the manifest."""
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, os.path.join(self.path, MANIFEST))
+
+    def _gen_dir(self, gen: int) -> str:
+        return os.path.join(self.path, f"gen-{gen}")
 
     # -- write side ---------------------------------------------------------
 
-    def write(self, agg_df: DataFrame, mode: str = "overwrite") -> None:
-        """Write both layouts + manifest from an aggregate DataFrame."""
-        self._write_layout(agg_df, "by_rrname", "rrname", OBSERVATION_KEY, mode)
-        self._write_layout(agg_df, "by_rdata", "rdata", INVERTED_KEY, mode)
-        manifest = {
-            "num_buckets": self.num_buckets,
-            "layouts": {"by_rrname": list(OBSERVATION_KEY), "by_rdata": list(INVERTED_KEY)},
-            "written_at": int(time.time()),
-        }
-        os.makedirs(self.path, exist_ok=True)
-        with open(os.path.join(self.path, MANIFEST), "w") as f:
-            json.dump(manifest, f)
+    def write(self, agg_df: DataFrame, epoch_id: int | None = None) -> None:
+        """Write both layouts as a fresh generation + flip the manifest."""
+        man = self._manifest()
+        gen = man["generation"] + 1 if man else 0
+        gen_dir = self._gen_dir(gen)
+        for name, (key, order) in _LAYOUTS.items():
+            self._write_layout(agg_df, os.path.join(gen_dir, name), key, order)
+        self._commit(gen, man, epoch_id)
 
-    def _write_layout(self, df: DataFrame, name: str, key: str, order, mode: str) -> None:
-        out = os.path.join(self.path, name)
+    def _commit(self, gen: int, prev_man: dict | None, epoch_id: int | None) -> None:
+        last_epoch = epoch_id if epoch_id is not None else (prev_man or {}).get("last_epoch")
+        self._flip_manifest(
+            {
+                "generation": gen,
+                "num_buckets": self.num_buckets,
+                "layouts": {n: list(order) for n, (_k, order) in _LAYOUTS.items()},
+                "written_at": int(time.time()),
+                "last_epoch": last_epoch,
+            }
+        )
+        self.vacuum(keep_last=2)
+
+    def _write_layout(self, df: DataFrame, out: str, key: str, order) -> None:
         (
             df.withColumn("bucket", _bucket(key, self.num_buckets))
             .repartition("bucket")
             .sortWithinPartitions(*order)
-            .write.mode(mode)
+            .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(out)
         )
 
-    def merge(self, new_obs: DataFrame) -> None:
+    def merge(self, new_obs: DataFrame, epoch_id: int | None = None) -> None:
         """A2/T1: fold a new input-observation batch into the store.
 
-        Plain-Parquet MERGE analog: re-aggregate (stored ∪ new) and
-        rewrite. Only buckets containing touched keys actually change
-        content; with Delta/Iceberg on the classpath this becomes a
-        transactional MERGE INTO on the same key (see streaming/ingest).
+        Selective-bucket MERGE: only partitions whose bucket contains a
+        batch key are re-folded and rewritten; the rest of the new
+        generation is hard-linked from the previous one. Cost scales
+        with the batch, not the store. ``epoch_id`` (from foreachBatch)
+        makes replays no-ops — see the module docstring.
         """
-        merged = merge_increment(self.forward(), new_obs)
-        # write to temp then swap, so a failed write never corrupts the store
-        tmp = ObservationStore(self.spark, self.path + ".tmp", self.num_buckets)
-        tmp.write(merged)
-        for name in ("by_rrname", "by_rdata", MANIFEST):
-            dst = os.path.join(self.path, name)
-            if os.path.exists(dst):
-                shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
-            shutil.move(os.path.join(tmp.path, name), dst)
-        shutil.rmtree(tmp.path, ignore_errors=True)
+        man = self._manifest()
+        if (
+            epoch_id is not None
+            and man is not None
+            and man.get("last_epoch") is not None
+            and epoch_id <= man["last_epoch"]
+        ):
+            return  # replayed micro-batch: already folded (T5)
+        if man is None:
+            from balboa_spark.operators.aggregate import aggregate
+
+            self.write(aggregate(new_obs), epoch_id=epoch_id)
+            return
+
+        gen = man["generation"] + 1
+        gen_dir = self._gen_dir(gen)
+        old_dir = self._gen_dir(man["generation"])
+        for name, (key, order) in _LAYOUTS.items():
+            touched = [
+                r["bucket"]
+                for r in new_obs.select(_bucket(key, self.num_buckets)).distinct().collect()
+            ]
+            out = os.path.join(gen_dir, name)
+            stored = self._read_layout(name)
+            if stored is not None:
+                stored = stored.filter(F.col("bucket").isin(touched)).drop("bucket")
+            merged = merge_increment(stored, new_obs)
+            self._write_layout(merged, out, key, order)
+            # carry over untouched buckets from the previous generation
+            old_layout = os.path.join(old_dir, name)
+            if os.path.isdir(old_layout):
+                keep = {f"bucket={b}" for b in touched}
+                for entry in os.listdir(old_layout):
+                    if entry.startswith("bucket=") and entry not in keep:
+                        _link_tree(
+                            os.path.join(old_layout, entry), os.path.join(out, entry)
+                        )
+        self._commit(gen, man, epoch_id)
+
+    def vacuum(self, keep_last: int = 2) -> None:
+        """Drop generations older than the newest ``keep_last``. The
+        previous generation is kept by default so in-flight readers
+        (cached plans against the old file set) stay valid."""
+        man = self._manifest()
+        if man is None:
+            return
+        floor = man["generation"] - keep_last + 1
+        for entry in os.listdir(self.path):
+            if entry.startswith("gen-"):
+                try:
+                    g = int(entry.split("-", 1)[1])
+                except ValueError:
+                    continue
+                if g < floor:
+                    shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+        self._layout_cache = {
+            k: v for k, v in self._layout_cache.items() if k[0] >= floor
+        }
 
     # -- read side ----------------------------------------------------------
 
-    def _read_layout(self, name: str) -> DataFrame:
+    def _read_layout(self, name: str) -> DataFrame | None:
+        """Current-generation layout DataFrame, cached per (generation,
+        layout) so repeated point queries reuse the file listing instead
+        of re-planning I/O on every call."""
         from pyspark.sql.utils import AnalysisException
 
-        from balboa_spark.schemas import OBSERVATION
+        man = self._manifest()
+        if man is None:
+            return None
+        key = (man["generation"], name)
+        if key not in self._layout_cache:
+            try:
+                df = self.spark.read.parquet(
+                    os.path.join(self._gen_dir(man["generation"]), name)
+                )
+            except AnalysisException:
+                # an empty aggregate writes no parquet files; surface an
+                # empty table, not a schema-inference error
+                from balboa_spark.schemas import OBSERVATION
 
-        try:
-            return self.spark.read.parquet(os.path.join(self.path, name))
-        except AnalysisException:
-            # an empty aggregate writes no parquet files; surface an
-            # empty table, not a schema-inference error
-            df = self.spark.createDataFrame([], OBSERVATION)
-            return df.withColumn("bucket", F.lit(0))
+                df = self.spark.createDataFrame([], OBSERVATION).withColumn(
+                    "bucket", F.lit(0)
+                )
+            self._layout_cache[key] = df
+        return self._layout_cache[key]
+
+    def _layout_or_empty(self, name: str) -> DataFrame:
+        df = self._read_layout(name)
+        if df is None:
+            from balboa_spark.schemas import OBSERVATION
+
+            df = self.spark.createDataFrame([], OBSERVATION).withColumn(
+                "bucket", F.lit(0)
+            )
+        return df
 
     def forward(self) -> DataFrame:
-        return self._read_layout("by_rrname").drop("bucket")
+        return self._layout_or_empty("by_rrname").drop("bucket")
 
     def inverted(self) -> DataFrame:
-        return self._read_layout("by_rdata").drop("bucket")
+        return self._layout_or_empty("by_rdata").drop("bucket")
 
     def query(self, q: Query) -> DataFrame:
         """Q3 dispatch (rocksdb-impl.c:622-630): route to the layout
         whose bucket partition the driving predicate prunes."""
         q.validate()
         if q.rrname is not None:
-            base = self._read_layout("by_rrname")
+            base = self._layout_or_empty("by_rrname")
             df = base.filter(
                 (F.col("bucket") == F.pmod(F.hash(F.lit(q.rrname)), F.lit(self.num_buckets)))
                 & (F.col("rrname") == q.rrname)
@@ -135,7 +279,7 @@ class ObservationStore:
             if q.rdata is not None:
                 df = df.filter(F.col("rdata") == q.rdata)
         else:
-            base = self._read_layout("by_rdata")
+            base = self._layout_or_empty("by_rdata")
             df = base.filter(
                 (F.col("bucket") == F.pmod(F.hash(F.lit(q.rdata)), F.lit(self.num_buckets)))
                 & (F.col("rdata") == q.rdata)

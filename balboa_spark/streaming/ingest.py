@@ -17,9 +17,13 @@ Design decisions (SURVEY §2.9):
   Delta/Iceberg MERGE INTO on a real deployment).
 - T4: backpressure via maxFilesPerTrigger (the reference's bounded
   channel, input_observation.go:27-31, is engine-internal here).
-- T5: checkpointing + idempotent per-batch merge upgrades the
-  reference's at-least-once double-count caveat (backend/PROTOCOL.md:31)
-  to effectively-once.
+- T5: the store's manifest records the last applied epoch_id, and the
+  epoch gate flips atomically with the data generation — a replayed
+  micro-batch (crash between a route's merge and the checkpoint
+  commit, or between the sequential per-route merges) is a no-op, so
+  the count-additive fold cannot double-count. This upgrades the
+  reference's documented at-least-once caveat (backend/PROTOCOL.md:31)
+  to exactly-once per store.
 """
 
 from __future__ import annotations
@@ -70,7 +74,7 @@ def ingest_stream(
             obs = obs.withColumn("tags", F.array().cast("array<string>"))
         obs = obs.localCheckpoint(eager=True)  # parse once, not once per route
         for name, tagged in route_fn(obs, routes).items():
-            stores[name].merge(tagged)
+            stores[name].merge(tagged, epoch_id=epoch_id)
 
     writer = lines.writeStream.foreachBatch(process_batch)
     if checkpoint:

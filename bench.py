@@ -82,6 +82,13 @@ def main() -> None:
         hits = store.inverted().join(F.broadcast(subj_df.distinct()), "rdata")
         hits.write.mode("overwrite").format("noop").save()
 
+    @timed("merge_batch")
+    def _():
+        # selective-bucket merge: cost must scale with the batch (1% of
+        # the input), not the store — the RocksDB-merge analog
+        batch = obs.filter(F.col("event_id") % 100 == 0)
+        store.merge(batch)
+
     @timed("point_queries")
     def _():
         for i in range(20):

@@ -93,6 +93,63 @@ def test_dump_jsonize_replay_backup(spark, store, tmp_path):
     assert restored.query(Query(rrname="foo")).count() == 1
 
 
+def test_epoch_idempotent_merge(spark, store):
+    """T5: replaying a micro-batch epoch is a no-op — the manifest's
+    last_epoch gate flips atomically with the data generation."""
+    ts2 = dt.datetime(2021, 6, 1)
+    more = spark.createDataFrame(
+        [(5, "NOERROR", "1.2.3.4", "A", "foo", "abc", ts2, ts2, [])],
+        seed_obs(spark).schema,
+    )
+    store.merge(more, epoch_id=7)
+    store.merge(more, epoch_id=7)  # replay: must not double-count
+    r = store.query(Query(rrname="foo")).collect()[0]
+    assert r["count"] == 15
+    store.merge(more, epoch_id=8)  # next epoch folds normally
+    r = store.query(Query(rrname="foo")).collect()[0]
+    assert r["count"] == 20
+
+
+def test_selective_merge_links_untouched_buckets(spark, store):
+    """Merge cost scales with the batch: buckets without a touched key
+    are hard-linked (same inode) from the previous generation, not
+    rewritten."""
+    man0 = json.load(open(os.path.join(store.path, "manifest.json")))
+    gen0 = os.path.join(store.path, f"gen-{man0['generation']}", "by_rrname")
+    inodes_before = {
+        e: os.stat(os.path.join(gen0, e, f)).st_ino
+        for e in os.listdir(gen0)
+        if e.startswith("bucket=")
+        for f in os.listdir(os.path.join(gen0, e))
+        if f.endswith(".parquet")
+    }
+    ts2 = dt.datetime(2021, 6, 1)
+    more = spark.createDataFrame(
+        [(5, "NOERROR", "1.2.3.4", "A", "foo", "abc", ts2, ts2, [])],
+        seed_obs(spark).schema,
+    )
+    store.merge(more)
+    man1 = json.load(open(os.path.join(store.path, "manifest.json")))
+    assert man1["generation"] == man0["generation"] + 1
+    gen1 = os.path.join(store.path, f"gen-{man1['generation']}", "by_rrname")
+    linked = rewritten = 0
+    for e in os.listdir(gen1):
+        if not e.startswith("bucket="):
+            continue
+        for f in os.listdir(os.path.join(gen1, e)):
+            if not f.endswith(".parquet"):
+                continue
+            if os.stat(os.path.join(gen1, e, f)).st_ino == inodes_before.get(e):
+                linked += 1
+            else:
+                rewritten += 1
+    # 'foo' touches exactly one bucket; the others must be links
+    assert rewritten >= 1 and linked >= 1
+    # and the merged content is correct
+    assert store.query(Query(rrname="foo")).collect()[0]["count"] == 15
+    assert store.query(Query(rrname="bar")).count() == 1
+
+
 SURI = (
     '{"timestamp": "2019-01-01T00:00:0%d.000001+0000", "event_type": "dns",'
     ' "dns": {"type": "answer", "rcode": "NOERROR", "rrname": "stream.example.com",'
