@@ -36,13 +36,13 @@ RRTYPE_ENUM = {
 
 
 def rrtype_mnemonic(code: Column) -> Column:
-    """Integer rrtype -> mnemonic string; unknown codes -> 'TYPE<n>'
-    (the reference drops unknowns, format_nmsg.go:62-63; we keep them
-    visibly tagged — a declared superset)."""
+    """Integer rrtype -> mnemonic string; unknown codes -> their decimal
+    string, exactly as the reference's default branch
+    (format_nmsg.go:62-63, fmt.Sprintf("%d", rrtype))."""
     mapping = F.create_map(
         *[F.lit(x) for kv in RRTYPE_MNEMONICS.items() for x in kv]
     )
-    return F.coalesce(mapping[code], F.concat(F.lit("TYPE"), code.cast("string")))
+    return F.coalesce(mapping[code], code.cast("string"))
 
 
 def ipv4_from_bytes(raw: Column) -> Column:

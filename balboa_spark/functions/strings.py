@@ -39,7 +39,9 @@ def dns_wire_to_name(raw: Column) -> Column:
         acc = state.getField("acc")
         ln = F.conv(F.hex(F.substring(raw, pos, 1)), 16, 10).cast("int")
         done = pos.isNull() | (pos > F.length(raw)) | ln.isNull() | (ln == 0) | (ln > 63)
-        label = F.substring(raw, pos + 1, ln).cast("string")
+        # decode label bytes as latin-1 (byte-preserving); cast("string")
+        # would be a UTF-8 decode that garbles non-ASCII labels
+        label = F.decode(F.substring(raw, pos + 1, ln), "ISO-8859-1")
         new_acc = F.when(acc == "", label).otherwise(F.concat_ws(".", acc, label))
         return F.when(done, state).otherwise(
             F.struct((pos + ln + 1).alias("pos"), new_acc.alias("acc"))

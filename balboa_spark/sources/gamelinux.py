@@ -21,13 +21,16 @@ def normalize(raw: DataFrame, sensor_id=None, value_col: str = "value") -> DataF
     spark.read.text) holding a gamelinux line."""
     parts = F.split(F.col(value_col), r"\|\|")
     df = raw.select(parts.alias("p")).filter(F.size("p") == 9)
-    # exact epoch.frac parse: integer seconds + zero-padded micros
-    # (a double round-trip would round the microsecond digits)
-    tscol = F.element_at("p", 1)
-    secs = F.split(tscol, r"\.").getItem(0).try_cast("long")
-    frac = F.coalesce(F.split(tscol, r"\.").getItem(1), F.lit("0"))
-    micros = F.substring(F.rpad(frac, 6, "0"), 1, 6).try_cast("long")
-    ts = F.timestamp_micros(secs * 1000000 + micros)
+    # Reference (format_gamelinux.go:30-44): timestamp must be exactly
+    # 'X.X' (no-dot lines are dropped), and the fractional part is
+    # passed VERBATIM as nanoseconds to time.Unix — '…. 408856' is
+    # 408856 ns ≈ 0.4 ms, not 408856 µs. We truncate ns -> µs (Spark
+    # timestamp precision; declared sub-µs deviation).
+    tspieces = F.split(F.element_at("p", 1), r"\.")
+    df = df.filter(F.size(tspieces) == 2)
+    secs = tspieces.getItem(0).try_cast("long")
+    nanos = tspieces.getItem(1).try_cast("long")
+    ts = F.timestamp_micros(secs * 1000000 + F.floor(nanos / 1000).cast("long"))
     return finalize(
         df,
         count=F.element_at("p", 9).try_cast("long"),

@@ -1,60 +1,178 @@
-"""P6: NMSG/NewDomain normalizer (pre-decoded protobuf fields).
+"""P6: NMSG/NewDomain normalizer + wire-frame decoder.
 
 Reference semantics (format/format_nmsg.go:83-110): rrname is a DNS
 wire-format label sequence (:11-27); rrtype is numeric and mapped to a
-mnemonic, unknown types dropped by the reference (:41-64 — we keep them
-as 'TYPE<n>', a declared superset); A-type rdata is 4 raw bytes decoded
-to a dotted quad (:66-79); only the FIRST rdata element is consumed
-(:90-94); time_seen is epoch seconds.
+mnemonic, unknown types kept as their decimal string (:62-63); A-type
+rdata is exactly 4 raw bytes decoded to a dotted quad, else ''
+(:66-71); NS/CNAME/MX rdata is itself a wire-format domain (:72-73);
+only the FIRST rdata element is consumed (:90-94); time_seen is epoch
+seconds.
 
-The protobuf envelope itself (NMSG container / SIE vendor filtering,
-feeder_nmsg_socket.go:64-68) is transport: a Kafka/file source delivers
-the decoded fields. ``decode_nmsg_container`` below is the stub seam
-for a real wire decoder.
+Byte-safety: the NMSG_NEWDOMAIN schema carries raw bytes as latin-1
+strings. Converting back to bytes MUST use encode(col, 'ISO-8859-1') —
+cast('binary') UTF-8-encodes, turning every byte >= 0x80 into a 2-byte
+sequence (which silently broke A records like 192.168.216.34 whose
+octets exceed 127).
+
+``decode_nmsg_container`` decodes serialized NewDomain protobuf
+messages (format/newdomain.pb.go:23-43) without a protobuf runtime:
+the message is plain varint + length-delimited fields, parsed by a
+~40-line reader inside mapInPandas (Arrow-batched; the decode is the
+rare genuinely-imperative path, §2.2 P6). The SIE transport framing
+(NMSG container magic + vendor-id==2 filter, feeder_nmsg_socket.go:
+46-72) stays at the transport edge — a Kafka/file source delivers one
+serialized NewDomain per record.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from balboa_spark.functions.net import rrtype_mnemonic
 from balboa_spark.functions.strings import dns_wire_to_name
 from balboa_spark.sources.common import finalize, sensor
 
+RRT_A, RRT_NS, RRT_CNAME, RRT_MX = 1, 2, 5, 15
+
+
+def _latin1_bytes(c: Column) -> Column:
+    """latin-1-safe string -> its original bytes (NOT cast('binary'),
+    which UTF-8-encodes and corrupts bytes >= 0x80)."""
+    return F.encode(c, "ISO-8859-1")
+
+
+def _parse_domain(c: Column) -> Column:
+    """parseDomainString (format/format_nmsg.go:11-27): wire labels ->
+    dotted name; on parse failure / empty result, fall back to the raw
+    string exactly like the reference's ``return string(rdata)``."""
+    b = _latin1_bytes(c)
+    decoded = dns_wire_to_name(b)
+    return F.when(F.length(decoded) >= 1, decoded).otherwise(c)
+
 
 def normalize(raw: DataFrame, sensor_id=None) -> DataFrame:
-    """raw: NMSG_NEWDOMAIN-shaped DataFrame (binary fields as latin-1
-    strings or BinaryType) -> input observations."""
+    """raw: NMSG_NEWDOMAIN-shaped DataFrame (byte fields as latin-1
+    strings) -> input observations."""
     first_rdata = F.try_element_at("rdata", F.lit(1))
-    rrtype_m = rrtype_mnemonic(F.col("rrtype"))
-    # A records: 4 raw bytes -> dotted quad; others: rdata bytes as text
-    rdata_bytes = first_rdata.cast("binary")
+    rdata_bytes = _latin1_bytes(first_rdata)
     octet = lambda i: F.conv(F.hex(F.substring(rdata_bytes, i, 1)), 16, 10)  # noqa: E731
-    rdata = F.when(
-        (F.col("rrtype") == 1) & (F.length(rdata_bytes) == 4),
-        F.concat_ws(".", octet(1), octet(2), octet(3), octet(4)),
-    ).otherwise(first_rdata.cast("string"))
+    rdata = (
+        # A: exactly 4 bytes -> dotted quad, else '' (corrupt record,
+        # format_nmsg.go:67-71 — the observation is still emitted)
+        F.when(
+            F.col("rrtype") == RRT_A,
+            F.when(
+                F.length(rdata_bytes) == 4,
+                F.concat_ws(".", octet(1), octet(2), octet(3), octet(4)),
+            ).otherwise(F.lit("")),
+        )
+        # NS/CNAME/MX: rdata is a wire-format domain (:72-73)
+        .when(
+            F.col("rrtype").isin(RRT_NS, RRT_CNAME, RRT_MX),
+            _parse_domain(first_rdata),
+        )
+        # everything else: raw bytes as string (:74-75)
+        .otherwise(first_rdata)
+    )
     return finalize(
         raw.filter(F.size("rdata") > 0),
         rdata=rdata,
-        rrtype=rrtype_m,
-        rrname=dns_wire_to_name(F.col("rrname").cast("binary")),
+        rrtype=rrtype_mnemonic(F.col("rrtype")),
+        rrname=_parse_domain(F.col("rrname")),
         sensor_id=sensor(sensor_id),
         ts_start=F.timestamp_seconds(F.col("time_seen")),
     )
 
 
-def decode_nmsg_container(raw: DataFrame) -> DataFrame:
-    """Wire-level NMSG container decode (Farsight NMSG framing + SIE
-    vendor-id==2 filter, feeder_nmsg_socket.go:46-72).
+# -- wire decode (no protobuf runtime needed) --------------------------------
 
-    The protobuf runtime is not available in this container — this is
-    the clearly-marked seam where a mapInPandas batch decoder would
-    parse the frames. The Spark-side contract (input: binary frames;
-    output: NMSG_NEWDOMAIN schema) is fixed by schemas.NMSG_NEWDOMAIN.
-    """
-    raise NotImplementedError(
-        "NMSG container decode requires a protobuf runtime; "
-        "feed pre-decoded NMSG_NEWDOMAIN rows instead"
-    )
+def parse_newdomain(buf: bytes) -> dict | None:
+    """Decode one serialized NewDomain message
+    (format/newdomain.pb.go:23-43). Returns None on malformed input
+    (the reference logs and drops, format.go contract)."""
+    i, n = 0, len(buf)
+    out: dict = {
+        "domain": None,
+        "time_seen": None,
+        "rrname": None,
+        "rrtype": None,
+        "rdata": [],
+    }
+
+    def varint() -> int:
+        nonlocal i
+        shift = val = 0
+        while i < n:
+            b = buf[i]
+            i += 1
+            val |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return val
+            shift += 7
+            if shift > 63:
+                break
+        raise ValueError("truncated varint")
+
+    try:
+        while i < n:
+            tag = varint()
+            field, wt = tag >> 3, tag & 7
+            if wt == 0:  # varint
+                v = varint()
+                if field == 2:
+                    out["time_seen"] = v
+                elif field == 4:
+                    out["rrtype"] = v
+            elif wt == 2:  # length-delimited
+                ln = varint()
+                if i + ln > n:
+                    raise ValueError("truncated bytes field")
+                data = buf[i : i + ln]
+                i += ln
+                if field == 1:
+                    out["domain"] = data.decode("latin-1")
+                elif field == 3:
+                    out["rrname"] = data.decode("latin-1")
+                elif field == 7:
+                    out["rdata"].append(data.decode("latin-1"))
+            elif wt == 5:  # fixed32
+                i += 4
+            elif wt == 1:  # fixed64
+                i += 8
+            else:
+                raise ValueError(f"unsupported wire type {wt}")
+        if i != n:
+            raise ValueError("overrun")
+    except ValueError:
+        return None
+    if out["rrname"] is None and out["domain"] is None:
+        return None
+    return out
+
+
+def decode_nmsg_container(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Binary NewDomain frames -> NMSG_NEWDOMAIN rows, via an
+    Arrow-batched mapInPandas decoder. Malformed frames are dropped
+    (the reference returns an error per frame and continues,
+    format_nmsg.go:85-88)."""
+    import pandas as pd
+
+    from balboa_spark.schemas import NMSG_NEWDOMAIN
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for buf in pdf[frame_col]:
+                if buf is None:
+                    continue
+                rec = parse_newdomain(bytes(buf))
+                if rec is not None:
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=["domain", "time_seen", "rrname", "rrtype", "rdata"]
+            )
+
+    return frames.mapInPandas(decode, schema=NMSG_NEWDOMAIN)

@@ -72,8 +72,11 @@ def normalize(raw: DataFrame, sensor_id=None) -> DataFrame:
         ts_start=F.col("_ts"),
     )
 
+    # v1 is the complement of v2: the reference routes EVERY version
+    # != 2 through the v1 path (format_suricata.go:57,96), including
+    # hypothetical version > 2 records.
     v1 = dns.filter(
-        F.col("dns.version").isNull() | (F.col("dns.version") < 2)
+        F.col("dns.version").isNull() | (F.col("dns.version") != 2)
     ).select("_ts", "dns.rcode", "dns.rrname", "dns.rrtype", "dns.rdata")
     v1 = finalize(
         v1,

@@ -68,6 +68,15 @@ def test_suricata_negatives(spark):
     assert normalize_json_lines(df, "suricata_dns", "s1").count() == 0
 
 
+def test_suricata_version_gt2_routes_v1(spark):
+    """Every version != 2 goes through the v1 path — the reference's v2
+    branch tests == 2 and everything else falls through
+    (format_suricata.go:57,96)."""
+    v3 = SURI_V1.replace('"dns": {"type": "answer"', '"dns": {"type": "answer", "version": 3')
+    out = normalize_json_lines(lines_df(spark, v3), "suricata_dns", "s1").collect()
+    assert len(out) == 1 and out[0].rdata == "199.16.156.6"
+
+
 # --- P2 FEVER -------------------------------------------------------------
 
 FEVER = (
@@ -139,28 +148,39 @@ def test_packetbeat_negatives(spark):
 
 GL_OK = "1322849924.408856||10.1.1.1||8.8.8.8||IN||upload.youtube.com.||A||74.125.43.117||46587||5"
 GL_BAD = "1322849924.408856||10.1.1.1||8.8.8.8||IN||upload.youtube.com.||A||74.125.43.117"
+GL_NO_DOT = "1322849924||10.1.1.1||8.8.8.8||IN||x.example.||A||1.2.3.4||46587||5"
 
 
 def test_gamelinux(spark):
-    out = normalize_json_lines(lines_df(spark, GL_OK, GL_BAD), "gamelinux", "s5").collect()
-    assert len(out) == 1  # 7-column line dropped
+    out = normalize_json_lines(
+        lines_df(spark, GL_OK, GL_BAD, GL_NO_DOT), "gamelinux", "s5"
+    ).collect()
+    assert len(out) == 1  # 7-column line AND dotless-timestamp line dropped
     r = out[0]
     assert (r.rrname, r.rrtype, r.rdata, r["count"]) == (
         "upload.youtube.com", "A", "74.125.43.117", 5
     )
-    assert r.ts_start == dt.datetime(2011, 12, 2, 18, 18, 44, 408856)
+    # fraction is NANOSECONDS per the reference (time.Unix(epoch, nsec),
+    # format_gamelinux.go:44): 408856 ns -> 408 µs
+    assert r.ts_start == dt.datetime(2011, 12, 2, 18, 18, 44, 408)
 
 
 # --- P6 NMSG --------------------------------------------------------------
 
 def test_nmsg(spark):
     rows = [
-        # www.example.com wire labels; A record 1.2.3.4 raw bytes
-        ("\x03www\x07example\x03com\x00", 1540582356, "\x03www\x07example\x03com\x00", 1, ["\x01\x02\x03\x04"]),
-        # CNAME with text rdata; only first element consumed
-        ("\x03foo\x03bar\x00", 1540582356, "\x03foo\x03bar\x00", 5, ["target.example.", "second.ignored."]),
-        # unknown rrtype kept as TYPE99 (reference drops; declared superset)
+        # www.example.com wire labels; A record with high-byte octets
+        # (192.168.216.34 — every octet >= 0x80 except the last; pins
+        # the latin-1 byte round-trip, not just ASCII-safe 1.2.3.4)
+        ("\x03www\x07example\x03com\x00", 1540582356, "\x03www\x07example\x03com\x00", 1, ["\xc0\xa8\xd8\x22"]),
+        # CNAME whose rdata is itself wire-format labels (format_nmsg.go:72-73)
+        ("\x03foo\x03bar\x00", 1540582356, "\x03foo\x03bar\x00", 5, ["\x06target\x07example\x00", "\x06second\x00"]),
+        # CNAME with unparseable rdata -> raw passthrough (reference fallback)
+        ("\x03baz\x03bar\x00", 1540582356, "\x03baz\x03bar\x00", 5, ["target.example."]),
+        # unknown rrtype kept as its decimal string (format_nmsg.go:62-63)
         ("\x01x\x00", 1540582356, "\x01x\x00", 99, ["data"]),
+        # corrupt A record (3 bytes) -> empty rdata, still emitted (:67-71)
+        ("\x01z\x00", 1540582356, "\x01z\x00", 1, ["\x01\x02\x03"]),
         # empty rdata array -> dropped
         ("\x01y\x00", 1540582356, "\x01y\x00", 1, []),
     ]
@@ -170,10 +190,63 @@ def test_nmsg(spark):
     raw = spark.createDataFrame(rows, NMSG_NEWDOMAIN)
     out = normalize(raw, "s6").collect()
     by_name = {r.rrname: r for r in out}
-    assert set(by_name) == {"www.example.com", "foo.bar", "x"}
-    assert by_name["www.example.com"].rdata == "1.2.3.4"
+    assert set(by_name) == {"www.example.com", "foo.bar", "baz.bar", "x", "z"}
+    assert by_name["www.example.com"].rdata == "192.168.216.34"
     assert by_name["www.example.com"].rrtype == "A"
-    assert by_name["foo.bar"].rdata == "target.example."
+    assert by_name["foo.bar"].rdata == "target.example"  # wire-decoded, first only
     assert by_name["foo.bar"].rrtype == "CNAME"
-    assert by_name["x"].rrtype == "TYPE99"
+    assert by_name["baz.bar"].rdata == "target.example."  # fallback passthrough
+    assert by_name["x"].rrtype == "99"
+    assert by_name["z"].rdata == ""  # corrupt A record
     assert by_name["www.example.com"].ts_start == dt.datetime.fromtimestamp(1540582356, UTC).replace(tzinfo=None)
+
+
+def _pb_bytes(field: int, data: bytes) -> bytes:
+    return bytes([field << 3 | 2, len(data)]) + data
+
+
+def _pb_varint(field: int, val: int) -> bytes:
+    out = bytes([field << 3])
+    enc = b""
+    while True:
+        b = val & 0x7F
+        val >>= 7
+        enc += bytes([b | (0x80 if val else 0)])
+        if not val:
+            return out + enc
+
+
+def test_nmsg_wire_decode(spark):
+    """decode_nmsg_container: hand-encoded NewDomain protobuf frames
+    (field numbers per format/newdomain.pb.go:23-43) -> NMSG_NEWDOMAIN
+    rows; malformed frames dropped (format_nmsg.go:85-88)."""
+    from balboa_spark.sources.nmsg import decode_nmsg_container, normalize
+
+    frame1 = (
+        _pb_varint(2, 1540582356)  # time_seen
+        + _pb_bytes(3, b"\x03www\x07example\x03com\x00")  # rrname
+        + _pb_varint(4, 1)  # rrtype = A
+        + _pb_bytes(7, bytes([192, 168, 216, 34]))  # rdata[0]
+        + _pb_bytes(7, bytes([10, 0, 0, 1]))  # rdata[1] (ignored by P6)
+    )
+    frame2 = (
+        _pb_varint(2, 1540582400)
+        + _pb_bytes(3, b"\x03foo\x03bar\x00")
+        + _pb_varint(4, 16)  # TXT
+        + _pb_bytes(7, b"hello txt")
+        + _pb_bytes(1, b"\x03foo\x03bar\x00")  # domain (carried, unused)
+        + _pb_varint(13, 2)  # type enum: skipped varint field
+    )
+    frames = spark.createDataFrame(
+        [(frame1,), (frame2,), (b"\xff\xff\xff",), (None,)], "frame binary"
+    )
+    decoded = decode_nmsg_container(frames)
+    rows = {r.rrname: r for r in decoded.collect()}
+    assert set(rows) == {"\x03www\x07example\x03com\x00", "\x03foo\x03bar\x00"}
+    assert rows["\x03www\x07example\x03com\x00"].rrtype == 1
+    assert rows["\x03www\x07example\x03com\x00"].rdata[0] == "\xc0\xa8\xd8\x22"
+
+    obs = {r.rrname: r for r in normalize(decoded, "s6").collect()}
+    assert obs["www.example.com"].rdata == "192.168.216.34"
+    assert obs["foo.bar"].rdata == "hello txt"
+    assert obs["foo.bar"].rrtype == "TXT"
