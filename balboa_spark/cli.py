@@ -1,0 +1,100 @@
+"""Command-line console: the balboa-backend-console + balboa query
+surface (backend/balboa-backend-console/main.c:96-135, cmd/balboa/cmds).
+
+    python -m balboa_spark.cli dump    <store> <out_dir>
+    python -m balboa_spark.cli jsonize <store> <out_dir>
+    python -m balboa_spark.cli replay  <store> <dump_dir>
+    python -m balboa_spark.cli backup  <store> <backup_dir>
+    python -m balboa_spark.cli query   <store> [--rrname --rdata
+            --rrtype --sensor-id --limit N]          # NDJSON to stdout
+    python -m balboa_spark.cli serve   <store> [--host --port]
+            # HTTP: GET /pdns/query/<subject> (CIRCL REST) +
+            #       POST /query (GraphQL-shape entries)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="balboa-spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name, hlp in (
+        ("dump", "full export of the forward table (Q5)"),
+        ("jsonize", "dump as NDJSON (Q7)"),
+        ("backup", "snapshot copy of the store (Q6)"),
+    ):
+        s = sub.add_parser(name, help=hlp)
+        s.add_argument("store")
+        s.add_argument("out")
+
+    s = sub.add_parser("replay", help="re-ingest a dump through merge (S6)")
+    s.add_argument("store")
+    s.add_argument("dump")
+
+    s = sub.add_parser("query", help="point lookup, NDJSON to stdout")
+    s.add_argument("store")
+    s.add_argument("--rrname")
+    s.add_argument("--rdata")
+    s.add_argument("--rrtype")
+    s.add_argument("--sensor-id", dest="sensor_id")
+    s.add_argument("--limit", type=int, default=1000)
+
+    s = sub.add_parser("serve", help="REST + query HTTP endpoints")
+    s.add_argument("store")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    return p
+
+
+def run(args: argparse.Namespace, spark=None) -> int:
+    from balboa_spark.plans.layout import ObservationStore
+
+    if spark is None:
+        from balboa_spark.session import get_spark
+
+        spark = get_spark("balboa-cli")
+    store = ObservationStore(spark, args.store)
+
+    if args.cmd == "dump":
+        store.dump(args.out)
+    elif args.cmd == "jsonize":
+        store.jsonize(args.out)
+    elif args.cmd == "backup":
+        store.backup(args.out)
+    elif args.cmd == "replay":
+        store.replay(args.dump)
+    elif args.cmd == "query":
+        from balboa_spark.operators.query import Query
+        from balboa_spark.serving import ndjson_rows, to_cof
+
+        q = Query(
+            rdata=args.rdata,
+            rrname=args.rrname,
+            rrtype=args.rrtype,
+            sensor_id=args.sensor_id,
+            limit=args.limit,
+        )
+        q.validate()
+        lines = ndjson_rows(to_cof(store.query(q)))
+        for line in lines:
+            print(line)
+        return 0 if lines else 1  # empty -> nonzero, the 404 analog
+    elif args.cmd == "serve":
+        from balboa_spark.serving import serve_http
+
+        srv = serve_http(store, args.host, args.port)
+        print(f"serving on http://{srv.server_address[0]}:{srv.server_address[1]}")
+        srv.serve_forever()
+    return 0
+
+
+def main(argv=None) -> int:
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -134,28 +134,37 @@ ORACLES: dict[str, str] = {
         f"rrname = '{RRNAME_SUBJECT}' AND rrtype = 'A' AND sensor_id = 'sensor7'"
     ),
     "entries_rdata": _entries_oracle(f"rdata = '{RDATA_SUBJECT}'"),
+    # per-entry limit binds BEFORE the same-rrname exclusion, like the
+    # reference's Search-then-filter (query/query_graphql.go:385-390)
     "aliases": with_agg_cte(
         f"""
-        SELECT e.rrname AS e_rrname, e.sensor_id AS e_sensor_id,
-               e.rdata AS e_rdata,
-               o.rrname, o.sensor_id, o.rrtype, o.rdata,
-               o.count, o.first_seen, o.last_seen
-        FROM (SELECT DISTINCT rrname, sensor_id, rdata FROM observations
-              WHERE rrname = '{RRNAME_SUBJECT}' AND rrtype IN ('A','AAAA')) e
-        JOIN observations o
-          ON o.rdata = e.rdata AND o.sensor_id = e.sensor_id
-         AND o.rrname <> e.rrname
+        SELECT e_rrname, e_sensor_id, e_rdata,
+               rrname, sensor_id, rrtype, rdata, count, first_seen, last_seen
+        FROM (
+          SELECT e.rrname AS e_rrname, e.sensor_id AS e_sensor_id,
+                 e.rdata AS e_rdata,
+                 o.rrname, o.sensor_id, o.rrtype, o.rdata,
+                 o.count, o.first_seen, o.last_seen,
+                 row_number() OVER (
+                   PARTITION BY e.rrname, e.sensor_id, e.rdata
+                   ORDER BY o.rrname, o.sensor_id, o.rrtype, o.rdata) AS rn
+          FROM (SELECT DISTINCT rrname, sensor_id, rdata FROM observations
+                WHERE rrname = '{RRNAME_SUBJECT}' AND rrtype IN ('A','AAAA')) e
+          JOIN observations o
+            ON o.rdata = e.rdata AND o.sensor_id = e.sensor_id
+        )
+        WHERE rn <= 1000 AND rrname <> e_rrname
         """
     ),
+    # limit is per search; the concatenation may return up to 2x limit
+    # (query/query_rest.go:58-69 — no global cap)
     "rest_dual_search": with_agg_cte(
         f"""
-        SELECT * FROM (
-          ({_AGG_SELECT} WHERE rrname = '{RRNAME_SUBJECT}'
-            ORDER BY rrname, sensor_id, rrtype, rdata LIMIT 2000)
-          UNION ALL
-          ({_AGG_SELECT} WHERE rdata = '{RRNAME_SUBJECT}'
-            ORDER BY rrname, sensor_id, rrtype, rdata LIMIT 2000)
-        ) LIMIT 2000
+        ({_AGG_SELECT} WHERE rrname = '{RRNAME_SUBJECT}'
+          ORDER BY rrname, sensor_id, rrtype, rdata LIMIT 2000)
+        UNION ALL
+        ({_AGG_SELECT} WHERE rdata = '{RRNAME_SUBJECT}'
+          ORDER BY rrname, sensor_id, rrtype, rdata LIMIT 2000)
         """
     ),
     "cidr_search": with_agg_cte(

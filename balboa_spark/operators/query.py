@@ -84,8 +84,14 @@ def aliases(entry_df: DataFrame, obs: DataFrame, per_entry_limit: int = DEFAULT_
     The reference issues one Search per entry (N+1); here it is a single
     join. The entry side of an interactive query is small -> broadcast
     it; Spark then streams the big observations table past an in-memory
-    hash map with zero shuffle. The per-alias limit becomes a windowed
-    row_number, preserving the reference's per-entry cap.
+    hash map with zero shuffle.
+
+    Limit fidelity: the reference applies the per-entry limit to the
+    SEARCH result (which still contains same-rrname rows) and excludes
+    the entry's own rrname afterwards (query/query_graphql.go:385-390),
+    so the cap binds pre-exclusion — reproduced here as a windowed
+    row_number over all (rdata, sensor_id) matches in canonical key
+    order (= the reference's scan order), then the exclusion filter.
 
     Output: entry key columns prefixed e_*, alias columns as-is.
     """
@@ -100,15 +106,13 @@ def aliases(entry_df: DataFrame, obs: DataFrame, per_entry_limit: int = DEFAULT_
     )
     joined = F.broadcast(e).join(
         obs,
-        (F.col("e_rdata") == obs["rdata"])
-        & (F.col("e_sensor_id") == obs["sensor_id"])
-        & (F.col("e_rrname") != obs["rrname"]),
+        (F.col("e_rdata") == obs["rdata"]) & (F.col("e_sensor_id") == obs["sensor_id"]),
         "inner",
     )
     w = Window.partitionBy("e_rrname", "e_sensor_id", "e_rdata").orderBy(*OBSERVATION_KEY)
     return (
         joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= per_entry_limit)
+        .filter((F.col("_rn") <= per_entry_limit) & (F.col("e_rrname") != F.col("rrname")))
         .drop("_rn")
     )
 
@@ -117,10 +121,12 @@ def rest_search(obs: DataFrame, subject: str, limit: int = DEFAULT_LIMIT) -> Dat
     """U2: CIRCL REST semantics — subject searched as rrname AND as
     rdata, results concatenated, duplicates preserved
     (query/query_rest.go:58-69; duplicate preservation documented at
-    README.md:291-293)."""
+    README.md:291-293). The limit applies PER SEARCH — the endpoint can
+    return up to 2x limit rows, exactly like the reference (no global
+    cap after the concatenation)."""
     r = entries(obs, Query(rrname=subject, limit=limit))
     d = entries(obs, Query(rdata=subject, limit=limit))
-    return r.unionAll(d).limit(limit)
+    return r.unionAll(d)
 
 
 def cidr_search(obs: DataFrame, cidr: str, limit: int = DEFAULT_LIMIT) -> DataFrame:

@@ -297,19 +297,21 @@ class ObservationStore:
         self.forward().orderBy(*OBSERVATION_KEY).write.mode("overwrite").parquet(out_path)
 
     def jsonize(self, out_path: str) -> None:
-        """Q7: dump as NDJSON (balboa-backend-console main.c:96-135).
-        Timestamps as unix seconds, matching the COF wire shape
-        (observation/observation.go:26-37)."""
+        """Q7: dump as NDJSON with the console's exact field names —
+        rrname/rrtype/sensor_id/rdata/count/first_seen/last_seen, times
+        as unix seconds (balboa-backend-console main.c:96-135,
+        dump_entry_as_json). The REST wire shape (time_first/time_last,
+        observation/observation.go:26-37) lives in serving.py."""
         (
             self.forward()
             .select(
                 "rrname",
                 "rrtype",
-                "rdata",
                 "sensor_id",
+                "rdata",
                 "count",
-                F.unix_timestamp("first_seen").alias("time_first"),
-                F.unix_timestamp("last_seen").alias("time_last"),
+                F.unix_timestamp("first_seen").alias("first_seen"),
+                F.unix_timestamp("last_seen").alias("last_seen"),
             )
             .write.mode("overwrite")
             .json(out_path)

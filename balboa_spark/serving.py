@@ -1,0 +1,128 @@
+"""Serving veneer: CIRCL-REST + GraphQL-shape query endpoints over an
+ObservationStore, plus the wire-format projection helpers.
+
+Reference endpoints:
+- ``GET /pdns/query/<subject>`` (query/query_rest.go:27-82): subject
+  searched as rrname AND as rdata (per-search limit, concatenated),
+  404 on empty, NDJSON — one observation object per line with
+  ``time_first``/``time_last`` unix seconds
+  (observation/observation.go:26-37).
+- ``POST /query`` with ``{rdata?, rrname?, rrtype?, sensor_id?,
+  limit?}``: the GraphQL resolver's argument surface
+  (query/query_graphql.go:233-247) without the GraphQL parse layer
+  (no graphql runtime in this engine — the resolver IS 4 nullable
+  equality predicates + a limit, which this endpoint exposes
+  directly). Response: ``{"data": {"entries": [...]}}``.
+
+The HTTP layer is stdlib http.server — a thin veneer; all query
+semantics live in operators/query.py.
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from balboa_spark.operators.query import DEFAULT_LIMIT, Query, rest_search
+from balboa_spark.plans.layout import ObservationStore
+
+
+def to_cof(df: DataFrame) -> DataFrame:
+    """Observation rows -> COF wire fields (time_first/time_last unix
+    seconds, observation/observation.go:26-37)."""
+    return df.select(
+        "count",
+        F.unix_timestamp("first_seen").alias("time_first"),
+        F.unix_timestamp("last_seen").alias("time_last"),
+        "rrtype",
+        "rrname",
+        "rdata",
+        "sensor_id",
+    )
+
+
+def rest_query_store(store: ObservationStore, subject: str, limit: int = DEFAULT_LIMIT):
+    """The REST handler's search core: subject as rrname against the
+    forward layout, as rdata against the inverted layout (each its own
+    bucket-pruned point lookup), concatenated with duplicates."""
+    r = store.query(Query(rrname=subject, limit=limit))
+    d = store.query(Query(rdata=subject, limit=limit))
+    return to_cof(r.unionAll(d))
+
+
+def ndjson_rows(df: DataFrame) -> list[str]:
+    return [json.dumps(r.asDict(), separators=(",", ":")) for r in df.collect()]
+
+
+def make_handler(store: ObservationStore):
+    """Build the request-handler class bound to one store."""
+
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; tests/daemons can override
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _write(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            url = urlparse(self.path)
+            prefix = "/pdns/query/"
+            if not url.path.startswith(prefix):
+                self._write(404, b"", "text/plain")
+                return
+            subject = unquote(url.path[len(prefix):])
+            limit = DEFAULT_LIMIT
+            qs = parse_qs(url.query)
+            if "limit" in qs:
+                try:
+                    limit = int(qs["limit"][0])
+                except ValueError:
+                    pass
+            lines = ndjson_rows(rest_query_store(store, subject, limit))
+            if not lines:
+                # 404-on-empty (query_rest.go:71-74)
+                self._write(404, b"", "text/plain")
+                return
+            body = ("\n".join(lines) + "\n").encode()
+            self._write(200, body, "application/x-ndjson")
+
+        def do_POST(self):  # noqa: N802
+            if urlparse(self.path).path != "/query":
+                self._write(404, b"", "text/plain")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                args = json.loads(self.rfile.read(n) or b"{}")
+                q = Query(
+                    rdata=args.get("rdata"),
+                    rrname=args.get("rrname"),
+                    rrtype=args.get("rrtype"),
+                    sensor_id=args.get("sensor_id"),
+                    limit=int(args.get("limit", DEFAULT_LIMIT)),
+                )
+                q.validate()
+            except (ValueError, json.JSONDecodeError) as ex:
+                # graphql-layer validation error (query_graphql.go:242-246)
+                body = json.dumps({"errors": [str(ex)]}).encode()
+                self._write(400, body, "application/json")
+                return
+            rows = [r.asDict() for r in to_cof(store.query(q)).collect()]
+            body = json.dumps({"data": {"entries": rows}}).encode()
+            self._write(200, body, "application/json")
+
+    return Handler
+
+
+def serve_http(store: ObservationStore, host: str = "127.0.0.1", port: int = 8080):
+    """Create (not start) the HTTP server; caller runs serve_forever()
+    or spins it in a thread. port=0 picks an ephemeral port."""
+    return ThreadingHTTPServer((host, port), make_handler(store))

@@ -28,6 +28,10 @@ FORMATS = {
     "nmsg_newdomain": (schemas.NMSG_NEWDOMAIN, nmsg.normalize),
 }
 
+# reference feeder-config vocabulary (feeder_config.go:123-147)
+FORMATS["packetbeat"] = FORMATS["packetbeat_dns"]
+FORMATS["nmsg"] = FORMATS["nmsg_newdomain"]
+
 
 def normalize_json_lines(
     lines: DataFrame, fmt: str, sensor_id=None, value_col: str = "value"

@@ -142,25 +142,55 @@ def route(df: DataFrame, routes: dict[str, Sequence[str]]) -> dict[str, DataFram
     return out
 
 
-def load_selector_yaml(cfg: dict, pattern_files: dict[str, Sequence[str]] | None = None) -> list[SelectorRule]:
-    """Build rules from a selectors.yaml-shaped dict
-    (selector/selector_engine.go:32-60; see selectors.yaml:1-16).
+def load_selector_yaml(
+    cfg: dict,
+    pattern_files: dict[str, Sequence[str]] | None = None,
+    scripts: dict[str, Callable] | None = None,
+) -> list[SelectorRule]:
+    """Build rules from the reference's selectors.yaml shape — a LIST of
+    rules with ``type``, ``mode``, ``regexp`` (list of pattern files),
+    ``tags`` and ``ingest`` (selector/selector_engine.go:32-60;
+    README.md:129-147).
 
     ``pattern_files`` maps filename -> list of regex lines, replacing
     the reference's one-regex-per-line file loading
-    (selector_regex.go:109-124).
+    (selector_regex.go:109-124). ``scripts`` maps a ``script`` name to
+    a Python callable for type "lua" rules (the X2 scriptable slot):
+    a callable taking a pd.Series of rrnames -> boolean Series.
     """
     rules = []
-    for name, spec in cfg.get("selectors", {}).items():
-        fname = spec.get("file")
-        patterns = (pattern_files or {}).get(fname, ())
-        rules.append(
-            SelectorRule(
-                name=name,
-                tags=tuple(spec.get("tags", ())),
-                mode=spec.get("mode", "select"),
-                patterns=tuple(patterns),
-                ingest=tuple(spec.get("ingest", ())),
+    for spec in cfg.get("selectors", ()):
+        name = spec["name"]
+        rtype = spec.get("type", "regex")
+        if rtype == "regex":
+            patterns: list[str] = []
+            for fname in spec.get("regexp", ()):
+                patterns.extend((pattern_files or {}).get(fname, ()))
+            rules.append(
+                SelectorRule(
+                    name=name,
+                    tags=tuple(spec.get("tags", ())),
+                    mode=spec.get("mode", "select"),
+                    patterns=tuple(patterns),
+                    ingest=tuple(spec.get("ingest", ())),
+                )
             )
-        )
+        elif rtype == "lua":
+            fn = (scripts or {}).get(spec.get("script", name))
+            if fn is None:
+                raise ValueError(
+                    f"rule {name}: type 'lua' needs a registered script "
+                    f"callable (scripts={sorted(scripts or {})})"
+                )
+            rules.append(
+                SelectorRule(
+                    name=name,
+                    tags=tuple(spec.get("tags", ())),
+                    mode="pandas",
+                    pandas_fn=fn,
+                    ingest=tuple(spec.get("ingest", ())),
+                )
+            )
+        else:
+            raise ValueError(f"rule {name}: unknown selector type {rtype!r}")
     return rules

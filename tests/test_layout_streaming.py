@@ -80,7 +80,8 @@ def test_dump_jsonize_replay_backup(spark, store, tmp_path):
     objs = [json.loads(l) for f in os.listdir(nd) if f.endswith(".json")
             for l in open(os.path.join(nd, f))]
     assert {o["rrname"] for o in objs} == {"foo", "bar", "baz"}
-    assert all(isinstance(o["time_first"], int) for o in objs)
+    # console field names + unix seconds (main.c dump_entry_as_json)
+    assert all(isinstance(o["first_seen"], int) for o in objs)
 
     # replay doubles counts (documented at-least-once caveat, T5)
     store.replay(dump)
@@ -188,3 +189,72 @@ def test_streaming_ingest_foreachbatch(spark, tmp_path):
     assert len(rows) == 3
     agg = {r.rdata: r["count"] for r in rows}
     assert agg["9.9.9.0"] == 2  # folded across two micro-batches
+
+
+def test_config_driven_serve(spark, tmp_path):
+    """feeders.yaml + selectors.yaml + backend.yaml -> routed stores
+    with per-route folds (balboa serve, README.md:152-175). The CS-like
+    rule tags .evil.com names; the tagged backend receives only those,
+    the tag-less default backend receives everything."""
+    import yaml
+
+    from balboa_spark.config import serve
+
+    land = tmp_path / "feeds" / "suri_input"
+    land.mkdir(parents=True)
+    evil = SURI % (1, 1)
+    lines = [
+        SURI % (0, 0),
+        evil.replace("stream.example.com", "bad.evil.com"),
+        SURI % (2, 2),
+    ]
+    (land / "b1.ndjson").write_text("\n".join(lines) + "\n")
+
+    feeders_cfg = yaml.safe_load(
+        f"""
+feeder:
+  - name: Suri Input
+    type: file
+    path: {land}
+    input_format: suricata_dns
+    sensor_id: sensorY
+"""
+    )
+    selectors_cfg = yaml.safe_load(
+        """
+selectors:
+  - name: evil watch
+    type: regex
+    mode: select
+    regexp: [evil.txt]
+    tags: [evil]
+"""
+    )
+    backends_cfg = yaml.safe_load(
+        """
+- name: evil sink
+  tags: [evil]
+- name: default backend
+"""
+    )
+    queries, stores = serve(
+        spark,
+        feeders_cfg,
+        backends_cfg,
+        selectors_cfg,
+        pattern_files={"evil.txt": [r"^.*\.evil\.com$"]},
+        data_root=str(tmp_path),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        num_buckets=2,
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+
+    assert stores["default backend"].forward().count() == 3
+    evil_rows = stores["evil sink"].forward().collect()
+    assert [r.rrname for r in evil_rows] == ["bad.evil.com"]
+    assert evil_rows[0].sensor_id == "sensorY"

@@ -123,21 +123,50 @@ def test_routing_partition_property(spark):
 
 
 def test_yaml_loader():
-    cfg = {
-        "selectors": {
-            "unwanted": {"file": "unwanted_regex.txt", "mode": "filter", "tags": ["filtered_tlds"]},
-            "cs": {
-                "file": "cobaltstrike_regex.txt",
-                "mode": "select",
-                "tags": ["possible_cobaltstrike"],
-                "ingest": ["filtered_tlds"],
-            },
-        }
-    }
+    """The reference's own selectors.yaml shape verbatim
+    (README.md:129-147): a list of rules with regexp file lists."""
+    import yaml
+
+    cfg = yaml.safe_load(
+        """
+selectors:
+  - name: Filter Unwanted TLDs
+    type: regex
+    mode: filter
+    regexp:
+      - unwanted_regex.txt
+    tags:
+      - filtered_tlds
+  - name: CobaltStrike Regex
+    type: regex
+    mode: select
+    regexp:
+      - cobaltstrike_regex.txt
+    ingest:
+      - filtered_tlds
+    tags:
+      - possible_cobaltstrike
+"""
+    )
     files = {
         "unwanted_regex.txt": [r"^.*[.]de$"],
         "cobaltstrike_regex.txt": [r"^.*[a-z]{3}[.]stage[.][0-9]+[.].*$"],
     }
     rules = load_selector_yaml(cfg, files)
-    assert {r.name for r in rules} == {"unwanted", "cs"}
-    assert next(r for r in rules if r.name == "cs").ingest == ("filtered_tlds",)
+    assert {r.name for r in rules} == {"Filter Unwanted TLDs", "CobaltStrike Regex"}
+    cs = next(r for r in rules if r.name == "CobaltStrike Regex")
+    assert cs.ingest == ("filtered_tlds",)
+    assert cs.mode == "select" and cs.patterns
+
+
+def test_yaml_loader_lua_slot(spark):
+    """type: lua binds a registered script callable (X2)."""
+    cfg = {
+        "selectors": [
+            {"name": "digits", "type": "lua", "script": "has_digit", "tags": ["digit"]}
+        ]
+    }
+    rules = load_selector_yaml(cfg, scripts={"has_digit": lambda s: s.str.contains(r"\d")})
+    df = obs(spark, "x1.de", "plain.de")
+    got = {r.rrname: sorted(r.tags) for r in compile_selectors(rules)(df).collect()}
+    assert got == {"x1.de": ["digit"], "plain.de": []}

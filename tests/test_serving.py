@@ -1,0 +1,121 @@
+"""Serving veneer: CLI console + HTTP endpoints (REST 404-on-empty,
+NDJSON; GraphQL-shape POST /query), mirroring the reference's frontend
+tests (query/query_rest_test.go:124-174, query_graphql_test.go:77-146):
+seed 3 observations, assert rrname hit, rdata hit (2 rows), miss.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from balboa_spark.operators.aggregate import aggregate
+from balboa_spark.plans.layout import ObservationStore
+
+from .test_layout_streaming import seed_obs
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = ObservationStore(spark, str(tmp_path / "store"), num_buckets=4)
+    s.write(aggregate(seed_obs(spark)))
+    return s
+
+
+@pytest.fixture()
+def server(store):
+    from balboa_spark.serving import serve_http
+
+    srv = serve_http(store, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_rest_endpoint(server):
+    # rdata hit: 1.2.3.4 -> foo + baz (2 NDJSON lines)
+    code, body = _get(f"{server}/pdns/query/1.2.3.4")
+    assert code == 200
+    objs = [json.loads(l) for l in body.strip().split("\n")]
+    assert sorted(o["rrname"] for o in objs) == ["baz", "foo"]
+    assert all(
+        set(o) == {"count", "time_first", "time_last", "rrtype", "rrname", "rdata", "sensor_id"}
+        for o in objs
+    )
+    assert all(isinstance(o["time_first"], int) for o in objs)
+
+    # rrname hit
+    code, body = _get(f"{server}/pdns/query/foo")
+    assert code == 200
+    assert json.loads(body.strip())["rdata"] == "1.2.3.4"
+
+    # miss -> 404 (query_rest.go:71-74); bad path -> 404 (:42-45)
+    assert _get(f"{server}/pdns/query/nonexistent")[0] == 404
+    assert _get(f"{server}/bad/path")[0] == 404
+
+    # limit is per search
+    code, body = _get(f"{server}/pdns/query/1.2.3.4?limit=1")
+    assert code == 200 and len(body.strip().split("\n")) == 1
+
+
+def test_graphql_shape_endpoint(server):
+    def post(payload):
+        req = urllib.request.Request(
+            f"{server}/query",
+            json.dumps(payload).encode(),
+            {"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read() or b"{}")
+
+    code, body = post({"rdata": "1.2.3.4"})
+    assert code == 200
+    assert sorted(e["rrname"] for e in body["data"]["entries"]) == ["baz", "foo"]
+
+    code, body = post({"rrname": "foo", "rrtype": "A"})
+    assert code == 200 and len(body["data"]["entries"]) == 1
+
+    # neither rdata nor rrname -> validation error (query_graphql.go:242-246)
+    code, body = post({"rrtype": "A"})
+    assert code == 400 and body["errors"]
+
+
+def test_cli_console(spark, store, tmp_path, capsys):
+    from balboa_spark.cli import build_parser, run
+
+    def cli(*argv):
+        return run(build_parser().parse_args(argv), spark=spark)
+
+    out = str(tmp_path / "dump")
+    assert cli("dump", store.path, out) == 0
+    assert spark.read.parquet(out).count() == 3
+
+    nd = str(tmp_path / "nd")
+    assert cli("jsonize", store.path, nd) == 0
+
+    assert cli("replay", store.path, out) == 0  # counts double (documented)
+    assert cli("query", store.path, "--rrname", "foo") == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().split("\n")]
+    assert lines[0]["count"] == 20  # 10 + replayed 10
+    assert cli("query", store.path, "--rrname", "nope") == 1  # 404 analog
+
+    bak = str(tmp_path / "bak")
+    assert cli("backup", store.path, bak) == 0
+    restored = ObservationStore(spark, bak)
+    assert restored.forward().count() == 3
