@@ -55,6 +55,12 @@ class FeederSpec:
     type: str = "file"
     sensor_id: str | None = None
     max_files_per_trigger: int | None = None
+    # transport options (reference feeders.yaml keys)
+    listen_host: str = "127.0.0.1"
+    listen_port: int = 0
+    socket_path: str | None = None  # unix socket ('path' in the reference)
+    bind_address: str | None = None  # nmsg_socket host:port
+    mtu: int = 1480
 
 
 @dataclass
@@ -97,9 +103,35 @@ def load_feeders(cfg: dict, data_root: str | None = None) -> list[FeederSpec]:
                 type=ftype,
                 sensor_id=spec.get("sensor_id"),
                 max_files_per_trigger=spec.get("max_files_per_trigger"),
+                listen_host=spec.get("listen_host", "127.0.0.1"),
+                listen_port=int(spec.get("listen_port", 0)),
+                socket_path=spec.get("socket_path"),
+                bind_address=spec.get("bind_address"),
+                mtu=int(spec.get("mtu", 1480)),
             )
         )
     return out
+
+
+def start_transport(f: FeederSpec):
+    """Start the live terminator for a feeder spec (S1/S3/S4); returns
+    the running feeder object (with .stop()) or None for plain file
+    landing dirs and AMQP (external consumer shovels into the dir)."""
+    from balboa_spark.streaming import transports
+
+    if f.type == "http":
+        t = transports.HTTPFeeder(f.path, f.listen_host, f.listen_port)
+    elif f.type == "socket":
+        if not f.socket_path:
+            raise ValueError(f"feeder {f.name}: socket feeders need socket_path")
+        t = transports.SocketLineFeeder(f.path, f.socket_path)
+    elif f.type == "nmsg_socket":
+        host, _, port = (f.bind_address or "127.0.0.1:0").rpartition(":")
+        t = transports.NmsgUdpFeeder(f.path, host or "127.0.0.1", int(port), f.mtu)
+    else:
+        return None
+    t.run()
+    return t
 
 
 def load_backends(cfg: list, data_root: str | None = None) -> list[BackendSpec]:
@@ -133,8 +165,9 @@ def serve(
     """Wire feeders -> selector engine -> tag-routed stores and start
     one streaming query per feeder (serve.go:131-150 restated).
 
-    Returns (queries, stores): the StreamingQuery handles and the
-    route-name -> ObservationStore map.
+    Returns (queries, stores, transports): the StreamingQuery handles,
+    the route-name -> ObservationStore map, and any started transport
+    terminators (callers stop() them on shutdown).
     """
     feeders = load_feeders(feeders_cfg, data_root)
     backends = load_backends(backends_cfg, data_root)
@@ -155,22 +188,32 @@ def serve(
     }
     routes = {b.name: list(b.tags) for b in backends}
 
-    queries = []
+    queries, running = [], []
     for f in feeders:
+        t = start_transport(f)
+        if t is not None:
+            running.append(t)
         ckpt = (
             os.path.join(checkpoint_root, _slug(f.name)) if checkpoint_root else None
         )
+        # nmsg over a live socket arrives as binary containers
+        fmt = "nmsg_wire" if (f.type == "nmsg_socket" and f.input_format == "nmsg") else f.input_format
+        from balboa_spark.streaming.ingest import SENSOR_PATH_RE
+
         queries.append(
             ingest_stream(
                 spark,
                 f.path,
-                f.input_format,
+                fmt,
                 stores=stores,
                 routes=routes,
                 selector=selector,
                 sensor_id=f.sensor_id,
                 checkpoint=ckpt,
                 max_files_per_trigger=f.max_files_per_trigger,
+                # transports attach per-request sensor ids via the
+                # landing layout; static file feeders use sensor_id
+                sensor_from_path=SENSOR_PATH_RE if f.type in ("http", "socket") else None,
             )
         )
-    return queries, stores
+    return queries, stores, running

@@ -89,6 +89,95 @@ def normalize(raw: DataFrame, sensor_id=None) -> DataFrame:
 
 # -- wire decode (no protobuf runtime needed) --------------------------------
 
+#: SIE vendor id accepted by the UDP feeder (feeder_nmsg_socket.go:64-68)
+SIE_VENDOR_ID = 2
+
+_NMSG_MAGIC = b"NMSG"
+_NMSG_FLAG_ZLIB = 0x01
+_NMSG_FLAG_FRAGMENT = 0x02
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = val = 0
+    while i < len(buf):
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+        if shift > 63:
+            break
+    raise ValueError("truncated varint")
+
+
+def parse_nmsg_container(buf: bytes) -> list[bytes]:
+    """Farsight NMSG container -> list of NewDomain message payloads.
+
+    Framing: magic 'NMSG', 1 byte flags, 1 byte version, 4-byte BE
+    payload length, then a protobuf Nmsg message (field 1 = repeated
+    NmsgPayload{vid=1, msgtype=2, time_sec=3, time_nsec=4, payload=5}).
+    Payloads with vendor id != 2 (SIE) are skipped, mirroring the UDP
+    feeder's filter (feeder_nmsg_socket.go:64-68). zlib-compressed
+    containers (flag 0x01) are inflated; fragmented containers (flag
+    0x02) are not reassembled here — a datagram-per-file landing dir
+    never fragments below the MTU the feeder advertises.
+    """
+    if len(buf) < 10 or buf[:4] != _NMSG_MAGIC:
+        raise ValueError("not an NMSG container")
+    flags = buf[4]
+    if flags & _NMSG_FLAG_FRAGMENT:
+        raise ValueError("fragmented NMSG container not supported")
+    length = int.from_bytes(buf[6:10], "big")
+    payload = buf[10 : 10 + length]
+    if flags & _NMSG_FLAG_ZLIB:
+        import zlib
+
+        payload = zlib.decompress(payload)
+    out: list[bytes] = []
+    i = 0
+    while i < len(payload):
+        tag, i = _read_varint(payload, i)
+        field, wt = tag >> 3, tag & 7
+        if wt == 2:
+            ln, i = _read_varint(payload, i)
+            data = payload[i : i + ln]
+            i += ln
+            if field != 1:
+                continue
+            # one NmsgPayload
+            j, vid, inner = 0, None, None
+            while j < len(data):
+                t2, j = _read_varint(data, j)
+                f2, w2 = t2 >> 3, t2 & 7
+                if w2 == 0:
+                    v, j = _read_varint(data, j)
+                    if f2 == 1:
+                        vid = v
+                elif w2 == 2:
+                    l2, j = _read_varint(data, j)
+                    if f2 == 5:
+                        inner = data[j : j + l2]
+                    j += l2
+                elif w2 == 5:
+                    j += 4
+                elif w2 == 1:
+                    j += 8
+                else:
+                    raise ValueError(f"unsupported wire type {w2}")
+            if vid == SIE_VENDOR_ID and inner is not None:
+                out.append(inner)
+        elif wt == 0:
+            _, i = _read_varint(payload, i)
+        elif wt == 5:
+            i += 4
+        elif wt == 1:
+            i += 8
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+    return out
+
+
 def parse_newdomain(buf: bytes) -> dict | None:
     """Decode one serialized NewDomain message
     (format/newdomain.pb.go:23-43). Returns None on malformed input
@@ -154,10 +243,12 @@ def parse_newdomain(buf: bytes) -> dict | None:
 
 
 def decode_nmsg_container(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
-    """Binary NewDomain frames -> NMSG_NEWDOMAIN rows, via an
-    Arrow-batched mapInPandas decoder. Malformed frames are dropped
-    (the reference returns an error per frame and continues,
-    format_nmsg.go:85-88)."""
+    """Binary frames -> NMSG_NEWDOMAIN rows, via an Arrow-batched
+    mapInPandas decoder. A frame is either a full NMSG container
+    (magic 'NMSG': datagram as received by the UDP feeder — unwrapped
+    with the SIE vendor filter) or a single serialized NewDomain
+    message. Malformed frames/messages are dropped (the reference
+    returns an error per frame and continues, format_nmsg.go:85-88)."""
     import pandas as pd
 
     from balboa_spark.schemas import NMSG_NEWDOMAIN
@@ -168,9 +259,18 @@ def decode_nmsg_container(frames: DataFrame, frame_col: str = "frame") -> DataFr
             for buf in pdf[frame_col]:
                 if buf is None:
                     continue
-                rec = parse_newdomain(bytes(buf))
-                if rec is not None:
-                    rows.append(rec)
+                buf = bytes(buf)
+                if buf[:4] == _NMSG_MAGIC:
+                    try:
+                        msgs = parse_nmsg_container(buf)
+                    except ValueError:
+                        continue
+                else:
+                    msgs = [buf]
+                for m in msgs:
+                    rec = parse_newdomain(m)
+                    if rec is not None:
+                        rows.append(rec)
             yield pd.DataFrame(
                 rows, columns=["domain", "time_seen", "rrname", "rrtype", "rdata"]
             )

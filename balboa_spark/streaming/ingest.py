@@ -37,6 +37,14 @@ from balboa_spark.sources.registry import normalize_json_lines
 from balboa_spark.streaming.selectors import route as route_fn
 
 
+#: file-path pattern recovering the transport-attached sensor id
+#: (HTTPFeeder lands bodies under sensor--<hex id>/ — deliberately NOT
+#: key=value form, which Spark would treat as a partition column and
+#: reject when the value is empty; hex survives URI re-encoding of
+#: input_file_name)
+SENSOR_PATH_RE = r"sensor--([0-9a-f]*)/"
+
+
 def ingest_stream(
     spark: SparkSession,
     input_path: str,
@@ -47,30 +55,80 @@ def ingest_stream(
     sensor_id=None,
     checkpoint: str | None = None,
     max_files_per_trigger: int | None = None,
+    sensor_from_path: str | None = None,
 ):
     """Start a streaming ingest job; returns the StreamingQuery.
 
     stores: route name -> ObservationStore. With routes=None a single
     route "default" receiving everything is assumed.
+
+    fmt "nmsg_wire" reads BINARY landing files (one NMSG container or
+    NewDomain frame per file, as dropped by NmsgUdpFeeder) through the
+    wire decoder; every other format reads text lines.
+
+    sensor_from_path: regex with one capture group applied to each
+    input file path (default pattern: the transports' sensor--<id>/
+    layout) — recovers the per-request X-Sensor-ID that the HTTP
+    feeder attached (feeder_http.go:49-50). Micro-batches are split by
+    distinct sensor (a handful of files per trigger), so normalizers
+    stay unchanged.
     """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
     if routes is None:
         routes = {name: [] for name in stores}
     unknown = set(routes) - set(stores)
     if unknown:
         raise ValueError(f"routes without stores: {sorted(unknown)}")
 
-    reader = spark.readStream.format("text")
+    binary = fmt == "nmsg_wire"
+    reader = spark.readStream.format("binaryFile" if binary else "text")
+    # transports land files under sensor--<id>/ subdirs; recurse and
+    # skip partition-column inference
+    reader = reader.option("recursiveFileLookup", "true")
+    if binary:
+        reader = reader.option("pathGlobFilter", "*.nmsg").schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     lines = reader.load(input_path)
 
+    def normalize(batch_df: DataFrame, sid) -> DataFrame:
+        if binary:
+            from balboa_spark.sources.nmsg import decode_nmsg_container
+            from balboa_spark.sources.nmsg import normalize as nmsg_normalize
+
+            frames = batch_df.select(F.col("content").alias("frame"))
+            return nmsg_normalize(decode_nmsg_container(frames), sensor_id=sid)
+        return normalize_json_lines(batch_df, fmt, sensor_id=sid)
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        obs = normalize_json_lines(batch_df, fmt, sensor_id=sensor_id)
+        pat = sensor_from_path
+        if pat is not None:
+            file_col = F.col("path") if binary else F.input_file_name()
+            files = [r["f"] for r in batch_df.select(file_col.alias("f")).distinct().collect()]
+            by_sensor: dict[str, list[str]] = {}
+            for f in files:
+                m = _re.search(pat, f)
+                sid = bytes.fromhex(m.group(1)).decode() if m else ""
+                by_sensor.setdefault(sid, []).append(f)
+            pieces = [
+                normalize(batch_df.filter(file_col.isin(fs)), sid)
+                for sid, fs in sorted(by_sensor.items())
+            ]
+            if not pieces:
+                return
+            obs = pieces[0]
+            for p in pieces[1:]:
+                obs = obs.unionByName(p)
+        else:
+            obs = normalize(batch_df, sensor_id)
         if selector is not None:
             obs = selector(obs)
         elif "tags" not in obs.columns:
-            from pyspark.sql import functions as F
-
             obs = obs.withColumn("tags", F.array().cast("array<string>"))
         obs = obs.localCheckpoint(eager=True)  # parse once, not once per route
         for name, tagged in route_fn(obs, routes).items():

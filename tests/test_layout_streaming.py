@@ -237,7 +237,7 @@ selectors:
 - name: default backend
 """
     )
-    queries, stores = serve(
+    queries, stores, _transports = serve(
         spark,
         feeders_cfg,
         backends_cfg,

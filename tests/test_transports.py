@@ -1,0 +1,204 @@
+"""S1/S3/S4 live transports + NMSG container framing, end-to-end:
+wire input -> terminator -> landing dir -> streaming ingest -> store.
+"""
+
+from __future__ import annotations
+
+import socket
+import urllib.request
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from balboa_spark.operators.aggregate import aggregate
+from balboa_spark.operators.query import Query
+from balboa_spark.plans.layout import ObservationStore
+from balboa_spark.sources.nmsg import (
+    SIE_VENDOR_ID,
+    parse_newdomain,
+    parse_nmsg_container,
+)
+
+from .test_layout_streaming import SURI, seed_obs
+from .test_sources import _pb_bytes, _pb_varint
+
+
+# -- container framing -------------------------------------------------------
+
+def _payload(vid: int, inner: bytes) -> bytes:
+    body = _pb_varint(1, vid) + _pb_varint(2, 5) + _pb_bytes(5, inner)
+    return _pb_bytes(1, body)
+
+
+def _container(*payloads: bytes, compress: bool = False) -> bytes:
+    body = b"".join(payloads)
+    flags = 0
+    if compress:
+        body = zlib.compress(body)
+        flags |= 0x01
+    return b"NMSG" + bytes([flags, 2]) + len(body).to_bytes(4, "big") + body
+
+
+NEWDOMAIN_FRAME = (
+    _pb_varint(2, 1540582356)
+    + _pb_bytes(3, b"\x03www\x07example\x03com\x00")
+    + _pb_varint(4, 1)
+    + _pb_bytes(7, bytes([192, 168, 216, 34]))
+)
+
+
+def test_container_unwrap_and_vendor_filter():
+    cont = _container(
+        _payload(SIE_VENDOR_ID, NEWDOMAIN_FRAME),
+        _payload(7, NEWDOMAIN_FRAME),  # non-SIE vendor -> dropped
+        _payload(SIE_VENDOR_ID, NEWDOMAIN_FRAME),
+    )
+    msgs = parse_nmsg_container(cont)
+    assert len(msgs) == 2
+    assert parse_newdomain(msgs[0])["rrtype"] == 1
+
+
+def test_container_zlib():
+    cont = _container(_payload(SIE_VENDOR_ID, NEWDOMAIN_FRAME), compress=True)
+    assert len(parse_nmsg_container(cont)) == 1
+
+
+def test_container_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_nmsg_container(b"not a container")
+
+
+# -- live transports ---------------------------------------------------------
+
+def _drain(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_http_feeder_e2e(spark, tmp_path):
+    """S1: POST bodies with X-Sensor-ID -> per-sensor observations
+    (feeder_http.go:49-79; header verbatim, empty when absent)."""
+    from balboa_spark.streaming.ingest import SENSOR_PATH_RE, ingest_stream
+    from balboa_spark.streaming.transports import HTTPFeeder
+
+    land = str(tmp_path / "land")
+    feeder = HTTPFeeder(land, port=0)
+    feeder.run()
+    host, port = feeder.address
+    try:
+        for sid, line_no in (("sensor-a", 0), ("sensor-b", 1), (None, 2)):
+            body = (SURI % (line_no, line_no) + "\n").encode()
+            req = urllib.request.Request(f"http://{host}:{port}/", body)
+            if sid is not None:
+                req.add_header("X-Sensor-ID", sid)
+            with urllib.request.urlopen(req) as r:
+                assert r.status == 200
+    finally:
+        feeder.stop()
+
+    store = ObservationStore(spark, str(tmp_path / "store"), num_buckets=2)
+    _drain(
+        ingest_stream(
+            spark,
+            land,
+            "suricata_dns",
+            stores={"default": store},
+            checkpoint=str(tmp_path / "ckpt"),
+            sensor_from_path=SENSOR_PATH_RE,
+        )
+    )
+    rows = store.query(Query(rrname="stream.example.com")).collect()
+    sensors = {r.rdata: r.sensor_id for r in rows}
+    assert sensors == {"9.9.9.0": "sensor-a", "9.9.9.1": "sensor-b", "9.9.9.2": ""}
+
+
+def test_socket_feeder_e2e(spark, tmp_path):
+    """S3: unix-socket lines -> observations with sensor [unknown]
+    (feeder_socket.go:28-73)."""
+    from balboa_spark.streaming.ingest import SENSOR_PATH_RE, ingest_stream
+    from balboa_spark.streaming.transports import SocketLineFeeder
+
+    land = str(tmp_path / "land")
+    sock_path = str(tmp_path / "feed.sock")
+    feeder = SocketLineFeeder(land, sock_path)
+    feeder.run()
+    try:
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(sock_path)
+        c.sendall((SURI % (0, 0) + "\n" + SURI % (1, 1) + "\n").encode())
+        c.close()
+        import time
+
+        for _ in range(50):  # wait for the handler to land the file
+            import os
+
+            if os.path.isdir(land) and any(
+                f for _r, _d, fs in os.walk(land) for f in fs if f.endswith(".ndjson")
+            ):
+                break
+            time.sleep(0.1)
+    finally:
+        feeder.stop()
+
+    store = ObservationStore(spark, str(tmp_path / "store"), num_buckets=2)
+    _drain(
+        ingest_stream(
+            spark,
+            land,
+            "suricata_dns",
+            stores={"default": store},
+            checkpoint=str(tmp_path / "ckpt"),
+            sensor_from_path=SENSOR_PATH_RE,
+        )
+    )
+    rows = store.query(Query(rrname="stream.example.com")).collect()
+    assert len(rows) == 2
+    assert all(r.sensor_id == "[unknown]" for r in rows)
+
+
+def test_nmsg_udp_feeder_e2e(spark, tmp_path):
+    """S4: NMSG containers over UDP -> wire decode -> observations;
+    non-SIE vendors filtered (feeder_nmsg_socket.go:46-72)."""
+    from balboa_spark.streaming.ingest import ingest_stream
+    from balboa_spark.streaming.transports import NmsgUdpFeeder
+
+    land = str(tmp_path / "land")
+    feeder = NmsgUdpFeeder(land, port=0)
+    feeder.run()
+    host, port = feeder.address
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.sendto(
+            _container(
+                _payload(SIE_VENDOR_ID, NEWDOMAIN_FRAME), _payload(9, NEWDOMAIN_FRAME)
+            ),
+            (host, port),
+        )
+        s.close()
+        import os
+        import time
+
+        for _ in range(50):
+            if os.path.isdir(land) and any(f.endswith(".nmsg") for f in os.listdir(land)):
+                break
+            time.sleep(0.1)
+    finally:
+        feeder.stop()
+
+    store = ObservationStore(spark, str(tmp_path / "store"), num_buckets=2)
+    _drain(
+        ingest_stream(
+            spark,
+            land,
+            "nmsg_wire",
+            stores={"default": store},
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+    )
+    rows = store.query(Query(rrname="www.example.com")).collect()
+    assert len(rows) == 1
+    assert rows[0].rdata == "192.168.216.34"  # vendor filter kept exactly one
+    assert rows[0]["count"] == 1
