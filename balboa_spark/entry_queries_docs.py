@@ -149,7 +149,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain ending in a ``pairs`` relation (used by the
+    pair oracle and the connected-components keep-set oracle)."""
     mh = ",\n         ".join(
         f"list_aggregate(list_transform(sh, s -> md5(concat('h{h}|', s))), 'min') AS mh{h}"
         for h in range(NUM_HASHES)
@@ -161,8 +163,7 @@ def _minhash_oracle() -> str:
             f"SELECT doc_id AS id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sigs"
         )
     bands = " UNION ALL ".join(band_exprs)
-    return f"""
-WITH {CORPUS_SQL},
+    return f"""{CORPUS_SQL},
 ctoks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
   FROM corpus
@@ -175,11 +176,50 @@ sigs AS (
          {mh}
   FROM shingled
 ),
-bands AS ({bands})
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM bands a JOIN bands b
-  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
-ORDER BY id_a, id_b
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_ctes()} SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"
+
+
+def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash pairs -> connected components ->
+    one representative (min id) per component + all unpaired docs.
+    The iterative min-label propagation is the genuinely non-SQL
+    engine path; the oracle checks it against a recursive-CTE
+    transitive closure."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, num_hashes=NUM_HASHES, num_bands=NUM_BANDS, k=SHINGLE_K
+    )
+    return dedup.near_dedup_keep(corpus, pairs).select("doc_id").orderBy("doc_id")
+
+
+DEDUP_NEAR_KEEP_ORACLE = f"""
+WITH RECURSIVE {_minhash_ctes()},
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (
+  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+)
+SELECT doc_id FROM corpus
+WHERE doc_id IN (SELECT id FROM comp WHERE id = comp)
+   OR doc_id NOT IN (SELECT id FROM comp)
+ORDER BY doc_id
 """
 
 
@@ -210,6 +250,75 @@ SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sh, b.sh)) AS hamming
 FROM sh a JOIN sh b ON a.id < b.id
 WHERE bit_count(xor(a.sh, b.sh)) <= 3
 ORDER BY id_a, id_b
+"""
+
+
+PIPELINE_QUALITY_T = 0.55
+
+
+def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: near-dedup (MinHash pairs
+    -> connected components -> keep representatives) THEN quality
+    filter THEN token accounting — one DataFrame flow, the way the
+    operators are meant to stack in production."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, num_hashes=NUM_HASHES, num_bands=NUM_BANDS, k=SHINGLE_K
+    )
+    kept = dedup.near_dedup_keep(corpus, pairs)
+    prof = text.text_profile(kept)
+    return (
+        prof.filter(F.col("quality") >= PIPELINE_QUALITY_T)
+        .select("doc_id", "n_tokens", "n_bpe_tokens", "quality")
+        .orderBy("doc_id")
+    )
+
+
+PIPELINE_CLEAN_ORACLE = f"""
+WITH RECURSIVE {{minhash_ctes}},
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+kept AS (
+  SELECT doc_id, text FROM corpus
+  WHERE doc_id IN (SELECT id FROM comp WHERE id = comp)
+     OR doc_id NOT IN (SELECT id FROM comp)
+),
+ktoks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM kept
+),
+scored AS (
+  SELECT doc_id, text, tk, len(tk) AS n,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         length(text) AS n_chars,
+         len(list_filter(tk, t -> list_contains({{all_sw}}, t))) AS n_sw,
+         len(list_distinct(tk)) AS n_distinct
+  FROM ktoks
+)
+SELECT doc_id, n AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS n_bpe_tokens,
+       CASE WHEN n > 0 THEN round(
+           0.25 * least(1.0, n / 64.0)
+         + 0.25 * (1.0 - n_punct / greatest(n_chars, 1.0))
+         + 0.25 * least(1.0, 4.0 * n_sw / greatest(n, 1.0))
+         + 0.25 * (n_distinct / CAST(n AS DOUBLE)), 4) ELSE 0.0 END AS quality
+FROM scored
+WHERE CASE WHEN n > 0 THEN round(
+           0.25 * least(1.0, n / 64.0)
+         + 0.25 * (1.0 - n_punct / greatest(n_chars, 1.0))
+         + 0.25 * least(1.0, 4.0 * n_sw / greatest(n, 1.0))
+         + 0.25 * (n_distinct / CAST(n AS DOUBLE)), 4) ELSE 0.0 END >= {PIPELINE_QUALITY_T}
+ORDER BY doc_id
 """
 
 
@@ -353,8 +462,10 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_near_keep": q_dedup_near_keep,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
+    "pipeline_clean": q_pipeline_clean,
     "embedding_topk": q_embedding_topk,
     "embedding_cosine_pairs": q_embedding_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -365,6 +476,10 @@ ORACLES_DOCS: dict[str, str] = {
     "text_profile": TEXT_PROFILE_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_near_keep": DEDUP_NEAR_KEEP_ORACLE,
+    "pipeline_clean": PIPELINE_CLEAN_ORACLE.format(
+        minhash_ctes=_minhash_ctes(), all_sw=_all_sw_sql()
+    ),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": JACCARD_ORACLE,
     "embedding_topk": EMBEDDING_TOPK_ORACLE,

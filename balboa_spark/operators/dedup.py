@@ -234,6 +234,84 @@ def simhash_pairs(
     )
 
 
+# -- connected components / keep-set ----------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component) for every id appearing in the pair list, where
+    component = min id reachable through the near-dup relation — the
+    step that turns candidate PAIRS into deduplicatable GROUPS.
+
+    Algorithm: min-label propagation (the simplified alternating
+    large-star pattern). Each round every node takes the min of its own
+    label and its neighbors' labels; rounds = graph diameter, which for
+    near-dup clusters is tiny (dup groups are cliques or near-cliques
+    from banding, so 2-4 rounds converge). Each round is one shuffle on
+    id; lineage is cut per round with localCheckpoint so the plan does
+    not grow with iterations. Convergence is detected by counting
+    changed labels (an AQE-sized aggregation, not a collect of data).
+
+    At 100 TB this is the standard distributed CC shape; for adversarial
+    long-chain graphs swap in full large-star/small-star (same building
+    blocks, alternation bounds rounds at log^2 n).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("nmin") < F.col("comp")).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dedup: given the corpus and a near-dup pair list
+    (from MinHash/SimHash/Jaccard), keep one representative (min id)
+    per connected component plus every unpaired document. This is the
+    keep-set a training-data pipeline actually applies."""
+    comp = connected_components(pairs)
+    keep = comp.filter(F.col("id") == F.col("comp")).select(F.col("id").alias(id_col))
+    unpaired = df.select(id_col).join(
+        comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    return df.join(keep.unionByName(unpaired), id_col, "left_semi")
+
+
 # -- n-gram Jaccard ---------------------------------------------------------
 
 def ngram_jaccard_pairs(

@@ -58,6 +58,46 @@ def test_jaccard_exact_values(spark):
     assert out == {(1, 2): 0.6}
 
 
+def test_vector_store_partition_pruned_topk(spark, emb, tmp_path):
+    """Persisted IVF layout: query must (a) partition-prune the index
+    to its probe codes and (b) return the same top-k as the on-the-fly
+    LSH path (whose candidate union provably covers the true top-k on
+    this workload)."""
+    from balboa_spark.operators.vector_store import VectorStore
+
+    vs = VectorStore(spark, str(tmp_path / "vs"))
+    vs.write(emb, dim=64)
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+
+    plan = (
+        vs.candidates(qvec)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "code" in plan
+
+    got = [(r.vec_id, r.cos) for r in vs.topk(qvec, k=10).collect()]
+    brute = [(r.vec_id, r.cos) for r in similarity.topk_brute(emb, qvec, k=10).collect()]
+    assert got == brute
+
+
+def test_connected_components_chain(spark):
+    """A 5-node chain (needs multiple propagation rounds), a 2-clique,
+    and an isolated pair: every node must get the component min."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_near_dedup_keep(spark):
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x y z"), (7, "solo doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in dedup.near_dedup_keep(df, pairs).collect())
+    assert kept == [1, 3, 7]  # 2 deduped against 1; unpaired docs kept
+
+
 def test_ann_recall_vs_brute(spark, emb):
     """Recall >= 0.9 per query on the hardest case (near-uniform
     embeddings, top-neighbor cosine ~0.37). Deterministic: planes are
