@@ -115,11 +115,24 @@ def main() -> None:
         docs = spark.table("documents").select("doc_id", "text")
         dedup.minhash_lsh_pairs(docs).write.mode("overwrite").format("noop").save()
 
+    @timed("dedup_near_keep")
+    def _():
+        # pairs -> connected components -> keep-set: the full dedup stage
+        docs = spark.table("documents").select("doc_id", "text")
+        pairs = dedup.minhash_lsh_pairs(docs)
+        dedup.near_dedup_keep(docs, pairs).write.mode("overwrite").format("noop").save()
+
     @timed("embedding_topk")
     def _():
         emb = spark.table("embeddings")
         qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
         similarity.topk_brute(emb, qvec, k=20).collect()
+
+    @timed("ann_lsh_topk")
+    def _():
+        emb = spark.table("embeddings")
+        qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        similarity.lsh_bucketed_topk(emb, qvec, k=20).collect()
 
     shutil.rmtree(tmp, ignore_errors=True)
 
