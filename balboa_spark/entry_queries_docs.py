@@ -458,6 +458,26 @@ FROM media GROUP BY media_type ORDER BY media_type
 """
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by payload digest. The payload is binary in
+    the engine; the oracle hashes the identical utf-8 bytes as text
+    (DuckDB's md5 is VARCHAR-only — same digest either way)."""
+    from balboa_spark.operators.multimodal import media_dedup_groups
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    media = t["documents"].select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return media_dedup_groups(media)
+
+
+MEDIA_DEDUP_ORACLE = """
+SELECT md5(text) AS digest, count(*) AS n_assets, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,
     "dedup_exact": q_dedup_exact,
@@ -470,6 +490,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_pairs": q_embedding_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "media_stats": q_media_stats,
+    "media_dedup": q_media_dedup,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -489,4 +510,5 @@ ORACLES_DOCS: dict[str, str] = {
     # brute-force top-k SQL a valid, hash-checkable oracle.
     "ann_lsh_topk": EMBEDDING_TOPK_ORACLE,
     "media_stats": MEDIA_STATS_ORACLE,
+    "media_dedup": MEDIA_DEDUP_ORACLE,
 }

@@ -288,7 +288,42 @@ GROUP BY user_id, session_id
 """
 
 
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup with Spark's window() — the batch twin of
+    the Structured Streaming windowed aggregation (same expression works
+    on a stream with a watermark; SURVEY §2.9 T3 extension)."""
+    load_tables(spark, sf_dir, names=("events",))
+    events = spark.table("events")
+    w = F.window("ts", "1 hour")
+    return (
+        events.groupBy(w, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_tumbling": q_events_tumbling,
     "agg_incremental": q_agg_incremental,
     "explode_normalize": q_explode_normalize,
     "tag_routing_counts": q_tag_routing_counts,
@@ -301,6 +336,7 @@ QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_EXTRA: dict[str, str] = {
+    "events_tumbling": TUMBLING_ORACLE,
     "agg_incremental": AGG_INCREMENTAL_ORACLE,
     "explode_normalize": EXPLODE_ORACLE,
     "tag_routing_counts": TAG_ROUTING_ORACLE,

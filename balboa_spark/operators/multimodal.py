@@ -108,6 +108,19 @@ def sample_frames(df: DataFrame, every_ms: int) -> DataFrame:
     raise NotImplementedError("video codecs not installed in this container")
 
 
+def media_dedup_groups(df: DataFrame) -> DataFrame:
+    """Exact media dedup: group identical payloads by md5 digest —
+    (digest, n_assets, keep_id). Same shuffle shape as text
+    exact-dedup: one groupBy on a uniform 16-byte key, skew-free; the
+    payload column itself never shuffles (only its digest does), which
+    is what makes this viable when payloads are megabytes."""
+    return (
+        df.select(F.col("asset_id"), F.md5(F.col("payload")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_assets"), F.min("asset_id").alias("keep_id"))
+    )
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Pure-SQL metadata profile (no decode): per media_type count,
     payload bytes, avg dimensions — the query a catalog runs constantly;

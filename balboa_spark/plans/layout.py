@@ -290,6 +290,29 @@ class ObservationStore:
             df = df.filter(F.col("sensor_id") == q.sensor_id)
         return df.drop("bucket").orderBy(*OBSERVATION_KEY).limit(q.limit)
 
+    # -- derived signals ----------------------------------------------------
+
+    def new_entries(self, batch: DataFrame) -> DataFrame:
+        """Batch keys not yet present in the store — full-key novelty.
+        Call BEFORE merge() to get the per-batch alert set."""
+        keys = batch.select(*OBSERVATION_KEY).distinct()
+        return keys.join(
+            self.forward().select(*OBSERVATION_KEY), list(OBSERVATION_KEY), "left_anti"
+        )
+
+    def new_rrnames(self, batch: DataFrame) -> DataFrame:
+        """rrnames never observed before — the NewDomain signal the
+        reference ingests pre-computed from SIE (newdomain.pb.go
+        new_rrname); here derived against our own history as an
+        anti-join of the batch's distinct rrnames (small side) against
+        the forward layout. State lives in the table, not in stream
+        memory — the T2 principle applied to novelty detection."""
+        return (
+            batch.select("rrname")
+            .distinct()
+            .join(self.forward().select("rrname").distinct(), "rrname", "left_anti")
+        )
+
     # -- maintenance jobs (Q5-Q7, S6) --------------------------------------
 
     def dump(self, out_path: str) -> None:

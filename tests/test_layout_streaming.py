@@ -94,6 +94,22 @@ def test_dump_jsonize_replay_backup(spark, store, tmp_path):
     assert restored.query(Query(rrname="foo")).count() == 1
 
 
+def test_new_domain_detection(spark, store):
+    """new_rrnames/new_entries: batch novelty vs the stored history."""
+    ts2 = dt.datetime(2021, 6, 1)
+    batch = spark.createDataFrame(
+        [
+            (1, "NOERROR", "9.9.9.9", "A", "brandnew.example", "abc", ts2, ts2, []),
+            (1, "NOERROR", "1.2.3.4", "A", "foo", "abc", ts2, ts2, []),  # known
+            (1, "NOERROR", "5.5.5.5", "A", "foo", "abc", ts2, ts2, []),  # new rdata, old name
+        ],
+        seed_obs(spark).schema,
+    )
+    assert [r.rrname for r in store.new_rrnames(batch).collect()] == ["brandnew.example"]
+    new_keys = {(r.rrname, r.rdata) for r in store.new_entries(batch).collect()}
+    assert new_keys == {("brandnew.example", "9.9.9.9"), ("foo", "5.5.5.5")}
+
+
 def test_epoch_idempotent_merge(spark, store):
     """T5: replaying a micro-batch epoch is a no-op — the manifest's
     last_epoch gate flips atomically with the data generation."""

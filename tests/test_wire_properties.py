@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the pure-Python wire codecs:
+encode/decode roundtrips for the NewDomain message and NMSG container,
+and the CIDR/IP scalar helpers against the stdlib model.
+
+These run without Spark (fast, many examples) — the Spark-side uses of
+the same parsers are covered by the e2e tests.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from balboa_spark.functions.net import cidr_to_range
+from balboa_spark.sources.nmsg import (
+    SIE_VENDOR_ID,
+    parse_newdomain,
+    parse_nmsg_container,
+)
+
+
+def pb_bytes(field: int, data: bytes) -> bytes:
+    out = bytearray([field << 3 | 2])
+    ln = len(data)
+    while True:
+        b = ln & 0x7F
+        ln >>= 7
+        out.append(b | (0x80 if ln else 0))
+        if not ln:
+            return bytes(out) + data
+
+
+def pb_varint(field: int, val: int) -> bytes:
+    out = bytearray([field << 3])
+    while True:
+        b = val & 0x7F
+        val >>= 7
+        out.append(b | (0x80 if val else 0))
+        if not val:
+            return bytes(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rrname=st.binary(min_size=1, max_size=64),
+    rrtype=st.integers(min_value=0, max_value=65535),
+    time_seen=st.integers(min_value=0, max_value=2**32 - 1),
+    rdata=st.lists(st.binary(max_size=32), max_size=5),
+)
+def test_newdomain_roundtrip(rrname, rrtype, time_seen, rdata):
+    buf = (
+        pb_varint(2, time_seen)
+        + pb_bytes(3, rrname)
+        + pb_varint(4, rrtype)
+        + b"".join(pb_bytes(7, r) for r in rdata)
+    )
+    rec = parse_newdomain(buf)
+    assert rec is not None
+    assert rec["rrname"].encode("latin-1") == rrname
+    assert rec["rrtype"] == rrtype
+    assert rec["time_seen"] == time_seen
+    assert [r.encode("latin-1") for r in rec["rdata"]] == rdata
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(max_size=64))
+def test_newdomain_never_crashes(data):
+    # arbitrary bytes: decode returns a record or None, never raises
+    parse_newdomain(data)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    payloads=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10), st.binary(max_size=48)),
+        max_size=6,
+    ),
+    compress=st.booleans(),
+)
+def test_container_roundtrip(payloads, compress):
+    import zlib
+
+    body = b"".join(
+        pb_bytes(1, pb_varint(1, vid) + pb_varint(2, 5) + pb_bytes(5, inner))
+        for vid, inner in payloads
+    )
+    flags = 0
+    if compress:
+        body = zlib.compress(body)
+        flags |= 0x01
+    cont = b"NMSG" + bytes([flags, 2]) + len(body).to_bytes(4, "big") + body
+    got = parse_nmsg_container(cont)
+    want = [inner for vid, inner in payloads if vid == SIE_VENDOR_ID]
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ip=st.integers(min_value=0, max_value=2**32 - 1),
+    prefix=st.integers(min_value=0, max_value=32),
+)
+def test_cidr_range_matches_stdlib(ip, prefix):
+    cidr = f"{ipaddress.ip_address(ip)}/{prefix}"
+    lo, hi = cidr_to_range(cidr)
+    net = ipaddress.ip_network(cidr, strict=False)
+    want_lo, want_hi = int(net.network_address), int(net.broadcast_address)
+    if net.prefixlen < 31:  # network/broadcast dropped (query.go:52-55)
+        want_lo, want_hi = want_lo + 1, want_hi - 1
+    assert (lo, hi) == (want_lo, want_hi)
