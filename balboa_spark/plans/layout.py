@@ -290,6 +290,33 @@ class ObservationStore:
             df = df.filter(F.col("sensor_id") == q.sensor_id)
         return df.drop("bucket").orderBy(*OBSERVATION_KEY).limit(q.limit)
 
+    def query_many(self, subjects, by: str = "rdata") -> DataFrame:
+        """Batch point lookups — the engine-native form of the
+        reference's bench workload (10,000 serial rdata queries,
+        cmd/balboa/cmds/bench.go:52-101) as ONE job: the subject list
+        becomes a broadcast semi-join against the matching layout, and
+        the scan is pruned to the union of the subjects' hash buckets
+        (len(subjects) buckets at most, usually far fewer than the
+        table's). At 4096 buckets / 100 TB this reads only the touched
+        ~N/4096 slices instead of the full table."""
+        if by not in ("rdata", "rrname"):
+            raise ValueError("by must be 'rdata' or 'rrname'")
+        layout = "by_rdata" if by == "rdata" else "by_rrname"
+        base = self._layout_or_empty(layout)
+        subjects = list(set(subjects))
+        subj_df = self.spark.createDataFrame([(s,) for s in subjects], f"{by} string")
+        # bucket ids via Spark's own hash (a driver-side Python hash
+        # would disagree with the layout's partitioning expression)
+        bucket_ids = [
+            r["bucket"]
+            for r in subj_df.select(_bucket(by, self.num_buckets)).distinct().collect()
+        ]
+        return (
+            base.filter(F.col("bucket").isin(bucket_ids))
+            .join(F.broadcast(subj_df), by)
+            .drop("bucket")
+        )
+
     # -- derived signals ----------------------------------------------------
 
     def new_entries(self, batch: DataFrame) -> DataFrame:

@@ -70,7 +70,7 @@ def main() -> None:
     @timed("lookup_storm")
     def _():
         # 10,000 random-IPv4 subjects (seeded, driver-side) -> one
-        # broadcast semi-join against the inverted layout
+        # bucket-pruned broadcast semi-join via the store API
         import random
 
         rnd = random.Random(42)
@@ -78,9 +78,7 @@ def main() -> None:
             f"10.{rnd.randrange(5)}.{rnd.randrange(25)}.{rnd.randrange(13)}"
             for _ in range(10000)
         ]
-        subj_df = spark.createDataFrame([(s,) for s in subjects], "rdata string")
-        hits = store.inverted().join(F.broadcast(subj_df.distinct()), "rdata")
-        hits.write.mode("overwrite").format("noop").save()
+        store.query_many(subjects, by="rdata").write.mode("overwrite").format("noop").save()
 
     @timed("merge_batch")
     def _():

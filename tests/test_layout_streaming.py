@@ -94,6 +94,14 @@ def test_dump_jsonize_replay_backup(spark, store, tmp_path):
     assert restored.query(Query(rrname="foo")).count() == 1
 
 
+def test_query_many(spark, store):
+    """Batch point lookups: same rows as per-subject queries, one job."""
+    got = store.query_many(["1.2.3.4", "1.2.3.5", "absent"], by="rdata").collect()
+    assert sorted(r.rrname for r in got) == ["bar", "baz", "foo"]
+    byname = store.query_many(["foo", "nope"], by="rrname").collect()
+    assert [r.rrname for r in byname] == ["foo"]
+
+
 def test_new_domain_detection(spark, store):
     """new_rrnames/new_entries: batch novelty vs the stored history."""
     ts2 = dt.datetime(2021, 6, 1)
