@@ -66,6 +66,31 @@ from balboa_spark.schemas import INVERTED_KEY, OBSERVATION_KEY
 
 MANIFEST = "manifest.json"
 
+
+class MultiStore:
+    """U1: the multi-backend composition (db/db_remote.go:133-202) —
+    a query fans out to every member store and the results are
+    concatenated WITH duplicates (documented behavior,
+    README.md:291-293). Each member's scan is independently
+    bucket-pruned; the per-backend limit applies per member, so the
+    union can return up to len(stores) x limit rows, exactly like the
+    reference's sequential backend loop."""
+
+    def __init__(self, stores):
+        if not stores:
+            raise ValueError("MultiStore needs at least one store")
+        self.stores = list(stores)
+
+    def query(self, q) -> DataFrame:
+        out = self.stores[0].query(q)
+        for s in self.stores[1:]:
+            out = out.unionAll(s.query(q))
+        return out
+
+    def total_count(self) -> int:
+        return sum(s.forward().count() for s in self.stores)
+
+
 _LAYOUTS = {
     "by_rrname": ("rrname", OBSERVATION_KEY),
     "by_rdata": ("rdata", INVERTED_KEY),

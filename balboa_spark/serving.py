@@ -45,6 +45,22 @@ def to_cof(df: DataFrame) -> DataFrame:
     )
 
 
+def to_cof_aliases(df: DataFrame) -> DataFrame:
+    """Alias-join rows -> COF alias fields, entry key preserved."""
+    return df.select(
+        "e_rrname",
+        "e_sensor_id",
+        "e_rdata",
+        "count",
+        F.unix_timestamp("first_seen").alias("time_first"),
+        F.unix_timestamp("last_seen").alias("time_last"),
+        "rrtype",
+        "rrname",
+        "rdata",
+        "sensor_id",
+    )
+
+
 def rest_query_store(store: ObservationStore, subject: str, limit: int = DEFAULT_LIMIT):
     """The REST handler's search core: subject as rrname against the
     forward layout, as rdata against the inverted layout (each its own
@@ -110,12 +126,31 @@ def make_handler(store: ObservationStore):
                     limit=int(args.get("limit", DEFAULT_LIMIT)),
                 )
                 q.validate()
+                with_aliases = bool(args.get("aliases", False))
+                alias_limit = int(args.get("alias_limit", DEFAULT_LIMIT))
             except (ValueError, json.JSONDecodeError) as ex:
                 # graphql-layer validation error (query_graphql.go:242-246)
                 body = json.dumps({"errors": [str(ex)]}).encode()
                 self._write(400, body, "application/json")
                 return
-            rows = [r.asDict() for r in to_cof(store.query(q)).collect()]
+            result = store.query(q)
+            rows = [r.asDict() for r in to_cof(result).collect()]
+            if with_aliases:
+                # the GraphQL 'aliases' field (query_graphql.go:380-398):
+                # one join for the whole result set, not N+1 searches
+                from balboa_spark.operators.query import aliases as aliases_op
+
+                alias_rows = to_cof_aliases(
+                    aliases_op(result, store.forward(), per_entry_limit=alias_limit)
+                ).collect()
+                by_entry: dict[tuple, list] = {}
+                for a in alias_rows:
+                    d = a.asDict()
+                    key = (d.pop("e_rrname"), d.pop("e_sensor_id"), d.pop("e_rdata"))
+                    by_entry.setdefault(key, []).append(d)
+                for row in rows:
+                    key = (row["rrname"], row["sensor_id"], row["rdata"])
+                    row["aliases"] = by_entry.get(key, []) if row["rrtype"] in ("A", "AAAA") else None
             body = json.dumps({"data": {"entries": rows}}).encode()
             self._write(200, body, "application/json")
 

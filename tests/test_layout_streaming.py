@@ -94,6 +94,18 @@ def test_dump_jsonize_replay_backup(spark, store, tmp_path):
     assert restored.query(Query(rrname="foo")).count() == 1
 
 
+def test_multi_store_union_keeps_duplicates(spark, store, tmp_path):
+    """U1: fan-out concatenates per-store results WITH duplicates."""
+    from balboa_spark.plans.layout import MultiStore
+
+    other = ObservationStore(spark, str(tmp_path / "other"), num_buckets=4)
+    other.write(aggregate(seed_obs(spark)))  # identical content
+    multi = MultiStore([store, other])
+    rows = multi.query(Query(rdata="1.2.3.4")).collect()
+    assert sorted(r.rrname for r in rows) == ["baz", "baz", "foo", "foo"]
+    assert multi.total_count() == 6
+
+
 def test_query_many(spark, store):
     """Batch point lookups: same rows as per-subject queries, one job."""
     got = store.query_many(["1.2.3.4", "1.2.3.5", "absent"], by="rdata").collect()

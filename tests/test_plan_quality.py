@@ -1,0 +1,89 @@
+"""Plan-shape regression guards for the round-1 scale defects: these
+assert properties of the OPTIMIZED/physical plans, not results, so a
+refactor that silently reintroduces a corpus broadcast or expression
+blow-up fails fast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from balboa_spark.operators import dedup
+
+
+def _corpus(spark, n=50):
+    rows = [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} common words here") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_no_expression_explosion(spark):
+    """The optimized plan must hold exactly num_hashes array_min nodes
+    (round 1 had 4x that: the signature subtree was re-inlined per
+    band slot) and tokenize each side once."""
+    plan = (
+        dedup.minhash_lsh_pairs(_corpus(spark), num_hashes=16, num_bands=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("array_min") == 16, f"got {plan.count('array_min')} array_min nodes"
+
+
+def test_dedup_plans_have_no_corpus_broadcast(spark):
+    """No corpus-derived relation may be broadcast (round-1 OOM hazard:
+    keep-sets, shingle vocabularies, per-doc size tables). Small-data
+    AQE broadcasts chosen at runtime are fine — this checks there is no
+    *hint-forced* broadcast in the analyzed plan."""
+    corpus = _corpus(spark)
+    for df in (
+        dedup.exact_dedup(corpus),
+        dedup.ngram_jaccard_pairs(corpus, threshold=0.1),
+        dedup.minhash_lsh_pairs(corpus),
+        dedup.simhash_pairs(corpus),
+    ):
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, analyzed[:500]
+
+
+def test_entries_pushdown_reaches_parquet(spark, tmp_path):
+    """Point query: partition filter on bucket AND Parquet PushedFilters
+    on the driving predicate — the columnar prefix-seek."""
+    import datetime as dt
+
+    from balboa_spark.operators.aggregate import aggregate
+    from balboa_spark.operators.query import Query
+    from balboa_spark.plans.layout import ObservationStore
+
+    ts = dt.datetime(2020, 1, 1)
+    obs = spark.createDataFrame(
+        [(1, "NOERROR", "1.2.3.4", "A", "x.example", "s", ts, ts, [])],
+        "count long, rcode string, rdata string, rrtype string, rrname string,"
+        " sensor_id string, ts_start timestamp, ts_end timestamp, tags array<string>",
+    )
+    store = ObservationStore(spark, str(tmp_path / "s"), num_buckets=4)
+    store.write(aggregate(obs))
+    plan = (
+        store.query(Query(rrname="x.example"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "PushedFilters" in plan and "EqualTo(rrname,x.example)" in plan
+
+
+def test_fold_has_partial_aggregation(spark):
+    """A1/A2: the fold must run as partial (map-side) + final
+    HashAggregate — the Spark twin of the RocksDB partial merge."""
+    from balboa_spark.operators.aggregate import aggregate
+
+    import datetime as dt
+
+    ts = dt.datetime(2020, 1, 1)
+    obs = spark.createDataFrame(
+        [(1, "NOERROR", "1.2.3.4", "A", "x", "s", ts, ts, [])],
+        "count long, rcode string, rdata string, rrtype string, rrname string,"
+        " sensor_id string, ts_start timestamp, ts_end timestamp, tags array<string>",
+    )
+    plan = aggregate(obs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2

@@ -95,6 +95,13 @@ def test_graphql_shape_endpoint(server):
     code, body = post({"rrtype": "A"})
     assert code == 400 and body["errors"]
 
+    # aliases field (query_graphql.go:380-398): same rdata+sensor,
+    # different rrname — foo's alias is baz and vice versa
+    code, body = post({"rrname": "foo", "aliases": True})
+    assert code == 200
+    (entry,) = body["data"]["entries"]
+    assert [a["rrname"] for a in entry["aliases"]] == ["baz"]
+
 
 def test_cli_console(spark, store, tmp_path, capsys):
     from balboa_spark.cli import build_parser, run
