@@ -17,6 +17,31 @@ def strip_trailing_dot(c: Column) -> Column:
     return F.regexp_replace(c, r"\.+$", "")
 
 
+def normalize_ts_fraction(ts: Column, digits: int = 6) -> Column:
+    """Normalize an optional fractional-seconds field to exactly
+    ``digits`` digits so Spark's strict S-count patterns parse it.
+
+    Go's time.Parse accepts a fractional second of ANY length after
+    the seconds field (and none at all) — layouts like
+    ``2006-01-02T15:04:05.999999-0700`` (format_suricata.go:52) parse
+    '…:09Z', '…:09.5Z' and '…:09.534255Z' alike. Spark's ``SSSSSS``
+    demands exactly six digits, which round 1 shipped — silently
+    dropping valid records with shorter fractions. This inserts a
+    missing fraction, truncates beyond ``digits``, and zero-pads to
+    ``digits`` with a chain of codegen-friendly regexp_replace calls.
+    """
+    # insert ".0" when the seconds field has no fraction
+    out = F.regexp_replace(ts, r"(\d{2}:\d{2}:\d{2})(?!\.)", r"$1.0")
+    # truncate an over-long fraction
+    out = F.regexp_replace(out, r"(\.\d{%d})\d+" % digits, r"$1")
+    # zero-pad shorter fractions up to `digits`
+    for k in range(1, digits):
+        out = F.regexp_replace(
+            out, r"\.(\d{%d})(?=[^0-9]|$)" % k, "." + "$1" + "0" * (digits - k)
+        )
+    return out
+
+
 def dns_wire_to_name(raw: Column) -> Column:
     """DNS wire-format label sequence -> dotted name
     (format/format_nmsg.go:11-27).

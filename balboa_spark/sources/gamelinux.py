@@ -31,6 +31,9 @@ def normalize(raw: DataFrame, sensor_id=None, value_col: str = "value") -> DataF
     secs = tspieces.getItem(0).try_cast("long")
     nanos = tspieces.getItem(1).try_cast("long")
     ts = F.timestamp_micros(secs * 1000000 + F.floor(nanos / 1000).cast("long"))
+    # non-integer count drops the row (strconv.Atoi error -> continue,
+    # format_gamelinux.go:47-51); finalize only guards the key fields
+    df = df.filter(F.element_at("p", 9).try_cast("long").isNotNull())
     return finalize(
         df,
         count=F.element_at("p", 9).try_cast("long"),

@@ -11,14 +11,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from balboa_spark.functions.strings import normalize_ts_fraction
 from balboa_spark.sources.common import finalize, sensor
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS xx"
 
 
 def normalize(raw: DataFrame, sensor_id=None) -> DataFrame:
+    # Go's parse accepts 0..n fraction digits (format_gopassivedns.go:47)
     ts = F.try_to_timestamp(
-        F.regexp_replace(F.col("tstamp"), r" [A-Z]{2,5}$", ""), F.lit(TS_FMT)
+        normalize_ts_fraction(
+            F.regexp_replace(F.col("tstamp"), r" [A-Z]{2,5}$", "")
+        ),
+        F.lit(TS_FMT),
     )
     return finalize(
         raw,

@@ -11,15 +11,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from balboa_spark.functions.strings import strip_trailing_dot
+from balboa_spark.functions.strings import normalize_ts_fraction, strip_trailing_dot
 from balboa_spark.sources.common import finalize, sensor
 
-TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+#: Go layout Z07 accepts 'Z' or an hour offset; X covers both. The
+#: fraction (.999 = any length in Go) is normalized to 6 digits.
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"
 
 
 def normalize(raw: DataFrame, sensor_id=None) -> DataFrame:
     ex = raw.filter(F.col("type") == "dns").select(
-        F.try_to_timestamp(F.col("`@timestamp`"), F.lit(TS_FMT)).alias("_ts"),
+        F.try_to_timestamp(
+            normalize_ts_fraction(F.col("`@timestamp`")), F.lit(TS_FMT)
+        ).alias("_ts"),
         F.explode("dns.answers").alias("a"),
     )
     return finalize(

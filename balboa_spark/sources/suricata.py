@@ -14,9 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from balboa_spark.functions.strings import normalize_ts_fraction
 from balboa_spark.sources.common import finalize, sensor
 
-#: Go layout 2006-01-02T15:04:05.999999-0700 (format_suricata.go:52)
+#: Go layout 2006-01-02T15:04:05.999999-0700 (format_suricata.go:52).
+#: Go accepts 0..n fraction digits; the fraction is normalized to
+#: exactly 6 before the strict Spark pattern.
 TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxx"
 
 
@@ -24,7 +27,10 @@ def normalize(raw: DataFrame, sensor_id=None) -> DataFrame:
     """raw: SURICATA_EVE-shaped DataFrame -> input observations."""
     dns = raw.filter(
         (F.col("event_type") == "dns") & (F.col("dns.type") == "answer")
-    ).withColumn("_ts", F.try_to_timestamp(F.col("timestamp"), F.lit(TS_FMT)))
+    ).withColumn(
+        "_ts",
+        F.try_to_timestamp(normalize_ts_fraction(F.col("timestamp")), F.lit(TS_FMT)),
+    )
 
     v2 = dns.filter(F.col("dns.version") == 2)
 

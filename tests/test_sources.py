@@ -68,6 +68,20 @@ def test_suricata_negatives(spark):
     assert normalize_json_lines(df, "suricata_dns", "s1").count() == 0
 
 
+def test_suricata_fraction_tolerance(spark):
+    """Go's .999999 accepts 0..n fraction digits (time.Parse fractional
+    rule); records without exactly 6 digits must not be dropped."""
+    no_frac = SURI_V1.replace("2009-11-24T21:27:09.534255-0100", "2009-11-24T21:27:09-0100")
+    three = SURI_V1.replace("2009-11-24T21:27:09.534255-0100", "2009-11-24T21:27:09.534-0100")
+    nine = SURI_V1.replace("2009-11-24T21:27:09.534255-0100", "2009-11-24T21:27:09.534255999-0100")
+    out = normalize_json_lines(lines_df(spark, no_frac, three, nine), "suricata_dns", "s1").collect()
+    assert len(out) == 3
+    ts = sorted(r.ts_start for r in out)
+    assert ts[0] == dt.datetime(2009, 11, 24, 22, 27, 9)
+    assert ts[1] == dt.datetime(2009, 11, 24, 22, 27, 9, 534000)
+    assert ts[2] == dt.datetime(2009, 11, 24, 22, 27, 9, 534255)  # truncated past 6
+
+
 def test_suricata_version_gt2_routes_v1(spark):
     """Every version != 2 goes through the v1 path — the reference's v2
     branch tests == 2 and everything else falls through
