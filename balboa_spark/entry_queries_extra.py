@@ -322,8 +322,42 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_rollup_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over the observation fold — the aggregation
+    surface the reference lacks and SURVEY §2.4 commits the new engine
+    to exposing (per-(rrtype, sensor) counts, per-rrtype subtotals,
+    grand total), computed in ONE pass via ROLLUP."""
+    load_tables(spark, sf_dir, names=("events",))
+    from balboa_spark.obsmap import OBS_SQL
+
+    spark.sql(OBS_SQL).createOrReplaceTempView("input_observations")
+    return spark.sql(
+        """
+        SELECT coalesce(rrtype, '(all)') AS rrtype,
+               coalesce(sensor_id, '(all)') AS sensor_id,
+               cast(sum(count) AS BIGINT) AS total_count,
+               count(*) AS n_rows
+        FROM input_observations
+        GROUP BY ROLLUP(rrtype, sensor_id)
+        """
+    )
+
+
+ROLLUP_ORACLE = with_obs_cte(
+    """
+    SELECT coalesce(rrtype, '(all)') AS rrtype,
+           coalesce(sensor_id, '(all)') AS sensor_id,
+           cast(sum(count) AS BIGINT) AS total_count,
+           count(*) AS n_rows
+    FROM input_observations
+    GROUP BY ROLLUP(rrtype, sensor_id)
+    """
+)
+
+
 QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
+    "rollup_observations": q_rollup_observations,
     "agg_incremental": q_agg_incremental,
     "explode_normalize": q_explode_normalize,
     "tag_routing_counts": q_tag_routing_counts,
@@ -337,6 +371,7 @@ QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_EXTRA: dict[str, str] = {
     "events_tumbling": TUMBLING_ORACLE,
+    "rollup_observations": ROLLUP_ORACLE,
     "agg_incremental": AGG_INCREMENTAL_ORACLE,
     "explode_normalize": EXPLODE_ORACLE,
     "tag_routing_counts": TAG_ROUTING_ORACLE,

@@ -66,3 +66,17 @@ def merge_increment(agg_df: DataFrame, new_obs: DataFrame) -> DataFrame:
 def total_count(agg_df: DataFrame) -> int:
     """A5: total number of aggregate entries (db/db.go:18 TotalCount)."""
     return agg_df.count()
+
+
+def approx_stats(agg_df: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Sketch-based stats for the 100 TB dashboard path: HLL++
+    approx_count_distinct per dimension in ONE pass over the table
+    (exact distincts would need one shuffle per dimension; the sketches
+    are mergeable partial aggregates, so this is a single scan with
+    map-side combine). rsd = target relative standard deviation."""
+    return agg_df.agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.approx_count_distinct("rrname", rsd).alias("approx_rrnames"),
+        F.approx_count_distinct("rdata", rsd).alias("approx_rdatas"),
+        F.approx_count_distinct("sensor_id", rsd).alias("approx_sensors"),
+    )

@@ -41,6 +41,24 @@ def test_incremental_merge_invariant(spark, tables):
     assert merged.exceptAll(full).count() == 0
 
 
+def test_approx_stats_error_bound(spark, tables, duck):
+    """HLL++ sketches: within 5x the configured rsd of the exact
+    distinct counts (one-pass, mergeable — the sketch path for stats
+    at 100 TB)."""
+    from balboa_spark.operators.aggregate import approx_stats
+
+    agg = aggregate(obs_df(spark, tables))
+    row = approx_stats(agg, rsd=0.02).collect()[0]
+    exact = duck.sql(
+        with_obs_cte(
+            "SELECT count(DISTINCT rrname), count(DISTINCT rdata),"
+            " count(DISTINCT sensor_id) FROM input_observations"
+        )
+    ).fetchone()
+    for approx, true in ((row.approx_rrnames, exact[0]), (row.approx_rdatas, exact[1]), (row.approx_sensors, exact[2])):
+        assert abs(approx - true) <= max(1, 0.1 * true), (approx, true)
+
+
 def test_total_count(spark, tables, duck):
     agg = aggregate(obs_df(spark, tables))
     expected = duck.sql(

@@ -94,6 +94,32 @@ def test_dump_jsonize_replay_backup(spark, store, tmp_path):
     assert restored.query(Query(rrname="foo")).count() == 1
 
 
+def test_crash_mid_write_leaves_store_consistent(spark, store):
+    """A generation directory without a manifest flip must be invisible:
+    simulate a crash between writing gen-N+1 and the atomic rename by
+    creating a garbage gen dir — queries still serve the committed
+    generation, and the next real merge skips over the orphan."""
+    man = json.load(open(os.path.join(store.path, "manifest.json")))
+    orphan = os.path.join(store.path, f"gen-{man['generation'] + 1}")
+    os.makedirs(os.path.join(orphan, "by_rrname"), exist_ok=True)
+    with open(os.path.join(orphan, "by_rrname", "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    # reads ignore the orphan generation entirely
+    assert store.query(Query(rrname="foo")).count() == 1
+
+    # a subsequent merge commits a NEW generation (gen+2 would collide
+    # with the orphan only if the manifest had moved — it hasn't, so
+    # merge targets gen+1 and overwrites the junk cleanly)
+    ts2 = dt.datetime(2021, 6, 1)
+    more = spark.createDataFrame(
+        [(5, "NOERROR", "1.2.3.4", "A", "foo", "abc", ts2, ts2, [])],
+        seed_obs(spark).schema,
+    )
+    store.merge(more)
+    assert store.query(Query(rrname="foo")).collect()[0]["count"] == 15
+
+
 def test_multi_store_union_keeps_duplicates(spark, store, tmp_path):
     """U1: fan-out concatenates per-store results WITH duplicates."""
     from balboa_spark.plans.layout import MultiStore
