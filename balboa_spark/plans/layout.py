@@ -205,11 +205,23 @@ class ObservationStore:
         gen = man["generation"] + 1
         gen_dir = self._gen_dir(gen)
         old_dir = self._gen_dir(man["generation"])
+        # both layouts' touched-bucket sets in ONE job (distinct pairs,
+        # bounded by num_buckets^2) — merge is on the streaming hot
+        # path, so per-batch Spark jobs matter
+        pairs = (
+            new_obs.select(
+                _bucket("rrname", self.num_buckets).alias("b_rrname"),
+                _bucket("rdata", self.num_buckets).alias("b_rdata"),
+            )
+            .distinct()
+            .collect()
+        )
+        touched_by_key = {
+            "rrname": sorted({r["b_rrname"] for r in pairs}),
+            "rdata": sorted({r["b_rdata"] for r in pairs}),
+        }
         for name, (key, order) in _LAYOUTS.items():
-            touched = [
-                r["bucket"]
-                for r in new_obs.select(_bucket(key, self.num_buckets)).distinct().collect()
-            ]
+            touched = touched_by_key[key]
             out = os.path.join(gen_dir, name)
             stored = self._read_layout(name)
             if stored is not None:
