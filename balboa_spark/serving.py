@@ -45,6 +45,21 @@ def to_cof(df: DataFrame) -> DataFrame:
     )
 
 
+def to_graphql_entry(df: DataFrame) -> DataFrame:
+    """Observation rows -> the GraphQL Entry field set: COF fields PLUS
+    the RFC3339 time variants (query_graphql.go:95-108, resolvers
+    :358-371). The plain REST shape (to_cof) has no rfc3339 fields."""
+    return to_cof(df).select(
+        "*",
+        F.date_format(F.timestamp_seconds("time_first"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "time_first_rfc3339"
+        ),
+        F.date_format(F.timestamp_seconds("time_last"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "time_last_rfc3339"
+        ),
+    )
+
+
 def to_cof_aliases(df: DataFrame) -> DataFrame:
     """Alias-join rows -> COF alias fields, entry key preserved."""
     return df.select(
@@ -91,6 +106,21 @@ def make_handler(store: ObservationStore):
 
         def do_GET(self):  # noqa: N802
             url = urlparse(self.path)
+            if url.path == "/stats":
+                # the GraphQL stats() query (query_graphql.go:299-311):
+                # total_count + the parallelism analog of num_goroutines
+                body = json.dumps(
+                    {
+                        "data": {
+                            "stats": {
+                                "total_count": store.forward().count(),
+                                "num_goroutines": store.spark.sparkContext.defaultParallelism,
+                            }
+                        }
+                    }
+                ).encode()
+                self._write(200, body, "application/json")
+                return
             prefix = "/pdns/query/"
             if not url.path.startswith(prefix):
                 self._write(404, b"", "text/plain")
@@ -134,7 +164,7 @@ def make_handler(store: ObservationStore):
                 self._write(400, body, "application/json")
                 return
             result = store.query(q)
-            rows = [r.asDict() for r in to_cof(result).collect()]
+            rows = [r.asDict() for r in to_graphql_entry(result).collect()]
             if with_aliases:
                 # the GraphQL 'aliases' field (query_graphql.go:380-398):
                 # one join for the whole result set, not N+1 searches

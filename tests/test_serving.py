@@ -90,6 +90,11 @@ def test_graphql_shape_endpoint(server):
 
     code, body = post({"rrname": "foo", "rrtype": "A"})
     assert code == 200 and len(body["data"]["entries"]) == 1
+    # GraphQL Entry carries RFC3339 time variants alongside unix
+    # seconds (query_graphql.go:95-108); plain REST (above) does not
+    (entry,) = body["data"]["entries"]
+    assert entry["time_first_rfc3339"].endswith("Z") and "T" in entry["time_first_rfc3339"]
+    assert entry["time_last_rfc3339"].endswith("Z")
 
     # neither rdata nor rrname -> validation error (query_graphql.go:242-246)
     code, body = post({"rrtype": "A"})
@@ -101,6 +106,15 @@ def test_graphql_shape_endpoint(server):
     assert code == 200
     (entry,) = body["data"]["entries"]
     assert [a["rrname"] for a in entry["aliases"]] == ["baz"]
+
+
+def test_stats_endpoint(server):
+    # the GraphQL stats() query (query_graphql.go:299-311)
+    code, body = _get(f"{server}/stats")
+    assert code == 200
+    stats = json.loads(body)["data"]["stats"]
+    assert stats["total_count"] == 3
+    assert stats["num_goroutines"] >= 1
 
 
 def test_cli_console(spark, store, tmp_path, capsys):
