@@ -403,6 +403,57 @@ ORDER BY id_a, id_b
 """
 
 
+EMB_DEDUP_T = 0.35
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup keep-set: pairs at cos >= 0.35 ->
+    connected components -> min-id representative + unpaired vectors.
+
+    Pair generation here is the exact path (the driver's embeddings are
+    near-uniform: cos 0.35 is θ≈69°, where NO LSH family prunes — at
+    that angle candidate sets approach all-pairs, measured 0.88 recall
+    at 41% of n² with 32 tables). The 100 TB path for real near-dup
+    thresholds is similarity.lsh_candidate_pairs + exact refilter
+    (recall ~1 at cos >= 0.97; asserted on clustered vectors in
+    tests/test_pipeline_ops.py)."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    return (
+        dedup.embedding_near_dedup(t["embeddings"], EMB_DEDUP_T)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+DEDUP_EMBEDDING_ORACLE = f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4)
+        >= {EMB_DEDUP_T}
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (
+  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+)
+SELECT vec_id FROM e
+WHERE vec_id IN (SELECT id FROM comp WHERE id = comp)
+   OR vec_id NOT IN (SELECT id FROM comp)
+ORDER BY vec_id
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN (multi-table sign-LSH, Hamming<=2 multi-probe) top-k.
 
@@ -488,6 +539,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_clean": q_pipeline_clean,
     "embedding_topk": q_embedding_topk,
     "embedding_cosine_pairs": q_embedding_pairs,
+    "dedup_embedding": q_dedup_embedding,
     "ann_lsh_topk": q_ann_lsh_topk,
     "media_stats": q_media_stats,
     "media_dedup": q_media_dedup,
@@ -505,6 +557,7 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_ngram_jaccard": JACCARD_ORACLE,
     "embedding_topk": EMBEDDING_TOPK_ORACLE,
     "embedding_cosine_pairs": EMBEDDING_PAIRS_ORACLE,
+    "dedup_embedding": DEDUP_EMBEDDING_ORACLE,
     # ANN's candidate set provably covers the true top-k on this
     # workload (recall 1.0 at k=20), so the exact re-rank makes the
     # brute-force top-k SQL a valid, hash-checkable oracle.

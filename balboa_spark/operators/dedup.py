@@ -312,6 +312,34 @@ def near_dedup_keep(
     return df.join(keep.unionByName(unpaired), id_col, "left_semi")
 
 
+def embedding_near_dedup(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dedup: pairs at or above the cosine
+    threshold -> connected components -> one representative (min id)
+    per component + every unpaired vector.
+
+    ``candidates=None`` generates pairs exactly (cosine_pairs cross
+    join — the oracle-checkable semantics, fine up to ~1e5 vectors).
+    At 100 TB pass ``similarity.lsh_candidate_pairs(df, dim)``: bucket
+    collisions replace the cross join and the exact cosine refilter
+    restores precision; recall is ~1 for real near-dup thresholds
+    (cos >= 0.97 misses a pair w.p. ~7e-6 — see lsh_candidate_pairs)."""
+    from balboa_spark.operators import similarity
+
+    if candidates is None:
+        pairs = similarity.cosine_pairs(df, threshold, vec_col, id_col)
+    else:
+        pairs = similarity.pairs_cosine_refilter(
+            df, candidates, threshold, vec_col, id_col
+        )
+    return near_dedup_keep(df, pairs, id_col=id_col)
+
+
 # -- n-gram Jaccard ---------------------------------------------------------
 
 def ngram_jaccard_pairs(

@@ -188,6 +188,68 @@ def _probe_codes(
     return out
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    num_tables: int = 16,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "balboa",
+) -> DataFrame:
+    """Near-dup candidate PAIRS: (id_a < id_b) whose vectors collide in
+    ANY of the L tables. Explode the table-coded bucket array, self-join
+    on the code (a shuffle on bucket id — never a cross join), distinct.
+
+    This is the 100 TB pair-generation path for embedding near-dedup:
+    pair count scales with bucket occupancy, not n². It is sound for
+    *high*-cosine thresholds (real near-dups): at cos >= 0.97 a pair
+    agrees per plane w.p. 1-θ/π ≈ 0.92, collides per 8-plane table
+    w.p. ≈ 0.52, and misses all 16 tables w.p. ≈ 7e-6. At low
+    thresholds (θ near 90°) no LSH family prunes — use the exact
+    cross-join path there. Always follow with pairs_cosine_refilter
+    (exact re-rank), mirroring lsh_bucketed_topk's contract."""
+    coded = df.select(
+        F.col(id_col),
+        F.explode(lsh_bucket_codes(vec_col, dim, num_tables, num_planes, seed)).alias(
+            "_code"
+        ),
+    )
+    a, b = coded.alias("a"), coded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._code") == F.col("b._code"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def pairs_cosine_refilter(
+    df: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine re-rank of a candidate pair list: join the vectors
+    back (two key-equi joins, shuffle on id) and keep pairs at or above
+    the threshold. Output schema matches cosine_pairs."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -98,6 +98,63 @@ def test_near_dedup_keep(spark):
     assert kept == [1, 3, 7]  # 2 deduped against 1; unpaired docs kept
 
 
+def _clustered_vectors(n_clusters=40, per=4, dim=64, noise=0.01):
+    """Deterministic clustered embeddings (md5-derived, no RNG state):
+    `per` noisy copies per cluster base -> within-cluster cosine
+    >= 0.999, cross-cluster near 0. The realistic near-dup regime
+    (unlike the driver's near-uniform table, where θ≈69° defeats any
+    LSH family by design)."""
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2**31 - 1.0
+
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        base = [h(f"b|{c}|{d}") for d in range(dim)]
+        for j in range(per):
+            v = [base[d] + noise * h(f"n|{c}|{j}|{d}") for d in range(dim)]
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_lsh_candidate_pairs_recall_and_pruning(spark):
+    """The 100 TB pair-generation path: on clustered vectors at a real
+    near-dup threshold (cos >= 0.97), LSH bucket collisions must find
+    every true pair while generating far fewer candidates than n²/2."""
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n = len(rows)
+    true = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(df, 0.97).collect()
+    }
+    assert len(true) >= 200  # the within-cluster pairs exist
+    cand = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_candidate_pairs(df, dim=64).collect()
+    }
+    assert true <= cand  # recall 1.0 at this threshold
+    assert len(cand) < 0.25 * n * (n - 1) / 2  # and it actually prunes
+
+
+def test_embedding_near_dedup_lsh_matches_exact(spark):
+    """End-to-end embedding near-dedup: the LSH-candidate path (with
+    exact cosine refilter) produces the same keep-set as the exact
+    cross-join path — one representative per planted cluster."""
+    rows = _clustered_vectors(n_clusters=25)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = sorted(r.vec_id for r in dedup.embedding_near_dedup(df, 0.97).collect())
+    lsh = sorted(
+        r.vec_id
+        for r in dedup.embedding_near_dedup(
+            df, 0.97, candidates=similarity.lsh_candidate_pairs(df, dim=64)
+        ).collect()
+    )
+    assert exact == lsh == [4 * c for c in range(25)]  # min id per cluster
+
+
 def test_ann_recall_vs_brute(spark, emb):
     """Recall >= 0.9 per query on the hardest case (near-uniform
     embeddings, top-neighbor cosine ~0.37). Deterministic: planes are
