@@ -188,6 +188,106 @@ def _probe_codes(
     return out
 
 
+# -- IVF (learned inverted-file index) --------------------------------------
+#
+# The second classic ANN family next to sign-LSH: partition the space by
+# k-means centroids, search only the nprobe cells nearest the query.
+# On clustered real-world embeddings IVF prunes harder than LSH (cells
+# follow the data); on adversarially uniform vectors neither family can
+# (measured here: recall 0.7 at 59% scan on the driver's near-uniform
+# table — which is why the oracle-gated ANN entry uses multi-table LSH,
+# whose multi-probe union IS exhaustive on that workload).
+
+
+def ivf_fit(
+    df: DataFrame,
+    dim: int,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Fit k centroids with distributed Lloyd iterations.
+
+    Seeds are k id-hash-sampled rows (deterministic — hash of the id
+    column, no RNG state, independent of physical partitioning). Each
+    iteration: cosine-argmax assignment (one Arrow-batched matmul per
+    batch) then per-dimension means as dim JVM-side avg aggregates —
+    ONE shuffle per iteration with map-side combine, and only k×dim
+    floats ever reach the driver (model state, not data)."""
+    import numpy as np
+
+    n = df.count()
+    stride = max(1, n // (2 * k))  # oversample ~2k, keep first k by id
+    seed_rows = (
+        df.filter(F.pmod(F.hash(F.col(id_col)), F.lit(stride)) == 0)
+        .orderBy(id_col)
+        .select(vec_col)
+        .limit(k)
+        .collect()
+    )
+    C = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    for _ in range(iters):
+        assigned = df.select(
+            ivf_assign_col(C, vec_col).alias("_cell"), F.col(vec_col).alias("_v")
+        )
+        means = (
+            assigned.groupBy("_cell")
+            .agg(*[F.avg(F.element_at(F.col("_v"), i + 1)).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        for row in means:
+            v = np.array([row[f"d{i}"] for i in range(dim)], dtype=np.float64)
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                C[row["_cell"]] = v / nrm
+    return [[float(x) for x in row] for row in C]
+
+
+def ivf_assign_col(centroids, vec_col: str = "embedding") -> Column:
+    """Column: index of the nearest centroid by cosine (vectorized
+    argmax over the tiny centroid matrix per Arrow batch)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def assign(v: "pd.Series") -> "pd.Series":
+        X = np.vstack(v.to_numpy())
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series((Xn @ Cn.T).argmax(1).astype("int32"))
+
+    return assign(F.col(vec_col))
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: rank cells by centroid-query cosine driver-side
+    (k_cells floats — free), scan only the nprobe nearest cells, exact
+    re-rank inside. Persist the assignment as a partition column (the
+    VectorStore ``index/`` pattern) and this filter becomes partition
+    pruning instead of a scan."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probes = [int(i) for i in np.argsort(-(Cn @ (q / np.linalg.norm(q))))[:nprobe]]
+    cand = df.filter(ivf_assign_col(C, vec_col).isin(probes))
+    return topk_brute(cand, query_vec, k, vec_col, id_col)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     dim: int,

@@ -155,6 +155,29 @@ def test_embedding_near_dedup_lsh_matches_exact(spark):
     assert exact == lsh == [4 * c for c in range(25)]  # min id per cluster
 
 
+def test_ivf_topk_on_clustered_vectors(spark):
+    """IVF (learned centroids + nprobe cells): on clustered data the
+    probed cells must contain the true high-cosine neighbors, so the
+    exact re-rank equals brute top-k — while scanning a fraction of
+    the table."""
+    rows = _clustered_vectors(n_clusters=25)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_fit(df, dim=64, k=25, iters=2)
+    qvec = rows[0][1]
+    brute = [r.vec_id for r in similarity.topk_brute(df, qvec, k=4).collect()]
+    ivf = [r.vec_id for r in similarity.ivf_topk(df, cents, qvec, k=4, nprobe=3).collect()]
+    assert ivf == brute  # the whole planted cluster, in order
+
+    # the probed cells scan a fraction of the table, not all of it
+    import numpy as np
+
+    C = np.asarray(cents)
+    q = np.asarray(qvec)
+    probes = [int(i) for i in np.argsort(-(C @ (q / np.linalg.norm(q))))[:3]]
+    scanned = df.filter(similarity.ivf_assign_col(cents).isin(probes)).count()
+    assert scanned < 40  # 3 of 25 cells over 100 clustered vectors
+
+
 def test_ann_recall_vs_brute(spark, emb):
     """Recall >= 0.9 per query on the hardest case (near-uniform
     embeddings, top-neighbor cosine ~0.37). Deterministic: planes are
