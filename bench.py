@@ -120,6 +120,17 @@ def main() -> None:
         pairs = dedup.minhash_lsh_pairs(docs)
         dedup.near_dedup_keep(docs, pairs).write.mode("overwrite").format("noop").save()
 
+    @timed("dedup_embedding_lsh")
+    def _():
+        # embedding near-dedup via the scale path: LSH bucket-collision
+        # candidate pairs + exact cosine refilter + components keep-set
+        # (never the n² cross join)
+        emb = spark.table("embeddings")
+        cand = similarity.lsh_candidate_pairs(emb, dim=64)
+        dedup.embedding_near_dedup(emb, 0.35, candidates=cand).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     @timed("embedding_topk")
     def _():
         emb = spark.table("embeddings")

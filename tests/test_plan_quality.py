@@ -45,6 +45,20 @@ def test_dedup_plans_have_no_corpus_broadcast(spark):
         assert "ResolvedHint" not in analyzed, analyzed[:500]
 
 
+def test_embedding_dedup_lsh_path_no_cartesian(spark):
+    """The LSH-candidate embedding-dedup pair path must be equi-joins
+    on bucket code / id — never a cartesian or nested-loop product
+    (that is what it exists to avoid)."""
+    from balboa_spark.operators import similarity
+
+    rows = [(i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cand = similarity.lsh_candidate_pairs(df, dim=8)
+    refiltered = similarity.pairs_cosine_refilter(df, cand, 0.9)
+    plan = refiltered._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_entries_pushdown_reaches_parquet(spark, tmp_path):
     """Point query: partition filter on bucket AND Parquet PushedFilters
     on the driving predicate — the columnar prefix-seek."""
