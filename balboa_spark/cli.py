@@ -42,6 +42,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--rrtype")
     s.add_argument("--sensor-id", dest="sensor_id")
     s.add_argument("--limit", type=int, default=1000)
+    s.add_argument(
+        "--cidr",
+        help="rdata within an IPv4 range, e.g. 192.168.0.0/24 — the "
+        "`balboa query [netmask]` CLI (cmd/balboa/cmds/query.go:60-64), "
+        "as ONE range scan instead of a per-host query fan-out; "
+        "network/broadcast excluded below /31 exactly like hosts() "
+        "(query.go:52-56)",
+    )
 
     s = sub.add_parser("serve", help="REST + query HTTP endpoints")
     s.add_argument("store")
@@ -68,18 +76,22 @@ def run(args: argparse.Namespace, spark=None) -> int:
     elif args.cmd == "replay":
         store.replay(args.dump)
     elif args.cmd == "query":
-        from balboa_spark.operators.query import Query
+        from balboa_spark.operators.query import Query, cidr_search
         from balboa_spark.serving import ndjson_rows, to_cof
 
-        q = Query(
-            rdata=args.rdata,
-            rrname=args.rrname,
-            rrtype=args.rrtype,
-            sensor_id=args.sensor_id,
-            limit=args.limit,
-        )
-        q.validate()
-        lines = ndjson_rows(to_cof(store.query(q)))
+        if args.cidr:
+            result = cidr_search(store.inverted(), args.cidr, limit=args.limit)
+        else:
+            q = Query(
+                rdata=args.rdata,
+                rrname=args.rrname,
+                rrtype=args.rrtype,
+                sensor_id=args.sensor_id,
+                limit=args.limit,
+            )
+            q.validate()
+            result = store.query(q)
+        lines = ndjson_rows(to_cof(result))
         for line in lines:
             print(line)
         return 0 if lines else 1  # empty -> nonzero, the 404 analog

@@ -136,6 +136,13 @@ def test_cli_console(spark, store, tmp_path, capsys):
     assert lines[0]["count"] == 20  # 10 + replayed 10
     assert cli("query", store.path, "--rrname", "nope") == 1  # 404 analog
 
+    # CIDR range query (cmd/balboa/cmds/query.go): 1.2.3.4/.5 are inside
+    # 1.2.3.0/24 (network/broadcast excluded — neither row is .0/.255)
+    assert cli("query", store.path, "--cidr", "1.2.3.0/24") == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().split("\n")]
+    assert sorted(r["rrname"] for r in rows) == ["bar", "baz", "foo"]
+    assert cli("query", store.path, "--cidr", "9.9.9.0/24") == 1
+
     bak = str(tmp_path / "bak")
     assert cli("backup", store.path, bak) == 0
     restored = ObservationStore(spark, bak)
