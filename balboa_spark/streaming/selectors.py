@@ -142,22 +142,41 @@ def route(df: DataFrame, routes: dict[str, Sequence[str]]) -> dict[str, DataFram
     return out
 
 
+def _load_pattern_file(path: str) -> list[str]:
+    """One-regex-per-line file, empty lines skipped, every line must
+    compile — fatal otherwise (selector_regex.go:109-124)."""
+    import re as _re
+
+    with open(path) as f:
+        lines = [s for s in f.read().split("\n") if s != ""]
+    for s in lines:
+        try:
+            _re.compile(s)
+        except _re.error as ex:
+            raise ValueError(f"regexp {s!r} does not compile: {ex}") from ex
+    return lines
+
+
 def load_selector_yaml(
     cfg: dict,
     pattern_files: dict[str, Sequence[str]] | None = None,
     scripts: dict[str, Callable] | None = None,
+    base_dir: str | None = None,
 ) -> list[SelectorRule]:
     """Build rules from the reference's selectors.yaml shape — a LIST of
     rules with ``type``, ``mode``, ``regexp`` (list of pattern files),
     ``tags`` and ``ingest`` (selector/selector_engine.go:32-60;
     README.md:129-147).
 
-    ``pattern_files`` maps filename -> list of regex lines, replacing
-    the reference's one-regex-per-line file loading
+    ``pattern_files`` maps filename -> list of regex lines; names not
+    found there are read from ``base_dir`` (the config file's
+    directory) with the reference's one-regex-per-line semantics
     (selector_regex.go:109-124). ``scripts`` maps a ``script`` name to
     a Python callable for type "lua" rules (the X2 scriptable slot):
     a callable taking a pd.Series of rrnames -> boolean Series.
     """
+    import os as _os
+
     rules = []
     for spec in cfg.get("selectors", ()):
         name = spec["name"]
@@ -165,7 +184,12 @@ def load_selector_yaml(
         if rtype == "regex":
             patterns: list[str] = []
             for fname in spec.get("regexp", ()):
-                patterns.extend((pattern_files or {}).get(fname, ()))
+                if pattern_files and fname in pattern_files:
+                    patterns.extend(pattern_files[fname])
+                elif base_dir is not None:
+                    patterns.extend(
+                        _load_pattern_file(_os.path.join(base_dir, fname))
+                    )
             rules.append(
                 SelectorRule(
                     name=name,

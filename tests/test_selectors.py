@@ -159,6 +159,34 @@ selectors:
     assert cs.mode == "select" and cs.patterns
 
 
+def test_yaml_loader_reads_pattern_files_from_disk(tmp_path):
+    """regexp entries name one-regex-per-line files resolved against
+    the config directory, empty lines skipped, non-compiling lines
+    fatal (selector_regex.go:109-124)."""
+    import pytest
+    import yaml
+
+    (tmp_path / "unwanted_regex.txt").write_text("^.*[.]de$\n\n^.*[.]test$\n")
+    cfg = yaml.safe_load(
+        """
+selectors:
+  - name: Filter Unwanted TLDs
+    type: regex
+    mode: filter
+    regexp:
+      - unwanted_regex.txt
+    tags: [filtered_tlds]
+"""
+    )
+    (rule,) = load_selector_yaml(cfg, base_dir=str(tmp_path))
+    assert rule.patterns == ("^.*[.]de$", "^.*[.]test$")
+
+    (tmp_path / "bad.txt").write_text("([unclosed\n")
+    cfg["selectors"][0]["regexp"] = ["bad.txt"]
+    with pytest.raises(ValueError, match="does not compile"):
+        load_selector_yaml(cfg, base_dir=str(tmp_path))
+
+
 def test_yaml_loader_lua_slot(spark):
     """type: lua binds a registered script callable (X2)."""
     cfg = {
