@@ -246,18 +246,16 @@ def connected_components(
     component = min id reachable through the near-dup relation — the
     step that turns candidate PAIRS into deduplicatable GROUPS.
 
-    Algorithm: min-label propagation (the simplified alternating
-    large-star pattern). Each round every node takes the min of its own
-    label and its neighbors' labels; rounds = graph diameter, which for
-    near-dup clusters is tiny (dup groups are cliques or near-cliques
-    from banding, so 2-4 rounds converge). Each round is one shuffle on
-    id; lineage is cut per round with localCheckpoint so the plan does
-    not grow with iterations. Convergence is detected by counting
-    changed labels (an AQE-sized aggregation, not a collect of data).
-
-    At 100 TB this is the standard distributed CC shape; for adversarial
-    long-chain graphs swap in full large-star/small-star (same building
-    blocks, alternation bounds rounds at log^2 n).
+    Algorithm: min-label propagation PLUS pointer jumping. Each round
+    every node takes the min of (its label, its neighbors' labels,
+    its label's label) — the last term is the label-doubling step that
+    shortcuts chains, bounding rounds at O(log diameter) instead of
+    O(diameter): a 1000-link chain converges in ~10 rounds, not 1000.
+    For near-dup clusters (cliques from banding) 2-3 rounds converge
+    either way. Each round is two key-equi joins + one shuffle on id;
+    lineage is cut per round with localCheckpoint so the plan does not
+    grow with iterations. Convergence is detected by counting changed
+    labels (an AQE-sized aggregation, not a collect of data).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -277,14 +275,34 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select(
+            "id",
+            F.col("comp").alias("_old"),
+            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                "_step"
+            ),
+        )
+        # pointer jump: follow the new label one more hop (label of the
+        # label is in the same component, so min keeps the invariant)
+        hop = labels.select(
+            F.col("id").alias("_hid"), F.col("comp").alias("_hcomp")
+        )
         updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            stepped.join(hop, stepped["_step"] == hop["_hid"], "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
-                    "comp"
-                ),
-                (F.col("nmin") < F.col("comp")).alias("_changed"),
+                F.least(
+                    F.col("_step"), F.coalesce(F.col("_hcomp"), F.col("_step"))
+                ).alias("comp"),
+                (
+                    F.least(
+                        F.col("_step"),
+                        F.coalesce(F.col("_hcomp"), F.col("_step")),
+                    )
+                    < F.col("_old")
+                ).alias("_changed"),
             )
         )
         updated = updated.localCheckpoint(eager=True)

@@ -90,6 +90,17 @@ def test_connected_components_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """Pointer jumping must collapse a 60-link chain within
+    O(log diameter) rounds — 10 iterations would be far too few for
+    plain one-hop propagation (needs 60)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    comp = dedup.connected_components(pairs, max_iterations=10).collect()
+    assert {r.comp for r in comp} == {0} and len(comp) == 61
+
+
 def test_near_dedup_keep(spark):
     rows = [(1, "a b c"), (2, "a b c"), (3, "x y z"), (7, "solo doc")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
