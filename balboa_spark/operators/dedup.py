@@ -246,71 +246,81 @@ def connected_components(
     component = min id reachable through the near-dup relation — the
     step that turns candidate PAIRS into deduplicatable GROUPS.
 
-    Algorithm: min-label propagation PLUS pointer jumping. Each round
-    every node takes the min of (its label, its neighbors' labels,
-    its label's label) — the last term is the label-doubling step that
-    shortcuts chains, bounding rounds at O(log diameter) instead of
-    O(diameter): a 1000-link chain converges in ~10 rounds, not 1000.
-    For near-dup clusters (cliques from banding) 2-3 rounds converge
-    either way. Each round is two key-equi joins + one shuffle on id;
-    lineage is cut per round with localCheckpoint so the plan does not
-    grow with iterations. Convergence is detected by counting changed
-    labels (an AQE-sized aggregation, not a collect of data).
+    Algorithm: alternating large-star / small-star (the two-phase MR
+    connected-components of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — O(log² n) rounds worst case,
+    a handful in practice, and the edge set CONTRACTS every round so
+    later rounds get cheaper. One-hop min-label propagation is
+    O(diameter) rounds (a 56-hop dup chain = 56 shuffles), and naive
+    pointer-jumping stalls when intermediate labels are themselves
+    unconverged; star operations don't.
+
+    Each star operation is groupBy(node).min + an equi-join back to
+    the edges — deliberately NOT collect_list of neighborhoods, so a
+    hub with millions of neighbors is AQE-splittable shuffle traffic,
+    never one in-memory array. Lineage is cut per round with
+    localCheckpoint; convergence = the oriented edge set reaching a
+    fixpoint (stars only), detected by count + hash-sum aggregates.
+
+    At fixpoint every component is a star rooted at its min id; labels
+    are the star edges plus each root mapped to itself.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # Oriented edges (big, small), self-loops dropped.
+    e0 = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    nodes = (
+        e0.select(F.col("u").alias("id"))
+        .unionByName(e0.select(F.col("v").alias("id")))
         .distinct()
-        .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    edges = e0
+    prev_sig = None
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("nmin"))
+        # -- large-star: every neighbor LARGER than u connects to the
+        # min of u's closed neighborhood.
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        stepped = labels.join(
-            neighbor_min, labels["id"] == neighbor_min["src"], "left"
-        ).select(
-            "id",
-            F.col("comp").alias("_old"),
-            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
-                "_step"
-            ),
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn")).alias("m")
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
         )
-        # pointer jump: follow the new label one more hop (label of the
-        # label is in the same component, so min keeps the invariant)
-        hop = labels.select(
-            F.col("id").alias("_hid"), F.col("comp").alias("_hcomp")
+        # -- small-star: u and all its not-larger neighbors connect to
+        # the min of the closed neighborhood. Input edges are oriented
+        # (u > v), so the group holds exactly the small side.
+        smins = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(smins.select(F.col("u"), F.col("mn").alias("v")))
         )
-        updated = (
-            stepped.join(hop, stepped["_step"] == hop["_hid"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("_step"), F.coalesce(F.col("_hcomp"), F.col("_step"))
-                ).alias("comp"),
-                (
-                    F.least(
-                        F.col("_step"),
-                        F.coalesce(F.col("_hcomp"), F.col("_step")),
-                    )
-                    < F.col("_old")
-                ).alias("_changed"),
-            )
-        )
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("_changed")).limit(1).count()
-        labels = updated.drop("_changed")
-        if changed == 0:
+        edges = small.distinct().localCheckpoint(eager=True)
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        if prev_sig == (sig["n"], sig["h"]):
             break
-    return labels
+        prev_sig = (sig["n"], sig["h"])
+    # stars: (child u, root v); roots and isolated nodes label
+    # themselves. groupBy-min guards the labels' uniqueness even if
+    # max_iterations cut the loop before the exact fixpoint.
+    stars = edges.groupBy("u").agg(F.min("v").alias("_root"))
+    return nodes.join(
+        stars.withColumnRenamed("u", "id"), "id", "left"
+    ).select("id", F.coalesce(F.col("_root"), F.col("id")).alias("comp"))
 
 
 def near_dedup_keep(

@@ -315,16 +315,20 @@ def lsh_candidate_pairs(
             "_code"
         ),
     )
-    a, b = coded.alias("a"), coded.alias("b")
+    # Bucket-group instead of self-join (the minhash_lsh_pairs shape):
+    # the Arrow UDF computes each vector's codes ONCE and pairs expand
+    # JVM-side after one shuffle on the bucket code — a self-join would
+    # re-evaluate the UDF on both sides. Bucket membership lists stay
+    # small because planes split near-uniform directions evenly.
+    grouped = (
+        coded.groupBy("_code")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a._code") == F.col("b._code"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        grouped.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 

@@ -91,14 +91,27 @@ def test_connected_components_chain(spark):
 
 
 def test_connected_components_long_chain_log_rounds(spark):
-    """Pointer jumping must collapse a 60-link chain within
-    O(log diameter) rounds — 10 iterations would be far too few for
-    plain one-hop propagation (needs 60)."""
+    """Star contraction must collapse a 60-link chain within
+    O(log n) alternations — 10 iterations would be far too few for
+    one-hop label propagation (needs 60)."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(60)], "id_a long, id_b long"
     )
     comp = dedup.connected_components(pairs, max_iterations=10).collect()
     assert {r.comp for r in comp} == {0} and len(comp) == 61
+
+
+def test_connected_components_scattered_ids(spark):
+    """A tree whose ids are NOT monotone along paths — the case where
+    naive pointer-jumping stalls (an intermediate label can itself be
+    unconverged). Star operations contract regardless of id layout."""
+    # path graph over a shuffled id sequence (deterministic)
+    ids = [(i * 37) % 101 for i in range(101)]  # a permutation of 0..100
+    pairs = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "id_a long, id_b long"
+    )
+    comp = dedup.connected_components(pairs, max_iterations=12).collect()
+    assert {r.comp for r in comp} == {0} and len(comp) == 101
 
 
 def test_near_dedup_keep(spark):
