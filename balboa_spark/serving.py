@@ -89,8 +89,11 @@ def ndjson_rows(df: DataFrame) -> list[str]:
     return [json.dumps(r.asDict(), separators=(",", ":")) for r in df.collect()]
 
 
-def make_handler(store: ObservationStore):
-    """Build the request-handler class bound to one store."""
+def make_handler(store: ObservationStore, stats=None):
+    """Build the request-handler class bound to one store. ``stats``
+    is an optional EngineStatsListener whose query counter is ticked
+    per answered lookup (the reference's q counter,
+    backend/lib/engine.c:480-514)."""
 
     class Handler(BaseHTTPRequestHandler):
         # quiet by default; tests/daemons can override
@@ -133,6 +136,8 @@ def make_handler(store: ObservationStore):
                     limit = int(qs["limit"][0])
                 except ValueError:
                     pass
+            if stats is not None:
+                stats.count_query()
             lines = ndjson_rows(rest_query_store(store, subject, limit))
             if not lines:
                 # 404-on-empty (query_rest.go:71-74)
@@ -163,6 +168,8 @@ def make_handler(store: ObservationStore):
                 body = json.dumps({"errors": [str(ex)]}).encode()
                 self._write(400, body, "application/json")
                 return
+            if stats is not None:
+                stats.count_query()
             result = store.query(q)
             rows = [r.asDict() for r in to_graphql_entry(result).collect()]
             if with_aliases:
@@ -187,7 +194,9 @@ def make_handler(store: ObservationStore):
     return Handler
 
 
-def serve_http(store: ObservationStore, host: str = "127.0.0.1", port: int = 8080):
+def serve_http(
+    store: ObservationStore, host: str = "127.0.0.1", port: int = 8080, stats=None
+):
     """Create (not start) the HTTP server; caller runs serve_forever()
     or spins it in a thread. port=0 picks an ephemeral port."""
-    return ThreadingHTTPServer((host, port), make_handler(store))
+    return ThreadingHTTPServer((host, port), make_handler(store, stats=stats))
