@@ -80,7 +80,20 @@ def run(args: argparse.Namespace, spark=None) -> int:
         from balboa_spark.serving import ndjson_rows, to_cof
 
         if args.cidr:
+            if args.rdata:
+                raise SystemExit("--cidr and --rdata are mutually exclusive")
+            from pyspark.sql import functions as F
+
             result = cidr_search(store.inverted(), args.cidr, limit=args.limit)
+            # residual equality filters compose with the range scan,
+            # mirroring the GraphQL resolver's nullable predicates
+            for colname, val in (
+                ("rrname", args.rrname),
+                ("rrtype", args.rrtype),
+                ("sensor_id", args.sensor_id),
+            ):
+                if val is not None:
+                    result = result.filter(F.col(colname) == val)
         else:
             q = Query(
                 rdata=args.rdata,
@@ -97,8 +110,11 @@ def run(args: argparse.Namespace, spark=None) -> int:
         return 0 if lines else 1  # empty -> nonzero, the 404 analog
     elif args.cmd == "serve":
         from balboa_spark.serving import serve_http
+        from balboa_spark.streaming.stats import EngineStatsListener
 
-        srv = serve_http(store, args.host, args.port)
+        stats = EngineStatsListener()
+        spark.streams.addListener(stats)
+        srv = serve_http(store, args.host, args.port, stats=stats)
         print(f"serving on http://{srv.server_address[0]}:{srv.server_address[1]}")
         srv.serve_forever()
     return 0

@@ -296,10 +296,10 @@ def lsh_candidate_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: str = "balboa",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup candidate PAIRS: (id_a < id_b) whose vectors collide in
-    ANY of the L tables. Explode the table-coded bucket array, self-join
-    on the code (a shuffle on bucket id — never a cross join), distinct.
+    ANY of the L tables.
 
     This is the 100 TB pair-generation path for embedding near-dedup:
     pair count scales with bucket occupancy, not n². It is sound for
@@ -308,29 +308,42 @@ def lsh_candidate_pairs(
     w.p. ≈ 0.52, and misses all 16 tables w.p. ≈ 7e-6. At low
     thresholds (θ near 90°) no LSH family prunes — use the exact
     cross-join path there. Always follow with pairs_cosine_refilter
-    (exact re-rank), mirroring lsh_bucketed_topk's contract."""
+    (exact re-rank), mirroring lsh_bucketed_topk's contract.
+
+    Hub safety: the coded table is materialized once (one Arrow-UDF
+    pass), then buckets of <= max_bucket members expand to all pairs
+    via a code-equi self-join (streamed, AQE-splittable — never an
+    in-memory neighborhood array). A bucket LARGER than max_bucket is
+    a mass-duplicate cluster (e.g. millions of empty/boilerplate
+    documents landing in one bucket in every table): all-pairs there
+    is O(m²) rows for zero extra information, so over-cap buckets
+    emit CHAIN pairs (consecutive ids by sort within the bucket, via
+    a spillable window) — identical connected components downstream,
+    linear pair count. The only semantic difference appears if the
+    exact refilter would break a chain link while keeping a skipped
+    all-pairs link; at the high thresholds where over-cap buckets
+    arise (near-identical payloads) links are interchangeable."""
     coded = df.select(
-        F.col(id_col),
+        F.col(id_col).alias("id"),
         F.explode(lsh_bucket_codes(vec_col, dim, num_tables, num_planes, seed)).alias(
             "_code"
         ),
+    ).localCheckpoint(eager=True)
+    sizes = coded.groupBy("_code").agg(F.count(F.lit(1)).alias("_n"))
+    sized = coded.join(sizes, "_code").filter(F.col("_n") > 1)
+    small = sized.filter(F.col("_n") <= max_bucket).drop("_n")
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a._code") == F.col("b._code")) & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    big = sized.filter(F.col("_n") > max_bucket)
+    w = Window.partitionBy("_code").orderBy("id")
+    big_pairs = (
+        big.select(F.lag("id").over(w).alias("id_a"), F.col("id").alias("id_b"))
+        .filter(F.col("id_a").isNotNull())
     )
-    # Bucket-group instead of self-join (the minhash_lsh_pairs shape):
-    # the Arrow UDF computes each vector's codes ONCE and pairs expand
-    # JVM-side after one shuffle on the bucket code — a self-join would
-    # re-evaluate the UDF on both sides. Bucket membership lists stay
-    # small because planes split near-uniform directions evenly.
-    grouped = (
-        coded.groupBy("_code")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    return (
-        grouped.select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def pairs_cosine_refilter(

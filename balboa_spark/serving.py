@@ -24,7 +24,7 @@ import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from balboa_spark.operators.query import DEFAULT_LIMIT, Query, rest_search
@@ -49,14 +49,20 @@ def to_graphql_entry(df: DataFrame) -> DataFrame:
     """Observation rows -> the GraphQL Entry field set: COF fields PLUS
     the RFC3339 time variants (query_graphql.go:95-108, resolvers
     :358-371). The plain REST shape (to_cof) has no rfc3339 fields."""
+    # convert_timezone(..., 'UTC') pins the rendered wall-clock to UTC
+    # regardless of spark.sql.session.timeZone, so the literal 'Z' is
+    # always truthful (get_spark pins UTC, but the store/session may
+    # come from elsewhere).
+    def rfc3339(col: str) -> Column:
+        return F.date_format(
+            F.expr(f"convert_timezone('UTC', timestamp_seconds({col}))"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        )
+
     return to_cof(df).select(
         "*",
-        F.date_format(F.timestamp_seconds("time_first"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
-            "time_first_rfc3339"
-        ),
-        F.date_format(F.timestamp_seconds("time_last"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
-            "time_last_rfc3339"
-        ),
+        rfc3339("time_first").alias("time_first_rfc3339"),
+        rfc3339("time_last").alias("time_last_rfc3339"),
     )
 
 
@@ -107,21 +113,30 @@ def make_handler(store: ObservationStore, stats=None):
             self.end_headers()
             self.wfile.write(body)
 
+        _count_cache: dict[int, int] = {}
+
         def do_GET(self):  # noqa: N802
             url = urlparse(self.path)
             if url.path == "/stats":
                 # the GraphQL stats() query (query_graphql.go:299-311):
-                # total_count + the parallelism analog of num_goroutines
-                body = json.dumps(
-                    {
-                        "data": {
-                            "stats": {
-                                "total_count": store.forward().count(),
-                                "num_goroutines": store.spark.sparkContext.defaultParallelism,
-                            }
-                        }
-                    }
-                ).encode()
+                # total_count + the parallelism analog of num_goroutines.
+                # The count job runs once per store GENERATION (the
+                # reference's total_count is an O(1) counter; here the
+                # generation id makes the cached count exact — a merge
+                # flips the manifest, invalidating the cache key).
+                man = store._manifest() or {}
+                gen = man.get("generation", -1)
+                cache = Handler._count_cache
+                if gen not in cache:
+                    cache.clear()
+                    cache[gen] = store.forward().count()
+                payload = {
+                    "total_count": cache[gen],
+                    "num_goroutines": store.spark.sparkContext.defaultParallelism,
+                }
+                if stats is not None:
+                    payload["counters"] = stats.counters.snapshot()
+                body = json.dumps({"data": {"stats": payload}}).encode()
                 self._write(200, body, "application/json")
                 return
             prefix = "/pdns/query/"

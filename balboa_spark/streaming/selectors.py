@@ -24,6 +24,7 @@ static engine can and should refuse them).
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
@@ -144,15 +145,17 @@ def route(df: DataFrame, routes: dict[str, Sequence[str]]) -> dict[str, DataFram
 
 def _load_pattern_file(path: str) -> list[str]:
     """One-regex-per-line file, empty lines skipped, every line must
-    compile — fatal otherwise (selector_regex.go:109-124)."""
-    import re as _re
-
+    compile — fatal otherwise (selector_regex.go:109-124). Deliberate
+    deviation: trailing CR is stripped (the reference splits on bare
+    \\n, so a CRLF file there yields patterns with an embedded \\r
+    that silently never match — permissive superset here)."""
     with open(path) as f:
-        lines = [s for s in f.read().split("\n") if s != ""]
+        lines = [s.rstrip("\r") for s in f.read().split("\n")]
+    lines = [s for s in lines if s != ""]
     for s in lines:
         try:
-            _re.compile(s)
-        except _re.error as ex:
+            re.compile(s)
+        except re.error as ex:
             raise ValueError(f"regexp {s!r} does not compile: {ex}") from ex
     return lines
 
@@ -175,8 +178,6 @@ def load_selector_yaml(
     a Python callable for type "lua" rules (the X2 scriptable slot):
     a callable taking a pd.Series of rrnames -> boolean Series.
     """
-    import os as _os
-
     rules = []
     for spec in cfg.get("selectors", ()):
         name = spec["name"]
@@ -188,7 +189,7 @@ def load_selector_yaml(
                     patterns.extend(pattern_files[fname])
                 elif base_dir is not None:
                     patterns.extend(
-                        _load_pattern_file(_os.path.join(base_dir, fname))
+                        _load_pattern_file(os.path.join(base_dir, fname))
                     )
             rules.append(
                 SelectorRule(

@@ -23,7 +23,10 @@ class Counters:
     inserts: int = 0  # rows folded in (engine.c counter i)
     queries: int = 0  # point queries served (counter q)
     errors: int = 0  # failed batches / requests (counter e)
-    bytes_in: int = 0  # bytes read by micro-batches where reported
+    # Spark's file source reports backlog (bytes not yet processed),
+    # not bytes-read; exposing the gauge honestly beats mislabeling it
+    # as the reference's cumulative bytes counter.
+    backlog_bytes: int = 0
     batches: int = 0
     started_at: float = field(default_factory=time.time)
 
@@ -33,7 +36,7 @@ class Counters:
             "inserts": self.inserts,
             "queries": self.queries,
             "errors": self.errors,
-            "bytes_in": self.bytes_in,
+            "backlog_bytes": self.backlog_bytes,
             "batches": self.batches,
         }
 
@@ -57,9 +60,11 @@ class EngineStatsListener(StreamingQueryListener):
         with self._lock:
             self.counters.batches += 1
             self.counters.inserts += int(p.numInputRows)
+            backlog = 0
             for s in p.sources:
                 m = s.metrics or {}
-                self.counters.bytes_in += int(m.get("numBytesOutstanding", 0) or 0)
+                backlog += int(m.get("numBytesOutstanding", 0) or 0)
+            self.counters.backlog_bytes = backlog  # gauge, not cumulative
             now = time.time()
             if self._log is not None and now - self._last_report >= self._report_every:
                 self._last_report = now

@@ -163,6 +163,23 @@ def test_lsh_candidate_pairs_recall_and_pruning(spark):
     assert len(cand) < 0.25 * n * (n - 1) / 2  # and it actually prunes
 
 
+def test_lsh_candidate_pairs_hub_bucket_chains(spark):
+    """A mass-duplicate cluster (identical vectors -> same bucket in
+    every table) must emit LINEAR chain pairs, not O(m²) all-pairs —
+    and still connect into one component downstream."""
+    v = [1.0] * 16
+    rows = [(i, v) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.lsh_candidate_pairs(df, dim=16, max_bucket=10).collect()
+    # chain: 49 consecutive pairs (identical across all 16 tables),
+    # not C(50,2) = 1225
+    assert sorted((r.id_a, r.id_b) for r in pairs) == [(i, i + 1) for i in range(49)]
+    comp = dedup.connected_components(
+        spark.createDataFrame(pairs, "id_a long, id_b long")
+    ).collect()
+    assert {r.comp for r in comp} == {0} and len(comp) == 50
+
+
 def test_embedding_near_dedup_lsh_matches_exact(spark):
     """End-to-end embedding near-dedup: the LSH-candidate path (with
     exact cosine refilter) produces the same keep-set as the exact
