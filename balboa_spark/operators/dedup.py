@@ -81,7 +81,7 @@ def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -89,22 +89,12 @@ def minhash_lsh_pairs(
     num_bands: int = 4,
     k: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
-
-    Plan shape: project shingles once -> project the H min-hashes (each
-    referenced exactly once by its band digest) -> explode bands ->
-    shuffle on (band_idx, band_hash) -> per-bucket self-join ->
-    distinct pairs. No cross join anywhere; bucket sizes are bounded
-    because a band collision already implies high similarity.
-
-    Round-1 lesson: passing the assembled signature *expression* into
-    F.get-based banding duplicated the whole 16-min-hash subtree per
-    slot (64 array_min nodes, re-tokenizing every doc ~16x — 262 s for
-    5k docs). Staged projections + one-use-per-expression keep the
-    optimized plan at exactly H array_min nodes over one shingle
-    column; Catalyst's CollapseProject leaves multi-referenced
-    non-cheap aliases staged.
-    """
+    """(id, band_idx, band_hash) — each document's banded MinHash
+    signature, the join key of LSH candidate generation. Staged
+    projections keep the optimized plan at exactly H array_min nodes
+    (see minhash_lsh_pairs). Also the unit an incremental dedup store
+    persists: band collisions against STORED bands find near-dups of
+    already-ingested documents without recomputing anything."""
     rows_per_band = num_hashes // num_bands
 
     def seeded(h: int):
@@ -130,9 +120,36 @@ def minhash_lsh_pairs(
         )
         for b in range(num_bands)
     ]
-    bands = sig_cols.select(
+    return sig_cols.select(
         "id", F.posexplode(F.array(*band_digests)).alias("band_idx", "band_hash")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    Plan shape: project shingles once -> project the H min-hashes (each
+    referenced exactly once by its band digest) -> explode bands ->
+    shuffle on (band_idx, band_hash) -> per-bucket self-join ->
+    distinct pairs. No cross join anywhere; bucket sizes are bounded
+    because a band collision already implies high similarity.
+
+    Round-1 lesson: passing the assembled signature *expression* into
+    F.get-based banding duplicated the whole 16-min-hash subtree per
+    slot (64 array_min nodes, re-tokenizing every doc ~16x — 262 s for
+    5k docs). Staged projections + one-use-per-expression keep the
+    optimized plan at exactly H array_min nodes over one shingle
+    column; Catalyst's CollapseProject leaves multi-referenced
+    non-cheap aliases staged.
+    """
+    bands = minhash_bands(df, text_col, id_col, num_hashes, num_bands, k)
     # Bucket-group instead of self-join: one shuffle on the band key and
     # the signatures are computed ONCE (a self-join re-derives the whole
     # signature subtree on each side — measured 1.6x slower at sf0.1).
