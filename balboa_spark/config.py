@@ -214,6 +214,10 @@ def serve(
                 # transports attach per-request sensor ids via the
                 # landing layout; static file feeders use sensor_id
                 sensor_from_path=SENSOR_PATH_RE if f.type in ("http", "socket") else None,
+                # each feeder is its own StreamingQuery: scope the
+                # stores' epoch replay gate by feeder name so feeders
+                # sharing a backend never gate each other
+                stream_id=f.name,
             )
         )
     return queries, stores, running

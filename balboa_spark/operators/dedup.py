@@ -22,10 +22,56 @@ valid uniform min-hash).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import functools
+import operator
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from balboa_spark.operators.text import _shingles, fingerprint, tokens
+
+
+def bucket_pairs(
+    bucketed: DataFrame,
+    keys: Sequence[str],
+    id_col: str = "id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(id_a < id_b) pairs of ids sharing a bucket key — the pair
+    expansion every LSH family ends in, made hub-safe:
+
+    - buckets of <= max_bucket members expand to all pairs via a
+      streamed key-equi self-join (AQE-splittable; never an in-memory
+      neighborhood array),
+    - LARGER buckets are mass-duplicate clusters (boilerplate docs,
+      identical vectors): all-pairs there is O(m²) rows for zero extra
+      information, so they emit consecutive-id CHAIN pairs via a
+      spillable window — identical connected components downstream at
+      linear cost.
+
+    Callers should pass an already-materialized ``bucketed`` relation
+    (localCheckpoint) when the bucket key is expensive to compute: the
+    self-join references it twice."""
+    sizes = bucketed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    sized = bucketed.join(sizes, list(keys)).filter(F.col("_n") > 1)
+    small = sized.filter(F.col("_n") <= max_bucket).drop("_n")
+    a, b = small.alias("a"), small.alias("b")
+    same_bucket = functools.reduce(
+        operator.and_, [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+    )
+    small_pairs = a.join(
+        b, same_bucket & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    big = sized.filter(F.col("_n") > max_bucket)
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    big_pairs = (
+        big.select(F.lag(id_col).over(w).alias("id_a"), F.col(id_col).alias("id_b"))
+        .filter(F.col("id_a").isNotNull())
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 # -- exact ------------------------------------------------------------------
@@ -149,23 +195,15 @@ def minhash_lsh_pairs(
     column; Catalyst's CollapseProject leaves multi-referenced
     non-cheap aliases staged.
     """
-    bands = minhash_bands(df, text_col, id_col, num_hashes, num_bands, k)
-    # Bucket-group instead of self-join: one shuffle on the band key and
-    # the signatures are computed ONCE (a self-join re-derives the whole
-    # signature subtree on each side — measured 1.6x slower at sf0.1).
-    # Bucket membership lists stay small because a band collision
-    # already implies high similarity.
-    grouped = (
-        bands.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    return (
-        grouped.select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    # Materialize the bands once (the self-join inside bucket_pairs
+    # references them twice; without the cut it would re-derive the
+    # whole signature subtree per side — measured 1.6x slower at
+    # sf0.1, the round-1 lesson). bucket_pairs keeps giant band
+    # buckets (mass-duplicate clusters) linear via chain pairs.
+    bands = minhash_bands(
+        df, text_col, id_col, num_hashes, num_bands, k
+    ).localCheckpoint(eager=True)
+    return bucket_pairs(bands, ["band_idx", "band_hash"], "id")
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -331,6 +369,15 @@ def connected_components(
         if prev_sig == (sig["n"], sig["h"]):
             break
         prev_sig = (sig["n"], sig["h"])
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iterations={max_iterations} before "
+            "the star fixpoint; labels are an under-merged approximation",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # stars: (child u, root v); roots and isolated nodes label
     # themselves. groupBy-min guards the labels' uniqueness even if
     # max_iterations cut the loop before the exact fixpoint.

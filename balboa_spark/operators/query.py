@@ -45,6 +45,8 @@ class Query:
         # query/query_graphql.go:242-246: at least one of rdata/rrname.
         if self.rdata is None and self.rrname is None:
             raise ValueError("query must provide rdata or rrname")
+        if not isinstance(self.limit, int) or self.limit < 0:
+            raise ValueError(f"limit must be a non-negative integer, got {self.limit!r}")
 
 
 def _canonical(df: DataFrame) -> DataFrame:

@@ -323,27 +323,15 @@ def lsh_candidate_pairs(
     exact refilter would break a chain link while keeping a skipped
     all-pairs link; at the high thresholds where over-cap buckets
     arise (near-identical payloads) links are interchangeable."""
+    from balboa_spark.operators.dedup import bucket_pairs
+
     coded = df.select(
         F.col(id_col).alias("id"),
         F.explode(lsh_bucket_codes(vec_col, dim, num_tables, num_planes, seed)).alias(
             "_code"
         ),
     ).localCheckpoint(eager=True)
-    sizes = coded.groupBy("_code").agg(F.count(F.lit(1)).alias("_n"))
-    sized = coded.join(sizes, "_code").filter(F.col("_n") > 1)
-    small = sized.filter(F.col("_n") <= max_bucket).drop("_n")
-    a, b = small.alias("a"), small.alias("b")
-    small_pairs = a.join(
-        b,
-        (F.col("a._code") == F.col("b._code")) & (F.col("a.id") < F.col("b.id")),
-    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    big = sized.filter(F.col("_n") > max_bucket)
-    w = Window.partitionBy("_code").orderBy("id")
-    big_pairs = (
-        big.select(F.lag("id").over(w).alias("id_a"), F.col("id").alias("id_b"))
-        .filter(F.col("id_a").isNotNull())
-    )
-    return small_pairs.unionByName(big_pairs).distinct()
+    return bucket_pairs(coded, ["_code"], "id", max_bucket)
 
 
 def pairs_cosine_refilter(

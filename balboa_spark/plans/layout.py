@@ -147,24 +147,43 @@ class ObservationStore:
 
     # -- write side ---------------------------------------------------------
 
-    def write(self, agg_df: DataFrame, epoch_id: int | None = None) -> None:
+    def write(
+        self,
+        agg_df: DataFrame,
+        epoch_id: int | None = None,
+        stream_id: str = "default",
+    ) -> None:
         """Write both layouts as a fresh generation + flip the manifest."""
         man = self._manifest()
         gen = man["generation"] + 1 if man else 0
         gen_dir = self._gen_dir(gen)
         for name, (key, order) in _LAYOUTS.items():
             self._write_layout(agg_df, os.path.join(gen_dir, name), key, order)
-        self._commit(gen, man, epoch_id)
+        self._commit(gen, man, epoch_id, stream_id)
 
-    def _commit(self, gen: int, prev_man: dict | None, epoch_id: int | None) -> None:
-        last_epoch = epoch_id if epoch_id is not None else (prev_man or {}).get("last_epoch")
+    def _commit(
+        self,
+        gen: int,
+        prev_man: dict | None,
+        epoch_id: int | None,
+        stream_id: str = "default",
+    ) -> None:
+        # Epochs are tracked PER STREAM: foreachBatch epoch ids are
+        # per-StreamingQuery counters, so two feeders merging into the
+        # same store must not gate each other (feeder B's epoch 0 is
+        # not a replay of feeder A's epoch 0).
+        last_epochs = dict((prev_man or {}).get("last_epochs") or {})
+        if not last_epochs and (prev_man or {}).get("last_epoch") is not None:
+            last_epochs["default"] = prev_man["last_epoch"]  # legacy manifest
+        if epoch_id is not None:
+            last_epochs[stream_id] = epoch_id
         self._flip_manifest(
             {
                 "generation": gen,
                 "num_buckets": self.num_buckets,
                 "layouts": {n: list(order) for n, (_k, order) in _LAYOUTS.items()},
                 "written_at": int(time.time()),
-                "last_epoch": last_epoch,
+                "last_epochs": last_epochs,
             }
         )
         self.vacuum(keep_last=2)
@@ -179,46 +198,50 @@ class ObservationStore:
             .parquet(out)
         )
 
-    def merge(self, new_obs: DataFrame, epoch_id: int | None = None) -> None:
+    def merge(
+        self,
+        new_obs: DataFrame,
+        epoch_id: int | None = None,
+        stream_id: str = "default",
+    ) -> None:
         """A2/T1: fold a new input-observation batch into the store.
 
         Selective-bucket MERGE: only partitions whose bucket contains a
         batch key are re-folded and rewritten; the rest of the new
         generation is hard-linked from the previous one. Cost scales
-        with the batch, not the store. ``epoch_id`` (from foreachBatch)
-        makes replays no-ops — see the module docstring.
+        with the batch, not the store. ``(stream_id, epoch_id)`` (from
+        foreachBatch) makes replays no-ops — epoch counters are
+        per-StreamingQuery, so the gate must be scoped per stream or a
+        second feeder's early epochs would be dropped as 'replays'.
         """
         man = self._manifest()
-        if (
-            epoch_id is not None
-            and man is not None
-            and man.get("last_epoch") is not None
-            and epoch_id <= man["last_epoch"]
-        ):
+        last = None
+        if man is not None:
+            last = (man.get("last_epochs") or {}).get(stream_id)
+            if last is None and stream_id == "default":
+                last = man.get("last_epoch")  # legacy manifest
+        if epoch_id is not None and last is not None and epoch_id <= last:
             return  # replayed micro-batch: already folded (T5)
         if man is None:
             from balboa_spark.operators.aggregate import aggregate
 
-            self.write(aggregate(new_obs), epoch_id=epoch_id)
+            self.write(aggregate(new_obs), epoch_id=epoch_id, stream_id=stream_id)
             return
 
         gen = man["generation"] + 1
         gen_dir = self._gen_dir(gen)
         old_dir = self._gen_dir(man["generation"])
-        # both layouts' touched-bucket sets in ONE job (distinct pairs,
-        # bounded by num_buckets^2) — merge is on the streaming hot
-        # path, so per-batch Spark jobs matter
-        pairs = (
-            new_obs.select(
-                _bucket("rrname", self.num_buckets).alias("b_rrname"),
-                _bucket("rdata", self.num_buckets).alias("b_rdata"),
-            )
-            .distinct()
-            .collect()
-        )
+        # both layouts' touched-bucket sets in ONE job — merge is on
+        # the streaming hot path, so per-batch Spark jobs matter. Two
+        # collect_sets bound the driver result at 2*num_buckets values
+        # (a distinct over the PAIRS would be num_buckets² rows).
+        row = new_obs.agg(
+            F.collect_set(_bucket("rrname", self.num_buckets)).alias("br"),
+            F.collect_set(_bucket("rdata", self.num_buckets)).alias("bd"),
+        ).collect()[0]
         touched_by_key = {
-            "rrname": sorted({r["b_rrname"] for r in pairs}),
-            "rdata": sorted({r["b_rdata"] for r in pairs}),
+            "rrname": sorted(row["br"]),
+            "rdata": sorted(row["bd"]),
         }
         for name, (key, order) in _LAYOUTS.items():
             touched = touched_by_key[key]
@@ -237,7 +260,7 @@ class ObservationStore:
                         _link_tree(
                             os.path.join(old_layout, entry), os.path.join(out, entry)
                         )
-        self._commit(gen, man, epoch_id)
+        self._commit(gen, man, epoch_id, stream_id)
 
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop generations older than the newest ``keep_last``. The

@@ -151,6 +151,8 @@ def make_handler(store: ObservationStore, stats=None):
                     limit = int(qs["limit"][0])
                 except ValueError:
                     pass
+                if limit < 0:
+                    limit = DEFAULT_LIMIT  # ignore nonsense, like bad parses
             if stats is not None:
                 stats.count_query()
             lines = ndjson_rows(rest_query_store(store, subject, limit))
@@ -178,8 +180,9 @@ def make_handler(store: ObservationStore, stats=None):
                 q.validate()
                 with_aliases = bool(args.get("aliases", False))
                 alias_limit = int(args.get("alias_limit", DEFAULT_LIMIT))
-            except (ValueError, json.JSONDecodeError) as ex:
-                # graphql-layer validation error (query_graphql.go:242-246)
+            except (ValueError, TypeError, json.JSONDecodeError) as ex:
+                # graphql-layer validation error (query_graphql.go:242-246);
+                # TypeError covers null/typed-wrong limit args (int(None))
                 body = json.dumps({"errors": [str(ex)]}).encode()
                 self._write(400, body, "application/json")
                 return

@@ -193,17 +193,8 @@ def parse_newdomain(buf: bytes) -> dict | None:
 
     def varint() -> int:
         nonlocal i
-        shift = val = 0
-        while i < n:
-            b = buf[i]
-            i += 1
-            val |= (b & 0x7F) << shift
-            if not b & 0x80:
-                return val
-            shift += 7
-            if shift > 63:
-                break
-        raise ValueError("truncated varint")
+        val, i = _read_varint(buf, i)
+        return val
 
     try:
         while i < n:

@@ -56,8 +56,15 @@ def ingest_stream(
     checkpoint: str | None = None,
     max_files_per_trigger: int | None = None,
     sensor_from_path: str | None = None,
+    stream_id: str | None = None,
 ):
     """Start a streaming ingest job; returns the StreamingQuery.
+
+    stream_id scopes the stores' epoch replay gate: foreachBatch epoch
+    counters are per-StreamingQuery, so every distinct feeder merging
+    into a shared store needs its own id (config.serve passes the
+    feeder name). Defaults to the checkpoint path, else the input
+    path — stable across restarts of the same stream.
 
     stores: route name -> ObservationStore. With routes=None a single
     route "default" receiving everything is assumed.
@@ -77,6 +84,8 @@ def ingest_stream(
 
     from pyspark.sql import functions as F
 
+    if stream_id is None:
+        stream_id = checkpoint or input_path
     if routes is None:
         routes = {name: [] for name in stores}
     unknown = set(routes) - set(stores)
@@ -132,7 +141,7 @@ def ingest_stream(
             obs = obs.withColumn("tags", F.array().cast("array<string>"))
         obs = obs.localCheckpoint(eager=True)  # parse once, not once per route
         for name, tagged in route_fn(obs, routes).items():
-            stores[name].merge(tagged, epoch_id=epoch_id)
+            stores[name].merge(tagged, epoch_id=epoch_id, stream_id=stream_id)
 
     writer = lines.writeStream.foreachBatch(process_batch)
     if checkpoint:

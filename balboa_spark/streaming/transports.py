@@ -172,7 +172,10 @@ class NmsgUdpFeeder:
     def _loop(self) -> None:
         while not self._stop.is_set():
             try:
-                data, _addr = self._sock.recvfrom(max(self.mtu, 65535))
+                # MTU-sized receive buffer, like the reference's Recv
+                # loop (feeder_nmsg_socket.go:46-72): a datagram larger
+                # than the advertised MTU is truncated there too
+                data, _addr = self._sock.recvfrom(self.mtu)
             except socket.timeout:
                 continue
             except OSError:

@@ -173,6 +173,23 @@ def test_epoch_idempotent_merge(spark, store):
     assert r["count"] == 20
 
 
+def test_epoch_gate_is_per_stream(spark, store):
+    """foreachBatch epoch counters are per-StreamingQuery: two feeders
+    sharing one backend each start at epoch 0, so the replay gate must
+    be scoped by stream — feeder B's epoch 0 is NOT a replay of
+    feeder A's."""
+    ts2 = dt.datetime(2021, 6, 1)
+    more = spark.createDataFrame(
+        [(5, "NOERROR", "1.2.3.4", "A", "foo", "abc", ts2, ts2, [])],
+        seed_obs(spark).schema,
+    )
+    store.merge(more, epoch_id=0, stream_id="feederA")
+    store.merge(more, epoch_id=0, stream_id="feederB")  # must fold
+    store.merge(more, epoch_id=0, stream_id="feederA")  # replay: no-op
+    r = store.query(Query(rrname="foo")).collect()[0]
+    assert r["count"] == 20  # 10 seed + 5 from A + 5 from B
+
+
 def test_selective_merge_links_untouched_buckets(spark, store):
     """Merge cost scales with the batch: buckets without a touched key
     are hard-linked (same inode) from the previous generation, not

@@ -17,11 +17,13 @@ def _corpus(spark, n=50):
 
 
 def test_minhash_no_expression_explosion(spark):
-    """The optimized plan must hold exactly num_hashes array_min nodes
-    (round 1 had 4x that: the signature subtree was re-inlined per
-    band slot) and tokenize each side once."""
+    """The optimized band plan must hold exactly num_hashes array_min
+    nodes (round 1 had 4x that: the signature subtree was re-inlined
+    per band slot). minhash_lsh_pairs materializes this relation once
+    (localCheckpoint) before the pair self-join, so the band plan IS
+    the whole signature cost."""
     plan = (
-        dedup.minhash_lsh_pairs(_corpus(spark), num_hashes=16, num_bands=4)
+        dedup.minhash_bands(_corpus(spark), num_hashes=16, num_bands=4)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
