@@ -182,11 +182,13 @@ ORACLES: dict[str, str] = {
     ),
 }
 
+from balboa_spark.entry_queries_corpus import ORACLES_CORPUS, QUERIES_CORPUS
 from balboa_spark.entry_queries_docs import ORACLES_DOCS, QUERIES_DOCS
 from balboa_spark.entry_queries_extra import ORACLES_EXTRA, QUERIES_EXTRA
 
 ORACLES.update(ORACLES_DOCS)
 ORACLES.update(ORACLES_EXTRA)
+ORACLES.update(ORACLES_CORPUS)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "observations_agg": q_observations_agg,
@@ -201,3 +203,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 QUERIES.update(QUERIES_DOCS)
 QUERIES.update(QUERIES_EXTRA)
+QUERIES.update(QUERIES_CORPUS)

@@ -1,0 +1,194 @@
+"""Driver queries + DuckDB oracles for the corpus-preparation
+operators (balboa_spark.operators.corpus): repetition/quality signals,
+deterministic hash split, vocabulary top-k, benchmark contamination.
+
+The oracle SQL is generated from the same constants the Spark
+operators use (thresholds, salt, n-gram sizes) so both sides express
+one definition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from balboa_spark.operators import corpus
+from balboa_spark.operators.corpus import (
+    MAX_DUP_TOKEN_FRAC,
+    MAX_TOP_2GRAM_FRAC,
+    MIN_TOKENS,
+    SPLIT_SALT,
+    TRAIN_HEX,
+    VAL_HEX,
+)
+from balboa_spark.session import load_tables
+
+#: DuckDB token CTE shared by every oracle here (identical tokenizer
+#: to operators.text.tokens: lowercase, split on whitespace, drop
+#: empties).
+_TOKS_SQL = r"""
+toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+)
+"""
+
+
+def _grams_sql(src: str, k: int) -> str:
+    """DuckDB word k-shingles of a token-list column ``tk`` (1-based,
+    inclusive list_slice) — the twin of operators.text._shingles."""
+    return (
+        f"CASE WHEN len({src}) >= {k} THEN "
+        f"list_transform(range(1, len({src}) - {k - 2}), "
+        f"i -> array_to_string(list_slice({src}, i, i + {k - 1}), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, names=("documents",))["documents"]
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.gopher_filter(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_MODE_FRAC_SQL = (
+    "CASE WHEN len({g}) > 0 THEN round(list_max(list_transform("
+    "list_distinct({g}), d -> len(list_filter({g}, x -> x = d))))::DOUBLE"
+    " / len({g}), 4) ELSE 0.0 END"
+)
+
+QUALITY_SIGNALS_ORACLE = f"""
+WITH {_TOKS_SQL},
+grams AS (
+  SELECT doc_id, tk,
+         {_grams_sql('tk', 2)} AS g2,
+         {_grams_sql('tk', 3)} AS g3,
+         len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS sym
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         len(tk) AS n_tokens,
+         round(1.0 - len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1), 4)
+           AS dup_token_frac,
+         {_MODE_FRAC_SQL.format(g='g2')} AS top_2gram_frac,
+         {_MODE_FRAC_SQL.format(g='g3')} AS top_3gram_frac,
+         round(sym::DOUBLE / greatest(len(tk), 1), 4) AS symbol_token_ratio
+  FROM grams
+)
+SELECT *,
+       (n_tokens >= {MIN_TOKENS}
+        AND dup_token_frac <= {MAX_DUP_TOKEN_FRAC}
+        AND top_2gram_frac <= {MAX_TOP_2GRAM_FRAC}) AS keep
+FROM sig ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split
+# ---------------------------------------------------------------------------
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        corpus.hash_split(_docs(spark, sf_dir))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+HASH_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN hb < '{TRAIN_HEX}' THEN 'train'
+            WHEN hb < '{VAL_HEX}' THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         substring(md5(doc_id::VARCHAR || ':{SPLIT_SALT}'), 1, 2) AS hb
+  FROM documents
+) ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary top-k
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 50
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.vocab_topk(_docs(spark, sf_dir), k=VOCAB_K)
+
+
+VOCAB_TOPK_ORACLE = f"""
+WITH {_TOKS_SQL},
+tok AS (SELECT doc_id, unnest(tk) AS token FROM toks)
+SELECT token,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {VOCAB_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (8-gram overlap, GPT-3/WMDP style)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 8
+BENCH_MOD = 7  # benchmark = last-token-dropped variants of doc_id % 7 == 0
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic eval set: the last-token-dropped variants of every
+    7th document — partial-overlap positives by construction (the
+    same planting trick the near-dup oracles use)."""
+    docs = _docs(spark, sf_dir)
+    from balboa_spark.operators.text import tokens
+
+    tk = tokens(F.col("text"))
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.array_join(F.slice(tk, 1, F.size(tk) - 1), " ").alias("text")
+    )
+    return corpus.contamination_ngrams(docs, bench, n=NGRAM_N)
+
+
+CONTAMINATION_ORACLE = f"""
+WITH {_TOKS_SQL},
+bench_g AS (
+  SELECT DISTINCT unnest({_grams_sql('list_slice(tk, 1, len(tk) - 1)', NGRAM_N)}) AS gram
+  FROM toks WHERE doc_id % {BENCH_MOD} = 0
+),
+corpus_g AS (
+  SELECT doc_id, unnest(list_distinct({_grams_sql('tk', NGRAM_N)})) AS gram
+  FROM toks
+)
+SELECT c.doc_id, count(*) AS n_shared_ngrams
+FROM corpus_g c JOIN bench_g b USING (gram)
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+
+QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_quality_signals": q_quality_signals,
+    "corpus_hash_split": q_hash_split,
+    "corpus_vocab_topk": q_vocab_topk,
+    "corpus_contamination": q_contamination,
+}
+
+ORACLES_CORPUS: dict[str, str] = {
+    "corpus_quality_signals": QUALITY_SIGNALS_ORACLE,
+    "corpus_hash_split": HASH_SPLIT_ORACLE,
+    "corpus_vocab_topk": VOCAB_TOPK_ORACLE,
+    "corpus_contamination": CONTAMINATION_ORACLE,
+}

@@ -1,0 +1,111 @@
+"""Corpus-preparation operators: repetition signals, hash split,
+vocabulary top-k, contamination scan (balboa_spark.operators.corpus).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from balboa_spark.operators import corpus
+
+
+@pytest.fixture()
+def mini(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (3, "one two three four five six seven eight nine ten eleven twelve"),
+        (4, "a b"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_repetition_signals_flags_repetitive_doc(spark, mini):
+    sig = {r["doc_id"]: r for r in corpus.repetition_signals(mini).collect()}
+    # doc 2 is one token repeated: dup frac ~ 11/12, mode 2-gram is 100 %
+    assert sig[2]["dup_token_frac"] > 0.9
+    assert sig[2]["top_2gram_frac"] == 1.0
+    # doc 3 is all-distinct: zero duplication, every 2-gram unique
+    assert sig[3]["dup_token_frac"] == 0.0
+    assert sig[3]["top_2gram_frac"] == pytest.approx(1 / 11, abs=1e-4)
+    # doc 4 has one 2-gram and no 3-gram (guarded, not NaN/error)
+    assert sig[4]["top_3gram_frac"] == 0.0
+
+
+def test_gopher_filter_keeps_and_drops(spark, mini):
+    kept = {
+        r["doc_id"]: r["keep"] for r in corpus.gopher_filter(mini).collect()
+    }
+    # all minis are under MIN_TOKENS=30 -> dropped, including clean ones
+    assert kept == {1: False, 2: False, 3: False, 4: False}
+    long_clean = spark.createDataFrame(
+        [(9, " ".join(f"tok{i}" for i in range(60)))], ["doc_id", "text"]
+    )
+    assert corpus.gopher_filter(long_clean).collect()[0]["keep"] is True
+
+
+def test_hash_split_deterministic_and_proportional(spark, tables):
+    docs = tables["documents"]
+    split = corpus.hash_split(docs).select("doc_id", "split")
+    again = corpus.hash_split(docs.repartition(7)).select("doc_id", "split")
+    # reshuffle-stable: identical assignment regardless of partitioning
+    assert set(map(tuple, split.collect())) == set(map(tuple, again.collect()))
+    frac = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(frac.values())
+    assert frac["train"] / n == pytest.approx(0.80, abs=0.06)
+    assert frac["val"] / n == pytest.approx(0.10, abs=0.05)
+    assert frac["test"] / n == pytest.approx(0.10, abs=0.05)
+
+
+def test_hash_split_is_projection_only(spark, tables):
+    plan = (
+        corpus.hash_split(tables["documents"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # no shuffle for a split assignment
+
+
+def test_vocab_topk_counts(spark, mini):
+    top = corpus.vocab_topk(mini, k=3).collect()
+    assert [r["token"] for r in top][:2] == ["spam", "the"]
+    spam = top[0]
+    assert spam["n_occurrences"] == 12 and spam["n_docs"] == 1
+    the = top[1]
+    assert the["n_occurrences"] == 3 and the["n_docs"] == 1
+
+
+def test_contamination_finds_planted_overlap(spark):
+    base = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, base),  # full overlap with the benchmark doc
+        (2, base.replace("w3", "x3")),  # partial: shares suffix 8-grams
+        (3, " ".join(f"z{i}" for i in range(20))),  # disjoint
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(base,)], ["text"])
+    hits = {r["doc_id"]: r["n_shared_ngrams"] for r in
+            corpus.contamination_ngrams(docs, bench, n=8).collect()}
+    assert hits[1] == 13  # all 20-8+1 grams shared
+    assert 0 < hits[2] < 13  # only grams not covering w3
+    assert 3 not in hits  # disjoint doc never appears
+
+
+def test_contamination_broadcasts_only_benchmark(spark, tables):
+    docs = tables["documents"]
+    bench = docs.limit(5).select("text")
+    plan = (
+        corpus.contamination_ngrams(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # benchmark side broadcast, corpus side streamed: exactly one
+    # BroadcastExchange and it feeds a BroadcastHashJoin
+    assert plan.count("BroadcastExchange") == 1
+    assert "BroadcastHashJoin" in plan
