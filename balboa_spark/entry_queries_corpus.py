@@ -14,14 +14,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from balboa_spark.obsmap import with_obs_cte
 from balboa_spark.operators import corpus
 from balboa_spark.operators.corpus import (
     MAX_DUP_TOKEN_FRAC,
     MAX_TOP_2GRAM_FRAC,
     MIN_TOKENS,
+    PII_RULES,
     SPLIT_SALT,
     TRAIN_HEX,
     VAL_HEX,
+    sample_threshold_hex,
 )
 from balboa_spark.session import load_tables
 
@@ -179,11 +182,121 @@ GROUP BY c.doc_id ORDER BY c.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (exercised on observation-derived log lines, whose
+# rdata is IPv4-shaped and whose sensor id forms a real email — both
+# patterns fire on every row)
+# ---------------------------------------------------------------------------
+
+#: shared Spark-SQL/DuckDB body building the text to scrub
+_PII_LINES_BODY = """
+SELECT event_id,
+       concat('user ', sensor_id, '@clients.example.com queried ',
+              rrname, ' -> ', rdata) AS text
+FROM input_observations
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("events",))
+    lines = spark.sql(with_obs_cte(_PII_LINES_BODY))
+    return corpus.redact_pii(lines, id_col="event_id").orderBy("event_id")
+
+
+def _pii_redact_sql(col: str) -> str:
+    expr = col
+    for _, pat, repl in PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+_PII_COUNTS_SQL = ", ".join(
+    f"len(regexp_extract_all(text, '{pat}')) AS {name}"
+    for name, pat, _ in PII_RULES
+)
+
+PII_REDACT_ORACLE = with_obs_cte(
+    f"""
+SELECT event_id,
+       {_pii_redact_sql('text')} AS text_redacted,
+       {_PII_COUNTS_SQL}
+FROM ({_PII_LINES_BODY})
+ORDER BY event_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sample
+# ---------------------------------------------------------------------------
+
+SAMPLE_FRACS = {"en": 0.5, "zh": 0.2}
+SAMPLE_DEFAULT = 0.1
+SAMPLE_SALT = "sample"
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        corpus.hash_sample(
+            _docs(spark, sf_dir), SAMPLE_FRACS, SAMPLE_DEFAULT, salt=SAMPLE_SALT
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_SAMPLE_CASE = " ".join(
+    f"WHEN '{s}' THEN '{sample_threshold_hex(f)}'" for s, f in sorted(SAMPLE_FRACS.items())
+)
+
+HASH_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         substring(md5(doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8) AS h8
+  FROM documents
+)
+WHERE h8 < CASE lang {_SAMPLE_CASE}
+           ELSE '{sample_threshold_hex(SAMPLE_DEFAULT)}' END
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# trigram familiarity (CCNet-style LM quality proxy)
+# ---------------------------------------------------------------------------
+
+def q_trigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.trigram_familiarity(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+TRIGRAM_FAMILIARITY_ORACLE = """
+WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+tri AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i:i+2])) AS tri
+  FROM t
+),
+freq AS (SELECT tri, count(*) AS freq FROM tri GROUP BY tri),
+scored AS (
+  SELECT doc_id,
+         count(*) AS n_trigrams,
+         cast(sum(freq) AS BIGINT) AS sum_freq
+  FROM tri JOIN freq USING (tri)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_trigrams, sum_freq,
+       round(sum_freq::DOUBLE / n_trigrams::DOUBLE, 2) AS familiarity
+FROM scored ORDER BY doc_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
     "corpus_vocab_topk": q_vocab_topk,
     "corpus_contamination": q_contamination,
+    "corpus_pii_redact": q_pii_redact,
+    "corpus_hash_sample": q_hash_sample,
+    "corpus_trigram_familiarity": q_trigram_familiarity,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -191,4 +304,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_hash_split": HASH_SPLIT_ORACLE,
     "corpus_vocab_topk": VOCAB_TOPK_ORACLE,
     "corpus_contamination": CONTAMINATION_ORACLE,
+    "corpus_pii_redact": PII_REDACT_ORACLE,
+    "corpus_hash_sample": HASH_SAMPLE_ORACLE,
+    "corpus_trigram_familiarity": TRIGRAM_FAMILIARITY_ORACLE,
 }

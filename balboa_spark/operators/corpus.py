@@ -18,6 +18,11 @@ Scale notes (100 TB):
 - contamination_ngrams broadcasts only the BENCHMARK side — an eval
   set is bounded by construction (thousands of docs), never corpus-
   cardinality — and shuffles the corpus once on the n-gram key.
+- redact_pii / hash_sample are pure projections (no shuffle).
+- trigram_familiarity makes two passes over the corpus (train the
+  frequency table, then score against it — the CCNet shape); the
+  frequency table is bounded by charset³, so its join side is
+  broadcast-safe at any corpus size.
 """
 
 from __future__ import annotations
@@ -155,6 +160,125 @@ def vocab_topk(
         F.countDistinct("doc_id").alias("n_docs"),
     )
     return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+
+
+#: PII patterns — literal text shared with the DuckDB oracles (kept to
+#: the Java-regex ∩ RE2 common dialect: no backrefs, no lookaround).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+#: (count column, pattern, replacement) — applied in this order; the
+#: counts are taken on the ORIGINAL text, so a span consumed by an
+#: earlier replacement still counts under later patterns.
+PII_RULES = (
+    ("n_emails", PII_EMAIL, "<EMAIL>"),
+    ("n_ips", PII_IPV4, "<IP>"),
+    ("n_phones", PII_PHONE, "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrub for training text: mask emails, IPv4s, and phone-like
+    digit runs, and report per-kind match counts.
+
+    One projection, three chained ``regexp_replace`` — JVM-side
+    codegen, no shuffle, no UDF. Counts are computed on the input text
+    (before any masking) so the columns are independent signals.
+    """
+    redacted = F.col(text_col)
+    for _, pat, repl in PII_RULES:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.select(
+        F.col(id_col),
+        redacted.alias("text_redacted"),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(name)
+            for name, pat, _ in PII_RULES
+        ],
+    )
+
+
+def sample_threshold_hex(frac: float) -> str:
+    """The 8-hex-digit threshold under which md5-prefix sampling keeps
+    a row: first 8 hex digits of md5 are uniform on [0, 16^8)."""
+    frac = min(max(frac, 0.0), 1.0)
+    return format(round(frac * 16**8), "08x")
+
+
+def hash_sample(
+    df: DataFrame,
+    fracs: dict[str, float],
+    default_frac: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified Bernoulli sample: keep a row iff the
+    first 8 hex digits of md5(id:salt) fall under the stratum's
+    threshold. Unlike ``DataFrame.sample`` this is reproducible across
+    runs, repartitioning, and cluster size — the property a training-
+    data pipeline needs so re-runs produce the same corpus. Pure
+    projection + filter: no shuffle, no RNG state.
+    """
+    h8 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+    )
+    thr: Column = F.lit(sample_threshold_hex(default_frac))
+    for stratum, frac in sorted(fracs.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(sample_threshold_hex(frac))
+        ).otherwise(thr)
+    return df.filter(h8 < thr)
+
+
+def char_trigrams(text: Column) -> Column:
+    """Character 3-grams of a string column (empty array below length
+    3 — guarded because Spark's ``sequence(1, 0)`` would descend)."""
+    n = F.length(text)
+    return F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(1), n - 2), lambda i: text.substr(i, F.lit(3))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_familiarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality proxy without transcendentals: score each
+    document by the mean corpus frequency of its character trigrams.
+    Gibberish scores low (rare trigrams), natural text high.
+
+    Two passes over the corpus (train the frequency table, then score
+    — the same shape as CCNet's KenLM filter). The frequency table is
+    bounded by charset³ regardless of corpus size, so its side of the
+    join is broadcast-safe at 100 TB. Integer sums carry the result
+    (order-independent, hash-exact); the only float is one final
+    IEEE-exact division. Documents shorter than 3 chars have no
+    trigrams and are absent from the output.
+    """
+    staged = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t"))
+    tri = staged.select(
+        F.col(id_col), F.explode(char_trigrams(F.col("_t"))).alias("tri")
+    )
+    freq = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        tri.join(F.broadcast(freq), "tri")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("freq").cast("bigint").alias("sum_freq"),
+        )
+        .withColumn(
+            "familiarity",
+            F.round(
+                F.col("sum_freq").cast("double") / F.col("n_trigrams").cast("double"),
+                2,
+            ),
+        )
+    )
 
 
 def contamination_ngrams(

@@ -96,6 +96,80 @@ def test_contamination_finds_planted_overlap(spark):
     assert 3 not in hits  # disjoint doc never appears
 
 
+def test_redact_pii_masks_and_counts(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org from 192.168.216.34 now"),
+        (2, "call +1 555 123 4567 or 555-867-5309 x"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in corpus.redact_pii(df).collect()}
+    assert out[1]["text_redacted"] == "mail <EMAIL> from <IP> now"
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1
+    assert out[2]["n_phones"] == 2
+    assert "<PHONE>" in out[2]["text_redacted"]
+    assert out[3]["text_redacted"] == rows[2][1]
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 0)
+
+
+def test_redact_pii_is_projection_only(spark, tables):
+    plan = (
+        corpus.redact_pii(tables["documents"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_hash_sample_deterministic_and_stratified(spark, tables):
+    docs = tables["documents"]
+    fracs = {"en": 0.5, "zh": 0.2}
+    got = corpus.hash_sample(docs, fracs, 0.1).select("doc_id", "lang")
+    again = corpus.hash_sample(docs.repartition(9), fracs, 0.1).select(
+        "doc_id", "lang"
+    )
+    # reshuffle-stable: identical keep-set regardless of partitioning
+    assert set(map(tuple, got.collect())) == set(map(tuple, again.collect()))
+    n_by_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept = {
+        r["lang"]: r["n"]
+        for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept["en"] / n_by_lang["en"] == pytest.approx(0.5, abs=0.15)
+    # the default rate applies to strata absent from fracs
+    for lang in ("de", "fr", "es"):
+        assert kept.get(lang, 0) / n_by_lang[lang] == pytest.approx(0.1, abs=0.1)
+
+
+def test_trigram_familiarity_ranks_gibberish_low(spark):
+    common = "the cat sat on the mat and the rat sat on the hat "
+    rows = [(1, common * 3), (2, common * 3), (3, "qzxjv wkqpf zzzgh mmvtx")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in corpus.trigram_familiarity(df).collect()}
+    # docs 1/2 share every trigram; doc 3's trigrams are mostly unique
+    assert out[3]["familiarity"] < out[1]["familiarity"]
+    assert out[1]["familiarity"] == out[2]["familiarity"]
+    assert out[1]["n_trigrams"] == len(rows[0][1].lower()) - 2
+    short = spark.createDataFrame([(9, "ab")], ["doc_id", "text"])
+    assert corpus.trigram_familiarity(short).count() == 0
+
+
+def test_trigram_familiarity_broadcasts_freq_table(spark, tables):
+    plan = (
+        corpus.trigram_familiarity(tables["documents"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the charset³-bounded frequency table is the broadcast side
+    assert plan.count("BroadcastExchange") == 1
+    assert "BroadcastHashJoin" in plan
+
+
 def test_contamination_broadcasts_only_benchmark(spark, tables):
     docs = tables["documents"]
     bench = docs.limit(5).select("text")
