@@ -289,6 +289,40 @@ FROM scored ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# token-window chunking (context-window prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW, CHUNK_STRIDE = 40, 32
+
+
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.chunk_tokens(
+        _docs(spark, sf_dir), window=CHUNK_WINDOW, stride=CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_id")
+
+
+CHUNK_TOKENS_ORACLE = f"""
+WITH {_TOKS_SQL},
+c AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         (greatest(len(tk) - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE - 1})
+           // {CHUNK_STRIDE} + 1 AS n_chunks
+  FROM toks WHERE len(tk) > 0
+),
+e AS (SELECT doc_id, tk, n, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+SELECT doc_id,
+       chunk_id::INTEGER AS chunk_id,
+       least({CHUNK_WINDOW}, n - chunk_id * {CHUNK_STRIDE})::INTEGER
+         AS n_chunk_tokens,
+       array_to_string(
+         list_slice(tk, chunk_id * {CHUNK_STRIDE} + 1,
+                    chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}), ' ')
+         AS chunk_text
+FROM e ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -297,6 +331,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pii_redact": q_pii_redact,
     "corpus_hash_sample": q_hash_sample,
     "corpus_trigram_familiarity": q_trigram_familiarity,
+    "corpus_chunk_tokens": q_chunk_tokens,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -307,4 +342,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_pii_redact": PII_REDACT_ORACLE,
     "corpus_hash_sample": HASH_SAMPLE_ORACLE,
     "corpus_trigram_familiarity": TRIGRAM_FAMILIARITY_ORACLE,
+    "corpus_chunk_tokens": CHUNK_TOKENS_ORACLE,
 }

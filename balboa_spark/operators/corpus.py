@@ -162,6 +162,47 @@ def vocab_topk(
     return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
 
 
+def chunk_tokens(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-token-window chunking (context-window prep:
+    split each document into ``window``-token chunks every ``stride``
+    tokens, the last chunk covering the tail).
+
+    Emits (id, chunk_id, n_chunk_tokens, chunk_text). Pure projection
+    + explode — per-document bounded, no shuffle, no cross-document
+    state; zero-token documents produce no chunks. Chunk count is
+    ``ceil(max(n - window, 0) / stride) + 1`` so every token is
+    covered exactly once by a chunk start before position n.
+    """
+    if not (0 < stride <= window):
+        raise ValueError("require 0 < stride <= window")
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    n = F.size(F.col("_tk"))
+    extra = F.greatest(n - window, F.lit(0))
+    n_chunks = F.floor((extra + (stride - 1)) / stride).cast("int") + 1
+    exploded = staged.select(
+        F.col(id_col),
+        F.col("_tk"),
+        F.explode(
+            F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("chunk_id"),
+    )
+    off = F.col("chunk_id") * stride
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.least(F.lit(window), F.size(F.col("_tk")) - off).alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.slice(F.col("_tk"), off + 1, window)).alias("chunk_text"),
+    )
+
+
 #: PII patterns — literal text shared with the DuckDB oracles (kept to
 #: the Java-regex ∩ RE2 common dialect: no backrefs, no lookaround).
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

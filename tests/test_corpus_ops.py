@@ -170,6 +170,39 @@ def test_trigram_familiarity_broadcasts_freq_table(spark, tables):
     assert "BroadcastHashJoin" in plan
 
 
+def test_chunk_tokens_windows_and_tail(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = corpus.chunk_tokens(df, window=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, offsets 0,3,6(+tail covers 9) -> ceil(6/3)+1 = 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4]
+    assert c1[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c1[2]["chunk_text"] == "t6 t7 t8 t9"
+    # every token covered: union of chunks == the document
+    covered = set(" ".join(r["chunk_text"] for r in c1).split())
+    assert covered == {f"t{i}" for i in range(10)}
+    # doc 2 shorter than the window -> one partial chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 2
+    # empty doc -> no chunks
+    assert 3 not in by_doc
+
+
+def test_chunk_tokens_is_projection_only(spark, tables):
+    plan = (
+        corpus.chunk_tokens(tables["documents"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_contamination_broadcasts_only_benchmark(spark, tables):
     docs = tables["documents"]
     bench = docs.limit(5).select("text")
