@@ -284,7 +284,7 @@ scored AS (
   GROUP BY doc_id
 )
 SELECT doc_id, n_trigrams, sum_freq,
-       round(sum_freq::DOUBLE / n_trigrams::DOUBLE, 2) AS familiarity
+       sum_freq::DOUBLE / n_trigrams::DOUBLE AS familiarity
 FROM scored ORDER BY doc_id
 """
 

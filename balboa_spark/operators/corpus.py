@@ -314,10 +314,11 @@ def trigram_familiarity(
         )
         .withColumn(
             "familiarity",
-            F.round(
-                F.col("sum_freq").cast("double") / F.col("n_trigrams").cast("double"),
-                2,
-            ),
+            # deliberately NOT rounded: one IEEE division of two exact
+            # integers is bit-identical across engines, while round(x, 2)
+            # implementations disagree near scale boundaries (BigDecimal
+            # half-up vs scaled-multiply) — verified at sf0.1
+            F.col("sum_freq").cast("double") / F.col("n_trigrams").cast("double"),
         )
     )
 

@@ -361,7 +361,7 @@ def lsh_bucketed_topk(
     k: int = 10,
     num_tables: int = 10,
     num_planes: int = 8,
-    probe_hamming: int = 2,
+    probe_hamming: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:

@@ -131,6 +131,19 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    @timed("corpus_pipeline")
+    def _():
+        # quality gate -> PII scrub -> context-window chunking: the
+        # training-data prep chain, all JVM-side projections
+        from balboa_spark.operators import corpus
+
+        docs = spark.table("documents")
+        kept = corpus.gopher_filter(docs).filter(F.col("keep")).select("doc_id")
+        clean = corpus.redact_pii(docs.join(kept, "doc_id"))
+        corpus.chunk_tokens(
+            clean.withColumnRenamed("text_redacted", "text")
+        ).write.mode("overwrite").format("noop").save()
+
     @timed("embedding_topk")
     def _():
         emb = spark.table("embeddings")
