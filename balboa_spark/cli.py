@@ -82,18 +82,17 @@ def run(args: argparse.Namespace, spark=None) -> int:
         if args.cidr:
             if args.rdata:
                 raise SystemExit("--cidr and --rdata are mutually exclusive")
-            from pyspark.sql import functions as F
-
-            result = cidr_search(store.inverted(), args.cidr, limit=args.limit)
-            # residual equality filters compose with the range scan,
-            # mirroring the GraphQL resolver's nullable predicates
-            for colname, val in (
-                ("rrname", args.rrname),
-                ("rrtype", args.rrtype),
-                ("sensor_id", args.sensor_id),
-            ):
-                if val is not None:
-                    result = result.filter(F.col(colname) == val)
+            # residual equality filters compose with the range scan
+            # BEFORE the limit binds (the reference applies all Search
+            # predicates first, then the limit)
+            result = cidr_search(
+                store.inverted(),
+                args.cidr,
+                limit=args.limit,
+                rrname=args.rrname,
+                rrtype=args.rrtype,
+                sensor_id=args.sensor_id,
+            )
         else:
             q = Query(
                 rdata=args.rdata,

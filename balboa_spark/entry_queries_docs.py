@@ -142,10 +142,23 @@ FROM corpus GROUP BY 1
 NUM_HASHES, NUM_BANDS, SHINGLE_K = 16, 4, 3
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 
+#: THRESHOLD COUPLING with the DuckDB oracles: bucket_pairs emits
+#: chain pairs (not all pairs) for band buckets larger than max_bucket,
+#: but _minhash_ctes' ``pairs`` CTE is an all-pairs self-join. Every
+#: oracle-gated entry below therefore passes a max_bucket no bucket can
+#: exceed (a bucket holds at most one row per document), making the
+#: engine provably all-pairs at any driver scale. Production callers
+#: keep the default hub-safe 1000.
+ORACLE_MAX_BUCKET = 2**31 - 1
+
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
-        _corpus(spark, sf_dir), num_hashes=NUM_HASHES, num_bands=NUM_BANDS, k=SHINGLE_K
+        _corpus(spark, sf_dir),
+        num_hashes=NUM_HASHES,
+        num_bands=NUM_BANDS,
+        k=SHINGLE_K,
+        max_bucket=ORACLE_MAX_BUCKET,
     ).orderBy("id_a", "id_b")
 
 
@@ -196,7 +209,11 @@ def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure."""
     corpus = _corpus(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(
-        corpus, num_hashes=NUM_HASHES, num_bands=NUM_BANDS, k=SHINGLE_K
+        corpus,
+        num_hashes=NUM_HASHES,
+        num_bands=NUM_BANDS,
+        k=SHINGLE_K,
+        max_bucket=ORACLE_MAX_BUCKET,
     )
     return dedup.near_dedup_keep(corpus, pairs).select("doc_id").orderBy("doc_id")
 
@@ -263,7 +280,11 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators are meant to stack in production."""
     corpus = _corpus(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(
-        corpus, num_hashes=NUM_HASHES, num_bands=NUM_BANDS, k=SHINGLE_K
+        corpus,
+        num_hashes=NUM_HASHES,
+        num_bands=NUM_BANDS,
+        k=SHINGLE_K,
+        max_bucket=ORACLE_MAX_BUCKET,
     )
     kept = dedup.near_dedup_keep(corpus, pairs)
     prof = text.text_profile(kept)

@@ -21,8 +21,8 @@ Scale notes (100 TB):
 - redact_pii / hash_sample are pure projections (no shuffle).
 - trigram_familiarity makes two passes over the corpus (train the
   frequency table, then score against it — the CCNet shape); the
-  frequency table is bounded by charset³, so its join side is
-  broadcast-safe at any corpus size.
+  frequency table is corpus-derived, so the join carries no broadcast
+  hint — AQE broadcasts it when it is actually small.
 """
 
 from __future__ import annotations
@@ -243,10 +243,24 @@ def redact_pii(
 
 
 def sample_threshold_hex(frac: float) -> str:
-    """The 8-hex-digit threshold under which md5-prefix sampling keeps
-    a row: first 8 hex digits of md5 are uniform on [0, 16^8)."""
+    """The threshold under which md5-prefix sampling keeps a row
+    (``h8 < threshold`` with h8 = first 8 hex digits of md5, uniform on
+    [0, 16^8)).
+
+    frac values whose threshold would reach 16^8 (frac=1.0, or close
+    enough that round() lands there) return the sentinel ``"g"`` —
+    lexicographically above every hex string, so ``h8 < 'g'`` keeps
+    every row. Returning format(16**8, '08x') = '100000000' here would
+    be a silent keep-NOTHING bug: 9 chars, and 'ffffffff' < '100000000'
+    is False under string comparison. The sentinel comparison behaves
+    identically in Spark and DuckDB (both compare strings bytewise), so
+    oracle SQL built from this helper stays exact.
+    """
     frac = min(max(frac, 0.0), 1.0)
-    return format(round(frac * 16**8), "08x")
+    v = round(frac * 16**8)
+    if v >= 16**8:
+        return "g"
+    return format(v, "08x")
 
 
 def hash_sample(
@@ -294,8 +308,12 @@ def trigram_familiarity(
 
     Two passes over the corpus (train the frequency table, then score
     — the same shape as CCNet's KenLM filter). The frequency table is
-    bounded by charset³ regardless of corpus size, so its side of the
-    join is broadcast-safe at 100 TB. Integer sums carry the result
+    corpus-derived, so no broadcast hint: for ASCII-ish corpora it is
+    tiny (charset³) and AQE will broadcast it at runtime, but a
+    multilingual/CJK corpus has an effectively unbounded distinct-
+    trigram set, where a forced broadcast would OOM — the same hazard
+    test_dedup_plans_have_no_corpus_broadcast guards against elsewhere.
+    Integer sums carry the result
     (order-independent, hash-exact); the only float is one final
     IEEE-exact division. Documents shorter than 3 chars have no
     trigrams and are absent from the output.
@@ -306,7 +324,7 @@ def trigram_familiarity(
     )
     freq = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("freq"))
     return (
-        tri.join(F.broadcast(freq), "tri")
+        tri.join(freq, "tri")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),

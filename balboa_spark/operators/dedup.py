@@ -178,6 +178,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     num_bands: int = 4,
     k: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
 
@@ -203,7 +204,7 @@ def minhash_lsh_pairs(
     bands = minhash_bands(
         df, text_col, id_col, num_hashes, num_bands, k
     ).localCheckpoint(eager=True)
-    return bucket_pairs(bands, ["band_idx", "band_hash"], "id")
+    return bucket_pairs(bands, ["band_idx", "band_hash"], "id", max_bucket)
 
 
 # -- SimHash ----------------------------------------------------------------

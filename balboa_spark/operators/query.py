@@ -131,14 +131,31 @@ def rest_search(obs: DataFrame, subject: str, limit: int = DEFAULT_LIMIT) -> Dat
     return r.unionAll(d)
 
 
-def cidr_search(obs: DataFrame, cidr: str, limit: int = DEFAULT_LIMIT) -> DataFrame:
+def cidr_search(
+    obs: DataFrame,
+    cidr: str,
+    limit: int = DEFAULT_LIMIT,
+    rrname: str | None = None,
+    rrtype: str | None = None,
+    sensor_id: str | None = None,
+) -> DataFrame:
     """C1 promoted to an engine operator: rdata-as-IPv4 within a CIDR.
 
     The reference expands the CIDR client-side and issues one query per
     host (cmd/balboa/cmds/query.go:41-57, dropping network & broadcast
     for prefixes < /31). Here it is a single numeric range predicate —
     one scan, no fan-out, pushes down to Parquet.
+
+    Residual equality filters (the GraphQL resolver's nullable
+    predicates) compose with the range scan BEFORE the limit binds, as
+    in the reference where every per-host Search carries all
+    predicates — filtering after the limit would silently drop
+    matching rows beyond the first `limit` CIDR hits.
     """
     lo, hi = cidr_to_range(cidr)
     ip = ip4_to_long(F.col("rdata"))
-    return _canonical(obs.filter(ip.isNotNull() & (ip >= lo) & (ip <= hi))).limit(limit)
+    df = obs.filter(ip.isNotNull() & (ip >= lo) & (ip <= hi))
+    for colname, val in (("rrname", rrname), ("rrtype", rrtype), ("sensor_id", sensor_id)):
+        if val is not None:
+            df = df.filter(F.col(colname) == val)
+    return _canonical(df).limit(limit)

@@ -145,6 +145,19 @@ def test_hash_sample_deterministic_and_stratified(spark, tables):
         assert kept.get(lang, 0) / n_by_lang[lang] == pytest.approx(0.1, abs=0.1)
 
 
+def test_hash_sample_boundary_fracs(spark, mini):
+    # frac=1.0 must keep EVERY row (regression: the 9-hex-digit
+    # threshold '100000000' compared below every 8-digit md5 prefix,
+    # silently keeping zero rows)
+    assert corpus.sample_threshold_hex(1.0) == "g"
+    df = mini.withColumn("lang", F.lit("en"))
+    assert corpus.hash_sample(df, {"en": 1.0}).count() == df.count()
+    # default_frac=1.0 exercises the same path for unlisted strata
+    assert corpus.hash_sample(df, {}, default_frac=1.0).count() == df.count()
+    # frac=0.0 keeps nothing
+    assert corpus.hash_sample(df, {"en": 0.0}).count() == 0
+
+
 def test_trigram_familiarity_ranks_gibberish_low(spark):
     common = "the cat sat on the mat and the rat sat on the hat "
     rows = [(1, common * 3), (2, common * 3), (3, "qzxjv wkqpf zzzgh mmvtx")]
@@ -158,16 +171,16 @@ def test_trigram_familiarity_ranks_gibberish_low(spark):
     assert corpus.trigram_familiarity(short).count() == 0
 
 
-def test_trigram_familiarity_broadcasts_freq_table(spark, tables):
-    plan = (
+def test_trigram_familiarity_no_forced_corpus_broadcast(spark, tables):
+    # the frequency table is corpus-derived (unbounded for CJK corpora),
+    # so the join must carry NO broadcast hint — AQE decides at runtime
+    analyzed = (
         corpus.trigram_familiarity(tables["documents"])
         ._jdf.queryExecution()
-        .executedPlan()
+        .analyzed()
         .toString()
     )
-    # the charset³-bounded frequency table is the broadcast side
-    assert plan.count("BroadcastExchange") == 1
-    assert "BroadcastHashJoin" in plan
+    assert "ResolvedHint" not in analyzed
 
 
 def test_chunk_tokens_windows_and_tail(spark):

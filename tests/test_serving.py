@@ -143,6 +143,17 @@ def test_cli_console(spark, store, tmp_path, capsys):
     assert sorted(r["rrname"] for r in rows) == ["bar", "baz", "foo"]
     assert cli("query", store.path, "--cidr", "9.9.9.0/24") == 1
 
+    # residual filters must bind BEFORE the limit (ADVICE r2): foo is
+    # the LAST row in canonical order (bar < baz < foo), so filtering
+    # after a limit=1 range scan would return bar, drop it on the
+    # rrname residual, and report empty — the fixed path finds foo
+    assert (
+        cli("query", store.path, "--cidr", "1.2.3.0/24", "--rrname", "foo", "--limit", "1")
+        == 0
+    )
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().split("\n")]
+    assert [r["rrname"] for r in rows] == ["foo"]
+
     bak = str(tmp_path / "bak")
     assert cli("backup", store.path, bak) == 0
     restored = ObservationStore(spark, bak)
