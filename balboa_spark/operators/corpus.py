@@ -27,6 +27,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,25 +48,47 @@ SPLIT_SALT = "split"
 TRAIN_HEX, VAL_HEX = "cc", "e6"  # 204/256 = 79.7 %, 230/256 = 89.8 %
 
 
-def _mode_frac(grams: Column) -> Column:
-    """count(most frequent element) / len, as a column expression.
+def _mode_count(grams: Column) -> Column:
+    """Multiplicity of the most frequent array element: sort, then one
+    aggregate pass over equal-runs — O(m log m) per row, and ``grams``
+    is referenced exactly ONCE.
 
-    O(m²) per row via transform-over-distinct — per-document bounded,
-    no shuffle. ``grams`` must be a materialized column reference (not
-    an inline subtree): it is referenced twice.
-    """
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda d: F.size(F.filter(grams, lambda x: x == d)),
+    Both properties matter at scale: higher-order functions run
+    interpreted (no codegen common-subexpression elimination), so when
+    a downstream ``filter(keep)`` pushes the predicate through the
+    projection and inlines this subtree, a multi-referenced or O(m²)
+    form multiplies the whole tokenize→shingle cost (measured 8x on the
+    composed pipeline at sf0.1)."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(grams), acc0, step, lambda acc: acc["best"])
+
+
+def _mode_frac(grams: Column, n_grams: Column) -> Column:
+    """count(most frequent element) / n_grams. ``n_grams`` must equal
+    size(grams) but be derived WITHOUT referencing the gram array (e.g.
+    from the token count), keeping the array subtree single-use."""
     return F.when(
-        F.size(grams) > 0,
-        F.round(F.array_max(counts).cast("double") / F.size(grams), 4),
+        n_grams > 0,
+        F.round(_mode_count(grams).cast("double") / n_grams.cast("double"), 4),
     ).otherwise(F.lit(0.0))
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """Gopher-style repetition/quality signals per document:
 
@@ -77,31 +101,37 @@ def repetition_signals(
     Staged selects keep each array subtree computed once (Catalyst
     re-inlines multi-referenced aliases only when cheap; the token
     arrays are not, so the projection boundaries hold them staged).
+    The gram DENOMINATORS are derived from the token count, never from
+    size(_gk), so each gram array stays single-use — see _mode_count
+    for why that survives predicate pushdown.
     """
     t = F.col(text_col)
+    extra = [c for c in passthrough if c not in (id_col,)]
     staged = df.select(
         F.col(id_col),
+        *extra,
         tokens(t).alias("_tk"),
         F.regexp_count(t, F.lit(r"#|\.\.\.|…")).alias("_sym"),
     ).select(
         id_col,
-        "_tk",
+        *extra,
         "_sym",
+        F.size(F.col("_tk")).alias("_n"),
+        F.size(F.array_distinct(F.col("_tk"))).alias("_nd"),
         _shingles(F.col("_tk"), 2).alias("_g2"),
         _shingles(F.col("_tk"), 3).alias("_g3"),
     )
-    n = F.size(F.col("_tk"))
+    n = F.col("_n")
     return staged.select(
         F.col(id_col),
+        *extra,
         n.alias("n_tokens"),
         F.round(
-            1.0
-            - F.size(F.array_distinct(F.col("_tk"))).cast("double")
-            / F.greatest(n, F.lit(1)),
+            1.0 - F.col("_nd").cast("double") / F.greatest(n, F.lit(1)),
             4,
         ).alias("dup_token_frac"),
-        _mode_frac(F.col("_g2")).alias("top_2gram_frac"),
-        _mode_frac(F.col("_g3")).alias("top_3gram_frac"),
+        _mode_frac(F.col("_g2"), F.greatest(n - 1, F.lit(0))).alias("top_2gram_frac"),
+        _mode_frac(F.col("_g3"), F.greatest(n - 2, F.lit(0))).alias("top_3gram_frac"),
         F.round(F.col("_sym").cast("double") / F.greatest(n, F.lit(1)), 4).alias(
             "symbol_token_ratio"
         ),
@@ -109,11 +139,19 @@ def repetition_signals(
 
 
 def gopher_filter(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """repetition_signals + a ``keep`` verdict column (the composed
-    quality gate a pipeline would filter on)."""
-    sig = repetition_signals(df, text_col, id_col)
+    quality gate a pipeline would filter on).
+
+    ``passthrough`` carries extra input columns (e.g. the text itself)
+    into the output, so a pipeline can gate on quality WITHOUT joining
+    the verdict back against the corpus — one pass instead of a
+    corpus-cardinality self-join."""
+    sig = repetition_signals(df, text_col, id_col, passthrough)
     return sig.withColumn(
         "keep",
         (F.col("n_tokens") >= MIN_TOKENS)

@@ -59,6 +59,14 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="balboa_bench_")
     store = ObservationStore(spark, os.path.join(tmp, "store"), num_buckets=8)
 
+    # The driver parquet files are ONE row group each, so Spark cannot
+    # split the scan across cores; repartition CPU-heavy per-row inputs
+    # — the local stand-in for the many input splits a real corpus has.
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def par(df):
+        return df.repartition(n_cpus)
+
     @timed("ingest_fold")
     def _():
         aggregate(obs).write.mode("overwrite").format("noop").save()
@@ -110,13 +118,13 @@ def main() -> None:
 
     @timed("dedup_minhash")
     def _():
-        docs = spark.table("documents").select("doc_id", "text")
+        docs = par(spark.table("documents").select("doc_id", "text"))
         dedup.minhash_lsh_pairs(docs).write.mode("overwrite").format("noop").save()
 
     @timed("dedup_near_keep")
     def _():
         # pairs -> connected components -> keep-set: the full dedup stage
-        docs = spark.table("documents").select("doc_id", "text")
+        docs = par(spark.table("documents").select("doc_id", "text"))
         pairs = dedup.minhash_lsh_pairs(docs)
         dedup.near_dedup_keep(docs, pairs).write.mode("overwrite").format("noop").save()
 
@@ -124,7 +132,11 @@ def main() -> None:
     def _():
         # embedding near-dedup via the scale path: LSH bucket-collision
         # candidate pairs + exact cosine refilter + components keep-set
-        # (never the n² cross join)
+        # (never the n² cross join). NOT repartitioned: the candidate
+        # refilter joins the (large) pair set back against the vectors,
+        # and pre-shuffling the small vector table forces both joins
+        # through sort-merge exchanges — measured 5x slower than
+        # letting AQE broadcast the single-partition vector side.
         emb = spark.table("embeddings")
         cand = similarity.lsh_candidate_pairs(emb, dim=64)
         dedup.embedding_near_dedup(emb, 0.35, candidates=cand).write.mode(
@@ -134,12 +146,16 @@ def main() -> None:
     @timed("corpus_pipeline")
     def _():
         # quality gate -> PII scrub -> context-window chunking: the
-        # training-data prep chain, all JVM-side projections
+        # training-data prep chain, all JVM-side projections, ONE pass
+        # over the corpus (the quality verdict carries the text through
+        # rather than joining back against the corpus).
         from balboa_spark.operators import corpus
 
-        docs = spark.table("documents")
-        kept = corpus.gopher_filter(docs).filter(F.col("keep")).select("doc_id")
-        clean = corpus.redact_pii(docs.join(kept, "doc_id"))
+        docs = par(spark.table("documents"))
+        kept = corpus.gopher_filter(docs, passthrough=["text"]).filter(
+            F.col("keep")
+        )
+        clean = corpus.redact_pii(kept)
         corpus.chunk_tokens(
             clean.withColumnRenamed("text_redacted", "text")
         ).write.mode("overwrite").format("noop").save()
