@@ -185,10 +185,12 @@ ORACLES: dict[str, str] = {
 from balboa_spark.entry_queries_corpus import ORACLES_CORPUS, QUERIES_CORPUS
 from balboa_spark.entry_queries_docs import ORACLES_DOCS, QUERIES_DOCS
 from balboa_spark.entry_queries_extra import ORACLES_EXTRA, QUERIES_EXTRA
+from balboa_spark.entry_queries_temporal import ORACLES_TEMPORAL, QUERIES_TEMPORAL
 
 ORACLES.update(ORACLES_DOCS)
 ORACLES.update(ORACLES_EXTRA)
 ORACLES.update(ORACLES_CORPUS)
+ORACLES.update(ORACLES_TEMPORAL)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "observations_agg": q_observations_agg,
@@ -204,3 +206,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 QUERIES.update(QUERIES_DOCS)
 QUERIES.update(QUERIES_EXTRA)
 QUERIES.update(QUERIES_CORPUS)
+QUERIES.update(QUERIES_TEMPORAL)

@@ -1,0 +1,149 @@
+"""Driver queries + DuckDB oracles for the temporal operators
+(balboa_spark.operators.temporal) and sequence packing
+(corpus.pack_sequences).
+
+These extend the engine beyond the reference's surface (SURVEY §2.6
+J2 notes the reference has NO temporal joins; §7 declares them
+scale-path additions): as-of join (sort-based, merge-join shape),
+trailing range-window features (the hypertable rollup access pattern),
+and concat-and-chunk sequence packing for pretraining batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from balboa_spark.operators import corpus, temporal
+from balboa_spark.session import load_tables
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, names=("events",))["events"]
+
+
+# ---------------------------------------------------------------------------
+# as-of join: each purchase attached to the user's most recent prior click
+# ---------------------------------------------------------------------------
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return temporal.asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="c_ts", prefix=""
+    ).select("event_id", "user_id", "c_event_id", "c_ts").orderBy("event_id")
+
+
+#: DuckDB has a native ASOF JOIN — the ideal executable specification
+#: for the sort-based union+window implementation (inclusive backward
+#: match, left-join nulls).
+EVENTS_ASOF_ORACLE = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, event_id AS c_event_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT l.event_id, l.user_id, r.c_event_id, r.c_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.c_ts
+ORDER BY l.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# trailing 1-hour range-window features per user
+# ---------------------------------------------------------------------------
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        temporal.rolling_features(
+            _events(spark, sf_dir),
+            keys=("user_id",),
+            ts_col="ts",
+            value_col="value",
+            duration_sec=3600,
+        )
+        .select("event_id", "n_trailing", "sum_value_cents_trailing")
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ROLLING_ORACLE = """
+SELECT event_id,
+       count(*) OVER w AS n_trailing,
+       -- DuckDB types sum(BIGINT) as HUGEINT; Spark's is LongType
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_value_cents_trailing
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk, global doc_id order)
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 128
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return corpus.pack_sequences(docs, seq_len=PACK_SEQ_LEN).orderBy("seq_id")
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+counts AS (SELECT doc_id, len(tk) AS n FROM tk WHERE len(tk) > 0),
+offs AS (
+  SELECT doc_id,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM counts
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) + 1),
+                               i -> {{'pos': i, 'tok': tk[i]}})) AS s
+  FROM tk WHERE len(tk) > 0
+),
+tok2 AS (
+  SELECT o.start + struct_extract(t.s, 'pos') - 1 AS gpos,
+         struct_extract(t.s, 'tok') AS tok
+  FROM tok t JOIN offs o USING (doc_id)
+)
+SELECT CAST(floor(gpos / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
+       count(*) AS n_seq_tokens,
+       string_agg(tok, ' ' ORDER BY gpos) AS seq_text
+FROM tok2 GROUP BY 1 ORDER BY seq_id
+"""
+
+
+QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_asof": q_events_asof,
+    "events_rolling_1h": q_events_rolling,
+    "corpus_pack_sequences": q_pack_sequences,
+}
+
+ORACLES_TEMPORAL: dict[str, str] = {
+    "events_asof": EVENTS_ASOF_ORACLE,
+    "events_rolling_1h": EVENTS_ROLLING_ORACLE,
+    "corpus_pack_sequences": PACK_SEQUENCES_ORACLE,
+}

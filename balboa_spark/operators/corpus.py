@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from balboa_spark.operators.text import _shingles, tokens
@@ -238,6 +238,69 @@ def chunk_tokens(
         F.col("chunk_id"),
         F.least(F.lit(window), F.size(F.col("_tk")) - off).alias("n_chunk_tokens"),
         F.concat_ws(" ", F.slice(F.col("_tk"), off + 1, window)).alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (pretraining batch prep): the
+    corpus token stream, in ``id_col`` order, cut into fixed
+    ``seq_len``-token sequences — documents straddle sequence
+    boundaries, the final sequence may be short, and the packing is
+    deterministic (reshuffle-stable).
+
+    Emits (seq_id, n_seq_tokens, seq_text), ordered semantics:
+    sequence s holds global token positions [s*seq_len, (s+1)*seq_len).
+
+    Scale shape: the only global step is a cumulative sum over the
+    NARROW (doc_id, n_tokens) relation — two integers per document,
+    never the text — to assign each document its start offset; the
+    token explode, offset join, and per-sequence regroup are all
+    key-partitioned shuffles. For corpora where even one row per
+    document through a single-partition window is too much, pass
+    ``shard_col``: packing then runs independently inside each shard
+    (seq_id = (shard, local_seq)) with full parallelism — the form a
+    1000-executor job would use, trading global concatenation order
+    for shard-local order.
+    """
+    shard_keys = [shard_col] if shard_col is not None else []
+    staged = df.select(
+        F.col(id_col), *shard_keys, tokens(F.col(text_col)).alias("_tk")
+    ).filter(F.size("_tk") > 0)
+    counts = staged.select(F.col(id_col), *shard_keys, F.size("_tk").alias("_n"))
+    w = (
+        Window.partitionBy(*shard_keys)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        F.col(id_col), F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_start")
+    )
+    tok = (
+        staged.join(offs, id_col)
+        .select(*shard_keys, F.col("_start"), F.posexplode("_tk").alias("pos", "tok"))
+        .select(
+            *shard_keys,
+            (F.col("_start") + F.col("pos")).alias("gpos"),
+            F.col("tok"),
+        )
+    )
+    return tok.groupBy(
+        *shard_keys, F.floor(F.col("gpos") / seq_len).alias("seq_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_seq_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gpos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("seq_text"),
     )
 
 

@@ -1,0 +1,132 @@
+"""Temporal operators: as-of join and trailing range-window features.
+
+The reference has no temporal joins (SURVEY §2.6 J2: only the alias
+self-join exists), but any event/observation store grows these needs
+immediately; they are declared §7 scale-path surface alongside the
+window/rollup queries the engine already exposes.
+
+Scale notes (100 TB):
+- asof_join is SORT-BASED: both sides are tagged and unioned, one
+  shuffle on the join keys, then a per-partition ordered forward-fill
+  (last non-null) — the classic merge-join formulation of as-of. No
+  range cross-join, no per-row binary search, state bounded by the
+  partition. Skewed keys behave like any other shuffle key (AQE skew
+  handling applies).
+- trailing_window uses a RANGE frame over epoch-microseconds: Spark
+  evaluates it with a sliding two-pointer over each sorted partition,
+  O(n) amortized per key — the hypertable "continuous rollup" access
+  pattern without a second table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    prefix: str = "r_",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the LAST right row with the same keys
+    and ``right_ts <= left_ts`` (inclusive, DuckDB/pandas ``merge_asof``
+    backward semantics). Left rows with no prior right row keep nulls
+    (left-join behavior).
+
+    Output: every left column, plus each non-key right column renamed
+    ``{prefix}{col}``.
+
+    ``tiebreak``: right-side column ordering rows that share an exact
+    timestamp (last one wins), making the match deterministic when
+    (keys, right_ts) is not unique.
+
+    Implementation: tagged union + one window pass. Right rows sort
+    BEFORE left rows at an equal timestamp, so the inclusive bound
+    falls out of the sort order; ``last(_payload, ignorenulls)`` over
+    rows-unbounded-preceding is the forward fill.
+    """
+    on = list(on)
+    payload_cols = [c for c in right.columns if c not in on]
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    tieb = (
+        F.col(tiebreak)
+        if tiebreak is not None
+        else F.lit(0).cast("long")
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        tieb.cast("long").alias("_tie"),
+        payload.alias("_payload"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{left.schema[c].dataType.simpleString()}" for c in left.columns) + ">"
+        ).alias("_lrow"),
+    )
+    payload_type = dict(zip(r.columns, [f.dataType for f in r.schema.fields]))["_payload"]
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tie"),
+        F.lit(None).cast(payload_type).alias("_payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).withColumn(
+        "_m", F.last("_payload", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        F.col("_lrow.*"),
+        *[F.col(f"_m.{c}").alias(prefix + c) for c in payload_cols],
+    )
+
+
+def trailing_window(
+    keys: Sequence[str], ts_col: str, duration_sec: int
+) -> WindowSpec:
+    """RANGE frame covering ``[t - duration, t]`` (both ends inclusive)
+    per key, ordered by epoch-microseconds — rows with identical
+    timestamps are peers and always aggregate together, so results are
+    deterministic under any shuffle order."""
+    return (
+        Window.partitionBy(*keys)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-duration_sec * 1_000_000, 0)
+    )
+
+
+def rolling_features(
+    df: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    duration_sec: int = 3600,
+) -> DataFrame:
+    """Per-event trailing-window features: how many events, and how
+    much accumulated value, this key produced in the window ending at
+    this event (inclusive).
+
+    The value sum is carried as integer CENTS (``round(value*100)``)
+    so it is order-independent and hash-exact across engines — float
+    accumulation order differs between Spark's running frame and
+    DuckDB's segment tree.
+    """
+    w = trailing_window(keys, ts_col, duration_sec)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return df.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(cents).over(w).alias("sum_value_cents_trailing"),
+    )

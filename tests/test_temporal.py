@@ -1,0 +1,151 @@
+"""Temporal operators: as-of join, trailing range windows
+(balboa_spark.operators.temporal) and sequence packing
+(corpus.pack_sequences)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from balboa_spark.operators import corpus, temporal
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u", _ts(10)),  # matches click at :05
+            (2, "u", _ts(20)),  # matches click at :20 (inclusive equal ts)
+            (3, "u", _ts(3)),   # before any click -> nulls
+            (4, "v", _ts(30)),  # other key, own stream
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", 100, _ts(5)),
+            ("u", 101, _ts(20)),
+            ("u", 102, _ts(25)),  # after every left row -> never matched
+            ("v", 200, _ts(29)),
+        ],
+        "user_id string, c_event_id long, c_ts timestamp",
+    )
+    out = {
+        r["event_id"]: r
+        for r in temporal.asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="c_ts", prefix=""
+        ).collect()
+    }
+    assert out[1]["c_event_id"] == 100
+    assert out[2]["c_event_id"] == 101  # equal timestamps match (<=)
+    assert out[3]["c_event_id"] is None and out[3]["c_ts"] is None
+    assert out[4]["c_event_id"] == 200
+    # every left column is preserved
+    assert set(out[1].asDict()) == {"event_id", "user_id", "ts", "c_event_id", "c_ts"}
+
+
+def test_asof_join_tiebreak_is_deterministic(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", 7, _ts(5)), ("u", 9, _ts(5)), ("u", 8, _ts(5))],
+        "user_id string, c_event_id long, c_ts timestamp",
+    )
+    got = temporal.asof_join(
+        left, right, on=["user_id"], right_ts="c_ts", prefix="", tiebreak="c_event_id"
+    ).collect()[0]
+    assert got["c_event_id"] == 9  # highest tiebreak wins among equal ts
+
+
+def test_asof_join_is_joinless_window_plan(spark):
+    """The sort-based as-of must compile to union + exchange + window —
+    no join operator of any kind (the point: no range explosion)."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts(1))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", 1, _ts(1))], "user_id string, c_event_id long, c_ts timestamp"
+    )
+    plan = (
+        temporal.asof_join(left, right, on=["user_id"], right_ts="c_ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_rolling_features_trailing_hour(spark):
+    rows = [
+        (1, "u", _ts(0), 1.0),
+        (2, "u", _ts(30), 2.0),
+        (3, "u", _ts(59), 4.0),   # within 1h of event 1 (inclusive)
+        (4, "v", _ts(30), 8.0),   # separate key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in temporal.rolling_features(
+            df, keys=("user_id",), duration_sec=3600
+        ).collect()
+    }
+    assert out[1]["n_trailing"] == 1 and out[1]["sum_value_cents_trailing"] == 100
+    assert out[2]["n_trailing"] == 2 and out[2]["sum_value_cents_trailing"] == 300
+    assert out[3]["n_trailing"] == 3 and out[3]["sum_value_cents_trailing"] == 700
+    assert out[4]["n_trailing"] == 1 and out[4]["sum_value_cents_trailing"] == 800
+
+
+def test_rolling_features_equal_ts_are_peers(spark):
+    # RANGE frames treat identical timestamps as peers: both rows see
+    # both values, independent of shuffle order -> deterministic
+    df = spark.createDataFrame(
+        [(1, "u", _ts(5), 1.0), (2, "u", _ts(5), 2.0)],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    out = {r["event_id"]: r for r in temporal.rolling_features(df).collect()}
+    assert out[1]["n_trailing"] == out[2]["n_trailing"] == 2
+    assert out[1]["sum_value_cents_trailing"] == 300
+
+
+def test_pack_sequences_straddles_and_tail(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(5))),
+            (2, " ".join(f"b{i}" for i in range(4))),
+            (3, ""),  # zero tokens: contributes nothing
+            (4, "c0 c1"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["seq_id"]: r for r in corpus.pack_sequences(docs, seq_len=4).collect()}
+    # stream = a0..a4 b0..b3 c0 c1 (11 tokens) -> seqs of 4/4/3
+    assert out[0]["seq_text"] == "a0 a1 a2 a3"
+    assert out[1]["seq_text"] == "a4 b0 b1 b2"  # doc boundary straddled
+    assert out[2]["seq_text"] == "b3 c0 c1" and out[2]["n_seq_tokens"] == 3
+    # deterministic under repartitioning
+    again = {
+        r["seq_id"]: r["seq_text"]
+        for r in corpus.pack_sequences(docs.repartition(5), seq_len=4).collect()
+    }
+    assert again == {k: v["seq_text"] for k, v in out.items()}
+
+
+def test_pack_sequences_sharded(spark):
+    docs = spark.createDataFrame(
+        [(1, "a0 a1 a2", "x"), (2, "b0 b1", "y"), (3, "a3 a4", "x")],
+        "doc_id long, text string, shard string",
+    )
+    rows = corpus.pack_sequences(docs, seq_len=4, shard_col="shard").collect()
+    by_key = {(r["shard"], r["seq_id"]): r["seq_text"] for r in rows}
+    # shard x stream: a0 a1 a2 a3 a4 -> two sequences; shard y: b0 b1
+    assert by_key[("x", 0)] == "a0 a1 a2 a3"
+    assert by_key[("x", 1)] == "a4"
+    assert by_key[("y", 0)] == "b0 b1"
