@@ -323,6 +323,46 @@ FROM e ORDER BY doc_id, chunk_id
 """
 
 
+# ---------------------------------------------------------------------------
+# per-document TF-IDF-style keywords (integer-only ranking)
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 3
+#: 0.8 on the synthetic corpus (31-token vocabulary, DF median ~0.78)
+#: keeps most of the vocabulary rankable while still exercising the
+#: DF-cap stopword path.
+TFIDF_MAX_DOC_FRAC = 0.8
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.tfidf_keywords(
+        _docs(spark, sf_dir), k=TFIDF_K, max_doc_frac=TFIDF_MAX_DOC_FRAC
+    ).orderBy("doc_id", "rank")
+
+
+TFIDF_KEYWORDS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, rank, token, tf, df FROM (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         CAST(row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY t.tf DESC, d.df ASC, t.token ASC
+         ) AS INTEGER) AS rank
+  FROM tf t JOIN dfreq d USING (token)
+  WHERE d.df <= (SELECT CAST(floor({TFIDF_MAX_DOC_FRAC} * n_docs) AS BIGINT) FROM n)
+) WHERE rank <= {TFIDF_K}
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -332,6 +372,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_hash_sample": q_hash_sample,
     "corpus_trigram_familiarity": q_trigram_familiarity,
     "corpus_chunk_tokens": q_chunk_tokens,
+    "corpus_tfidf_keywords": q_tfidf_keywords,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -343,4 +384,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_hash_sample": HASH_SAMPLE_ORACLE,
     "corpus_trigram_familiarity": TRIGRAM_FAMILIARITY_ORACLE,
     "corpus_chunk_tokens": CHUNK_TOKENS_ORACLE,
+    "corpus_tfidf_keywords": TFIDF_KEYWORDS_ORACLE,
 }

@@ -240,6 +240,58 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dedup: same MinHash components, but the
+    representative kept per component is the LONGEST member (ties to
+    lowest id), not the lowest id — the keep rule a real pipeline wants
+    when near-duplicates differ by truncation."""
+    corpus = _corpus(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    pairs = dedup.minhash_lsh_pairs(
+        corpus,
+        num_hashes=NUM_HASHES,
+        num_bands=NUM_BANDS,
+        k=SHINGLE_K,
+        max_bucket=ORACLE_MAX_BUCKET,
+    )
+    return (
+        dedup.near_dedup_keep_best(corpus, pairs, "n_chars")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_KEEP_LONGEST_ORACLE = f"""
+WITH RECURSIVE {{minhash_ctes}},
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (
+  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+),
+best AS (
+  SELECT id FROM (
+    SELECT c.id,
+           row_number() OVER (
+             PARTITION BY c.comp
+             ORDER BY length(d.text) DESC, c.id ASC
+           ) AS rn
+    FROM comp c JOIN corpus d ON d.doc_id = c.id
+  ) WHERE rn = 1
+)
+SELECT doc_id FROM corpus
+WHERE doc_id IN (SELECT id FROM best)
+   OR doc_id NOT IN (SELECT id FROM comp)
+ORDER BY doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_corpus(spark, sf_dir)).orderBy("id_a", "id_b")
 
@@ -556,6 +608,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_near_keep": q_dedup_near_keep,
+    "dedup_keep_longest": q_dedup_keep_longest,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "pipeline_clean": q_pipeline_clean,
@@ -572,6 +625,9 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_near_keep": DEDUP_NEAR_KEEP_ORACLE,
+    "dedup_keep_longest": DEDUP_KEEP_LONGEST_ORACLE.format(
+        minhash_ctes=_minhash_ctes()
+    ),
     "pipeline_clean": PIPELINE_CLEAN_ORACLE.format(
         minhash_ctes=_minhash_ctes(), all_sw=_all_sw_sql()
     ),

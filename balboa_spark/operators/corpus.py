@@ -241,6 +241,47 @@ def chunk_tokens(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    max_doc_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document distinctive keywords: the k tokens ranking highest
+    by (term frequency desc, document frequency asc, token asc), among
+    tokens appearing in at most ``max_doc_frac`` of documents (stopword
+    removal by DF, the inverted-index classic).
+
+    The ranking is INTEGER-ONLY (tf, df, token) — deliberately not the
+    float tf*log(N/df) score, so ordering is exact and hash-stable
+    across engines while selecting the same "frequent here, rare
+    elsewhere" tokens.
+
+    Scale shape: one explode + groupBy(doc, token) shuffle (map-side
+    combined), one groupBy(token) DF table joined WITHOUT a broadcast
+    hint (vocabulary is corpus-derived — AQE broadcasts it when truly
+    small), one per-document window for the top-k. No corpus-
+    cardinality state anywhere.
+    """
+    n_docs = df.count()
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(dfreq, "token")
+        .filter(F.col("df") <= int(max_doc_frac * n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tf", "df")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 128,

@@ -405,6 +405,39 @@ def near_dedup_keep(
     return df.join(keep.unionByName(unpaired), id_col, "left_semi")
 
 
+def near_dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """near_dedup_keep, but the representative kept per connected
+    component is the member with the HIGHEST ``score_col`` (ties break
+    to the lowest id) rather than the lowest id — the form a quality-
+    aware pipeline wants: among near-duplicates, keep the longest /
+    highest-quality copy.
+
+    Same scale shape as near_dedup_keep: components via alternating
+    star contraction, then ONE windowed row_number per component over
+    only the PAIRED docs (component cardinality, not corpus
+    cardinality), and an anti-join for the unpaired rest.
+    """
+    comp = connected_components(pairs)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")), "id"
+    )
+    w = Window.partitionBy("comp").orderBy(F.desc("_score"), F.asc("id"))
+    keep = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("id").alias(id_col))
+    )
+    unpaired = df.select(id_col).join(
+        comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    return df.join(keep.unionByName(unpaired), id_col, "left_semi")
+
+
 def embedding_near_dedup(
     df: DataFrame,
     threshold: float,

@@ -216,6 +216,41 @@ def test_chunk_tokens_is_projection_only(spark, tables):
     assert "Exchange" not in plan
 
 
+def test_tfidf_keywords_integer_ranking(spark):
+    rows = [
+        (1, "apple apple apple common common"),
+        (2, "banana banana common common common"),
+        (3, "common cherry"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = corpus.tfidf_keywords(df, k=2, max_doc_frac=0.5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'common' is in all 3 docs (df=3 > 0.5*3) -> excluded everywhere
+    assert all(r["token"] != "common" for r in out)
+    assert by_doc[1][0]["token"] == "apple" and by_doc[1][0]["tf"] == 3
+    assert by_doc[2][0]["token"] == "banana"
+    assert by_doc[3][0]["token"] == "cherry" and by_doc[3][0]["df"] == 1
+
+
+def test_near_dedup_keep_best_prefers_score(spark):
+    from balboa_spark.operators import dedup
+
+    # component {1,2,3}: doc 2 is the longest -> kept; 4 unpaired -> kept
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aaaa"), (3, "aaa"), (4, "zz")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup_keep_best(
+            docs.withColumn("n_chars", F.length("text")), pairs, "n_chars"
+        ).collect()
+    )
+    assert kept == [2, 4]
+
+
 def test_contamination_broadcasts_only_benchmark(spark, tables):
     docs = tables["documents"]
     bench = docs.limit(5).select("text")
