@@ -355,7 +355,39 @@ ROLLUP_ORACLE = with_obs_cte(
 )
 
 
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (median / p90 of event value per
+    type) — Spark's sort-based `percentile` matches DuckDB's
+    quantile_cont definition (linear interpolation) exactly.
+
+    Scale note: exact percentiles sort each group; at 100 TB the
+    engine-native path is `percentile_approx` (t-digest sketch, one
+    pass, mergeable across partitions) — same query shape, declared
+    approximate, so it has no hash oracle and is exercised in unit
+    tests instead."""
+    load_tables(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        SELECT event_type,
+               round(percentile(value, 0.5), 4) AS p50,
+               round(percentile(value, 0.9), 4) AS p90,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+QUANTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_quantiles": q_events_quantiles,
     "events_tumbling": q_events_tumbling,
     "rollup_observations": q_rollup_observations,
     "agg_incremental": q_agg_incremental,
@@ -370,6 +402,7 @@ QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_EXTRA: dict[str, str] = {
+    "events_quantiles": QUANTILES_ORACLE,
     "events_tumbling": TUMBLING_ORACLE,
     "rollup_observations": ROLLUP_ORACLE,
     "agg_incremental": AGG_INCREMENTAL_ORACLE,

@@ -160,6 +160,41 @@ def main() -> None:
             clean.withColumnRenamed("text_redacted", "text")
         ).write.mode("overwrite").format("noop").save()
 
+    @timed("events_asof")
+    def _():
+        # sort-based as-of join: every purchase -> most recent prior
+        # click per user (joinless union+window plan)
+        from balboa_spark.operators import temporal
+
+        e = spark.table("events")
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("c_event_id"), F.col("ts").alias("c_ts")
+        )
+        temporal.asof_join(
+            purchases, clicks, on=["user_id"], right_ts="c_ts"
+        ).write.mode("overwrite").format("noop").save()
+
+    @timed("events_rolling_1h")
+    def _():
+        # trailing 1-hour RANGE window per user over the full stream
+        from balboa_spark.operators import temporal
+
+        temporal.rolling_features(spark.table("events")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    @timed("pack_sequences")
+    def _():
+        # concat-and-chunk packing of the whole corpus token stream
+        from balboa_spark.operators import corpus
+
+        corpus.pack_sequences(spark.table("documents")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     @timed("embedding_topk")
     def _():
         emb = spark.table("embeddings")

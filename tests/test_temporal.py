@@ -115,6 +115,22 @@ def test_rolling_features_equal_ts_are_peers(spark):
     assert out[1]["sum_value_cents_trailing"] == 300
 
 
+def test_percentile_approx_tracks_exact(spark, tables):
+    """The 100 TB percentile path (t-digest sketch) must land near the
+    exact sort-based percentile the oracle checks."""
+    got = (
+        tables["events"]
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.col("value"), F.lit(0.5)).alias("exact"),
+            F.percentile_approx(F.col("value"), F.lit(0.5), F.lit(1000)).alias("approx"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert abs(r["approx"] - r["exact"]) <= 0.05 * max(r["exact"], 1.0)
+
+
 def test_pack_sequences_straddles_and_tail(spark):
     docs = spark.createDataFrame(
         [
