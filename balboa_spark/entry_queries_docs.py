@@ -459,6 +459,44 @@ LIMIT {TOPK}
 """
 
 
+KNN_K, KNN_NQ = 10, 20
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join: top-10 neighbors for each of the first 20
+    vectors, LSH-candidate generation + exact re-rank. Hash-checkable
+    against brute force because the multi-probe candidate union covers
+    the true top-k on this workload (same guarantee ann_lsh_topk
+    relies on)."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.knn_join(emb, queries, k=KNN_K).orderBy("qid", "rank")
+
+
+KNN_JOIN_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {KNN_NQ}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_inner_product(e.v, q.qv)
+               / (sqrt(list_inner_product(e.v, e.v))
+                  * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cos
+  FROM q CROSS JOIN e
+)
+SELECT qid, rank, vec_id, cos FROM (
+  SELECT qid, vec_id, cos,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY cos DESC, vec_id
+         ) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {KNN_K}
+ORDER BY qid, rank
+"""
+
+
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, names=("embeddings",))
     return similarity.cosine_pairs(t["embeddings"], COS_T).orderBy("id_a", "id_b")
@@ -613,6 +651,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "pipeline_clean": q_pipeline_clean,
     "embedding_topk": q_embedding_topk,
+    "embedding_knn_join": q_knn_join,
     "embedding_cosine_pairs": q_embedding_pairs,
     "dedup_embedding": q_dedup_embedding,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -634,6 +673,7 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": JACCARD_ORACLE,
     "embedding_topk": EMBEDDING_TOPK_ORACLE,
+    "embedding_knn_join": KNN_JOIN_ORACLE,
     "embedding_cosine_pairs": EMBEDDING_PAIRS_ORACLE,
     "dedup_embedding": DEDUP_EMBEDDING_ORACLE,
     # ANN's candidate set provably covers the true top-k on this

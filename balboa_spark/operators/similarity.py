@@ -334,6 +334,125 @@ def lsh_candidate_pairs(
     return bucket_pairs(coded, ["_code"], "id", max_bucket)
 
 
+def _flip_masks(num_planes: int, probe_hamming: int):
+    """All XOR masks within probe_hamming bit flips of 0 (ascending
+    popcount) — the multi-probe neighborhood of a bucket code."""
+    import itertools
+
+    import numpy as np
+
+    masks = [0]
+    for r in range(1, probe_hamming + 1):
+        for combo in itertools.combinations(range(num_planes), r):
+            m = 0
+            for c in combo:
+                m |= 1 << c
+            masks.append(m)
+    return np.array(masks, dtype=np.int64)
+
+
+def lsh_probe_codes(
+    vec_col: str,
+    dim: int,
+    num_tables: int = 10,
+    num_planes: int = 8,
+    probe_hamming: int = 3,
+    seed: str = "balboa",
+) -> Column:
+    """Column of ALL table-coded bucket ids within probe_hamming bit
+    flips of each vector's bucket, per table (array<long>) — the
+    query-side twin of lsh_bucket_codes, vectorized the same way (one
+    matmul + one broadcast XOR per Arrow batch).
+
+    XOR on the table-coded value is safe because flip masks only touch
+    the low num_planes bits: (t*2^b + bucket) ^ m = t*2^b + (bucket^m).
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    P = _plane_matrix(dim, num_tables * num_planes, seed)
+    M = _flip_masks(num_planes, probe_hamming)
+
+    @pandas_udf("array<long>")
+    def probes(v: "pd.Series") -> "pd.Series":
+        X = np.vstack(v.to_numpy())
+        C = _bucket_codes(X, P, num_tables, num_planes)  # (n, L)
+        out = C[:, :, None] ^ M[None, None, :]  # (n, L, n_masks)
+        return pd.Series(list(out.reshape(len(X), -1)))
+
+    return probes(F.col(vec_col))
+
+
+def knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_tables: int = 10,
+    num_planes: int = 8,
+    probe_hamming: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """Batch k-nearest-neighbor join: for EVERY query vector, its top-k
+    data vectors by cosine — the set-valued sibling of
+    lsh_bucketed_topk (one query) and lsh_candidate_pairs (self-join).
+
+    Output: (qid, rank, vec_id, cos), rank 1..k per query
+    (cos rounded to 6, ties by id — deterministic across engines).
+
+    Plan shape at 100 TB: data emits L codes per vector, queries emit
+    their multi-probe neighborhoods; candidates are ONE equi-join on
+    the bucket code (shuffle scales with collision count, never
+    |data| x |queries|), then an exact re-rank joins the vectors back
+    and a per-query window keeps k. With the data codes persisted and
+    partitioned (VectorStore), the candidate join becomes a pruned
+    scan. Probe parameters default to the exhaustive-on-near-uniform
+    setting tuned for lsh_bucketed_topk; clustered real-world
+    embeddings prune far harder.
+    """
+    dim = len(data.select(vec_col).first()[0])
+    dcodes = data.select(
+        F.col(id_col).alias("_did"),
+        F.explode(
+            lsh_bucket_codes(vec_col, dim, num_tables, num_planes)
+        ).alias("_code"),
+    )
+    qprobes = queries.select(
+        F.col(q_id_col).alias("_qid"),
+        F.explode(
+            lsh_probe_codes(q_vec_col, dim, num_tables, num_planes, probe_hamming)
+        ).alias("_code"),
+    )
+    cand = qprobes.join(dcodes, "_code").select("_qid", "_did").distinct()
+    scored = (
+        cand.join(
+            data.select(F.col(id_col).alias("_did"), F.col(vec_col).alias("_dv")),
+            "_did",
+        )
+        .join(
+            queries.select(
+                F.col(q_id_col).alias("_qid"), F.col(q_vec_col).alias("_qv")
+            ),
+            "_qid",
+        )
+        .withColumn("cos", F.round(cosine(F.col("_dv"), F.col("_qv")), 6))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos"), F.asc("_did"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(q_id_col),
+            "rank",
+            F.col("_did").alias(id_col),
+            "cos",
+        )
+    )
+
+
 def pairs_cosine_refilter(
     df: DataFrame,
     candidates: DataFrame,

@@ -180,6 +180,30 @@ def test_lsh_candidate_pairs_hub_bucket_chains(spark):
     assert {r.comp for r in comp} == {0} and len(comp) == 50
 
 
+def test_knn_join_matches_brute_per_query(spark):
+    """Batch kNN join: LSH candidates + exact re-rank must equal the
+    brute-force per-query top-k (including rank order), and the plan
+    must stay equi-join only."""
+    rows = _clustered_vectors(n_clusters=25)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (
+        df.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    got = similarity.knn_join(df, queries, k=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    for qid in range(8):
+        brute = [
+            r.vec_id
+            for r in similarity.topk_brute(df, rows[qid][1], k=4).collect()
+        ]
+        assert [v for _, v in sorted(by_q[qid])] == brute
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_embedding_near_dedup_lsh_matches_exact(spark):
     """End-to-end embedding near-dedup: the LSH-candidate path (with
     exact cosine refilter) produces the same keep-set as the exact
