@@ -405,6 +405,45 @@ def near_dedup_keep(
     return df.join(keep.unionByName(unpaired), id_col, "left_semi")
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023): fit
+    k-means cells over the embeddings (distributed Lloyd), generate
+    candidate pairs only WITHIN each cell, exact-cosine refilter at the
+    threshold, connected components, keep one representative (min id)
+    per component plus all unpaired rows.
+
+    The declared approximation (inherent to the SemDeDup design):
+    near-dups assigned to different cells are not compared — at real
+    dedup thresholds (cos >= 0.95) duplicates land in the same cell
+    because the cell radius is far wider than the duplicate radius.
+
+    Scale shape: pair count is bounded by cell occupancy (bucket_pairs
+    keeps over-cap cells linear via chain pairs), never n²; the Lloyd
+    fit moves only k x dim floats to the driver per iteration.
+    """
+    from balboa_spark.operators import similarity
+
+    dim = len(df.select(vec_col).first()[0])
+    cents = similarity.ivf_fit(
+        df, dim=dim, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        similarity.ivf_assign_col(cents, vec_col).alias("_cell"),
+    ).localCheckpoint(eager=True)
+    cand = bucket_pairs(assigned, ["_cell"], "id", max_bucket)
+    pairs = similarity.pairs_cosine_refilter(df, cand, threshold, vec_col, id_col)
+    return near_dedup_keep(df, pairs, id_col=id_col)
+
+
 def near_dedup_keep_best(
     df: DataFrame,
     pairs: DataFrame,

@@ -104,8 +104,53 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 def sample_frames(df: DataFrame, every_ms: int) -> DataFrame:
     """Video frame sampling — stub; a real implementation explodes one
-    video row into N frame rows (payload -> frames) inside mapInPandas."""
+    video row into N frame rows (payload -> frames) inside mapInPandas.
+    ``fake_sample_frames`` exercises that exact 1->N batch shape."""
     raise NotImplementedError("video codecs not installed in this container")
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("frame_payload", BinaryType(), False),
+    ]
+)
+
+
+def fake_sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Deterministic frame-sampling stand-in: one 'frame' every
+    ``every_ms`` of duration, payload = a byte slice at the frame's
+    proportional offset. Exercises the real sampler's contract — a
+    mapInPandas that EXPLODES one video row into N frame rows (output
+    batches larger than input batches, Arrow both ways), with frames
+    inheriting the asset id for downstream joins.
+
+    Rows with NULL/zero duration produce no frames (mirrors a decoder
+    skipping corrupt containers)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []}
+            for _, row in pdf.iterrows():
+                dur = row["duration_ms"]
+                if dur is None or pd.isna(dur) or dur <= 0:
+                    continue
+                raw = bytes(row["payload"])
+                if not raw:
+                    continue
+                n_frames = int(dur) // every_ms + 1
+                for i in range(n_frames):
+                    ts = i * every_ms
+                    off = min(int(len(raw) * ts / max(int(dur), 1)), len(raw) - 1)
+                    out["asset_id"].append(row["asset_id"])
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(ts)
+                    out["frame_payload"].append(raw[off : off + 16])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
 
 
 def media_dedup_groups(df: DataFrame) -> DataFrame:

@@ -220,6 +220,23 @@ def test_embedding_near_dedup_lsh_matches_exact(spark):
     assert exact == lsh == [4 * c for c in range(25)]  # min id per cluster
 
 
+def test_semantic_dedup_matches_exact_on_clusters(spark):
+    """SemDeDup composition (k-means cells -> within-cell pairs ->
+    refilter -> components): on clustered vectors it must produce the
+    same keep-set as the exact cross-join path, scanning only
+    within-cell pairs."""
+    rows = _clustered_vectors(n_clusters=25)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = sorted(r.vec_id for r in dedup.embedding_near_dedup(df, 0.97).collect())
+    # fewer cells than clusters: each tight cluster lands wholly in one
+    # cell (internal spread << inter-cluster distance), so within-cell
+    # pair generation loses nothing
+    sem = sorted(
+        r.vec_id for r in dedup.semantic_dedup(df, 0.97, n_cells=8, iters=3).collect()
+    )
+    assert sem == exact == [4 * c for c in range(25)]
+
+
 def test_ivf_topk_on_clustered_vectors(spark):
     """IVF (learned centroids + nprobe cells): on clustered data the
     probed cells must contain the true high-cosine neighbors, so the
@@ -295,6 +312,31 @@ def test_multimodal_fake_decode(spark):
     assert out[1].features[0] == ord("0") / 256.0  # deterministic
     assert out[2].features is None  # empty payload -> no features
     assert out[2].n_bytes == 0
+
+
+def test_multimodal_fake_sample_frames(spark):
+    """The 1->N explode shape of a video frame sampler: one asset row
+    yields one frame per every_ms of duration; null/zero-duration and
+    empty-payload assets yield none."""
+    from balboa_spark.operators.multimodal import MEDIA_ASSET, fake_sample_frames
+
+    rows = [
+        (1, "video", bytearray(bytes(range(100))), "fake", None, None, 2500),
+        (2, "video", bytearray(b""), "fake", None, None, 2500),
+        (3, "video", bytearray(b"xy"), "fake", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_ASSET)
+    out = fake_sample_frames(df, every_ms=1000).collect()
+    frames = sorted((r.frame_idx, r.ts_ms) for r in out)
+    # 2500 ms at 1000 ms cadence -> frames at 0, 1000, 2000
+    assert frames == [(0, 0), (1, 1000), (2, 2000)]
+    assert all(r.asset_id == 1 for r in out)
+    by_idx = {r.frame_idx: bytes(r.frame_payload) for r in out}
+    assert by_idx[0][0] == 0  # offset 0
+    assert by_idx[1][0] == 40  # 100 * 1000/2500
+    # deterministic across runs
+    again = {r.frame_idx: bytes(r.frame_payload) for r in fake_sample_frames(df, 1000).collect()}
+    assert again == by_idx
 
 
 def test_multimodal_stubs_raise(spark):
