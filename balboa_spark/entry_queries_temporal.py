@@ -94,6 +94,51 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# ordered funnel: signup -> click -> purchase per user
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        temporal.funnel(_events(spark, sf_dir), FUNNEL_STEPS)
+        .orderBy("user_id")
+    )
+
+
+#: k-level correlated-CTE form — the declarative twin of the engine's
+#: per-user ordered fold; strict '>' on every stage keeps both sides
+#: independent of tie order.
+EVENTS_FUNNEL_ORACLE = f"""
+WITH u1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+),
+u2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > u1.t1 GROUP BY 1
+),
+u3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > u2.t2 GROUP BY 1
+),
+base AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN {tuple(FUNNEL_STEPS)!r}
+)
+SELECT b.user_id, u1.t1, u2.t2, u3.t3
+FROM base b
+LEFT JOIN u1 USING (user_id)
+LEFT JOIN u2 USING (user_id)
+LEFT JOIN u3 USING (user_id)
+ORDER BY b.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # sequence packing (concat-and-chunk, global doc_id order)
 # ---------------------------------------------------------------------------
 
@@ -139,11 +184,13 @@ FROM tok2 GROUP BY 1 ORDER BY seq_id
 QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": q_events_asof,
     "events_rolling_1h": q_events_rolling,
+    "events_funnel": q_events_funnel,
     "corpus_pack_sequences": q_pack_sequences,
 }
 
 ORACLES_TEMPORAL: dict[str, str] = {
     "events_asof": EVENTS_ASOF_ORACLE,
     "events_rolling_1h": EVENTS_ROLLING_ORACLE,
+    "events_funnel": EVENTS_FUNNEL_ORACLE,
     "corpus_pack_sequences": PACK_SEQUENCES_ORACLE,
 }

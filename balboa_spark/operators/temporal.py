@@ -107,6 +107,66 @@ def trailing_window(
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel completion per user: for steps (s1, s2, ... sk),
+    t1 = first s1 event, t2 = first s2 event STRICTLY after t1, and so
+    on. Output: one row per user having any step event, with nullable
+    t1..tk — strictly-increasing timestamps by construction, so
+    conversion counts/latencies are one aggregation away.
+
+    Plan shape: filter to step events -> ONE shuffle (groupBy user) ->
+    per-user ordered fold over the collected event array (the funnel
+    recurrence is sequential per user, which a fold expresses without a
+    k-way self-join; the DuckDB oracle is the k-level correlated-CTE
+    form). Per-user state is that user's step events only; a
+    pathologically hot user is bounded by its own event count, and the
+    strict '>' step condition makes results independent of tie order.
+    """
+    k = len(steps)
+    if k == 0:
+        raise ValueError("funnel needs at least one step")
+    evs = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_tp"),
+    )
+    per_user = evs.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(F.struct("_ts", "_tp"))).alias("_seq")
+    )
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(k)])
+
+    def fold(acc, x):
+        # stage i completes at this event iff it is still open, the
+        # event has stage i's type, and the previous stage completed
+        # strictly earlier (F.get is 0-based and null-safe at -1, so
+        # the i=0 branch needs no special casing beyond the OR)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.when(F.get(acc, i).isNotNull(), F.get(acc, i))
+            .when(
+                (x["_tp"] == F.get(steps_arr, i))
+                & ((i == F.lit(0)) | (x["_ts"] > F.get(acc, i - 1))),
+                x["_ts"],
+            )
+            .otherwise(F.lit(None).cast("timestamp")),
+        )
+
+    done = per_user.select(
+        F.col(user_col), F.aggregate("_seq", init, fold).alias("_st")
+    )
+    return done.select(
+        F.col(user_col),
+        *[F.get("_st", i).alias(f"t{i + 1}") for i in range(k)],
+    )
+
+
 def rolling_features(
     df: DataFrame,
     keys: Sequence[str] = ("user_id",),

@@ -115,6 +115,33 @@ def test_rolling_features_equal_ts_are_peers(spark):
     assert out[1]["sum_value_cents_trailing"] == 300
 
 
+def test_funnel_ordered_completion(spark):
+    rows = [
+        # u completes all three in order
+        (1, "u", _ts(1), "signup"),
+        (2, "u", _ts(2), "click"),
+        (3, "u", _ts(3), "purchase"),
+        # v clicks BEFORE signing up -> that click cannot complete
+        # stage 2; a later click does
+        (4, "v", _ts(1), "click"),
+        (5, "v", _ts(2), "signup"),
+        (6, "v", _ts(4), "click"),
+        # w purchases without ever signing up -> only stage gates at t1
+        (7, "w", _ts(1), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    out = {
+        r["user_id"]: r
+        for r in temporal.funnel(df, ("signup", "click", "purchase")).collect()
+    }
+    assert (out["u"]["t1"], out["u"]["t2"], out["u"]["t3"]) == (_ts(1), _ts(2), _ts(3))
+    assert out["v"]["t1"] == _ts(2) and out["v"]["t2"] == _ts(4)
+    assert out["v"]["t3"] is None
+    assert out["w"]["t1"] is None and out["w"]["t2"] is None and out["w"]["t3"] is None
+
+
 def test_percentile_approx_tracks_exact(spark, tables):
     """The 100 TB percentile path (t-digest sketch) must land near the
     exact sort-based percentile the oracle checks."""
