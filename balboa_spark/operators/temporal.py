@@ -99,10 +99,16 @@ def trailing_window(
     """RANGE frame covering ``[t - duration, t]`` (both ends inclusive)
     per key, ordered by epoch-microseconds — rows with identical
     timestamps are peers and always aggregate together, so results are
-    deterministic under any shuffle order."""
+    deterministic under any shuffle order.
+
+    The order key is cast to TIMESTAMP first: parquet written without
+    the UTC-adjusted flag reads as TIMESTAMP_NTZ, which unix_micros
+    rejects. With the session timezone pinned UTC the cast is value-
+    preserving, so both physical source types produce the same frame.
+    """
     return (
         Window.partitionBy(*keys)
-        .orderBy(F.unix_micros(F.col(ts_col)))
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
         .rangeBetween(-duration_sec * 1_000_000, 0)
     )
 

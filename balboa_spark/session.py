@@ -78,12 +78,22 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
 
 
 def _read_parquet_norm(spark: SparkSession, path: str):
-    """Read parquet, converting TIMESTAMP(NANOS) columns (which Spark
-    surfaces as raw int64 under nanosAsLong) back to TimestampType by
-    truncating to microseconds — the same floor DuckDB applies, so the
-    oracle sees identical values."""
+    """Read parquet, normalizing timestamp physical types the writer may
+    vary between runs:
+
+    - TIMESTAMP(NANOS) columns (surfaced as raw int64 under nanosAsLong)
+      are converted back to TimestampType by truncating to microseconds —
+      the same floor DuckDB applies, so the oracle sees identical values.
+    - TIMESTAMP_NTZ columns (pandas-written timestamp[us] without the
+      UTC-adjusted flag) are cast to TimestampType. The session timezone
+      is pinned UTC, so the cast reinterprets the same wall-clock value
+      as the same instant — hash-exact vs the oracle, and downstream
+      operators (unix_micros, window(), unix_timestamp) all require
+      TIMESTAMP rather than TIMESTAMP_NTZ.
+    """
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
 
     df = spark.read.parquet(path)
     try:
@@ -93,4 +103,7 @@ def _read_parquet_norm(spark: SparkSession, path: str):
         ns_cols = []
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

@@ -46,11 +46,19 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def timed(name):
+        # Fault-isolated: one failing query records an error entry and
+        # lets the rest of the bench run — the final JSON line is always
+        # emitted (round 4 lost all numbers to a single AnalysisException).
         def deco(fn):
             t0 = time.time()
-            fn()
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001 - record and continue
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
             timings[name] = round(time.time() - t0, 3)
 
         return deco
@@ -210,18 +218,17 @@ def main() -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "balboa_spark bench: ingest fold + dual-layout build + "
-                "10k-rdata lookup storm + point queries + scan-agg + dedup + ann",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "balboa_spark bench: ingest fold + dual-layout build + "
+        "10k-rdata lookup storm + point queries + scan-agg + dedup + ann",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

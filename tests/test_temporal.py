@@ -192,3 +192,63 @@ def test_pack_sequences_sharded(spark):
     assert by_key[("x", 0)] == "a0 a1 a2 a3"
     assert by_key[("x", 1)] == "a4"
     assert by_key[("y", 0)] == "b0 b1"
+
+
+def test_ntz_us_parquet_is_normalized_and_ops_run(spark, tmp_path):
+    """Driver-type-drift regression (round 4): the testdata generator
+    switched events.ts from timestamp[ns] to pandas-written timestamp[us]
+    WITHOUT the UTC-adjusted flag, which Spark reads as TIMESTAMP_NTZ —
+    and unix_micros/window() reject NTZ, zeroing the round.
+
+    Contract under test: (a) load_tables normalizes any NTZ column to
+    TimestampType with identical values (session tz is UTC), and
+    (b) trailing_window/rolling_features work even on a raw NTZ frame.
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from balboa_spark.session import load_tables
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:30:00",
+                 "2024-01-01 00:59:00", "2024-01-01 02:00:00"]
+            ).astype("datetime64[us]"),
+            "user_id": [7, 7, 7, 7],
+            "value": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    d = tmp_path / "ntzdata"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet", index=False)  # timestamp[us], not UTC-adjusted
+    assert str(pq.read_schema(str(d / "events.parquet")).field("ts").type) == "timestamp[us]"
+
+    # (a) load_tables hands back TimestampType, values preserved
+    tables = load_tables(spark, str(d), names=("events",))
+    ev = tables["events"]
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    got = {r["event_id"]: r["ts"] for r in ev.collect()}
+    assert got[1] == dt.datetime(2024, 1, 1, 0, 0)
+
+    out = {
+        r["event_id"]: r
+        for r in temporal.rolling_features(ev, duration_sec=3600).collect()
+    }
+    assert out[3]["n_trailing"] == 3 and out[3]["sum_value_cents_trailing"] == 700
+    assert out[4]["n_trailing"] == 1
+
+    # tumbling window() and sessionize-style lag both run on the
+    # normalized frame
+    assert ev.groupBy(F.window("ts", "1 hour")).count().count() == 2
+
+    # (b) even an un-normalized NTZ frame must not crash trailing_window
+    raw = spark.read.parquet(str(d / "events.parquet"))
+    assert isinstance(raw.schema["ts"].dataType, TimestampNTZType)
+    out_raw = {
+        r["event_id"]: r["n_trailing"]
+        for r in temporal.rolling_features(raw, duration_sec=3600).collect()
+    }
+    assert out_raw[3] == 3
