@@ -473,7 +473,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < KNN_NQ).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return similarity.knn_join(emb, queries, k=KNN_K).orderBy("qid", "rank")
+    return similarity.knn_join(emb, queries, k=KNN_K, dim=64).orderBy("qid", "rank")
 
 
 KNN_JOIN_ORACLE = f"""

@@ -331,11 +331,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # nodes derives from the checkpointed e0 and is consumed exactly
+    # once (the final label join) — recomputing it there is one cheap
+    # scan; checkpointing it would be a wasted materialization job.
     nodes = (
         e0.select(F.col("u").alias("id"))
         .unionByName(e0.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     edges = e0
     prev_sig = None
@@ -362,7 +364,12 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .unionByName(smins.select(F.col("u"), F.col("mn").alias("v")))
         )
-        edges = small.distinct().localCheckpoint(eager=True)
+        # Lazy checkpoint: the sig aggregate below is the first action,
+        # so ONE job both materializes/persists the round's edge set
+        # (cutting lineage for the next round) and computes the
+        # fixpoint signature — halves the Spark jobs per round vs an
+        # eager checkpoint followed by a separate collect.
+        edges = small.distinct().localCheckpoint(eager=False)
         sig = edges.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
@@ -413,6 +420,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket: int = 1000,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-shape semantic deduplication (Abbas et al. 2023): fit
     k-means cells over the embeddings (distributed Lloyd), generate
@@ -427,11 +435,13 @@ def semantic_dedup(
 
     Scale shape: pair count is bounded by cell occupancy (bucket_pairs
     keeps over-cap cells linear via chain pairs), never n²; the Lloyd
-    fit moves only k x dim floats to the driver per iteration.
+    fit moves only k x dim floats to the driver per iteration. Pass
+    ``dim`` when known to avoid a driver-side first() before the plan.
     """
     from balboa_spark.operators import similarity
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     cents = similarity.ivf_fit(
         df, dim=dim, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
     )

@@ -395,6 +395,7 @@ def knn_join(
     id_col: str = "vec_id",
     q_id_col: str = "qid",
     q_vec_col: str = "qvec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Batch k-nearest-neighbor join: for EVERY query vector, its top-k
     data vectors by cosine — the set-valued sibling of
@@ -412,8 +413,12 @@ def knn_join(
     scan. Probe parameters default to the exhaustive-on-near-uniform
     setting tuned for lsh_bucketed_topk; clustered real-world
     embeddings prune far harder.
+
+    Pass ``dim`` when known (callers almost always know it): inferring
+    it costs a driver-side first() action before the plan is built.
     """
-    dim = len(data.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(data.select(vec_col).first()[0])
     dcodes = data.select(
         F.col(id_col).alias("_did"),
         F.explode(
