@@ -282,6 +282,44 @@ def tfidf_keywords(
     )
 
 
+def _global_prefix_sum(counts: DataFrame, id_col: str) -> DataFrame:
+    """(id, _start) where _start = sum of ``_n`` over all rows with a
+    smaller id — an EXACT global exclusive prefix sum with no
+    single-partition window.
+
+    Two-phase formulation: range-partition by id so partition order ==
+    id order, cumsum within each bucket (parallel window), then add
+    each bucket's base = total of all earlier buckets. Bases come from
+    a triangular self-join over the per-bucket totals; that relation
+    has one row per bucket (bounded by the partition count, i.e.
+    cluster-sized), so the join is broadcast-trivial and the result is
+    identical no matter where the range boundaries fall.
+    """
+    spark = counts.sparkSession
+    n_buckets = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    c = counts.repartitionByRange(n_buckets, F.col(id_col)).withColumn(
+        "_b", F.spark_partition_id()
+    )
+    wl = (
+        Window.partitionBy("_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = c.select(
+        F.col(id_col), "_b", F.coalesce(F.sum("_n").over(wl), F.lit(0)).alias("_loc")
+    )
+    totals = c.groupBy("_b").agg(F.sum("_n").alias("_bt"))
+    bases = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b._b") < F.col("a._b"), "left")
+        .groupBy(F.col("a._b").alias("_b"))
+        .agg(F.coalesce(F.sum("b._bt"), F.lit(0)).alias("_base"))
+    )
+    return local.join(F.broadcast(bases), "_b").select(
+        F.col(id_col), (F.col("_loc") + F.col("_base")).alias("_start")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 128,
@@ -298,30 +336,35 @@ def pack_sequences(
     Emits (seq_id, n_seq_tokens, seq_text), ordered semantics:
     sequence s holds global token positions [s*seq_len, (s+1)*seq_len).
 
-    Scale shape: the only global step is a cumulative sum over the
-    NARROW (doc_id, n_tokens) relation — two integers per document,
-    never the text — to assign each document its start offset; the
-    token explode, offset join, and per-sequence regroup are all
-    key-partitioned shuffles. For corpora where even one row per
-    document through a single-partition window is too much, pass
-    ``shard_col``: packing then runs independently inside each shard
-    (seq_id = (shard, local_seq)) with full parallelism — the form a
-    1000-executor job would use, trading global concatenation order
-    for shard-local order.
+    Scale shape: the global document-start offsets are a DISTRIBUTED
+    two-phase prefix sum over the NARROW (doc_id, n_tokens) relation —
+    two integers per document, never the text: range-partition by id,
+    per-bucket windowed cumsum (full parallelism), then each bucket's
+    base offset from a triangular join over the per-bucket totals
+    (bucket-count rows — cluster-sized, not data-sized). No
+    single-partition window appears anywhere in the plan. The token
+    explode, offset join, and per-sequence regroup are all
+    key-partitioned shuffles. ``shard_col`` additionally makes packing
+    independent per shard (seq_id = (shard, local_seq)), trading
+    global concatenation order for shard-local order where even the
+    narrow relation's extra shuffle matters.
     """
     shard_keys = [shard_col] if shard_col is not None else []
     staged = df.select(
         F.col(id_col), *shard_keys, tokens(F.col(text_col)).alias("_tk")
     ).filter(F.size("_tk") > 0)
     counts = staged.select(F.col(id_col), *shard_keys, F.size("_tk").alias("_n"))
-    w = (
-        Window.partitionBy(*shard_keys)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = counts.select(
-        F.col(id_col), F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_start")
-    )
+    if shard_col is not None:
+        w = (
+            Window.partitionBy(*shard_keys)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = counts.select(
+            F.col(id_col), F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_start")
+        )
+    else:
+        offs = _global_prefix_sum(counts, id_col)
     tok = (
         staged.join(offs, id_col)
         .select(*shard_keys, F.col("_start"), F.posexplode("_tk").alias("pos", "tok"))
