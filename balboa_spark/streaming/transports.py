@@ -21,10 +21,15 @@ with the store's epoch gate making the fold exactly-once.
   each one NMSG container, written verbatim as one binary file; the
   SIE vendor-id==2 filter is applied by the container decoder
   (sources/nmsg.py). Sensor ``[unknown]`` (:69).
-- AMQP (feeder_amqp.go): requires a broker client library that is not
-  in this environment; gzip body decompression is the only transform
-  (``gunzip_lines`` below) so any external AMQP consumer shovels into
-  the same landing layout.
+- ``AMQPFeeder`` (feeder_amqp.go:91-287): consumes a queue bound to
+  fanout exchanges; per delivery, gzip-decompresses when a
+  ``compressed`` header is present (decompress failure -> warn + skip
+  WITHOUT ack, feeder_amqp.go:260-266), takes the sensor id from the
+  ``sensor_id`` header (missing -> empty string, :276-279), lands the
+  body, then acks (:284). Connection failures trigger reconnect every
+  2 s forever (reconnectOnFailure, :60-88). The broker client is
+  pluggable: pika is used when importable (not in this container);
+  tests inject a fake channel implementing the same tiny protocol.
 """
 
 from __future__ import annotations
@@ -192,3 +197,139 @@ class NmsgUdpFeeder:
         if self._thread:
             self._thread.join(timeout=2)
         self._sock.close()
+
+
+class AMQPFeeder:
+    """S2: AMQP queue consumer landing message bodies for the streaming
+    ingest (feeder_amqp.go:91-287 re-expressed over the landing-dir
+    channel).
+
+    ``connector`` is any zero-arg callable returning a CHANNEL: an
+    object whose ``consume()`` yields deliveries carrying ``body``
+    (bytes), ``headers`` (dict) and ``ack()``. The default connector
+    builds one from pika when that library is importable; in
+    environments without a broker client, pass a connector (tests use
+    an in-memory fake) or run an external shovel into the landing dir.
+
+    Per delivery, mirroring the reference's handle() loop:
+    - ``compressed`` header present -> gunzip; failure warns and SKIPS
+      without acking (feeder_amqp.go:260-266), so the broker redelivers
+      to a consumer that may be able to parse it.
+    - sensor id = ``sensor_id`` header, else "" (:276-279) — the same
+      verbatim rule as HTTP's X-Sensor-ID.
+    - land, then ack (:284): at-least-once into the landing dir; the
+      store's epoch gate makes the downstream fold exactly-once (T5).
+
+    A connector/consume error tears the channel down and reconnects
+    after ``reconnect_delay`` seconds, forever, until ``stop()`` —
+    the reconnectOnFailure loop (:60-88, amqpReconnDelay=2s).
+    """
+
+    RECONNECT_DELAY = 2.0
+
+    def __init__(
+        self,
+        land_dir: str,
+        connector=None,
+        url: str = "amqp://localhost",
+        exchanges: tuple[str, ...] = ("tdh.fever",),
+        queue: str = "balboa",
+        reconnect_delay: float | None = None,
+    ):
+        self.land_dir = land_dir
+        self.url = url
+        self.exchanges = exchanges
+        self.queue = queue
+        self.reconnect_delay = (
+            self.RECONNECT_DELAY if reconnect_delay is None else reconnect_delay
+        )
+        self._connector = connector or self._pika_connector
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _pika_connector(self):
+        try:
+            import pika  # noqa: PLC0415 - optional broker client
+        except ImportError as e:
+            raise RuntimeError(
+                "AMQPFeeder needs a broker client: pass connector= or "
+                "install pika (not available in this environment); an "
+                "external AMQP shovel into the landing dir is equivalent"
+            ) from e
+
+        conn = pika.BlockingConnection(pika.URLParameters(self.url))
+        ch = conn.channel()
+        for ex in self.exchanges:
+            ch.exchange_declare(exchange=ex, exchange_type="fanout", durable=True)
+        # reference queue name/args: feeder_amqp.go:155-167
+        qname = ".".join([*self.exchanges, self.queue])
+        ch.queue_declare(
+            queue=qname,
+            durable=False,
+            auto_delete=True,
+            exclusive=True,
+            arguments={"x-message-ttl": 300000, "x-max-length-bytes": 100 * 1024 * 1024},
+        )
+        for ex in self.exchanges:
+            ch.queue_bind(queue=qname, exchange=ex)
+
+        class _PikaChannel:
+            def consume(self_inner):
+                for method, props, body in ch.consume(qname, auto_ack=False):
+                    headers = (props.headers or {}) if props else {}
+
+                    class _D:
+                        def __init__(d):
+                            d.body, d.headers = body, headers
+
+                        def ack(d):
+                            ch.basic_ack(method.delivery_tag)
+
+                    yield _D()
+
+            def close(self_inner):
+                conn.close()
+
+        return _PikaChannel()
+
+    def _handle(self, delivery) -> None:
+        body = delivery.body
+        if "compressed" in delivery.headers:
+            try:
+                body = gunzip_lines(body)
+            except Exception:
+                return  # warn-and-skip, no ack (feeder_amqp.go:260-266)
+        sensor = delivery.headers.get("sensor_id", "")
+        _land(
+            os.path.join(self.land_dir, sensor_dir(sensor)), body, ".ndjson"
+        )
+        delivery.ack()
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            channel = None
+            try:
+                channel = self._connector()
+                for delivery in channel.consume():
+                    if self._stop.is_set():
+                        break
+                    self._handle(delivery)
+            except Exception:
+                pass  # fall through to reconnect, like reconnectOnFailure
+            finally:
+                if channel is not None and hasattr(channel, "close"):
+                    try:
+                        channel.close()
+                    except Exception:
+                        pass
+            if not self._stop.is_set():
+                self._stop.wait(self.reconnect_delay)
+
+    def run(self) -> None:
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)

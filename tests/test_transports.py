@@ -202,3 +202,77 @@ def test_nmsg_udp_feeder_e2e(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].rdata == "192.168.216.34"  # vendor filter kept exactly one
     assert rows[0]["count"] == 1
+
+
+# -- S2: AMQP consumer -------------------------------------------------------
+
+def test_amqp_feeder_fake_channel(tmp_path):
+    """The AMQP consumer against an in-memory channel: gzip bodies
+    decompress when the 'compressed' header is present, sensor_id
+    routes the landing subdir, every landed delivery is acked, a
+    corrupt gzip body is skipped WITHOUT ack (broker redelivery), and
+    a consume error triggers reconnect onto a fresh channel."""
+    import gzip as _gzip
+    import time
+
+    from balboa_spark.streaming.transports import AMQPFeeder, sensor_dir
+
+    acked, land = [], tmp_path / "land"
+
+    class D:
+        def __init__(self, body, headers):
+            self.body, self.headers = body, headers
+
+        def ack(self):
+            acked.append(self)
+
+    good = [
+        D(_gzip.compress(b'{"a":1}\n'), {"compressed": "1", "sensor_id": "s1"}),
+        D(b'{"b":2}\n', {}),                       # plain body, no sensor
+        D(b"\x1f\x8b notgzip", {"compressed": ""}),  # corrupt -> skip, no ack
+    ]
+    channels = []
+
+    class Chan:
+        def __init__(self, deliveries, fail_first=False):
+            self.deliveries, self.fail_first = deliveries, fail_first
+            self.closed = False
+            channels.append(self)
+
+        def consume(self):
+            if self.fail_first:
+                raise ConnectionError("broker went away")
+            yield from self.deliveries
+            while True:  # a live queue blocks when drained
+                time.sleep(0.01)
+                yield from ()
+                if feeder._stop.is_set():
+                    return
+
+        def close(self):
+            self.closed = True
+
+    chans = iter([Chan([], fail_first=True), Chan(good)])
+    feeder = AMQPFeeder(str(land), connector=lambda: next(chans), reconnect_delay=0.05)
+    feeder.run()
+    deadline = time.time() + 5
+    while len(acked) < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    feeder.stop()
+
+    assert len(channels) == 2 and channels[0].closed  # reconnected once
+    assert len(acked) == 2  # corrupt gzip never acked
+    s1 = list((land / sensor_dir("s1")).glob("*.ndjson"))
+    anon = list((land / sensor_dir("")).glob("*.ndjson"))
+    assert len(s1) == 1 and s1[0].read_bytes() == b'{"a":1}\n'  # decompressed
+    assert len(anon) == 1 and anon[0].read_bytes() == b'{"b":2}\n'
+
+
+def test_amqp_feeder_without_broker_client_raises(tmp_path):
+    """No pika in this environment: the default connector must fail
+    loudly with the external-shovel guidance, not hang."""
+    from balboa_spark.streaming.transports import AMQPFeeder
+
+    feeder = AMQPFeeder(str(tmp_path / "land"))
+    with pytest.raises(RuntimeError, match="broker client"):
+        feeder._pika_connector()
