@@ -30,6 +30,17 @@ from pyspark.sql import functions as F
 from balboa_spark.operators.query import DEFAULT_LIMIT, Query, rest_search
 from balboa_spark.plans.layout import ObservationStore
 
+#: The GraphQL schema's RRType enum (query/query_graphql.go:26-73,
+#: all 45 values verbatim). The engine layer stores rrtype as an open
+#: string — the enum is a SERVING-EDGE contract, enforced here exactly
+#: where the reference's GraphQL parser enforces it.
+RRTYPES = frozenset(
+    """A A6 AAAA AFSDB ALIAS APL AXFR CAA CDNSKEY CDS CERT CNAME DHCID
+    DLV DNAME DNSKEY DS HINFO HIP IPSECKEY IXFR KEY KX LOC MX NAPTR NS
+    NSEC NSEC3 NSEC3PARAM OPENPGPKEY OPT PTR RRSIG RP SIG SOA SPF SRV
+    SSHFP TA TKEY TLSA TSIG TXT URI""".split()
+)
+
 
 def to_cof(df: DataFrame) -> DataFrame:
     """Observation rows -> COF wire fields (time_first/time_last unix
@@ -178,6 +189,12 @@ def make_handler(store: ObservationStore, stats=None):
                     limit=int(args.get("limit", DEFAULT_LIMIT)),
                 )
                 q.validate()
+                if q.rrtype is not None and q.rrtype not in RRTYPES:
+                    # the GraphQL parser rejects values outside the
+                    # RRType enum before the resolver ever runs
+                    raise ValueError(
+                        f'Expected type "RRType", found {q.rrtype}.'
+                    )
                 with_aliases = bool(args.get("aliases", False))
                 alias_limit = int(args.get("alias_limit", DEFAULT_LIMIT))
             except (ValueError, TypeError, json.JSONDecodeError) as ex:

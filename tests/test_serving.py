@@ -100,6 +100,14 @@ def test_graphql_shape_endpoint(server):
     code, body = post({"rrtype": "A"})
     assert code == 400 and body["errors"]
 
+    # rrtype outside the 45-value RRType enum (query_graphql.go:26-73)
+    # -> the GraphQL-parser-shaped rejection, before any query runs
+    code, body = post({"rrname": "foo", "rrtype": "BOGUS"})
+    assert code == 400 and 'Expected type "RRType"' in body["errors"][0]
+    # enum values beyond the seeded A records still validate
+    code, body = post({"rrname": "foo", "rrtype": "TLSA"})
+    assert code == 200 and body["data"]["entries"] == []
+
     # aliases field (query_graphql.go:380-398): same rdata+sensor,
     # different rrname — foo's alias is baz and vice versa
     code, body = post({"rrname": "foo", "aliases": True})
