@@ -363,6 +363,58 @@ ORDER BY doc_id, rank
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate ratio + quantile quality binning
+# ---------------------------------------------------------------------------
+
+BOILER_K = 5
+BOILER_MIN_DF = 2
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.boilerplate_ratio(
+        _docs(spark, sf_dir), k=BOILER_K, min_df=BOILER_MIN_DF
+    ).orderBy("doc_id")
+
+
+BOILERPLATE_ORACLE = f"""
+WITH {_TOKS_SQL},
+grams AS (
+  SELECT doc_id, unnest(list_distinct({_grams_sql('tk', BOILER_K)})) AS gram
+  FROM toks
+),
+gdf AS (SELECT gram, count(*) AS df FROM grams GROUP BY 1)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       round(sum(CASE WHEN df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END)
+             / count(*), 6) AS common_ratio
+FROM grams JOIN gdf USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+QBIN_PROBS = (0.25, 0.5, 0.75)
+
+
+def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.quality_bins(
+        _docs(spark, sf_dir), score_col="n_chars", probs=QBIN_PROBS
+    ).orderBy("doc_id")
+
+
+QUALITY_BINS_ORACLE = f"""
+WITH b AS (
+  SELECT list_transform(quantile_cont(n_chars, {list(QBIN_PROBS)}),
+                        x -> round(x, 6)) AS q
+  FROM documents
+)
+SELECT doc_id, n_chars AS score,
+       CAST(len(list_filter((SELECT q FROM b), x -> x <= n_chars)) AS INTEGER) AS bin
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -373,6 +425,8 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_trigram_familiarity": q_trigram_familiarity,
     "corpus_chunk_tokens": q_chunk_tokens,
     "corpus_tfidf_keywords": q_tfidf_keywords,
+    "corpus_boilerplate": q_boilerplate,
+    "corpus_quality_bins": q_quality_bins,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -385,4 +439,6 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_trigram_familiarity": TRIGRAM_FAMILIARITY_ORACLE,
     "corpus_chunk_tokens": CHUNK_TOKENS_ORACLE,
     "corpus_tfidf_keywords": TFIDF_KEYWORDS_ORACLE,
+    "corpus_boilerplate": BOILERPLATE_ORACLE,
+    "corpus_quality_bins": QUALITY_BINS_ORACLE,
 }

@@ -641,6 +641,30 @@ FROM documents GROUP BY 1
 """
 
 
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (similarity.quantize_int8)
+    — the ANN storage scale path, as a pure projection."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    return similarity.quantize_int8(t["embeddings"]).orderBy("vec_id")
+
+
+EMBEDDING_QUANTIZE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+m AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e
+)
+SELECT vec_id, round(amax / 127, 6) AS scale,
+       CASE WHEN amax = 0 THEN list_transform(v, x -> 0)
+            ELSE list_transform(v, x -> CAST(round(x * 127 / amax) AS INTEGER))
+       END AS qvec
+FROM m ORDER BY vec_id
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,
     "dedup_exact": q_dedup_exact,
@@ -657,6 +681,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "media_stats": q_media_stats,
     "media_dedup": q_media_dedup,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -682,4 +707,5 @@ ORACLES_DOCS: dict[str, str] = {
     "ann_lsh_topk": EMBEDDING_TOPK_ORACLE,
     "media_stats": MEDIA_STATS_ORACLE,
     "media_dedup": MEDIA_DEDUP_ORACLE,
+    "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
 }

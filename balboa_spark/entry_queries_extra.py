@@ -386,6 +386,39 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+
+
+# --- cohort retention (temporal.retention) ---------------------------------
+
+RETENTION_PERIOD_DAYS = 7
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event stream: integer epoch
+    periods (timezone/week-start-free), distinct users per (cohort,
+    offset) cell."""
+    from balboa_spark.operators import temporal
+
+    load_tables(spark, sf_dir, names=("events",))
+    return temporal.retention(
+        spark.table("events"), period_days=RETENTION_PERIOD_DAYS
+    ).orderBy("cohort_period", "period_offset")
+
+
+RETENTION_ORACLE = f"""
+WITH p AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / (86400.0 * {RETENTION_PERIOD_DAYS} * 1000000)) AS BIGINT) AS period
+  FROM events
+),
+f AS (SELECT user_id, min(period) AS cohort_period FROM p GROUP BY 1)
+SELECT cohort_period, period - cohort_period AS period_offset,
+       count(DISTINCT user_id) AS n_users
+FROM p JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles": q_events_quantiles,
     "events_tumbling": q_events_tumbling,
@@ -399,6 +432,7 @@ QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_enrich": q_join_enrich,
     "topk_per_group": q_topk_per_group,
     "events_sessionize": q_events_sessionize,
+    "events_retention": q_events_retention,
 }
 
 ORACLES_EXTRA: dict[str, str] = {
@@ -414,4 +448,5 @@ ORACLES_EXTRA: dict[str, str] = {
     "join_enrich": JOIN_ENRICH_ORACLE,
     "topk_per_group": TOPK_PER_GROUP_ORACLE,
     "events_sessionize": SESSIONIZE_ORACLE,
+    "events_retention": RETENTION_ORACLE,
 }

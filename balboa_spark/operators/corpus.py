@@ -563,3 +563,87 @@ def contamination_ngrams(
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
         .orderBy(id_col)
     )
+
+
+def boilerplate_ratio(
+    df: DataFrame,
+    k: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CROSS-document boilerplate signal: for each document, the
+    fraction of its DISTINCT word k-grams that also appear in at least
+    ``min_df`` documents — headers, footers, and templated passages
+    score high; original prose scores low. The per-document complement
+    of contamination_ngrams (which compares against an external eval
+    set) and of repetition_signals (which is within-document only).
+
+    Output: (id, n_grams, n_common, common_ratio), one row per
+    document with >= 1 k-gram.
+
+    Scale shape: distinct k-grams per doc (one explode), gram document
+    frequency via ONE groupBy (map-side combined), joined back WITHOUT
+    a broadcast hint — the gram table is corpus-derived, so AQE
+    decides (same rule as tfidf_keywords' DF table); then one
+    groupBy(doc). No corpus-cardinality driver state, no n_docs
+    action.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles(tokens(F.col(text_col)), k))).alias(
+            "_gram"
+        ),
+    )
+    gdf = grams.groupBy("_gram").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        grams.join(gdf, "_gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_df") >= min_df).cast("long")).alias("n_common"),
+        )
+        .withColumn(
+            "common_ratio",
+            F.round(F.col("n_common") / F.col("n_grams"), 6),
+        )
+    )
+
+
+def quality_bins(
+    df: DataFrame,
+    score_col: str = "n_chars",
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantile-bucket assignment (quality binning for mixture
+    weighting / curriculum ordering): bin = how many of the corpus
+    score quantiles are <= this row's score, so len(probs)+1 buckets.
+
+    Output: (id, score, bin) with bin in [0, len(probs)].
+
+    FULLY DECLARATIVE — no driver action computes the boundaries: the
+    quantiles are ONE aggregate row (len(probs) doubles) cross-joined
+    back (Spark plans a broadcast of the single-row side), and the
+    bucket is an array count. Boundaries are rounded to 6 decimals so
+    the binning is hash-stable across engines. At 100 TB the exact
+    percentile aggregate is the only sort-heavy step; swap in
+    percentile_approx for the sketch-based scale path with the same
+    downstream shape.
+    """
+    probs = list(probs)
+    bnds = df.agg(
+        F.transform(
+            F.percentile(
+                F.col(score_col), F.array(*[F.lit(p) for p in probs])
+            ),
+            lambda b: F.round(b, 6),
+        ).alias("_bnds")
+    )
+    return df.crossJoin(F.broadcast(bnds)).select(
+        F.col(id_col),
+        F.col(score_col).alias("score"),
+        F.size(
+            F.filter("_bnds", lambda b: b <= F.col(score_col))
+        ).alias("bin"),
+    )

@@ -503,3 +503,35 @@ def lsh_bucketed_topk(
         F.arrays_overlap(F.col("_bs"), F.array(*[F.lit(c) for c in probes]))
     )
     return topk_brute(cand, query_vec, k, vec_col, id_col)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage scale path
+    for ANN corpora (4x smaller than float32, 8x than float64; recall
+    loss at int8 is negligible for cosine re-ranking).
+
+    Output: (id, scale, qvec) where scale = max|x| / 127 rounded to 6
+    decimals and qvec[i] = round(x[i] * 127 / max|x|) as int — so
+    x ≈ qvec * scale. An all-zero vector quantizes to zeros with
+    scale 0.
+
+    Pure projection (no shuffle, no UDF): the max-abs reduction and
+    the transform are JVM Column expressions per row. Arithmetic runs
+    in double (the parquet floats are widened first) so results are
+    bit-stable across engines.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return df.select(
+        F.col(id_col),
+        F.round(amax / 127, 6).alias("scale"),
+        F.when(
+            amax == 0, F.transform(v, lambda x: F.lit(0).cast("int"))
+        )
+        .otherwise(
+            F.transform(v, lambda x: F.round(x * 127 / amax).cast("int"))
+        )
+        .alias("qvec"),
+    ).withColumn("scale", F.col("scale").cast("double"))

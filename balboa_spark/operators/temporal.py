@@ -196,3 +196,43 @@ def rolling_features(
         F.count(F.lit(1)).over(w).alias("n_trailing"),
         F.sum(cents).over(w).alias("sum_value_cents_trailing"),
     )
+
+
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event, and each (cohort, offset) cell counts the
+    distinct users from that cohort active ``offset`` periods later.
+
+    Periods are integer epoch buckets (floor(epoch_sec / (86400 * p)))
+    rather than calendar weeks — timezone- and week-start-free, so the
+    result is identical across engines and cluster timezones.
+
+    Output: (cohort_period, period_offset, n_users), offset >= 0.
+
+    Plan shape: ONE shuffle computes each user's first period (groupBy
+    min — map-side combined), the events then join that narrow
+    (user, cohort) relation on the user key (AQE picks broadcast only
+    if the user dimension is truly small; otherwise a co-partitioned
+    shuffle join), and ONE more shuffle aggregates the distinct-user
+    counts. No window over the raw event stream, no per-user arrays.
+    """
+    period = F.floor(
+        F.unix_timestamp(F.col(ts_col).cast("timestamp")) / (86400 * period_days)
+    )
+    first = events.groupBy(user_col).agg(
+        F.min(period).alias("cohort_period")
+    )
+    return (
+        events.select(F.col(user_col), period.alias("_p"))
+        .join(first, user_col)
+        .groupBy(
+            "cohort_period",
+            (F.col("_p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

@@ -264,3 +264,38 @@ def test_contamination_broadcasts_only_benchmark(spark, tables):
     # BroadcastExchange and it feeds a BroadcastHashJoin
     assert plan.count("BroadcastExchange") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_ratio_cross_doc(spark):
+    """Docs sharing a templated 5-gram score high; unique prose scores
+    zero; docs with < k tokens emit no row."""
+    boiler = "all rights reserved by acme"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " epsilon zeta eta theta"),
+            (3, "completely original text with no shared grams at all"),
+            (4, "tiny doc"),  # < 5 tokens -> no grams -> no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus.boilerplate_ratio(docs, k=5, min_df=2).collect()}
+    assert set(out) == {1, 2, 3}
+    # the shared 5-gram 'all rights reserved by acme' is the only
+    # gram with df >= 2
+    assert out[1]["n_common"] == 1 and out[2]["n_common"] == 1
+    assert out[1]["common_ratio"] == round(1 / out[1]["n_grams"], 6)
+    assert out[3]["n_common"] == 0 and out[3]["common_ratio"] == 0.0
+
+
+def test_quality_bins_quartiles(spark):
+    """Quartile binning: bin = #boundaries <= score, 4 buckets, and the
+    plan stays declarative (no driver action for the boundaries)."""
+    docs = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 9)], "doc_id long, n_chars long"
+    )
+    out = {r["doc_id"]: r["bin"] for r in corpus.quality_bins(docs).collect()}
+    # scores 10..80; quartile boundaries (linear interp over n-1):
+    # q25=27.5 q50=45 q75=62.5 -> bins: 10,20 -> 0; 30,40 -> 1;
+    # 50,60 -> 2; 70,80 -> 3
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}

@@ -346,3 +346,25 @@ def test_multimodal_stubs_raise(spark):
         multimodal.decode_media(None)
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(None, 1, 1)
+
+
+def test_quantize_int8_roundtrip(spark):
+    """Symmetric int8 quantization: qvec * scale reconstructs within
+    half a quantization step; extremes hit ±127; zero vector -> zeros
+    with scale 0; plan is a pure projection (no shuffle, no UDF)."""
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in similarity.quantize_int8(df).collect()}
+    q1, s1 = got[1]["qvec"], got[1]["scale"]
+    # scale is rounded to 6 decimals for cross-engine hash stability
+    assert q1 == [64, -127, 32, 0] and abs(s1 - 1.0 / 127) < 5e-7
+    for orig, q in zip(rows[0][1], q1):
+        assert abs(q * s1 - orig) <= s1 / 2 + 1e-9
+    assert got[2]["qvec"] == [0, 0, 0, 0] and got[2]["scale"] == 0.0
+    plan = (
+        similarity.quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan

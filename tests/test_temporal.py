@@ -252,3 +252,26 @@ def test_ntz_us_parquet_is_normalized_and_ops_run(spark, tmp_path):
         for r in temporal.rolling_features(raw, duration_sec=3600).collect()
     }
     assert out_raw[3] == 3
+
+
+def test_retention_cohort_matrix(spark):
+    """Integer-epoch cohorting: users cohorted by first-event period,
+    cells count distinct users per offset."""
+    day = 86400
+    rows = [
+        # u1: first in period 0, active periods 0 and 1
+        (1, dt.datetime.utcfromtimestamp(1 * day), "u1"),
+        (2, dt.datetime.utcfromtimestamp(8 * day), "u1"),
+        # u2: cohort 0, never returns
+        (3, dt.datetime.utcfromtimestamp(2 * day), "u2"),
+        # u3: cohort 1, active 1 and 3 (two events in p3 count once)
+        (4, dt.datetime.utcfromtimestamp(9 * day), "u3"),
+        (5, dt.datetime.utcfromtimestamp(22 * day), "u3"),
+        (6, dt.datetime.utcfromtimestamp(23 * day), "u3"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id string")
+    out = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in temporal.retention(df, period_days=7).collect()
+    }
+    assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
