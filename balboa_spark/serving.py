@@ -175,7 +175,25 @@ def make_handler(store: ObservationStore, stats=None):
             self._write(200, body, "application/x-ndjson")
 
         def do_POST(self):  # noqa: N802
-            if urlparse(self.path).path != "/query":
+            path = urlparse(self.path).path
+            if path == "/graphql":
+                # the real GraphQL parse layer (graphql.py): body is the
+                # standard {"query": "...", "variables": {...}} envelope;
+                # responses are always 200 with data/errors in the body,
+                # like the reference's relay handler
+                from balboa_spark.graphql import execute
+
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    resp = execute(
+                        store, req.get("query", ""), req.get("variables"), stats=stats
+                    )
+                except (ValueError, TypeError, json.JSONDecodeError) as ex:
+                    resp = {"errors": [{"message": str(ex)}]}
+                self._write(200, json.dumps(resp).encode(), "application/json")
+                return
+            if path != "/query":
                 self._write(404, b"", "text/plain")
                 return
             try:

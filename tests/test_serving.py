@@ -166,3 +166,104 @@ def test_cli_console(spark, store, tmp_path, capsys):
     assert cli("backup", store.path, bak) == 0
     restored = ObservationStore(spark, bak)
     assert restored.forward().count() == 3
+
+
+# -- GraphQL parse layer ------------------------------------------------------
+
+def test_graphql_parser_units():
+    """Parser-level behavior, no store needed: document shapes, value
+    types, variables with defaults, and the rejection set."""
+    from balboa_spark.graphql import GraphQLError, parse
+
+    op = parse(
+        '''
+        # leading comment
+        query Lookup($t: RRType = A, $n: Int) {
+          entries(rrname: "foo", rrtype: $t, limit: $n) {
+            rrname rdata count
+            aliases(limit: 5) { rrname }
+          }
+          stats { total_count }
+        }
+        '''
+    )
+    assert op["variables"]["t"]["type"] == "RRType"
+    assert str(op["variables"]["t"]["default"]) == "A"
+    entries, stats = op["selections"]
+    assert entries["name"] == "entries" and entries["args"]["rrname"] == "foo"
+    assert [f["name"] for f in entries["selections"]] == [
+        "rrname", "rdata", "count", "aliases",
+    ]
+    assert entries["selections"][3]["args"] == {"limit": 5}
+    assert stats["selections"][0]["name"] == "total_count"
+
+    # shorthand (no 'query' keyword) parses too
+    assert parse("{ stats { num_goroutines } }")["selections"][0]["name"] == "stats"
+
+    for bad in (
+        "mutation { announceObservation }",  # schema has no mutations
+        "{ entries(rrname: ) { rrname } }",
+        "query { entries { rrname } } query { stats { total_count } }",
+        "{ ...frag }",
+    ):
+        with pytest.raises(GraphQLError):
+            parse(bad)
+
+
+def test_graphql_endpoint_end_to_end(server):
+    """POST /graphql: real GraphQL documents against the seeded store —
+    field projection, enum validation (name vs string), variables,
+    nested aliases, stats, and resolver-level errors."""
+    def gql(query, variables=None):
+        req = urllib.request.Request(
+            f"{server}/graphql",
+            json.dumps({"query": query, "variables": variables or {}}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            return json.loads(r.read())
+
+    # field projection: only requested fields come back
+    body = gql('{ entries(rrname: "foo") { rrname count time_first_rfc3339 } }')
+    (e,) = body["data"]["entries"]
+    assert set(e) == {"rrname", "count", "time_first_rfc3339"}
+    assert e["rrname"] == "foo" and e["count"] == 10
+    assert e["time_first_rfc3339"] == "2020-01-01T00:00:00Z"
+
+    # enum as bare name works; rrtype filter applies
+    body = gql('{ entries(rrname: "foo", rrtype: A) { rrname } }')
+    assert len(body["data"]["entries"]) == 1
+    # enum as STRING is a type error, as is an unknown name
+    for q in (
+        '{ entries(rrname: "foo", rrtype: "A") { rrname } }',
+        '{ entries(rrname: "foo", rrtype: BOGUS) { rrname } }',
+    ):
+        body = gql(q)
+        assert 'Expected type "RRType"' in body["errors"][0]["message"]
+
+    # variables: JSON string re-typed to the enum via the declaration
+    body = gql(
+        'query($t: RRType) { entries(rrname: "foo", rrtype: $t) { rdata } }',
+        {"t": "A"},
+    )
+    assert body["data"]["entries"] == [{"rdata": "1.2.3.4"}]
+
+    # nested aliases: foo(1.2.3.4) aliases to baz on the same sensor
+    body = gql('{ entries(rrname: "foo") { rrname aliases(limit: 10) { rrname count } } }')
+    (e,) = body["data"]["entries"]
+    assert [a["rrname"] for a in e["aliases"]] == ["baz"]
+    assert set(e["aliases"][0]) == {"rrname", "count"}
+
+    # resolver validation: neither rdata nor rrname
+    body = gql("{ entries(limit: 5) { rrname } }")
+    assert body["errors"][0]["message"]
+
+    # unknown field on Entry
+    body = gql('{ entries(rrname: "foo") { bogus } }')
+    assert "Cannot query field" in body["errors"][0]["message"]
+
+    # stats
+    body = gql("{ stats { total_count num_goroutines } }")
+    assert body["data"]["stats"]["total_count"] == 3
+    assert body["data"]["stats"]["num_goroutines"] >= 1
