@@ -199,6 +199,26 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    @timed("events_retention")
+    def _():
+        # cohort retention matrix: two keyed aggregations + one
+        # equi-join over the narrow (user, cohort) relation
+        from balboa_spark.operators import temporal
+
+        temporal.retention(spark.table("events")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    @timed("corpus_boilerplate")
+    def _():
+        # cross-document boilerplate: distinct 5-grams, DF groupBy,
+        # AQE-decided join back — the inverted-index shape at corpus scale
+        from balboa_spark.operators import corpus
+
+        corpus.boilerplate_ratio(par(spark.table("documents"))).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     @timed("pack_sequences")
     def _():
         # concat-and-chunk packing of the whole corpus token stream

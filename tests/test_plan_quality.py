@@ -103,3 +103,60 @@ def test_fold_has_partial_aggregation(spark):
     )
     plan = aggregate(obs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pack_sequences_no_single_partition_exchange(spark):
+    """The default (global) packing plan must contain NO single-
+    partition exchange: the document-offset prefix sum is the
+    two-phase distributed form (range partition + per-bucket window +
+    triangular bucket-base join), not one global window."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i + 2}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    from balboa_spark.operators import corpus as C
+
+    plan = (
+        C.pack_sequences(docs, seq_len=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, "global window leaked back in"
+
+
+def test_retention_plan_shape(spark):
+    """Cohort retention: equi-joins only (no cartesian/nested-loop) and
+    no window over the event stream — the matrix comes from two keyed
+    aggregations."""
+    import datetime as dt
+
+    from balboa_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i % 20), i % 5) for i in range(40)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    plan = (
+        temporal.retention(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_quality_bins_is_declarative(spark):
+    """The quantile boundaries must flow through the plan (one-row
+    aggregate broadcast back) — building the returned DataFrame runs
+    NO Spark job."""
+    from balboa_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "doc_id long, n_chars long"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = C.quality_bins(docs)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "quality_bins ran a driver-side job"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan  # single-row side broadcast
