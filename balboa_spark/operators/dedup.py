@@ -403,13 +403,18 @@ def near_dedup_keep(
     """End-to-end near-dedup: given the corpus and a near-dup pair list
     (from MinHash/SimHash/Jaccard), keep one representative (min id)
     per connected component plus every unpaired document. This is the
-    keep-set a training-data pipeline actually applies."""
+    keep-set a training-data pipeline actually applies.
+
+    ONE anti-join: the rows to DROP are exactly the paired docs that
+    are not their component's representative — a relation bounded by
+    the paired-doc count (tiny vs the corpus at real dup rates), so
+    this is strictly cheaper than materializing the keep-set
+    (corpus-sized) and semi-joining it back (3 joins before)."""
     comp = connected_components(pairs)
-    keep = comp.filter(F.col("id") == F.col("comp")).select(F.col("id").alias(id_col))
-    unpaired = df.select(id_col).join(
-        comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    drop = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
     )
-    return df.join(keep.unionByName(unpaired), id_col, "left_semi")
+    return df.join(drop, id_col, "left_anti")
 
 
 def semantic_dedup(
@@ -467,24 +472,21 @@ def near_dedup_keep_best(
     highest-quality copy.
 
     Same scale shape as near_dedup_keep: components via alternating
-    star contraction, then ONE windowed row_number per component over
-    only the PAIRED docs (component cardinality, not corpus
-    cardinality), and an anti-join for the unpaired rest.
+    star contraction, ONE windowed row_number per component over only
+    the PAIRED docs (component cardinality, not corpus cardinality),
+    then one anti-join dropping the non-representatives.
     """
     comp = connected_components(pairs)
     scored = comp.join(
         df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")), "id"
     )
     w = Window.partitionBy("comp").orderBy(F.desc("_score"), F.asc("id"))
-    keep = (
+    drop = (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") > 1)
         .select(F.col("id").alias(id_col))
     )
-    unpaired = df.select(id_col).join(
-        comp.select(F.col("id").alias(id_col)), id_col, "left_anti"
-    )
-    return df.join(keep.unionByName(unpaired), id_col, "left_semi")
+    return df.join(drop, id_col, "left_anti")
 
 
 def embedding_near_dedup(
