@@ -415,6 +415,49 @@ FROM documents ORDER BY doc_id
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling
+# ---------------------------------------------------------------------------
+
+MIX_SALT = "mix"
+#: target mixture over the synthetic corpus's source domains
+MIX_TARGET = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.mixture_resample(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        MIX_TARGET,
+        salt=MIX_SALT,
+    ).orderBy("doc_id")
+
+
+def _mixture_oracle() -> str:
+    total = sum(MIX_TARGET.values())
+    values = ", ".join(
+        f"('{g}', {w / total!r})" for g, w in sorted(MIX_TARGET.items())
+    )
+    return f"""
+WITH tgt(source, w) AS (VALUES {values}),
+counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+cap AS (SELECT source, n, w, n / w AS ratio FROM counts JOIN tgt USING (source)),
+m AS (SELECT min(ratio) AS min_ratio FROM cap),
+fracs AS (
+  SELECT source,
+         round((SELECT min_ratio FROM m) * w / n * {16**8}) AS v
+  FROM cap
+)
+SELECT doc_id, source FROM documents
+JOIN fracs USING (source)
+WHERE substr(md5(doc_id || ':{MIX_SALT}'), 1, 8)
+      < CASE WHEN v >= {16**8} THEN 'g'
+             ELSE lpad(lower(hex(CAST(v AS BIGINT))), 8, '0') END
+ORDER BY doc_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -427,6 +470,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_tfidf_keywords": q_tfidf_keywords,
     "corpus_boilerplate": q_boilerplate,
     "corpus_quality_bins": q_quality_bins,
+    "corpus_mixture_resample": q_mixture_resample,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -441,4 +485,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_tfidf_keywords": TFIDF_KEYWORDS_ORACLE,
     "corpus_boilerplate": BOILERPLATE_ORACLE,
     "corpus_quality_bins": QUALITY_BINS_ORACLE,
+    "corpus_mixture_resample": _mixture_oracle(),
 }

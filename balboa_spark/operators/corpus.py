@@ -647,3 +647,52 @@ def quality_bins(
             F.filter("_bnds", lambda b: b <= F.col(score_col))
         ).alias("bin"),
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    target: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Down-sample groups so the OUTPUT approximates the target mixture
+    proportions while keeping as much data as possible (domain-mixture
+    tuning for pretraining): the binding group (the one whose
+    capacity/target ratio is smallest) is kept whole, every other
+    group is thinned to match. Groups absent from ``target`` drop.
+
+    Selection is the md5-threshold rule (reshuffle/re-run stable, like
+    hash_sample) with PER-GROUP thresholds computed IN the plan:
+    counts (one groupBy, #groups rows) join the target weights, one
+    single-row min aggregate finds the binding ratio, and the derived
+    keep-fraction relation joins back WITHOUT a broadcast hint (group
+    cardinality is workload-dependent — AQE broadcasts it when truly
+    small). No driver action, no RNG state.
+    """
+    total_w = sum(target.values())
+    tgt = df.sparkSession.createDataFrame(
+        [(g, w / total_w) for g, w in sorted(target.items())],
+        f"`{group_col}` string, _w double",
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    cap = counts.join(tgt, group_col).withColumn("_ratio", F.col("_n") / F.col("_w"))
+    binding = cap.agg(F.min("_ratio").alias("_min_ratio"))
+    fracs = cap.crossJoin(F.broadcast(binding)).select(
+        group_col,
+        (F.col("_min_ratio") * F.col("_w") / F.col("_n")).alias("_keep_frac"),
+    )
+    # in-plan twin of sample_threshold_hex: 8-hex-digit threshold,
+    # sentinel 'g' (> every hex string) when the fraction rounds to 1
+    v = F.round(F.col("_keep_frac") * F.lit(16**8)).cast("long")
+    thr = F.when(v >= F.lit(16**8), F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex(v)), 8, "0")
+    )
+    h8 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+    )
+    return (
+        df.join(fracs, group_col)
+        .filter(h8 < thr)
+        .select(*df.columns)
+    )

@@ -299,3 +299,52 @@ def test_quality_bins_quartiles(spark):
     # q25=27.5 q50=45 q75=62.5 -> bins: 10,20 -> 0; 30,40 -> 1;
     # 50,60 -> 2; 70,80 -> 3
     assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+
+
+def test_mixture_resample_hits_target_proportions(spark):
+    """The binding group is kept whole; others thin to the target
+    ratio; untargeted groups drop; and the selection is reshuffle-
+    stable (same keep-set under repartitioning)."""
+    rows = [(i, "a" if i < 300 else ("b" if i < 400 else "x")) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # capacities: a=300 docs @ w=.5 -> ratio 600; b=100 @ w=.5 -> 200
+    # binding is b: kept whole; a thins to 200*.5=100 expected
+    out = corpus.mixture_resample(df, {"a": 0.5, "b": 0.5}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert "x" not in by_src                      # untargeted drops
+    assert len(by_src["b"]) == 100                # binding group whole
+    # md5 thinning is Bernoulli at 1/3: expect ~100 of 300, allow slack
+    assert 70 <= len(by_src["a"]) <= 130
+    again = {
+        r["doc_id"]
+        for r in corpus.mixture_resample(df.repartition(7), {"a": 0.5, "b": 0.5}).collect()
+    }
+    assert again == by_src["a"] | by_src["b"]     # deterministic
+
+
+def test_global_prefix_sum_matches_window(spark):
+    """Property: the distributed two-phase prefix sum equals the
+    single-window exclusive cumsum on adversarial inputs — uneven
+    sizes, id gaps, arbitrary input partitioning."""
+    import random
+
+    from pyspark.sql import Window
+
+    rnd = random.Random(7)
+    ids = rnd.sample(range(10_000), 137)
+    rows = [(i, rnd.randrange(0, 50)) for i in ids]
+    counts = spark.createDataFrame(rows, "doc_id long, _n long").repartition(11)
+    got = {
+        r["doc_id"]: r["_start"]
+        for r in corpus._global_prefix_sum(counts, "doc_id").collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["doc_id"]: r["_start"]
+        for r in counts.select(
+            "doc_id", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_start")
+        ).collect()
+    }
+    assert got == want
