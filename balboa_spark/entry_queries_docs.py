@@ -665,6 +665,42 @@ FROM m ORDER BY vec_id
 """
 
 
+
+
+RP_OUT_DIM = 8
+
+
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (similarity.random_project)
+    — seeded md5-derived matrix, one Arrow matmul per batch."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    return similarity.random_project(
+        t["embeddings"], dim=64, out_dim=RP_OUT_DIM
+    ).orderBy("vec_id")
+
+
+def _project_oracle() -> str:
+    """The oracle embeds the SAME deterministic projection matrix as a
+    SQL literal (row-major nested list) and computes each output
+    component as a 1-based indexed dot product."""
+    import numpy as np
+
+    P = similarity._plane_matrix(64, RP_OUT_DIM, "balboa-rp") / np.sqrt(RP_OUT_DIM)
+    comps = []
+    for j in range(RP_OUT_DIM):
+        row = "[" + ", ".join(repr(float(x)) for x in P[j]) + "]"
+        comps.append(
+            f"round(list_sum(list_transform(range(1, 65), i -> v[i] * ({row})[i])), 6)"
+        )
+    vec = "[" + ",\n        ".join(comps) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       {vec} AS pvec
+FROM e ORDER BY vec_id
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,
     "dedup_exact": q_dedup_exact,
@@ -682,6 +718,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_stats": q_media_stats,
     "media_dedup": q_media_dedup,
     "embedding_quantize": q_embedding_quantize,
+    "embedding_project": q_embedding_project,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -708,4 +745,5 @@ ORACLES_DOCS: dict[str, str] = {
     "media_stats": MEDIA_STATS_ORACLE,
     "media_dedup": MEDIA_DEDUP_ORACLE,
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
+    "embedding_project": _project_oracle(),
 }

@@ -368,3 +368,27 @@ def test_quantize_int8_roundtrip(spark):
         similarity.quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_random_project_numpy_parity_and_distortion(spark):
+    """random_project must equal the driver-side numpy matmul exactly,
+    and roughly preserve relative distances (JL property) on clustered
+    vectors: within-cluster distances stay well below cross-cluster."""
+    import numpy as np
+
+    rows = _clustered_vectors(n_clusters=6)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: np.array(r["pvec"])
+        for r in similarity.random_project(df, dim=64, out_dim=16).collect()
+    }
+    P = similarity._plane_matrix(64, 16, "balboa-rp") / np.sqrt(16)
+    for vid, vec in rows[:10]:
+        want = np.round(np.asarray(vec) @ P.T, 6)
+        assert np.allclose(got[vid], want, atol=1e-9)
+    # within-cluster (ids 0..3) vs cross-cluster (0 vs 4) separation
+    within = max(
+        np.linalg.norm(got[0] - got[j]) for j in range(1, 4)
+    )
+    across = np.linalg.norm(got[0] - got[4])
+    assert within < 0.5 * across
