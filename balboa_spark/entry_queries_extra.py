@@ -419,6 +419,77 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+
+
+#: TPC-H Q3 shape (shipping-priority): 3-way join + filter + agg +
+#: top-k — identical text runs in Spark SQL and DuckDB. Catalyst gets
+#: the join order/broadcast decisions (customer and the date-filtered
+#: orders are small sides under AQE); the top-10 is a TakeOrdered,
+#: not a global sort. Deterministic ordering via the orderkey tiebreak.
+TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < timestamp '1995-03-15 00:00:00'
+  AND l_shipdate > timestamp '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, names=("customer", "orders", "lineitem"))
+    return spark.sql(TPCH_Q3_SQL)
+
+
+
+
+# --- trailing-window anomaly scores ----------------------------------------
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1h z-score per user (temporal.anomaly_scores),
+    projected to the score columns."""
+    from balboa_spark.operators import temporal
+
+    load_tables(spark, sf_dir, names=("events",))
+    return temporal.anomaly_scores(spark.table("events")).select(
+        "event_id", "n_window", "z", "is_anomaly"
+    ).orderBy("event_id")
+
+
+ANOMALY_ORACLE = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_id, cents,
+         count(*) OVER win AS n,
+         sum(cents) OVER win AS s1,
+         sum(cents * cents) OVER win AS s2
+  FROM c
+  WINDOW win AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, n AS n_window,
+       CASE WHEN n > 1 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n > 0
+            THEN round((cents - CAST(s1 AS DOUBLE) / n)
+                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n), 4)
+       END AS z,
+       CASE WHEN n > 1 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n > 0
+            THEN abs(round((cents - CAST(s1 AS DOUBLE) / n)
+                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n), 4)) >= 3.0
+       END AS is_anomaly
+FROM w ORDER BY event_id
+"""
+
+
 QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles": q_events_quantiles,
     "events_tumbling": q_events_tumbling,
@@ -429,10 +500,12 @@ QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cof_projection": q_cof_projection,
     "multi_backend_union": q_multi_backend_union,
     "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
     "join_enrich": q_join_enrich,
     "topk_per_group": q_topk_per_group,
     "events_sessionize": q_events_sessionize,
     "events_retention": q_events_retention,
+    "events_anomaly": q_events_anomaly,
 }
 
 ORACLES_EXTRA: dict[str, str] = {
@@ -445,8 +518,10 @@ ORACLES_EXTRA: dict[str, str] = {
     "cof_projection": COF_ORACLE,
     "multi_backend_union": MULTI_BACKEND_ORACLE,
     "tpch_q1": TPCH_Q1_ORACLE,
+    "tpch_q3": TPCH_Q3_SQL,
     "join_enrich": JOIN_ENRICH_ORACLE,
     "topk_per_group": TOPK_PER_GROUP_ORACLE,
     "events_sessionize": SESSIONIZE_ORACLE,
     "events_retention": RETENTION_ORACLE,
+    "events_anomaly": ANOMALY_ORACLE,
 }

@@ -236,3 +236,42 @@ def retention(
         )
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def anomaly_scores(
+    df: DataFrame,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    duration_sec: int = 3600,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-event anomaly score: how far this event's value sits from
+    its key's TRAILING-window distribution (population z-score over
+    the window ending at the event, inclusive). Window n == 1 or zero
+    variance yields a null z (no distribution to deviate from).
+
+    Output: every input column plus (n_window, z, is_anomaly with
+    |z| >= z_threshold).
+
+    All window aggregates are INTEGER-cents sums (value*100 and its
+    square), so mean/variance derive from exact integers and the
+    rounded z is hash-identical across engines — the same trick as
+    rolling_features, extended to second moments. Same O(n)-per-key
+    sliding RANGE frame; no second pass, no self-join.
+    """
+    w = trailing_window(keys, ts_col, duration_sec)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(cents).over(w)
+    s2 = F.sum(cents * cents).over(w)
+    mean = s1.cast("double") / n
+    var = (s2.cast("double") - s1.cast("double") * s1 / n) / n
+    std = F.sqrt(var)
+    z = F.when((n > 1) & (std > 0), F.round((cents - mean) / std, 4))
+    return df.select(
+        "*",
+        n.alias("n_window"),
+        z.alias("z"),
+        (F.abs(z) >= z_threshold).alias("is_anomaly"),
+    )

@@ -275,3 +275,25 @@ def test_retention_cohort_matrix(spark):
         for r in temporal.retention(df, period_days=7).collect()
     }
     assert out == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_anomaly_scores_trailing_zscore(spark):
+    """Flat history then a spike: the spike's z must flag, equal-value
+    windows yield null z (zero variance), and n==1 windows yield null."""
+    rows = [
+        (1, "u", _ts(0), 10.0),
+        (2, "u", _ts(10), 10.0),   # window {10,10}: std 0 -> null z
+        (3, "u", _ts(20), 10.0),
+        (4, "u", _ts(30), 100.0),  # spike vs {10,10,10,100}
+        (5, "v", _ts(0), 42.0),    # first event: n==1 -> null
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double"
+    )
+    out = {r["event_id"]: r for r in temporal.anomaly_scores(df).collect()}
+    assert out[1]["z"] is None and out[1]["n_window"] == 1
+    assert out[2]["z"] is None      # zero variance
+    assert out[4]["n_window"] == 4 and out[4]["z"] is not None
+    # z of 100 vs mean 32.5, population std ~38.97 -> ~1.732
+    assert abs(out[4]["z"] - 1.7321) < 1e-3 and out[4]["is_anomaly"] is False
+    assert out[5]["z"] is None and out[5]["is_anomaly"] is None
