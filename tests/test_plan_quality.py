@@ -160,3 +160,29 @@ def test_quality_bins_is_declarative(spark):
     assert len(after) == len(before), "quality_bins ran a driver-side job"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan  # single-row side broadcast
+
+
+def test_timestamp_filter_pushdown_survives_ntz_normalization(spark):
+    """load_tables casts TIMESTAMP_NTZ parquet columns to TimestampType
+    (round-4 driver type drift). That cast must NOT block predicate
+    pushdown: with the session pinned UTC the cast is order-preserving,
+    and Catalyst unwraps it, so timestamp range filters still reach the
+    parquet scan."""
+    import os
+
+    from balboa_spark.session import load_tables
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+    load_tables(spark, sf, names=("orders",))
+    plan = (
+        spark.sql(
+            "SELECT o_orderkey FROM orders "
+            "WHERE o_orderdate < timestamp '1995-03-15'"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "PushedFilters: []" not in scan, f"filter not pushed: {scan}"
+    assert "o_orderdate" in scan.split("PushedFilters")[1][:200]
