@@ -124,6 +124,13 @@ def main() -> None:
             """
         ).write.mode("overwrite").format("noop").save()
 
+    @timed("tpch_q3")
+    def _():
+        # 3-way join + filter + agg + top-k: Catalyst/AQE join planning
+        from balboa_spark.entry_queries_extra import TPCH_Q3_SQL
+
+        spark.sql(TPCH_Q3_SQL).write.mode("overwrite").format("noop").save()
+
     @timed("dedup_minhash")
     def _():
         docs = par(spark.table("documents").select("doc_id", "text"))
