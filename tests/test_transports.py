@@ -276,3 +276,62 @@ def test_amqp_feeder_without_broker_client_raises(tmp_path):
     feeder = AMQPFeeder(str(tmp_path / "land"))
     with pytest.raises(RuntimeError, match="broker client"):
         feeder._pika_connector()
+
+
+def test_amqp_feeder_e2e(spark, tmp_path):
+    """S2 end-to-end: gzip AMQP deliveries with sensor_id headers ->
+    landing dir -> streaming ingest -> per-sensor observations in the
+    store — the full feeder_amqp.go path over a fake channel."""
+    import gzip as _gzip
+    import time
+
+    from balboa_spark.streaming.ingest import SENSOR_PATH_RE, ingest_stream
+    from balboa_spark.streaming.transports import AMQPFeeder
+
+    acked = []
+
+    class D:
+        def __init__(self, body, headers):
+            self.body, self.headers = body, headers
+
+        def ack(self):
+            acked.append(self)
+
+    deliveries = [
+        D(
+            _gzip.compress((SURI % (0, 0) + "\n").encode()),
+            {"compressed": "1", "sensor_id": "amqp-a"},
+        ),
+        D((SURI % (1, 1) + "\n").encode(), {"sensor_id": "amqp-b"}),
+        D((SURI % (2, 2) + "\n").encode(), {}),  # no sensor header -> ""
+    ]
+
+    class Chan:
+        def consume(self):
+            yield from deliveries
+            while not feeder._stop.is_set():
+                time.sleep(0.01)
+
+    land = str(tmp_path / "land")
+    feeder = AMQPFeeder(land, connector=lambda: Chan(), reconnect_delay=0.05)
+    feeder.run()
+    deadline = time.time() + 5
+    while len(acked) < 3 and time.time() < deadline:
+        time.sleep(0.05)
+    feeder.stop()
+    assert len(acked) == 3
+
+    store = ObservationStore(spark, str(tmp_path / "store"), num_buckets=2)
+    _drain(
+        ingest_stream(
+            spark,
+            land,
+            "suricata_dns",
+            stores={"default": store},
+            checkpoint=str(tmp_path / "ckpt"),
+            sensor_from_path=SENSOR_PATH_RE,
+        )
+    )
+    rows = store.query(Query(rrname="stream.example.com")).collect()
+    sensors = {r.rdata: r.sensor_id for r in rows}
+    assert sensors == {"9.9.9.0": "amqp-a", "9.9.9.1": "amqp-b", "9.9.9.2": ""}
