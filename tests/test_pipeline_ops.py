@@ -392,3 +392,45 @@ def test_random_project_numpy_parity_and_distortion(spark):
     )
     across = np.linalg.norm(got[0] - got[4])
     assert within < 0.5 * across
+
+
+def test_compressed_ann_composition_recall(spark):
+    """The composed storage scale path — random_project (64->16) +
+    quantize_int8, candidates in compressed space, exact re-rank in
+    full space — must recover the true top-k on clustered vectors.
+    This is the ~16x-smaller-index configuration PERF.md describes."""
+    import numpy as np
+
+    rows = _clustered_vectors(n_clusters=25)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj = similarity.random_project(df, dim=64, out_dim=16)
+    quant = similarity.quantize_int8(proj, vec_col="pvec")
+    # reconstruct compressed vectors and take a generous candidate set
+    recon = quant.select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda q: q.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    k = 4
+    for qid in (0, 40, 99):
+        qfull = rows[qid][1]
+        qproj = list(
+            np.asarray(qfull)
+            @ (similarity._plane_matrix(64, 16, "balboa-rp") / 4.0).T
+        )
+        cand = {
+            r["vec_id"]
+            for r in similarity.topk_brute(recon, qproj, k=3 * k).collect()
+        }
+        true = [
+            r["vec_id"] for r in similarity.topk_brute(df, qfull, k=k).collect()
+        ]
+        # exact re-rank of compressed-space candidates == true top-k
+        rerank = [
+            r["vec_id"]
+            for r in similarity.topk_brute(
+                df.filter(F.col("vec_id").isin(list(cand))), qfull, k=k
+            ).collect()
+        ]
+        assert len(set(true) & set(rerank)) >= k - 1  # >= 0.75 recall per query
