@@ -701,6 +701,35 @@ FROM e ORDER BY vec_id
 """
 
 
+
+
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates scored by the signature-based Jaccard ESTIMATE
+    (dedup.minhash_estimate_pairs) — the 100 TB verification mode: no
+    re-shingling, O(num_hashes) per pair."""
+    return dedup.minhash_estimate_pairs(
+        _corpus(spark, sf_dir),
+        num_hashes=NUM_HASHES,
+        num_bands=NUM_BANDS,
+        k=SHINGLE_K,
+        max_bucket=ORACLE_MAX_BUCKET,
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_estimate_oracle() -> str:
+    eq = " + ".join(
+        f"CASE WHEN a.mh{h} = b.mh{h} THEN 1 ELSE 0 END" for h in range(NUM_HASHES)
+    )
+    return f"""WITH {_minhash_ctes()}
+SELECT p.id_a, p.id_b,
+       round(({eq}) / {NUM_HASHES}.0, 6) AS est_jaccard
+FROM pairs p
+JOIN sigs a ON a.doc_id = p.id_a
+JOIN sigs b ON b.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,
     "dedup_exact": q_dedup_exact,
@@ -719,6 +748,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_dedup": q_media_dedup,
     "embedding_quantize": q_embedding_quantize,
     "embedding_project": q_embedding_project,
+    "dedup_minhash_estimate": q_dedup_minhash_estimate,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -746,4 +776,5 @@ ORACLES_DOCS: dict[str, str] = {
     "media_dedup": MEDIA_DEDUP_ORACLE,
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
     "embedding_project": _project_oracle(),
+    "dedup_minhash_estimate": _minhash_estimate_oracle(),
 }

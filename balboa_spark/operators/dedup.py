@@ -577,3 +577,70 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return jac.select("id_a", "id_b", "jaccard")
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    k: int = 3,
+    max_bucket: int = 1000,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """LSH candidate pairs WITH the signature-based Jaccard estimate:
+    est_jaccard = fraction of equal MinHash components. This is the
+    100 TB verification mode — at corpus scale you do not re-shingle
+    and intersect candidate pairs exactly (ngram_jaccard_pairs does,
+    and is the oracle); you score them from the signatures you already
+    computed, which is O(num_hashes) per pair and unbiased
+    (E[est] = J by the MinHash property).
+
+    Output: (id_a, id_b, est_jaccard) for candidates with
+    est_jaccard >= threshold, est rounded to 6.
+
+    Plan shape: ONE signature materialization (the banded relation and
+    the signature relation share the localCheckpointed scan), the
+    hub-capped band self-join generates candidates, and the signature
+    join back is two equi-joins against a (id, sig) relation — no
+    re-tokenization, no shingle-set shuffle.
+    """
+    staged = (
+        df.filter(F.size(tokens(F.col(text_col))) >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            minhash_signature(F.col(text_col), num_hashes, k).alias("_sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # banding via F.get over the CHECKPOINTED signature is safe — the
+    # round-1 subtree-duplication hazard only applies before
+    # materialization (each get here reads the stored array)
+    rpb = num_hashes // num_bands
+    band_digests = [
+        F.md5(
+            F.concat_ws("|", *[F.get("_sig", b * rpb + r) for r in range(rpb)])
+        )
+        for b in range(num_bands)
+    ]
+    bands = staged.select(
+        "id", F.posexplode(F.array(*band_digests)).alias("band_idx", "band_hash")
+    )
+    cand = bucket_pairs(bands, ["band_idx", "band_hash"], "id", max_bucket)
+    est = F.round(
+        F.aggregate(
+            F.zip_with("_sa", "_sb", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / num_hashes,
+        6,
+    )
+    return (
+        cand.join(staged.select(F.col("id").alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
+        .join(staged.select(F.col("id").alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )

@@ -434,3 +434,23 @@ def test_compressed_ann_composition_recall(spark):
             ).collect()
         ]
         assert len(set(true) & set(rerank)) >= k - 1  # >= 0.75 recall per query
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """The signature estimate must be unbiased enough to separate the
+    planted near-dup (true J ~ high) from unrelated docs, and identical
+    docs must score exactly 1.0."""
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),   # identical -> est 1.0
+        (3, "a b c d e f g h i k"),   # near-dup of 1
+        (4, "q r s t u v w x y z"),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_estimate_pairs(df, max_bucket=2**31 - 1).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] > 0.3          # near-dup scores high-ish
+    assert (1, 4) not in out          # unrelated never collides
