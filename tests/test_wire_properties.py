@@ -109,3 +109,60 @@ def test_cidr_range_matches_stdlib(ip, prefix):
     if net.prefixlen < 31:  # network/broadcast dropped (query.go:52-55)
         want_lo, want_hi = want_lo + 1, want_hi - 1
     assert (lo, hi) == (want_lo, want_hi)
+
+
+# -- GraphQL parser properties ----------------------------------------------
+
+_gql_name = st.from_regex(r"[_A-Za-z][_0-9A-Za-z]{0,12}", fullmatch=True).filter(
+    lambda s: s not in ("query", "mutation", "subscription", "true", "false", "null")
+)
+_gql_scalar = st.one_of(
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.booleans(),
+    st.none(),
+    st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N"), max_codepoint=0x7F),
+        max_size=12,
+    ),
+)
+
+
+def _render(v):
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return '"' + v + '"'
+    return str(v)
+
+
+@given(
+    fields=st.lists(
+        st.tuples(_gql_name, st.dictionaries(_gql_name, _gql_scalar, max_size=3)),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_graphql_parse_roundtrip(fields):
+    """Any rendered flat selection set parses back to exactly the
+    structure it was rendered from — names, argument values (ints,
+    strings, booleans, null), and field order all survive."""
+    from balboa_spark.graphql import parse
+
+    body = " ".join(
+        name
+        + (
+            "(" + ", ".join(f"{k}: {_render(v)}" for k, v in args.items()) + ")"
+            if args
+            else ""
+        )
+        + " { x }"
+        for name, args in fields
+    )
+    op = parse("{ " + body + " }")
+    assert [f["name"] for f in op["selections"]] == [n for n, _ in fields]
+    for f, (_, args) in zip(op["selections"], fields):
+        assert f["args"] == args
+        assert f["selections"][0]["name"] == "x"
