@@ -730,6 +730,32 @@ ORDER BY p.id_a, p.id_b
 """
 
 
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-set (k-means cells -> within-cell pairs -> exact
+    refilter -> components). Iterative Lloyd fit is not SQL-expressible
+    -> rows-only driver check; exact-parity unit test covers values
+    (test_pipeline_ops.py::test_semantic_dedup_matches_exact_on_clusters)."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    return (
+        dedup.semantic_dedup(t["embeddings"], 0.35, n_cells=8, dim=64)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (distributed Lloyd centroids, nprobe cells).
+    Iterative fit -> rows-only driver check; recall bound asserted in
+    unit tests on clustered vectors."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"]
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    cents = similarity.ivf_fit(emb, dim=64, k=8, iters=2)
+    return similarity.ivf_topk(emb, cents, qvec, k=20, nprobe=4)
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,
     "dedup_exact": q_dedup_exact,
@@ -749,6 +775,8 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "embedding_project": q_embedding_project,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
+    "dedup_semantic": q_dedup_semantic,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES_DOCS: dict[str, str] = {
