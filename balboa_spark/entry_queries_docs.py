@@ -645,9 +645,18 @@ FROM documents GROUP BY 1
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization (similarity.quantize_int8)
-    — the ANN storage scale path, as a pure projection."""
+    — the ANN storage scale path, as a pure projection.
+
+    The driver's canonicalizer cannot hash array cells (r5: ERR
+    'unhashable type: list'), so the registered query posexplodes the
+    int8 vector to scalar (vec_id, scale, idx, qval) rows; the oracle
+    mirrors with a range() lateral. The operator itself still returns
+    the packed array column."""
     t = load_tables(spark, sf_dir, names=("embeddings",))
-    return similarity.quantize_int8(t["embeddings"]).orderBy("vec_id")
+    q = similarity.quantize_int8(t["embeddings"])
+    return q.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("idx", "qval")
+    ).orderBy("vec_id", "idx")
 
 
 EMBEDDING_QUANTIZE_ORACLE = """
@@ -658,10 +667,12 @@ m AS (
   SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e
 )
 SELECT vec_id, round(amax / 127, 6) AS scale,
-       CASE WHEN amax = 0 THEN list_transform(v, x -> 0)
-            ELSE list_transform(v, x -> CAST(round(x * 127 / amax) AS INTEGER))
-       END AS qvec
-FROM m ORDER BY vec_id
+       CAST(i AS INTEGER) AS idx,
+       CASE WHEN amax = 0 THEN 0
+            ELSE CAST(round(v[i + 1] * 127 / amax) AS INTEGER)
+       END AS qval
+FROM m, range(0, 64) t(i)
+ORDER BY vec_id, idx
 """
 
 
@@ -672,32 +683,40 @@ RP_OUT_DIM = 8
 
 def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection (similarity.random_project)
-    — seeded md5-derived matrix, one Arrow matmul per batch."""
+    — seeded md5-derived matrix, one Arrow matmul per batch.
+
+    Canon-safe driver shape (r5 ERR fix): posexplode the projected
+    vector to scalar (vec_id, idx, pval) rows; the oracle emits one
+    UNION ALL branch per output component with the same literal
+    matrix row."""
     t = load_tables(spark, sf_dir, names=("embeddings",))
-    return similarity.random_project(
-        t["embeddings"], dim=64, out_dim=RP_OUT_DIM
-    ).orderBy("vec_id")
+    p = similarity.random_project(t["embeddings"], dim=64, out_dim=RP_OUT_DIM)
+    return p.select(
+        "vec_id", F.posexplode("pvec").alias("idx", "pval")
+    ).orderBy("vec_id", "idx")
 
 
 def _project_oracle() -> str:
     """The oracle embeds the SAME deterministic projection matrix as a
-    SQL literal (row-major nested list) and computes each output
-    component as a 1-based indexed dot product."""
+    SQL literal (one row per output component) and computes each
+    component as a 1-based indexed dot product, emitted as scalar
+    (vec_id, idx, pval) rows."""
     import numpy as np
 
     P = similarity._plane_matrix(64, RP_OUT_DIM, "balboa-rp") / np.sqrt(RP_OUT_DIM)
-    comps = []
+    branches = []
     for j in range(RP_OUT_DIM):
         row = "[" + ", ".join(repr(float(x)) for x in P[j]) + "]"
-        comps.append(
-            f"round(list_sum(list_transform(range(1, 65), i -> v[i] * ({row})[i])), 6)"
+        branches.append(
+            f"SELECT vec_id, {j} AS idx, "
+            f"round(list_sum(list_transform(range(1, 65), i -> v[i] * ({row})[i])), 6) AS pval "
+            "FROM e"
         )
-    vec = "[" + ",\n        ".join(comps) + "]"
+    body = "\nUNION ALL\n".join(branches)
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT vec_id,
-       {vec} AS pvec
-FROM e ORDER BY vec_id
+SELECT vec_id, idx, pval FROM ({body})
+ORDER BY vec_id, idx
 """
 
 
@@ -732,28 +751,141 @@ ORDER BY p.id_a, p.id_b
 
 
 
+# ---------------------------------------------------------------------------
+# Pinned-centroid IVF / SemDeDup oracles (r5 verdict: these two were
+# rows-only because the Lloyd fit is iterative. Fix: the driver queries
+# run against a FIXED deterministic cell model — the fit-once-reuse
+# production shape — and the oracle embeds the identical literal
+# centroid matrix, so assignment, probe selection, refilter, and CC are
+# all SQL-mirrored and hash-checked. The Lloyd fit itself keeps its
+# clustered-recall unit tests.)
+# ---------------------------------------------------------------------------
+
+IVF_CELLS, IVF_NPROBE = 8, 4
+SEM_DEDUP_T = 0.35
+
+
+def _pinned_centroids(n_cells: int = IVF_CELLS, dim: int = 64) -> list[list[float]]:
+    """Deterministic unit centroids from the same md5-derived family as
+    the LSH planes — seeded, data-independent, identical across engines."""
+    import numpy as np
+
+    C = similarity._plane_matrix(dim, n_cells, "balboa-ivf-pinned")
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in C]
+
+
+def _cents_cte() -> str:
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in row)}])"
+        for i, row in enumerate(_pinned_centroids())
+    )
+    return f"cents(cell, c) AS (SELECT * FROM (VALUES {rows}) t(cell, c))"
+
+
+#: argmax-cosine cell assignment. The engine's ivf_assign_col argmaxes
+#: Xn @ Cn.T (ties -> lowest cell); dot with unit centroids preserves
+#: the argmax without per-row norms, mirrored by rn = 1.
+_ASSIGN_CTE = """
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.v, c.c) DESC, c.cell
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+"""
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup keep-set (k-means cells -> within-cell pairs -> exact
-    refilter -> components). Iterative Lloyd fit is not SQL-expressible
-    -> rows-only driver check; exact-parity unit test covers values
-    (test_pipeline_ops.py::test_semantic_dedup_matches_exact_on_clusters)."""
+    """SemDeDup keep-set against the pinned cell model: cell-bucketed
+    candidate pairs -> exact cosine refilter at 0.35 -> connected
+    components -> min-id representative + unpaired rows. The Lloyd-fit
+    path of dedup.semantic_dedup is covered by
+    test_pipeline_ops.py::test_semantic_dedup_matches_exact_on_clusters."""
     t = load_tables(spark, sf_dir, names=("embeddings",))
     return (
-        dedup.semantic_dedup(t["embeddings"], 0.35, n_cells=8, dim=64)
+        dedup.semantic_dedup(
+            t["embeddings"],
+            SEM_DEDUP_T,
+            centroids=_pinned_centroids(),
+            max_bucket=ORACLE_MAX_BUCKET,
+        )
         .select("vec_id")
         .orderBy("vec_id")
     )
 
 
+def _dedup_semantic_oracle() -> str:
+    return f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_cents_cte()},
+{_ASSIGN_CTE},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4)
+        >= {SEM_DEDUP_T}
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (
+  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+)
+SELECT vec_id FROM e
+WHERE vec_id IN (SELECT id FROM comp WHERE id = comp)
+   OR vec_id NOT IN (SELECT id FROM comp)
+ORDER BY vec_id
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k (distributed Lloyd centroids, nprobe cells).
-    Iterative fit -> rows-only driver check; recall bound asserted in
-    unit tests on clustered vectors."""
+    """IVF ANN top-k against the pinned cell model: rank cells by
+    centroid-query dot driver-side, scan only the nprobe=4 nearest
+    cells, exact re-rank inside. The oracle replays the identical probe
+    selection and assignment in SQL, so this checks the IVF *search*
+    semantics exactly; Lloyd-fit recall keeps its unit test."""
     t = load_tables(spark, sf_dir, names=("embeddings",))
     emb = t["embeddings"]
     qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
-    cents = similarity.ivf_fit(emb, dim=64, k=8, iters=2)
-    return similarity.ivf_topk(emb, cents, qvec, k=20, nprobe=4)
+    return similarity.ivf_topk(
+        emb, _pinned_centroids(), qvec, k=TOPK, nprobe=IVF_NPROBE
+    )
+
+
+def _ann_ivf_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_cents_cte()},
+{_ASSIGN_CTE},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM cents, q
+  ORDER BY list_inner_product(c, qv) DESC, cell
+  LIMIT {IVF_NPROBE}
+),
+cand AS (
+  SELECT a.vec_id, a.v FROM assign a JOIN probe p ON a.cell = p.cell
+)
+SELECT vec_id,
+       round(list_inner_product(v, qv)
+             / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6) AS cos
+FROM cand, q
+ORDER BY cos DESC, vec_id
+LIMIT {TOPK}
+"""
 
 
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -805,4 +937,6 @@ ORACLES_DOCS: dict[str, str] = {
     "embedding_quantize": EMBEDDING_QUANTIZE_ORACLE,
     "embedding_project": _project_oracle(),
     "dedup_minhash_estimate": _minhash_estimate_oracle(),
+    "dedup_semantic": _dedup_semantic_oracle(),
+    "ann_ivf_topk": _ann_ivf_oracle(),
 }

@@ -275,6 +275,11 @@ def execute(store, src: str, variables: dict | None = None, stats=None) -> dict:
         return {"data": data}
     except GraphQLError as ex:
         return {"errors": [{"message": str(ex)}]}
+    except Exception as ex:  # noqa: BLE001 — a resolver bug must still
+        # produce a well-formed GraphQL error envelope, never a crashed
+        # handler with no response written (the Go server's panic
+        # recovery gives the same guarantee).
+        return {"errors": [{"message": f"internal error: {ex}"}]}
 
 
 def _exec_entries(store, field, variables, var_defs, stats) -> list[dict]:

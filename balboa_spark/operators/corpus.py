@@ -294,11 +294,22 @@ def _global_prefix_sum(counts: DataFrame, id_col: str) -> DataFrame:
     has one row per bucket (bounded by the partition count, i.e.
     cluster-sized), so the join is broadcast-trivial and the result is
     identical no matter where the range boundaries fall.
+
+    The bucketed relation is MATERIALIZED (localCheckpoint) before the
+    local/totals branches read it: both derive ``_b`` from
+    spark_partition_id, and without materialization each branch plans
+    its own range exchange whose RangePartitioner samples
+    independently — if exchange-reuse dedup is disabled or the
+    subtrees diverge, boundaries could differ between branches and
+    silently corrupt offsets. The relation is two integers per
+    document, so the checkpoint is narrow at any scale.
     """
     spark = counts.sparkSession
     n_buckets = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
-    c = counts.repartitionByRange(n_buckets, F.col(id_col)).withColumn(
-        "_b", F.spark_partition_id()
+    c = (
+        counts.repartitionByRange(n_buckets, F.col(id_col))
+        .withColumn("_b", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     wl = (
         Window.partitionBy("_b")

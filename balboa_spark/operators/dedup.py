@@ -426,12 +426,19 @@ def semantic_dedup(
     id_col: str = "vec_id",
     max_bucket: int = 1000,
     dim: int | None = None,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup-shape semantic deduplication (Abbas et al. 2023): fit
     k-means cells over the embeddings (distributed Lloyd), generate
     candidate pairs only WITHIN each cell, exact-cosine refilter at the
     threshold, connected components, keep one representative (min id)
     per component plus all unpaired rows.
+
+    Pass ``centroids`` (list of unit row vectors) to skip the Lloyd fit
+    and partition against a fixed cell model — the production shape
+    when the model is fit once and reused, and the hash-checkable shape
+    for the driver oracle (the same literal centroids are embedded in
+    the SQL side).
 
     The declared approximation (inherent to the SemDeDup design):
     near-dups assigned to different cells are not compared — at real
@@ -445,11 +452,14 @@ def semantic_dedup(
     """
     from balboa_spark.operators import similarity
 
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    cents = similarity.ivf_fit(
-        df, dim=dim, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
-    )
+    if centroids is not None:
+        cents = centroids
+    else:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        cents = similarity.ivf_fit(
+            df, dim=dim, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+        )
     assigned = df.select(
         F.col(id_col).alias("id"),
         similarity.ivf_assign_col(cents, vec_col).alias("_cell"),

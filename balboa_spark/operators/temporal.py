@@ -259,6 +259,12 @@ def anomaly_scores(
     rounded z is hash-identical across engines — the same trick as
     rolling_features, extended to second moments. Same O(n)-per-key
     sliding RANGE frame; no second pass, no self-join.
+
+    Supported value range: the squared-cents sum is exact 64-bit
+    integer math, which bounds |value| at ~3e7 per event (cents² ≤
+    9.2e18 / window size). Wider than double's exact-integer range
+    (~9.4e5 at cents²) — the long is the right type here, but values
+    beyond the bound would overflow rather than lose precision.
     """
     w = trailing_window(keys, ts_col, duration_sec)
     cents = F.round(F.col(value_col) * 100).cast("long")
@@ -268,7 +274,11 @@ def anomaly_scores(
     mean = s1.cast("double") / n
     var = (s2.cast("double") - s1.cast("double") * s1 / n) / n
     std = F.sqrt(var)
-    z = F.when((n > 1) & (std > 0), F.round((cents - mean) / std, 4))
+    # guard on var > 0, NOT std > 0: float cancellation can drive var
+    # epsilon-negative, where sqrt gives NaN and Spark's NaN ordering
+    # evaluates NaN > 0 as TRUE — emitting z = NaN where the oracle's
+    # var-gated form emits NULL (hash mismatch on near-constant windows)
+    z = F.when((n > 1) & (var > 0), F.round((cents - mean) / std, 4))
     return df.select(
         "*",
         n.alias("n_window"),

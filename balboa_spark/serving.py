@@ -31,7 +31,7 @@ from balboa_spark.operators.query import DEFAULT_LIMIT, Query, rest_search
 from balboa_spark.plans.layout import ObservationStore
 
 #: The GraphQL schema's RRType enum (query/query_graphql.go:26-73,
-#: all 45 values verbatim). The engine layer stores rrtype as an open
+#: all 46 values verbatim). The engine layer stores rrtype as an open
 #: string — the enum is a SERVING-EDGE contract, enforced here exactly
 #: where the reference's GraphQL parser enforces it.
 RRTYPES = frozenset(
@@ -56,29 +56,33 @@ def to_cof(df: DataFrame) -> DataFrame:
     )
 
 
-def to_graphql_entry(df: DataFrame) -> DataFrame:
-    """Observation rows -> the GraphQL Entry field set: COF fields PLUS
-    the RFC3339 time variants (query_graphql.go:95-108, resolvers
-    :358-371). The plain REST shape (to_cof) has no rfc3339 fields."""
+def _rfc3339(col: str) -> Column:
     # convert_timezone(..., 'UTC') pins the rendered wall-clock to UTC
     # regardless of spark.sql.session.timeZone, so the literal 'Z' is
     # always truthful (get_spark pins UTC, but the store/session may
     # come from elsewhere).
-    def rfc3339(col: str) -> Column:
-        return F.date_format(
-            F.expr(f"convert_timezone('UTC', timestamp_seconds({col}))"),
-            "yyyy-MM-dd'T'HH:mm:ss'Z'",
-        )
+    return F.date_format(
+        F.expr(f"convert_timezone('UTC', timestamp_seconds({col}))"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
 
+
+def to_graphql_entry(df: DataFrame) -> DataFrame:
+    """Observation rows -> the GraphQL Entry field set: COF fields PLUS
+    the RFC3339 time variants (query_graphql.go:95-108, resolvers
+    :358-371). The plain REST shape (to_cof) has no rfc3339 fields."""
     return to_cof(df).select(
         "*",
-        rfc3339("time_first").alias("time_first_rfc3339"),
-        rfc3339("time_last").alias("time_last_rfc3339"),
+        _rfc3339("time_first").alias("time_first_rfc3339"),
+        _rfc3339("time_last").alias("time_last_rfc3339"),
     )
 
 
 def to_cof_aliases(df: DataFrame) -> DataFrame:
-    """Alias-join rows -> COF alias fields, entry key preserved."""
+    """Alias-join rows -> the GraphQL LeafEntry field set, entry key
+    preserved. Carries the RFC3339 variants too: LeafEntry shares
+    Entry's leaf resolvers (query_graphql.go:95-108), so a nested
+    aliases selection may legally ask for time_first_rfc3339."""
     return df.select(
         "e_rrname",
         "e_sensor_id",
@@ -90,6 +94,10 @@ def to_cof_aliases(df: DataFrame) -> DataFrame:
         "rrname",
         "rdata",
         "sensor_id",
+    ).select(
+        "*",
+        _rfc3339("time_first").alias("time_first_rfc3339"),
+        _rfc3339("time_last").alias("time_last_rfc3339"),
     )
 
 
@@ -206,13 +214,16 @@ def make_handler(store: ObservationStore, stats=None):
                     sensor_id=args.get("sensor_id"),
                     limit=int(args.get("limit", DEFAULT_LIMIT)),
                 )
-                q.validate()
+                # the GraphQL parser rejects values outside the RRType
+                # enum BEFORE the resolver's own validation runs, so a
+                # request that is wrong in both ways reports the enum
+                # error first (query_graphql.go:26-73 parse precedes
+                # :242-246 resolver checks)
                 if q.rrtype is not None and q.rrtype not in RRTYPES:
-                    # the GraphQL parser rejects values outside the
-                    # RRType enum before the resolver ever runs
                     raise ValueError(
                         f'Expected type "RRType", found {q.rrtype}.'
                     )
+                q.validate()
                 with_aliases = bool(args.get("aliases", False))
                 alias_limit = int(args.get("alias_limit", DEFAULT_LIMIT))
             except (ValueError, TypeError, json.JSONDecodeError) as ex:

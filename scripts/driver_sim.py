@@ -36,6 +36,21 @@ def norm_cell(v):
     return str(v)
 
 
+def array_cells(rows) -> bool:
+    """The REAL driver canonicalizes with pandas sort_values over all
+    columns, which raises 'unhashable type: list' on any array-valued
+    cell (CORRECTNESS_r05: embedding_quantize/embedding_project ERR).
+    Mirror that: any list/tuple/ndarray cell in an oracle-gated result
+    is a hard FAIL here, even though norm_cell could serialize it."""
+    import numpy as np
+
+    for r in rows[:50]:
+        for v in r:
+            if isinstance(v, (list, tuple, dict, np.ndarray)):
+                return True
+    return False
+
+
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = ["|".join(norm_cell(r[i]) for i in order) for r in rows]
@@ -78,6 +93,10 @@ def main() -> int:
             continue
         if name not in os_:
             print(f"[rows-only] {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        if array_cells(s_rows):
+            print(f"[FAIL] {name}: array-valued cells (driver canon would ERR)")
+            failed.append(name)
             continue
         try:
             rel = con.sql(os_[name])

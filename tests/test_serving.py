@@ -100,9 +100,14 @@ def test_graphql_shape_endpoint(server):
     code, body = post({"rrtype": "A"})
     assert code == 400 and body["errors"]
 
-    # rrtype outside the 45-value RRType enum (query_graphql.go:26-73)
+    # rrtype outside the 46-value RRType enum (query_graphql.go:26-73)
     # -> the GraphQL-parser-shaped rejection, before any query runs
     code, body = post({"rrname": "foo", "rrtype": "BOGUS"})
+    assert code == 400 and 'Expected type "RRType"' in body["errors"][0]
+    # wrong in BOTH ways (bad enum AND no rdata/rrname): the enum
+    # error wins — the reference's parser rejects before the resolver's
+    # own validation ever runs
+    code, body = post({"rrtype": "BOGUS"})
     assert code == 400 and 'Expected type "RRType"' in body["errors"][0]
     # enum values beyond the seeded A records still validate
     code, body = post({"rrname": "foo", "rrtype": "TLSA"})
@@ -254,6 +259,18 @@ def test_graphql_endpoint_end_to_end(server):
     (e,) = body["data"]["entries"]
     assert [a["rrname"] for a in e["aliases"]] == ["baz"]
     assert set(e["aliases"][0]) == {"rrname", "count"}
+
+    # LeafEntry shares Entry's leaf resolvers: rfc3339 variants are
+    # legal on the nested aliases selection too (formerly a KeyError
+    # that escaped execute() and crashed the handler with no response)
+    body = gql(
+        '{ entries(rrname: "foo") { rrname'
+        " aliases { rrname time_first_rfc3339 time_last_rfc3339 } } }"
+    )
+    (e,) = body["data"]["entries"]
+    (a,) = e["aliases"]
+    assert a["time_first_rfc3339"].endswith("Z") and "T" in a["time_first_rfc3339"]
+    assert a["time_last_rfc3339"].endswith("Z")
 
     # resolver validation: neither rdata nor rrname
     body = gql("{ entries(limit: 5) { rrname } }")
