@@ -888,6 +888,55 @@ LIMIT {TOPK}
 """
 
 
+PASSAGE_P, PASSAGE_MAX_DF = 8, 1
+
+
+def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact substring dedup (corpus.passage_dedup) over
+    the planted-variant corpus: every full 8-token passage shared by a
+    doc and its truncated variant is dropped from BOTH; the differing
+    tail passages survive."""
+    from balboa_spark.operators.corpus import passage_dedup
+
+    return passage_dedup(
+        _corpus(spark, sf_dir),
+        passage_tokens=PASSAGE_P,
+        max_df=PASSAGE_MAX_DF,
+    ).orderBy("doc_id")
+
+
+DEDUP_PASSAGE_ORACLE = f"""
+WITH {CORPUS_SQL},
+ptoks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM corpus
+),
+flat0 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(tk) / {PASSAGE_P}.0) AS BIGINT)),
+           i -> {{'idx': i,
+                 'ptext': array_to_string(
+                     list_slice(tk, i * {PASSAGE_P} + 1, i * {PASSAGE_P} + {PASSAGE_P}), ' ')}}
+         )) AS u
+  FROM ptoks WHERE len(tk) > 0
+),
+flat AS (SELECT doc_id, u.idx AS idx, u.ptext AS ptext FROM flat0),
+pdf AS (SELECT md5(ptext) AS h, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS n_passages FROM flat GROUP BY 1),
+kept AS (
+  SELECT f.doc_id, f.idx, f.ptext
+  FROM flat f JOIN pdf p ON md5(f.ptext) = p.h
+  WHERE p.df <= {PASSAGE_MAX_DF}
+)
+SELECT k.doc_id, t.n_passages, count(*) AS n_kept,
+       string_agg(k.ptext, ' ' ORDER BY k.idx) AS clean_text
+FROM kept k JOIN tot t USING (doc_id)
+GROUP BY k.doc_id, t.n_passages
+ORDER BY doc_id
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,
     "dedup_exact": q_dedup_exact,
@@ -909,6 +958,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_semantic": q_dedup_semantic,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "dedup_passage": q_dedup_passage,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -939,4 +989,5 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_minhash_estimate": _minhash_estimate_oracle(),
     "dedup_semantic": _dedup_semantic_oracle(),
     "ann_ivf_topk": _ann_ivf_oracle(),
+    "dedup_passage": DEDUP_PASSAGE_ORACLE,
 }

@@ -621,6 +621,76 @@ def boilerplate_ratio(
     )
 
 
+def passage_dedup(
+    df: DataFrame,
+    passage_tokens: int = 16,
+    max_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring deduplication at passage granularity — the
+    distributed proxy for suffix-array substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    cut each document into consecutive ``passage_tokens``-token
+    passages, count each passage's document frequency across the
+    corpus, DROP every passage occurring in more than ``max_df``
+    documents, and reassemble the surviving passages in order.
+
+    Output: (id, n_passages, n_kept, clean_text), one row per document
+    that retains at least one passage — documents that were entirely
+    duplicated disappear, which is the cleaning-pipeline behavior.
+
+    vs boilerplate_ratio: that op SCORES documents by shared-gram
+    fraction; this op REWRITES them, removing the duplicated spans
+    while keeping the original prose around them.
+
+    Scale shape: the exploded relation carries each passage's text
+    exactly once (from its own document's row and back to it), so
+    shuffle volume is corpus-sized, never quadratic. Passage DF is ONE
+    map-side-combined groupBy on the md5; the verdict joins back on
+    the hash with no broadcast hint (the DF table is corpus-derived —
+    AQE decides, and its skew-join handles a mega-common passage);
+    reassembly is one groupBy(id) with an in-group array_sort,
+    per-document bounded.
+    """
+    if passage_tokens < 1:
+        raise ValueError("passage_tokens must be >= 1")
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk")).filter(
+        F.size("_tk") > 0
+    )
+    n = F.size("_tk")
+    n_pass = F.floor((n + passage_tokens - 1) / passage_tokens).cast("int")
+    flat = staged.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_pass - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_tk"), i * passage_tokens + 1, passage_tokens)
+                ),
+            )
+        ).alias("idx", "_ptext"),
+    ).withColumn("_h", F.md5(F.col("_ptext")))
+    pdf = flat.groupBy("_h").agg(F.count_distinct(F.col(id_col)).alias("_df"))
+    totals = flat.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_passages"))
+    kept = flat.join(pdf, "_h").filter(F.col("_df") <= max_df)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "_ptext"))),
+                    lambda x: x["_ptext"],
+                ),
+            ).alias("clean_text"),
+        )
+        .join(totals, id_col)
+        .select(id_col, "n_passages", "n_kept", "clean_text")
+    )
+
+
 def quality_bins(
     df: DataFrame,
     score_col: str = "n_chars",

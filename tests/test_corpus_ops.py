@@ -288,6 +288,53 @@ def test_boilerplate_ratio_cross_doc(spark):
     assert out[3]["n_common"] == 0 and out[3]["common_ratio"] == 0.0
 
 
+def test_passage_dedup_drops_shared_passages(spark):
+    """A 4-token passage shared across docs is dropped from BOTH and
+    the survivors reassemble in original order; a fully-duplicated doc
+    disappears; within-doc repetition alone (df=1) is kept."""
+    shared = "all rights reserved corp"  # one 4-token passage
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma delta"),
+            (2, shared + " epsilon zeta eta theta"),
+            (3, shared),  # nothing but the duplicated passage
+            (4, "solo solo solo solo solo solo solo solo"),  # df=1, kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.passage_dedup(docs, passage_tokens=4, max_df=1).collect()
+    }
+    # doc 3 was entirely boilerplate -> no row
+    assert set(out) == {1, 2, 4}
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[2]["clean_text"] == "epsilon zeta eta theta"
+    assert out[1]["n_passages"] == 2 and out[1]["n_kept"] == 1
+    # doc 4's repeated passage occurs in ONE document -> untouched
+    assert out[4]["n_kept"] == 2 and out[4]["clean_text"] == docs.collect()[3]["text"]
+
+
+def test_passage_dedup_reassembles_order_and_tail(spark):
+    """Surviving passages keep token order across a dropped middle
+    passage, and the short tail passage is its own unit."""
+    mid = "x1 x2 x3"  # the shared middle passage (P=3)
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {mid} b1 b2 b3 tail"),
+            (2, f"c1 c2 c3 {mid} d1 d2 d3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.passage_dedup(docs, passage_tokens=3, max_df=1).collect()
+    }
+    assert out[1]["clean_text"] == "a1 a2 a3 b1 b2 b3 tail"
+    assert out[1]["n_passages"] == 4 and out[1]["n_kept"] == 3
+    assert out[2]["clean_text"] == "c1 c2 c3 d1 d2 d3"
+
+
 def test_quality_bins_quartiles(spark):
     """Quartile binning: bin = #boundaries <= score, 4 buckets, and the
     plan stays declarative (no driver action for the boundaries)."""
