@@ -224,6 +224,7 @@ QUERIES.update(QUERIES_TEMPORAL)
 #     dedup_minhash_estimate — rides dedup_minhash_lsh's candidates;
 #     agg_incremental — same merge fold as observations_agg.
 _TAIL = [
+    "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",
     "tpch_q3",

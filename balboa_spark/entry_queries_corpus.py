@@ -458,6 +458,58 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# text cleaning (C4/CCNet-style normalization)
+# ---------------------------------------------------------------------------
+
+#: deterministic noise wrapped around each document so the cleaning is
+#: observable on the synthetic corpus (which is already clean): a SOH
+#: control char, curly quotes, an NBSP, and a trailing DEL.
+_NOISE_PRE = "\x01“noise” "
+_NOISE_POST = "\x7f"
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    noisy = docs.select(
+        "doc_id",
+        F.concat(F.lit(_NOISE_PRE), F.col("text"), F.lit(_NOISE_POST)).alias("text"),
+    )
+    return corpus.clean_text(noisy).orderBy("doc_id")
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _clean_text_oracle() -> str:
+    from balboa_spark.operators.corpus import (
+        CLEAN_CTRL_RE,
+        CLEAN_PUNCT_FROM,
+        CLEAN_PUNCT_TO,
+    )
+
+    pre = "chr(1) || '“noise”' || chr(160)"
+    post = "chr(127)"
+    return f"""
+WITH noisy AS (
+  SELECT doc_id, {pre} || text || {post} AS text FROM documents
+),
+c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           translate(
+             regexp_replace(text, {_sql_str(CLEAN_CTRL_RE)}, '', 'g'),
+             {_sql_str(CLEAN_PUNCT_FROM)}, {_sql_str(CLEAN_PUNCT_TO)}),
+           '\\s+', ' ', 'g')) AS clean_text
+  FROM noisy
+)
+SELECT doc_id, clean_text,
+       length(text) - length(clean_text) AS n_removed
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -471,6 +523,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_boilerplate": q_boilerplate,
     "corpus_quality_bins": q_quality_bins,
     "corpus_mixture_resample": q_mixture_resample,
+    "corpus_clean_text": q_clean_text,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -486,4 +539,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_boilerplate": BOILERPLATE_ORACLE,
     "corpus_quality_bins": QUALITY_BINS_ORACLE,
     "corpus_mixture_resample": _mixture_oracle(),
+    "corpus_clean_text": _clean_text_oracle(),
 }

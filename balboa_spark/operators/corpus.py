@@ -621,6 +621,42 @@ def boilerplate_ratio(
     )
 
 
+#: Cleaning constants — shared verbatim with the DuckDB oracle (kept
+#: to the Java-regex ∩ RE2 common dialect; U+FFFD is embedded as a
+#: literal char so both engines see the same code point).
+CLEAN_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f�]"
+CLEAN_PUNCT_FROM = "‘’“”–— "
+CLEAN_PUNCT_TO = "''\"\"-- "
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Text normalization for training corpora (the C4/CCNet-style
+    cleaning stage): strip control characters and U+FFFD replacement
+    chars, fold curly quotes / en-em dashes / NBSP to their ASCII
+    forms, collapse whitespace runs to single spaces, trim.
+
+    Output: (id, clean_text, n_removed) where n_removed is the char
+    count delta — a cheap corruption signal (mojibake-heavy docs score
+    high and can be gated downstream).
+
+    Pure Column projection: regexp_replace + translate + trim inside
+    whole-stage codegen — no UDF, no shuffle, scales as a map.
+    """
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(t, CLEAN_CTRL_RE, "")
+    cleaned = F.translate(cleaned, CLEAN_PUNCT_FROM, CLEAN_PUNCT_TO)
+    cleaned = F.trim(F.regexp_replace(cleaned, "\\s+", " "))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        (F.length(t) - F.length(cleaned)).alias("n_removed"),
+    )
+
+
 def passage_dedup(
     df: DataFrame,
     passage_tokens: int = 16,

@@ -226,6 +226,17 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    @timed("passage_dedup")
+    def _():
+        # passage-level substring dedup: narrow (id, idx, md5) explode,
+        # one map-side-combined DF groupBy, AQE-decided join back,
+        # per-doc bounded reassembly
+        from balboa_spark.operators import corpus
+
+        corpus.passage_dedup(par(spark.table("documents"))).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     @timed("pack_sequences")
     def _():
         # concat-and-chunk packing of the whole corpus token stream

@@ -288,6 +288,25 @@ def test_boilerplate_ratio_cross_doc(spark):
     assert out[3]["n_common"] == 0 and out[3]["common_ratio"] == 0.0
 
 
+def test_clean_text_normalizes(spark):
+    """Control chars and U+FFFD stripped, curly quotes/dashes/NBSP
+    folded to ASCII, whitespace collapsed and trimmed; n_removed is
+    the char-count delta."""
+    docs = spark.createDataFrame(
+        [
+            (1, "\x01hello\x7f “world”"),
+            (2, "a b  \t c – d�"),
+            (3, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus.clean_text(docs).collect()}
+    assert out[1]["clean_text"] == 'hello "world"'
+    assert out[1]["n_removed"] == len("\x01hello\x7f “world”") - len('hello "world"')
+    assert out[2]["clean_text"] == "a b c - d"
+    assert out[3]["clean_text"] == "already clean" and out[3]["n_removed"] == 0
+
+
 def test_passage_dedup_drops_shared_passages(spark):
     """A 4-token passage shared across docs is dropped from BOTH and
     the survivors reassemble in original order; a fully-duplicated doc
