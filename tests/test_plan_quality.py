@@ -61,6 +61,34 @@ def test_embedding_dedup_lsh_path_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_passage_dedup_plan_shape(spark):
+    """passage_dedup: no hint-forced broadcast of the corpus-derived
+    DF table, no cartesian/nested-loop join anywhere, and the whole
+    pair path is equi-joins on hash/id."""
+    from balboa_spark.operators import corpus
+
+    df = corpus.passage_dedup(_corpus(spark), passage_tokens=4)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed[:500]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clean_text_is_projection_only(spark):
+    """clean_text must stay a shuffle-free single-pass projection:
+    no Exchange, no UDF — pure codegen expressions."""
+    from balboa_spark.operators import corpus
+
+    plan = (
+        corpus.clean_text(_corpus(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:800]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_entries_pushdown_reaches_parquet(spark, tmp_path):
     """Point query: partition filter on bucket AND Parquet PushedFilters
     on the driving predicate — the columnar prefix-seek."""
