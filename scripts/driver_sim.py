@@ -78,6 +78,15 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, os_ = e.queries(), e.oracle_sql()
+    # The REAL driver grades only the first 50 registry entries in
+    # insertion order (CORRECTNESS_r05 silently dropped slots 50-59).
+    # Surface the cut so a new registration never hides one unnoticed.
+    names = list(qs)
+    if len(names) > 50:
+        print(
+            f"[cap] {len(names)} queries registered; driver grades the "
+            f"first 50 — UNGRADED tail: {names[50:]}"
+        )
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
