@@ -354,6 +354,61 @@ def test_passage_dedup_reassembles_order_and_tail(spark):
     assert out[2]["clean_text"] == "c1 c2 c3 d1 d2 d3"
 
 
+def test_passage_dedup_matches_python_oracle(spark):
+    """passage_dedup vs an independent pure-Python reimplementation on
+    a deterministic pseudo-random corpus: exact (doc -> clean_text,
+    n_passages, n_kept) parity, including dropped-entirely docs. One
+    Spark round-trip over many corpora beats a hypothesis per-example
+    session (Spark job latency); the corpus family still varies vocab
+    size, doc length, P, and max_df."""
+    import hashlib
+    from collections import defaultdict
+
+    def py_oracle(texts, P, max_df):
+        chunks = {}
+        dfreq = defaultdict(set)
+        for did, text in texts:
+            tk = text.split()
+            ps = [" ".join(tk[i : i + P]) for i in range(0, len(tk), P)]
+            chunks[did] = ps
+            for p in ps:
+                dfreq[p].add(did)
+        out = {}
+        for did, ps in chunks.items():
+            kept = [p for p in ps if len(dfreq[p]) <= max_df]
+            if kept:
+                out[did] = (len(ps), len(kept), " ".join(kept))
+        return out
+
+    def tok(seed, i):
+        return f"w{int(hashlib.md5(f'{seed}|{i}'.encode()).hexdigest()[:4], 16) % 7}"
+
+    for seed, n_docs, max_len, P, max_df in [
+        ("a", 30, 12, 3, 1),
+        ("b", 40, 25, 4, 2),
+        ("c", 12, 6, 2, 1),
+    ]:
+        texts = [
+            (
+                d,
+                " ".join(
+                    tok(seed, d * 100 + j)
+                    for j in range(1 + (d * 7919) % max_len)
+                ),
+            )
+            for d in range(n_docs)
+        ]
+        expect = py_oracle(texts, P, max_df)
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_passages"], r["n_kept"], r["clean_text"])
+            for r in corpus.passage_dedup(
+                docs, passage_tokens=P, max_df=max_df
+            ).collect()
+        }
+        assert got == expect, f"mismatch for corpus family {seed}"
+
+
 def test_quality_bins_quartiles(spark):
     """Quartile binning: bin = #boundaries <= score, 4 buckets, and the
     plan stays declarative (no driver action for the boundaries)."""
