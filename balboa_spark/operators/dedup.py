@@ -292,11 +292,54 @@ def simhash_pairs(
 
 # -- connected components / keep-set ----------------------------------------
 
+def _cc_driver(spark, e0: DataFrame) -> DataFrame:
+    """Driver-side union-find over a SMALL materialized edge set (the
+    under-threshold arm of connected_components): path-compressed
+    find + union, then one pass mapping every node to the min id of
+    its component. O(E α(E)) time, O(V) driver memory — bounded by
+    the caller's driver_max_edges gate, never corpus-sized."""
+    utype = e0.schema["u"].dataType
+    pdf = e0.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    # .tolist() → native Python scalars (createDataFrame rejects numpy)
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    roots = {x: find(x) for x in parent}
+    for x, r in roots.items():
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("id", utype, False), StructField("comp", utype, False)]
+    )
+    rows = [(x, comp_min[r]) for x, r in roots.items()]
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(id, component) for every id appearing in the pair list, where
     component = min id reachable through the near-dup relation — the
@@ -320,6 +363,20 @@ def connected_components(
 
     At fixpoint every component is a star rooted at its min id; labels
     are the star edges plus each root mapped to itself.
+
+    Hybrid execution (the AQE-broadcast-threshold pattern): the DEDUPED
+    edge relation after pair generation + exact refiltering is tiny
+    relative to the corpus at real duplicate rates — typically well
+    under ``driver_max_edges`` even when the corpus is 100 TB — and the
+    star loop's cost there is pure per-round job overhead (5-8 rounds x
+    a shuffle + checkpoint + fixpoint probe each). So after the one
+    mandatory materialization of the edge set, its exact count decides:
+    at or under the threshold, the edges ship to the driver (bounded:
+    2M edges ~ 32 MB Arrow) and a path-compressed union-find labels
+    them in milliseconds; over it, the distributed star loop runs
+    unchanged. Both paths emit identical (id, comp=min reachable id)
+    labels — parity is unit-tested. ``driver_max_edges=0`` forces the
+    distributed path.
     """
     # Oriented edges (big, small), self-loops dropped.
     e0 = (
@@ -331,6 +388,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_max_edges and e0.count() <= driver_max_edges:
+        return _cc_driver(pairs.sparkSession, e0)
     # nodes derives from the checkpointed e0 and is consumed exactly
     # once (the final label join) — recomputing it there is one cheap
     # scan; checkpointing it would be a wasted materialization job.

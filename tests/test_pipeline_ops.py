@@ -97,7 +97,9 @@ def test_connected_components_long_chain_log_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(60)], "id_a long, id_b long"
     )
-    comp = dedup.connected_components(pairs, max_iterations=10).collect()
+    comp = dedup.connected_components(
+        pairs, max_iterations=10, driver_max_edges=0
+    ).collect()
     assert {r.comp for r in comp} == {0} and len(comp) == 61
 
 
@@ -110,8 +112,30 @@ def test_connected_components_scattered_ids(spark):
     pairs = spark.createDataFrame(
         list(zip(ids, ids[1:])), "id_a long, id_b long"
     )
-    comp = dedup.connected_components(pairs, max_iterations=12).collect()
+    comp = dedup.connected_components(
+        pairs, max_iterations=12, driver_max_edges=0
+    ).collect()
     assert {r.comp for r in comp} == {0} and len(comp) == 101
+
+
+def test_connected_components_driver_distributed_parity(spark):
+    """The size-gated driver union-find and the distributed star loop
+    must emit IDENTICAL (id, comp=min reachable id) labels — chains,
+    cliques, scattered ids, and an isolated pair together."""
+    ids = [(i * 37) % 101 for i in range(101)]
+    edges = (
+        list(zip(ids, ids[1:]))  # scattered-id path graph
+        + [(200 + i, 200 + j) for i in range(5) for j in range(i)]  # clique
+        + [(300, 301)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r.id, r.comp) for r in dedup.connected_components(pairs).collect()}
+    dist = {
+        (r.id, r.comp)
+        for r in dedup.connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    assert {c for _, c in fast} == {0, 200, 300}
 
 
 def test_near_dedup_keep(spark):
