@@ -24,6 +24,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd  # module-global: pandas_udf type hints resolve here
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -64,6 +66,24 @@ def main() -> None:
         return deco
 
     obs = spark.sql(OBS_SQL)
+
+    # Untimed warm-up (standard bench hygiene, declared): first-touch
+    # costs — JVM codegen, parquet footer reads, shuffle service init,
+    # and Python/Arrow worker spawn — land on whichever item happens to
+    # run first and swamp its number (measured: the same item is 3x
+    # slower cold than warm). One trivial scan per table plus one no-op
+    # pandas_udf call pays them once, outside every timing window.
+    from pyspark.sql.functions import pandas_udf
+
+    for t in ["documents", "embeddings", "events", "lineitem", "orders", "customer"]:
+        spark.table(t).count()
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm("id")).write.mode("overwrite").format("noop").save()
+
     tmp = tempfile.mkdtemp(prefix="balboa_bench_")
     store = ObservationStore(spark, os.path.join(tmp, "store"), num_buckets=8)
 

@@ -271,11 +271,59 @@ def test_amqp_feeder_fake_channel(tmp_path):
 def test_amqp_feeder_without_broker_client_raises(tmp_path):
     """No pika in this environment: the default connector must fail
     loudly with the external-shovel guidance, not hang."""
+    import importlib.util
+
     from balboa_spark.streaming.transports import AMQPFeeder
 
+    if importlib.util.find_spec("pika") is not None:
+        pytest.skip("pika installed: the loud-failure branch is unreachable")
     feeder = AMQPFeeder(str(tmp_path / "land"))
     with pytest.raises(RuntimeError, match="broker client"):
         feeder._pika_connector()
+
+
+def test_amqp_feeder_real_pika_roundtrip(tmp_path):
+    """Real-broker integration (runs only when the environment gains
+    both pika AND a reachable broker via BALBOA_AMQP_URL; skips cleanly
+    otherwise): publish one gzip body with a sensor_id header through
+    the broker, consume it with the DEFAULT pika connector, and assert
+    it lands decompressed under the right sensor dir — the only part of
+    S2 the fake-channel e2e cannot execute."""
+    import gzip as _gzip
+    import importlib.util
+    import os
+    import time
+
+    from balboa_spark.streaming.transports import AMQPFeeder, sensor_dir
+
+    if importlib.util.find_spec("pika") is None:
+        pytest.skip("pika not installed")
+    url = os.environ.get("BALBOA_AMQP_URL")
+    if not url:
+        pytest.skip("no broker: set BALBOA_AMQP_URL (e.g. amqp://localhost)")
+    import pika
+
+    land = tmp_path / "land"
+    feeder = AMQPFeeder(str(land), url=url, exchanges=("balboa.test",))
+    feeder.run()
+    time.sleep(0.5)  # let the consumer declare+bind its queue
+    conn = pika.BlockingConnection(pika.URLParameters(url))
+    conn.channel().basic_publish(
+        exchange="balboa.test",
+        routing_key="",
+        body=_gzip.compress(b'{"itest":1}\n'),
+        properties=pika.BasicProperties(
+            headers={"compressed": "1", "sensor_id": "itest"}
+        ),
+    )
+    conn.close()
+    deadline = time.time() + 10
+    files = []
+    while not files and time.time() < deadline:
+        files = list((land / sensor_dir("itest")).glob("*.ndjson"))
+        time.sleep(0.1)
+    feeder.stop()
+    assert files and files[0].read_bytes() == b'{"itest":1}\n'
 
 
 def test_amqp_feeder_e2e(spark, tmp_path):
