@@ -732,6 +732,8 @@ def quality_bins(
     score_col: str = "n_chars",
     probs: Sequence[float] = (0.25, 0.5, 0.75),
     id_col: str = "doc_id",
+    approx: bool = False,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """Quantile-bucket assignment (quality binning for mixture
     weighting / curriculum ordering): bin = how many of the corpus
@@ -743,20 +745,24 @@ def quality_bins(
     quantiles are ONE aggregate row (len(probs) doubles) cross-joined
     back (Spark plans a broadcast of the single-row side), and the
     bucket is an array count. Boundaries are rounded to 6 decimals so
-    the binning is hash-stable across engines. At 100 TB the exact
-    percentile aggregate is the only sort-heavy step; swap in
-    percentile_approx for the sketch-based scale path with the same
-    downstream shape.
+    the binning is hash-stable across engines.
+
+    ``approx=True`` is the 100 TB path: percentile_approx's
+    Greenwald-Khanna sketch replaces the exact percentile (whose
+    map-side state is the full value multiset). Rank error is bounded
+    by 1/approx_accuracy — rows whose score sits within that band of a
+    boundary may land one bin over — and the downstream plan shape is
+    IDENTICAL (one single-row aggregate, broadcast back). The oracle
+    checks the exact path; the approx path gets a tolerance unit test.
     """
     probs = list(probs)
-    bnds = df.agg(
-        F.transform(
-            F.percentile(
-                F.col(score_col), F.array(*[F.lit(p) for p in probs])
-            ),
-            lambda b: F.round(b, 6),
-        ).alias("_bnds")
+    parr = F.array(*[F.lit(p) for p in probs])
+    pct = (
+        F.percentile_approx(F.col(score_col), parr, F.lit(approx_accuracy))
+        if approx
+        else F.percentile(F.col(score_col), parr)
     )
+    bnds = df.agg(F.transform(pct, lambda b: F.round(b, 6)).alias("_bnds"))
     return df.crossJoin(F.broadcast(bnds)).select(
         F.col(id_col),
         F.col(score_col).alias("score"),

@@ -422,6 +422,27 @@ def test_quality_bins_quartiles(spark):
     assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
 
 
+def test_quality_bins_approx_agrees_within_rank_tolerance(spark):
+    """The percentile_approx scale path must agree with the exact path
+    for all but a boundary band of rows: GK rank error <= n/accuracy,
+    and a misbinned row can be off by at most one bin. On 500 distinct
+    scores with accuracy 10k the error budget is < 1 row per boundary,
+    but interpolation differences (exact interpolates, approx returns a
+    data value) still shift rows exactly AT a boundary — so assert
+    per-row bins differ by <= 1 and total disagreements <= #boundaries."""
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 500) for i in range(500)], "doc_id long, n_chars long"
+    )
+    exact = {r["doc_id"]: r["bin"] for r in corpus.quality_bins(docs).collect()}
+    approx = {
+        r["doc_id"]: r["bin"]
+        for r in corpus.quality_bins(docs, approx=True).collect()
+    }
+    diffs = [d for d in exact if exact[d] != approx[d]]
+    assert all(abs(exact[d] - approx[d]) == 1 for d in diffs)
+    assert len(diffs) <= 3, f"approx binning drifted: {len(diffs)} rows"
+
+
 def test_mixture_resample_hits_target_proportions(spark):
     """The binding group is kept whole; others thin to the target
     ratio; untargeted groups drop; and the selection is reshuffle-
