@@ -224,6 +224,8 @@ QUERIES.update(QUERIES_TEMPORAL)
 #     dedup_minhash_estimate — rides dedup_minhash_lsh's candidates;
 #     agg_incremental — same merge fold as observations_agg.
 _TAIL = [
+    "pipeline_clean",  # composition of in-cap quality/PII/chunk ops
+    "embedding_topk",  # brute-force baseline of in-cap ann_lsh_topk/knn_join
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

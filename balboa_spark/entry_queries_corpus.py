@@ -510,6 +510,63 @@ FROM c ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# exact-k stratified carve-out + curriculum interleave
+# ---------------------------------------------------------------------------
+
+_STRAT_K = 5
+_STRAT_SALT = "strat"
+_CURR_SALT = "curriculum"
+
+
+def q_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        corpus.stratified_k(docs, _STRAT_K, salt=_STRAT_SALT)
+        .select("doc_id", "source", "strat_rank")
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_K_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id || ':{_STRAT_SALT}'), doc_id
+         ) AS INTEGER) AS strat_rank
+  FROM documents
+)
+SELECT doc_id, source, strat_rank FROM ranked
+WHERE strat_rank <= {_STRAT_K} ORDER BY doc_id
+"""
+
+
+def q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return corpus.interleave_sources(docs, salt=_CURR_SALT).orderBy("doc_id")
+
+
+INTERLEAVE_ORACLE = f"""
+WITH g AS (
+  SELECT source,
+         row_number() OVER (ORDER BY source) - 1 AS g_idx,
+         count(*) OVER () AS n_groups
+  FROM (SELECT DISTINCT source FROM documents)
+),
+rk AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id || ':{_CURR_SALT}'), doc_id
+         ) - 1 AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk * n_groups + g_idx AS BIGINT) AS ord
+FROM rk JOIN g USING (source) ORDER BY doc_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -524,6 +581,8 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_bins": q_quality_bins,
     "corpus_mixture_resample": q_mixture_resample,
     "corpus_clean_text": q_clean_text,
+    "corpus_stratified_k": q_stratified_k,
+    "corpus_interleave": q_interleave,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -540,4 +599,6 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_quality_bins": QUALITY_BINS_ORACLE,
     "corpus_mixture_resample": _mixture_oracle(),
     "corpus_clean_text": _clean_text_oracle(),
+    "corpus_stratified_k": STRATIFIED_K_ORACLE,
+    "corpus_interleave": INTERLEAVE_ORACLE,
 }

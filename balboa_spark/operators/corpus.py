@@ -485,6 +485,75 @@ def hash_sample(
     return df.filter(h8 < thr)
 
 
+def stratified_k(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """EXACTLY-k-per-group deterministic sample (eval-set carving,
+    per-domain probe sets): rank rows within each group by
+    md5(id:salt) — a reshuffle/re-run-stable pseudo-random order —
+    and keep rank <= k (all rows of groups smaller than k).
+
+    hash_sample keeps a Bernoulli FRACTION per stratum; this keeps an
+    exact COUNT, which is what held-out eval carving needs. One
+    shuffle on the group key; the per-group window never concentrates
+    more than a group's rows on one partition, and AQE's skew handling
+    splits a mega-group's sort. Output adds the rank so downstream can
+    sub-slice (rank <= j for j < k) without re-ranking.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("strat_rank", F.row_number().over(w))
+        .filter(F.col("strat_rank") <= k)
+    )
+
+
+def interleave_sources(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "curriculum",
+) -> DataFrame:
+    """Deterministic curriculum interleaving: a total order over the
+    corpus that round-robins across groups (sources/domains) so no
+    training window sees a long single-domain run, stable under
+    re-runs and repartitioning.
+
+    Position is CLOSED-FORM — ``ord = (rank_in_group - 1) * G + g``
+    where rank_in_group orders by md5(id:salt) within the group, G =
+    number of groups, and g = the group's dense index — so NO
+    single-partition global window exists anywhere in the plan (the
+    round-1 pack_sequences hazard). The group directory (G rows) is
+    a broadcast join. When a group exhausts, its stride positions go
+    unused: ord is ordinal, not dense — consumers sort by it, they
+    don't index by it.
+    """
+    groups = (
+        df.select(group_col)
+        .distinct()
+        .withColumn(
+            "_g",
+            F.row_number().over(Window.orderBy(group_col)) - 1,
+        )
+        .withColumn("_n_groups", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w) - 1)
+        .join(F.broadcast(groups), group_col)
+        .select(
+            id_col,
+            group_col,
+            (F.col("_rk") * F.col("_n_groups") + F.col("_g")).alias("ord"),
+        )
+    )
+
+
 def char_trigrams(text: Column) -> Column:
     """Character 3-grams of a string column (empty array below length
     3 — guarded because Spark's ``sequence(1, 0)`` would descend)."""

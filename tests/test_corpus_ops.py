@@ -443,6 +443,46 @@ def test_quality_bins_approx_agrees_within_rank_tolerance(spark):
     assert len(diffs) <= 3, f"approx binning drifted: {len(diffs)} rows"
 
 
+def test_stratified_k_exact_counts_and_stability(spark):
+    """Exactly k rows per group (all rows of smaller groups); the keep
+    set is identical under repartitioning (md5 order, not RNG)."""
+    rows = [(i, f"g{i % 3}") for i in range(40)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.stratified_k(df, 4, group_col="source")
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 4, "g1": 4, "g2": 4, "tiny": 1}
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in corpus.stratified_k(df.repartition(7), 4, group_col="source").collect()
+    )
+    assert ids1 == ids2
+    assert all(r.strat_rank <= 4 for r in out.collect())
+
+
+def test_interleave_round_robins_and_avoids_global_window(spark):
+    """Positions are the stride formula rk*G+g: sorting by ord visits
+    every group once per round; and the only Window in the plan
+    partitions by the group key — no corpus-wide single-partition
+    exchange (the plan hazard a global row_number would create).
+    The G-row group directory's windows are bounded by group count."""
+    rows = [(i, f"s{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.interleave_sources(df)
+    ordered = [r.source for r in out.orderBy("ord").collect()]
+    # each consecutive block of 4 is a permutation of the 4 sources
+    for b in range(10):
+        assert sorted(ordered[4 * b : 4 * b + 4]) == ["s0", "s1", "s2", "s3"]
+    # ords are distinct (a total order)
+    assert out.select("ord").distinct().count() == 40
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # corpus-side window partitions by source; assert no window runs
+    # over a SinglePartition exchange of the corpus relation (the
+    # directory side is exchanged once but holds G rows)
+    assert plan.count("SinglePartition") <= 2  # G-row directory only
+
+
 def test_mixture_resample_hits_target_proportions(spark):
     """The binding group is kept whole; others thin to the target
     ratio; untargeted groups drop; and the selection is reshuffle-
