@@ -226,6 +226,7 @@ QUERIES.update(QUERIES_TEMPORAL)
 _TAIL = [
     "pipeline_clean",  # composition of in-cap quality/PII/chunk ops
     "embedding_topk",  # brute-force baseline of in-cap ann_lsh_topk/knn_join
+    "corpus_vocab_topk",  # token-count kernel graded harder by tfidf_keywords
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

@@ -537,6 +537,78 @@ def quantize_int8(
     ).withColumn("scale", F.col("scale").cast("double"))
 
 
+def pq_codebook(dim: int, m: int = 8, k: int = 16, seed: str = "balboa-pq"):
+    """Deterministic product-quantization codebook: an (m, k, dim/m)
+    ndarray of md5-derived centroids per subspace (the same no-RNG
+    family as the LSH planes). Production fits this with per-subspace
+    k-means over a sample and PINS it — encoding against a fixed
+    codebook is the shape both the pipeline and the SQL oracle need
+    (exactly like semantic_dedup's pinned centroids)."""
+    import numpy as np
+
+    dsub = dim // m
+    return np.stack(
+        [_plane_matrix(dsub, k, f"{seed}|{j}") for j in range(m)]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "balboa-pq",
+    codebook=None,
+) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI 2011): split each
+    vector into m subvectors, snap each to its nearest codebook
+    centroid (L2, min-index tie-break), emit one row per subspace:
+    (id, sub, code, sub_err) with sub_err = the squared L2 residual of
+    that subspace rounded to 6 decimals.
+
+    The compressed index is m * ceil(log2 k) bits per vector (m=8,
+    k=16 -> 4 bytes vs 256 for float32x64) and distance queries scan
+    codes against a per-query lookup table — the memory scale path
+    past int8. Asymmetric-distance search composes: codes equi-join a
+    query's (sub, code)->partial-distance table and sum.
+
+    Execution: ONE Arrow batch pass — (batch, m, k) distance tensor
+    per numpy broadcast, argmin over k — then posexplode of the m
+    per-sub structs. Pure projection, no shuffle. ``codebook``
+    overrides the deterministic default (same (m, k, dim/m) shape).
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = pq_codebook(dim, m, k, seed) if codebook is None else np.asarray(codebook)
+    dsub = dim // m
+
+    @pandas_udf("array<struct<code: int, sub_err: double>>")
+    def enc(v: "pd.Series") -> "pd.Series":
+        X = np.vstack(v.to_numpy()).astype(np.float64).reshape(-1, m, dsub)
+        # (n, m, k): squared L2 of every subvector against every centroid
+        D = ((X[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)
+        codes = D.argmin(axis=2)  # first min index on ties
+        errs = np.round(D.min(axis=2), 6)
+        return pd.Series(
+            [
+                [
+                    {"code": int(codes[i, j]), "sub_err": float(errs[i, j])}
+                    for j in range(m)
+                ]
+                for i in range(len(X))
+            ]
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.posexplode(enc(F.col(vec_col))).alias("sub", "_c"),
+    ).select(id_col, "sub", F.col("_c.code").alias("code"), F.col("_c.sub_err").alias("sub_err"))
+
+
 def random_project(
     df: DataFrame,
     dim: int,

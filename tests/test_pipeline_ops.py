@@ -418,6 +418,46 @@ def test_random_project_numpy_parity_and_distortion(spark):
     assert within < 0.5 * across
 
 
+def test_pq_encode_nearest_centroid_and_stability(spark):
+    """PQ: a vector assembled FROM codebook centroids must encode to
+    exactly those codes with sub_err 0; arbitrary vectors get the true
+    per-subspace argmin (numpy cross-check); codes are stable under
+    repartitioning; and the residual shrinks as k grows (a finer
+    codebook can only get closer)."""
+    import numpy as np
+
+    C = similarity.pq_codebook(16, m=4, k=8)
+    # vec 1: centroids (sub j -> code 2j % 8) concatenated verbatim
+    picked = [2 * j % 8 for j in range(4)]
+    v1 = [float(x) for j in range(4) for x in C[j, picked[j]]]
+    rows = _clustered_vectors(n_clusters=3, per=2, dim=16)
+    df = spark.createDataFrame(
+        [(100, v1)] + rows, "vec_id long, embedding array<double>"
+    )
+    out = similarity.pq_encode(df, dim=16, m=4, k=8).collect()
+    enc = {}
+    for r in out:
+        enc.setdefault(r.vec_id, {})[r.sub] = (r.code, r.sub_err)
+    assert [enc[100][j] for j in range(4)] == [(c, 0.0) for c in picked]
+    # numpy argmin parity on an arbitrary vector
+    vid, vec = rows[0]
+    X = np.asarray(vec).reshape(4, 4)
+    for j in range(4):
+        D = ((X[j][None, :] - C[j]) ** 2).sum(-1)
+        assert enc[vid][j][0] == int(D.argmin())
+        assert abs(enc[vid][j][1] - round(float(D.min()), 6)) < 1e-9
+    out2 = similarity.pq_encode(df.repartition(5), dim=16, m=4, k=8).collect()
+    assert {(r.vec_id, r.sub, r.code) for r in out2} == {
+        (r.vec_id, r.sub, r.code) for r in out
+    }
+    # finer codebook -> residual can only shrink (on the total err)
+    err8 = sum(r.sub_err for r in out)
+    err32 = sum(
+        r.sub_err for r in similarity.pq_encode(df, dim=16, m=4, k=32).collect()
+    )
+    assert err32 <= err8 + 1e-9
+
+
 def test_compressed_ann_composition_recall(spark):
     """The composed storage scale path — random_project (64->16) +
     quantize_int8, candidates in compressed space, exact re-rank in
