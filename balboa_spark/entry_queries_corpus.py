@@ -567,6 +567,56 @@ FROM rk JOIN g USING (source) ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K, _WINNOW_W = 5, 4
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from balboa_spark.operators.text import winnow_fingerprints
+
+    docs = _docs(spark, sf_dir)
+    return winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W).orderBy(
+        "doc_id", "pos"
+    )
+
+
+WINNOW_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id, t, len(t) - {_WINNOW_K - 1} AS n
+  FROM norm WHERE len(t) >= {_WINNOW_K}
+),
+g AS (SELECT doc_id, t, n, unnest(range(1, n + 1)) AS i FROM g0),
+h AS (
+  SELECT doc_id, n, i - 1 AS p,
+         md5(substr(t, CAST(i AS INTEGER), {_WINNOW_K})) AS h
+  FROM g
+),
+wq AS (
+  SELECT doc_id, p, h,
+         unnest(range(greatest(p - {_WINNOW_W - 1}, 0),
+                      least(p, greatest(n - {_WINNOW_W}, 0)) + 1)) AS q
+  FROM h
+),
+sel AS (
+  SELECT doc_id, q, p, h,
+         row_number() OVER (
+           PARTITION BY doc_id, q ORDER BY h ASC, p DESC
+         ) AS rn
+  FROM wq
+)
+SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS pos, h AS fp
+FROM sel WHERE rn = 1 ORDER BY doc_id, pos
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -583,6 +633,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean_text": q_clean_text,
     "corpus_stratified_k": q_stratified_k,
     "corpus_interleave": q_interleave,
+    "corpus_winnow": q_winnow,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -601,4 +652,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_clean_text": _clean_text_oracle(),
     "corpus_stratified_k": STRATIFIED_K_ORACLE,
     "corpus_interleave": INTERLEAVE_ORACLE,
+    "corpus_winnow": WINNOW_ORACLE,
 }

@@ -128,6 +128,80 @@ def _shingles(toks: Column, k: int) -> Column:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of
+    the normalized text, slide a window of ``w`` consecutive hashes,
+    and select each window's minimal hash (rightmost on ties). The
+    selected (position, hash) set is the document's fingerprint — it
+    guarantees any shared substring of length >= w + k - 1 between two
+    documents yields at least one shared fingerprint, at density
+    ~2/(w+1), which positional md5-of-everything and MinHash both
+    cannot promise.
+
+    Output: (id, pos, fp) — pos is the 0-based k-gram offset, fp the
+    gram's md5 (hex strings order consistently across engines).
+
+    Plan: positions explode from sequence (O(chars) rows), each hash
+    fans out to its <= w covering windows (O(w*chars)), then ONE
+    groupBy (doc, window) with a map-side-combining min(struct(h,-p))
+    picks the rightmost-min — no per-doc sort, no window function, no
+    UDF; the final distinct collapses windows that picked the same
+    gram. Shuffle keys carry the doc id, so skew = one long document,
+    which AQE splits.
+
+    Documents shorter than k characters (no grams) emit nothing.
+    """
+    t = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    base = (
+        df.select(F.col(id_col), t.alias("_t"))
+        .withColumn("_n", F.length("_t") - (k - 1))
+        .filter(F.col("_n") >= 1)
+    )
+    grams = base.select(
+        id_col,
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_i"),
+        "_t",
+    ).select(
+        id_col,
+        "_n",
+        (F.col("_i") - 1).alias("_p"),
+        F.md5(F.col("_t").substr(F.col("_i"), F.lit(k))).alias("_h"),
+    )
+    # each gram at p belongs to window starts q in [p-w+1, p] clipped
+    # to the valid start range [0, n_grams - w] (single window when
+    # the doc has fewer than w grams)
+    windows = grams.select(
+        id_col,
+        "_p",
+        "_h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_p") - (w - 1), F.lit(0)),
+                F.least(F.col("_p"), F.greatest(F.col("_n") - w, F.lit(0))),
+            )
+        ).alias("_q"),
+    )
+    sel = windows.groupBy(id_col, "_q").agg(
+        F.min(F.struct(F.col("_h"), (-F.col("_p")).alias("_np"))).alias("_m")
+    )
+    return (
+        sel.select(
+            id_col,
+            (-F.col("_m._np")).alias("pos"),
+            F.col("_m._h").alias("fp"),
+        )
+        .distinct()
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass profile: id, token counts, language guess, quality,
     fingerprints. Single projection — no shuffle, no UDF."""

@@ -483,6 +483,60 @@ def test_interleave_round_robins_and_avoids_global_window(spark):
     assert plan.count("SinglePartition") <= 2  # G-row directory only
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    """The winnowing theorem: documents sharing a substring of length
+    >= w + k - 1 (= 8 at k=5, w=4) must share at least one fingerprint
+    hash; fingerprint density stays near 2/(w+1); and selection is
+    stable under repartitioning."""
+    from balboa_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"omega {shared} psi chi phi"),
+        (3, "completely unrelated content here"),
+        (4, "tiny"),  # 4 chars < k -> 1 gram? no: len 4 < k=5 -> none
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared 25-char substring yielded no shared fp"
+    assert not (fps[1] & fps.get(3, set()))
+    assert 4 not in fps  # below k chars -> no grams -> no fingerprints
+    # density ~ 2/(w+1) = 0.4 of gram count (loose band)
+    n_grams1 = len(rows[0][1]) - 4
+    assert 0.15 * n_grams1 <= len({(r.pos) for r in out if r.doc_id == 1}) <= 0.6 * n_grams1
+    out2 = winnow_fingerprints(df.repartition(5)).collect()
+    assert {(r.doc_id, r.pos, r.fp) for r in out2} == {
+        (r.doc_id, r.pos, r.fp) for r in out
+    }
+
+
+def test_winnow_rightmost_min_on_repeats(spark):
+    """Self-repeating text (identical k-gram hashes inside one window)
+    must pick the RIGHTMOST minimal hash per window — the published
+    algorithm's tie rule — and still cover every window (each window
+    start selects exactly one position)."""
+    from balboa_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "ababababababab")], "doc_id long, text string")
+    out = sorted(
+        (r.pos, r.fp) for r in winnow_fingerprints(df, k=5, w=4).collect()
+    )
+    # grams alternate between md5('ababa') and md5('babab'); the min of
+    # the two appears at every other position. With rightmost-tie
+    # selection each window picks the LAST occurrence of the min gram
+    # in the window, so selected positions advance in stride 2.
+    n_grams = 14 - 4
+    assert all(0 <= p < n_grams for p, _ in out)
+    sel_hashes = {fp for _, fp in out}
+    assert len(sel_hashes) == 1  # only the smaller of the two gram hashes
+    poss = [p for p, _ in out]
+    assert poss == sorted(poss) and len(poss) >= (n_grams - 4) // 2
+
+
 def test_mixture_resample_hits_target_proportions(spark):
     """The binding group is kept whole; others thin to the target
     ratio; untargeted groups drop; and the selection is reshuffle-
