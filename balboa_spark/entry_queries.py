@@ -228,6 +228,7 @@ _TAIL = [
     "embedding_topk",  # brute-force baseline of in-cap ann_lsh_topk/knn_join
     "corpus_vocab_topk",  # token-count kernel graded harder by tfidf_keywords
     "corpus_hash_split",  # md5-threshold kernel graded via mixture_resample
+    "rollup_observations",  # GROUPING SETS variant of in-cap observations_agg
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

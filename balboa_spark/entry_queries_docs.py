@@ -804,6 +804,64 @@ FROM r WHERE rn = 1 ORDER BY vec_id, sub
 """
 
 
+PQ_TOPK_K = 20
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes (similarity.pq_topk): the query vector
+    is embeddings[vec_id=0], codes come from the pinned codebook."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"]
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.pq_topk(emb, qvec, k=PQ_TOPK_K, dim=64, m=PQ_M, kc=PQ_K)
+
+
+def _pq_topk_oracle() -> str:
+    """Codes re-derived exactly as _pq_oracle does; the query lookup
+    table computes from the same literal codebook against the vec_id=0
+    row; per-(sub,code) partials round to 6 BEFORE the sum (matching
+    the Spark side) so ranking is bit-stable; ties break by vec_id."""
+    C = similarity.pq_codebook(64, PQ_M, PQ_K)
+    dsub = 64 // PQ_M
+    rows = ",\n  ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in C[j, c])}]::DOUBLE[])"
+        for j in range(PQ_M)
+        for c in range(PQ_K)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cb(sub, code, w) AS (VALUES
+  {rows}
+),
+d AS (
+  SELECT vec_id, sub, code,
+         list_sum(list_transform(range(1, {dsub + 1}),
+           i -> (v[sub * {dsub} + i] - w[i]) * (v[sub * {dsub} + i] - w[i]))) AS dist
+  FROM e, cb
+),
+r AS (
+  SELECT vec_id, sub, code,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+  FROM d
+),
+lut AS (
+  SELECT sub, code,
+         round(list_sum(list_transform(range(1, {dsub + 1}),
+           i -> (qv[sub * {dsub} + i] - w[i]) * (qv[sub * {dsub} + i] - w[i]))), 6) AS pd
+  FROM cb, q
+),
+adist AS (
+  SELECT r.vec_id, round(sum(l.pd), 6) AS adist
+  FROM r JOIN lut l ON r.sub = l.sub AND r.code = l.code
+  WHERE r.rn = 1
+  GROUP BY r.vec_id
+)
+SELECT vec_id, adist FROM adist
+ORDER BY adist, vec_id LIMIT {PQ_TOPK_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Pinned-centroid IVF / SemDeDup oracles (r5 verdict: these two were
 # rows-only because the Lloyd fit is iterative. Fix: the driver queries
@@ -1013,6 +1071,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_passage": q_dedup_passage,
     "embedding_pq": q_embedding_pq,
+    "ann_pq_topk": q_ann_pq_topk,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -1045,4 +1104,5 @@ ORACLES_DOCS: dict[str, str] = {
     "ann_ivf_topk": _ann_ivf_oracle(),
     "dedup_passage": DEDUP_PASSAGE_ORACLE,
     "embedding_pq": _pq_oracle(),
+    "ann_pq_topk": _pq_topk_oracle(),
 }

@@ -609,6 +609,62 @@ def pq_encode(
     ).select(id_col, "sub", F.col("_c.code").alias("code"), F.col("_c.sub_err").alias("sub_err"))
 
 
+def pq_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    dim: int | None = None,
+    m: int = 8,
+    kc: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "balboa-pq",
+    codebook=None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the query path
+    that makes product quantization an ANN index: the query stays
+    exact, the corpus is its codes, and distance is the sum of m
+    table lookups instead of a dim-wide arithmetic pass.
+
+    The per-query lookup table ||q_sub - centroid||^2 is m*kc floats
+    computed driver-side (parameter-sized, like IVF's centroids) and
+    broadcast; the scan is a code equi-join + one keyed sum — at 100
+    TB the codes relation is ~dim*4/m bytes per row and the join/agg
+    shuffles only (id, partial) pairs. Entries are rounded to 6
+    decimals BEFORE summing so ranking is bit-stable across engines;
+    final order breaks ties by id. Pass ``codes`` (a pq_encode
+    result) to reuse a persisted code table instead of re-encoding.
+
+    Output: (id, adist) — the k approximate nearest by ADC. Exact
+    re-ranking of the top-k' (k' > k) against raw vectors composes
+    downstream exactly like lsh_bucketed_topk's re-rank stage.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    C = pq_codebook(dim, m, kc, seed) if codebook is None else np.asarray(codebook)
+    dsub = (dim if dim is not None else len(query_vec)) // m
+    q = np.asarray(query_vec, dtype=np.float64).reshape(m, dsub)
+    lut = [
+        (j, c, float(np.round(((q[j] - C[j, c]) ** 2).sum(), 6)))
+        for j in range(m)
+        for c in range(kc)
+    ]
+    lut_df = spark.createDataFrame(lut, "sub int, code int, pd double")
+    enc = codes if codes is not None else pq_encode(
+        df, dim=dim if dim is not None else len(query_vec), m=m, k=kc,
+        vec_col=vec_col, id_col=id_col, seed=seed, codebook=codebook,
+    )
+    return (
+        enc.join(F.broadcast(lut_df), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("pd"), 6).alias("adist"))
+        .orderBy("adist", id_col)
+        .limit(k)
+    )
+
+
 def random_project(
     df: DataFrame,
     dim: int,

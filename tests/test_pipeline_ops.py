@@ -458,6 +458,27 @@ def test_pq_encode_nearest_centroid_and_stability(spark):
     assert err32 <= err8 + 1e-9
 
 
+def test_pq_topk_adc_recall_and_code_reuse(spark):
+    """ADC top-k over PQ codes: on clustered vectors the approximate
+    neighbors must recover the query's own cluster (the regime PQ is
+    built for), and passing a persisted code table (codes=) must give
+    identical results to re-encoding — the index-reuse contract."""
+    rows = _clustered_vectors(n_clusters=10, per=5)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qvec = rows[0][1]  # member of cluster 0 = ids 0..4
+    got = similarity.pq_topk(df, qvec, k=5, dim=64).collect()
+    ids = {r.vec_id for r in got}
+    assert len(ids & {0, 1, 2, 3, 4}) >= 4, f"ADC lost the cluster: {ids}"
+    # adist sorted ascending, query's own vector nearest
+    dists = [r.adist for r in got]
+    assert dists == sorted(dists) and got[0].vec_id == 0
+    codes = similarity.pq_encode(df, dim=64)
+    via_codes = similarity.pq_topk(df, qvec, k=5, dim=64, codes=codes).collect()
+    assert [(r.vec_id, r.adist) for r in via_codes] == [
+        (r.vec_id, r.adist) for r in got
+    ]
+
+
 def test_compressed_ann_composition_recall(spark):
     """The composed storage scale path — random_project (64->16) +
     quantize_int8, candidates in compressed space, exact re-rank in
