@@ -514,6 +514,56 @@ def test_winnow_shared_substring_guarantee(spark):
     }
 
 
+def test_winnow_matches_python_oracle(spark):
+    """winnow_fingerprints vs an independent pure-Python winnowing
+    (direct per-window scan, no SQL-style reformulation) on
+    deterministic pseudo-random corpora varying alphabet size (hash
+    collisions in small alphabets exercise the tie rule), doc length,
+    k, and w: exact (doc, pos, fp) set parity."""
+    import hashlib
+
+    from balboa_spark.operators.text import winnow_fingerprints
+
+    def py_winnow(text, k, w):
+        t = " ".join(text.strip().lower().split())
+        grams = [t[i : i + k] for i in range(len(t) - k + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        n = len(hs)
+        if n == 0:
+            return set()
+        sel = set()
+        for q in range(max(n - w, 0) + 1):
+            win = hs[q : q + w]
+            m = min(win)
+            # rightmost occurrence of the min in this window
+            p = q + max(i for i, h in enumerate(win) if h == m)
+            sel.add((p, hs[p]))
+        return sel
+
+    def ch(seed, i, alpha):
+        v = int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:4], 16)
+        return "ab cd"[v % alpha]
+
+    for seed, n_docs, max_len, alpha, k, w in [
+        ("a", 20, 40, 5, 5, 4),
+        ("b", 15, 25, 3, 3, 5),  # tiny alphabet -> heavy hash repeats
+        ("c", 10, 9, 5, 4, 4),  # docs near/below one window
+    ]:
+        texts = [
+            (d, "".join(ch(seed, d * 997 + j, alpha) for j in range(1 + (d * 31) % max_len)))
+            for d in range(n_docs)
+        ]
+        expect = {
+            (d, p, fp) for d, t in texts for (p, fp) in py_winnow(t, k, w)
+        }
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.pos, r.fp)
+            for r in winnow_fingerprints(df, k=k, w=w).collect()
+        }
+        assert got == expect, f"mismatch for corpus family {seed}"
+
+
 def test_winnow_rightmost_min_on_repeats(spark):
     """Self-repeating text (identical k-gram hashes inside one window)
     must pick the RIGHTMOST minimal hash per window — the published
