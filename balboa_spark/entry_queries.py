@@ -229,6 +229,7 @@ _TAIL = [
     "corpus_vocab_topk",  # token-count kernel graded harder by tfidf_keywords
     "corpus_hash_split",  # md5-threshold kernel graded via mixture_resample
     "rollup_observations",  # GROUPING SETS variant of in-cap observations_agg
+    "corpus_chunk_tokens",  # pure-explode kernel; pack_sequences grades harder
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

@@ -181,11 +181,50 @@ FROM tok2 GROUP BY 1 ORDER BY seq_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order layout codes over (user_id, epoch-micros)
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8
+
+
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton layout code per event over the (user_id, time) plane
+    (plans/zorder.py): the clustering key a store would range-
+    partition + sort by so min/max skipping prunes on EITHER column."""
+    from balboa_spark.plans.zorder import zorder_code
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return zorder_code(e, "user_id", "ts_us", bits=ZORDER_BITS).select(
+        "event_id", "zcode"
+    ).orderBy("event_id")
+
+
+def _zorder_oracle() -> str:
+    from balboa_spark.plans.zorder import zorder_oracle_expr
+
+    return f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+m AS (
+  SELECT min(user_id) AS _mna, max(user_id) AS _mxa,
+         min(ts_us) AS _mnb, max(ts_us) AS _mxb
+  FROM e
+)
+SELECT event_id,
+       CAST({zorder_oracle_expr("user_id", "ts_us", ZORDER_BITS)} AS BIGINT)
+         AS zcode
+FROM e, m ORDER BY event_id
+"""
+
+
 QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": q_events_asof,
     "events_rolling_1h": q_events_rolling,
     "events_funnel": q_events_funnel,
     "corpus_pack_sequences": q_pack_sequences,
+    "events_zorder": q_events_zorder,
 }
 
 ORACLES_TEMPORAL: dict[str, str] = {
@@ -193,4 +232,5 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "events_rolling_1h": EVENTS_ROLLING_ORACLE,
     "events_funnel": EVENTS_FUNNEL_ORACLE,
     "corpus_pack_sequences": PACK_SEQUENCES_ORACLE,
+    "events_zorder": _zorder_oracle(),
 }

@@ -190,6 +190,67 @@ def test_quality_bins_is_declarative(spark):
     assert "CartesianProduct" not in plan  # single-row side broadcast
 
 
+def test_zorder_morton_parity_and_bijection(spark):
+    """zorder_code must equal the bit-interleave reference and be a
+    bijection on a full 2^bits x 2^bits grid (every cell gets a unique
+    code in [0, 4^bits)); and the plan is projection-only after the
+    broadcast single-row min/max (no corpus shuffle, no UDF)."""
+    from balboa_spark.plans.zorder import zorder_code
+
+    bits = 4
+    rows = [(a * 16 + b, a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "rid long, a long, b long")
+    got = {
+        (r.a, r.b): r.zcode
+        for r in zorder_code(df, "a", "b", bits=bits).collect()
+    }
+
+    def morton(a, b):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    # min/max scaling over the full grid is the identity quantizer
+    assert all(got[(a, b)] == morton(a, b) for a in range(16) for b in range(16))
+    assert len(set(got.values())) == 256 and max(got.values()) == 255
+    plan = (
+        zorder_code(df, "a", "b", bits=bits)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+
+
+def test_zorder_layout_bounds_both_dimensions(spark):
+    """The pruning property a Z-order layout exists for: cut the
+    z-sorted grid into 16 equal chunks (files) — every chunk's extent
+    in EACH dimension is a 4-wide tile, so a min/max-skipping reader
+    pruning on either column reads 4/16 files; an a-sorted layout
+    leaves b unclustered (full 16-range in every chunk)."""
+    from balboa_spark.plans.zorder import zorder_code
+
+    rows = [(a * 16 + b, a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "rid long, a long, b long")
+    coded = sorted(
+        ((r.zcode, r.a, r.b) for r in zorder_code(df, "a", "b", bits=4).collect())
+    )
+    chunks = [coded[i * 16 : (i + 1) * 16] for i in range(16)]
+    for ch in chunks:
+        aspan = max(x[1] for x in ch) - min(x[1] for x in ch)
+        bspan = max(x[2] for x in ch) - min(x[2] for x in ch)
+        assert aspan <= 3 and bspan <= 3, (aspan, bspan)
+    # contrast: a-sorted chunks span the full b range
+    asorted = sorted(rows, key=lambda r: (r[1], r[2]))
+    worst_b = max(
+        max(x[2] for x in asorted[i * 16 : (i + 1) * 16])
+        - min(x[2] for x in asorted[i * 16 : (i + 1) * 16])
+        for i in range(16)
+    )
+    assert worst_b == 15
+
+
 def test_timestamp_filter_pushdown_survives_ntz_normalization(spark):
     """load_tables casts TIMESTAMP_NTZ parquet columns to TimestampType
     (round-4 driver type drift). That cast must NOT block predicate
