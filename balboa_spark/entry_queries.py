@@ -230,6 +230,7 @@ _TAIL = [
     "corpus_hash_split",  # md5-threshold kernel graded via mixture_resample
     "rollup_observations",  # GROUPING SETS variant of in-cap observations_agg
     "corpus_chunk_tokens",  # pure-explode kernel; pack_sequences grades harder
+    "corpus_interleave",  # md5-rank window kernel shared with in-cap stratified_k
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

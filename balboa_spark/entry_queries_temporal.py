@@ -182,6 +182,42 @@ FROM tok2 GROUP BY 1 ORDER BY seq_id
 
 
 # ---------------------------------------------------------------------------
+# interval join: clicks inside each purchase's trailing attribution window
+# ---------------------------------------------------------------------------
+
+
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the bucketed equi-join rewrite
+    (temporal.interval_join): each purchase opens a 1-hour trailing
+    attribution window; every same-user click inside it pairs up."""
+    e = _events(spark, sf_dir)
+    intervals = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    points = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", "ts"
+    )
+    return (
+        temporal.interval_join(points, intervals, on=["user_id"])
+        .select("p_id", "c_id")
+        .orderBy("p_id", "c_id")
+    )
+
+
+EVENTS_INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS p_id, c.event_id AS c_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+ORDER BY p_id, c_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Z-order layout codes over (user_id, epoch-micros)
 # ---------------------------------------------------------------------------
 
@@ -225,6 +261,7 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "corpus_pack_sequences": q_pack_sequences,
     "events_zorder": q_events_zorder,
+    "events_interval_join": q_events_interval_join,
 }
 
 ORACLES_TEMPORAL: dict[str, str] = {
@@ -233,4 +270,5 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "events_funnel": EVENTS_FUNNEL_ORACLE,
     "corpus_pack_sequences": PACK_SEQUENCES_ORACLE,
     "events_zorder": _zorder_oracle(),
+    "events_interval_join": EVENTS_INTERVAL_JOIN_ORACLE,
 }

@@ -93,6 +93,61 @@ def asof_join(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: every point row pairs with every
+    interval row sharing the keys whose [start, end] (both inclusive)
+    contains the point's timestamp — attribution windows, validity
+    ranges, maintenance windows.
+
+    Spark has no native range-join strategy: the declarative BETWEEN
+    predicate plans as a per-key nested-loop (BroadcastNestedLoopJoin
+    or worse), O(|points| x |intervals|) within each key — the 100 TB
+    killer. This operator rewrites it as an EQUI-join: each interval
+    explodes to the coarse time buckets it covers (ceil(len/bucket)+1
+    rows — bounded by interval length), each point maps to its single
+    bucket, the join runs on (keys..., bucket) through the ordinary
+    shuffled-hash/broadcast machinery (AQE-decided, skew-splittable),
+    and the exact BETWEEN residual filters after. A point matches an
+    interval in exactly one bucket (its own), so no dedup is needed.
+
+    ``bucket_seconds`` trades interval fan-out against join
+    selectivity — set it near the typical interval length. Points and
+    intervals keep all their columns; clashing names must be
+    disambiguated by the caller.
+    """
+    on = list(on)
+    b_us = int(bucket_seconds) * 1_000_000
+    pb = points.withColumn(
+        "_b", F.expr(f"unix_micros({point_ts}) div {b_us}")
+    )
+    ib = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros({start_col}) div {b_us}"),
+                F.expr(f"unix_micros({end_col}) div {b_us}"),
+            )
+        ),
+    )
+    out = (
+        pb.join(ib, on + ["_b"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("_b")
+    )
+    return out
+
+
 def trailing_window(
     keys: Sequence[str], ts_col: str, duration_sec: int
 ) -> WindowSpec:

@@ -297,3 +297,60 @@ def test_anomaly_scores_trailing_zscore(spark):
     # z of 100 vs mean 32.5, population std ~38.97 -> ~1.732
     assert abs(out[4]["z"] - 1.7321) < 1e-3 and out[4]["is_anomaly"] is False
     assert out[5]["z"] is None and out[5]["is_anomaly"] is None
+
+
+def test_interval_join_inclusive_bounds_and_multibucket(spark):
+    """Points on EITHER boundary match (inclusive); intervals longer
+    than one bucket still match points in every covered bucket exactly
+    once; non-overlapping keys/times do not pair."""
+    points = spark.createDataFrame(
+        [
+            (1, "u", _ts(0)),       # == w_start of iv 10 -> match
+            (2, "u", _ts(30)),      # mid-window (bucket 2 of a 3-bucket iv)
+            (3, "u", _ts(45)),      # == w_end -> match
+            (4, "u", _ts(46)),      # 1 min past end -> no match
+            (5, "v", _ts(30)),      # other key, no interval -> no match
+        ],
+        "c_id long, user_id string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, "u", _ts(0), _ts(45))],
+        "p_id long, user_id string, w_start timestamp, w_end timestamp",
+    )
+    out = temporal.interval_join(
+        points, intervals, on=["user_id"], bucket_seconds=1200  # 20 min buckets
+    )
+    got = sorted((r.p_id, r.c_id) for r in out.collect())
+    assert got == [(10, 1), (10, 2), (10, 3)]
+
+
+def test_interval_join_equi_plan_and_naive_parity(spark):
+    """The bucketed rewrite must plan as an EQUI-join (no
+    BroadcastNestedLoopJoin / CartesianProduct — the thing it exists
+    to avoid) and agree exactly with the naive BETWEEN join on a
+    pseudo-random fixture."""
+    import hashlib
+
+    def h(s, m):
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16) % m
+
+    points = spark.createDataFrame(
+        [(i, f"u{h(f'p{i}', 5)}", _ts(h(f'pt{i}', 50))) for i in range(80)],
+        "c_id long, user_id string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (j, f"u{h(f'i{j}', 5)}", _ts(h(f'is{j}', 40)), _ts(h(f'is{j}', 40) + h(f'il{j}', 15)))
+            for j in range(30)
+        ],
+        "p_id long, user_id string, w_start timestamp, w_end timestamp",
+    )
+    out = temporal.interval_join(points, intervals, on=["user_id"], bucket_seconds=600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    naive = points.join(intervals, "user_id").filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end"))
+    )
+    assert sorted((r.p_id, r.c_id) for r in out.collect()) == sorted(
+        (r.p_id, r.c_id) for r in naive.collect()
+    )
