@@ -231,6 +231,8 @@ _TAIL = [
     "rollup_observations",  # GROUPING SETS variant of in-cap observations_agg
     "corpus_chunk_tokens",  # pure-explode kernel; pack_sequences grades harder
     "corpus_interleave",  # md5-rank window kernel shared with in-cap stratified_k
+    "media_stats",  # trivial metadata agg; media family graded via media_chunks
+    "media_patches",  # same double-explode shape as in-cap media_chunks
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

@@ -621,6 +621,104 @@ FROM media GROUP BY media_type ORDER BY media_type
 """
 
 
+MEDIA_CHUNK_WINDOW_MS, MEDIA_CHUNK_STRIDE_MS = 30_000, 20_000
+PATCH_PX = 16
+
+
+def _media_av(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic audio/video assets from documents: duration =
+    n_chars * 100 ms (so chunk counts vary per asset)."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    mt = F.when(F.col("doc_id") % 2 == 0, "audio").otherwise("video")
+    return t["documents"].select(
+        F.col("doc_id").alias("asset_id"),
+        mt.alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        (F.col("n_chars") * 100).cast("long").alias("duration_ms"),
+    )
+
+
+def q_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window segmentation (multimodal.chunk_media_time): 30s
+    windows at 20s stride over synthesized durations — the ASR work-
+    item explode, pure metadata math."""
+    from balboa_spark.operators.multimodal import chunk_media_time
+
+    return chunk_media_time(
+        _media_av(spark, sf_dir),
+        window_ms=MEDIA_CHUNK_WINDOW_MS,
+        stride_ms=MEDIA_CHUNK_STRIDE_MS,
+    ).orderBy("asset_id", "chunk_idx")
+
+
+MEDIA_CHUNKS_ORACLE = f"""
+WITH av AS (
+  SELECT doc_id AS asset_id, n_chars * 100 AS duration_ms FROM documents
+  WHERE n_chars * 100 > 0
+),
+c AS (
+  SELECT asset_id, duration_ms,
+         (greatest(duration_ms - {MEDIA_CHUNK_WINDOW_MS}, 0)
+           + {MEDIA_CHUNK_STRIDE_MS - 1}) // {MEDIA_CHUNK_STRIDE_MS} + 1
+           AS n_chunks
+  FROM av
+),
+e AS (
+  SELECT asset_id, duration_ms,
+         CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_idx
+  FROM c
+)
+SELECT asset_id, chunk_idx,
+       CAST(chunk_idx AS BIGINT) * {MEDIA_CHUNK_STRIDE_MS} AS start_ms,
+       least(CAST(chunk_idx AS BIGINT) * {MEDIA_CHUNK_STRIDE_MS}
+               + {MEDIA_CHUNK_WINDOW_MS}, duration_ms) AS end_ms
+FROM e ORDER BY asset_id, chunk_idx
+"""
+
+
+def q_media_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-grid tiling (multimodal.patch_grid) over synthesized
+    image dimensions; edge patches clip to the image box."""
+    from balboa_spark.operators.multimodal import patch_grid
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    imgs = t["documents"].select(
+        F.col("doc_id").alias("asset_id"),
+        (F.col("n_chars") % 97 + 1).cast("int").alias("width"),
+        (F.col("n_chars") % 53 + 1).cast("int").alias("height"),
+    )
+    return patch_grid(imgs, patch=PATCH_PX).orderBy(
+        "asset_id", "patch_row", "patch_col"
+    )
+
+
+MEDIA_PATCHES_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id AS asset_id,
+         CAST(n_chars % 97 + 1 AS INTEGER) AS width,
+         CAST(n_chars % 53 + 1 AS INTEGER) AS height
+  FROM documents
+),
+r AS (
+  SELECT asset_id, width, height,
+         CAST(unnest(range(0, (height + {PATCH_PX - 1}) // {PATCH_PX})) AS INTEGER)
+           AS patch_row
+  FROM img
+),
+rc AS (
+  SELECT asset_id, width, height, patch_row,
+         CAST(unnest(range(0, (width + {PATCH_PX - 1}) // {PATCH_PX})) AS INTEGER)
+           AS patch_col
+  FROM r
+)
+SELECT asset_id, patch_row, patch_col,
+       patch_col * {PATCH_PX} AS x0, patch_row * {PATCH_PX} AS y0,
+       least(patch_col * {PATCH_PX} + {PATCH_PX}, width) AS x1,
+       least(patch_row * {PATCH_PX} + {PATCH_PX}, height) AS y1
+FROM rc ORDER BY asset_id, patch_row, patch_col
+"""
+
+
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact media dedup by payload digest. The payload is binary in
     the engine; the oracle hashes the identical utf-8 bytes as text
@@ -1072,6 +1170,8 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_passage": q_dedup_passage,
     "embedding_pq": q_embedding_pq,
     "ann_pq_topk": q_ann_pq_topk,
+    "media_chunks": q_media_chunks,
+    "media_patches": q_media_patches,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -1105,4 +1205,6 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_passage": DEDUP_PASSAGE_ORACLE,
     "embedding_pq": _pq_oracle(),
     "ann_pq_topk": _pq_topk_oracle(),
+    "media_chunks": MEDIA_CHUNKS_ORACLE,
+    "media_patches": MEDIA_PATCHES_ORACLE,
 }

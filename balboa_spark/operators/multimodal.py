@@ -153,6 +153,90 @@ def fake_sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.mapInPandas(batches, FRAME_SCHEMA)
 
 
+def chunk_media_time(
+    df: DataFrame,
+    window_ms: int = 30_000,
+    stride_ms: int | None = None,
+) -> DataFrame:
+    """Fixed-time-window segmentation of audio/video assets — the unit
+    of distribution for transcription / captioning at scale (a 3-hour
+    recording becomes ~360 independent 30s work items instead of one
+    straggler task). Emits (asset_id, chunk_idx, start_ms, end_ms),
+    tail-covering with the same windowing convention as
+    corpus.chunk_tokens; ``stride_ms`` < ``window_ms`` overlaps chunks
+    (ASR context carry-over). Pure metadata math — explode(sequence)
+    in codegen; the payload column is untouched (column pruning keeps
+    the bytes unread) until a codec worker slices each chunk's range.
+    NULL/zero durations emit nothing (corrupt-container skip)."""
+    stride = window_ms if stride_ms is None else stride_ms
+    n_chunks = (
+        F.floor(
+            (F.greatest(F.col("duration_ms") - window_ms, F.lit(0)) + (stride - 1))
+            / stride
+        )
+        + 1
+    )
+    e = df.filter(F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0))
+    return e.select(
+        "asset_id",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "chunk_idx"
+        ),
+        "duration_ms",
+    ).select(
+        "asset_id",
+        "chunk_idx",
+        (F.col("chunk_idx").cast("long") * stride).alias("start_ms"),
+        F.least(
+            F.col("chunk_idx").cast("long") * stride + window_ms,
+            F.col("duration_ms"),
+        ).alias("end_ms"),
+    )
+
+
+def patch_grid(df: DataFrame, patch: int = 16) -> DataFrame:
+    """ViT-style patch tiling of image assets: one row per (patch_row,
+    patch_col) cell of the ceil(h/P) x ceil(w/P) grid with its pixel
+    bounding box (edge patches clipped). This is the plumbing half of
+    patch embedding — the grid rows are what a vision encoder's Arrow
+    batches iterate; the pixel decode itself stays behind the codec
+    seam. Pure double explode in codegen; payload untouched. Assets
+    with NULL/non-positive dimensions emit nothing."""
+    e = df.filter(
+        F.col("width").isNotNull()
+        & F.col("height").isNotNull()
+        & (F.col("width") > 0)
+        & (F.col("height") > 0)
+    )
+    n_rows = F.ceil(F.col("height") / patch).cast("int")
+    n_cols = F.ceil(F.col("width") / patch).cast("int")
+    return (
+        e.select(
+            "asset_id",
+            "width",
+            "height",
+            F.explode(F.sequence(F.lit(0), n_rows - 1)).alias("patch_row"),
+            n_cols.alias("_nc"),
+        )
+        .select(
+            "asset_id",
+            "width",
+            "height",
+            "patch_row",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("patch_col"),
+        )
+        .select(
+            "asset_id",
+            "patch_row",
+            "patch_col",
+            (F.col("patch_col") * patch).alias("x0"),
+            (F.col("patch_row") * patch).alias("y0"),
+            F.least(F.col("patch_col") * patch + patch, F.col("width")).alias("x1"),
+            F.least(F.col("patch_row") * patch + patch, F.col("height")).alias("y1"),
+        )
+    )
+
+
 def media_dedup_groups(df: DataFrame) -> DataFrame:
     """Exact media dedup: group identical payloads by md5 digest —
     (digest, n_assets, keep_id). Same shuffle shape as text

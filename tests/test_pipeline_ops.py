@@ -363,6 +363,60 @@ def test_multimodal_fake_sample_frames(spark):
     assert again == by_idx
 
 
+def test_chunk_media_time_windows_and_tail(spark):
+    """Time-window segmentation: non-overlapping default covers the
+    duration exactly; overlapping stride carries context; tail chunk
+    clips to duration; null/zero durations emit nothing; the plan is a
+    pure explode (no shuffle, no Python)."""
+    from balboa_spark.operators.multimodal import chunk_media_time
+
+    df = spark.createDataFrame(
+        [(1, 70_000), (2, 30_000), (3, 5_000), (4, None), (5, 0)],
+        "asset_id long, duration_ms long",
+    )
+    out = {}
+    for r in chunk_media_time(df, window_ms=30_000).collect():
+        out.setdefault(r.asset_id, []).append((r.chunk_idx, r.start_ms, r.end_ms))
+    assert sorted(out[1]) == [(0, 0, 30_000), (1, 30_000, 60_000), (2, 60_000, 70_000)]
+    assert out[2] == [(0, 0, 30_000)]  # exact fit -> one chunk
+    assert out[3] == [(0, 0, 5_000)]  # shorter than a window
+    assert 4 not in out and 5 not in out
+    ov = {}
+    for r in chunk_media_time(df, window_ms=30_000, stride_ms=20_000).collect():
+        ov.setdefault(r.asset_id, []).append((r.start_ms, r.end_ms))
+    assert sorted(ov[1]) == [(0, 30_000), (20_000, 50_000), (40_000, 70_000)]
+    plan = (
+        chunk_media_time(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_patch_grid_tiles_and_clips(spark):
+    """ViT patch grid: full cover with clipped edge patches; a
+    patch-aligned image tiles exactly; degenerate dims emit nothing."""
+    from balboa_spark.operators.multimodal import patch_grid
+
+    df = spark.createDataFrame(
+        [(1, 40, 20), (2, 32, 16), (3, 0, 10), (4, None, 10)],
+        "asset_id long, width int, height int",
+    )
+    out = {}
+    for r in patch_grid(df, patch=16).collect():
+        out.setdefault(r.asset_id, []).append(
+            (r.patch_row, r.patch_col, r.x0, r.y0, r.x1, r.y1)
+        )
+    # 40x20 at P=16 -> 2 rows x 3 cols; edges clip to 40/20
+    assert sorted(out[1]) == [
+        (0, 0, 0, 0, 16, 16), (0, 1, 16, 0, 32, 16), (0, 2, 32, 0, 40, 16),
+        (1, 0, 0, 16, 16, 20), (1, 1, 16, 16, 32, 20), (1, 2, 32, 16, 40, 20),
+    ]
+    assert sorted(out[2]) == [(0, 0, 0, 0, 16, 16), (0, 1, 16, 0, 32, 16)]
+    assert 3 not in out and 4 not in out
+    # union of patches covers every pixel exactly once (area check)
+    area = sum((x1 - x0) * (y1 - y0) for _, _, x0, y0, x1, y1 in out[1])
+    assert area == 40 * 20
+
+
 def test_multimodal_stubs_raise(spark):
     from balboa_spark.operators import multimodal
 
