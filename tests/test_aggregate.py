@@ -67,3 +67,38 @@ def test_total_count(spark, tables, duck):
         )
     ).fetchone()[0]
     assert total_count(agg) == expected
+
+
+def test_distinct_sketches_merge_and_error_bound(spark):
+    """Persistable HLL sketches: per-group estimates within the lg_k
+    error bound of exact; union of one sketch set == direct aggregate
+    (estimate-identical); incremental batch merge agrees with the
+    full-stream sketch within the bound; and the sketch column
+    round-trips through parquet (the persist-and-merge-later
+    contract)."""
+    import importlib
+    import tempfile
+
+    A = importlib.import_module("balboa_spark.operators.aggregate")
+    df = spark.range(3000).select((F.col("id") % 3).alias("g"), F.col("id"))
+    exact = 1000  # ids 0..2999 split evenly, all distinct
+    full = A.distinct_sketches(df, "id", "g")
+    est = {r.g: r.estimate for r in full.collect()}
+    rse = 1.04 / (2**12) ** 0.5  # lg_k=12
+    for g, e in est.items():
+        assert abs(e - exact) / exact < 4 * rse, (g, e)
+    one = {r.g: r.estimate for r in A.merge_distinct_sketches(full).collect()}
+    assert one == est
+    b1, b2 = df.filter("id < 1700"), df.filter("id >= 1700")
+    with tempfile.TemporaryDirectory() as d:
+        # persist batch sketches, reload, merge — the incremental path
+        A.distinct_sketches(b1, "id", "g").write.parquet(d + "/s1")
+        A.distinct_sketches(b2, "id", "g").write.parquet(d + "/s2")
+        inc = {
+            r.g: r.estimate
+            for r in A.merge_distinct_sketches(
+                spark.read.parquet(d + "/s1"), spark.read.parquet(d + "/s2")
+            ).collect()
+        }
+    for g in est:
+        assert abs(inc[g] - est[g]) / exact < 4 * rse, (g, inc[g], est[g])
