@@ -134,6 +134,7 @@ def winnow_fingerprints(
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    via: str = "window",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of
@@ -148,16 +149,23 @@ def winnow_fingerprints(
     Output: (id, pos, fp) — pos is the 0-based k-gram offset, fp the
     gram's md5 (hex strings order consistently across engines).
 
-    Plan: positions explode from sequence (O(chars) rows), each hash
-    fans out to its <= w covering windows (O(w*chars)), then ONE
-    groupBy (doc, window) with a map-side-combining min(struct(h,-p))
-    picks the rightmost-min — no per-doc sort, no window function, no
-    UDF; the final distinct collapses windows that picked the same
-    gram. Shuffle keys carry the doc id, so skew = one long document,
-    which AQE splits.
+    Plan (``via="window"``, default): O(chars) gram rows, then one
+    per-doc window pass — frame min(struct(h,-p)) over ROWS [CURRENT,
+    w-1 FOLLOWING] at each valid window start — and a distinct. The
+    window partition is one document, so a task holds at most one
+    doc's grams (fine while docs are ≤ tens of MB — the usual corpus
+    contract; chunk pathological inputs upstream).
+
+    ``via="explode"`` is the mega-document alternative: each hash
+    fans out to its <= w covering windows (O(w*chars) rows) into a
+    map-side-combining groupBy(doc, window) whose shuffle keys spread
+    ONE document across the cluster. Identical output (parity-tested);
+    ~w x the rows for skew immunity.
 
     Documents shorter than k characters (no grams) emit nothing.
     """
+    from pyspark.sql import Window
+
     t = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     base = (
         df.select(F.col(id_col), t.alias("_t"))
@@ -175,23 +183,40 @@ def winnow_fingerprints(
         (F.col("_i") - 1).alias("_p"),
         F.md5(F.col("_t").substr(F.col("_i"), F.lit(k))).alias("_h"),
     )
-    # each gram at p belongs to window starts q in [p-w+1, p] clipped
-    # to the valid start range [0, n_grams - w] (single window when
-    # the doc has fewer than w grams)
-    windows = grams.select(
-        id_col,
-        "_p",
-        "_h",
-        F.explode(
-            F.sequence(
-                F.greatest(F.col("_p") - (w - 1), F.lit(0)),
-                F.least(F.col("_p"), F.greatest(F.col("_n") - w, F.lit(0))),
+    if via == "window":
+        frame = (
+            Window.partitionBy(id_col)
+            .orderBy("_p")
+            .rowsBetween(Window.currentRow, w - 1)
+        )
+        sel = (
+            grams.withColumn(
+                "_m",
+                F.min(F.struct(F.col("_h"), (-F.col("_p")).alias("_np"))).over(
+                    frame
+                ),
             )
-        ).alias("_q"),
-    )
-    sel = windows.groupBy(id_col, "_q").agg(
-        F.min(F.struct(F.col("_h"), (-F.col("_p")).alias("_np"))).alias("_m")
-    )
+            # row at _p is window start q=_p; only starts within
+            # [0, n_grams - w] are real windows (q=0 alone when n < w)
+            .filter(F.col("_p") <= F.greatest(F.col("_n") - w, F.lit(0)))
+        )
+    else:
+        # each gram at p belongs to window starts q in [p-w+1, p]
+        # clipped to [0, n_grams - w]
+        windows = grams.select(
+            id_col,
+            "_p",
+            "_h",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_p") - (w - 1), F.lit(0)),
+                    F.least(F.col("_p"), F.greatest(F.col("_n") - w, F.lit(0))),
+                )
+            ).alias("_q"),
+        )
+        sel = windows.groupBy(id_col, "_q").agg(
+            F.min(F.struct(F.col("_h"), (-F.col("_p")).alias("_np"))).alias("_m")
+        )
     return (
         sel.select(
             id_col,

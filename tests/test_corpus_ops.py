@@ -562,6 +562,12 @@ def test_winnow_matches_python_oracle(spark):
             for r in winnow_fingerprints(df, k=k, w=w).collect()
         }
         assert got == expect, f"mismatch for corpus family {seed}"
+        # the mega-document explode path must agree exactly
+        got_ex = {
+            (r.doc_id, r.pos, r.fp)
+            for r in winnow_fingerprints(df, k=k, w=w, via="explode").collect()
+        }
+        assert got_ex == expect, f"explode-path mismatch for family {seed}"
 
 
 def test_winnow_rightmost_min_on_repeats(spark):
