@@ -213,8 +213,10 @@ QUERIES.update(QUERIES_TEMPORAL)
 # entries in insertion order (CORRECTNESS_r05 silently dropped slots
 # 50-59). Demote redundant same-family variants to the tail so every
 # operator family lands an oracle row inside the cap. Each tail entry
-# shares its operator path with an in-cap sibling and was hash-green in
-# a prior round (r4/r5):
+# shares its operator path with an in-cap sibling; most were hash-green
+# in a prior round (r4/r5), and the r6-new tail entries
+# (corpus_interleave, media_patches) are driver_sim- and unit-verified
+# but not yet graded by the real driver — rotate them in next round:
 #   tpch_q1/q3, join_enrich, topk_per_group — generic SQL demos, not
 #     §2 operators; dedup_keep_longest — near_dedup_keep_best rides the
 #     same pairs+CC path as dedup_near_keep; embedding_cosine_pairs —

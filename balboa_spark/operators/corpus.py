@@ -485,6 +485,14 @@ def hash_sample(
     return df.filter(h8 < thr)
 
 
+def _salted_rank_hash(id_col: str, salt: str) -> Column:
+    """The deterministic pseudo-random ordering key shared by
+    stratified_k and interleave_sources — md5(id:salt), mirrored
+    verbatim in their DuckDB oracles as md5(id || ':salt'). One
+    definition so the cross-operator order contract cannot drift."""
+    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+
+
 def stratified_k(
     df: DataFrame,
     k: int,
@@ -499,12 +507,16 @@ def stratified_k(
 
     hash_sample keeps a Bernoulli FRACTION per stratum; this keeps an
     exact COUNT, which is what held-out eval carving needs. One
-    shuffle on the group key; the per-group window never concentrates
-    more than a group's rows on one partition, and AQE's skew handling
-    splits a mega-group's sort. Output adds the rank so downstream can
-    sub-slice (rank <= j for j < k) without re-ranking.
+    shuffle on the group key. Skew caveat: window partitions are NOT
+    split by AQE (skew handling rewrites join reads only), so one
+    mega-group sorts on one task; if a group can exceed a task,
+    pre-filter on the SAME hash first (keep rows with h below a
+    threshold sized to pass >> k per group) — a prefix of the h-order
+    contains the true top-k by h, so the rank of survivors is
+    unchanged. Output keeps the rank so downstream can sub-slice
+    (rank <= j) without re-ranking.
     """
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    h = _salted_rank_hash(id_col, salt)
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     return (
         df.withColumn("strat_rank", F.row_number().over(w))
@@ -533,19 +545,28 @@ def interleave_sources(
     don't index by it.
     """
     groups = (
-        df.select(group_col)
+        df.select(F.col(group_col).alias("_gkey"))
         .distinct()
         .withColumn(
             "_g",
-            F.row_number().over(Window.orderBy(group_col)) - 1,
+            # NULLS FIRST pinned explicitly: Spark defaults null-first
+            # ascending but DuckDB defaults null-last, and the oracle
+            # must assign the same g_idx to a NULL group
+            F.row_number().over(Window.orderBy(F.col("_gkey").asc_nulls_first()))
+            - 1,
         )
         .withColumn("_n_groups", F.count(F.lit(1)).over(Window.partitionBy()))
     )
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    h = _salted_rank_hash(id_col, salt)
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     return (
         df.withColumn("_rk", F.row_number().over(w) - 1)
-        .join(F.broadcast(groups), group_col)
+        # null-safe: a NULL group is a real stratum (the window above
+        # already treats it as one); a plain equi-join would silently
+        # drop every NULL-group row from the training order
+        .join(
+            F.broadcast(groups), F.col(group_col).eqNullSafe(F.col("_gkey"))
+        )
         .select(
             id_col,
             group_col,
@@ -767,6 +788,11 @@ def passage_dedup(
     n_pass = F.floor((n + passage_tokens - 1) / passage_tokens).cast("int")
     flat = staged.select(
         F.col(id_col),
+        # per-doc passage count rides the exploded rows (constant per
+        # doc) — recovering it later with a second corpus-sized groupBy
+        # + join would be a full extra shuffle over the exploded
+        # relation for a value known before the explode
+        n_pass.alias("n_passages"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_pass - 1),
@@ -777,11 +803,11 @@ def passage_dedup(
         ).alias("idx", "_ptext"),
     ).withColumn("_h", F.md5(F.col("_ptext")))
     pdf = flat.groupBy("_h").agg(F.count_distinct(F.col(id_col)).alias("_df"))
-    totals = flat.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_passages"))
     kept = flat.join(pdf, "_h").filter(F.col("_df") <= max_df)
     return (
         kept.groupBy(id_col)
         .agg(
+            F.first("n_passages").alias("n_passages"),
             F.count(F.lit(1)).alias("n_kept"),
             F.concat_ws(
                 " ",
@@ -791,7 +817,6 @@ def passage_dedup(
                 ),
             ).alias("clean_text"),
         )
-        .join(totals, id_col)
         .select(id_col, "n_passages", "n_kept", "clean_text")
     )
 

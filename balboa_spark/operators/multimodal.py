@@ -169,6 +169,12 @@ def chunk_media_time(
     the bytes unread) until a codec worker slices each chunk's range.
     NULL/zero durations emit nothing (corrupt-container skip)."""
     stride = window_ms if stride_ms is None else stride_ms
+    if window_ms < 1 or stride < 1:
+        raise ValueError("window_ms and stride_ms must be >= 1")
+    if stride > window_ms:
+        # stride past the window would both leave gaps in coverage and
+        # mint inverted [start > end] tail chunks
+        raise ValueError("stride_ms must be <= window_ms (gapless cover)")
     n_chunks = (
         F.floor(
             (F.greatest(F.col("duration_ms") - window_ms, F.lit(0)) + (stride - 1))
@@ -202,6 +208,8 @@ def patch_grid(df: DataFrame, patch: int = 16) -> DataFrame:
     batches iterate; the pixel decode itself stays behind the codec
     seam. Pure double explode in codegen; payload untouched. Assets
     with NULL/non-positive dimensions emit nothing."""
+    if patch < 1:
+        raise ValueError("patch must be >= 1")
     e = df.filter(
         F.col("width").isNotNull()
         & F.col("height").isNotNull()

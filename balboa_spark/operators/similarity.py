@@ -643,8 +643,9 @@ def pq_topk(
     import numpy as np
 
     spark = df.sparkSession
+    dim = dim if dim is not None else len(query_vec)
     C = pq_codebook(dim, m, kc, seed) if codebook is None else np.asarray(codebook)
-    dsub = (dim if dim is not None else len(query_vec)) // m
+    dsub = dim // m
     q = np.asarray(query_vec, dtype=np.float64).reshape(m, dsub)
     lut = [
         (j, c, float(np.round(((q[j] - C[j, c]) ** 2).sum(), 6)))
@@ -653,7 +654,7 @@ def pq_topk(
     ]
     lut_df = spark.createDataFrame(lut, "sub int, code int, pd double")
     enc = codes if codes is not None else pq_encode(
-        df, dim=dim if dim is not None else len(query_vec), m=m, k=kc,
+        df, dim=dim, m=m, k=kc,
         vec_col=vec_col, id_col=id_col, seed=seed, codebook=codebook,
     )
     return (

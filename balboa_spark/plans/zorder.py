@@ -69,11 +69,20 @@ def zorder_code(
         F.max(col_b).alias("_mxb"),
     )
     j = df.crossJoin(F.broadcast(agg))
+    # arithmetic in BIGINT: an INT column spanning > ~INT_MAX/top would
+    # overflow (x - mn) * top in its own type (ANSI ArithmeticException
+    # on Spark 4, silent wrap with ANSI off)
     qa = F.when(F.col("_mxa") == F.col("_mna"), F.lit(0).cast("long")).otherwise(
-        F.expr(f"(({col_a} - _mna) * {top}) div (_mxa - _mna)")
+        F.expr(
+            f"((CAST({col_a} AS BIGINT) - CAST(_mna AS BIGINT)) * {top})"
+            f" div (CAST(_mxa AS BIGINT) - CAST(_mna AS BIGINT))"
+        )
     )
     qb = F.when(F.col("_mxb") == F.col("_mnb"), F.lit(0).cast("long")).otherwise(
-        F.expr(f"(({col_b} - _mnb) * {top}) div (_mxb - _mnb)")
+        F.expr(
+            f"((CAST({col_b} AS BIGINT) - CAST(_mnb AS BIGINT)) * {top})"
+            f" div (CAST(_mxb AS BIGINT) - CAST(_mnb AS BIGINT))"
+        )
     )
     return j.withColumn(out_col, morton_interleave(qa, qb, bits)).drop(
         "_mna", "_mxa", "_mnb", "_mxb"
@@ -107,8 +116,16 @@ def zorder_oracle_expr(col_a: str, col_b: str, bits: int = 8) -> str:
     relation exposing (col_a, col_b) and the min/max columns _mna,
     _mxa, _mnb, _mxb — same exact integer arithmetic."""
     top = (1 << bits) - 1
-    qa = f"(CASE WHEN _mxa = _mna THEN 0 ELSE (({col_a} - _mna) * {top}) // (_mxa - _mna) END)"
-    qb = f"(CASE WHEN _mxb = _mnb THEN 0 ELSE (({col_b} - _mnb) * {top}) // (_mxb - _mnb) END)"
+    qa = (
+        f"(CASE WHEN _mxa = _mna THEN 0 ELSE "
+        f"((CAST({col_a} AS BIGINT) - CAST(_mna AS BIGINT)) * {top})"
+        f" // (CAST(_mxa AS BIGINT) - CAST(_mna AS BIGINT)) END)"
+    )
+    qb = (
+        f"(CASE WHEN _mxb = _mnb THEN 0 ELSE "
+        f"((CAST({col_b} AS BIGINT) - CAST(_mnb AS BIGINT)) * {top})"
+        f" // (CAST(_mxb AS BIGINT) - CAST(_mnb AS BIGINT)) END)"
+    )
     terms = []
     for i in range(bits):
         terms.append(f"((({qa} >> {i}) & 1) << {2 * i})")

@@ -283,8 +283,9 @@ def main() -> None:
 
     @timed("corpus_winnow")
     def _():
-        # winnowing fingerprints: bounded explode (O(w*chars)) into one
-        # map-side-combining groupBy min(struct) — no per-doc sort
+        # winnowing fingerprints, default via='window': O(chars) gram
+        # rows + one per-doc frame-min window pass (the via='explode'
+        # alternative trades w x the rows for mega-doc skew immunity)
         from balboa_spark.operators.text import winnow_fingerprints
 
         winnow_fingerprints(par(spark.table("documents"))).write.mode(

@@ -41,10 +41,13 @@ def array_cells(rows) -> bool:
     columns, which raises 'unhashable type: list' on any array-valued
     cell (CORRECTNESS_r05: embedding_quantize/embedding_project ERR).
     Mirror that: any list/tuple/ndarray cell in an oracle-gated result
-    is a hard FAIL here, even though norm_cell could serialize it."""
+    is a hard FAIL here, even though norm_cell could serialize it.
+    ALL rows are scanned — an array column that is NULL in the first
+    rows of the sort order (e.g. an empty collect_list) would
+    false-pass a prefix check but still ERR the real driver."""
     import numpy as np
 
-    for r in rows[:50]:
+    for r in rows:
         for v in r:
             if isinstance(v, (list, tuple, dict, np.ndarray)):
                 return True

@@ -483,6 +483,28 @@ def test_interleave_round_robins_and_avoids_global_window(spark):
     assert plan.count("SinglePartition") <= 2  # G-row directory only
 
 
+def test_interleave_null_group_is_a_real_stratum(spark):
+    """Docs with a NULL group column must appear in the interleaved
+    order as their own stratum (null-safe directory join), not vanish."""
+    rows = [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.interleave_sources(df).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3, 4, 5}
+    assert len({r.ord for r in out}) == 5
+
+
+def test_media_chunk_and_patch_param_guards(spark):
+    from balboa_spark.operators.multimodal import chunk_media_time, patch_grid
+
+    df = spark.createDataFrame([(1, 1000)], "asset_id long, duration_ms long")
+    with pytest.raises(ValueError, match="stride_ms"):
+        chunk_media_time(df, window_ms=30_000, stride_ms=40_000)
+    with pytest.raises(ValueError, match=">= 1"):
+        chunk_media_time(df, window_ms=0)
+    with pytest.raises(ValueError, match="patch"):
+        patch_grid(df, patch=0)
+
+
 def test_winnow_shared_substring_guarantee(spark):
     """The winnowing theorem: documents sharing a substring of length
     >= w + k - 1 (= 8 at k=5, w=4) must share at least one fingerprint
