@@ -223,6 +223,22 @@ def test_zorder_morton_parity_and_bijection(spark):
     assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
 
 
+def test_zorder_wide_int_range_no_overflow(spark):
+    """Regression: an INT column whose range exceeds ~INT_MAX/255 must
+    quantize correctly — the scaling product is computed in BIGINT
+    (was: (x-mn)*255 overflowed the input type)."""
+    from balboa_spark.plans.zorder import zorder_code
+
+    span = 50_000_000  # * 255 overflows int32
+    df = spark.createDataFrame(
+        [(i, i * span // 3, i) for i in range(4)], "rid long, a int, b int"
+    )
+    got = {r.rid: r.zcode for r in zorder_code(df, "a", "b", bits=8).collect()}
+    assert len(set(got.values())) == 4
+    # monotone in both dims here: larger a and b -> larger code
+    assert got[0] < got[3]
+
+
 def test_zorder_layout_bounds_both_dimensions(spark):
     """The pruning property a Z-order layout exists for: cut the
     z-sorted grid into 16 equal chunks (files) — every chunk's extent
