@@ -235,6 +235,7 @@ _TAIL = [
     "corpus_interleave",  # md5-rank window kernel shared with in-cap stratified_k
     "media_stats",  # trivial metadata agg; media family graded via media_chunks
     "media_patches",  # same double-explode shape as in-cap media_chunks
+    "events_anomaly",  # same RANGE-frame machinery as in-cap events_rolling_1h
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

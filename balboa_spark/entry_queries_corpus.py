@@ -617,6 +617,55 @@ FROM sel WHERE rn = 1 ORDER BY doc_id, pos
 """
 
 
+# ---------------------------------------------------------------------------
+# span-corruption schedule (T5-style mask plan)
+# ---------------------------------------------------------------------------
+
+_SPAN_RATE, _SPAN_LEN, _SPAN_SALT = 0.15, 3, "spans"
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return corpus.span_corruption(
+        docs, rate=_SPAN_RATE, span_len=_SPAN_LEN, salt=_SPAN_SALT
+    ).orderBy("doc_id", "span_id")
+
+
+def _span_corruption_oracle() -> str:
+    thr = sample_threshold_hex(_SPAN_RATE / _SPAN_LEN)
+    return f"""
+WITH {_TOKS_SQL},
+c0 AS (SELECT doc_id, len(tk) AS n FROM toks WHERE len(tk) > 0),
+cand AS (
+  SELECT doc_id, n,
+         unnest(list_filter(range(0, n),
+           i -> substr(md5(doc_id || ':' || i || ':{_SPAN_SALT}'), 1, 8)
+                < '{thr}')) AS s
+  FROM c0
+),
+ce AS (SELECT doc_id, s, least(s + {_SPAN_LEN}, n) AS e FROM cand),
+m AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER pw IS NULL OR s >= max(e) OVER pw
+              THEN 1 ELSE 0 END AS new_island
+  FROM ce
+  WINDOW pw AS (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+i AS (
+  SELECT doc_id, s, e,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+)
+SELECT doc_id, CAST(island - 1 AS INTEGER) AS span_id,
+       CAST(min(s) AS INTEGER) AS span_start,
+       CAST(max(e) AS INTEGER) AS span_end,
+       CAST(max(e) - min(s) AS INTEGER) AS n_masked
+FROM i GROUP BY doc_id, island ORDER BY doc_id, span_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -634,6 +683,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stratified_k": q_stratified_k,
     "corpus_interleave": q_interleave,
     "corpus_winnow": q_winnow,
+    "corpus_span_corruption": q_span_corruption,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -653,4 +703,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_stratified_k": STRATIFIED_K_ORACLE,
     "corpus_interleave": INTERLEAVE_ORACLE,
     "corpus_winnow": WINNOW_ORACLE,
+    "corpus_span_corruption": _span_corruption_oracle(),
 }

@@ -575,6 +575,85 @@ def interleave_sources(
     )
 
 
+def span_corruption(
+    df: DataFrame,
+    rate: float = 0.15,
+    span_len: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "spans",
+) -> DataFrame:
+    """Deterministic span-corruption schedule (the T5/UL2 denoising
+    objective's mask plan): pick ~``rate`` of each document's tokens
+    as fixed-length spans, merge overlaps, and emit one row per final
+    span — the mask plan a pretraining data pipeline materializes so
+    every epoch/worker corrupts identically (md5-derived: re-runs,
+    repartitioning, and cluster size cannot change the masks).
+
+    Selection: token index i starts a candidate span iff
+    md5(id:i:salt) falls under rate/span_len (expected masked fraction
+    ~= rate before merging); candidate [i, i+span_len) intervals clip
+    to the document and STRICTLY overlapping ones merge (classic
+    gaps-and-islands: running max of span end over preceding starts,
+    island break when start >= prev max end).
+
+    Output: (id, span_id, span_start, span_end, n_masked) with span_id
+    dense per document in start order, span_end exclusive. One per-doc
+    window pass
+    over only the CANDIDATE rows (~rate/span_len of tokens), not the
+    token stream: O(n·rate) shuffled rows.
+    """
+    if not 0 < rate <= 1 or span_len < 1:
+        raise ValueError("need 0 < rate <= 1 and span_len >= 1")
+    thr = sample_threshold_hex(rate / span_len)
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk")).filter(
+        F.size("_tk") > 0
+    )
+    n = F.size("_tk")
+    cand = toks.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(id_col).cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                            F.lit(":" + salt),
+                        )
+                    ),
+                    1,
+                    8,
+                )
+                < thr,
+            )
+        ).alias("_s"),
+    ).withColumn("_e", F.least(F.col("_s") + span_len, F.col("_n")))
+    w = Window.partitionBy(id_col).orderBy("_s")
+    prev_max_end = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = cand.withColumn(
+        "_new",
+        F.when(prev_max_end.isNull() | (F.col("_s") >= prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy(id_col, "_island")
+        .agg(F.min("_s").alias("span_start"), F.max("_e").alias("span_end"))
+        .select(
+            id_col,
+            (F.col("_island") - 1).cast("int").alias("span_id"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_masked"),
+        )
+    )
+
+
 def char_trigrams(text: Column) -> Column:
     """Character 3-grams of a string column (empty array below length
     3 — guarded because Spark's ``sequence(1, 0)`` would descend)."""

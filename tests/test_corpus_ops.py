@@ -505,6 +505,63 @@ def test_media_chunk_and_patch_param_guards(spark):
         patch_grid(df, patch=0)
 
 
+def test_span_corruption_islands_and_determinism(spark):
+    """The mask plan: spans are fixed-length clipped to the doc,
+    strictly-overlapping candidates merge into islands (verified
+    against a direct Python reimplementation), masked fraction tracks
+    the rate, and the plan is repartition-stable."""
+    import hashlib
+
+    texts = [
+        (d, " ".join(f"t{d}_{j}" for j in range(5 + (d * 13) % 120)))
+        for d in range(60)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rate, L = 0.3, 4
+    thr = corpus.sample_threshold_hex(rate / L)
+
+    def py_spans(did, n):
+        starts = [
+            i
+            for i in range(n)
+            if hashlib.md5(f"{did}:{i}:spans".encode()).hexdigest()[:8] < thr
+        ]
+        spans, cur = [], None
+        for s in starts:
+            e = min(s + L, n)
+            if cur and s < cur[1]:
+                cur[1] = max(cur[1], e)
+            else:
+                cur = [s, e]
+                spans.append(cur)
+        return [(k, s, e) for k, (s, e) in enumerate(spans)]
+
+    expect = {
+        (d, k, s, e)
+        for d, t in texts
+        for (k, s, e) in py_spans(d, len(t.split()))
+    }
+    out = corpus.span_corruption(df, rate=rate, span_len=L).collect()
+    got = {(r.doc_id, r.span_id, r.span_start, r.span_end) for r in out}
+    assert got == expect
+    assert all(r.n_masked == r.span_end - r.span_start for r in out)
+    # masked fraction in the right ballpark (merging eats some)
+    total_tokens = sum(len(t.split()) for _, t in texts)
+    masked = sum(r.n_masked for r in out)
+    assert 0.1 < masked / total_tokens < 0.5
+    got2 = {
+        (r.doc_id, r.span_id, r.span_start, r.span_end)
+        for r in corpus.span_corruption(
+            df.repartition(7), rate=rate, span_len=L
+        ).collect()
+    }
+    assert got2 == got
+    with pytest.raises(ValueError):
+        corpus.span_corruption(df, rate=0.0)
+    with pytest.raises(ValueError):
+        corpus.span_corruption(df, span_len=0)
+
+
 def test_winnow_shared_substring_guarantee(spark):
     """The winnowing theorem: documents sharing a substring of length
     >= w + k - 1 (= 8 at k=5, w=4) must share at least one fingerprint
