@@ -568,6 +568,37 @@ FROM rk JOIN g USING (source) ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# sentence segmentation
+# ---------------------------------------------------------------------------
+
+
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from balboa_spark.operators.text import split_sentences
+
+    return split_sentences(_docs(spark, sf_dir)).orderBy("doc_id", "sent_idx")
+
+
+SENTENCES_ORACLE = r"""
+WITH s0 AS (
+  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS ss
+  FROM documents
+),
+e AS (
+  SELECT doc_id, CAST(unnest(range(1, len(ss) + 1)) AS INTEGER) - 1 AS sent_idx,
+         ss
+  FROM s0
+),
+t AS (
+  SELECT doc_id, sent_idx, trim(ss[sent_idx + 1]) AS sentence FROM e
+)
+SELECT doc_id, sent_idx, sentence,
+       CAST(length(sentence) AS INTEGER) AS n_chars
+FROM t WHERE length(sentence) >= 1
+ORDER BY doc_id, sent_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # winnowing fingerprints (MOSS)
 # ---------------------------------------------------------------------------
 
@@ -684,6 +715,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_interleave": q_interleave,
     "corpus_winnow": q_winnow,
     "corpus_span_corruption": q_span_corruption,
+    "corpus_sentences": q_sentences,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -704,4 +736,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_interleave": INTERLEAVE_ORACLE,
     "corpus_winnow": WINNOW_ORACLE,
     "corpus_span_corruption": _span_corruption_oracle(),
+    "corpus_sentences": SENTENCES_ORACLE,
 }

@@ -128,6 +128,44 @@ def _shingles(toks: Column, k: int) -> Column:
     )
 
 
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Regex sentence segmentation: a sentence is a maximal run of
+    non-terminator characters plus its trailing terminators
+    (``[^.!?]+[.!?]*``) — extract-based rather than lookbehind-split
+    so the SAME pattern runs under Java regex (Spark) and RE2
+    (DuckDB, no lookbehind support). Segments trim and drop below
+    ``min_chars``; ``sent_idx`` is the segment's position BEFORE the
+    length filter, so surviving sentences keep their original
+    ordering slots. One row per sentence — the unit a quality filter,
+    per-sentence dedup, or an alignment pipeline operates on.
+    Deliberately rule-based (no model), so it is oracle-checkable;
+    abbreviation-aware splitting is a model-backed upgrade with the
+    same output shape.
+
+    Pure posexplode of regexp_extract_all — no shuffle, no UDF.
+
+    Output: (id, sent_idx, sentence, n_chars).
+    """
+    # idx=0 (whole match): Spark defaults to capture group 1
+    parts = F.regexp_extract_all(F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0)
+    ex = df.select(
+        F.col(id_col), F.posexplode(parts).alias("sent_idx", "_raw")
+    ).select(
+        id_col, "sent_idx", F.trim(F.col("_raw")).alias("sentence")
+    )
+    return ex.filter(F.length("sentence") >= min_chars).select(
+        id_col,
+        "sent_idx",
+        "sentence",
+        F.length("sentence").alias("n_chars"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 5,

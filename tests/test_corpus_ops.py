@@ -505,6 +505,37 @@ def test_media_chunk_and_patch_param_guards(spark):
         patch_grid(df, patch=0)
 
 
+def test_split_sentences_segments_and_indices(spark):
+    """Extract-based segmentation: terminator runs stay attached,
+    whitespace-only segments drop but surviving sentences keep their
+    ORIGINAL position index, and terminator-free text is one segment."""
+    from balboa_spark.operators.text import split_sentences
+
+    rows = [
+        (1, "Hello there. How are you?! Fine... really."),
+        (2, "no terminators at all"),
+        (3, "Trailing spaces.   "),
+        (4, "!!!"),  # terminators only -> no non-terminator run
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in split_sentences(df).collect():
+        out.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence))
+    # rule-based: an ellipsis is a terminator run, so it ENDS a segment
+    assert out[1] == [
+        (0, "Hello there."),
+        (1, "How are you?!"),
+        (2, "Fine..."),
+        (3, "really."),
+    ]
+    assert out[2] == [(0, "no terminators at all")]
+    assert out[3] == [(0, "Trailing spaces.")]
+    assert 4 not in out
+    assert all(
+        r.n_chars == len(r.sentence) for r in split_sentences(df).collect()
+    )
+
+
 def test_span_corruption_islands_and_determinism(spark):
     """The mask plan: spans are fixed-length clipped to the doc,
     strictly-overlapping candidates merge into islands (verified
