@@ -568,6 +568,50 @@ FROM rk JOIN g USING (source) ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# mixture upsampling (with replacement)
+# ---------------------------------------------------------------------------
+
+UPMIX_TARGET = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+UPMIX_TOTAL = 600
+UPMIX_SALT = "upmix"
+
+
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return corpus.mixture_upsample(
+        docs, UPMIX_TARGET, total=UPMIX_TOTAL, salt=UPMIX_SALT
+    ).orderBy("doc_id", "copy_idx")
+
+
+def _mixture_upsample_oracle() -> str:
+    total_w = sum(UPMIX_TARGET.values())
+    values = ", ".join(
+        f"('{g}', {w / total_w!r})" for g, w in sorted(UPMIX_TARGET.items())
+    )
+    return f"""
+WITH tgt(source, w) AS (VALUES {values}),
+counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+fr AS (
+  SELECT source, {UPMIX_TOTAL} * w / n AS r
+  FROM counts JOIN tgt USING (source)
+),
+c AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(r) AS INTEGER)
+         + CASE WHEN substr(md5(d.doc_id || ':{UPMIX_SALT}'), 1, 8)
+                     < CASE WHEN round((r - floor(r)) * {16**8}) >= {16**8}
+                            THEN 'g'
+                            ELSE lpad(lower(hex(CAST(round((r - floor(r)) * {16**8}) AS BIGINT))), 8, '0')
+                       END
+                THEN 1 ELSE 0 END AS nc
+  FROM documents d JOIN fr USING (source)
+)
+SELECT doc_id, source, CAST(unnest(range(0, nc)) AS INTEGER) AS copy_idx
+FROM c WHERE nc > 0 ORDER BY doc_id, copy_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # sentence segmentation
 # ---------------------------------------------------------------------------
 
@@ -716,6 +760,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_winnow": q_winnow,
     "corpus_span_corruption": q_span_corruption,
     "corpus_sentences": q_sentences,
+    "corpus_mixture_upsample": q_mixture_upsample,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -737,4 +782,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_winnow": WINNOW_ORACLE,
     "corpus_span_corruption": _span_corruption_oracle(),
     "corpus_sentences": SENTENCES_ORACLE,
+    "corpus_mixture_upsample": _mixture_upsample_oracle(),
 }

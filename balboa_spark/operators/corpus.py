@@ -900,6 +900,71 @@ def passage_dedup(
     )
 
 
+def mixture_upsample(
+    df: DataFrame,
+    target: dict[str, float],
+    total: int | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "upmix",
+) -> DataFrame:
+    """Mixture shaping WITH replacement — the upsampling half of
+    domain mixing (mixture_resample only thins): emit each group at
+    its target proportion of ``total`` output rows (default: the
+    input size), REPEATING rows of under-represented groups. This is
+    how temperature-flattened mixtures are materialized when a rare
+    domain's weight exceeds its share of the corpus and dropping data
+    from the big domains is not acceptable.
+
+    Per group the expected copy count is r = total * w / n: every row
+    gets floor(r) copies, plus one more iff md5(id:salt) falls under
+    frac(r) — deterministic, reshuffle/re-run stable, no RNG state,
+    and r < 1 degenerates to Bernoulli subsampling (so one operator
+    expresses both directions). Groups absent from ``target`` drop.
+    Output adds ``copy_idx`` (0-based) so downstream shuffles can
+    separate the copies.
+
+    All capacity math is IN the plan: one #groups-row count aggregate
+    joins the weights (AQE-decided), the per-row copy count is a
+    Column expression, and copies come from ONE explode(sequence) —
+    no driver action. Total output row count is within #rows of the
+    target (per-row rounding).
+    """
+    total_w = sum(target.values())
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    wmap = F.create_map(
+        *[x for g, w in sorted(target.items()) for x in (F.lit(g), F.lit(w / total_w))]
+    )
+    tot = (
+        F.lit(total)
+        if total is not None
+        else F.sum("_n").over(Window.partitionBy())
+    )
+    fracs = counts.select(
+        group_col,
+        (tot * wmap[F.col(group_col)] / F.col("_n")).alias("_r"),
+    ).filter(F.col("_r").isNotNull())
+    base = F.floor("_r").cast("int")
+    frac = F.col("_r") - F.floor("_r")
+    v = F.round(frac * F.lit(16**8)).cast("long")
+    thr = F.when(v >= F.lit(16**8), F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex(v)), 8, "0")
+    )
+    h8 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+    )
+    n_copies = (base + F.when(h8 < thr, 1).otherwise(0)).alias("_c")
+    return (
+        df.join(fracs, group_col)
+        .select(*df.columns, n_copies)
+        .filter(F.col("_c") > 0)
+        .select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(0), F.col("_c") - 1)).alias("copy_idx"),
+        )
+    )
+
+
 def quality_bins(
     df: DataFrame,
     score_col: str = "n_chars",

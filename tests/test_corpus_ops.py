@@ -593,6 +593,39 @@ def test_span_corruption_islands_and_determinism(spark):
         corpus.span_corruption(df, span_len=0)
 
 
+def test_mixture_upsample_repeats_to_target(spark):
+    """Upsampling with replacement: a rare group's rows repeat to hit
+    its target share (copy_idx dense per row), an over-represented
+    group thins (r < 1 -> Bernoulli), untargeted groups drop, totals
+    land within rounding of the target, and the copy set is
+    repartition-stable."""
+    rows = [(i, "big" if i < 400 else "rare") for i in range(440)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.mixture_upsample(
+        df, {"big": 0.5, "rare": 0.5}, total=400
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # rare: 40 rows -> r = 5.0 -> exactly 5 copies each = 200
+    assert len(by_src["rare"]) == 200
+    copies = {}
+    for r in by_src["rare"]:
+        copies.setdefault(r.doc_id, set()).add(r.copy_idx)
+    assert all(c == {0, 1, 2, 3, 4} for c in copies.values())
+    # big: 400 rows -> r = 0.5 -> Bernoulli thin, ~200
+    n_big = len(by_src["big"])
+    assert 150 < n_big < 250 and all(r.copy_idx == 0 for r in by_src["big"])
+    assert abs(len(out) - 400) < 60
+    again = {
+        (r.doc_id, r.copy_idx)
+        for r in corpus.mixture_upsample(
+            df.repartition(7), {"big": 0.5, "rare": 0.5}, total=400
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.copy_idx) for r in out}
+
+
 def test_winnow_shared_substring_guarantee(spark):
     """The winnowing theorem: documents sharing a substring of length
     >= w + k - 1 (= 8 at k=5, w=4) must share at least one fingerprint
