@@ -223,6 +223,31 @@ def test_zorder_morton_parity_and_bijection(spark):
     assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
 
 
+def test_span_corruption_and_upsample_plan_shapes(spark):
+    """span_corruption's windows partition by doc (no corpus-wide
+    single-partition exchange beyond AQE's tiny-data coalescing of
+    this fixture); mixture_upsample builds its whole plan without a
+    driver-side job (capacity math is in-plan)."""
+    from balboa_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 20, f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    plan = (
+        C.span_corruption(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = C.mixture_upsample(docs.select("doc_id", "source"), {"s0": 0.5, "s1": 0.5})
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "mixture_upsample ran a driver-side job"
+    plan2 = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan2
+
+
 def test_zorder_wide_int_range_no_overflow(spark):
     """Regression: an INT column whose range exceeds ~INT_MAX/255 must
     quantize correctly — the scaling product is computed in BIGINT
