@@ -240,6 +240,40 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components DIRECTLY graded (id -> min reachable id
+    over the MinHash near-dup relation) — the first oracle row that
+    checks the CC labels themselves rather than a keep-set derived
+    from them, so BOTH execution arms (the size-gated driver
+    union-find fast path and the distributed star loop, parity-tested
+    in unit tests) verify against SQL's transitive closure."""
+    pairs = dedup.minhash_lsh_pairs(
+        _corpus(spark, sf_dir),
+        num_hashes=NUM_HASHES,
+        num_bands=NUM_BANDS,
+        k=SHINGLE_K,
+        max_bucket=ORACLE_MAX_BUCKET,
+    )
+    return dedup.connected_components(pairs).orderBy("id")
+
+
+DEDUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {{minhash_ctes}},
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+)
+SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+ORDER BY id
+"""
+
+
 def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dedup: same MinHash components, but the
     representative kept per component is the LONGEST member (ties to
@@ -1172,6 +1206,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "media_chunks": q_media_chunks,
     "media_patches": q_media_patches,
+    "dedup_components": q_dedup_components,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -1207,4 +1242,7 @@ ORACLES_DOCS: dict[str, str] = {
     "ann_pq_topk": _pq_topk_oracle(),
     "media_chunks": MEDIA_CHUNKS_ORACLE,
     "media_patches": MEDIA_PATCHES_ORACLE,
+    "dedup_components": DEDUP_COMPONENTS_ORACLE.format(
+        minhash_ctes=_minhash_ctes()
+    ),
 }
