@@ -281,6 +281,39 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    @timed("events_interval_join")
+    def _():
+        # point-in-interval join via the bucketed equi-join rewrite —
+        # the raw BETWEEN predicate would plan as a per-key nested loop
+        from balboa_spark.operators import temporal
+
+        e = spark.table("events")
+        intervals = e.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+            F.col("ts").alias("w_end"),
+        )
+        points = e.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"), "user_id", "ts"
+        )
+        temporal.interval_join(points, intervals, on=["user_id"]).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    @timed("events_zorder")
+    def _():
+        # Morton layout codes over (user_id, epoch-us): broadcast
+        # min/max + shift/mask codegen chain, projection-only
+        from balboa_spark.plans.zorder import zorder_code
+
+        e = spark.table("events").select(
+            "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+        )
+        zorder_code(e, "user_id", "ts_us").write.mode("overwrite").format(
+            "noop"
+        ).save()
+
     @timed("corpus_winnow")
     def _():
         # winnowing fingerprints, default via='window': O(chars) gram
