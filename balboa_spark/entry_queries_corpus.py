@@ -549,8 +549,11 @@ def q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INTERLEAVE_ORACLE = f"""
 WITH g AS (
+  -- NULLS FIRST + null-safe join: the Spark side pins NULL as the
+  -- first group index and keeps NULL-group rows (eqNullSafe); DuckDB
+  -- defaults NULLS LAST and USING would drop them
   SELECT source,
-         row_number() OVER (ORDER BY source) - 1 AS g_idx,
+         row_number() OVER (ORDER BY source NULLS FIRST) - 1 AS g_idx,
          count(*) OVER () AS n_groups
   FROM (SELECT DISTINCT source FROM documents)
 ),
@@ -562,8 +565,9 @@ rk AS (
          ) - 1 AS rk
   FROM documents
 )
-SELECT doc_id, source, CAST(rk * n_groups + g_idx AS BIGINT) AS ord
-FROM rk JOIN g USING (source) ORDER BY doc_id
+SELECT doc_id, rk.source, CAST(rk * n_groups + g_idx AS BIGINT) AS ord
+FROM rk JOIN g ON rk.source IS NOT DISTINCT FROM g.source
+ORDER BY doc_id
 """
 
 
@@ -585,8 +589,12 @@ def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mixture_upsample_oracle() -> str:
     total_w = sum(UPMIX_TARGET.values())
+    # CAST to DOUBLE: DuckDB types bare decimal literals as DECIMAL and
+    # computes r in exact decimal arithmetic, which can differ from
+    # Spark's binary doubles by an ulp at the copy-count threshold
     values = ", ".join(
-        f"('{g}', {w / total_w!r})" for g, w in sorted(UPMIX_TARGET.items())
+        f"('{g}', CAST({w / total_w!r} AS DOUBLE))"
+        for g, w in sorted(UPMIX_TARGET.items())
     )
     return f"""
 WITH tgt(source, w) AS (VALUES {values}),

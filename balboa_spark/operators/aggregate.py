@@ -107,7 +107,9 @@ def distinct_sketches(
     )
 
 
-def merge_distinct_sketches(*sketch_dfs: DataFrame) -> DataFrame:
+def merge_distinct_sketches(
+    *sketch_dfs: DataFrame, group_col: str | None = None
+) -> DataFrame:
     """Union per-group sketch tables from multiple batches/stores into
     one (group, sketch, estimate) relation via hll_union_agg. One
     groupBy over #groups x #batches sketch rows — never the raw data.
@@ -121,8 +123,23 @@ def merge_distinct_sketches(*sketch_dfs: DataFrame) -> DataFrame:
     guaranteed, only bounded error; both stay within the bound of the
     exact distinct count)."""
     assert sketch_dfs, "need at least one sketch relation"
-    u = sketch_dfs[0].select(sketch_dfs[0].columns[0], "sketch")
-    group_col = sketch_dfs[0].columns[0]
+    if group_col is None:
+        # infer as "the column that isn't sketch/estimate" — positional
+        # columns[0] would silently group by the wrong column on a
+        # reordered selection
+        rest = [c for c in sketch_dfs[0].columns if c not in ("sketch", "estimate")]
+        if len(rest) != 1:
+            raise ValueError(
+                f"cannot infer group column from {sketch_dfs[0].columns}; "
+                "pass group_col="
+            )
+        group_col = rest[0]
+    for d in sketch_dfs:
+        if group_col not in d.columns or "sketch" not in d.columns:
+            raise ValueError(
+                f"sketch relation missing {group_col!r}/'sketch': {d.columns}"
+            )
+    u = sketch_dfs[0].select(group_col, "sketch")
     for d in sketch_dfs[1:]:
         u = u.unionByName(d.select(group_col, "sketch"))
     return u.groupBy(group_col).agg(

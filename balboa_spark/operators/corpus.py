@@ -881,6 +881,11 @@ def passage_dedup(
             )
         ).alias("idx", "_ptext"),
     ).withColumn("_h", F.md5(F.col("_ptext")))
+    # materialize ONCE: the DF aggregate and the verdict join are
+    # different exchange subtrees, so without this the full tokenize +
+    # slice + md5 explode over the corpus runs twice (ReuseExchange
+    # cannot dedupe them) — the _global_prefix_sum rationale
+    flat = flat.localCheckpoint(eager=True)
     pdf = flat.groupBy("_h").agg(F.count_distinct(F.col(id_col)).alias("_df"))
     kept = flat.join(pdf, "_h").filter(F.col("_df") <= max_df)
     return (

@@ -546,6 +546,10 @@ def pq_codebook(dim: int, m: int = 8, k: int = 16, seed: str = "balboa-pq"):
     (exactly like semantic_dedup's pinned centroids)."""
     import numpy as np
 
+    if dim % m != 0:
+        # a silent dim // m would misalign the Arrow-batch reshape in
+        # pq_encode (codes straddling row boundaries, no error)
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
     dsub = dim // m
     return np.stack(
         [_plane_matrix(dsub, k, f"{seed}|{j}") for j in range(m)]
@@ -583,6 +587,8 @@ def pq_encode(
 
     from pyspark.sql.functions import pandas_udf
 
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
     C = pq_codebook(dim, m, k, seed) if codebook is None else np.asarray(codebook)
     dsub = dim // m
 
@@ -644,6 +650,8 @@ def pq_topk(
 
     spark = df.sparkSession
     dim = dim if dim is not None else len(query_vec)
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
     C = pq_codebook(dim, m, kc, seed) if codebook is None else np.asarray(codebook)
     dsub = dim // m
     q = np.asarray(query_vec, dtype=np.float64).reshape(m, dsub)

@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 def morton_interleave(qa: Column, qb: Column, bits: int) -> Column:
     """Interleave the low ``bits`` bits of two non-negative integral
     columns: result bit 2i = qa bit i, bit 2i+1 = qb bit i. A chain of
-    2*bits shift/mask/or terms — pure codegen."""
+    2*bits shift/mask/or terms — pure codegen. ``bits`` caps at 31:
+    bit 2*31+1 = 63 is the BIGINT sign bit, which would invert code
+    ordering."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
     out: Column = F.lit(0).cast("long")
     for i in range(bits):
         out = out.bitwiseOR(
@@ -60,6 +64,15 @@ def zorder_code(
     unix_micros first). A constant column quantizes to cell 0. The
     min/max relation is ONE row, broadcast back; at 100 TB the
     aggregate is the only pre-pass and is map-side combined.
+
+    Range bound: the exact-integer scaling computes
+    (x - mn) * (2^bits - 1) in BIGINT, so a column whose SPAN exceeds
+    ~2^63 / 2^bits overflows (ANSI error on Spark 4, identical error
+    in DuckDB — never a silent divergence). Natural keys (ids,
+    epochs) are far inside the bound at bits=8 (span < 3.6e16);
+    full-range 64-bit HASH values are not — right-shift such a column
+    first (``x >> bits`` preserves the quantization cells exactly
+    when span >> 2^bits).
     """
     top = (1 << bits) - 1
     agg = df.agg(
