@@ -572,6 +572,36 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# data-quality expectations
+# ---------------------------------------------------------------------------
+
+EXPECTATION_CHECKS = {
+    "text_nonempty": "length(text) > 0",
+    "chars_consistent": "length(text) = n_chars",
+    "lang_known": "lang IN ('en', 'de', 'fr', 'es', 'it')",
+    "source_prefixed": "source LIKE 'src%'",
+    "id_nonnegative": "doc_id >= 0",
+}
+EXPECTATION_UNIQUE = ("doc_id",)
+
+
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from balboa_spark.operators.expectations import validate_expectations
+
+    return validate_expectations(
+        _docs(spark, sf_dir), EXPECTATION_CHECKS, unique=EXPECTATION_UNIQUE
+    ).orderBy("rule")
+
+
+def _expectations_oracle() -> str:
+    from balboa_spark.operators.expectations import expectations_oracle_sql
+
+    return expectations_oracle_sql(
+        "documents", EXPECTATION_CHECKS, unique=EXPECTATION_UNIQUE
+    )
+
+
+# ---------------------------------------------------------------------------
 # mixture upsampling (with replacement)
 # ---------------------------------------------------------------------------
 
@@ -769,6 +799,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_span_corruption": q_span_corruption,
     "corpus_sentences": q_sentences,
     "corpus_mixture_upsample": q_mixture_upsample,
+    "corpus_expectations": q_expectations,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -791,4 +822,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_span_corruption": _span_corruption_oracle(),
     "corpus_sentences": SENTENCES_ORACLE,
     "corpus_mixture_upsample": _mixture_upsample_oracle(),
+    "corpus_expectations": _expectations_oracle(),
 }

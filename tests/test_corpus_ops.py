@@ -593,7 +593,37 @@ def test_span_corruption_islands_and_determinism(spark):
         corpus.span_corruption(df, span_len=0)
 
 
-def test_mixture_upsample_repeats_to_target(spark):
+def test_validate_expectations_counts_violations(spark):
+    """One-pass expectation suite: per-rule violation counts, NULL
+    predicate counts as a violation (unknown is not a pass),
+    uniqueness rules, rate math, and suite-shape guards."""
+    from balboa_spark.operators.expectations import validate_expectations
+
+    rows = [
+        (1, "hello", 5),
+        (2, "", 0),         # violates text_nonempty
+        (3, None, 4),       # NULL text: predicate NULL -> violation (x2)
+        (1, "dup id", 6),   # violates unique:doc_id
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {
+        r.rule: (r.n_rows, r.n_violations, r.violation_rate)
+        for r in validate_expectations(
+            df,
+            {"text_nonempty": "length(text) > 0",
+             "chars_consistent": "length(text) = n_chars"},
+            unique=["doc_id"],
+        ).collect()
+    }
+    assert out["text_nonempty"] == (4, 2, 0.5)  # empty + NULL text
+    assert out["chars_consistent"] == (4, 1, 0.25)  # NULL text only
+    assert out["unique:doc_id"] == (4, 1, 0.25)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        validate_expectations(df, {})
+    with _pytest.raises(ValueError, match="duplicate"):
+        validate_expectations(df, {"unique:doc_id": "1=1"}, unique=["doc_id"])
     """Upsampling with replacement: a rare group's rows repeat to hit
     its target share (copy_idx dense per row), an over-represented
     group thins (r < 1 -> Bernoulli), untargeted groups drop, totals
