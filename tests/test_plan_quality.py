@@ -292,6 +292,57 @@ def test_zorder_layout_bounds_both_dimensions(spark):
     assert worst_b == 15
 
 
+def test_zorder_layout_real_file_stats_prune(spark, tmp_path):
+    """End-to-end layout claim on REAL parquet footers: write the grid
+    z-ordered via zorder_layout, read each file's min/max stats with
+    pyarrow, and check that a selective range predicate on EITHER
+    column intersects only a minority of files — while a single-key
+    sorted layout leaves the other column's predicate touching every
+    file."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from balboa_spark.plans.zorder import zorder_layout
+
+    rows = [(a * 32 + b, a, b) for a in range(32) for b in range(32)]
+    df = spark.createDataFrame(rows, "rid long, a long, b long")
+    zpath = str(tmp_path / "z")
+    zorder_layout(df, "a", "b", zpath, bits=5, num_files=16)
+
+    def file_ranges(path, col):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq_.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    n_files = len(file_ranges(zpath, "a"))
+    assert n_files >= 8  # enough granularity for the claim to bite
+    # predicate b in [8, 11] (a 4-row band of the 32-grid)
+    hit_b = [r for r in file_ranges(zpath, "b") if not (r[1] < 8 or r[0] > 11)]
+    assert len(hit_b) <= n_files // 2, (len(hit_b), n_files)
+    # and the same for a narrow a-band: both dimensions prune
+    hit_a = [r for r in file_ranges(zpath, "a") if not (r[1] < 8 or r[0] > 11)]
+    assert len(hit_a) <= n_files // 2, (len(hit_a), n_files)
+
+    # contrast: a-sorted layout cannot prune on b
+    apath = str(tmp_path / "a")
+    df.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(apath)
+    hit_b_asorted = [
+        r for r in file_ranges(apath, "b") if not (r[1] < 8 or r[0] > 11)
+    ]
+    assert len(hit_b_asorted) == len(file_ranges(apath, "a"))  # every file
+
+
 def test_timestamp_filter_pushdown_survives_ntz_normalization(spark):
     """load_tables casts TIMESTAMP_NTZ parquet columns to TimestampType
     (round-4 driver type drift). That cast must NOT block predicate
