@@ -1,0 +1,71 @@
+"""Streaming data-quality monitor: run an expectation suite on every
+micro-batch and append the per-rule violation counts as a time series
+— the dashboard/alerting feed that tells an operator WHEN a feed went
+bad, not just that the final corpus failed its publish gate.
+
+Composition, not new machinery: ``foreachBatch`` hands each
+micro-batch DataFrame to operators.expectations.validate_expectations
+(one aggregate pass per batch) and the #rules-row result appends to a
+parquet time series keyed by (stream epoch). State is bounded by the
+suite size; the raw batch is never retained. An alert hook fires on
+any rule whose violation rate crosses its threshold — the seam a real
+deployment points at paging.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from balboa_spark.operators.expectations import validate_expectations
+
+
+def quality_monitor_sink(
+    checks: dict[str, str],
+    out_path: str,
+    unique: Sequence[str] = (),
+    alert_threshold: float | None = None,
+    on_alert: Callable[[int, list], None] | None = None,
+):
+    """Build the foreachBatch function: per micro-batch, evaluate the
+    suite, stamp the epoch, append to ``out_path``; if any rule's
+    violation_rate exceeds ``alert_threshold``, call ``on_alert``
+    (epoch_id, offending rows). Empty batches record nothing (there
+    is no denominator). Use as:
+
+        stream.writeStream.foreachBatch(
+            quality_monitor_sink(CHECKS, path)).start()
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        report = validate_expectations(batch_df, checks, unique=unique)
+        rows = report.collect()  # #rules rows — bounded driver state
+        if not rows or rows[0]["n_rows"] == 0:
+            return
+        spark = batch_df.sparkSession
+        (
+            spark.createDataFrame(rows, report.schema)
+            .withColumn("epoch_id", F.lit(epoch_id).cast("long"))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        if alert_threshold is not None and on_alert is not None:
+            bad = [r for r in rows if r["violation_rate"] > alert_threshold]
+            if bad:
+                on_alert(epoch_id, bad)
+
+    return sink
+
+
+def read_quality_series(spark, out_path: str) -> DataFrame:
+    """The recorded time series, empty-safe before the first batch."""
+    if not os.path.isdir(out_path):
+        return spark.createDataFrame(
+            [],
+            "rule string, n_rows long, n_violations long, "
+            "violation_rate double, epoch_id long",
+        )
+    return spark.read.parquet(out_path)

@@ -337,3 +337,61 @@ selectors:
     evil_rows = stores["evil sink"].forward().collect()
     assert [r.rrname for r in evil_rows] == ["bad.evil.com"]
     assert evil_rows[0].sensor_id == "sensorY"
+
+
+def test_streaming_quality_monitor(spark, tmp_path):
+    """Expectation suite per micro-batch: two file-source batches ->
+    two epochs of per-rule rows in the series, and the alert hook
+    fires only for the batch whose violation rate crosses the
+    threshold."""
+    import json
+
+    from balboa_spark.streaming.quality_monitor import (
+        quality_monitor_sink,
+        read_quality_series,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "series")
+    alerts = []
+    checks = {"text_nonempty": "length(text) > 0"}
+
+    # batch 1: clean; batch 2: half empty-text
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": f"doc {i}"}) for i in range(4))
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream.writeStream.foreachBatch(
+        quality_monitor_sink(
+            checks, out, alert_threshold=0.25,
+            on_alert=lambda e, rows: alerts.append((e, [r["rule"] for r in rows])),
+        )
+    ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text(
+            "\n".join(
+                json.dumps({"doc_id": 10 + i, "text": "" if i % 2 else f"d{i}"})
+                for i in range(4)
+            )
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    series = read_quality_series(spark, out).collect()
+    by_epoch = {}
+    for r in series:
+        by_epoch.setdefault(r.epoch_id, {})[r.rule] = r
+    assert len(by_epoch) == 2
+    epochs = sorted(by_epoch)
+    clean, dirty = by_epoch[epochs[0]], by_epoch[epochs[1]]
+    assert clean["text_nonempty"].n_violations == 0
+    assert dirty["text_nonempty"].n_violations == 2
+    assert dirty["text_nonempty"].violation_rate == 0.5
+    assert alerts == [(epochs[1], ["text_nonempty"])]
