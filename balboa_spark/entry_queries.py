@@ -240,6 +240,7 @@ _TAIL = [
     "corpus_mixture_resample",  # down-only arm; in-cap mixture_upsample generalizes it (r<1 = Bernoulli thin)
     "dedup_minhash_lsh",  # green r3-r5; its pair relation is the graded input of in-cap dedup_components AND dedup_near_keep
     "events_retention",  # green r5; narrow keyed-agg kernel, rotates back next round
+    "embedding_mean_pool",  # r6-new, driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

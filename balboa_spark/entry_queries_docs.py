@@ -936,6 +936,41 @@ FROM r WHERE rn = 1 ORDER BY vec_id, sub
 """
 
 
+def q_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document pooling (similarity.mean_pool) by the label
+    column: component-wise mean, L2-normalized; posexploded to scalar
+    (label, n_pooled, idx, val) rows for the driver canon."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    p = similarity.mean_pool(t["embeddings"], "label")
+    return p.select(
+        "label", "n_pooled", F.posexplode("embedding").alias("idx", "val")
+    ).orderBy("label", "idx")
+
+
+EMBEDDING_MEAN_POOL_ORACLE = """
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+comp AS (
+  SELECT label, CAST(i - 1 AS INTEGER) AS idx, v[CAST(i AS INTEGER)] AS val
+  FROM e, range(1, 65) t(i)
+),
+m AS (
+  SELECT label, idx, avg(val) AS mean, count(*) AS n
+  FROM comp GROUP BY 1, 2
+),
+norm AS (
+  SELECT label, sqrt(sum(mean * mean)) AS nrm, min(n) AS n_pooled
+  FROM m GROUP BY 1
+)
+SELECT m.label, CAST(n_pooled AS BIGINT) AS n_pooled, idx,
+       round(CASE WHEN nrm = 0 THEN mean ELSE mean / nrm END, 6) AS val
+FROM m JOIN norm USING (label)
+ORDER BY label, idx
+"""
+
+
 PQ_TOPK_K = 20
 
 
@@ -1207,6 +1242,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_chunks": q_media_chunks,
     "media_patches": q_media_patches,
     "dedup_components": q_dedup_components,
+    "embedding_mean_pool": q_embedding_mean_pool,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -1245,4 +1281,5 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_components": DEDUP_COMPONENTS_ORACLE.format(
         minhash_ctes=_minhash_ctes()
     ),
+    "embedding_mean_pool": EMBEDDING_MEAN_POOL_ORACLE,
 }

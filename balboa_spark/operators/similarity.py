@@ -537,6 +537,58 @@ def quantize_int8(
     ).withColumn("scale", F.col("scale").cast("double"))
 
 
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Chunk-to-document embedding pooling: the per-group component-wise
+    MEAN of vectors (optionally L2-normalized) — the step between
+    chunk-level encoding and document-level dedup/ANN in a real
+    pipeline (a document's embedding is the pooled embedding of its
+    context-window chunks).
+
+    Plan: posexplode to (group, component idx, value) scalars, ONE
+    map-side-combined groupBy (group, idx) average, then re-assemble
+    the vector with a sort within collect_list — shuffle volume is
+    rows x dim scalars with full partial aggregation, and no vector
+    ever crosses the wire whole. For dims where the scalar explode
+    dominates (>> 1k), swap the re-assembly stage for an Arrow
+    aggregation; the (group, idx) shape is unchanged.
+
+    Output: (group_col, n_pooled, vec_col) with components rounded to
+    6 decimals for cross-engine hash stability. NULL vectors are
+    ignored (a group of only NULLs disappears).
+    """
+    comp = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_i", "_v"),
+    )
+    per_comp = comp.groupBy(group_col, "_i").agg(
+        F.avg("_v").alias("_m"), F.count(F.lit(1)).alias("_n")
+    )
+    pooled = per_comp.groupBy(group_col).agg(
+        F.first("_n").alias("n_pooled"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_m"))),
+            lambda x: x["_m"],
+        ).alias("_vec"),
+    )
+    if normalize:
+        norm = F.sqrt(F.aggregate("_vec", F.lit(0.0), lambda a, x: a + x * x))
+        vec = F.when(norm == 0, F.col("_vec")).otherwise(
+            F.transform("_vec", lambda x: x / norm)
+        )
+    else:
+        vec = F.col("_vec")
+    return pooled.select(
+        group_col,
+        F.col("n_pooled").cast("long"),
+        F.transform(vec, lambda x: F.round(x, 6)).alias(vec_col),
+    )
+
+
 def pq_codebook(dim: int, m: int = 8, k: int = 16, seed: str = "balboa-pq"):
     """Deterministic product-quantization codebook: an (m, k, dim/m)
     ndarray of md5-derived centroids per subspace (the same no-RNG

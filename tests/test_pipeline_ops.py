@@ -512,6 +512,39 @@ def test_pq_encode_nearest_centroid_and_stability(spark):
     assert err32 <= err8 + 1e-9
 
 
+def test_mean_pool_components_and_norm(spark):
+    """Chunk->doc pooling: component-wise mean per group, unit L2 norm
+    when normalize=True, NULL vectors ignored, all-NULL groups vanish,
+    and numpy parity on the unnormalized means."""
+    import numpy as np
+
+    rows = [
+        (1, "a", [1.0, 0.0, 3.0, 0.0]),
+        (2, "a", [3.0, 2.0, 1.0, 0.0]),
+        (3, "b", [0.0, 0.0, 0.0, 0.0]),
+        (4, "b", None),
+        (5, "c", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, grp string, embedding array<double>"
+    )
+    raw = {
+        r.grp: (r.n_pooled, r.embedding)
+        for r in similarity.mean_pool(df, "grp", normalize=False).collect()
+    }
+    assert raw["a"][0] == 2 and raw["a"][1] == [2.0, 1.0, 2.0, 0.0]
+    assert raw["b"] == (1, [0.0, 0.0, 0.0, 0.0])  # zero vec kept as-is
+    assert "c" not in raw  # all-NULL group vanishes
+    unit = {
+        r.grp: np.array(r.embedding)
+        for r in similarity.mean_pool(df, "grp").collect()
+    }
+    assert abs(np.linalg.norm(unit["a"]) - 1.0) < 1e-5
+    want = np.array([2.0, 1.0, 2.0, 0.0])
+    assert np.allclose(unit["a"], np.round(want / np.linalg.norm(want), 6))
+    assert np.allclose(unit["b"], 0.0)  # zero norm: unnormalized
+
+
 def test_pq_topk_adc_recall_and_code_reuse(spark):
     """ADC top-k over PQ codes: on clustered vectors the approximate
     neighbors must recover the query's own cluster (the regime PQ is
