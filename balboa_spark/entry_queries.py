@@ -212,11 +212,15 @@ QUERIES.update(QUERIES_TEMPORAL)
 # Driver cap curation: the driver grades only the FIRST 50 registry
 # entries in insertion order (CORRECTNESS_r05 silently dropped slots
 # 50-59). Demote redundant same-family variants to the tail so every
-# operator family lands an oracle row inside the cap. Each tail entry
-# shares its operator path with an in-cap sibling; most were hash-green
-# in a prior round (r4/r5), and the r6-new tail entries
-# (corpus_interleave, media_patches) are driver_sim- and unit-verified
-# but not yet graded by the real driver — rotate them in next round:
+# operator family lands an oracle row inside the cap, and ROTATE per
+# round so every registered query gets a real-driver oracle row at
+# least once: this round the five entries the driver has never graded
+# (corpus_mixture_resample, corpus_chunk_tokens, corpus_interleave,
+# media_patches, embedding_mean_pool) move INTO the cap, displacing
+# five r5-green entries whose kernels sibling in-cap queries still
+# grade (text_profile, dedup_simhash, corpus_contamination,
+# corpus_pii_redact, events_sessionize — rotate back next round).
+# Standing tail rationale:
 #   tpch_q1/q3, join_enrich, topk_per_group — generic SQL demos, not
 #     §2 operators; dedup_keep_longest — near_dedup_keep_best rides the
 #     same pairs+CC path as dedup_near_keep; embedding_cosine_pairs —
@@ -231,16 +235,16 @@ _TAIL = [
     "corpus_vocab_topk",  # token-count kernel graded harder by tfidf_keywords
     "corpus_hash_split",  # md5-threshold kernel graded via mixture_resample
     "rollup_observations",  # GROUPING SETS variant of in-cap observations_agg
-    "corpus_chunk_tokens",  # pure-explode kernel; pack_sequences grades harder
-    "corpus_interleave",  # md5-rank window kernel shared with in-cap stratified_k
+    "text_profile",  # green r2-r5; pure-projection text kernel under corpus_quality_signals
+    "dedup_simhash",  # green r3-r5; pigeonhole-block kernel, rotates back next round
+    "corpus_contamination",  # green r4-r5; broadcast n-gram join, rotates back next round
+    "corpus_pii_redact",  # green r4-r5; pure regex projection, rotates back next round
+    "events_sessionize",  # green r4-r5; gaps-and-islands kernel, rotates back next round
     "media_stats",  # trivial metadata agg; media family graded via media_chunks
-    "media_patches",  # same double-explode shape as in-cap media_chunks
     "events_anomaly",  # same RANGE-frame machinery as in-cap events_rolling_1h
     "dedup_ngram_jaccard",  # green r3-r5; shingle inverted-index kernel also under minhash oracles
-    "corpus_mixture_resample",  # down-only arm; in-cap mixture_upsample generalizes it (r<1 = Bernoulli thin)
     "dedup_minhash_lsh",  # green r3-r5; its pair relation is the graded input of in-cap dedup_components AND dedup_near_keep
     "events_retention",  # green r5; narrow keyed-agg kernel, rotates back next round
-    "embedding_mean_pool",  # r6-new, driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",
