@@ -4,6 +4,7 @@ surface (backend/balboa-backend-console/main.c:96-135, cmd/balboa/cmds).
     python -m balboa_spark.cli dump    <store> <out_dir>
     python -m balboa_spark.cli jsonize <store> <out_dir>
     python -m balboa_spark.cli replay  <store> <dump_dir>
+    python -m balboa_spark.cli migrate-v1 <store> <v1_kv_dir>
     python -m balboa_spark.cli backup  <store> <backup_dir>
     python -m balboa_spark.cli query   <store> [--rrname --rdata
             --rrtype --sensor-id --limit N]          # NDJSON to stdout
@@ -34,6 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("replay", help="re-ingest a dump through merge (S6)")
     s.add_argument("store")
     s.add_argument("dump")
+
+    s = sub.add_parser(
+        "migrate-v1",
+        help="fold a legacy v1 key-value store into this store "
+        "(balboa-rocksdb-v1-dump analog)",
+    )
+    s.add_argument("store")
+    s.add_argument("v1_path")
 
     s = sub.add_parser("query", help="point lookup, NDJSON to stdout")
     s.add_argument("store")
@@ -75,6 +84,10 @@ def run(args: argparse.Namespace, spark=None) -> int:
         store.backup(args.out)
     elif args.cmd == "replay":
         store.replay(args.dump)
+    elif args.cmd == "migrate-v1":
+        from balboa_spark.plans.legacy_v1 import migrate_v1
+
+        migrate_v1(store, args.v1_path)
     elif args.cmd == "query":
         from balboa_spark.operators.query import Query, cidr_search
         from balboa_spark.serving import ndjson_rows, to_cof
