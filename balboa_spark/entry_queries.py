@@ -245,6 +245,9 @@ _TAIL = [
     "dedup_ngram_jaccard",  # green r3-r5; shingle inverted-index kernel also under minhash oracles
     "dedup_minhash_lsh",  # green r3-r5; its pair relation is the graded input of in-cap dedup_components AND dedup_near_keep
     "events_retention",  # green r5; narrow keyed-agg kernel, rotates back next round
+    "corpus_dedup_units",  # r6-new, driver_sim-verified; rotates into the cap next round
+    "corpus_dsir_topk",  # r6-new, driver_sim-verified; rotates into the cap next round
+    "corpus_epoch_shuffle",  # r6-new, driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

@@ -779,6 +779,111 @@ FROM i GROUP BY doc_id, island ORDER BY doc_id, span_id
 """
 
 
+# ---------------------------------------------------------------------------
+# intra-document repeated-unit removal
+# ---------------------------------------------------------------------------
+
+def q_dedup_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document keep-first dedup at token granularity (the
+    documents fixture has no newlines, so sep=' ' exercises the
+    kernel on real repetition)."""
+    return corpus.dedup_repeated_units(_docs(spark, sf_dir), sep=" ").filter(
+        F.col("n_units") > 0
+    )
+
+
+DEDUP_UNITS_ORACLE = """
+WITH s AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS u
+  FROM documents
+),
+e AS (
+  SELECT doc_id, u, CAST(unnest(range(1, len(u) + 1)) AS INTEGER) AS i
+  FROM s
+),
+k AS (
+  SELECT doc_id, u[i] AS unit, i, len(u) AS nu
+  FROM e WHERE list_position(u, u[i]) = i
+)
+SELECT doc_id, CAST(max(nu) AS INTEGER) AS n_units,
+       CAST(count(*) AS INTEGER) AS n_unique,
+       string_agg(unit, ' ' ORDER BY i) AS clean_text
+FROM k GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection (target = one source's documents)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCE = "src0"
+DSIR_K = 50
+
+
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source") == DSIR_TARGET_SOURCE)
+    return corpus.dsir_topk(docs, target, k=DSIR_K)
+
+
+DSIR_TOPK_ORACLE = f"""
+WITH {_TOKS_SQL},
+grams AS (
+  SELECT doc_id,
+         unnest(tk || CASE WHEN len(tk) >= 2
+           THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+           ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM toks
+),
+dc AS (
+  SELECT doc_id, substr(md5(g || ':dsir'), 1, 2) AS bk, count(*) AS c
+  FROM grams GROUP BY 1, 2
+),
+rb AS (SELECT bk, sum(c) AS rc FROM dc GROUP BY 1),
+tb AS (
+  SELECT bk, sum(c) AS tc FROM dc JOIN documents USING (doc_id)
+  WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT sum(rc) FROM rb) AS rn,
+         (SELECT coalesce(sum(tc), 0) FROM tb) AS tn
+),
+ratio AS (
+  SELECT rb.bk,
+         ln(coalesce(tb.tc, 0) + 1) - ln(tn + 256)
+           - ln(rb.rc + 1) + ln(rn + 256) AS lr
+  FROM rb LEFT JOIN tb USING (bk) CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       round(sum(c * lr), 4) AS weight
+FROM dc JOIN ratio USING (bk)
+GROUP BY doc_id ORDER BY weight DESC, doc_id LIMIT {DSIR_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle
+# ---------------------------------------------------------------------------
+
+SHUFFLE_EPOCH = 1
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.epoch_shuffle(_docs(spark, sf_dir), epoch=SHUFFLE_EPOCH)
+
+
+EPOCH_SHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5(doc_id::VARCHAR || ':{SHUFFLE_EPOCH}:shuffle') AS o
+  FROM documents
+)
+SELECT doc_id, substr(o, 1, 1) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY substr(o, 1, 1) ORDER BY o, doc_id) AS INTEGER) AS pos
+FROM h
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -800,6 +905,9 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sentences": q_sentences,
     "corpus_mixture_upsample": q_mixture_upsample,
     "corpus_expectations": q_expectations,
+    "corpus_dedup_units": q_dedup_units,
+    "corpus_dsir_topk": q_dsir_topk,
+    "corpus_epoch_shuffle": q_epoch_shuffle,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -823,4 +931,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_sentences": SENTENCES_ORACLE,
     "corpus_mixture_upsample": _mixture_upsample_oracle(),
     "corpus_expectations": _expectations_oracle(),
+    "corpus_dedup_units": DEDUP_UNITS_ORACLE,
+    "corpus_dsir_topk": DSIR_TOPK_ORACLE,
+    "corpus_epoch_shuffle": EPOCH_SHUFFLE_ORACLE,
 }

@@ -1062,3 +1062,228 @@ def mixture_resample(
         .filter(h8 < thr)
         .select(*df.columns)
     )
+
+
+def dedup_repeated_units(
+    df: DataFrame,
+    sep: str = "\n",
+    out_sep: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document repeated-unit removal: split each document on
+    ``sep`` (lines, paragraphs, or tokens), keep only the FIRST
+    occurrence of every distinct unit, and reassemble in original
+    order — the within-document arm of line/paragraph deduplication
+    in web-corpus cleaning (RefinedWeb/MassiveText repetition
+    removal; the cross-corpus arm is passage_dedup).
+
+    Output: (id, n_units, n_unique, clean_text).
+
+    ZERO-SHUFFLE: the whole operator is per-row array algebra
+    (split → filter-empty → keep-first via array_position → join)
+    inside whole-stage codegen, so at 100 TB it is a pure map with
+    no exchange at all. Keep-first is O(units²) array scanning per
+    row — bounded by document length, never by corpus size.
+    """
+    import re as _re
+
+    units = F.filter(
+        F.split(F.col(text_col), _re.escape(sep)), lambda x: x != ""
+    )
+    kept = F.filter(units, lambda x, i: F.array_position(units, x) == i + 1)
+    return df.select(
+        F.col(id_col),
+        F.size(units).alias("n_units"),
+        F.size(kept).alias("n_unique"),
+        F.array_join(kept, sep if out_sep is None else out_sep).alias(
+            "clean_text"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score raw documents by how target-like their
+# hashed n-gram distribution is, then keep the top-k.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKET_CHARS = 2  # md5-prefix buckets: 16^2 = 256
+
+
+def _dsir_grams(text_col: str) -> Column:
+    """Unigrams + bigrams of the whitespace tokens (the DSIR paper's
+    hashed n-gram feature set)."""
+    t = tokens(F.col(text_col))
+    bi = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(t, bi)
+
+
+def _dsir_bucket(gram: Column, salt: str) -> Column:
+    """Hash a gram into one of 256 buckets — the bucket id IS the
+    2-hex-char md5 prefix, so the identical expression runs in the
+    DuckDB oracle with no base-16 arithmetic."""
+    return F.substring(F.md5(F.concat(gram, F.lit(":" + salt))), 1, _DSIR_BUCKET_CHARS)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-document DSIR log importance weight
+    ``log p_target(x) - log p_raw(x)`` under hashed-n-gram bag models
+    with add-1 smoothing.
+
+    Output: (id, n_grams, weight) — weight rounded to 4 decimals
+    (documents more target-like than the raw corpus score > 0).
+
+    Scale shape: the only corpus-sized shuffle is ONE map-side-combined
+    groupBy((doc, bucket)); both distributions are 256-row aggregates,
+    the log-ratio table joins back AQE-broadcast, and the totals ride a
+    broadcast single-row cross join. Driver state: zero (no collect).
+    The target set is typically tiny (a quality reference corpus), but
+    nothing here requires it — both sides reduce to 256 rows.
+    """
+    B = 16**_DSIR_BUCKET_CHARS
+
+    def bucket_counts(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(
+                F.col(id_col),
+                F.explode(_dsir_grams(text_col)).alias("_g"),
+            )
+            .select(F.col(id_col), _dsir_bucket(F.col("_g"), salt).alias("_b"))
+            .groupBy(id_col, "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+
+    doc_b = bucket_counts(df)
+    raw_b = doc_b.groupBy("_b").agg(F.sum("_c").alias("_rc"))
+    tgt_b = (
+        bucket_counts(target).groupBy("_b").agg(F.sum("_c").alias("_tc"))
+    )
+    # smoothed log-ratio per bucket; buckets absent from the target
+    # take tc=0 (the +1 smoothing keeps the log finite). Totals are
+    # single-row aggregates broadcast into the 256-row table.
+    ratio = (
+        raw_b.join(tgt_b, "_b", "left")
+        .na.fill({"_tc": 0})
+        .crossJoin(
+            F.broadcast(raw_b.agg(F.sum("_rc").alias("_rn")))
+        )
+        .crossJoin(
+            F.broadcast(tgt_b.agg(F.sum("_tc").alias("_tn")))
+        )
+        .select(
+            "_b",
+            (
+                F.log(F.col("_tc") + 1)
+                - F.log(F.col("_tn") + B)
+                - F.log(F.col("_rc") + 1)
+                + F.log(F.col("_rn") + B)
+            ).alias("_lr"),
+        )
+    )
+    return (
+        doc_b.join(ratio, "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_grams"),
+            F.round(F.sum(F.col("_c") * F.col("_lr")), 4).alias("weight"),
+        )
+    )
+
+
+def dsir_topk(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Keep the k most target-like documents by DSIR weight
+    (deterministic: ties break on id). orderBy+limit plans as
+    TakeOrdered — per-partition heaps, no global sort."""
+    w = dsir_weights(df, target, text_col=text_col, id_col=id_col, salt=salt)
+    return w.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int = 0,
+    shard_hex_chars: int = 1,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: every row gets a
+    pseudo-random order key md5(id:epoch:salt), a shard (the key's
+    first ``shard_hex_chars`` hex digits → 16^chars shards), and its
+    position within the shard. Changing ``epoch`` re-permutes
+    everything; re-running the same epoch reproduces the exact
+    permutation regardless of partitioning or cluster size — the
+    property DataFrame.orderBy(rand()) does NOT have.
+
+    Output: (id, shard, pos) with pos = 1-based rank of the order key
+    inside the shard.
+
+    Scale: shards are md5-balanced, so the per-shard window ranks
+    |corpus|/16^chars rows — size ``shard_hex_chars`` (e.g. 3 → 4096
+    shards) so a shard fits an executor. The write path
+    (:func:`write_epoch_shards`) needs no rank at all and does one
+    hash repartition + within-partition sort — no global sort, no
+    single-partition exchange.
+    """
+    h = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(f":{epoch}:{salt}")
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("_ord", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            h.alias("_ord"),
+            F.substring(h, 1, shard_hex_chars).alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def write_epoch_shards(
+    df: DataFrame,
+    path: str,
+    epoch: int = 0,
+    num_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> None:
+    """Materialize one epoch's shuffled corpus as ``num_shards``
+    parquet shard directories, rows in shuffled order inside each
+    shard. One hash repartition + sortWithinPartitions — the scan
+    order a sequential reader sees IS the epoch permutation, and no
+    operator ever holds a global ordinal."""
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{epoch}:{salt}"))
+    )
+    (
+        df.withColumn("_ord", h)
+        .withColumn("shard", F.pmod(F.crc32(h.cast("binary")), num_shards))
+        .repartition(num_shards, "shard")
+        .sortWithinPartitions("_ord")
+        .drop("_ord")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

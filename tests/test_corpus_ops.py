@@ -813,3 +813,82 @@ def test_global_prefix_sum_matches_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_dedup_repeated_units_keeps_first_occurrence(spark):
+    rows = [
+        (1, "a|b|a|c|b|a"),
+        (2, "x|x|x"),
+        (3, "solo"),
+        (4, "||a||"),  # empty units dropped before dedup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in corpus.dedup_repeated_units(df, sep="|").collect()
+    }
+    assert (out[1]["n_units"], out[1]["n_unique"]) == (6, 3)
+    assert out[1]["clean_text"] == "a|b|c"
+    assert out[2]["clean_text"] == "x" and out[2]["n_unique"] == 1
+    assert out[3]["clean_text"] == "solo"
+    assert (out[4]["n_units"], out[4]["clean_text"]) == (1, "a")
+
+
+def test_dedup_repeated_units_is_zero_shuffle(spark, mini):
+    plan = (
+        corpus.dedup_repeated_units(mini, sep=" ")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    # target speaks "alpha beta"; half the raw corpus does too, the
+    # other half is "gamma delta" prose — DSIR must rank the
+    # alpha-beta half strictly above the gamma-delta half
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta alpha beta alpha") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    raw_rows = [(i, "alpha beta alpha beta gamma") for i in range(5)] + [
+        (10 + i, "gamma delta epsilon zeta eta") for i in range(5)
+    ]
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    top5 = corpus.dsir_topk(raw, target, k=5).collect()
+    assert sorted(r["doc_id"] for r in top5) == [0, 1, 2, 3, 4]
+    # weights of the target-like half are strictly positive-leaning
+    w = {r["doc_id"]: r["weight"] for r in corpus.dsir_weights(raw, target).collect()}
+    assert min(w[i] for i in range(5)) > max(w[10 + i] for i in range(5))
+
+
+def test_epoch_shuffle_is_deterministic_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = corpus.epoch_shuffle(df, epoch=0).collect()
+    b = corpus.epoch_shuffle(df, epoch=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every row appears exactly once, positions are 1..n per shard
+    assert sorted(r["doc_id"] for r in a) == list(range(200))
+    by_shard: dict[str, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # a different epoch is a different permutation
+    c = corpus.epoch_shuffle(df, epoch=1).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_write_epoch_shards_orders_within_shard(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "epoch0")
+    corpus.write_epoch_shards(df, path, epoch=0, num_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == list(
+        range(100)
+    )
+    assert back.select("shard").distinct().count() <= 4
