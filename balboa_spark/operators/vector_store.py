@@ -17,12 +17,31 @@ is exactly the clustered-data case) -> exact cosine re-rank top-k.
 
 The LSH parameters are frozen into a manifest at write time; queries
 read them back so index and probes always agree.
+
+Consistency + incremental growth (the embedding-pipeline steady state
+is "a new batch of vectors lands every hour", not "rebuild the
+index"): the store adopts the same generation-flip model as
+ObservationStore (plans/layout.py) —
+
+- every write/upsert lands in a fresh ``gen-<n>/`` directory and the
+  only commit point is the atomic ``manifest.json`` rename, so a
+  crash mid-write leaves the previous generation fully readable and
+  ``main`` and ``index`` can never disagree;
+- ``upsert`` rewrites ONLY the id buckets the batch's ids hash into
+  and the code partitions the batch touches — including the OLD codes
+  of replaced vectors, recomputed from their stored embeddings so
+  stale index entries are dropped — and hard-links every untouched
+  partition from the previous generation. Cost scales with the batch
+  (plus the bounded code fan-out, <= L*2^planes partitions), never
+  with the index size. Driver state: two collect_sets bounded by
+  num_id_buckets + the code space.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +51,7 @@ from balboa_spark.operators.similarity import (
     lsh_bucket_codes,
     topk_brute,
 )
+from balboa_spark.plans.layout import _link_tree
 
 MANIFEST = "manifest.json"
 
@@ -53,41 +73,191 @@ class VectorStore:
         self.seed = seed
         self.num_id_buckets = num_id_buckets
 
-    def write(self, df: DataFrame, dim: int, vec_col: str = "embedding", id_col: str = "vec_id") -> None:
-        codes = lsh_bucket_codes(vec_col, dim, self.num_tables, self.num_planes, self.seed)
-        with_codes = df.withColumn("_bs", codes)
-        (
-            with_codes.drop("_bs")
-            .withColumn("id_bucket", F.pmod(F.hash(F.col(id_col)), F.lit(self.num_id_buckets)))
-            .repartition("id_bucket")
-            .write.mode("overwrite")
-            .partitionBy("id_bucket")
-            .parquet(os.path.join(self.path, "main"))
-        )
-        (
-            with_codes.select(F.col(id_col), F.explode("_bs").alias("code"))
-            .repartition("code")
-            .write.mode("overwrite")
-            .partitionBy("code")
-            .parquet(os.path.join(self.path, "index"))
-        )
-        with open(os.path.join(self.path, MANIFEST), "w") as f:
-            json.dump(
-                {
-                    "dim": dim,
-                    "num_tables": self.num_tables,
-                    "num_planes": self.num_planes,
-                    "seed": self.seed,
-                    "vec_col": vec_col,
-                    "id_col": id_col,
-                    "num_id_buckets": self.num_id_buckets,
-                },
-                f,
-            )
+    # -- manifest / generation plumbing (mirrors plans/layout.py) -----
+
+    def _manifest(self) -> dict | None:
+        try:
+            with open(os.path.join(self.path, MANIFEST)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
 
     def _load_manifest(self) -> dict:
-        with open(os.path.join(self.path, MANIFEST)) as f:
-            return json.load(f)
+        man = self._manifest()
+        if man is None:
+            raise FileNotFoundError(f"no vector store at {self.path}")
+        return man
+
+    def _gen_dir(self, gen: int) -> str:
+        return os.path.join(self.path, f"gen-{gen}")
+
+    def _flip_manifest(self, man: dict) -> None:
+        tmp = os.path.join(self.path, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, os.path.join(self.path, MANIFEST))
+
+    def _commit(self, gen: int, dim: int, vec_col: str, id_col: str) -> None:
+        self._flip_manifest(
+            {
+                "generation": gen,
+                "dim": dim,
+                "num_tables": self.num_tables,
+                "num_planes": self.num_planes,
+                "seed": self.seed,
+                "vec_col": vec_col,
+                "id_col": id_col,
+                "num_id_buckets": self.num_id_buckets,
+                "written_at": int(time.time()),
+            }
+        )
+        self._vacuum(keep_last=2)
+
+    def _vacuum(self, keep_last: int) -> None:
+        import shutil
+
+        man = self._manifest()
+        if man is None:
+            return
+        floor = man["generation"] - keep_last + 1
+        for entry in os.listdir(self.path):
+            if entry.startswith("gen-") and int(entry[4:]) < floor:
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+
+    def _codes(self, vec_col: str, dim: int):
+        return lsh_bucket_codes(
+            vec_col, dim, self.num_tables, self.num_planes, self.seed
+        )
+
+    def _id_bucket(self, id_col: str):
+        return F.pmod(F.hash(F.col(id_col)), F.lit(self.num_id_buckets))
+
+    def _write_partitions(
+        self, gen_dir: str, main: DataFrame, index: DataFrame
+    ) -> None:
+        (
+            main.repartition("id_bucket")
+            .write.mode("overwrite")
+            .partitionBy("id_bucket")
+            .parquet(os.path.join(gen_dir, "main"))
+        )
+        (
+            index.repartition("code")
+            .write.mode("overwrite")
+            .partitionBy("code")
+            .parquet(os.path.join(gen_dir, "index"))
+        )
+
+    # -- public API ---------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        dim: int,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        """Full (re)build as a fresh generation + manifest flip."""
+        man = self._manifest()
+        gen = man["generation"] + 1 if man else 0
+        with_codes = df.withColumn("_bs", self._codes(vec_col, dim))
+        main = with_codes.drop("_bs").withColumn(
+            "id_bucket", self._id_bucket(id_col)
+        )
+        index = with_codes.select(
+            F.col(id_col), F.explode("_bs").alias("code")
+        )
+        self._write_partitions(self._gen_dir(gen), main, index)
+        self._commit(gen, dim, vec_col, id_col)
+
+    def upsert(self, batch: DataFrame) -> None:
+        """Fold a batch of new-or-replaced vectors into the index.
+
+        Selective rewrite: only the batch's id buckets and the union
+        of (old codes of replaced ids, new codes of the batch) are
+        re-materialized; every other partition hard-links from the
+        previous generation. Within-batch duplicate ids keep an
+        arbitrary single row (dropDuplicates), matching last-write
+        semantics of a keyed store.
+        """
+        man = self._load_manifest()
+        dim, vec_col, id_col = man["dim"], man["vec_col"], man["id_col"]
+        gen, old_gen_dir = man["generation"] + 1, self._gen_dir(man["generation"])
+
+        stored = self.spark.read.parquet(os.path.join(old_gen_dir, "main"))
+        # align the batch to the stored row schema (raises clearly on a
+        # missing column) so the unions below cannot drift
+        batch = (
+            batch.select([c for c in stored.columns if c != "id_bucket"])
+            .dropDuplicates([id_col])
+            .withColumn("_bs", self._codes(vec_col, dim))
+        )
+
+        # touched id buckets (bounded by num_id_buckets) in one job
+        touched_buckets = sorted(
+            batch.agg(
+                F.collect_set(self._id_bucket(id_col)).alias("b")
+            ).collect()[0]["b"]
+        )
+        stored_touched = stored.filter(F.col("id_bucket").isin(touched_buckets))
+        replaced = stored_touched.join(
+            batch.select(id_col), id_col, "left_semi"
+        )
+        # touched code partitions: the batch's new codes PLUS the old
+        # codes of replaced vectors (recomputed from stored embeddings
+        # — cheaper than persisting codes in main, and exact because
+        # the manifest froze the LSH parameters). One job, driver
+        # state bounded by the L*2^planes code space.
+        code_sets = (
+            batch.select(F.explode("_bs").alias("c"))
+            .unionByName(
+                replaced.select(
+                    F.explode(self._codes(vec_col, dim)).alias("c")
+                )
+            )
+            .agg(F.collect_set("c").alias("cs"))
+            .collect()[0]["cs"]
+        )
+        touched_codes = sorted(code_sets)
+
+        new_main = (
+            stored_touched.join(batch.select(id_col), id_col, "left_anti")
+            .unionByName(
+                batch.drop("_bs").withColumn("id_bucket", self._id_bucket(id_col))
+            )
+        )
+        old_index = self.spark.read.parquet(os.path.join(old_gen_dir, "index"))
+        new_index = (
+            old_index.filter(F.col("code").isin(touched_codes))
+            .join(batch.select(id_col), id_col, "left_anti")
+            .unionByName(
+                batch.select(F.col(id_col), F.explode("_bs").alias("code"))
+            )
+        )
+
+        gen_dir = self._gen_dir(gen)
+        self._write_partitions(gen_dir, new_main, new_index)
+        # hard-link untouched partitions from the previous generation
+        for sub, touched, prefix in (
+            ("main", {f"id_bucket={b}" for b in touched_buckets}, "id_bucket="),
+            ("index", {f"code={c}" for c in touched_codes}, "code="),
+        ):
+            old_sub = os.path.join(old_gen_dir, sub)
+            new_sub = os.path.join(gen_dir, sub)
+            if os.path.isdir(old_sub):
+                for entry in os.listdir(old_sub):
+                    if entry.startswith(prefix) and entry not in touched:
+                        _link_tree(
+                            os.path.join(old_sub, entry),
+                            os.path.join(new_sub, entry),
+                        )
+        self._commit(gen, dim, vec_col, id_col)
+
+    def main(self) -> DataFrame:
+        man = self._load_manifest()
+        return self.spark.read.parquet(
+            os.path.join(self._gen_dir(man["generation"]), "main")
+        )
 
     def candidates(self, query_vec: list[float], probe_hamming: int = 2) -> DataFrame:
         """Partition-pruned candidate rows for a query vector."""
@@ -95,10 +265,11 @@ class VectorStore:
         probes = _probe_codes(
             query_vec, man["num_tables"], man["num_planes"], probe_hamming, man["seed"]
         )
-        index = self.spark.read.parquet(os.path.join(self.path, "index"))
+        index = self.spark.read.parquet(
+            os.path.join(self._gen_dir(man["generation"]), "index")
+        )
         ids = index.filter(F.col("code").isin(probes)).select(man["id_col"]).distinct()
-        main = self.spark.read.parquet(os.path.join(self.path, "main"))
-        return main.join(ids, man["id_col"]).drop("id_bucket")
+        return self.main().join(ids, man["id_col"]).drop("id_bucket")
 
     def topk(self, query_vec: list[float], k: int = 10, probe_hamming: int = 2) -> DataFrame:
         man = self._load_manifest()

@@ -626,3 +626,87 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     assert out[(1, 2)] == 1.0
     assert out[(1, 3)] > 0.3          # near-dup scores high-ish
     assert (1, 4) not in out          # unrelated never collides
+
+
+def test_vector_store_upsert_selective_and_exact(spark, emb, tmp_path):
+    """Incremental upsert: adds new vectors, replaces an existing one
+    (stale index entries dropped via recomputed old codes), leaves
+    untouched partitions hard-linked from the previous generation,
+    and post-upsert topk equals brute force over the updated corpus."""
+    import os
+
+    from balboa_spark.operators import similarity
+    from balboa_spark.operators.vector_store import VectorStore
+
+    vs = VectorStore(spark, str(tmp_path / "vsu"), num_id_buckets=8)
+    first = emb.filter(F.col("vec_id") < 400).select("vec_id", "embedding")
+    vs.write(first, dim=64)
+
+    # batch = the remaining vectors PLUS vec 0 replaced by vec 1's
+    # embedding (so a probe with vec 1's embedding must now return
+    # vec 0 at cosine 1.0 — only possible if the stale index entries
+    # for vec 0's OLD embedding were dropped and new ones added)
+    v1 = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    rest = emb.filter(F.col("vec_id") >= 400)
+    replaced = spark.createDataFrame(
+        [(0, list(v1))], "vec_id long, embedding array<float>"
+    )
+    vs.upsert(rest.select("vec_id", "embedding").unionByName(replaced))
+
+    updated = (
+        emb.filter(F.col("vec_id") > 0)
+        .select("vec_id", "embedding")
+        .unionByName(replaced)
+    )
+    got = [(r.vec_id, round(r.cos, 6)) for r in vs.topk(v1, k=5).collect()]
+    brute = [
+        (r.vec_id, round(r.cos, 6))
+        for r in similarity.topk_brute(updated, list(v1), k=5).collect()
+    ]
+    assert got == brute
+    assert {vid for vid, _ in got[:2]} == {0, 1}  # the replaced pair leads
+
+    # store totals are exact after replace + append
+    assert vs.main().count() == emb.count()
+    # two generations exist (vacuum keeps 2); gen-1 is current
+    gens = sorted(e for e in os.listdir(vs.path) if e.startswith("gen-"))
+    assert gens == ["gen-0", "gen-1"]
+    # at least one index code partition was carried by hard link (same
+    # inode in both generations) — the selective-rewrite signature
+    shared = 0
+    for sub in ("main", "index"):
+        old_sub, new_sub = (
+            os.path.join(vs.path, g, sub) for g in ("gen-0", "gen-1")
+        )
+        for part in os.listdir(new_sub):
+            op, np_ = os.path.join(old_sub, part), os.path.join(new_sub, part)
+            if os.path.isdir(op) and os.path.isdir(np_):
+                ofiles = {
+                    f: os.stat(os.path.join(op, f)).st_ino
+                    for f in os.listdir(op)
+                    if f.endswith(".parquet")
+                }
+                for f, ino in ofiles.items():
+                    nf = os.path.join(np_, f)
+                    if os.path.exists(nf) and os.stat(nf).st_ino == ino:
+                        shared += 1
+    assert shared > 0
+
+
+def test_vector_store_crash_mid_upsert_keeps_old_generation(spark, emb, tmp_path):
+    """A gen directory without a manifest flip must be invisible:
+    readers keep serving the previous generation."""
+    import os
+    import shutil
+
+    from balboa_spark.operators.vector_store import VectorStore
+
+    vs = VectorStore(spark, str(tmp_path / "vsc"))
+    vs.write(emb.filter(F.col("vec_id") < 100), dim=64)
+    # simulate a crash: a half-written next generation, manifest not
+    # flipped
+    os.makedirs(os.path.join(vs.path, "gen-1", "main"), exist_ok=True)
+    assert vs.main().count() == 100
+    man = vs._load_manifest()
+    assert man["generation"] == 0
+    shutil.rmtree(os.path.join(vs.path, "gen-1"))
