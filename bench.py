@@ -345,6 +345,30 @@ def main() -> None:
         qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
         similarity.lsh_bucketed_topk(emb, qvec, k=20).collect()
 
+    @timed("dsir_select")
+    def _():
+        # hashed-n-gram importance selection: one corpus-sized shuffle
+        # (doc x bucket counts) + a 256-row broadcast log-ratio table +
+        # TakeOrdered — the data-selection pass of a training pipeline
+        from balboa_spark.operators import corpus
+
+        docs = par(spark.table("documents"))
+        target = docs.filter(F.col("source") == "src0")
+        corpus.dsir_topk(docs, target, k=100).collect()
+
+    @timed("epoch_shuffle_write")
+    def _():
+        # deterministic epoch-shard materialization: one hash
+        # repartition + within-shard sort, no global sort
+        from balboa_spark.operators import corpus
+
+        corpus.write_epoch_shards(
+            par(spark.table("documents")).select("doc_id", "text"),
+            os.path.join(tmp, "epoch0"),
+            epoch=0,
+            num_shards=16,
+        )
+
     run_items()
     shutil.rmtree(tmp, ignore_errors=True)
 

@@ -710,3 +710,67 @@ def test_vector_store_crash_mid_upsert_keeps_old_generation(spark, emb, tmp_path
     man = vs._load_manifest()
     assert man["generation"] == 0
     shutil.rmtree(os.path.join(vs.path, "gen-1"))
+
+
+def test_streaming_vector_index_upsert(spark, emb, tmp_path):
+    """The embedding-pipeline steady state: vector batches land as
+    files -> micro-batches foreachBatch-upsert into the persisted ANN
+    index -> queries see every generation's vectors. Exercises
+    VectorStore.upsert under Structured Streaming (bootstrap write on
+    first batch, selective upsert after)."""
+    from balboa_spark.operators import similarity
+    from balboa_spark.operators.vector_store import VectorStore
+
+    land = tmp_path / "vland"
+    land.mkdir()
+    vs = VectorStore(spark, str(tmp_path / "vsidx"))
+
+    emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding").coalesce(
+        1
+    ).write.parquet(str(land / "b1"))
+
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(land))
+
+    def sink(batch, _epoch):
+        if vs._manifest() is None:
+            vs.write(batch, dim=64)
+        else:
+            vs.upsert(batch)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "vckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    emb.filter(F.col("vec_id") >= 300).select("vec_id", "embedding").coalesce(
+        1
+    ).write.parquet(str(land / "b2"))
+    q2 = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "vckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q2.awaitTermination(120)
+    finally:
+        q2.stop()
+
+    assert vs.main().count() == emb.count()
+    qvec = list(emb.filter(F.col("vec_id") == 350).first()["embedding"])
+    got = [(r.vec_id, round(r.cos, 6)) for r in vs.topk(qvec, k=5).collect()]
+    brute = [
+        (r.vec_id, round(r.cos, 6))
+        for r in similarity.topk_brute(
+            emb.select("vec_id", "embedding"), qvec, k=5
+        ).collect()
+    ]
+    assert got == brute
