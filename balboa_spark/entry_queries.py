@@ -248,6 +248,7 @@ _TAIL = [
     "corpus_dedup_units",  # r6-new, driver_sim-verified; rotates into the cap next round
     "corpus_dsir_topk",  # r6-new, driver_sim-verified; rotates into the cap next round
     "corpus_epoch_shuffle",  # r6-new, driver_sim-verified; rotates into the cap next round
+    "corpus_bm25_topk",  # r6-new, driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

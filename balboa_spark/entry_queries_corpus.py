@@ -862,6 +862,50 @@ GROUP BY doc_id ORDER BY weight DESC, doc_id LIMIT {DSIR_K}
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("merge", "broadcast", "shuffle")
+BM25_K = 25
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from balboa_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERY, k=BM25_K)
+
+
+_BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in BM25_QUERY) + "]"
+
+from balboa_spark.operators.search import BM25_B, BM25_K1  # noqa: E402
+
+BM25_TOPK_ORACLE = f"""
+WITH {_TOKS_SQL},
+st AS (
+  SELECT doc_id, len(tk) AS dl,
+         list_filter(tk, x -> list_contains({_BM25_TERMS_SQL}, x)) AS qt
+  FROM toks
+),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM st),
+tf AS (
+  SELECT doc_id, dl, unnest(qt) AS term FROM st
+),
+tfg AS (
+  SELECT doc_id, dl, term, count(*) AS f FROM tf GROUP BY 1, 2, 3
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfg GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       round(sum(
+         ln((n - df + 0.5) / (df + 0.5) + 1)
+           * f * ({BM25_K1} + 1)
+           / (f + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+       ), 4) AS score
+FROM tfg JOIN dft USING (term) CROSS JOIN stats
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic epoch shuffle
 # ---------------------------------------------------------------------------
 
@@ -908,6 +952,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dedup_units": q_dedup_units,
     "corpus_dsir_topk": q_dsir_topk,
     "corpus_epoch_shuffle": q_epoch_shuffle,
+    "corpus_bm25_topk": q_bm25_topk,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -934,4 +979,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_dedup_units": DEDUP_UNITS_ORACLE,
     "corpus_dsir_topk": DSIR_TOPK_ORACLE,
     "corpus_epoch_shuffle": EPOCH_SHUFFLE_ORACLE,
+    "corpus_bm25_topk": BM25_TOPK_ORACLE,
 }

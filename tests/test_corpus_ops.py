@@ -892,3 +892,42 @@ def test_write_epoch_shards_orders_within_shard(spark, tmp_path):
         range(100)
     )
     assert back.select("shard").distinct().count() <= 4
+
+
+def test_bm25_exact_scores_and_ranking(spark):
+    import math
+
+    from balboa_spark.operators.search import bm25_topk
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "durian elderberry fig grape"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in bm25_topk(df, ["apple", "banana"], k=3).collect()}
+
+    def score(f, dfreq, dl, n=3, avgdl=3.0, k1=1.2, b=0.75):
+        idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1)
+        return idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = round(score(2, 1, 3) + score(1, 2, 3), 4)  # apple x2 + banana
+    exp2 = round(score(1, 2, 2), 4)  # banana only, shorter doc
+    assert got[1].score == pytest.approx(exp1, abs=1e-4)
+    assert got[2].score == pytest.approx(exp2, abs=1e-4)
+    assert 3 not in got  # no query terms -> no row
+    assert got[1].n_terms == 2 and got[2].n_terms == 1
+    assert got[1].score > got[2].score  # two-term match outranks
+
+
+def test_bm25_plan_broadcasts_and_takeordered(spark, mini):
+    from balboa_spark.operators.search import bm25_topk
+
+    plan = (
+        bm25_topk(mini, ["quick", "spam"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
