@@ -102,3 +102,70 @@ def test_distinct_sketches_merge_and_error_bound(spark):
         }
     for g in est:
         assert abs(inc[g] - est[g]) / exact < 4 * rse, (g, inc[g], est[g])
+
+
+def test_quantile_sketches_merge_and_rank_error(spark):
+    """Persistable KLL quantile sketches: per-group quantile estimates
+    within the k=800 rank-error bound of the exact quantile, parquet
+    round-trip, and incremental batch merge matching the full-stream
+    sketch's error contract."""
+    import importlib
+    import tempfile
+
+    A = importlib.import_module("balboa_spark.operators.aggregate")
+    # values 0..5999 per 2 groups -> exact quantile q of group g is
+    # ~q*3000 (uniform ranks)
+    df = spark.range(6000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") / 2).cast("double").alias("v")
+    )
+    full = A.quantile_sketches(df, "v", "g", k=800)
+    probed = {r.g: r for r in A.sketch_quantiles(full, (0.5, 0.9)).collect()}
+    for g, r in probed.items():
+        assert r.n == 3000
+        # KLL rank error at k=800 is ~0.6%; allow 2% of the range
+        assert abs(r.p0_5 - 1500) <= 60, (g, r.p0_5)
+        assert abs(r.p0_9 - 2700) <= 60, (g, r.p0_9)
+    b1, b2 = df.filter("id < 2500"), df.filter("id >= 2500")
+    with tempfile.TemporaryDirectory() as d:
+        A.quantile_sketches(b1, "v", "g", k=800).write.parquet(d + "/q1")
+        A.quantile_sketches(b2, "v", "g", k=800).write.parquet(d + "/q2")
+        inc = {
+            r.g: r
+            for r in A.sketch_quantiles(
+                A.merge_quantile_sketches(
+                    spark.read.parquet(d + "/q1"), spark.read.parquet(d + "/q2")
+                ),
+                (0.5, 0.9),
+            ).collect()
+        }
+    for g in probed:
+        assert inc[g].n == 3000
+        assert abs(inc[g].p0_5 - 1500) <= 60
+        assert abs(inc[g].p0_9 - 2700) <= 60
+
+
+def test_contamination_overlap_sketch_bound(spark):
+    """Theta-sketch corpus/eval n-gram overlap: estimates within a few
+    percent of exact set arithmetic on planted overlap."""
+    from balboa_spark.operators.corpus import contamination_overlap_sketch
+
+    # train doc i has tokens [i..i+40]; eval reuses train docs 0..4
+    # (overlapping 8-grams) plus disjoint vocab docs
+    def doc(i, base):
+        return (i, " ".join(f"w{base + j}" for j in range(40)))
+
+    train = spark.createDataFrame(
+        [doc(i, i * 40) for i in range(50)], ["doc_id", "text"]
+    )
+    evals = spark.createDataFrame(
+        [doc(100 + i, i * 40) for i in range(5)]
+        + [doc(200 + i, 100000 + i * 40) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    row = contamination_overlap_sketch(train, evals, n=8).collect()[0]
+    # exact: each doc contributes 33 distinct 8-grams, all distinct
+    # across docs (disjoint vocab windows)
+    assert abs(row.train_grams_est - 50 * 33) / (50 * 33) < 0.05
+    assert abs(row.eval_grams_est - 10 * 33) / (10 * 33) < 0.05
+    assert abs(row.overlap_est - 5 * 33) / (5 * 33) < 0.05
+    assert 0.4 < row.containment_est < 0.6  # true containment 0.5
