@@ -367,3 +367,52 @@ def test_timestamp_filter_pushdown_survives_ntz_normalization(spark):
     scan = next(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "PushedFilters: []" not in scan, f"filter not pushed: {scan}"
     assert "o_orderdate" in scan.split("PushedFilters")[1][:200]
+
+
+def test_bucketed_join_has_no_exchange(spark, tables, tmp_path):
+    """Two tables bucketed on the join key with matching counts must
+    join with NO Exchange (and, being bucket-sorted, no Sort) in the
+    physical plan — the repeated-big-join cost model at scale."""
+    from pyspark.sql import functions as F
+
+    from balboa_spark.plans.bucketing import colocated_join, write_bucketed
+
+    docs = tables["documents"].select("doc_id", "n_chars")
+    scores = tables["documents"].select(
+        "doc_id", (F.col("n_chars") % 97).alias("score")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        prev_aqe = None
+    try:
+        # at test scale Spark prefers broadcasting the kilobyte side
+        # (which disables the bucketed scan); at the scale this path
+        # exists for, both sides are too big to broadcast — model that
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(docs, "b_docs", str(tmp_path / "b_docs"), "doc_id", 8)
+        write_bucketed(
+            scores, "b_scores", str(tmp_path / "b_scores"), "doc_id", 8
+        )
+        joined = colocated_join(spark, "b_docs", "b_scores", "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" not in plan
+        assert joined.count() == tables["documents"].count()
+        # and an unbucketed twin of the same join DOES shuffle — the
+        # assertion above is meaningful, not vacuous
+        raw = docs.join(scores, "doc_id")
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in raw_plan or "Broadcast" in raw_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe
+            )
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_scores")
