@@ -1182,7 +1182,13 @@ def dsir_weights(
             F.broadcast(raw_b.agg(F.sum("_rc").alias("_rn")))
         )
         .crossJoin(
-            F.broadcast(tgt_b.agg(F.sum("_tc").alias("_tn")))
+            # coalesce: an EMPTY target aggregates to a null sum, which
+            # would silently null every weight — with tn=0 the weights
+            # instead degrade to the uniform-target prior, and stay
+            # defined
+            F.broadcast(
+                tgt_b.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_tn"))
+            )
         )
         .select(
             "_b",

@@ -931,3 +931,16 @@ def test_bm25_plan_broadcasts_and_takeordered(spark, mini):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsir_empty_target_stays_defined(spark):
+    """An empty target corpus must not null the weights — they fall
+    back to the uniform-target prior (finite, same for equal-length
+    docs)."""
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    empty = raw.filter("doc_id < 0")
+    w = {r.doc_id: r.weight for r in corpus.dsir_weights(raw, empty).collect()}
+    assert len(w) == 2 and all(v is not None for v in w.values())
