@@ -1225,6 +1225,17 @@ def dsir_topk(
     return w.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)
 
 
+def _epoch_order_key(id_col: str, epoch: int, salt: str) -> Column:
+    """THE epoch permutation key — md5(id:epoch:salt) — shared by
+    epoch_shuffle and write_epoch_shards so the queryable (shard, pos)
+    relation and the materialized shard layout can never disagree.
+    The shard is always the key's leading hex digits (one rule, both
+    paths)."""
+    return F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{epoch}:{salt}"))
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     epoch: int = 0,
@@ -1250,11 +1261,7 @@ def epoch_shuffle(
     hash repartition + within-partition sort — no global sort, no
     single-partition exchange.
     """
-    h = F.md5(
-        F.concat(
-            F.col(id_col).cast("string"), F.lit(f":{epoch}:{salt}")
-        )
-    )
+    h = _epoch_order_key(id_col, epoch, salt)
     w = Window.partitionBy("shard").orderBy("_ord", id_col)
     return (
         df.select(
@@ -1271,24 +1278,32 @@ def write_epoch_shards(
     df: DataFrame,
     path: str,
     epoch: int = 0,
-    num_shards: int = 16,
+    shard_hex_chars: int = 1,
     id_col: str = "doc_id",
     salt: str = "shuffle",
 ) -> None:
-    """Materialize one epoch's shuffled corpus as ``num_shards``
+    """Materialize one epoch's shuffled corpus as 16^shard_hex_chars
     parquet shard directories, rows in shuffled order inside each
-    shard. One hash repartition + sortWithinPartitions — the scan
-    order a sequential reader sees IS the epoch permutation, and no
-    operator ever holds a global ordinal."""
-    h = F.md5(
-        F.concat(F.col(id_col).cast("string"), F.lit(f":{epoch}:{salt}"))
-    )
+    shard — the SAME shard rule and order key as
+    :func:`epoch_shuffle`, so its (shard, pos) relation indexes this
+    layout exactly. One hash repartition + sortWithinPartitions — the
+    scan order a sequential reader sees IS the epoch permutation, and
+    no operator ever holds a global ordinal.
+
+    The ``_ord`` key is KEPT in the written files and the
+    within-partition sort is ``(shard, _ord)``: a dynamic-partition
+    parquet write requires its input ordered by the partition column
+    and will INSERT ITS OWN Sort[shard] if the incoming order doesn't
+    already satisfy it — which would silently destroy a bare
+    sort("_ord") (caught by the ordering regression test; dropping
+    ``_ord`` pre-write also discarded the reader's only way to verify
+    order)."""
+    h = _epoch_order_key(id_col, epoch, salt)
     (
         df.withColumn("_ord", h)
-        .withColumn("shard", F.pmod(F.crc32(h.cast("binary")), num_shards))
-        .repartition(num_shards, "shard")
-        .sortWithinPartitions("_ord")
-        .drop("_ord")
+        .withColumn("shard", F.substring(F.col("_ord"), 1, shard_hex_chars))
+        .repartition("shard")
+        .sortWithinPartitions("shard", "_ord")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

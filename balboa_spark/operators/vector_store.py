@@ -86,6 +86,12 @@ class VectorStore:
         man = self._manifest()
         if man is None:
             raise FileNotFoundError(f"no vector store at {self.path}")
+        if "generation" not in man:
+            raise ValueError(
+                f"vector store at {self.path} uses the pre-generation "
+                "layout (no 'generation' in manifest); rebuild it with "
+                "write() — there is no in-place migration"
+            )
         return man
 
     def _gen_dir(self, gen: int) -> str:
@@ -97,17 +103,31 @@ class VectorStore:
             json.dump(man, f)
         os.replace(tmp, os.path.join(self.path, MANIFEST))
 
-    def _commit(self, gen: int, dim: int, vec_col: str, id_col: str) -> None:
+    def _commit(
+        self,
+        gen: int,
+        dim: int,
+        vec_col: str,
+        id_col: str,
+        frozen: dict | None = None,
+    ) -> None:
+        """``frozen`` (a prior manifest) wins over the constructor's
+        parameters: an upsert through a store handle constructed with
+        different defaults must carry the WRITE-TIME contract forward,
+        not silently rewrite it."""
+        src = frozen or {}
         self._flip_manifest(
             {
                 "generation": gen,
                 "dim": dim,
-                "num_tables": self.num_tables,
-                "num_planes": self.num_planes,
-                "seed": self.seed,
+                "num_tables": src.get("num_tables", self.num_tables),
+                "num_planes": src.get("num_planes", self.num_planes),
+                "seed": src.get("seed", self.seed),
                 "vec_col": vec_col,
                 "id_col": id_col,
-                "num_id_buckets": self.num_id_buckets,
+                "num_id_buckets": src.get(
+                    "num_id_buckets", self.num_id_buckets
+                ),
                 "written_at": int(time.time()),
             }
         )
@@ -121,16 +141,30 @@ class VectorStore:
             return
         floor = man["generation"] - keep_last + 1
         for entry in os.listdir(self.path):
-            if entry.startswith("gen-") and int(entry[4:]) < floor:
-                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+            # strictly numeric suffixes only: a stray 'gen-1.bak' must
+            # not abort the commit's vacuum with a ValueError
+            if entry.startswith("gen-") and entry[4:].isdigit():
+                if int(entry[4:]) < floor:
+                    shutil.rmtree(
+                        os.path.join(self.path, entry), ignore_errors=True
+                    )
 
-    def _codes(self, vec_col: str, dim: int):
+    def _codes(self, vec_col: str, dim: int, man: dict | None = None):
+        """LSH codes under the manifest's frozen parameters when given
+        (every read/upsert of an existing store), else the
+        constructor's (the initial write)."""
+        src = man or {}
         return lsh_bucket_codes(
-            vec_col, dim, self.num_tables, self.num_planes, self.seed
+            vec_col,
+            dim,
+            src.get("num_tables", self.num_tables),
+            src.get("num_planes", self.num_planes),
+            src.get("seed", self.seed),
         )
 
-    def _id_bucket(self, id_col: str):
-        return F.pmod(F.hash(F.col(id_col)), F.lit(self.num_id_buckets))
+    def _id_bucket(self, id_col: str, man: dict | None = None):
+        n = (man or {}).get("num_id_buckets", self.num_id_buckets)
+        return F.pmod(F.hash(F.col(id_col)), F.lit(n))
 
     def _write_partitions(
         self, gen_dir: str, main: DataFrame, index: DataFrame
@@ -186,57 +220,72 @@ class VectorStore:
 
         stored = self.spark.read.parquet(os.path.join(old_gen_dir, "main"))
         # align the batch to the stored row schema (raises clearly on a
-        # missing column) so the unions below cannot drift
+        # missing column) so the unions below cannot drift. ALL hashing
+        # below uses the MANIFEST's frozen parameters (`man`), never
+        # the constructor's: a handle opened with different defaults
+        # must still hash into the partitions the store was written
+        # with, or replaced rows would be missed and stale index
+        # entries survive. Persisted so the two collect jobs and the
+        # final writes evaluate the LSH pandas_udf once, not three
+        # times (the dominant per-batch cost in a streaming loop).
         batch = (
             batch.select([c for c in stored.columns if c != "id_bucket"])
             .dropDuplicates([id_col])
-            .withColumn("_bs", self._codes(vec_col, dim))
+            .withColumn("_bs", self._codes(vec_col, dim, man))
+            .persist()
         )
+        try:
+            # touched id buckets (bounded by num_id_buckets) in one job
+            touched_buckets = sorted(
+                batch.agg(
+                    F.collect_set(self._id_bucket(id_col, man)).alias("b")
+                ).collect()[0]["b"]
+            )
+            stored_touched = stored.filter(
+                F.col("id_bucket").isin(touched_buckets)
+            )
+            replaced = stored_touched.join(
+                batch.select(id_col), id_col, "left_semi"
+            )
+            # touched code partitions: the batch's new codes PLUS the
+            # old codes of replaced vectors (recomputed from stored
+            # embeddings — cheaper than persisting codes in main, and
+            # exact because the manifest froze the LSH parameters). One
+            # job, driver state bounded by the L*2^planes code space.
+            code_sets = (
+                batch.select(F.explode("_bs").alias("c"))
+                .unionByName(
+                    replaced.select(
+                        F.explode(self._codes(vec_col, dim, man)).alias("c")
+                    )
+                )
+                .agg(F.collect_set("c").alias("cs"))
+                .collect()[0]["cs"]
+            )
+            touched_codes = sorted(code_sets)
 
-        # touched id buckets (bounded by num_id_buckets) in one job
-        touched_buckets = sorted(
-            batch.agg(
-                F.collect_set(self._id_bucket(id_col)).alias("b")
-            ).collect()[0]["b"]
-        )
-        stored_touched = stored.filter(F.col("id_bucket").isin(touched_buckets))
-        replaced = stored_touched.join(
-            batch.select(id_col), id_col, "left_semi"
-        )
-        # touched code partitions: the batch's new codes PLUS the old
-        # codes of replaced vectors (recomputed from stored embeddings
-        # — cheaper than persisting codes in main, and exact because
-        # the manifest froze the LSH parameters). One job, driver
-        # state bounded by the L*2^planes code space.
-        code_sets = (
-            batch.select(F.explode("_bs").alias("c"))
-            .unionByName(
-                replaced.select(
-                    F.explode(self._codes(vec_col, dim)).alias("c")
+            new_main = stored_touched.join(
+                batch.select(id_col), id_col, "left_anti"
+            ).unionByName(
+                batch.drop("_bs").withColumn(
+                    "id_bucket", self._id_bucket(id_col, man)
                 )
             )
-            .agg(F.collect_set("c").alias("cs"))
-            .collect()[0]["cs"]
-        )
-        touched_codes = sorted(code_sets)
-
-        new_main = (
-            stored_touched.join(batch.select(id_col), id_col, "left_anti")
-            .unionByName(
-                batch.drop("_bs").withColumn("id_bucket", self._id_bucket(id_col))
+            old_index = self.spark.read.parquet(
+                os.path.join(old_gen_dir, "index")
             )
-        )
-        old_index = self.spark.read.parquet(os.path.join(old_gen_dir, "index"))
-        new_index = (
-            old_index.filter(F.col("code").isin(touched_codes))
-            .join(batch.select(id_col), id_col, "left_anti")
-            .unionByName(
-                batch.select(F.col(id_col), F.explode("_bs").alias("code"))
+            new_index = (
+                old_index.filter(F.col("code").isin(touched_codes))
+                .join(batch.select(id_col), id_col, "left_anti")
+                .unionByName(
+                    batch.select(F.col(id_col), F.explode("_bs").alias("code"))
+                )
             )
-        )
 
-        gen_dir = self._gen_dir(gen)
-        self._write_partitions(gen_dir, new_main, new_index)
+            gen_dir = self._gen_dir(gen)
+            self._write_partitions(gen_dir, new_main, new_index)
+        finally:
+            batch.unpersist()
         # hard-link untouched partitions from the previous generation
         for sub, touched, prefix in (
             ("main", {f"id_bucket={b}" for b in touched_buckets}, "id_bucket="),
@@ -251,7 +300,7 @@ class VectorStore:
                             os.path.join(old_sub, entry),
                             os.path.join(new_sub, entry),
                         )
-        self._commit(gen, dim, vec_col, id_col)
+        self._commit(gen, dim, vec_col, id_col, frozen=man)
 
     def main(self) -> DataFrame:
         man = self._load_manifest()

@@ -366,7 +366,7 @@ def main() -> None:
             par(spark.table("documents")).select("doc_id", "text"),
             os.path.join(tmp, "epoch0"),
             epoch=0,
-            num_shards=16,
+            shard_hex_chars=1,
         )
 
     run_items()

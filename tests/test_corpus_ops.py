@@ -881,17 +881,51 @@ def test_epoch_shuffle_is_deterministic_and_complete(spark):
 
 
 def test_write_epoch_shards_orders_within_shard(spark, tmp_path):
+    """The written layout must BE the permutation: every shard file's
+    physical row order follows the md5 order key (a dynamic-partition
+    write inserts its own Sort[shard] — a bare sort on the order key
+    alone is silently destroyed; regression for that), every row lands
+    in the shard its key prefix names, and the file order agrees with
+    epoch_shuffle's queryable (shard, pos) relation."""
+    import glob
+    import hashlib
+
     df = spark.createDataFrame(
-        [(i, f"doc {i}") for i in range(100)], ["doc_id", "text"]
+        [(i, f"doc {i}") for i in range(500)], ["doc_id", "text"]
     )
     path = str(tmp_path / "epoch0")
-    corpus.write_epoch_shards(df, path, epoch=0, num_shards=4)
+    corpus.write_epoch_shards(df, path, epoch=0, shard_hex_chars=1)
     back = spark.read.parquet(path)
-    assert back.count() == 100
+    assert back.count() == 500
     assert sorted(r.doc_id for r in back.select("doc_id").collect()) == list(
-        range(100)
+        range(500)
     )
-    assert back.select("shard").distinct().count() <= 4
+    assert back.select("shard").distinct().count() <= 16
+
+    import pyarrow.parquet as pq
+
+    pos_by_doc = {}
+    for shard_dir in glob.glob(path + "/shard=*"):
+        shard = shard_dir.rsplit("=", 1)[1]
+        rows = []
+        for f in sorted(glob.glob(shard_dir + "/*.parquet")):
+            t = pq.read_table(f)
+            rows.extend(
+                zip(t.column("doc_id").to_pylist(), t.column("_ord").to_pylist())
+            )
+        ords = [o for _, o in rows]
+        # physical order inside the shard == ascending order key
+        assert ords == sorted(ords), f"shard {shard} not in epoch order"
+        for p, (doc, o) in enumerate(rows, start=1):
+            expect = hashlib.md5(f"{doc}:0:shuffle".encode()).hexdigest()
+            assert o == expect and o[0] == shard
+            pos_by_doc[doc] = (shard, p)
+    # the queryable relation describes this exact layout
+    queried = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus.epoch_shuffle(df, epoch=0).collect()
+    }
+    assert queried == pos_by_doc
 
 
 def test_bm25_exact_scores_and_ranking(spark):

@@ -774,3 +774,47 @@ def test_streaming_vector_index_upsert(spark, emb, tmp_path):
         ).collect()
     ]
     assert got == brute
+
+
+def test_vector_store_upsert_honors_frozen_manifest_params(spark, emb, tmp_path):
+    """A store written with non-default LSH/bucket parameters, then
+    reopened with DEFAULT constructor args and upserted, must keep
+    hashing with the write-time (manifest) parameters: replaced rows
+    are actually replaced, the manifest params survive the commit,
+    and queries stay exact."""
+    from balboa_spark.operators import similarity
+    from balboa_spark.operators.vector_store import VectorStore
+
+    path = str(tmp_path / "vsp")
+    writer = VectorStore(
+        spark, path, num_tables=6, num_planes=7, seed="custom", num_id_buckets=16
+    )
+    writer.write(
+        emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding"), dim=64
+    )
+
+    # reopen with defaults (10/8/'balboa'/8) — must not matter
+    handle = VectorStore(spark, path)
+    v1 = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    replaced = spark.createDataFrame(
+        [(0, list(v1))], "vec_id long, embedding array<float>"
+    )
+    handle.upsert(replaced)
+
+    man = handle._load_manifest()
+    assert (man["num_tables"], man["num_planes"], man["seed"]) == (6, 7, "custom")
+    assert man["num_id_buckets"] == 16
+    assert handle.main().count() == 200  # replaced, not duplicated
+    assert handle.main().filter(F.col("vec_id") == 0).count() == 1
+
+    updated = (
+        emb.filter((F.col("vec_id") > 0) & (F.col("vec_id") < 200))
+        .select("vec_id", "embedding")
+        .unionByName(replaced)
+    )
+    got = [(r.vec_id, round(r.cos, 6)) for r in handle.topk(list(v1), k=5).collect()]
+    brute = [
+        (r.vec_id, round(r.cos, 6))
+        for r in similarity.topk_brute(updated, list(v1), k=5).collect()
+    ]
+    assert got == brute
