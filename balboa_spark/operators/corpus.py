@@ -1167,7 +1167,13 @@ def dsir_weights(
             .agg(F.count(F.lit(1)).alias("_c"))
         )
 
-    doc_b = bucket_counts(df)
+    # materialize ONCE: doc_b feeds raw_b, the raw total, AND the
+    # final weight join — three different exchange subtrees that
+    # Spark's ReuseExchange does NOT dedupe (verified in the physical
+    # plan: the corpus-wide tokenize+explode+groupBy appeared three
+    # times). After the checkpoint every consumer reads the narrow
+    # (doc, bucket, count) relation — the passage_dedup rationale.
+    doc_b = bucket_counts(df).localCheckpoint(eager=True)
     raw_b = doc_b.groupBy("_b").agg(F.sum("_c").alias("_rc"))
     tgt_b = (
         bucket_counts(target).groupBy("_b").agg(F.sum("_c").alias("_tc"))

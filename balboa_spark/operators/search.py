@@ -51,11 +51,15 @@ def bm25_topk(
         raise ValueError("query_terms must be non-empty")
     qarr = F.array(*[F.lit(w.lower()) for w in query_terms])
     t = tokens(F.col(text_col))
+    # materialized ONCE: st feeds both the N/avgdl aggregate and the
+    # posting explode — separate subtrees that would each re-tokenize
+    # the corpus; after the checkpoint both read the narrow
+    # (id, dl, matched-terms) relation
     st = df.select(
         F.col(id_col),
         F.size(t).alias("_dl"),
         F.filter(t, lambda x: F.array_contains(qarr, x)).alias("_qt"),
-    )
+    ).localCheckpoint(eager=True)
     stats = st.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
     )
