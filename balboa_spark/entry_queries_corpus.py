@@ -650,6 +650,49 @@ FROM c WHERE nc > 0 ORDER BY doc_id, copy_idx
 
 
 # ---------------------------------------------------------------------------
+# temperature-flattened mixing (mT5/XLM-R sampling rule)
+# ---------------------------------------------------------------------------
+
+TEMP_TAU = 3.0
+TEMP_TOTAL = 600
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return corpus.mixture_temperature(
+        docs, tau=TEMP_TAU, total=TEMP_TOTAL
+    ).orderBy("doc_id", "copy_idx")
+
+
+def _mixture_temperature_oracle() -> str:
+    inv_tau = 1.0 / TEMP_TAU
+    return f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+p AS (
+  SELECT source, n,
+         pow(CAST(n AS DOUBLE) / sum(n) OVER (), CAST({inv_tau!r} AS DOUBLE)) AS w
+  FROM counts
+),
+fr AS (
+  SELECT source, n, {TEMP_TOTAL} * (w / sum(w) OVER ()) / n AS r FROM p
+),
+c AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(r) AS INTEGER)
+         + CASE WHEN substr(md5(d.doc_id || ':upmix'), 1, 8)
+                     < CASE WHEN round((r - floor(r)) * {16**8}) >= {16**8}
+                            THEN 'g'
+                            ELSE lpad(lower(hex(CAST(round((r - floor(r)) * {16**8}) AS BIGINT))), 8, '0')
+                       END
+                THEN 1 ELSE 0 END AS nc
+  FROM documents d JOIN fr USING (source)
+)
+SELECT doc_id, source, CAST(unnest(range(0, nc)) AS INTEGER) AS copy_idx
+FROM c WHERE nc > 0 ORDER BY doc_id, copy_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # sentence segmentation
 # ---------------------------------------------------------------------------
 
@@ -953,6 +996,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dsir_topk": q_dsir_topk,
     "corpus_epoch_shuffle": q_epoch_shuffle,
     "corpus_bm25_topk": q_bm25_topk,
+    "corpus_mixture_temperature": q_mixture_temperature,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -980,4 +1024,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_dsir_topk": DSIR_TOPK_ORACLE,
     "corpus_epoch_shuffle": EPOCH_SHUFFLE_ORACLE,
     "corpus_bm25_topk": BM25_TOPK_ORACLE,
+    "corpus_mixture_temperature": _mixture_temperature_oracle(),
 }

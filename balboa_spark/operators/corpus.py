@@ -1368,3 +1368,63 @@ def contamination_overlap_sketch(
             4,
         ).alias("containment_est"),
     )
+
+
+def mixture_temperature(
+    df: DataFrame,
+    tau: float,
+    total: int | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "upmix",
+) -> DataFrame:
+    """Temperature-flattened domain mixing (the mT5/XLM-R sampling
+    rule): target share of group g is p_g^(1/tau) renormalized, where
+    p_g is the group's CURRENT share of the corpus. tau=1 reproduces
+    the corpus as-is; tau→∞ flattens toward uniform; tau<1 sharpens
+    toward the head. Rows are materialized with the same
+    deterministic floor+md5-remainder copy rule as
+    :func:`mixture_upsample` (whose machinery this inlines with
+    in-plan weights — no collect, no dict).
+
+    Output: input columns + ``copy_idx``.
+
+    Scale: the powered shares live in a #groups-row aggregate
+    (windowed normalization over that tiny relation, then an
+    AQE-decided join back); everything else is the upsample's
+    explode(sequence) projection.
+    """
+    if tau <= 0:
+        raise ValueError("tau must be positive")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_all = Window.partitionBy()
+    powered = F.pow(F.col("_n") / F.sum("_n").over(w_all), 1.0 / tau)
+    tot = (
+        F.lit(total) if total is not None else F.sum("_n").over(w_all)
+    )
+    # r = total * normalized-powered-share / group size, all in-plan
+    fracs = counts.select(
+        group_col,
+        (
+            tot * (powered / F.sum(powered).over(w_all)) / F.col("_n")
+        ).alias("_r"),
+    )
+    base = F.floor("_r").cast("int")
+    frac = F.col("_r") - F.floor("_r")
+    v = F.round(frac * F.lit(16**8)).cast("long")
+    thr = F.when(v >= F.lit(16**8), F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex(v)), 8, "0")
+    )
+    h8 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+    )
+    n_copies = (base + F.when(h8 < thr, 1).otherwise(0)).alias("_c")
+    return (
+        df.join(fracs, group_col)
+        .select(*df.columns, n_copies)
+        .filter(F.col("_c") > 0)
+        .select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(0), F.col("_c") - 1)).alias("copy_idx"),
+        )
+    )

@@ -978,3 +978,22 @@ def test_dsir_empty_target_stays_defined(spark):
     empty = raw.filter("doc_id < 0")
     w = {r.doc_id: r.weight for r in corpus.dsir_weights(raw, empty).collect()}
     assert len(w) == 2 and all(v is not None for v in w.values())
+
+
+def test_mixture_temperature_flattens_shares(spark):
+    """tau=1 reproduces every row exactly once (r=1 per group); a high
+    tau pulls the rare group's share toward uniform."""
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "rare") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    same = corpus.mixture_temperature(df, tau=1.0)
+    assert same.count() == 100
+    assert same.filter(F.col("copy_idx") > 0).count() == 0
+
+    flat = corpus.mixture_temperature(df, tau=100.0)
+    by = {
+        r.source: r.cnt
+        for r in flat.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    # near-uniform target: each group ~50 of 100 (within rounding noise)
+    assert abs(by["rare"] - 50) <= 5 and abs(by["big"] - 50) <= 5
