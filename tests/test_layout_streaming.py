@@ -395,3 +395,78 @@ def test_streaming_quality_monitor(spark, tmp_path):
     assert dirty["text_nonempty"].n_violations == 2
     assert dirty["text_nonempty"].violation_rate == 0.5
     assert alerts == [(epochs[1], ["text_nonempty"])]
+
+
+def test_streaming_windowed_counts_watermark_drops_late(spark, tmp_path):
+    """Append-mode watermarked windows: a window is emitted exactly
+    once after the watermark passes its end, and an event older than
+    the watermark bound is DROPPED (its closed window never updates).
+    Batches arrive as landed NDJSON files; watermark advances with
+    each batch's max event time."""
+    import json
+
+    from balboa_spark.streaming.windows import windowed_counts
+
+    land = tmp_path / "wland"
+    land.mkdir()
+
+    def batch(name, rows):
+        (land / name).write_text(
+            "\n".join(
+                json.dumps({"ts": ts, "user_id": u, "value": v})
+                for ts, u, v in rows
+            )
+            + "\n"
+        )
+
+    stream = spark.readStream.schema("ts timestamp, user_id string, value long").json(
+        str(land)
+    )
+    out = windowed_counts(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .start()
+    )
+    try:
+        # batch 1: two events in [10:00,10:05), one in [10:05,10:10)
+        batch(
+            "b1.ndjson",
+            [
+                ("2024-01-01T10:00:30", "alice", 1),
+                ("2024-01-01T10:01:00", "alice", 2),
+                ("2024-01-01T10:06:00", "bob", 5),
+            ],
+        )
+        q.processAllAvailable()
+        # batch 2: advances event time to 10:30 (watermark becomes
+        # 10:20 for the NEXT batch); plus a late event at 10:02 that
+        # is still within the CURRENT watermark (9:56) -> counted
+        batch(
+            "b2.ndjson",
+            [
+                ("2024-01-01T10:30:00", "carol", 7),
+                ("2024-01-01T10:02:00", "alice", 10),
+            ],
+        )
+        q.processAllAvailable()
+        # batch 3: watermark is now 10:20, so windows ending <= 10:20
+        # finalize; this TOO-LATE event at 10:01 is behind the
+        # watermark and must be dropped from the already-closed window
+        batch("b3.ndjson", [("2024-01-01T10:01:30", "alice", 100)])
+        q.processAllAvailable()
+
+        rows = {
+            (r.window_start.minute, r.user_id): (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        # alice's [10:00,10:05) window: 2 on-time + 1 within-watermark
+        # late event; the batch-3 too-late event (value 100) excluded
+        assert rows[(0, "alice")] == (3, 13)
+        assert rows[(5, "bob")] == (1, 5)
+        # carol's window (ends 10:35) is still open — not emitted yet
+        assert (30, "carol") not in rows
+    finally:
+        q.stop()
