@@ -85,3 +85,118 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+class PostingsIndex:
+    """Persisted BM25 postings — the repeated-query deployment of
+    :func:`bm25_topk` (which re-tokenizes the corpus per query).
+
+    Layout mirrors VectorStore's inverted lists:
+
+    - ``postings/``: one row per (term, doc, term-frequency, doc
+      length), partitioned by ``tb`` = the term's 2-hex-char md5
+      bucket — a query with Q terms reads at most Q of 256
+      partitions and never scans the corpus;
+    - ``terms/``: (term, df) document frequencies, same partitioning;
+    - ``manifest.json``: N, avgdl, and the BM25 constants frozen at
+      build time so queries and index always agree.
+
+    Build cost = the one corpus tokenize every ad-hoc query pays,
+    amortized over all future queries; a query is a partition-pruned
+    scan + a <=Q-row broadcast + TakeOrdered.
+    """
+
+    MANIFEST = "manifest.json"
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _term_bucket(self, term):
+        return F.substring(F.md5(term), 1, 2)
+
+    def build(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> None:
+        import json
+        import os
+
+        t = tokens(F.col(text_col))
+        flat = (
+            df.select(F.col(id_col), F.size(t).alias("dl"), F.explode(t).alias("term"))
+            .groupBy(id_col, "dl", "term")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .localCheckpoint(eager=True)  # feeds postings, terms, stats
+        )
+        (
+            flat.withColumn("tb", self._term_bucket(F.col("term")))
+            .repartition("tb")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(os.path.join(self.path, "postings"))
+        )
+        (
+            flat.groupBy("term")
+            .agg(F.count_distinct(F.col(id_col)).alias("df"))
+            .withColumn("tb", self._term_bucket(F.col("term")))
+            .repartition("tb")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(os.path.join(self.path, "terms"))
+        )
+        # N counts ALL docs (also all-empty ones contribute to avgdl);
+        # derive from the input, not the postings
+        stats = df.select(F.size(t).alias("dl")).agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        with open(os.path.join(self.path, self.MANIFEST), "w") as fh:
+            json.dump(
+                {
+                    "n": stats["n"],
+                    "avgdl": stats["avgdl"],
+                    "k1": k1,
+                    "b": b,
+                    "id_col": id_col,
+                },
+                fh,
+            )
+
+    def topk(self, query_terms: Sequence[str], k: int = 20) -> DataFrame:
+        import hashlib
+        import json
+        import os
+
+        with open(os.path.join(self.path, self.MANIFEST)) as fh:
+            man = json.load(fh)
+        id_col, k1, b = man["id_col"], man["k1"], man["b"]
+        terms = sorted({w.lower() for w in query_terms})
+        # partition pruning: the probe buckets are computable driver-
+        # side (pure md5), so the scans carry tb IN (...) filters
+        buckets = sorted({hashlib.md5(w.encode()).hexdigest()[:2] for w in terms})
+        post = (
+            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            .filter(F.col("tb").isin(buckets) & F.col("term").isin(terms))
+        )
+        dft = (
+            self.spark.read.parquet(os.path.join(self.path, "terms"))
+            .filter(F.col("tb").isin(buckets) & F.col("term").isin(terms))
+            .select("term", "df")
+        )
+        idf = F.log((man["n"] - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        norm = F.col("f") + k1 * (1 - b + b * F.col("dl") / man["avgdl"])
+        contrib = idf * F.col("f") * (k1 + 1) / norm
+        return (
+            post.join(F.broadcast(dft), "term")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_terms"),
+                F.round(F.sum(contrib), 4).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k)
+        )

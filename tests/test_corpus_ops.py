@@ -997,3 +997,24 @@ def test_mixture_temperature_flattens_shares(spark):
     }
     # near-uniform target: each group ~50 of 100 (within rounding noise)
     assert abs(by["rare"] - 50) <= 5 and abs(by["big"] - 50) <= 5
+
+
+def test_postings_index_matches_adhoc_bm25(spark, tables, tmp_path):
+    """The persisted postings index must return exactly the ad-hoc
+    BM25 ranking, and its query plan must partition-prune to the
+    query terms' buckets."""
+    from balboa_spark.operators.search import PostingsIndex, bm25_topk
+
+    docs = tables["documents"]
+    idx = PostingsIndex(spark, str(tmp_path / "bm25idx"))
+    idx.build(docs)
+
+    terms = ["merge", "broadcast", "shuffle"]
+    from_index = [tuple(r) for r in idx.topk(terms, k=20).collect()]
+    adhoc = [tuple(r) for r in bm25_topk(docs, terms, k=20).collect()]
+    assert from_index == adhoc
+
+    plan = (
+        idx.topk(terms, k=20)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "tb" in plan
