@@ -23,4 +23,4 @@ Everything is declarative DataFrame/SQL so Catalyst handles pushdown,
 pruning, join strategy, and partial aggregation. No RDDs.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.6.0"

@@ -905,6 +905,46 @@ def passage_dedup(
     )
 
 
+def _frac_threshold_hex(frac: Column) -> Column:
+    """In-plan twin of sample_threshold_hex: the 8-hex-digit keep
+    threshold for a [0,1] fraction, with the sentinel ``'g'`` (above
+    every hex string) when the fraction rounds to 1 — ONE definition
+    shared by all three mixture operators so the subtle rounding/
+    sentinel edge cannot diverge between them."""
+    v = F.round(frac * F.lit(16**8)).cast("long")
+    return F.when(v >= F.lit(16**8), F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex(v)), 8, "0")
+    )
+
+
+def _materialize_copies(
+    df: DataFrame, fracs: DataFrame, group_col: str, id_col: str, salt: str
+) -> DataFrame:
+    """Deterministic with-replacement materialization shared by
+    mixture_upsample and mixture_temperature: every row gets
+    floor(_r) copies plus one more iff md5(id:salt) falls under the
+    fractional remainder's threshold; copies come from ONE
+    explode(sequence). The group join is NULL-SAFE: a NULL group key
+    is a group like any other (groupBy counts it), and a plain
+    equi-join would silently drop those rows."""
+    base = F.floor("_r").cast("int")
+    thr = _frac_threshold_hex(F.col("_r") - F.floor("_r"))
+    h8 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+    )
+    n_copies = (base + F.when(h8 < thr, 1).otherwise(0)).alias("_c")
+    fr = fracs.withColumnRenamed(group_col, "_g")
+    return (
+        df.join(fr, F.col(group_col).eqNullSafe(F.col("_g")))
+        .select(*df.columns, n_copies)
+        .filter(F.col("_c") > 0)
+        .select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(0), F.col("_c") - 1)).alias("copy_idx"),
+        )
+    )
+
+
 def mixture_upsample(
     df: DataFrame,
     target: dict[str, float],
@@ -949,25 +989,7 @@ def mixture_upsample(
         group_col,
         (tot * wmap[F.col(group_col)] / F.col("_n")).alias("_r"),
     ).filter(F.col("_r").isNotNull())
-    base = F.floor("_r").cast("int")
-    frac = F.col("_r") - F.floor("_r")
-    v = F.round(frac * F.lit(16**8)).cast("long")
-    thr = F.when(v >= F.lit(16**8), F.lit("g")).otherwise(
-        F.lpad(F.lower(F.hex(v)), 8, "0")
-    )
-    h8 = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
-    )
-    n_copies = (base + F.when(h8 < thr, 1).otherwise(0)).alias("_c")
-    return (
-        df.join(fracs, group_col)
-        .select(*df.columns, n_copies)
-        .filter(F.col("_c") > 0)
-        .select(
-            *df.columns,
-            F.explode(F.sequence(F.lit(0), F.col("_c") - 1)).alias("copy_idx"),
-        )
-    )
+    return _materialize_copies(df, fracs, group_col, id_col, salt)
 
 
 def quality_bins(
@@ -1048,12 +1070,7 @@ def mixture_resample(
         group_col,
         (F.col("_min_ratio") * F.col("_w") / F.col("_n")).alias("_keep_frac"),
     )
-    # in-plan twin of sample_threshold_hex: 8-hex-digit threshold,
-    # sentinel 'g' (> every hex string) when the fraction rounds to 1
-    v = F.round(F.col("_keep_frac") * F.lit(16**8)).cast("long")
-    thr = F.when(v >= F.lit(16**8), F.lit("g")).otherwise(
-        F.lpad(F.lower(F.hex(v)), 8, "0")
-    )
+    thr = _frac_threshold_hex(F.col("_keep_frac"))
     h8 = F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
     )
@@ -1167,13 +1184,15 @@ def dsir_weights(
             .agg(F.count(F.lit(1)).alias("_c"))
         )
 
-    # materialize ONCE: doc_b feeds raw_b, the raw total, AND the
-    # final weight join — three different exchange subtrees that
-    # Spark's ReuseExchange does NOT dedupe (verified in the physical
-    # plan: the corpus-wide tokenize+explode+groupBy appeared three
-    # times). After the checkpoint every consumer reads the narrow
-    # (doc, bucket, count) relation — the passage_dedup rationale.
-    doc_b = bucket_counts(df).localCheckpoint(eager=True)
+    # persist(): doc_b feeds raw_b, the raw total, AND the final
+    # weight join — three different exchange subtrees that Spark's
+    # ReuseExchange does NOT dedupe (verified in the physical plan:
+    # the corpus-wide tokenize+explode+groupBy appeared three times).
+    # persist (not localCheckpoint) keeps the plan lazy and the
+    # lineage recomputable; all consumers are in the one final query,
+    # which caches the narrow (doc, bucket, count) relation on first
+    # use.
+    doc_b = bucket_counts(df).persist()
     raw_b = doc_b.groupBy("_b").agg(F.sum("_c").alias("_rc"))
     tgt_b = (
         bucket_counts(target).groupBy("_b").agg(F.sum("_c").alias("_tc"))
@@ -1409,22 +1428,4 @@ def mixture_temperature(
             tot * (powered / F.sum(powered).over(w_all)) / F.col("_n")
         ).alias("_r"),
     )
-    base = F.floor("_r").cast("int")
-    frac = F.col("_r") - F.floor("_r")
-    v = F.round(frac * F.lit(16**8)).cast("long")
-    thr = F.when(v >= F.lit(16**8), F.lit("g")).otherwise(
-        F.lpad(F.lower(F.hex(v)), 8, "0")
-    )
-    h8 = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
-    )
-    n_copies = (base + F.when(h8 < thr, 1).otherwise(0)).alias("_c")
-    return (
-        df.join(fracs, group_col)
-        .select(*df.columns, n_copies)
-        .filter(F.col("_c") > 0)
-        .select(
-            *df.columns,
-            F.explode(F.sequence(F.lit(0), F.col("_c") - 1)).alias("copy_idx"),
-        )
-    )
+    return _materialize_copies(df, fracs, group_col, id_col, salt)

@@ -51,15 +51,18 @@ def bm25_topk(
         raise ValueError("query_terms must be non-empty")
     qarr = F.array(*[F.lit(w.lower()) for w in query_terms])
     t = tokens(F.col(text_col))
-    # materialized ONCE: st feeds both the N/avgdl aggregate and the
-    # posting explode — separate subtrees that would each re-tokenize
-    # the corpus; after the checkpoint both read the narrow
-    # (id, dl, matched-terms) relation
+    # persist(): st feeds both the N/avgdl aggregate and the posting
+    # explode — separate subtrees that would each re-tokenize the
+    # corpus without it. persist (not localCheckpoint) keeps the plan
+    # LAZY and the lineage intact (recomputable after executor loss —
+    # checkpoint blocks are not), and both consumers land in the ONE
+    # final query, which caches on first use. Blocks release when the
+    # plan is garbage-collected (ContextCleaner).
     st = df.select(
         F.col(id_col),
         F.size(t).alias("_dl"),
         F.filter(t, lambda x: F.array_contains(qarr, x)).alias("_qt"),
-    ).localCheckpoint(eager=True)
+    ).persist()
     stats = st.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
     )
@@ -101,9 +104,16 @@ class PostingsIndex:
     - ``manifest.json``: N, avgdl, and the BM25 constants frozen at
       build time so queries and index always agree.
 
-    Build cost = the one corpus tokenize every ad-hoc query pays,
-    amortized over all future queries; a query is a partition-pruned
-    scan + a <=Q-row broadcast + TakeOrdered.
+    Build cost = ONE corpus tokenize (the checkpointed posting
+    relation feeds postings, df, and the length stats; N itself is a
+    tokenize-free count), amortized over all future queries; a query
+    is a partition-pruned scan + a <=Q-row broadcast + TakeOrdered.
+
+    Consistency: builds land in a fresh ``gen-<n>/`` directory and
+    commit by atomically renaming the manifest (the same model as
+    VectorStore / ObservationStore) — a crash mid-rebuild leaves the
+    previous index fully readable, and a concurrent query can never
+    score new postings with old stats.
     """
 
     MANIFEST = "manifest.json"
@@ -114,6 +124,13 @@ class PostingsIndex:
 
     def _term_bucket(self, term):
         return F.substring(F.md5(term), 1, 2)
+
+    def _manifest(self) -> dict:
+        import json
+        import os
+
+        with open(os.path.join(self.path, self.MANIFEST)) as fh:
+            return json.load(fh)
 
     def build(
         self,
@@ -126,19 +143,25 @@ class PostingsIndex:
         import json
         import os
 
+        try:
+            gen = self._manifest()["generation"] + 1
+        except FileNotFoundError:
+            gen = 0
+        gen_dir = os.path.join(self.path, f"gen-{gen}")
+
         t = tokens(F.col(text_col))
         flat = (
             df.select(F.col(id_col), F.size(t).alias("dl"), F.explode(t).alias("term"))
             .groupBy(id_col, "dl", "term")
             .agg(F.count(F.lit(1)).alias("f"))
-            .localCheckpoint(eager=True)  # feeds postings, terms, stats
+            .localCheckpoint(eager=True)  # feeds postings, terms, dl stats
         )
         (
             flat.withColumn("tb", self._term_bucket(F.col("term")))
             .repartition("tb")
             .write.mode("overwrite")
             .partitionBy("tb")
-            .parquet(os.path.join(self.path, "postings"))
+            .parquet(os.path.join(gen_dir, "postings"))
         )
         (
             flat.groupBy("term")
@@ -147,43 +170,51 @@ class PostingsIndex:
             .repartition("tb")
             .write.mode("overwrite")
             .partitionBy("tb")
-            .parquet(os.path.join(self.path, "terms"))
+            .parquet(os.path.join(gen_dir, "terms"))
         )
-        # N counts ALL docs (also all-empty ones contribute to avgdl);
-        # derive from the input, not the postings
-        stats = df.select(F.size(t).alias("dl")).agg(
-            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-        ).collect()[0]
-        with open(os.path.join(self.path, self.MANIFEST), "w") as fh:
+        # avgdl over ALL docs: zero-token docs are absent from flat
+        # but contribute dl=0 to the sum, so sum(per-doc dl from the
+        # checkpoint) / count(input) is exact — no second tokenize
+        n = df.count()
+        sum_dl = (
+            flat.dropDuplicates([id_col]).agg(F.sum("dl")).collect()[0][0] or 0
+        )
+        tmp = os.path.join(self.path, self.MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
             json.dump(
                 {
-                    "n": stats["n"],
-                    "avgdl": stats["avgdl"],
+                    "generation": gen,
+                    "n": n,
+                    "avgdl": sum_dl / n if n else 0.0,
                     "k1": k1,
                     "b": b,
                     "id_col": id_col,
                 },
                 fh,
             )
+        os.replace(tmp, os.path.join(self.path, self.MANIFEST))
 
     def topk(self, query_terms: Sequence[str], k: int = 20) -> DataFrame:
         import hashlib
-        import json
         import os
 
-        with open(os.path.join(self.path, self.MANIFEST)) as fh:
-            man = json.load(fh)
+        if not query_terms:
+            # parity with bm25_topk: a missing query is an error, not
+            # an empty result set
+            raise ValueError("query_terms must be non-empty")
+        man = self._manifest()
         id_col, k1, b = man["id_col"], man["k1"], man["b"]
+        gen_dir = os.path.join(self.path, f"gen-{man['generation']}")
         terms = sorted({w.lower() for w in query_terms})
         # partition pruning: the probe buckets are computable driver-
         # side (pure md5), so the scans carry tb IN (...) filters
         buckets = sorted({hashlib.md5(w.encode()).hexdigest()[:2] for w in terms})
         post = (
-            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            self.spark.read.parquet(os.path.join(gen_dir, "postings"))
             .filter(F.col("tb").isin(buckets) & F.col("term").isin(terms))
         )
         dft = (
-            self.spark.read.parquet(os.path.join(self.path, "terms"))
+            self.spark.read.parquet(os.path.join(gen_dir, "terms"))
             .filter(F.col("tb").isin(buckets) & F.col("term").isin(terms))
             .select("term", "df")
         )

@@ -1018,3 +1018,30 @@ def test_postings_index_matches_adhoc_bm25(spark, tables, tmp_path):
         idx.topk(terms, k=20)._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "tb" in plan
+
+
+def test_mixture_temperature_keeps_null_group(spark):
+    """A NULL group key is a group like any other: tau=1 must
+    reproduce the corpus INCLUDING null-source rows (regression: the
+    plain equi-join silently dropped them)."""
+    rows = [(1, "a"), (2, "a"), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.mixture_temperature(df, tau=1.0)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_postings_index_rebuild_is_atomic_generation(spark, tables, tmp_path):
+    """Rebuilding flips to a new generation; empty queries error like
+    the ad-hoc path."""
+    from balboa_spark.operators.search import PostingsIndex
+
+    docs = tables["documents"]
+    idx = PostingsIndex(spark, str(tmp_path / "bmgen"))
+    idx.build(docs.limit(100))
+    assert idx._manifest()["generation"] == 0
+    n0 = idx._manifest()["n"]
+    idx.build(docs)  # rebuild on the grown corpus
+    man = idx._manifest()
+    assert man["generation"] == 1 and man["n"] > n0
+    with pytest.raises(ValueError):
+        idx.topk([])
