@@ -179,20 +179,136 @@ class PostingsIndex:
         sum_dl = (
             flat.dropDuplicates([id_col]).agg(F.sum("dl")).collect()[0][0] or 0
         )
+        self._flip_manifest(
+            {
+                "generation": gen,
+                "n": n,
+                "sum_dl": sum_dl,
+                "avgdl": sum_dl / n if n else 0.0,
+                "k1": k1,
+                "b": b,
+                "id_col": id_col,
+            }
+        )
+
+    def _flip_manifest(self, man: dict) -> None:
+        import json
+        import os
+
         tmp = os.path.join(self.path, self.MANIFEST + ".tmp")
         with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "generation": gen,
-                    "n": n,
-                    "avgdl": sum_dl / n if n else 0.0,
-                    "k1": k1,
-                    "b": b,
-                    "id_col": id_col,
-                },
-                fh,
-            )
+            json.dump(man, fh)
         os.replace(tmp, os.path.join(self.path, self.MANIFEST))
+        self._vacuum(keep_last=2)
+
+    def _vacuum(self, keep_last: int) -> None:
+        import os
+        import shutil
+
+        floor = self._manifest()["generation"] - keep_last + 1
+        for entry in os.listdir(self.path):
+            if entry.startswith("gen-") and entry[4:].isdigit():
+                if int(entry[4:]) < floor:
+                    shutil.rmtree(
+                        os.path.join(self.path, entry), ignore_errors=True
+                    )
+
+    def upsert(self, batch: DataFrame, text_col: str = "text") -> None:
+        """Append a batch of NEW documents incrementally (the
+        streaming-corpus steady state): only the term buckets the
+        batch's vocabulary hashes into are rewritten (old postings
+        unioned with the batch's, per-term df summed); every other
+        partition hard-links from the previous generation, and the
+        corpus stats update from the batch's totals alone. Commit =
+        the same atomic manifest flip as build.
+
+        APPEND-ONLY by contract: document ids must be new. The index
+        does not store document text, so replacing an id would leave
+        its old postings in place (use a rebuild for corrections) —
+        the textual twin of VectorStore.upsert's replace semantics,
+        minus replace (vectors are self-describing; postings are
+        not).
+        """
+        import os
+
+        from balboa_spark.plans.layout import _link_tree
+
+        man = self._manifest()
+        id_col = man["id_col"]
+        gen = man["generation"] + 1
+        old_gen_dir = os.path.join(self.path, f"gen-{man['generation']}")
+        gen_dir = os.path.join(self.path, f"gen-{gen}")
+
+        t = tokens(F.col(text_col))
+        flat = (
+            batch.select(
+                F.col(id_col), F.size(t).alias("dl"), F.explode(t).alias("term")
+            )
+            .groupBy(id_col, "dl", "term")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .withColumn("tb", self._term_bucket(F.col("term")))
+            .localCheckpoint(eager=True)
+        )
+        touched = sorted(
+            flat.agg(F.collect_set("tb").alias("t")).collect()[0]["t"]
+        )
+
+        old_post = self.spark.read.parquet(os.path.join(old_gen_dir, "postings"))
+        (
+            old_post.filter(F.col("tb").isin(touched))
+            .unionByName(flat)
+            .repartition("tb")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(os.path.join(gen_dir, "postings"))
+        )
+        batch_df = flat.groupBy("term", "tb").agg(
+            F.count_distinct(F.col(id_col)).alias("_bdf")
+        )
+        old_terms = self.spark.read.parquet(os.path.join(old_gen_dir, "terms"))
+        (
+            old_terms.filter(F.col("tb").isin(touched))
+            .join(batch_df, ["term", "tb"], "full_outer")
+            .select(
+                "term",
+                "tb",
+                (
+                    F.coalesce(F.col("df"), F.lit(0))
+                    + F.coalesce(F.col("_bdf"), F.lit(0))
+                ).alias("df"),
+            )
+            .repartition("tb")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(os.path.join(gen_dir, "terms"))
+        )
+        for sub in ("postings", "terms"):
+            old_sub = os.path.join(old_gen_dir, sub)
+            new_sub = os.path.join(gen_dir, sub)
+            keep = {f"tb={b}" for b in touched}
+            if os.path.isdir(old_sub):
+                for entry in os.listdir(old_sub):
+                    if entry.startswith("tb=") and entry not in keep:
+                        _link_tree(
+                            os.path.join(old_sub, entry),
+                            os.path.join(new_sub, entry),
+                        )
+
+        batch_n = batch.count()
+        batch_dl = (
+            flat.dropDuplicates([id_col]).agg(F.sum("dl")).collect()[0][0] or 0
+        )
+        n = man["n"] + batch_n
+        sum_dl = man.get("sum_dl", man["avgdl"] * man["n"]) + batch_dl
+        self._flip_manifest(
+            {
+                **man,
+                "generation": gen,
+                "n": n,
+                "sum_dl": sum_dl,
+                "avgdl": sum_dl / n if n else 0.0,
+            }
+        )
 
     def topk(self, query_terms: Sequence[str], k: int = 20) -> DataFrame:
         import hashlib
