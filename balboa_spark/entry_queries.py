@@ -250,6 +250,7 @@ _TAIL = [
     "corpus_epoch_shuffle",  # r6-new, driver_sim-verified; rotates into the cap next round
     "corpus_bm25_topk",  # r6-new, driver_sim-verified; rotates into the cap next round
     "corpus_mixture_temperature",  # r6-new, driver_sim-verified; rotates into the cap next round
+    "corpus_dataset_profile",  # r6-new, driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

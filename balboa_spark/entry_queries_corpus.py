@@ -693,6 +693,35 @@ FROM c WHERE nc > 0 ORDER BY doc_id, copy_idx
 
 
 # ---------------------------------------------------------------------------
+# corpus datasheet (GROUPING SETS rollups)
+# ---------------------------------------------------------------------------
+
+
+def q_dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.dataset_profile(_docs(spark, sf_dir)).orderBy(
+        "grouping", "source", "lang"
+    )
+
+
+DATASET_PROFILE_ORACLE = f"""
+WITH {_TOKS_SQL},
+base AS (
+  SELECT d.source, d.lang, d.n_chars, len(t.tk) AS tok
+  FROM documents d JOIN toks t USING (doc_id)
+)
+SELECT CAST(GROUPING(source, lang) AS INTEGER) AS grouping,
+       source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 2) AS avg_chars,
+       CAST(sum(tok) AS BIGINT) AS total_tokens
+FROM base
+GROUP BY GROUPING SETS ((source), (lang), ())
+ORDER BY grouping, source, lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # sentence segmentation
 # ---------------------------------------------------------------------------
 
@@ -997,6 +1026,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_epoch_shuffle": q_epoch_shuffle,
     "corpus_bm25_topk": q_bm25_topk,
     "corpus_mixture_temperature": q_mixture_temperature,
+    "corpus_dataset_profile": q_dataset_profile,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1025,4 +1055,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_epoch_shuffle": EPOCH_SHUFFLE_ORACLE,
     "corpus_bm25_topk": BM25_TOPK_ORACLE,
     "corpus_mixture_temperature": _mixture_temperature_oracle(),
+    "corpus_dataset_profile": DATASET_PROFILE_ORACLE,
 }

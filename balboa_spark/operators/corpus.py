@@ -1429,3 +1429,40 @@ def mixture_temperature(
         ).alias("_r"),
     )
     return _materialize_copies(df, fracs, group_col, id_col, salt)
+
+
+def dataset_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """One-pass corpus datasheet (the numbers a dataset card needs):
+    document counts, total/average characters, and total whitespace
+    tokens — per source, per language, and overall — computed as ONE
+    GROUPING SETS aggregate, so the corpus is scanned and tokenized
+    exactly once for all three rollup levels (map-side partials
+    included; three separate groupBys would each rescan).
+
+    Output: (grouping, source, lang, n_docs, total_chars, avg_chars,
+    total_tokens) where grouping is the standard grouping-id bitmask
+    (1 = by source, 2 = by lang, 3 = overall).
+    """
+    from balboa_spark.operators.text import token_count
+
+    base = df.select(
+        "source", "lang", F.col(chars_col), token_count(F.col(text_col)).alias("_tok")
+    )
+    return (
+        base.groupingSets([["source"], ["lang"], []], "source", "lang")
+        .agg(
+            F.grouping_id().alias("grouping"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(chars_col).alias("total_chars"),
+            F.round(F.avg(chars_col), 2).alias("avg_chars"),
+            F.sum("_tok").alias("total_tokens"),
+        )
+        .select(
+            "grouping", "source", "lang", "n_docs", "total_chars",
+            "avg_chars", "total_tokens",
+        )
+    )

@@ -1101,3 +1101,28 @@ def test_postings_index_incremental_upsert(spark, tables, tmp_path):
                         ):
                             shared += 1
     assert shared > 0
+
+
+def test_dataset_profile_one_pass_rollups(spark):
+    rows = [
+        (1, "a b c", "src1", "en", 5),
+        (2, "d e", "src1", "de", 3),
+        (3, "f", "src2", "en", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "source", "lang", "n_chars"]
+    )
+    out = {
+        (r.grouping, r.source, r.lang): r
+        for r in corpus.dataset_profile(df).collect()
+    }
+    assert out[(1, "src1", None)].n_docs == 2
+    assert out[(1, "src1", None)].total_tokens == 5
+    assert out[(2, None, "en")].total_chars == 6
+    assert out[(3, None, None)].n_docs == 3
+    assert out[(3, None, None)].avg_chars == 3.0
+    # one aggregate node (GROUPING SETS expand), not three scans
+    plan = (
+        corpus.dataset_profile(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Expand") == 1
