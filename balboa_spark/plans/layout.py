@@ -284,20 +284,29 @@ class ObservationStore:
 
     # -- read side ----------------------------------------------------------
 
-    def _read_layout(self, name: str) -> DataFrame | None:
-        """Current-generation layout DataFrame, cached per (generation,
-        layout) so repeated point queries reuse the file listing instead
-        of re-planning I/O on every call."""
+    def _read_layout(
+        self, name: str, generation: int | None = None
+    ) -> DataFrame | None:
+        """Layout DataFrame at the current (default) or an explicit
+        retained generation, cached per (generation, layout) so
+        repeated point queries reuse the file listing instead of
+        re-planning I/O on every call."""
         from pyspark.sql.utils import AnalysisException
 
         man = self._manifest()
         if man is None:
             return None
-        key = (man["generation"], name)
+        gen = man["generation"] if generation is None else generation
+        if generation is not None and not os.path.isdir(self._gen_dir(gen)):
+            raise ValueError(
+                f"generation {gen} is not retained (vacuum keeps the "
+                f"last 2; current is {man['generation']})"
+            )
+        key = (gen, name)
         if key not in self._layout_cache:
             try:
                 df = self.spark.read.parquet(
-                    os.path.join(self._gen_dir(man["generation"]), name)
+                    os.path.join(self._gen_dir(gen), name)
                 )
             except AnalysisException:
                 # an empty aggregate writes no parquet files; surface an
@@ -320,11 +329,30 @@ class ObservationStore:
             )
         return df
 
-    def forward(self) -> DataFrame:
-        return self._layout_or_empty("by_rrname").drop("bucket")
+    def forward(self, generation: int | None = None) -> DataFrame:
+        """Aggregate table in forward key order; pass ``generation``
+        for a time-travel read of a retained older generation (the
+        lakehouse snapshot-read pattern — generations are immutable,
+        so an as-of-previous-merge audit query is just a different
+        directory, within the vacuum horizon)."""
+        df = self._read_layout("by_rrname", generation)
+        if df is None:
+            return self._layout_or_empty("by_rrname").drop("bucket")
+        return df.drop("bucket")
 
-    def inverted(self) -> DataFrame:
-        return self._layout_or_empty("by_rdata").drop("bucket")
+    def inverted(self, generation: int | None = None) -> DataFrame:
+        df = self._read_layout("by_rdata", generation)
+        if df is None:
+            return self._layout_or_empty("by_rdata").drop("bucket")
+        return df.drop("bucket")
+
+    def generations(self) -> list[int]:
+        """Retained (readable) generations, oldest first."""
+        return sorted(
+            int(e[4:])
+            for e in os.listdir(self.path)
+            if e.startswith("gen-") and e[4:].isdigit()
+        )
 
     def query(self, q: Query) -> DataFrame:
         """Q3 dispatch (rocksdb-impl.c:622-630): route to the layout

@@ -470,3 +470,89 @@ def test_streaming_windowed_counts_watermark_drops_late(spark, tmp_path):
         assert (30, "carol") not in rows
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Two live streams joined on key + event-time range: a click
+    within the attribution window matches its impression; one outside
+    the window (or keyless) never appears. State is bounded by the
+    watermark (the plan must carry event-time range conditions both
+    ways — Spark refuses unbounded inner stream-stream joins)."""
+    import json
+
+    from balboa_spark.streaming.joins import stream_interval_join
+
+    iland, cland = tmp_path / "impr", tmp_path / "clicks"
+    iland.mkdir(), cland.mkdir()
+
+    def put(d, name, rows):
+        (d / name).write_text(
+            "\n".join(json.dumps({"ts": t, "user_id": u, "value": v}) for t, u, v in rows) + "\n"
+        )
+
+    schema = "ts timestamp, user_id string, value long"
+    impressions = spark.readStream.schema(schema).json(str(iland))
+    clicks = spark.readStream.schema(schema).json(str(cland))
+    joined = stream_interval_join(
+        impressions, clicks, key="user_id", max_delay="5 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .start()
+    )
+    try:
+        put(iland, "i1.ndjson", [
+            ("2024-01-01T10:00:00", "alice", 1),
+            ("2024-01-01T10:00:00", "bob", 2),
+        ])
+        put(cland, "c1.ndjson", [
+            ("2024-01-01T10:03:00", "alice", 10),   # within 5 min -> match
+            ("2024-01-01T10:07:00", "bob", 20),     # outside 5 min -> no match
+            ("2024-01-01T10:02:00", "carol", 30),   # no impression -> no match
+        ])
+        q.processAllAvailable()
+        # advance both watermarks so matched results emit
+        put(iland, "i2.ndjson", [("2024-01-01T10:30:00", "zz", 0)])
+        put(cland, "c2.ndjson", [("2024-01-01T10:30:00", "zz", 0)])
+        q.processAllAvailable()
+        put(iland, "i3.ndjson", [("2024-01-01T10:40:00", "zz2", 0)])
+        put(cland, "c3.ndjson", [("2024-01-01T10:40:00", "zz2", 0)])
+        q.processAllAvailable()
+
+        rows = spark.sql(
+            "SELECT user_id, left_value, right_value FROM attrib"
+            " WHERE user_id NOT LIKE 'zz%'"
+        ).collect()
+        assert [(r.user_id, r.left_value, r.right_value) for r in rows] == [
+            ("alice", 1, 10)
+        ]
+    finally:
+        q.stop()
+
+
+def test_time_travel_reads_previous_generation(spark, store):
+    """Generations are immutable snapshots: after a merge, the
+    previous generation still answers with the pre-merge data (within
+    the vacuum horizon), and unreachable generations error clearly."""
+    ts2 = dt.datetime(2021, 6, 1)
+    more = spark.createDataFrame(
+        [(5, "NOERROR", "1.2.3.4", "A", "foo", "abc", ts2, ts2, [])],
+        seed_obs(spark).schema,
+    )
+    store.merge(more)
+    gens = store.generations()
+    assert len(gens) == 2
+    old, cur = gens
+    now = {r.rrname: r["count"] for r in store.forward().collect()}
+    before = {r.rrname: r["count"] for r in store.forward(generation=old).collect()}
+    assert now["foo"] == 15 and before["foo"] == 10
+    # inverted layout time-travels too, and both snapshots agree with
+    # themselves
+    assert store.inverted(generation=old).count() == store.forward(
+        generation=old
+    ).count()
+    with pytest.raises(ValueError):
+        store.forward(generation=old - 1)
