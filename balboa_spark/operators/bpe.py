@@ -1,0 +1,156 @@
+"""Byte-pair-encoding tokenizer training and segmentation, distributed.
+
+The missing piece between the corpus operators (token counts, vocab
+top-k, packing) and an actual LLM data pipeline is training the
+tokenizer itself. This is word-level BPE (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units" — public
+algorithm): learn a sequence of greedy adjacent-pair merges from the
+corpus word histogram, then segment any word by replaying the merges
+in order.
+
+Scale design (the reference has no tokenizer trainer; this is one of
+the engine's beyond-reference LLM-pipeline operators):
+
+- The corpus is touched ONCE, to build the word histogram
+  (tokenize → explode → groupBy word). Everything after operates on
+  the vocabulary relation, which is orders of magnitude smaller than
+  the corpus at any scale (Heaps' law) and stays distributed.
+- Each merge round is one vocab-sized shuffle (pair counts with
+  map-side partial aggregation) + a driver-side top-1 (ONE row via
+  TakeOrdered — bounded driver state: the learned merge list itself,
+  ``num_merges`` pairs).
+- The per-round piece rewrite is a pure higher-order-function fold
+  (``F.aggregate``) — JVM-side, no Python UDF — and the vocab
+  relation is re-materialized with ``localCheckpoint`` each round so
+  lineage depth stays O(1) instead of O(num_merges).
+- Segmentation with a FIXED merge list is a stateless projection
+  (a chain of ``num_merges`` folds), embarrassingly parallel.
+
+Only ``^[a-z0-9]+$`` words participate: BPE over a lowercased alnum
+vocabulary keeps every piece regex-safe for both Spark and DuckDB
+replay (the oracle unrolls the same fold with string functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from balboa_spark.operators.text import tokens
+
+WORD_RE = "^[a-z0-9]+$"
+
+
+def chars(word: Column) -> Column:
+    """Initial BPE state: the word as an array of single characters."""
+    return F.regexp_extract_all(word, F.lit("(.)"), 1)
+
+
+def merge_pair(pieces: Column, a: str, b: str) -> Column:
+    """One greedy left-to-right merge pass: every adjacent (a, b) in
+    ``pieces`` becomes the single piece ``a+b``. Fold semantics match
+    classic BPE exactly: after merging, the new piece is the fold's
+    last element, so "aaa" under merge (a,a) yields [aa, a], not
+    [a, aa] or [aa, aa]. Seeded with the first element (not an empty
+    array) so the accumulator never needs an untyped empty literal —
+    and so the DuckDB oracle's ``list_reduce`` (which has
+    first-element seeding built in) replays it verbatim."""
+    merged = a + b
+    rest = F.slice(pieces, 2, F.greatest(F.size(pieces) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        F.array(F.element_at(pieces, 1)),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == a) & (x == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def segment(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Segment a word under a fixed merge list: chars, then each merge
+    replayed in learned order. A pure column expression — the chain is
+    ``len(merges)`` nested folds, no shuffle, no UDF."""
+    p = chars(word)
+    for a, b in merges:
+        p = merge_pair(p, a, b)
+    return p
+
+
+def word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The one corpus-sized pass: (word, cnt) for alnum words."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word").rlike(WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 16,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns the
+    merge list in learned order (the tokenizer artifact — bounded
+    driver state, one pair per round). Ties break deterministically
+    on (count desc, a asc, b asc), so a re-fit over the same corpus
+    is reproducible regardless of partitioning."""
+    vocab = word_histogram(df, text_col).select(
+        "cnt", chars(F.col("word")).alias("p")
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair = (
+            vocab.filter(F.size("p") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(p, 1, size(p) - 1)").alias("a"),
+                        F.expr("slice(p, 2, size(p) - 1)").alias("b"),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pair or pair[0]["n"] < min_pair_count:
+            break
+        a, b = pair[0]["a"], pair[0]["b"]
+        merges.append((a, b))
+        nxt = vocab.select("cnt", merge_pair(F.col("p"), a, b).alias("p"))
+        nxt = nxt.localCheckpoint(eager=True)
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges
+
+
+def bpe_segment_words(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Segment the corpus vocabulary under a fixed merge list:
+    (word, cnt, pieces [space-joined], n_pieces), heaviest words
+    first. ``top_n`` bounds the output for reporting (deterministic
+    cnt-desc, word-asc order); at scale leave it None and let the
+    caller keep the relation distributed."""
+    out = word_histogram(df, text_col).select(
+        "word",
+        "cnt",
+        F.concat_ws(" ", segment(F.col("word"), merges)).alias("pieces"),
+        F.size(segment(F.col("word"), merges)).alias("n_pieces"),
+    )
+    out = out.orderBy(F.col("cnt").desc(), "word")
+    return out.limit(top_n) if top_n is not None else out

@@ -125,6 +125,39 @@ class PostingsIndex:
     def _term_bucket(self, term):
         return F.substring(F.md5(term), 1, 2)
 
+    def _read_buckets(self, gen_dir: str, sub: str, buckets) -> DataFrame:
+        """Partition-pruned read of ``postings/`` or ``terms/``
+        limited to the given tb buckets, selecting partition
+        DIRECTORIES driver-side (exact pruning, independent of filter
+        pushdown) and re-casting tb to its canonical 2-hex-char
+        string form. The cast matters: a generation whose bucket
+        values happen to be all digit-only would have tb
+        partition-type-INFERRED as int (``tb=07`` -> 7), and an
+        upsert that unioned and rewrote that would emit ``tb=7``
+        directories that string pruning filters silently miss."""
+        import os
+
+        base = os.path.join(gen_dir, sub)
+        canon = F.lpad(F.col("tb").cast("string"), 2, "0")
+        paths = [
+            os.path.join(base, f"tb={b}")
+            for b in sorted(set(buckets))
+            if os.path.isdir(os.path.join(base, f"tb={b}"))
+        ]
+        if not paths:
+            # none of the probe buckets exist in this generation —
+            # an empty relation with the real schema
+            return (
+                self.spark.read.parquet(base)
+                .withColumn("tb", canon)
+                .filter(F.lit(False))
+            )
+        return (
+            self.spark.read.option("basePath", base)
+            .parquet(*paths)
+            .withColumn("tb", canon)
+        )
+
     def _manifest(self) -> dict:
         import json
         import os
@@ -192,26 +225,10 @@ class PostingsIndex:
         )
 
     def _flip_manifest(self, man: dict) -> None:
-        import json
-        import os
+        from balboa_spark.plans.genstore import flip_manifest, vacuum_generations
 
-        tmp = os.path.join(self.path, self.MANIFEST + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(man, fh)
-        os.replace(tmp, os.path.join(self.path, self.MANIFEST))
-        self._vacuum(keep_last=2)
-
-    def _vacuum(self, keep_last: int) -> None:
-        import os
-        import shutil
-
-        floor = self._manifest()["generation"] - keep_last + 1
-        for entry in os.listdir(self.path):
-            if entry.startswith("gen-") and entry[4:].isdigit():
-                if int(entry[4:]) < floor:
-                    shutil.rmtree(
-                        os.path.join(self.path, entry), ignore_errors=True
-                    )
+        flip_manifest(self.path, man, self.MANIFEST)
+        vacuum_generations(self.path, man["generation"], keep_last=2)
 
     def upsert(self, batch: DataFrame, text_col: str = "text") -> None:
         """Append a batch of NEW documents incrementally (the
@@ -231,7 +248,7 @@ class PostingsIndex:
         """
         import os
 
-        from balboa_spark.plans.layout import _link_tree
+        from balboa_spark.plans.genstore import link_tree as _link_tree
 
         man = self._manifest()
         id_col = man["id_col"]
@@ -253,10 +270,9 @@ class PostingsIndex:
             flat.agg(F.collect_set("tb").alias("t")).collect()[0]["t"]
         )
 
-        old_post = self.spark.read.parquet(os.path.join(old_gen_dir, "postings"))
+        old_post = self._read_buckets(old_gen_dir, "postings", touched)
         (
-            old_post.filter(F.col("tb").isin(touched))
-            .unionByName(flat)
+            old_post.unionByName(flat)
             .repartition("tb")
             .write.mode("overwrite")
             .partitionBy("tb")
@@ -265,10 +281,9 @@ class PostingsIndex:
         batch_df = flat.groupBy("term", "tb").agg(
             F.count_distinct(F.col(id_col)).alias("_bdf")
         )
-        old_terms = self.spark.read.parquet(os.path.join(old_gen_dir, "terms"))
+        old_terms = self._read_buckets(old_gen_dir, "terms", touched)
         (
-            old_terms.filter(F.col("tb").isin(touched))
-            .join(batch_df, ["term", "tb"], "full_outer")
+            old_terms.join(batch_df, ["term", "tb"], "full_outer")
             .select(
                 "term",
                 "tb",
@@ -325,13 +340,12 @@ class PostingsIndex:
         # partition pruning: the probe buckets are computable driver-
         # side (pure md5), so the scans carry tb IN (...) filters
         buckets = sorted({hashlib.md5(w.encode()).hexdigest()[:2] for w in terms})
-        post = (
-            self.spark.read.parquet(os.path.join(gen_dir, "postings"))
-            .filter(F.col("tb").isin(buckets) & F.col("term").isin(terms))
+        post = self._read_buckets(gen_dir, "postings", buckets).filter(
+            F.col("term").isin(terms)
         )
         dft = (
-            self.spark.read.parquet(os.path.join(gen_dir, "terms"))
-            .filter(F.col("tb").isin(buckets) & F.col("term").isin(terms))
+            self._read_buckets(gen_dir, "terms", buckets)
+            .filter(F.col("term").isin(terms))
             .select("term", "df")
         )
         idf = F.log((man["n"] - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)

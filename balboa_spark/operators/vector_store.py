@@ -51,7 +51,11 @@ from balboa_spark.operators.similarity import (
     lsh_bucket_codes,
     topk_brute,
 )
-from balboa_spark.plans.layout import _link_tree
+from balboa_spark.plans.genstore import (
+    flip_manifest,
+    link_tree as _link_tree,
+    vacuum_generations,
+)
 
 MANIFEST = "manifest.json"
 
@@ -98,10 +102,7 @@ class VectorStore:
         return os.path.join(self.path, f"gen-{gen}")
 
     def _flip_manifest(self, man: dict) -> None:
-        tmp = os.path.join(self.path, MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, os.path.join(self.path, MANIFEST))
+        flip_manifest(self.path, man, MANIFEST)
 
     def _commit(
         self,
@@ -134,20 +135,10 @@ class VectorStore:
         self._vacuum(keep_last=2)
 
     def _vacuum(self, keep_last: int) -> None:
-        import shutil
-
         man = self._manifest()
         if man is None:
             return
-        floor = man["generation"] - keep_last + 1
-        for entry in os.listdir(self.path):
-            # strictly numeric suffixes only: a stray 'gen-1.bak' must
-            # not abort the commit's vacuum with a ValueError
-            if entry.startswith("gen-") and entry[4:].isdigit():
-                if int(entry[4:]) < floor:
-                    shutil.rmtree(
-                        os.path.join(self.path, entry), ignore_errors=True
-                    )
+        vacuum_generations(self.path, man["generation"], keep_last)
 
     def _codes(self, vec_col: str, dim: int, man: dict | None = None):
         """LSH codes under the manifest's frozen parameters when given

@@ -101,16 +101,13 @@ def _bucket(col: str, n: int):
     return F.pmod(F.hash(F.col(col)), F.lit(n)).alias("bucket")
 
 
-def _link_tree(src: str, dst: str) -> None:
-    """Hard-link every file under src into the same relative path under
-    dst — O(#files) metadata ops, zero data movement. Parquet files are
-    immutable once written, so shared blocks are safe."""
-    for root, _dirs, files in os.walk(src):
-        rel = os.path.relpath(root, src)
-        target = os.path.join(dst, rel) if rel != "." else dst
-        os.makedirs(target, exist_ok=True)
-        for fn in files:
-            os.link(os.path.join(root, fn), os.path.join(target, fn))
+# shared generation-store plumbing (also used by VectorStore and
+# PostingsIndex); re-exported under the old name for callers
+from balboa_spark.plans.genstore import (  # noqa: E402
+    flip_manifest as _flip_manifest_file,
+    link_tree as _link_tree,
+    vacuum_generations as _vacuum_generations,
+)
 
 
 class ObservationStore:
@@ -136,11 +133,7 @@ class ObservationStore:
 
     def _flip_manifest(self, man: dict) -> None:
         """The one commit point: atomic rename of the manifest."""
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, os.path.join(self.path, MANIFEST))
+        _flip_manifest_file(self.path, man, MANIFEST)
 
     def _gen_dir(self, gen: int) -> str:
         return os.path.join(self.path, f"gen-{gen}")
@@ -269,20 +262,19 @@ class ObservationStore:
         man = self._manifest()
         if man is None:
             return
-        floor = man["generation"] - keep_last + 1
-        for entry in os.listdir(self.path):
-            if entry.startswith("gen-"):
-                try:
-                    g = int(entry.split("-", 1)[1])
-                except ValueError:
-                    continue
-                if g < floor:
-                    shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+        floor = _vacuum_generations(self.path, man["generation"], keep_last)
         self._layout_cache = {
             k: v for k, v in self._layout_cache.items() if k[0] >= floor
         }
 
     # -- read side ----------------------------------------------------------
+
+    def _empty_layout(self) -> DataFrame:
+        from balboa_spark.schemas import OBSERVATION
+
+        return self.spark.createDataFrame([], OBSERVATION).withColumn(
+            "bucket", F.lit(0)
+        )
 
     def _read_layout(
         self, name: str, generation: int | None = None
@@ -290,17 +282,29 @@ class ObservationStore:
         """Layout DataFrame at the current (default) or an explicit
         retained generation, cached per (generation, layout) so
         repeated point queries reuse the file listing instead of
-        re-planning I/O on every call."""
+        re-planning I/O on every call. Explicit generations are valid
+        only if COMMITTED (<= the manifest's generation): a gen-N
+        directory left by a crashed, un-flipped merge must never be
+        readable — serving it would expose a partial snapshot and
+        poison the plan cache for the generation a retried merge later
+        commits under the same number."""
         from pyspark.sql.utils import AnalysisException
 
         man = self._manifest()
         if man is None:
+            if generation is not None:
+                raise ValueError(
+                    f"generation {generation} does not exist: store at "
+                    f"{self.path} has no committed manifest"
+                )
             return None
         gen = man["generation"] if generation is None else generation
-        if generation is not None and not os.path.isdir(self._gen_dir(gen)):
+        if generation is not None and (
+            gen > man["generation"] or not os.path.isdir(self._gen_dir(gen))
+        ):
             raise ValueError(
-                f"generation {gen} is not retained (vacuum keeps the "
-                f"last 2; current is {man['generation']})"
+                f"generation {gen} is not a committed, retained generation "
+                f"(vacuum keeps the last 2; current is {man['generation']})"
             )
         key = (gen, name)
         if key not in self._layout_cache:
@@ -311,23 +315,13 @@ class ObservationStore:
             except AnalysisException:
                 # an empty aggregate writes no parquet files; surface an
                 # empty table, not a schema-inference error
-                from balboa_spark.schemas import OBSERVATION
-
-                df = self.spark.createDataFrame([], OBSERVATION).withColumn(
-                    "bucket", F.lit(0)
-                )
+                df = self._empty_layout()
             self._layout_cache[key] = df
         return self._layout_cache[key]
 
     def _layout_or_empty(self, name: str) -> DataFrame:
         df = self._read_layout(name)
-        if df is None:
-            from balboa_spark.schemas import OBSERVATION
-
-            df = self.spark.createDataFrame([], OBSERVATION).withColumn(
-                "bucket", F.lit(0)
-            )
-        return df
+        return df if df is not None else self._empty_layout()
 
     def forward(self, generation: int | None = None) -> DataFrame:
         """Aggregate table in forward key order; pass ``generation``
@@ -336,22 +330,24 @@ class ObservationStore:
         so an as-of-previous-merge audit query is just a different
         directory, within the vacuum horizon)."""
         df = self._read_layout("by_rrname", generation)
-        if df is None:
-            return self._layout_or_empty("by_rrname").drop("bucket")
-        return df.drop("bucket")
+        return (df if df is not None else self._empty_layout()).drop("bucket")
 
     def inverted(self, generation: int | None = None) -> DataFrame:
         df = self._read_layout("by_rdata", generation)
-        if df is None:
-            return self._layout_or_empty("by_rdata").drop("bucket")
-        return df.drop("bucket")
+        return (df if df is not None else self._empty_layout()).drop("bucket")
 
     def generations(self) -> list[int]:
-        """Retained (readable) generations, oldest first."""
+        """Committed, retained (readable) generations, oldest first.
+        Uncommitted gen dirs (a crashed merge that never flipped the
+        manifest) and fresh stores yield nothing."""
+        man = self._manifest()
+        if man is None or not os.path.isdir(self.path):
+            return []
         return sorted(
-            int(e[4:])
+            g
             for e in os.listdir(self.path)
             if e.startswith("gen-") and e[4:].isdigit()
+            and (g := int(e[4:])) <= man["generation"]
         )
 
     def query(self, q: Query) -> DataFrame:

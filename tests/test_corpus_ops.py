@@ -1103,6 +1103,41 @@ def test_postings_index_incremental_upsert(spark, tables, tmp_path):
     assert shared > 0
 
 
+def test_postings_upsert_digit_only_buckets_stay_canonical(
+    spark, tables, tmp_path
+):
+    """Partition-type-inference regression: a generation whose tb
+    values are ALL digit-only hex ('06', '63', '11') is inferred as
+    an int partition column on read; an upsert that unioned that with
+    the batch's string tb and rewrote would emit 'tb=6' directories
+    that the string pruning path silently misses. The canonical
+    re-cast in _read_buckets must keep every bucket 2-hex-char."""
+    import os
+
+    from balboa_spark.operators.search import PostingsIndex, bm25_topk
+
+    # md5 2-char buckets: aak->06 (leading zero), delta->63, india->11
+    # (all digit-only -> int inference on the base generation);
+    # alpha->2c (lettered) arrives only with the upsert batch
+    base = spark.createDataFrame(
+        [(0, "aak delta"), (1, "aak india")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame([(2, "alpha aak")], ["doc_id", "text"])
+
+    idx = PostingsIndex(spark, str(tmp_path / "bmdigits"))
+    idx.build(base)
+    idx.upsert(batch)
+
+    gen1 = os.path.join(idx.path, "gen-1", "postings")
+    parts = sorted(e for e in os.listdir(gen1) if e.startswith("tb="))
+    assert parts == ["tb=06", "tb=11", "tb=2c", "tb=63"]
+
+    docs = base.unionByName(batch)
+    got = [tuple(r) for r in idx.topk(["aak"], k=10).collect()]
+    adhoc = [tuple(r) for r in bm25_topk(docs, ["aak"], k=10).collect()]
+    assert got == adhoc and len(got) == 3
+
+
 def test_dataset_profile_one_pass_rollups(spark):
     rows = [
         (1, "a b c", "src1", "en", 5),
@@ -1126,3 +1161,77 @@ def test_dataset_profile_one_pass_rollups(spark):
         corpus.dataset_profile(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Expand") == 1
+
+
+# -- BPE tokenizer training ------------------------------------------------
+
+
+def _bpe_fit_py(corpus: list[str], num_merges: int, min_count: int = 2):
+    """Clear-room reference: greedy word-level BPE on a word histogram."""
+    from collections import Counter
+
+    hist = Counter(
+        w for line in corpus for w in line.lower().split() if w.isalnum()
+    )
+    vocab = {w: [c for c in w] for w in hist}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, pieces in vocab.items():
+            for i in range(len(pieces) - 1):
+                pairs[(pieces[i], pieces[i + 1])] += hist[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_count:
+            break
+        merges.append(best)
+        a, b = best
+        for w, pieces in vocab.items():
+            out, i = [], 0
+            while i < len(pieces):
+                if i + 1 < len(pieces) and pieces[i] == a and pieces[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(pieces[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_fit_matches_reference_impl(spark):
+    """Distributed fit replays classic greedy BPE exactly (merge list
+    AND resulting segmentations), including deterministic tie-breaks."""
+    from balboa_spark.operators import bpe
+
+    corpus = (
+        ["low low low low low", "lower lower widest widest widest"]
+        + ["newest newest newest newest newest newest"]
+        + ["the cat sat on the mat", "the bat and the cat"]
+    )
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"])
+    want_merges, want_vocab = _bpe_fit_py(corpus, num_merges=8)
+    got = bpe.bpe_fit(df, num_merges=8)
+    assert got == want_merges
+
+    seg = {
+        r["word"]: r["pieces"].split(" ")
+        for r in bpe.bpe_segment_words(df, got).collect()
+    }
+    assert seg == want_vocab
+    # greedy-overlap edge: merge (a, a) on "aaa" -> [aa, a]
+    row = (
+        spark.range(1)
+        .select(bpe.segment(F.lit("aaa"), [("a", "a")]).alias("p"))
+        .collect()[0]
+    )
+    assert row["p"] == ["aa", "a"]
+
+
+def test_bpe_fit_min_count_stops_early(spark):
+    from balboa_spark.operators import bpe
+
+    df = spark.createDataFrame([(0, "ab ab cd")], ["doc_id", "text"])
+    # (a,b) count 2 passes the floor; nothing else repeats
+    assert bpe.bpe_fit(df, num_merges=5, min_pair_count=2) == [("a", "b")]

@@ -556,3 +556,37 @@ def test_time_travel_reads_previous_generation(spark, store):
     ).count()
     with pytest.raises(ValueError):
         store.forward(generation=old - 1)
+
+
+def test_uncommitted_generation_is_not_readable(spark, store, tmp_path):
+    """A gen-N directory left by a crashed merge that never flipped
+    the manifest is NOT a snapshot: explicit reads of it must error
+    (not serve partial data that would also poison the plan cache for
+    the generation a retried merge later commits), and generations()
+    must not advertise it."""
+    import os
+
+    cur = store._manifest()["generation"]
+    # simulate the crash: next-gen dir exists with only ONE layout
+    # written, manifest never flipped
+    partial = store._gen_dir(cur + 1)
+    os.makedirs(os.path.join(partial, "by_rrname"), exist_ok=True)
+    store.forward(generation=cur).count()  # committed gen still fine
+    assert store.generations() == [cur]
+    with pytest.raises(ValueError):
+        store.forward(generation=cur + 1)
+    with pytest.raises(ValueError):
+        store.inverted(generation=cur + 1)
+
+
+def test_fresh_store_generation_reads_error_clearly(spark, tmp_path):
+    """A store path with no committed manifest: generations() is []
+    (even before the directory exists), and an explicit-generation
+    read raises instead of returning a plausible empty table."""
+    s = ObservationStore(spark, str(tmp_path / "never_written"))
+    assert s.generations() == []
+    with pytest.raises(ValueError):
+        s.forward(generation=0)
+    # the implicit read contract is unchanged: current-state reads on
+    # a fresh store are an empty table, not an error
+    assert s.forward().count() == 0
