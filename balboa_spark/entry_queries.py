@@ -251,6 +251,7 @@ _TAIL = [
     "corpus_bm25_topk",  # r6-new, driver_sim-verified; rotates into the cap next round
     "corpus_mixture_temperature",  # r6-new, driver_sim-verified; rotates into the cap next round
     "corpus_dataset_profile",  # r6-new, driver_sim-verified; rotates into the cap next round
+    "corpus_bpe_segment",  # r6-new (pinned-merge BPE), driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

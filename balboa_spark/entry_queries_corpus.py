@@ -1000,6 +1000,68 @@ FROM h
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer segmentation (pinned merges)
+# ---------------------------------------------------------------------------
+
+#: Merge list learned once by bpe_fit over the sf0.01 documents corpus
+#: and pinned as a literal (the same pattern as the pinned IVF
+#: centroids / JL projection matrix): segmentation under a FIXED merge
+#: list is deterministic and SQL-replayable, so the driver grades the
+#: apply path by hash while the iterative fit itself is verified
+#: merge-for-merge against a pure-Python reference in unit tests.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"),
+]
+BPE_TOP = 30
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary segmented under the pinned BPE merge list:
+    the heaviest BPE_TOP alnum words with their piece sequences. The
+    plan is one corpus tokenize + vocab groupBy, then a pure fold
+    chain (no UDF, no extra shuffle) and a TakeOrdered."""
+    from balboa_spark.operators import bpe
+
+    return bpe.bpe_segment_words(
+        _docs(spark, sf_dir), BPE_MERGES, top_n=BPE_TOP
+    )
+
+
+def _bpe_oracle() -> str:
+    """DuckDB replay of the greedy merge fold: for each pinned merge,
+    a list_reduce over the space-joined piece string whose accumulator
+    merges (a, b) when a is the accumulator's LAST piece — the string
+    twin of bpe.merge_pair's array fold (first-element seeding on both
+    sides). Pieces are alnum by construction, so the regex literals
+    need no escaping."""
+    expr = "array_to_string(regexp_extract_all(word, '.'), ' ')"
+    for a, b in BPE_MERGES:
+        expr = (
+            f"list_reduce(string_split({expr}, ' '), (acc, x) -> "
+            f"CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = '{a}' "
+            f"AND x = '{b}' "
+            f"THEN regexp_replace(acc, '([^ ]+)$', '{a}{b}') "
+            f"ELSE acc || ' ' || x END)"
+        )
+    return f"""
+WITH {_TOKS_SQL},
+words AS (
+  SELECT t AS word, count(*) AS cnt
+  FROM (SELECT unnest(tk) AS t FROM toks)
+  WHERE regexp_matches(t, '^[a-z0-9]+$')
+  GROUP BY t
+),
+top AS (SELECT word, cnt FROM words ORDER BY cnt DESC, word LIMIT {BPE_TOP}),
+seg AS (SELECT word, cnt, {expr} AS pieces FROM top)
+SELECT word, cnt, pieces,
+       CAST(len(string_split(pieces, ' ')) AS INTEGER) AS n_pieces
+FROM seg
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -1027,6 +1089,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bm25_topk": q_bm25_topk,
     "corpus_mixture_temperature": q_mixture_temperature,
     "corpus_dataset_profile": q_dataset_profile,
+    "corpus_bpe_segment": q_bpe_segment,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1056,4 +1119,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_bm25_topk": BM25_TOPK_ORACLE,
     "corpus_mixture_temperature": _mixture_temperature_oracle(),
     "corpus_dataset_profile": DATASET_PROFILE_ORACLE,
+    "corpus_bpe_segment": _bpe_oracle(),
 }

@@ -69,14 +69,36 @@ def merge_pair(pieces: Column, a: str, b: str) -> Column:
     )
 
 
+def _merge_pass_str(s: Column, a: str, b: str) -> Column:
+    """One greedy merge pass over a SPACE-JOINED piece string — same
+    semantics as :func:`merge_pair`, but the expression references its
+    input exactly once (inside the split). That single-reference shape
+    is load-bearing: chaining N array folds where each level re-reads
+    its input k times builds a k^N-node Catalyst expression tree
+    (analysis hangs around N=10); the string fold keeps the chain
+    LINEAR in the number of merges. Pieces are alnum by construction
+    (WORD_RE), so the regex literals need no escaping."""
+    return F.aggregate(
+        F.split(s, " "),
+        F.lit(""),
+        lambda acc, x: F.when(acc == "", x)
+        .when(
+            (F.regexp_extract(acc, "([^ ]+)$", 1) == a) & (x == b),
+            F.regexp_replace(acc, "([^ ]+)$", a + b),
+        )
+        .otherwise(F.concat_ws(" ", acc, x)),
+    )
+
+
 def segment(word: Column, merges: list[tuple[str, str]]) -> Column:
     """Segment a word under a fixed merge list: chars, then each merge
-    replayed in learned order. A pure column expression — the chain is
-    ``len(merges)`` nested folds, no shuffle, no UDF."""
-    p = chars(word)
+    replayed in learned order. A pure column expression — a linear
+    chain of ``len(merges)`` single-reference string folds (see
+    :func:`_merge_pass_str`), no shuffle, no UDF."""
+    s = F.concat_ws(" ", chars(word))
     for a, b in merges:
-        p = merge_pair(p, a, b)
-    return p
+        s = _merge_pass_str(s, a, b)
+    return F.split(s, " ")
 
 
 def word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -150,7 +172,12 @@ def bpe_segment_words(
         "word",
         "cnt",
         F.concat_ws(" ", segment(F.col("word"), merges)).alias("pieces"),
-        F.size(segment(F.col("word"), merges)).alias("n_pieces"),
+    )
+    out = out.select(
+        "word",
+        "cnt",
+        "pieces",
+        F.size(F.split("pieces", " ")).alias("n_pieces"),
     )
     out = out.orderBy(F.col("cnt").desc(), "word")
     return out.limit(top_n) if top_n is not None else out
