@@ -255,6 +255,85 @@ FROM e, m ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# schema-on-read over the free-form props JSON blob
+# ---------------------------------------------------------------------------
+
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the semi-structured props column rolled
+    up per event_type — the declared-extraction half of schema-on-read
+    (a pure JVM projection feeding one small-cardinality aggregate)."""
+    from balboa_spark.operators.semistructured import extract_json
+
+    e = extract_json(
+        _events(spark, sf_dir), "props", {"k": ("k", "int")}
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PROPS_EXTRACT_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       count(k) AS n_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read discovery over props: which keys exist, with
+    what scalar types, how often — one corpus pass, schema-sized
+    output."""
+    from balboa_spark.operators.semistructured import json_key_profile
+
+    return json_key_profile(_events(spark, sf_dir), "props").orderBy(
+        "key", "type"
+    )
+
+
+#: the oracle discovers keys with json_keys and classifies each value
+#: with json_type — an independent mechanism from the engine's
+#: map<string,string> parse + regex classification
+EVENTS_PROPS_PROFILE_ORACLE = """
+WITH kv AS (
+  SELECT k.key,
+         json_type(props, '$.' || k.key) AS jt
+  FROM events, unnest(json_keys(props)) AS k(key)
+  WHERE props IS NOT NULL AND json_valid(props)
+)
+SELECT key,
+       CASE jt
+         WHEN 'UBIGINT' THEN 'int'
+         WHEN 'BIGINT' THEN 'int'
+         WHEN 'DOUBLE' THEN 'float'
+         WHEN 'BOOLEAN' THEN 'bool'
+         WHEN 'VARCHAR' THEN 'string'
+         WHEN 'OBJECT' THEN 'object'
+         WHEN 'ARRAY' THEN 'array'
+         WHEN 'NULL' THEN 'null'
+       END AS type,
+       count(*) AS n
+FROM kv GROUP BY key, type ORDER BY key, type
+"""
+
+
 QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": q_events_asof,
     "events_rolling_1h": q_events_rolling,
@@ -262,6 +341,8 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack_sequences": q_pack_sequences,
     "events_zorder": q_events_zorder,
     "events_interval_join": q_events_interval_join,
+    "events_props_extract": q_events_props_extract,
+    "events_props_profile": q_events_props_profile,
 }
 
 ORACLES_TEMPORAL: dict[str, str] = {
@@ -271,4 +352,6 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "corpus_pack_sequences": PACK_SEQUENCES_ORACLE,
     "events_zorder": _zorder_oracle(),
     "events_interval_join": EVENTS_INTERVAL_JOIN_ORACLE,
+    "events_props_extract": EVENTS_PROPS_EXTRACT_ORACLE,
+    "events_props_profile": EVENTS_PROPS_PROFILE_ORACLE,
 }
