@@ -334,6 +334,33 @@ FROM kv GROUP BY key, type ORDER BY key, type
 """
 
 
+# ---------------------------------------------------------------------------
+# key-skew diagnostics (the measurement that sizes the salting plan)
+# ---------------------------------------------------------------------------
+
+def q_events_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer skew metrics of the events-per-user distribution — one
+    corpus-sized groupBy then a one-row reduce; skew_permille is the
+    max/mean ratio in integer permille so the hash compare is exact."""
+    from balboa_spark.plans import skew
+
+    return skew.skew_metrics(_events(spark, sf_dir), ["user_id"])
+
+
+EVENTS_SKEW_ORACLE = """
+WITH c AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+)
+SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+       count(*) AS n_keys,
+       max(n) AS max_key_rows,
+       min(n) AS min_key_rows,
+       CAST(floor(1000 * max(n) * count(*) / sum(n)) AS BIGINT)
+         AS skew_permille
+FROM c
+"""
+
+
 QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": q_events_asof,
     "events_rolling_1h": q_events_rolling,
@@ -343,6 +370,7 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interval_join": q_events_interval_join,
     "events_props_extract": q_events_props_extract,
     "events_props_profile": q_events_props_profile,
+    "events_skew_metrics": q_events_skew,
 }
 
 ORACLES_TEMPORAL: dict[str, str] = {
@@ -354,4 +382,5 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "events_interval_join": EVENTS_INTERVAL_JOIN_ORACLE,
     "events_props_extract": EVENTS_PROPS_EXTRACT_ORACLE,
     "events_props_profile": EVENTS_PROPS_PROFILE_ORACLE,
+    "events_skew_metrics": EVENTS_SKEW_ORACLE,
 }

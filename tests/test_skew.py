@@ -1,0 +1,68 @@
+"""Key-skew diagnostics and salting (balboa_spark.plans.skew)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from balboa_spark.plans import skew
+
+
+def _skewed(spark):
+    # one hot key (80 rows), two cool ones (10 each)
+    rows = [(i, "hot") for i in range(80)]
+    rows += [(100 + i, "warm") for i in range(10)]
+    rows += [(200 + i, "cool") for i in range(10)]
+    return spark.createDataFrame(rows, ["id", "k"])
+
+
+def test_skew_metrics_integer_exact(spark):
+    m = skew.skew_metrics(_skewed(spark), ["k"]).collect()[0]
+    assert (m["total_rows"], m["n_keys"]) == (100, 3)
+    assert (m["max_key_rows"], m["min_key_rows"]) == (80, 10)
+    # floor(1000 * 80 * 3 / 100)
+    assert m["skew_permille"] == 2400
+
+
+def test_heavy_keys_order_and_share(spark):
+    top = skew.heavy_keys(_skewed(spark), ["k"], top=2).collect()
+    assert [(r["k"], r["n"], r["share_ppm"]) for r in top] == [
+        ("hot", 80, 800_000),
+        ("cool", 10, 100_000),  # tie with warm -> key asc
+    ]
+
+
+def test_suggest_salt_scales_with_hotness(spark):
+    # hot key is 80 of 100 rows over 8 partitions: one partition's
+    # share is 12.5 rows -> ceil(80/12.5) = 7
+    assert skew.suggest_salt(80, 100, 8) == 7
+    assert skew.suggest_salt(10, 100, 8) == 1  # already fits
+    assert skew.suggest_salt(0, 0, 8) == 1  # degenerate
+
+
+def test_salted_count_equals_plain_and_is_deterministic(spark):
+    df = _skewed(spark)
+    plain = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["k"]: r["n"]
+        for r in skew.salted_count(df, "k", 7, shard_col="id").collect()
+    }
+    assert got == plain
+    again = {
+        r["k"]: r["n"]
+        for r in skew.salted_count(
+            df.repartition(13), "k", 7, shard_col="id"
+        ).collect()
+    }
+    assert again == plain  # partitioning-independent (hash salt, not rand)
+
+
+def test_with_salt_spreads_hot_key(spark):
+    df = skew.with_salt(_skewed(spark), "k", 7, shard_col="id")
+    n_salts = (
+        df.filter(F.col("k") == "hot").select("_salt").distinct().count()
+    )
+    assert n_salts > 1  # the hot key no longer lands on one reducer
+    assert df.filter(~F.col("_salt").between(0, 6)).count() == 0
