@@ -14,6 +14,8 @@ Operators:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -277,4 +279,44 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fp_exact"),
         shingle_fingerprint(t).alias("fp_shingle"),
+    )
+
+
+def compression_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document compression-ratio quality signal: highly
+    repetitive or templated text compresses far below natural prose,
+    so deflate ratio is a cheap one-number redundancy detector used by
+    large-corpus quality filters alongside the Gopher-style signals in
+    operators/corpus.py.
+
+    The compressor is CPU-bound C code with no SQL equivalent, so this
+    is the engine's designated pattern for that class of metric: an
+    Arrow-batched ``pandas_udf`` (one Python invocation per batch, the
+    zlib loop itself in C), never a row-at-a-time Python UDF. Pure
+    projection — no shuffle; Parquet prunes to (id, text).
+
+    Ratio is bytes_deflate / bytes_utf8 (level 6), NULL for empty or
+    NULL text. Unit-tested (sketch-internal-style: no SQL oracle can
+    replay deflate)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _deflated_len(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6)) if t else None
+        )
+
+    # byte length stays JVM-side; only the deflate itself crosses Arrow
+    n = F.nullif(F.octet_length(F.col(text_col)), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_bytes"),
+        _deflated_len(F.col(text_col)).alias("z_bytes"),
+    ).withColumn(
+        "compression_ratio",
+        F.round(F.col("z_bytes") / F.col("n_bytes"), 4),
     )

@@ -66,3 +66,38 @@ def test_with_salt_spreads_hot_key(spark):
     )
     assert n_salts > 1  # the hot key no longer lands on one reducer
     assert df.filter(~F.col("_salt").between(0, 6)).count() == 0
+
+
+# -- compression-ratio signal (operators.text) -----------------------------
+
+
+def test_compression_signals_separates_repetitive_text(spark):
+    from balboa_spark.operators.text import compression_signals
+
+    rows = [
+        (1, "spam " * 200),  # highly repetitive
+        (2, "the quick brown fox jumps over the lazy dog " * 5),
+        (3, ""),  # empty -> NULLs, not error
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in compression_signals(df).collect()}
+    assert out[1]["compression_ratio"] < out[2]["compression_ratio"] < 1.0
+    assert out[1]["n_bytes"] == 1000
+    assert out[3]["compression_ratio"] is None
+    assert out[4]["compression_ratio"] is None
+
+
+def test_compression_signals_is_arrow_batched(spark):
+    from balboa_spark.operators.text import compression_signals
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    plan = (
+        compression_signals(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # vectorized Arrow eval, not row-at-a-time Python eval
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
