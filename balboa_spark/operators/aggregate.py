@@ -234,3 +234,53 @@ def sketch_quantiles(
             )
         )
     return sketch_df.select(*cols)
+
+
+def frequency_sketch(
+    df: DataFrame,
+    value_col: str,
+    eps: float = 1e-4,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> bytes:
+    """Mergeable count-min frequency sketch of a column, built
+    DISTRIBUTED by Spark's count_min_sketch aggregate (map-side
+    partial sketches, counter-wise merge — the raw column never
+    leaves the executors) and returned as the serialized sketch:
+    parameter-sized driver state (depth x width counters,
+    ~ ln(1/(1-confidence)) x e/eps), independent of data volume.
+
+    Completes the persistable-sketch family next to HLL (distinct),
+    KLL (quantiles) and Theta (set overlap): CMS answers "how often
+    does item x occur" with estimate >= true and error <= eps * N at
+    the given confidence — the streaming-accumulable form of
+    heavy-key frequency tracking (plans/skew.py measures exactly;
+    this measures approximately but merges across batches for free,
+    CMS being a linear sketch)."""
+    row = df.agg(
+        F.expr(
+            f"count_min_sketch({value_col}, {eps}d, {confidence}d, {seed})"
+        ).alias("s")
+    ).collect()[0]
+    return bytes(row["s"])
+
+
+def merge_frequency_sketches(spark, *sketches: bytes) -> bytes:
+    """Counter-wise merge of same-parameter CMS sketches (linear:
+    merge(sketch(A), sketch(B)) is estimate-identical to
+    sketch(A ++ B), pinned by unit test). Per-batch sketches from an
+    unbounded stream fold into one with bounded state."""
+    assert sketches, "need at least one sketch"
+    jcls = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    acc = jcls.readFrom(sketches[0])
+    for s in sketches[1:]:
+        acc.mergeInPlace(jcls.readFrom(s))
+    return bytes(acc.toByteArray())
+
+
+def estimate_frequencies(spark, sketch: bytes, items) -> dict:
+    """Probe a serialized CMS for item frequency estimates —
+    driver-side, O(#items)."""
+    jcls = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    cms = jcls.readFrom(sketch)
+    return {it: cms.estimateCount(it) for it in items}

@@ -169,3 +169,52 @@ def test_contamination_overlap_sketch_bound(spark):
     assert abs(row.eval_grams_est - 10 * 33) / (10 * 33) < 0.05
     assert abs(row.overlap_est - 5 * 33) / (5 * 33) < 0.05
     assert 0.4 < row.containment_est < 0.6  # true containment 0.5
+
+
+# -- count-min frequency sketch ---------------------------------------------
+
+
+def test_frequency_sketch_estimates_and_merges(spark):
+    from balboa_spark.operators.aggregate import (
+        estimate_frequencies,
+        frequency_sketch,
+        merge_frequency_sketches,
+    )
+
+    rows_a = [("hot",)] * 50 + [("warm",)] * 10 + [("cool",)] * 2
+    rows_b = [("hot",)] * 30 + [("new",)] * 5
+    a = spark.createDataFrame(rows_a, ["k"])
+    b = spark.createDataFrame(rows_b, ["k"])
+
+    sk_a = frequency_sketch(a, "k")
+    est = estimate_frequencies(spark, sk_a, ["hot", "warm", "cool", "absent"])
+    # CMS overestimates only; at this width / tiny distinct set it is exact
+    assert est == {"hot": 50, "warm": 10, "cool": 2, "absent": 0}
+
+    # linear-sketch merge: per-batch sketches fold to the full-stream one
+    sk_b = frequency_sketch(b, "k")
+    merged = merge_frequency_sketches(spark, sk_a, sk_b)
+    full = frequency_sketch(a.unionByName(b), "k")
+    probe = ["hot", "warm", "cool", "new"]
+    assert estimate_frequencies(spark, merged, probe) == estimate_frequencies(
+        spark, full, probe
+    )
+    assert estimate_frequencies(spark, merged, ["hot"])["hot"] == 80
+
+
+def test_frequency_sketch_partitioning_independent(spark):
+    from balboa_spark.operators.aggregate import (
+        estimate_frequencies,
+        frequency_sketch,
+    )
+
+    df = spark.createDataFrame([(f"k{i % 7}",) for i in range(700)], ["k"])
+    e1 = estimate_frequencies(
+        spark, frequency_sketch(df, "k"), [f"k{i}" for i in range(7)]
+    )
+    e2 = estimate_frequencies(
+        spark,
+        frequency_sketch(df.repartition(13), "k"),
+        [f"k{i}" for i in range(7)],
+    )
+    assert e1 == e2 == {f"k{i}": 100 for i in range(7)}
