@@ -1,0 +1,61 @@
+"""Streaming heavy-hitter monitor (balboa_spark.streaming.heavy_hitters)."""
+
+from __future__ import annotations
+
+import json
+
+from balboa_spark.streaming.heavy_hitters import HeavyHitterMonitor
+
+
+def _batch(spark, spec: dict[str, int]):
+    rows = [(k,) for k, n in spec.items() for _ in range(n)]
+    return spark.createDataFrame(rows, ["k"])
+
+
+def test_monitor_accumulates_across_batches(spark, tmp_path):
+    mon = HeavyHitterMonitor(spark, str(tmp_path / "hh"), "k", batch_topk=3)
+    mon.update(_batch(spark, {"a": 30, "b": 10, "c": 1}))
+    mon.update(_batch(spark, {"b": 25, "d": 8, "e": 1}))
+    mon.update(_batch(spark, {"a": 5, "d": 20}))
+    # all-time truth: a=35, b=35, c=1, d=28, e=1
+    top = mon.topk(3)
+    assert top == [("a", 35), ("b", 35), ("d", 28)]
+
+
+def test_monitor_candidate_cap_keeps_heaviest(spark, tmp_path):
+    mon = HeavyHitterMonitor(
+        spark, str(tmp_path / "hh2"), "k", batch_topk=5, max_candidates=4
+    )
+    mon.update(_batch(spark, {"h1": 50, "h2": 40, "x1": 2, "x2": 2, "x3": 2}))
+    mon.update(_batch(spark, {"h3": 60, "x4": 1, "x5": 1, "x6": 1, "x7": 1}))
+    top = mon.topk(3)
+    assert top == [("h3", 60), ("h1", 50), ("h2", 40)]
+    # state is bounded: at most max_candidates survive
+    st = json.load(open(tmp_path / "hh2" / "state.json"))
+    assert len(st["candidates"]) <= 4
+
+
+def test_monitor_streaming_e2e(spark, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    mon = HeavyHitterMonitor(spark, str(tmp_path / "hh3"), "k", batch_topk=3)
+
+    def lines(spec):
+        return "\n".join(
+            json.dumps({"k": k}) for k, n in spec.items() for _ in range(n)
+        )
+
+    (land / "b1.ndjson").write_text(lines({"hot": 20, "warm": 5}))
+    stream = spark.readStream.schema("k string").json(str(land))
+    q = (
+        stream.writeStream.foreachBatch(mon.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (land / "b2.ndjson").write_text(lines({"hot": 15, "new": 9}))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert mon.topk(2) == [("hot", 35), ("new", 9)]
