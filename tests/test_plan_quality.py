@@ -416,3 +416,55 @@ def test_bucketed_join_has_no_exchange(spark, tables, tmp_path):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_scores")
+
+
+def test_bpe_segment_plan_one_shuffle_takeordered(spark):
+    """bpe_segment_words: the vocab groupBy is the ONLY full exchange;
+    the top-n is a TakeOrdered (per-partition heaps), never a global
+    sort exchange. Also guards the expression-size property: a
+    12-merge chain must stay linear (analysis completes — the array-
+    fold formulation hung here)."""
+    from balboa_spark.operators import bpe
+
+    merges = [(chr(97 + i), chr(98 + i)) for i in range(12)]
+    df = bpe.bpe_segment_words(_corpus(spark), merges, top_n=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+
+def test_props_extract_prunes_scan_columns(spark, tables, tmp_path):
+    """extract_json over a parquet scan must read ONLY the json column
+    and the grouping key — the projection reaches the scan."""
+    from balboa_spark.operators.semistructured import extract_json
+
+    p = str(tmp_path / "ev")
+    tables["events"].write.parquet(p)
+    e = spark.read.parquet(p)
+    out = (
+        extract_json(e, "props", {"k": ("k", "int")})
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("s"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "props" in scan and "event_type" in scan
+    assert "user_id" not in scan and "value" not in scan
+
+
+def test_skew_metrics_scan_reads_only_key(spark, tables, tmp_path):
+    from balboa_spark.plans import skew
+
+    p = str(tmp_path / "ev2")
+    tables["events"].write.parquet(p)
+    e = spark.read.parquet(p)
+    plan = (
+        skew.skew_metrics(e, ["user_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "user_id" in scan and "props" not in scan and "value" not in scan
+    # partial aggregation before both exchanges (map-side combine)
+    assert "partial" in plan.lower()
