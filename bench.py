@@ -369,6 +369,24 @@ def main() -> None:
             shard_hex_chars=1,
         )
 
+    @timed("bpe_segment")
+    def _():
+        # pinned-merge tokenizer segmentation: ONE vocab-sized shuffle
+        # (word histogram) + a linear fold chain + TakeOrdered
+        from balboa_spark.entry_queries_corpus import BPE_MERGES
+        from balboa_spark.operators import bpe
+
+        bpe.bpe_segment_words(
+            par(spark.table("documents")), BPE_MERGES, top_n=30
+        ).collect()
+
+    @timed("events_skew")
+    def _():
+        # skew diagnostics: one keys-sized groupBy + a 1-row reduce
+        from balboa_spark.plans import skew
+
+        skew.skew_metrics(spark.table("events"), ["user_id"]).collect()
+
     run_items()
     shutil.rmtree(tmp, ignore_errors=True)
 

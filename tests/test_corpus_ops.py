@@ -1235,3 +1235,17 @@ def test_bpe_fit_min_count_stops_early(spark):
     df = spark.createDataFrame([(0, "ab ab cd")], ["doc_id", "text"])
     # (a,b) count 2 passes the floor; nothing else repeats
     assert bpe.bpe_fit(df, num_merges=5, min_pair_count=2) == [("a", "b")]
+
+
+def test_bpe_fit_partitioning_independent(spark):
+    """The (count desc, a asc, b asc) tie-break makes fit reproducible
+    regardless of physical partitioning."""
+    from balboa_spark.operators import bpe
+
+    corpus = ["aa bb aa cc", "bb aa dd dd", "cc dd bb aa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    m1 = bpe.bpe_fit(df, num_merges=4)
+    m2 = bpe.bpe_fit(df.repartition(7), num_merges=4)
+    assert m1 == m2 and len(m1) > 0
