@@ -1215,6 +1215,47 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# seed-centroid domain scoring (embedding-space quality-filter bootstrap)
+# ---------------------------------------------------------------------------
+
+SEED_LABEL = 0
+SEED_TOPK = 50
+
+
+def q_embedding_seed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every non-seed vector by cosine to the label-0 seed
+    centroid; keep the SEED_TOPK closest. The centroid is an in-plan
+    single-row broadcast (no driver action); scoring is a projection
+    over the scan."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"]
+    seed = emb.filter(F.col("label") == SEED_LABEL)
+    cand = emb.filter(F.col("label") != SEED_LABEL)
+    return (
+        similarity.seed_centroid_scores(cand, seed)
+        .orderBy(F.col("seed_cos").desc(), "vec_id")
+        .limit(SEED_TOPK)
+    )
+
+
+EMBEDDING_SEED_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+x AS (
+  SELECT unnest(v) AS val, generate_subscripts(v, 1) AS i
+  FROM e WHERE label = {SEED_LABEL}
+),
+c AS (
+  SELECT list(m ORDER BY i) cen
+  FROM (SELECT i, avg(val) m FROM x GROUP BY i)
+)
+SELECT vec_id,
+       round(list_cosine_similarity(v, (SELECT cen FROM c)), 6) AS seed_cos
+FROM e WHERE label <> {SEED_LABEL}
+ORDER BY seed_cos DESC, vec_id LIMIT {SEED_TOPK}
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,
     "dedup_exact": q_dedup_exact,
@@ -1243,6 +1284,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_patches": q_media_patches,
     "dedup_components": q_dedup_components,
     "embedding_mean_pool": q_embedding_mean_pool,
+    "embedding_seed_topk": q_embedding_seed_topk,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -1282,4 +1324,5 @@ ORACLES_DOCS: dict[str, str] = {
         minhash_ctes=_minhash_ctes()
     ),
     "embedding_mean_pool": EMBEDDING_MEAN_POOL_ORACLE,
+    "embedding_seed_topk": EMBEDDING_SEED_TOPK_ORACLE,
 }

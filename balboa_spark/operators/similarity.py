@@ -763,3 +763,44 @@ def random_project(
         return pd.Series(list(Y))
 
     return df.select(F.col(id_col), proj(F.col(vec_col)).alias("pvec"))
+
+
+def seed_centroid_scores(
+    df: DataFrame,
+    seed: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Seed-similarity domain scoring: cosine of every vector to the
+    component-wise MEAN of a small seed set — the embedding-space
+    analog of a domain classifier when no model is available (score a
+    web corpus against a curated seed corpus, keep the closest; the
+    quality-classifier bootstrap pattern used by curated-web datasets).
+
+    Plan: the seed collapses to ONE dim-length centroid row via a
+    scalar posexplode + (component) average (seed-sized, map-side
+    combined), broadcast back as a single-row cross join — no driver
+    action, no corpus-sized shuffle; the scoring pass is a pure
+    projection over the corpus scan. Scores round to 6 decimals for
+    cross-engine hash stability.
+
+    Output: (id_col, seed_cos).
+    """
+    comp = seed.filter(F.col(vec_col).isNotNull()).select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_i", "_v")
+    )
+    cen = (
+        comp.groupBy("_i")
+        .agg(F.avg("_v").alias("_m"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))),
+                lambda x: x["_m"],
+            ).alias("_cen")
+        )
+    )
+    return df.crossJoin(F.broadcast(cen)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_cen")), 6).alias("seed_cos"),
+    )

@@ -818,3 +818,26 @@ def test_vector_store_upsert_honors_frozen_manifest_params(spark, emb, tmp_path)
         for r in similarity.topk_brute(updated, list(v1), k=5).collect()
     ]
     assert got == brute
+
+
+def test_seed_centroid_scores_ranks_in_domain_higher(spark):
+    from balboa_spark.operators.similarity import seed_centroid_scores
+
+    seeds = spark.createDataFrame(
+        [(i, [1.0, 0.05 * i, 0.0]) for i in range(4)],
+        ["vec_id", "embedding"],
+    )
+    cands = spark.createDataFrame(
+        [(100, [0.9, 0.1, 0.0]), (101, [0.0, 0.0, 1.0]), (102, [-1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r["seed_cos"] for r in seed_centroid_scores(cands, seeds).collect()}
+    assert out[100] > 0.99 and abs(out[101]) < 0.1 and out[102] < -0.99
+    # the centroid joins back as a broadcast, never a shuffled join
+    plan = (
+        seed_centroid_scores(cands, seeds)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
