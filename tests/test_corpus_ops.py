@@ -1249,3 +1249,37 @@ def test_bpe_fit_partitioning_independent(spark):
     m1 = bpe.bpe_fit(df, num_merges=4)
     m2 = bpe.bpe_fit(df.repartition(7), num_merges=4)
     assert m1 == m2 and len(m1) > 0
+
+
+def test_bpe_property_random_corpora_match_reference(spark):
+    """Property check (bounded examples — each runs Spark jobs): on
+    random small corpora the distributed fit reproduces the pure-
+    Python reference exactly, merges AND segmentations."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from balboa_spark.operators import bpe
+
+    word = st.text(alphabet="abcde", min_size=1, max_size=6)
+    line = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpus=st.lists(line, min_size=1, max_size=5))
+    def check(corpus):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+        )
+        want_merges, want_vocab = _bpe_fit_py(corpus, num_merges=5)
+        got = bpe.bpe_fit(df, num_merges=5)
+        assert got == want_merges
+        seg = {
+            r["word"]: r["pieces"].split(" ")
+            for r in bpe.bpe_segment_words(df, got).collect()
+        }
+        assert seg == want_vocab
+
+    check()
