@@ -308,29 +308,41 @@ def q_events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the oracle discovers keys with json_keys and classifies each value
-#: with json_type — an independent mechanism from the engine's
-#: map<string,string> parse + regex classification
-EVENTS_PROPS_PROFILE_ORACLE = """
+def _props_profile_oracle() -> str:
+    """Oracle generated from the engine's OWN classification regexes
+    (semistructured._INT_RE/_FLOAT_RE — the shared-constants oracle
+    pattern): the engine classifies the string RENDERING of each value
+    (a quoted "7" and a bare 7 both render to '7' through the
+    map<string,string> parse and both count as int), so a
+    json_type-based oracle would diverge on quoted scalars — and it
+    must also reproduce the engine's counted ``_corrupt`` row, which
+    a json_valid filter would silently drop."""
+    from balboa_spark.operators.semistructured import _FLOAT_RE, _INT_RE
+
+    classify = f"""CASE
+         WHEN v IS NULL THEN 'null'
+         WHEN regexp_matches(v, '{_INT_RE}') THEN 'int'
+         WHEN regexp_matches(v, '{_FLOAT_RE}') THEN 'float'
+         WHEN v IN ('true', 'false') THEN 'bool'
+         WHEN v LIKE '{{%' THEN 'object'
+         WHEN v LIKE '[%' THEN 'array'
+         ELSE 'string' END"""
+    return f"""
 WITH kv AS (
   SELECT k.key,
-         json_type(props, '$.' || k.key) AS jt
+         json_extract_string(props, '$.' || k.key) AS v
   FROM events, unnest(json_keys(props)) AS k(key)
   WHERE props IS NOT NULL AND json_valid(props)
+),
+typed AS (
+  SELECT key, {classify} AS type, count(*) AS n
+  FROM kv GROUP BY 1, 2
+  UNION ALL
+  SELECT '_corrupt' AS key, 'corrupt' AS type, count(*) AS n
+  FROM events WHERE props IS NOT NULL AND NOT json_valid(props)
+  HAVING count(*) > 0
 )
-SELECT key,
-       CASE jt
-         WHEN 'UBIGINT' THEN 'int'
-         WHEN 'BIGINT' THEN 'int'
-         WHEN 'DOUBLE' THEN 'float'
-         WHEN 'BOOLEAN' THEN 'bool'
-         WHEN 'VARCHAR' THEN 'string'
-         WHEN 'OBJECT' THEN 'object'
-         WHEN 'ARRAY' THEN 'array'
-         WHEN 'NULL' THEN 'null'
-       END AS type,
-       count(*) AS n
-FROM kv GROUP BY key, type ORDER BY key, type
+SELECT key, type, n FROM typed ORDER BY key, type
 """
 
 
@@ -355,8 +367,8 @@ SELECT CAST(sum(n) AS BIGINT) AS total_rows,
        count(*) AS n_keys,
        max(n) AS max_key_rows,
        min(n) AS min_key_rows,
-       CAST(floor(1000 * max(n) * count(*) / sum(n)) AS BIGINT)
-         AS skew_permille
+       CAST(floor(1000.0 * max(n) / CAST(sum(n) AS DOUBLE) * count(*))
+            AS BIGINT) AS skew_permille
 FROM c
 """
 
@@ -381,6 +393,6 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "events_zorder": _zorder_oracle(),
     "events_interval_join": EVENTS_INTERVAL_JOIN_ORACLE,
     "events_props_extract": EVENTS_PROPS_EXTRACT_ORACLE,
-    "events_props_profile": EVENTS_PROPS_PROFILE_ORACLE,
+    "events_props_profile": _props_profile_oracle(),
     "events_skew_metrics": EVENTS_SKEW_ORACLE,
 }

@@ -35,8 +35,12 @@ _FLOAT_RE = r"^-?\d+\.\d+([eE][+-]?\d+)?$|^-?\d+[eE][+-]?\d+$"
 
 def json_field(json_col: Column, path: str, dtype: str = "string") -> Column:
     """Typed extraction of one ``$.path`` from a JSON string column —
-    a pure column expression (missing key / corrupt JSON -> NULL)."""
-    return F.get_json_object(json_col, f"$.{path}").cast(dtype)
+    a pure column expression. Missing key, corrupt JSON, AND
+    type-mismatched values all yield NULL: under Spark 4's default
+    ANSI mode a plain cast of '1.5' to int would kill the whole job,
+    so this must be try_cast — the same untrusted-string rule the
+    ingest decoders follow."""
+    return F.get_json_object(json_col, f"$.{path}").try_cast(dtype)
 
 
 def extract_json(

@@ -48,7 +48,7 @@ def heavy_keys(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
         .select(
             *keys,
             "n",
-            F.floor(F.col("n") * 1_000_000 / F.col("_t"))
+            F.floor(F.lit(1_000_000.0) * F.col("n") / F.col("_t"))
             .cast("long")
             .alias("share_ppm"),
         )
@@ -64,13 +64,18 @@ def skew_metrics(df: DataFrame, keys: list[str]) -> DataFrame:
     ratio in integer permille (1000 = perfectly uniform; 10x skew =
     10000). Integers only, so the DuckDB oracle replays it exactly."""
     counts = key_counts(df, keys)
+    # ratio in DOUBLE, smallest-magnitude first: 1000 * max * n_keys
+    # in int64 overflows around max=1e9 x n_keys=1e7 — exactly the
+    # skewed-at-scale inputs this diagnostic exists for (ANSI mode
+    # would turn that into a runtime ArithmeticException). The oracle
+    # mirrors the same operation order so the floor boundary agrees.
     return counts.agg(
         F.sum("n").alias("total_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n").alias("max_key_rows"),
         F.min("n").alias("min_key_rows"),
         F.floor(
-            F.lit(1000) * F.max("n") * F.count(F.lit(1)) / F.sum("n")
+            F.lit(1000.0) * F.max("n") / F.sum("n") * F.count(F.lit(1))
         )
         .cast("long")
         .alias("skew_permille"),

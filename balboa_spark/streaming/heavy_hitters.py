@@ -8,13 +8,18 @@ tracked column and folds every micro-batch into them:
 - a count-min sketch (operators/aggregate.frequency_sketch) — linear,
   so per-batch sketches merge counter-wise into the all-time sketch
   with zero error growth beyond the sketch's own eps*N bound;
-- a candidate set: the exact per-batch top-k keys. A key that is ever
-  globally heavy must be heavy in some batch (batch top-k is a
-  superset generator of sustained heavy hitters at the monitor's k),
-  so probing the all-time sketch with the accumulated candidates
-  recovers the global top-k without ever holding per-key state for
-  the full key universe. The candidate set is capped (drop the
-  lowest-estimate candidates first) so state stays parameter-sized.
+- a candidate set: the exact per-batch top-k keys. The guarantee this
+  carries (and no more): a key whose ALL-TIME share exceeds
+  1 / batch_topk must, by pigeonhole, exceed that share in at least
+  one batch — and fewer than batch_topk keys can exceed share
+  1 / batch_topk within a batch, so there it lands inside that
+  batch's top-k and enters the candidates. Size batch_topk as
+  1 / (the smallest share you must never miss); keys below that
+  share can evade any bounded-candidate scheme of this size. Probing
+  the all-time sketch with the candidates then recovers the global
+  top-k without per-key state for the full key universe. The set is
+  capped by all-time estimate (drop lowest first) so state stays
+  parameter-sized.
 
 Commit model: the same atomic manifest flip as every other persisted
 artifact (plans/genstore) — state is a tiny JSON blob (sketch bytes
@@ -71,14 +76,25 @@ class HeavyHitterMonitor:
         with open(p) as fh:
             return json.load(fh)
 
-    def update(self, batch: DataFrame) -> None:
-        """Fold one micro-batch into the persisted state. Replay-safe
-        in effect for ranking: a re-applied batch inflates counts but
-        cannot invent a heavy key that was never heavy."""
+    def update(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+        """Fold one micro-batch into the persisted state. Pass the
+        foreachBatch ``epoch_id`` to make replays EXACTLY-once: the
+        state records the last applied epoch inside the same atomic
+        flip, so a batch re-delivered after a crash between the state
+        flip and the streaming checkpoint commit is skipped instead of
+        double-counted (double-counting would not just inflate counts
+        — it could reorder genuinely heavy keys)."""
+        st = self._state()
+        if (
+            epoch_id is not None
+            and st is not None
+            and st.get("last_epoch") == epoch_id
+        ):
+            return
         sk = frequency_sketch(
             batch, self.key_col, self.eps, self.confidence, self.seed
         )
-        batch_top = [
+        batch_cands = {
             r[self.key_col]
             for r in (
                 batch.groupBy(self.key_col)
@@ -87,30 +103,28 @@ class HeavyHitterMonitor:
                 .limit(self.batch_topk)
                 .collect()
             )
-        ]
-        st = self._state()
+        }
         if st is not None:
             sk = merge_frequency_sketches(
                 self.spark, base64.b64decode(st["sketch"]), sk
             )
-            cands = set(st["candidates"]) | set(batch_top)
+            cands = set(st["candidates"]) | batch_cands
         else:
-            cands = set(batch_top)
+            cands = batch_cands
         if len(cands) > self.max_candidates:
             est = estimate_frequencies(self.spark, sk, sorted(cands))
             kept = sorted(est, key=lambda c: (-est[c], c))[
                 : self.max_candidates
             ]
             cands = set(kept)
-        flip_manifest(
-            self.path,
-            {
-                "sketch": base64.b64encode(sk).decode("ascii"),
-                "candidates": sorted(cands),
-                "key_col": self.key_col,
-            },
-            STATE,
-        )
+        man = {
+            "sketch": base64.b64encode(sk).decode("ascii"),
+            "candidates": sorted(cands),
+            "key_col": self.key_col,
+        }
+        if epoch_id is not None:
+            man["last_epoch"] = epoch_id
+        flip_manifest(self.path, man, STATE)
 
     def topk(self, k: int = 10) -> list[tuple[str, int]]:
         """All-time heavy hitters: probe the merged sketch with the
@@ -128,7 +142,7 @@ class HeavyHitterMonitor:
     def foreach_batch(self):
         """Adapter for writeStream.foreachBatch."""
 
-        def _fn(batch: DataFrame, _epoch: int) -> None:
-            self.update(batch)
+        def _fn(batch: DataFrame, epoch: int) -> None:
+            self.update(batch, epoch_id=epoch)
 
         return _fn

@@ -59,3 +59,14 @@ def test_monitor_streaming_e2e(spark, tmp_path):
     finally:
         q.stop()
     assert mon.topk(2) == [("hot", 35), ("new", 9)]
+
+
+def test_monitor_epoch_replay_is_exactly_once(spark, tmp_path):
+    """A re-delivered foreachBatch epoch (crash between state flip and
+    checkpoint commit) must not double-count — double counts could
+    reorder genuinely heavy keys, not just inflate them."""
+    mon = HeavyHitterMonitor(spark, str(tmp_path / "hh4"), "k", batch_topk=3)
+    mon.update(_batch(spark, {"a": 30}), epoch_id=0)
+    mon.update(_batch(spark, {"b": 20}), epoch_id=1)
+    mon.update(_batch(spark, {"b": 20}), epoch_id=1)  # replay
+    assert mon.topk(2) == [("a", 30), ("b", 20)]

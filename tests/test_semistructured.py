@@ -79,3 +79,18 @@ def test_json_field_missing_key_is_null(spark):
     df = spark.createDataFrame([(1, '{"a": 1}')], ["id", "j"])
     row = df.select(json_field(F.col("j"), "b", "int").alias("b")).collect()[0]
     assert row["b"] is None
+
+
+def test_json_field_type_mismatch_is_null_not_crash(spark):
+    """Spark 4 default ANSI mode: a plain cast of '1.5' to int kills
+    the job; extraction must try_cast so messy values degrade to NULL
+    like missing keys do."""
+    df = spark.createDataFrame(
+        [(1, '{"k": 1.5}'), (2, '{"k": "oops"}'), (3, '{"k": 7}')],
+        ["id", "props"],
+    )
+    out = {
+        r["id"]: r["k"]
+        for r in extract_json(df, "props", {"k": ("k", "int")}).collect()
+    }
+    assert out == {1: None, 2: None, 3: 7}
