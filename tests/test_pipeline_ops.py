@@ -841,3 +841,41 @@ def test_seed_centroid_scores_ranks_in_domain_higher(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_media_to_vector_store_end_to_end(spark, tmp_path):
+    """The multimodal indexing composition a real pipeline runs:
+    binary assets -> (stubbed) feature extraction via mapInPandas ->
+    persisted ANN index -> nearest-asset retrieval. The decode is the
+    deterministic fake (no codecs in this container); every Spark
+    seam — batch shape, schema, store layout, partition-pruned probe
+    — is the production path."""
+    from balboa_spark.operators.multimodal import (
+        MEDIA_ASSET,
+        fake_decode_media,
+    )
+    from balboa_spark.operators.vector_store import VectorStore
+
+    base = bytes(range(16, 16 + 64))
+    near = bytes([base[0] + 1]) + base[1:]  # one byte off -> near dup
+    far = bytes(reversed(base))
+    rows = [
+        (1, "image", bytearray(base), "fake", 8, 8, None),
+        (2, "image", bytearray(near), "fake", 8, 8, None),
+        (3, "image", bytearray(far), "fake", 8, 8, None),
+    ]
+    assets = spark.createDataFrame(rows, MEDIA_ASSET)
+    feats = (
+        fake_decode_media(assets, feature_dim=8)
+        .filter(F.col("features").isNotNull())
+        .select(
+            F.col("asset_id").alias("vec_id"),
+            F.col("features").alias("embedding"),
+        )
+    )
+    vs = VectorStore(spark, str(tmp_path / "media_vs"))
+    vs.write(feats, dim=8)
+
+    qvec = [float(b) / 256.0 for b in base[:: max(1, 64 // 8)]][:8]
+    got = [r.vec_id for r in vs.topk(qvec, k=2).collect()]
+    assert got[0] == 1 and got[1] == 2  # exact asset, then the near-dup
