@@ -1283,3 +1283,24 @@ def test_bpe_property_random_corpora_match_reference(spark):
         assert seg == want_vocab
 
     check()
+
+
+def test_postings_upsert_disjoint_vocabulary(spark, tables, tmp_path):
+    """A batch whose vocabulary shares NO term bucket with the stored
+    generation: the old-side bucket read falls back to an empty
+    relation (with the real schema) and the new buckets still land —
+    queries over old, new, and absent terms all stay correct."""
+    from balboa_spark.operators.search import PostingsIndex, bm25_topk
+
+    base = spark.createDataFrame([(0, "aak aak delta")], ["doc_id", "text"])
+    batch = spark.createDataFrame([(1, "zulu zulu echo")], ["doc_id", "text"])
+    idx = PostingsIndex(spark, str(tmp_path / "bmdisj"))
+    idx.build(base)
+    idx.upsert(batch)
+
+    docs = base.unionByName(batch)
+    for terms in (["aak"], ["zulu"], ["aak", "zulu"]):
+        got = [tuple(r) for r in idx.topk(terms, k=5).collect()]
+        adhoc = [tuple(r) for r in bm25_topk(docs, terms, k=5).collect()]
+        assert got == adhoc, terms
+    assert idx.topk(["absentterm"], k=5).count() == 0
