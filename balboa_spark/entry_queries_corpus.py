@@ -1001,6 +1001,32 @@ FROM h
 
 
 # ---------------------------------------------------------------------------
+# cross-source overlap matrix (provenance leakage between sources)
+# ---------------------------------------------------------------------------
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct shared n-grams per source pair — one distinct pass,
+    #source-bounded aggregation state, no join (the oracle's self-join
+    is the independent formulation)."""
+    return corpus.source_overlap(_docs(spark, sf_dir), n=NGRAM_N)
+
+
+SOURCE_OVERLAP_ORACLE = f"""
+WITH {_TOKS_SQL},
+g AS (
+  SELECT DISTINCT d.source, gram
+  FROM toks t
+  JOIN documents d USING (doc_id),
+  unnest({_grams_sql('t.tk', NGRAM_N)}) AS u(gram)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared_ngrams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE tokenizer segmentation (pinned merges)
 # ---------------------------------------------------------------------------
 
@@ -1090,6 +1116,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mixture_temperature": q_mixture_temperature,
     "corpus_dataset_profile": q_dataset_profile,
     "corpus_bpe_segment": q_bpe_segment,
+    "corpus_source_overlap": q_source_overlap,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1120,4 +1147,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_mixture_temperature": _mixture_temperature_oracle(),
     "corpus_dataset_profile": DATASET_PROFILE_ORACLE,
     "corpus_bpe_segment": _bpe_oracle(),
+    "corpus_source_overlap": SOURCE_OVERLAP_ORACLE,
 }

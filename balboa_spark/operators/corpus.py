@@ -1466,3 +1466,62 @@ def dataset_profile(
             "avg_chars", "total_tokens",
         )
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    the number of distinct word n-grams they share — the provenance
+    twin of the benchmark scan (contamination_ngrams): before mixing
+    crawls/dumps into one training corpus, measure how much of each
+    pair is the same underlying text.
+
+    Scale shape: ONE distinct pass over (source, gram) — shuffle
+    volume is the deduplicated gram vocabulary, not rows — then a
+    groupBy(gram) whose aggregation state is bounded by #sources
+    (collect_set of source labels, never documents), an in-plan pair
+    expansion of that tiny array, and a #source^2-row count. No join,
+    no broadcast, nothing quadratic in the corpus.
+
+    Output: (source_a, source_b, n_shared_ngrams), source_a <
+    source_b, densely only for pairs that share at least one gram.
+    """
+    grams = df.select(
+        F.col(source_col).alias("_src"),
+        F.explode(_shingles(tokens(F.col(text_col)), n)).alias("gram"),
+    ).distinct()
+    per_gram = grams.groupBy("gram").agg(
+        F.array_sort(F.collect_set("_src")).alias("_srcs")
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_srcs"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("_srcs"),
+                            i + 2,
+                            F.greatest(
+                                F.size(F.col("_srcs")) - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("source_a"), b.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

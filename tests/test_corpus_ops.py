@@ -1304,3 +1304,31 @@ def test_postings_upsert_disjoint_vocabulary(spark, tables, tmp_path):
         adhoc = [tuple(r) for r in bm25_topk(docs, terms, k=5).collect()]
         assert got == adhoc, terms
     assert idx.topk(["absentterm"], k=5).count() == 0
+
+
+def test_source_overlap_matrix(spark):
+    """a/b identical text -> all 3 grams shared; c differs in the last
+    token -> shares the 2 grams that avoid it; d disjoint -> absent."""
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [
+        (1, base, "a"),
+        (2, base, "b"),
+        (3, base.replace("w9", "x9"), "c"),
+        (4, "z0 z1 z2 z3 z4 z5 z6 z7 z8", "d"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = sorted(tuple(r) for r in corpus.source_overlap(df, n=8).collect())
+    assert out == [("a", "b", 3), ("a", "c", 2), ("b", "c", 2)]
+
+
+def test_source_overlap_no_join_no_broadcast(spark, tables):
+    """The matrix comes from ONE grouped pass with #source-bounded
+    aggregation state — no join of corpus-sized relations, no forced
+    broadcast."""
+    analyzed = (
+        corpus.source_overlap(tables["documents"])
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" not in analyzed and "Join" not in analyzed
