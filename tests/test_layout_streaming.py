@@ -590,3 +590,52 @@ def test_fresh_store_generation_reads_error_clearly(spark, tmp_path):
     # the implicit read contract is unchanged: current-state reads on
     # a fresh store are an empty table, not an error
     assert s.forward().count() == 0
+
+
+def test_streaming_enrichment_sees_generation_flip(spark, store, tmp_path):
+    """Stream-static enrichment resolves the dimension PER BATCH: a
+    merge that lands between micro-batches is visible to the next
+    batch (each batch joins exactly one committed generation)."""
+    import json
+
+    from balboa_spark.streaming.enrich import enrich_foreach_batch
+
+    land = tmp_path / "eland"
+    land.mkdir()
+    seen: list[dict] = []
+
+    def sink(df, epoch):
+        for r in df.collect():
+            seen.append({"epoch": epoch, **r.asDict()})
+
+    (land / "b1.ndjson").write_text(json.dumps({"rrname": "foo"}) + "\n")
+    stream = spark.readStream.schema("rrname string").json(str(land))
+    q = (
+        stream.writeStream.foreachBatch(enrich_foreach_batch(store, sink))
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # merge more 'foo' observations between batches (count 10 -> 15)
+        ts2 = dt.datetime(2021, 6, 1)
+        store.merge(
+            spark.createDataFrame(
+                [(5, "NOERROR", "1.2.3.4", "A", "foo", "abc", ts2, ts2, [])],
+                seed_obs(spark).schema,
+            )
+        )
+        (land / "b2.ndjson").write_text(
+            json.dumps({"rrname": "foo"}) + "\n" + json.dumps({"rrname": "nope"}) + "\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    by_epoch = {}
+    for r in seen:
+        by_epoch.setdefault(r["epoch"], {})[r["rrname"]] = r["seen_count"]
+    epochs = sorted(by_epoch)
+    assert by_epoch[epochs[0]]["foo"] == 10  # pre-merge generation
+    assert by_epoch[epochs[1]]["foo"] == 15  # post-merge generation
+    assert by_epoch[epochs[1]]["nope"] is None  # unseen key -> NULLs
