@@ -281,11 +281,22 @@ def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the int extraction mirrors Spark's try_cast-to-int semantics with a
+#: strict regex guard — DuckDB's own TRY_CAST('1.5' AS INTEGER) ROUNDS
+#: to 2 where Spark try_cast yields NULL, and a plain CAST crashes on
+#: non-numeric values, so neither is a faithful twin
 EVENTS_PROPS_EXTRACT_ORACLE = """
-WITH e AS (
+WITH raw AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS kv
   FROM events
+),
+e AS (
+  SELECT event_type,
+         CASE WHEN regexp_matches(kv, '^-?\\d+$')
+              THEN CAST(kv AS INTEGER) END AS k
+  FROM raw
 )
 SELECT event_type,
        count(*) AS n,
@@ -327,19 +338,30 @@ def _props_profile_oracle() -> str:
          WHEN v LIKE '{{%' THEN 'object'
          WHEN v LIKE '[%' THEN 'array'
          ELSE 'string' END"""
+    # json_keys/json_type must be reached only through the CASE guard:
+    # a lateral "FROM events, unnest(json_keys(props))" evaluates
+    # json_keys BEFORE any WHERE filter, so an unguarded form crashes
+    # outright on the first malformed blob. The engine's _corrupt
+    # definition is "fails the map<string,string> parse", which also
+    # covers VALID non-object JSON ('7', '[1,2]', 'null') — the oracle
+    # must count those too, not just NOT json_valid.
+    obj = (
+        "CASE WHEN json_valid(props) THEN "
+        "CASE WHEN json_type(props) = 'OBJECT' THEN props END END"
+    )
     return f"""
 WITH kv AS (
   SELECT k.key,
          json_extract_string(props, '$.' || k.key) AS v
-  FROM events, unnest(json_keys(props)) AS k(key)
-  WHERE props IS NOT NULL AND json_valid(props)
+  FROM events, unnest(json_keys({obj})) AS k(key)
 ),
 typed AS (
   SELECT key, {classify} AS type, count(*) AS n
   FROM kv GROUP BY 1, 2
   UNION ALL
   SELECT '_corrupt' AS key, 'corrupt' AS type, count(*) AS n
-  FROM events WHERE props IS NOT NULL AND NOT json_valid(props)
+  FROM events
+  WHERE props IS NOT NULL AND ({obj}) IS NULL
   HAVING count(*) > 0
 )
 SELECT key, type, n FROM typed ORDER BY key, type

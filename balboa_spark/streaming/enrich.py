@@ -16,10 +16,12 @@ Per-batch resolution costs one manifest read; the layout DataFrame
 itself comes from the store's per-generation plan cache, so repeated
 batches on the same generation reuse the parsed file listing.
 
-The join broadcasts the batch side when it is the small one (a
-micro-batch against a full aggregate table), keyed on the store's own
-bucket column path so the scan prunes to the batch's buckets — the
-same pruning the point-query path uses (plans/layout.query_many).
+The join broadcasts the DIMENSION aggregate — query_many prunes it to
+the batch's distinct keys first, so it is the provably small side
+(Spark cannot build-broadcast the row-preserved side of a left outer
+join; hinting the batch side would be silently dropped and shuffle
+both sides). The store scan itself prunes to the batch keys' buckets,
+the same pruning the point-query path uses (plans/layout.query_many).
 """
 
 from __future__ import annotations
@@ -39,18 +41,26 @@ def enrich_batch(
     every batch row gains the store's aggregate columns (count,
     time_first, time_last ...) for its key, or NULLs when unseen.
     The store side is scanned bucket-pruned via the batch's key list
-    (bounded: a micro-batch's distinct keys), and the batch side
-    broadcasts — the big side is never shuffled."""
-    by = "rrname" if key_col == "rrname" else "rdata"
+    (bounded: a micro-batch's distinct keys), and the key-pruned
+    dimension aggregate broadcasts — the batch is never shuffled."""
+    if key_col not in ("rrname", "rdata"):
+        # an unknown key column would silently probe the wrong layout
+        # and enrich every row with NULLs — fail loudly instead
+        raise ValueError("key_col must be 'rrname' or 'rdata'")
     dim = store.query_many(
-        [r[0] for r in batch.select(key_col).distinct().collect()], by=by
+        [r[0] for r in batch.select(key_col).distinct().collect()],
+        by=key_col,
     )
-    agg = dim.groupBy(F.col(by).alias(key_col)).agg(
+    agg = dim.groupBy(key_col).agg(
         F.sum("count").alias("seen_count"),
         F.min("first_seen").alias("first_seen"),
         F.max("last_seen").alias("last_seen"),
     )
-    return F.broadcast(batch).join(agg, key_col, "left")
+    # broadcast the DIMENSION aggregate (already pruned to the batch's
+    # distinct keys, so it is the provably small side): Spark cannot
+    # build-broadcast the row-preserved left side of a LEFT OUTER join
+    # — a hint there is silently dropped and both sides shuffle
+    return batch.join(F.broadcast(agg), key_col, "left")
 
 
 def enrich_foreach_batch(

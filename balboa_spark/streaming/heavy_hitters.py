@@ -76,20 +76,27 @@ class HeavyHitterMonitor:
         with open(p) as fh:
             return json.load(fh)
 
-    def update(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+    def update(
+        self,
+        batch: DataFrame,
+        epoch_id: int | None = None,
+        stream_id: str = "default",
+    ) -> None:
         """Fold one micro-batch into the persisted state. Pass the
         foreachBatch ``epoch_id`` to make replays EXACTLY-once: the
         state records the last applied epoch inside the same atomic
         flip, so a batch re-delivered after a crash between the state
         flip and the streaming checkpoint commit is skipped instead of
         double-counted (double-counting would not just inflate counts
-        — it could reorder genuinely heavy keys)."""
+        — it could reorder genuinely heavy keys). Epochs are tracked
+        PER STREAM (same contract as ObservationStore.merge): two
+        queries feeding one monitor do not gate each other, and a
+        query restarted with a FRESH checkpoint must pass a new
+        stream_id — foreachBatch epochs restart at 0, and the old
+        stream's gate would silently swallow the first batch."""
         st = self._state()
-        if (
-            epoch_id is not None
-            and st is not None
-            and st.get("last_epoch") == epoch_id
-        ):
+        gates = dict((st or {}).get("last_epochs") or {})
+        if epoch_id is not None and gates.get(stream_id) == epoch_id:
             return
         sk = frequency_sketch(
             batch, self.key_col, self.eps, self.confidence, self.seed
@@ -117,14 +124,21 @@ class HeavyHitterMonitor:
                 : self.max_candidates
             ]
             cands = set(kept)
-        man = {
-            "sketch": base64.b64encode(sk).decode("ascii"),
-            "candidates": sorted(cands),
-            "key_col": self.key_col,
-        }
+        # epoch gates for OTHER streams (and this one, when the update
+        # carries no epoch) must survive every flip — dropping one
+        # would reopen the replay window it had closed
         if epoch_id is not None:
-            man["last_epoch"] = epoch_id
-        flip_manifest(self.path, man, STATE)
+            gates[stream_id] = epoch_id
+        flip_manifest(
+            self.path,
+            {
+                "sketch": base64.b64encode(sk).decode("ascii"),
+                "candidates": sorted(cands),
+                "key_col": self.key_col,
+                "last_epochs": gates,
+            },
+            STATE,
+        )
 
     def topk(self, k: int = 10) -> list[tuple[str, int]]:
         """All-time heavy hitters: probe the merged sketch with the
@@ -139,10 +153,12 @@ class HeavyHitterMonitor:
         )
         return sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
-    def foreach_batch(self):
-        """Adapter for writeStream.foreachBatch."""
+    def foreach_batch(self, stream_id: str = "default"):
+        """Adapter for writeStream.foreachBatch. Pass a distinct
+        ``stream_id`` per streaming query (and per checkpoint
+        lifetime) so the replay gates stay independent."""
 
         def _fn(batch: DataFrame, epoch: int) -> None:
-            self.update(batch, epoch_id=epoch)
+            self.update(batch, epoch_id=epoch, stream_id=stream_id)
 
         return _fn

@@ -70,3 +70,16 @@ def test_monitor_epoch_replay_is_exactly_once(spark, tmp_path):
     mon.update(_batch(spark, {"b": 20}), epoch_id=1)
     mon.update(_batch(spark, {"b": 20}), epoch_id=1)  # replay
     assert mon.topk(2) == [("a", 30), ("b", 20)]
+
+
+def test_monitor_epoch_gates_are_per_stream_and_survive_flips(spark, tmp_path):
+    mon = HeavyHitterMonitor(spark, str(tmp_path / "hh5"), "k", batch_topk=3)
+    mon.update(_batch(spark, {"a": 10}), epoch_id=0, stream_id="qA")
+    # stream B's epoch 0 is NOT a replay of stream A's
+    mon.update(_batch(spark, {"a": 10}), epoch_id=0, stream_id="qB")
+    assert mon.topk(1) == [("a", 20)]
+    # an epoch-less ad-hoc update must not erase the gates...
+    mon.update(_batch(spark, {"b": 5}))
+    # ...so a replay of A's epoch 0 is still skipped afterwards
+    mon.update(_batch(spark, {"a": 10}), epoch_id=0, stream_id="qA")
+    assert mon.topk(2) == [("a", 20), ("b", 5)]

@@ -639,3 +639,20 @@ def test_streaming_enrichment_sees_generation_flip(spark, store, tmp_path):
     assert by_epoch[epochs[0]]["foo"] == 10  # pre-merge generation
     assert by_epoch[epochs[1]]["foo"] == 15  # post-merge generation
     assert by_epoch[epochs[1]]["nope"] is None  # unseen key -> NULLs
+
+
+def test_enrich_batch_rejects_unknown_key_and_broadcasts_dim(spark, store):
+    from balboa_spark.streaming.enrich import enrich_batch
+
+    batch = spark.createDataFrame([("foo",)], ["rrname"])
+    with pytest.raises(ValueError):
+        enrich_batch(store, batch.withColumnRenamed("rrname", "domain"),
+                     key_col="domain")
+    out = enrich_batch(store, batch)
+    assert out.collect()[0]["seen_count"] == 10
+    # the key-pruned dimension aggregate is the broadcast build side —
+    # the batch is never shuffled (a hint on the row-preserved side of
+    # a left join would be silently dropped)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
