@@ -257,6 +257,7 @@ _TAIL = [
     "events_skew_metrics",  # r6-new (skew diagnostics), driver_sim-verified; rotates into the cap next round
     "embedding_seed_topk",  # r6-new (seed-centroid domain scoring), driver_sim-verified; rotates into the cap next round
     "corpus_source_overlap",  # r6-new (cross-source overlap matrix), driver_sim-verified; rotates into the cap next round
+    "events_heavy_users",  # r6-new (heavy-key top-10 with ppm share), driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

@@ -395,6 +395,23 @@ FROM c
 """
 
 
+def q_events_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest users with integer ppm share — heavy_keys is
+    one keys-sized groupBy + a broadcast single-row total + TakeOrdered."""
+    from balboa_spark.plans import skew
+
+    return skew.heavy_keys(_events(spark, sf_dir), ["user_id"], top=10)
+
+
+EVENTS_HEAVY_USERS_ORACLE = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+SELECT user_id, n,
+       CAST(floor(1000000.0 * n / tt) AS BIGINT) AS share_ppm
+FROM c, t ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
 QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": q_events_asof,
     "events_rolling_1h": q_events_rolling,
@@ -405,6 +422,7 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_extract": q_events_props_extract,
     "events_props_profile": q_events_props_profile,
     "events_skew_metrics": q_events_skew,
+    "events_heavy_users": q_events_heavy_users,
 }
 
 ORACLES_TEMPORAL: dict[str, str] = {
@@ -417,4 +435,5 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "events_props_extract": EVENTS_PROPS_EXTRACT_ORACLE,
     "events_props_profile": _props_profile_oracle(),
     "events_skew_metrics": EVENTS_SKEW_ORACLE,
+    "events_heavy_users": EVENTS_HEAVY_USERS_ORACLE,
 }
