@@ -258,6 +258,7 @@ _TAIL = [
     "embedding_seed_topk",  # r6-new (seed-centroid domain scoring), driver_sim-verified; rotates into the cap next round
     "corpus_source_overlap",  # r6-new (cross-source overlap matrix), driver_sim-verified; rotates into the cap next round
     "events_heavy_users",  # r6-new (heavy-key top-10 with ppm share), driver_sim-verified; rotates into the cap next round
+    "corpus_bpe_vocab",  # r6-new (tokenizer piece vocab with ids), driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

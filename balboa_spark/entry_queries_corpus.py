@@ -1088,6 +1088,34 @@ FROM seg
 """
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's piece vocabulary with dense ids under the
+    pinned merges. The ranking window is unpartitioned by design: the
+    piece set is bounded by |charset| + len(merges), parameter-sized
+    at any corpus scale."""
+    from balboa_spark.operators import bpe
+
+    return bpe.vocab_table(_docs(spark, sf_dir), BPE_MERGES)
+
+
+def _bpe_vocab_oracle() -> str:
+    seg = _bpe_oracle()
+    # reuse the segmentation oracle as a subquery over the FULL vocab
+    # (strip its top-N so every word contributes piece weight)
+    seg_full = seg.replace(f"LIMIT {BPE_TOP}", "")
+    return f"""
+WITH segd AS ({seg_full}),
+p AS (
+  SELECT unnest(string_split(pieces, ' ')) AS piece, cnt FROM segd
+),
+wt AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS weight FROM p GROUP BY piece)
+SELECT piece, weight,
+       CAST(row_number() OVER (ORDER BY weight DESC, piece) - 1 AS INTEGER)
+         AS piece_id
+FROM wt
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -1117,6 +1145,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dataset_profile": q_dataset_profile,
     "corpus_bpe_segment": q_bpe_segment,
     "corpus_source_overlap": q_source_overlap,
+    "corpus_bpe_vocab": q_bpe_vocab,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1148,4 +1177,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_dataset_profile": DATASET_PROFILE_ORACLE,
     "corpus_bpe_segment": _bpe_oracle(),
     "corpus_source_overlap": SOURCE_OVERLAP_ORACLE,
+    "corpus_bpe_vocab": _bpe_vocab_oracle(),
 }

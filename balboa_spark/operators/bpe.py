@@ -181,3 +181,36 @@ def bpe_segment_words(
     )
     out = out.orderBy(F.col("cnt").desc(), "word")
     return out.limit(top_n) if top_n is not None else out
+
+
+def vocab_table(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """The tokenizer's second artifact: the piece vocabulary with
+    dense integer ids, (piece, weight, piece_id), id 0 = heaviest.
+    Weight is the piece's total corpus occurrences (word count x
+    per-word piece multiplicity).
+
+    The ranking window is unpartitioned BY DESIGN and safe at any
+    corpus scale: the piece set is structurally bounded by
+    |initial character set| + len(merges) distinct values (every
+    merge mints exactly one new piece), so the windowed relation is
+    parameter-sized — never corpus- or vocab-sized."""
+    from pyspark.sql import Window
+
+    pieces = (
+        word_histogram(df, text_col)
+        .select(
+            "cnt", F.explode(segment(F.col("word"), merges)).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("weight"))
+    )
+    w = Window.orderBy(F.col("weight").desc(), "piece")
+    return pieces.select(
+        "piece",
+        "weight",
+        (F.row_number().over(w) - 1).alias("piece_id"),
+    )

@@ -1332,3 +1332,22 @@ def test_source_overlap_no_join_no_broadcast(spark, tables):
         .toString()
     )
     assert "ResolvedHint" not in analyzed and "Join" not in analyzed
+
+
+def test_bpe_vocab_table_ids_dense_and_bounded(spark):
+    from balboa_spark.operators import bpe
+
+    corpus = ["low low lower lowest", "low lower"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    merges = bpe.bpe_fit(df, num_merges=4)
+    vt = bpe.vocab_table(df, merges).collect()
+    ids = sorted(r["piece_id"] for r in vt)
+    assert ids == list(range(len(vt)))  # dense, 0-based
+    # structural bound: |charset| + |merges| distinct pieces at most
+    charset = {c for t in corpus for c in t if c != " "}
+    assert len(vt) <= len(charset) + len(merges)
+    # heaviest piece gets id 0
+    top = min(vt, key=lambda r: r["piece_id"])
+    assert top["weight"] == max(r["weight"] for r in vt)
