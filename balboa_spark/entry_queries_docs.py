@@ -162,9 +162,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_ctes() -> str:
-    """Shared CTE chain ending in a ``pairs`` relation (used by the
-    pair oracle and the connected-components keep-set oracle)."""
+def _minhash_pair_ctes(src: str) -> str:
+    """CTE chain (ctoks .. pairs) computing the MinHash-LSH candidate
+    pair relation over any (doc_id, text) relation named ``src`` —
+    shared by the standalone dedup oracles (src = the planted corpus)
+    and the composed pipeline oracle (src = the cleaned+quality-gated
+    corpus)."""
     mh = ",\n         ".join(
         f"list_aggregate(list_transform(sh, s -> md5(concat('h{h}|', s))), 'min') AS mh{h}"
         for h in range(NUM_HASHES)
@@ -176,10 +179,9 @@ def _minhash_ctes() -> str:
             f"SELECT doc_id AS id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sigs"
         )
     bands = " UNION ALL ".join(band_exprs)
-    return f"""{CORPUS_SQL},
-ctoks AS (
+    return f"""ctoks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
-  FROM corpus
+  FROM {src}
 ),
 shingled AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh FROM ctoks WHERE len(tk) >= {SHINGLE_K}
@@ -195,6 +197,12 @@ pairs AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
 )"""
+
+
+def _minhash_ctes() -> str:
+    """The pair chain over the planted corpus (the standalone dedup
+    oracles' input)."""
+    return f"{CORPUS_SQL},\n{_minhash_pair_ctes('corpus')}"
 
 
 def _minhash_oracle() -> str:
