@@ -402,12 +402,12 @@ reach(a, b) AS (
   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
 ),
 comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
-kept AS (
+kept AS MATERIALIZED (
   SELECT doc_id, text FROM corpus
   WHERE doc_id IN (SELECT id FROM comp WHERE id = comp)
      OR doc_id NOT IN (SELECT id FROM comp)
 ),
-ktoks AS (
+ktoks AS MATERIALIZED (
   SELECT doc_id, text,
          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
   FROM kept
@@ -434,6 +434,210 @@ WHERE CASE WHEN n > 0 THEN round(
          + 0.25 * least(1.0, 4.0 * n_sw / greatest(n, 1.0))
          + 0.25 * (n_distinct / CAST(n AS DOUBLE)), 4) ELSE 0.0 END >= {PIPELINE_QUALITY_T}
 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline_pretrain: the full composed pretraining-data pipeline
+# ---------------------------------------------------------------------------
+
+PIPE_TARGET_SOURCE = "src0"
+PIPE_DSIR_K = 120
+PIPE_SEQ_LEN = 128
+
+
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE composed pretraining pipeline, every stage an
+    operator under test: clean_text (control chars / curly quotes /
+    NBSP noise injected deterministically so cleaning is observable)
+    -> Gopher repetition gate -> MinHash near-dedup keep -> DSIR
+    top-k selection against the src0 target distribution -> fixed
+    seq_len sequence packing. Integration is where stage contracts
+    break (column names, id dtypes, empty-doc handling) — this query
+    grades the whole chain end-to-end against one SQL replay.
+
+    Scale shape: each stage keeps its own audited plan (pure
+    projections, banded LSH, one corpus groupBy for DSIR, distributed
+    prefix-sum packing); the only stitching cost is a doc_id equi-join
+    re-attaching `source` after clean_text and a left-semi join
+    applying the DSIR keep-set — both AQE-broadcastable at selection
+    sizes, co-partitioned at scale."""
+    from balboa_spark.operators import corpus as corpus_ops
+    from balboa_spark.entry_queries_corpus import _NOISE_POST, _NOISE_PRE
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    tk = text.tokens(F.col("text"))
+    base = docs.select("doc_id", "source", F.array_join(tk, " ").alias("text"))
+    variant = docs.filter(F.col("doc_id") < PLANT_MAX_ID).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        "source",
+        F.array_join(F.slice(tk, 1, F.size(tk) - 1), " ").alias("text"),
+    )
+    raw = base.unionByName(variant)
+    noisy = raw.select(
+        "doc_id",
+        F.concat(F.lit(_NOISE_PRE), F.col("text"), F.lit(_NOISE_POST)).alias("text"),
+    )
+    cleaned = corpus_ops.clean_text(noisy).join(
+        raw.select("doc_id", "source"), "doc_id"
+    )
+    gated = corpus_ops.gopher_filter(
+        cleaned, text_col="clean_text", passthrough=("clean_text", "source")
+    )
+    kept0 = gated.filter("keep").select(
+        "doc_id", F.col("clean_text").alias("text"), "source"
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        kept0,
+        num_hashes=NUM_HASHES,
+        num_bands=NUM_BANDS,
+        k=SHINGLE_K,
+        max_bucket=ORACLE_MAX_BUCKET,
+    )
+    kept = dedup.near_dedup_keep(kept0, pairs)
+    sel = corpus_ops.dsir_topk(
+        kept, kept.filter(F.col("source") == PIPE_TARGET_SOURCE), k=PIPE_DSIR_K
+    )
+    chosen = kept.join(sel.select("doc_id"), "doc_id", "left_semi")
+    return corpus_ops.pack_sequences(chosen, seq_len=PIPE_SEQ_LEN).orderBy("seq_id")
+
+
+def _pipeline_pretrain_oracle() -> str:
+    from balboa_spark.entry_queries_corpus import (
+        _MODE_FRAC_SQL,
+        _grams_sql,
+        _sql_str,
+    )
+    from balboa_spark.operators.corpus import (
+        CLEAN_CTRL_RE,
+        CLEAN_PUNCT_FROM,
+        CLEAN_PUNCT_TO,
+        MAX_DUP_TOKEN_FRAC,
+        MAX_TOP_2GRAM_FRAC,
+        MIN_TOKENS,
+    )
+
+    pre = "chr(1) || '“noise”' || chr(160)"
+    post = "chr(127)"
+    return f"""
+WITH RECURSIVE
+toks0 AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+raw AS (
+  SELECT doc_id, source, array_to_string(tk, ' ') AS text FROM toks0
+  UNION ALL
+  SELECT doc_id + 10000, source,
+         array_to_string(list_slice(tk, 1, len(tk) - 1), ' ')
+  FROM toks0 WHERE doc_id < {PLANT_MAX_ID}
+),
+cln AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(
+           translate(
+             regexp_replace({pre} || text || {post},
+                            {_sql_str(CLEAN_CTRL_RE)}, '', 'g'),
+             {_sql_str(CLEAN_PUNCT_FROM)}, {_sql_str(CLEAN_PUNCT_TO)}),
+           '\\s+', ' ', 'g')) AS text
+  FROM raw
+),
+gt AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM cln
+),
+gg AS (
+  SELECT doc_id, source, text, tk, {_grams_sql('tk', 2)} AS g2 FROM gt
+),
+kept0 AS MATERIALIZED (
+  SELECT doc_id, source, text FROM gg
+  WHERE len(tk) >= {MIN_TOKENS}
+    AND round(1.0 - len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1), 4)
+          <= {MAX_DUP_TOKEN_FRAC}
+    AND {_MODE_FRAC_SQL.format(g='g2')} <= {MAX_TOP_2GRAM_FRAC}
+),
+{_minhash_pair_ctes('kept0')},
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+kept AS MATERIALIZED (
+  SELECT doc_id, source, text FROM kept0
+  WHERE doc_id IN (SELECT id FROM comp WHERE id = comp)
+     OR doc_id NOT IN (SELECT id FROM comp)
+),
+ktoks AS MATERIALIZED (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM kept
+),
+dg AS (
+  SELECT doc_id,
+         unnest(tk || CASE WHEN len(tk) >= 2
+           THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+           ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM ktoks
+),
+dc AS MATERIALIZED (
+  SELECT doc_id, substr(md5(g || ':dsir'), 1, 2) AS bk, count(*) AS c
+  FROM dg GROUP BY 1, 2
+),
+rb AS (SELECT bk, sum(c) AS rc FROM dc GROUP BY 1),
+tb AS (
+  SELECT bk, sum(c) AS tc FROM dc JOIN ktoks USING (doc_id)
+  WHERE source = '{PIPE_TARGET_SOURCE}' GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT sum(rc) FROM rb) AS rn,
+         (SELECT coalesce(sum(tc), 0) FROM tb) AS tn
+),
+ratio AS (
+  SELECT rb.bk,
+         ln(coalesce(tb.tc, 0) + 1) - ln(tn + 256)
+           - ln(rb.rc + 1) + ln(rn + 256) AS lr
+  FROM rb LEFT JOIN tb USING (bk) CROSS JOIN tot
+),
+sel AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, round(sum(c * lr), 4) AS weight
+    FROM dc JOIN ratio USING (bk) GROUP BY doc_id
+    ORDER BY weight DESC, doc_id LIMIT {PIPE_DSIR_K}
+  )
+),
+ptk AS MATERIALIZED (
+  SELECT doc_id, tk FROM ktoks JOIN sel USING (doc_id) WHERE len(tk) > 0
+),
+counts AS (SELECT doc_id, len(tk) AS n FROM ptk),
+offs AS (
+  SELECT doc_id,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM counts
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) + 1),
+                               i -> {{'pos': i, 'tok': tk[i]}})) AS s
+  FROM ptk
+),
+tok2 AS (
+  SELECT o.start + struct_extract(t.s, 'pos') - 1 AS gpos,
+         struct_extract(t.s, 'tok') AS tok
+  FROM tok t JOIN offs o USING (doc_id)
+)
+SELECT CAST(floor(gpos / {PIPE_SEQ_LEN}) AS BIGINT) AS seq_id,
+       count(*) AS n_seq_tokens,
+       string_agg(tok, ' ' ORDER BY gpos) AS seq_text
+FROM tok2 GROUP BY 1 ORDER BY seq_id
 """
 
 
@@ -1273,6 +1477,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "pipeline_clean": q_pipeline_clean,
+    "pipeline_pretrain": q_pipeline_pretrain,
     "embedding_topk": q_embedding_topk,
     "embedding_knn_join": q_knn_join,
     "embedding_cosine_pairs": q_embedding_pairs,
@@ -1306,6 +1511,7 @@ ORACLES_DOCS: dict[str, str] = {
     "pipeline_clean": PIPELINE_CLEAN_ORACLE.format(
         minhash_ctes=_minhash_ctes(), all_sw=_all_sw_sql()
     ),
+    "pipeline_pretrain": _pipeline_pretrain_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": JACCARD_ORACLE,
     "embedding_topk": EMBEDDING_TOPK_ORACLE,
