@@ -1170,6 +1170,12 @@ def dsir_weights(
     broadcast single-row cross join. Driver state: zero (no collect).
     The target set is typically tiny (a quality reference corpus), but
     nothing here requires it — both sides reduce to 256 rows.
+
+    Storage lifetime: the internal ``persist()`` releases when the
+    returned plan is garbage-collected (ContextCleaner), not at action
+    completion — callers that loop (per-batch scoring, sweep over
+    targets) should drop plan references promptly so executor storage
+    stays bounded.
     """
     B = 16**_DSIR_BUCKET_CHARS
 

@@ -46,6 +46,14 @@ def bm25_topk(
     Output: (id, n_terms, score) — n_terms = how many distinct query
     terms the document matched; score rounded to 4 decimals;
     deterministic order (score desc, id).
+
+    Storage lifetime: an internal ``persist()`` dedupes the corpus
+    tokenize across the plan's subtrees; the cached blocks release
+    when the returned plan is garbage-collected (ContextCleaner), not
+    at action completion. A long-lived session issuing many ad-hoc
+    queries should drop references promptly (or use
+    :class:`PostingsIndex`, which is the repeated-query design);
+    per-batch streaming callers should prefer the index.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -146,17 +154,38 @@ class PostingsIndex:
         ]
         if not paths:
             # none of the probe buckets exist in this generation —
-            # an empty relation with the real schema
-            return (
-                self.spark.read.parquet(base)
-                .withColumn("tb", canon)
-                .filter(F.lit(False))
-            )
+            # an empty relation with the real schema. A generation
+            # built from an EMPTY corpus leaves no parquet footers at
+            # all (a zero-row partitioned write emits no part files),
+            # so schema inference from ``base`` would raise; the
+            # manifest records the id type for exactly this fallback.
+            from pyspark.errors import AnalysisException
+
+            try:
+                return (
+                    self.spark.read.parquet(base)
+                    .withColumn("tb", canon)
+                    .filter(F.lit(False))
+                )
+            except AnalysisException:
+                return self._empty_relation(sub)
         return (
             self.spark.read.option("basePath", base)
             .parquet(*paths)
             .withColumn("tb", canon)
         )
+
+    def _empty_relation(self, sub: str) -> DataFrame:
+        """Zero-row ``postings``/``terms`` relation with the literal
+        schema (id type from the manifest) — used when a generation
+        holds no parquet footers to infer from."""
+        man = self._manifest()
+        id_type = man.get("id_type", "bigint")
+        if sub == "postings":
+            ddl = f"{man['id_col']} {id_type}, dl int, term string, f bigint, tb string"
+        else:
+            ddl = "term string, df bigint, tb string"
+        return self.spark.createDataFrame([], ddl)
 
     def _manifest(self) -> dict:
         import json
@@ -221,6 +250,7 @@ class PostingsIndex:
                 "k1": k1,
                 "b": b,
                 "id_col": id_col,
+                "id_type": df.schema[id_col].dataType.simpleString(),
             }
         )
 
@@ -239,12 +269,19 @@ class PostingsIndex:
         corpus stats update from the batch's totals alone. Commit =
         the same atomic manifest flip as build.
 
-        APPEND-ONLY by contract: document ids must be new. The index
-        does not store document text, so replacing an id would leave
-        its old postings in place (use a rebuild for corrections) —
-        the textual twin of VectorStore.upsert's replace semantics,
-        minus replace (vectors are self-describing; postings are
-        not).
+        APPEND-ONLY by contract, and ENFORCED cheaply: the batch ids
+        are semi-joined against the touched buckets' old postings
+        (a relation this upsert reads anyway) and any overlap raises
+        before the new generation is written. The check is partial by
+        design — it sees only the buckets the batch's vocabulary
+        hashes into — but a re-submitted document shares terms with
+        its stored copy, so the realistic violation (same text, same
+        id) always collides there. Replacing an id would otherwise
+        leave its old postings in place and double-count df and
+        n/sum_dl, permanently skewing every future score (use a
+        rebuild for corrections) — the textual twin of
+        VectorStore.upsert's replace semantics, minus replace
+        (vectors are self-describing; postings are not).
         """
         import os
 
@@ -271,6 +308,20 @@ class PostingsIndex:
         )
 
         old_post = self._read_buckets(old_gen_dir, "postings", touched)
+        overlap = (
+            old_post.join(
+                flat.select(id_col).distinct(), id_col, "left_semi"
+            )
+            .select(id_col)
+            .distinct()
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                f"PostingsIndex.upsert is append-only: {overlap} batch "
+                "document ids already have postings in the index; "
+                "rebuild to replace documents"
+            )
         (
             old_post.unionByName(flat)
             .repartition("tb")

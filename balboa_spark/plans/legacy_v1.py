@@ -57,13 +57,44 @@ def _u32_le_bytes(col: Column) -> Column:
     )
 
 
+def _utf8_clean(key: Column) -> Column:
+    """True iff the binary key is valid UTF-8. The v1 store treats
+    keys as raw bytes end-to-end; our observation schema is
+    string-typed, so a key whose bytes are not valid UTF-8 CANNOT be
+    represented faithfully — Spark's binary→string cast passes the raw
+    bytes through unvalidated, and they silently fold to U+FFFD only
+    later at the Arrow/collect boundary (a cast-roundtrip check is
+    therefore vacuous inside the JVM; this must be an explicit
+    validation). Such keys are excluded from decode and surfaced via
+    :func:`invalid_v1_keys` instead of being migrated corrupted."""
+    return F.is_valid_utf8(key)
+
+
+def invalid_v1_keys(spark: SparkSession, v1_path: str) -> DataFrame:
+    """The forward keys :func:`decode_v1` refuses: raw ``key`` rows
+    whose bytes are not valid UTF-8. Empty on any store
+    written by UTF-8-clean producers (every key the fixture encoder or
+    a DNS wire-name decoder can emit)."""
+    kv = spark.read.parquet(v1_path)
+    key = F.col("key").cast("string")
+    return kv.filter(
+        key.startswith("o" + SEP) & ~_utf8_clean(F.col("key"))
+    ).select("key")
+
+
 def decode_v1(spark: SparkSession, v1_path: str) -> DataFrame:
     """Decode a v1 key-value relation into input observations.
 
     Returns the ingest-batch shape ``ObservationStore.merge`` expects:
     ``rrname sensor_id rrtype rdata count ts_start ts_end`` (v1's
     first_seen/last_seen are unix uint32 seconds,
-    main.c:259-265)."""
+    main.c:259-265).
+
+    Keys must be UTF-8-clean (the string observation schema cannot
+    hold arbitrary bytes); rows failing UTF-8 validation are
+    EXCLUDED here — count them via :func:`invalid_v1_keys`,
+    and ``migrate_v1(strict=True)`` refuses to proceed while any
+    exist."""
     kv = spark.read.parquet(v1_path)
     key = F.col("key").cast("string")
     parts = F.split(key, SEP)
@@ -71,7 +102,7 @@ def decode_v1(spark: SparkSession, v1_path: str) -> DataFrame:
     # remaining tail (which may itself contain SEP) is rdata verbatim
     rdata = F.array_join(F.slice(parts, 5, F.size(parts) - 4), SEP)
     return (
-        kv.filter(key.startswith("o" + SEP))
+        kv.filter(key.startswith("o" + SEP) & _utf8_clean(F.col("key")))
         .select(
             parts.getItem(1).alias("rrname"),
             parts.getItem(2).alias("sensor_id"),
@@ -84,7 +115,7 @@ def decode_v1(spark: SparkSession, v1_path: str) -> DataFrame:
     )
 
 
-def migrate_v1(store, v1_path: str) -> None:
+def migrate_v1(store, v1_path: str, strict: bool = True) -> None:
     """Fold a whole v1 store into a current-layout store.
 
     The reference tool emits msgpack dump records for a separate
@@ -94,7 +125,21 @@ def migrate_v1(store, v1_path: str) -> None:
     correct double-count only if the caller replays it (the tool has
     the same property: its output is a dump, and replaying a dump
     twice double-counts in the reference too, backend/PROTOCOL.md:31).
-    """
+
+    ``strict`` (default) refuses the migration when any forward key is
+    not UTF-8-clean — those rows cannot be represented in the string
+    schema and would otherwise be silently dropped. Pass
+    ``strict=False`` to migrate the clean subset anyway (the invalid
+    keys stay queryable via :func:`invalid_v1_keys`)."""
+    if strict:
+        n_bad = invalid_v1_keys(store.spark, v1_path).count()
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} v1 forward keys are not valid UTF-8 and cannot "
+                "be migrated into the string observation schema; inspect "
+                "them with invalid_v1_keys() or pass strict=False to "
+                "migrate the clean subset"
+            )
     store.merge(decode_v1(store.spark, v1_path))
 
 

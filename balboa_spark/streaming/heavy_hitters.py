@@ -32,6 +32,8 @@ keys), composing with foreachBatch like the other incremental stores.
 from __future__ import annotations
 
 import base64
+import contextlib
+import fcntl
 import json
 import os
 
@@ -46,6 +48,7 @@ from balboa_spark.operators.aggregate import (
 from balboa_spark.plans.genstore import flip_manifest
 
 STATE = "state.json"
+LOCK = "state.lock"
 
 
 class HeavyHitterMonitor:
@@ -68,6 +71,25 @@ class HeavyHitterMonitor:
         self.eps = eps
         self.confidence = confidence
         self.seed = seed
+
+    @contextlib.contextmanager
+    def _update_lock(self):
+        """Exclusive flock held across the read-modify-flip in
+        ``update``. The manifest flip makes each write atomic, but two
+        concurrent updates (the documented multi-stream shape: several
+        queries' foreachBatch feeding one monitor) could both read the
+        same state and both flip — the loser's sketch counts and its
+        epoch gate would vanish, silently reopening that stream's
+        replay window. flock serializes the whole fold across threads
+        AND processes on a POSIX filesystem; on a pathless/object
+        store, updates need external serialization instead."""
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, LOCK), "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
 
     def _state(self) -> dict | None:
         p = os.path.join(self.path, STATE)
@@ -93,7 +115,19 @@ class HeavyHitterMonitor:
         queries feeding one monitor do not gate each other, and a
         query restarted with a FRESH checkpoint must pass a new
         stream_id — foreachBatch epochs restart at 0, and the old
-        stream's gate would silently swallow the first batch."""
+        stream's gate would silently swallow the first batch.
+
+        Concurrent updates are serialized by an exclusive file lock —
+        see ``_update_lock``."""
+        with self._update_lock():
+            self._update_locked(batch, epoch_id, stream_id)
+
+    def _update_locked(
+        self,
+        batch: DataFrame,
+        epoch_id: int | None,
+        stream_id: str,
+    ) -> None:
         st = self._state()
         gates = dict((st or {}).get("last_epochs") or {})
         if epoch_id is not None and gates.get(stream_id) == epoch_id:

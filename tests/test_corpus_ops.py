@@ -1103,6 +1103,47 @@ def test_postings_index_incremental_upsert(spark, tables, tmp_path):
     assert shared > 0
 
 
+def test_postings_upsert_rejects_existing_ids(spark, tmp_path):
+    """upsert is append-only BY CONTRACT and must enforce it: the
+    index stores no text, so re-upserting an id would leave the old
+    postings in place and double-count df/n/sum_dl, permanently
+    skewing every future score with no error."""
+    from balboa_spark.operators.search import PostingsIndex
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], ["doc_id", "text"]
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "bmdup"))
+    idx.build(base)
+    with pytest.raises(ValueError, match="append-only"):
+        idx.upsert(
+            spark.createDataFrame([(2, "beta delta")], ["doc_id", "text"])
+        )
+    # the refused upsert committed nothing
+    assert idx._manifest()["generation"] == 0
+    # disjoint ids still append fine
+    idx.upsert(spark.createDataFrame([(3, "beta")], ["doc_id", "text"]))
+    assert idx._manifest()["n"] == 3
+
+
+def test_postings_index_empty_corpus_build_is_queryable(spark, tmp_path):
+    """A zero-row partitioned write leaves no parquet footers, so a
+    generation built from an empty corpus used to crash topk/upsert
+    with AnalysisException at schema inference; the manifest-recorded
+    id type backs an explicit empty relation instead."""
+    from balboa_spark.operators.search import PostingsIndex
+
+    idx = PostingsIndex(spark, str(tmp_path / "bmempty"))
+    idx.build(
+        spark.createDataFrame([], "doc_id bigint, text string")
+    )
+    assert idx.topk(["alpha"], k=5).collect() == []
+    # growing the empty index works and becomes queryable
+    idx.upsert(spark.createDataFrame([(7, "alpha alpha")], ["doc_id", "text"]))
+    got = idx.topk(["alpha"], k=5).collect()
+    assert [r.doc_id for r in got] == [7]
+
+
 def test_postings_upsert_digit_only_buckets_stay_canonical(
     spark, tables, tmp_path
 ):

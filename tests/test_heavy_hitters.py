@@ -72,6 +72,39 @@ def test_monitor_epoch_replay_is_exactly_once(spark, tmp_path):
     assert mon.topk(2) == [("a", 30), ("b", 20)]
 
 
+def test_monitor_concurrent_multi_stream_updates_lose_nothing(spark, tmp_path):
+    """Two streaming queries feeding ONE monitor concurrently (the
+    documented multi-stream shape). update() is a read-modify-write of
+    state.json; without the flock serializing the fold, two interleaved
+    updates both read the same base state and the loser's counts (and
+    epoch gate) vanish on the second flip."""
+    import threading
+
+    mon = HeavyHitterMonitor(spark, str(tmp_path / "hh6"), "k", batch_topk=3)
+    errs: list[Exception] = []
+
+    def feed(stream_id, batches):
+        try:
+            for ep, spec in enumerate(batches):
+                mon.update(_batch(spark, spec), epoch_id=ep, stream_id=stream_id)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errs.append(e)
+
+    ta = threading.Thread(target=feed, args=("qA", [{"a": 5}, {"a": 7}, {"b": 3}]))
+    tb = threading.Thread(target=feed, args=("qB", [{"a": 4}, {"c": 6}, {"b": 2}]))
+    ta.start()
+    tb.start()
+    ta.join()
+    tb.join()
+    assert not errs
+    # exact sums: a=16, c=6, b=5 — any lost update shows up as a deficit
+    assert mon.topk(3) == [("a", 16), ("c", 6), ("b", 5)]
+    # both streams' replay gates survived the interleaving
+    mon.update(_batch(spark, {"a": 100}), epoch_id=2, stream_id="qA")  # replay
+    mon.update(_batch(spark, {"a": 100}), epoch_id=2, stream_id="qB")  # replay
+    assert mon.topk(1) == [("a", 16)]
+
+
 def test_monitor_epoch_gates_are_per_stream_and_survive_flips(spark, tmp_path):
     mon = HeavyHitterMonitor(spark, str(tmp_path / "hh5"), "k", batch_topk=3)
     mon.update(_batch(spark, {"a": 10}), epoch_id=0, stream_id="qA")

@@ -7,7 +7,15 @@ import datetime as dt
 from balboa_spark.operators.aggregate import aggregate
 from balboa_spark.operators.query import Query
 from balboa_spark.plans.layout import ObservationStore
-from balboa_spark.plans.legacy_v1 import SEP, decode_v1, encode_v1, migrate_v1
+import pytest
+
+from balboa_spark.plans.legacy_v1 import (
+    SEP,
+    decode_v1,
+    encode_v1,
+    invalid_v1_keys,
+    migrate_v1,
+)
 
 TS1 = dt.datetime(2019, 6, 1)
 TS2 = dt.datetime(2019, 7, 1)
@@ -82,6 +90,30 @@ def test_migrate_into_populated_store_folds(spark, tmp_path):
     assert rows[("TXT", f"weird{SEP}payload{SEP}x")]["count"] == 3
     # and the second v1 subject is queryable through the inverted layout
     assert store.query(Query(rdata="::1")).count() == 1
+
+
+def test_non_utf8_keys_are_refused_not_corrupted(spark, tmp_path):
+    """V1 keys are raw bytes; a key whose bytes are invalid UTF-8 must
+    never be cast-through (the cast folds bad bytes to U+FFFD and the
+    migrated row would silently differ from the store's). Such rows are
+    excluded from decode, countable, and block a strict migrate."""
+    p = str(tmp_path / "v1bad")
+    bad_key = b"o" + SEP.encode() + b"\xff\xfe-rrname" + (SEP.encode() + b"s1") * 3
+    clean = encode_v1(_v1_agg(spark))
+    bad = spark.createDataFrame([(bad_key, b"\x01\x00\x00\x00" * 3)],
+                                "key binary, value binary")
+    clean.unionByName(bad).write.parquet(p)
+
+    assert decode_v1(spark, p).count() == 3  # clean forward rows only
+    assert invalid_v1_keys(spark, p).count() == 1
+    assert invalid_v1_keys(spark, p).first()["key"] == bytearray(bad_key)
+
+    store = ObservationStore(spark, str(tmp_path / "store_bad"), num_buckets=4)
+    with pytest.raises(ValueError, match="1 v1 forward keys"):
+        migrate_v1(store, p)
+    # non-strict migrates the representable subset
+    migrate_v1(store, p, strict=False)
+    assert store.forward().count() == 3
 
 
 def test_cli_migrate_v1(spark, tmp_path):
