@@ -48,6 +48,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     timings: dict[str, float] = {}
+    pass_log: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     items: list[tuple[str, object]] = []
 
@@ -66,7 +67,11 @@ def main() -> None:
         # steady-state estimate (the hyperfine/min convention). Each
         # item stays fault-isolated: one failure records an error entry
         # and the final JSON line is always emitted (round 4 lost all
-        # numbers to a single AnalysisException).
+        # numbers to a single AnalysisException). EVERY pass is also
+        # recorded (queries_median in the output) so the min convention
+        # cannot mask a real regression: a plan that genuinely slowed
+        # shows in the median even when one lucky pass keeps the min
+        # flat.
         for _ in range(passes):
             for name, fn in items:
                 if name in errors:
@@ -78,6 +83,7 @@ def main() -> None:
                     errors[name] = f"{type(e).__name__}: {e}"[:500]
                     print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
                 dt = round(time.time() - t0, 3)
+                pass_log.setdefault(name, []).append(dt)
                 timings[name] = min(timings.get(name, dt), dt)
 
     obs = spark.sql(OBS_SQL)
@@ -390,13 +396,20 @@ def main() -> None:
     run_items()
     shutil.rmtree(tmp, ignore_errors=True)
 
+    import statistics
+
     total = round(sum(timings.values()), 3)
+    medians = {
+        k: round(statistics.median(v), 3) for k, v in pass_log.items()
+    }
     out = {
         "metric": "balboa_spark bench: ingest fold + dual-layout build + "
         "10k-rdata lookup storm + point queries + scan-agg + dedup + ann",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "value_median": round(sum(medians.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
