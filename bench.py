@@ -386,6 +386,25 @@ def main() -> None:
             par(spark.table("documents")), BPE_MERGES, top_n=30
         ).collect()
 
+    @timed("bpe_segment_arrow")
+    def _():
+        # production-vocab segmentation path: 512-merge list through
+        # the Arrow batch segmenter. Per-word cost is O(len^2)
+        # present-pair rank lookups, INDEPENDENT of merge-list size
+        # (the 16 real pinned merges dominate the applied work; the
+        # padded tail exercises exactly the claim — adding merges must
+        # not add per-word cost, unlike the expression-chain form
+        # whose plan grows per merge and stops analyzing ~100s).
+        from balboa_spark.entry_queries_corpus import BPE_MERGES
+        from balboa_spark.operators import bpe
+
+        merges512 = list(BPE_MERGES) + [
+            (f"q{i}", f"q{i + 1}") for i in range(512 - len(BPE_MERGES))
+        ]
+        bpe.bpe_segment_words(
+            par(spark.table("documents")), merges512, top_n=30
+        ).collect()
+
     @timed("events_skew")
     def _():
         # skew diagnostics: one keys-sized groupBy + a 1-row reduce

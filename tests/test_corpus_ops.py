@@ -1375,6 +1375,110 @@ def test_source_overlap_no_join_no_broadcast(spark, tables):
     assert "ResolvedHint" not in analyzed and "Join" not in analyzed
 
 
+def test_bpe_segment_arrow_parity_with_column_fold(spark):
+    """The Arrow batch segmenter must reproduce the Column fold
+    byte-for-byte on a real fit (the fold is the oracle-replayable
+    reference; the Arrow path is the production-vocab scale path)."""
+    from balboa_spark.operators import bpe
+
+    corpus = (
+        ["low low low low low", "lower lower widest widest widest"]
+        + ["newest newest newest newest newest newest"]
+        + ["the cat sat on the mat", "the bat and the cat"]
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    merges = bpe.bpe_fit(df, num_merges=12)
+    assert merges
+    words = bpe.word_histogram(df).select("word")
+    both = words.select(
+        "word",
+        bpe.segment(F.col("word"), merges).alias("col_fold"),
+        bpe.segment_arrow(F.col("word"), merges).alias("arrow"),
+    ).collect()
+    assert both and all(r["col_fold"] == r["arrow"] for r in both)
+
+
+def test_bpe_segment_word_py_matches_sequential_passes():
+    """The rank-skip algorithm inside the Arrow segmenter must equal
+    naive sequential-pass replay on adversarial merge lists —
+    including same-string pieces minted by two different merge paths
+    (e.g. 'abc' from (a,bc) and (ab,c)), the corner where a plain
+    lowest-rank-first loop diverges from pass semantics."""
+    import random
+
+    from balboa_spark.operators.bpe import _segment_word_py
+
+    def seg_passes(word, merges):
+        cur = list(word)
+        for a, b in merges:
+            if len(cur) < 2:
+                break
+            out = [cur[0]]
+            for x in cur[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            cur = out
+        return cur
+
+    # hand-built same-string corner: 'abc' mintable via rank1 (a,bc)
+    # and rank3 (ab,c); rank2 (x,abc) must NOT re-fire for the second
+    # minting under pass semantics
+    merges = [("b", "c"), ("a", "bc"), ("x", "abc"), ("a", "b"), ("ab", "c")]
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w in ("xabc", "xabcabc", "abcxabc", "xxabc"):
+        assert _segment_word_py(list(w), merges, ranks) == seg_passes(w, merges)
+
+    rnd = random.Random(7)
+    alphabet = "ab"
+    for _ in range(300):
+        pieces = ["a", "b", "aa", "ab", "ba", "bb", "aab", "abb"]
+        merges = []
+        seen = set()
+        for _ in range(rnd.randrange(1, 10)):
+            m = (rnd.choice(pieces), rnd.choice(pieces))
+            if m not in seen:
+                seen.add(m)
+                merges.append(m)
+        ranks = {m: i for i, m in enumerate(merges)}
+        word = "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(1, 12)))
+        assert _segment_word_py(list(word), merges, ranks) == seg_passes(
+            word, merges
+        ), (word, merges)
+
+
+def test_bpe_segment_any_switches_paths(spark):
+    """<= threshold stays the pure-codegen fold (no Python in the
+    plan); above it the plan carries exactly the Arrow batch eval."""
+    from balboa_spark.operators import bpe
+
+    df = spark.createDataFrame([(0, "aba abab")], ["doc_id", "text"])
+    small = [("a", "b")]
+    big = small + [(f"q{i}", f"q{i+1}") for i in range(bpe.ARROW_MERGE_THRESHOLD)]
+
+    words = bpe.word_histogram(df).select("word")
+    plan_small = (
+        words.select(bpe.segment_any(F.col("word"), small))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan_small and "Python" not in plan_small
+    plan_big = (
+        words.select(bpe.segment_any(F.col("word"), big))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan_big
+    # and the big path still returns the small path's answer (inert
+    # tail merges change nothing)
+    a = {r["word"]: r["p"] for r in words.select(
+        "word", bpe.segment(F.col("word"), small).alias("p")).collect()}
+    b = {r["word"]: r["p"] for r in words.select(
+        "word", bpe.segment_any(F.col("word"), big).alias("p")).collect()}
+    assert a == b
+
+
 def test_bpe_vocab_table_ids_dense_and_bounded(spark):
     from balboa_spark.operators import bpe
 
