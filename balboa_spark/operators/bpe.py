@@ -263,6 +263,157 @@ def bpe_segment_words(
     return out.limit(top_n) if top_n is not None else out
 
 
+class TokenizerStore:
+    """The tokenizer as a persisted, crash-safe artifact.
+
+    ``bpe_fit`` returns a driver-side merge list; a pipeline needs the
+    tokenizer ON DISK with the same commit discipline as every other
+    persisted artifact (ObservationStore / VectorStore /
+    PostingsIndex — plans/genstore): immutable ``gen-<n>/`` snapshots
+    holding ``merges.json`` (the learned merge list, in order) and
+    ``vocab/`` (the :func:`vocab_table` parquet: piece, weight,
+    piece_id), committed by ONE atomic manifest rename, keep-last-2
+    vacuum. A crash mid-``fit`` leaves the previous tokenizer fully
+    readable; segmentation and the id mapping can never disagree
+    (they flip together).
+
+    Load → segment round-trip: :meth:`segment_col` rebuilds the
+    segmentation expression from the stored merges via
+    :func:`segment_any`, so a reader needs no state beyond the path —
+    the production shape where the tokenizer is fit once on the
+    corpus snapshot and replayed by every downstream job."""
+
+    MANIFEST = "manifest.json"
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _manifest(self) -> dict:
+        import json
+        import os
+
+        with open(os.path.join(self.path, self.MANIFEST)) as fh:
+            return json.load(fh)
+
+    def _gen_dir(self, gen: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"gen-{gen}")
+
+    def fit(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        num_merges: int = 16,
+        min_pair_count: int = 2,
+    ) -> list[tuple[str, str]]:
+        """Fit on the corpus and commit a new generation. Returns the
+        merge list (also persisted). Cost = the bpe_fit rounds + one
+        extra vocabulary pass for the piece table."""
+        import json
+        import os
+
+        from balboa_spark.plans.genstore import (
+            flip_manifest,
+            vacuum_generations,
+        )
+
+        try:
+            gen = self._manifest()["generation"] + 1
+        except FileNotFoundError:
+            gen = 0
+        gen_dir = self._gen_dir(gen)
+        os.makedirs(gen_dir, exist_ok=True)
+
+        merges = bpe_fit(
+            df, text_col=text_col, num_merges=num_merges,
+            min_pair_count=min_pair_count,
+        )
+        with open(os.path.join(gen_dir, "merges.json"), "w") as fh:
+            json.dump([list(m) for m in merges], fh)
+        vocab_table(df, merges, text_col=text_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(gen_dir, "vocab"))
+
+        flip_manifest(
+            self.path,
+            {
+                "generation": gen,
+                "num_merges": len(merges),
+                "text_col": text_col,
+                "min_pair_count": min_pair_count,
+            },
+            self.MANIFEST,
+        )
+        vacuum_generations(self.path, gen, keep_last=2)
+        return merges
+
+    def merges(self) -> list[tuple[str, str]]:
+        import json
+        import os
+
+        gen = self._manifest()["generation"]
+        with open(os.path.join(self._gen_dir(gen), "merges.json")) as fh:
+            return [tuple(m) for m in json.load(fh)]
+
+    def vocab(self) -> DataFrame:
+        import os
+
+        gen = self._manifest()["generation"]
+        return self.spark.read.parquet(
+            os.path.join(self._gen_dir(gen), "vocab")
+        )
+
+    def segment_col(self, word: Column) -> Column:
+        """Segmentation expression under the STORED tokenizer —
+        Column fold for small merge lists, Arrow batch above the
+        threshold (see :func:`segment_any`)."""
+        return segment_any(word, self.merges())
+
+    def encode(
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Corpus → (id, piece_ids array<int>): segment every alnum
+        token under the stored merges and map pieces to dense ids via
+        one broadcast join against the stored vocabulary (pieces
+        absent from it — impossible under the same normalization —
+        would surface as NULLs, not silent drops). The explode keeps
+        per-row state bounded; the regroup restores token order by
+        position."""
+        toks = df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.filter(
+                    tokens(F.col(text_col)), lambda w: w.rlike(WORD_RE)
+                )
+            ).alias("_wpos", "_word"),
+        )
+        pieces = toks.select(
+            F.col(id_col),
+            "_wpos",
+            F.posexplode(self.segment_col(F.col("_word"))).alias(
+                "_ppos", "piece"
+            ),
+        )
+        mapped = pieces.join(
+            F.broadcast(self.vocab().select("piece", "piece_id")), "piece"
+        )
+        return (
+            mapped.groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("_wpos", "_ppos", "piece_id")
+                        )
+                    ),
+                    lambda s: s["piece_id"],
+                ).alias("piece_ids")
+            )
+        )
+
+
 def vocab_table(
     df: DataFrame,
     merges: list[tuple[str, str]],

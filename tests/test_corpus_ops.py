@@ -1479,6 +1479,89 @@ def test_bpe_segment_any_switches_paths(spark):
     assert a == b
 
 
+def test_tokenizer_store_roundtrip(spark, tmp_path):
+    """fit → load → segment must reproduce the in-memory tokenizer
+    exactly: merges in learned order, vocab ids dense, and the stored
+    segmentation expression equal to segmenting with the returned
+    merge list."""
+    from balboa_spark.operators import bpe
+
+    corpus = ["low low low lower lower", "newest newest newest widest"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    ts = bpe.TokenizerStore(spark, str(tmp_path / "tok"))
+    merges = ts.fit(df, num_merges=8)
+    assert ts.merges() == merges and len(merges) > 0
+    assert ts._manifest()["generation"] == 0
+
+    vocab = {r["piece"]: r["piece_id"] for r in ts.vocab().collect()}
+    direct = {
+        r["piece"]: r["piece_id"]
+        for r in bpe.vocab_table(df, merges).collect()
+    }
+    assert vocab == direct
+    got = (
+        bpe.word_histogram(df)
+        .select("word", ts.segment_col(F.col("word")).alias("p"))
+        .collect()
+    )
+    want = {
+        r["word"]: r["p"]
+        for r in bpe.word_histogram(df)
+        .select("word", bpe.segment(F.col("word"), merges).alias("p"))
+        .collect()
+    }
+    assert {r["word"]: r["p"] for r in got} == want
+
+    # refit flips the generation atomically
+    ts.fit(df, num_merges=4)
+    assert ts._manifest()["generation"] == 1 and len(ts.merges()) <= 4
+
+
+def test_tokenizer_store_crash_mid_fit_keeps_old_generation(spark, tmp_path):
+    """A gen directory without a manifest flip is invisible — readers
+    keep the previous tokenizer (merge list AND vocab stay the old
+    pair; they can never disagree)."""
+    import os
+    import shutil
+
+    from balboa_spark.operators import bpe
+
+    df = spark.createDataFrame([(0, "ab ab ab cd")], ["doc_id", "text"])
+    ts = bpe.TokenizerStore(spark, str(tmp_path / "tokc"))
+    merges = ts.fit(df, num_merges=4)
+    # simulate a crash: half-written next generation, no flip
+    os.makedirs(os.path.join(ts.path, "gen-1"), exist_ok=True)
+    with open(os.path.join(ts.path, "gen-1", "merges.json"), "w") as fh:
+        fh.write("[]")
+    assert ts._manifest()["generation"] == 0
+    assert ts.merges() == merges
+    assert ts.vocab().count() > 0
+    shutil.rmtree(os.path.join(ts.path, "gen-1"))
+
+
+def test_tokenizer_store_encode_ids(spark, tmp_path):
+    """encode() maps the corpus to dense piece-id sequences in token
+    order under the stored vocabulary."""
+    from balboa_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(0, "abab abab cd"), (1, "cd abab")], ["doc_id", "text"]
+    )
+    ts = bpe.TokenizerStore(spark, str(tmp_path / "toke"))
+    ts.fit(df, num_merges=8)
+    ids = {r["piece"]: r["piece_id"] for r in ts.vocab().collect()}
+    seg = {
+        r["word"]: r["pieces"].split(" ")
+        for r in bpe.bpe_segment_words(df, ts.merges()).collect()
+    }
+    enc = {r["doc_id"]: r["piece_ids"] for r in ts.encode(df).collect()}
+    want0 = [ids[p] for w in ("abab", "abab", "cd") for p in seg[w]]
+    want1 = [ids[p] for w in ("cd", "abab") for p in seg[w]]
+    assert enc == {0: want0, 1: want1}
+
+
 def test_bpe_vocab_table_ids_dense_and_bounded(spark):
     from balboa_spark.operators import bpe
 
