@@ -59,13 +59,53 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def decode_media(df: DataFrame) -> DataFrame:
-    """Real decode (PIL/librosa/av). Not available in this container —
-    the mapInPandas contract is identical to ``fake_decode_media``."""
-    raise NotImplementedError(
-        "media codecs not installed; use fake_decode_media for the "
-        "deterministic test path — the Spark plumbing is the same"
-    )
+def decode_media(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Real image decode via PIL (import-gated: raises
+    NotImplementedError where Pillow is absent, so environments
+    without codecs fail fast instead of at the first batch). Same
+    mapInPandas contract as ``fake_decode_media``: features for image
+    rows are the grayscale thumbnail scaled to [0,1); non-image or
+    undecodable payloads yield NULL features, never a crashed task."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "media codecs not installed (pip install Pillow); use "
+            "fake_decode_media for the deterministic test path — the "
+            "Spark plumbing is the same"
+        ) from e
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in it:
+            feats = []
+            for mt, payload in zip(pdf["media_type"], pdf["payload"]):
+                raw = bytes(payload)
+                if mt != "image" or not raw:
+                    feats.append(None)
+                    continue
+                try:
+                    img = (
+                        Image.open(io.BytesIO(raw))
+                        .convert("L")
+                        .resize((feature_dim, 1))
+                    )
+                    feats.append([p / 256.0 for p in img.getdata()])
+                except Exception:  # undecodable bytes -> NULL, not a crash
+                    feats.append(None)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(bytes(b))),
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
 def fake_decode_media(df: DataFrame, feature_dim: int = 8) -> DataFrame:
@@ -97,16 +137,106 @@ def fake_decode_media(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — stub; same mapInPandas shape as decode."""
-    raise NotImplementedError("image codecs not installed in this container")
+    """Real image resize via PIL (import-gated like
+    :func:`decode_media`): re-encodes each image payload as PNG at the
+    target size. Undecodable payloads yield a NULL payload row (same
+    crash-isolation contract as decode)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image codecs not installed in this container "
+            "(pip install Pillow)"
+        ) from e
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in it:
+            out = {"asset_id": [], "payload": [], "format": [],
+                   "width": [], "height": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(aid)
+                try:
+                    img = Image.open(io.BytesIO(bytes(payload)))
+                    buf = io.BytesIO()
+                    img.resize((width, height)).save(buf, format="PNG")
+                    out["payload"].append(buf.getvalue())
+                    out["format"].append("png")
+                    out["width"].append(width)
+                    out["height"].append(height)
+                except Exception:
+                    out["payload"].append(None)
+                    out["format"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_ms: int) -> DataFrame:
-    """Video frame sampling — stub; a real implementation explodes one
-    video row into N frame rows (payload -> frames) inside mapInPandas.
-    ``fake_sample_frames`` exercises that exact 1->N batch shape."""
-    raise NotImplementedError("video codecs not installed in this container")
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Real video frame sampling via PyAV (import-gated): explodes one
+    video row into N frame rows — the first frame at or after each
+    ``every_ms`` boundary, re-encoded as PNG — inside mapInPandas
+    (output batches larger than input, Arrow both ways), frames
+    inheriting the asset id for downstream joins. Undecodable
+    payloads produce no frames. ``fake_sample_frames`` exercises the
+    identical 1->N contract deterministically without codecs."""
+    try:
+        import av  # noqa: F401
+        from PIL import Image  # noqa: F401 - av's to_image needs PIL
+    except ImportError as e:
+        raise NotImplementedError(
+            "video codecs not installed in this container "
+            "(pip install av Pillow)"
+        ) from e
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import av
+
+        for pdf in it:
+            out = {"asset_id": [], "frame_idx": [], "ts_ms": [],
+                   "frame_payload": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    container = av.open(io.BytesIO(bytes(payload)))
+                    stream = container.streams.video[0]
+                    tb = float(stream.time_base or 0) * 1000.0
+                    next_ts, idx = 0, 0
+                    for frame in container.decode(stream):
+                        t_ms = int((frame.pts or 0) * tb)
+                        if t_ms < next_ts:
+                            continue
+                        buf = io.BytesIO()
+                        frame.to_image().save(buf, format="PNG")
+                        out["asset_id"].append(aid)
+                        out["frame_idx"].append(idx)
+                        out["ts_ms"].append(t_ms)
+                        out["frame_payload"].append(buf.getvalue())
+                        idx += 1
+                        next_ts += every_ms
+                except Exception:
+                    continue
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(

@@ -417,13 +417,25 @@ def test_patch_grid_tiles_and_clips(spark):
     assert area == 40 * 20
 
 
-def test_multimodal_stubs_raise(spark):
+def test_multimodal_codec_gates_raise_without_libs(spark):
+    """Where Pillow/av are absent the codec operators must fail fast
+    with NotImplementedError (not at the first Arrow batch). In an
+    environment WITH the libs the real paths activate instead — see
+    test_media_codecs.py for their gated integration tests."""
     from balboa_spark.operators import multimodal
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(None)
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(None, 1, 1)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_media(None)
+        with pytest.raises(NotImplementedError):
+            multimodal.resize_images(None, 1, 1)
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            multimodal.sample_frames(None, 1000)
 
 
 def test_quantize_int8_roundtrip(spark):
