@@ -438,6 +438,94 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# content-defined-chunking passage dedup
+# ---------------------------------------------------------------------------
+
+CDC_P, CDC_G = 16, 4
+
+
+def q_passage_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-independent substring dedup over the planted near-dup
+    corpus: the variant docs share their whole prefix with the
+    original at offset 0, and CDC chunking drops the shared interior
+    chunks from BOTH regardless of alignment."""
+    from balboa_spark.operators import corpus as corpus_ops
+
+    return corpus_ops.passage_dedup_cdc(
+        _corpus(spark, sf_dir), passage_tokens=CDC_P, gram=CDC_G
+    ).orderBy("doc_id")
+
+
+def _passage_cdc_oracle() -> str:
+    thresh = format(16**8 // CDC_P, "08x")
+    g = CDC_G
+    return f"""
+WITH {CORPUS_SQL},
+b AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM corpus
+),
+b2 AS (SELECT doc_id, tk, len(tk) AS n FROM b WHERE len(tk) > 0),
+bp AS (
+  SELECT doc_id, tk, n,
+         CASE WHEN n >= {g} THEN
+           list_filter(range({g} - 1, n), i -> i + 1 < n AND
+             substr(md5(array_to_string(list_slice(tk, i - {g} + 2, i + 1), ' ')), 1, 8)
+               < '{thresh}')
+         ELSE [] END AS bpos
+  FROM b2
+),
+st AS (
+  SELECT doc_id, tk, n, [0] || list_transform(bpos, i -> i + 1) AS starts
+  FROM bp
+),
+w AS (
+  SELECT doc_id, tk, n,
+         unnest(list_transform(range(1, len(starts) + 1),
+           j -> {{'s': starts[j],
+                  'l': (CASE WHEN j + 1 <= len(starts) THEN starts[j + 1]
+                        ELSE n END) - starts[j]}})) AS wch
+  FROM st
+),
+ch AS MATERIALIZED (
+  SELECT doc_id,
+         struct_extract(wch, 's') AS s,
+         struct_extract(wch, 'l') AS l,
+         md5(array_to_string(
+           list_slice(tk, struct_extract(wch, 's') + 1,
+                      struct_extract(wch, 's') + struct_extract(wch, 'l')),
+           ' ')) AS h
+  FROM w
+),
+dfc AS (SELECT h, count(DISTINCT doc_id) AS dfn FROM ch GROUP BY 1),
+drops AS (
+  SELECT doc_id, list(DISTINCT {{'s': s, 'l': l}}) AS ds
+  FROM ch JOIN dfc USING (h) WHERE dfn > 1 GROUP BY doc_id
+),
+fin AS (
+  SELECT b2.doc_id, b2.tk, b2.n,
+         coalesce(d.ds, CAST([] AS STRUCT(s BIGINT, l BIGINT)[])) AS ds
+  FROM b2 LEFT JOIN drops d USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, n,
+         list_filter(range(0, n), i -> len(list_filter(ds,
+           d -> i >= struct_extract(d, 's')
+            AND i < struct_extract(d, 's') + struct_extract(d, 'l'))) = 0)
+           AS ki,
+         tk
+  FROM fin
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_tokens,
+       CAST(len(ki) AS INTEGER) AS n_kept_tokens,
+       array_to_string(list_transform(ki, i -> tk[i + 1]), ' ') AS clean_text
+FROM kept WHERE len(ki) > 0 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # pipeline_pretrain: the full composed pretraining-data pipeline
 # ---------------------------------------------------------------------------
 
@@ -1478,6 +1566,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "pipeline_clean": q_pipeline_clean,
     "pipeline_pretrain": q_pipeline_pretrain,
+    "corpus_passage_cdc": q_passage_cdc,
     "embedding_topk": q_embedding_topk,
     "embedding_knn_join": q_knn_join,
     "embedding_cosine_pairs": q_embedding_pairs,
@@ -1512,6 +1601,7 @@ ORACLES_DOCS: dict[str, str] = {
         minhash_ctes=_minhash_ctes(), all_sw=_all_sw_sql()
     ),
     "pipeline_pretrain": _pipeline_pretrain_oracle(),
+    "corpus_passage_cdc": _passage_cdc_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": JACCARD_ORACLE,
     "embedding_topk": EMBEDDING_TOPK_ORACLE,

@@ -905,6 +905,141 @@ def passage_dedup(
     )
 
 
+def passage_dedup_cdc(
+    df: DataFrame,
+    passage_tokens: int = 16,
+    max_df: int = 1,
+    gram: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined-chunking passage dedup — the POSITION-
+    INDEPENDENT proxy for suffix-array substring dedup (Lee et al.
+    2022). :func:`passage_dedup`'s fixed grid only catches duplicated
+    spans that are grid-aligned in BOTH documents; a span copied at an
+    arbitrary offset never hashes equal. Here the chunk boundaries are
+    determined by CONTENT (the rsync/LBFS rule): a boundary falls
+    after token i when the hash of the ``gram``-token window ending at
+    i is ≡ 0 mod ``passage_tokens`` — so the same long span carries
+    the same interior boundaries, hence identical interior chunks, in
+    every document at ANY offset. Expected chunk length is
+    ``passage_tokens``; a shared span is detected once it spans two
+    content boundaries (expected span ≳ 2x passage_tokens, with no
+    alignment luck involved — the property the fixed grid lacks).
+
+    A token is DROPPED iff its covering chunk occurs in more than
+    ``max_df`` documents. Output: (id, n_tokens, n_kept_tokens,
+    clean_text), one row per document that keeps at least one token;
+    deterministic and reshuffle-stable (hash boundaries are pure
+    content functions).
+
+    Scale shape: identical to passage_dedup — the chunk relation
+    carries each chunk's hash once per occurrence (corpus-linear,
+    never quadratic), chunk DF is one map-side-combined groupBy, the
+    per-document drop-interval list is chunk-count-bounded and joins
+    back narrow, and reassembly is a per-document array filter in
+    codegen (tokens are never exploded individually). The boundary
+    computation itself is pure array algebra inside whole-stage
+    codegen. Unbounded-chunk caveat: pathological content with no
+    boundary (probability (1-1/P)^L) yields one long chunk — the doc
+    then dedups at whole-span granularity, never incorrectly.
+    """
+    if passage_tokens < 1:
+        raise ValueError("passage_tokens must be >= 1")
+    if gram < 1:
+        raise ValueError("gram must be >= 1")
+    P, g = passage_tokens, gram
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    ).filter(F.size("_tk") > 0)
+    n = F.size("_tk")
+
+    # 0-based positions i where the g-gram ending at i triggers a
+    # boundary AFTER i (the last position never opens an empty tail).
+    # Boundary rule: md5(gram)'s 8-hex prefix under the 1/P keep
+    # threshold — the same string-comparison trick as
+    # sample_threshold_hex, exactly replayable in the DuckDB oracle
+    # (probability floor(16^8/P)/16^8, i.e. 1/P for any P <= 2^32).
+    thresh = format(16**8 // P, "08x")
+
+    def _is_boundary(i):
+        return (
+            F.substring(
+                F.md5(
+                    F.concat_ws(" ", F.slice(F.col("_tk"), i - (g - 2), F.lit(g)))
+                ),
+                1,
+                8,
+            )
+            < thresh
+        )
+
+    bpos = F.when(
+        n >= g,
+        F.filter(
+            F.sequence(F.lit(g - 1), n - 1),
+            lambda i: (i + 1 < n) & _is_boundary(i),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(0)), F.transform(bpos, lambda i: i + 1))
+    m = F.size(starts)
+    wins = F.transform(
+        starts,
+        lambda s, j: F.struct(
+            s.alias("s"),
+            (
+                F.when(j + 2 <= m, F.element_at(starts, j + 2)).otherwise(n) - s
+            ).alias("l"),
+        ),
+    )
+
+    flat = staged.select(
+        F.col(id_col), "_tk", F.explode(wins).alias("_w")
+    ).select(
+        id_col,
+        F.col("_w.s").alias("_s"),
+        F.col("_w.l").alias("_l"),
+        F.md5(
+            F.concat_ws(" ", F.slice("_tk", F.col("_w.s") + 1, F.col("_w.l")))
+        ).alias("_h"),
+    )
+    # one materialization: DF aggregate + verdict join (same rationale
+    # as passage_dedup's localCheckpoint)
+    flat = flat.localCheckpoint(eager=True)
+    pdf = flat.groupBy("_h").agg(
+        F.count_distinct(F.col(id_col)).alias("_df")
+    )
+    drops = (
+        flat.join(pdf, "_h")
+        .filter(F.col("_df") > max_df)
+        .groupBy(id_col)
+        .agg(F.collect_set(F.struct("_s", "_l")).alias("_drops"))
+    )
+    joined = staged.join(drops, id_col, "left").select(
+        F.col(id_col),
+        "_tk",
+        F.coalesce(
+            "_drops", F.array().cast("array<struct<_s:int,_l:int>>")
+        ).alias("_drops"),
+    )
+    kept_tk = F.filter(
+        F.col("_tk"),
+        lambda x, i: ~F.exists(
+            F.col("_drops"),
+            lambda d: (i >= d["_s"]) & (i < d["_s"] + d["_l"]),
+        ),
+    )
+    return (
+        joined.select(
+            F.col(id_col),
+            F.size("_tk").alias("n_tokens"),
+            F.size(kept_tk).alias("n_kept_tokens"),
+            F.concat_ws(" ", kept_tk).alias("clean_text"),
+        )
+        .filter(F.col("n_kept_tokens") > 0)
+    )
+
+
 def _frac_threshold_hex(frac: Column) -> Column:
     """In-plan twin of sample_threshold_hex: the 8-hex-digit keep
     threshold for a [0,1] fraction, with the sentinel ``'g'`` (above

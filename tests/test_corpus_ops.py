@@ -354,6 +354,130 @@ def test_passage_dedup_reassembles_order_and_tail(spark):
     assert out[2]["clean_text"] == "c1 c2 c3 d1 d2 d3"
 
 
+def _cdc_py(corpus_rows, P=16, g=4, max_df=1):
+    """Independent pure-Python CDC reference: hex-threshold boundary
+    rule, chunk DF, interval drop, reassembly."""
+    import hashlib
+
+    thresh = format(16**8 // P, "08x")
+
+    def toks(t):
+        return [w for w in t.lower().split() if w]
+
+    def wins(tk):
+        n = len(tk)
+        bpos = [
+            i
+            for i in range(g - 1, n)
+            if i + 1 < n
+            and hashlib.md5(
+                " ".join(tk[i - g + 1 : i + 1]).encode()
+            ).hexdigest()[:8]
+            < thresh
+        ] if n >= g else []
+        starts = [0] + [i + 1 for i in bpos]
+        return [
+            (s, (starts[j + 1] if j + 1 < len(starts) else n) - s)
+            for j, s in enumerate(starts)
+        ]
+
+    tks = {d: toks(t) for d, t in corpus_rows}
+    df_count = {}
+    chunks = {}
+    for d, tk in tks.items():
+        chunks[d] = [(s, l, " ".join(tk[s : s + l])) for s, l in wins(tk)]
+        for c in {c for _s, _l, c in chunks[d]}:
+            df_count[c] = df_count.get(c, 0) + 1
+    out = {}
+    for d, tk in tks.items():
+        dropped = set()
+        for s, l, c in chunks[d]:
+            if df_count[c] > max_df:
+                dropped.update(range(s, s + l))
+        kept = [tk[i] for i in range(len(tk)) if i not in dropped]
+        if kept:
+            out[d] = (len(tk), len(kept), " ".join(kept))
+    return out
+
+
+def test_passage_dedup_cdc_position_independent(spark):
+    """The content-defined grid must drop a long shared span from both
+    documents even when it sits at DIFFERENT token offsets — the case
+    the fixed grid structurally misses — and both docs must lose the
+    exact same interior chunks."""
+    shared = " ".join(f"s{i}" for i in range(150))
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"a{i}" for i in range(13)) + " " + shared
+             + " " + " ".join(f"b{i}" for i in range(9))),
+            (1, shared),
+            (2, "unique filler " + " ".join(f"u{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    # the fixed grid finds nothing (offset 13 is not a multiple of 16)
+    fixed = {r["doc_id"]: r for r in corpus.passage_dedup(
+        docs, passage_tokens=16).collect()}
+    assert all(fixed[d]["n_kept"] == fixed[d]["n_passages"] for d in fixed)
+    out = {r["doc_id"]: r for r in corpus.passage_dedup_cdc(
+        docs, passage_tokens=16).collect()}
+    d0, d1 = out[0], out[1]
+    assert d0["n_kept_tokens"] < d0["n_tokens"]
+    assert d1["n_kept_tokens"] < d1["n_tokens"]
+    # identical interior chunks removed from both sides
+    assert d0["n_tokens"] - d0["n_kept_tokens"] == (
+        d1["n_tokens"] - d1["n_kept_tokens"]
+    )
+    removed0 = set(docs.collect()[0]["text"].split()) - set(
+        d0["clean_text"].split()
+    )
+    removed1 = set(shared.split()) - set(d1["clean_text"].split())
+    assert removed0 == removed1 and removed0
+    # the unique doc is untouched
+    assert out[2]["n_kept_tokens"] == out[2]["n_tokens"]
+
+
+def test_passage_dedup_cdc_exact_copies_disappear(spark):
+    docs = spark.createDataFrame(
+        [(1, "copy " * 40), (2, "copy " * 40), (3, "other words here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus.passage_dedup_cdc(
+        docs, passage_tokens=8).collect()}
+    assert set(out) == {3}
+
+
+def test_passage_dedup_cdc_matches_python_reference(spark):
+    """Exact parity with an independent pure-Python CDC
+    implementation on a pseudo-random corpus with planted copies at
+    random offsets, plus reshuffle stability."""
+    import random
+
+    rnd = random.Random(11)
+    span = " ".join(f"p{i}" for i in range(60))
+    rows = []
+    for d in range(20):
+        words = [f"w{rnd.randrange(50)}" for _ in range(rnd.randrange(5, 60))]
+        if d % 3 == 0:  # plant the span at a random offset
+            at = rnd.randrange(0, len(words))
+            words[at:at] = span.split()
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _cdc_py(rows, P=16, g=4)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept_tokens"], r["clean_text"])
+        for r in corpus.passage_dedup_cdc(docs, passage_tokens=16).collect()
+    }
+    assert got == want
+    got2 = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept_tokens"], r["clean_text"])
+        for r in corpus.passage_dedup_cdc(
+            docs.repartition(13), passage_tokens=16
+        ).collect()
+    }
+    assert got2 == want
+
+
 def test_passage_dedup_matches_python_oracle(spark):
     """passage_dedup vs an independent pure-Python reimplementation on
     a deterministic pseudo-random corpus: exact (doc -> clean_text,
