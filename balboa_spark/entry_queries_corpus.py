@@ -1116,6 +1116,67 @@ FROM wt
 """
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents encoded to dense piece-id sequences under the pinned
+    tokenizer (merges + vocab ids) — the TokenizerStore.encode kernel
+    graded without the store wrapper. Output is scalar (ids
+    space-joined) because the driver canon rejects array cells."""
+    from balboa_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    vocab = bpe.vocab_table(docs, BPE_MERGES)
+    enc = bpe.encode_corpus(docs, BPE_MERGES, vocab)
+    return enc.select(
+        "doc_id",
+        F.size("piece_ids").alias("n_pieces"),
+        F.concat_ws(
+            " ", F.transform("piece_ids", lambda i: i.cast("string"))
+        ).alias("ids_text"),
+    ).orderBy("doc_id")
+
+
+def _bpe_encode_oracle() -> str:
+    seg_expr = _bpe_oracle()
+    # the same fold expression, applied per distinct document word
+    fold = seg_expr.split("seg AS (SELECT word, cnt, ")[1].split(
+        " AS pieces FROM top)"
+    )[0]
+    vocab_sql = _bpe_vocab_oracle()
+    return f"""
+WITH {_TOKS_SQL},
+dt AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) + 1),
+                               i -> {{'i': i, 'w': tk[i]}})) AS s
+  FROM toks
+),
+dw AS (
+  SELECT doc_id, struct_extract(s, 'i') AS wpos,
+         struct_extract(s, 'w') AS word
+  FROM dt WHERE regexp_matches(struct_extract(s, 'w'), '^[a-z0-9]+$')
+),
+uw AS (SELECT DISTINCT word FROM dw),
+dseg AS MATERIALIZED (SELECT word, {fold} AS pieces FROM uw),
+vocab AS MATERIALIZED ({vocab_sql}),
+dp AS (
+  SELECT doc_id, wpos,
+         unnest(list_transform(
+           range(1, len(string_split(pieces, ' ')) + 1),
+           j -> {{'j': j, 'p': string_split(pieces, ' ')[j]}})) AS ps
+  FROM dw JOIN dseg USING (word)
+),
+ids AS (
+  SELECT doc_id, wpos, struct_extract(ps, 'j') AS ppos,
+         v.piece_id
+  FROM dp JOIN vocab v ON v.piece = struct_extract(ps, 'p')
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_pieces,
+       string_agg(piece_id::VARCHAR, ' ' ORDER BY wpos, ppos) AS ids_text
+FROM ids GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -1146,6 +1207,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bpe_segment": q_bpe_segment,
     "corpus_source_overlap": q_source_overlap,
     "corpus_bpe_vocab": q_bpe_vocab,
+    "corpus_bpe_encode": q_bpe_encode,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1178,4 +1240,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_bpe_segment": _bpe_oracle(),
     "corpus_source_overlap": SOURCE_OVERLAP_ORACLE,
     "corpus_bpe_vocab": _bpe_vocab_oracle(),
+    "corpus_bpe_encode": _bpe_encode_oracle(),
 }

@@ -374,44 +374,61 @@ class TokenizerStore:
     def encode(
         self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> DataFrame:
-        """Corpus → (id, piece_ids array<int>): segment every alnum
-        token under the stored merges and map pieces to dense ids via
-        one broadcast join against the stored vocabulary (pieces
-        absent from it — impossible under the same normalization —
-        would surface as NULLs, not silent drops). The explode keeps
-        per-row state bounded; the regroup restores token order by
-        position."""
-        toks = df.select(
-            F.col(id_col),
-            F.posexplode(
-                F.filter(
-                    tokens(F.col(text_col)), lambda w: w.rlike(WORD_RE)
-                )
-            ).alias("_wpos", "_word"),
+        """Corpus → (id, piece_ids array<int>) under the STORED
+        tokenizer — delegates to :func:`encode_corpus`."""
+        return encode_corpus(
+            df, self.merges(), self.vocab(), text_col=text_col, id_col=id_col
         )
-        pieces = toks.select(
+
+
+def encode_corpus(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus → (id, piece_ids array<int>): segment every alnum token
+    under the merge list and map pieces to dense ids via one broadcast
+    join against the (piece, piece_id) vocabulary (pieces absent from
+    it — impossible under the same normalization — would surface as
+    NULLs, not silent drops). The explode keeps per-row state bounded;
+    the regroup restores token order positionally. Segmentation cost
+    is paid once per DISTINCT word (the fold/Arrow path runs on the
+    vocabulary-sized distinct relation, not the token stream) and
+    joins back by word."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(tokens(F.col(text_col)), lambda w: w.rlike(WORD_RE))
+        ).alias("_wpos", "_word"),
+    )
+    seg = (
+        toks.select("_word")
+        .distinct()
+        .select(
+            "_word", segment_any(F.col("_word"), merges).alias("_pieces")
+        )
+    )
+    pieces = (
+        toks.join(seg, "_word")
+        .select(
             F.col(id_col),
             "_wpos",
-            F.posexplode(self.segment_col(F.col("_word"))).alias(
-                "_ppos", "piece"
+            F.posexplode("_pieces").alias("_ppos", "piece"),
+        )
+    )
+    mapped = pieces.join(
+        F.broadcast(vocab.select("piece", "piece_id")), "piece"
+    )
+    return mapped.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("_wpos", "_ppos", "piece_id"))
             ),
-        )
-        mapped = pieces.join(
-            F.broadcast(self.vocab().select("piece", "piece_id")), "piece"
-        )
-        return (
-            mapped.groupBy(id_col)
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("_wpos", "_ppos", "piece_id")
-                        )
-                    ),
-                    lambda s: s["piece_id"],
-                ).alias("piece_ids")
-            )
-        )
+            lambda s: s["piece_id"],
+        ).alias("piece_ids")
+    )
 
 
 def vocab_table(
