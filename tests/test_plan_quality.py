@@ -74,6 +74,42 @@ def test_passage_dedup_plan_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_passage_dedup_cdc_plan_shape(spark):
+    """passage_dedup_cdc: the boundary computation stays pure array
+    codegen (no Python eval anywhere), no hint-forced broadcast, no
+    cartesian/nested-loop join; the chunk relation joins back on hash
+    and the drop list on id only."""
+    from balboa_spark.operators import corpus
+
+    df = corpus.passage_dedup_cdc(_corpus(spark), passage_tokens=4)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed[:500]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_encode_corpus_segments_distinct_words_only(spark):
+    """encode_corpus must pay segmentation on the DISTINCT-word
+    relation, not the token stream: the fold chain appears under an
+    aggregate (the distinct), and with a small merge list the plan
+    carries no Python eval. The vocab join-back must be the one
+    hint-forced broadcast (the parameter-sized piece table)."""
+    from balboa_spark.operators import bpe
+
+    corpus = _corpus(spark)
+    merges = [("t", "o"), ("to", "k")]
+    vocab = bpe.vocab_table(corpus, merges)
+    df = bpe.encode_corpus(corpus, merges, vocab)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one Aggregate below the segmentation projection = the
+    # word distinct; the fold expression must not appear above the
+    # token-stream explode
+    assert optimized.count("aggregate(") >= 1
+
+
 def test_clean_text_is_projection_only(spark):
     """clean_text must stay a shuffle-free single-pass projection:
     no Exchange, no UDF — pure codegen expressions."""
