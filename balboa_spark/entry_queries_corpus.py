@@ -1177,6 +1177,51 @@ FROM ids GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-run corpus diff: old = docs with id % 10 != 0,
+    new = docs with id % 7 != 0 and every id % 5 == 0 doc's text
+    extended — yielding added (id%10==0 & id%7!=0), removed
+    (id%7==0 & id%10!=0), and changed (id%5==0, present in both)
+    rows by construction."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus.snapshot_diff(old, new).orderBy("doc_id")
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH o AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_old
+  FROM documents WHERE doc_id % 10 <> 0
+),
+n AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END
+         )), '\\s+', ' ', 'g')) AS fp_new
+  FROM documents WHERE doc_id % 7 <> 0
+),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, fp_old, fp_new,
+         CASE WHEN fp_old IS NULL THEN 'added'
+              WHEN fp_new IS NULL THEN 'removed'
+              WHEN fp_old <> fp_new THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, change, fp_old, fp_new FROM j
+WHERE change <> 'unchanged' ORDER BY doc_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -1208,6 +1253,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_source_overlap": q_source_overlap,
     "corpus_bpe_vocab": q_bpe_vocab,
     "corpus_bpe_encode": q_bpe_encode,
+    "corpus_snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1241,4 +1287,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_source_overlap": SOURCE_OVERLAP_ORACLE,
     "corpus_bpe_vocab": _bpe_vocab_oracle(),
     "corpus_bpe_encode": _bpe_encode_oracle(),
+    "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
 }

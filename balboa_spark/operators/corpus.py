@@ -1040,6 +1040,54 @@ def passage_dedup_cdc(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Corpus snapshot diff for incremental pipeline runs: which
+    documents were ADDED, REMOVED, or CHANGED between two corpus
+    snapshots, by id + normalized-text fingerprint (text.fingerprint,
+    the exact-dedup key). The downstream pattern: re-run cleaning /
+    dedup-store / index upserts only on `added` ∪ `changed` instead
+    of the whole corpus — the batch-sized cost model every persisted
+    artifact here (ObservationStore, VectorStore, PostingsIndex,
+    MinHashDedupStore) is built for.
+
+    Output: (id, change, fp_old, fp_new), change ∈ added | removed |
+    changed (| unchanged when ``include_unchanged``).
+
+    Scale shape: each side reduces to a NARROW (id, 32-hex fp)
+    relation before the one full-outer id equi-join — document text
+    never shuffles; cost is two scans + one hash join on the key both
+    snapshots would already be bucketed by in a real lakehouse layout
+    (then the exchange elides entirely).
+    """
+    from balboa_spark.operators.text import fingerprint
+
+    o = old.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp_old")
+    )
+    nw = new.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp_new")
+    )
+    joined = o.join(nw, id_col, "full_outer").select(
+        F.col(id_col),
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "removed")
+        .when(F.col("fp_old") != F.col("fp_new"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+        "fp_old",
+        "fp_new",
+    )
+    if not include_unchanged:
+        joined = joined.filter(F.col("change") != "unchanged")
+    return joined
+
+
 def _frac_threshold_hex(frac: Column) -> Column:
     """In-plan twin of sample_threshold_hex: the 8-hex-digit keep
     threshold for a [0,1] fraction, with the sentinel ``'g'`` (above

@@ -400,6 +400,29 @@ def _cdc_py(corpus_rows, P=16, g=4, max_df=1):
     return out
 
 
+def test_snapshot_diff_classifies_changes(spark):
+    """added/removed/changed by id + normalized fingerprint; cosmetic
+    whitespace/case edits are NOT changes (fingerprint-normalized);
+    unchanged rows excluded by default, included on request."""
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "keep me"),
+         (4, "Spaced   Out")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "gamma delta EDITED"), (3, "keep me"), (5, "brand new"),
+         (4, "spaced out")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["change"]
+           for r in corpus.snapshot_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "changed", 5: "added"}
+    full = {r["doc_id"]: r["change"]
+            for r in corpus.snapshot_diff(
+                old, new, include_unchanged=True).collect()}
+    assert full[3] == "unchanged" and full[4] == "unchanged"
+
+
 def test_passage_dedup_cdc_position_independent(spark):
     """The content-defined grid must drop a long shared span from both
     documents even when it sits at DIFFERENT token offsets — the case
