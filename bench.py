@@ -386,6 +386,56 @@ def main() -> None:
             par(spark.table("documents")), BPE_MERGES, top_n=30
         ).collect()
 
+    @timed("passage_dedup_cdc")
+    def _():
+        # content-defined-chunking substring dedup: same linear chunk
+        # relation as passage_dedup, boundaries position-independent
+        from balboa_spark.operators import corpus
+
+        corpus.passage_dedup_cdc(par(spark.table("documents"))).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    @timed("pipeline_pretrain")
+    def _():
+        # the COMPOSED pretraining chain (clean -> Gopher gate ->
+        # hub-capped MinHash near-dedup -> DSIR selection -> packing)
+        # with production parameters — the headline integration
+        # workload; its cost is the sum of its audited stages, shared
+        # subtrees persisted once (entry_queries_docs rationale)
+        from balboa_spark.operators import corpus, dedup
+
+        docs = spark.table("documents")
+        noisy = docs.select(
+            "doc_id",
+            "source",
+            F.concat(F.lit("\x01“noise” "), F.col("text"), F.lit("\x7f")).alias(
+                "text"
+            ),
+        )
+        cleaned = corpus.clean_text(noisy).join(
+            docs.select("doc_id", "source"), "doc_id"
+        )
+        gated = corpus.gopher_filter(
+            cleaned, text_col="clean_text", passthrough=("clean_text", "source")
+        )
+        kept0 = (
+            gated.filter("keep")
+            .select("doc_id", F.col("clean_text").alias("text"), "source")
+            .persist()
+        )
+        pairs = dedup.minhash_lsh_pairs(kept0)  # hub-capped defaults
+        kept = dedup.near_dedup_keep(kept0, pairs).persist()
+        sel = corpus.dsir_topk(
+            kept, kept.filter(F.col("source") == "src0"), k=2000
+        )
+        chosen = kept.join(sel.select("doc_id"), "doc_id", "left_semi")
+        corpus.pack_sequences(chosen, seq_len=128).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        kept0.unpersist()
+        kept.unpersist()
+
     @timed("bpe_segment_arrow")
     def _():
         # production-vocab segmentation path: 512-merge list through
