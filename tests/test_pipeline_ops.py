@@ -891,3 +891,76 @@ def test_media_to_vector_store_end_to_end(spark, tmp_path):
     qvec = [float(b) / 256.0 for b in base[:: max(1, 64 // 8)]][:8]
     got = [r.vec_id for r in vs.topk(qvec, k=2).collect()]
     assert got[0] == 1 and got[1] == 2  # exact asset, then the near-dup
+
+
+def test_streaming_incremental_corpus_pipeline_e2e(spark, tmp_path):
+    """The incremental corpus-ingest story, end to end: document
+    batches land as files -> foreachBatch runs the quality gate ->
+    MinHashDedupStore filters near-dups against ALL history -> the
+    survivors upsert into the persisted BM25 index. Asserts the
+    composed contract: a gated-out doc and a cross-batch near-dup
+    never reach the index; everything else is queryable after each
+    batch."""
+    import json as _json
+    import os
+
+    from balboa_spark.operators import corpus
+    from balboa_spark.operators.dedup_store import MinHashDedupStore
+    from balboa_spark.operators.search import PostingsIndex
+
+    land = tmp_path / "cland"
+    land.mkdir()
+    store = MinHashDedupStore(spark, str(tmp_path / "bands"))
+    idx = PostingsIndex(spark, str(tmp_path / "ppidx"))
+
+    def uniq(i):
+        return [f"w{i}x{j}" for j in range(40)] + ["needle"]
+
+    def write_batch(name, rows):
+        (land / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+
+    def doc(i, words):
+        return {"doc_id": i, "text": " ".join(words)}
+
+    write_batch(
+        "b1.ndjson",
+        [doc(1, uniq(1)), doc(2, uniq(2)), doc(3, ["dup"] * 5)],
+    )
+
+    def handle(batch, _epoch):
+        gated = corpus.gopher_filter(batch, passthrough=("text",)).filter(
+            "keep"
+        )
+        kept = store.process_batch(gated.select("doc_id", "text"))
+        if kept.count():
+            if os.path.exists(os.path.join(idx.path, idx.MANIFEST)):
+                idx.upsert(kept)
+            else:
+                idx.build(kept)
+
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(land)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: doc 4 is new; doc 5 is a near-dup of doc 1 (its
+        # text minus the last token — the planted-variant trick)
+        write_batch(
+            "b2.ndjson", [doc(4, uniq(4)), doc(5, uniq(1)[:-1])]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(r.doc_id for r in idx.topk(["needle"], k=10).collect())
+    # doc 3 failed the quality gate; doc 5 near-duped doc 1
+    assert got == [1, 2, 4]
+    man = idx._manifest()
+    assert man["n"] == 3 and man["generation"] == 1
