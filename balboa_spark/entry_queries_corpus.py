@@ -1177,6 +1177,31 @@ FROM ids GROUP BY doc_id ORDER BY doc_id
 """
 
 
+BLOCK_TERMS = ("slow", "spill", "skew")
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate over the documents table with a pinned
+    3-term list (tokens known present in the fixture corpus)."""
+    return corpus.blocklist_signals(_docs(spark, sf_dir), BLOCK_TERMS).orderBy(
+        "doc_id"
+    )
+
+
+_BLOCK_ARR = "[" + ", ".join(f"'{t}'" for t in sorted(set(BLOCK_TERMS))) + "]"
+
+BLOCKLIST_ORACLE = f"""
+WITH {_TOKS_SQL}
+SELECT doc_id,
+       CAST(len(list_filter(tk, t -> list_contains({_BLOCK_ARR}, t))) AS INTEGER)
+         AS n_blocked_tokens,
+       CAST(len(list_intersect(list_distinct(tk), {_BLOCK_ARR})) AS INTEGER)
+         AS n_blocked_terms,
+       len(list_filter(tk, t -> list_contains({_BLOCK_ARR}, t))) = 0 AS keep
+FROM toks ORDER BY doc_id
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-run corpus diff: old = docs with id % 10 != 0,
     new = docs with id % 7 != 0 and every id % 5 == 0 doc's text
@@ -1254,6 +1279,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bpe_vocab": q_bpe_vocab,
     "corpus_bpe_encode": q_bpe_encode,
     "corpus_snapshot_diff": q_snapshot_diff,
+    "corpus_blocklist": q_blocklist,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1288,4 +1314,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_bpe_vocab": _bpe_vocab_oracle(),
     "corpus_bpe_encode": _bpe_encode_oracle(),
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
+    "corpus_blocklist": BLOCKLIST_ORACLE,
 }

@@ -1040,6 +1040,72 @@ def passage_dedup_cdc(
     )
 
 
+def blocklist_signals(
+    df: DataFrame,
+    terms,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough=(),
+) -> DataFrame:
+    """C4-style blocklist gate ("bad words" filtering, Raffel et al.
+    2020 §2.2): per document, how many token occurrences and distinct
+    terms hit the list, plus the ``keep`` verdict (no hits). The list
+    is embedded as a literal array — for typical curated lists (up to
+    a few thousand terms) this is a pure zero-shuffle projection
+    inside codegen, the cheapest possible plan; for very large lists
+    use :func:`blocklist_signals_join`.
+
+    Matching is at token granularity under the shared tokenizer
+    (lowercase whitespace words), the same rule the C4 list applies;
+    phrase patterns belong in redact_pii-style regexes instead.
+    """
+    arr = F.array(*[F.lit(t.lower()) for t in sorted(set(terms))])
+    tk = tokens(F.col(text_col))
+    extra = [c for c in passthrough if c != id_col]
+    staged = df.select(F.col(id_col), *extra, tk.alias("_tk"))
+    occ = F.size(F.filter(F.col("_tk"), lambda x: F.array_contains(arr, x)))
+    dist = F.size(F.array_intersect(F.array_distinct(F.col("_tk")), arr))
+    return staged.select(
+        F.col(id_col),
+        *extra,
+        occ.alias("n_blocked_tokens"),
+        dist.alias("n_blocked_terms"),
+        (occ == 0).alias("keep"),
+    )
+
+
+def blocklist_signals_join(
+    df: DataFrame,
+    terms_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """The large-list arm of :func:`blocklist_signals`: the terms are
+    a relation (millions of entries — per-language lists, hashes of
+    known-bad documents' vocab), so the verdict is one explode +
+    broadcast-or-shuffle equi-join (AQE decides by size) + per-doc
+    count, then a left join back for the zero-hit documents. Output
+    schema matches the literal arm."""
+    tk = tokens(F.col(text_col))
+    tok = df.select(F.col(id_col), F.explode(tk).alias("_t"))
+    terms = terms_df.select(F.lower(F.col(term_col)).alias("_t")).distinct()
+    hits = (
+        tok.join(terms, "_t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_blocked_tokens"),
+            F.count_distinct("_t").alias("n_blocked_terms"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .na.fill({"n_blocked_tokens": 0, "n_blocked_terms": 0})
+        .withColumn("keep", F.col("n_blocked_tokens") == 0)
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -400,6 +400,41 @@ def _cdc_py(corpus_rows, P=16, g=4, max_df=1):
     return out
 
 
+def test_blocklist_literal_and_join_arms_agree(spark):
+    """The literal-array arm (small curated lists, zero shuffle) and
+    the relation-join arm (huge lists) must produce identical verdicts
+    — counts at token granularity, case-insensitive, keep = no hits."""
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words only here"),
+            (2, "the BAD word appears bad twice"),
+            (3, "worse and bad together"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["bad", "worse"]
+    lit = {r["doc_id"]: r for r in corpus.blocklist_signals(docs, terms).collect()}
+    assert lit[1]["keep"] and lit[1]["n_blocked_tokens"] == 0
+    assert not lit[2]["keep"]
+    assert lit[2]["n_blocked_tokens"] == 2 and lit[2]["n_blocked_terms"] == 1
+    assert lit[3]["n_blocked_tokens"] == 2 and lit[3]["n_blocked_terms"] == 2
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    jn = {
+        r["doc_id"]: r
+        for r in corpus.blocklist_signals_join(docs, terms_df).collect()
+    }
+    for d in (1, 2, 3):
+        assert (
+            jn[d]["n_blocked_tokens"],
+            jn[d]["n_blocked_terms"],
+            jn[d]["keep"],
+        ) == (
+            lit[d]["n_blocked_tokens"],
+            lit[d]["n_blocked_terms"],
+            lit[d]["keep"],
+        )
+
+
 def test_snapshot_diff_classifies_changes(spark):
     """added/removed/changed by id + normalized fingerprint; cosmetic
     whitespace/case edits are NOT changes (fingerprint-normalized);
