@@ -381,6 +381,13 @@ class TokenizerStore:
         )
 
 
+#: id emitted for a piece absent from the vocabulary (possible only
+#: when encoding a corpus whose charset was unseen at fit time) — an
+#: explicit sentinel, NOT a silent drop: collect_list skips NULLs, so
+#: a NULL id would shorten the sequence invisibly.
+UNK_PIECE_ID = -1
+
+
 def encode_corpus(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -390,13 +397,14 @@ def encode_corpus(
 ) -> DataFrame:
     """Corpus → (id, piece_ids array<int>): segment every alnum token
     under the merge list and map pieces to dense ids via one broadcast
-    join against the (piece, piece_id) vocabulary (pieces absent from
-    it — impossible under the same normalization — would surface as
-    NULLs, not silent drops). The explode keeps per-row state bounded;
-    the regroup restores token order positionally. Segmentation cost
-    is paid once per DISTINCT word (the fold/Arrow path runs on the
-    vocabulary-sized distinct relation, not the token stream) and
-    joins back by word."""
+    LEFT join against the (piece, piece_id) vocabulary. A piece absent
+    from the vocab (a character unseen at fit time — the fit-on-A,
+    encode-on-B production shape) becomes :data:`UNK_PIECE_ID`, so the
+    sequence keeps its true length instead of silently losing tokens.
+    The explode keeps per-row state bounded; the regroup restores
+    token order positionally. Segmentation cost is paid once per
+    DISTINCT word (the fold/Arrow path runs on the vocabulary-sized
+    distinct relation, not the token stream) and joins back by word."""
     toks = df.select(
         F.col(id_col),
         F.posexplode(
@@ -419,7 +427,9 @@ def encode_corpus(
         )
     )
     mapped = pieces.join(
-        F.broadcast(vocab.select("piece", "piece_id")), "piece"
+        F.broadcast(vocab.select("piece", "piece_id")), "piece", "left"
+    ).withColumn(
+        "piece_id", F.coalesce("piece_id", F.lit(UNK_PIECE_ID))
     )
     return mapped.groupBy(id_col).agg(
         F.transform(

@@ -1133,17 +1133,25 @@ def snapshot_diff(
     """
     from balboa_spark.operators.text import fingerprint
 
+    # presence comes from explicit indicator columns, NOT fp nullness:
+    # fingerprint(NULL text) is NULL, so a present-with-NULL-text row
+    # would otherwise be indistinguishable from an absent row and a
+    # removed doc could report as 'added'
     o = old.select(
-        F.col(id_col), fingerprint(F.col(text_col)).alias("fp_old")
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fp_old"),
+        F.lit(True).alias("_in_old"),
     )
     nw = new.select(
-        F.col(id_col), fingerprint(F.col(text_col)).alias("fp_new")
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fp_new"),
+        F.lit(True).alias("_in_new"),
     )
     joined = o.join(nw, id_col, "full_outer").select(
         F.col(id_col),
-        F.when(F.col("fp_old").isNull(), "added")
-        .when(F.col("fp_new").isNull(), "removed")
-        .when(F.col("fp_old") != F.col("fp_new"), "changed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(~F.col("fp_old").eqNullSafe(F.col("fp_new")), "changed")
         .otherwise("unchanged")
         .alias("change"),
         "fp_old",

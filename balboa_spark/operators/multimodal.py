@@ -2,10 +2,15 @@
 columns with typed metadata.
 
 The Spark-side machinery (schemas, Arrow-batched mapInPandas transforms,
-partition sizing) is real and tested; the codec step itself is stubbed
-behind ``NotImplementedError`` because no image/audio libraries exist in
-this container — ``fake_decode`` is the deterministic stand-in used by
-tests so the batch shapes and schema contracts are exercised.
+partition sizing) is real and tested everywhere. The codec step itself
+is IMPORT-GATED: ``decode_media``/``resize_images`` run real Pillow
+decodes and ``sample_frames`` real PyAV demuxing when those libraries
+are installed, and raise ``NotImplementedError`` fast where they are
+not (this container has neither) — ``fake_decode_media`` /
+``fake_sample_frames`` are the deterministic stand-ins that exercise
+the identical batch shapes and schema contracts without codecs, and
+test_media_codecs.py holds the gated integration tests that activate
+when the libraries appear.
 
 Design for 100 TB:
 - media bytes travel in their own column so column pruning keeps them
@@ -214,7 +219,16 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in it:
             out = {"asset_id": [], "frame_idx": [], "ts_ms": [],
                    "frame_payload": []}
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                # only video rows: ffmpeg's image demuxers happily
+                # open a PNG as a one-frame video stream, which would
+                # emit spurious frames for image assets (the fake
+                # emits none — contracts must match)
+                if mt != "video":
+                    continue
+                container = None
                 try:
                     container = av.open(io.BytesIO(bytes(payload)))
                     stream = container.streams.video[0]
@@ -231,9 +245,17 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         out["ts_ms"].append(t_ms)
                         out["frame_payload"].append(buf.getvalue())
                         idx += 1
-                        next_ts += every_ms
+                        # realign to the NEXT boundary after this
+                        # frame — a bare += every_ms would emit a
+                        # burst of consecutive frames after any
+                        # timestamp gap (dropped frames, low-fps
+                        # segment) instead of one per period
+                        next_ts = (t_ms // every_ms + 1) * every_ms
                 except Exception:
                     continue
+                finally:
+                    if container is not None:
+                        container.close()
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, FRAME_SCHEMA)
@@ -258,13 +280,17 @@ def fake_sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     inheriting the asset id for downstream joins.
 
     Rows with NULL/zero duration produce no frames (mirrors a decoder
-    skipping corrupt containers)."""
+    skipping corrupt containers); non-video rows produce none either
+    (same guard as the real sampler — ffmpeg would otherwise demux an
+    image payload as a one-frame video)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"asset_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []}
             for _, row in pdf.iterrows():
                 dur = row["duration_ms"]
+                if row["media_type"] != "video":
+                    continue
                 if dur is None or pd.isna(dur) or dur <= 0:
                     continue
                 raw = bytes(row["payload"])

@@ -117,21 +117,20 @@ class HeavyHitterMonitor:
         stream_id — foreachBatch epochs restart at 0, and the old
         stream's gate would silently swallow the first batch.
 
-        Concurrent updates are serialized by an exclusive file lock —
-        see ``_update_lock``."""
-        with self._update_lock():
-            self._update_locked(batch, epoch_id, stream_id)
-
-    def _update_locked(
-        self,
-        batch: DataFrame,
-        epoch_id: int | None,
-        stream_id: str,
-    ) -> None:
-        st = self._state()
-        gates = dict((st or {}).get("last_epochs") or {})
-        if epoch_id is not None and gates.get(stream_id) == epoch_id:
-            return
+        Concurrent updates are serialized by an exclusive file lock,
+        but only the read-merge-flip critical section holds it: the
+        batch-local sketch build and top-k (Spark jobs depending only
+        on the batch) run BEFORE acquiring the lock, so N streams'
+        per-batch aggregations proceed concurrently and only the
+        (driver-cheap) state fold serializes. The epoch gate is
+        checked twice — a cheap pre-check to skip a replayed batch's
+        Spark jobs entirely, and the authoritative re-check under the
+        lock."""
+        if epoch_id is not None:
+            st0 = self._state()
+            gates0 = (st0 or {}).get("last_epochs") or {}
+            if gates0.get(stream_id) == epoch_id:
+                return
         sk = frequency_sketch(
             batch, self.key_col, self.eps, self.confidence, self.seed
         )
@@ -145,6 +144,20 @@ class HeavyHitterMonitor:
                 .collect()
             )
         }
+        with self._update_lock():
+            self._fold_locked(sk, batch_cands, epoch_id, stream_id)
+
+    def _fold_locked(
+        self,
+        sk: bytes,
+        batch_cands: set,
+        epoch_id: int | None,
+        stream_id: str,
+    ) -> None:
+        st = self._state()
+        gates = dict((st or {}).get("last_epochs") or {})
+        if epoch_id is not None and gates.get(stream_id) == epoch_id:
+            return
         if st is not None:
             sk = merge_frequency_sketches(
                 self.spark, base64.b64decode(st["sketch"]), sk

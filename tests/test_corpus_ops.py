@@ -400,6 +400,43 @@ def _cdc_py(corpus_rows, P=16, g=4, max_df=1):
     return out
 
 
+def test_encode_corpus_oov_pieces_keep_length(spark, tmp_path):
+    """Fit-on-A, encode-on-B: pieces whose characters were unseen at
+    fit time must become the UNK sentinel, NOT silently vanish — a
+    dropped piece would shorten the training sequence invisibly."""
+    from balboa_spark.operators import bpe
+
+    fit_df = spark.createDataFrame(
+        [(0, "ab ab ab ab")], "doc_id long, text string"
+    )
+    ts = bpe.TokenizerStore(spark, str(tmp_path / "oov"))
+    ts.fit(fit_df, num_merges=4)
+    out = ts.encode(
+        spark.createDataFrame([(1, "ab xyz")], "doc_id long, text string")
+    ).collect()
+    ids = out[0]["piece_ids"]
+    # 'ab' -> 1 known piece; 'xyz' -> 3 OOV chars -> 3 UNK sentinels
+    assert len(ids) == 4
+    assert ids.count(bpe.UNK_PIECE_ID) == 3
+    assert all(i >= 0 for i in ids if i != bpe.UNK_PIECE_ID)
+
+
+def test_snapshot_diff_null_text_rows(spark):
+    """Presence must come from the join side, not fingerprint
+    nullness: a NULL-text doc present only in old is 'removed' (the
+    fp-null heuristic reported it 'added'), and NULL->real text on the
+    same id is 'changed'."""
+    old = spark.createDataFrame(
+        [(9, None), (10, None), (11, "same")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "real now"), (11, "same")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["change"]
+           for r in corpus.snapshot_diff(old, new).collect()}
+    assert out == {9: "removed", 10: "changed"}
+
+
 def test_blocklist_literal_and_join_arms_agree(spark):
     """The literal-array arm (small curated lists, zero shuffle) and
     the relation-join arm (huge lists) must produce identical verdicts

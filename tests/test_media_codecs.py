@@ -88,6 +88,10 @@ def test_sample_frames_real_video(spark):
     rows = [
         (0, "video", payload, "mp4", 32, 32, 3000),
         (1, "video", b"not a video", "mp4", None, None, 1000),
+        # ffmpeg's image demuxers open a PNG as a 1-frame video; the
+        # media_type guard must keep image assets frame-free (the
+        # fake's contract)
+        (2, "image", _png_bytes(Image, 8, 8), "png", 8, 8, None),
     ]
     df = spark.createDataFrame(rows, multimodal.MEDIA_ASSET)
     frames = multimodal.sample_frames(df, every_ms=1000).collect()
@@ -104,5 +108,6 @@ def test_sample_frames_real_video(spark):
     # frames are valid PNGs at the stream size
     img = Image.open(io.BytesIO(bytes(got[0]["frame_payload"])))
     assert img.size == (32, 32)
-    # undecodable payload contributes zero frames, no crash
-    assert 1 not in by_asset
+    # undecodable payload contributes zero frames, no crash; image
+    # assets are guarded out entirely
+    assert 1 not in by_asset and 2 not in by_asset

@@ -91,10 +91,11 @@ def test_passage_dedup_cdc_plan_shape(spark):
 
 def test_encode_corpus_segments_distinct_words_only(spark):
     """encode_corpus must pay segmentation on the DISTINCT-word
-    relation, not the token stream: the fold chain appears under an
-    aggregate (the distinct), and with a small merge list the plan
-    carries no Python eval. The vocab join-back must be the one
-    hint-forced broadcast (the parameter-sized piece table)."""
+    relation, not the token stream: the optimized plan carries a
+    word-keyed Aggregate (the distinct) feeding a _word equi-join, and
+    with a small merge list no Python eval anywhere. A regression that
+    segments the exploded token stream directly removes both the
+    distinct Aggregate and the _word join."""
     from balboa_spark.operators import bpe
 
     corpus = _corpus(spark)
@@ -104,10 +105,10 @@ def test_encode_corpus_segments_distinct_words_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEval" not in plan
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
-    # exactly one Aggregate below the segmentation projection = the
-    # word distinct; the fold expression must not appear above the
-    # token-stream explode
-    assert optimized.count("aggregate(") >= 1
+    # the word-distinct shows up as an Aggregate whose grouping key is
+    # _word, and segmentation joins back on _word — both must exist
+    assert "Aggregate [_word" in optimized, optimized[:800]
+    assert "Join Inner, (_word" in optimized or "Join Inner, (_word".lower() in optimized.lower(), optimized[:800]
 
 
 def test_clean_text_is_projection_only(spark):
