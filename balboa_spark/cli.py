@@ -11,6 +11,10 @@ surface (backend/balboa-backend-console/main.c:96-135, cmd/balboa/cmds).
     python -m balboa_spark.cli serve   <store> [--host --port]
             # HTTP: GET /pdns/query/<subject> (CIRCL REST) +
             #       POST /query (GraphQL-shape entries)
+    python -m balboa_spark.cli corpus-pretrain <docs_parquet> <out>
+            --target-source SRC [--dsir-k N --seq-len N]
+            # composed training-data pipeline: clean -> quality gate
+            # -> near-dedup -> DSIR selection -> packed sequences
 """
 
 from __future__ import annotations
@@ -64,6 +68,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("store")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
+
+    s = sub.add_parser(
+        "corpus-pretrain",
+        help="composed pretraining pipeline: documents parquet in -> "
+        "clean -> quality gate -> near-dedup -> DSIR selection -> "
+        "packed sequences parquet out",
+    )
+    s.add_argument("input", help="parquet dir with (doc_id, text, source)")
+    s.add_argument("out", help="output parquet dir for packed sequences")
+    s.add_argument("--target-source", dest="target_source", required=True)
+    s.add_argument("--dsir-k", dest="dsir_k", type=int, default=2000)
+    s.add_argument("--seq-len", dest="seq_len", type=int, default=128)
     return p
 
 
@@ -74,6 +90,20 @@ def run(args: argparse.Namespace, spark=None) -> int:
         from balboa_spark.session import get_spark
 
         spark = get_spark("balboa-cli")
+
+    if args.cmd == "corpus-pretrain":
+        from balboa_spark.operators.corpus import pretrain_pipeline
+
+        docs = spark.read.parquet(args.input)
+        packed = pretrain_pipeline(
+            docs,
+            target_source=args.target_source,
+            dsir_k=args.dsir_k,
+            seq_len=args.seq_len,
+        )
+        packed.write.mode("overwrite").parquet(args.out)
+        return 0
+
     store = ObservationStore(spark, args.store)
 
     if args.cmd == "dump":

@@ -566,36 +566,22 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(F.lit(_NOISE_PRE), F.col("text"), F.lit(_NOISE_POST)).alias("text"),
     )
-    cleaned = corpus_ops.clean_text(noisy).join(
-        raw.select("doc_id", "source"), "doc_id"
-    )
-    gated = corpus_ops.gopher_filter(
-        cleaned, text_col="clean_text", passthrough=("clean_text", "source")
-    )
-    # persist(): kept0 feeds the MinHash signature build AND the
-    # keep-set anti-join; kept feeds the DSIR corpus pass, the DSIR
-    # target subset, the selection semi-join, and packing. Without
-    # these the clean+gopher subtree (tokenize + two shingle arrays
-    # per doc) provably re-executes per consumer (ReuseExchange does
-    # not dedupe across these subtrees) — measured 18 s -> 6 s warm
-    # at sf0.01. persist keeps lineage recomputable; both caches
-    # belong to the one returned plan and release when it is GC'd.
-    kept0 = gated.filter("keep").select(
-        "doc_id", F.col("clean_text").alias("text"), "source"
-    ).persist()
-    pairs = dedup.minhash_lsh_pairs(
-        kept0,
-        num_hashes=NUM_HASHES,
-        num_bands=NUM_BANDS,
-        k=SHINGLE_K,
+    # the chain itself is the library operator (corpus.pretrain_pipeline
+    # — also the CLI `corpus-pretrain` subcommand and the bench item,
+    # so all three surfaces share one implementation incl. the
+    # measured 18 s -> 6 s persist()s of the shared stages); only the
+    # noise injection and the planted-variant corpus prep live here.
+    # The pinned oracle constants must equal the library's minhash
+    # defaults — asserted so a default drift cannot silently desync
+    # the SQL replay.
+    assert (NUM_HASHES, NUM_BANDS, SHINGLE_K) == (16, 4, 3)
+    return corpus_ops.pretrain_pipeline(
+        noisy.join(raw.select("doc_id", "source"), "doc_id"),
+        target_source=PIPE_TARGET_SOURCE,
+        dsir_k=PIPE_DSIR_K,
+        seq_len=PIPE_SEQ_LEN,
         max_bucket=ORACLE_MAX_BUCKET,
-    )
-    kept = dedup.near_dedup_keep(kept0, pairs).persist()
-    sel = corpus_ops.dsir_topk(
-        kept, kept.filter(F.col("source") == PIPE_TARGET_SOURCE), k=PIPE_DSIR_K
-    )
-    chosen = kept.join(sel.select("doc_id"), "doc_id", "left_semi")
-    return corpus_ops.pack_sequences(chosen, seq_len=PIPE_SEQ_LEN).orderBy("seq_id")
+    ).orderBy("seq_id")
 
 
 def _pipeline_pretrain_oracle() -> str:

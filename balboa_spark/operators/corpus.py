@@ -1040,6 +1040,67 @@ def passage_dedup_cdc(
     )
 
 
+def pretrain_pipeline(
+    df: DataFrame,
+    target_source: str,
+    dsir_k: int = 2000,
+    seq_len: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The composed pretraining corpus pipeline as ONE callable:
+    clean_text → Gopher repetition gate → MinHash near-dedup keep
+    (hub-capped production defaults) → DSIR top-k selection against
+    ``target_source``'s documents → fixed-``seq_len`` sequence
+    packing. Returns the packed (seq_id, n_seq_tokens, seq_text)
+    relation; the CLI ``corpus-pretrain`` subcommand writes it to
+    parquet.
+
+    Stage stitching: one ``id`` equi-join re-attaching the source
+    after cleaning and one left-semi join applying the DSIR keep-set;
+    the shared intermediates (gated corpus, deduped corpus) are
+    ``persist()``-ed because they feed 2 and 4 downstream consumers
+    respectively (ReuseExchange does not dedupe across those
+    subtrees — measured 3x on the driver query). Cache lifetime is
+    GC-bound like every internal persist here; a caller looping over
+    corpora should drop plan references promptly."""
+    from balboa_spark.operators import dedup
+
+    cleaned = clean_text(df, text_col=text_col, id_col=id_col).join(
+        df.select(id_col, source_col), id_col
+    )
+    gated = gopher_filter(
+        cleaned, text_col="clean_text", id_col=id_col,
+        passthrough=("clean_text", source_col),
+    )
+    kept0 = (
+        gated.filter("keep")
+        .select(
+            F.col(id_col),
+            F.col("clean_text").alias(text_col),
+            F.col(source_col),
+        )
+        .persist()
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        kept0, text_col, id_col, max_bucket=max_bucket
+    )
+    kept = dedup.near_dedup_keep(kept0, pairs, id_col=id_col).persist()
+    sel = dsir_topk(
+        kept,
+        kept.filter(F.col(source_col) == target_source),
+        k=dsir_k,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    chosen = kept.join(sel.select(id_col), id_col, "left_semi")
+    return pack_sequences(
+        chosen, seq_len=seq_len, text_col=text_col, id_col=id_col
+    )
+
+
 def blocklist_signals(
     df: DataFrame,
     terms,

@@ -403,7 +403,7 @@ def main() -> None:
         # with production parameters — the headline integration
         # workload; its cost is the sum of its audited stages, shared
         # subtrees persisted once (entry_queries_docs rationale)
-        from balboa_spark.operators import corpus, dedup
+        from balboa_spark.operators import corpus
 
         docs = spark.table("documents")
         noisy = docs.select(
@@ -413,28 +413,9 @@ def main() -> None:
                 "text"
             ),
         )
-        cleaned = corpus.clean_text(noisy).join(
-            docs.select("doc_id", "source"), "doc_id"
-        )
-        gated = corpus.gopher_filter(
-            cleaned, text_col="clean_text", passthrough=("clean_text", "source")
-        )
-        kept0 = (
-            gated.filter("keep")
-            .select("doc_id", F.col("clean_text").alias("text"), "source")
-            .persist()
-        )
-        pairs = dedup.minhash_lsh_pairs(kept0)  # hub-capped defaults
-        kept = dedup.near_dedup_keep(kept0, pairs).persist()
-        sel = corpus.dsir_topk(
-            kept, kept.filter(F.col("source") == "src0"), k=2000
-        )
-        chosen = kept.join(sel.select("doc_id"), "doc_id", "left_semi")
-        corpus.pack_sequences(chosen, seq_len=128).write.mode(
-            "overwrite"
-        ).format("noop").save()
-        kept0.unpersist()
-        kept.unpersist()
+        corpus.pretrain_pipeline(
+            noisy, target_source="src0", dsir_k=2000, seq_len=128
+        ).write.mode("overwrite").format("noop").save()
 
     @timed("bpe_segment_arrow")
     def _():

@@ -1798,3 +1798,37 @@ def test_bpe_vocab_table_ids_dense_and_bounded(spark):
     # heaviest piece gets id 0
     top = min(vt, key=lambda r: r["piece_id"])
     assert top["weight"] == max(r["weight"] for r in vt)
+
+
+def test_cli_corpus_pretrain_e2e(spark, tmp_path):
+    """The corpus-pretrain subcommand end to end: parquet docs in,
+    packed-sequence parquet out, and the output equals calling the
+    library operator directly."""
+    from balboa_spark.cli import build_parser, run
+
+    rows = [
+        (i, f"src{i % 2}",
+         " ".join(f"w{i}x{j}" for j in range(40)))
+        for i in range(30)
+    ] + [(100, "src0", " ".join(f"w1x{j}" for j in range(39)))]  # near-dup of doc 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    inp = str(tmp_path / "docs_in")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "packed")
+    argv = [
+        "corpus-pretrain", inp, out,
+        "--target-source", "src0", "--dsir-k", "10", "--seq-len", "32",
+    ]
+    assert run(build_parser().parse_args(argv), spark=spark) == 0
+    got = {
+        r["seq_id"]: (r["n_seq_tokens"], r["seq_text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["seq_id"]: (r["n_seq_tokens"], r["seq_text"])
+        for r in corpus.pretrain_pipeline(
+            spark.read.parquet(inp), target_source="src0",
+            dsir_k=10, seq_len=32,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
