@@ -320,3 +320,40 @@ class VectorStore:
             man["vec_col"],
             man["id_col"],
         )
+
+    def topk_filtered(
+        self,
+        query_vec: list[float],
+        where,
+        k: int = 10,
+        probe_hamming: int = 2,
+    ) -> DataFrame:
+        """Metadata-filtered ANN top-k: ``where`` is a Column predicate
+        over the columns stored in ``main`` (the store keeps every
+        input column, so any metadata written with the vectors is
+        filterable).
+
+        Strategy — the classic filtered-ANN hybrid: POST-FILTER the
+        partition-pruned ANN candidates first (cheap, approximate,
+        right when the predicate is unselective); if the filtered
+        candidate set cannot fill ``k`` (a selective predicate thins
+        the probe buckets — the filtered-ANN recall cliff), ESCALATE
+        to the exact PRE-FILTER path: brute-force cosine over
+        ``main().filter(where)``, correct at any selectivity with
+        cost = one scan of the filtered relation. The escalation is
+        decided by an exact count of the (pruned, small) filtered
+        candidate relation — the same size-gate pattern as the
+        connected-components driver arm."""
+        man = self._load_manifest()
+        cand = self.candidates(query_vec, probe_hamming).filter(where)
+        if cand.count() >= k:
+            return topk_brute(
+                cand, query_vec, k, man["vec_col"], man["id_col"]
+            )
+        return topk_brute(
+            self.main().filter(where).drop("id_bucket"),
+            query_vec,
+            k,
+            man["vec_col"],
+            man["id_col"],
+        )

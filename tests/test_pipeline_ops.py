@@ -964,3 +964,33 @@ def test_streaming_incremental_corpus_pipeline_e2e(spark, tmp_path):
     assert got == [1, 2, 4]
     man = idx._manifest()
     assert man["n"] == 3 and man["generation"] == 1
+
+
+def test_vector_store_filtered_topk_both_arms(spark, emb, tmp_path):
+    """Filtered ANN: an unselective predicate rides the post-filter
+    ANN path and must equal brute-force over the filtered relation;
+    a highly selective predicate (fewer matches than probe buckets
+    can guarantee) escalates to the exact pre-filter scan and must
+    return exactly the matching rows, ranked."""
+    from balboa_spark.operators.vector_store import VectorStore
+
+    tagged = emb.withColumn("tag", (F.col("vec_id") % 4).cast("int"))
+    vs = VectorStore(spark, str(tmp_path / "vsf"))
+    vs.write(tagged, dim=64)
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+
+    # unselective: 1/4 of the corpus matches
+    got = [r.vec_id for r in vs.topk_filtered(
+        qvec, F.col("tag") == 0, k=5).collect()]
+    brute = [r.vec_id for r in similarity.topk_brute(
+        tagged.filter(F.col("tag") == 0), qvec, k=5).collect()]
+    assert got == brute
+    # every returned row satisfies the predicate by construction
+    assert all(v % 4 == 0 for v in got)
+
+    # selective: exactly 3 ids match -> escalation must return all 3
+    sel = F.col("vec_id").isin([7, 77, 177])
+    got_sel = [r.vec_id for r in vs.topk_filtered(qvec, sel, k=5).collect()]
+    brute_sel = [r.vec_id for r in similarity.topk_brute(
+        tagged.filter(sel), qvec, k=5).collect()]
+    assert got_sel == brute_sel and sorted(got_sel) == [7, 77, 177]
