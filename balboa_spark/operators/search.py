@@ -255,10 +255,62 @@ class PostingsIndex:
         )
 
     def _flip_manifest(self, man: dict) -> None:
+        import json
+        import os
+
         from balboa_spark.plans.genstore import flip_manifest, vacuum_generations
 
+        # per-generation stats snapshot INSIDE the gen dir (written
+        # before the flip): scoring an older retained generation needs
+        # ITS n/avgdl, not the current manifest's — stats and postings
+        # must travel together or a time-travel query would mix
+        # snapshots. The manifest rename stays the only commit point.
+        gen_dir = os.path.join(self.path, f"gen-{man['generation']}")
+        os.makedirs(gen_dir, exist_ok=True)
+        stats = {k: man[k] for k in ("n", "sum_dl", "avgdl")}
+        with open(os.path.join(gen_dir, "stats.json"), "w") as fh:
+            json.dump(stats, fh)
         flip_manifest(self.path, man, self.MANIFEST)
         vacuum_generations(self.path, man["generation"], keep_last=2)
+
+    def generations(self) -> list[int]:
+        """Committed, retained generations, oldest first (immutable —
+        ``topk(generation=n)`` is a snapshot read within the vacuum
+        horizon, scored with that generation's own frozen stats)."""
+        import os
+
+        try:
+            cur = self._manifest()["generation"]
+        except FileNotFoundError:
+            return []
+        return sorted(
+            g
+            for e in os.listdir(self.path)
+            if e.startswith("gen-") and e[4:].isdigit()
+            and (g := int(e[4:])) <= cur
+        )
+
+    def _gen_stats(self, man: dict, generation: int | None) -> tuple[int, dict]:
+        import json
+        import os
+
+        if generation is None:
+            return man["generation"], man
+        if generation not in self.generations():
+            raise ValueError(
+                f"generation {generation} is not retained "
+                f"(available: {self.generations()})"
+            )
+        p = os.path.join(self.path, f"gen-{generation}", "stats.json")
+        try:
+            with open(p) as fh:
+                stats = json.load(fh)
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"generation {generation} predates per-generation "
+                "stats; only the current generation is scoreable"
+            ) from e
+        return generation, {**man, **stats}
 
     def upsert(self, batch: DataFrame, text_col: str = "text") -> None:
         """Append a batch of NEW documents incrementally (the
@@ -376,7 +428,12 @@ class PostingsIndex:
             }
         )
 
-    def topk(self, query_terms: Sequence[str], k: int = 20) -> DataFrame:
+    def topk(
+        self,
+        query_terms: Sequence[str],
+        k: int = 20,
+        generation: int | None = None,
+    ) -> DataFrame:
         import hashlib
         import os
 
@@ -384,9 +441,9 @@ class PostingsIndex:
             # parity with bm25_topk: a missing query is an error, not
             # an empty result set
             raise ValueError("query_terms must be non-empty")
-        man = self._manifest()
+        gen, man = self._gen_stats(self._manifest(), generation)
         id_col, k1, b = man["id_col"], man["k1"], man["b"]
-        gen_dir = os.path.join(self.path, f"gen-{man['generation']}")
+        gen_dir = os.path.join(self.path, f"gen-{gen}")
         terms = sorted({w.lower() for w in query_terms})
         # partition pruning: the probe buckets are computable driver-
         # side (pure md5), so the scans carry tb IN (...) filters

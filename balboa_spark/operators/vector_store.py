@@ -293,28 +293,69 @@ class VectorStore:
                         )
         self._commit(gen, dim, vec_col, id_col, frozen=man)
 
-    def main(self) -> DataFrame:
-        man = self._load_manifest()
-        return self.spark.read.parquet(
-            os.path.join(self._gen_dir(man["generation"]), "main")
+    def generations(self) -> list[int]:
+        """Committed, retained generations, oldest first — immutable
+        snapshots, so a ``generation=`` read is time travel within
+        the vacuum horizon (same contract as
+        ObservationStore.generations)."""
+        man = self._manifest()
+        if man is None or not os.path.isdir(self.path):
+            return []
+        return sorted(
+            g
+            for e in os.listdir(self.path)
+            if e.startswith("gen-") and e[4:].isdigit()
+            and (g := int(e[4:])) <= man["generation"]
         )
 
-    def candidates(self, query_vec: list[float], probe_hamming: int = 2) -> DataFrame:
-        """Partition-pruned candidate rows for a query vector."""
+    def _resolve_gen(self, man: dict, generation: int | None) -> int:
+        if generation is None:
+            return man["generation"]
+        if generation not in self.generations():
+            raise ValueError(
+                f"generation {generation} is not retained "
+                f"(available: {self.generations()})"
+            )
+        return generation
+
+    def main(self, generation: int | None = None) -> DataFrame:
         man = self._load_manifest()
+        gen = self._resolve_gen(man, generation)
+        return self.spark.read.parquet(
+            os.path.join(self._gen_dir(gen), "main")
+        )
+
+    def candidates(
+        self,
+        query_vec: list[float],
+        probe_hamming: int = 2,
+        generation: int | None = None,
+    ) -> DataFrame:
+        """Partition-pruned candidate rows for a query vector. The
+        LSH parameters are frozen in the manifest across ALL
+        generations (upsert re-freezes them), so probes computed
+        today are valid against any retained snapshot."""
+        man = self._load_manifest()
+        gen = self._resolve_gen(man, generation)
         probes = _probe_codes(
             query_vec, man["num_tables"], man["num_planes"], probe_hamming, man["seed"]
         )
         index = self.spark.read.parquet(
-            os.path.join(self._gen_dir(man["generation"]), "index")
+            os.path.join(self._gen_dir(gen), "index")
         )
         ids = index.filter(F.col("code").isin(probes)).select(man["id_col"]).distinct()
-        return self.main().join(ids, man["id_col"]).drop("id_bucket")
+        return self.main(gen).join(ids, man["id_col"]).drop("id_bucket")
 
-    def topk(self, query_vec: list[float], k: int = 10, probe_hamming: int = 2) -> DataFrame:
+    def topk(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        probe_hamming: int = 2,
+        generation: int | None = None,
+    ) -> DataFrame:
         man = self._load_manifest()
         return topk_brute(
-            self.candidates(query_vec, probe_hamming),
+            self.candidates(query_vec, probe_hamming, generation=generation),
             query_vec,
             k,
             man["vec_col"],

@@ -1832,3 +1832,26 @@ def test_cli_corpus_pretrain_e2e(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_postings_index_generation_time_travel(spark, tmp_path):
+    """topk(generation=n) scores an older retained snapshot with THAT
+    generation's own frozen n/avgdl, so pre-upsert rankings reproduce
+    exactly; unknown generations error clearly."""
+    from balboa_spark.operators.search import PostingsIndex
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma delta")], ["doc_id", "text"]
+    )
+    idx = PostingsIndex(spark, str(tmp_path / "bmtt"))
+    idx.build(base)
+    before = [tuple(r) for r in idx.topk(["alpha"], k=5).collect()]
+    idx.upsert(spark.createDataFrame([(3, "alpha alpha")], ["doc_id", "text"]))
+    assert idx.generations() == [0, 1]
+    # current generation sees the new doc; gen 0 reproduces the old
+    now = [tuple(r) for r in idx.topk(["alpha"], k=5).collect()]
+    assert len(now) == 3
+    replay = [tuple(r) for r in idx.topk(["alpha"], k=5, generation=0).collect()]
+    assert replay == before
+    with pytest.raises(ValueError, match="not retained"):
+        idx.topk(["alpha"], generation=99)

@@ -994,3 +994,23 @@ def test_vector_store_filtered_topk_both_arms(spark, emb, tmp_path):
     brute_sel = [r.vec_id for r in similarity.topk_brute(
         tagged.filter(sel), qvec, k=5).collect()]
     assert got_sel == brute_sel and sorted(got_sel) == [7, 77, 177]
+
+
+def test_vector_store_generation_time_travel(spark, emb, tmp_path):
+    """VectorStore main/topk accept generation= for snapshot reads
+    (probes stay valid — LSH params are frozen across generations)."""
+    from balboa_spark.operators.vector_store import VectorStore
+
+    vs = VectorStore(spark, str(tmp_path / "vstt"))
+    vs.write(emb.filter(F.col("vec_id") < 200), dim=64)
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    before = [r.vec_id for r in vs.topk(qvec, k=5).collect()]
+    vs.upsert(
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 260))
+    )
+    assert vs.generations() == [0, 1]
+    assert vs.main(generation=0).count() == 200
+    assert vs.main().count() == 260
+    assert [r.vec_id for r in vs.topk(qvec, k=5, generation=0).collect()] == before
+    with pytest.raises(ValueError, match="not retained"):
+        vs.main(generation=7)
