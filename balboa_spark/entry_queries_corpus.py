@@ -1177,6 +1177,32 @@ FROM ids GROUP BY doc_id ORDER BY doc_id
 """
 
 
+LB_WIDTH, LB_BATCH = 16, 8
+
+
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching prep: length-bucketed deterministic batch
+    assignment over the documents table."""
+    return corpus.length_batches(
+        _docs(spark, sf_dir), bucket_width=LB_WIDTH, batch_size=LB_BATCH
+    ).orderBy("doc_id")
+
+
+LENGTH_BATCHES_ORACLE = f"""
+WITH {_TOKS_SQL},
+st AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         CAST(len(tk) // {LB_WIDTH} AS INTEGER) AS len_bucket
+  FROM toks
+)
+SELECT doc_id, n_tokens, len_bucket,
+       CAST((row_number() OVER (
+         PARTITION BY len_bucket ORDER BY n_tokens, doc_id) - 1)
+         // {LB_BATCH} AS INTEGER) AS batch_idx
+FROM st ORDER BY doc_id
+"""
+
+
 BLOCK_TERMS = ("slow", "spill", "skew")
 
 
@@ -1280,6 +1306,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bpe_encode": q_bpe_encode,
     "corpus_snapshot_diff": q_snapshot_diff,
     "corpus_blocklist": q_blocklist,
+    "corpus_length_batches": q_length_batches,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1315,4 +1342,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_bpe_encode": _bpe_encode_oracle(),
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "corpus_blocklist": BLOCKLIST_ORACLE,
+    "corpus_length_batches": LENGTH_BATCHES_ORACLE,
 }

@@ -349,18 +349,45 @@ class TokenizerStore:
         vacuum_generations(self.path, gen, keep_last=2)
         return merges
 
-    def merges(self) -> list[tuple[str, str]]:
+    def generations(self) -> list[int]:
+        """Committed, retained tokenizer generations, oldest first —
+        a ``generation=`` read pins segmentation AND ids to one
+        historical fit (they flip together, so they can never mix)."""
+        import os
+
+        try:
+            cur = self._manifest()["generation"]
+        except FileNotFoundError:
+            return []
+        return sorted(
+            g
+            for e in os.listdir(self.path)
+            if e.startswith("gen-") and e[4:].isdigit()
+            and (g := int(e[4:])) <= cur
+        )
+
+    def _resolve_gen(self, generation: int | None) -> int:
+        if generation is None:
+            return self._manifest()["generation"]
+        if generation not in self.generations():
+            raise ValueError(
+                f"generation {generation} is not retained "
+                f"(available: {self.generations()})"
+            )
+        return generation
+
+    def merges(self, generation: int | None = None) -> list[tuple[str, str]]:
         import json
         import os
 
-        gen = self._manifest()["generation"]
+        gen = self._resolve_gen(generation)
         with open(os.path.join(self._gen_dir(gen), "merges.json")) as fh:
             return [tuple(m) for m in json.load(fh)]
 
-    def vocab(self) -> DataFrame:
+    def vocab(self, generation: int | None = None) -> DataFrame:
         import os
 
-        gen = self._manifest()["generation"]
+        gen = self._resolve_gen(generation)
         return self.spark.read.parquet(
             os.path.join(self._gen_dir(gen), "vocab")
         )

@@ -32,7 +32,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from balboa_spark.operators.text import _shingles, tokens
+from balboa_spark.operators.text import _shingles, token_count, tokens
 
 # Gopher-style keep thresholds (Rae et al. 2021, table A1 shape —
 # values tuned to the synthetic corpus so both classes occur; see the
@@ -1037,6 +1037,42 @@ def passage_dedup_cdc(
             F.concat_ws(" ", kept_tk).alias("clean_text"),
         )
         .filter(F.col("n_kept_tokens") > 0)
+    )
+
+
+def length_batches(
+    df: DataFrame,
+    bucket_width: int = 64,
+    batch_size: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assignment (dynamic-batching prep):
+    group documents of similar token count so padding waste inside a
+    batch is bounded by ``bucket_width`` - 1 tokens per row, then cut
+    each bucket into deterministic ``batch_size`` batches. Output:
+    (id, n_tokens, len_bucket, batch_idx) with batch_idx 0-based per
+    bucket; order within a bucket is (n_tokens, id) so re-runs
+    reproduce identical batches regardless of partitioning.
+
+    Scale shape: one narrow (id, n_tokens) projection, then a
+    rank-within-bucket window PARTITIONED BY the length bucket —
+    each partition holds only that bucket's rows, and buckets are
+    value-bounded by the longest document over bucket_width, so no
+    single-partition global window appears. The text column never
+    shuffles."""
+    if bucket_width < 1 or batch_size < 1:
+        raise ValueError("bucket_width and batch_size must be >= 1")
+    n = token_count(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.floor(n / bucket_width).cast("int").alias("len_bucket"),
+    )
+    w = Window.partitionBy("len_bucket").orderBy("n_tokens", id_col)
+    return staged.withColumn(
+        "batch_idx",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("int"),
     )
 
 

@@ -1855,3 +1855,46 @@ def test_postings_index_generation_time_travel(spark, tmp_path):
     assert replay == before
     with pytest.raises(ValueError, match="not retained"):
         idx.topk(["alpha"], generation=99)
+
+
+def test_length_batches_bounds_and_determinism(spark):
+    """Every batch holds same-bucket docs (padding waste < bucket
+    width), batches fill to batch_size before a new index opens, and
+    assignment is reshuffle-stable."""
+    rows = [(i, " ".join("w" for _ in range(5 + 3 * i))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.length_batches(df, bucket_width=16, batch_size=3).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["len_bucket"] == r["n_tokens"] // 16
+    from collections import Counter
+
+    sizes = Counter((r["len_bucket"], r["batch_idx"]) for r in out)
+    per_bucket = Counter(r["len_bucket"] for r in out)
+    for (b, i), n in sizes.items():
+        # only the LAST batch of a bucket may be short
+        if i < (per_bucket[b] - 1) // 3:
+            assert n == 3
+    again = corpus.length_batches(
+        df.repartition(7), bucket_width=16, batch_size=3
+    ).collect()
+    assert {(r["doc_id"], r["batch_idx"]) for r in again} == {
+        (r["doc_id"], r["batch_idx"]) for r in out
+    }
+
+
+def test_tokenizer_store_time_travel(spark, tmp_path):
+    from balboa_spark.operators import bpe
+
+    df = spark.createDataFrame([(0, "ab ab ab cd cd")], ["doc_id", "text"])
+    ts = bpe.TokenizerStore(spark, str(tmp_path / "tokg"))
+    m0 = ts.fit(df, num_merges=4)
+    ts.fit(df, num_merges=1)
+    assert ts.generations() == [0, 1]
+    assert ts.merges(generation=0) == m0
+    assert len(ts.merges()) <= 1
+    # gen-0's vocab is exactly the piece table of gen-0's merges
+    want0 = {r["piece"] for r in bpe.vocab_table(df, m0).collect()}
+    assert {r["piece"] for r in ts.vocab(generation=0).collect()} == want0
+    with pytest.raises(ValueError, match="not retained"):
+        ts.merges(generation=9)
