@@ -265,6 +265,7 @@ _TAIL = [
     "corpus_sentences",  # green r6; sentence-split explode kernel
     "corpus_winnow",  # green r6; groupBy-min(struct) winnowing kernel
     # --- end demoted r7 ---
+    "corpus_normalize_unicode",  # r7-new (NFC via the Arrow seam), driver_sim-verified; rotates into the cap next round
     "corpus_length_batches",  # r7-new (dynamic-batching prep), driver_sim-verified; rotates into the cap next round
     "corpus_blocklist",  # r7-new (C4 badwords gate), driver_sim-verified; rotates into the cap next round
     "corpus_snapshot_diff",  # r7-new (incremental-run corpus diff), driver_sim-verified; rotates into the cap next round

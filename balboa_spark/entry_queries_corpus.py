@@ -1177,6 +1177,29 @@ FROM ids GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization with a deterministic decomposed prefix
+    (e + COMBINING ACUTE) injected so the normalization is observable
+    on the ASCII fixture corpus — the clean_text noise trick."""
+    from balboa_spark.operators.text import normalize_unicode
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("e\u0301cole "), F.col("text")).alias("text"),
+    )
+    return normalize_unicode(docs, form="NFC").orderBy("doc_id")
+
+
+NORMALIZE_UNICODE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 'e' || chr(769) || 'cole ' || text AS text FROM documents
+)
+SELECT doc_id, nfc_normalize(text) AS norm_text,
+       nfc_normalize(text) <> text AS changed
+FROM d ORDER BY doc_id
+"""
+
+
 LB_WIDTH, LB_BATCH = 16, 8
 
 
@@ -1307,6 +1330,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_snapshot_diff": q_snapshot_diff,
     "corpus_blocklist": q_blocklist,
     "corpus_length_batches": q_length_batches,
+    "corpus_normalize_unicode": q_normalize_unicode,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1343,4 +1367,5 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "corpus_blocklist": BLOCKLIST_ORACLE,
     "corpus_length_batches": LENGTH_BATCHES_ORACLE,
+    "corpus_normalize_unicode": NORMALIZE_UNICODE_ORACLE,
 }

@@ -320,3 +320,46 @@ def compression_signals(
         "compression_ratio",
         F.round(F.col("z_bytes") / F.col("n_bytes"), 4),
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    form: str = "NFC",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonical first
+    stage of multilingual corpus cleaning: composed vs decomposed
+    accents ('é' vs 'e'+COMBINING ACUTE) and compatibility forms
+    (ligatures, full-width digits under NFKC) otherwise make visually
+    identical text hash differently, silently defeating exact dedup
+    and fingerprinting. Output: (id, norm_text, changed).
+
+    Spark has no built-in normalizer, so this is the same designated
+    Arrow seam as :func:`compression_signals`: one pandas_udf call per
+    batch, ``unicodedata.normalize`` (ICU-backed C) inside. Pure
+    projection — no shuffle; the changed flag is computed JVM-side
+    from the strings. The NFC form is SQL-replayable (DuckDB
+    nfc_normalize) and driver-graded; the other forms share the
+    identical code path."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return df.select(
+        F.col(id_col),
+        _norm(F.col(text_col)).alias("norm_text"),
+        F.col(text_col).alias("_orig"),
+    ).select(
+        id_col,
+        "norm_text",
+        (~F.col("norm_text").eqNullSafe(F.col("_orig"))).alias("changed"),
+    )

@@ -1898,3 +1898,35 @@ def test_tokenizer_store_time_travel(spark, tmp_path):
     assert {r["piece"] for r in ts.vocab(generation=0).collect()} == want0
     with pytest.raises(ValueError, match="not retained"):
         ts.merges(generation=9)
+
+
+def test_normalize_unicode_forms(spark):
+    """NFC composes decomposed accents; NFKC additionally folds
+    compatibility forms (ligature fi, full-width digits); parity with
+    unicodedata on every row, NULLs pass through."""
+    import unicodedata
+
+    from balboa_spark.operators.text import normalize_unicode
+
+    rows = [
+        (1, "école"),          # decomposed -> composed under NFC
+        (2, "ﬁne １２"),  # ligature fi + full-width digits
+        (3, "plain ascii"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for form in ("NFC", "NFKC"):
+        out = {r["doc_id"]: (r["norm_text"], r["changed"])
+               for r in normalize_unicode(df, form=form).collect()}
+        for i, t in rows:
+            want = unicodedata.normalize(form, t) if t is not None else None
+            assert out[i][0] == want
+            assert out[i][1] == (want != t if t is not None else False)
+    # NFC leaves the ligature; NFKC folds it
+    nfc = {r["doc_id"]: r["norm_text"]
+           for r in normalize_unicode(df, form="NFC").collect()}
+    nfkc = {r["doc_id"]: r["norm_text"]
+            for r in normalize_unicode(df, form="NFKC").collect()}
+    assert "ﬁ" in nfc[2] and nfkc[2] == "fine 12"
+    with pytest.raises(ValueError):
+        normalize_unicode(df, form="XYZ")
