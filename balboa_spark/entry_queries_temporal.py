@@ -181,6 +181,58 @@ FROM tok2 GROUP BY 1 ORDER BY seq_id
 """
 
 
+def q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences(with_boundaries=True): each packed sequence plus
+    the in-sequence offsets where a new document begins — the
+    attention-mask reset points a packed-training loader needs. The
+    boundary list rides the SAME groupBy as the packing agg (zero
+    extra shuffles); emitted comma-joined so the driver canon hashes a
+    scalar string."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    packed = corpus.pack_sequences(
+        docs, seq_len=PACK_SEQ_LEN, with_boundaries=True
+    )
+    return packed.select(
+        "seq_id",
+        "n_seq_tokens",
+        F.array_join(F.col("doc_starts"), ",").alias("doc_starts"),
+    ).orderBy("seq_id")
+
+
+PACK_BOUNDARIES_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+counts AS (SELECT doc_id, len(tk) AS n FROM tk WHERE len(tk) > 0),
+offs AS (
+  SELECT doc_id,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM counts
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) + 1),
+                               i -> {{'pos': i, 'tok': tk[i]}})) AS s
+  FROM tk WHERE len(tk) > 0
+),
+tok2 AS (
+  SELECT o.start + struct_extract(t.s, 'pos') - 1 AS gpos,
+         struct_extract(t.s, 'pos') = 1 AS is_head
+  FROM tok t JOIN offs o USING (doc_id)
+)
+SELECT CAST(floor(gpos / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
+       count(*) AS n_seq_tokens,
+       coalesce(
+         string_agg(CAST(CAST(gpos % {PACK_SEQ_LEN} AS INTEGER) AS VARCHAR),
+                    ',' ORDER BY gpos) FILTER (WHERE is_head),
+         '') AS doc_starts
+FROM tok2 GROUP BY 1 ORDER BY seq_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # interval join: clicks inside each purchase's trailing attribution window
 # ---------------------------------------------------------------------------
@@ -417,6 +469,7 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling_1h": q_events_rolling,
     "events_funnel": q_events_funnel,
     "corpus_pack_sequences": q_pack_sequences,
+    "corpus_pack_boundaries": q_pack_boundaries,
     "events_zorder": q_events_zorder,
     "events_interval_join": q_events_interval_join,
     "events_props_extract": q_events_props_extract,
@@ -430,6 +483,7 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "events_rolling_1h": EVENTS_ROLLING_ORACLE,
     "events_funnel": EVENTS_FUNNEL_ORACLE,
     "corpus_pack_sequences": PACK_SEQUENCES_ORACLE,
+    "corpus_pack_boundaries": PACK_BOUNDARIES_ORACLE,
     "events_zorder": _zorder_oracle(),
     "events_interval_join": EVENTS_INTERVAL_JOIN_ORACLE,
     "events_props_extract": EVENTS_PROPS_EXTRACT_ORACLE,

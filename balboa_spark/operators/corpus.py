@@ -337,6 +337,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     shard_col: str | None = None,
+    with_boundaries: bool = False,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (pretraining batch prep): the
     corpus token stream, in ``id_col`` order, cut into fixed
@@ -383,11 +384,10 @@ def pack_sequences(
             *shard_keys,
             (F.col("_start") + F.col("pos")).alias("gpos"),
             F.col("tok"),
+            (F.col("pos") == 0).alias("_doc_head"),
         )
     )
-    return tok.groupBy(
-        *shard_keys, F.floor(F.col("gpos") / seq_len).alias("seq_id")
-    ).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_seq_tokens"),
         F.concat_ws(
             " ",
@@ -396,7 +396,25 @@ def pack_sequences(
                 lambda x: x["tok"],
             ),
         ).alias("seq_text"),
-    )
+    ]
+    if with_boundaries:
+        # in-sequence offsets where a NEW document begins — the
+        # attention-mask reset points a packed-training loader needs
+        # (sequence position 0 is a boundary only when it IS a
+        # document head; continuation from the previous sequence is
+        # not a reset). Sorted, per-sequence bounded.
+        aggs.append(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_doc_head"), F.col("gpos") % seq_len
+                    ).cast("int")
+                )
+            ).alias("doc_starts")
+        )
+    return tok.groupBy(
+        *shard_keys, F.floor(F.col("gpos") / seq_len).alias("seq_id")
+    ).agg(*aggs)
 
 
 #: PII patterns — literal text shared with the DuckDB oracles (kept to

@@ -181,6 +181,45 @@ def test_pack_sequences_straddles_and_tail(spark):
     assert again == {k: v["seq_text"] for k, v in out.items()}
 
 
+def test_pack_sequences_boundaries(spark):
+    """with_boundaries=True adds doc_starts: in-sequence offsets where
+    a NEW document begins (attention-mask reset points). Offset 0
+    appears only when the sequence opens on a document head, not when
+    it continues the previous sequence's document."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(5))),
+            (2, " ".join(f"b{i}" for i in range(4))),
+            (3, ""),  # zero tokens: no boundary anywhere
+            (4, "c0 c1"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["seq_id"]: r
+        for r in corpus.pack_sequences(
+            docs, seq_len=4, with_boundaries=True
+        ).collect()
+    }
+    # stream = a0..a4 b0..b3 c0 c1; heads at gpos 0 (a0), 5 (b0), 9 (c0)
+    assert out[0]["doc_starts"] == [0]  # opens ON a head
+    assert out[1]["doc_starts"] == [1]  # opens mid-doc (a4), b0 at offset 1
+    assert out[2]["doc_starts"] == [1]  # b3 continues, c0 at offset 1
+    # two docs starting inside one sequence -> both offsets, sorted
+    docs2 = spark.createDataFrame(
+        [(1, "x0 x1"), (2, "y0"), (3, "z0 z1 z2")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["seq_id"]: r["doc_starts"]
+        for r in corpus.pack_sequences(
+            docs2, seq_len=4, with_boundaries=True
+        ).collect()
+    }
+    assert rows[0] == [0, 2, 3]  # x0@0, y0@2, z0@3
+    assert rows[1] == []  # z1 z2: pure continuation
+
+
 def test_pack_sequences_sharded(spark):
     docs = spark.createDataFrame(
         [(1, "a0 a1 a2", "x"), (2, "b0 b1", "y"), (3, "a3 a4", "x")],
