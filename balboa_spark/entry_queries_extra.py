@@ -490,6 +490,32 @@ FROM w ORDER BY event_id
 """
 
 
+# --- exact-recall fuzzy matching (entity resolution) -----------------------
+
+def q_customer_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every pair of distinct customer names within Levenshtein
+    distance 1 — SymSpell deletion-neighborhood candidates + exact
+    levenshtein refilter (operators/fuzzy.py), provably the same set
+    as the oracle's brute-force all-pairs scan."""
+    from balboa_spark.operators import fuzzy
+
+    load_tables(spark, sf_dir, names=("customer",))
+    return fuzzy.fuzzy_value_pairs(spark.table("customer"), "c_name", 1).orderBy(
+        "val_a", "val_b"
+    )
+
+
+CUSTOMER_FUZZY_ORACLE = """
+WITH d AS (SELECT DISTINCT c_name AS v FROM customer)
+SELECT a.v AS val_a, b.v AS val_b, levenshtein(a.v, b.v) AS dist
+FROM d a, d b
+WHERE a.v < b.v
+  AND abs(len(a.v) - len(b.v)) <= 1
+  AND levenshtein(a.v, b.v) <= 1
+ORDER BY val_a, val_b
+"""
+
+
 QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles": q_events_quantiles,
     "events_tumbling": q_events_tumbling,
@@ -506,6 +532,7 @@ QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_retention": q_events_retention,
     "events_anomaly": q_events_anomaly,
+    "customer_fuzzy_pairs": q_customer_fuzzy,
 }
 
 ORACLES_EXTRA: dict[str, str] = {
@@ -524,4 +551,5 @@ ORACLES_EXTRA: dict[str, str] = {
     "events_sessionize": SESSIONIZE_ORACLE,
     "events_retention": RETENTION_ORACLE,
     "events_anomaly": ANOMALY_ORACLE,
+    "customer_fuzzy_pairs": CUSTOMER_FUZZY_ORACLE,
 }

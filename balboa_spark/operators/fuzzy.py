@@ -1,0 +1,165 @@
+"""Fuzzy string matching: exact-recall edit-distance pairs and joins.
+
+Entity-resolution workhorse the reference lacks (its only approximate
+match is the rrname prefix scan, `backend/balboa-rocksdb/rocksdb-impl.c:772`):
+find every pair of values within Levenshtein distance ``k`` without an
+all-pairs comparison.
+
+Method — symmetric deletion neighborhoods (SymSpell, public domain
+algorithm): if ``lev(s, t) <= k`` then deleting at most ``k``
+characters from each of ``s`` and ``t`` can produce a COMMON string
+(each substitution deletes one aligned char on both sides; each
+insert/delete deletes one char on one side). So bucketing every value
+under all of its <=k-deletion variants has **provably exact recall**:
+a candidate equi-join on the variant key followed by an exact
+``levenshtein`` refilter returns precisely the distance-<=k pairs.
+Everything is pure Spark codegen — variant generation is
+``transform``/``flatten`` array algebra, the refilter is the built-in
+``levenshtein`` (identical semantics in DuckDB, so the oracle can
+replay values exactly).
+
+Scale story (100 TB):
+
+- Pairing runs over DISTINCT values, never rows: mass duplicates
+  (the classic skew killer — millions of rows sharing one name)
+  collapse to one node before any pair is formed. Row-level
+  expansion, when wanted, is a post-join against the value pairs.
+- Candidate generation is a shuffle on the variant key; variant
+  fan-out is O(len^k) per value (len+1 at k=1), a fixed small
+  multiplier for the short-string columns this targets (names,
+  titles, codes). No cross join anywhere.
+- The variant self-join's bucket sizes are bounded by how many
+  DISTINCT values share a deletion variant — for natural-key columns
+  this is the near-miss neighborhood itself, i.e. the output size.
+  No hub cap is applied because a cap would silently drop true pairs;
+  callers with adversarial columns (e.g. single-char values) should
+  pre-filter on length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _one_deletions(s: Column) -> Column:
+    """Array of every string obtained by deleting exactly one char of
+    ``s`` (empty array for the empty string). Pure codegen."""
+    return F.when(F.length(s) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                F.substring(s, i + 1, F.length(s)),
+            ),
+        )
+    )
+
+
+def deletion_variants(s: Column, max_dist: int) -> Column:
+    """All distinct strings reachable from ``s`` by deleting at most
+    ``max_dist`` characters (including ``s`` itself). O(len^max_dist)
+    entries; supported for max_dist in {1, 2} — beyond that the
+    neighborhood is no longer a practical join key."""
+    if max_dist not in (1, 2):
+        raise ValueError("deletion_variants supports max_dist in {1, 2}")
+    v1 = F.array_union(F.array(s), _one_deletions(s))
+    if max_dist == 1:
+        return v1
+    return F.array_distinct(
+        F.flatten(
+            F.transform(v1, lambda v: F.array_union(F.array(v), _one_deletions(v)))
+        )
+    )
+
+
+def fuzzy_value_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """EVERY pair of distinct values of ``df[col]`` within Levenshtein
+    distance ``max_dist`` — exact semantics (provable recall, exact
+    refilter), no sampling, no caps.
+
+    Returns ``(val_a, val_b, dist)`` with ``val_a < val_b``.
+
+    Plan: distinct -> explode deletion variants -> variant equi-join
+    -> distinct candidate pairs -> length band + ``levenshtein``
+    refilter. One shuffle for the distinct, one for the variant join.
+    """
+    spark = df.sparkSession
+    # Explicit-count repartition on the variant key: the distinct value
+    # relation is tiny (AQE coalesces it to ~1 partition), but the
+    # variant explode + self-join EXPANDS — left to itself the whole
+    # expansion lands in one task (measured 8.2 s -> 1.5 s at sf0.1
+    # with this line). The explicit number keeps AQE from re-coalescing
+    # the pre-expansion stage; skew inside a variant bucket is still
+    # AQE-splittable on the join itself.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    vals = (
+        df.select(F.col(col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .distinct()
+        .select("_v", F.explode(deletion_variants(F.col("_v"), max_dist)).alias("_k"))
+        .repartition(n_part, "_k")
+    )
+    a, b = vals.alias("a"), vals.alias("b")
+    cand = (
+        a.join(b, (F.col("a._k") == F.col("b._k")) & (F.col("a._v") < F.col("b._v")))
+        .select(F.col("a._v").alias("val_a"), F.col("b._v").alias("val_b"))
+        .distinct()
+    )
+    return cand.filter(
+        F.abs(F.length("val_a") - F.length("val_b")) <= max_dist
+    ).select(
+        "val_a",
+        "val_b",
+        F.levenshtein("val_a", "val_b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Join ``left`` to ``right`` on ``lev(left_col, right_col) <=
+    max_dist`` — exact semantics via the same deletion-variant
+    bucketing (both sides expand; candidates equi-join on the variant
+    key; exact refilter). Adds a ``dist`` column; all other columns of
+    both inputs pass through (name collisions are the caller's to
+    resolve beforehand).
+
+    Distinct-value candidate pairing keeps the variant join sized by
+    value cardinality, not row count; rows re-attach with one
+    equi-join per side."""
+    lv = fuzzy_value_pairs(
+        left.select(F.col(left_col).alias("_v"))
+        .unionByName(right.select(F.col(right_col).alias("_v")))
+        .withColumnRenamed("_v", "_both"),
+        "_both",
+        max_dist,
+    )
+    # value pairs among the union, both orientations + exact matches
+    pairs = (
+        lv.select(F.col("val_a").alias("_lv"), F.col("val_b").alias("_rv"), "dist")
+        .unionByName(
+            lv.select(
+                F.col("val_b").alias("_lv"), F.col("val_a").alias("_rv"), "dist"
+            )
+        )
+        .unionByName(
+            left.select(F.col(left_col).alias("_lv"))
+            .filter(F.col("_lv").isNotNull())
+            .distinct()
+            .select("_lv", F.col("_lv").alias("_rv"), F.lit(0).alias("dist"))
+        )
+    )
+    return (
+        left.join(pairs, left[left_col] == pairs["_lv"])
+        .join(right, pairs["_rv"] == right[right_col])
+        .drop("_lv", "_rv")
+    )

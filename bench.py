@@ -443,6 +443,17 @@ def main() -> None:
 
         skew.skew_metrics(spark.table("events"), ["user_id"]).collect()
 
+    @timed("fuzzy_pairs")
+    def _():
+        # exact-recall edit-distance-1 pairs over 15k customer names:
+        # deletion-variant bucket join + levenshtein refilter — never
+        # the 112M-comparison all-pairs the oracle runs at sf0.01
+        from balboa_spark.operators import fuzzy
+
+        fuzzy.fuzzy_value_pairs(
+            par(spark.table("customer")), "c_name", 1
+        ).write.mode("overwrite").format("noop").save()
+
     run_items()
     shutil.rmtree(tmp, ignore_errors=True)
 
