@@ -1,0 +1,181 @@
+"""Common-Crawl-style WARC/WET crawl-archive source.
+
+The 100 TB pretraining corpus the LLM-pipeline operators exist for
+ships as WARC (raw crawl) / WET (extracted-text) archives: many
+~100-200 MB gzip files, each a concatenation of records
+
+    WARC/1.0\\r\\n
+    <Header-Name>: <value>\\r\\n ...          (until a blank line)
+    \\r\\n
+    <Content-Length bytes of payload>
+    \\r\\n\\r\\n
+
+(the WARC 1.0/1.1 record grammar — ISO 28500; WET payloads are the
+UTF-8 page text of ``WARC-Type: conversion`` records).
+
+Spark-first design:
+
+- ``spark.read.format("binaryFile")`` gives (path, content) rows —
+  one file per row, one task per file. A crawl snapshot is ~80-100k
+  WET files, so FILE-level parallelism saturates any executor fleet
+  without a record-level split; this matches how the archives are
+  meant to be consumed (their gzip members are not block-splittable,
+  which is why the corpus is sharded into many moderate files in the
+  first place).
+- Record parsing runs inside ``mapInPandas`` (Arrow batches of file
+  rows in, record rows out) — pure Python over in-memory bytes, no
+  driver involvement, no shuffle: the output partitioning is the file
+  partitioning, ready for the downstream gate/dedup stages.
+- Memory bound per task = one decompressed file (~400 MB for a
+  standard WET shard). ``binaryFile`` holds a file in one row, so the
+  2 GB Arrow row limit is the hard ceiling — standard crawl shards
+  are 10x under it; re-shard anything bigger upstream.
+- Malformed trailing bytes / truncated records surface as one row of
+  ``record_type='_corrupt'`` per file (with the byte offset in
+  ``target_uri`` and the parse error in ``text``) — counted, never a
+  crashed task, same contract as semistructured.json_key_profile.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: output schema of read_wet (record_id/target_uri/warc_date are the
+#: WARC-Record-ID / WARC-Target-URI / WARC-Date headers, absent -> NULL)
+WET_SCHEMA = (
+    "path string, record_id string, record_type string, "
+    "target_uri string, warc_date timestamp, content_length long, "
+    "text string"
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _parse_warc_bytes(path: str, blob: bytes) -> Iterator[tuple]:
+    """Yield one tuple per record in a (decompressed) WARC/WET blob;
+    a single trailing '_corrupt' tuple on structural damage."""
+    pos, n = 0, len(blob)
+    while True:
+        # tolerate inter-record padding newlines
+        while pos < n and blob[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            return
+        if not blob.startswith(b"WARC/", pos):
+            yield (path, None, "_corrupt", f"offset={pos}", None, None,
+                   "expected WARC/ version line")
+            return
+        head_end = blob.find(_CRLF2, pos)
+        if head_end < 0:
+            yield (path, None, "_corrupt", f"offset={pos}", None, None,
+                   "unterminated header block")
+            return
+        headers: dict[str, str] = {}
+        for line in blob[pos:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.strip().lower().decode("ascii", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            yield (path, None, "_corrupt", f"offset={pos}", None, None,
+                   "missing/bad Content-Length")
+            return
+        body_start = head_end + len(_CRLF2)
+        if body_start + length > n:
+            yield (path, None, "_corrupt", f"offset={pos}", None, None,
+                   "truncated payload")
+            return
+        payload = blob[body_start : body_start + length]
+        warc_date = headers.get("warc-date")
+        yield (
+            path,
+            headers.get("warc-record-id"),
+            headers.get("warc-type"),
+            headers.get("warc-target-uri"),
+            pd.to_datetime(warc_date, utc=True, errors="coerce")
+            .tz_localize(None)
+            if warc_date
+            else None,
+            length,
+            payload.decode("utf-8", "replace"),
+        )
+        pos = body_start + length
+
+
+def _maybe_gunzip(blob: bytes) -> bytes:
+    """Decompress when gzip magic is present; multi-member streams
+    (one member per record — the canonical .warc.gz layout) read as
+    one concatenation via GzipFile."""
+    if blob[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
+    return blob
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    record_types: Iterable[str] | None = ("conversion",),
+) -> DataFrame:
+    """WARC/WET archive files -> one row per record.
+
+    ``record_types`` keeps only those WARC-Types ('conversion' — the
+    WET text records — by default); pass None for every record
+    including warcinfo/_corrupt markers. The filter runs Spark-side on
+    the parsed relation so the corrupt accounting survives it only
+    when asked for.
+    """
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "path", "record_id", "record_type", "target_uri",
+            "warc_date", "content_length", "text",
+        ]
+        for pdf in it:
+            rows: list[tuple] = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    raw = _maybe_gunzip(bytes(blob))
+                except OSError as ex:  # damaged gzip stream
+                    rows.append((p, None, "_corrupt", "offset=0", None,
+                                 None, f"gzip: {ex}"))
+                    continue
+                rows.extend(_parse_warc_bytes(p, raw))
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = files.mapInPandas(batches, WET_SCHEMA)
+    if record_types is not None:
+        out = out.filter(F.col("record_type").isin(list(record_types)))
+    return out
+
+
+def wet_bytes(records: Iterable[tuple[str, str, str]], version: str = "1.0") -> bytes:
+    """Serialize (record_id, target_uri, text) triples as a WET blob —
+    the export/round-trip twin of read_wet (also the test fixture
+    builder). Text encodes UTF-8; Content-Length is byte length."""
+    out = io.BytesIO()
+    for record_id, uri, text in records:
+        payload = text.encode("utf-8")
+        head = (
+            f"WARC/{version}\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Record-ID: {record_id}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "\r\n"
+        )
+        out.write(head.encode("ascii"))
+        out.write(payload)
+        out.write(b"\r\n\r\n")
+    return out.getvalue()

@@ -1,0 +1,109 @@
+"""WARC/WET crawl-archive source (sources/wet.py): record grammar,
+multi-member gzip, corrupt accounting, and the file-parallel plan."""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+
+from pyspark.sql import functions as F
+
+from balboa_spark.sources import wet
+
+
+def _write(p, blob: bytes):
+    p.write_bytes(blob)
+    return str(p)
+
+
+def test_roundtrip_plain_and_gzip(spark, tmp_path):
+    recs_a = [("<urn:uuid:1>", "http://a.example/x", "hello world"),
+              ("<urn:uuid:2>", "http://a.example/y", "héllo wörld\nline two")]
+    recs_b = [("<urn:uuid:3>", "http://b.example/z", "third doc")]
+    _write(tmp_path / "a.warc.wet", wet.wet_bytes(recs_a))
+    # canonical .gz layout: one gzip MEMBER per record, concatenated
+    blob = b"".join(
+        gzip.compress(wet.wet_bytes([r])) for r in recs_b
+    )
+    _write(tmp_path / "b.warc.wet.gz", blob)
+
+    out = wet.read_wet(spark, str(tmp_path)).orderBy("record_id").collect()
+    assert [(r["record_id"], r["target_uri"], r["text"]) for r in out] == [
+        ("<urn:uuid:1>", "http://a.example/x", "hello world"),
+        ("<urn:uuid:2>", "http://a.example/y", "héllo wörld\nline two"),
+        ("<urn:uuid:3>", "http://b.example/z", "third doc"),
+    ]
+    assert all(r["record_type"] == "conversion" for r in out)
+    assert out[0]["warc_date"] == datetime.datetime(2024, 1, 1)
+    # content_length counts BYTES (the ö/é are 2 bytes each)
+    assert out[1]["content_length"] == len(out[1]["text"].encode("utf-8"))
+
+
+def test_warcinfo_filtered_by_default_kept_on_request(spark, tmp_path):
+    head = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+    )
+    _write(tmp_path / "c.wet", head + wet.wet_bytes([("<id>", "u", "txt")]))
+    only_conv = wet.read_wet(spark, str(tmp_path)).collect()
+    assert [r["text"] for r in only_conv] == ["txt"]
+    every = wet.read_wet(spark, str(tmp_path), record_types=None).collect()
+    assert sorted(r["record_type"] for r in every) == ["conversion", "warcinfo"]
+
+
+def test_truncated_payload_counts_corrupt_not_crash(spark, tmp_path):
+    good = wet.wet_bytes([("<a>", "u1", "ok doc")])
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 9999\r\n\r\nshort"
+    )
+    _write(tmp_path / "d.wet", good + bad)
+    rows = wet.read_wet(spark, str(tmp_path), record_types=None).collect()
+    by_type = {r["record_type"]: r for r in rows}
+    assert by_type["conversion"]["text"] == "ok doc"
+    corrupt = by_type["_corrupt"]
+    assert "truncated" in corrupt["text"] and corrupt["target_uri"].startswith("offset=")
+    # default view (conversion only) still yields the good record
+    assert [r["text"] for r in wet.read_wet(spark, str(tmp_path)).collect()] == [
+        "ok doc"
+    ]
+
+
+def test_garbage_and_bad_gzip_are_corrupt_rows(spark, tmp_path):
+    _write(tmp_path / "e.wet", b"not a warc at all")
+    _write(tmp_path / "f.wet.gz", b"\x1f\x8bBADSTREAM")
+    rows = wet.read_wet(spark, str(tmp_path), record_types=None).collect()
+    assert len(rows) == 2 and all(r["record_type"] == "_corrupt" for r in rows)
+
+
+def test_missing_headers_null_not_crash(spark, tmp_path):
+    blob = b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    _write(tmp_path / "g.wet", blob)
+    r = wet.read_wet(spark, str(tmp_path)).collect()[0]
+    assert r["text"] == "hi"
+    assert r["record_id"] is None and r["target_uri"] is None
+    assert r["warc_date"] is None
+
+
+def test_feeds_corpus_pipeline(spark, tmp_path):
+    """The source's whole point: its output drops straight into the
+    documents-shaped operators (id, text)."""
+    from balboa_spark.operators import dedup
+
+    recs = [(f"<urn:{i}>", f"http://x/{i}", "same text here") for i in range(3)]
+    recs.append(("<urn:9>", "http://x/9", "a different page"))
+    _write(tmp_path / "h.wet", wet.wet_bytes(recs))
+    docs = wet.read_wet(spark, str(tmp_path)).select(
+        F.col("record_id").alias("doc_id"), "text"
+    )
+    kept = dedup.exact_dedup(docs, text_col="text", id_col="doc_id")
+    assert kept.count() == 2
+
+
+def test_no_shuffle_in_read_plan(spark, tmp_path):
+    """Parse must stay file-parallel: binaryFile scan -> mapInPandas,
+    no Exchange before the records exist."""
+    _write(tmp_path / "i.wet", wet.wet_bytes([("<a>", "u", "t")]))
+    plan = (
+        wet.read_wet(spark, str(tmp_path))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
