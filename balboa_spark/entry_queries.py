@@ -273,6 +273,7 @@ _TAIL = [
     "corpus_passage_cdc",  # r7-new (content-defined-chunking dedup), driver_sim-verified; rotates into the cap next round
     "corpus_pack_boundaries",  # r7-new (packed-seq doc-start offsets), driver_sim-verified; rotates into the cap next round
     "customer_fuzzy_pairs",  # r7-new (exact-recall SymSpell fuzzy match), driver_sim-verified; rotates into the cap next round
+    "corpus_span_dedup",  # r7-new (sliding-window exact span dedup), driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

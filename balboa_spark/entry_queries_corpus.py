@@ -1296,6 +1296,62 @@ WHERE change <> 'unchanged' ORDER BY doc_id
 """
 
 
+SPAN_TOKENS = 8
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact duplicate-span removal (keep-first Lee
+    et al. semantics; corpus.span_dedup) on the documents table."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return corpus.span_dedup(docs, span_tokens=SPAN_TOKENS).orderBy("doc_id")
+
+
+SPAN_DEDUP_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+tk1 AS (SELECT * FROM tk WHERE len(tk) > 0),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(tk[i : i + {SPAN_TOKENS} - 1], ' ')) AS h
+  FROM tk1, unnest(range(1, len(tk) - {SPAN_TOKENS} + 2)) AS u(i)
+  WHERE len(tk) >= {SPAN_TOKENS}
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM wins
+),
+rem AS (
+  SELECT doc_id, list_sort(list(pos)) AS rpos
+  FROM ranked WHERE rn > 1 GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT t.doc_id,
+         len(t.tk) AS n_tokens,
+         list_transform(
+           list_filter(
+             range(1, len(t.tk) + 1),
+             i -> r.rpos IS NULL
+                  OR len(list_filter(r.rpos,
+                         p -> p <= i - 1 AND i - 1 < p + {SPAN_TOKENS})) = 0
+           ),
+           i -> t.tk[i]
+         ) AS kept
+  FROM tk1 t LEFT JOIN rem r USING (doc_id)
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_tokens - len(kept) AS INTEGER) AS n_removed,
+       array_to_string(kept, ' ') AS clean_text
+FROM rebuilt
+WHERE len(kept) > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -1331,6 +1387,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_blocklist": q_blocklist,
     "corpus_length_batches": q_length_batches,
     "corpus_normalize_unicode": q_normalize_unicode,
+    "corpus_span_dedup": q_span_dedup,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1365,6 +1422,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_bpe_vocab": _bpe_vocab_oracle(),
     "corpus_bpe_encode": _bpe_encode_oracle(),
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
+    "corpus_span_dedup": SPAN_DEDUP_ORACLE,
     "corpus_blocklist": BLOCKLIST_ORACLE,
     "corpus_length_batches": LENGTH_BATCHES_ORACLE,
     "corpus_normalize_unicode": NORMALIZE_UNICODE_ORACLE,

@@ -923,6 +923,88 @@ def passage_dedup(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    span_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-SPAN removal with sliding windows — the
+    keep-first variant of Lee et al. 2022 substring dedup, and the
+    closer of passage_dedup's declared gap: a duplicated region that
+    straddles a passage boundary is invisible to consecutive-block
+    passages but is covered here by some ``span_tokens``-token window.
+
+    Semantics: hash every ``span_tokens``-token sliding window; the
+    globally FIRST occurrence of each window value (ordered by
+    (id, pos)) is kept, every later occurrence marks its token range
+    for removal; a token is dropped iff covered by any removed
+    window. Documents losing every token disappear (cleaning-pipeline
+    behavior, like passage_dedup); documents shorter than
+    ``span_tokens`` have no windows and pass through unchanged.
+
+    Output: (id, n_tokens, n_removed, clean_text).
+
+    Scale shape: the window relation is corpus-token-sized (one row
+    per token position, 16-byte hash) — this is the price of EXACT
+    substring dedup and replaces a suffix array with one uniform-key
+    shuffle. First-occurrence is a map-side-combined
+    groupBy(min(struct)) — never a row_number window, so a
+    mega-duplicated boilerplate hash partial-aggregates instead of
+    skewing one task; the verdict join back is corpus-sized with AQE
+    skew handling. The final membership check is array algebra,
+    O(doc_len x removed_windows_in_doc) per document — pathological
+    only for documents that are themselves near-fully duplicated,
+    which exact/near dedup upstream should have removed already (run
+    this AFTER document-level dedup, as Lee et al. do)."""
+    if span_tokens < 1:
+        raise ValueError("span_tokens must be >= 1")
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk")).filter(
+        F.size("_tk") > 0
+    )
+    n = F.size("_tk")
+    wins = staged.filter(n >= span_tokens).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - span_tokens),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, span_tokens))
+                ),
+            )
+        ).alias("pos", "_h"),
+    )
+    # materialize ONCE: the first-occurrence aggregate and the verdict
+    # join are different exchange subtrees (passage_dedup rationale)
+    wins = wins.localCheckpoint(eager=True)
+    firsts = wins.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "_first"
+        )
+    )
+    removed = wins.join(firsts, "_h").filter(
+        (F.col(id_col) != F.col("_first.i")) | (F.col("pos") != F.col("_first.p"))
+    )
+    rem = removed.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("_rpos")
+    )
+    kept_tokens = F.filter(
+        F.col("_tk"),
+        lambda t, i: F.col("_rpos").isNull()
+        | ~F.exists(F.col("_rpos"), lambda p: (p <= i) & (i < p + span_tokens)),
+    )
+    return (
+        staged.join(rem, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("_tk").alias("n_tokens"),
+            (F.size("_tk") - F.size(kept_tokens)).alias("n_removed"),
+            F.concat_ws(" ", kept_tokens).alias("clean_text"),
+        )
+        .filter(F.col("n_removed") < F.col("n_tokens"))
+    )
+
+
 def passage_dedup_cdc(
     df: DataFrame,
     passage_tokens: int = 16,

@@ -443,6 +443,17 @@ def main() -> None:
 
         skew.skew_metrics(spark.table("events"), ["user_id"]).collect()
 
+    @timed("span_dedup")
+    def _():
+        # sliding-window exact span dedup: corpus-token-sized window
+        # relation (the exact-dedup price), map-side-combined
+        # first-occurrence agg, AQE-skew-handled verdict join
+        from balboa_spark.operators import corpus
+
+        corpus.span_dedup(
+            par(spark.table("documents")), span_tokens=8
+        ).write.mode("overwrite").format("noop").save()
+
     @timed("fuzzy_pairs")
     def _():
         # exact-recall edit-distance-1 pairs over 15k customer names:

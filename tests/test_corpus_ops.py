@@ -354,6 +354,120 @@ def test_passage_dedup_reassembles_order_and_tail(spark):
     assert out[2]["clean_text"] == "c1 c2 c3 d1 d2 d3"
 
 
+def _span_dedup_py(rows, n):
+    """Pure-Python reference for span_dedup: sliding-window hashes,
+    keep global first occurrence by (id, pos), drop covered tokens."""
+    toks = {i: t.lower().split() for i, t in rows}
+    toks = {i: [w for w in tk if w] for i, tk in toks.items() if any(tk)}
+    seen = {}
+    removed = {i: set() for i in toks}
+    for i in sorted(toks):
+        tk = toks[i]
+        for pos in range(len(tk) - n + 1):
+            key = tuple(tk[pos : pos + n])
+            if key in seen:
+                removed[i].update(range(pos, pos + n))
+            else:
+                seen[key] = (i, pos)
+    out = {}
+    for i, tk in toks.items():
+        kept = [w for j, w in enumerate(tk) if j not in removed[i]]
+        if kept:
+            out[i] = (len(tk), len(tk) - len(kept), " ".join(kept))
+    return out
+
+
+def test_span_dedup_keeps_first_removes_later(spark):
+    """First occurrence (lowest (id, pos)) survives; later copies —
+    cross-doc AND within-doc — lose exactly the covered tokens."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x y a b c d z"),  # 'a b c d' again -> removed here
+            (3, "p q r s p q r s"),  # intra-doc repeat: second copy removed
+            (4, "short"),  # shorter than the span: no windows, untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in corpus.span_dedup(docs, span_tokens=4).collect()
+    }
+    assert out[1]["clean_text"] == "a b c d e f" and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "x y z" and out[2]["n_removed"] == 4
+    assert out[3]["clean_text"] == "p q r s" and out[3]["n_removed"] == 4
+    assert out[4]["clean_text"] == "short"
+
+
+def test_span_dedup_catches_passage_straddle(spark):
+    """The gap span_dedup exists to close: a duplicated region placed
+    to STRADDLE a passage boundary. passage_dedup(P=4) sees different
+    4-token blocks in each doc and keeps both copies; the sliding
+    window sees the shared span regardless of alignment."""
+    dup = "w1 w2 w3 w4"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{dup} t1 t2 t3 t4"),  # dup aligned at block 0
+            (2, f"s1 s2 {dup} t5 t6"),  # dup straddles blocks 0/1
+        ],
+        "doc_id long, text string",
+    )
+    blocks = {
+        r["doc_id"]: r["clean_text"]
+        for r in corpus.passage_dedup(docs, passage_tokens=4, max_df=1).collect()
+    }
+    # passage_dedup misses it: doc 2's copy survives inside its blocks
+    assert "w1 w2 w3 w4" in blocks.get(2, "")
+    spans = {
+        r["doc_id"]: r["clean_text"]
+        for r in corpus.span_dedup(docs, span_tokens=4).collect()
+    }
+    assert spans[1] == "w1 w2 w3 w4 t1 t2 t3 t4"  # first copy kept
+    assert spans[2] == "s1 s2 t5 t6"  # straddling copy removed
+
+
+def test_span_dedup_fully_duplicated_doc_disappears(spark):
+    docs = spark.createDataFrame(
+        [(1, "c1 c2 c3 c4 c5"), (2, "c1 c2 c3 c4 c5")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus.span_dedup(docs, span_tokens=4).collect()}
+    assert set(out) == {1}
+
+
+def test_span_dedup_matches_python_reference(spark):
+    """Random tight-vocab corpora (maximizes window collisions):
+    distributed result == pure-Python reference."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    line = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(texts=st.lists(line, min_size=1, max_size=6))
+    def check(texts):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in corpus.span_dedup(df, span_tokens=3).collect()
+        }
+        assert got == _span_dedup_py(rows, 3)
+        # deterministic under reshuffling
+        again = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in corpus.span_dedup(
+                df.repartition(5), span_tokens=3
+            ).collect()
+        }
+        assert again == got
+
+    check()
+
+
 def _cdc_py(corpus_rows, P=16, g=4, max_df=1):
     """Independent pure-Python CDC reference: hex-threshold boundary
     rule, chunk DF, interval drop, reassembly."""
