@@ -1352,6 +1352,46 @@ ORDER BY doc_id
 """
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction kernel (text.html_to_text): both sides
+    wrap each document in the SAME deterministic HTML page (title,
+    heading, comment, entity, script) and run the SAME regex chain
+    (HTML_TEXT_RULES — the shared-constants oracle pattern), so the
+    hash grades the extraction rules themselves."""
+    from balboa_spark.operators.text import html_to_text
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit("</title><style>p{margin:0}</style></head><body><h1>"),
+        F.col("source"),
+        F.lit("</h1><!-- doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" --><p>"),
+        F.col("text"),
+        F.lit(" &amp; more</p><script>var x = 1 < 2;</script></body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_to_text(html).alias("clean_text")
+    ).orderBy("doc_id")
+
+
+def _html_extract_oracle() -> str:
+    from balboa_spark.operators.text import html_to_text_sql
+
+    html = (
+        "'<html><head><title>' || source || "
+        "'</title><style>p{margin:0}</style></head><body><h1>' || source || "
+        "'</h1><!-- doc ' || CAST(doc_id AS VARCHAR) || ' --><p>' || text || "
+        "' &amp; more</p><script>var x = 1 < 2;</script></body></html>'"
+    )
+    return (
+        f"SELECT doc_id, {html_to_text_sql(html)} AS clean_text "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -1388,6 +1428,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_batches": q_length_batches,
     "corpus_normalize_unicode": q_normalize_unicode,
     "corpus_span_dedup": q_span_dedup,
+    "corpus_html_extract": q_html_extract,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1423,6 +1464,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_bpe_encode": _bpe_encode_oracle(),
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "corpus_span_dedup": SPAN_DEDUP_ORACLE,
+    "corpus_html_extract": _html_extract_oracle(),
     "corpus_blocklist": BLOCKLIST_ORACLE,
     "corpus_length_batches": LENGTH_BATCHES_ORACLE,
     "corpus_normalize_unicode": NORMALIZE_UNICODE_ORACLE,

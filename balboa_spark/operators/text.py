@@ -363,3 +363,74 @@ def normalize_unicode(
         "norm_text",
         (~F.col("norm_text").eqNullSafe(F.col("_orig"))).alias("changed"),
     )
+
+
+# --- HTML -> text extraction (crawl pipeline: WARC payload -> documents) ---
+
+#: Ordered (pattern, replacement) regex chain shared VERBATIM by the
+#: Spark Column (html_to_text) and the DuckDB oracle (html_to_text_sql)
+#: — the shared-constants oracle pattern. Patterns are written to the
+#: common subset of Java regex and RE2: inline (?is) flags,
+#: non-greedy, \b, no lookaround, no backreferences.
+HTML_TEXT_RULES: tuple[tuple[str, str], ...] = (
+    # non-content elements go first, whole-element
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level tags become line breaks, everything else a space
+    (
+        r"(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote"
+        r"|section|article|header|footer|pre|title)\b[^>]*>",
+        "\n",
+    ),
+    (r"<[^>]+>", " "),
+    # the common entities (fixed map — a declared heuristic, not a
+    # full HTML5 entity table); &amp; decodes LAST so double-encoded
+    # text is not decoded twice
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    # whitespace canon: collapse runs, tighten around newlines, cap
+    # blank lines at one, strip the ends
+    (r"[ \t\r\f]+", " "),
+    (r" *\n *", "\n"),
+    (r"\n{3,}", "\n\n"),
+    (r"^\s+", ""),
+    (r"\s+$", ""),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Boilerplate-free(ish) text from an HTML payload — the step
+    between a raw-crawl WARC record (sources/wet.py) and the
+    documents table, in the spirit of the WET conversion itself:
+    drop script/style/comments, turn block tags into line breaks,
+    strip remaining tags, decode the common entities, canonicalize
+    whitespace. Pure whole-stage-codegen regexp_replace chain — no
+    UDF, no shuffle; a declared heuristic (regexes, not an HTML5
+    tree parser), which is exactly what WET extraction is too."""
+    out = html
+    for pat, rep in HTML_TEXT_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def _duck_estr(s: str) -> str:
+    """Render s as a DuckDB e'...' escape-string literal."""
+    body = (
+        s.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
+    )
+    return f"e'{body}'"
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The DuckDB replay of html_to_text over SQL expression ``expr``:
+    the same HTML_TEXT_RULES chain as nested regexp_replace(..., 'g')
+    calls (RE2 runs the identical patterns)."""
+    out = expr
+    for pat, rep in HTML_TEXT_RULES:
+        out = f"regexp_replace({out}, {_duck_estr(pat)}, {_duck_estr(rep)}, 'g')"
+    return out
