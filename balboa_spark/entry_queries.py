@@ -275,6 +275,7 @@ _TAIL = [
     "customer_fuzzy_pairs",  # r7-new (exact-recall SymSpell fuzzy match), driver_sim-verified; rotates into the cap next round
     "corpus_span_dedup",  # r7-new (sliding-window exact span dedup), driver_sim-verified; rotates into the cap next round
     "corpus_html_extract",  # r7-new (HTML->text regex chain, shared-constants oracle), driver_sim-verified; rotates into the cap next round
+    "supplier_entity_resolve",  # r7-new (fuzzy pairs -> CC -> canonical), driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

@@ -516,6 +516,55 @@ ORDER BY val_a, val_b
 """
 
 
+def q_supplier_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: exact-recall fuzzy pairs
+    (lev<=1 on supplier names) -> connected components (size-gated
+    union-find / distributed star loop, both arms parity-tested) ->
+    canonical = min name per cluster, singletons map to themselves.
+    The oracle replays the whole chain: brute-force levenshtein pairs
+    + a recursive-CTE transitive closure."""
+    from balboa_spark.operators import dedup, fuzzy
+
+    sup = load_tables(spark, sf_dir, names=("supplier",))["supplier"]
+    names = sup.select(F.col("s_name").alias("v")).distinct()
+    pairs = fuzzy.fuzzy_value_pairs(sup, "s_name", 1).select(
+        F.col("val_a").alias("id_a"), F.col("val_b").alias("id_b")
+    )
+    cc = dedup.connected_components(pairs)
+    return (
+        names.join(cc, names["v"] == cc["id"], "left")
+        .select(
+            F.col("v").alias("s_name"),
+            F.coalesce(F.col("comp"), F.col("v")).alias("canonical"),
+        )
+        .orderBy("s_name")
+    )
+
+
+SUPPLIER_ENTITY_ORACLE = """
+WITH RECURSIVE d AS (SELECT DISTINCT s_name AS v FROM supplier),
+pairs AS (
+  SELECT a.v AS val_a, b.v AS val_b FROM d a, d b
+  WHERE a.v < b.v AND abs(len(a.v) - len(b.v)) <= 1
+    AND levenshtein(a.v, b.v) <= 1
+),
+sym AS (
+  SELECT val_a AS a, val_b AS b FROM pairs
+  UNION
+  SELECT val_b, val_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (SELECT a AS v, least(a, min(b)) AS canonical FROM reach GROUP BY a)
+SELECT d.v AS s_name, coalesce(c.canonical, d.v) AS canonical
+FROM d LEFT JOIN comp c ON c.v = d.v
+ORDER BY s_name
+"""
+
+
 QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles": q_events_quantiles,
     "events_tumbling": q_events_tumbling,
@@ -533,6 +582,7 @@ QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "events_anomaly": q_events_anomaly,
     "customer_fuzzy_pairs": q_customer_fuzzy,
+    "supplier_entity_resolve": q_supplier_entity,
 }
 
 ORACLES_EXTRA: dict[str, str] = {
@@ -552,4 +602,5 @@ ORACLES_EXTRA: dict[str, str] = {
     "events_retention": RETENTION_ORACLE,
     "events_anomaly": ANOMALY_ORACLE,
     "customer_fuzzy_pairs": CUSTOMER_FUZZY_ORACLE,
+    "supplier_entity_resolve": SUPPLIER_ENTITY_ORACLE,
 }
