@@ -233,6 +233,18 @@ FROM tok2 GROUP BY 1 ORDER BY seq_id
 """
 
 
+def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-free FFD bin packing (corpus.pack_bestfit). The FFD
+    loop is not SQL-expressible, so this is a rows-only driver entry;
+    exactness is covered by the pure-Python parity + invariant unit
+    tests (every piece placed once, no bin over capacity,
+    reshuffle-stable)."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return corpus.pack_bestfit(
+        docs, seq_len=PACK_SEQ_LEN, num_groups=8
+    ).orderBy("group", "bin_id")
+
+
 # ---------------------------------------------------------------------------
 # interval join: clicks inside each purchase's trailing attribution window
 # ---------------------------------------------------------------------------
@@ -470,6 +482,7 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "corpus_pack_sequences": q_pack_sequences,
     "corpus_pack_boundaries": q_pack_boundaries,
+    "corpus_pack_bestfit": q_pack_bestfit,
     "events_zorder": q_events_zorder,
     "events_interval_join": q_events_interval_join,
     "events_props_extract": q_events_props_extract,

@@ -417,6 +417,119 @@ def pack_sequences(
     ).agg(*aggs)
 
 
+def pack_bestfit(
+    df: DataFrame,
+    seq_len: int = 128,
+    num_groups: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Truncation-free sequence packing: first-fit-decreasing bin
+    packing of whole documents into ``seq_len``-capacity sequences —
+    the alternative to :func:`pack_sequences`' concat-and-chunk, which
+    splits documents across sequence boundaries (shown to hurt
+    pretraining: Ding et al. 2024, "Fewer Truncations Improve
+    Language Modeling"). Documents longer than ``seq_len`` are first
+    cut into <=seq_len pieces (the unavoidable truncations); every
+    piece then lands in exactly one bin, never split.
+
+    Output: (group, bin_id, n_pieces, fill_tokens, piece_ids,
+    seq_text) — one row per packed sequence; padding waste per bin is
+    seq_len - fill_tokens.
+
+    Scale story: global FFD is inherently sequential, so pieces are
+    hash-assigned to ``num_groups`` independent packing groups
+    (deterministic: md5(doc_id, chunk) — reshuffle-stable) and FFD
+    runs per group inside applyInPandas — one shuffle on the group
+    key, O(m log m) per group, groups sized by num_groups which the
+    caller scales with the corpus (pieces_per_group ~ total_pieces /
+    num_groups). Waste stays near global-FFD levels because each
+    group still sees a representative length mixture (hash
+    assignment), while wall-clock is fully parallel. The bin loop
+    itself is O(m * bins) worst case per group — bound
+    pieces-per-group accordingly."""
+    if seq_len < 1 or num_groups < 1:
+        raise ValueError("seq_len and num_groups must be >= 1")
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk")).filter(
+        F.size("_tk") > 0
+    )
+    n = F.size("_tk")
+    n_chunks = F.ceil(n / seq_len).cast("int")
+    pieces = staged.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i * seq_len + 1, seq_len)),
+            )
+        ).alias("chunk", "piece"),
+    ).select(
+        F.col(id_col),
+        "chunk",
+        "piece",
+        F.size(F.split(F.col("piece"), " ")).alias("_len"),
+        (
+            F.conv(F.substring(F.md5(F.concat_ws("\x1f", F.col(id_col), F.col("chunk"))), 1, 6), 16, 10)
+            .cast("long") % num_groups
+        ).alias("group"),
+    )
+
+    out_schema = (
+        "group int, bin_id int, n_pieces int, fill_tokens int, "
+        "piece_ids string, seq_text string"
+    )
+
+    import pandas as pd
+
+    id_name = df.select(id_col).columns[0]
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["group"].iloc[0])
+        # deterministic FFD: lengths desc, ties by (id, chunk)
+        order = pdf.sort_values(
+            ["_len", id_name, "chunk"], ascending=[False, True, True]
+        )
+        bins: list[list[int]] = []  # positional indices into `order`
+        space: list[int] = []
+        lens = order["_len"].tolist()
+        for j, ln in enumerate(lens):
+            placed = False
+            for bi in range(len(bins)):
+                if space[bi] >= ln:
+                    bins[bi].append(j)
+                    space[bi] -= ln
+                    placed = True
+                    break
+            if not placed:
+                bins.append([j])
+                space.append(seq_len - ln)
+        ids = order[id_name].tolist()
+        chunks = order["chunk"].tolist()
+        texts = order["piece"].tolist()
+        rows = []
+        for bi, members in enumerate(bins):
+            members = sorted(members, key=lambda j: (ids[j], chunks[j]))
+            rows.append(
+                (
+                    grp,
+                    bi,
+                    len(members),
+                    int(sum(lens[j] for j in members)),
+                    ",".join(f"{ids[j]}:{chunks[j]}" for j in members),
+                    " ".join(texts[j] for j in members),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "group", "bin_id", "n_pieces", "fill_tokens",
+                "piece_ids", "seq_text",
+            ],
+        )
+
+    return pieces.groupBy("group").applyInPandas(pack, out_schema)
+
+
 #: PII patterns — literal text shared with the DuckDB oracles (kept to
 #: the Java-regex ∩ RE2 common dialect: no backrefs, no lookaround).
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -393,3 +393,103 @@ def test_interval_join_equi_plan_and_naive_parity(spark):
     assert sorted((r.p_id, r.c_id) for r in out.collect()) == sorted(
         (r.p_id, r.c_id) for r in naive.collect()
     )
+
+
+def test_pack_bestfit_invariants_and_ffd(spark):
+    """FFD bin packing: every piece lands exactly once, no bin over
+    capacity, and the classic FFD pairing (6+4 twice, not 6|6|4+4)."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(6))),
+            (2, " ".join(f"b{i}" for i in range(6))),
+            (3, " ".join(f"c{i}" for i in range(4))),
+            (4, " ".join(f"d{i}" for i in range(4))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = corpus.pack_bestfit(docs, seq_len=10, num_groups=1).collect()
+    assert all(r["fill_tokens"] <= 10 for r in rows)
+    # all four docs placed exactly once
+    placed = [p for r in rows for p in r["piece_ids"].split(",")]
+    assert sorted(placed) == ["1:0", "2:0", "3:0", "4:0"]
+    # FFD packs 6+4 twice -> 2 full bins, zero waste
+    assert len(rows) == 2 and all(r["fill_tokens"] == 10 for r in rows)
+    # seq_text is the pieces in (id, chunk) order, space-joined
+    by_bin = {r["bin_id"]: r for r in rows}
+    assert by_bin[0]["seq_text"].startswith("a0") or by_bin[0]["seq_text"].startswith("b0")
+
+
+def test_pack_bestfit_long_docs_split_first(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"x{i}" for i in range(25)))], "doc_id long, text string"
+    )
+    rows = corpus.pack_bestfit(docs, seq_len=10, num_groups=1).collect()
+    placed = sorted(
+        p for r in rows for p in r["piece_ids"].split(",")
+    )
+    assert placed == ["1:0", "1:1", "1:2"]  # 10+10+5
+    fills = sorted(r["fill_tokens"] for r in rows for _ in [0])
+    # 10,10 pack into full bins; the 5-tail in its own or shared
+    assert sum(r["fill_tokens"] for r in rows) == 25
+
+
+def test_pack_bestfit_deterministic_and_matches_python(spark):
+    """Distributed output == pure-Python replay (group hash + FFD),
+    stable under reshuffle."""
+    import hashlib
+
+    texts = {
+        i: " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 11))
+        for i in range(20)
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    seq_len, groups = 12, 3
+
+    def py_pack():
+        pieces = []
+        for i, t in texts.items():
+            tk = t.split()
+            for c in range(0, (len(tk) + seq_len - 1) // seq_len):
+                pc = tk[c * seq_len : (c + 1) * seq_len]
+                g = (
+                    int(
+                        hashlib.md5(f"{i}\x1f{c}".encode()).hexdigest()[:6], 16
+                    )
+                    % groups
+                )
+                pieces.append((g, i, c, len(pc), " ".join(pc)))
+        out = {}
+        for g in range(groups):
+            mine = sorted(
+                [p for p in pieces if p[0] == g],
+                key=lambda p: (-p[3], p[1], p[2]),
+            )
+            bins, space = [], []
+            for p in mine:
+                for bi in range(len(bins)):
+                    if space[bi] >= p[3]:
+                        bins[bi].append(p)
+                        space[bi] -= p[3]
+                        break
+                else:
+                    bins.append([p])
+                    space.append(seq_len - p[3])
+            for bi, members in enumerate(bins):
+                members = sorted(members, key=lambda p: (p[1], p[2]))
+                out[(g, bi)] = (
+                    ",".join(f"{p[1]}:{p[2]}" for p in members),
+                    sum(p[3] for p in members),
+                )
+        return out
+
+    want = py_pack()
+    for frame in (docs, docs.repartition(7)):
+        got = {
+            (r["group"], r["bin_id"]): (r["piece_ids"], r["fill_tokens"])
+            for r in corpus.pack_bestfit(
+                frame, seq_len=seq_len, num_groups=groups
+            ).collect()
+        }
+        assert got == want
