@@ -277,6 +277,7 @@ _TAIL = [
     "corpus_html_extract",  # r7-new (HTML->text regex chain, shared-constants oracle), driver_sim-verified; rotates into the cap next round
     "supplier_entity_resolve",  # r7-new (fuzzy pairs -> CC -> canonical), driver_sim-verified; rotates into the cap next round
     "corpus_pack_bestfit",  # r7-new (FFD truncation-free packing; rows-only — FFD loop not SQL-expressible), unit-parity-verified
+    "corpus_domain_profile",  # r7-new (URL parts + registrable-domain rollup), driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

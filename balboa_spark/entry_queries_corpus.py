@@ -1392,6 +1392,58 @@ def _html_extract_oracle() -> str:
     )
 
 
+def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl rollup (corpus.domain_profile over
+    functions/url.registered_domain): both sides synthesize the SAME
+    deterministic URL per document — www-prefix, subdomain, tld by
+    doc_id residues — so every heuristic branch (2-label, 3-label
+    second-level registry, www strip) lands in the graded key."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("sub"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(".co.uk"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(".com"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(".org"))
+        .otherwise(F.lit(".com.au")),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    return corpus.domain_profile(
+        docs.withColumn("url", url), url_col="url", text_col="text"
+    ).orderBy("domain")
+
+
+def _domain_profile_oracle() -> str:
+    from balboa_spark.functions.url import registered_domain_sql
+
+    return f"""
+WITH u AS (
+  SELECT text,
+         'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+         'sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || source ||
+         CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+              WHEN 2 THEN '.org' ELSE '.com.au' END ||
+         '/d/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+tk AS (
+  SELECT {registered_domain_sql('url')} AS domain,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             t -> t <> '')) AS nt
+  FROM u
+)
+SELECT domain, count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(floor(sum(nt) * 1.0 / count(*)) AS BIGINT) AS mean_tokens
+FROM tk GROUP BY domain ORDER BY domain
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -1429,6 +1481,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_normalize_unicode": q_normalize_unicode,
     "corpus_span_dedup": q_span_dedup,
     "corpus_html_extract": q_html_extract,
+    "corpus_domain_profile": q_domain_profile,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1465,6 +1518,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "corpus_span_dedup": SPAN_DEDUP_ORACLE,
     "corpus_html_extract": _html_extract_oracle(),
+    "corpus_domain_profile": _domain_profile_oracle(),
     "corpus_blocklist": BLOCKLIST_ORACLE,
     "corpus_length_batches": LENGTH_BATCHES_ORACLE,
     "corpus_normalize_unicode": NORMALIZE_UNICODE_ORACLE,

@@ -530,6 +530,33 @@ def pack_bestfit(
     return pieces.groupBy("group").applyInPandas(pack, out_schema)
 
 
+def domain_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-registrable-domain corpus rollup — the unit of crawl
+    curation (C4 filters whole domains; per-domain caps stop one site
+    from dominating the mixture): documents, token mass, and mean
+    doc length per domain. ONE map-side-combined groupBy on the
+    domain (functions/url.registered_domain — pure codegen, so the
+    grouping key costs nothing extra at scan time)."""
+    from balboa_spark.functions.url import registered_domain
+
+    return (
+        df.select(
+            registered_domain(F.col(url_col)).alias("domain"),
+            token_count(F.col(text_col)).alias("_nt"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.floor(F.sum("_nt") / F.count(F.lit(1))).alias("mean_tokens"),
+        )
+    )
+
+
 #: PII patterns — literal text shared with the DuckDB oracles (kept to
 #: the Java-regex ∩ RE2 common dialect: no backrefs, no lookaround).
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
