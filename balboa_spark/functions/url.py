@@ -28,7 +28,11 @@ URL_PART_RES: tuple[tuple[str, str, int], ...] = (
     ("port", r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)", 1),
     ("path", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1),
     ("query", r"\?([^#]*)", 1),
-    ("fragment", r"#(.*)$", 1),
+    # no $ anchor and no dot: Java's $ matches before a final line
+    # terminator and its . excludes \r, RE2's $ is end-of-text and its
+    # . excludes only \n — an explicit class keeps both engines equal
+    # on un-stripped crawl URIs
+    ("fragment", r"#([^\r\n]*)", 1),
 )
 
 #: common second-level registries where the registrable name is three

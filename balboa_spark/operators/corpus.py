@@ -457,6 +457,7 @@ def pack_bestfit(
     n_chunks = F.ceil(n / seq_len).cast("int")
     pieces = staged.select(
         F.col(id_col),
+        F.size("_tk").alias("_n"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
@@ -467,7 +468,12 @@ def pack_bestfit(
         F.col(id_col),
         "chunk",
         "piece",
-        F.size(F.split(F.col("piece"), " ")).alias("_len"),
+        # piece length is ARITHMETIC (full chunks are seq_len, the tail
+        # is the remainder) — re-splitting the joined piece string to
+        # count it would be a second regex pass over all corpus text
+        F.least(
+            F.lit(seq_len), F.col("_n") - F.col("chunk") * seq_len
+        ).cast("int").alias("_len"),
         (
             F.conv(F.substring(F.md5(F.concat_ws("\x1f", F.col(id_col), F.col("chunk"))), 1, 6), 16, 10)
             .cast("long") % num_groups

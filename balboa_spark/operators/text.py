@@ -398,8 +398,11 @@ HTML_TEXT_RULES: tuple[tuple[str, str], ...] = (
     (r"[ \t\r\f]+", " "),
     (r" *\n *", "\n"),
     (r"\n{3,}", "\n\n"),
-    (r"^\s+", ""),
-    (r"\s+$", ""),
+    # end-strips use an explicit class, NOT \s: Java's \s matches
+    # vertical tab (\x0B), RE2's does not — \s here would break the
+    # engine-parity contract on real crawl payloads
+    (r"^[ \t\r\n\f]+", ""),
+    (r"[ \t\r\n\f]+$", ""),
 )
 
 

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
@@ -102,8 +103,10 @@ def _parse_warc_bytes(path: str, blob: bytes) -> Iterator[tuple]:
             headers.get("warc-record-id"),
             headers.get("warc-type"),
             headers.get("warc-target-uri"),
+            # tz-AWARE UTC (or NaT): Arrow carries the instant, so the
+            # stored timestamp is correct under ANY session timezone —
+            # a naive value would be reinterpreted as session-local
             pd.to_datetime(warc_date, utc=True, errors="coerce")
-            .tz_localize(None)
             if warc_date
             else None,
             length,
@@ -142,16 +145,28 @@ def read_wet(
             "warc_date", "content_length", "text",
         ]
         for pdf in it:
-            rows: list[tuple] = []
+            # one output frame PER FILE: peak task memory stays one
+            # decompressed file + its rows, even when Spark packs many
+            # small shards into one partition / Arrow batch, and no
+            # single output batch aggregates several files' text
             for p, blob in zip(pdf["path"], pdf["content"]):
                 try:
                     raw = _maybe_gunzip(bytes(blob))
-                except OSError as ex:  # damaged gzip stream
-                    rows.append((p, None, "_corrupt", "offset=0", None,
-                                 None, f"gzip: {ex}"))
+                except (OSError, EOFError, zlib.error) as ex:
+                    # bad magic -> BadGzipFile (OSError); truncated
+                    # stream -> EOFError; mid-stream corruption ->
+                    # zlib.error. All are _corrupt rows, not crashes.
+                    yield pd.DataFrame(
+                        [(p, None, "_corrupt", "offset=0", None, None,
+                          f"gzip: {ex}")],
+                        columns=cols,
+                    )
                     continue
-                rows.extend(_parse_warc_bytes(p, raw))
-            yield pd.DataFrame(rows, columns=cols)
+                out = pd.DataFrame(
+                    list(_parse_warc_bytes(p, raw)), columns=cols
+                )
+                out["warc_date"] = pd.to_datetime(out["warc_date"], utc=True)
+                yield out
 
     out = files.mapInPandas(batches, WET_SCHEMA)
     if record_types is not None:
@@ -175,7 +190,7 @@ def wet_bytes(records: Iterable[tuple[str, str, str]], version: str = "1.0") -> 
             f"Content-Length: {len(payload)}\r\n"
             "\r\n"
         )
-        out.write(head.encode("ascii"))
+        out.write(head.encode("utf-8"))  # IRIs: header values may be non-ASCII
         out.write(payload)
         out.write(b"\r\n\r\n")
     return out.getvalue()

@@ -25,6 +25,8 @@ CASES = [
     "  \t leading and trailing \n\n\n\n ",
     "<pre>code  spacing</pre>after",
     "",
+    "\x0bvertical tab edges\x0b",  # Java \s matches \x0b, RE2's does not —
+    # the strip rules must use an explicit class to stay engine-equal
 ]
 
 

@@ -20,6 +20,7 @@ URLS = [
     "not a url",
     "https://a.b.c.com.au/",
     "https://www.gov.uk",
+    "https://x.com/p#frag\n",  # un-stripped crawl URI: trailing newline
     None,
 ]
 PARTS = ["scheme", "host", "port", "path", "query", "fragment"]
@@ -57,7 +58,8 @@ def test_parts_and_domain_with_engine_parity(spark):
     assert got[3][-1] == "192.168.0.1"  # IP passes through whole
     assert got[6][-1] == "c.com.au"  # second-level registry -> 3 labels
     assert got[7][-1] == "gov.uk"  # www-stripped 2-label host kept whole
-    assert got[8][-1] is None  # null in, null out
+    assert got[8][4:6] == ("", "frag")  # fragment stops at the newline
+    assert got[9][-1] is None  # null in, null out
 
 
 def test_unknown_part_raises(spark):

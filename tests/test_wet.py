@@ -68,10 +68,28 @@ def test_truncated_payload_counts_corrupt_not_crash(spark, tmp_path):
 
 
 def test_garbage_and_bad_gzip_are_corrupt_rows(spark, tmp_path):
+    import gzip
+
     _write(tmp_path / "e.wet", b"not a warc at all")
-    _write(tmp_path / "f.wet.gz", b"\x1f\x8bBADSTREAM")
+    _write(tmp_path / "f.wet.gz", b"\x1f\x8bBADSTREAM")  # BadGzipFile (OSError)
+    # truncated stream: valid header, body cut mid-transfer -> EOFError
+    whole = gzip.compress(wet.wet_bytes([("<a>", "u", "some text")]))
+    _write(tmp_path / "g.wet.gz", whole[:-8])
     rows = wet.read_wet(spark, str(tmp_path), record_types=None).collect()
-    assert len(rows) == 2 and all(r["record_type"] == "_corrupt" for r in rows)
+    assert len(rows) == 3 and all(r["record_type"] == "_corrupt" for r in rows)
+    # one good file among the damaged ones still parses (per-file yield)
+    _write(tmp_path / "h.wet", wet.wet_bytes([("<ok>", "u", "fine")]))
+    rows = wet.read_wet(spark, str(tmp_path)).collect()
+    assert [r["text"] for r in rows] == ["fine"]
+
+
+def test_non_ascii_uri_roundtrip(spark, tmp_path):
+    """wet_bytes must write what read_wet can read: IRIs (non-ASCII
+    target URIs) encode as UTF-8 in the header block."""
+    recs = [("<urn:iri>", "http://exämple.com/påth", "text")]
+    _write(tmp_path / "iri.wet", wet.wet_bytes(recs))
+    r = wet.read_wet(spark, str(tmp_path)).collect()[0]
+    assert r["target_uri"] == "http://exämple.com/påth"
 
 
 def test_missing_headers_null_not_crash(spark, tmp_path):
