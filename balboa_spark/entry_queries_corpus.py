@@ -1444,6 +1444,25 @@ FROM tk GROUP BY domain ORDER BY domain
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/DCLM-style LEARNED quality filter: 5-iteration batch-GD
+    logistic regression (is-curated-source label) then score the
+    corpus. The oracle unrolls the identical training loop as chained
+    CTEs, so the hash grades the training trajectory itself — the
+    per-iteration 8-decimal rounding on both sides is what makes the
+    float trajectories identical (classifier.py module doc)."""
+    from balboa_spark.operators import classifier
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return classifier.quality_classifier(docs, "src0").orderBy("doc_id")
+
+
+def _quality_classifier_oracle() -> str:
+    from balboa_spark.operators.classifier import logreg_sql
+
+    return logreg_sql("source = 'src0'")
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -1482,6 +1501,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_span_dedup": q_span_dedup,
     "corpus_html_extract": q_html_extract,
     "corpus_domain_profile": q_domain_profile,
+    "corpus_quality_classifier": q_quality_classifier,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1519,6 +1539,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_span_dedup": SPAN_DEDUP_ORACLE,
     "corpus_html_extract": _html_extract_oracle(),
     "corpus_domain_profile": _domain_profile_oracle(),
+    "corpus_quality_classifier": _quality_classifier_oracle(),
     "corpus_blocklist": BLOCKLIST_ORACLE,
     "corpus_length_batches": LENGTH_BATCHES_ORACLE,
     "corpus_normalize_unicode": NORMALIZE_UNICODE_ORACLE,
