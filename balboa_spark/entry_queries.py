@@ -279,6 +279,7 @@ _TAIL = [
     "corpus_pack_bestfit",  # r7-new (FFD truncation-free packing; rows-only — FFD loop not SQL-expressible), unit-parity-verified
     "corpus_domain_profile",  # r7-new (URL parts + registrable-domain rollup), driver_sim-verified; rotates into the cap next round
     "corpus_quality_classifier",  # r7-new (learned filter; oracle replays the GD training loop), driver_sim-verified; rotates into the cap next round
+    "ann_quality_eval",  # r7-new (recall/MRR/nDCG of int8 ranking vs exact), driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

@@ -1550,7 +1550,130 @@ ORDER BY seed_cos DESC, vec_id LIMIT {SEED_TOPK}
 """
 
 
+# --- retrieval-quality evaluation (the measurement half of ANN) -----------
+
+EVAL_NQ = 50
+EVAL_K = 10
+
+
+def q_ann_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall/MRR/nDCG of the int8-QUANTIZED cosine ranking against
+    the exact ranking, per query — the recall-vs-cost trade of the
+    storage-scale path measured on the data itself
+    (evalmetrics.retrieval_metrics). Truth rel is position-graded
+    (EVAL_K+1-rank) so nDCG is sensitive to ordering, not just
+    membership. Scales cancel in cosine, so the quantized ranking is
+    integer inner products; both rankings round cosines to 6 with id
+    tie-breaks (the cross-engine ranking discipline)."""
+    from pyspark.sql import Window
+
+    from balboa_spark.operators.evalmetrics import retrieval_metrics
+
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+
+    def topk(vecs: DataFrame) -> DataFrame:
+        q = vecs.filter(F.col("vec_id") < EVAL_NQ).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+        scored = (
+            vecs.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid",
+                F.col("vec_id").alias("doc_id"),
+                F.round(
+                    similarity.cosine(F.col("v"), F.col("qv")), 6
+                ).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("doc_id"))
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= EVAL_K
+        )
+
+    exact = topk(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    truth = exact.select(
+        "qid", "doc_id", (F.lit(EVAL_K + 1) - F.col("rank")).alias("rel")
+    )
+    quant = topk(
+        similarity.quantize_int8(emb).select(
+            "vec_id", F.col("qvec").cast("array<double>").alias("v")
+        )
+    )
+    return retrieval_metrics(
+        quant.select("qid", "doc_id", "rank"), truth, k=EVAL_K
+    ).orderBy("qid")
+
+
+def _ann_quality_eval_oracle() -> str:
+    k, nq = EVAL_K, EVAL_NQ
+    cos = (
+        "round(list_inner_product(e.v, q.qv)"
+        " / (sqrt(list_inner_product(e.v, e.v))"
+        " * sqrt(list_inner_product(q.qv, q.qv))), 6)"
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+              THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(
+                v, x -> round(x * 127 / list_max(list_transform(v, y -> abs(y))))::DOUBLE)
+         END AS v
+  FROM e0
+),
+ex AS (
+  SELECT q.qid, e.vec_id AS doc_id, {cos} AS cos
+  FROM (SELECT vec_id AS qid, v AS qv FROM e0 WHERE vec_id < {nq}) q
+  CROSS JOIN e0 e WHERE e.vec_id <> q.qid
+),
+truth AS (
+  SELECT qid, doc_id, {k} + 1 - rank AS rel FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rank
+    FROM ex) WHERE rank <= {k}
+),
+qx AS (
+  SELECT q.qid, e.vec_id AS doc_id, {cos} AS cos
+  FROM (SELECT vec_id AS qid, v AS qv FROM qz WHERE vec_id < {nq}) q
+  CROSS JOIN qz e WHERE e.vec_id <> q.qid
+),
+results AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rank
+    FROM qx) WHERE rank <= {k}
+),
+hits AS (
+  SELECT r.qid,
+         sum(CASE WHEN t.rel > 0 THEN 1 ELSE 0 END) AS n_hit,
+         coalesce(max(CASE WHEN t.rel > 0 THEN 1.0 / r.rank END), 0.0) AS mrr,
+         sum(CASE WHEN t.rel > 0 THEN t.rel / log2(r.rank + 1) ELSE 0.0 END) AS dcg
+  FROM results r LEFT JOIN truth t USING (qid, doc_id)
+  GROUP BY r.qid
+),
+ideal AS (
+  SELECT qid, count(*) AS n_rel,
+         sum(CASE WHEN rn <= {k} THEN rel / log2(rn + 1) ELSE 0.0 END) AS idcg
+  FROM (
+    SELECT qid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS rn
+    FROM truth) GROUP BY qid
+)
+SELECT i.qid,
+       round(coalesce(h.n_hit, 0) * 1.0 / i.n_rel, 6) AS recall,
+       round(coalesce(h.mrr, 0.0), 6) AS mrr,
+       round(coalesce(h.dcg, 0.0) / i.idcg, 6) AS ndcg
+FROM ideal i LEFT JOIN hits h USING (qid)
+ORDER BY i.qid
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_quality_eval": q_ann_quality_eval,
     "text_profile": q_text_profile,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -1584,6 +1707,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_DOCS: dict[str, str] = {
+    "ann_quality_eval": _ann_quality_eval_oracle(),
     "text_profile": TEXT_PROFILE_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_minhash_lsh": _minhash_oracle(),
