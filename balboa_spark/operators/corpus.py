@@ -1108,8 +1108,18 @@ def span_dedup(
     staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk")).filter(
         F.size("_tk") > 0
     )
+    # materialize ONCE: the first-occurrence aggregate and the verdict
+    # join are different exchange subtrees (passage_dedup rationale)
+    wins = _span_windows(staged, span_tokens, id_col).localCheckpoint(eager=True)
+    removed = _span_non_first(wins, id_col)
+    return _span_drop_covered(staged, removed, span_tokens, id_col)
+
+
+def _span_windows(staged: DataFrame, span_tokens: int, id_col: str) -> DataFrame:
+    """(id, pos, _h): md5 of every sliding span_tokens-token window of
+    the staged (id, _tk) relation."""
     n = F.size("_tk")
-    wins = staged.filter(n >= span_tokens).select(
+    return staged.filter(n >= span_tokens).select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -1120,17 +1130,27 @@ def span_dedup(
             )
         ).alias("pos", "_h"),
     )
-    # materialize ONCE: the first-occurrence aggregate and the verdict
-    # join are different exchange subtrees (passage_dedup rationale)
-    wins = wins.localCheckpoint(eager=True)
+
+
+def _span_non_first(wins: DataFrame, id_col: str) -> DataFrame:
+    """Window occurrences that are NOT the global first of their hash
+    — map-side-combined groupBy(min(struct)), never a row_number
+    window (span_dedup scale rationale)."""
     firsts = wins.groupBy("_h").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
             "_first"
         )
     )
-    removed = wins.join(firsts, "_h").filter(
+    return wins.join(firsts, "_h").filter(
         (F.col(id_col) != F.col("_first.i")) | (F.col("pos") != F.col("_first.p"))
     )
+
+
+def _span_drop_covered(
+    staged: DataFrame, removed: DataFrame, span_tokens: int, id_col: str
+) -> DataFrame:
+    """Rebuild texts with every token covered by a removed window
+    dropped; documents losing all tokens disappear."""
     rem = removed.groupBy(id_col).agg(
         F.array_sort(F.collect_list("pos")).alias("_rpos")
     )

@@ -139,3 +139,102 @@ class MinHashDedupStore:
         kept = self.filter_new(batch, text_col, id_col).localCheckpoint(eager=True)
         self.add(kept, text_col, id_col)
         return kept
+
+
+class SpanDedupStore:
+    """Incremental EXACT span dedup against a persisted window-hash
+    history — the cross-batch twin of corpus.span_dedup (keep-first
+    Lee et al. semantics over the arrival stream): a batch token span
+    is removed iff its window hash was seen in ANY earlier batch, or
+    earlier (lower (id, pos)) in the same batch.
+
+    State is the distinct window-hash set, stored partitioned by a
+    256-way hex-prefix bucket so the history side of the semi-join is
+    partition-prunable; it grows with distinct corpus tokens (the
+    exact-dedup price, same as the batch operator's shuffle).
+
+    History records hashes of the INPUT stream (first-seen text), not
+    of the rewritten output — so appends are idempotent IN EFFECT: a
+    replayed batch's windows all hit history (its documents drop to
+    zero surviving tokens and disappear from the output), and the
+    re-appended hash rows are duplicates that change no future
+    semi-join decision; at-least-once file appends give
+    effectively-once decisions (the MinHashDedupStore argument, and
+    the replay test pins it).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, span_tokens: int = 16):
+        self.spark = spark
+        self.path = path
+        self.hashes_path = os.path.join(path, "hashes")
+        man_path = os.path.join(path, MANIFEST)
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                man = json.load(f)
+            if man["span_tokens"] != span_tokens:
+                raise ValueError(
+                    f"store at {path} was built with span_tokens="
+                    f"{man['span_tokens']}, got {span_tokens}"
+                )
+        self.span_tokens = span_tokens
+
+    def _write_manifest(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, MANIFEST), "w") as f:
+            json.dump({"span_tokens": self.span_tokens}, f)
+
+    def hashes(self) -> DataFrame | None:
+        if not os.path.exists(self.hashes_path):
+            return None
+        return self.spark.read.parquet(self.hashes_path)
+
+    def process_batch(
+        self, batch: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Span-dedup the batch against history + itself, append the
+        new window hashes, return (id, n_tokens, n_removed,
+        clean_text) for documents keeping at least one token."""
+        from balboa_spark.operators.corpus import (
+            _span_drop_covered,
+            _span_non_first,
+            _span_windows,
+        )
+        from balboa_spark.operators.text import tokens
+
+        staged = batch.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+        ).filter(F.size("_tk") > 0)
+        wins = _span_windows(staged, self.span_tokens, id_col).withColumn(
+            # letter prefix: a bare hex prefix like "1e" would hit
+            # partition-value type INFERENCE on read (NumberFormat /
+            # mixed-type dirs); "h1e" is unambiguously a string
+            "bucket", F.concat(F.lit("h"), F.substring("_h", 1, 2))
+        )
+        # one materialization feeds three consumers: history semi-join,
+        # batch-internal first-occurrence, and the hash append
+        wins = wins.localCheckpoint(eager=True)
+        stored = self.hashes()
+        if stored is not None:
+            hist_removed = wins.join(
+                stored, ["bucket", "_h"], "left_semi"
+            ).select(id_col, "pos", "_h")
+        else:
+            hist_removed = wins.filter(F.lit(False)).select(id_col, "pos", "_h")
+        batch_removed = _span_non_first(wins.drop("bucket"), id_col).select(
+            id_col, "pos", "_h"
+        )
+        removed = hist_removed.unionByName(batch_removed).select(
+            id_col, "pos"
+        ).distinct()
+        out = _span_drop_covered(staged, removed, self.span_tokens, id_col)
+        out = out.localCheckpoint(eager=True)  # decide before the append job
+        self._write_manifest()
+        (
+            wins.select("bucket", "_h")
+            .distinct()
+            .repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(self.hashes_path)
+        )
+        return out

@@ -96,3 +96,67 @@ def test_streaming_foreachbatch_dedup(spark, tmp_path):
 
     clean = spark.read.parquet(out)
     assert sorted(r.doc_id for r in clean.collect()) == [1, 2, 12]
+
+
+# --- SpanDedupStore: incremental exact span dedup ---------------------------
+
+def _span_store_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_store_matches_batch_operator(spark, tmp_path):
+    """Sequential batches through the store == one-shot span_dedup on
+    the concatenated corpus (ids ordered by arrival) — the incremental
+    path implements the same keep-first semantics."""
+    from balboa_spark.operators.corpus import span_dedup
+    from balboa_spark.operators.dedup_store import SpanDedupStore
+
+    b1 = [(1, "a b c d e f"), (2, "p q r s")]
+    b2 = [(10, "x y a b c d z"),  # dup span vs batch 1
+          (11, "p q r s"),        # whole doc dup vs batch 1 -> vanishes
+          (12, "m n o p q")]      # fresh
+    store = SpanDedupStore(spark, str(tmp_path / "spans"), span_tokens=4)
+    out1 = {r["doc_id"]: r for r in store.process_batch(_span_store_docs(spark, b1)).collect()}
+    out2 = {r["doc_id"]: r for r in store.process_batch(_span_store_docs(spark, b2)).collect()}
+    want = {
+        r["doc_id"]: r
+        for r in span_dedup(_span_store_docs(spark, b1 + b2), span_tokens=4).collect()
+    }
+    got = out1 | out2
+    assert {k: (v["n_tokens"], v["n_removed"], v["clean_text"]) for k, v in got.items()} == {
+        k: (v["n_tokens"], v["n_removed"], v["clean_text"]) for k, v in want.items()
+    }
+    assert 11 not in got  # fully-duplicated doc disappeared
+    assert got[10]["clean_text"] == "x y z"
+
+
+def test_span_store_replay_is_effectively_once(spark, tmp_path):
+    """Re-processing the same batch (at-least-once delivery): every
+    window hits history, the docs vanish from the replay output, and a
+    LATER batch's decisions are identical to a no-replay run."""
+    from balboa_spark.operators.dedup_store import SpanDedupStore
+
+    b1 = [(1, "a b c d e")]
+    b2 = [(20, "f g a b c d h")]
+    s1 = SpanDedupStore(spark, str(tmp_path / "s1"), span_tokens=4)
+    s1.process_batch(_span_store_docs(spark, b1))
+    s1.process_batch(_span_store_docs(spark, b1))  # replay
+    replay_out = s1.process_batch(_span_store_docs(spark, b1)).collect()
+    assert replay_out == []  # replayed doc fully covered
+    got = {r["doc_id"]: r["clean_text"] for r in s1.process_batch(_span_store_docs(spark, b2)).collect()}
+
+    s2 = SpanDedupStore(spark, str(tmp_path / "s2"), span_tokens=4)
+    s2.process_batch(_span_store_docs(spark, b1))
+    want = {r["doc_id"]: r["clean_text"] for r in s2.process_batch(_span_store_docs(spark, b2)).collect()}
+    assert got == want == {20: "f g h"}
+
+
+def test_span_store_param_mismatch_rejected(spark, tmp_path):
+    import pytest
+
+    from balboa_spark.operators.dedup_store import SpanDedupStore
+
+    store = SpanDedupStore(spark, str(tmp_path / "sp"), span_tokens=4)
+    store.process_batch(_span_store_docs(spark, [(1, "a b c d e")]))
+    with pytest.raises(ValueError):
+        SpanDedupStore(spark, str(tmp_path / "sp"), span_tokens=8)
