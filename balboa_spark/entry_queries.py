@@ -280,6 +280,7 @@ _TAIL = [
     "corpus_domain_profile",  # r7-new (URL parts + registrable-domain rollup), driver_sim-verified; rotates into the cap next round
     "corpus_quality_classifier",  # r7-new (learned filter; oracle replays the GD training loop), driver_sim-verified; rotates into the cap next round
     "ann_quality_eval",  # r7-new (recall/MRR/nDCG of int8 ranking vs exact), driver_sim-verified; rotates into the cap next round
+    "corpus_weighted_sample",  # r7-new (A-ES deterministic weighted sampling), driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

@@ -1463,6 +1463,45 @@ def _quality_classifier_oracle() -> str:
     return logreg_sql("source = 'src0'")
 
 
+WS_K = 20
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (A-ES, md5 uniforms): WS_K docs
+    per source, weight = document length — the quality-weighted
+    subsample primitive with the stratified arm exercised."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return (
+        corpus.weighted_sample_k(
+            docs, WS_K, F.col("n_chars").cast("double"), strata=("source",)
+        )
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from balboa_spark.operators.corpus import _WS_HEX, _WS_ROUND
+
+    return f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         round(
+           ln((CAST('0x' || substr(md5('ws1' || chr(31) || CAST(doc_id AS VARCHAR)),
+                                   1, {_WS_HEX}) AS BIGINT) + 1.0)
+              / {float(16**_WS_HEX + 2)!r})
+           / CAST(n_chars AS DOUBLE), {_WS_ROUND}) AS wkey
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY wkey DESC, doc_id) AS rn
+  FROM s
+)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= {WS_K} ORDER BY doc_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -1502,6 +1541,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_html_extract": q_html_extract,
     "corpus_domain_profile": q_domain_profile,
     "corpus_quality_classifier": q_quality_classifier,
+    "corpus_weighted_sample": q_weighted_sample,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1540,6 +1580,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_html_extract": _html_extract_oracle(),
     "corpus_domain_profile": _domain_profile_oracle(),
     "corpus_quality_classifier": _quality_classifier_oracle(),
+    "corpus_weighted_sample": _weighted_sample_oracle(),
     "corpus_blocklist": BLOCKLIST_ORACLE,
     "corpus_length_batches": LENGTH_BATCHES_ORACLE,
     "corpus_normalize_unicode": NORMALIZE_UNICODE_ORACLE,

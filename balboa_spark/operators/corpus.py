@@ -536,6 +536,70 @@ def pack_bestfit(
     return pieces.groupBy("group").applyInPandas(pack, out_schema)
 
 
+#: md5-uniform width for weighted sampling: 12 hex digits = 48 bits,
+#: plenty of separation for the ln() key ordering
+_WS_HEX = 12
+#: sampling keys round to 9 decimals before ranking so the order is
+#: identical across engines (ln() may differ in the last ULP between
+#: libm implementations); ties at 1e-9 break by id
+_WS_ROUND = 9
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    id_col: str = "doc_id",
+    strata: Sequence[str] = (),
+    salt: str = "ws1",
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement, deterministic —
+    the Efraimidis-Spirakis A-ES scheme with md5-derived uniforms:
+    each row gets key = ln(u) / w (u uniform from the row's id hash,
+    w = its weight) and the k LARGEST keys win; inclusion probability
+    is proportional to weight, and the draw is a pure function of
+    (id, salt) — reproducible across runs, partitionings, and engines
+    (unlike rand()-based sampling, and exactly SQL-replayable).
+
+    Use for quality-weighted corpus subsampling: pass the quality
+    score as the weight and high-quality documents are favored
+    without ever hard-thresholding. Rows with weight <= 0 are
+    excluded (they cannot be sampled under A-ES).
+
+    With ``strata`` set, k rows are drawn per stratum (the
+    stratified_k pattern: per-stratum rank window — bounded by the
+    stratum, no global sort; without strata a single TakeOrdered(k)
+    serves the global draw)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(id_col))),
+                1,
+                _WS_HEX,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / float(16**_WS_HEX + 2)  # u in (0,1) strictly: ln() stays finite
+    key = F.round(F.log(u) / weight, _WS_ROUND)
+    staged = df.filter(weight > 0).withColumn("_wkey", key)
+    if strata:
+        w = Window.partitionBy(*strata).orderBy(
+            F.col("_wkey").desc(), F.col(id_col)
+        )
+        return (
+            staged.withColumn("_wrn", F.row_number().over(w))
+            .filter(F.col("_wrn") <= k)
+            .drop("_wkey", "_wrn")
+        )
+    return (
+        staged.orderBy(F.col("_wkey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_wkey")
+    )
+
+
 def domain_profile(
     df: DataFrame,
     url_col: str = "url",

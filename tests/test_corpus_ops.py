@@ -2044,3 +2044,57 @@ def test_normalize_unicode_forms(spark):
     assert "ﬁ" in nfc[2] and nfkc[2] == "fine 12"
     with pytest.raises(ValueError):
         normalize_unicode(df, form="XYZ")
+
+
+def test_weighted_sample_k_deterministic_and_proportional(spark):
+    """A-ES weighted sampling: reshuffle-stable, zero/negative weights
+    excluded, and inclusion tracks weight (P(pick) = w/sum_w for k=1 —
+    checked statistically over many salts)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, 1.0 if i else 5.0) for i in range(6)]  # doc 0 weighs 5x
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(
+        r["doc_id"]
+        for r in corpus.weighted_sample_k(df, 3, F.col("w")).collect()
+    )
+    again = sorted(
+        r["doc_id"]
+        for r in corpus.weighted_sample_k(
+            df.repartition(5), 3, F.col("w")
+        ).collect()
+    )
+    assert got == again and len(got) == 3
+    # zero/negative weights can never be drawn
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 2.0)], "doc_id long, w double"
+    )
+    assert [
+        r["doc_id"]
+        for r in corpus.weighted_sample_k(df2, 3, F.col("w")).collect()
+    ] == [3]
+    # proportionality: k=1 over {w=5, five w=1}: doc 0 should win about
+    # half of independent draws (different salts); binomial(40, .5)
+    # stays within [8, 32] with overwhelming probability
+    wins = sum(
+        corpus.weighted_sample_k(df, 1, F.col("w"), salt=f"s{t}").collect()[0][
+            "doc_id"
+        ]
+        == 0
+        for t in range(40)
+    )
+    assert 8 <= wins <= 32
+
+
+def test_weighted_sample_k_stratified(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a" if i < 10 else "b", float(1 + i % 3)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+    out = corpus.weighted_sample_k(
+        df, 4, F.col("w"), strata=("src",)
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["src"], []).append(r["doc_id"])
+    assert sorted(by) == ["a", "b"] and all(len(v) == 4 for v in by.values())
