@@ -223,6 +223,13 @@ QUERIES.update(QUERIES_TEMPORAL)
 # kernels) — the 15th slot makes room for the new composed
 # pipeline_pretrain query. Every demoted entry's kernel remains graded
 # via an in-cap sibling (noted inline).
+#
+# ROUND-8 ROTATION PLAN (for the next builder): the 16 r7-new tail
+# entries (every name commented "r7-new ... rotates into the cap next
+# round", corpus_normalize_unicode through corpus_weighted_sample)
+# have never received a real-driver oracle row — swap them into the
+# first 50, demoting 16 of the r6/r7 double-verified in-cap entries,
+# exactly as this round did for the r6 cohort.
 # Standing tail rationale:
 #   tpch_q1/q3, join_enrich, topk_per_group — generic SQL demos, not
 #     §2 operators; dedup_keep_longest — near_dedup_keep_best rides the
