@@ -565,6 +565,53 @@ ORDER BY s_name
 """
 
 
+# --- wildcard blocklist (threat-intel indicator) matching ------------------
+
+BLOCKLIST = ("dom1.example", "dom4.example", "host11.dom5.example", "absent.example")
+
+
+def q_obs_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indicator-feed matching over the observation stream: wildcard
+    suffix semantics via suffix-explode + equi-join
+    (operators/query.blocklist_match), rolled up per (indicator,
+    rrname)."""
+    from balboa_spark.operators.query import blocklist_match
+
+    obs = _obs(spark, sf_dir)
+    bl = spark.createDataFrame([(d,) for d in BLOCKLIST], "domain string")
+    return (
+        blocklist_match(obs, bl)
+        .groupBy("domain", "rrname")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("count").alias("total_count"),
+        )
+        .orderBy("domain", "rrname")
+    )
+
+
+def _obs_blocklist_oracle() -> str:
+    values = ", ".join(f"('{d}')" for d in BLOCKLIST)
+    return with_obs_cte(f"""
+, sfx AS (
+  SELECT o.rrname, o.count,
+         unnest(CASE WHEN len(string_split(o.rrname, '.')) <= 2
+                     THEN [o.rrname]
+                     ELSE list_transform(
+                       range(1, len(string_split(o.rrname, '.'))),
+                       i -> array_to_string(string_split(o.rrname, '.')[i:], '.'))
+                END) AS s
+  FROM input_observations o
+),
+bl(domain) AS (VALUES {values})
+SELECT b.domain, f.rrname,
+       count(*) AS n_obs,
+       CAST(sum(f.count) AS BIGINT) AS total_count
+FROM sfx f JOIN bl b ON f.s = b.domain
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+
+
 QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles": q_events_quantiles,
     "events_tumbling": q_events_tumbling,
@@ -583,6 +630,7 @@ QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomaly": q_events_anomaly,
     "customer_fuzzy_pairs": q_customer_fuzzy,
     "supplier_entity_resolve": q_supplier_entity,
+    "obs_blocklist_match": q_obs_blocklist,
 }
 
 ORACLES_EXTRA: dict[str, str] = {
@@ -603,4 +651,5 @@ ORACLES_EXTRA: dict[str, str] = {
     "events_anomaly": ANOMALY_ORACLE,
     "customer_fuzzy_pairs": CUSTOMER_FUZZY_ORACLE,
     "supplier_entity_resolve": SUPPLIER_ENTITY_ORACLE,
+    "obs_blocklist_match": _obs_blocklist_oracle(),
 }

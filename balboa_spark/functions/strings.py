@@ -75,3 +75,23 @@ def dns_wire_to_name(raw: Column) -> Column:
     init = F.struct(F.lit(1).alias("pos"), F.lit("").alias("acc"))
     seq = F.sequence(F.lit(1), F.lit(127))
     return F.aggregate(seq, init, step).getField("acc")
+
+
+def domain_suffixes(name: Column, min_labels: int = 2) -> Column:
+    """Every parent-domain suffix of ``name`` with at least
+    ``min_labels`` labels, longest first (the name itself included):
+    'a.b.evil.example' -> ['a.b.evil.example', 'b.evil.example',
+    'evil.example']. Pure codegen array algebra — the expansion that
+    turns wildcard suffix matching into an equi-join
+    (operators/query.blocklist_match). Names with fewer than
+    min_labels labels yield just themselves."""
+    labels = F.split(name, r"\.")
+    n = F.size(labels)
+    return F.when(n <= min_labels, F.array(name)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - min_labels + 1),
+            lambda i: F.concat_ws(
+                ".", F.slice(labels, i, n)  # slice clamps at the end
+            ),
+        )
+    )

@@ -159,3 +159,31 @@ def cidr_search(
         if val is not None:
             df = df.filter(F.col(colname) == val)
     return _canonical(df).limit(limit)
+
+
+def blocklist_match(
+    obs: DataFrame,
+    blocklist: DataFrame,
+    name_col: str = "rrname",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Wildcard threat-intel matching: an observation matches a
+    blocklist entry when the entry equals its name OR any parent
+    domain ('evil.example' matches 'c2.evil.example') — the standard
+    indicator-feed semantics a passive-DNS store serves downstream
+    (the reference's operators run exactly this against its query
+    API; here it is one relation op).
+
+    Plan shape: suffix-explode the observation names (bounded x-label
+    fan-out, functions/strings.domain_suffixes) and equi-join the
+    blocklist on the suffix — indicator feeds are small, so AQE
+    broadcasts them; never a cartesian, never a per-row loop over
+    patterns. Output: the matching observations with the matched
+    ``domain`` attached (one row per (observation, matched entry) —
+    a name under two indicators alerts twice, by design)."""
+    from balboa_spark.functions.strings import domain_suffixes
+
+    sfx = obs.withColumn("_sfx", F.explode(domain_suffixes(F.col(name_col))))
+    return sfx.join(
+        blocklist, sfx["_sfx"] == blocklist[domain_col]
+    ).drop("_sfx")

@@ -198,3 +198,49 @@ def test_yaml_loader_lua_slot(spark):
     df = obs(spark, "x1.de", "plain.de")
     got = {r.rrname: sorted(r.tags) for r in compile_selectors(rules)(df).collect()}
     assert got == {"x1.de": ["digit"], "plain.de": []}
+
+
+def test_domain_suffixes_and_blocklist_match(spark):
+    """Wildcard indicator semantics: an entry matches the exact name
+    and every subdomain; multiple matching entries alert separately;
+    short names yield only themselves."""
+    from pyspark.sql import functions as F
+
+    from balboa_spark.functions.strings import domain_suffixes
+    from balboa_spark.operators.query import blocklist_match
+
+    sfx = (
+        spark.range(1)
+        .select(domain_suffixes(F.lit("a.b.evil.example")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert sfx == ["a.b.evil.example", "b.evil.example", "evil.example"]
+    assert (
+        spark.range(1)
+        .select(domain_suffixes(F.lit("example")).alias("s"))
+        .collect()[0]["s"]
+    ) == ["example"]
+
+    obs = spark.createDataFrame(
+        [
+            ("c2.evil.example", 3),
+            ("evil.example", 1),       # exact match
+            ("sub.c2.evil.example", 2),
+            ("benign.example", 5),
+        ],
+        "rrname string, count long",
+    )
+    bl = spark.createDataFrame(
+        [("evil.example",), ("c2.evil.example",)], "domain string"
+    )
+    got = sorted(
+        (r["rrname"], r["domain"])
+        for r in blocklist_match(obs, bl).collect()
+    )
+    assert got == [
+        ("c2.evil.example", "c2.evil.example"),
+        ("c2.evil.example", "evil.example"),
+        ("evil.example", "evil.example"),
+        ("sub.c2.evil.example", "c2.evil.example"),
+        ("sub.c2.evil.example", "evil.example"),
+    ]
