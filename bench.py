@@ -106,6 +106,27 @@ def main() -> None:
     spark.range(1000).select(_warm("id")).write.mode("overwrite").format("noop").save()
 
     tmp = tempfile.mkdtemp(prefix="balboa_bench_")
+
+    # WET shard fixtures for the wet_ingest item (untimed setup: the
+    # item measures the READ path, not the python fixture writer)
+    import gzip as _gzip
+
+    from balboa_spark.sources import wet as _wetmod
+
+    _wet_dir = os.path.join(tmp, "wet")
+    os.makedirs(_wet_dir, exist_ok=True)
+    _docs = spark.table("documents").select("doc_id", "text").collect()
+    _shards = 16
+    for s in range(_shards):
+        recs = [
+            (f"<urn:doc:{r['doc_id']}>", f"http://bench/{r['doc_id']}",
+             f"<html><body><h1>d{r['doc_id']}</h1><p>{r['text']}</p></body></html>")
+            for r in _docs[s::_shards]
+        ]
+        with open(os.path.join(_wet_dir, f"part-{s:02d}.warc.wet.gz"), "wb") as fh:
+            fh.write(_gzip.compress(_wetmod.wet_bytes(recs), compresslevel=1))
+    del _docs
+
     store = ObservationStore(spark, os.path.join(tmp, "store"), num_buckets=8)
 
     # The driver parquet files are ONE row group each, so Spark cannot
@@ -453,6 +474,24 @@ def main() -> None:
         corpus.span_dedup(
             par(spark.table("documents")), span_tokens=8
         ).write.mode("overwrite").format("noop").save()
+
+    @timed("wet_ingest")
+    def _():
+        # crawl-ingest path: 16 gzip WET shards (built once, untimed,
+        # from the documents table) -> binaryFile scan -> mapInPandas
+        # record parse -> html strip -> token count. File-per-task
+        # parallelism; measures the source + extraction chain.
+        from balboa_spark.operators.text import html_to_text, token_count
+        from balboa_spark.sources import wet as wetmod
+
+        (
+            wetmod.read_wet(spark, _wet_dir)
+            .select(
+                token_count(html_to_text(F.col("text"))).alias("nt")
+            )
+            .agg(F.sum("nt"))
+            .collect()
+        )
 
     @timed("fuzzy_pairs")
     def _():
