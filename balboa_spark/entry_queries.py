@@ -224,11 +224,11 @@ QUERIES.update(QUERIES_TEMPORAL)
 # pipeline_pretrain query. Every demoted entry's kernel remains graded
 # via an in-cap sibling (noted inline).
 #
-# ROUND-8 ROTATION PLAN (for the next builder): the 17 r7-new tail
+# ROUND-8 ROTATION PLAN (for the next builder): the 18 r7-new tail
 # entries (every name commented "r7-new ... rotates into the cap next
-# round", corpus_normalize_unicode through obs_blocklist_match)
+# round", corpus_normalize_unicode through pipeline_crawl)
 # have never received a real-driver oracle row — swap them into the
-# first 50, demoting 17 of the r6/r7 double-verified in-cap entries,
+# first 50, demoting 18 of the r6/r7 double-verified in-cap entries,
 # exactly as this round did for the r6 cohort.
 # Standing tail rationale:
 #   tpch_q1/q3, join_enrich, topk_per_group — generic SQL demos, not
@@ -289,6 +289,7 @@ _TAIL = [
     "ann_quality_eval",  # r7-new (recall/MRR/nDCG of int8 ranking vs exact), driver_sim-verified; rotates into the cap next round
     "corpus_weighted_sample",  # r7-new (A-ES deterministic weighted sampling), driver_sim-verified; rotates into the cap next round
     "obs_blocklist_match",  # r7-new (wildcard indicator suffix match), driver_sim-verified; rotates into the cap next round
+    "pipeline_crawl",  # r7-new (composed crawl chain: extract -> gate -> dedup -> domain rollup), driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

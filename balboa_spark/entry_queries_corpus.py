@@ -1352,16 +1352,11 @@ ORDER BY doc_id
 """
 
 
-def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML -> text extraction kernel (text.html_to_text): both sides
-    wrap each document in the SAME deterministic HTML page (title,
-    heading, comment, entity, script) and run the SAME regex chain
-    (HTML_TEXT_RULES — the shared-constants oracle pattern), so the
-    hash grades the extraction rules themselves."""
-    from balboa_spark.operators.text import html_to_text
-
-    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    html = F.concat(
+def _synth_html_col():
+    """Deterministic HTML page wrapping each document (Spark side) —
+    title, heading, comment, entity, script. In sync with
+    _SYNTH_HTML_SQL."""
+    return F.concat(
         F.lit("<html><head><title>"),
         F.col("source"),
         F.lit("</title><style>p{margin:0}</style></head><body><h1>"),
@@ -1372,34 +1367,45 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.lit(" &amp; more</p><script>var x = 1 < 2;</script></body></html>"),
     )
+
+
+_SYNTH_HTML_SQL = (
+    "'<html><head><title>' || source || "
+    "'</title><style>p{margin:0}</style></head><body><h1>' || source || "
+    "'</h1><!-- doc ' || CAST(doc_id AS VARCHAR) || ' --><p>' || text || "
+    "' &amp; more</p><script>var x = 1 < 2;</script></body></html>'"
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction kernel (text.html_to_text): both sides
+    wrap each document in the SAME deterministic HTML page (title,
+    heading, comment, entity, script) and run the SAME regex chain
+    (HTML_TEXT_RULES — the shared-constants oracle pattern), so the
+    hash grades the extraction rules themselves."""
+    from balboa_spark.operators.text import html_to_text
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
     return docs.select(
-        "doc_id", html_to_text(html).alias("clean_text")
+        "doc_id", html_to_text(_synth_html_col()).alias("clean_text")
     ).orderBy("doc_id")
 
 
 def _html_extract_oracle() -> str:
     from balboa_spark.operators.text import html_to_text_sql
 
-    html = (
-        "'<html><head><title>' || source || "
-        "'</title><style>p{margin:0}</style></head><body><h1>' || source || "
-        "'</h1><!-- doc ' || CAST(doc_id AS VARCHAR) || ' --><p>' || text || "
-        "' &amp; more</p><script>var x = 1 < 2;</script></body></html>'"
-    )
     return (
-        f"SELECT doc_id, {html_to_text_sql(html)} AS clean_text "
+        f"SELECT doc_id, {html_to_text_sql(_SYNTH_HTML_SQL)} AS clean_text "
         "FROM documents ORDER BY doc_id"
     )
 
 
-def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain crawl rollup (corpus.domain_profile over
-    functions/url.registered_domain): both sides synthesize the SAME
-    deterministic URL per document — www-prefix, subdomain, tld by
-    doc_id residues — so every heuristic branch (2-label, 3-label
-    second-level registry, www strip) lands in the graded key."""
-    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    url = F.concat(
+def _synth_url_col():
+    """Deterministic per-document URL (Spark side) — www-prefix,
+    subdomain, tld by doc_id residues, covering every
+    registered_domain heuristic branch. MUST stay textually in sync
+    with _synth_url_sql."""
+    return F.concat(
         F.lit("https://"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.lit("sub"),
@@ -1413,8 +1419,26 @@ def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/d/"),
         F.col("doc_id").cast("string"),
     )
+
+
+_SYNTH_URL_SQL = (
+    "'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || "
+    "'sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || "
+    "CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com' "
+    "WHEN 2 THEN '.org' ELSE '.com.au' END || "
+    "'/d/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl rollup (corpus.domain_profile over
+    functions/url.registered_domain): both sides synthesize the SAME
+    deterministic URL per document — www-prefix, subdomain, tld by
+    doc_id residues — so every heuristic branch (2-label, 3-label
+    second-level registry, www strip) lands in the graded key."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
     return corpus.domain_profile(
-        docs.withColumn("url", url), url_col="url", text_col="text"
+        docs.withColumn("url", _synth_url_col()), url_col="url", text_col="text"
     ).orderBy("domain")
 
 
@@ -1423,12 +1447,7 @@ def _domain_profile_oracle() -> str:
 
     return f"""
 WITH u AS (
-  SELECT text,
-         'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
-         'sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || source ||
-         CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
-              WHEN 2 THEN '.org' ELSE '.com.au' END ||
-         '/d/' || CAST(doc_id AS VARCHAR) AS url
+  SELECT text, {_SYNTH_URL_SQL} AS url
   FROM documents
 ),
 tk AS (
@@ -1502,6 +1521,83 @@ SELECT doc_id, source, n_chars FROM r WHERE rn <= {WS_K} ORDER BY doc_id
 """
 
 
+def q_pipeline_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed CRAWL-curation chain over the r7 operators —
+    synth page -> html_to_text -> Gopher gate -> exact dedup
+    (keep-first) -> per-domain rollup — integration-graded end to end
+    like pipeline_pretrain is for the pretraining chain: the oracle
+    replays every stage, so stage contracts (extracted-text
+    tokenization feeding the gate, fingerprint after extraction,
+    domain key after the gate) are what the hash checks."""
+    from balboa_spark.operators import dedup
+    from balboa_spark.operators.text import html_to_text
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    extracted = docs.select(
+        "doc_id",
+        _synth_url_col().alias("url"),
+        html_to_text(_synth_html_col()).alias("text"),
+    )
+    gated = (
+        corpus.gopher_filter(extracted, passthrough=("url", "text"))
+        .filter("keep")
+        .select("doc_id", "url", "text")
+    )
+    kept = dedup.exact_dedup(gated, "text", "doc_id")
+    return corpus.domain_profile(kept, url_col="url", text_col="text").orderBy(
+        "domain"
+    )
+
+
+def _pipeline_crawl_oracle() -> str:
+    from balboa_spark.functions.url import registered_domain_sql
+    from balboa_spark.operators.text import html_to_text_sql
+
+    return f"""
+WITH src AS (
+  SELECT doc_id, {_SYNTH_URL_SQL} AS url,
+         {html_to_text_sql(_SYNTH_HTML_SQL)} AS text
+  FROM documents
+),
+tok AS (
+  SELECT *, list_filter(string_split_regex(lower(text), '\\s+'),
+                        t -> t <> '') AS tk
+  FROM src
+),
+grams AS (
+  SELECT *, {_grams_sql('tk', 2)} AS g2 FROM tok
+),
+sig AS (
+  SELECT doc_id, url, text, tk,
+         len(tk) AS n_tokens,
+         round(1.0 - len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1), 4)
+           AS dup_token_frac,
+         {_MODE_FRAC_SQL.format(g='g2')} AS top_2gram_frac
+  FROM grams
+),
+kept0 AS (
+  SELECT * FROM sig
+  WHERE n_tokens >= {MIN_TOKENS}
+    AND dup_token_frac <= {MAX_DUP_TOKEN_FRAC}
+    AND top_2gram_frac <= {MAX_TOP_2GRAM_FRAC}
+),
+fp AS (
+  SELECT *, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM kept0
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp
+  ) WHERE rn = 1
+)
+SELECT {registered_domain_sql('url')} AS domain,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(floor(sum(n_tokens) * 1.0 / count(*)) AS BIGINT) AS mean_tokens
+FROM kept GROUP BY 1 ORDER BY domain
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -1542,6 +1638,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_domain_profile": q_domain_profile,
     "corpus_quality_classifier": q_quality_classifier,
     "corpus_weighted_sample": q_weighted_sample,
+    "pipeline_crawl": q_pipeline_crawl,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1581,6 +1678,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_domain_profile": _domain_profile_oracle(),
     "corpus_quality_classifier": _quality_classifier_oracle(),
     "corpus_weighted_sample": _weighted_sample_oracle(),
+    "pipeline_crawl": _pipeline_crawl_oracle(),
     "corpus_blocklist": BLOCKLIST_ORACLE,
     "corpus_length_batches": LENGTH_BATCHES_ORACLE,
     "corpus_normalize_unicode": NORMALIZE_UNICODE_ORACLE,
