@@ -1533,10 +1533,24 @@ def q_pipeline_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from balboa_spark.operators.text import html_to_text
 
     docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    extracted = docs.select(
-        "doc_id",
-        _synth_url_col().alias("url"),
-        html_to_text(_synth_html_col()).alias("text"),
+    # two plan hygiene steps, both measured at sf0.1:
+    # - repartition: the documents parquet is ONE scan partition at
+    #   test scale, so the Gopher mode-gram arrays would run in one
+    #   task (at production scale the scan has real partitions and
+    #   this is a near-no-op);
+    # - localCheckpoint: the gate's signal expressions each reference
+    #   the text column, and an INLINED html_to_text chain re-runs its
+    #   16 regexes once per reference (measured 6.9s -> 1.5s for the
+    #   gate alone) — materialize the extraction once, like
+    #   passage_dedup/span_dedup do for their exploded relations.
+    extracted = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            _synth_url_col().alias("url"),
+            html_to_text(_synth_html_col()).alias("text"),
+        )
+        .localCheckpoint(eager=True)
     )
     gated = (
         corpus.gopher_filter(extracted, passthrough=("url", "text"))

@@ -475,6 +475,17 @@ def main() -> None:
             par(spark.table("documents")), span_tokens=8
         ).write.mode("overwrite").format("noop").save()
 
+    @timed("pipeline_crawl")
+    def _():
+        # composed crawl chain: html extract -> Gopher gate -> exact
+        # dedup -> per-domain rollup (the pipeline_crawl driver query
+        # at bench scale)
+        from balboa_spark.entry_queries_corpus import q_pipeline_crawl
+
+        q_pipeline_crawl(spark, SF_DIR).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
     @timed("wet_ingest")
     def _():
         # crawl-ingest path: 16 gzip WET shards (built once, untimed,
