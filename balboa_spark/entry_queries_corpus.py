@@ -1500,16 +1500,18 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _weighted_sample_oracle() -> str:
-    from balboa_spark.operators.corpus import _WS_HEX, _WS_ROUND
+    from balboa_spark.operators.corpus import _WS_HEX, _WS_SIG
 
+    raw = (
+        f"(ln((CAST('0x' || substr(md5('ws1' || chr(31) || "
+        f"CAST(doc_id AS VARCHAR)), 1, {_WS_HEX}) AS BIGINT) + 1.0)"
+        f" / {float(16**_WS_HEX + 2)!r}) / CAST(n_chars AS DOUBLE))"
+    )
+    scale = f"pow(10.0, {_WS_SIG - 1} - floor(log10(abs({raw}))))"
     return f"""
 WITH s AS (
   SELECT doc_id, source, n_chars,
-         round(
-           ln((CAST('0x' || substr(md5('ws1' || chr(31) || CAST(doc_id AS VARCHAR)),
-                                   1, {_WS_HEX}) AS BIGINT) + 1.0)
-              / {float(16**_WS_HEX + 2)!r})
-           / CAST(n_chars AS DOUBLE), {_WS_ROUND}) AS wkey
+         round({raw} * {scale}, 0) / {scale} AS wkey
   FROM documents WHERE n_chars > 0
 ),
 r AS (

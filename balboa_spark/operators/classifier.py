@@ -34,8 +34,6 @@ text touch.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -111,6 +109,8 @@ def logreg_fit(
                     for j in range(4)
                 ],
             ).collect()[0]
+            if row["g0"] is None:  # avg over zero rows
+                raise ValueError("logreg_fit: cannot fit on an empty relation")
             w = [
                 round(w[j] - lr * row[f"g{j}"], QC_ROUND) for j in range(5)
             ]
@@ -180,7 +180,10 @@ def _features_sql(label_expr: str) -> str:
 
 
 def logreg_sql(
-    label_expr: str, iters: int = QC_ITERS, lr: float = QC_LR
+    label_expr: str,
+    iters: int = QC_ITERS,
+    lr: float = QC_LR,
+    threshold: float = 0.5,
 ) -> str:
     """The whole training + scoring replay as unrolled CTEs: per
     iteration one gradient aggregate over feats and one weight-update
@@ -220,7 +223,7 @@ def logreg_sql(
         + f"""
 SELECT doc_id,
        round(1.0 / (1.0 + exp(-{zf})), 4) AS score,
-       round(1.0 / (1.0 + exp(-{zf})), 4) >= 0.5 AS keep
+       round(1.0 / (1.0 + exp(-{zf})), 4) >= {threshold!r} AS keep
 FROM feats, {wf} ORDER BY doc_id
 """
     )

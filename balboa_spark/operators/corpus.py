@@ -539,10 +539,13 @@ def pack_bestfit(
 #: md5-uniform width for weighted sampling: 12 hex digits = 48 bits,
 #: plenty of separation for the ln() key ordering
 _WS_HEX = 12
-#: sampling keys round to 9 decimals before ranking so the order is
-#: identical across engines (ln() may differ in the last ULP between
-#: libm implementations); ties at 1e-9 break by id
-_WS_ROUND = 9
+#: sampling keys round to 9 SIGNIFICANT digits before ranking so the
+#: order is identical across engines (ln() may differ in the last ULP
+#: between libm implementations). Significant-digit, not absolute:
+#: with large weights ln(u)/w collapses toward 0 and an absolute
+#: rounding would mass-tie the keys, biasing the 'weighted' draw to
+#: low ids; relative rounding keeps full resolution at every scale
+_WS_SIG = 9
 
 
 def weighted_sample_k(
@@ -582,7 +585,11 @@ def weighted_sample_k(
         ).cast("double")
         + 1.0
     ) / float(16**_WS_HEX + 2)  # u in (0,1) strictly: ln() stays finite
-    key = F.round(F.log(u) / weight, _WS_ROUND)
+    raw = F.log(u) / weight  # strictly negative
+    # round to _WS_SIG significant digits (see _WS_SIG note)
+    mag = F.floor(F.log10(F.abs(raw)))
+    scale = F.pow(F.lit(10.0), F.lit(_WS_SIG - 1) - mag)
+    key = F.round(raw * scale, 0) / scale
     staged = df.filter(weight > 0).withColumn("_wkey", key)
     if strata:
         w = Window.partitionBy(*strata).orderBy(

@@ -229,10 +229,17 @@ class SpanDedupStore:
         out = _span_drop_covered(staged, removed, self.span_tokens, id_col)
         out = out.localCheckpoint(eager=True)  # decide before the append job
         self._write_manifest()
+        # append only hashes NOT already in history: without the
+        # anti-join the store grows with total processed tokens (and
+        # with every replay) instead of distinct content, and the
+        # semi-join right side slows linearly in input volume
+        new_hashes = wins.select("bucket", "_h").distinct()
+        if stored is not None:
+            new_hashes = new_hashes.join(
+                stored, ["bucket", "_h"], "left_anti"
+            )
         (
-            wins.select("bucket", "_h")
-            .distinct()
-            .repartition("bucket")
+            new_hashes.repartition("bucket")
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(self.hashes_path)

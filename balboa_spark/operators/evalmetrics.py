@@ -38,10 +38,13 @@ def retrieval_metrics(
     rank_col: str = "rank",
     rel_col: str = "rel",
 ) -> DataFrame:
-    """(qid, recall, mrr, ndcg), one row per query in ``truth``,
-    metrics rounded to 6 decimals. Queries with results but no truth
-    rows are dropped (undefined denominators); queries with truth but
-    no results score 0."""
+    """(qid, recall, mrr, ndcg), one row per query in ``truth`` —
+    including queries whose judgments are all rel <= 0 (TREC qrels
+    routinely carry judged-nonrelevant rows): those score 0 across
+    the board rather than silently vanishing from the mean. Metrics
+    round to 6 decimals. Queries with results but no truth rows are
+    dropped (undefined denominators); queries with truth but no
+    results score 0."""
     res = results.filter(F.col(rank_col) <= k).select(
         F.col(qid_col).alias("_q"), F.col(doc_col).alias("_d"),
         F.col(rank_col).alias("_r"),
@@ -67,15 +70,17 @@ def retrieval_metrics(
         )
     )
     w = Window.partitionBy("_q").orderBy(F.col("_rel").desc(), F.col("_d"))
+    # rank over ALL judgment rows so all-nonrelevant queries keep a
+    # group; rel<=0 rows contribute nothing to n_rel/idcg
     ideal = (
-        tru.filter(F.col("_rel") > 0)
-        .withColumn("_rn", F.row_number().over(w))
+        tru.withColumn("_rn", F.row_number().over(w))
         .groupBy("_q")
         .agg(
-            F.count(F.lit(1)).alias("_n_rel"),
+            F.sum((F.col("_rel") > 0).cast("long")).alias("_n_rel"),
             F.sum(
                 F.when(
-                    F.col("_rn") <= k, F.col("_rel") / F.log2(F.col("_rn") + 1)
+                    (F.col("_rn") <= k) & (F.col("_rel") > 0),
+                    F.col("_rel") / F.log2(F.col("_rn") + 1),
                 ).otherwise(0.0)
             ).alias("_idcg"),
         )
@@ -85,11 +90,19 @@ def retrieval_metrics(
         .select(
             F.col("_q").alias(qid_col),
             F.round(
-                F.coalesce(F.col("_n_hit"), F.lit(0)) / F.col("_n_rel"), 6
+                F.when(
+                    F.col("_n_rel") > 0,
+                    F.coalesce(F.col("_n_hit"), F.lit(0)) / F.col("_n_rel"),
+                ).otherwise(0.0),
+                6,
             ).alias("recall"),
             F.round(F.coalesce(F.col("_mrr"), F.lit(0.0)), 6).alias("mrr"),
             F.round(
-                F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"), 6
+                F.when(
+                    F.col("_idcg") > 0,
+                    F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"),
+                ).otherwise(0.0),
+                6,
             ).alias("ndcg"),
         )
     )

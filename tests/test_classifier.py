@@ -73,3 +73,13 @@ def test_score_is_pure_projection(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_fit_on_empty_relation_raises_clearly(spark):
+    import pytest
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="empty relation"):
+        C.logreg_fit(empty, label=F.col("source") == "x")

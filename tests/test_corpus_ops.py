@@ -2098,3 +2098,21 @@ def test_weighted_sample_k_stratified(spark):
     for r in out:
         by.setdefault(r["src"], []).append(r["doc_id"])
     assert sorted(by) == ["a", "b"] and all(len(v) == 4 for v in by.values())
+
+
+def test_weighted_sample_k_scale_invariant_rounding(spark):
+    """Significant-digit key rounding: scaling every weight by 1e6
+    must not change the drawn set (an absolute rounding would mass-tie
+    the collapsed keys and bias the draw to low ids)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(1 + (i * 13) % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    small = sorted(
+        r["doc_id"] for r in corpus.weighted_sample_k(df, 10, F.col("w")).collect()
+    )
+    big = sorted(
+        r["doc_id"]
+        for r in corpus.weighted_sample_k(df, 10, F.col("w") * 1.0e6).collect()
+    )
+    assert small == big

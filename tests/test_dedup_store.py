@@ -160,3 +160,18 @@ def test_span_store_param_mismatch_rejected(spark, tmp_path):
     store.process_batch(_span_store_docs(spark, [(1, "a b c d e")]))
     with pytest.raises(ValueError):
         SpanDedupStore(spark, str(tmp_path / "sp"), span_tokens=8)
+
+
+def test_span_store_history_stays_distinct(spark, tmp_path):
+    """Appends anti-join history: re-processing overlapping content
+    must not grow the stored hash set beyond distinct windows."""
+    from balboa_spark.operators.dedup_store import SpanDedupStore
+
+    store = SpanDedupStore(spark, str(tmp_path / "dd"), span_tokens=4)
+    store.process_batch(_span_store_docs(spark, [(1, "a b c d e")]))
+    n1 = store.hashes().count()
+    # replay + one batch whose only windows duplicate history
+    store.process_batch(_span_store_docs(spark, [(1, "a b c d e")]))
+    store.process_batch(_span_store_docs(spark, [(9, "a b c d")]))
+    assert store.hashes().count() == n1
+    assert store.hashes().distinct().count() == n1

@@ -49,3 +49,18 @@ def test_k_cutoff_applies_to_both_sides(spark):
     r = retrieval_metrics(results, truth, k=2).collect()[0]
     assert r["ndcg"] == 1.0  # top-2 by rel, exactly the ideal prefix
     assert r["recall"] == 0.5  # 2 of 4 relevant retrieved
+
+
+def test_all_nonrelevant_query_scores_zero_not_dropped(spark):
+    """TREC qrels carry judged-nonrelevant (rel=0) rows; a query with
+    ONLY those must appear with zeros, not vanish from the mean."""
+    results = spark.createDataFrame(
+        [("q", "a", 1)], "qid string, doc_id string, rank int"
+    )
+    truth = spark.createDataFrame(
+        [("q", "a", 0), ("q", "b", 0)], "qid string, doc_id string, rel int"
+    )
+    rows = retrieval_metrics(results, truth, k=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["recall"], r["mrr"], r["ndcg"]) == (0.0, 0.0, 0.0)
