@@ -505,3 +505,63 @@ def test_skew_metrics_scan_reads_only_key(spark, tables, tmp_path):
     assert "user_id" in scan and "props" not in scan and "value" not in scan
     # partial aggregation before both exchanges (map-side combine)
     assert "partial" in plan.lower()
+
+
+def test_span_dedup_first_occurrence_is_partial_agg_not_window(spark):
+    """span_dedup's first-occurrence must be a map-side-combined
+    groupBy(min(struct)) — a row_number Window over the hash would
+    put every occurrence of a mega-duplicated boilerplate hash in one
+    task. The plan must show partial aggregation and NO Window in the
+    pre-reassembly subtree (the only Window-free formulation)."""
+    from balboa_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    plan = (
+        C.span_dedup(docs, span_tokens=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_min" in plan or "partial" in plan.lower()
+    # the ONLY acceptable window is none at all: reassembly is a
+    # groupBy collect_list, first-occurrence a min-struct aggregate
+    assert "Window" not in plan
+
+
+def test_weighted_sample_global_arm_is_takeordered(spark):
+    """The unstratified draw must be TakeOrdered(k) (per-partition
+    heaps + driver merge), never a global sort of the corpus."""
+    from pyspark.sql import functions as F
+
+    from balboa_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(i, 1.0 + i % 3) for i in range(100)], "doc_id long, w double"
+    )
+    plan = (
+        C.weighted_sample_k(df, 5, F.col("w"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_domain_profile_partial_aggregates(spark):
+    from pyspark.sql import functions as F
+
+    from balboa_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x", "w1 w2")], "doc_id long, url string, text string"
+    )
+    plan = (
+        C.domain_profile(df, url_col="url", text_col="text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial" in plan.lower()  # map-side combine on the domain key
