@@ -1441,8 +1441,15 @@ def pretrain_pipeline(
     corpora should drop plan references promptly."""
     from balboa_spark.operators import dedup
 
-    cleaned = clean_text(df, text_col=text_col, id_col=id_col).join(
-        df.select(id_col, source_col), id_col
+    cleaned = (
+        clean_text(df, text_col=text_col, id_col=id_col)
+        .join(df.select(id_col, source_col), id_col)
+        # materialize the clean stage ONCE: the gate's signal
+        # expressions each reference clean_text, and an inlined
+        # clean_text regex chain re-runs per reference (the
+        # pipeline_crawl finding; measured 7.1s -> 5.8s warm and
+        # 19.4s -> 7.3s cold for the whole chain at sf0.1)
+        .localCheckpoint(eager=True)
     )
     gated = gopher_filter(
         cleaned, text_col="clean_text", id_col=id_col,
