@@ -161,6 +161,12 @@ class SpanDedupStore:
     semi-join decision; at-least-once file appends give
     effectively-once decisions (the MinHashDedupStore argument, and
     the replay test pins it).
+
+    Concurrency: one writer (one streaming query) per store path —
+    concurrent parquet appends share a _temporary staging dir and can
+    clobber each other; multiple feeds should union upstream or
+    serialize externally (same single-writer contract as
+    MinHashDedupStore).
     """
 
     def __init__(self, spark: SparkSession, path: str, span_tokens: int = 16):
