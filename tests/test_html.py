@@ -84,3 +84,40 @@ def test_pure_codegen_no_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_engine_parity_fuzz(spark):
+    """Random tag-soup batches through BOTH engines: the rule chain
+    must agree byte-for-byte on arbitrary fragments, not just the
+    curated cases (each example is one Spark job over a 25-string
+    batch, so the fuzz stays cheap)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    frag = st.sampled_from([
+        "<p>", "</p>", "<div class='x'>", "<script>", "</script>", "<br/>",
+        "&amp;", "&lt;", "&nbsp;", "<!--", "-->", "plain", "täxt", " ",
+        "\n", "\t", "<h1>", "</h1>", "<weird", ">", "<STYLE>", "</style>",
+    ])
+    doc = st.lists(frag, max_size=12).map("".join)
+
+    @settings(
+        max_examples=4, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(docs=st.lists(doc, min_size=1, max_size=25))
+    def check(docs):
+        df = spark.createDataFrame(list(enumerate(docs)), "i long, h string")
+        got = {
+            r["i"]: r["t"]
+            for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE c (i BIGINT, h VARCHAR)")
+        con.executemany("INSERT INTO c VALUES (?, ?)", list(enumerate(docs)))
+        want = dict(
+            con.sql(f"SELECT i, {html_to_text_sql('h')} FROM c").fetchall()
+        )
+        assert got == want
+
+    check()

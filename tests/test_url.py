@@ -67,3 +67,48 @@ def test_unknown_part_raises(spark):
         U.url_part(F.col("u"), "nope")
     with pytest.raises(ValueError):
         U.url_part_sql("u", "nope")
+
+
+def test_engine_parity_fuzz(spark):
+    """Random URL-ish strings through both engines — parts AND
+    registered_domain must agree on arbitrary junk, not just
+    well-formed URLs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    frag = st.sampled_from([
+        "https://", "http://", "ftp://", "www.", "a.", "b", ".co.uk",
+        ".com", ":8080", "/path", "?q=1", "#frag", "@user", "..", ":",
+        "192.168.0.1", "", "x", "näme",
+    ])
+    u = st.lists(frag, max_size=8).map("".join)
+
+    @settings(
+        max_examples=4, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(urls=st.lists(u, min_size=1, max_size=25))
+    def check(urls):
+        df = spark.createDataFrame(list(enumerate(urls)), "i long, u string")
+        sel = (
+            [F.col("i")]
+            + [U.url_part(F.col("u"), p).alias(p) for p in PARTS]
+            + [U.registered_domain(F.col("u")).alias("dom")]
+        )
+        got = {
+            r["i"]: tuple(r[p] for p in PARTS) + (r["dom"],)
+            for r in df.select(*sel).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (i BIGINT, u VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?,?)", list(enumerate(urls)))
+        cols = ", ".join(U.url_part_sql("u", p) + f" AS {p}" for p in PARTS)
+        want = {
+            row[0]: tuple(row[1:])
+            for row in con.sql(
+                f"SELECT i, {cols}, {U.registered_domain_sql('u')} AS dom FROM t"
+            ).fetchall()
+        }
+        assert got == want
+
+    check()

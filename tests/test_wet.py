@@ -183,3 +183,52 @@ def test_manifest_driven_streaming_ingest(spark, tmp_path):
         "<a2>": "x1 x2 x3 x4",
         "<b2>": "y1 y2 y3 y4 y5",
     }  # <b1> fully duplicated snapshot 1 -> removed by the span store
+
+
+def test_parser_never_crashes_on_random_bytes():
+    """Pure-function fuzz: _parse_warc_bytes must terminate and yield
+    well-formed tuples for ARBITRARY byte blobs (the task-level
+    never-crash contract, attacked directly)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(blob=st.binary(max_size=400))
+    def check(blob):
+        rows = list(wet._parse_warc_bytes("p", blob))
+        for r in rows:
+            assert len(r) == 7 and r[0] == "p"
+        # structural damage terminates the file with ONE corrupt row
+        assert sum(1 for r in rows if r[2] == "_corrupt") <= 1
+
+    check()
+
+
+def test_parser_roundtrip_random_records():
+    """Fuzz the round-trip: wet_bytes(records) -> parser recovers
+    exactly the records, for arbitrary unicode ids/uris/texts (no
+    CR/LF in header values — the format's own constraint)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    header_text = st.text(
+        alphabet=st.characters(blacklist_characters="\r\n"), min_size=1, max_size=20
+    )
+    body_text = st.text(max_size=80)
+
+    def bstrip(s: str) -> str:
+        # the parser strips header values as BYTES (ASCII whitespace
+        # only) — str.strip() would also eat \x1c-\x1f control chars
+        return s.encode("utf-8").strip().decode("utf-8", "replace")
+
+    @settings(max_examples=100, deadline=None)
+    @given(recs=st.lists(st.tuples(header_text, header_text, body_text), max_size=4))
+    def check(recs):
+        blob = wet.wet_bytes(recs)
+        rows = list(wet._parse_warc_bytes("p", blob))
+        assert [(r[1], r[3], r[6]) for r in rows] == [
+            (bstrip(i), bstrip(u), t) for i, u, t in recs
+        ]
+        assert all(r[2] == "conversion" for r in rows)
+
+    check()
