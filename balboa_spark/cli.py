@@ -80,6 +80,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--target-source", dest="target_source", required=True)
     s.add_argument("--dsir-k", dest="dsir_k", type=int, default=2000)
     s.add_argument("--seq-len", dest="seq_len", type=int, default=128)
+
+    s = sub.add_parser(
+        "corpus-datasheet",
+        help="dataset datasheet (markdown): per-source/lang rollups, "
+        "quality-gate pass rates, exact-dup rate — the 'datasheets "
+        "for datasets' card, computed in three aggregate passes",
+    )
+    s.add_argument("input", help="parquet dir with (doc_id, text, lang, source)")
+    s.add_argument("out", help="output markdown file")
     return p
 
 
@@ -102,6 +111,12 @@ def run(args: argparse.Namespace, spark=None) -> int:
             seq_len=args.seq_len,
         )
         packed.write.mode("overwrite").parquet(args.out)
+        return 0
+
+    if args.cmd == "corpus-datasheet":
+        from balboa_spark.operators.corpus import write_datasheet
+
+        write_datasheet(spark.read.parquet(args.input), args.out)
         return 0
 
     store = ObservationStore(spark, args.store)

