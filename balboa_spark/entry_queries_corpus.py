@@ -1614,6 +1614,45 @@ FROM kept GROUP BY 1 ORDER BY domain
 """
 
 
+DOMAIN_CAP = 10
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (C4 pages-per-site limit, corpus.domain_cap):
+    at most DOMAIN_CAP docs per registrable domain of the synthetic
+    URL, chosen by the deterministic md5 order both engines replay."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return (
+        corpus.domain_cap(
+            docs.withColumn("url", _synth_url_col()), cap=DOMAIN_CAP
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _domain_cap_oracle() -> str:
+    from balboa_spark.functions.url import registered_domain_sql
+
+    return f"""
+WITH u AS (
+  SELECT doc_id, source, {_SYNTH_URL_SQL} AS url FROM documents
+),
+d AS (
+  SELECT doc_id, source, {registered_domain_sql('url')} AS dom FROM u
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY dom
+           ORDER BY md5('dcap1' || chr(31) || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM d
+)
+SELECT doc_id, source FROM r WHERE rn <= {DOMAIN_CAP} ORDER BY doc_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -1655,6 +1694,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_classifier": q_quality_classifier,
     "corpus_weighted_sample": q_weighted_sample,
     "pipeline_crawl": q_pipeline_crawl,
+    "corpus_domain_cap": q_domain_cap,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -1695,6 +1735,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_quality_classifier": _quality_classifier_oracle(),
     "corpus_weighted_sample": _weighted_sample_oracle(),
     "pipeline_crawl": _pipeline_crawl_oracle(),
+    "corpus_domain_cap": _domain_cap_oracle(),
     "corpus_blocklist": BLOCKLIST_ORACLE,
     "corpus_length_batches": LENGTH_BATCHES_ORACLE,
     "corpus_normalize_unicode": NORMALIZE_UNICODE_ORACLE,

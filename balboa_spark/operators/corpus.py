@@ -2231,6 +2231,38 @@ def source_overlap(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    salt: str = "dcap1",
+) -> DataFrame:
+    """Per-domain document cap (the C4 move that stops one site from
+    dominating the mixture): keep at most ``cap`` documents per
+    registrable domain, chosen DETERMINISTICALLY by md5(salt, id) —
+    reshuffle- and rerun-stable, a uniform random subset per domain
+    rather than whichever rows a scan happened to order first.
+
+    One per-domain rank window (bounded by the domain's own rows —
+    no global sort); the domain key is pure codegen
+    (functions/url.registered_domain). For quality-weighted keeps use
+    weighted_sample_k with strata=("domain",) instead."""
+    from balboa_spark.functions.url import registered_domain
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    w = Window.partitionBy("_dom").orderBy(
+        F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(id_col))), F.col(id_col)
+    )
+    return (
+        df.withColumn("_dom", registered_domain(F.col(url_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_dom", "_rn")
+    )
+
+
 def write_datasheet(df: DataFrame, out_path: str) -> None:
     """Render the 'datasheets for datasets' card as markdown: the
     dataset_profile rollups (one GROUPING SETS pass), the Gopher

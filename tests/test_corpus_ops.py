@@ -2143,3 +2143,24 @@ def test_cli_corpus_datasheet_e2e(spark, tmp_path):
     assert "| en | 2 |" in md and "| de | 1 |" in md
     # docs 1 and 2 share a normalized text -> 1 duplicate of 3
     assert "exact-duplicate documents: **33.3%** (1 of 3" in md
+
+
+def test_domain_cap_deterministic_uniform_keep(spark):
+    """At most cap docs per registrable domain; the keep set is a
+    pure function of (id, salt) — identical under reshuffle — and
+    domains under the cap pass through whole."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"https://site{'a' if i < 20 else 'b'}.com/p{i}") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = corpus.domain_cap(df, cap=8)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    again = sorted(
+        r["doc_id"] for r in corpus.domain_cap(df.repartition(7), cap=8).collect()
+    )
+    assert kept == again
+    a = [i for i in kept if i < 20]
+    b = [i for i in kept if i >= 20]
+    assert len(a) == 8  # sitea capped
+    assert len(b) == 5  # siteb under cap: all kept
+    assert a != list(range(8))  # md5 order, not first-N by id
