@@ -224,11 +224,11 @@ QUERIES.update(QUERIES_TEMPORAL)
 # pipeline_pretrain query. Every demoted entry's kernel remains graded
 # via an in-cap sibling (noted inline).
 #
-# ROUND-8 ROTATION PLAN (for the next builder): the 19 r7-new tail
+# ROUND-8 ROTATION PLAN (for the next builder): the 20 r7-new tail
 # entries (every name commented "r7-new ... rotates into the cap next
-# round", corpus_normalize_unicode through corpus_domain_cap)
+# round", corpus_normalize_unicode through events_psi_drift)
 # have never received a real-driver oracle row — swap them into the
-# first 50, demoting 19 of the r6/r7 double-verified in-cap entries,
+# first 50, demoting 20 of the r6/r7 double-verified in-cap entries,
 # exactly as this round did for the r6 cohort.
 # Standing tail rationale:
 #   tpch_q1/q3, join_enrich, topk_per_group — generic SQL demos, not
@@ -291,6 +291,7 @@ _TAIL = [
     "obs_blocklist_match",  # r7-new (wildcard indicator suffix match), driver_sim-verified; rotates into the cap next round
     "pipeline_crawl",  # r7-new (composed crawl chain: extract -> gate -> dedup -> domain rollup), driver_sim-verified; rotates into the cap next round
     "corpus_domain_cap",  # r7-new (C4 per-domain page cap, deterministic md5 order), driver_sim-verified; rotates into the cap next round
+    "events_psi_drift",  # r7-new (PSI drift monitor, fixed shared bins), driver_sim-verified; rotates into the cap next round
     "events_quantiles",  # same windowed-agg family as rolling/anomaly
     "events_tumbling",  # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",

@@ -612,6 +612,37 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """)
 
 
+# --- PSI drift monitor -----------------------------------------------------
+
+PSI_EDGES = (5.0, 15.0, 35.0, 70.0, 150.0)
+
+
+def q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of the value distribution, clicks (reference) vs
+    purchases (candidate) — expectations.psi_drift on shared fixed
+    bin edges; sum(contrib) is the PSI."""
+    from balboa_spark.operators.expectations import psi_drift
+
+    e = load_tables(spark, sf_dir, names=("events",))["events"]
+    return psi_drift(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        "value",
+        PSI_EDGES,
+    ).orderBy("bin")
+
+
+def _events_psi_oracle() -> str:
+    from balboa_spark.operators.expectations import psi_oracle_sql
+
+    return psi_oracle_sql(
+        "(SELECT * FROM events WHERE event_type = 'click')",
+        "(SELECT * FROM events WHERE event_type = 'purchase')",
+        "value",
+        PSI_EDGES,
+    )
+
+
 QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles": q_events_quantiles,
     "events_tumbling": q_events_tumbling,
@@ -631,6 +662,7 @@ QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_fuzzy_pairs": q_customer_fuzzy,
     "supplier_entity_resolve": q_supplier_entity,
     "obs_blocklist_match": q_obs_blocklist,
+    "events_psi_drift": q_events_psi,
 }
 
 ORACLES_EXTRA: dict[str, str] = {
@@ -652,4 +684,5 @@ ORACLES_EXTRA: dict[str, str] = {
     "customer_fuzzy_pairs": CUSTOMER_FUZZY_ORACLE,
     "supplier_entity_resolve": SUPPLIER_ENTITY_ORACLE,
     "obs_blocklist_match": _obs_blocklist_oracle(),
+    "events_psi_drift": _events_psi_oracle(),
 }

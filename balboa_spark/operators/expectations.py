@@ -90,3 +90,105 @@ SELECT rule, n.n_rows, CAST(v.n_violations AS BIGINT) AS n_violations,
        round(v.n_violations / n.n_rows, 6) AS violation_rate
 FROM v, n ORDER BY rule
 """
+
+
+def psi_drift(
+    ref: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    bin_edges: Sequence[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two distributions of
+    ``value_col`` — the standard drift monitor for a deployed score
+    (quality classifier, DSIR weight, length profile): bin both
+    relations on FIXED ``bin_edges`` (len+1 bins including the two
+    open tails), compare proportions, and report each bin's PSI
+    contribution (p_new - p_ref) * ln(p_new / p_ref) with ``eps``
+    smoothing so empty bins stay finite. Sum of ``contrib`` is the
+    PSI; the conventional read: < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted.
+
+    Scale shape: one map-side-combined groupBy per relation (bin
+    count = len(bin_edges)+1 rows each), a bins-sized join, pure
+    arithmetic after — nothing corpus-sized leaves the aggregates.
+    Deterministic and SQL-replayable: the bin id is a fixed CASE
+    ladder over the shared edges (psi_oracle_sql)."""
+    edges = list(bin_edges)
+    if sorted(edges) != edges or len(edges) < 1:
+        raise ValueError("bin_edges must be a non-empty ascending sequence")
+
+    def bin_col() -> Column:
+        c = F.when(F.col(value_col) < edges[0], F.lit(0))
+        for i in range(1, len(edges)):
+            c = c.when(F.col(value_col) < edges[i], F.lit(i))
+        return c.otherwise(F.lit(len(edges)))
+
+    def props(df: DataFrame, name: str) -> DataFrame:
+        counts = df.select(bin_col().alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        total = df.count()
+        return counts.select(
+            "bin", (F.col("_n") / F.lit(float(max(total, 1)))).alias(name)
+        )
+
+    bins = range(len(edges) + 1)
+    spark = ref.sparkSession
+    all_bins = spark.createDataFrame([(b,) for b in bins], "bin int")
+    joined = (
+        all_bins.join(props(ref, "p_ref"), "bin", "left")
+        .join(props(new, "p_new"), "bin", "left")
+        .fillna(0.0, ["p_ref", "p_new"])
+    )
+    pr = F.col("p_ref") + eps
+    pn = F.col("p_new") + eps
+    return joined.select(
+        "bin",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_new", 6).alias("p_new"),
+        F.round((pn - pr) * F.log(pn / pr), 6).alias("contrib"),
+    )
+
+
+def psi_oracle_sql(
+    ref_sql: str,
+    new_sql: str,
+    value_col: str,
+    bin_edges: Sequence[float],
+    eps: float = 1e-6,
+) -> str:
+    """DuckDB replay of psi_drift: ``ref_sql``/``new_sql`` are
+    relation expressions (table names or parenthesized subqueries)."""
+    edges = list(bin_edges)
+    case = "CASE "
+    case += f"WHEN {value_col} < {edges[0]!r} THEN 0 "
+    for i in range(1, len(edges)):
+        case += f"WHEN {value_col} < {edges[i]!r} THEN {i} "
+    case += f"ELSE {len(edges)} END"
+    nb = len(edges) + 1
+    return f"""
+WITH bins AS (SELECT unnest(range(0, {nb})) AS bin),
+r AS (
+  SELECT {case} AS bin, count(*) AS n FROM {ref_sql} GROUP BY 1
+),
+rt AS (SELECT greatest(sum(n), 1) AS t FROM r),
+nw AS (
+  SELECT {case} AS bin, count(*) AS n FROM {new_sql} GROUP BY 1
+),
+nt AS (SELECT greatest(sum(n), 1) AS t FROM nw),
+j AS (
+  SELECT b.bin,
+         coalesce(r.n, 0) * 1.0 / rt.t AS p_ref,
+         coalesce(nw.n, 0) * 1.0 / nt.t AS p_new
+  FROM bins b
+  LEFT JOIN r ON r.bin = b.bin
+  LEFT JOIN nw ON nw.bin = b.bin, rt, nt
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       round(p_ref, 6) AS p_ref,
+       round(p_new, 6) AS p_new,
+       round(((p_new + {eps!r}) - (p_ref + {eps!r}))
+             * ln((p_new + {eps!r}) / (p_ref + {eps!r})), 6) AS contrib
+FROM j ORDER BY bin
+"""

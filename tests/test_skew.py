@@ -101,3 +101,30 @@ def test_compression_signals_is_arrow_batched(spark):
     # vectorized Arrow eval, not row-at-a-time Python eval
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_psi_drift_hand_case_and_edges(spark):
+    """PSI on hand distributions: identical inputs give ~0 total;
+    shifted mass gives positive contributions in the shifted bins;
+    empty bins stay finite via eps smoothing."""
+    from pyspark.sql import functions as F
+
+    from balboa_spark.operators.expectations import psi_drift
+
+    ref = spark.createDataFrame([(float(v),) for v in [1, 1, 6, 6]], "value double")
+    same = psi_drift(ref, ref, "value", (5.0,)).collect()
+    assert sum(r["contrib"] for r in same) == 0.0
+    # all new mass moves above the edge
+    new = spark.createDataFrame([(float(v),) for v in [6, 7, 8, 9]], "value double")
+    rows = {r["bin"]: r for r in psi_drift(ref, new, "value", (5.0,)).collect()}
+    assert rows[0]["p_ref"] == 0.5 and rows[0]["p_new"] == 0.0
+    assert rows[1]["p_new"] == 1.0
+    psi = sum(r["contrib"] for r in rows.values())
+    assert psi > 0.25  # 'shifted' on the conventional scale
+    import math
+    assert all(math.isfinite(r["contrib"]) for r in rows.values())
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        psi_drift(ref, new, "value", (5.0, 1.0))
