@@ -69,3 +69,75 @@ def read_quality_series(spark, out_path: str) -> DataFrame:
             "violation_rate double, epoch_id long",
         )
     return spark.read.parquet(out_path)
+
+
+def drift_monitor_sink(
+    reference: DataFrame,
+    value_col: str,
+    bin_edges: Sequence[float],
+    out_path: str,
+    alert_psi: float | None = 0.25,
+    on_alert: Callable[[int, float], None] | None = None,
+):
+    """foreachBatch PSI drift monitor: compare every micro-batch's
+    ``value_col`` distribution against a PINNED reference (training
+    snapshot, launch-week histogram) over fixed bin edges and append
+    (epoch_id, psi, per-bin contributions) as a time series — the
+    deployed-score drift alarm (expectations.psi_drift per batch).
+
+    The reference is reduced ONCE at sink-build time to its bins-sized
+    histogram rows, so per-batch work is one groupBy over the batch
+    plus arithmetic on ~len(bin_edges)+1 rows — the reference corpus
+    is never rescanned. Alert fires when PSI exceeds ``alert_psi``
+    (the conventional 'shifted' line)."""
+    from balboa_spark.operators.expectations import psi_drift
+
+    # pin the reference ONCE: a bins-sized local relation
+    ref_rows = (
+        psi_drift(reference, reference, value_col, bin_edges)
+        .select("bin", "p_ref")
+        .collect()
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ref_hist = spark.createDataFrame(ref_rows, "bin int, p_ref double")
+        # psi against the pinned proportions: reuse psi_drift's batch
+        # side only, joining the stored reference proportions back in
+        batch_side = (
+            psi_drift(batch_df.limit(0), batch_df, value_col, bin_edges)
+            .select("bin", "p_new")
+        )
+        eps = 1e-6
+        rows = (
+            ref_hist.join(batch_side, "bin", "left")
+            .fillna(0.0, ["p_new"])
+            .select(
+                "bin", "p_ref", "p_new",
+                F.round(
+                    ((F.col("p_new") + eps) - (F.col("p_ref") + eps))
+                    * F.log((F.col("p_new") + eps) / (F.col("p_ref") + eps)),
+                    6,
+                ).alias("contrib"),
+            )
+            .collect()
+        )
+        psi = round(sum(r["contrib"] for r in rows), 6)
+        (
+            spark.createDataFrame(
+                [
+                    (epoch_id, r["bin"], r["p_ref"], r["p_new"], r["contrib"], psi)
+                    for r in rows
+                ],
+                "epoch_id long, bin int, p_ref double, p_new double, "
+                "contrib double, psi double",
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        if alert_psi is not None and on_alert is not None and psi > alert_psi:
+            on_alert(epoch_id, psi)
+
+    return sink
