@@ -128,9 +128,15 @@ def psi_drift(
         counts = df.select(bin_col().alias("bin")).groupBy("bin").agg(
             F.count(F.lit(1)).alias("_n")
         )
-        total = df.count()
+        # total = sum of the bins-sized counts (a window over <=
+        # len(edges)+1 rows) — NOT df.count(), which would be a second
+        # corpus-sized scan per relation
+        from pyspark.sql import Window
+
+        tot = F.sum("_n").over(Window.partitionBy())
         return counts.select(
-            "bin", (F.col("_n") / F.lit(float(max(total, 1)))).alias(name)
+            "bin",
+            (F.col("_n") / F.greatest(tot, F.lit(1)).cast("double")).alias(name),
         )
 
     bins = range(len(edges) + 1)
