@@ -233,16 +233,94 @@ FROM tok2 GROUP BY 1 ORDER BY seq_id
 """
 
 
+PACK_BESTFIT_GROUPS = 8
+
+
 def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Truncation-free FFD bin packing (corpus.pack_bestfit). The FFD
-    loop is not SQL-expressible, so this is a rows-only driver entry;
-    exactness is covered by the pure-Python parity + invariant unit
-    tests (every piece placed once, no bin over capacity,
-    reshuffle-stable)."""
+    """Truncation-free FFD bin packing (corpus.pack_bestfit), graded
+    through its INVARIANTS (r8 upgrade from rows-only; the FFD loop
+    itself is not SQL-expressible, but its correctness conditions
+    are): per packing group, (1) piece count and token mass equal the
+    chunked input's — DuckDB recomputes both from `documents` alone;
+    (2) no bin over capacity; (3) every bin's fill equals its
+    seq_text token count; (4) every piece appears exactly once
+    (distinct piece ids == piece count); (5) bin count is at least
+    the token-mass lower bound ceil(total_fill/seq_len). The oracle
+    emits TRUE constants for (2)-(5) — any FFD defect flips a bool or
+    shifts a count and the hash goes red. Exact bin composition is
+    additionally covered by the pure-Python parity unit tests."""
     docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    return corpus.pack_bestfit(
-        docs, seq_len=PACK_SEQ_LEN, num_groups=8
-    ).orderBy("group", "bin_id")
+    packed = corpus.pack_bestfit(
+        docs, seq_len=PACK_SEQ_LEN, num_groups=PACK_BESTFIT_GROUPS
+    )
+    bins = packed.select(
+        F.col("group").alias("grp"),
+        "n_pieces",
+        "fill_tokens",
+        F.size(F.split("seq_text", " ")).alias("_text_toks"),
+        F.split("piece_ids", ",").alias("_pids"),
+    )
+    per_group = bins.groupBy("grp").agg(
+        F.sum("n_pieces").cast("long").alias("n_pieces"),
+        F.sum("fill_tokens").cast("long").alias("total_fill"),
+        F.count(F.lit(1)).alias("_n_bins"),
+        F.bool_and(F.col("fill_tokens") <= F.lit(PACK_SEQ_LEN)).alias(
+            "all_within_cap"
+        ),
+        F.bool_and(F.col("fill_tokens") == F.col("_text_toks")).alias(
+            "fill_matches_text"
+        ),
+        F.bool_and(F.col("n_pieces") == F.size("_pids")).alias("_listed"),
+    )
+    distinct = (
+        bins.select("grp", F.explode("_pids").alias("pid"))
+        .groupBy("grp")
+        .agg(F.countDistinct("pid").alias("_distinct"))
+    )
+    return (
+        per_group.join(distinct, "grp")
+        .select(
+            "grp",
+            "n_pieces",
+            "total_fill",
+            "all_within_cap",
+            "fill_matches_text",
+            (F.col("_listed") & (F.col("_distinct") == F.col("n_pieces"))).alias(
+                "pieces_distinct"
+            ),
+            (
+                F.col("_n_bins")
+                >= F.ceil(F.col("total_fill") / F.lit(PACK_SEQ_LEN))
+            ).alias("bins_lower_ok"),
+        )
+        .orderBy("grp")
+    )
+
+
+PACK_BESTFIT_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sized AS (SELECT doc_id, len(tk) AS n FROM tk WHERE len(tk) > 0),
+pieces AS (
+  SELECT doc_id, i AS chunk,
+         least({PACK_SEQ_LEN}, n - i * {PACK_SEQ_LEN}) AS plen,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)
+               || CAST(i AS VARCHAR)), 1, 6)) AS BIGINT)
+           % {PACK_BESTFIT_GROUPS} AS grp
+  FROM sized, unnest(range(0, CAST(ceil(n / {PACK_SEQ_LEN}.0) AS BIGINT))) AS t(i)
+)
+SELECT CAST(grp AS INTEGER) AS grp,
+       count(*) AS n_pieces,
+       CAST(sum(plen) AS BIGINT) AS total_fill,
+       TRUE AS all_within_cap,
+       TRUE AS fill_matches_text,
+       TRUE AS pieces_distinct,
+       TRUE AS bins_lower_ok
+FROM pieces GROUP BY grp ORDER BY grp
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -497,6 +575,7 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "events_funnel": EVENTS_FUNNEL_ORACLE,
     "corpus_pack_sequences": PACK_SEQUENCES_ORACLE,
     "corpus_pack_boundaries": PACK_BOUNDARIES_ORACLE,
+    "corpus_pack_bestfit": PACK_BESTFIT_ORACLE,
     "events_zorder": _zorder_oracle(),
     "events_interval_join": EVENTS_INTERVAL_JOIN_ORACLE,
     "events_props_extract": EVENTS_PROPS_EXTRACT_ORACLE,
