@@ -611,18 +611,26 @@ def domain_profile(
     df: DataFrame,
     url_col: str = "url",
     text_col: str = "text",
+    psl: bool = True,
 ) -> DataFrame:
     """Per-registrable-domain corpus rollup — the unit of crawl
     curation (C4 filters whole domains; per-domain caps stop one site
     from dominating the mixture): documents, token mass, and mean
     doc length per domain. ONE map-side-combined groupBy on the
-    domain (functions/url.registered_domain — pure codegen, so the
-    grouping key costs nothing extra at scan time)."""
-    from balboa_spark.functions.url import registered_domain
+    domain key, which is pure codegen either way, so it costs nothing
+    extra at scan time. ``psl=True`` (default, r8) uses the real
+    Public-Suffix-List algorithm (functions/psl — wildcards,
+    exceptions, longest match) so ``.co.uk``-style hosts group by the
+    true registrable name; ``psl=False`` keeps the small-list
+    heuristic (functions/url.registered_domain)."""
+    if psl:
+        from balboa_spark.functions.psl import registered_domain_psl as _dom
+    else:
+        from balboa_spark.functions.url import registered_domain as _dom
 
     return (
         df.select(
-            registered_domain(F.col(url_col)).alias("domain"),
+            _dom(F.col(url_col)).alias("domain"),
             token_count(F.col(text_col)).alias("_nt"),
         )
         .groupBy("domain")
@@ -2237,6 +2245,7 @@ def domain_cap(
     url_col: str = "url",
     id_col: str = "doc_id",
     salt: str = "dcap1",
+    psl: bool = True,
 ) -> DataFrame:
     """Per-domain document cap (the C4 move that stops one site from
     dominating the mixture): keep at most ``cap`` documents per
@@ -2245,10 +2254,15 @@ def domain_cap(
     rather than whichever rows a scan happened to order first.
 
     One per-domain rank window (bounded by the domain's own rows —
-    no global sort); the domain key is pure codegen
+    no global sort); the domain key is pure codegen either way:
+    ``psl=True`` (default, r8) is the real Public-Suffix-List
+    algorithm (functions/psl), ``psl=False`` the small-list heuristic
     (functions/url.registered_domain). For quality-weighted keeps use
     weighted_sample_k with strata=("domain",) instead."""
-    from balboa_spark.functions.url import registered_domain
+    if psl:
+        from balboa_spark.functions.psl import registered_domain_psl as _dom
+    else:
+        from balboa_spark.functions.url import registered_domain as _dom
 
     if cap < 1:
         raise ValueError("cap must be >= 1")
@@ -2256,7 +2270,7 @@ def domain_cap(
         F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(id_col))), F.col(id_col)
     )
     return (
-        df.withColumn("_dom", registered_domain(F.col(url_col)))
+        df.withColumn("_dom", _dom(F.col(url_col)))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)
         .drop("_dom", "_rn")

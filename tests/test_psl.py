@@ -1,0 +1,153 @@
+"""PSL-backed registrable domain (functions/psl.py): the published
+checkPublicSuffix semantics (longest match, wildcard, exception) with
+three-way parity — Column codegen arm vs DuckDB SQL twin vs the
+broadcast-join arm — plus the full-file loader."""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from balboa_spark.functions import psl as P
+
+# (url, expected registrable domain) — drawn from the published
+# checkPublicSuffix vectors where our pinned snapshot carries the
+# rule; hosts that ARE a public suffix pass through whole (documented
+# deviation, keeps domain grouping total).
+CASES = [
+    ("http://www.example.com/x", "example.com"),
+    ("https://b.example.co.uk", "example.co.uk"),
+    ("https://a.b.example.co.uk", "example.co.uk"),
+    ("http://www.ck/", "www.ck"),  # exception !www.ck
+    ("http://some.www.ck/", "www.ck"),
+    ("http://foo.bar.ck/", "foo.bar.ck"),  # wildcard *.ck
+    ("http://city.kawasaki.jp/", "city.kawasaki.jp"),  # exception
+    ("http://bar.foo.kawasaki.jp/", "bar.foo.kawasaki.jp"),  # wildcard
+    ("http://example.tokyo.jp/", "example.tokyo.jp"),
+    ("http://192.168.0.1/x", "192.168.0.1"),  # IP passthrough
+    ("http://localhost/", "localhost"),  # single label passthrough
+    ("https://x.y.z.sch.uk/", "y.z.sch.uk"),  # *.sch.uk
+    ("https://sub.example.com.au/", "example.com.au"),
+    ("HTTPS://WWW.EXAMPLE.COM./", "example.com"),  # case + trailing dot
+    ("bare-host.co.nz", "bare-host.co.nz"),  # host-only input
+    (None, None),
+]
+
+
+def test_column_arm_and_sql_twin_parity(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CASES)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["dom"]
+        for r in df.select(
+            "i", P.registered_domain_psl(F.col("u")).alias("dom")
+        ).collect()
+    }
+    for i, (u, exp) in enumerate(CASES):
+        assert got[i] == exp, (u, got[i], exp)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, u VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, u) for i, (u, _) in enumerate(CASES)]
+    )
+    sql = f"SELECT i, {P.registered_domain_psl_sql('u')} AS dom FROM t"
+    for i, dom in con.execute(sql).fetchall():
+        assert dom == got[i], (CASES[i][0], dom, got[i])
+
+
+def test_broadcast_join_arm_parity(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CASES) if u is not None],
+        "i long, u string",
+    )
+    rules = P.psl_rules_df(spark)
+    got = {
+        r["i"]: r["domain"]
+        for r in P.with_registered_domain_psl(df, "u", rules).collect()
+    }
+    for i, (u, exp) in enumerate(CASES):
+        if u is None:
+            continue
+        assert got[i] == exp, (u, got[i], exp)
+
+
+def test_load_psl_rules_roundtrip(spark, tmp_path):
+    """A user-supplied PSL file (comments, blanks, wildcard,
+    exception) parses and drives both arms identically."""
+    f = tmp_path / "psl.dat"
+    f.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "co.uk\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "\n"
+        "// ===END===\n"
+    )
+    rules = P.load_psl_rules(str(f))
+    assert rules == ("com", "co.uk", "*.ck", "!www.ck")
+    df = spark.createDataFrame(
+        [("https://a.b.co.uk/",), ("http://x.foo.ck/",), ("http://www.ck/",)],
+        "u string",
+    )
+    col = {
+        r["u"]: r["d"]
+        for r in df.select(
+            "u", P.registered_domain_psl(F.col("u"), rules=rules).alias("d")
+        ).collect()
+    }
+    assert col["https://a.b.co.uk/"] == "b.co.uk"
+    assert col["http://x.foo.ck/"] == "x.foo.ck"
+    assert col["http://www.ck/"] == "www.ck"
+    join = {
+        r["u"]: r["domain"]
+        for r in P.with_registered_domain_psl(
+            df, "u", P.psl_rules_df(spark, rules)
+        ).collect()
+    }
+    assert join == col
+
+
+def test_unlisted_registry_differs_from_heuristic(spark):
+    """The case the heuristic gets wrong: a second-level registry
+    outside its 18-entry list (gob.mx is in PSL_SNAPSHOT, not in
+    SECOND_LEVEL_SUFFIXES) — PSL groups by the 3-label registrable
+    name, the heuristic truncates to 2 labels."""
+    from balboa_spark.functions.url import registered_domain
+
+    df = spark.createDataFrame([("https://portal.cdmx.gob.mx/",)], "u string")
+    r = df.select(
+        P.registered_domain_psl(F.col("u")).alias("psl"),
+        registered_domain(F.col("u")).alias("heur"),
+    ).collect()[0]
+    assert r["psl"] == "cdmx.gob.mx"
+    assert r["heur"] == "gob.mx"
+
+
+def test_domain_ops_psl_arm(spark):
+    """domain_profile/domain_cap route through the PSL key by
+    default; psl=False keeps the heuristic key."""
+    from balboa_spark.operators import corpus
+
+    rows = [
+        (1, "https://a.x.gob.mx/1", "w w w"),
+        (2, "https://b.x.gob.mx/2", "w w"),
+        (3, "https://c.y.gob.mx/3", "w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    prof = {
+        r["domain"]: r["n_docs"]
+        for r in corpus.domain_profile(df).collect()
+    }
+    assert prof == {"x.gob.mx": 2, "y.gob.mx": 1}
+    heur = {
+        r["domain"]: r["n_docs"]
+        for r in corpus.domain_profile(df, psl=False).collect()
+    }
+    assert heur == {"gob.mx": 3}
+    capped = corpus.domain_cap(df, cap=1)
+    assert capped.count() == 2  # one per PSL domain
+    assert corpus.domain_cap(df, cap=1, psl=False).count() == 1
