@@ -506,7 +506,7 @@ def q_customer_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CUSTOMER_FUZZY_ORACLE = """
-WITH d AS (SELECT DISTINCT c_name AS v FROM customer)
+WITH d AS (SELECT DISTINCT c_name AS v FROM customer WHERE len(c_name) >= 4)
 SELECT a.v AS val_a, b.v AS val_b, levenshtein(a.v, b.v) AS dist
 FROM d a, d b
 WHERE a.v < b.v
@@ -546,6 +546,7 @@ WITH RECURSIVE d AS (SELECT DISTINCT s_name AS v FROM supplier),
 pairs AS (
   SELECT a.v AS val_a, b.v AS val_b FROM d a, d b
   WHERE a.v < b.v AND abs(len(a.v) - len(b.v)) <= 1
+    AND len(a.v) >= 4 AND len(b.v) >= 4
     AND levenshtein(a.v, b.v) <= 1
 ),
 sym AS (

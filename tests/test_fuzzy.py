@@ -43,7 +43,7 @@ def test_value_pairs_match_bruteforce_k1_k2(spark):
     for k in (1, 2):
         got = {
             (r["val_a"], r["val_b"], r["dist"])
-            for r in fuzzy.fuzzy_value_pairs(df, "v", k).collect()
+            for r in fuzzy.fuzzy_value_pairs(df, "v", k, min_length=0).collect()
         }
         assert got == _brute(WORDS, k), f"k={k}"
 
@@ -65,7 +65,7 @@ def test_value_pairs_property_random_vocab(spark):
         df = spark.createDataFrame([(w,) for w in words], "v string")
         got = {
             (r["val_a"], r["val_b"], r["dist"])
-            for r in fuzzy.fuzzy_value_pairs(df, "v", k).collect()
+            for r in fuzzy.fuzzy_value_pairs(df, "v", k, min_length=0).collect()
         }
         assert got == _brute(words, k)
 
@@ -88,7 +88,7 @@ def test_nulls_dropped_and_dist_zero_excluded_from_value_pairs(spark):
     df = spark.createDataFrame(
         [("x",), (None,), ("x",), ("y",)], "v string"
     )
-    rows = fuzzy.fuzzy_value_pairs(df, "v", 1).collect()
+    rows = fuzzy.fuzzy_value_pairs(df, "v", 1, min_length=0).collect()
     # distinct values {x, y}: lev=1 pair only; duplicates are not pairs
     assert [(r["val_a"], r["val_b"], r["dist"]) for r in rows] == [("x", "y", 1)]
 
@@ -103,7 +103,7 @@ def test_fuzzy_join_both_orientations_and_exact(spark):
     )
     got = {
         (r["lid"], r["rid"], r["dist"])
-        for r in fuzzy.fuzzy_join(left, right, "lname", "rname", 1)
+        for r in fuzzy.fuzzy_join(left, right, "lname", "rname", 1, min_length=0)
         .select("lid", "rid", "dist")
         .collect()
     }
@@ -115,7 +115,7 @@ def test_fuzzy_join_row_multiplicity(spark):
     though candidate pairing ran on distinct values."""
     left = spark.createDataFrame([(1, "aa"), (2, "aa")], "lid long, lname string")
     right = spark.createDataFrame([(7, "ab"), (8, "ab")], "rid long, rname string")
-    rows = fuzzy.fuzzy_join(left, right, "lname", "rname", 1).collect()
+    rows = fuzzy.fuzzy_join(left, right, "lname", "rname", 1, min_length=0).collect()
     assert len(rows) == 4 and all(r["dist"] == 1 for r in rows)
 
 
@@ -131,6 +131,39 @@ def test_no_cartesian_in_plan(spark):
     variant key — a CartesianProduct or BroadcastNestedLoop in the
     plan means the bucketing silently degraded to all-pairs."""
     df = spark.createDataFrame([(w,) for w in WORDS], "v string")
-    plan = fuzzy.fuzzy_value_pairs(df, "v", 1)._jdf.queryExecution().executedPlan().toString()
+    plan = fuzzy.fuzzy_value_pairs(df, "v", 1, min_length=0)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_min_length_gate_default_and_diagnostic(spark):
+    """The default length gate (FUZZY_MIN_LENGTH=4) excludes the
+    short-string quadratic corner; variant_bucket_diagnostic measures
+    the bucket blow-up a gate-less run would shuffle."""
+    # pathological column: every 1-2 char string over a tiny alphabet
+    # — ungated, these all collide into a handful of variant buckets
+    short = [a + b for a in "abc" for b in "abc"] + list("abc")
+    long_ = ["gamma", "gamna", "delta"]
+    df = spark.createDataFrame([(w,) for w in short + long_], "v string")
+
+    gated = {
+        (r["val_a"], r["val_b"])
+        for r in fuzzy.fuzzy_value_pairs(df, "v", 1).collect()
+    }
+    assert gated == {("gamma", "gamna")}  # short strings never paired
+
+    diag_all = fuzzy.variant_bucket_diagnostic(df, "v", 1).collect()[0]
+    diag_gated = fuzzy.variant_bucket_diagnostic(
+        df, "v", 1, min_length=4
+    ).collect()[0]
+    # ungated: the single-char deletions of all 2-char values pile up
+    assert diag_all["max_key_rows"] > diag_gated["max_key_rows"]
+    assert diag_gated["max_key_rows"] <= 2
+
+
+def test_mass_duplicates_collapse_before_pairing_gated(spark):
+    """The gate composes with distinct-value collapse (values here are
+    >= 4 chars so the default gate keeps them)."""
+    few = spark.createDataFrame([("aaaa",)] * 2 + [("aaab",)], "v string")
+    out = fuzzy.fuzzy_value_pairs(few, "v", 1).collect()
+    assert len(out) == 1 and out[0]["dist"] == 1
