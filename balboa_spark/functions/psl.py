@@ -24,21 +24,33 @@ Deviation (shared with the heuristic, documented): a host that IS a
 public suffix (``foo.ck``) or an IP literal passes through whole
 instead of mapping to NULL, so domain grouping stays total.
 
-``PSL_SNAPSHOT`` is a pinned SUBSET of the ICANN section (~230 rules:
-every wildcard/exception TLD rule plus the second-level registries of
-the most common ccTLDs), chosen because the rule DATA is a 10k-line
-moving target while the rule ALGORITHM is stable. Pipelines that need
-the full list load it with :func:`load_psl_rules` and either pass it
-to :func:`registered_domain_psl` (literal arrays — fine into the
-thousands of rules, Catalyst folds them once per task) or use the
+``PSL_SNAPSHOT`` is a pinned SUBSET of the published list (~280
+rules: every wildcard/exception TLD rule, the second-level registries
+of the most common ccTLDs, and the highest-traffic PRIVATE-section
+hosters — github.io, blogspot.com, the AWS/GCP/Azure app domains),
+chosen because the rule DATA is a 10k-line moving target while the
+rule ALGORITHM is stable. Snapshot provenance: hand-pinned from the
+publicsuffix.org list as published, pin refreshed 2026-08 (round 9:
+the retired ``*.fj`` / ``*.gu`` wildcards were replaced by the
+explicit second-level registries that superseded them upstream).
+Pipelines that need the full list load it with :func:`load_psl_rules`
+and either pass it to :func:`registered_domain_psl` or use the
 broadcast-join arm :func:`with_registered_domain_psl`.
 
 Scale: the Column arm is whole-stage codegen over per-row label
-arithmetic — no shuffle, no UDF, the domain key costs nothing extra
-at scan time. The join arm is one posexplode (bounded by the max rule
-depth, <=5 candidate suffixes per row) + one broadcast join + one
-groupBy(row) max — no skew surface because the rules side is tiny and
-the candidate fan-out is a constant.
+arithmetic — no shuffle, no UDF. Rule membership is ONE ``isin`` per
+distinct rule label-count (<=5), which Catalyst's OptimizeIn rewrites
+to an ``InSet`` hash probe when the set exceeds ~10 values — O(max
+rule depth) hash lookups per row, independent of rule count, and the
+rule strings live in the InSet closure rather than the generated
+code, so the full ~10k-rule published list stays within codegen
+method limits in this arm too (r8 shipped per-rule literal arrays
+scanned via ``array_contains``; that was linear in rules-per-depth
+and regressed pipeline_crawl +50%, recovered r9). The join arm is one
+posexplode (bounded by the max rule depth, <=5 candidate suffixes per
+row) + one broadcast join + one groupBy(row-id) max — no skew surface
+because the rules side is tiny and the candidate fan-out is a
+constant.
 """
 
 from __future__ import annotations
@@ -49,9 +61,15 @@ from pyspark.sql import functions as F
 #: Pinned subset snapshot of the PSL ICANN section, rule syntax as
 #: published: plain rule, ``*.`` wildcard, ``!`` exception.
 PSL_SNAPSHOT: tuple[str, ...] = (
-    # wildcard TLDs + their exceptions
-    "*.bd", "*.ck", "!www.ck", "*.er", "*.fj", "*.fk", "*.gu", "*.jm",
+    # wildcard TLDs + their exceptions (as published; *.fj and *.gu
+    # were retired upstream in favor of explicit second-levels below)
+    "*.bd", "*.ck", "!www.ck", "*.er", "*.fk", "*.jm",
     "*.kh", "*.mm", "*.np", "*.pg",
+    # Fiji / Guam: explicit registries that replaced the wildcards
+    "ac.fj", "biz.fj", "com.fj", "gov.fj", "info.fj", "mil.fj",
+    "name.fj", "net.fj", "org.fj", "pro.fj",
+    "com.gu", "edu.gu", "gov.gu", "guam.gu", "info.gu", "net.gu",
+    "org.gu", "web.gu",
     # Japan: structural 2nd-level + city wildcards with exceptions
     "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
     "ne.jp", "or.jp",
@@ -182,6 +200,26 @@ PSL_SNAPSHOT: tuple[str, ...] = (
     "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
     # Hungary
     "co.hu", "org.hu", "info.hu", "priv.hu",
+    # --- PRIVATE section subset (publisher-operated suffixes from the
+    # published list's PRIVATE DOMAINS half; the highest-traffic app /
+    # hosting platforms a web crawl actually hits) -------------------
+    "github.io", "githubusercontent.com", "gitlab.io",
+    "blogspot.com",
+    "appspot.com", "web.app", "firebaseapp.com", "withgoogle.com",
+    "herokuapp.com",
+    "netlify.app",
+    "vercel.app", "now.sh",
+    "pages.dev", "workers.dev",
+    "azurewebsites.net", "cloudapp.azure.com",
+    "s3.amazonaws.com", "*.compute.amazonaws.com",
+    "*.compute-1.amazonaws.com", "elasticbeanstalk.com",
+    "cloudfront.net",
+    "readthedocs.io",
+    "glitch.me",
+    "neocities.org",
+    "fly.dev",
+    "onrender.com",
+    "repl.co",
 )
 
 
@@ -242,6 +280,44 @@ def host_of(url: Column) -> Column:
     return F.regexp_replace(host, r"\.$", "")
 
 
+def _ps_len_expr(
+    labels: Column,
+    n: Column,
+    normal: dict[int, list[str]],
+    wild: dict[int, list[str]],
+    exc: dict[int, list[str]],
+) -> Column:
+    """Public-suffix label count under the longest-match rule, as ONE
+    ``isin`` membership test per distinct rule label-count. Catalyst's
+    OptimizeIn turns each >10-value ``isin`` into an InSet hash probe,
+    so the per-row cost is O(max rule depth) hash lookups — flat in
+    the number of rules (the r8 per-rule ``array_contains`` scan was
+    linear in rules-per-depth and cost pipeline_crawl +50%)."""
+    candidates = [F.lit(1)]
+    for k in sorted(normal):
+        candidates.append(
+            F.when((n >= k) & _last_k(labels, k).isin(sorted(normal[k])), k)
+            .otherwise(0)
+        )
+    for k in sorted(wild):
+        # '*.ck' (base 1 label) makes any (k+1)-label suffix public —
+        # only when the host HAS an extra label to fill the wildcard
+        candidates.append(
+            F.when(
+                (n >= k + 1) & _last_k(labels, k).isin(sorted(wild[k])),
+                k + 1,
+            ).otherwise(0)
+        )
+    ps_len = F.greatest(*candidates) if len(candidates) > 1 else candidates[0]
+    # exception rules prevail: '!www.ck' -> its public suffix is the
+    # rule minus the leftmost label
+    for k in sorted(exc):
+        ps_len = F.when(
+            (n >= k) & _last_k(labels, k).isin(sorted(exc[k])), k - 1
+        ).otherwise(ps_len)
+    return ps_len
+
+
 def registered_domain_psl(
     url: Column, rules: tuple[str, ...] | None = None
 ) -> Column:
@@ -249,7 +325,9 @@ def registered_domain_psl(
     pure Column expression (whole-stage codegen, no UDF/join/shuffle).
 
     ``rules`` defaults to the pinned PSL_SNAPSHOT subset; pass
-    load_psl_rules(...) output for the full published list."""
+    load_psl_rules(...) output for the full published list — rule
+    membership is InSet-backed (see :func:`_ps_len_expr`), so the
+    full ~10k-rule list is fine in this arm."""
     normal, wild, exc = (
         (_NORMAL, _WILD, _EXC) if rules is None else parse_rules(rules)
     )
@@ -257,34 +335,7 @@ def registered_domain_psl(
     labels = F.split(host, r"\.")
     n = F.size(labels)
     is_ip = host.rlike(r"^[0-9.]+$")
-
-    # public-suffix label count under the longest-match rule
-    candidates = [F.lit(1)]
-    for k, vals in normal.items():
-        arr = F.array(*[F.lit(v) for v in sorted(vals)])
-        candidates.append(
-            F.when((n >= k) & F.array_contains(arr, _last_k(labels, k)), k)
-            .otherwise(0)
-        )
-    for k, bases in wild.items():
-        arr = F.array(*[F.lit(v) for v in sorted(bases)])
-        # '*.ck' (base 1 label) makes any (k+1)-label suffix public —
-        # only when the host HAS an extra label to fill the wildcard
-        candidates.append(
-            F.when(
-                (n >= k + 1) & F.array_contains(arr, _last_k(labels, k)),
-                k + 1,
-            ).otherwise(0)
-        )
-    ps_len = F.greatest(*candidates) if len(candidates) > 1 else candidates[0]
-    # exception rules prevail: '!www.ck' -> its public suffix is the
-    # rule minus the leftmost label
-    for k, vals in exc.items():
-        arr = F.array(*[F.lit(v) for v in sorted(vals)])
-        ps_len = F.when(
-            (n >= k) & F.array_contains(arr, _last_k(labels, k)), k - 1
-        ).otherwise(ps_len)
-
+    ps_len = _ps_len_expr(labels, n, normal, wild, exc)
     reg_len = F.least(ps_len + 1, n)
     return (
         F.when(url.isNull(), F.lit(None).cast("string"))
@@ -319,21 +370,21 @@ def registered_domain_psl_sql(
         return f"array_to_string({ls}[-{k}:], '.')"
 
     parts = ["1"]
-    for k, vals in normal.items():
-        arr = "[" + ", ".join(f"'{v}'" for v in sorted(vals)) + "]"
+    for k in sorted(normal):
+        arr = "[" + ", ".join(f"'{v}'" for v in sorted(normal[k])) + "]"
         parts.append(
             f"CASE WHEN {nn} >= {k} AND list_contains({arr}, {lastk(k)})"
             f" THEN {k} ELSE 0 END"
         )
-    for k, bases in wild.items():
-        arr = "[" + ", ".join(f"'{v}'" for v in sorted(bases)) + "]"
+    for k in sorted(wild):
+        arr = "[" + ", ".join(f"'{v}'" for v in sorted(wild[k])) + "]"
         parts.append(
             f"CASE WHEN {nn} >= {k + 1} AND list_contains({arr}, {lastk(k)})"
             f" THEN {k + 1} ELSE 0 END"
         )
     ps = "greatest(" + ", ".join(parts) + ")"
-    for k, vals in exc.items():
-        arr = "[" + ", ".join(f"'{v}'" for v in sorted(vals)) + "]"
+    for k in sorted(exc):
+        arr = "[" + ", ".join(f"'{v}'" for v in sorted(exc[k])) + "]"
         ps = (
             f"CASE WHEN {nn} >= {k} AND list_contains({arr}, {lastk(k)})"
             f" THEN {k - 1} ELSE {ps} END"
@@ -380,13 +431,26 @@ def with_registered_domain_psl(
     the rule relation, keep the prevailing rule per row (exception
     beats longest), then rebuild the registrable domain. One narrow
     explode (constant fan-out), one broadcast join, one groupBy on a
-    row key the input already carries — no skew surface."""
+    generated row id — no skew surface, and fully-duplicate input
+    rows survive (r9: grouping previously keyed on ``*df.columns``
+    and silently merged duplicates; a NULL url previously fed
+    ``sequence`` a null bound and DROPPED the row — both arms now
+    agree with the Column arm's NULL-in-NULL-out)."""
     max_labels = rules_df.agg(F.max("match_labels")).collect()[0][0] or 1
-    host = host_of(F.col(url_col))
-    base = df.withColumn("__host", host).withColumn(
-        "__labels", F.split(F.col("__host"), r"\.")
+    base = (
+        df.withColumn("__rid", F.monotonically_increasing_id())
+        .withColumn("__host", host_of(F.col(url_col)))
+        .withColumn("__labels", F.split(F.col("__host"), r"\."))
     )
-    cand = base.select(
+    # NULL short-circuit: a null/empty url never reaches the explode
+    # (sequence over a null size would drop the row); it rejoins the
+    # output below with a NULL domain, matching the Column arm.
+    null_leg = base.filter(F.col(url_col).isNull()).select(
+        *df.columns, F.lit(None).cast("string").alias(out_col)
+    )
+    live = base.filter(F.col(url_col).isNotNull())
+    cand = live.select(
+        "__rid",
         "__host",
         "__labels",
         *df.columns,
@@ -408,6 +472,7 @@ def with_registered_domain_psl(
     )
     # prevailing rule: exceptions rank above everything, then longest
     ranked = joined.select(
+        "__rid",
         *df.columns,
         "__host",
         F.size("__labels").alias("__n"),
@@ -418,7 +483,7 @@ def with_registered_domain_psl(
         F.coalesce(F.col("ps_len"), F.lit(1)).alias("__ps"),
     )
     best = (
-        ranked.groupBy(*df.columns, "__host", "__n", "__labels")
+        ranked.groupBy("__rid", *df.columns, "__host", "__n", "__labels")
         .agg(
             F.max(F.struct("__rank", "__ps")).alias("__best"),
         )
@@ -426,9 +491,10 @@ def with_registered_domain_psl(
     )
     reg_len = F.least(F.col("__ps_len") + 1, F.col("__n"))
     is_ip = F.col("__host").rlike(r"^[0-9.]+$")
-    return best.withColumn(
+    resolved = best.withColumn(
         out_col,
         F.when(is_ip | (F.col("__n") <= 1), F.col("__host")).otherwise(
             F.concat_ws(".", F.slice(F.col("__labels"), -reg_len, reg_len))
         ),
-    ).drop("__host", "__n", "__labels", "__best", "__ps_len")
+    ).select(*df.columns, out_col)
+    return resolved.unionByName(null_leg)

@@ -486,6 +486,28 @@ def main() -> None:
             "noop"
         ).save()
 
+    @timed("psl_domain_key")
+    def _():
+        # registered_domain_psl micro-bench (r9, VERDICT task #3): the
+        # PSL key alone — synth url projection -> InSet-backed domain
+        # key -> count-by-domain — isolating the per-row rule-match
+        # cost that pipeline_crawl pays inside its rollup. Tracks the
+        # Column arm directly so a rule-match regression shows here
+        # even when pipeline_crawl's other stages mask it.
+        from balboa_spark.entry_queries_corpus import _synth_url_col
+        from balboa_spark.functions.psl import registered_domain_psl
+
+        (
+            par(spark.table("documents"))
+            .select(_synth_url_col().alias("url"))
+            .select(registered_domain_psl(F.col("url")).alias("d"))
+            .groupBy("d")
+            .count()
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
     @timed("wet_ingest")
     def _():
         # crawl-ingest path: 16 gzip WET shards (built once, untimed,

@@ -32,6 +32,21 @@ CASES = [
     ("HTTPS://WWW.EXAMPLE.COM./", "example.com"),  # case + trailing dot
     ("bare-host.co.nz", "bare-host.co.nz"),  # host-only input
     (None, None),
+    # r9: registries outside the r8 ~230-rule subset, now pinned —
+    # PRIVATE-section hosters and the explicit registries that
+    # replaced the retired *.fj / *.gu wildcards upstream.
+    ("https://user.github.io/proj", "user.github.io"),
+    ("https://a.b.user.github.io/", "user.github.io"),
+    ("http://myblog.blogspot.com/post", "myblog.blogspot.com"),
+    ("https://bucket.s3.amazonaws.com/key", "bucket.s3.amazonaws.com"),
+    (
+        "http://ec2-1-2-3-4.us-west-2.compute.amazonaws.com/",
+        "ec2-1-2-3-4.us-west-2.compute.amazonaws.com",
+    ),  # *.compute.amazonaws.com wildcard
+    ("https://app.netlify.app/", "app.netlify.app"),
+    ("https://edge.workers.dev/", "edge.workers.dev"),
+    ("https://www.usp.ac.fj/", "usp.ac.fj"),  # explicit ac.fj, not *.fj
+    ("http://shop.com.gu/", "shop.com.gu"),  # explicit com.gu, not *.gu
 ]
 
 
@@ -59,19 +74,67 @@ def test_column_arm_and_sql_twin_parity(spark):
 
 
 def test_broadcast_join_arm_parity(spark):
+    """Join arm matches the vectors INCLUDING the null row (r9: nulls
+    previously fell out of the explode and vanished)."""
     df = spark.createDataFrame(
-        [(i, u) for i, (u, _) in enumerate(CASES) if u is not None],
-        "i long, u string",
+        [(i, u) for i, (u, _) in enumerate(CASES)], "i long, u string"
     )
     rules = P.psl_rules_df(spark)
-    got = {
-        r["i"]: r["domain"]
-        for r in P.with_registered_domain_psl(df, "u", rules).collect()
-    }
+    rows = P.with_registered_domain_psl(df, "u", rules).collect()
+    assert len(rows) == len(CASES)
+    got = {r["i"]: r["domain"] for r in rows}
     for i, (u, exp) in enumerate(CASES):
-        if u is None:
-            continue
         assert got[i] == exp, (u, got[i], exp)
+
+
+def test_join_arm_keeps_duplicate_rows(spark):
+    """Fully-duplicate input rows each produce an output row (r9: the
+    groupBy previously keyed on *df.columns and merged them)."""
+    df = spark.createDataFrame(
+        [("https://a.example.co.uk/",)] * 3 + [(None,)] * 2, "u string"
+    )
+    out = P.with_registered_domain_psl(df, "u", P.psl_rules_df(spark))
+    doms = [r["domain"] for r in out.collect()]
+    assert sorted(doms, key=lambda d: (d is None, d)) == [
+        "example.co.uk", "example.co.uk", "example.co.uk", None, None,
+    ]
+
+
+def test_join_vs_column_arm_property(spark):
+    """Property: on randomized rule subsets and randomized hosts, the
+    broadcast-join arm equals the Column arm row-for-row (nulls and
+    duplicates included)."""
+    import random
+
+    rng = random.Random(0xB41B0A)
+    for trial in range(3):
+        rules = tuple(
+            sorted(rng.sample(P.PSL_SNAPSHOT, k=len(P.PSL_SNAPSHOT) // 2))
+        )
+        # re-add exception bases so '!x.y' without '*.y' stays inert
+        labels_pool = ["a", "bb", "ck", "uk", "co", "x9", "jp", "kawasaki"]
+        hosts = [
+            ".".join(rng.choices(labels_pool, k=rng.randint(1, 5)))
+            for _ in range(40)
+        ] + [None, "192.168.0.1", "a.b.ck", "www.ck", "x.co.uk"]
+        hosts += [hosts[2], hosts[2]]  # duplicates
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(hosts)], "i long, u string"
+        )
+        col_arm = {
+            r["i"]: r["d"]
+            for r in df.select(
+                "i",
+                P.registered_domain_psl(F.col("u"), rules=rules).alias("d"),
+            ).collect()
+        }
+        join_arm = {
+            r["i"]: r["domain"]
+            for r in P.with_registered_domain_psl(
+                df, "u", P.psl_rules_df(spark, rules)
+            ).collect()
+        }
+        assert join_arm == col_arm, trial
 
 
 def test_load_psl_rules_roundtrip(spark, tmp_path):
