@@ -177,10 +177,18 @@ def read_wet(
 def wet_bytes(records: Iterable[tuple[str, str, str]], version: str = "1.0") -> bytes:
     """Serialize (record_id, target_uri, text) triples as a WET blob —
     the export/round-trip twin of read_wet (also the test fixture
-    builder). Text encodes UTF-8; Content-Length is byte length."""
+    builder). Text encodes UTF-8; Content-Length is byte length.
+
+    Total over arbitrary Spark string values: Spark string columns can
+    carry unpaired surrogates (mis-decoded upstream bytes survive as
+    lone ``\\ud800``-class code points), and an export sink must never
+    crash the task on one row — so both the payload and the header
+    encode with ``errors="replace"`` and the round-trip contract is
+    "surrogates become U+FFFD/'?' replacement bytes", pinned by
+    tests/test_wet.py::test_parser_roundtrip_random_records."""
     out = io.BytesIO()
     for record_id, uri, text in records:
-        payload = text.encode("utf-8")
+        payload = text.encode("utf-8", errors="replace")
         head = (
             f"WARC/{version}\r\n"
             "WARC-Type: conversion\r\n"
@@ -190,7 +198,9 @@ def wet_bytes(records: Iterable[tuple[str, str, str]], version: str = "1.0") -> 
             f"Content-Length: {len(payload)}\r\n"
             "\r\n"
         )
-        out.write(head.encode("utf-8"))  # IRIs: header values may be non-ASCII
+        # IRIs: header values may be non-ASCII; replace makes lone
+        # surrogates (legal in Spark strings) non-fatal
+        out.write(head.encode("utf-8", errors="replace"))
         out.write(payload)
         out.write(b"\r\n\r\n")
     return out.getvalue()

@@ -218,8 +218,14 @@ def test_parser_roundtrip_random_records():
 
     def bstrip(s: str) -> str:
         # the parser strips header values as BYTES (ASCII whitespace
-        # only) — str.strip() would also eat \x1c-\x1f control chars
-        return s.encode("utf-8").strip().decode("utf-8", "replace")
+        # only) — str.strip() would also eat \x1c-\x1f control chars.
+        # encode(errors="replace") mirrors wet_bytes' contract: lone
+        # surrogates become '?' bytes instead of crashing the export.
+        return s.encode("utf-8", "replace").strip().decode("utf-8", "replace")
+
+    def breplace(s: str) -> str:
+        # body contract: surrogates -> replacement bytes, then decoded
+        return s.encode("utf-8", "replace").decode("utf-8", "replace")
 
     @settings(max_examples=100, deadline=None)
     @given(recs=st.lists(st.tuples(header_text, header_text, body_text), max_size=4))
@@ -227,7 +233,7 @@ def test_parser_roundtrip_random_records():
         blob = wet.wet_bytes(recs)
         rows = list(wet._parse_warc_bytes("p", blob))
         assert [(r[1], r[3], r[6]) for r in rows] == [
-            (bstrip(i), bstrip(u), t) for i, u, t in recs
+            (bstrip(i), bstrip(u), breplace(t)) for i, u, t in recs
         ]
         assert all(r[2] == "conversion" for r in rows)
 
