@@ -216,17 +216,24 @@ QUERIES.update(QUERIES_TEMPORAL)
 # get wrong; everything not in CAP_50 lands in the tail, each entry
 # annotated with why its kernel is still covered.
 #
-# Round-8 rotation (this round): the 20 r7-new tail entries — none of
-# which had ever received a real-driver oracle row — move INTO the
-# cap.  Displaced: 20 entries real-driver green in BOTH r6 and r7
-# with unchanged kernels (double-verified; rationale inline in TAIL).
-# The 15 entries first graded in r7 (the r6-new cohort +
-# pipeline_pretrain) STAY in-cap for a second consecutive grading.
+# Round-10 rotation (this round; the round-9 plan was skipped — r9
+# graded the identical set as r8): the 10 stalest tail entries (last
+# real-driver green in r6, three rounds ago) move INTO the cap:
+# explode_normalize, entries_rrname_residual, cof_projection,
+# multi_backend_union, rest_dual_search, total_count, agg_incremental,
+# tag_routing_counts, events_tumbling, text_profile. Displaced: 10
+# r7-cohort entries now double-verified (real-driver green in BOTH r8
+# and r9, kernels unchanged). The PSL-dependent entries
+# (corpus_domain_profile, corpus_domain_cap, pipeline_crawl) STAY
+# in-cap because round 10 changes their kernel (full published PSL
+# list becomes the default rule set) — they need fresh grading.
 #
-# ROUND-9 ROTATION PLAN (for the next builder): swap any tail entry
-# annotated "r8-new" into CAP_50, demoting entries that are by then
-# double-verified (green r7 AND r8, kernel unchanged), exactly as
-# this round did for the r7 cohort.
+# ROUND-11 ROTATION PLAN (for the next builder): re-promote the next
+# stalest tail cohort (the green-r7-only entries: events_rolling_1h,
+# events_funnel, events_zorder, corpus_tfidf_keywords,
+# corpus_boilerplate, corpus_quality_bins, corpus_mixture_upsample,
+# corpus_expectations, corpus_pack_sequences, dedup_semantic),
+# demoting entries double-verified by then (green r9 AND r10).
 CAP_50 = [
     # -- §2 backbone, kept in-cap as standing canaries (green r5-r7) --
     "observations_agg",   # A1-A3 core fold
@@ -261,27 +268,30 @@ CAP_50 = [
     "events_props_profile",
     "events_skew_metrics",
     "events_heavy_users",
-    # -- r7-new cohort: first real-driver grading (rotated in r8) --
-    "corpus_normalize_unicode",
-    "corpus_length_batches",
-    "corpus_blocklist",
-    "corpus_snapshot_diff",
-    "corpus_bpe_encode",
+    # -- r7-new cohort entries kept in-cap: PSL-kernel-changed this
+    #    round (domain_profile/domain_cap/pipeline_crawl) or one more
+    #    grading wanted --
     "corpus_passage_cdc",
     "corpus_pack_boundaries",
     "customer_fuzzy_pairs",
     "corpus_span_dedup",
-    "corpus_html_extract",
-    "supplier_entity_resolve",
-    "corpus_pack_bestfit",  # upgraded r8: invariant oracle (was rows-only)
     "corpus_domain_profile",
     "corpus_quality_classifier",
     "ann_quality_eval",
-    "corpus_weighted_sample",
-    "obs_blocklist_match",
     "pipeline_crawl",
     "corpus_domain_cap",
     "events_psi_drift",
+    # -- promoted r10: last real-driver green in r6, three rounds ago --
+    "explode_normalize",
+    "entries_rrname_residual",
+    "cof_projection",
+    "multi_backend_union",
+    "rest_dual_search",
+    "total_count",
+    "tag_routing_counts",
+    "agg_incremental",
+    "events_tumbling",
+    "text_profile",
 ]
 
 # Tail rationale: every entry is either (a) real-driver green in two
@@ -297,18 +307,22 @@ CAP_50 = [
 #     candidates; agg_incremental — same merge fold as
 #     observations_agg.
 _TAIL = [
-    # --- demoted r8 (real-driver green r6 AND r7, kernels unchanged) ---
-    "entries_rrname_residual",  # F5 residual kernel rides in-cap entries_rrname
-    "rest_dual_search",   # U2 concat of two in-cap lookup kernels
-    "total_count",        # A5 count over the in-cap aggregate fold
-    "dedup_embedding",    # bucketed-cosine kernel under in-cap dedup_semantic.. graded via dedup_components pairs
+    # --- demoted r10 (real-driver green r8 AND r9, kernels unchanged) ---
+    "corpus_normalize_unicode",  # Arrow-seam NFC kernel; double-verified r8+r9
+    "corpus_length_batches",  # length-bucket kernel; packing family in-cap via pack_boundaries
+    "corpus_blocklist",   # broadcast blocklist join; sibling obs_blocklist_match green r8+r9
+    "corpus_snapshot_diff",   # anti-join diff kernel; double-verified r8+r9
+    "corpus_bpe_encode",  # BPE encode arm; family in-cap via corpus_bpe_segment/vocab
+    "corpus_html_extract",    # html_to_text kernel; graded inside in-cap pipeline_crawl
+    "supplier_entity_resolve",# same SymSpell kernel as in-cap customer_fuzzy_pairs
+    "corpus_pack_bestfit",    # FFD packing arm; family in-cap via pack_boundaries
+    "corpus_weighted_sample", # A-ES weighted-sample kernel; double-verified r8+r9
+    "obs_blocklist_match",    # broadcast blocklist join; double-verified r8+r9
+    # --- standing tail ---
+    "dedup_embedding",    # bucketed-cosine kernel under dedup_semantic; graded via dedup_components pairs
     "dedup_semantic",     # embedding-threshold kernel; pairs graded via in-cap dedup_components
     "ann_ivf_topk",       # IVF arm; ANN family graded via in-cap ann_lsh_topk + ann_quality_eval
     "ann_pq_topk",        # PQ arm; ANN family graded via in-cap ann_lsh_topk + ann_quality_eval
-    "explode_normalize",  # P2 FEVER explode kernel; §2.11 scalars graded via input_normalize
-    "tag_routing_counts", # F1/F4 selector-engine kernel, green r5-r7
-    "cof_projection",     # F7 projection kernel, green r5-r7
-    "multi_backend_union",# U1 union kernel, green r5-r7
     "corpus_tfidf_keywords",  # tf-idf kernel; token counting graded via corpus_bm25_topk
     "corpus_boilerplate", # line-hash kernel; dedup family in-cap via span/cdc
     "corpus_quality_bins",    # binning over quality_signals (in-cap)
@@ -324,7 +338,6 @@ _TAIL = [
     "corpus_vocab_topk",  # token-count kernel graded harder by tfidf/bm25
     "corpus_hash_split",  # md5-threshold kernel graded via mixture_resample
     "rollup_observations",# GROUPING SETS variant of in-cap observations_agg
-    "text_profile",       # green r2-r5; pure-projection text kernel under corpus_quality_signals
     "dedup_simhash",      # green r3-r5; pigeonhole-block kernel
     "corpus_contamination",  # green r4-r5; broadcast n-gram join
     "corpus_pii_redact",  # green r4-r5; pure regex projection
@@ -350,7 +363,6 @@ _TAIL = [
     "corpus_sentences",   # green r6; sentence-split explode kernel
     "corpus_winnow",      # green r6; groupBy-min(struct) winnowing kernel
     "events_quantiles",   # same windowed-agg family as rolling/anomaly
-    "events_tumbling",    # same windowed-agg family as events_quantiles/rolling
     "tpch_q1",
     "tpch_q3",
     "join_enrich",
@@ -360,7 +372,6 @@ _TAIL = [
     "corpus_hash_sample",
     "media_dedup",
     "dedup_minhash_estimate",
-    "agg_incremental",
 ]
 
 assert len(CAP_50) == 50, f"cap must be exactly 50, got {len(CAP_50)}"
