@@ -1443,7 +1443,7 @@ def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _domain_profile_oracle() -> str:
-    from balboa_spark.functions.psl import registered_domain_psl_sql
+    from balboa_spark.functions.psl import full_psl_rules, registered_domain_psl_sql
 
     return f"""
 WITH u AS (
@@ -1451,7 +1451,7 @@ WITH u AS (
   FROM documents
 ),
 tk AS (
-  SELECT {registered_domain_psl_sql('url')} AS domain,
+  SELECT {registered_domain_psl_sql('url', full_psl_rules())} AS domain,
          len(list_filter(string_split_regex(lower(text), '\\s+'),
              t -> t <> '')) AS nt
   FROM u
@@ -1566,7 +1566,7 @@ def q_pipeline_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline_crawl_oracle() -> str:
-    from balboa_spark.functions.psl import registered_domain_psl_sql
+    from balboa_spark.functions.psl import full_psl_rules, registered_domain_psl_sql
     from balboa_spark.operators.text import html_to_text_sql
 
     return f"""
@@ -1606,7 +1606,7 @@ kept AS (
     SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp
   ) WHERE rn = 1
 )
-SELECT {registered_domain_psl_sql('url')} AS domain,
+SELECT {registered_domain_psl_sql('url', full_psl_rules())} AS domain,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        CAST(floor(sum(n_tokens) * 1.0 / count(*)) AS BIGINT) AS mean_tokens
@@ -1632,14 +1632,14 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _domain_cap_oracle() -> str:
-    from balboa_spark.functions.psl import registered_domain_psl_sql
+    from balboa_spark.functions.psl import full_psl_rules, registered_domain_psl_sql
 
     return f"""
 WITH u AS (
   SELECT doc_id, source, {_SYNTH_URL_SQL} AS url FROM documents
 ),
 d AS (
-  SELECT doc_id, source, {registered_domain_psl_sql('url')} AS dom FROM u
+  SELECT doc_id, source, {registered_domain_psl_sql('url', full_psl_rules())} AS dom FROM u
 ),
 r AS (
   SELECT doc_id, source,

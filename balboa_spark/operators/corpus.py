@@ -618,22 +618,34 @@ def domain_profile(
     from dominating the mixture): documents, token mass, and mean
     doc length per domain. ONE map-side-combined groupBy on the
     domain key, which is pure codegen either way, so it costs nothing
-    extra at scan time. ``psl=True`` (default, r8) uses the real
-    Public-Suffix-List algorithm (functions/psl — wildcards,
-    exceptions, longest match) so ``.co.uk``-style hosts group by the
+    extra at scan time. ``psl=True`` (default) uses the real
+    Public-Suffix-List algorithm with the FULL pinned published list
+    (r10; functions/psl.psl_staged_domain — wildcards, exceptions,
+    longest match over all ~9.5k rules, staged projections so the
+    rule count costs nothing) so ``.co.uk``-style hosts — and every
+    registry/hoster outside the old 280-rule snapshot — group by the
     true registrable name; ``psl=False`` keeps the small-list
     heuristic (functions/url.registered_domain)."""
     if psl:
-        from balboa_spark.functions.psl import registered_domain_psl as _dom
+        from balboa_spark.functions.psl import psl_staged_domain
+
+        keyed = psl_staged_domain(
+            df.select(
+                F.col(url_col), token_count(F.col(text_col)).alias("_nt")
+            ),
+            url_col,
+            out_col="domain",
+        ).select("domain", "_nt")
     else:
         from balboa_spark.functions.url import registered_domain as _dom
 
-    return (
-        df.select(
+        keyed = df.select(
             _dom(F.col(url_col)).alias("domain"),
             token_count(F.col(text_col)).alias("_nt"),
         )
-        .groupBy("domain")
+
+    return (
+        keyed.groupBy("domain")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_nt").alias("n_tokens"),
@@ -2255,23 +2267,26 @@ def domain_cap(
 
     One per-domain rank window (bounded by the domain's own rows —
     no global sort); the domain key is pure codegen either way:
-    ``psl=True`` (default, r8) is the real Public-Suffix-List
-    algorithm (functions/psl), ``psl=False`` the small-list heuristic
-    (functions/url.registered_domain). For quality-weighted keeps use
-    weighted_sample_k with strata=("domain",) instead."""
+    ``psl=True`` (default) is the real Public-Suffix-List algorithm
+    with the FULL pinned published list (r10;
+    functions/psl.psl_staged_domain), ``psl=False`` the small-list
+    heuristic (functions/url.registered_domain). For quality-weighted
+    keeps use weighted_sample_k with strata=("domain",) instead."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
     if psl:
-        from balboa_spark.functions.psl import registered_domain_psl as _dom
+        from balboa_spark.functions.psl import psl_staged_domain
+
+        keyed = psl_staged_domain(df, url_col, out_col="_dom")
     else:
         from balboa_spark.functions.url import registered_domain as _dom
 
-    if cap < 1:
-        raise ValueError("cap must be >= 1")
+        keyed = df.withColumn("_dom", _dom(F.col(url_col)))
     w = Window.partitionBy("_dom").orderBy(
         F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(id_col))), F.col(id_col)
     )
     return (
-        df.withColumn("_dom", _dom(F.col(url_col)))
-        .withColumn("_rn", F.row_number().over(w))
+        keyed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)
         .drop("_dom", "_rn")
     )

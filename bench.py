@@ -488,19 +488,24 @@ def main() -> None:
 
     @timed("psl_domain_key")
     def _():
-        # registered_domain_psl micro-bench (r9, VERDICT task #3): the
-        # PSL key alone — synth url projection -> InSet-backed domain
-        # key -> count-by-domain — isolating the per-row rule-match
-        # cost that pipeline_crawl pays inside its rollup. Tracks the
-        # Column arm directly so a rule-match regression shows here
-        # even when pipeline_crawl's other stages mask it.
+        # PSL domain-key micro-bench (r9 task #3; r10: now measures
+        # the DEFAULT arm — psl_staged_domain over the FULL pinned
+        # published list): synth url projection -> staged-projection
+        # InSet domain key -> count-by-domain — isolating the per-row
+        # rule-match cost that pipeline_crawl pays inside its rollup.
+        # r10 A/B (PERF.md): staged full-list 0.46s vs pure-Column
+        # snapshot 0.65s vs pure-Column full-list 5.87s at sf0.1.
         from balboa_spark.entry_queries_corpus import _synth_url_col
-        from balboa_spark.functions.psl import registered_domain_psl
+        from balboa_spark.functions.psl import psl_staged_domain
 
         (
-            par(spark.table("documents"))
-            .select(_synth_url_col().alias("url"))
-            .select(registered_domain_psl(F.col("url")).alias("d"))
+            psl_staged_domain(
+                par(spark.table("documents")).select(
+                    _synth_url_col().alias("url")
+                ),
+                "url",
+                out_col="d",
+            )
             .groupBy("d")
             .count()
             .write.mode("overwrite")

@@ -111,7 +111,9 @@ def test_join_vs_column_arm_property(spark):
         rules = tuple(
             sorted(rng.sample(P.PSL_SNAPSHOT, k=len(P.PSL_SNAPSHOT) // 2))
         )
-        # re-add exception bases so '!x.y' without '*.y' stays inert
+        # the raw half-sample is used as-is: an orphaned '!x.y' whose
+        # '*.y' fell out of the sample is legal PSL input and both
+        # arms must still agree on it
         labels_pool = ["a", "bb", "ck", "uk", "co", "x9", "jp", "kawasaki"]
         hosts = [
             ".".join(rng.choices(labels_pool, k=rng.randint(1, 5)))
@@ -214,3 +216,99 @@ def test_domain_ops_psl_arm(spark):
     capped = corpus.domain_cap(df, cap=1)
     assert capped.count() == 2  # one per PSL domain
     assert corpus.domain_cap(df, cap=1, psl=False).count() == 1
+
+
+FULL_LIST_VECTORS = [
+    # 12 registries OUTSIDE the 280-rule snapshot (r10 done-criterion:
+    # they resolve correctly BY DEFAULT), spanning ICANN 2-label,
+    # ICANN 3-label, wildcard, and PRIVATE-section rules.
+    ("https://shop.foo.com.ac/x", "foo.com.ac"),          # ICANN com.ac
+    ("https://a.b.nom.ad", "b.nom.ad"),                   # ICANN nom.ad
+    ("https://fly.crew.aero/", "fly.crew.aero"),          # ICANN .aero 2-label
+    ("https://www.dept.sth.ac.at", "dept.sth.ac.at"),     # ICANN 3-label
+    ("https://x.catholic.edu.au", "x.catholic.edu.au"),   # ICANN 3-label
+    ("https://portal.health.qld.gov.au", "health.qld.gov.au"),  # ICANN 3-label
+    ("https://a.algo.nom.br/p", "a.algo.nom.br"),         # wildcard *.nom.br
+    ("https://app.lb1.elb.amazonaws.com", "app.lb1.elb.amazonaws.com"),  # wildcard PRIVATE *.elb.amazonaws.com
+    ("https://media.cdn77.akamaized.net", "cdn77.akamaized.net"),  # PRIVATE akamaized.net
+    ("https://b.s3.eu-central-1.amazonaws.com", "b.s3.eu-central-1.amazonaws.com"),  # PRIVATE s3 4-label
+    ("https://x.img.akamaihd.net", "img.akamaihd.net"),   # PRIVATE akamaihd.net
+    ("https://one.two.akamai-staging.net", "two.akamai-staging.net"),  # PRIVATE
+]
+
+
+def test_full_list_default_vectors(spark):
+    """psl_staged_domain resolves registries OUTSIDE the snapshot
+    correctly with NO rules argument — the full pinned published list
+    is the default (r10). The same hosts through the snapshot-default
+    pure-Column arm mis-group (proving the vectors actually exercise
+    rules beyond the snapshot)."""
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(FULL_LIST_VECTORS)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in P.psl_staged_domain(df, "u", out_col="d").collect()
+    }
+    for i, (u, want) in enumerate(FULL_LIST_VECTORS):
+        assert got[i] == want, f"{u}: got {got[i]!r}, want {want!r}"
+    # control: the snapshot misses at least 10 of these registries
+    snap = {
+        r["i"]: r["d"]
+        for r in df.select(
+            F.col("i"), P.registered_domain_psl(F.col("u")).alias("d")
+        ).collect()
+    }
+    missed = sum(
+        1 for i, (_, want) in enumerate(FULL_LIST_VECTORS) if snap[i] != want
+    )
+    assert missed >= 10, f"vectors too snapshot-covered: only {missed} differ"
+
+
+def test_domain_ops_use_full_list_by_default(spark):
+    """domain_profile/domain_cap group by full-list registrable names
+    (com.ac is not in the snapshot)."""
+    from balboa_spark.operators import corpus
+
+    rows = [
+        (1, "https://a.foo.com.ac/1", "w w w"),
+        (2, "https://b.foo.com.ac/2", "w w"),
+        (3, "https://c.bar.com.ac/3", "w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    prof = {
+        r["domain"]: r["n_docs"] for r in corpus.domain_profile(df).collect()
+    }
+    assert prof == {"foo.com.ac": 2, "bar.com.ac": 1}
+    capped = corpus.domain_cap(df, cap=1)
+    assert capped.count() == 2  # one per registrable domain
+
+
+def test_staged_arm_equals_join_arm_on_full_list(spark):
+    """Cross-arm agreement ON THE FULL LIST: staged-projection Column
+    arm == broadcast-join arm row-for-row (incl. NULL and an IP)."""
+    hosts = [u for u, _ in FULL_LIST_VECTORS] + [None, "192.168.0.1", "localhost"]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "i long, u string"
+    )
+    full = P.full_psl_rules()
+    staged = {
+        r["i"]: r["d"]
+        for r in P.psl_staged_domain(df, "u", rules=full, out_col="d").collect()
+    }
+    joined = {
+        r["i"]: r["d"]
+        for r in P.with_registered_domain_psl(
+            df, "u", P.psl_rules_df(spark, full), out_col="d"
+        ).collect()
+    }
+    assert staged == joined
+
+
+def test_staged_arm_temp_collision_rejected(spark):
+    df = spark.createDataFrame([(1, "a.co.uk")], "i long, __psl_host string")
+    df = df.withColumnRenamed("i", "u")  # keep a url col named u? no — use __psl_host as data col
+    import pytest
+
+    with pytest.raises(ValueError, match="__psl_host"):
+        P.psl_staged_domain(df, "u", out_col="d")
