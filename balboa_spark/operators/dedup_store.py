@@ -25,11 +25,28 @@ Crash semantics: appends are IDEMPOTENT IN EFFECT — re-appending a
 batch's bands after a replay only duplicates band rows, and a
 duplicate band changes no collision decision (the join is a semi
 filter). So plain at-least-once file appends give effectively-once
-dedup decisions, without the epoch gate ObservationStore needs for
+dedup DECISIONS, without the epoch gate ObservationStore needs for
 its count-additive merge.
 
+BUT idempotent decisions alone do not close the TORN-BATCH window
+(r10; ordered r7-r9): in the streaming composition
+``lambda batch, e: sink(store.process_batch(batch, epoch_id=e))``
+a crash AFTER the store append but BEFORE the sink commit replays
+the batch against a history that already contains the batch's own
+hashes — every document then collides with itself, the replay
+output is empty, and the batch is silently LOST from the sink
+(at-most-once, not effectively-once). The fix is epoch-scoped
+state: pass ``epoch_id`` and appends land under an
+``epoch=<id>`` partition directory (overwritten on replay, so a
+torn append self-heals), while decisions read history EXCLUDING
+the current epoch — the replay sees exactly the history the first
+attempt saw, and the kept-set is replay-stable no matter where the
+previous attempt died. Without ``epoch_id`` (one-shot batch use)
+appends land under a fresh auto-numbered epoch and nothing is
+excluded — the old behavior.
+
 This composes with streaming ingest via foreachBatch:
-``lambda batch, _: sink(store.process_batch(batch))``.
+``lambda batch, e: sink(store.process_batch(batch, epoch_id=e))``.
 """
 
 from __future__ import annotations
@@ -87,10 +104,26 @@ class MinHashDedupStore:
                 f,
             )
 
-    def bands(self) -> DataFrame | None:
+    def _next_epoch(self, state_path: str) -> int:
+        """Fresh auto-epoch for one-shot batch callers: one past the
+        largest existing epoch directory."""
+        if not os.path.exists(state_path):
+            return 0
+        eps = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state_path)
+            if d.startswith("epoch=") and d.split("=", 1)[1].lstrip("-").isdigit()
+        ]
+        return (max(eps) + 1) if eps else 0
+
+    def bands(self, exclude_epoch: int | None = None) -> DataFrame | None:
         if not os.path.exists(self.bands_path):
             return None
-        return self.spark.read.parquet(self.bands_path)
+        df = self.spark.read.parquet(self.bands_path)
+        if exclude_epoch is not None and "epoch" in df.columns:
+            # partition-pruned: epoch is a partition column
+            df = df.filter(F.col("epoch") != int(exclude_epoch))
+        return df
 
     def _band(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         return dedup.minhash_bands(
@@ -98,12 +131,18 @@ class MinHashDedupStore:
         )
 
     def filter_new(
-        self, batch: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        epoch_id: int | None = None,
     ) -> DataFrame:
         """Batch rows that near-dup neither a stored document nor an
-        earlier (smaller-id) row of the same batch."""
+        earlier (smaller-id) row of the same batch. ``epoch_id``
+        excludes that epoch's own bands from history so a replayed
+        epoch makes the identical decisions (torn-batch safety)."""
         nb = self._band(batch, text_col, id_col)
-        stored = self.bands()
+        stored = self.bands(exclude_epoch=epoch_id)
         if stored is not None:
             hits = (
                 nb.join(stored, ["band_idx", "band_hash"], "left_semi")
@@ -118,26 +157,43 @@ class MinHashDedupStore:
         )
         return dedup.near_dedup_keep(batch, pairs, id_col=id_col)
 
-    def add(self, kept: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> None:
-        """Append the kept documents' bands (at-least-once safe: a
-        duplicate band row changes no future collision decision)."""
+    def add(
+        self,
+        kept: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        epoch_id: int | None = None,
+    ) -> None:
+        """Write the kept documents' bands under their epoch directory
+        (mode=overwrite: a replay of the same epoch rewrites the same
+        state, so a torn previous append self-heals; a duplicate band
+        row would change no collision decision anyway)."""
         self._write_manifest()
+        ep = self._next_epoch(self.bands_path) if epoch_id is None else int(epoch_id)
         (
             self._band(kept, text_col, id_col)
             .repartition("band_idx")
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("band_idx")
-            .parquet(self.bands_path)
+            .parquet(os.path.join(self.bands_path, f"epoch={ep}"))
         )
 
     def process_batch(
-        self, batch: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        epoch_id: int | None = None,
     ) -> DataFrame:
         """filter_new + add, returning the kept rows (materialized so
         the dedup decision is computed once, not re-derived by both the
-        band append and the caller's sink)."""
-        kept = self.filter_new(batch, text_col, id_col).localCheckpoint(eager=True)
-        self.add(kept, text_col, id_col)
+        band append and the caller's sink). Pass the foreachBatch
+        ``epoch_id`` for replay-stable decisions across the torn-batch
+        window (module docstring)."""
+        kept = self.filter_new(
+            batch, text_col, id_col, epoch_id=epoch_id
+        ).localCheckpoint(eager=True)
+        self.add(kept, text_col, id_col, epoch_id=epoch_id)
         return kept
 
 
@@ -154,13 +210,16 @@ class SpanDedupStore:
     exact-dedup price, same as the batch operator's shuffle).
 
     History records hashes of the INPUT stream (first-seen text), not
-    of the rewritten output — so appends are idempotent IN EFFECT: a
-    replayed batch's windows all hit history (its documents drop to
-    zero surviving tokens and disappear from the output), and the
-    re-appended hash rows are duplicates that change no future
-    semi-join decision; at-least-once file appends give
-    effectively-once decisions (the MinHashDedupStore argument, and
-    the replay test pins it).
+    of the rewritten output. Replay safety is EPOCH-SCOPED (r10, see
+    module docstring): with ``epoch_id`` passed, decisions exclude the
+    current epoch's own hashes and the epoch write is an overwrite —
+    a replayed epoch reproduces the one-shot output byte-for-byte no
+    matter where the previous attempt crashed (the torn-batch test
+    pins it). Without ``epoch_id`` a replayed batch's windows all hit
+    history and its documents vanish from the replay output — the
+    decisions stay once-only, but the DELIVERY is lost; one-shot
+    batch callers don't replay, streaming callers must pass the
+    epoch.
 
     Concurrency: one writer (one streaming query) per store path —
     concurrent parquet appends share a _temporary staging dir and can
@@ -189,17 +248,31 @@ class SpanDedupStore:
         with open(os.path.join(self.path, MANIFEST), "w") as f:
             json.dump({"span_tokens": self.span_tokens}, f)
 
-    def hashes(self) -> DataFrame | None:
+    _next_epoch = MinHashDedupStore._next_epoch
+
+    def hashes(self, exclude_epoch: int | None = None) -> DataFrame | None:
         if not os.path.exists(self.hashes_path):
             return None
-        return self.spark.read.parquet(self.hashes_path)
+        df = self.spark.read.parquet(self.hashes_path)
+        if exclude_epoch is not None and "epoch" in df.columns:
+            df = df.filter(F.col("epoch") != int(exclude_epoch))
+        return df
 
     def process_batch(
-        self, batch: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        epoch_id: int | None = None,
     ) -> DataFrame:
-        """Span-dedup the batch against history + itself, append the
-        new window hashes, return (id, n_tokens, n_removed,
-        clean_text) for documents keeping at least one token."""
+        """Span-dedup the batch against history + itself, write the
+        new window hashes under the epoch directory, return (id,
+        n_tokens, n_removed, clean_text) for documents keeping at
+        least one token. Pass the foreachBatch ``epoch_id`` for
+        replay-stable decisions across the torn-batch window (module
+        docstring): history excludes the current epoch, and the epoch
+        write is an overwrite, so a replay after a torn append makes
+        identical decisions and rewrites identical state."""
         from balboa_spark.operators.corpus import (
             _span_drop_covered,
             _span_non_first,
@@ -219,7 +292,7 @@ class SpanDedupStore:
         # one materialization feeds three consumers: history semi-join,
         # batch-internal first-occurrence, and the hash append
         wins = wins.localCheckpoint(eager=True)
-        stored = self.hashes()
+        stored = self.hashes(exclude_epoch=epoch_id)
         if stored is not None:
             hist_removed = wins.join(
                 stored, ["bucket", "_h"], "left_semi"
@@ -244,10 +317,11 @@ class SpanDedupStore:
             new_hashes = new_hashes.join(
                 stored, ["bucket", "_h"], "left_anti"
             )
+        ep = self._next_epoch(self.hashes_path) if epoch_id is None else int(epoch_id)
         (
             new_hashes.repartition("bucket")
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(self.hashes_path)
+            .parquet(os.path.join(self.hashes_path, f"epoch={ep}"))
         )
         return out

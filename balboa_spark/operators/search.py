@@ -312,7 +312,10 @@ class PostingsIndex:
             ) from e
         return generation, {**man, **stats}
 
-    def upsert(self, batch: DataFrame, text_col: str = "text") -> None:
+    def upsert(
+        self, batch: DataFrame, text_col: str = "text",
+        epoch_id: int | None = None,
+    ) -> None:
         """Append a batch of NEW documents incrementally (the
         streaming-corpus steady state): only the term buckets the
         batch's vocabulary hashes into are rewritten (old postings
@@ -340,10 +343,27 @@ class PostingsIndex:
         from balboa_spark.plans.genstore import link_tree as _link_tree
 
         man = self._manifest()
+        # Replay-after-commit gate (r10): with epoch_id passed (the
+        # foreachBatch contract), an epoch whose flip already landed
+        # is a no-op on replay — without it the append-only check
+        # below would raise on the batch's own (committed) postings.
+        if epoch_id is not None and man.get("last_epoch") == int(epoch_id):
+            return
         id_col = man["id_col"]
         gen = man["generation"] + 1
         old_gen_dir = os.path.join(self.path, f"gen-{man['generation']}")
         gen_dir = os.path.join(self.path, f"gen-{gen}")
+        # Torn-batch self-heal (r10): a crash between writing gen_dir
+        # and the manifest flip leaves an UNCOMMITTED gen_dir (the
+        # manifest still points below it). A replay must not trip over
+        # it — parquet overwrite would cope, but link_tree hard-links
+        # would hit FileExistsError on the leftovers — so clear it:
+        # everything above the committed generation is garbage by
+        # definition of the manifest being the one commit point.
+        if os.path.isdir(gen_dir):
+            import shutil
+
+            shutil.rmtree(gen_dir)
 
         t = tokens(F.col(text_col))
         flat = (
@@ -418,15 +438,16 @@ class PostingsIndex:
         )
         n = man["n"] + batch_n
         sum_dl = man.get("sum_dl", man["avgdl"] * man["n"]) + batch_dl
-        self._flip_manifest(
-            {
-                **man,
-                "generation": gen,
-                "n": n,
-                "sum_dl": sum_dl,
-                "avgdl": sum_dl / n if n else 0.0,
-            }
-        )
+        flip = {
+            **man,
+            "generation": gen,
+            "n": n,
+            "sum_dl": sum_dl,
+            "avgdl": sum_dl / n if n else 0.0,
+        }
+        if epoch_id is not None:
+            flip["last_epoch"] = int(epoch_id)
+        self._flip_manifest(flip)
 
     def topk(
         self,

@@ -78,8 +78,10 @@ def test_streaming_foreachbatch_dedup(spark, tmp_path):
         .json(str(land))
     )
 
-    def sink(batch, _epoch):
-        kept = store.process_batch(batch)
+    def sink(batch, epoch):
+        # the documented composition: epoch-scoped state, so a torn
+        # batch replays with identical decisions (r10)
+        kept = store.process_batch(batch, epoch_id=epoch)
         kept.write.mode("append").parquet(out)
 
     q = stream.writeStream.foreachBatch(sink).option(
@@ -175,3 +177,166 @@ def test_span_store_history_stays_distinct(spark, tmp_path):
     store.process_batch(_span_store_docs(spark, [(9, "a b c d")]))
     assert store.hashes().count() == n1
     assert store.hashes().distinct().count() == n1
+
+
+# --- torn-batch crash window (VERDICT r7-r9, closed r10) -------------------
+# The window: foreachBatch runs store-append then sink-write; a crash
+# BETWEEN them replays the epoch against a history that already holds
+# the batch's own state. With epoch_id passed, decisions exclude the
+# current epoch and the epoch write is an overwrite — replay output
+# must equal a never-crashed run byte-for-byte.
+
+
+def test_minhash_store_torn_batch_replay_parity(spark, tmp_path):
+    b0 = [(1, BASE)]
+    # doc 10: novel content (must SURVIVE the replay — this is the row
+    # the pre-r10 design lost to its own torn bands); doc 11: near-dup
+    # of epoch-0 content (must drop in both runs)
+    b1 = [(10, FRESH), (11, NEAR), (12, "unrelated novel text payload here")]
+
+    # control: never-crashed run
+    ctrl = MinHashDedupStore(spark, str(tmp_path / "ctrl"))
+    ctrl.process_batch(_docs(spark, b0), epoch_id=0)
+    want = sorted(
+        r["doc_id"] for r in ctrl.process_batch(_docs(spark, b1), epoch_id=1).collect()
+    )
+
+    # crashed run: epoch 1's append lands, the sink never commits
+    # (output discarded), process dies; restart replays epoch 1
+    store = MinHashDedupStore(spark, str(tmp_path / "s"))
+    store.process_batch(_docs(spark, b0), epoch_id=0)
+    store.process_batch(_docs(spark, b1), epoch_id=1)  # torn: output lost
+    restarted = MinHashDedupStore(spark, str(tmp_path / "s"))
+    got = sorted(
+        r["doc_id"]
+        for r in restarted.process_batch(_docs(spark, b1), epoch_id=1).collect()
+    )
+    assert got == want
+    assert 10 in got  # the replayed batch is NOT swallowed by its own bands
+
+    # later epoch unaffected by the replay
+    b2 = [(20, NEAR), (21, "another brand new unseen document body")]
+    got2 = sorted(
+        r["doc_id"]
+        for r in restarted.process_batch(_docs(spark, b2), epoch_id=2).collect()
+    )
+    want2 = sorted(
+        r["doc_id"] for r in ctrl.process_batch(_docs(spark, b2), epoch_id=2).collect()
+    )
+    assert got2 == want2
+
+
+def test_minhash_store_torn_partial_append_self_heals(spark, tmp_path):
+    """Harsher tear: the epoch append itself died mid-write (partial
+    band files on disk). The replay's overwrite of the epoch dir must
+    restore full parity."""
+    import glob
+    import os
+
+    store = MinHashDedupStore(spark, str(tmp_path / "s"))
+    store.process_batch(_docs(spark, [(1, BASE)]), epoch_id=0)
+    store.process_batch(_docs(spark, [(2, FRESH)]), epoch_id=1)
+    # simulate the tear: delete half the epoch-1 band files
+    files = sorted(
+        glob.glob(str(tmp_path / "s" / "bands" / "epoch=1" / "*" / "*.parquet"))
+    )
+    assert files
+    for f in files[: max(1, len(files) // 2)]:
+        os.remove(f)
+    restarted = MinHashDedupStore(spark, str(tmp_path / "s"))
+    got = sorted(
+        r["doc_id"]
+        for r in restarted.process_batch(_docs(spark, [(2, FRESH)]), epoch_id=1).collect()
+    )
+    assert got == [2]
+    # epoch-1 state fully rebuilt: a near-dup of FRESH in epoch 2 drops
+    nxt = restarted.process_batch(
+        _docs(spark, [(3, FRESH), (4, "yet another novel body of text")]), epoch_id=2
+    )
+    assert sorted(r["doc_id"] for r in nxt.collect()) == [4]
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_store_torn_batch_replay_parity(spark, tmp_path):
+    from balboa_spark.operators.dedup_store import SpanDedupStore
+
+    b0 = [(1, "a b c d e")]
+    b1 = [(10, "f g h i j"), (11, "a b c d k")]
+
+    ctrl = SpanDedupStore(spark, str(tmp_path / "ctrl"), span_tokens=4)
+    ctrl.process_batch(_span_docs(spark, b0), epoch_id=0)
+    want = {
+        r["doc_id"]: r["clean_text"]
+        for r in ctrl.process_batch(_span_docs(spark, b1), epoch_id=1).collect()
+    }
+
+    s = SpanDedupStore(spark, str(tmp_path / "s"), span_tokens=4)
+    s.process_batch(_span_docs(spark, b0), epoch_id=0)
+    s.process_batch(_span_docs(spark, b1), epoch_id=1)  # torn: sink never saw it
+    restarted = SpanDedupStore(spark, str(tmp_path / "s"), span_tokens=4)
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in restarted.process_batch(_span_docs(spark, b1), epoch_id=1).collect()
+    }
+    assert got == want
+    assert 10 in got  # replay does NOT vanish into its own history
+
+    # and a later epoch's decisions match the control exactly
+    b2 = [(20, "f g h i z"), (21, "p q r s t")]
+    got2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in restarted.process_batch(_span_docs(spark, b2), epoch_id=2).collect()
+    }
+    want2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in ctrl.process_batch(_span_docs(spark, b2), epoch_id=2).collect()
+    }
+    assert got2 == want2
+
+
+def test_postings_upsert_torn_gen_replay(spark, tmp_path):
+    """Crash between the gen-dir write and the manifest flip: the
+    leftover uncommitted gen dir (incl. hard-linked partitions) must
+    not break the replay, and the replayed upsert must match a
+    one-shot run; a second replay AFTER the flip is a no-op."""
+    from balboa_spark.operators.search import PostingsIndex
+
+    base = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(4)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, "alpha epsilon zeta"), (101, "eta theta iota")],
+        "doc_id long, text string",
+    )
+
+    ctrl = PostingsIndex(spark, str(tmp_path / "ctrl"))
+    ctrl.build(base)
+    ctrl.upsert(batch, epoch_id=7)
+    want = [tuple(r) for r in ctrl.topk(["alpha", "beta"], k=10).collect()]
+
+    idx = PostingsIndex(spark, str(tmp_path / "idx"))
+    idx.build(base)
+    boom = RuntimeError("simulated crash before manifest flip")
+    real_flip = idx._flip_manifest
+    idx._flip_manifest = lambda man: (_ for _ in ()).throw(boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.upsert(batch, epoch_id=7)
+    # torn state: gen-1 dir exists, manifest still points at gen-0
+    import os
+
+    assert os.path.isdir(str(tmp_path / "idx" / "gen-1"))
+    assert idx._manifest()["generation"] == 0
+
+    restarted = PostingsIndex(spark, str(tmp_path / "idx"))
+    restarted.upsert(batch, epoch_id=7)  # replay over the torn gen dir
+    got = [tuple(r) for r in restarted.topk(["alpha", "beta"], k=10).collect()]
+    assert got == want
+    man = restarted._manifest()
+    assert man["generation"] == 1 and man["last_epoch"] == 7
+
+    # post-flip replay (crash between flip and sink): no-op, no raise
+    restarted.upsert(batch, epoch_id=7)
+    assert restarted._manifest()["generation"] == 1
