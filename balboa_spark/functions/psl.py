@@ -42,21 +42,25 @@ arithmetic — no shuffle, no UDF. Rule membership is ONE ``isin`` per
 distinct rule label-count (<=5), which Catalyst's OptimizeIn rewrites
 to an ``InSet`` hash probe when the set exceeds ~10 values — O(max
 rule depth) hash lookups per row, independent of rule count. BUT
-(r10, measured): as a PURE Column expression the host/labels
-sub-expressions are re-inlined into every probe branch, so the tree
-size still grows with the branch structure, and at the full ~9.5k
-rules the expression falls out of efficient evaluation (sf0.1
-micro-bench: 5.9s vs 0.65s for the ~280-rule snapshot — 9x). The fix
-is the STAGED arm :func:`psl_staged_domain`: materialize host /
-labels / n / ps_len as real projection stages so each is computed
-once; the same full-list probes then cost 0.46s — faster than the
-snapshot pure-Column arm, flat in rule count, still zero
-shuffle/UDF/join. Arm A/B (r10, sf0.1, min of 5 same-session passes):
-r8 array_contains snapshot 0.87s | r9 InSet snapshot 0.65s |
-InSet full PURE-column 5.87s | broadcast-join snapshot 1.17s |
-broadcast-join full 1.19s | STAGED full 0.46s | staged snapshot
-0.25s. The join arm stays the fallback for rule sets too large to
-ship as literals (it is flat in rule count by construction): one
+(r10, measured twice): (1) as a PURE Column expression the
+host/labels sub-expressions are re-inlined into every probe branch,
+so the tree grows with the branch structure; (2) far bigger — the
+PYTHON-side query build of ``isin(*~9.5k values)`` marshals every
+rule literal through an individual Py4J call, ~6s of driver time PER
+QUERY BUILD at the full list (this is what regressed pipeline_crawl
+1.6s->7.9s before the fix; Spark's own analysis+codegen of the built
+plan is only ~0.06s warm). The fix is the STAGED arm
+:func:`psl_staged_domain`: host / labels / n / ps_len as real
+projection stages (each computed once per row), with ps_len rendered
+as ONE JVM-parsed SQL string (``_ps_len_sql_for``, lru-cached per
+rule set — a single Py4J round-trip; OptimizeIn still yields InSet
+hash probes). Measured same-session at sf0.1 (documents -> synth url
+-> domain -> groupBy count): full-list staged arm ~0.3s build +
+~0.5s exec per query, vs 6.2s + 0.5s for the isin()-built staged arm
+and 5.9s/query for the pure-Column full-list arm; r9 InSet snapshot
+0.65s; broadcast-join snapshot 1.17s | full 1.19s. The join arm
+stays the fallback for rule sets too large to ship as literals (it
+is flat in rule count by construction): one
 posexplode (bounded by the max rule depth, <=5 candidate suffixes per
 row) + one broadcast join + one groupBy(row-id) max — no skew surface
 because the rules side is tiny and the candidate fan-out is a
@@ -384,6 +388,45 @@ def registered_domain_psl(
     )
 
 
+def _sql_quote(v: str) -> str:
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+@functools.lru_cache(maxsize=8)
+def _ps_len_sql_for(rules_t: tuple[str, ...], labels_name: str, n_name: str) -> str:
+    """Spark-SQL text computing ps_len over the named labels/size
+    columns — the staged arm's probe expression as one parseable
+    string (see psl_staged_domain for why text beats Column building
+    at full-list rule counts). Same precedence as _ps_len_expr:
+    normal/wildcard max, then exception override."""
+    normal, wild, exc = parse_rules(rules_t)
+
+    def lastk(k: int) -> str:
+        return f"array_join(slice({labels_name}, -{k}, {k}), '.')"
+
+    def inlist(vals) -> str:
+        return ",".join(_sql_quote(v) for v in sorted(vals))
+
+    parts = ["1"]
+    for k in sorted(normal):
+        parts.append(
+            f"CASE WHEN {n_name} >= {k} AND {lastk(k)} IN ({inlist(normal[k])})"
+            f" THEN {k} ELSE 0 END"
+        )
+    for k in sorted(wild):
+        parts.append(
+            f"CASE WHEN {n_name} >= {k + 1} AND {lastk(k)} IN ({inlist(wild[k])})"
+            f" THEN {k + 1} ELSE 0 END"
+        )
+    ps = "greatest(" + ",".join(parts) + ")" if len(parts) > 1 else parts[0]
+    for k in sorted(exc):
+        ps = (
+            f"CASE WHEN {n_name} >= {k} AND {lastk(k)} IN ({inlist(exc[k])})"
+            f" THEN {k - 1} ELSE {ps} END"
+        )
+    return ps
+
+
 def psl_staged_domain(
     df: DataFrame,
     url_col: str,
@@ -397,20 +440,18 @@ def psl_staged_domain(
     :func:`registered_domain_psl`, but host / labels / n / ps_len are
     materialized as real projection stages, so each common
     sub-expression is computed ONCE per row instead of being
-    re-inlined into every probe branch. That keeps per-stage codegen
-    small and makes the per-row cost flat in rule count (measured:
-    the full ~9.5k-rule list runs FASTER through this arm than the
-    280-rule snapshot through the pure-Column arm — module docstring
-    has the A/B table). Still zero shuffle / UDF / join; Catalyst's
+    re-inlined into every probe branch, and the probe expression is
+    built as one JVM-parsed SQL string (module docstring: the
+    Column-by-Column build paid ~6s of Py4J literal marshalling per
+    query at the full list). Per-row cost is flat in rule count
+    (InSet hash probes). Still zero shuffle / UDF / join; Catalyst's
     CollapseProject leaves the stages alone because the produced
     attributes are consumed many times.
 
     ``rules=None`` defaults to :func:`full_psl_rules` — the pinned
     full published list. Temp columns are double-underscore-prefixed
     and collision-checked against ``df.columns``."""
-    normal, wild, exc = (
-        parse_rules(full_psl_rules()) if rules is None else parse_rules(rules)
-    )
+    rules_t = full_psl_rules() if rules is None else tuple(rules)
     tmp_host, tmp_labels, tmp_n, tmp_ps = "__psl_host", "__psl_labels", "__psl_n", "__psl_ps"
     for t in (tmp_host, tmp_labels, tmp_n, tmp_ps):
         if t in df.columns:
@@ -421,8 +462,16 @@ def psl_staged_domain(
         "*", F.split(F.col(tmp_host), r"\.").alias(tmp_labels)
     ).select("*", F.size(F.col(tmp_labels)).alias(tmp_n))
     labels, n = F.col(tmp_labels), F.col(tmp_n)
+    # ps_len as ONE JVM-parsed SQL expression: building isin(*vals)
+    # column-by-column marshals every rule literal through an
+    # individual Py4J call — measured ~6s of pure Python-side build
+    # per query at the full ~9.5k-rule list (the r10 pipeline_crawl
+    # 1.6s->7.9s regression). One expr() string is a single Py4J
+    # round-trip; the parser + OptimizeIn turn the IN lists into the
+    # same InSet hash probes, and the string itself is lru-cached per
+    # rule set, so repeated query builds pay ~0.
     stage3 = stage2.select(
-        "*", _ps_len_expr(labels, n, normal, wild, exc).alias(tmp_ps)
+        "*", F.expr(_ps_len_sql_for(rules_t, tmp_labels, tmp_n)).alias(tmp_ps)
     )
     reg_len = F.least(F.col(tmp_ps) + 1, n)
     is_ip = F.col(tmp_host).rlike(r"^[0-9.]+$")

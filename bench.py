@@ -491,10 +491,11 @@ def main() -> None:
         # PSL domain-key micro-bench (r9 task #3; r10: now measures
         # the DEFAULT arm — psl_staged_domain over the FULL pinned
         # published list): synth url projection -> staged-projection
-        # InSet domain key -> count-by-domain — isolating the per-row
-        # rule-match cost that pipeline_crawl pays inside its rollup.
-        # r10 A/B (PERF.md): staged full-list 0.46s vs pure-Column
-        # snapshot 0.65s vs pure-Column full-list 5.87s at sf0.1.
+        # InSet domain key -> count-by-domain — isolating the rule-
+        # match cost (build + exec) that pipeline_crawl pays inside
+        # its rollup. r10: the SQL-string probe build keeps this at
+        # ~1.2s warm; the isin()-built arm paid ~6s/query of Py4J
+        # literal marshalling (PERF.md drift section).
         from balboa_spark.entry_queries_corpus import _synth_url_col
         from balboa_spark.functions.psl import psl_staged_domain
 
