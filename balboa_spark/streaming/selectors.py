@@ -12,7 +12,14 @@ Reference semantics (selector/selector_engine.go:110-159, README.md:117-151):
   (selector_regex.go:84-91,93-107); mode "filter" tags rows matching
   NONE (:67-73,96-99 — the negation).
 - Lua rules: arbitrary per-row scripts (selector_lua.go:145-158) — here
-  a Column-predicate or Arrow-batched pandas function slot (X2).
+  THREE slots: a Column-predicate, an Arrow-batched pandas function,
+  and (when the ``lupa`` package is importable) REAL Lua execution of
+  the reference's script contract — ``function process(o)`` over an
+  observation exposing ``rcode/rdata/rrtype/rrname/sensor_id/tags/
+  add_tag`` (selector_lua.go:116-125, selector.lua:1-24). The Lua
+  runtime is created once per Python worker and reused across Arrow
+  batches; without lupa the rule raises ImportError at compile (same
+  gating convention as pika/PIL elsewhere in this repo).
 
 Spark restatement: the rule graph is static per config, so the fixpoint
 unrolls to a fixed chain of ``withColumn("tags", when(...))`` stages in
@@ -33,17 +40,160 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: Observation fields the Lua contract exposes, in udf argument order.
+_LUA_OBS_FIELDS = ("rcode", "rdata", "rrtype", "rrname", "sensor_id")
+
+
+class LuaObservation:
+    """Per-row observation handle with the reference's Lua method surface
+    (selector_lua.go:116-125). Tolerant of BOTH Lua call styles: colon
+    calls (``o:rrname()``) arrive with the observation itself as the
+    first argument, dot calls without — accessors ignore extra args and
+    ``add_tag`` takes its tag from the LAST argument.
+    """
+
+    __slots__ = ("_f", "_tags", "added", "_table_from")
+
+    def __init__(self, fields, tags, table_from=None):
+        # fields: dict of _LUA_OBS_FIELDS -> str ('' for SQL NULL, the
+        # reference's strings are non-nil); tags: row's current tags.
+        self._f = fields
+        self._tags = list(tags)
+        self.added: list[str] = []  # insertion-ordered, deduped
+        self._table_from = table_from  # lupa runtime.table_from, or None
+
+    def rcode(self, *_a):
+        return self._f["rcode"]
+
+    def rdata(self, *_a):
+        return self._f["rdata"]
+
+    def rrtype(self, *_a):
+        return self._f["rrtype"]
+
+    def rrname(self, *_a):
+        return self._f["rrname"]
+
+    def sensor_id(self, *_a):
+        return self._f["sensor_id"]
+
+    def tags(self, *_a):
+        # selector.lua iterates with ``#tags`` / ``tags[i]``: a real
+        # 1-indexed Lua table when running under lupa, a list otherwise.
+        t = self._tags + self.added
+        return self._table_from(t) if self._table_from is not None else t
+
+    def add_tag(self, *args):
+        # Colon call -> (obs, tag); dot call -> (tag,). Empty tags are
+        # dropped like observationAddTag (selector_lua.go:108-114).
+        tag = args[-1] if args else ""
+        if isinstance(tag, LuaObservation) or tag is None:
+            return
+        tag = str(tag)
+        if tag and tag not in self._tags and tag not in self.added:
+            self.added.append(tag)
+
+
+#: Per-worker cache: script text -> (LuaRuntime, process fn). Keyed by
+#: the full source so two rules with different scripts never collide.
+_LUA_COMPILED: dict[str, tuple] = {}
+
+
+def _lua_process(script: str):
+    """Compile ``script`` with lupa once per worker process; returns
+    ``(table_from, process)``. Mirrors InitializeLua
+    (selector_lua.go:145-150): run the script, then require a global
+    ``process``. Raises ImportError when lupa is absent.
+    """
+    entry = _LUA_COMPILED.get(script)
+    if entry is None:
+        try:
+            import lupa
+        except ImportError as ex:  # pragma: no cover - exercised w/o lupa
+            raise ImportError(
+                "selector type 'lua' with a real Lua script needs the "
+                "optional 'lupa' package (pip install lupa); without it "
+                "register a Python callable instead (scripts={...})"
+            ) from ex
+        rt = lupa.LuaRuntime(
+            unpack_returned_tuples=True, register_eval=False
+        )
+        rt.execute(script)
+        process = rt.globals().process
+        if process is None:
+            raise ValueError("lua selector script must define process(o)")
+        entry = (rt.table_from, process)
+        _LUA_COMPILED[script] = entry
+    return entry
+
+
+def _added_tags_column(
+    script: str | None, process_fn: Callable | None, df: DataFrame
+) -> Column:
+    """array<string> of tags ``process(o)`` added for each row.
+
+    One Arrow-batched pandas UDF; the Lua runtime (or the Python
+    process_fn) is resolved once per batch from the per-worker cache,
+    then driven per row — the same per-observation cost model as
+    ProcessObservation (selector_lua.go:151-158), minus runtime
+    re-creation. Missing observation columns surface as ''.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints on purpose: the module-wide `from __future__ import
+    # annotations` turns them into strings pandas_udf cannot resolve
+    # against a function-local pandas import (defaults to SCALAR)
+    @pandas_udf("array<string>")
+    def _run(rcode, rdata, rrtype, rrname, sensor_id, tags):
+        if process_fn is not None:
+            table_from, process = None, process_fn
+        else:
+            table_from, process = _lua_process(script)
+        cols = {
+            "rcode": rcode,
+            "rdata": rdata,
+            "rrtype": rrtype,
+            "rrname": rrname,
+            "sensor_id": sensor_id,
+        }
+        out = []
+        for i in range(len(rrname)):
+            fields = {
+                k: ("" if v.iloc[i] is None else str(v.iloc[i]))
+                for k, v in cols.items()
+            }
+            row_tags = tags.iloc[i]
+            obs = LuaObservation(
+                fields,
+                list(row_tags) if row_tags is not None else [],
+                table_from,
+            )
+            process(obs)
+            out.append(obs.added)
+        return pd.Series(out)
+
+    args = [
+        (F.col(f) if f in df.columns else F.lit(None)).cast("string")
+        for f in _LUA_OBS_FIELDS
+    ]
+    args.append(F.col("tags"))
+    return _run(*args)
+
+
 @dataclass
 class SelectorRule:
     """One tagging rule (selectors.yaml shape, README.md:117-151)."""
 
     name: str
-    tags: Sequence[str]  # tags this rule adds
-    mode: str = "select"  # 'select' | 'filter' | 'predicate' | 'pandas'
+    tags: Sequence[str]  # tags this rule adds (mode 'lua': tags it MAY add)
+    mode: str = "select"  # 'select' | 'filter' | 'predicate' | 'pandas' | 'lua'
     patterns: Sequence[str] = ()  # regexes over rrname (select/filter)
     ingest: Sequence[str] = ()  # gate tags; empty = root rule
     predicate: Callable[[DataFrame], Column] | None = None  # mode='predicate'
     pandas_fn: Callable | None = None  # mode='pandas': pd.Series[str rrname] -> pd.Series[bool]
+    script: str | None = None  # mode='lua': Lua SOURCE TEXT (needs lupa)
+    process_fn: Callable | None = None  # mode='lua': Python process(o) stand-in
 
     def condition(self, df: DataFrame) -> Column:
         """Does this rule fire for a row (ignoring the ingest gate)?"""
@@ -104,11 +254,37 @@ def compile_selectors(rules: Sequence[SelectorRule]) -> Callable[[DataFrame], Da
         if "tags" not in df.columns:
             df = df.withColumn("tags", F.array().cast("array<string>"))
         for r in ordered:
-            cond = r.condition(df)
-            if r.ingest:
-                gate = F.arrays_overlap(
+            gate = (
+                F.arrays_overlap(
                     F.col("tags"), F.array(*[F.lit(t) for t in r.ingest])
                 )
+                if r.ingest
+                else None
+            )
+            if r.mode == "lua":
+                # Script rules add DYNAMIC tags (add_tag); the declared
+                # ``tags`` list is an ordering contract for the DAG, not
+                # an auto-add — the reference's lua selectors only tag
+                # through add_tag (selector_lua.go:108-114). Undeclared
+                # added tags still land on the row but cannot reliably
+                # gate later rules in this statically-ordered engine.
+                if r.script is None and r.process_fn is None:
+                    raise ValueError(
+                        f"rule {r.name}: lua mode needs script or process_fn"
+                    )
+                added = _added_tags_column(r.script, r.process_fn, df)
+                new = F.array_distinct(
+                    F.array_union(
+                        F.col("tags"),
+                        F.coalesce(added, F.array().cast("array<string>")),
+                    )
+                )
+                if gate is not None:
+                    new = F.when(gate, new).otherwise(F.col("tags"))
+                df = df.withColumn("tags", new)
+                continue
+            cond = r.condition(df)
+            if gate is not None:
                 cond = gate & cond
             add = F.array(*[F.lit(t) for t in r.tags])
             df = df.withColumn(
@@ -201,21 +377,56 @@ def load_selector_yaml(
                 )
             )
         elif rtype == "lua":
-            fn = (scripts or {}).get(spec.get("script", name))
-            if fn is None:
+            # ``script`` is a file name in the reference
+            # (selector_lua.go:31-38). Resolution order: a registered
+            # entry in ``scripts`` (a Python callable -> the rrname
+            # pandas slot for back-compat, a Python process(o) callable
+            # via mode 'lua' when marked, or Lua SOURCE TEXT -> the
+            # real-Lua slot), else the file under base_dir read as Lua
+            # source (requires lupa at run time).
+            key = spec.get("script", name)
+            val = (scripts or {}).get(key)
+            if val is None and base_dir is not None:
+                path = os.path.join(base_dir, key)
+                if os.path.exists(path):
+                    with open(path) as f:
+                        val = f.read()
+            if val is None:
                 raise ValueError(
                     f"rule {name}: type 'lua' needs a registered script "
-                    f"callable (scripts={sorted(scripts or {})})"
+                    f"or a readable file (scripts={sorted(scripts or {})})"
                 )
-            rules.append(
-                SelectorRule(
-                    name=name,
-                    tags=tuple(spec.get("tags", ())),
-                    mode="pandas",
-                    pandas_fn=fn,
-                    ingest=tuple(spec.get("ingest", ())),
+            if callable(val):
+                if getattr(val, "lua_process", False):
+                    rules.append(
+                        SelectorRule(
+                            name=name,
+                            tags=tuple(spec.get("tags", ())),
+                            mode="lua",
+                            process_fn=val,
+                            ingest=tuple(spec.get("ingest", ())),
+                        )
+                    )
+                else:
+                    rules.append(
+                        SelectorRule(
+                            name=name,
+                            tags=tuple(spec.get("tags", ())),
+                            mode="pandas",
+                            pandas_fn=val,
+                            ingest=tuple(spec.get("ingest", ())),
+                        )
+                    )
+            else:
+                rules.append(
+                    SelectorRule(
+                        name=name,
+                        tags=tuple(spec.get("tags", ())),
+                        mode="lua",
+                        script=str(val),
+                        ingest=tuple(spec.get("ingest", ())),
+                    )
                 )
-            )
         else:
             raise ValueError(f"rule {name}: unknown selector type {rtype!r}")
     return rules

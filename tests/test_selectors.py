@@ -244,3 +244,144 @@ def test_domain_suffixes_and_blocklist_match(spark):
         ("sub.c2.evil.example", "c2.evil.example"),
         ("sub.c2.evil.example", "evil.example"),
     ]
+
+
+# --- X2 real-Lua slot (selector_lua.go:116-158, selector.lua:1-24) ----------
+
+
+def test_lua_observation_call_styles():
+    """Colon calls arrive with the observation as arg 1; dot calls
+    don't — both must work, and add_tag dedupes/drops empties."""
+    from balboa_spark.streaming.selectors import LuaObservation
+
+    o = LuaObservation(
+        {"rcode": "NOERROR", "rdata": "1.2.3.4", "rrtype": "A",
+         "rrname": "x.de", "sensor_id": "s1"},
+        ["seed"],
+    )
+    assert o.rrname() == "x.de"  # dot style
+    assert o.rrname(o) == "x.de"  # colon style (extra self)
+    assert o.rcode(o) == "NOERROR" and o.sensor_id() == "s1"
+    o.add_tag(o, "foo")  # colon style
+    o.add_tag("foo")  # dup ignored
+    o.add_tag("")  # empty ignored (selector_lua.go:110)
+    o.add_tag(o, "seed")  # already present on the row
+    o.add_tag("bar")
+    assert o.added == ["foo", "bar"]
+    assert o.tags() == ["seed", "foo", "bar"]
+
+
+def test_lua_rule_python_process_fn(spark):
+    """mode='lua' with a Python process(o) stand-in: dynamic add_tag
+    tags land on the row, the ingest gate holds, and a missing
+    observation column surfaces as '' (not a crash)."""
+    from balboa_spark.streaming.selectors import SelectorRule, compile_selectors
+
+    def proc(o):
+        if o.rrname().endswith(".de"):
+            o.add_tag("de")
+            if o.rcode() == "NOERROR":
+                o.add_tag("de_ok")
+
+    def downstream(o):
+        o.add_tag("routed:" + o.rrname())
+
+    rules = [
+        SelectorRule(name="lua_root", tags=["de", "de_ok"], mode="lua",
+                     process_fn=proc),
+        SelectorRule(name="lua_gated", tags=[], mode="lua",
+                     process_fn=downstream, ingest=["de_ok"]),
+    ]
+    df = obs(spark, "a.de", "b.com")
+    got = {r.rrname: sorted(r.tags) for r in compile_selectors(rules)(df).collect()}
+    assert got == {"a.de": ["de", "de_ok", "routed:a.de"], "b.com": []}
+
+    # missing rcode column -> '' per the contract
+    def wants_rcode(o):
+        o.add_tag("rc=" + (o.rcode() or "<empty>"))
+
+    df2 = spark.createDataFrame([("x.de",)], "rrname string")
+    out = compile_selectors(
+        [SelectorRule(name="m", tags=[], mode="lua", process_fn=wants_rcode)]
+    )(df2).collect()
+    assert sorted(out[0].tags) == ["rc=<empty>"]
+
+
+def test_lua_rule_real_lua(spark):
+    """Real Lua via lupa: the reference's example contract verbatim —
+    colon method calls, #tags/tags[i] table iteration, add_tag
+    (selector.lua:1-24). Skips cleanly when lupa is absent."""
+    pytest.importorskip("lupa")
+    from balboa_spark.streaming.selectors import SelectorRule, compile_selectors
+
+    script = """
+    function process(o)
+        local tags = o:tags()
+        local n = #tags
+        if string.find(o:rrname(), "%.de$") then
+            o:add_tag("lua_de")
+            o:add_tag("seen_" .. n .. "_tags")
+        end
+        if o:rcode() == "NOERROR" and o:rrtype() == "A" then
+            o:add_tag("a_ok")
+        end
+    end
+    """
+    rules = [SelectorRule(name="real", tags=[], mode="lua", script=script)]
+    df = obs(spark, "a.de", "b.com")
+    got = {r.rrname: sorted(r.tags) for r in compile_selectors(rules)(df).collect()}
+    assert got == {"a.de": ["a_ok", "lua_de", "seen_0_tags"], "b.com": ["a_ok"]}
+
+
+def test_lua_rule_without_lupa_raises(spark):
+    """A real-Lua rule without lupa fails loudly at action time with
+    the install hint, not silently."""
+    try:
+        import lupa  # noqa: F401
+
+        pytest.skip("lupa installed; the gated error path is moot")
+    except ImportError:
+        pass
+    from balboa_spark.streaming.selectors import SelectorRule, compile_selectors
+
+    rules = [SelectorRule(name="r", tags=[], mode="lua",
+                          script="function process(o) end")]
+    df = obs(spark, "a.de")
+    with pytest.raises(Exception, match="lupa"):
+        compile_selectors(rules)(df).collect()
+
+
+def test_yaml_loader_lua_source_and_file(tmp_path, spark):
+    """type: lua resolution order — registered Lua SOURCE TEXT or a
+    script FILE under base_dir both land on mode='lua'; a registered
+    callable marked lua_process lands on process_fn; a plain callable
+    keeps the legacy rrname-pandas slot."""
+    from balboa_spark.streaming.selectors import load_selector_yaml
+
+    (tmp_path / "sel.lua").write_text("function process(o) end\n")
+    cfg = {
+        "selectors": [
+            {"name": "from_file", "type": "lua", "script": "sel.lua"},
+            {"name": "from_text", "type": "lua", "script": "inline"},
+            {"name": "from_proc", "type": "lua", "script": "pyproc"},
+            {"name": "legacy", "type": "lua", "script": "plain"},
+        ]
+    }
+
+    def pyproc(o):
+        o.add_tag("t")
+
+    pyproc.lua_process = True
+    scripts = {
+        "inline": "function process(o) o:add_tag('x') end",
+        "pyproc": pyproc,
+        "plain": lambda s: s.str.contains("a"),
+    }
+    rules = {r.name: r for r in load_selector_yaml(cfg, scripts=scripts,
+                                                   base_dir=str(tmp_path))}
+    assert rules["from_file"].mode == "lua"
+    assert "process" in rules["from_file"].script
+    assert rules["from_text"].mode == "lua"
+    assert rules["from_proc"].mode == "lua"
+    assert rules["from_proc"].process_fn is pyproc
+    assert rules["legacy"].mode == "pandas"
