@@ -103,12 +103,25 @@ def main() -> None:
         out = psl.with_registered_domain_psl(urls, "url", rdf, out_col="d")
         return out.groupBy("d").count()
 
+    def staged_arm(rules):
+        return (
+            psl.psl_staged_domain(urls, "url", rules=rules, out_col="d")
+            .groupBy("d")
+            .count()
+        )
+
     arms = {
         "a_r8_array_contains_snapshot": lambda: col_arm(r8_ps_len_expr, psl.PSL_SNAPSHOT),
         "b_r9_inset_snapshot": lambda: col_arm(psl._ps_len_expr, psl.PSL_SNAPSHOT),
         "c_inset_full_list": lambda: col_arm(psl._ps_len_expr, full_rules),
         "d_join_snapshot": lambda: join_arm(psl.PSL_SNAPSHOT),
         "e_join_full_list": lambda: join_arm(full_rules),
+        # r10 default: staged projections + one JVM-parsed SQL probe
+        # string (NB: each timed pass REBUILDS the query, so this arm
+        # measures build+exec like a real caller — the r10 regression
+        # was exactly a per-build cost the old warm-up hid)
+        "f_staged_sql_full_list": lambda: staged_arm(None),
+        "g_staged_sql_snapshot": lambda: staged_arm(psl.PSL_SNAPSHOT),
     }
 
     # warm-up (untimed): one run of each arm pays codegen/broadcast once
