@@ -312,3 +312,45 @@ def test_staged_arm_temp_collision_rejected(spark):
 
     with pytest.raises(ValueError, match="__psl_host"):
         P.psl_staged_domain(df, "u", out_col="d")
+
+
+def test_staged_sql_vs_column_arm_property(spark):
+    """Property: on randomized rule subsets — including rules with
+    SQL-hostile characters — the staged arm's JVM-parsed SQL probe
+    string (r10 `_ps_len_sql_for`) equals the pure-Column arm
+    row-for-row. Targets the literal-escaping and precedence of the
+    SQL renderer specifically."""
+    import random
+
+    rng = random.Random(0x5A51)
+    hostile = ("o'neill.xx", "*.o'neill.xx", "back\\slash.yy")
+    for trial in range(3):
+        rules = tuple(
+            sorted(rng.sample(P.PSL_SNAPSHOT, k=len(P.PSL_SNAPSHOT) // 3))
+            + list(hostile)
+        )
+        labels_pool = [
+            "a", "bb", "ck", "uk", "co", "jp", "o'neill", "xx",
+            "back\\slash", "yy", "kawasaki",
+        ]
+        hosts = [
+            ".".join(rng.choices(labels_pool, k=rng.randint(1, 5)))
+            for _ in range(40)
+        ] + [None, "10.0.0.7", "w.o'neill.xx", "a.back\\slash.yy"]
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(hosts)], "i long, u string"
+        )
+        col_arm = {
+            r["i"]: r["d"]
+            for r in df.select(
+                "i",
+                P.registered_domain_psl(F.col("u"), rules=rules).alias("d"),
+            ).collect()
+        }
+        staged = {
+            r["i"]: r["d"]
+            for r in P.psl_staged_domain(df, "u", rules=rules, out_col="d")
+            .select("i", "d")
+            .collect()
+        }
+        assert staged == col_arm, trial
