@@ -63,6 +63,21 @@ def merge_increment(agg_df: DataFrame, new_obs: DataFrame) -> DataFrame:
     return aggregate(as_input.unionByName(new_shaped))
 
 
+def fold_entries(stored: DataFrame, extra_keys=()) -> DataFrame:
+    """Re-fold STORED-shaped aggregate entries (count / first_seen /
+    last_seen) — the LSM merge-on-read combine. Associativity means
+    folding any union of partial aggregates equals the one-shot
+    aggregate, so a base generation unioned with delta generations
+    collapses to the same table merge() would have produced.
+    ``extra_keys`` lets the store keep its ``bucket`` column as a
+    grouping key, so bucket-pruning filters push below this fold."""
+    return stored.groupBy(*extra_keys, *OBSERVATION_KEY).agg(
+        F.sum("count").alias("count"),
+        F.min("first_seen").alias("first_seen"),
+        F.max("last_seen").alias("last_seen"),
+    )
+
+
 def total_count(agg_df: DataFrame) -> int:
     """A5: total number of aggregate entries (db/db.go:18 TotalCount)."""
     return agg_df.count()

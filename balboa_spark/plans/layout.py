@@ -48,6 +48,19 @@ Scale: bucket count is a constructor knob — 8 for local tests, 4096 at
 100 TB so a bucket is ~25 GB and a point query touches 1/4096 of the
 data. Writes repartition by the bucket expression so each task writes
 exactly one file per bucket (no small-file explosion).
+
+LSM write path (r10): ``merge`` re-folds every bucket a batch touches,
+and passive-DNS keys are uniform, so any real micro-batch touches ALL
+buckets — per-batch merge cost grows with the STORE, which is wrong
+for a high-frequency stream against a 100 TB table. ``append_delta``
+is the O(batch) alternative: the batch folds batch-locally and lands
+as an immutable ``delta-<seq>/`` pair of bucketed+sorted layouts;
+reads fold base UNION deltas on the fly (associativity of the
+group-merge makes that byte-identical to merge()'s result) with
+``bucket`` kept as a grouping key so point queries stay bucket-pruned;
+``compact()`` periodically folds deltas into the next base generation
+(RocksDB's L0->L1). Retired delta dirs get a one-generation vacuum
+grace, mirroring keep_last=2 for generations.
 """
 
 from __future__ import annotations
@@ -170,6 +183,18 @@ class ObservationStore:
             last_epochs["default"] = prev_man["last_epoch"]  # legacy manifest
         if epoch_id is not None:
             last_epochs[stream_id] = epoch_id
+        # write() is a full replace: outstanding deltas stop being part
+        # of the truth and retire with the same one-generation reader
+        # grace compact() grants; delta_seq stays monotonic so old dirs
+        # are never silently resurrected by a name collision
+        prev = prev_man or {}
+        retired = {
+            n: g
+            for n, g in (prev.get("retired_deltas") or {}).items()
+            if os.path.isdir(os.path.join(self.path, n))
+        }
+        for n in prev.get("deltas") or []:
+            retired[n] = gen
         self._flip_manifest(
             {
                 "generation": gen,
@@ -177,6 +202,9 @@ class ObservationStore:
                 "layouts": {n: list(order) for n, (_k, order) in _LAYOUTS.items()},
                 "written_at": int(time.time()),
                 "last_epochs": last_epochs,
+                "deltas": [],
+                "retired_deltas": retired,
+                "delta_seq": prev.get("delta_seq", 0),
             }
         )
         self.vacuum(keep_last=2)
@@ -190,6 +218,99 @@ class ObservationStore:
             .partitionBy("bucket")
             .parquet(out)
         )
+
+    def append_delta(
+        self,
+        new_obs: DataFrame,
+        epoch_id: int | None = None,
+        stream_id: str = "default",
+    ) -> None:
+        """LSM write path: fold the batch LOCALLY and append it as a
+        delta generation — O(batch) work with NO read of the base.
+
+        merge() re-folds and rewrites every touched bucket per batch;
+        with uniform keys (passive-DNS rrname/rdata are) any batch
+        touches every bucket, so its per-batch cost grows with the
+        STORE — fine for hourly folds, wrong for a high-frequency
+        micro-batch stream against a 100 TB table. Deltas make the
+        write O(batch): the batch is aggregated batch-locally, written
+        in the same dual bucketed+sorted layout under ``delta-<seq>/``,
+        and committed by the same atomic manifest flip. Reads fold
+        base UNION deltas on the fly (fold_entries — associativity
+        makes that identical to merge()'s result), still bucket-pruned
+        because ``bucket`` stays a grouping key; read cost grows with
+        the delta count until :meth:`compact` folds them into the next
+        base generation (the RocksDB L0->L1 pattern).
+
+        Crash safety: same (stream_id, epoch_id) gate as merge() — a
+        replayed epoch is a no-op; a TORN append (delta dir written,
+        manifest not flipped) is invisible to readers, gets
+        overwritten by the replay (the seq comes from the committed
+        manifest, so the retry lands on the same directory), and is
+        garbage-collected by vacuum() if never retried."""
+        man = self._manifest()
+        if man is not None:
+            last = (man.get("last_epochs") or {}).get(stream_id)
+            if epoch_id is not None and last is not None and epoch_id <= last:
+                return  # replayed micro-batch (T5)
+        from balboa_spark.operators.aggregate import aggregate
+
+        if man is None:
+            self.write(aggregate(new_obs), epoch_id=epoch_id, stream_id=stream_id)
+            return
+        seq = man.get("delta_seq", 0)
+        dname = f"delta-{seq:06d}"
+        agg = aggregate(new_obs)
+        for name, (key, order) in _LAYOUTS.items():
+            self._write_layout(
+                agg, os.path.join(self.path, dname, name), key, order
+            )
+        last_epochs = dict(man.get("last_epochs") or {})
+        if epoch_id is not None:
+            last_epochs[stream_id] = epoch_id
+        self._flip_manifest(
+            {
+                **man,
+                "delta_seq": seq + 1,
+                "deltas": list(man.get("deltas") or []) + [dname],
+                "last_epochs": last_epochs,
+            }
+        )
+
+    def compact(self) -> None:
+        """Fold all outstanding deltas into a fresh base generation
+        (LSM major compaction) and drop them. No-op without deltas.
+        One full rewrite — schedule it by delta count or delta bytes,
+        not per batch; queries stay correct (and bucket-pruned) at any
+        point before, during, or after."""
+        man = self._manifest()
+        if man is None or not man.get("deltas"):
+            return
+        combined = self._combined_layout("by_rrname").drop("bucket")
+        gen = man["generation"] + 1
+        gen_dir = self._gen_dir(gen)
+        for name, (key, order) in _LAYOUTS.items():
+            self._write_layout(combined, os.path.join(gen_dir, name), key, order)
+        # retired deltas keep a one-generation grace before vacuum
+        # removes them (mirrors keep_last=2 for generations); stale
+        # entries whose dirs are already gone are pruned here
+        retired = {
+            n: g
+            for n, g in (man.get("retired_deltas") or {}).items()
+            if os.path.isdir(os.path.join(self.path, n))
+        }
+        for n in man["deltas"]:
+            retired[n] = gen
+        self._flip_manifest(
+            {
+                **man,
+                "generation": gen,
+                "deltas": [],
+                "retired_deltas": retired,
+                "written_at": int(time.time()),
+            }
+        )
+        self.vacuum(keep_last=2)
 
     def merge(
         self,
@@ -206,8 +327,19 @@ class ObservationStore:
         foreachBatch) makes replays no-ops — epoch counters are
         per-StreamingQuery, so the gate must be scoped per stream or a
         second feeder's early epochs would be dropped as 'replays'.
+
+        With outstanding :meth:`append_delta` deltas the store is
+        compacted first (the selective-bucket rewrite below assumes
+        the base generation is the whole truth).
         """
         man = self._manifest()
+        if man is not None and man.get("deltas"):
+            # gate BEFORE compacting so a replayed epoch stays a no-op
+            last = (man.get("last_epochs") or {}).get(stream_id)
+            if epoch_id is not None and last is not None and epoch_id <= last:
+                return
+            self.compact()
+            man = self._manifest()
         last = None
         if man is not None:
             last = (man.get("last_epochs") or {}).get(stream_id)
@@ -256,15 +388,44 @@ class ObservationStore:
         self._commit(gen, man, epoch_id, stream_id)
 
     def vacuum(self, keep_last: int = 2) -> None:
-        """Drop generations older than the newest ``keep_last``. The
+        """Drop generations older than the newest ``keep_last``, plus
+        delta directories that are no longer part of the truth. The
         previous generation is kept by default so in-flight readers
-        (cached plans against the old file set) stay valid."""
+        (cached plans against the old file set) stay valid; retired
+        deltas get the SAME one-generation grace (a cached combined
+        plan against the pre-compaction base may still list them).
+        A delta dir at the manifest's NEXT seq is never touched — it
+        is a torn append whose replay will overwrite it in place."""
         man = self._manifest()
         if man is None:
             return
         floor = _vacuum_generations(self.path, man["generation"], keep_last)
+        live = set(man.get("deltas") or [])
+        retired = dict(man.get("retired_deltas") or {})
+        next_seq = man.get("delta_seq", 0)
+        removed: set[str] = set()
+        for entry in os.listdir(self.path):
+            if not entry.startswith("delta-"):
+                continue
+            if entry in live:
+                continue
+            if entry in retired:
+                if retired[entry] <= floor:  # grace period over
+                    shutil.rmtree(os.path.join(self.path, entry),
+                                  ignore_errors=True)
+                    removed.add(entry)
+                continue
+            seq_s = entry[len("delta-"):]
+            if seq_s.isdigit() and int(seq_s) < next_seq:
+                # unreferenced dir from a committed era — orphan
+                shutil.rmtree(os.path.join(self.path, entry),
+                              ignore_errors=True)
+                removed.add(entry)
         self._layout_cache = {
-            k: v for k, v in self._layout_cache.items() if k[0] >= floor
+            k: v
+            for k, v in self._layout_cache.items()
+            if (isinstance(k[0], int) and k[0] >= floor)
+            or (isinstance(k[0], str) and k[0] not in removed)
         }
 
     # -- read side ----------------------------------------------------------
@@ -323,16 +484,52 @@ class ObservationStore:
         df = self._read_layout(name)
         return df if df is not None else self._empty_layout()
 
+    def _read_delta_layout(self, dname: str, name: str) -> DataFrame:
+        from pyspark.sql.utils import AnalysisException
+
+        key = (dname, name)
+        if key not in self._layout_cache:
+            try:
+                df = self.spark.read.parquet(
+                    os.path.join(self.path, dname, name)
+                )
+            except AnalysisException:
+                df = self._empty_layout()  # empty batch wrote no files
+            self._layout_cache[key] = df
+        return self._layout_cache[key]
+
+    def _combined_layout(self, name: str) -> DataFrame:
+        """Base layout merged-on-read with outstanding deltas (LSM read
+        path). Without deltas this IS the base layout — zero overhead.
+        With deltas, one fold_entries groupBy re-folds base UNION
+        deltas; ``bucket`` stays a grouping key, so a point query's
+        bucket filter pushes below the fold and the job still touches
+        one bucket directory per relation."""
+        man = self._manifest()
+        base = self._layout_or_empty(name)
+        if man is None or not man.get("deltas"):
+            return base
+        from balboa_spark.operators.aggregate import fold_entries
+
+        allr = base
+        for dname in man["deltas"]:
+            allr = allr.unionByName(self._read_delta_layout(dname, name))
+        return fold_entries(allr, extra_keys=("bucket",))
+
     def forward(self, generation: int | None = None) -> DataFrame:
         """Aggregate table in forward key order; pass ``generation``
         for a time-travel read of a retained older generation (the
         lakehouse snapshot-read pattern — generations are immutable,
         so an as-of-previous-merge audit query is just a different
         directory, within the vacuum horizon)."""
+        if generation is None:
+            return self._combined_layout("by_rrname").drop("bucket")
         df = self._read_layout("by_rrname", generation)
         return (df if df is not None else self._empty_layout()).drop("bucket")
 
     def inverted(self, generation: int | None = None) -> DataFrame:
+        if generation is None:
+            return self._combined_layout("by_rdata").drop("bucket")
         df = self._read_layout("by_rdata", generation)
         return (df if df is not None else self._empty_layout()).drop("bucket")
 
@@ -355,7 +552,7 @@ class ObservationStore:
         whose bucket partition the driving predicate prunes."""
         q.validate()
         if q.rrname is not None:
-            base = self._layout_or_empty("by_rrname")
+            base = self._combined_layout("by_rrname")
             df = base.filter(
                 (F.col("bucket") == F.pmod(F.hash(F.lit(q.rrname)), F.lit(self.num_buckets)))
                 & (F.col("rrname") == q.rrname)
@@ -363,7 +560,7 @@ class ObservationStore:
             if q.rdata is not None:
                 df = df.filter(F.col("rdata") == q.rdata)
         else:
-            base = self._layout_or_empty("by_rdata")
+            base = self._combined_layout("by_rdata")
             df = base.filter(
                 (F.col("bucket") == F.pmod(F.hash(F.lit(q.rdata)), F.lit(self.num_buckets)))
                 & (F.col("rdata") == q.rdata)
@@ -386,7 +583,7 @@ class ObservationStore:
         if by not in ("rdata", "rrname"):
             raise ValueError("by must be 'rdata' or 'rrname'")
         layout = "by_rdata" if by == "rdata" else "by_rrname"
-        base = self._layout_or_empty(layout)
+        base = self._combined_layout(layout)
         subjects = list(set(subjects))
         subj_df = self.spark.createDataFrame([(s,) for s in subjects], f"{by} string")
         # bucket ids via Spark's own hash (a driver-side Python hash

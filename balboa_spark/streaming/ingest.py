@@ -57,8 +57,16 @@ def ingest_stream(
     max_files_per_trigger: int | None = None,
     sensor_from_path: str | None = None,
     stream_id: str | None = None,
+    mode: str = "merge",
+    compact_every: int = 16,
 ):
     """Start a streaming ingest job; returns the StreamingQuery.
+
+    mode: "merge" re-folds touched buckets per micro-batch (per-batch
+    cost grows with the store — right for low-frequency folds);
+    "delta" appends O(batch) delta generations (layout.py LSM path)
+    and compacts each store every ``compact_every`` epochs — right for
+    high-frequency micro-batches against a large store.
 
     stream_id scopes the stores' epoch replay gate: foreachBatch epoch
     counters are per-StreamingQuery, so every distinct feeder merging
@@ -141,7 +149,18 @@ def ingest_stream(
             obs = obs.withColumn("tags", F.array().cast("array<string>"))
         obs = obs.localCheckpoint(eager=True)  # parse once, not once per route
         for name, tagged in route_fn(obs, routes).items():
-            stores[name].merge(tagged, epoch_id=epoch_id, stream_id=stream_id)
+            if mode == "delta":
+                stores[name].append_delta(
+                    tagged, epoch_id=epoch_id, stream_id=stream_id
+                )
+                # compaction cadence rides the epoch counter, so it is
+                # deterministic under replay (a replayed epoch re-runs
+                # the same compact decision against an already-compacted
+                # store, which is a no-op)
+                if compact_every and epoch_id % compact_every == compact_every - 1:
+                    stores[name].compact()
+            else:
+                stores[name].merge(tagged, epoch_id=epoch_id, stream_id=stream_id)
 
     writer = lines.writeStream.foreachBatch(process_batch)
     if checkpoint:

@@ -165,6 +165,21 @@ def main() -> None:
         batch = obs.filter(F.col("event_id") % 100 == 0)
         store.merge(batch)
 
+    @timed("delta_ingest")
+    def _():
+        # LSM write path (r10): 4 micro-batch appends (O(batch) each,
+        # zero base reads) + one bucket-pruned point query through the
+        # merge-on-read fold + one compaction back to a clean base —
+        # the high-frequency-stream alternative merge_batch can't be
+        from balboa_spark.operators.query import Query as _Q
+
+        for i in range(4):
+            store.append_delta(obs.filter(F.col("event_id") % 100 == i))
+        store.query(_Q(rrname=RRNAME_SUBJECT)).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        store.compact()
+
     @timed("point_queries")
     def _():
         for i in range(20):

@@ -656,3 +656,118 @@ def test_enrich_batch_rejects_unknown_key_and_broadcasts_dim(spark, store):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- LSM delta path (append_delta / compact, r10) ---------------------------
+
+
+def _batch(spark, count, rdata, rrname, when):
+    return spark.createDataFrame(
+        [(count, "NOERROR", rdata, "A", rrname, "abc", when, when, [])],
+        seed_obs(spark).schema,
+    )
+
+
+def test_append_delta_parity_with_merge(spark, store, tmp_path):
+    """append_delta + merge-on-read must be byte-identical to the
+    merge() path: same fold, same rows, same point-query results."""
+    ts2, ts3 = dt.datetime(2021, 6, 1), dt.datetime(2022, 1, 1)
+    b1 = _batch(spark, 5, "1.2.3.4", "foo", ts2)
+    b2 = _batch(spark, 7, "1.2.3.4", "foo", ts3).unionByName(
+        _batch(spark, 2, "9.9.9.9", "newdom", ts3)
+    )
+    twin = ObservationStore(spark, str(tmp_path / "twin"), num_buckets=4)
+    twin.write(aggregate(seed_obs(spark)))
+    twin.merge(b1)
+    twin.merge(b2)
+    store.append_delta(b1)
+    store.append_delta(b2)
+    key = lambda r: (r.rrname, r.sensor_id, r.rrtype, r.rdata)  # noqa: E731
+    a = sorted(map(tuple, store.forward().collect()))
+    b = sorted(map(tuple, twin.forward().collect()))
+    assert a == b
+    r = store.query(Query(rrname="foo")).collect()[0]
+    assert r["count"] == 22
+    assert r.first_seen == dt.datetime(2020, 1, 1) and r.last_seen == ts3
+    # inverted layout folds too
+    assert sorted(
+        x.rrname for x in store.query(Query(rdata="1.2.3.4")).collect()
+    ) == ["baz", "foo"]
+
+
+def test_append_delta_keeps_bucket_pruning(spark, store):
+    """With outstanding deltas the point query's bucket filter must
+    still push below the merge-on-read fold (grouping-column
+    pushdown), so the scan stays pruned."""
+    store.append_delta(_batch(spark, 5, "1.2.3.4", "foo", dt.datetime(2021, 6, 1)))
+    plan = (
+        store.query(Query(rrname="foo"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "bucket" in plan
+
+
+def test_compact_parity_and_vacuum_grace(spark, store):
+    """compact() must not change what readers see; retired delta dirs
+    survive one generation (in-flight reader grace) and are vacuumed
+    by the commit after that."""
+    ts2 = dt.datetime(2021, 6, 1)
+    store.append_delta(_batch(spark, 5, "1.2.3.4", "foo", ts2))
+    store.append_delta(_batch(spark, 3, "8.8.8.8", "quux", ts2))
+    before = sorted(map(tuple, store.forward().collect()))
+    store.compact()
+    man = json.load(open(os.path.join(store.path, "manifest.json")))
+    assert man["deltas"] == []
+    assert sorted(man["retired_deltas"]) == ["delta-000000", "delta-000001"]
+    assert sorted(map(tuple, store.forward().collect())) == before
+    # grace: dirs still on disk right after compact's own vacuum
+    assert os.path.isdir(os.path.join(store.path, "delta-000000"))
+    # one more committed generation -> grace over, dirs removed
+    store.merge(_batch(spark, 1, "7.7.7.7", "zzz", ts2))
+    assert not os.path.isdir(os.path.join(store.path, "delta-000000"))
+    assert not os.path.isdir(os.path.join(store.path, "delta-000001"))
+    r = store.query(Query(rrname="foo")).collect()[0]
+    assert r["count"] == 15
+
+
+def test_append_delta_epoch_replay_is_noop(spark, store):
+    ts2 = dt.datetime(2021, 6, 1)
+    b = _batch(spark, 5, "1.2.3.4", "foo", ts2)
+    store.append_delta(b, epoch_id=1, stream_id="s1")
+    store.append_delta(b, epoch_id=1, stream_id="s1")  # replay
+    assert store.query(Query(rrname="foo")).collect()[0]["count"] == 15
+    # a DIFFERENT stream's epoch 1 is not a replay
+    store.append_delta(b, epoch_id=1, stream_id="s2")
+    assert store.query(Query(rrname="foo")).collect()[0]["count"] == 20
+
+
+def test_torn_append_is_invisible_and_selfheals(spark, store):
+    """Crash between the delta write and the manifest flip: readers
+    see nothing, the retried epoch lands on the same directory, and
+    the data is counted exactly once."""
+    ts2 = dt.datetime(2021, 6, 1)
+    b = _batch(spark, 5, "1.2.3.4", "foo", ts2)
+    real_flip = store._flip_manifest
+    store._flip_manifest = lambda man: (_ for _ in ()).throw(OSError("torn"))
+    with pytest.raises(OSError):
+        store.append_delta(b, epoch_id=3, stream_id="s1")
+    store._flip_manifest = real_flip
+    # torn dir exists but is not part of the truth
+    assert os.path.isdir(os.path.join(store.path, "delta-000000"))
+    assert store.query(Query(rrname="foo")).collect()[0]["count"] == 10
+    # vacuum must NOT remove the next-seq torn dir (replay target)
+    store.vacuum()
+    assert os.path.isdir(os.path.join(store.path, "delta-000000"))
+    store.append_delta(b, epoch_id=3, stream_id="s1")  # the retry
+    assert store.query(Query(rrname="foo")).collect()[0]["count"] == 15
+
+
+def test_merge_after_deltas_autocompacts(spark, store):
+    ts2 = dt.datetime(2021, 6, 1)
+    store.append_delta(_batch(spark, 5, "1.2.3.4", "foo", ts2))
+    store.merge(_batch(spark, 1, "1.2.3.4", "foo", ts2))
+    man = json.load(open(os.path.join(store.path, "manifest.json")))
+    assert man["deltas"] == []
+    assert store.query(Query(rrname="foo")).collect()[0]["count"] == 16
