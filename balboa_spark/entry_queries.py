@@ -99,6 +99,29 @@ def q_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_delta_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM path end-to-end (r10): write a REAL on-disk store from a
+    third of the stream, append the other two thirds as delta
+    generations, and read the merged-on-read forward table. The
+    oracle is the plain one-shot SQL aggregate — associativity of the
+    fold is exactly what makes base+deltas equal it."""
+    import tempfile
+
+    from balboa_spark.plans.layout import ObservationStore
+
+    obs = _obs_stream(spark, sf_dir)
+    store = ObservationStore(
+        spark, tempfile.mkdtemp(prefix="balboa_delta_entry_"), num_buckets=4
+    )
+    # slice by event TIME so the same aggregate key lands in several
+    # slices — the cross-delta fold is the thing under test
+    sl = F.pmod(F.unix_timestamp("ts_start"), F.lit(3))
+    store.write(aggregate(obs.filter(sl == 0)))
+    store.append_delta(obs.filter(sl == 1), epoch_id=0)
+    store.append_delta(obs.filter(sl == 2), epoch_id=1)
+    return store.forward().select(*OBS_COLS)
+
+
 def q_input_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events→input_observation normalization itself (projection,
     CASE mapping, concat scalar functions — §2.11 analog)."""
@@ -129,6 +152,8 @@ _IP_LONG = (
 
 ORACLES: dict[str, str] = {
     "observations_agg": with_agg_cte(_AGG_SELECT),
+    # LSM roundtrip: base + 2 deltas folded on read == one-shot fold
+    "store_delta_fold": with_agg_cte(_AGG_SELECT),
     "entries_rrname": _entries_oracle(f"rrname = '{RRNAME_SUBJECT}'"),
     "entries_rrname_residual": _entries_oracle(
         f"rrname = '{RRNAME_SUBJECT}' AND rrtype = 'A' AND sensor_id = 'sensor7'"
@@ -194,6 +219,7 @@ ORACLES.update(ORACLES_TEMPORAL)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "observations_agg": q_observations_agg,
+    "store_delta_fold": q_store_delta_fold,
     "entries_rrname": q_entries_rrname,
     "entries_rrname_residual": q_entries_rrname_residual,
     "entries_rdata": q_entries_rdata,
@@ -264,8 +290,9 @@ CAP_50 = [
     "corpus_bpe_segment",
     "corpus_source_overlap",
     "corpus_bpe_vocab",
-    "events_props_extract",
     "events_props_profile",
+    # -- r10-new kernel: LSM delta store roundtrip, first grading --
+    "store_delta_fold",
     "events_skew_metrics",
     "events_heavy_users",
     # -- r7-new cohort entries kept in-cap: PSL-kernel-changed this
@@ -363,6 +390,7 @@ _TAIL = [
     "corpus_sentences",   # green r6; sentence-split explode kernel
     "corpus_winnow",      # green r6; groupBy-min(struct) winnowing kernel
     "events_quantiles",   # same windowed-agg family as rolling/anomaly
+    "events_props_extract",  # green r8+r9; sibling events_props_profile stays in-cap
     "tpch_q1",
     "tpch_q3",
     "join_enrich",
