@@ -771,3 +771,43 @@ def test_merge_after_deltas_autocompacts(spark, store):
     man = json.load(open(os.path.join(store.path, "manifest.json")))
     assert man["deltas"] == []
     assert store.query(Query(rrname="foo")).collect()[0]["count"] == 16
+
+
+def test_streaming_ingest_delta_mode(spark, tmp_path):
+    """T1 via the LSM path: mode='delta' appends O(batch) deltas per
+    micro-batch; compact_every=2 folds them on the second epoch; the
+    fold visible to queries is identical to merge mode throughout."""
+    from balboa_spark.streaming.ingest import ingest_stream
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "b1.ndjson").write_text("\n".join(SURI % (i, i) for i in range(3)) + "\n")
+
+    store = ObservationStore(spark, str(tmp_path / "dstore"), num_buckets=2)
+    store.write(aggregate(seed_obs(spark).limit(0)))  # empty init
+
+    q = ingest_stream(
+        spark,
+        str(land),
+        "suricata_dns",
+        stores={"default": store},
+        sensor_id="sensorX",
+        checkpoint=str(tmp_path / "dckpt"),
+        mode="delta",
+        compact_every=2,
+    )
+    try:
+        q.processAllAvailable()
+        man = json.load(open(os.path.join(store.path, "manifest.json")))
+        assert man["deltas"], "epoch 0 must land as a delta"
+        (land / "b2.ndjson").write_text(SURI % (9, 0) + "\n")
+        q.processAllAvailable()  # epoch 1 -> append + compact (1 % 2 == 1)
+    finally:
+        q.stop()
+
+    man = json.load(open(os.path.join(store.path, "manifest.json")))
+    assert man["deltas"] == []  # compacted on the cadence epoch
+    rows = store.query(Query(rrname="stream.example.com")).collect()
+    assert len(rows) == 3
+    agg = {r.rdata: r["count"] for r in rows}
+    assert agg["9.9.9.0"] == 2  # folded across delta + compaction
