@@ -288,13 +288,13 @@ CAP_50 = [
     "corpus_mixture_temperature",
     "corpus_dataset_profile",
     "corpus_bpe_segment",
-    "corpus_source_overlap",
     "corpus_bpe_vocab",
     "events_props_profile",
-    # -- r10-new kernel: LSM delta store roundtrip, first grading --
+    # -- r10-new kernels: persisted-store roundtrips, first grading --
     "store_delta_fold",
+    "span_dedup_store",
+    "bm25_store_topk",
     "events_skew_metrics",
-    "events_heavy_users",
     # -- r7-new cohort entries kept in-cap: PSL-kernel-changed this
     #    round (domain_profile/domain_cap/pipeline_crawl) or one more
     #    grading wanted --
@@ -391,6 +391,8 @@ _TAIL = [
     "corpus_winnow",      # green r6; groupBy-min(struct) winnowing kernel
     "events_quantiles",   # same windowed-agg family as rolling/anomaly
     "events_props_extract",  # green r8+r9; sibling events_props_profile stays in-cap
+    "events_heavy_users",    # green r8+r9; same keyed-agg family as in-cap events_skew_metrics
+    "corpus_source_overlap", # green r8+r9; broadcast-join kernel graded via contamination family
     "tpch_q1",
     "tpch_q3",
     "join_enrich",
