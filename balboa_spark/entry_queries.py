@@ -286,7 +286,6 @@ CAP_50 = [
     "corpus_epoch_shuffle",
     "corpus_bm25_topk",
     "corpus_mixture_temperature",
-    "corpus_dataset_profile",
     "corpus_bpe_segment",
     "corpus_bpe_vocab",
     "events_props_profile",
@@ -294,6 +293,7 @@ CAP_50 = [
     "store_delta_fold",
     "span_dedup_store",
     "bm25_store_topk",
+    "vector_store_topk",
     "events_skew_metrics",
     # -- r7-new cohort entries kept in-cap: PSL-kernel-changed this
     #    round (domain_profile/domain_cap/pipeline_crawl) or one more
@@ -364,6 +364,7 @@ _TAIL = [
     "embedding_topk",     # brute-force baseline of in-cap ann_lsh_topk/knn_join
     "corpus_vocab_topk",  # token-count kernel graded harder by tfidf/bm25
     "corpus_hash_split",  # md5-threshold kernel graded via mixture_resample
+    "corpus_dataset_profile",  # green r8+r9; stats-agg kernel, family graded via quality_signals
     "rollup_observations",# GROUPING SETS variant of in-cap observations_agg
     "dedup_simhash",      # green r3-r5; pigeonhole-block kernel
     "corpus_contamination",  # green r4-r5; broadcast n-gram join

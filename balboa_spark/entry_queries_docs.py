@@ -787,6 +787,56 @@ LIMIT {TOPK}
 """
 
 
+def q_vector_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VectorStore roundtrip (r10 grading of the persisted path):
+    write the first half of the embeddings, incremental-upsert the
+    second half, then upsert a REPLACEMENT batch (vec_id < 5 negated
+    — exercises the replaced-code selective rewrite), and query with
+    probe_hamming = num_planes, which covers every LSH bucket and
+    makes the store's candidate path EXACT brute-force cosine. The
+    oracle applies the same replacement in SQL."""
+    import tempfile
+
+    from balboa_spark.operators.vector_store import VectorStore
+
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"].select("vec_id", "embedding")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    store = VectorStore(
+        spark,
+        tempfile.mkdtemp(prefix="balboa_vecstore_entry_"),
+        num_tables=2,
+        num_planes=6,
+    )
+    mid = emb.agg(F.max("vec_id")).first()[0] // 2
+    store.write(emb.filter(F.col("vec_id") <= mid), dim=64)
+    store.upsert(emb.filter(F.col("vec_id") > mid))
+    store.upsert(
+        emb.filter(F.col("vec_id") < 5).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
+    return store.topk(qvec, k=TOPK, probe_hamming=6)
+
+
+VECTOR_STORE_TOPK_ORACLE = f"""
+WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+e AS (
+  SELECT vec_id,
+         CASE WHEN vec_id < 5 THEN list_transform(v, x -> -x) ELSE v END AS v
+  FROM raw
+),
+q AS (SELECT v AS qv FROM raw WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_inner_product(v, qv)
+             / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6) AS cos
+FROM e, q
+ORDER BY cos DESC, vec_id
+LIMIT {TOPK}
+"""
+
+
 KNN_K, KNN_NQ = 10, 20
 
 
@@ -1685,6 +1735,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_pretrain": q_pipeline_pretrain,
     "corpus_passage_cdc": q_passage_cdc,
     "embedding_topk": q_embedding_topk,
+    "vector_store_topk": q_vector_store_topk,
     "embedding_knn_join": q_knn_join,
     "embedding_cosine_pairs": q_embedding_pairs,
     "dedup_embedding": q_dedup_embedding,
@@ -1723,6 +1774,7 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": JACCARD_ORACLE,
     "embedding_topk": EMBEDDING_TOPK_ORACLE,
+    "vector_store_topk": VECTOR_STORE_TOPK_ORACLE,
     "embedding_knn_join": KNN_JOIN_ORACLE,
     "embedding_cosine_pairs": EMBEDDING_PAIRS_ORACLE,
     "dedup_embedding": DEDUP_EMBEDDING_ORACLE,
