@@ -811,3 +811,51 @@ def test_streaming_ingest_delta_mode(spark, tmp_path):
     assert len(rows) == 3
     agg = {r.rdata: r["count"] for r in rows}
     assert agg["9.9.9.0"] == 2  # folded across delta + compaction
+
+
+def test_append_delta_random_split_property(spark, tmp_path):
+    """Property: ANY partition of the observation stream into base +
+    deltas folds to the same table as the one-shot aggregate
+    (associativity + commutativity of the group-merge)."""
+    import random
+
+    rng = random.Random(0xD317A)
+    ts0 = dt.datetime(2020, 1, 1)
+    rows = [
+        (
+            rng.randint(1, 50),
+            "NOERROR",
+            f"10.0.0.{rng.randrange(6)}",
+            "A",
+            f"d{rng.randrange(8)}.example",
+            f"s{rng.randrange(3)}",
+            ts0 + dt.timedelta(hours=rng.randrange(100)),
+            ts0 + dt.timedelta(hours=100 + rng.randrange(100)),
+            [],
+        )
+        for _ in range(60)
+    ]
+    schema = seed_obs(spark).schema
+    all_df = spark.createDataFrame(rows, schema)
+    obs_cols = ["rrname", "sensor_id", "rrtype", "rdata", "count",
+                "first_seen", "last_seen"]
+    expected = sorted(
+        map(tuple, aggregate(all_df).select(*obs_cols).collect())
+    )
+    for trial in range(2):
+        marks = [rng.randrange(3) for _ in rows]
+        dfs = [
+            spark.createDataFrame(
+                [r for r, m in zip(rows, marks) if m == i] or
+                [], schema,
+            )
+            for i in range(3)
+        ]
+        s = ObservationStore(
+            spark, str(tmp_path / f"prop{trial}"), num_buckets=3
+        )
+        s.write(aggregate(dfs[0]))
+        s.append_delta(dfs[1], epoch_id=0)
+        s.append_delta(dfs[2], epoch_id=1)
+        got = sorted(map(tuple, s.forward().select(*obs_cols).collect()))
+        assert got == expected, f"trial {trial}"
