@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("store")
         s.add_argument("out")
 
+    s = sub.add_parser(
+        "compact",
+        help="fold outstanding delta generations into a new base "
+        "(LSM major compaction; no-op without deltas)",
+    )
+    s.add_argument("store")
+
     s = sub.add_parser("replay", help="re-ingest a dump through merge (S6)")
     s.add_argument("store")
     s.add_argument("dump")
@@ -127,6 +134,8 @@ def run(args: argparse.Namespace, spark=None) -> int:
         store.jsonize(args.out)
     elif args.cmd == "backup":
         store.backup(args.out)
+    elif args.cmd == "compact":
+        store.compact()
     elif args.cmd == "replay":
         store.replay(args.dump)
     elif args.cmd == "migrate-v1":

@@ -859,3 +859,17 @@ def test_append_delta_random_split_property(spark, tmp_path):
         s.append_delta(dfs[2], epoch_id=1)
         got = sorted(map(tuple, s.forward().select(*obs_cols).collect()))
         assert got == expected, f"trial {trial}"
+
+
+def test_cli_compact(spark, store):
+    """`balboa-spark compact <store>` folds outstanding deltas."""
+    from balboa_spark.cli import build_parser, run
+
+    store.append_delta(
+        _batch(spark, 5, "1.2.3.4", "foo", dt.datetime(2021, 6, 1))
+    )
+    assert run(build_parser().parse_args(["compact", store.path]),
+               spark=spark) == 0
+    man = json.load(open(os.path.join(store.path, "manifest.json")))
+    assert man["deltas"] == []
+    assert store.query(Query(rrname="foo")).collect()[0]["count"] == 15
