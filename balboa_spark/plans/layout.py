@@ -251,6 +251,8 @@ class ObservationStore:
         man = self._manifest()
         if man is not None:
             last = (man.get("last_epochs") or {}).get(stream_id)
+            if last is None and stream_id == "default":
+                last = man.get("last_epoch")  # legacy manifest
             if epoch_id is not None and last is not None and epoch_id <= last:
                 return  # replayed micro-batch (T5)
         from balboa_spark.operators.aggregate import aggregate
