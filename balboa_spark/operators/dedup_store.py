@@ -61,6 +61,41 @@ from balboa_spark.operators import dedup
 
 MANIFEST = "manifest.json"
 
+#: On-disk format version. v2 (r10): epoch state dirs are scoped
+#: strings ``epoch=<stream>-<n>`` so two StreamingQueries (each with
+#: its own foreachBatch epoch counter) or a checkpoint-reset restart
+#: can never overwrite each other's committed history — the
+#: destructive-epoch-reuse bug a bare integer epoch invites. Stores
+#: written by the unversioned pre-r10 layout are rejected with a
+#: rebuild error (no silent partition-structure conflicts).
+STORE_FORMAT = 2
+
+
+def _epoch_scope(epoch_id: int, stream_id: str) -> str:
+    """Partition value for one stream's epoch: sanitized stream id +
+    the numeric epoch. Sanitization keeps the value filesystem- and
+    partition-encoding-friendly; distinct streams that sanitize equal
+    (a 40-char prefix collision of punctuation-heavy ids) fall back
+    to the single-writer contract."""
+    import re as _re
+
+    tag = _re.sub(r"[^A-Za-z0-9_.]", "_", stream_id)[:40] or "default"
+    return f"{tag}-{int(epoch_id)}"
+
+
+def _check_format(path: str) -> None:
+    man_path = os.path.join(path, MANIFEST)
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            man = json.load(f)
+        if man.get("format") != STORE_FORMAT:
+            raise ValueError(
+                f"store at {path} uses on-disk format "
+                f"{man.get('format', 1)} (this build reads "
+                f"{STORE_FORMAT}); rebuild it by re-processing the "
+                "corpus — there is no in-place migration"
+            )
+
 
 class MinHashDedupStore:
     def __init__(
@@ -74,6 +109,7 @@ class MinHashDedupStore:
         self.spark = spark
         self.path = path
         self.bands_path = os.path.join(path, "bands")
+        _check_format(path)
         man_path = os.path.join(path, MANIFEST)
         if os.path.exists(man_path):
             with open(man_path) as f:
@@ -97,6 +133,7 @@ class MinHashDedupStore:
         with open(os.path.join(self.path, MANIFEST), "w") as f:
             json.dump(
                 {
+                    "format": STORE_FORMAT,
                     "num_hashes": self.num_hashes,
                     "num_bands": self.num_bands,
                     "k": self.k,
@@ -106,23 +143,23 @@ class MinHashDedupStore:
 
     def _next_epoch(self, state_path: str) -> int:
         """Fresh auto-epoch for one-shot batch callers: one past the
-        largest existing epoch directory."""
+        largest existing ``auto-N`` epoch directory."""
         if not os.path.exists(state_path):
             return 0
         eps = [
-            int(d.split("=", 1)[1])
+            int(d.rsplit("-", 1)[1])
             for d in os.listdir(state_path)
-            if d.startswith("epoch=") and d.split("=", 1)[1].lstrip("-").isdigit()
+            if d.startswith("epoch=auto-") and d.rsplit("-", 1)[1].isdigit()
         ]
         return (max(eps) + 1) if eps else 0
 
-    def bands(self, exclude_epoch: int | None = None) -> DataFrame | None:
+    def bands(self, exclude_scope: str | None = None) -> DataFrame | None:
         if not os.path.exists(self.bands_path):
             return None
         df = self.spark.read.parquet(self.bands_path)
-        if exclude_epoch is not None and "epoch" in df.columns:
+        if exclude_scope is not None and "epoch" in df.columns:
             # partition-pruned: epoch is a partition column
-            df = df.filter(F.col("epoch") != int(exclude_epoch))
+            df = df.filter(F.col("epoch") != exclude_scope)
         return df
 
     def _band(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -136,13 +173,18 @@ class MinHashDedupStore:
         text_col: str = "text",
         id_col: str = "doc_id",
         epoch_id: int | None = None,
+        stream_id: str = "default",
     ) -> DataFrame:
         """Batch rows that near-dup neither a stored document nor an
-        earlier (smaller-id) row of the same batch. ``epoch_id``
-        excludes that epoch's own bands from history so a replayed
-        epoch makes the identical decisions (torn-batch safety)."""
+        earlier (smaller-id) row of the same batch. ``(stream_id,
+        epoch_id)`` excludes that stream-epoch's own bands from
+        history so a replayed epoch makes the identical decisions
+        (torn-batch safety); epochs are scoped per stream so another
+        feeder's (or a checkpoint-reset restart's) equal epoch number
+        can never be mistaken for this one."""
         nb = self._band(batch, text_col, id_col)
-        stored = self.bands(exclude_epoch=epoch_id)
+        scope = None if epoch_id is None else _epoch_scope(epoch_id, stream_id)
+        stored = self.bands(exclude_scope=scope)
         if stored is not None:
             hits = (
                 nb.join(stored, ["band_idx", "band_hash"], "left_semi")
@@ -163,19 +205,25 @@ class MinHashDedupStore:
         text_col: str = "text",
         id_col: str = "doc_id",
         epoch_id: int | None = None,
+        stream_id: str = "default",
     ) -> None:
-        """Write the kept documents' bands under their epoch directory
-        (mode=overwrite: a replay of the same epoch rewrites the same
-        state, so a torn previous append self-heals; a duplicate band
-        row would change no collision decision anyway)."""
+        """Write the kept documents' bands under their stream-scoped
+        epoch directory (mode=overwrite: a replay of the same epoch
+        rewrites the same state, so a torn previous append
+        self-heals; a duplicate band row would change no collision
+        decision anyway)."""
         self._write_manifest()
-        ep = self._next_epoch(self.bands_path) if epoch_id is None else int(epoch_id)
+        scope = (
+            f"auto-{self._next_epoch(self.bands_path)}"
+            if epoch_id is None
+            else _epoch_scope(epoch_id, stream_id)
+        )
         (
             self._band(kept, text_col, id_col)
             .repartition("band_idx")
             .write.mode("overwrite")
             .partitionBy("band_idx")
-            .parquet(os.path.join(self.bands_path, f"epoch={ep}"))
+            .parquet(os.path.join(self.bands_path, f"epoch={scope}"))
         )
 
     def process_batch(
@@ -184,16 +232,18 @@ class MinHashDedupStore:
         text_col: str = "text",
         id_col: str = "doc_id",
         epoch_id: int | None = None,
+        stream_id: str = "default",
     ) -> DataFrame:
         """filter_new + add, returning the kept rows (materialized so
         the dedup decision is computed once, not re-derived by both the
         band append and the caller's sink). Pass the foreachBatch
-        ``epoch_id`` for replay-stable decisions across the torn-batch
+        ``epoch_id`` (plus the stream's id when several queries share
+        the store) for replay-stable decisions across the torn-batch
         window (module docstring)."""
         kept = self.filter_new(
-            batch, text_col, id_col, epoch_id=epoch_id
+            batch, text_col, id_col, epoch_id=epoch_id, stream_id=stream_id
         ).localCheckpoint(eager=True)
-        self.add(kept, text_col, id_col, epoch_id=epoch_id)
+        self.add(kept, text_col, id_col, epoch_id=epoch_id, stream_id=stream_id)
         return kept
 
 
@@ -232,6 +282,7 @@ class SpanDedupStore:
         self.spark = spark
         self.path = path
         self.hashes_path = os.path.join(path, "hashes")
+        _check_format(path)
         man_path = os.path.join(path, MANIFEST)
         if os.path.exists(man_path):
             with open(man_path) as f:
@@ -246,16 +297,18 @@ class SpanDedupStore:
     def _write_manifest(self) -> None:
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, MANIFEST), "w") as f:
-            json.dump({"span_tokens": self.span_tokens}, f)
+            json.dump(
+                {"format": STORE_FORMAT, "span_tokens": self.span_tokens}, f
+            )
 
     _next_epoch = MinHashDedupStore._next_epoch
 
-    def hashes(self, exclude_epoch: int | None = None) -> DataFrame | None:
+    def hashes(self, exclude_scope: str | None = None) -> DataFrame | None:
         if not os.path.exists(self.hashes_path):
             return None
         df = self.spark.read.parquet(self.hashes_path)
-        if exclude_epoch is not None and "epoch" in df.columns:
-            df = df.filter(F.col("epoch") != int(exclude_epoch))
+        if exclude_scope is not None and "epoch" in df.columns:
+            df = df.filter(F.col("epoch") != exclude_scope)
         return df
 
     def process_batch(
@@ -264,15 +317,18 @@ class SpanDedupStore:
         text_col: str = "text",
         id_col: str = "doc_id",
         epoch_id: int | None = None,
+        stream_id: str = "default",
     ) -> DataFrame:
         """Span-dedup the batch against history + itself, write the
-        new window hashes under the epoch directory, return (id,
-        n_tokens, n_removed, clean_text) for documents keeping at
-        least one token. Pass the foreachBatch ``epoch_id`` for
-        replay-stable decisions across the torn-batch window (module
-        docstring): history excludes the current epoch, and the epoch
-        write is an overwrite, so a replay after a torn append makes
-        identical decisions and rewrites identical state."""
+        new window hashes under the stream-scoped epoch directory,
+        return (id, n_tokens, n_removed, clean_text) for documents
+        keeping at least one token. Pass the foreachBatch
+        ``epoch_id`` (plus ``stream_id`` when several queries share
+        the store) for replay-stable decisions across the torn-batch
+        window (module docstring): history excludes the current
+        stream-epoch, and the epoch write is an overwrite, so a
+        replay after a torn append makes identical decisions and
+        rewrites identical state."""
         from balboa_spark.operators.corpus import (
             _span_drop_covered,
             _span_non_first,
@@ -292,7 +348,8 @@ class SpanDedupStore:
         # one materialization feeds three consumers: history semi-join,
         # batch-internal first-occurrence, and the hash append
         wins = wins.localCheckpoint(eager=True)
-        stored = self.hashes(exclude_epoch=epoch_id)
+        scope = None if epoch_id is None else _epoch_scope(epoch_id, stream_id)
+        stored = self.hashes(exclude_scope=scope)
         if stored is not None:
             hist_removed = wins.join(
                 stored, ["bucket", "_h"], "left_semi"
@@ -317,11 +374,15 @@ class SpanDedupStore:
             new_hashes = new_hashes.join(
                 stored, ["bucket", "_h"], "left_anti"
             )
-        ep = self._next_epoch(self.hashes_path) if epoch_id is None else int(epoch_id)
+        ep_scope = (
+            f"auto-{self._next_epoch(self.hashes_path)}"
+            if epoch_id is None
+            else scope
+        )
         (
             new_hashes.repartition("bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(os.path.join(self.hashes_path, f"epoch={ep}"))
+            .parquet(os.path.join(self.hashes_path, f"epoch={ep_scope}"))
         )
         return out

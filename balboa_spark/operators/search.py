@@ -314,7 +314,7 @@ class PostingsIndex:
 
     def upsert(
         self, batch: DataFrame, text_col: str = "text",
-        epoch_id: int | None = None,
+        epoch_id: int | None = None, stream_id: str = "default",
     ) -> None:
         """Append a batch of NEW documents incrementally (the
         streaming-corpus steady state): only the term buckets the
@@ -344,10 +344,20 @@ class PostingsIndex:
 
         man = self._manifest()
         # Replay-after-commit gate (r10): with epoch_id passed (the
-        # foreachBatch contract), an epoch whose flip already landed
-        # is a no-op on replay — without it the append-only check
-        # below would raise on the batch's own (committed) postings.
-        if epoch_id is not None and man.get("last_epoch") == int(epoch_id):
+        # foreachBatch contract), an epoch at or below the stream's
+        # committed high-water mark is a no-op on replay — without it
+        # the append-only check below would raise on the batch's own
+        # (committed) postings. The mark is PER STREAM (and <=, not
+        # ==): foreachBatch epoch counters are per-StreamingQuery, so
+        # a second feeder's epoch 0 must not be dropped as a "replay"
+        # of the first feeder's, and a replay several epochs back
+        # (multi-sink foreachBatch retry) must still be a no-op —
+        # the same contract as ObservationStore._commit.
+        last_epochs = dict(man.get("last_epochs") or {})
+        if not last_epochs and man.get("last_epoch") is not None:
+            last_epochs["default"] = man["last_epoch"]  # legacy field
+        last = last_epochs.get(stream_id)
+        if epoch_id is not None and last is not None and int(epoch_id) <= last:
             return
         id_col = man["id_col"]
         gen = man["generation"] + 1
@@ -446,7 +456,9 @@ class PostingsIndex:
             "avgdl": sum_dl / n if n else 0.0,
         }
         if epoch_id is not None:
-            flip["last_epoch"] = int(epoch_id)
+            last_epochs[stream_id] = int(epoch_id)
+            flip["last_epochs"] = last_epochs
+            flip.pop("last_epoch", None)
         self._flip_manifest(flip)
 
     def topk(

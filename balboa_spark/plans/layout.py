@@ -188,13 +188,7 @@ class ObservationStore:
         # grace compact() grants; delta_seq stays monotonic so old dirs
         # are never silently resurrected by a name collision
         prev = prev_man or {}
-        retired = {
-            n: g
-            for n, g in (prev.get("retired_deltas") or {}).items()
-            if os.path.isdir(os.path.join(self.path, n))
-        }
-        for n in prev.get("deltas") or []:
-            retired[n] = gen
+        retired = self._retire_deltas(prev, gen)
         self._flip_manifest(
             {
                 "generation": gen,
@@ -208,6 +202,20 @@ class ObservationStore:
             }
         )
         self.vacuum(keep_last=2)
+
+    def _retire_deltas(self, prev_man: dict, gen: int) -> dict:
+        """Move a manifest's live deltas into the retired map at
+        generation ``gen``. Retired deltas keep a one-generation
+        vacuum grace (mirrors keep_last=2 for generations); stale
+        entries whose dirs are already gone are pruned."""
+        retired = {
+            n: g
+            for n, g in (prev_man.get("retired_deltas") or {}).items()
+            if os.path.isdir(os.path.join(self.path, n))
+        }
+        for n in prev_man.get("deltas") or []:
+            retired[n] = gen
+        return retired
 
     def _write_layout(self, df: DataFrame, out: str, key: str, order) -> None:
         (
@@ -244,10 +252,13 @@ class ObservationStore:
 
         Crash safety: same (stream_id, epoch_id) gate as merge() — a
         replayed epoch is a no-op; a TORN append (delta dir written,
-        manifest not flipped) is invisible to readers, gets
+        manifest not flipped) is invisible to readers and gets
         overwritten by the replay (the seq comes from the committed
-        manifest, so the retry lands on the same directory), and is
-        garbage-collected by vacuum() if never retried."""
+        manifest, so the retry lands on the same directory). An
+        abandoned torn dir that is never retried is deliberately
+        SPARED by vacuum() — at seq == delta_seq it is
+        indistinguishable from an in-flight append — and is reclaimed
+        when a later append reuses its seq."""
         man = self._manifest()
         if man is not None:
             last = (man.get("last_epochs") or {}).get(stream_id)
@@ -288,27 +299,22 @@ class ObservationStore:
         man = self._manifest()
         if man is None or not man.get("deltas"):
             return
+        # materialize the fold ONCE: the two layout writes are separate
+        # Spark jobs, and without this each would re-read the full base
+        # + every delta and re-run the group-merge (the ingest.py
+        # parse-once rationale applied to the maintenance path)
         combined = self._combined_layout("by_rrname").drop("bucket")
+        combined = combined.localCheckpoint(eager=True)
         gen = man["generation"] + 1
         gen_dir = self._gen_dir(gen)
         for name, (key, order) in _LAYOUTS.items():
             self._write_layout(combined, os.path.join(gen_dir, name), key, order)
-        # retired deltas keep a one-generation grace before vacuum
-        # removes them (mirrors keep_last=2 for generations); stale
-        # entries whose dirs are already gone are pruned here
-        retired = {
-            n: g
-            for n, g in (man.get("retired_deltas") or {}).items()
-            if os.path.isdir(os.path.join(self.path, n))
-        }
-        for n in man["deltas"]:
-            retired[n] = gen
         self._flip_manifest(
             {
                 **man,
                 "generation": gen,
                 "deltas": [],
-                "retired_deltas": retired,
+                "retired_deltas": self._retire_deltas(man, gen),
                 "written_at": int(time.time()),
             }
         )
@@ -506,14 +512,24 @@ class ObservationStore:
         With deltas, one fold_entries groupBy re-folds base UNION
         deltas; ``bucket`` stays a grouping key, so a point query's
         bucket filter pushes below the fold and the job still touches
-        one bucket directory per relation."""
+        one bucket directory per relation.
+
+        The manifest is read ONCE and its generation passed explicitly
+        to the base read: re-reading it inside _read_layout could see
+        a concurrent compact()'s flip and pair the POST-compaction
+        base (deltas already folded in) with the stale delta list —
+        double-counting every delta row. Pinning (generation, deltas)
+        to one manifest snapshot keeps the combined view consistent;
+        the vacuum grace keeps the pinned files readable."""
         man = self._manifest()
-        base = self._layout_or_empty(name)
-        if man is None or not man.get("deltas"):
-            return base
+        if man is None:
+            return self._empty_layout()
+        if not man.get("deltas"):
+            return self._layout_or_empty(name)
         from balboa_spark.operators.aggregate import fold_entries
 
-        allr = base
+        base = self._read_layout(name, generation=man["generation"])
+        allr = base if base is not None else self._empty_layout()
         for dname in man["deltas"]:
             allr = allr.unionByName(self._read_delta_layout(dname, name))
         return fold_entries(allr, extra_keys=("bucket",))

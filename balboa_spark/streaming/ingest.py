@@ -92,6 +92,8 @@ def ingest_stream(
 
     from pyspark.sql import functions as F
 
+    if mode not in ("merge", "delta"):
+        raise ValueError(f"mode must be 'merge' or 'delta', got {mode!r}")
     if stream_id is None:
         stream_id = checkpoint or input_path
     if routes is None:

@@ -128,7 +128,10 @@ def _lua_process(script: str):
 
 
 def _added_tags_column(
-    script: str | None, process_fn: Callable | None, df: DataFrame
+    script: str | None,
+    process_fn: Callable | None,
+    df: DataFrame,
+    gate: Column | None = None,
 ) -> Column:
     """array<string> of tags ``process(o)`` added for each row.
 
@@ -137,6 +140,13 @@ def _added_tags_column(
     then driven per row — the same per-observation cost model as
     ProcessObservation (selector_lua.go:151-158), minus runtime
     re-creation. Missing observation columns surface as ''.
+
+    ``gate`` is evaluated INSIDE the UDF (a when(gate, udf) wrapper
+    would not help: ArrowEvalPython extracts and runs the UDF over
+    the whole batch before the projection applies). The reference
+    engine only calls ProcessObservation on rows whose ingest tags
+    match (selector_engine.go:110-128), so a script must neither PAY
+    for nor be able to CRASH on rows its gate excludes.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -145,7 +155,7 @@ def _added_tags_column(
     # annotations` turns them into strings pandas_udf cannot resolve
     # against a function-local pandas import (defaults to SCALAR)
     @pandas_udf("array<string>")
-    def _run(rcode, rdata, rrtype, rrname, sensor_id, tags):
+    def _run(rcode, rdata, rrtype, rrname, sensor_id, tags, gated):
         if process_fn is not None:
             table_from, process = None, process_fn
         else:
@@ -159,6 +169,9 @@ def _added_tags_column(
         }
         out = []
         for i in range(len(rrname)):
+            if not bool(gated.iloc[i]):
+                out.append([])
+                continue
             fields = {
                 k: ("" if v.iloc[i] is None else str(v.iloc[i]))
                 for k, v in cols.items()
@@ -178,6 +191,7 @@ def _added_tags_column(
         for f in _LUA_OBS_FIELDS
     ]
     args.append(F.col("tags"))
+    args.append((F.lit(True) if gate is None else gate).cast("boolean"))
     return _run(*args)
 
 
@@ -272,16 +286,16 @@ def compile_selectors(rules: Sequence[SelectorRule]) -> Callable[[DataFrame], Da
                     raise ValueError(
                         f"rule {r.name}: lua mode needs script or process_fn"
                     )
-                added = _added_tags_column(r.script, r.process_fn, df)
-                new = F.array_distinct(
-                    F.array_union(
-                        F.col("tags"),
-                        F.coalesce(added, F.array().cast("array<string>")),
-                    )
+                added = _added_tags_column(r.script, r.process_fn, df, gate)
+                df = df.withColumn(
+                    "tags",
+                    F.array_distinct(
+                        F.array_union(
+                            F.col("tags"),
+                            F.coalesce(added, F.array().cast("array<string>")),
+                        )
+                    ),
                 )
-                if gate is not None:
-                    new = F.when(gate, new).otherwise(F.col("tags"))
-                df = df.withColumn("tags", new)
                 continue
             cond = r.condition(df)
             if gate is not None:

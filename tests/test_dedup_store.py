@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from balboa_spark.operators.dedup_store import MinHashDedupStore
+from balboa_spark.operators.dedup_store import MinHashDedupStore, SpanDedupStore
 
 
 def _docs(spark, rows):
@@ -238,7 +238,7 @@ def test_minhash_store_torn_partial_append_self_heals(spark, tmp_path):
     store.process_batch(_docs(spark, [(2, FRESH)]), epoch_id=1)
     # simulate the tear: delete half the epoch-1 band files
     files = sorted(
-        glob.glob(str(tmp_path / "s" / "bands" / "epoch=1" / "*" / "*.parquet"))
+        glob.glob(str(tmp_path / "s" / "bands" / "epoch=default-1" / "*" / "*.parquet"))
     )
     assert files
     for f in files[: max(1, len(files) // 2)]:
@@ -335,8 +335,66 @@ def test_postings_upsert_torn_gen_replay(spark, tmp_path):
     got = [tuple(r) for r in restarted.topk(["alpha", "beta"], k=10).collect()]
     assert got == want
     man = restarted._manifest()
-    assert man["generation"] == 1 and man["last_epoch"] == 7
+    assert man["generation"] == 1 and man["last_epochs"] == {"default": 7}
 
     # post-flip replay (crash between flip and sink): no-op, no raise
     restarted.upsert(batch, epoch_id=7)
     assert restarted._manifest()["generation"] == 1
+
+
+def test_store_format_version_guard(spark, tmp_path):
+    """A store written by the unversioned pre-scoped-epoch layout must
+    be rejected with a rebuild error, not read into a partition
+    conflict."""
+    import json as _json
+    import os as _os
+
+    p = str(tmp_path / "old")
+    _os.makedirs(p)
+    with open(_os.path.join(p, "manifest.json"), "w") as f:
+        _json.dump({"num_hashes": 16, "num_bands": 4, "k": 3}, f)
+    with pytest.raises(ValueError, match="rebuild"):
+        MinHashDedupStore(spark, p)
+    p2 = str(tmp_path / "old2")
+    _os.makedirs(p2)
+    with open(_os.path.join(p2, "manifest.json"), "w") as f:
+        _json.dump({"span_tokens": 16}, f)
+    with pytest.raises(ValueError, match="rebuild"):
+        SpanDedupStore(spark, p2)
+
+
+def test_minhash_store_epochs_scoped_per_stream(spark, tmp_path):
+    """Two StreamingQueries (independent epoch counters) sharing one
+    store: feeder B's epoch 0 must neither overwrite feeder A's
+    committed epoch-0 history nor have it excluded from B's own
+    decisions."""
+    store = MinHashDedupStore(spark, str(tmp_path / "s"))
+    store.process_batch(_docs(spark, [(1, BASE)]), epoch_id=0, stream_id="A")
+    # B's epoch 0: a near-dup of A's doc must be DROPPED (A's history
+    # visible — with a shared unscoped epoch it would be excluded as
+    # "B's own epoch state")
+    kept = store.process_batch(
+        _docs(spark, [(2, BASE + " tail")]), epoch_id=0, stream_id="B"
+    )
+    assert kept.count() == 0
+    # A's epoch-0 state survived B's epoch-0 overwrite: a replay of
+    # A's own epoch 0 still reproduces its decision
+    replay = store.process_batch(
+        _docs(spark, [(1, BASE)]), epoch_id=0, stream_id="A"
+    )
+    assert sorted(r["doc_id"] for r in replay.collect()) == [1]
+
+
+def test_postings_upsert_epochs_scoped_per_stream(spark, tmp_path):
+    """Feeder B's epoch 0 is not a replay of feeder A's epoch 0."""
+    from balboa_spark.operators.search import PostingsIndex
+
+    idx = PostingsIndex(spark, str(tmp_path / "idx"))
+    idx.build(_docs(spark, [(1, "alpha beta gamma")]))
+    idx.upsert(_docs(spark, [(2, "alpha delta")]), epoch_id=0, stream_id="A")
+    idx.upsert(_docs(spark, [(3, "alpha omega")]), epoch_id=0, stream_id="B")
+    got = sorted(r["doc_id"] for r in idx.topk(["alpha"], k=10).collect())
+    assert got == [1, 2, 3]
+    # replay of B's epoch 0: no-op, no append-only violation raised
+    idx.upsert(_docs(spark, [(3, "alpha omega")]), epoch_id=0, stream_id="B")
+    assert idx._manifest()["n"] == 3

@@ -385,3 +385,27 @@ def test_yaml_loader_lua_source_and_file(tmp_path, spark):
     assert rules["from_proc"].mode == "lua"
     assert rules["from_proc"].process_fn is pyproc
     assert rules["legacy"].mode == "pandas"
+
+
+def test_lua_rule_gate_blocks_script_execution(spark):
+    """The ingest gate must prevent the script from RUNNING on
+    excluded rows, not just discard its output — the reference only
+    calls ProcessObservation on matching rows
+    (selector_engine.go:110-128), so a script that would crash on an
+    ungated row must not kill the job."""
+    from balboa_spark.streaming.selectors import SelectorRule, compile_selectors
+
+    def bomb(o):
+        if not o.rrname().endswith(".de"):
+            raise RuntimeError("script ran on ungated row")
+        o.add_tag("ok")
+
+    rules = [
+        SelectorRule(name="root", tags=["de"], mode="select",
+                     patterns=[r"\.de$"]),
+        SelectorRule(name="gated", tags=[], mode="lua", process_fn=bomb,
+                     ingest=["de"]),
+    ]
+    df = obs(spark, "a.de", "b.com")
+    got = {r.rrname: sorted(r.tags) for r in compile_selectors(rules)(df).collect()}
+    assert got == {"a.de": ["de", "ok"], "b.com": []}
