@@ -46,11 +46,12 @@ def quality_monitor_sink(
         if not rows or rows[0]["n_rows"] == 0:
             return
         spark = batch_df.sparkSession
+        # per-epoch overwrite dir: a foreachBatch replay rewrites its
+        # own epoch instead of appending duplicate rows to the series
         (
             spark.createDataFrame(rows, report.schema)
-            .withColumn("epoch_id", F.lit(epoch_id).cast("long"))
-            .write.mode("append")
-            .parquet(out_path)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_path, f"epoch_id={epoch_id}"))
         )
         if alert_threshold is not None and on_alert is not None:
             bad = [r for r in rows if r["violation_rate"] > alert_threshold]
@@ -68,7 +69,12 @@ def read_quality_series(spark, out_path: str) -> DataFrame:
             "rule string, n_rows long, n_violations long, "
             "violation_rate double, epoch_id long",
         )
-    return spark.read.parquet(out_path)
+    # epoch_id is a partition directory since the idempotent-replay
+    # change; partition inference types it int — cast to the long the
+    # empty-path schema (and pre-change readers) declare
+    return spark.read.parquet(out_path).withColumn(
+        "epoch_id", F.col("epoch_id").cast("long")
+    )
 
 
 def drift_monitor_sink(
@@ -125,17 +131,22 @@ def drift_monitor_sink(
             .collect()
         )
         psi = round(sum(r["contrib"] for r in rows), 6)
+        # idempotent under foreachBatch replay: each epoch owns its
+        # partition directory and a retry OVERWRITES it — mode=append
+        # would duplicate the epoch's rows in the series and
+        # double-count any naive aggregation over it (the same
+        # replay contract as the dedup stores' epoch dirs)
         (
             spark.createDataFrame(
                 [
-                    (epoch_id, r["bin"], r["p_ref"], r["p_new"], r["contrib"], psi)
+                    (r["bin"], r["p_ref"], r["p_new"], r["contrib"], psi)
                     for r in rows
                 ],
-                "epoch_id long, bin int, p_ref double, p_new double, "
+                "bin int, p_ref double, p_new double, "
                 "contrib double, psi double",
             )
-            .write.mode("append")
-            .parquet(out_path)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_path, f"epoch_id={epoch_id}"))
         )
         if alert_psi is not None and on_alert is not None and psi > alert_psi:
             on_alert(epoch_id, psi)
