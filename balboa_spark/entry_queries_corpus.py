@@ -1692,6 +1692,85 @@ SELECT doc_id, source FROM r WHERE rn <= {DOMAIN_CAP} ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity (CCNet-style quality filter, self-trained)
+# ---------------------------------------------------------------------------
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from balboa_spark.operators import lm
+
+    return lm.bigram_lm_perplexity(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# Twin of operators.lm.bigram_lm_perplexity: add-1-smoothed bigram LM
+# trained on the corpus itself. DuckDB lists are 1-indexed and
+# range(a, b) is end-exclusive, so i = 1..len-1 pairs (tk[i], tk[i+1])
+# — the mirror of Spark's 0-indexed sequence(1, size-1) walk. Parallel
+# unnest() calls zip positionally.
+LM_PERPLEXITY_ORACLE = f"""
+WITH {_TOKS_SQL},
+staged AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+  FROM staged
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT t) AS vocab
+  FROM (SELECT unnest(tk) AS t FROM toks)
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       sum(ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.vocab))) / count(*)
+         AS avg_logprob,
+       exp(-(sum(ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.vocab))) / count(*)))
+         AS perplexity
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY doc_id, v.vocab
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split (group-aware: exact-dup groups never straddle)
+# ---------------------------------------------------------------------------
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    g = docs.select("doc_id", F.md5("text").alias("grp"))
+    multi = g.groupBy("grp").count().where("count > 1").select("grp")
+    mapping = g.join(multi, "grp").select("doc_id", "grp")
+    return (
+        corpus.leakage_safe_split(docs, groups=mapping)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+# Exercises BOTH arms of leakage_safe_split: docs whose exact content
+# hash is shared get the group key (same side guaranteed), singletons
+# fall back to their own id (== plain hash_split).
+LEAKAGE_SPLIT_ORACLE = f"""
+WITH g AS (SELECT doc_id, md5(text) AS grp FROM documents),
+multi AS (SELECT grp FROM g GROUP BY grp HAVING count(*) > 1),
+m AS (SELECT g.doc_id, g.grp FROM g JOIN multi USING (grp)),
+k AS (
+  SELECT d.doc_id,
+         coalesce(m.grp, d.doc_id::VARCHAR) AS key
+  FROM documents d LEFT JOIN m USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN hb < '{TRAIN_HEX}' THEN 'train'
+            WHEN hb < '{VAL_HEX}' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, substring(md5(key || ':{SPLIT_SALT}'), 1, 2) AS hb FROM k)
+ORDER BY doc_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -1728,6 +1807,8 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_blocklist": q_blocklist,
     "corpus_length_batches": q_length_batches,
     "corpus_normalize_unicode": q_normalize_unicode,
+    "corpus_lm_perplexity": q_lm_perplexity,
+    "corpus_leakage_split": q_leakage_split,
     "corpus_span_dedup": q_span_dedup,
     "span_dedup_store": q_span_dedup_store,
     "corpus_html_extract": q_html_extract,
@@ -1782,4 +1863,6 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_blocklist": BLOCKLIST_ORACLE,
     "corpus_length_batches": LENGTH_BATCHES_ORACLE,
     "corpus_normalize_unicode": NORMALIZE_UNICODE_ORACLE,
+    "corpus_lm_perplexity": LM_PERPLEXITY_ORACLE,
+    "corpus_leakage_split": LEAKAGE_SPLIT_ORACLE,
 }

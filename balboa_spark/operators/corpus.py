@@ -180,6 +180,54 @@ def hash_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    groups: DataFrame | None = None,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Group-aware train/val/test assignment: every member of a group
+    lands on the SAME side, so duplicates or near-duplicates can never
+    straddle train and test (the classic eval-leakage failure that
+    per-document ``hash_split`` cannot prevent).
+
+    The group key is either an existing column (``group_col`` — e.g. a
+    registered domain, an exact-content hash) or an external mapping
+    (``groups``: ``(id_col, group_col)`` rows, e.g. the component ids
+    from ``dedup.connected_components``; documents absent from the
+    mapping fall back to their own id, i.e. singleton groups). The
+    split is then md5(group:salt) bucketed exactly like ``hash_split``
+    — deterministic, reshuffle-stable, no RNG.
+
+    Scale: with ``group_col`` this is a pure projection (no shuffle).
+    With ``groups`` it is one left equi-join on the id; the mapping is
+    near-dup-component-sized, which is corpus-order in the worst case,
+    so no broadcast hint — AQE picks the strategy.
+    """
+    if (group_col is None) == (groups is None):
+        raise ValueError("pass exactly one of group_col / groups")
+    if groups is not None:
+        gcols = [c for c in groups.columns if c != id_col]
+        if len(gcols) != 1:
+            raise ValueError(
+                f"groups must be ({id_col}, <group>) rows, got {groups.columns}"
+            )
+        staged = df.join(
+            groups.withColumnRenamed(gcols[0], "__grp"), id_col, "left"
+        )
+        key = F.coalesce(F.col("__grp").cast("string"), F.col(id_col).cast("string"))
+    else:
+        staged = df
+        key = F.col(group_col).cast("string")
+    hx = F.substring(F.md5(F.concat(key, F.lit(":" + salt))), 1, 2)
+    out = staged.withColumn(
+        "split",
+        F.when(hx < TRAIN_HEX, "train").when(hx < VAL_HEX, "val").otherwise("test"),
+    )
+    return out.drop("__grp") if groups is not None else out
+
+
 def vocab_topk(
     df: DataFrame, text_col: str = "text", k: int = 50
 ) -> DataFrame:

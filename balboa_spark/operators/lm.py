@@ -1,0 +1,138 @@
+"""Corpus-trained n-gram language-model scoring (CCNet-style quality
+filter).
+
+CCNet (Wenzek et al., 2020) filters CommonCrawl by per-document
+perplexity under a KenLM n-gram model trained on a clean corpus;
+Gopher/Dolma-style pipelines use the same shape. This module trains an
+add-alpha-smoothed word-BIGRAM model with plain DataFrame aggregations
+and scores every document by mean log-probability / perplexity — no
+external LM library, no UDF, everything whole-stage-codegen.
+
+Scale shape (100 TB):
+- Training is two corpus-sized groupBy counts (bigram and
+  bigram-context) — map-side partial aggregation makes the shuffle
+  carry only distinct grams per partition.
+- Scoring is two shuffle joins of the corpus bigram stream against the
+  count tables keyed on the gram. The count tables are corpus-derived
+  and therefore NOT broadcast (a multilingual corpus has an unbounded
+  distinct-bigram set — same hazard note as
+  ``corpus.trigram_familiarity``); AQE handles the join strategy and
+  the hot-context skew (stopwords like "the" as w1) via skew-join
+  splitting.
+- The only driver-side state is the vocabulary size — one
+  ``count()`` scalar.
+
+This complements ``corpus.trigram_familiarity`` (a char-level mean
+corpus-frequency proxy): here the score is a real probability model
+with smoothing, so it is sensitive to IMPROBABLE transitions, not just
+rare characters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from balboa_spark.operators.text import tokens
+
+#: Laplace smoothing mass added to every bigram count.
+DEFAULT_ALPHA = 1.0
+
+# Bigrams of a token-array column `tk` as an array of (w1, w2) structs.
+# Spark SQL array subscripts are 0-based; sequence(1, size-1) yields
+# i = 1..n-1 so (tk[i-1], tk[i]) walks every adjacent pair. Guarded by
+# a size >= 2 filter upstream (sequence(1, 0) would DESCEND — the same
+# footgun ``corpus.char_trigrams`` documents).
+_BIGRAMS_EXPR = (
+    "transform(sequence(1, size(tk) - 1), "
+    "i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
+)
+
+
+def _bigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair per document."""
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("tk")
+    ).where(F.size("tk") >= 2)
+    return staged.select(
+        F.col(id_col), F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def bigram_lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = DEFAULT_ALPHA,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document perplexity under an add-alpha word-bigram LM.
+
+    ``P(w2 | w1) = (c(w1 w2) + alpha) / (c(w1 ·) + alpha · V)`` where
+    ``c(w1 ·)`` is the count of w1 as a bigram context and V the
+    distinct-token vocabulary of the training corpus. When ``train`` is
+    None the model is trained on ``df`` itself (the in-domain variant);
+    passing a clean reference corpus gives the CCNet configuration
+    (train on Wikipedia, score the crawl). Unseen grams are handled by
+    the smoothing mass, so scoring a corpus disjoint from the training
+    set is well-defined.
+
+    Output: ``(id_col, n_bigrams, avg_logprob, perplexity)`` with
+    ``perplexity = exp(-avg_logprob)``. Documents with fewer than two
+    tokens have no bigrams and are absent.
+
+    Low perplexity = fluent/templated text, high = gibberish or
+    out-of-domain; pipelines typically keep a middle band (CCNet keeps
+    the head/middle tertiles).
+    """
+    train_df = df if train is None else train
+    train_bg = _bigram_stream(train_df, text_col, id_col)
+
+    c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # Vocabulary over ALL training tokens (including 1-token docs that
+    # contribute no bigram) — one scalar to the driver.
+    vocab = (
+        train_df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    ) or 0
+
+    score_bg = _bigram_stream(df, text_col, id_col)
+    lp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+        / (
+            F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+            + F.lit(float(alpha) * vocab)
+        )
+    )
+    return (
+        score_bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(F.col(id_col), lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").alias("_sum_lp"),
+        )
+        .withColumn("avg_logprob", F.col("_sum_lp") / F.col("n_bigrams"))
+        .withColumn("perplexity", F.exp(-F.col("avg_logprob")))
+        .drop("_sum_lp")
+    )
+
+
+def perplexity_band_filter(
+    scored: DataFrame,
+    low_quantile: float = 0.1,
+    high_quantile: float = 0.8,
+    ppl_col: str = "perplexity",
+) -> DataFrame:
+    """CCNet-style band keep: drop the lowest-perplexity tail
+    (boilerplate/templates) and the highest tail (gibberish).
+
+    Thresholds come from ``approxQuantile`` (two driver floats, a
+    bounded sketch pass — not a sort). The band test itself is a pure
+    filter, so at scale this is one extra pass over the scored frame.
+    """
+    lo, hi = scored.approxQuantile(ppl_col, [low_quantile, high_quantile], 0.001)
+    return scored.where(F.col(ppl_col).between(lo, hi))

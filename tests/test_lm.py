@@ -1,0 +1,162 @@
+"""Bigram-LM perplexity scoring (balboa_spark.operators.lm) and the
+leakage-safe group split (corpus.leakage_safe_split).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from balboa_spark.operators import corpus, dedup, lm
+
+
+@pytest.fixture()
+def tiny(spark):
+    rows = [
+        (1, "a b a b"),
+        (2, "a c"),
+        (3, "x"),  # one token: no bigram, absent from output
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bigram_lm_hand_computed(spark, tiny):
+    # c(a b)=2, c(b a)=1, c(a c)=1; contexts c(a)=3, c(b)=1; V=4 (a b c x)
+    out = {r["doc_id"]: r for r in lm.bigram_lm_perplexity(tiny).collect()}
+    assert set(out) == {1, 2}
+    p_ba = (2 + 1) / (3 + 4)  # P(b|a)
+    p_ab = (1 + 1) / (1 + 4)  # P(a|b)
+    p_ca = (1 + 1) / (3 + 4)  # P(c|a)
+    avg1 = (2 * math.log(p_ba) + math.log(p_ab)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(avg1, rel=1e-12)
+    assert out[1]["perplexity"] == pytest.approx(math.exp(-avg1), rel=1e-12)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_logprob"] == pytest.approx(math.log(p_ca), rel=1e-12)
+    assert out[2]["perplexity"] == pytest.approx(3.5, rel=1e-12)
+
+
+def test_bigram_lm_ranks_gibberish_above_fluent(spark):
+    fluent = "the cat sat on the mat and the cat sat on the mat again " * 4
+    gibberish = "zq xv qj vx jz qx zx vq jx xq zj vj qz xj zv jq wk kw uy yu"
+    df = spark.createDataFrame(
+        [(1, fluent), (2, gibberish)], ["doc_id", "text"]
+    )
+    ppl = {r["doc_id"]: r["perplexity"] for r in lm.bigram_lm_perplexity(df).collect()}
+    # repeated fluent transitions are probable; all-distinct gibberish
+    # transitions carry only smoothing mass
+    assert ppl[2] > ppl[1] * 2
+
+
+def test_bigram_lm_separate_train_handles_unseen_grams(spark, tiny):
+    train = tiny.where("doc_id = 1")  # vocabulary {a, b}, V = 2
+    score = spark.createDataFrame([(9, "q r")], ["doc_id", "text"])
+    row = lm.bigram_lm_perplexity(score, train=train).collect()[0]
+    # totally unseen bigram: P = (0+1)/(0+1*2) = 1/2
+    assert row["avg_logprob"] == pytest.approx(math.log(0.5), rel=1e-12)
+    assert row["perplexity"] == pytest.approx(2.0, rel=1e-12)
+
+
+def test_bigram_lm_no_forced_corpus_broadcast(spark, tables):
+    # count tables are corpus-derived (unbounded distinct grams) — the
+    # plan must not FORCE a broadcast of them; AQE may still choose one
+    # at runtime, so assert on the analyzed plan's hints, not the
+    # physical strategy.
+    plan = (
+        lm.bigram_lm_perplexity(tables["documents"])
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "broadcast" not in plan.lower()
+
+
+def test_perplexity_band_filter_keeps_middle(spark, tables):
+    scored = lm.bigram_lm_perplexity(tables["documents"].limit(200))
+    kept = lm.perplexity_band_filter(scored, 0.1, 0.8)
+    n_all, n_kept = scored.count(), kept.count()
+    assert 0 < n_kept < n_all
+    lo_drop = scored.agg(F.min("perplexity")).collect()[0][0]
+    hi_drop = scored.agg(F.max("perplexity")).collect()[0][0]
+    kept_min = kept.agg(F.min("perplexity")).collect()[0][0]
+    kept_max = kept.agg(F.max("perplexity")).collect()[0][0]
+    assert kept_min > lo_drop or kept_max < hi_drop
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_group_col_never_straddles(spark, tables):
+    docs = tables["documents"].withColumn("ghash", F.md5(F.col("text")))
+    out = corpus.leakage_safe_split(docs, group_col="ghash")
+    straddle = (
+        out.groupBy("ghash")
+        .agg(F.countDistinct("split").alias("k"))
+        .where("k > 1")
+        .count()
+    )
+    assert straddle == 0
+    # still roughly 80/10/10 over groups
+    frac = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(frac.values())
+    assert frac["train"] / n == pytest.approx(0.80, abs=0.08)
+
+
+def test_leakage_safe_split_groups_mapping_and_fallback(spark):
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 7)], ["doc_id", "text"]
+    )
+    groups = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g2")], ["doc_id", "component"]
+    )
+    out = corpus.leakage_safe_split(df, groups=groups).collect()
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    assert by_id[1] == by_id[2]  # same component -> same side
+    assert len(out) == 6  # unmapped docs kept (singleton fallback)
+    assert "__grp" not in corpus.leakage_safe_split(df, groups=groups).columns
+    # fallback equals plain hash_split for unmapped ids
+    solo = {
+        r["doc_id"]: r["split"]
+        for r in corpus.hash_split(df).select("doc_id", "split").collect()
+    }
+    for i in (4, 5, 6):
+        assert by_id[i] == solo[i]
+
+
+def test_leakage_safe_split_near_dup_components_never_straddle(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [(i, base + f"tail variant {i % 3}") for i in range(30)] + [
+        (100 + i, f"completely unrelated document number {i} with its own words {i}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(df)
+    comp = dedup.connected_components(pairs).selectExpr(
+        "id AS doc_id", "comp AS component"
+    )
+    out = corpus.leakage_safe_split(df, groups=comp.select("doc_id", "component"))
+    joined = out.join(comp.select("doc_id", "component"), "doc_id", "left")
+    straddle = (
+        joined.where("component is not null")
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .where("k > 1")
+        .count()
+    )
+    assert straddle == 0
+
+
+def test_leakage_safe_split_arg_validation(spark, tiny):
+    with pytest.raises(ValueError):
+        corpus.leakage_safe_split(tiny)
+    with pytest.raises(ValueError):
+        corpus.leakage_safe_split(
+            tiny, group_col="text", groups=tiny.select("doc_id", "text")
+        )
