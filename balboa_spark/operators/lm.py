@@ -89,7 +89,13 @@ def bigram_lm_perplexity(
     train_bg = _bigram_stream(train_df, text_col, id_col)
 
     c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # Context counts derived from the bigram table — c(w1 ·) is the
+    # row sum of c(w1 w2) — so the second aggregation reads the
+    # distinct-bigram relation, not the corpus-sized bigram stream,
+    # and the c12 subtree (scan + explode + shuffle) is byte-identical
+    # in both score joins, which lets AQE reuse the exchange instead
+    # of tokenizing the corpus twice.
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # Vocabulary over ALL training tokens (including 1-token docs that
     # contribute no bigram) — one scalar to the driver.
     vocab = (

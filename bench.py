@@ -550,6 +550,18 @@ def main() -> None:
             .collect()
         )
 
+    @timed("lm_perplexity")
+    def _():
+        # CCNet-shaped bigram-LM quality filter, self-trained on the
+        # documents table: two gram count aggregations + two gram-keyed
+        # joins, all codegen. Tracks the cost of the heaviest text
+        # scoring path (three tokenize passes of the corpus).
+        from balboa_spark.operators import lm
+
+        lm.bigram_lm_perplexity(
+            par(spark.table("documents"))
+        ).write.mode("overwrite").format("noop").save()
+
     @timed("fuzzy_pairs")
     def _():
         # exact-recall edit-distance-1 pairs over 15k customer names:
