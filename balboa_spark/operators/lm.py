@@ -30,7 +30,10 @@ rare characters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from balboa_spark.operators.text import tokens
@@ -59,6 +62,101 @@ def _bigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
 
+class BigramLM(NamedTuple):
+    """A trained model: the distinct-bigram count relation (everything
+    else derives from it), the vocabulary size, and the smoothing
+    mass. ``c12`` is distinct-gram-sized — typically orders of
+    magnitude below the corpus — and is the only distributed state."""
+
+    c12: DataFrame
+    vocab: int
+    alpha: float
+
+
+def train_bigram_lm(
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = DEFAULT_ALPHA,
+) -> BigramLM:
+    """Count-train the model: one corpus-sized groupBy for the bigram
+    counts plus one countDistinct scalar for the vocabulary (over ALL
+    training tokens, including 1-token docs that contribute no
+    bigram)."""
+    train_bg = _bigram_stream(train_df, text_col, id_col)
+    c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = (
+        train_df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    ) or 0
+    return BigramLM(c12=c12, vocab=vocab, alpha=float(alpha))
+
+
+def score_bigram_lm(
+    df: DataFrame,
+    model: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score ``df`` against a trained model — see
+    ``bigram_lm_perplexity`` for the output contract."""
+    # Context counts derived from the bigram table — c(w1 ·) is the
+    # row sum of c(w1 w2) — so this aggregation reads the
+    # distinct-bigram relation, not the corpus-sized bigram stream,
+    # and the c12 subtree (scan + explode + shuffle) is byte-identical
+    # in both score joins, which lets AQE reuse the exchange instead
+    # of tokenizing the training corpus twice.
+    c1 = model.c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    score_bg = _bigram_stream(df, text_col, id_col)
+    lp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(model.alpha))
+        / (
+            F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+            + F.lit(model.alpha * model.vocab)
+        )
+    )
+    return (
+        score_bg.join(model.c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(F.col(id_col), lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").alias("_sum_lp"),
+        )
+        .withColumn("avg_logprob", F.col("_sum_lp") / F.col("n_bigrams"))
+        .withColumn("perplexity", F.exp(-F.col("avg_logprob")))
+        .drop("_sum_lp")
+    )
+
+
+def save_bigram_lm(model: BigramLM, path: str) -> None:
+    """Persist the model as a parquet artifact: ``<path>/c12`` holds
+    the count relation, ``<path>/meta`` one (vocab, alpha) row — the
+    shape a streaming monitor or a later scoring job re-reads without
+    retraining."""
+    model.c12.write.mode("overwrite").parquet(os.path.join(path, "c12"))
+    spark = model.c12.sparkSession
+    (
+        spark.createDataFrame(
+            [(model.vocab, model.alpha)], "vocab long, alpha double"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "meta"))
+    )
+
+
+def load_bigram_lm(spark: SparkSession, path: str) -> BigramLM:
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    return BigramLM(
+        c12=spark.read.parquet(os.path.join(path, "c12")),
+        vocab=meta["vocab"],
+        alpha=meta["alpha"],
+    )
+
+
 def bigram_lm_perplexity(
     df: DataFrame,
     text_col: str = "text",
@@ -85,46 +183,10 @@ def bigram_lm_perplexity(
     out-of-domain; pipelines typically keep a middle band (CCNet keeps
     the head/middle tertiles).
     """
-    train_df = df if train is None else train
-    train_bg = _bigram_stream(train_df, text_col, id_col)
-
-    c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    # Context counts derived from the bigram table — c(w1 ·) is the
-    # row sum of c(w1 w2) — so the second aggregation reads the
-    # distinct-bigram relation, not the corpus-sized bigram stream,
-    # and the c12 subtree (scan + explode + shuffle) is byte-identical
-    # in both score joins, which lets AQE reuse the exchange instead
-    # of tokenizing the corpus twice.
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    # Vocabulary over ALL training tokens (including 1-token docs that
-    # contribute no bigram) — one scalar to the driver.
-    vocab = (
-        train_df.select(F.explode(tokens(F.col(text_col))).alias("t"))
-        .agg(F.countDistinct("t"))
-        .collect()[0][0]
-    ) or 0
-
-    score_bg = _bigram_stream(df, text_col, id_col)
-    lp = F.log(
-        (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(float(alpha)))
-        / (
-            F.coalesce(F.col("c1"), F.lit(0)).cast("double")
-            + F.lit(float(alpha) * vocab)
-        )
+    model = train_bigram_lm(
+        df if train is None else train, text_col, id_col, alpha
     )
-    return (
-        score_bg.join(c12, ["w1", "w2"], "left")
-        .join(c1, ["w1"], "left")
-        .select(F.col(id_col), lp.alias("lp"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("lp").alias("_sum_lp"),
-        )
-        .withColumn("avg_logprob", F.col("_sum_lp") / F.col("n_bigrams"))
-        .withColumn("perplexity", F.exp(-F.col("avg_logprob")))
-        .drop("_sum_lp")
-    )
+    return score_bigram_lm(df, model, text_col, id_col)
 
 
 def perplexity_band_filter(

@@ -152,3 +152,66 @@ def drift_monitor_sink(
             on_alert(epoch_id, psi)
 
     return sink
+
+
+def perplexity_monitor_sink(
+    model_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alert_bounds: tuple[float, float] | None = None,
+    on_alert: Callable[[int, float], None] | None = None,
+):
+    """foreachBatch fluency-drift monitor: score every micro-batch
+    against a FROZEN bigram LM (``operators.lm.save_bigram_lm``
+    artifact — train once on the reference corpus, never retrained by
+    the stream) and append one epoch row of perplexity statistics.
+    A feed that starts emitting boilerplate (mean perplexity collapses)
+    or garbage (mean perplexity explodes) trips ``on_alert`` when the
+    epoch mean leaves ``alert_bounds`` — the text-quality twin of
+    ``drift_monitor_sink``'s numeric PSI alarm.
+
+    The model is loaded from the artifact through the BATCH's session
+    (foreachBatch hands a micro-batch-scoped session; joining against
+    DataFrames built on the outer session is not contract-safe), so
+    per-batch cost is one model-sized parquet scan (OS-page-cached
+    after the first epoch) plus the gram-keyed score joins. Driver
+    state per epoch is one stats row.
+    """
+    from balboa_spark.operators.lm import load_bigram_lm, score_bigram_lm
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        model = load_bigram_lm(spark, model_path)
+        stats = (
+            score_bigram_lm(batch_df, model, text_col, id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg("avg_logprob").alias("mean_logprob"),
+                F.avg("perplexity").alias("mean_ppl"),
+                F.expr("percentile_approx(perplexity, 0.5)").alias("p50_ppl"),
+                F.expr("percentile_approx(perplexity, 0.9)").alias("p90_ppl"),
+            )
+            .collect()[0]
+        )
+        if stats["n_docs"] == 0:
+            return  # batch held only sub-2-token docs: no denominator
+        # idempotent under foreachBatch replay: per-epoch overwrite dir
+        # (same replay contract as the other sinks here)
+        (
+            spark.createDataFrame(
+                [tuple(stats)],
+                "n_docs long, mean_logprob double, mean_ppl double, "
+                "p50_ppl double, p90_ppl double",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_path, f"epoch_id={epoch_id}"))
+        )
+        if alert_bounds is not None and on_alert is not None:
+            lo, hi = alert_bounds
+            if not (lo <= stats["mean_ppl"] <= hi):
+                on_alert(epoch_id, stats["mean_ppl"])
+
+    return sink

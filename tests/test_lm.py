@@ -153,6 +153,91 @@ def test_leakage_safe_split_near_dup_components_never_straddle(spark):
     assert straddle == 0
 
 
+def test_bigram_lm_save_load_roundtrip_scores_identically(spark, tiny, tmp_path):
+    model = lm.train_bigram_lm(tiny)
+    lm.save_bigram_lm(model, str(tmp_path / "model"))
+    loaded = lm.load_bigram_lm(spark, str(tmp_path / "model"))
+    assert (loaded.vocab, loaded.alpha) == (model.vocab, model.alpha)
+    direct = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm.score_bigram_lm(tiny, model).collect()
+    }
+    reloaded = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm.score_bigram_lm(tiny, loaded).collect()
+    }
+    # not ==: the parquet roundtrip changes partitioning, hence the
+    # float summation order — identical to the last ulp is not owed
+    assert direct.keys() == reloaded.keys()
+    for k in direct:
+        assert reloaded[k] == pytest.approx(direct[k], rel=1e-12)
+
+
+def test_streaming_perplexity_monitor_alerts_on_gibberish_feed(spark, tmp_path):
+    """Two file-source micro-batches against a frozen LM artifact:
+    the in-domain batch stays inside the alert band, the gibberish
+    batch trips it; both epochs land in the series."""
+    import json
+
+    from balboa_spark.streaming.quality_monitor import perplexity_monitor_sink
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    train = spark.createDataFrame(
+        [(i, fluent) for i in range(8)], ["doc_id", "text"]
+    )
+    model_path = str(tmp_path / "model")
+    lm.save_bigram_lm(lm.train_bigram_lm(train), model_path)
+    # calibration: in-domain ppl under this model, used as the band
+    in_domain = lm.score_bigram_lm(train.limit(1), lm.load_bigram_lm(spark, model_path))
+    base_ppl = in_domain.collect()[0]["perplexity"]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "series")
+    alerts = []
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": fluent}) for i in range(4))
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            perplexity_monitor_sink(
+                model_path,
+                out,
+                alert_bounds=(0.0, base_ppl * 2),
+                on_alert=lambda e, ppl: alerts.append((e, ppl)),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text(
+            "\n".join(
+                json.dumps({"doc_id": 10 + i, "text": "zq xv qj vx jz qx kw uy"})
+                for i in range(4)
+            )
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    series = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r["epoch_id"]
+    )
+    assert len(series) == 2
+    assert series[0]["n_docs"] == 4 and series[1]["n_docs"] == 4
+    # clean epoch at the calibrated ppl; gibberish epoch far above
+    assert series[0]["mean_ppl"] == pytest.approx(base_ppl, rel=1e-9)
+    assert series[1]["mean_ppl"] > base_ppl * 2
+    assert [e for e, _ in alerts] == [series[1]["epoch_id"]]
+
+
 def test_leakage_safe_split_arg_validation(spark, tiny):
     with pytest.raises(ValueError):
         corpus.leakage_safe_split(tiny)
