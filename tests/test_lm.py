@@ -153,6 +153,60 @@ def test_leakage_safe_split_near_dup_components_never_straddle(spark):
     assert straddle == 0
 
 
+def _bigram_lm_py(rows, alpha=1.0):
+    """Pure-Python reference of the self-trained add-alpha bigram LM."""
+    from collections import Counter
+
+    toks = {i: [w for w in t.lower().split() if w] for i, t in rows}
+    c12, c1, vocab = Counter(), Counter(), set()
+    for tk in toks.values():
+        vocab.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    out = {}
+    for i, tk in toks.items():
+        bgs = list(zip(tk, tk[1:]))
+        if not bgs:
+            continue
+        lps = [
+            math.log((c12[bg] + alpha) / (c1[bg[0]] + alpha * len(vocab)))
+            for bg in bgs
+        ]
+        out[i] = (len(bgs), sum(lps) / len(bgs))
+    return out
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    """Random tight-vocab corpora (maximizes gram collisions):
+    distributed model == pure-Python reference, reshuffle-stable."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["aa", "bb", "cc"])
+    line = st.lists(word, min_size=0, max_size=10).map(" ".join)
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(texts=st.lists(line, min_size=1, max_size=6))
+    def check(texts):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        want = _bigram_lm_py(rows)
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+            for r in lm.bigram_lm_perplexity(df.repartition(5)).collect()
+        }
+        assert got.keys() == want.keys()
+        for k, (n, lp) in want.items():
+            assert got[k][0] == n
+            assert got[k][1] == pytest.approx(lp, rel=1e-12)
+
+    check()
+
+
 def test_bigram_lm_save_load_roundtrip_scores_identically(spark, tiny, tmp_path):
     model = lm.train_bigram_lm(tiny)
     lm.save_bigram_lm(model, str(tmp_path / "model"))
