@@ -63,12 +63,15 @@ def _bigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 class BigramLM(NamedTuple):
-    """A trained model: the distinct-bigram count relation (everything
-    else derives from it), the vocabulary size, and the smoothing
-    mass. ``c12`` is distinct-gram-sized — typically orders of
-    magnitude below the corpus — and is the only distributed state."""
+    """A trained model: the distinct-bigram count relation, the
+    context-count relation (the per-w1 row sums of ``c12``, kept
+    explicit so bigram pruning cannot corrupt the denominators), the
+    vocabulary size, and the smoothing mass. Both relations are
+    gram-type-sized — typically orders of magnitude below the corpus
+    — and are the only distributed state."""
 
     c12: DataFrame
+    c1: DataFrame
     vocab: int
     alpha: float
 
@@ -78,19 +81,34 @@ def train_bigram_lm(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = DEFAULT_ALPHA,
+    min_count: int = 1,
 ) -> BigramLM:
     """Count-train the model: one corpus-sized groupBy for the bigram
     counts plus one countDistinct scalar for the vocabulary (over ALL
     training tokens, including 1-token docs that contribute no
-    bigram)."""
+    bigram). Context counts c(w1 ·) derive from the bigram table's
+    row sums — the second aggregation reads the distinct-bigram
+    relation, never a second corpus pass.
+
+    ``min_count`` > 1 prunes bigram types below the threshold from
+    the stored model (the KenLM convention — web-scale gram tables
+    are Zipf-distributed, so dropping singletons alone typically
+    shrinks the artifact by well over half). Pruning happens AFTER
+    the context counts are derived: a pruned gram still contributes
+    to its context's denominator and simply scores as unseen
+    (smoothing mass only) — probabilities stay <= 1 and sum to < 1
+    over the vocabulary, exactly like an unseen gram."""
     train_bg = _bigram_stream(train_df, text_col, id_col)
     c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    if min_count > 1:
+        c12 = c12.where(F.col("c12") >= min_count)
     vocab = (
         train_df.select(F.explode(tokens(F.col(text_col))).alias("t"))
         .agg(F.countDistinct("t"))
         .collect()[0][0]
     ) or 0
-    return BigramLM(c12=c12, vocab=vocab, alpha=float(alpha))
+    return BigramLM(c12=c12, c1=c1, vocab=vocab, alpha=float(alpha))
 
 
 def score_bigram_lm(
@@ -101,13 +119,7 @@ def score_bigram_lm(
 ) -> DataFrame:
     """Score ``df`` against a trained model — see
     ``bigram_lm_perplexity`` for the output contract."""
-    # Context counts derived from the bigram table — c(w1 ·) is the
-    # row sum of c(w1 w2) — so this aggregation reads the
-    # distinct-bigram relation, not the corpus-sized bigram stream,
-    # and the c12 subtree (scan + explode + shuffle) is byte-identical
-    # in both score joins, which lets AQE reuse the exchange instead
-    # of tokenizing the training corpus twice.
-    c1 = model.c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c1 = model.c1
     score_bg = _bigram_stream(df, text_col, id_col)
     lp = F.log(
         (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(model.alpha))
@@ -132,11 +144,12 @@ def score_bigram_lm(
 
 
 def save_bigram_lm(model: BigramLM, path: str) -> None:
-    """Persist the model as a parquet artifact: ``<path>/c12`` holds
-    the count relation, ``<path>/meta`` one (vocab, alpha) row — the
-    shape a streaming monitor or a later scoring job re-reads without
-    retraining."""
+    """Persist the model as a parquet artifact: ``<path>/c12`` and
+    ``<path>/c1`` hold the count relations, ``<path>/meta`` one
+    (vocab, alpha) row — the shape a streaming monitor or a later
+    scoring job re-reads without retraining."""
     model.c12.write.mode("overwrite").parquet(os.path.join(path, "c12"))
+    model.c1.write.mode("overwrite").parquet(os.path.join(path, "c1"))
     spark = model.c12.sparkSession
     (
         spark.createDataFrame(
@@ -152,6 +165,7 @@ def load_bigram_lm(spark: SparkSession, path: str) -> BigramLM:
     meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
     return BigramLM(
         c12=spark.read.parquet(os.path.join(path, "c12")),
+        c1=spark.read.parquet(os.path.join(path, "c1")),
         vocab=meta["vocab"],
         alpha=meta["alpha"],
     )

@@ -207,6 +207,21 @@ def test_bigram_lm_matches_python_reference(spark):
     check()
 
 
+def test_bigram_lm_min_count_prunes_grams_but_keeps_denominators(spark, tiny):
+    # tiny: c(a b)=2, c(b a)=1, c(a c)=1; contexts c(a)=3, c(b)=1; V=4
+    model = lm.train_bigram_lm(tiny, min_count=2)
+    stored = {(r["w1"], r["w2"]): r["c12"] for r in model.c12.collect()}
+    assert stored == {("a", "b"): 2}  # singletons pruned from the artifact
+    ctx = {r["w1"]: r["c1"] for r in model.c1.collect()}
+    assert ctx == {"a": 3, "b": 1}  # denominators from UNPRUNED counts
+    out = {r["doc_id"]: r for r in lm.score_bigram_lm(tiny, model).collect()}
+    # pruned (a c) scores as unseen: (0+1)/(3+4); kept (a b) unchanged
+    assert out[2]["avg_logprob"] == pytest.approx(math.log(1 / 7), rel=1e-12)
+    p_ba, p_ab = (2 + 1) / (3 + 4), (0 + 1) / (1 + 4)
+    avg1 = (2 * math.log(p_ba) + math.log(p_ab)) / 3
+    assert out[1]["avg_logprob"] == pytest.approx(avg1, rel=1e-12)
+
+
 def test_bigram_lm_save_load_roundtrip_scores_identically(spark, tiny, tmp_path):
     model = lm.train_bigram_lm(tiny)
     lm.save_bigram_lm(model, str(tmp_path / "model"))
