@@ -204,6 +204,11 @@ def leakage_safe_split(
     With ``groups`` it is one left equi-join on the id; the mapping is
     near-dup-component-sized, which is corpus-order in the worst case,
     so no broadcast hint — AQE picks the strategy.
+
+    Contract: ``groups`` must hold at most ONE row per id (connected
+    components guarantees this); duplicate mapping rows would fan out
+    the joined documents. Deliberately not checked at runtime — the
+    check would force an extra pass over the mapping per call.
     """
     if (group_col is None) == (groups is None):
         raise ValueError("pass exactly one of group_col / groups")
