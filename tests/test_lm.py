@@ -307,6 +307,27 @@ def test_streaming_perplexity_monitor_alerts_on_gibberish_feed(spark, tmp_path):
     assert [e for e, _ in alerts] == [series[1]["epoch_id"]]
 
 
+def test_perplexity_monitor_sink_replay_idempotent(spark, tiny, tmp_path):
+    """foreachBatch replay contract: re-running an epoch OVERWRITES its
+    rows instead of appending duplicates to the series."""
+    from balboa_spark.streaming.quality_monitor import perplexity_monitor_sink
+
+    model_path = str(tmp_path / "model")
+    lm.save_bigram_lm(lm.train_bigram_lm(tiny), model_path)
+    out = str(tmp_path / "series")
+    sink = perplexity_monitor_sink(model_path, out)
+    batch = tiny.where("doc_id <= 2")
+    sink(batch, 7)
+    sink(batch, 7)  # replay of the same epoch
+    series = spark.read.parquet(out).collect()
+    assert len(series) == 1
+    assert series[0]["n_docs"] == 2
+    # empty batch and all-short-docs batch record nothing
+    sink(tiny.where("doc_id < 0"), 8)
+    sink(tiny.where("doc_id = 3"), 9)  # one-token doc: no bigrams
+    assert len(spark.read.parquet(out).collect()) == 1
+
+
 def test_leakage_safe_split_arg_validation(spark, tiny):
     with pytest.raises(ValueError):
         corpus.leakage_safe_split(tiny)
