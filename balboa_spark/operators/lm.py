@@ -82,6 +82,7 @@ def train_bigram_lm(
     id_col: str = "doc_id",
     alpha: float = DEFAULT_ALPHA,
     min_count: int = 1,
+    approx_vocab: bool = False,
 ) -> BigramLM:
     """Count-train the model: one corpus-sized groupBy for the bigram
     counts plus one countDistinct scalar for the vocabulary (over ALL
@@ -97,15 +98,26 @@ def train_bigram_lm(
     the context counts are derived: a pruned gram still contributes
     to its context's denominator and simply scores as unseen
     (smoothing mass only) — probabilities stay <= 1 and sum to < 1
-    over the vocabulary, exactly like an unseen gram."""
+    over the vocabulary, exactly like an unseen gram.
+
+    ``approx_vocab`` swaps the exact token countDistinct (a full
+    shuffle of distinct tokens, for ONE scalar) for HyperLogLog++
+    (partial-aggregated sketch, default ~2% rsd) — V only sets the
+    smoothing denominator, so a few percent of error moves every
+    score by a shared near-constant and leaves the RANKING that
+    filtering uses effectively untouched. The exact default is what
+    the SQL oracle replays."""
     train_bg = _bigram_stream(train_df, text_col, id_col)
     c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     if min_count > 1:
         c12 = c12.where(F.col("c12") >= min_count)
+    vocab_agg = (
+        F.approx_count_distinct("t") if approx_vocab else F.countDistinct("t")
+    )
     vocab = (
         train_df.select(F.explode(tokens(F.col(text_col))).alias("t"))
-        .agg(F.countDistinct("t"))
+        .agg(vocab_agg)
         .collect()[0][0]
     ) or 0
     return BigramLM(c12=c12, c1=c1, vocab=vocab, alpha=float(alpha))

@@ -222,6 +222,13 @@ def test_bigram_lm_min_count_prunes_grams_but_keeps_denominators(spark, tiny):
     assert out[1]["avg_logprob"] == pytest.approx(avg1, rel=1e-12)
 
 
+def test_bigram_lm_approx_vocab_close_to_exact(spark, tables):
+    docs = tables["documents"].limit(300)
+    exact = lm.train_bigram_lm(docs).vocab
+    approx = lm.train_bigram_lm(docs, approx_vocab=True).vocab
+    assert approx == pytest.approx(exact, rel=0.05)
+
+
 def test_bigram_lm_save_load_roundtrip_scores_identically(spark, tiny, tmp_path):
     model = lm.train_bigram_lm(tiny)
     lm.save_bigram_lm(model, str(tmp_path / "model"))
