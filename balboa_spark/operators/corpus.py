@@ -213,6 +213,10 @@ def leakage_safe_split(
     if (group_col is None) == (groups is None):
         raise ValueError("pass exactly one of group_col / groups")
     if groups is not None:
+        if "__grp" in df.columns:
+            raise ValueError(
+                "df already has a __grp column — rename it before splitting"
+            )
         gcols = [c for c in groups.columns if c != id_col]
         if len(gcols) != 1:
             raise ValueError(
