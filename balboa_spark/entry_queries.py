@@ -284,14 +284,15 @@ CAP_50 = [
     "corpus_dsir_topk",
     "corpus_epoch_shuffle",
     "corpus_bm25_topk",
-    "corpus_mixture_temperature",
     "corpus_bpe_segment",
     "events_props_profile",
-    # -- r10-NEW operators: first grading (displaced embedding_seed_topk
-    #    and corpus_bpe_vocab, both double-verified green r8+r9 with
-    #    families still in-cap via ann_lsh_topk/ann_quality_eval and
-    #    corpus_bpe_segment) --
+    # -- r10-NEW operators: first grading (displaced embedding_seed_topk,
+    #    corpus_bpe_vocab, and corpus_mixture_temperature — all
+    #    double-verified green r8+r9 with families still in-cap via
+    #    ann_lsh_topk/ann_quality_eval, corpus_bpe_segment, and
+    #    corpus_mixture_resample) --
     "corpus_lm_perplexity",
+    "lm_store_perplexity",
     "corpus_leakage_split",
     # -- r10-new kernels: persisted-store roundtrips, first grading --
     "store_delta_fold",
@@ -341,6 +342,7 @@ _TAIL = [
     # --- demoted r10 (real-driver green r8 AND r9, kernels unchanged) ---
     "embedding_seed_topk",  # seeded-ANN arm; ANN family in-cap via ann_lsh_topk + ann_quality_eval
     "corpus_bpe_vocab",   # BPE trainer output; family in-cap via corpus_bpe_segment
+    "corpus_mixture_temperature",  # temperature arm; mixture family in-cap via corpus_mixture_resample
     "corpus_normalize_unicode",  # Arrow-seam NFC kernel; double-verified r8+r9
     "corpus_length_batches",  # length-bucket kernel; packing family in-cap via pack_boundaries
     "corpus_blocklist",   # broadcast blocklist join; sibling obs_blocklist_match green r8+r9

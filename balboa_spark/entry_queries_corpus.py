@@ -1734,6 +1734,27 @@ ORDER BY doc_id
 """
 
 
+def q_lm_store_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigramCountStore roundtrip (r10 grading of the persisted LM
+    path): two disjoint batches folded into the on-disk count store,
+    compacted into one base generation, then score the corpus from
+    ``store.model()`` — counts are associative sums, so the folded
+    model must equal the one-shot self-trained LM; same oracle as
+    corpus_lm_perplexity."""
+    import tempfile
+
+    from balboa_spark.operators import lm
+
+    docs = _docs(spark, sf_dir)
+    store = lm.BigramCountStore(
+        spark, tempfile.mkdtemp(prefix="balboa_lmstore_entry_")
+    )
+    for e in range(2):
+        store.process_batch(docs.where(F.col("doc_id") % 2 == e), epoch_id=e)
+    store.compact()
+    return lm.score_bigram_lm(docs, store.model()).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # leakage-safe split (group-aware: exact-dup groups never straddle)
 # ---------------------------------------------------------------------------
@@ -1808,6 +1829,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_batches": q_length_batches,
     "corpus_normalize_unicode": q_normalize_unicode,
     "corpus_lm_perplexity": q_lm_perplexity,
+    "lm_store_perplexity": q_lm_store_perplexity,
     "corpus_leakage_split": q_leakage_split,
     "corpus_span_dedup": q_span_dedup,
     "span_dedup_store": q_span_dedup_store,
@@ -1864,5 +1886,6 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_length_batches": LENGTH_BATCHES_ORACLE,
     "corpus_normalize_unicode": NORMALIZE_UNICODE_ORACLE,
     "corpus_lm_perplexity": LM_PERPLEXITY_ORACLE,
+    "lm_store_perplexity": LM_PERPLEXITY_ORACLE,
     "corpus_leakage_split": LEAKAGE_SPLIT_ORACLE,
 }

@@ -183,6 +183,154 @@ def load_bigram_lm(spark: SparkSession, path: str) -> BigramLM:
     )
 
 
+class BigramCountStore:
+    """Incrementally-updatable gram counts on disk — the artifact that
+    keeps a deployed LM fresh from a stream without ever retraining on
+    the full corpus.
+
+    Layout: ``<path>/grams/epoch=<scope>/`` holds one epoch's
+    batch-local (w1, w2, c12) partial counts, ``<path>/uni/epoch=
+    <scope>/`` its (t, c) unigram counts (vocab-sized — kept so the
+    vocabulary stays exact across epochs, including tokens of
+    one-token documents). Counts are associative sums, so
+    merge-on-read (one groupBy over the live epoch dirs) equals the
+    one-shot model — the same fold-on-read argument as the
+    observation store's delta path (``plans/layout.py``).
+
+    Consistency: each epoch write is O(batch) and lands with
+    mode=overwrite under its stream-scoped epoch dir, so a
+    foreachBatch replay rewrites the same state (idempotent, no gate
+    needed — unlike the dedup stores, no DECISION depends on history
+    here, only counts). The manifest's ``live`` list is the readers'
+    truth: a dir written but not yet listed (torn batch) is invisible
+    until the replay re-lands it, and ``compact()`` flips the list to
+    the folded generation ATOMICALLY (tmp + os.replace) before
+    deleting folded dirs."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._man_path = os.path.join(path, "manifest.json")
+
+    # -- manifest ----------------------------------------------------
+    def _live(self) -> list[str]:
+        if not os.path.exists(self._man_path):
+            return []
+        import json
+
+        with open(self._man_path) as f:
+            return json.load(f)["live"]
+
+    def _write_manifest(self, live: list[str]) -> None:
+        import json
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._man_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"format": 1, "live": live}, f)
+        os.replace(tmp, self._man_path)
+
+    # -- writes ------------------------------------------------------
+    def process_batch(
+        self,
+        batch: DataFrame,
+        epoch_id: int,
+        stream_id: str = "default",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        """Fold ONE batch's gram/unigram counts and land them under
+        the stream-scoped epoch. O(batch): the store is never read."""
+        scope = f"{stream_id}-{epoch_id}"
+        bg = _bigram_stream(batch, text_col, id_col)
+        (
+            bg.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, "grams", f"epoch={scope}"))
+        )
+        (
+            batch.select(F.explode(tokens(F.col(text_col))).alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, "uni", f"epoch={scope}"))
+        )
+        live = self._live()
+        if scope not in live:
+            self._write_manifest(live + [scope])
+
+    # -- reads -------------------------------------------------------
+    def _read_live(self, sub: str) -> DataFrame | None:
+        live = self._live()
+        if not live:
+            return None
+        df = self.spark.read.parquet(os.path.join(self.path, sub))
+        # epoch is a partition column: orphan dirs (torn writes,
+        # compacted-away epochs) prune out at the scan
+        return df.where(F.col("epoch").isin(live))
+
+    def counts(self) -> DataFrame | None:
+        """Current (w1, w2, c12) — the merge-on-read fold."""
+        g = self._read_live("grams")
+        if g is None:
+            return None
+        return g.groupBy("w1", "w2").agg(F.sum("c12").alias("c12"))
+
+    def model(
+        self, alpha: float = DEFAULT_ALPHA, min_count: int = 1
+    ) -> BigramLM:
+        """The current model. Context counts derive from the folded
+        UNPRUNED bigram counts; vocabulary is the exact distinct-token
+        count across all live epochs (one count over the vocab-sized
+        unigram fold)."""
+        c12 = self.counts()
+        if c12 is None:
+            raise ValueError(f"empty store at {self.path}")
+        c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        if min_count > 1:
+            c12 = c12.where(F.col("c12") >= min_count)
+        vocab = (
+            self._read_live("uni").select("t").distinct().count()
+        )
+        return BigramLM(c12=c12, c1=c1, vocab=vocab, alpha=float(alpha))
+
+    # -- maintenance -------------------------------------------------
+    def compact(self) -> None:
+        """Fold every live epoch into one base generation: write the
+        folded counts under a fresh scope, flip the manifest, then
+        best-effort delete the folded dirs. Merge-on-read cost resets
+        from O(#epochs) dirs to one."""
+        import shutil
+
+        live = self._live()
+        if len(live) <= 1:
+            return
+        gen = 1 + max(
+            (int(s.rsplit("-", 1)[1]) for s in live if s.startswith("base-")),
+            default=0,
+        )
+        new = f"base-{gen}"
+        c12 = self.counts()
+        c12.write.mode("overwrite").parquet(
+            os.path.join(self.path, "grams", f"epoch={new}")
+        )
+        (
+            self._read_live("uni")
+            .groupBy("t")
+            .agg(F.sum("c").alias("c"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, "uni", f"epoch={new}"))
+        )
+        self._write_manifest([new])  # the commit point
+        for sub in ("grams", "uni"):
+            for s in live:
+                shutil.rmtree(
+                    os.path.join(self.path, sub, f"epoch={s}"),
+                    ignore_errors=True,
+                )
+
+
 def bigram_lm_perplexity(
     df: DataFrame,
     text_col: str = "text",

@@ -335,6 +335,53 @@ def test_perplexity_monitor_sink_replay_idempotent(spark, tiny, tmp_path):
     assert len(spark.read.parquet(out).collect()) == 1
 
 
+def test_bigram_count_store_incremental_equals_one_shot(spark, tmp_path):
+    rows = [(i, f"w{i % 3} common w{(i + 1) % 3} tail{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    store = lm.BigramCountStore(spark, str(tmp_path / "store"))
+    for e in range(3):  # three disjoint batches
+        store.process_batch(df.where(f"doc_id % 3 = {e}"), epoch_id=e)
+    got = {(r["w1"], r["w2"]): r["c12"] for r in store.counts().collect()}
+    one_shot = lm.train_bigram_lm(df)
+    want = {(r["w1"], r["w2"]): r["c12"] for r in one_shot.c12.collect()}
+    assert got == want
+    model = store.model()
+    assert model.vocab == one_shot.vocab
+    a = {r["doc_id"]: r["avg_logprob"] for r in lm.score_bigram_lm(df, model).collect()}
+    b = {r["doc_id"]: r["avg_logprob"] for r in lm.score_bigram_lm(df, one_shot).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-12)
+
+
+def test_bigram_count_store_replay_idempotent_and_compacts(spark, tmp_path):
+    import os
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c d"), (3, "b c")], ["doc_id", "text"]
+    )
+    store = lm.BigramCountStore(spark, str(tmp_path / "store"))
+    store.process_batch(df.where("doc_id <= 2"), epoch_id=0)
+    store.process_batch(df.where("doc_id <= 2"), epoch_id=0)  # replay
+    store.process_batch(df.where("doc_id = 3"), epoch_id=1)
+    before = {(r["w1"], r["w2"]): r["c12"] for r in store.counts().collect()}
+    assert before[("a", "b")] == 2  # not doubled by the replay
+    assert store._live() == ["default-0", "default-1"]
+    store.compact()
+    assert store._live() == ["base-1"]
+    after = {(r["w1"], r["w2"]): r["c12"] for r in store.counts().collect()}
+    assert after == before
+    # folded dirs physically gone; orphan reads impossible either way
+    assert not os.path.exists(
+        str(tmp_path / "store" / "grams" / "epoch=default-0")
+    )
+    # vocab survives compaction (unigram fold kept)
+    assert store.model().vocab == 4
+    # second compact on a single live generation is a no-op
+    store.compact()
+    assert store._live() == ["base-1"]
+
+
 def test_leakage_safe_split_arg_validation(spark, tiny):
     with pytest.raises(ValueError):
         corpus.leakage_safe_split(tiny)
