@@ -89,6 +89,34 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--seq-len", dest="seq_len", type=int, default=128)
 
     s = sub.add_parser(
+        "lm-train",
+        help="train the add-alpha bigram LM on a documents parquet "
+        "and persist the model artifact (operators/lm.py)",
+    )
+    s.add_argument("input", help="parquet dir with (doc_id, text)")
+    s.add_argument("model", help="output model artifact dir")
+    s.add_argument("--alpha", type=float, default=1.0)
+    s.add_argument(
+        "--min-count", dest="min_count", type=int, default=1,
+        help="prune bigram types below this count from the artifact "
+        "(KenLM convention; denominators stay un-pruned)",
+    )
+    s.add_argument(
+        "--approx-vocab", dest="approx_vocab", action="store_true",
+        help="HLL vocabulary estimate instead of the exact distinct "
+        "shuffle (~2%% rsd)",
+    )
+
+    s = sub.add_parser(
+        "lm-score",
+        help="score a documents parquet against a saved LM artifact: "
+        "(doc_id, n_bigrams, avg_logprob, perplexity) parquet out",
+    )
+    s.add_argument("model", help="model artifact dir from lm-train")
+    s.add_argument("input", help="parquet dir with (doc_id, text)")
+    s.add_argument("out", help="output parquet dir")
+
+    s = sub.add_parser(
         "corpus-datasheet",
         help="dataset datasheet (markdown): per-source/lang rollups, "
         "quality-gate pass rates, exact-dup rate — the 'datasheets "
@@ -124,6 +152,28 @@ def run(args: argparse.Namespace, spark=None) -> int:
         from balboa_spark.operators.corpus import write_datasheet
 
         write_datasheet(spark.read.parquet(args.input), args.out)
+        return 0
+
+    if args.cmd == "lm-train":
+        from balboa_spark.operators import lm
+
+        model = lm.train_bigram_lm(
+            spark.read.parquet(args.input),
+            alpha=args.alpha,
+            min_count=args.min_count,
+            approx_vocab=args.approx_vocab,
+        )
+        lm.save_bigram_lm(model, args.model)
+        return 0
+
+    if args.cmd == "lm-score":
+        from balboa_spark.operators import lm
+
+        scored = lm.score_bigram_lm(
+            spark.read.parquet(args.input),
+            lm.load_bigram_lm(spark, args.model),
+        )
+        scored.write.mode("overwrite").parquet(args.out)
         return 0
 
     store = ObservationStore(spark, args.store)

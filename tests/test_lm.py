@@ -382,6 +382,46 @@ def test_bigram_count_store_replay_idempotent_and_compacts(spark, tmp_path):
     assert store._live() == ["base-1"]
 
 
+def test_cli_lm_train_score_e2e(spark, tiny, tmp_path):
+    """lm-train then lm-score end to end: the scored parquet equals
+    the library composition, and --min-count prunes the artifact."""
+    from balboa_spark.cli import build_parser, run
+
+    inp = str(tmp_path / "docs_in")
+    tiny.write.parquet(inp)
+    model_dir = str(tmp_path / "model")
+    out = str(tmp_path / "scored")
+    assert run(
+        build_parser().parse_args(["lm-train", inp, model_dir]), spark=spark
+    ) == 0
+    assert run(
+        build_parser().parse_args(["lm-score", model_dir, inp, out]),
+        spark=spark,
+    ) == 0
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["perplexity"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["perplexity"])
+        for r in lm.bigram_lm_perplexity(tiny).collect()
+    }
+    assert got.keys() == want.keys()
+    for k, (n, p) in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(p, rel=1e-12)
+    # pruned artifact: only c(a b)=2 survives --min-count 2
+    pruned_dir = str(tmp_path / "model_pruned")
+    assert run(
+        build_parser().parse_args(
+            ["lm-train", inp, pruned_dir, "--min-count", "2"]
+        ),
+        spark=spark,
+    ) == 0
+    pruned = lm.load_bigram_lm(spark, pruned_dir)
+    assert [(r["w1"], r["w2"]) for r in pruned.c12.collect()] == [("a", "b")]
+
+
 def test_leakage_safe_split_arg_validation(spark, tiny):
     with pytest.raises(ValueError):
         corpus.leakage_safe_split(tiny)
