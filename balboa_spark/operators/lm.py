@@ -30,7 +30,9 @@ rare characters.
 
 from __future__ import annotations
 
+import json
 import os
+import re
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -216,14 +218,10 @@ class BigramCountStore:
     def _live(self) -> list[str]:
         if not os.path.exists(self._man_path):
             return []
-        import json
-
         with open(self._man_path) as f:
             return json.load(f)["live"]
 
     def _write_manifest(self, live: list[str]) -> None:
-        import json
-
         os.makedirs(self.path, exist_ok=True)
         tmp = self._man_path + ".tmp"
         with open(tmp, "w") as f:
@@ -240,7 +238,15 @@ class BigramCountStore:
         id_col: str = "doc_id",
     ) -> None:
         """Fold ONE batch's gram/unigram counts and land them under
-        the stream-scoped epoch. O(batch): the store is never read."""
+        the stream-scoped epoch. O(batch): the store is never read.
+        Empty batches record nothing (a schema-less parquet dir as the
+        store's FIRST epoch would break schema inference on read)."""
+        if not re.fullmatch(r"[A-Za-z0-9_.]+", stream_id) or stream_id == "base":
+            # "base" is reserved for compaction generations; path-ish
+            # characters would silently split the epoch directory name
+            raise ValueError(f"invalid stream_id {stream_id!r}")
+        if batch.isEmpty():
+            return
         scope = f"{stream_id}-{epoch_id}"
         bg = _bigram_stream(batch, text_col, id_col)
         (
@@ -296,11 +302,18 @@ class BigramCountStore:
         return BigramLM(c12=c12, c1=c1, vocab=vocab, alpha=float(alpha))
 
     # -- maintenance -------------------------------------------------
-    def compact(self) -> None:
+    def compact(self, vacuum: bool = False) -> None:
         """Fold every live epoch into one base generation: write the
-        folded counts under a fresh scope, flip the manifest, then
-        best-effort delete the folded dirs. Merge-on-read cost resets
-        from O(#epochs) dirs to one."""
+        folded counts under a fresh scope, then flip the manifest
+        (atomic os.replace — the commit point). Merge-on-read cost
+        resets from O(#epochs) dirs to one.
+
+        Folded dirs are KEPT by default: a ``model()``/``counts()``
+        plan built before the flip still lazily reads the old live
+        list and would hit FileNotFound if the dirs vanished mid-query
+        (the same reader contract as the observation store's kept
+        generations). Pass ``vacuum=True`` only when no plans from
+        before the flip can still run."""
         import shutil
 
         live = self._live()
@@ -323,12 +336,13 @@ class BigramCountStore:
             .parquet(os.path.join(self.path, "uni", f"epoch={new}"))
         )
         self._write_manifest([new])  # the commit point
-        for sub in ("grams", "uni"):
-            for s in live:
-                shutil.rmtree(
-                    os.path.join(self.path, sub, f"epoch={s}"),
-                    ignore_errors=True,
-                )
+        if vacuum:
+            for sub in ("grams", "uni"):
+                for s in live:
+                    shutil.rmtree(
+                        os.path.join(self.path, sub, f"epoch={s}"),
+                        ignore_errors=True,
+                    )
 
 
 def bigram_lm_perplexity(
@@ -376,5 +390,8 @@ def perplexity_band_filter(
     bounded sketch pass — not a sort). The band test itself is a pure
     filter, so at scale this is one extra pass over the scored frame.
     """
-    lo, hi = scored.approxQuantile(ppl_col, [low_quantile, high_quantile], 0.001)
+    qs = scored.approxQuantile(ppl_col, [low_quantile, high_quantile], 0.001)
+    if not qs:  # empty input: approxQuantile returns [] — keep nothing
+        return scored.limit(0)
+    lo, hi = qs
     return scored.where(F.col(ppl_col).between(lo, hi))

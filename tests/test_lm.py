@@ -364,22 +364,37 @@ def test_bigram_count_store_replay_idempotent_and_compacts(spark, tmp_path):
     store.process_batch(df.where("doc_id <= 2"), epoch_id=0)
     store.process_batch(df.where("doc_id <= 2"), epoch_id=0)  # replay
     store.process_batch(df.where("doc_id = 3"), epoch_id=1)
+    store.process_batch(df.where("doc_id < 0"), epoch_id=2)  # empty: no-op
     before = {(r["w1"], r["w2"]): r["c12"] for r in store.counts().collect()}
     assert before[("a", "b")] == 2  # not doubled by the replay
     assert store._live() == ["default-0", "default-1"]
+    # a plan built BEFORE the flip must survive the compaction
+    pre_flip = store.counts()
     store.compact()
     assert store._live() == ["base-1"]
     after = {(r["w1"], r["w2"]): r["c12"] for r in store.counts().collect()}
     assert after == before
-    # folded dirs physically gone; orphan reads impossible either way
+    assert {
+        (r["w1"], r["w2"]): r["c12"] for r in pre_flip.collect()
+    } == before  # folded dirs kept by default — old plans still read
+    # vacuum removes them once no pre-flip plans remain
+    store.compact()  # single live generation: no-op
+    assert store._live() == ["base-1"]
+    store2 = lm.BigramCountStore(spark, str(tmp_path / "store2"))
+    store2.process_batch(df, epoch_id=0)
+    store2.process_batch(df.where("doc_id = 3"), epoch_id=1)
+    store2.compact(vacuum=True)
     assert not os.path.exists(
-        str(tmp_path / "store" / "grams" / "epoch=default-0")
+        str(tmp_path / "store2" / "grams" / "epoch=default-0")
     )
     # vocab survives compaction (unigram fold kept)
     assert store.model().vocab == 4
-    # second compact on a single live generation is a no-op
-    store.compact()
-    assert store._live() == ["base-1"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        store.process_batch(df, epoch_id=9, stream_id="base")
+    with _pt.raises(ValueError):
+        store.process_batch(df, epoch_id=9, stream_id="a/b")
 
 
 def test_cli_lm_train_score_e2e(spark, tiny, tmp_path):
