@@ -207,7 +207,13 @@ class BigramCountStore:
     truth: a dir written but not yet listed (torn batch) is invisible
     until the replay re-lands it, and ``compact()`` flips the list to
     the folded generation ATOMICALLY (tmp + os.replace) before
-    deleting folded dirs."""
+    deleting folded dirs.
+
+    Single-writer assumption: manifest updates are read-modify-write,
+    serialized by foreachBatch within one query; two QUERIES writing
+    the same store concurrently could lose an update — give each its
+    own store (or serialize externally), the same contract as the
+    other persisted stores here."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark

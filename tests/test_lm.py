@@ -437,6 +437,52 @@ def test_cli_lm_train_score_e2e(spark, tiny, tmp_path):
     assert [(r["w1"], r["w2"]) for r in pruned.c12.collect()] == [("a", "b")]
 
 
+def test_leakage_safe_split_matches_python_md5_reference(spark):
+    """Random (id, group) mappings: the assignment equals a pure-Python
+    md5 bucketing of the effective key (group when mapped, id when
+    not), and is reshuffle-stable."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def py_split(key: str) -> str:
+        hb = hashlib.md5((key + ":split").encode()).hexdigest()[:2]
+        return "train" if hb < "cc" else ("val" if hb < "e6" else "test")
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        n=st.integers(min_value=1, max_value=12),
+        grp=st.lists(
+            st.sampled_from(["g1", "g2", None]), min_size=12, max_size=12
+        ),
+    )
+    def check(n, grp):
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(n)], "doc_id long, text string"
+        )
+        mapping = spark.createDataFrame(
+            [(i, g) for i, g in enumerate(grp[:n]) if g is not None],
+            "doc_id long, component string",
+        )
+        got = {
+            r["doc_id"]: r["split"]
+            for r in corpus.leakage_safe_split(
+                df.repartition(4), groups=mapping
+            ).collect()
+        }
+        want = {
+            i: py_split(grp[i] if i < len(grp) and grp[i] is not None else str(i))
+            for i in range(n)
+        }
+        assert got == want
+
+    check()
+
+
 def test_leakage_safe_split_arg_validation(spark, tiny):
     with pytest.raises(ValueError):
         corpus.leakage_safe_split(tiny)
