@@ -483,6 +483,55 @@ def test_leakage_safe_split_matches_python_md5_reference(spark):
     check()
 
 
+def test_streaming_lm_count_store_e2e(spark, tmp_path):
+    """Structured Streaming ingest into the count store: two
+    file-source micro-batches through foreachBatch, then the
+    merge-on-read model equals the one-shot LM over the union."""
+    import json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = lm.BigramCountStore(spark, str(tmp_path / "store"))
+    rows1 = [(i, f"w{i % 2} mid w{(i + 1) % 2}") for i in range(6)]
+    rows2 = [(10 + i, f"w{i % 2} tail only{i}") for i in range(4)]
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows1)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, e: store.process_batch(b, epoch_id=e)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows2)
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_rows = spark.createDataFrame(rows1 + rows2, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.score_bigram_lm(all_rows, store.model()).collect()
+    }
+    want = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.bigram_lm_perplexity(all_rows).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
 def test_leakage_safe_split_arg_validation(spark, tiny):
     with pytest.raises(ValueError):
         corpus.leakage_safe_split(tiny)
