@@ -160,23 +160,29 @@ def gopher_filter(
     )
 
 
+def _split_assign(key: Column, salt: str) -> Column:
+    """The ONE definition of the md5 split bucketing: first two hex
+    digits of md5(key:salt) give 256 uniform buckets; comparing them
+    as strings is exact because hex digits sort numerically."""
+    hx = F.substring(F.md5(F.concat(key, F.lit(":" + salt))), 1, 2)
+    return (
+        F.when(hx < TRAIN_HEX, "train")
+        .when(hx < VAL_HEX, "val")
+        .otherwise("test")
+    )
+
+
 def hash_split(
     df: DataFrame, id_col: str = "doc_id", salt: str = SPLIT_SALT
 ) -> DataFrame:
     """Deterministic, reshuffle-stable train/val/test assignment.
 
     The split key is md5(id:salt) — stable under repartitioning,
-    re-ingestion, and cluster size, unlike randomSplit. The first two
-    hex digits give 256 uniform buckets; comparing them as strings is
-    exact because hex digits sort numerically. Pure projection: no
-    shuffle, no RNG state.
+    re-ingestion, and cluster size, unlike randomSplit. Pure
+    projection: no shuffle, no RNG state.
     """
-    hx = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 2
-    )
     return df.withColumn(
-        "split",
-        F.when(hx < TRAIN_HEX, "train").when(hx < VAL_HEX, "val").otherwise("test"),
+        "split", _split_assign(F.col(id_col).cast("string"), salt)
     )
 
 
@@ -228,12 +234,14 @@ def leakage_safe_split(
         key = F.coalesce(F.col("__grp").cast("string"), F.col(id_col).cast("string"))
     else:
         staged = df
-        key = F.col(group_col).cast("string")
-    hx = F.substring(F.md5(F.concat(key, F.lit(":" + salt))), 1, 2)
-    out = staged.withColumn(
-        "split",
-        F.when(hx < TRAIN_HEX, "train").when(hx < VAL_HEX, "val").otherwise("test"),
-    )
+        # NULL group (e.g. a doc with no registered domain) falls back
+        # to the doc id — the same singleton semantics as the mapping
+        # arm; without the coalesce every NULL-group row would hash
+        # NULL and silently land in otherwise("test")
+        key = F.coalesce(
+            F.col(group_col).cast("string"), F.col(id_col).cast("string")
+        )
+    out = staged.withColumn("split", _split_assign(key, salt))
     return out.drop("__grp") if groups is not None else out
 
 

@@ -209,6 +209,15 @@ class BigramCountStore:
     the folded generation ATOMICALLY (tmp + os.replace) before
     deleting folded dirs.
 
+    Replay vs compaction: an epoch folded into a base generation by
+    ``compact()`` leaves the live list, so "is my scope already
+    listed?" alone cannot gate a replay that races a compaction. The
+    manifest therefore also keeps a per-stream ``applied`` high-water
+    mark that SURVIVES compaction (the same persistent epoch gate as
+    ``plans/layout.py``'s ``last_epochs``): a replayed epoch at or
+    below the mark whose dir is no longer live was folded — skipped,
+    not re-appended.
+
     Single-writer assumption: manifest updates are read-modify-write,
     serialized by foreachBatch within one query; two QUERIES writing
     the same store concurrently could lose an update — give each its
@@ -221,17 +230,22 @@ class BigramCountStore:
         self._man_path = os.path.join(path, "manifest.json")
 
     # -- manifest ----------------------------------------------------
-    def _live(self) -> list[str]:
+    def _manifest(self) -> dict:
         if not os.path.exists(self._man_path):
-            return []
+            return {"format": 1, "live": [], "applied": {}}
         with open(self._man_path) as f:
-            return json.load(f)["live"]
+            man = json.load(f)
+        man.setdefault("applied", {})
+        return man
 
-    def _write_manifest(self, live: list[str]) -> None:
+    def _live(self) -> list[str]:
+        return self._manifest()["live"]
+
+    def _write_manifest(self, man: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
         tmp = self._man_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"format": 1, "live": live}, f)
+            json.dump(man, f)
         os.replace(tmp, self._man_path)
 
     # -- writes ------------------------------------------------------
@@ -251,26 +265,46 @@ class BigramCountStore:
             # "base" is reserved for compaction generations; path-ish
             # characters would silently split the epoch directory name
             raise ValueError(f"invalid stream_id {stream_id!r}")
+        man = self._manifest()
+        scope = f"{stream_id}-{epoch_id}"
+        if (
+            epoch_id <= man["applied"].get(stream_id, -1)
+            and scope not in man["live"]
+        ):
+            # replayed epoch whose dir was folded into a base
+            # generation by compact(): re-appending would double-count
+            return
         if batch.isEmpty():
             return
-        scope = f"{stream_id}-{epoch_id}"
-        bg = _bigram_stream(batch, text_col, id_col)
+        # tokenize ONCE for both counts (the batch is micro-batch-sized,
+        # so the eager materialization is cheap and halves the source
+        # scans + regex tokenize of the hot path)
+        tk_df = batch.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("tk")
+        ).localCheckpoint(eager=True)
         (
-            bg.groupBy("w1", "w2")
+            tk_df.where(F.size("tk") >= 2)
+            .select(F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"))
+            .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+            .groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).alias("c12"))
             .write.mode("overwrite")
             .parquet(os.path.join(self.path, "grams", f"epoch={scope}"))
         )
         (
-            batch.select(F.explode(tokens(F.col(text_col))).alias("t"))
+            tk_df.select(F.explode("tk").alias("t"))
             .groupBy("t")
             .agg(F.count(F.lit(1)).alias("c"))
             .write.mode("overwrite")
             .parquet(os.path.join(self.path, "uni", f"epoch={scope}"))
         )
-        live = self._live()
-        if scope not in live:
-            self._write_manifest(live + [scope])
+        man = self._manifest()
+        if scope not in man["live"]:
+            man["live"] = man["live"] + [scope]
+        man["applied"][stream_id] = max(
+            epoch_id, man["applied"].get(stream_id, -1)
+        )
+        self._write_manifest(man)
 
     # -- reads -------------------------------------------------------
     def _read_live(self, sub: str) -> DataFrame | None:
@@ -279,8 +313,13 @@ class BigramCountStore:
             return None
         df = self.spark.read.parquet(os.path.join(self.path, sub))
         # epoch is a partition column: orphan dirs (torn writes,
-        # compacted-away epochs) prune out at the scan
-        return df.where(F.col("epoch").isin(live))
+        # compacted-away epochs) prune out at the scan. One JVM-parsed
+        # SQL string, NOT isin(*live): between compactions the live
+        # list grows per micro-batch, and isin marshals every literal
+        # as its own Py4J call (the psl.py lesson). Scopes are
+        # charset-validated at write time, so quoting is safe.
+        in_list = ", ".join("'" + s.replace("'", "''") + "'" for s in live)
+        return df.where(F.expr(f"epoch IN ({in_list})"))
 
     def counts(self) -> DataFrame | None:
         """Current (w1, w2, c12) — the merge-on-read fold."""
@@ -322,7 +361,8 @@ class BigramCountStore:
         before the flip can still run."""
         import shutil
 
-        live = self._live()
+        man = self._manifest()
+        live = man["live"]
         if len(live) <= 1:
             return
         gen = 1 + max(
@@ -341,7 +381,10 @@ class BigramCountStore:
             .write.mode("overwrite")
             .parquet(os.path.join(self.path, "uni", f"epoch={new}"))
         )
-        self._write_manifest([new])  # the commit point
+        # the commit point — the applied marks survive the flip (they
+        # are the only record that a folded epoch ever happened, which
+        # is exactly what gates its replay)
+        self._write_manifest({**man, "live": [new]})
         if vacuum:
             for sub in ("grams", "uni"):
                 for s in live:

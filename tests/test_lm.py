@@ -532,6 +532,45 @@ def test_streaming_lm_count_store_e2e(spark, tmp_path):
         assert got[k] == pytest.approx(want[k], rel=1e-12)
 
 
+def test_bigram_count_store_replay_after_compact_does_not_double_count(
+    spark, tmp_path
+):
+    """The torn-checkpoint x compaction race: an epoch is folded into
+    a base generation while the stream is down, then foreachBatch
+    replays it on restart — the persistent applied mark must make the
+    replay a no-op instead of re-appending the folded counts."""
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a c")], ["doc_id", "text"])
+    store = lm.BigramCountStore(spark, str(tmp_path / "store"))
+    store.process_batch(df.where("doc_id = 1"), epoch_id=0)
+    store.process_batch(df.where("doc_id = 2"), epoch_id=1)
+    want = {(r["w1"], r["w2"]): r["c12"] for r in store.counts().collect()}
+    store.compact()  # epoch dirs folded into base-1
+    store.process_batch(df.where("doc_id = 2"), epoch_id=1)  # the replay
+    got = {(r["w1"], r["w2"]): r["c12"] for r in store.counts().collect()}
+    assert got == want  # not doubled
+    # a genuinely NEW epoch after compaction still lands
+    store.process_batch(df.where("doc_id = 1"), epoch_id=2)
+    bumped = {(r["w1"], r["w2"]): r["c12"] for r in store.counts().collect()}
+    assert bumped[("a", "b")] == want[("a", "b")] * 2
+
+
+def test_leakage_safe_split_null_group_falls_back_to_id(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "g1"), (2, "y", None), (3, "z", None)],
+        ["doc_id", "text", "dom"],
+    )
+    out = {
+        r["doc_id"]: r["split"]
+        for r in corpus.leakage_safe_split(df, group_col="dom").collect()
+    }
+    solo = {
+        r["doc_id"]: r["split"]
+        for r in corpus.hash_split(df).select("doc_id", "split").collect()
+    }
+    # NULL-group docs split like singletons, not all-into-"test"
+    assert out[2] == solo[2] and out[3] == solo[3]
+
+
 def test_leakage_safe_split_arg_validation(spark, tiny):
     with pytest.raises(ValueError):
         corpus.leakage_safe_split(tiny)
