@@ -282,16 +282,17 @@ CAP_50 = [
     "pipeline_pretrain",
     "corpus_dedup_units",
     "corpus_dsir_topk",
-    "corpus_epoch_shuffle",
     "corpus_bm25_topk",
     "corpus_bpe_segment",
     "events_props_profile",
     # -- r10-NEW operators: first grading (displaced embedding_seed_topk,
-    #    corpus_bpe_vocab, and corpus_mixture_temperature — all
-    #    double-verified green r8+r9 with families still in-cap via
-    #    ann_lsh_topk/ann_quality_eval, corpus_bpe_segment, and
-    #    corpus_mixture_resample) --
+    #    corpus_bpe_vocab, corpus_mixture_temperature, and
+    #    corpus_epoch_shuffle — all double-verified green r8+r9 with
+    #    families still covered: ann_lsh_topk/ann_quality_eval,
+    #    corpus_bpe_segment, corpus_mixture_resample, and the
+    #    epoch_shuffle_write bench item) --
     "corpus_lm_perplexity",
+    "corpus_lm3_perplexity",
     "lm_store_perplexity",
     "corpus_leakage_split",
     # -- r10-new kernels: persisted-store roundtrips, first grading --
@@ -343,6 +344,7 @@ _TAIL = [
     "embedding_seed_topk",  # seeded-ANN arm; ANN family in-cap via ann_lsh_topk + ann_quality_eval
     "corpus_bpe_vocab",   # BPE trainer output; family in-cap via corpus_bpe_segment
     "corpus_mixture_temperature",  # temperature arm; mixture family in-cap via corpus_mixture_resample
+    "corpus_epoch_shuffle",  # md5-order projection double-verified r8+r9; write path exercised by the epoch_shuffle_write bench item
     "corpus_normalize_unicode",  # Arrow-seam NFC kernel; double-verified r8+r9
     "corpus_length_batches",  # length-bucket kernel; packing family in-cap via pack_boundaries
     "corpus_blocklist",   # broadcast blocklist join; sibling obs_blocklist_match green r8+r9

@@ -1755,6 +1755,43 @@ def q_lm_store_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.score_bigram_lm(docs, store.model()).orderBy("doc_id")
 
 
+def q_lm3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from balboa_spark.operators import lm
+
+    return lm.ngram_lm_perplexity(_docs(spark, sf_dir), n=3).orderBy("doc_id")
+
+
+# Twin of operators.lm.ngram_lm_perplexity at n=3: context = 2-token
+# prefix (space-joined), target = the following token. DuckDB range is
+# end-exclusive, so i = 1..len-2 pairs ctx tk[i..i+1] with w tk[i+2].
+LM3_PERPLEXITY_ORACLE = f"""
+WITH {_TOKS_SQL},
+staged AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 3),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS ctx,
+         unnest(list_transform(range(1, len(tk) - 1), i -> tk[i + 2])) AS w
+  FROM staged
+),
+cg AS (SELECT ctx, w, count(*) AS c_gram FROM g GROUP BY 1, 2),
+cc AS (SELECT ctx, count(*) AS c_ctx FROM g GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT t) AS vocab
+  FROM (SELECT unnest(tk) AS t FROM toks)
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       sum(ln((cg.c_gram + 1.0) / (cc.c_ctx + 1.0 * v.vocab))) / count(*)
+         AS avg_logprob,
+       exp(-(sum(ln((cg.c_gram + 1.0) / (cc.c_ctx + 1.0 * v.vocab)))
+             / count(*))) AS perplexity
+FROM g JOIN cg USING (ctx, w) JOIN cc USING (ctx) CROSS JOIN v
+GROUP BY doc_id, v.vocab
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # leakage-safe split (group-aware: exact-dup groups never straddle)
 # ---------------------------------------------------------------------------
@@ -1829,6 +1866,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_length_batches": q_length_batches,
     "corpus_normalize_unicode": q_normalize_unicode,
     "corpus_lm_perplexity": q_lm_perplexity,
+    "corpus_lm3_perplexity": q_lm3_perplexity,
     "lm_store_perplexity": q_lm_store_perplexity,
     "corpus_leakage_split": q_leakage_split,
     "corpus_span_dedup": q_span_dedup,
@@ -1886,6 +1924,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_length_batches": LENGTH_BATCHES_ORACLE,
     "corpus_normalize_unicode": NORMALIZE_UNICODE_ORACLE,
     "corpus_lm_perplexity": LM_PERPLEXITY_ORACLE,
+    "corpus_lm3_perplexity": LM3_PERPLEXITY_ORACLE,
     "lm_store_perplexity": LM_PERPLEXITY_ORACLE,
     "corpus_leakage_split": LEAKAGE_SPLIT_ORACLE,
 }

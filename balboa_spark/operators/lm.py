@@ -426,6 +426,72 @@ def bigram_lm_perplexity(
     return score_bigram_lm(df, model, text_col, id_col)
 
 
+def ngram_lm_perplexity(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = DEFAULT_ALPHA,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Order-n generalization of ``bigram_lm_perplexity`` (CCNet's
+    KenLM reference is order 5): ``P(w | ctx) = (c(ctx w) + alpha) /
+    (c(ctx ·) + alpha · V)`` where ctx is the space-joined (n-1)-token
+    prefix. Same output contract (documents with fewer than n tokens
+    are absent), same plan shape — the context key is one string, so
+    growing n changes shuffle KEY WIDTH, not the number of shuffles
+    or joins. Higher orders sharpen the filter on in-domain text but
+    thin the counts (more smoothing mass per gram) — order 2-3 is the
+    right default when the training corpus is the scored corpus
+    itself rather than a large clean reference."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+
+    def grams(frame: DataFrame) -> DataFrame:
+        # (id, ctx, w): ctx = tokens[i-1 .. i+n-3] joined, w = tokens[i+n-2]
+        # (1-based sequence index i over 0-based array subscripts)
+        expr = (
+            f"transform(sequence(1, size(tk) - {n - 1}), i -> struct("
+            f"array_join(slice(tk, i, {n - 1}), ' ') AS ctx, "
+            f"tk[i + {n - 2}] AS w))"
+        )
+        staged = frame.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("tk")
+        ).where(F.size("tk") >= n)
+        return staged.select(
+            F.col(id_col), F.explode(F.expr(expr)).alias("g")
+        ).select(id_col, F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w"))
+
+    train_df = df if train is None else train
+    cg = grams(train_df).groupBy("ctx", "w").agg(
+        F.count(F.lit(1)).alias("c_gram")
+    )
+    cc = cg.groupBy("ctx").agg(F.sum("c_gram").alias("c_ctx"))
+    vocab = (
+        train_df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    ) or 0
+    lp = F.log(
+        (F.coalesce(F.col("c_gram"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+        / (
+            F.coalesce(F.col("c_ctx"), F.lit(0)).cast("double")
+            + F.lit(float(alpha) * vocab)
+        )
+    )
+    return (
+        grams(df)
+        .join(cg, ["ctx", "w"], "left")
+        .join(cc, ["ctx"], "left")
+        .select(F.col(id_col), lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("lp").alias("_s"))
+        .withColumn("avg_logprob", F.col("_s") / F.col("n_grams"))
+        .withColumn("perplexity", F.exp(-F.col("avg_logprob")))
+        .drop("_s")
+    )
+
+
 def perplexity_band_filter(
     scored: DataFrame,
     low_quantile: float = 0.1,

@@ -222,6 +222,46 @@ def test_bigram_lm_min_count_prunes_grams_but_keeps_denominators(spark, tiny):
     assert out[1]["avg_logprob"] == pytest.approx(avg1, rel=1e-12)
 
 
+def test_ngram_lm_trigram_hand_computed(spark):
+    # corpus: "a b c a b c" and "a b d"
+    # trigram counts: (a b,c)=2? doc1 trigrams: (a b,c),(b c,a),(c a,b),(a b,c)
+    #   -> c("a b","c")=2, c("b c","a")=1, c("c a","b")=1; doc2: c("a b","d")=1
+    # contexts: c("a b")=3, c("b c")=1, c("c a")=1; V = 6 (a b c d x y
+    #   — doc 3 is too short to contribute grams but its tokens still
+    #   count toward the vocabulary)
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b d"), (3, "x y")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in lm.ngram_lm_perplexity(df, n=3).collect()}
+    assert set(out) == {1, 2}  # doc 3 has < 3 tokens
+    p_abc = (2 + 1) / (3 + 6)
+    p_bca = (1 + 1) / (1 + 6)
+    p_cab = (1 + 1) / (1 + 6)
+    avg1 = (2 * math.log(p_abc) + math.log(p_bca) + math.log(p_cab)) / 4
+    assert out[1]["n_grams"] == 4
+    assert out[1]["avg_logprob"] == pytest.approx(avg1, rel=1e-12)
+    p_abd = (1 + 1) / (3 + 6)
+    assert out[2]["avg_logprob"] == pytest.approx(math.log(p_abd), rel=1e-12)
+
+
+def test_ngram_lm_order2_equals_bigram_lm(spark, tables):
+    docs = tables["documents"].limit(120)
+    a = {
+        r["doc_id"]: (r["n_grams"], r["avg_logprob"])
+        for r in lm.ngram_lm_perplexity(docs, n=2).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm.bigram_lm_perplexity(docs).collect()
+    }
+    assert a.keys() == b.keys()
+    for k, (n, lp) in b.items():
+        assert a[k][0] == n
+        assert a[k][1] == pytest.approx(lp, rel=1e-12)
+    with pytest.raises(ValueError):
+        lm.ngram_lm_perplexity(docs, n=1)
+
+
 def test_bigram_lm_approx_vocab_close_to_exact(spark, tables):
     docs = tables["documents"].limit(300)
     exact = lm.train_bigram_lm(docs).vocab
