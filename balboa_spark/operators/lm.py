@@ -91,7 +91,13 @@ def train_bigram_lm(
     training tokens, including 1-token docs that contribute no
     bigram). Context counts c(w1 ·) derive from the bigram table's
     row sums — the second aggregation reads the distinct-bigram
-    relation, never a second corpus pass.
+    relation, never a second corpus pass. NOTE: the returned relations
+    are LAZY; a consumer that references both (scoring joins each)
+    re-executes the shared c12 lineage per reference (measured:
+    Catalyst does NOT exchange-reuse across these branches). At scale,
+    ``save_bigram_lm`` first and score from the parquet artifact —
+    then training is the only corpus pass and scoring reads
+    gram-type-sized parquet twice.
 
     ``min_count`` > 1 prunes bigram types below the threshold from
     the stored model (the KenLM convention — web-scale gram tables
@@ -132,7 +138,11 @@ def score_bigram_lm(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Score ``df`` against a trained model — see
-    ``bigram_lm_perplexity`` for the output contract."""
+    ``bigram_lm_perplexity`` for the output contract. The two count
+    joins each evaluate their model relation's lineage: cheap when the
+    model is parquet-backed (``load_bigram_lm`` / ``BigramCountStore``
+    — the intended shape at scale), repeated corpus passes when the
+    model relations are still lazy plans over the training corpus."""
     c1 = model.c1
     score_bg = _bigram_stream(df, text_col, id_col)
     lp = F.log(
