@@ -433,6 +433,15 @@ def bigram_lm_perplexity(
     model = train_bigram_lm(
         df if train is None else train, text_col, id_col, alpha
     )
+    # materialize the gram counts ONCE (gram-type-sized — the same
+    # relation save_bigram_lm would write): the two score joins and
+    # the c1 derivation otherwise each re-run the corpus tokenize
+    # lineage (no Catalyst exchange reuse across the branches —
+    # module NOTE)
+    c12 = model.c12.localCheckpoint(eager=True)
+    model = model._replace(
+        c12=c12, c1=c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    )
     return score_bigram_lm(df, model, text_col, id_col)
 
 
@@ -473,8 +482,14 @@ def ngram_lm_perplexity(
         ).select(id_col, F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w"))
 
     train_df = df if train is None else train
-    cg = grams(train_df).groupBy("ctx", "w").agg(
-        F.count(F.lit(1)).alias("c_gram")
+    # materialized once (gram-type-sized) — same rationale as
+    # bigram_lm_perplexity's checkpoint: the cc derivation and both
+    # score joins would otherwise each re-run the corpus tokenize
+    cg = (
+        grams(train_df)
+        .groupBy("ctx", "w")
+        .agg(F.count(F.lit(1)).alias("c_gram"))
+        .localCheckpoint(eager=True)
     )
     cc = cg.groupBy("ctx").agg(F.sum("c_gram").alias("c_ctx"))
     vocab = (
