@@ -1,5 +1,8 @@
-"""Bigram-LM perplexity scoring (balboa_spark.operators.lm) and the
-leakage-safe group split (corpus.leakage_safe_split).
+"""The LM family (balboa_spark.operators.lm): bigram/order-n
+perplexity scoring, model artifact save/load, the incremental
+BigramCountStore, the streaming perplexity monitor, the lm-train /
+lm-score CLI — plus the leakage-safe group split
+(corpus.leakage_safe_split).
 """
 
 from __future__ import annotations
