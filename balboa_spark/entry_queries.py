@@ -254,12 +254,26 @@ QUERIES.update(QUERIES_TEMPORAL)
 # in-cap because round 10 changes their kernel (full published PSL
 # list becomes the default rule set) — they need fresh grading.
 #
-# ROUND-11 ROTATION PLAN (for the next builder): re-promote the next
-# stalest tail cohort (the green-r7-only entries: events_rolling_1h,
-# events_funnel, events_zorder, corpus_tfidf_keywords,
-# corpus_boilerplate, corpus_quality_bins, corpus_mixture_upsample,
-# corpus_expectations, corpus_pack_sequences, dedup_semantic),
-# demoting entries double-verified by then (green r9 AND r10).
+# Round-11 rotation (this round; executes the r10 plan + 3 new
+# kernels): IN = the 10 stalest tail entries (last real-driver green
+# in r7: events_rolling_1h, events_funnel, events_zorder,
+# corpus_tfidf_keywords, corpus_boilerplate, corpus_quality_bins,
+# corpus_mixture_upsample, corpus_expectations, corpus_pack_sequences,
+# dedup_semantic) + the 3 r11-new entries (corpus_lm_kn_perplexity,
+# corpus_lm_sbo_perplexity, corpus_lm_band). OUT = the 10 entries
+# promoted in r10 (green r6 AND r10, kernels unchanged since) + 3 of
+# the r7-first-graded cohort now green in four consecutive rounds
+# r7-r10 (corpus_dedup_units, corpus_dsir_topk, events_props_profile).
+# Kernel-changed-this-round entries all stay in-cap: lm_store
+# (CAS + retired-scope tracking), store_delta_fold (CAS),
+# span_dedup_store (compact + auto-scope guard), bm25_store_topk /
+# vector_store_topk (CAS), pipeline_crawl / corpus_domain_cap /
+# corpus_domain_profile (psl out_col guard).
+#
+# ROUND-12 ROTATION PLAN (for the next builder): next-stalest are the
+# green-r8-only tail entries (the r10-demoted cohort is green r9+r10
+# and can wait one more round); demote entries double-verified by then
+# (green r10 AND r11), keeping the "no entry older than 3 rounds" rule.
 CAP_50 = [
     # -- §2 backbone, kept in-cap as standing canaries (green r5-r7) --
     "observations_agg",   # A1-A3 core fold
@@ -278,13 +292,10 @@ CAP_50 = [
     "corpus_quality_signals",
     "corpus_mixture_resample",
     "events_interval_join",
-    # -- first graded r7 (r6-new cohort + pipeline): second grading --
+    # -- r7-cohort keepers (heaviest kernels; green r7-r10) --
     "pipeline_pretrain",
-    "corpus_dedup_units",
-    "corpus_dsir_topk",
     "corpus_bm25_topk",
     "corpus_bpe_segment",
-    "events_props_profile",
     # -- r10-NEW operators: first grading (displaced embedding_seed_topk,
     #    corpus_bpe_vocab, corpus_mixture_temperature, and
     #    corpus_epoch_shuffle — all double-verified green r8+r9 with
@@ -314,17 +325,21 @@ CAP_50 = [
     "pipeline_crawl",
     "corpus_domain_cap",
     "events_psi_drift",
-    # -- promoted r10: last real-driver green in r6, three rounds ago --
-    "explode_normalize",
-    "entries_rrname_residual",
-    "cof_projection",
-    "multi_backend_union",
-    "rest_dual_search",
-    "total_count",
-    "tag_routing_counts",
-    "agg_incremental",
-    "events_tumbling",
-    "text_profile",
+    # -- r11-NEW kernels: first grading --
+    "corpus_lm_kn_perplexity",
+    "corpus_lm_sbo_perplexity",
+    "corpus_lm_band",
+    # -- promoted r11: last real-driver green in r7, three rounds ago --
+    "events_rolling_1h",
+    "events_funnel",
+    "events_zorder",
+    "corpus_tfidf_keywords",
+    "corpus_boilerplate",
+    "corpus_quality_bins",
+    "corpus_mixture_upsample",
+    "corpus_expectations",
+    "corpus_pack_sequences",
+    "dedup_semantic",
 ]
 
 # Tail rationale: every entry is either (a) real-driver green in two
@@ -340,6 +355,20 @@ CAP_50 = [
 #     candidates; agg_incremental — same merge fold as
 #     observations_agg.
 _TAIL = [
+    # --- demoted r11 (kernels unchanged) ---
+    "explode_normalize",       # green r6+r10; FEVER two-level explode kernel
+    "entries_rrname_residual", # green r6+r10; rides in-cap entries_rrname + F5 predicate
+    "cof_projection",          # green r6+r10; pure projection over in-cap agg
+    "multi_backend_union",     # green r6+r10; unionAll of the in-cap store read
+    "rest_dual_search",        # green r6+r10; two in-cap entries() unioned
+    "total_count",             # green r6+r10; count over in-cap observations_agg
+    "tag_routing_counts",      # green r6+r10; selector-DAG kernel, unit e2e too
+    "agg_incremental",         # green r6+r10; same merge fold as observations_agg
+    "events_tumbling",         # green r6+r10; window() tumbling kernel
+    "text_profile",            # green r6+r10; scalar text-stats projection
+    "corpus_dedup_units",      # green r7-r10 (4x); paragraph-unit explode kernel
+    "corpus_dsir_topk",        # green r7-r10 (4x); hashed-ngram importance kernel
+    "events_props_profile",    # green r7-r10 (4x); semistructured map-explode kernel
     # --- demoted r10 (real-driver green r8 AND r9, kernels unchanged) ---
     "embedding_seed_topk",  # seeded-ANN arm; ANN family in-cap via ann_lsh_topk + ann_quality_eval
     "corpus_bpe_vocab",   # BPE trainer output; family in-cap via corpus_bpe_segment
@@ -357,18 +386,8 @@ _TAIL = [
     "obs_blocklist_match",    # broadcast blocklist join; double-verified r8+r9
     # --- standing tail ---
     "dedup_embedding",    # bucketed-cosine kernel under dedup_semantic; graded via dedup_components pairs
-    "dedup_semantic",     # embedding-threshold kernel; pairs graded via in-cap dedup_components
     "ann_ivf_topk",       # IVF arm; ANN family graded via in-cap ann_lsh_topk + ann_quality_eval
     "ann_pq_topk",        # PQ arm; ANN family graded via in-cap ann_lsh_topk + ann_quality_eval
-    "corpus_tfidf_keywords",  # tf-idf kernel; token counting graded via corpus_bm25_topk
-    "corpus_boilerplate", # line-hash kernel; dedup family in-cap via span/cdc
-    "corpus_quality_bins",    # binning over quality_signals (in-cap)
-    "corpus_mixture_upsample",# upsample arm of in-cap corpus_mixture_resample
-    "corpus_expectations",    # rule-check kernel; PSI drift (in-cap) shares the histogram machinery
-    "events_rolling_1h",  # RANGE-frame kernel, green r5-r7
-    "events_funnel",      # ordered-match kernel, green r5-r7
-    "corpus_pack_sequences",  # concat-and-chunk arm; packing graded via in-cap pack_boundaries/bestfit
-    "events_zorder",      # Morton-code kernel, green r6-r7
     # --- standing tail (double-verified or same-kernel siblings) ---
     "pipeline_clean",     # superseded in-cap by the longer pipeline_pretrain chain
     "embedding_topk",     # brute-force baseline of in-cap ann_lsh_topk/knn_join

@@ -1793,6 +1793,183 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# interpolated Kneser-Ney + stupid backoff (r11) — train on the even
+# half, score everything, so the unseen-gram / unseen-context / OOV
+# arms all execute (self-trained would never leave the seen path)
+# ---------------------------------------------------------------------------
+
+def q_lm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from balboa_spark.operators import lm
+
+    docs = _docs(spark, sf_dir)
+    return lm.kn_bigram_lm_perplexity(
+        docs, train=docs.where(F.col("doc_id") % 2 == 0)
+    ).orderBy("doc_id")
+
+
+# Twin of operators.lm.kn_bigram_lm_perplexity (interpolated KN,
+# Ney-estimated discount D = n1/(n1+2*n2), alpha_c=1 continuation
+# smoothing). Every arithmetic expression mirrors the Column tree's
+# association order so the doubles agree to the driver's rounding.
+LM_KN_PERPLEXITY_ORACLE = f"""
+WITH {_TOKS_SQL},
+ttoks AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+tbg AS (
+  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+  FROM ttoks WHERE len(tk) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_fw FROM c12 GROUP BY 1),
+cont AS (SELECT w2, count(*) AS n1p_bw FROM c12 GROUP BY 1),
+s AS (
+  SELECT count(*) AS types,
+         sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2
+  FROM c12
+),
+v AS (
+  SELECT count(DISTINCT t) AS vocab
+  FROM (SELECT unnest(tk) AS t FROM ttoks)
+),
+d AS (
+  SELECT CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2) ELSE 0.5 END
+           AS disc
+  FROM s
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+  FROM toks WHERE len(tk) >= 2
+),
+j AS (
+  SELECT bg.doc_id,
+         ln(CASE WHEN ctx.c1 IS NOT NULL THEN
+              greatest(coalesce(c12.c12, 0) - d.disc, 0.0) / ctx.c1
+              + d.disc * ctx.n1p_fw / ctx.c1
+                * ((coalesce(cont.n1p_bw, 0) + 1.0)
+                   / (s.types + 1.0 * v.vocab))
+            ELSE (coalesce(cont.n1p_bw, 0) + 1.0)
+                 / (s.types + 1.0 * v.vocab)
+            END) AS lp
+  FROM bg
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  LEFT JOIN cont USING (w2)
+  CROSS JOIN s CROSS JOIN v CROSS JOIN d
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       sum(lp) / count(*) AS avg_logprob,
+       exp(-(sum(lp) / count(*))) AS perplexity
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+_SBO_B1 = 0.4
+_SBO_B2 = 0.4 ** 2
+
+
+def q_lm_sbo_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from balboa_spark.operators import lm
+
+    docs = _docs(spark, sf_dir)
+    return lm.stupid_backoff_perplexity(
+        docs, n=3, train=docs.where(F.col("doc_id") % 2 == 0)
+    ).orderBy("doc_id")
+
+
+# Twin of operators.lm.stupid_backoff_perplexity at n=3: seen trigram
+# wins at face value, else 0.4 * bigram relative frequency, else
+# 0.4^2 * add-1 unigram. Backoff powers are interpolated from the same
+# Python floats the Column tree uses.
+LM_SBO_PERPLEXITY_ORACLE = f"""
+WITH {_TOKS_SQL},
+ttoks AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+tg AS (
+  SELECT ctx, w, count(*) AS c3 FROM (
+    SELECT unnest(list_transform(range(1, len(tk) - 1),
+             i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS ctx,
+           unnest(list_transform(range(1, len(tk) - 1), i -> tk[i + 2])) AS w
+    FROM ttoks WHERE len(tk) >= 3) GROUP BY 1, 2
+),
+sg3 AS (SELECT ctx, sum(c3) AS s3 FROM tg GROUP BY 1),
+bgm AS (
+  SELECT ctx, w, count(*) AS c2 FROM (
+    SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS ctx,
+           unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w
+    FROM ttoks WHERE len(tk) >= 2) GROUP BY 1, 2
+),
+sg2 AS (SELECT ctx, sum(c2) AS s2 FROM bgm GROUP BY 1),
+uni AS (
+  SELECT t AS w, count(*) AS cu
+  FROM (SELECT unnest(tk) AS t FROM ttoks) GROUP BY 1
+),
+nv AS (
+  SELECT count(*) AS n_total, count(DISTINCT t) AS vocab
+  FROM (SELECT unnest(tk) AS t FROM ttoks)
+),
+sg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+           i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS ctx3,
+         unnest(list_transform(range(1, len(tk) - 1), i -> tk[i + 1])) AS ctx2,
+         unnest(list_transform(range(1, len(tk) - 1), i -> tk[i + 2])) AS w
+  FROM toks WHERE len(tk) >= 3
+),
+j AS (
+  SELECT sg.doc_id,
+         ln(CASE
+           WHEN tg.c3 IS NOT NULL THEN tg.c3 / (1.0 * sg3.s3)
+           WHEN bgm.c2 IS NOT NULL THEN {_SBO_B1!r} * (bgm.c2 / (1.0 * sg2.s2))
+           ELSE ((coalesce(uni.cu, 0) + 1.0)
+                 / (nv.n_total + 1.0 * nv.vocab)) * {_SBO_B2!r}
+         END) AS lp
+  FROM sg
+  LEFT JOIN tg ON tg.ctx = sg.ctx3 AND tg.w = sg.w
+  LEFT JOIN sg3 ON sg3.ctx = sg.ctx3
+  LEFT JOIN bgm ON bgm.ctx = sg.ctx2 AND bgm.w = sg.w
+  LEFT JOIN sg2 ON sg2.ctx = sg.ctx2
+  LEFT JOIN uni ON uni.w = sg.w
+  CROSS JOIN nv
+)
+SELECT doc_id, count(*) AS n_grams,
+       sum(lp) / count(*) AS avg_logscore,
+       exp(-(sum(lp) / count(*))) AS perplexity
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+BAND_LO, BAND_HI = 0.1, 0.8
+
+
+def q_lm_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet band keep over the self-trained bigram perplexities —
+    the declarative exact-percentile variant (perplexity_band_keep)
+    whose thresholds an oracle can replay (quantile_cont rounded to
+    6 decimals, the quality_bins convention)."""
+    from balboa_spark.operators import lm
+
+    scored = lm.bigram_lm_perplexity(_docs(spark, sf_dir))
+    return (
+        lm.perplexity_band_keep(scored, BAND_LO, BAND_HI)
+        .select("doc_id", "n_bigrams")
+        .orderBy("doc_id")
+    )
+
+
+LM_BAND_ORACLE = f"""
+WITH scored AS ({LM_PERPLEXITY_ORACLE.replace("ORDER BY doc_id", "")}),
+b AS (
+  SELECT round(quantile_cont(perplexity, {BAND_LO}), 6) AS lo,
+         round(quantile_cont(perplexity, {BAND_HI}), 6) AS hi
+  FROM scored
+)
+SELECT doc_id, n_bigrams FROM scored, b
+WHERE perplexity BETWEEN lo AND hi
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # leakage-safe split (group-aware: exact-dup groups never straddle)
 # ---------------------------------------------------------------------------
 
@@ -1868,6 +2045,9 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_lm_perplexity": q_lm_perplexity,
     "corpus_lm3_perplexity": q_lm3_perplexity,
     "lm_store_perplexity": q_lm_store_perplexity,
+    "corpus_lm_kn_perplexity": q_lm_kn_perplexity,
+    "corpus_lm_sbo_perplexity": q_lm_sbo_perplexity,
+    "corpus_lm_band": q_lm_band,
     "corpus_leakage_split": q_leakage_split,
     "corpus_span_dedup": q_span_dedup,
     "span_dedup_store": q_span_dedup_store,
@@ -1926,5 +2106,8 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_lm_perplexity": LM_PERPLEXITY_ORACLE,
     "corpus_lm3_perplexity": LM3_PERPLEXITY_ORACLE,
     "lm_store_perplexity": LM_PERPLEXITY_ORACLE,
+    "corpus_lm_kn_perplexity": LM_KN_PERPLEXITY_ORACLE,
+    "corpus_lm_sbo_perplexity": LM_SBO_PERPLEXITY_ORACLE,
+    "corpus_lm_band": LM_BAND_ORACLE,
     "corpus_leakage_split": LEAKAGE_SPLIT_ORACLE,
 }

@@ -1,0 +1,205 @@
+"""Interpolated Kneser-Ney and stupid-backoff LMs (r11 additions to
+balboa_spark.operators.lm), plus the declarative perplexity band keep.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from balboa_spark.operators import lm
+
+
+@pytest.fixture()
+def tiny(spark):
+    rows = [
+        (1, "a b a b"),
+        (2, "a c"),
+        (3, "x"),  # one token: no bigram, absent from output
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_kn_discount_estimate_and_override(spark, tiny):
+    # bigram types: (a,b):2, (b,a):1, (a,c):1 -> n1=2, n2=1, D=2/4
+    model = lm.train_kn_bigram_lm(tiny)
+    assert model.discount == pytest.approx(0.5)
+    assert model.types == 3 and model.vocab == 4
+    forced = lm.train_kn_bigram_lm(tiny, discount=0.75)
+    assert forced.discount == 0.75
+
+
+def test_kn_hand_computed(spark, tiny):
+    # D=0.5, T=3, V=4, alpha_c=1 -> Pcont denom = 7
+    # ctx a: c1=3, N1+(a .)=2; ctx b: c1=1, N1+(b .)=1
+    # Pcont(b)=Pcont(a)=Pcont(c)=2/7
+    out = {r["doc_id"]: r for r in lm.kn_bigram_lm_perplexity(tiny).collect()}
+    assert set(out) == {1, 2}
+    p_ba = (2 - 0.5) / 3 + 0.5 * 2 / 3 * (2 / 7)
+    p_ab = (1 - 0.5) / 1 + 0.5 * 1 / 1 * (2 / 7)
+    p_ca = (1 - 0.5) / 3 + 0.5 * 2 / 3 * (2 / 7)
+    avg1 = (2 * math.log(p_ba) + math.log(p_ab)) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(avg1, rel=1e-12)
+    assert out[2]["avg_logprob"] == pytest.approx(math.log(p_ca), rel=1e-12)
+    assert out[2]["perplexity"] == pytest.approx(1 / p_ca, rel=1e-12)
+
+
+def test_kn_normalizes_over_vocab_seen_and_unseen_context(spark, tiny):
+    """The add-alpha-smoothed-continuation construction keeps
+    sum_w2 P(w2|w1) == 1 exactly, for seen AND unseen contexts —
+    what makes this a proper probability model, not a score."""
+    model = lm.train_kn_bigram_lm(tiny)
+    vocab_words = ["a", "b", "c", "x"]
+    probe = spark.createDataFrame(
+        [(i, f"{w1} {w2}") for i, (w1, w2) in enumerate(
+            (w1, w2) for w1 in ["a", "x"] for w2 in vocab_words
+        )],
+        ["doc_id", "text"],
+    )
+    rows = lm.score_kn_bigram_lm(probe, model).collect()
+    p = [math.exp(r["avg_logprob"]) for r in rows]
+    # 8 single-bigram docs: first 4 are ctx 'a' (seen), last 4 ctx 'x'
+    # (unseen: x never appears as w1)
+    by_doc = {r["doc_id"]: math.exp(r["avg_logprob"]) for r in rows}
+    assert sum(by_doc[i] for i in range(4)) == pytest.approx(1.0, rel=1e-12)
+    assert sum(by_doc[i] for i in range(4, 8)) == pytest.approx(1.0, rel=1e-12)
+    assert all(x > 0 for x in p)
+
+
+def test_kn_oov_token_scores_finite(spark, tiny):
+    score = spark.createDataFrame([(9, "zz qq")], ["doc_id", "text"])
+    row = lm.kn_bigram_lm_perplexity(score, train=tiny).collect()[0]
+    # unseen ctx, OOV target: P = Pcont(OOV) = (0+1)/(3+4) = 1/7
+    assert row["avg_logprob"] == pytest.approx(math.log(1 / 7), rel=1e-12)
+
+
+def _planted_corpus():
+    """Clean docs: sentences drawn from a small template grammar whose
+    bigrams repeat heavily. Gibberish: the same vocabulary shuffled
+    per-doc, so (almost) every transition is novel. Deterministic."""
+    rng = random.Random(11)
+    subj = ["the cat", "the dog", "a bird", "the fox"]
+    verb = ["sat on", "ran to", "looked at", "slept near"]
+    obj = ["the mat", "the tree", "a rock", "the door"]
+
+    def sentence():
+        return f"{rng.choice(subj)} {rng.choice(verb)} {rng.choice(obj)}"
+
+    clean = [" ".join(sentence() for _ in range(6)) for _ in range(40)]
+    vocab = sorted({w for d in clean for w in d.split()})
+    gib = []
+    for _ in range(20):
+        ws = [rng.choice(vocab) for _ in range(36)]
+        gib.append(" ".join(ws))
+    return clean, gib
+
+
+def test_kn_beats_add_alpha_separation_on_planted_corpus(spark):
+    """The CCNet-parity claim: train on clean text, score clean vs
+    gibberish — KN's separation (gibberish ppl / clean ppl) must beat
+    add-alpha's, because add-alpha taxes every seen transition by
+    alpha*V in the denominator while KN only discounts D."""
+    clean, gib = _planted_corpus()
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(clean[:30])], ["doc_id", "text"]
+    )
+    test = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(clean[30:])]
+        + [(200 + i, t) for i, t in enumerate(gib)],
+        ["doc_id", "text"],
+    )
+
+    def sep(scored):
+        rows = {r["doc_id"]: r["perplexity"] for r in scored.collect()}
+        c = sorted(v for k, v in rows.items() if k < 200)
+        g = sorted(v for k, v in rows.items() if k >= 200)
+        return (g[len(g) // 2]) / (c[len(c) // 2])
+
+    kn_sep = sep(lm.kn_bigram_lm_perplexity(test, train=train))
+    aa_sep = sep(lm.bigram_lm_perplexity(test, train=train))
+    assert kn_sep > aa_sep > 1.0
+
+
+def test_stupid_backoff_hand_computed_all_arms(spark):
+    # train: trigrams (a b c),(b c a),(c a b),(a b d); bigrams
+    # (a,b)x2,(b,c),(c,a),(b,d); unigrams N=6, V=4
+    train = spark.createDataFrame([(1, "a b c a b d")], ["doc_id", "text"])
+    score = spark.createDataFrame(
+        [
+            (10, "a b c"),  # seen trigram: c3=1 / s3("a b")=2
+            (11, "d a b"),  # ctx "d a" unseen -> 0.4 * c2(a,b)/s2(a) = 0.4
+            (12, "a b x"),  # tri+bi unseen, x OOV -> 0.16 * 1/(6+4)
+            (13, "b c b"),  # tri+bi unseen, uni c(b)=2 -> 0.16 * 3/10
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm.stupid_backoff_perplexity(score, n=3, train=train).collect()
+    }
+    assert out[10]["avg_logscore"] == pytest.approx(math.log(0.5), rel=1e-12)
+    assert out[11]["avg_logscore"] == pytest.approx(math.log(0.4), rel=1e-12)
+    assert out[12]["avg_logscore"] == pytest.approx(
+        math.log(0.16 * 1 / 10), rel=1e-12
+    )
+    assert out[13]["avg_logscore"] == pytest.approx(
+        math.log(0.16 * 3 / 10), rel=1e-12
+    )
+    assert all(r["n_grams"] == 1 for r in out.values())
+
+
+def test_stupid_backoff_ranks_gibberish_worse(spark):
+    clean, gib = _planted_corpus()
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(clean[:30])], ["doc_id", "text"]
+    )
+    test = spark.createDataFrame(
+        [(0, clean[30]), (1, gib[0])], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm.stupid_backoff_perplexity(test, n=3, train=train).collect()
+    }
+    assert out[1] > out[0] * 2
+
+
+def test_stupid_backoff_validates_order(spark, tiny):
+    with pytest.raises(ValueError, match="n must be >= 2"):
+        lm.stupid_backoff_perplexity(tiny, n=1)
+
+
+def test_stupid_backoff_short_docs_absent(spark):
+    train = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    score = spark.createDataFrame(
+        [(2, "a b"), (3, "a b c")], ["doc_id", "text"]
+    )
+    out = lm.stupid_backoff_perplexity(score, n=3, train=train).collect()
+    assert {r["doc_id"] for r in out} == {3}
+
+
+def test_band_keep_matches_exact_percentile(spark):
+    vals = [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])]
+    df = spark.createDataFrame(vals, ["doc_id", "perplexity"])
+    kept = lm.perplexity_band_keep(df, 0.2, 0.8)
+    got = sorted(r["perplexity"] for r in kept.collect())
+    # linear-interpolated percentiles of 1..10 at 0.2/0.8 = 2.8 / 8.2
+    assert got == [3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    assert kept.columns == ["doc_id", "perplexity"]
+
+
+def test_band_filter_checkpoint_still_filters(spark, tiny):
+    scored = lm.bigram_lm_perplexity(tiny)
+    kept = lm.perplexity_band_filter(scored, 0.0, 1.0)
+    assert kept.count() == scored.count()
+    empty = lm.perplexity_band_filter(scored.limit(0), 0.1, 0.8)
+    assert empty.count() == 0
+
+
+def test_kn_score_plan_has_no_cartesian_and_no_corpus_broadcast(spark, tiny):
+    model = lm.train_kn_bigram_lm(tiny)
+    plan = lm.score_kn_bigram_lm(tiny, model)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
