@@ -456,6 +456,15 @@ def psl_staged_domain(
     for t in (tmp_host, tmp_labels, tmp_n, tmp_ps):
         if t in df.columns:
             raise ValueError(f"psl_staged_domain temp column {t!r} already in input")
+    if out_col in df.columns:
+        # select(*df.columns, dom.alias(out_col)) would DUPLICATE the
+        # column (unlike withColumn's silent replace) and every
+        # downstream reference would fail as ambiguous — refuse up
+        # front, consistent with the temp-column checks
+        raise ValueError(
+            f"psl_staged_domain output column {out_col!r} already in "
+            "input — drop or rename it, or pass a different out_col"
+        )
     host = host_of(F.col(url_col))
     stage1 = df.select("*", host.alias(tmp_host))
     stage2 = stage1.select(

@@ -76,11 +76,133 @@ def _epoch_scope(epoch_id: int, stream_id: str) -> str:
     the numeric epoch. Sanitization keeps the value filesystem- and
     partition-encoding-friendly; distinct streams that sanitize equal
     (a 40-char prefix collision of punctuation-heavy ids) fall back
-    to the single-writer contract."""
+    to the single-writer contract. ``auto`` (one-shot callers' fresh
+    epochs) and ``base`` (compaction generations) are RESERVED: a
+    stream named either would write epoch=auto-N / base-N and silently
+    overwrite committed history under the other writer's numbering."""
     import re as _re
 
     tag = _re.sub(r"[^A-Za-z0-9_.]", "_", stream_id)[:40] or "default"
+    if tag in ("auto", "base"):
+        raise ValueError(
+            f"stream_id {stream_id!r} sanitizes to reserved scope "
+            f"{tag!r} (auto = one-shot epochs, base = compaction "
+            "generations) — pick another stream id"
+        )
     return f"{tag}-{int(epoch_id)}"
+
+
+def _state_scopes(state_path: str) -> list[str]:
+    """Epoch scopes present on disk (partition-dir names). Restricted
+    to the charset the writers produce — a foreign directory name
+    must neither be folded nor reach the SQL IN-list below."""
+    import re as _re
+
+    if not os.path.exists(state_path):
+        return []
+    return [
+        d[len("epoch="):]
+        for d in os.listdir(state_path)
+        if d.startswith("epoch=")
+        and _re.fullmatch(r"[A-Za-z0-9_.-]+", d[len("epoch="):])
+    ]
+
+
+def _fold_candidates(scopes: list[str]) -> list[str]:
+    """Scopes a compaction may fold: every ``auto``/``base`` scope,
+    plus each stream's epochs STRICTLY below its latest. The latest
+    epoch per stream must stay an individual directory because it is
+    the only epoch foreachBatch can still replay (epoch N+1 starts
+    only after N's sink committed) and replay safety depends on
+    excluding exactly that scope from history — folding it into a
+    base would make the replay collide with its own hashes."""
+    by_tag: dict[str, list[int]] = {}
+    for s in scopes:
+        tag, _, n = s.rpartition("-")
+        if not tag or not n.isdigit():
+            continue  # defensively skip foreign dirs
+        by_tag.setdefault(tag, []).append(int(n))
+    fold: list[str] = []
+    for tag, ns in by_tag.items():
+        keep_latest = tag not in ("auto", "base")
+        ns = sorted(ns)[:-1] if keep_latest else sorted(ns)
+        fold.extend(f"{tag}-{n}" for n in ns)
+    return fold
+
+
+def _scope_in_list_sql(scopes: list[str]) -> str:
+    """One JVM-parsed IN-list over charset-safe scopes (the psl.py
+    Py4J-marshalling lesson; scopes are [A-Za-z0-9_.-] by
+    construction)."""
+    return "epoch IN (" + ", ".join(f"'{s}'" for s in scopes) + ")"
+
+
+def _compact_epochs(
+    store, state_path: str, data_cols: list[str], part_col: str, vacuum: bool
+) -> int:
+    """Shared epoch-folding compaction for both dedup stores: fold the
+    committed epoch directories (``_fold_candidates`` — never a
+    stream's latest epoch, which must stay individually excludable for
+    torn-batch replay) into one distinct-row ``base-<g>`` generation.
+
+    Correctness during and after the fold is free: both stores consume
+    history through semi/anti joins, for which duplicate rows (base +
+    not-yet-reclaimed folded dirs) change no decision. Folded dirs get
+    a ONE-GENERATION grace via the manifest's ``retired`` list
+    (in-flight reader plans still resolve their files); the NEXT
+    compaction reclaims them — mirroring ObservationStore's
+    retired_deltas — unless ``vacuum=True`` deletes them immediately.
+    Returns the number of directories folded."""
+    import shutil
+
+    scopes = _state_scopes(state_path)
+    man = store._read_manifest() or {}
+    expected = man.get("commit_seq", 0)
+    on_disk = set(scopes)
+    retired_prev = [s for s in (man.get("retired") or []) if s in on_disk]
+    fold = [s for s in _fold_candidates(scopes) if s not in set(retired_prev)]
+    if len(fold) < 2:
+        # nothing worth folding — still reclaim expired retirees
+        if retired_prev:
+            store._write_manifest(extra={"retired": []}, expected_seq=expected)
+            for s in retired_prev:
+                shutil.rmtree(
+                    os.path.join(state_path, f"epoch={s}"), ignore_errors=True
+                )
+        return 0
+    gen = 1 + max(
+        (
+            int(s.rpartition("-")[2])
+            for s in scopes
+            if s.startswith("base-")
+        ),
+        default=0,
+    )
+    folded = (
+        store.spark.read.parquet(state_path)
+        .where(F.expr(_scope_in_list_sql(fold)))
+        .select(*data_cols)
+        .distinct()
+    )
+    (
+        folded.repartition(part_col)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(os.path.join(state_path, f"epoch=base-{gen}"))
+    )
+    store._write_manifest(
+        extra={"retired": [] if vacuum else fold}, expected_seq=expected
+    )
+    for s in retired_prev + (fold if vacuum else []):
+        shutil.rmtree(os.path.join(state_path, f"epoch={s}"), ignore_errors=True)
+    return len(fold)
+
+
+def _live_scope_count(store, state_path: str) -> int:
+    """Epoch dirs a reader folds on scan (on-disk scopes minus the
+    retired ones) — the quantity the auto-compaction trigger bounds."""
+    retired = set((store._read_manifest() or {}).get("retired") or [])
+    return len([s for s in _state_scopes(state_path) if s not in retired])
 
 
 def _check_format(path: str) -> None:
@@ -110,10 +232,8 @@ class MinHashDedupStore:
         self.path = path
         self.bands_path = os.path.join(path, "bands")
         _check_format(path)
-        man_path = os.path.join(path, MANIFEST)
-        if os.path.exists(man_path):
-            with open(man_path) as f:
-                man = json.load(f)
+        man = self._read_manifest()
+        if man is not None:
             if (man["num_hashes"], man["num_bands"], man["k"]) != (
                 num_hashes,
                 num_bands,
@@ -128,18 +248,39 @@ class MinHashDedupStore:
         self.num_bands = num_bands
         self.k = k
 
-    def _write_manifest(self) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        with open(os.path.join(self.path, MANIFEST), "w") as f:
-            json.dump(
-                {
-                    "format": STORE_FORMAT,
-                    "num_hashes": self.num_hashes,
-                    "num_bands": self.num_bands,
-                    "k": self.k,
-                },
-                f,
-            )
+    def _read_manifest(self) -> dict | None:
+        man_path = os.path.join(self.path, MANIFEST)
+        if not os.path.exists(man_path):
+            return None
+        with open(man_path) as f:
+            return json.load(f)
+
+    def _write_manifest(
+        self, extra: dict | None = None, expected_seq: int | None = None
+    ) -> None:
+        """Atomic manifest flip (tmp + os.replace) carrying the config
+        plus any state fields (``retired``), with the commit-seq CAS
+        when ``expected_seq`` is armed — a concurrent writer's lost
+        update raises instead of silently dropping state
+        (genstore.flip_manifest)."""
+        from balboa_spark.plans.genstore import flip_manifest
+
+        prev = self._read_manifest() or {}
+        if expected_seq is None:
+            # self-derived CAS: every write bumps the seq, so a wider
+            # read-modify-write window (compact) passing its own
+            # expected_seq sees appends land in between
+            expected_seq = prev.get("commit_seq", 0)
+        man = {
+            **prev,
+            "format": STORE_FORMAT,
+            "num_hashes": self.num_hashes,
+            "num_bands": self.num_bands,
+            "k": self.k,
+        }
+        if extra:
+            man.update(extra)
+        flip_manifest(self.path, man, MANIFEST, expected_seq=expected_seq)
 
     def _next_epoch(self, state_path: str) -> int:
         """Fresh auto-epoch for one-shot batch callers: one past the
@@ -233,18 +374,37 @@ class MinHashDedupStore:
         id_col: str = "doc_id",
         epoch_id: int | None = None,
         stream_id: str = "default",
+        max_live_epochs: int | None = None,
     ) -> DataFrame:
         """filter_new + add, returning the kept rows (materialized so
         the dedup decision is computed once, not re-derived by both the
         band append and the caller's sink). Pass the foreachBatch
         ``epoch_id`` (plus the stream's id when several queries share
         the store) for replay-stable decisions across the torn-batch
-        window (module docstring)."""
+        window (module docstring). ``max_live_epochs`` arms
+        size-triggered auto-compaction: a long stream otherwise
+        accumulates one partition dir per micro-batch and every
+        filter_new pays the partition-discovery + small-file cost."""
         kept = self.filter_new(
             batch, text_col, id_col, epoch_id=epoch_id, stream_id=stream_id
         ).localCheckpoint(eager=True)
         self.add(kept, text_col, id_col, epoch_id=epoch_id, stream_id=stream_id)
+        if (
+            max_live_epochs is not None
+            and _live_scope_count(self, self.bands_path) > max_live_epochs
+        ):
+            self.compact()
         return kept
+
+    def compact(self, vacuum: bool = False) -> int:
+        """Fold committed epoch dirs into one ``base-<g>`` generation
+        (distinct band rows — duplicates change no collision decision,
+        so the fold is safe at any point). See ``_compact_epochs`` for
+        the grace/retirement contract. Returns #dirs folded."""
+        return _compact_epochs(
+            self, self.bands_path, ["band_idx", "band_hash", "id"],
+            "band_idx", vacuum,
+        )
 
 
 class SpanDedupStore:
@@ -283,25 +443,43 @@ class SpanDedupStore:
         self.path = path
         self.hashes_path = os.path.join(path, "hashes")
         _check_format(path)
-        man_path = os.path.join(path, MANIFEST)
-        if os.path.exists(man_path):
-            with open(man_path) as f:
-                man = json.load(f)
-            if man["span_tokens"] != span_tokens:
-                raise ValueError(
-                    f"store at {path} was built with span_tokens="
-                    f"{man['span_tokens']}, got {span_tokens}"
-                )
+        man = self._read_manifest()
+        if man is not None and man["span_tokens"] != span_tokens:
+            raise ValueError(
+                f"store at {path} was built with span_tokens="
+                f"{man['span_tokens']}, got {span_tokens}"
+            )
         self.span_tokens = span_tokens
 
-    def _write_manifest(self) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        with open(os.path.join(self.path, MANIFEST), "w") as f:
-            json.dump(
-                {"format": STORE_FORMAT, "span_tokens": self.span_tokens}, f
-            )
+    _read_manifest = MinHashDedupStore._read_manifest
+
+    def _write_manifest(
+        self, extra: dict | None = None, expected_seq: int | None = None
+    ) -> None:
+        from balboa_spark.plans.genstore import flip_manifest
+
+        prev = self._read_manifest() or {}
+        if expected_seq is None:
+            expected_seq = prev.get("commit_seq", 0)
+        man = {
+            **prev,
+            "format": STORE_FORMAT,
+            "span_tokens": self.span_tokens,
+        }
+        if extra:
+            man.update(extra)
+        flip_manifest(self.path, man, MANIFEST, expected_seq=expected_seq)
 
     _next_epoch = MinHashDedupStore._next_epoch
+
+    def compact(self, vacuum: bool = False) -> int:
+        """Fold committed epoch dirs into one ``base-<g>`` generation
+        (distinct window hashes — history is consumed via semi/anti
+        joins, so duplicates during the grace window change no
+        decision). Returns #dirs folded."""
+        return _compact_epochs(
+            self, self.hashes_path, ["bucket", "_h"], "bucket", vacuum
+        )
 
     def hashes(self, exclude_scope: str | None = None) -> DataFrame | None:
         if not os.path.exists(self.hashes_path):
@@ -318,6 +496,7 @@ class SpanDedupStore:
         id_col: str = "doc_id",
         epoch_id: int | None = None,
         stream_id: str = "default",
+        max_live_epochs: int | None = None,
     ) -> DataFrame:
         """Span-dedup the batch against history + itself, write the
         new window hashes under the stream-scoped epoch directory,
@@ -328,7 +507,9 @@ class SpanDedupStore:
         window (module docstring): history excludes the current
         stream-epoch, and the epoch write is an overwrite, so a
         replay after a torn append makes identical decisions and
-        rewrites identical state."""
+        rewrites identical state. ``max_live_epochs`` arms the
+        size-triggered auto-compaction (same trigger as
+        MinHashDedupStore.process_batch)."""
         from balboa_spark.operators.corpus import (
             _span_drop_covered,
             _span_non_first,
@@ -385,4 +566,9 @@ class SpanDedupStore:
             .partitionBy("bucket")
             .parquet(os.path.join(self.hashes_path, f"epoch={ep_scope}"))
         )
+        if (
+            max_live_epochs is not None
+            and _live_scope_count(self, self.hashes_path) > max_live_epochs
+        ):
+            self.compact()
         return out

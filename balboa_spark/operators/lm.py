@@ -228,11 +228,14 @@ class BigramCountStore:
     below the mark whose dir is no longer live was folded — skipped,
     not re-appended.
 
-    Single-writer assumption: manifest updates are read-modify-write,
-    serialized by foreachBatch within one query; two QUERIES writing
-    the same store concurrently could lose an update — give each its
-    own store (or serialize externally), the same contract as the
-    other persisted stores here."""
+    Single-writer contract, now DETECTED (r11): manifest updates are
+    read-modify-write, serialized by foreachBatch within one query;
+    two QUERIES writing the same store concurrently would lose an
+    update. Every commit carries the commit-seq CAS
+    (``genstore.flip_manifest``): the losing writer's commit raises
+    ``ConcurrentWriterError`` instead of silently dropping the
+    winner's epoch — give each stream its own store (or serialize
+    externally), same contract as the other persisted stores."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -251,12 +254,10 @@ class BigramCountStore:
     def _live(self) -> list[str]:
         return self._manifest()["live"]
 
-    def _write_manifest(self, man: dict) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._man_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, self._man_path)
+    def _write_manifest(self, man: dict, expected_seq: int | None = None) -> None:
+        from balboa_spark.plans.genstore import flip_manifest
+
+        flip_manifest(self.path, man, "manifest.json", expected_seq=expected_seq)
 
     # -- writes ------------------------------------------------------
     def process_batch(
@@ -266,16 +267,24 @@ class BigramCountStore:
         stream_id: str = "default",
         text_col: str = "text",
         id_col: str = "doc_id",
+        max_live_epochs: int | None = None,
     ) -> None:
         """Fold ONE batch's gram/unigram counts and land them under
         the stream-scoped epoch. O(batch): the store is never read.
         Empty batches record nothing (a schema-less parquet dir as the
-        store's FIRST epoch would break schema inference on read)."""
+        store's FIRST epoch would break schema inference on read).
+
+        ``max_live_epochs`` arms size-triggered auto-compaction (the
+        RocksDB L0 file-count trigger, not just a caller-scheduled
+        cadence): when the committed live list exceeds it, ``compact()``
+        runs inline — same atomic flip — so a misconfigured cadence can
+        no longer let merge-on-read cost grow unboundedly."""
         if not re.fullmatch(r"[A-Za-z0-9_.]+", stream_id) or stream_id == "base":
             # "base" is reserved for compaction generations; path-ish
             # characters would silently split the epoch directory name
             raise ValueError(f"invalid stream_id {stream_id!r}")
         man = self._manifest()
+        expected_seq = man.get("commit_seq", 0)
         scope = f"{stream_id}-{epoch_id}"
         if (
             epoch_id <= man["applied"].get(stream_id, -1)
@@ -308,13 +317,17 @@ class BigramCountStore:
             .write.mode("overwrite")
             .parquet(os.path.join(self.path, "uni", f"epoch={scope}"))
         )
-        man = self._manifest()
         if scope not in man["live"]:
             man["live"] = man["live"] + [scope]
         man["applied"][stream_id] = max(
             epoch_id, man["applied"].get(stream_id, -1)
         )
-        self._write_manifest(man)
+        # CAS against the INITIAL read (the decision point): another
+        # writer landing in this batch's write window raises loudly
+        # instead of having its live-list entry silently dropped
+        self._write_manifest(man, expected_seq=expected_seq)
+        if max_live_epochs is not None and len(man["live"]) > max_live_epochs:
+            self.compact()
 
     # -- reads -------------------------------------------------------
     def _read_live(self, sub: str) -> DataFrame | None:
@@ -363,15 +376,20 @@ class BigramCountStore:
         (atomic os.replace — the commit point). Merge-on-read cost
         resets from O(#epochs) dirs to one.
 
-        Folded dirs are KEPT by default: a ``model()``/``counts()``
+        Folded dirs get a ONE-GENERATION grace (r11, mirroring the
+        observation store's retired_deltas): a ``model()``/``counts()``
         plan built before the flip still lazily reads the old live
-        list and would hit FileNotFound if the dirs vanished mid-query
-        (the same reader contract as the observation store's kept
-        generations). Pass ``vacuum=True`` only when no plans from
-        before the flip can still run."""
+        list and would hit FileNotFound if the dirs vanished mid-query,
+        so this compaction KEEPS its folded dirs, records them in the
+        manifest's ``retired`` map, and reclaims the PREVIOUS
+        compaction's retired dirs — default-mode compaction no longer
+        leaks dead directories indefinitely. Pass ``vacuum=True`` to
+        delete this compaction's folded dirs immediately (only when no
+        plans from before the flip can still run)."""
         import shutil
 
         man = self._manifest()
+        expected_seq = man.get("commit_seq", 0)
         live = man["live"]
         if len(live) <= 1:
             return
@@ -391,17 +409,32 @@ class BigramCountStore:
             .write.mode("overwrite")
             .parquet(os.path.join(self.path, "uni", f"epoch={new}"))
         )
+        # earlier compactions' retired scopes: their grace generation
+        # has passed — reclaim them after this flip. (Every recorded
+        # retired gen is < this gen by construction: its base scope was
+        # folded into our live list.) Entries whose dirs already
+        # vanished are pruned rather than re-deleted.
+        reclaim = [
+            s
+            for s in (man.get("retired") or {})
+            if os.path.isdir(os.path.join(self.path, "grams", f"epoch={s}"))
+            or os.path.isdir(os.path.join(self.path, "uni", f"epoch={s}"))
+        ]
+        retired = {} if vacuum else {s: gen for s in live}
         # the commit point — the applied marks survive the flip (they
         # are the only record that a folded epoch ever happened, which
         # is exactly what gates its replay)
-        self._write_manifest({**man, "live": [new]})
-        if vacuum:
-            for sub in ("grams", "uni"):
-                for s in live:
-                    shutil.rmtree(
-                        os.path.join(self.path, sub, f"epoch={s}"),
-                        ignore_errors=True,
-                    )
+        self._write_manifest(
+            {**man, "live": [new], "retired": retired},
+            expected_seq=expected_seq,
+        )
+        doomed = reclaim + (list(live) if vacuum else [])
+        for sub in ("grams", "uni"):
+            for s in doomed:
+                shutil.rmtree(
+                    os.path.join(self.path, sub, f"epoch={s}"),
+                    ignore_errors=True,
+                )
 
 
 def bigram_lm_perplexity(

@@ -206,9 +206,12 @@ class PostingsIndex:
         import os
 
         try:
-            gen = self._manifest()["generation"] + 1
+            man0 = self._manifest()
+            gen = man0["generation"] + 1
+            expected_seq = man0.get("commit_seq", 0)
         except FileNotFoundError:
             gen = 0
+            expected_seq = 0
         gen_dir = os.path.join(self.path, f"gen-{gen}")
 
         t = tokens(F.col(text_col))
@@ -251,10 +254,11 @@ class PostingsIndex:
                 "b": b,
                 "id_col": id_col,
                 "id_type": df.schema[id_col].dataType.simpleString(),
-            }
+            },
+            expected_seq=expected_seq,
         )
 
-    def _flip_manifest(self, man: dict) -> None:
+    def _flip_manifest(self, man: dict, expected_seq: int | None = None) -> None:
         import json
         import os
 
@@ -270,7 +274,7 @@ class PostingsIndex:
         stats = {k: man[k] for k in ("n", "sum_dl", "avgdl")}
         with open(os.path.join(gen_dir, "stats.json"), "w") as fh:
             json.dump(stats, fh)
-        flip_manifest(self.path, man, self.MANIFEST)
+        flip_manifest(self.path, man, self.MANIFEST, expected_seq=expected_seq)
         vacuum_generations(self.path, man["generation"], keep_last=2)
 
     def generations(self) -> list[int]:
@@ -459,7 +463,7 @@ class PostingsIndex:
             last_epochs[stream_id] = int(epoch_id)
             flip["last_epochs"] = last_epochs
             flip.pop("last_epoch", None)
-        self._flip_manifest(flip)
+        self._flip_manifest(flip, expected_seq=man.get("commit_seq", 0))
 
     def topk(
         self,

@@ -101,8 +101,8 @@ class VectorStore:
     def _gen_dir(self, gen: int) -> str:
         return os.path.join(self.path, f"gen-{gen}")
 
-    def _flip_manifest(self, man: dict) -> None:
-        flip_manifest(self.path, man, MANIFEST)
+    def _flip_manifest(self, man: dict, expected_seq: int | None = None) -> None:
+        flip_manifest(self.path, man, MANIFEST, expected_seq=expected_seq)
 
     def _commit(
         self,
@@ -111,11 +111,14 @@ class VectorStore:
         vec_col: str,
         id_col: str,
         frozen: dict | None = None,
+        expected_seq: int = 0,
     ) -> None:
         """``frozen`` (a prior manifest) wins over the constructor's
         parameters: an upsert through a store handle constructed with
         different defaults must carry the WRITE-TIME contract forward,
-        not silently rewrite it."""
+        not silently rewrite it. ``expected_seq`` is the commit_seq
+        from this mutation's initial manifest read (lost-update CAS,
+        genstore.flip_manifest)."""
         src = frozen or {}
         self._flip_manifest(
             {
@@ -130,7 +133,8 @@ class VectorStore:
                     "num_id_buckets", self.num_id_buckets
                 ),
                 "written_at": int(time.time()),
-            }
+            },
+            expected_seq=expected_seq,
         )
         self._vacuum(keep_last=2)
 
@@ -193,7 +197,10 @@ class VectorStore:
             F.col(id_col), F.explode("_bs").alias("code")
         )
         self._write_partitions(self._gen_dir(gen), main, index)
-        self._commit(gen, dim, vec_col, id_col)
+        self._commit(
+            gen, dim, vec_col, id_col,
+            expected_seq=(man or {}).get("commit_seq", 0),
+        )
 
     def upsert(self, batch: DataFrame) -> None:
         """Fold a batch of new-or-replaced vectors into the index.
@@ -291,7 +298,10 @@ class VectorStore:
                             os.path.join(old_sub, entry),
                             os.path.join(new_sub, entry),
                         )
-        self._commit(gen, dim, vec_col, id_col, frozen=man)
+        self._commit(
+            gen, dim, vec_col, id_col, frozen=man,
+            expected_seq=man.get("commit_seq", 0),
+        )
 
     def generations(self) -> list[int]:
         """Committed, retained generations, oldest first — immutable

@@ -144,9 +144,13 @@ class ObservationStore:
         self.num_buckets = man["num_buckets"]
         return man
 
-    def _flip_manifest(self, man: dict) -> None:
-        """The one commit point: atomic rename of the manifest."""
-        _flip_manifest_file(self.path, man, MANIFEST)
+    def _flip_manifest(self, man: dict, expected_seq: int | None = None) -> None:
+        """The one commit point: atomic rename of the manifest.
+        ``expected_seq`` (the commit_seq captured at this mutation's
+        initial manifest read) arms the lost-update CAS — a concurrent
+        writer's commit in the window raises ConcurrentWriterError
+        instead of being silently erased (genstore.flip_manifest)."""
+        _flip_manifest_file(self.path, man, MANIFEST, expected_seq=expected_seq)
 
     def _gen_dir(self, gen: int) -> str:
         return os.path.join(self.path, f"gen-{gen}")
@@ -199,7 +203,8 @@ class ObservationStore:
                 "deltas": [],
                 "retired_deltas": retired,
                 "delta_seq": prev.get("delta_seq", 0),
-            }
+            },
+            expected_seq=prev.get("commit_seq", 0),
         )
         self.vacuum(keep_last=2)
 
@@ -232,6 +237,7 @@ class ObservationStore:
         new_obs: DataFrame,
         epoch_id: int | None = None,
         stream_id: str = "default",
+        max_live_deltas: int | None = None,
     ) -> None:
         """LSM write path: fold the batch LOCALLY and append it as a
         delta generation — O(batch) work with NO read of the base.
@@ -258,7 +264,13 @@ class ObservationStore:
         abandoned torn dir that is never retried is deliberately
         SPARED by vacuum() — at seq == delta_seq it is
         indistinguishable from an in-flight append — and is reclaimed
-        when a later append reuses its seq."""
+        when a later append reuses its seq.
+
+        ``max_live_deltas`` arms size-triggered auto-compaction (the
+        RocksDB L0 file-count trigger): when the committed delta list
+        exceeds it, :meth:`compact` runs inline after the flip, so
+        merge-on-read cost stays bounded even when no caller ever
+        schedules compaction by cadence."""
         man = self._manifest()
         if man is not None:
             last = (man.get("last_epochs") or {}).get(stream_id)
@@ -281,14 +293,18 @@ class ObservationStore:
         last_epochs = dict(man.get("last_epochs") or {})
         if epoch_id is not None:
             last_epochs[stream_id] = epoch_id
+        deltas = list(man.get("deltas") or []) + [dname]
         self._flip_manifest(
             {
                 **man,
                 "delta_seq": seq + 1,
-                "deltas": list(man.get("deltas") or []) + [dname],
+                "deltas": deltas,
                 "last_epochs": last_epochs,
-            }
+            },
+            expected_seq=man.get("commit_seq", 0),
         )
+        if max_live_deltas is not None and len(deltas) > max_live_deltas:
+            self.compact()
 
     def compact(self) -> None:
         """Fold all outstanding deltas into a fresh base generation
@@ -316,7 +332,8 @@ class ObservationStore:
                 "deltas": [],
                 "retired_deltas": self._retire_deltas(man, gen),
                 "written_at": int(time.time()),
-            }
+            },
+            expected_seq=man.get("commit_seq", 0),
         )
         self.vacuum(keep_last=2)
 

@@ -23,6 +23,28 @@ from pyspark.sql import functions as F
 from balboa_spark.operators.expectations import validate_expectations
 
 
+def _check_series_format(out_path: str) -> None:
+    """Reject a pre-r10 monitor series (parquet data files directly
+    under ``out_path``, epoch_id as a DATA column). The r10 layout
+    moved epoch_id into an ``epoch_id=N`` partition directory for
+    replay idempotency; pointing the new sinks or readers at a legacy
+    directory would mix a data column with a partition column and
+    fail (or double-define epoch_id) — the same version-guard
+    rationale as dedup_store._check_format, raised up front with a
+    rebuild instruction instead of a confusing scan error."""
+    if not os.path.isdir(out_path):
+        return
+    for f in os.listdir(out_path):
+        if f.startswith("part-") or f.endswith(".parquet"):
+            raise ValueError(
+                f"monitor series at {out_path} uses the pre-r10 layout "
+                "(data files directly under the series root with an "
+                "epoch_id data column); this build writes/reads "
+                "epoch_id=N partition directories — point the sink at "
+                "a fresh directory (there is no in-place migration)"
+            )
+
+
 def quality_monitor_sink(
     checks: dict[str, str],
     out_path: str,
@@ -39,6 +61,7 @@ def quality_monitor_sink(
         stream.writeStream.foreachBatch(
             quality_monitor_sink(CHECKS, path)).start()
     """
+    _check_series_format(out_path)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         report = validate_expectations(batch_df, checks, unique=unique)
@@ -63,6 +86,7 @@ def quality_monitor_sink(
 
 def read_quality_series(spark, out_path: str) -> DataFrame:
     """The recorded time series, empty-safe before the first batch."""
+    _check_series_format(out_path)
     if not os.path.isdir(out_path):
         return spark.createDataFrame(
             [],
@@ -98,6 +122,7 @@ def drift_monitor_sink(
     (the conventional 'shifted' line)."""
     from balboa_spark.operators.expectations import psi_drift
 
+    _check_series_format(out_path)
     # pin the reference ONCE: a bins-sized local relation
     ref_rows = (
         psi_drift(reference, reference, value_col, bin_edges)
@@ -179,6 +204,8 @@ def perplexity_monitor_sink(
     state per epoch is one stats row.
     """
     from balboa_spark.operators.lm import load_bigram_lm, score_bigram_lm
+
+    _check_series_format(out_path)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

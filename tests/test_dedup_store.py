@@ -321,7 +321,7 @@ def test_postings_upsert_torn_gen_replay(spark, tmp_path):
     idx.build(base)
     boom = RuntimeError("simulated crash before manifest flip")
     real_flip = idx._flip_manifest
-    idx._flip_manifest = lambda man: (_ for _ in ()).throw(boom)
+    idx._flip_manifest = lambda man, **kw: (_ for _ in ()).throw(boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
         idx.upsert(batch, epoch_id=7)
     # torn state: gen-1 dir exists, manifest still points at gen-0

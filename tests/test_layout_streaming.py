@@ -750,7 +750,7 @@ def test_torn_append_is_invisible_and_selfheals(spark, store):
     ts2 = dt.datetime(2021, 6, 1)
     b = _batch(spark, 5, "1.2.3.4", "foo", ts2)
     real_flip = store._flip_manifest
-    store._flip_manifest = lambda man: (_ for _ in ()).throw(OSError("torn"))
+    store._flip_manifest = lambda man, **kw: (_ for _ in ()).throw(OSError("torn"))
     with pytest.raises(OSError):
         store.append_delta(b, epoch_id=3, stream_id="s1")
     store._flip_manifest = real_flip
