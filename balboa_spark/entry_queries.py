@@ -254,16 +254,19 @@ QUERIES.update(QUERIES_TEMPORAL)
 # in-cap because round 10 changes their kernel (full published PSL
 # list becomes the default rule set) — they need fresh grading.
 #
-# Round-11 rotation (this round; executes the r10 plan + 3 new
+# Round-11 rotation (this round; executes the r10 plan + 5 new
 # kernels): IN = the 10 stalest tail entries (last real-driver green
 # in r7: events_rolling_1h, events_funnel, events_zorder,
 # corpus_tfidf_keywords, corpus_boilerplate, corpus_quality_bins,
 # corpus_mixture_upsample, corpus_expectations, corpus_pack_sequences,
-# dedup_semantic) + the 3 r11-new entries (corpus_lm_kn_perplexity,
+# dedup_semantic) + the 5 r11-new entries (corpus_lm_kn_perplexity,
+# corpus_lm_kn3_perplexity, lm_store_kn_perplexity,
 # corpus_lm_sbo_perplexity, corpus_lm_band). OUT = the 10 entries
-# promoted in r10 (green r6 AND r10, kernels unchanged since) + 3 of
+# promoted in r10 (green r6 AND r10, kernels unchanged since) + 5 of
 # the r7-first-graded cohort now green in four consecutive rounds
-# r7-r10 (corpus_dedup_units, corpus_dsir_topk, events_props_profile).
+# r7-r10 (corpus_dedup_units, corpus_dsir_topk, events_props_profile,
+# corpus_pack_boundaries, ann_quality_eval — each with its family
+# still in-cap).
 # Kernel-changed-this-round entries all stay in-cap: lm_store
 # (CAS + retired-scope tracking), store_delta_fold (CAS),
 # span_dedup_store (compact + auto-scope guard), bm25_store_topk /
@@ -316,17 +319,17 @@ CAP_50 = [
     #    round (domain_profile/domain_cap/pipeline_crawl) or one more
     #    grading wanted --
     "corpus_passage_cdc",
-    "corpus_pack_boundaries",
     "customer_fuzzy_pairs",
     "corpus_span_dedup",
     "corpus_domain_profile",
     "corpus_quality_classifier",
-    "ann_quality_eval",
     "pipeline_crawl",
     "corpus_domain_cap",
     "events_psi_drift",
     # -- r11-NEW kernels: first grading --
     "corpus_lm_kn_perplexity",
+    "corpus_lm_kn3_perplexity",
+    "lm_store_kn_perplexity",
     "corpus_lm_sbo_perplexity",
     "corpus_lm_band",
     # -- promoted r11: last real-driver green in r7, three rounds ago --
@@ -366,6 +369,8 @@ _TAIL = [
     "agg_incremental",         # green r6+r10; same merge fold as observations_agg
     "events_tumbling",         # green r6+r10; window() tumbling kernel
     "text_profile",            # green r6+r10; scalar text-stats projection
+    "corpus_pack_boundaries",  # green r7-r10 (4x); packing family in-cap via corpus_pack_sequences (promoted r11)
+    "ann_quality_eval",        # green r7-r10 (4x); ANN family in-cap via ann_lsh_topk
     "corpus_dedup_units",      # green r7-r10 (4x); paragraph-unit explode kernel
     "corpus_dsir_topk",        # green r7-r10 (4x); hashed-ngram importance kernel
     "events_props_profile",    # green r7-r10 (4x); semistructured map-explode kernel

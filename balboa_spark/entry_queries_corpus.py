@@ -1811,9 +1811,13 @@ def q_lm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Ney-estimated discount D = n1/(n1+2*n2), alpha_c=1 continuation
 # smoothing). Every arithmetic expression mirrors the Column tree's
 # association order so the doubles agree to the driver's rounding.
-LM_KN_PERPLEXITY_ORACLE = f"""
+# Parametrized on the training predicate: the even-half split for the
+# batch entry (exercises the unseen arms), TRUE for the store entry
+# (self-trained, matching kn_model over the full folded history).
+def _kn_bigram_oracle(train_pred: str) -> str:
+    return f"""
 WITH {_TOKS_SQL},
-ttoks AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+ttoks AS (SELECT * FROM toks WHERE {train_pred}),
 tbg AS (
   SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
          unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
@@ -1864,6 +1868,9 @@ SELECT doc_id, count(*) AS n_bigrams,
        exp(-(sum(lp) / count(*))) AS perplexity
 FROM j GROUP BY doc_id ORDER BY doc_id
 """
+
+
+LM_KN_PERPLEXITY_ORACLE = _kn_bigram_oracle("doc_id % 2 = 0")
 
 _SBO_B1 = 0.4
 _SBO_B2 = 0.4 ** 2
@@ -1937,6 +1944,125 @@ SELECT doc_id, count(*) AS n_grams,
        exp(-(sum(lp) / count(*))) AS perplexity
 FROM j GROUP BY doc_id ORDER BY doc_id
 """
+
+def q_lm_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from balboa_spark.operators import lm
+
+    docs = _docs(spark, sf_dir)
+    return lm.kn_ngram_lm_perplexity(
+        docs, n=3, train=docs.where(F.col("doc_id") % 2 == 0)
+    ).orderBy("doc_id")
+
+
+# Twin of operators.lm.kn_ngram_lm_perplexity at n=3 (recursive
+# interpolated KN): raw trigram counts at the top; the order-2 table
+# is the ADJUSTED continuation counts (trigram types grouped by their
+# last-2-token suffix), the order-1 table likewise from bigram types;
+# one Ney discount per order. Arithmetic mirrors the Column tree.
+LM_KN3_PERPLEXITY_ORACLE = f"""
+WITH {_TOKS_SQL},
+ttoks AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+tg3 AS (
+  SELECT ctx, w, count(*) AS c3 FROM (
+    SELECT unnest(list_transform(range(1, len(tk) - 1),
+             i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS ctx,
+           unnest(list_transform(range(1, len(tk) - 1), i -> tk[i + 2])) AS w
+    FROM ttoks WHERE len(tk) >= 3) GROUP BY 1, 2
+),
+bg2 AS (
+  SELECT ctx, w, count(*) AS c2 FROM (
+    SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS ctx,
+           unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w
+    FROM ttoks WHERE len(tk) >= 2) GROUP BY 1, 2
+),
+a2 AS (
+  SELECT substring(ctx, strpos(ctx, ' ') + 1) AS ctx, w,
+         count(*) AS adj2
+  FROM tg3 GROUP BY 1, 2
+),
+a1 AS (SELECT w, count(*) AS adj1 FROM bg2 GROUP BY 1),
+st3 AS (SELECT ctx, sum(c3) AS tot3, count(*) AS nfw3 FROM tg3 GROUP BY 1),
+st2 AS (SELECT ctx, sum(adj2) AS tot2, count(*) AS nfw2 FROM a2 GROUP BY 1),
+sc AS (
+  SELECT (SELECT count(*) FROM bg2) AS a1_total,
+         (SELECT count(DISTINCT t) FROM (SELECT unnest(tk) AS t FROM ttoks))
+           AS vocab,
+         (SELECT CASE WHEN sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)
+                        + 2 * sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) > 0
+                 THEN sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)
+                      / (sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)
+                         + 2 * sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END))
+                 ELSE 0.5 END FROM tg3) AS d3,
+         (SELECT CASE WHEN sum(CASE WHEN adj2 = 1 THEN 1 ELSE 0 END)
+                        + 2 * sum(CASE WHEN adj2 = 2 THEN 1 ELSE 0 END) > 0
+                 THEN sum(CASE WHEN adj2 = 1 THEN 1 ELSE 0 END)
+                      / (sum(CASE WHEN adj2 = 1 THEN 1 ELSE 0 END)
+                         + 2 * sum(CASE WHEN adj2 = 2 THEN 1 ELSE 0 END))
+                 ELSE 0.5 END FROM a2) AS d2
+),
+sg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+           i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS ctx3,
+         unnest(list_transform(range(1, len(tk) - 1), i -> tk[i + 1])) AS ctx2,
+         unnest(list_transform(range(1, len(tk) - 1), i -> tk[i + 2])) AS w
+  FROM toks WHERE len(tk) >= 3
+),
+j AS (
+  SELECT sg.doc_id,
+         ln(CASE WHEN st3.tot3 IS NOT NULL THEN
+              greatest(coalesce(tg3.c3, 0) - sc.d3, 0.0) / st3.tot3
+              + sc.d3 * st3.nfw3 / st3.tot3
+                * (CASE WHEN st2.tot2 IS NOT NULL THEN
+                     greatest(coalesce(a2.adj2, 0) - sc.d2, 0.0) / st2.tot2
+                     + sc.d2 * st2.nfw2 / st2.tot2
+                       * ((coalesce(a1.adj1, 0) + 1.0)
+                          / (sc.a1_total + 1.0 * sc.vocab))
+                   ELSE (coalesce(a1.adj1, 0) + 1.0)
+                        / (sc.a1_total + 1.0 * sc.vocab) END)
+            WHEN st2.tot2 IS NOT NULL THEN
+              greatest(coalesce(a2.adj2, 0) - sc.d2, 0.0) / st2.tot2
+              + sc.d2 * st2.nfw2 / st2.tot2
+                * ((coalesce(a1.adj1, 0) + 1.0)
+                   / (sc.a1_total + 1.0 * sc.vocab))
+            ELSE (coalesce(a1.adj1, 0) + 1.0)
+                 / (sc.a1_total + 1.0 * sc.vocab)
+            END) AS lp
+  FROM sg
+  LEFT JOIN tg3 ON tg3.ctx = sg.ctx3 AND tg3.w = sg.w
+  LEFT JOIN st3 ON st3.ctx = sg.ctx3
+  LEFT JOIN a2 ON a2.ctx = sg.ctx2 AND a2.w = sg.w
+  LEFT JOIN st2 ON st2.ctx = sg.ctx2
+  LEFT JOIN a1 ON a1.w = sg.w
+  CROSS JOIN sc
+)
+SELECT doc_id, count(*) AS n_grams,
+       sum(lp) / count(*) AS avg_logprob,
+       exp(-(sum(lp) / count(*))) AS perplexity
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_lm_store_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KN from the incremental count store (r11): two disjoint batches
+    folded on disk, compacted, then the interpolated-KN model derives
+    every statistic (context totals, continuation counts, Ney
+    discount) from the folded bigram TYPE table — type counts are a
+    function of the folded sums, so the result must equal one-shot
+    self-trained KN; same oracle with the full-corpus train predicate."""
+    import tempfile
+
+    from balboa_spark.operators import lm
+
+    docs = _docs(spark, sf_dir)
+    store = lm.BigramCountStore(
+        spark, tempfile.mkdtemp(prefix="balboa_knstore_entry_")
+    )
+    for e in range(2):
+        store.process_batch(docs.where(F.col("doc_id") % 2 == e), epoch_id=e)
+    store.compact()
+    return lm.score_kn_bigram_lm(docs, store.kn_model()).orderBy("doc_id")
+
 
 BAND_LO, BAND_HI = 0.1, 0.8
 
@@ -2046,6 +2172,8 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_lm3_perplexity": q_lm3_perplexity,
     "lm_store_perplexity": q_lm_store_perplexity,
     "corpus_lm_kn_perplexity": q_lm_kn_perplexity,
+    "corpus_lm_kn3_perplexity": q_lm_kn3_perplexity,
+    "lm_store_kn_perplexity": q_lm_store_kn_perplexity,
     "corpus_lm_sbo_perplexity": q_lm_sbo_perplexity,
     "corpus_lm_band": q_lm_band,
     "corpus_leakage_split": q_leakage_split,
@@ -2107,6 +2235,8 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_lm3_perplexity": LM3_PERPLEXITY_ORACLE,
     "lm_store_perplexity": LM_PERPLEXITY_ORACLE,
     "corpus_lm_kn_perplexity": LM_KN_PERPLEXITY_ORACLE,
+    "corpus_lm_kn3_perplexity": LM_KN3_PERPLEXITY_ORACLE,
+    "lm_store_kn_perplexity": _kn_bigram_oracle("TRUE"),
     "corpus_lm_sbo_perplexity": LM_SBO_PERPLEXITY_ORACLE,
     "corpus_lm_band": LM_BAND_ORACLE,
     "corpus_leakage_split": LEAKAGE_SPLIT_ORACLE,

@@ -369,6 +369,45 @@ class BigramCountStore:
         )
         return BigramLM(c12=c12, c1=c1, vocab=vocab, alpha=float(alpha))
 
+    def kn_model(
+        self, discount: float | None = None, alpha_c: float = 1.0
+    ) -> "KNBigramLM":
+        """Interpolated-KN model from the folded counts (r11): every
+        KN relation — context totals, forward/backward continuation
+        type counts, the Ney discount's count-of-counts — derives from
+        the merged bigram TYPE table, and type counts are a function
+        of the folded sums alone, so the incremental store yields
+        exactly the model a one-shot ``train_kn_bigram_lm`` over the
+        full history would (the same associativity argument as
+        ``model()``, extended to the derived statistics)."""
+        c12 = self.counts()
+        if c12 is None:
+            raise ValueError(f"empty store at {self.path}")
+        c12 = c12.localCheckpoint(eager=True)
+        ctx = c12.groupBy("w1").agg(
+            F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fw")
+        )
+        cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw"))
+        stats = c12.agg(
+            F.count(F.lit(1)).alias("types"),
+            F.sum((F.col("c12") == 1).cast("long")).alias("n1"),
+            F.sum((F.col("c12") == 2).cast("long")).alias("n2"),
+        ).collect()[0]
+        types = stats["types"] or 0
+        if discount is None:
+            n1, n2 = stats["n1"] or 0, stats["n2"] or 0
+            discount = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) else 0.5
+        vocab = self._read_live("uni").select("t").distinct().count()
+        return KNBigramLM(
+            c12=c12,
+            ctx=ctx,
+            cont=cont,
+            types=types,
+            vocab=vocab,
+            discount=float(discount),
+            alpha_c=float(alpha_c),
+        )
+
     # -- maintenance -------------------------------------------------
     def compact(self, vacuum: bool = False) -> None:
         """Fold every live epoch into one base generation: write the
@@ -759,6 +798,187 @@ def kn_bigram_lm_perplexity(
         df if train is None else train, text_col, id_col, discount, alpha_c
     )
     return score_kn_bigram_lm(df, model, text_col, id_col)
+
+
+def kn_ngram_lm_perplexity(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float | None = None,
+    alpha_c: float = 1.0,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Order-n interpolated Kneser-Ney (Chen & Goodman 1999, the
+    recursion CCNet's order-5 KenLM filter uses, with one absolute
+    discount per order):
+
+    ``P_k(w|ctx) = max(a_k(ctx w) - D_k, 0)/A_k(ctx)
+                   + D_k · N1+(ctx ·)/A_k(ctx) · P_{k-1}(w|ctx')``
+
+    where at the top order a_n is the raw n-gram count and at every
+    lower order a_k is the ADJUSTED count N1+(· ctx w) — the number of
+    distinct (k+1)-gram types ending in (ctx, w), derived by grouping
+    the order-(k+1) TYPE table by its last-k-token suffix (the KN
+    insight applied recursively; KenLM builds the same tables). The
+    unigram base is the alpha-smoothed continuation distribution
+    ``(a_1(w) + alpha_c)/(A_1 + alpha_c·V)`` — identical to
+    ``kn_bigram_lm_perplexity``'s Pcont, so n=2 reproduces the bigram
+    model exactly. D_k is Ney-estimated per order from that order's
+    count-of-counts (``n1/(n1 + 2 n2)``) unless ``discount`` pins one
+    value for all orders.
+
+    Scale shape: ONE corpus pass extracts every order's gram stream
+    (the unioned struct trick shared with ``stupid_backoff_perplexity``)
+    into one groupBy(k, ctx, w) count table, checkpointed
+    (gram-type-sized); every lower-order adjusted table, context
+    total, and discount derives from that checkpoint — no further
+    corpus reads. Scoring joins 2 relations per order (adjusted counts
+    + context stats), all gram-keyed codegen joins, count tables never
+    broadcast. Scoring positions are those with a full (n-1)-token
+    context (same population as ``ngram_lm_perplexity``)."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    train_df = df if train is None else train
+
+    # one training pass: counts for every order 1..n (k=1 rows carry
+    # ctx='' and give V = their type count)
+    arms = ", ".join(
+        f"if(size(tk) >= {k}, transform(sequence(1, size(tk) - {k - 1}), "
+        f"i -> struct({k} AS k, "
+        + (
+            f"array_join(slice(tk, i, {k - 1}), ' ') AS ctx, "
+            if k > 1
+            else "'' AS ctx, "
+        )
+        + f"tk[i + {k - 2}] AS w)), "
+        f"cast(array() as array<struct<k int, ctx string, w string>>))"
+        for k in range(1, n + 1)
+    )
+    counts = (
+        train_df.select(tokens(F.col(text_col)).alias("tk"))
+        .where(F.size("tk") >= 1)
+        .select(F.explode(F.expr(f"flatten(array({arms}))")).alias("g"))
+        .select("g.k", "g.ctx", "g.w")
+        .groupBy("k", "ctx", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = counts.where(F.col("k") == 1).count()
+
+    # per-order relation used by the interpolation at order k:
+    #   top order n -> raw counts; k < n -> adjusted counts from the
+    #   order-(k+1) type table grouped by its last-k-token suffix
+    #   (suffix ctx = ctx minus its first token, then the old w joins on)
+    def order_table(k: int) -> DataFrame:
+        if k == n:
+            return counts.where(F.col("k") == n).select(
+                F.col("ctx"), F.col("w"), F.col("c").alias("a")
+            )
+        parent = counts.where(F.col("k") == k + 1)
+        if k == 1:
+            sfx = F.lit("")
+        else:
+            # drop the first token of the (k)-token parent context:
+            # everything after the first space
+            sfx = F.expr("substring(ctx, instr(ctx, ' ') + 1)")
+        return (
+            parent.select(sfx.alias("ctx"), F.col("w"))
+            .groupBy("ctx", "w")
+            .agg(F.count(F.lit(1)).alias("a"))
+        )
+
+    tables: dict[int, DataFrame] = {}
+    stats: dict[int, DataFrame] = {}
+    discounts: dict[int, float] = {}
+    for k in range(1, n + 1):
+        # adjusted tables are derived aggregations over the checkpoint;
+        # materialize each once (gram-type-sized) — they feed the ctx
+        # stats, the discount estimate, and the score join
+        tk_tab = order_table(k).localCheckpoint(eager=True)
+        tables[k] = tk_tab
+        if k > 1:
+            stats[k] = tk_tab.groupBy("ctx").agg(
+                F.sum("a").alias("A"), F.count(F.lit(1)).alias("n1p")
+            )
+        if discount is None:
+            row = tk_tab.agg(
+                F.sum((F.col("a") == 1).cast("long")).alias("n1"),
+                F.sum((F.col("a") == 2).cast("long")).alias("n2"),
+            ).collect()[0]
+            n1, n2 = row["n1"] or 0, row["n2"] or 0
+            discounts[k] = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) else 0.5
+        else:
+            discounts[k] = float(discount)
+    # A_1 = sum_w a_1(w) = number of bigram types (scalar)
+    a1_total = (
+        tables[1].agg(F.sum("a")).collect()[0][0] or 0
+    )
+
+    # scoring stream: full-context positions with every suffix context
+    sfx_cols = ", ".join(
+        f"array_join(slice(tk, i + {n - k}, {k - 1}), ' ') AS ctx{k}"
+        for k in range(2, n + 1)
+    )
+    score_expr = (
+        f"transform(sequence(1, size(tk) - {n - 1}), "
+        f"i -> struct({sfx_cols}, tk[i + {n - 2}] AS w))"
+    )
+    g = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("tk"))
+        .where(F.size("tk") >= n)
+        .select(F.col(id_col), F.explode(F.expr(score_expr)).alias("g"))
+        .select(id_col, "g.*")
+    )
+    # column names are distinct under Spark's default case-insensitive
+    # resolution: adj{k} (adjusted count), tot{k} (context total),
+    # nfw{k} (distinct continuations of the context)
+    g = g.join(
+        tables[1].select(F.col("w"), F.col("a").alias("adj1")), ["w"], "left"
+    )
+    for k in range(2, n + 1):
+        g = g.join(
+            tables[k].select(
+                F.col("ctx").alias(f"ctx{k}"),
+                F.col("w"),
+                F.col("a").alias(f"adj{k}"),
+            ),
+            [f"ctx{k}", "w"],
+            "left",
+        ).join(
+            stats[k].select(
+                F.col("ctx").alias(f"ctx{k}"),
+                F.col("A").alias(f"tot{k}"),
+                F.col("n1p").alias(f"nfw{k}"),
+            ),
+            [f"ctx{k}"],
+            "left",
+        )
+    # bottom-up interpolation, mirroring the bigram expression shapes
+    p = (
+        F.coalesce(F.col("adj1"), F.lit(0)).cast("double")
+        + F.lit(float(alpha_c))
+    ) / F.lit(float(a1_total) + float(alpha_c) * vocab)
+    for k in range(2, n + 1):
+        d = F.lit(discounts[k])
+        ak_d = F.col(f"tot{k}").cast("double")
+        seen = (
+            F.greatest(
+                F.coalesce(F.col(f"adj{k}"), F.lit(0)).cast("double") - d,
+                F.lit(0.0),
+            )
+            / ak_d
+            + d * F.col(f"nfw{k}").cast("double") / ak_d * p
+        )
+        p = F.when(F.col(f"tot{k}").isNotNull(), seen).otherwise(p)
+    return (
+        g.select(F.col(id_col), F.log(p).alias("lp"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("lp").alias("_s"))
+        .withColumn("avg_logprob", F.col("_s") / F.col("n_grams"))
+        .withColumn("perplexity", F.exp(-F.col("avg_logprob")))
+        .drop("_s")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -562,6 +562,18 @@ def main() -> None:
             par(spark.table("documents"))
         ).write.mode("overwrite").format("noop").save()
 
+    @timed("lm_kn_perplexity")
+    def _():
+        # interpolated Kneser-Ney twin (r11): same two count shuffles
+        # plus one continuation-count relation and one extra gram-keyed
+        # join vs add-alpha — tracks the cost delta of the
+        # CCNet-parity smoothing on the same self-trained corpus.
+        from balboa_spark.operators import lm
+
+        lm.kn_bigram_lm_perplexity(
+            par(spark.table("documents"))
+        ).write.mode("overwrite").format("noop").save()
+
     @timed("fuzzy_pairs")
     def _():
         # exact-recall edit-distance-1 pairs over 15k customer names:

@@ -203,3 +203,124 @@ def test_kn_score_plan_has_no_cartesian_and_no_corpus_broadcast(spark, tiny):
     model = lm.train_kn_bigram_lm(tiny)
     plan = lm.score_kn_bigram_lm(tiny, model)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# order-n interpolated KN (r11)
+# ---------------------------------------------------------------------------
+
+def test_kn_ngram_order2_equals_bigram_kn(spark, tiny):
+    a = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.kn_ngram_lm_perplexity(tiny, n=2).collect()
+    }
+    b = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.kn_bigram_lm_perplexity(tiny).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-12)
+
+
+def test_kn_ngram_trigram_hand_computed(spark):
+    # train "a b c a b d": raw trigram types all count 1; adjusted
+    # order-2 table (trigram types grouped by last-2 suffix):
+    # a2(b,c)=a2(c,a)=a2(a,b)=a2(b,d)=1; order-1 (bigram types by w):
+    # a1(a)=a1(b)=a1(c)=a1(d)=1, A1=4 bigram types, V=4. Fixed D=0.5.
+    train = spark.createDataFrame([(1, "a b c a b d")], ["doc_id", "text"])
+    score = spark.createDataFrame(
+        [
+            (10, "a b c"),  # fully seen trigram
+            (11, "d a b"),  # ctx3 'd a' unseen -> order-2 arm
+            (12, "x y z"),  # everything OOV -> unigram base
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.kn_ngram_lm_perplexity(
+            score, n=3, train=train, discount=0.5
+        ).collect()
+    }
+    p1 = lambda a1: (a1 + 1.0) / (4 + 1.0 * 4)
+    # P2(c|b): a2=1, A2(b)=2, n1p=2
+    p2_cb = (1 - 0.5) / 2 + 0.5 * 2 / 2 * p1(1)
+    # P3(c|a b): c3=1, A3(a b)=2, n1p=2
+    p3 = (1 - 0.5) / 2 + 0.5 * 2 / 2 * p2_cb
+    assert out[10] == pytest.approx(math.log(p3), rel=1e-12)
+    # P2(b|a): a2=1, A2(a)=1, n1p=1
+    p2_ba = (1 - 0.5) / 1 + 0.5 * 1 / 1 * p1(1)
+    assert out[11] == pytest.approx(math.log(p2_ba), rel=1e-12)
+    assert out[12] == pytest.approx(math.log(p1(0)), rel=1e-12)
+
+
+def test_kn_ngram_normalizes_over_vocab(spark):
+    """P(w|ctx) sums to exactly 1 over the training vocabulary at
+    every backoff depth (seen trigram ctx, bigram-only ctx, unseen)."""
+    train = spark.createDataFrame(
+        [(1, "a b c a b d b c a c a b")], ["doc_id", "text"]
+    )
+    vocab = ["a", "b", "c", "d"]
+    probes = []
+    i = 0
+    for ctx in ["a b", "d a", "q q"]:  # seen / partial / unseen
+        for w in vocab:
+            probes.append((i, f"{ctx} {w}"))
+            i += 1
+    df = spark.createDataFrame(probes, ["doc_id", "text"])
+    rows = lm.kn_ngram_lm_perplexity(df, n=3, train=train).collect()
+    by_doc = {r["doc_id"]: math.exp(r["avg_logprob"]) for r in rows}
+    for block in range(3):
+        s = sum(by_doc[block * 4 + j] for j in range(4))
+        assert s == pytest.approx(1.0, rel=1e-12), f"block {block}: {s}"
+
+
+def test_kn_ngram_validates_order_and_short_docs(spark, tiny):
+    with pytest.raises(ValueError, match="n must be >= 2"):
+        lm.kn_ngram_lm_perplexity(tiny, n=1)
+    train = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    out = lm.kn_ngram_lm_perplexity(
+        spark.createDataFrame([(2, "a b"), (3, "a b c")], ["doc_id", "text"]),
+        n=3,
+        train=train,
+    ).collect()
+    assert {r["doc_id"] for r in out} == {3}
+
+
+def test_kn_ngram_gibberish_ranks_worse(spark):
+    clean, gib = _planted_corpus()
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(clean[:30])], ["doc_id", "text"]
+    )
+    test = spark.createDataFrame(
+        [(0, clean[30]), (1, gib[0])], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm.kn_ngram_lm_perplexity(test, n=3, train=train).collect()
+    }
+    assert out[1] > out[0] * 2
+
+
+def test_store_kn_model_equals_one_shot(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{(i + 1) % 5} tok{i % 3} filler words")
+         for i in range(20)],
+        ["doc_id", "text"],
+    )
+    store = lm.BigramCountStore(spark, str(tmp_path / "knstore"))
+    for e in range(2):
+        store.process_batch(docs.where(f"doc_id % 2 = {e}"), epoch_id=e)
+    store.compact()
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.score_kn_bigram_lm(docs, store.kn_model()).collect()
+    }
+    want = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.kn_bigram_lm_perplexity(docs).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)

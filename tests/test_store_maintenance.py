@@ -379,3 +379,26 @@ def test_psl_staged_domain_out_col_collision_rejected(spark):
     )
     with pytest.raises(ValueError, match="output column"):
         psl_staged_domain(df, "url", out_col="domain")
+
+
+def test_lm_vacuum_under_reader_contract(spark, tmp_path):
+    """The documented reader contract (lm.BigramCountStore.compact):
+    a plan built BEFORE a default compaction still executes (folded
+    dirs keep a one-generation grace), while a plan built before
+    compact(vacuum=True) may fail with a missing-file error once the
+    dirs are deleted — proven here exactly as documented."""
+    graceful = lm.BigramCountStore(spark, str(tmp_path / "lmg"))
+    for e in range(3):
+        graceful.process_batch(_lm_slice(spark, e), epoch_id=e)
+    pre_plan = graceful.counts()  # lazy plan over the pre-flip live list
+    want = sorted(tuple(r) for r in pre_plan.collect())
+    graceful.compact()  # grace: folded dirs kept
+    assert sorted(tuple(r) for r in pre_plan.collect()) == want
+
+    vac = lm.BigramCountStore(spark, str(tmp_path / "lmx"))
+    for e in range(3):
+        vac.process_batch(_lm_slice(spark, e), epoch_id=e)
+    doomed_plan = vac.counts()
+    vac.compact(vacuum=True)  # deletes the folded dirs immediately
+    with pytest.raises(Exception):  # Spark surfaces a missing-input error
+        doomed_plan.collect()
