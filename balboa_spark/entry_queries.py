@@ -318,7 +318,6 @@ CAP_50 = [
     # -- r7-new cohort entries kept in-cap: PSL-kernel-changed this
     #    round (domain_profile/domain_cap/pipeline_crawl) or one more
     #    grading wanted --
-    "corpus_passage_cdc",
     "customer_fuzzy_pairs",
     "corpus_span_dedup",
     "corpus_domain_profile",
@@ -332,6 +331,7 @@ CAP_50 = [
     "lm_store_kn_perplexity",
     "corpus_lm_sbo_perplexity",
     "corpus_lm_band",
+    "pipeline_ccnet",
     # -- promoted r11: last real-driver green in r7, three rounds ago --
     "events_rolling_1h",
     "events_funnel",
@@ -370,6 +370,7 @@ _TAIL = [
     "events_tumbling",         # green r6+r10; window() tumbling kernel
     "text_profile",            # green r6+r10; scalar text-stats projection
     "corpus_pack_boundaries",  # green r7-r10 (4x); packing family in-cap via corpus_pack_sequences (promoted r11)
+    "corpus_passage_cdc",      # green r7-r10 (4x); span/CDC family in-cap via corpus_span_dedup
     "ann_quality_eval",        # green r7-r10 (4x); ANN family in-cap via ann_lsh_topk
     "corpus_dedup_units",      # green r7-r10 (4x); paragraph-unit explode kernel
     "corpus_dsir_topk",        # green r7-r10 (4x); hashed-ngram importance kernel

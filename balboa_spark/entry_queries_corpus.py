@@ -2064,6 +2064,119 @@ def q_lm_store_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.score_kn_bigram_lm(docs, store.kn_model()).orderBy("doc_id")
 
 
+def q_pipeline_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed CCNet curation chain (lm.ccnet_pipeline),
+    integration-graded end to end like pipeline_pretrain/crawl: a
+    full duplicate of the corpus is planted (doc_id + 10000) so the
+    hash-dedup stage is observable (exactly the originals survive),
+    the KN LM trains on the kept src0 slice, and every surviving
+    document carries its perplexity and head/middle/tail band."""
+    from balboa_spark.operators import lm
+
+    docs = load_tables(spark, sf_dir, names=("documents",))[
+        "documents"
+    ].select("doc_id", "source", "text")
+    planted = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "source", "text"
+        )
+    )
+    return lm.ccnet_pipeline(planted).orderBy("doc_id")
+
+
+# Replays every stage: normalized-hash keep-first dedup, interpolated
+# KN trained on the kept src0 slice (same arithmetic as
+# _kn_bigram_oracle), scoring over all kept docs, tertile banding by
+# rounded exact quantiles.
+PIPELINE_CCNET_ORACLE = r"""
+WITH raw AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, source, text FROM documents
+),
+rt AS (
+  SELECT doc_id, source, text,
+         md5(array_to_string(list_filter(
+           string_split_regex(lower(text), '\s+'), t -> t <> ''), ' ')) AS fp
+  FROM raw
+),
+kept AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM rt
+  ) WHERE rn = 1
+),
+ktoks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t <> '') AS tk
+  FROM kept
+),
+ttoks AS (SELECT * FROM ktoks WHERE source = 'src0'),
+tbg AS (
+  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+  FROM ttoks WHERE len(tk) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_fw FROM c12 GROUP BY 1),
+cont AS (SELECT w2, count(*) AS n1p_bw FROM c12 GROUP BY 1),
+s AS (
+  SELECT count(*) AS types,
+         sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2
+  FROM c12
+),
+v AS (
+  SELECT count(DISTINCT t) AS vocab
+  FROM (SELECT unnest(tk) AS t FROM ttoks)
+),
+d AS (
+  SELECT CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2) ELSE 0.5 END
+           AS disc
+  FROM s
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+  FROM ktoks WHERE len(tk) >= 2
+),
+j AS (
+  SELECT bg.doc_id,
+         ln(CASE WHEN ctx.c1 IS NOT NULL THEN
+              greatest(coalesce(c12.c12, 0) - d.disc, 0.0) / ctx.c1
+              + d.disc * ctx.n1p_fw / ctx.c1
+                * ((coalesce(cont.n1p_bw, 0) + 1.0)
+                   / (s.types + 1.0 * v.vocab))
+            ELSE (coalesce(cont.n1p_bw, 0) + 1.0)
+                 / (s.types + 1.0 * v.vocab)
+            END) AS lp
+  FROM bg
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  LEFT JOIN cont USING (w2)
+  CROSS JOIN s CROSS JOIN v CROSS JOIN d
+),
+scored AS (
+  SELECT doc_id,
+         exp(-(sum(lp) / count(*))) AS perplexity
+  FROM j GROUP BY doc_id
+),
+b AS (
+  SELECT round(quantile_cont(perplexity, 0.1), 6) AS lo,
+         round(quantile_cont(perplexity, 0.8), 6) AS hi
+  FROM scored
+)
+SELECT sc.doc_id, k.source, sc.perplexity,
+       CASE WHEN sc.perplexity < b.lo THEN 'head'
+            WHEN sc.perplexity <= b.hi THEN 'middle'
+            ELSE 'tail' END AS band
+FROM scored sc JOIN kept k USING (doc_id), b
+ORDER BY sc.doc_id
+"""
+
+
 BAND_LO, BAND_HI = 0.1, 0.8
 
 
@@ -2176,6 +2289,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_store_kn_perplexity": q_lm_store_kn_perplexity,
     "corpus_lm_sbo_perplexity": q_lm_sbo_perplexity,
     "corpus_lm_band": q_lm_band,
+    "pipeline_ccnet": q_pipeline_ccnet,
     "corpus_leakage_split": q_leakage_split,
     "corpus_span_dedup": q_span_dedup,
     "span_dedup_store": q_span_dedup_store,
@@ -2239,5 +2353,6 @@ ORACLES_CORPUS: dict[str, str] = {
     "lm_store_kn_perplexity": _kn_bigram_oracle("TRUE"),
     "corpus_lm_sbo_perplexity": LM_SBO_PERPLEXITY_ORACLE,
     "corpus_lm_band": LM_BAND_ORACLE,
+    "pipeline_ccnet": PIPELINE_CCNET_ORACLE,
     "corpus_leakage_split": LEAKAGE_SPLIT_ORACLE,
 }

@@ -981,6 +981,79 @@ def kn_ngram_lm_perplexity(
     )
 
 
+def ccnet_pipeline(
+    df: DataFrame,
+    ref_source: str = "src0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    low_quantile: float = 0.1,
+    high_quantile: float = 0.8,
+) -> DataFrame:
+    """The composed CCNet curation chain (Wenzek et al. 2020, fig. 1),
+    stitched from this module's operators: exact dedup (keep-first by
+    normalized-text hash — CCNet's paragraph-hash dedup at document
+    granularity) -> interpolated-KN bigram LM trained on the CLEAN
+    REFERENCE slice (CCNet trains on Wikipedia; here ``ref_source``
+    selects the curated source) -> per-document perplexity over the
+    whole deduped corpus -> CCNet's head/middle/tail banding by
+    perplexity quantiles (head = most fluent; pipelines typically keep
+    head+middle).
+
+    Output: ``(id_col, source_col, perplexity, band)`` for every
+    deduped document with >= 2 tokens (no bigrams -> no score, the
+    same absence contract as the scoring operators).
+
+    Plan notes: the deduped frame is localCheckpoint-ed ONCE — it
+    feeds the reference-slice training pass, the scoring pass, and the
+    source re-attach join, and none of that lineage should re-run the
+    dedup window. Band thresholds are the exact-percentile single-row
+    aggregate (broadcast back, rounded to 6 — the quality_bins
+    convention, SQL-replayable); swap in ``perplexity_band_filter``'s
+    approxQuantile sketch at 100 TB where exact percentile's map-side
+    multiset is the bottleneck."""
+    from pyspark.sql import Window
+
+    norm = F.array_join(tokens(F.col(text_col)), " ")
+    fp = df.select(
+        F.col(id_col), F.col(source_col), F.col(text_col),
+        F.md5(norm).alias("_fp"),
+    )
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    kept = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
+        .localCheckpoint(eager=True)
+    )
+    model = train_kn_bigram_lm(
+        kept.where(F.col(source_col) == ref_source), text_col, id_col
+    )
+    scored = score_kn_bigram_lm(kept, model, text_col, id_col).join(
+        kept.select(id_col, source_col), [id_col]
+    )
+    bnds = scored.agg(
+        F.round(
+            F.percentile(F.col("perplexity"), F.lit(low_quantile)), 6
+        ).alias("_lo"),
+        F.round(
+            F.percentile(F.col("perplexity"), F.lit(high_quantile)), 6
+        ).alias("_hi"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(bnds))
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("perplexity"),
+            F.when(F.col("perplexity") < F.col("_lo"), F.lit("head"))
+            .when(F.col("perplexity") <= F.col("_hi"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("band"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stupid backoff (r11) — the web-scale score of Brants et al. 2007
 # ---------------------------------------------------------------------------

@@ -574,6 +574,19 @@ def main() -> None:
             par(spark.table("documents"))
         ).write.mode("overwrite").format("noop").save()
 
+    @timed("pipeline_ccnet")
+    def _():
+        # the composed CCNet chain (r11): hash dedup -> KN LM trained
+        # on the src0 slice -> perplexity -> head/middle/tail banding.
+        # One dedup window + one training pass + three gram-keyed
+        # joins + a broadcast threshold row; the deduped frame is
+        # checkpointed once inside the operator.
+        from balboa_spark.operators import lm
+
+        lm.ccnet_pipeline(
+            par(spark.table("documents").select("doc_id", "source", "text"))
+        ).write.mode("overwrite").format("noop").save()
+
     @timed("fuzzy_pairs")
     def _():
         # exact-recall edit-distance-1 pairs over 15k customer names:

@@ -324,3 +324,36 @@ def test_store_kn_model_equals_one_shot(spark, tmp_path):
     assert set(got) == set(want)
     for k in got:
         assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_ccnet_pipeline_end_to_end(spark):
+    clean, gib = _planted_corpus()
+    rows = (
+        [(i, "src0", t) for i, t in enumerate(clean[:25])]
+        + [(100 + i, "src1", t) for i, t in enumerate(clean[25:35])]
+        + [(200 + i, "src1", t) for i, t in enumerate(gib[:10])]
+        # exact dups of the first three src0 docs (later ids -> dropped)
+        + [(300 + i, "src1", clean[i]) for i in range(3)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = lm.ccnet_pipeline(docs).collect()
+    ids = {r["doc_id"] for r in out}
+    # keep-first dedup: the planted 300-block dups are gone
+    assert not ids & {300, 301, 302}
+    assert out and set(r["band"] for r in out) <= {"head", "middle", "tail"}
+    by_band = {}
+    for r in out:
+        by_band.setdefault(r["band"], []).append(r)
+    # band ordering is consistent: every head ppl < every middle ppl
+    # < every tail ppl (tertile split of a totally ordered column)
+    if "head" in by_band and "middle" in by_band:
+        assert max(r["perplexity"] for r in by_band["head"]) <= min(
+            r["perplexity"] for r in by_band["middle"]
+        )
+    if "middle" in by_band and "tail" in by_band:
+        assert max(r["perplexity"] for r in by_band["middle"]) <= min(
+            r["perplexity"] for r in by_band["tail"]
+        )
+    # the gibberish block concentrates in the tail band
+    gib_bands = [r["band"] for r in out if 200 <= r["doc_id"] < 300]
+    assert gib_bands.count("tail") >= len(gib_bands) * 0.7
