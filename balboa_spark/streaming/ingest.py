@@ -59,6 +59,7 @@ def ingest_stream(
     stream_id: str | None = None,
     mode: str = "merge",
     compact_every: int = 16,
+    max_live_deltas: int | None = None,
 ):
     """Start a streaming ingest job; returns the StreamingQuery.
 
@@ -67,6 +68,10 @@ def ingest_stream(
     "delta" appends O(batch) delta generations (layout.py LSM path)
     and compacts each store every ``compact_every`` epochs — right for
     high-frequency micro-batches against a large store.
+    ``max_live_deltas`` additionally arms the store's SIZE trigger
+    (r11): if a cadence misconfiguration (or a burst of routes) lets
+    the committed delta list exceed it, the append compacts inline —
+    the bound holds even when the epoch cadence never fires.
 
     stream_id scopes the stores' epoch replay gate: foreachBatch epoch
     counters are per-StreamingQuery, so every distinct feeder merging
@@ -153,7 +158,10 @@ def ingest_stream(
         for name, tagged in route_fn(obs, routes).items():
             if mode == "delta":
                 stores[name].append_delta(
-                    tagged, epoch_id=epoch_id, stream_id=stream_id
+                    tagged,
+                    epoch_id=epoch_id,
+                    stream_id=stream_id,
+                    max_live_deltas=max_live_deltas,
                 )
                 # compaction cadence rides the epoch counter, so it is
                 # deterministic under replay (a replayed epoch re-runs

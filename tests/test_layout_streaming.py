@@ -873,3 +873,43 @@ def test_cli_compact(spark, store):
     man = json.load(open(os.path.join(store.path, "manifest.json")))
     assert man["deltas"] == []
     assert store.query(Query(rrname="foo")).collect()[0]["count"] == 15
+
+
+def test_streaming_ingest_delta_size_trigger(spark, tmp_path):
+    """r11: with the epoch cadence OFF (compact_every=0), the
+    max_live_deltas size trigger alone bounds the committed delta list
+    across micro-batches, and the fold stays correct."""
+    from balboa_spark.streaming.ingest import ingest_stream
+
+    land = tmp_path / "land2"
+    land.mkdir()
+    (land / "b1.ndjson").write_text("\n".join(SURI % (i, i) for i in range(3)) + "\n")
+
+    store = ObservationStore(spark, str(tmp_path / "dstore2"), num_buckets=2)
+    store.write(aggregate(seed_obs(spark).limit(0)))  # empty init
+
+    q = ingest_stream(
+        spark,
+        str(land),
+        "suricata_dns",
+        stores={"default": store},
+        sensor_id="sensorX",
+        checkpoint=str(tmp_path / "dckpt2"),
+        mode="delta",
+        compact_every=0,
+        max_live_deltas=1,
+    )
+    try:
+        q.processAllAvailable()
+        for i in range(3):
+            (land / f"more{i}.ndjson").write_text(SURI % (9, 0) + "\n")
+            q.processAllAvailable()
+            man = json.load(open(os.path.join(store.path, "manifest.json")))
+            assert len(man["deltas"]) <= 1, man["deltas"]
+    finally:
+        q.stop()
+
+    rows = store.query(Query(rrname="stream.example.com")).collect()
+    assert len(rows) == 3
+    agg = {r.rdata: r["count"] for r in rows}
+    assert agg["9.9.9.0"] == 4  # 1 initial + 3 bursts folded
