@@ -254,19 +254,20 @@ QUERIES.update(QUERIES_TEMPORAL)
 # in-cap because round 10 changes their kernel (full published PSL
 # list becomes the default rule set) — they need fresh grading.
 #
-# Round-11 rotation (this round; executes the r10 plan + 5 new
+# Round-11 rotation (this round; executes the r10 plan + 7 new
 # kernels): IN = the 10 stalest tail entries (last real-driver green
 # in r7: events_rolling_1h, events_funnel, events_zorder,
 # corpus_tfidf_keywords, corpus_boilerplate, corpus_quality_bins,
 # corpus_mixture_upsample, corpus_expectations, corpus_pack_sequences,
-# dedup_semantic) + the 5 r11-new entries (corpus_lm_kn_perplexity,
-# corpus_lm_kn3_perplexity, lm_store_kn_perplexity,
-# corpus_lm_sbo_perplexity, corpus_lm_band). OUT = the 10 entries
-# promoted in r10 (green r6 AND r10, kernels unchanged since) + 5 of
-# the r7-first-graded cohort now green in four consecutive rounds
-# r7-r10 (corpus_dedup_units, corpus_dsir_topk, events_props_profile,
-# corpus_pack_boundaries, ann_quality_eval — each with its family
-# still in-cap).
+# dedup_semantic) + the 7 r11-new entries (corpus_lm_kn_perplexity,
+# corpus_lm_kn3_perplexity, corpus_lm_mkn_perplexity,
+# lm_store_kn_perplexity, corpus_lm_sbo_perplexity, corpus_lm_band,
+# pipeline_ccnet). OUT = the 10 entries promoted in r10 (green r6 AND
+# r10, kernels unchanged since) + 7 of the r7-first-graded cohort now
+# green in four consecutive rounds r7-r10 (corpus_dedup_units,
+# corpus_dsir_topk, events_props_profile, corpus_pack_boundaries,
+# ann_quality_eval, corpus_passage_cdc, corpus_span_dedup — each with
+# its family still in-cap).
 # Kernel-changed-this-round entries all stay in-cap: lm_store
 # (CAS + retired-scope tracking), store_delta_fold (CAS),
 # span_dedup_store (compact + auto-scope guard), bm25_store_topk /
@@ -319,7 +320,6 @@ CAP_50 = [
     #    round (domain_profile/domain_cap/pipeline_crawl) or one more
     #    grading wanted --
     "customer_fuzzy_pairs",
-    "corpus_span_dedup",
     "corpus_domain_profile",
     "corpus_quality_classifier",
     "pipeline_crawl",
@@ -328,6 +328,7 @@ CAP_50 = [
     # -- r11-NEW kernels: first grading --
     "corpus_lm_kn_perplexity",
     "corpus_lm_kn3_perplexity",
+    "corpus_lm_mkn_perplexity",
     "lm_store_kn_perplexity",
     "corpus_lm_sbo_perplexity",
     "corpus_lm_band",
@@ -370,7 +371,8 @@ _TAIL = [
     "events_tumbling",         # green r6+r10; window() tumbling kernel
     "text_profile",            # green r6+r10; scalar text-stats projection
     "corpus_pack_boundaries",  # green r7-r10 (4x); packing family in-cap via corpus_pack_sequences (promoted r11)
-    "corpus_passage_cdc",      # green r7-r10 (4x); span/CDC family in-cap via corpus_span_dedup
+    "corpus_passage_cdc",      # green r7-r10 (4x); span/CDC family in-cap via span_dedup_store
+    "corpus_span_dedup",       # green r7-r10 (4x); same span kernel driver-graded via in-cap span_dedup_store
     "ann_quality_eval",        # green r7-r10 (4x); ANN family in-cap via ann_lsh_topk
     "corpus_dedup_units",      # green r7-r10 (4x); paragraph-unit explode kernel
     "corpus_dsir_topk",        # green r7-r10 (4x); hashed-ngram importance kernel

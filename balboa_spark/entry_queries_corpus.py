@@ -2043,6 +2043,97 @@ FROM j GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_lm_mkn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from balboa_spark.operators import lm
+
+    docs = _docs(spark, sf_dir)
+    return lm.mkn_bigram_lm_perplexity(
+        docs, train=docs.where(F.col("doc_id") % 2 == 0)
+    ).orderBy("doc_id")
+
+
+# Twin of operators.lm.mkn_bigram_lm_perplexity: three count-of-counts
+# discounts (Y = n1/(n1+2n2); D_k = k − (k+1)·Y·n_{k+1}/n_k clamped to
+# [0, k], fallback k·Y on a zero bucket), per-context discounted-mass
+# gamma = D1·N1 + D2·N2 + D3·N3+. Scalar arithmetic and clamp order
+# mirror _mkn_discounts exactly.
+LM_MKN_PERPLEXITY_ORACLE = f"""
+WITH {_TOKS_SQL},
+ttoks AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+tbg AS (
+  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+  FROM ttoks WHERE len(tk) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM tbg GROUP BY 1, 2),
+ctx AS (
+  SELECT w1, sum(c12) AS c1,
+         sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS kn1,
+         sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS kn2,
+         sum(CASE WHEN c12 >= 3 THEN 1 ELSE 0 END) AS kn3p
+  FROM c12 GROUP BY 1
+),
+cont AS (SELECT w2, count(*) AS n1p_bw FROM c12 GROUP BY 1),
+s AS (
+  SELECT count(*) AS types,
+         sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN c12 = 3 THEN 1 ELSE 0 END) AS n3,
+         sum(CASE WHEN c12 = 4 THEN 1 ELSE 0 END) AS n4
+  FROM c12
+),
+v AS (
+  SELECT count(DISTINCT t) AS vocab
+  FROM (SELECT unnest(tk) AS t FROM ttoks)
+),
+yy AS (
+  SELECT CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2)
+              ELSE 0.5 END AS y
+  FROM s
+),
+dd AS (
+  SELECT greatest(0.0, least(CASE WHEN s.n1 > 0
+             THEN 1 - 2 * yy.y * s.n2 / s.n1 ELSE 1 * yy.y END, 1.0)) AS d1,
+         greatest(0.0, least(CASE WHEN s.n2 > 0
+             THEN 2 - 3 * yy.y * s.n3 / s.n2 ELSE 2 * yy.y END, 2.0)) AS d2,
+         greatest(0.0, least(CASE WHEN s.n3 > 0
+             THEN 3 - 4 * yy.y * s.n4 / s.n3 ELSE 3 * yy.y END, 3.0)) AS d3
+  FROM s, yy
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+  FROM toks WHERE len(tk) >= 2
+),
+j AS (
+  SELECT bg.doc_id,
+         ln(CASE WHEN ctx.c1 IS NOT NULL THEN
+              (coalesce(c12.c12, 0)
+               - CASE WHEN coalesce(c12.c12, 0) >= 3 THEN dd.d3
+                      WHEN coalesce(c12.c12, 0) = 2 THEN dd.d2
+                      WHEN coalesce(c12.c12, 0) = 1 THEN dd.d1
+                      ELSE 0.0 END) / ctx.c1
+              + (dd.d1 * ctx.kn1 + dd.d2 * ctx.kn2 + dd.d3 * ctx.kn3p)
+                / ctx.c1
+                * ((coalesce(cont.n1p_bw, 0) + 1.0)
+                   / (s.types + 1.0 * v.vocab))
+            ELSE (coalesce(cont.n1p_bw, 0) + 1.0)
+                 / (s.types + 1.0 * v.vocab)
+            END) AS lp
+  FROM bg
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  LEFT JOIN cont USING (w2)
+  CROSS JOIN s CROSS JOIN v CROSS JOIN dd
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       sum(lp) / count(*) AS avg_logprob,
+       exp(-(sum(lp) / count(*))) AS perplexity
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_lm_store_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KN from the incremental count store (r11): two disjoint batches
     folded on disk, compacted, then the interpolated-KN model derives
@@ -2286,6 +2377,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_store_perplexity": q_lm_store_perplexity,
     "corpus_lm_kn_perplexity": q_lm_kn_perplexity,
     "corpus_lm_kn3_perplexity": q_lm_kn3_perplexity,
+    "corpus_lm_mkn_perplexity": q_lm_mkn_perplexity,
     "lm_store_kn_perplexity": q_lm_store_kn_perplexity,
     "corpus_lm_sbo_perplexity": q_lm_sbo_perplexity,
     "corpus_lm_band": q_lm_band,
@@ -2350,6 +2442,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "lm_store_perplexity": LM_PERPLEXITY_ORACLE,
     "corpus_lm_kn_perplexity": LM_KN_PERPLEXITY_ORACLE,
     "corpus_lm_kn3_perplexity": LM_KN3_PERPLEXITY_ORACLE,
+    "corpus_lm_mkn_perplexity": LM_MKN_PERPLEXITY_ORACLE,
     "lm_store_kn_perplexity": _kn_bigram_oracle("TRUE"),
     "corpus_lm_sbo_perplexity": LM_SBO_PERPLEXITY_ORACLE,
     "corpus_lm_band": LM_BAND_ORACLE,

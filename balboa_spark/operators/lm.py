@@ -981,6 +981,158 @@ def kn_ngram_lm_perplexity(
     )
 
 
+class MKNBigramLM(NamedTuple):
+    """Modified Kneser-Ney bigram model (Chen & Goodman 1999 §5.3 —
+    the variant KenLM implements): three absolute discounts D1/D2/D3+
+    applied by count value, with the backoff mass per context funded
+    by exactly the discounted amount (``gamma(w1) = D1·N1(w1) +
+    D2·N2(w1) + D3·N3+(w1)``), so normalization stays exact. ``ctx``
+    carries (w1, c1, kn1, kn2, kn3p) — the per-context counts of
+    continuations seen exactly once / twice / three-plus times."""
+
+    c12: DataFrame
+    ctx: DataFrame
+    cont: DataFrame
+    types: int
+    vocab: int
+    d1: float
+    d2: float
+    d3: float
+    alpha_c: float
+
+
+def _mkn_discounts(n1: int, n2: int, n3: int, n4: int) -> tuple[float, float, float]:
+    """Chen & Goodman count-of-counts estimates ``D_k = k − (k+1)·Y·
+    n_{k+1}/n_k`` with ``Y = n1/(n1+2·n2)``, clamped into [0, k];
+    degenerate corpora (a zero n_k) fall back to ``k·Y`` clamped —
+    every branch is plain scalar arithmetic the SQL oracle replays."""
+    y = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.5
+    out = []
+    ns = {1: n1, 2: n2, 3: n3, 4: n4}
+    for k in (1, 2, 3):
+        if ns[k] > 0:
+            d = k - (k + 1) * y * ns[k + 1] / ns[k]
+        else:
+            d = k * y
+        out.append(max(0.0, min(d, float(k))))
+    return out[0], out[1], out[2]
+
+
+def train_mkn_bigram_lm(
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_c: float = 1.0,
+) -> MKNBigramLM:
+    """Count-train modified KN: same single corpus pass as
+    ``train_kn_bigram_lm`` (checkpointed bigram type counts), one more
+    aggregate over the checkpoint for the count-of-counts n1..n4, and
+    per-context continuation-count buckets instead of one N1+."""
+    bg = _bigram_stream(train_df, text_col, id_col)
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.sum((F.col("c12") == 1).cast("long")).alias("kn1"),
+        F.sum((F.col("c12") == 2).cast("long")).alias("kn2"),
+        F.sum((F.col("c12") >= 3).cast("long")).alias("kn3p"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw"))
+    stats = c12.agg(
+        F.count(F.lit(1)).alias("types"),
+        *[
+            F.sum((F.col("c12") == k).cast("long")).alias(f"n{k}")
+            for k in (1, 2, 3, 4)
+        ],
+    ).collect()[0]
+    d1, d2, d3 = _mkn_discounts(
+        stats["n1"] or 0, stats["n2"] or 0, stats["n3"] or 0, stats["n4"] or 0
+    )
+    vocab = (
+        train_df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    ) or 0
+    return MKNBigramLM(
+        c12=c12,
+        ctx=ctx,
+        cont=cont,
+        types=stats["types"] or 0,
+        vocab=vocab,
+        d1=d1,
+        d2=d2,
+        d3=d3,
+        alpha_c=float(alpha_c),
+    )
+
+
+def score_mkn_bigram_lm(
+    df: DataFrame,
+    model: MKNBigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``P(w2|w1) = (c12 − D(c12))⁺/c1 + gamma(w1)/c1 · Pcont(w2)``
+    with D keyed by the count value and gamma the exact discounted
+    mass — sums to 1 over the vocabulary for every context (the
+    clamps keep every (c − D) non-negative, so no mass is truncated).
+    Unseen contexts score Pcont alone; same plan shape as plain KN."""
+    bg = _bigram_stream(df, text_col, id_col)
+    denom_cont = F.lit(float(model.types) + model.alpha_c * model.vocab)
+    pcont = (
+        F.coalesce(F.col("n1p_bw"), F.lit(0)).cast("double")
+        + F.lit(model.alpha_c)
+    ) / denom_cont
+    d1, d2, d3 = F.lit(model.d1), F.lit(model.d2), F.lit(model.d3)
+    c12d = F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+    disc = (
+        F.when(c12d >= 3, d3)
+        .when(c12d == 2, d2)
+        .when(c12d == 1, d1)
+        .otherwise(F.lit(0.0))
+    )
+    c1d = F.col("c1").cast("double")
+    gamma = (
+        d1 * F.col("kn1").cast("double")
+        + d2 * F.col("kn2").cast("double")
+        + d3 * F.col("kn3p").cast("double")
+    )
+    p_seen = (c12d - disc) / c1d + gamma / c1d * pcont
+    lp = F.log(F.when(F.col("c1").isNotNull(), p_seen).otherwise(pcont))
+    return (
+        bg.join(model.c12, ["w1", "w2"], "left")
+        .join(model.ctx, ["w1"], "left")
+        .join(model.cont, ["w2"], "left")
+        .select(F.col(id_col), lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("_s"))
+        .withColumn("avg_logprob", F.col("_s") / F.col("n_bigrams"))
+        .withColumn("perplexity", F.exp(-F.col("avg_logprob")))
+        .drop("_s")
+    )
+
+
+def mkn_bigram_lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_c: float = 1.0,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Modified-KN twin of ``kn_bigram_lm_perplexity`` — the exact
+    smoothing KenLM builds by default, closing the last smoothing gap
+    to CCNet's reference filter: singleton, doubleton and 3+ grams get
+    separately-estimated discounts, which matters on Zipfian gram
+    tables where one D over-discounts the reliable high-count grams."""
+    model = train_mkn_bigram_lm(
+        df if train is None else train, text_col, id_col, alpha_c
+    )
+    return score_mkn_bigram_lm(df, model, text_col, id_col)
+
+
 def ccnet_pipeline(
     df: DataFrame,
     ref_source: str = "src0",

@@ -357,3 +357,64 @@ def test_ccnet_pipeline_end_to_end(spark):
     # the gibberish block concentrates in the tail band
     gib_bands = [r["band"] for r in out if 200 <= r["doc_id"] < 300]
     assert gib_bands.count("tail") >= len(gib_bands) * 0.7
+
+
+# ---------------------------------------------------------------------------
+# modified Kneser-Ney (r11; three-discount KenLM variant)
+# ---------------------------------------------------------------------------
+
+def test_mkn_discount_estimates(spark, tiny):
+    # c12 types: counts {2:1, 1:2} -> n1=2, n2=1, n3=n4=0
+    # Y = 2/4 = 0.5; D1 = 1 - 2*0.5*(1/2) = 0.5;
+    # D2 = 2 - 3*0.5*(0/1) = 2.0; D3 (n3=0 fallback) = 3*0.5 = 1.5
+    m = lm.train_mkn_bigram_lm(tiny)
+    assert (m.d1, m.d2, m.d3) == pytest.approx((0.5, 2.0, 1.5))
+    assert m.types == 3 and m.vocab == 4
+
+
+def test_mkn_hand_computed(spark, tiny):
+    # gamma(a) = D1*1 + D2*1 = 2.5; gamma(b) = D1*1 = 0.5; Pcont = 2/7
+    out = {r["doc_id"]: r for r in lm.mkn_bigram_lm_perplexity(tiny).collect()}
+    p_ba = (2 - 2.0) / 3 + 2.5 / 3 * (2 / 7)
+    p_ab = (1 - 0.5) / 1 + 0.5 / 1 * (2 / 7)
+    p_ca = (1 - 0.5) / 3 + 2.5 / 3 * (2 / 7)
+    avg1 = (2 * math.log(p_ba) + math.log(p_ab)) / 3
+    assert out[1]["avg_logprob"] == pytest.approx(avg1, rel=1e-12)
+    assert out[2]["avg_logprob"] == pytest.approx(math.log(p_ca), rel=1e-12)
+
+
+def test_mkn_normalizes_over_vocab(spark, tiny):
+    """The gamma construction funds backoff with exactly the
+    discounted mass, so P sums to 1 per context — seen and unseen."""
+    model = lm.train_mkn_bigram_lm(tiny)
+    probes = [
+        (i, f"{w1} {w2}")
+        for i, (w1, w2) in enumerate(
+            (w1, w2) for w1 in ["a", "b", "x"] for w2 in ["a", "b", "c", "x"]
+        )
+    ]
+    df = spark.createDataFrame(probes, ["doc_id", "text"])
+    by_doc = {
+        r["doc_id"]: math.exp(r["avg_logprob"])
+        for r in lm.score_mkn_bigram_lm(df, model).collect()
+    }
+    for block in range(3):
+        s = sum(by_doc[block * 4 + j] for j in range(4))
+        assert s == pytest.approx(1.0, rel=1e-12), f"ctx block {block}: {s}"
+
+
+def test_mkn_oov_finite_and_ranks_gibberish(spark):
+    clean, gib = _planted_corpus()
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(clean[:30])], ["doc_id", "text"]
+    )
+    test = spark.createDataFrame(
+        [(0, clean[30]), (1, gib[0]), (2, "zzq qqz xxj jjx")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm.mkn_bigram_lm_perplexity(test, train=train).collect()
+    }
+    assert all(math.isfinite(v) and v > 0 for v in out.values())
+    assert out[1] > out[0] * 2 and out[2] > out[0]
