@@ -106,6 +106,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="HLL vocabulary estimate instead of the exact distinct "
         "shuffle (~2%% rsd)",
     )
+    s.add_argument(
+        "--smoothing", choices=("addalpha", "kn", "mkn"),
+        default="addalpha",
+        help="addalpha (default), kn (interpolated Kneser-Ney), or "
+        "mkn (modified KN, three discounts); the artifact records the "
+        "kind and lm-score / the streaming monitor auto-dispatch",
+    )
 
     s = sub.add_parser(
         "lm-score",
@@ -157,21 +164,33 @@ def run(args: argparse.Namespace, spark=None) -> int:
     if args.cmd == "lm-train":
         from balboa_spark.operators import lm
 
-        model = lm.train_bigram_lm(
-            spark.read.parquet(args.input),
-            alpha=args.alpha,
-            min_count=args.min_count,
-            approx_vocab=args.approx_vocab,
-        )
-        lm.save_bigram_lm(model, args.model)
+        docs = spark.read.parquet(args.input)
+        if args.smoothing == "kn":
+            lm.save_kn_bigram_lm(
+                lm.train_kn_bigram_lm(docs, alpha_c=args.alpha), args.model
+            )
+        elif args.smoothing == "mkn":
+            lm.save_mkn_bigram_lm(
+                lm.train_mkn_bigram_lm(docs, alpha_c=args.alpha), args.model
+            )
+        else:
+            lm.save_bigram_lm(
+                lm.train_bigram_lm(
+                    docs,
+                    alpha=args.alpha,
+                    min_count=args.min_count,
+                    approx_vocab=args.approx_vocab,
+                ),
+                args.model,
+            )
         return 0
 
     if args.cmd == "lm-score":
         from balboa_spark.operators import lm
 
-        scored = lm.score_bigram_lm(
-            spark.read.parquet(args.input),
-            lm.load_bigram_lm(spark, args.model),
+        model, score_fn = lm.load_any_lm(spark, args.model)
+        scored = score_fn(
+            spark.read.parquet(args.input), model, "text", "doc_id"
         )
         scored.write.mode("overwrite").parquet(args.out)
         return 0

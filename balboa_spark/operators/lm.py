@@ -195,6 +195,104 @@ def load_bigram_lm(spark: SparkSession, path: str) -> BigramLM:
     )
 
 
+def save_kn_bigram_lm(model: KNBigramLM, path: str) -> None:
+    """Persist interpolated KN as a parquet artifact: only ``c12`` and
+    the scalar meta row travel — ctx/cont are gram-type-sized
+    DERIVATIONS of c12 and are rebuilt lazily on load, so the artifact
+    stays one relation and can never desync from its statistics."""
+    model.c12.write.mode("overwrite").parquet(os.path.join(path, "c12"))
+    spark = model.c12.sparkSession
+    (
+        spark.createDataFrame(
+            [("kn", model.types, model.vocab, model.discount, model.alpha_c)],
+            "kind string, types long, vocab long, discount double,"
+            " alpha_c double",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "meta"))
+    )
+
+
+def load_kn_bigram_lm(spark: SparkSession, path: str) -> KNBigramLM:
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    if meta["kind"] != "kn":
+        raise ValueError(f"artifact at {path} is kind={meta['kind']!r}, not kn")
+    c12 = spark.read.parquet(os.path.join(path, "c12"))
+    return KNBigramLM(
+        c12=c12,
+        ctx=c12.groupBy("w1").agg(
+            F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fw")
+        ),
+        cont=c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw")),
+        types=meta["types"],
+        vocab=meta["vocab"],
+        discount=meta["discount"],
+        alpha_c=meta["alpha_c"],
+    )
+
+
+def save_mkn_bigram_lm(model: MKNBigramLM, path: str) -> None:
+    """Modified-KN artifact: c12 + the scalar meta row (three
+    discounts); ctx buckets and continuation counts rebuild from c12
+    on load, same single-relation shape as the KN artifact."""
+    model.c12.write.mode("overwrite").parquet(os.path.join(path, "c12"))
+    spark = model.c12.sparkSession
+    (
+        spark.createDataFrame(
+            [(
+                "mkn", model.types, model.vocab,
+                model.d1, model.d2, model.d3, model.alpha_c,
+            )],
+            "kind string, types long, vocab long, d1 double, d2 double,"
+            " d3 double, alpha_c double",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "meta"))
+    )
+
+
+def load_mkn_bigram_lm(spark: SparkSession, path: str) -> MKNBigramLM:
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    if meta["kind"] != "mkn":
+        raise ValueError(
+            f"artifact at {path} is kind={meta['kind']!r}, not mkn"
+        )
+    c12 = spark.read.parquet(os.path.join(path, "c12"))
+    return MKNBigramLM(
+        c12=c12,
+        ctx=c12.groupBy("w1").agg(
+            F.sum("c12").alias("c1"),
+            F.sum((F.col("c12") == 1).cast("long")).alias("kn1"),
+            F.sum((F.col("c12") == 2).cast("long")).alias("kn2"),
+            F.sum((F.col("c12") >= 3).cast("long")).alias("kn3p"),
+        ),
+        cont=c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw")),
+        types=meta["types"],
+        vocab=meta["vocab"],
+        d1=meta["d1"],
+        d2=meta["d2"],
+        d3=meta["d3"],
+        alpha_c=meta["alpha_c"],
+    )
+
+
+def load_any_lm(spark: SparkSession, path: str):
+    """Artifact dispatcher: read the meta row's ``kind`` (absent on
+    pre-r11 add-alpha artifacts) and return ``(model, score_fn)`` where
+    ``score_fn(df, model, text_col, id_col)`` is the matching scorer —
+    the seam the streaming monitor and the lm-score CLI share so a
+    frozen artifact of ANY smoothing drops in."""
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    kind = meta["kind"] if "kind" in meta.__fields__ else "addalpha"
+    if kind == "kn":
+        return load_kn_bigram_lm(spark, path), score_kn_bigram_lm
+    if kind == "mkn":
+        return load_mkn_bigram_lm(spark, path), score_mkn_bigram_lm
+    return load_bigram_lm(spark, path), score_bigram_lm
+
+
 class BigramCountStore:
     """Incrementally-updatable gram counts on disk — the artifact that
     keeps a deployed LM fresh from a stream without ever retraining on

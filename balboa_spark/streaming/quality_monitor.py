@@ -196,6 +196,11 @@ def perplexity_monitor_sink(
     epoch mean leaves ``alert_bounds`` — the text-quality twin of
     ``drift_monitor_sink``'s numeric PSI alarm.
 
+    The artifact may be any of the module's smoothings — add-alpha,
+    interpolated KN, or modified KN (``lm.load_any_lm`` dispatches on
+    the meta row's kind) — so a CCNet-grade frozen KN model drops in
+    without touching the monitor.
+
     The model is loaded from the artifact through the BATCH's session
     (foreachBatch hands a micro-batch-scoped session; joining against
     DataFrames built on the outer session is not contract-safe), so
@@ -203,7 +208,7 @@ def perplexity_monitor_sink(
     after the first epoch) plus the gram-keyed score joins. Driver
     state per epoch is one stats row.
     """
-    from balboa_spark.operators.lm import load_bigram_lm, score_bigram_lm
+    from balboa_spark.operators.lm import load_any_lm
 
     _check_series_format(out_path)
 
@@ -211,9 +216,9 @@ def perplexity_monitor_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        model = load_bigram_lm(spark, model_path)
+        model, score_fn = load_any_lm(spark, model_path)
         stats = (
-            score_bigram_lm(batch_df, model, text_col, id_col)
+            score_fn(batch_df, model, text_col, id_col)
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.avg("avg_logprob").alias("mean_logprob"),

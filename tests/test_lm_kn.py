@@ -418,3 +418,82 @@ def test_mkn_oov_finite_and_ranks_gibberish(spark):
     }
     assert all(math.isfinite(v) and v > 0 for v in out.values())
     assert out[1] > out[0] * 2 and out[2] > out[0]
+
+
+# ---------------------------------------------------------------------------
+# KN/MKN artifacts + dispatcher (r11)
+# ---------------------------------------------------------------------------
+
+def test_kn_save_load_roundtrip_scores_identically(spark, tiny, tmp_path):
+    model = lm.train_kn_bigram_lm(tiny)
+    lm.save_kn_bigram_lm(model, str(tmp_path / "knart"))
+    loaded = lm.load_kn_bigram_lm(spark, str(tmp_path / "knart"))
+    a = {r["doc_id"]: r["avg_logprob"]
+         for r in lm.score_kn_bigram_lm(tiny, model).collect()}
+    b = {r["doc_id"]: r["avg_logprob"]
+         for r in lm.score_kn_bigram_lm(tiny, loaded).collect()}
+    assert a == b
+    assert (loaded.types, loaded.vocab, loaded.discount) == (
+        model.types, model.vocab, model.discount
+    )
+
+
+def test_mkn_save_load_roundtrip(spark, tiny, tmp_path):
+    model = lm.train_mkn_bigram_lm(tiny)
+    lm.save_mkn_bigram_lm(model, str(tmp_path / "mknart"))
+    loaded = lm.load_mkn_bigram_lm(spark, str(tmp_path / "mknart"))
+    a = {r["doc_id"]: r["avg_logprob"]
+         for r in lm.score_mkn_bigram_lm(tiny, model).collect()}
+    b = {r["doc_id"]: r["avg_logprob"]
+         for r in lm.score_mkn_bigram_lm(tiny, loaded).collect()}
+    assert a == b
+
+
+def test_load_any_lm_dispatches_by_artifact_kind(spark, tiny, tmp_path):
+    lm.save_bigram_lm(lm.train_bigram_lm(tiny), str(tmp_path / "aa"))
+    lm.save_kn_bigram_lm(lm.train_kn_bigram_lm(tiny), str(tmp_path / "kn"))
+    lm.save_mkn_bigram_lm(lm.train_mkn_bigram_lm(tiny), str(tmp_path / "mk"))
+    m, fn = lm.load_any_lm(spark, str(tmp_path / "aa"))
+    assert isinstance(m, lm.BigramLM) and fn is lm.score_bigram_lm
+    m, fn = lm.load_any_lm(spark, str(tmp_path / "kn"))
+    assert isinstance(m, lm.KNBigramLM) and fn is lm.score_kn_bigram_lm
+    m, fn = lm.load_any_lm(spark, str(tmp_path / "mk"))
+    assert isinstance(m, lm.MKNBigramLM) and fn is lm.score_mkn_bigram_lm
+    with pytest.raises(ValueError, match="not kn"):
+        lm.load_kn_bigram_lm(spark, str(tmp_path / "mk"))
+
+
+def test_cli_lm_train_kn_and_score(spark, tiny, tmp_path):
+    from balboa_spark.cli import main as cli_main
+
+    inp = str(tmp_path / "docs")
+    tiny.write.mode("overwrite").parquet(inp)
+    art = str(tmp_path / "cliart")
+    out = str(tmp_path / "scored")
+    assert cli_main(["lm-train", inp, art, "--smoothing", "kn"]) == 0
+    assert cli_main(["lm-score", art, inp, out]) == 0
+    got = {r["doc_id"]: r["avg_logprob"]
+           for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"]: r["avg_logprob"]
+            for r in lm.kn_bigram_lm_perplexity(tiny).collect()}
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_perplexity_monitor_accepts_kn_artifact(spark, tiny, tmp_path):
+    from balboa_spark.streaming.quality_monitor import perplexity_monitor_sink
+
+    art = str(tmp_path / "monart")
+    lm.save_kn_bigram_lm(lm.train_kn_bigram_lm(tiny), art)
+    series = str(tmp_path / "series")
+    alerts = []
+    sink = perplexity_monitor_sink(
+        art, series, alert_bounds=(0.0, 1.0),
+        on_alert=lambda e, m: alerts.append((e, m)),
+    )
+    sink(tiny, 0)  # foreachBatch functions are plain callables
+    rows = spark.read.parquet(series).collect()
+    assert len(rows) == 1 and rows[0]["n_docs"] == 2
+    # mean ppl of the tiny corpus is > 1, so the (0, 1) band alerts
+    assert alerts and alerts[0][0] == 0
