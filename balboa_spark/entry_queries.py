@@ -287,7 +287,6 @@ CAP_50 = [
     "cidr_search",        # C1 numeric-range CIDR
     "input_normalize",    # §2.11 scalar-function surface
     # -- one representative per big family (green r5-r7) --
-    "dedup_exact",
     "dedup_near_keep",
     "dedup_components",
     "embedding_knn_join",
@@ -333,6 +332,7 @@ CAP_50 = [
     "corpus_lm_sbo_perplexity",
     "corpus_lm_band",
     "pipeline_ccnet",
+    "exact_dedup_store",
     # -- promoted r11: last real-driver green in r7, three rounds ago --
     "events_rolling_1h",
     "events_funnel",
@@ -360,6 +360,7 @@ CAP_50 = [
 #     observations_agg.
 _TAIL = [
     # --- demoted r11 (kernels unchanged) ---
+    "dedup_exact",             # green r5-r7+r10; exact-dedup family now graded harder via in-cap exact_dedup_store (same keep rule + persisted history)
     "explode_normalize",       # green r6+r10; FEVER two-level explode kernel
     "entries_rrname_residual", # green r6+r10; rides in-cap entries_rrname + F5 predicate
     "cof_projection",          # green r6+r10; pure projection over in-cap agg

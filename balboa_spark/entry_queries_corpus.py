@@ -2155,6 +2155,60 @@ def q_lm_store_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.score_kn_bigram_lm(docs, store.kn_model()).orderBy("doc_id")
 
 
+def q_exact_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactDedupStore roundtrip (r11): the corpus plus a parity-
+    flipped duplicate block (doc_id + 10001 — an even original's dup
+    lands in the ODD batch and vice versa) is processed as two
+    stream epochs against a real on-disk fingerprint history. The
+    keep rule the oracle replays: first batch to carry a fingerprint
+    wins, lowest id within that batch."""
+    import tempfile
+
+    from balboa_spark.operators.dedup_store import ExactDedupStore
+
+    docs = load_tables(spark, sf_dir, names=("documents",))[
+        "documents"
+    ].select("doc_id", "source", "text")
+    planted = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 10001).alias("doc_id"), "source", "text"
+        )
+    )
+    store = ExactDedupStore(
+        spark, tempfile.mkdtemp(prefix="balboa_exact_store_entry_")
+    )
+    out0 = store.process_batch(
+        planted.where(F.col("doc_id") % 2 == 0), epoch_id=0
+    )
+    out1 = store.process_batch(
+        planted.where(F.col("doc_id") % 2 == 1), epoch_id=1
+    )
+    return (
+        out0.unionByName(out1).select("doc_id", "source").orderBy("doc_id")
+    )
+
+
+EXACT_DEDUP_STORE_ORACLE = r"""
+WITH raw AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10001, source, text FROM documents
+),
+f AS (
+  SELECT doc_id, source, doc_id % 2 AS batch,
+         md5(array_to_string(list_filter(
+           string_split_regex(lower(text), '\s+'), t -> t <> ''), ' ')) AS fp
+  FROM raw
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY fp ORDER BY batch, doc_id) AS rn
+  FROM f
+)
+SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_pipeline_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed CCNet curation chain (lm.ccnet_pipeline),
     integration-graded end to end like pipeline_pretrain/crawl: a
@@ -2382,6 +2436,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_lm_sbo_perplexity": q_lm_sbo_perplexity,
     "corpus_lm_band": q_lm_band,
     "pipeline_ccnet": q_pipeline_ccnet,
+    "exact_dedup_store": q_exact_dedup_store,
     "corpus_leakage_split": q_leakage_split,
     "corpus_span_dedup": q_span_dedup,
     "span_dedup_store": q_span_dedup_store,
@@ -2447,5 +2502,6 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_lm_sbo_perplexity": LM_SBO_PERPLEXITY_ORACLE,
     "corpus_lm_band": LM_BAND_ORACLE,
     "pipeline_ccnet": PIPELINE_CCNET_ORACLE,
+    "exact_dedup_store": EXACT_DEDUP_STORE_ORACLE,
     "corpus_leakage_split": LEAKAGE_SPLIT_ORACLE,
 }

@@ -407,6 +407,126 @@ class MinHashDedupStore:
         )
 
 
+class ExactDedupStore:
+    """Incremental EXACT document dedup against a persisted
+    fingerprint history — the cheapest cross-batch dedup (one md5 per
+    document, no banding): a batch document is dropped iff its
+    normalized-text hash was kept in ANY earlier batch, or an
+    earlier (lower-id) row of the same batch carries it.
+
+    State is the distinct fingerprint set, partitioned by a 256-way
+    hex-prefix bucket (same letter-prefixed convention as
+    SpanDedupStore) so the history side of the semi-join is
+    partition-prunable. Normalization is the shared token convention
+    (lowercase, whitespace tokens re-joined), matching
+    ``lm.ccnet_pipeline``'s dedup stage — this store is its streaming
+    twin.
+
+    Replay safety is epoch-scoped like the other dedup stores: with
+    ``epoch_id`` passed, decisions exclude the current stream-epoch's
+    own fingerprints and the epoch write is an overwrite, so a torn
+    batch replays to the identical kept-set. ``compact()`` /
+    ``max_live_epochs`` fold committed epochs with the shared
+    one-generation grace (``_compact_epochs``)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.fp_path = os.path.join(path, "fps")
+        _check_format(path)
+
+    _read_manifest = MinHashDedupStore._read_manifest
+    _next_epoch = MinHashDedupStore._next_epoch
+
+    def _write_manifest(
+        self, extra: dict | None = None, expected_seq: int | None = None
+    ) -> None:
+        from balboa_spark.plans.genstore import flip_manifest
+
+        prev = self._read_manifest() or {}
+        if expected_seq is None:
+            expected_seq = prev.get("commit_seq", 0)
+        man = {**prev, "format": STORE_FORMAT}
+        if extra:
+            man.update(extra)
+        flip_manifest(self.path, man, MANIFEST, expected_seq=expected_seq)
+
+    def fingerprints(self, exclude_scope: str | None = None) -> DataFrame | None:
+        if not os.path.exists(self.fp_path):
+            return None
+        df = self.spark.read.parquet(self.fp_path)
+        if exclude_scope is not None and "epoch" in df.columns:
+            df = df.filter(F.col("epoch") != exclude_scope)
+        return df
+
+    @staticmethod
+    def _fp(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        from balboa_spark.operators.text import tokens
+
+        fp = F.md5(F.array_join(tokens(F.col(text_col)), " "))
+        return df.select(
+            F.col(id_col).alias("id"),
+            fp.alias("_h"),
+        ).withColumn("bucket", F.concat(F.lit("h"), F.substring("_h", 1, 2)))
+
+    def process_batch(
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        epoch_id: int | None = None,
+        stream_id: str = "default",
+        max_live_epochs: int | None = None,
+    ) -> DataFrame:
+        """Return the batch rows that survive exact dedup (keep-first
+        by arrival, then by lowest id within the batch) and append the
+        survivors' NEW fingerprints under the stream-scoped epoch."""
+        fps = self._fp(batch, text_col, id_col).localCheckpoint(eager=True)
+        scope = None if epoch_id is None else _epoch_scope(epoch_id, stream_id)
+        stored = self.fingerprints(exclude_scope=scope)
+        if stored is not None:
+            fresh = fps.join(stored, ["bucket", "_h"], "left_anti")
+        else:
+            fresh = fps
+        # within-batch keep-first: lowest id per fingerprint
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_h").orderBy("id")
+        kept_ids = (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("id", "bucket", "_h")
+            .localCheckpoint(eager=True)  # decide before the append job
+        )
+        self._write_manifest()
+        new_fps = kept_ids.select("bucket", "_h").distinct()
+        ep_scope = (
+            f"auto-{self._next_epoch(self.fp_path)}"
+            if epoch_id is None
+            else scope
+        )
+        (
+            new_fps.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(self.fp_path, f"epoch={ep_scope}"))
+        )
+        out = batch.join(
+            kept_ids.select(F.col("id").alias(id_col)), [id_col], "left_semi"
+        )
+        if (
+            max_live_epochs is not None
+            and _live_scope_count(self, self.fp_path) > max_live_epochs
+        ):
+            self.compact()
+        return out
+
+    def compact(self, vacuum: bool = False) -> int:
+        return _compact_epochs(
+            self, self.fp_path, ["bucket", "_h"], "bucket", vacuum
+        )
+
+
 class SpanDedupStore:
     """Incremental EXACT span dedup against a persisted window-hash
     history — the cross-batch twin of corpus.span_dedup (keep-first

@@ -398,3 +398,100 @@ def test_postings_upsert_epochs_scoped_per_stream(spark, tmp_path):
     # replay of B's epoch 0: no-op, no append-only violation raised
     idx.upsert(_docs(spark, [(3, "alpha omega")]), epoch_id=0, stream_id="B")
     assert idx._manifest()["n"] == 3
+
+
+# ---------------------------------------------------------------------------
+# ExactDedupStore (r11): persisted whole-document fingerprint history
+# ---------------------------------------------------------------------------
+
+def test_exact_store_cross_and_within_batch(spark, tmp_path):
+    from balboa_spark.operators.dedup_store import ExactDedupStore
+
+    store = ExactDedupStore(spark, str(tmp_path / "xs"))
+    kept1 = store.process_batch(
+        _docs(spark, [(5, "alpha beta gamma"), (3, "alpha beta gamma"),
+                      (7, "something else entirely")]),
+        epoch_id=0, stream_id="s",
+    )
+    # within-batch keep-first: lowest id wins
+    assert sorted(r.doc_id for r in kept1.collect()) == [3, 7]
+    kept2 = store.process_batch(
+        _docs(spark, [(10, "ALPHA   beta GAMMA"),  # normalizes equal
+                      (11, "fresh new content")]),
+        epoch_id=1, stream_id="s",
+    )
+    assert sorted(r.doc_id for r in kept2.collect()) == [11]
+
+
+def test_exact_store_replay_is_stable(spark, tmp_path):
+    from balboa_spark.operators.dedup_store import ExactDedupStore
+
+    store = ExactDedupStore(spark, str(tmp_path / "xr"))
+    b0 = _docs(spark, [(1, "one two three"), (2, "four five six")])
+    store.process_batch(b0, epoch_id=0, stream_id="s")
+    b1 = _docs(spark, [(3, "one two three"), (4, "seven eight nine")])
+    first = sorted(
+        r.doc_id
+        for r in store.process_batch(b1, epoch_id=1, stream_id="s").collect()
+    )
+    # torn-batch replay of epoch 1: history excludes its own epoch, so
+    # the decisions (and rewritten state) are identical
+    replay = sorted(
+        r.doc_id
+        for r in store.process_batch(b1, epoch_id=1, stream_id="s").collect()
+    )
+    assert first == replay == [4]
+
+
+def test_exact_store_compact_preserves_decisions(spark, tmp_path):
+    from balboa_spark.operators.dedup_store import ExactDedupStore
+
+    store = ExactDedupStore(spark, str(tmp_path / "xc"))
+    for e in range(4):
+        store.process_batch(
+            _docs(spark, [(10 * e, f"content block number {e}")]),
+            epoch_id=e, stream_id="s",
+        )
+    assert store.compact() == 3  # s-0..s-2 fold, latest stays
+    kept = store.process_batch(
+        _docs(spark, [(100, "content block number 0"),
+                      (101, "a genuinely new block")]),
+        epoch_id=4, stream_id="s", max_live_epochs=2,
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [101]
+
+
+def test_streaming_ccnet_composition(spark, tmp_path):
+    """The streaming CCNet story end to end: per micro-batch, exact
+    dedup against the persisted fingerprint history, fold the
+    survivors' gram counts into the BigramCountStore, then score each
+    batch with the store's CURRENT interpolated-KN model. Decisions
+    and scores are pure functions of committed state, so the whole
+    chain is replay-stable batch over batch."""
+    from balboa_spark.operators import lm
+    from balboa_spark.operators.dedup_store import ExactDedupStore
+
+    dstore = ExactDedupStore(spark, str(tmp_path / "ccd"))
+    cstore = lm.BigramCountStore(spark, str(tmp_path / "ccc"))
+    batches = [
+        _docs(spark, [(1, "the cat sat on the mat"),
+                      (2, "the dog sat on the mat")]),
+        _docs(spark, [(3, "the cat sat on the mat"),  # exact dup -> dropped
+                      (4, "the bird flew over the tree")]),
+    ]
+    scored_counts = []
+    for e, b in enumerate(batches):
+        kept = dstore.process_batch(b, epoch_id=e, stream_id="cc")
+        cstore.process_batch(kept, epoch_id=e, stream_id="cc",
+                             max_live_epochs=4)
+        scored = lm.score_kn_bigram_lm(kept, cstore.kn_model())
+        scored_counts.append(sorted(r.doc_id for r in scored.collect()))
+    assert scored_counts[0] == [1, 2]
+    assert scored_counts[1] == [4]  # doc 3 never reaches the LM
+    # the folded model saw exactly the kept docs: vocabulary covers
+    # both batches' survivors, not the duplicate
+    model = cstore.kn_model()
+    assert model.vocab == len(
+        {"the", "cat", "sat", "on", "mat", "dog", "bird", "flew", "over",
+         "tree"}
+    )
