@@ -254,20 +254,22 @@ QUERIES.update(QUERIES_TEMPORAL)
 # in-cap because round 10 changes their kernel (full published PSL
 # list becomes the default rule set) — they need fresh grading.
 #
-# Round-11 rotation (this round; executes the r10 plan + 7 new
+# Round-11 rotation (this round; executes the r10 plan + 9 new
 # kernels): IN = the 10 stalest tail entries (last real-driver green
 # in r7: events_rolling_1h, events_funnel, events_zorder,
 # corpus_tfidf_keywords, corpus_boilerplate, corpus_quality_bins,
 # corpus_mixture_upsample, corpus_expectations, corpus_pack_sequences,
-# dedup_semantic) + the 7 r11-new entries (corpus_lm_kn_perplexity,
+# dedup_semantic) + the 9 r11-new entries (corpus_lm_kn_perplexity,
 # corpus_lm_kn3_perplexity, corpus_lm_mkn_perplexity,
-# lm_store_kn_perplexity, corpus_lm_sbo_perplexity, corpus_lm_band,
-# pipeline_ccnet). OUT = the 10 entries promoted in r10 (green r6 AND
-# r10, kernels unchanged since) + 7 of the r7-first-graded cohort now
-# green in four consecutive rounds r7-r10 (corpus_dedup_units,
-# corpus_dsir_topk, events_props_profile, corpus_pack_boundaries,
-# ann_quality_eval, corpus_passage_cdc, corpus_span_dedup — each with
-# its family still in-cap).
+# lm_store_kn_perplexity, lm_store_kn3_perplexity,
+# corpus_lm_sbo_perplexity, corpus_lm_band, pipeline_ccnet,
+# exact_dedup_store). OUT = the 10 entries promoted in r10 (green r6
+# AND r10, kernels unchanged since) + 9 multi-green entries
+# (corpus_dedup_units, corpus_dsir_topk, events_props_profile,
+# corpus_pack_boundaries, ann_quality_eval, corpus_passage_cdc,
+# corpus_span_dedup, corpus_quality_classifier — each r7-r10 4x green
+# with its family still in-cap — and dedup_exact, whose keep rule is
+# now graded harder via exact_dedup_store).
 # Kernel-changed-this-round entries all stay in-cap: lm_store
 # (CAS + retired-scope tracking), store_delta_fold (CAS),
 # span_dedup_store (compact + auto-scope guard), bm25_store_topk /
@@ -320,7 +322,6 @@ CAP_50 = [
     #    grading wanted --
     "customer_fuzzy_pairs",
     "corpus_domain_profile",
-    "corpus_quality_classifier",
     "pipeline_crawl",
     "corpus_domain_cap",
     "events_psi_drift",
@@ -329,6 +330,7 @@ CAP_50 = [
     "corpus_lm_kn3_perplexity",
     "corpus_lm_mkn_perplexity",
     "lm_store_kn_perplexity",
+    "lm_store_kn3_perplexity",
     "corpus_lm_sbo_perplexity",
     "corpus_lm_band",
     "pipeline_ccnet",
@@ -374,6 +376,7 @@ _TAIL = [
     "corpus_pack_boundaries",  # green r7-r10 (4x); packing family in-cap via corpus_pack_sequences (promoted r11)
     "corpus_passage_cdc",      # green r7-r10 (4x); span/CDC family in-cap via span_dedup_store
     "corpus_span_dedup",       # green r7-r10 (4x); same span kernel driver-graded via in-cap span_dedup_store
+    "corpus_quality_classifier",  # green r7-r10 (4x); quality family in-cap via corpus_quality_signals
     "ann_quality_eval",        # green r7-r10 (4x); ANN family in-cap via ann_lsh_topk
     "corpus_dedup_units",      # green r7-r10 (4x); paragraph-unit explode kernel
     "corpus_dsir_topk",        # green r7-r10 (4x); hashed-ngram importance kernel

@@ -1959,9 +1959,10 @@ def q_lm_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the ADJUSTED continuation counts (trigram types grouped by their
 # last-2-token suffix), the order-1 table likewise from bigram types;
 # one Ney discount per order. Arithmetic mirrors the Column tree.
-LM_KN3_PERPLEXITY_ORACLE = f"""
+def _kn3_oracle(train_pred: str) -> str:
+    return f"""
 WITH {_TOKS_SQL},
-ttoks AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+ttoks AS (SELECT * FROM toks WHERE {train_pred}),
 tg3 AS (
   SELECT ctx, w, count(*) AS c3 FROM (
     SELECT unnest(list_transform(range(1, len(tk) - 1),
@@ -2041,6 +2042,9 @@ SELECT doc_id, count(*) AS n_grams,
        exp(-(sum(lp) / count(*))) AS perplexity
 FROM j GROUP BY doc_id ORDER BY doc_id
 """
+
+
+LM_KN3_PERPLEXITY_ORACLE = _kn3_oracle("doc_id % 2 = 0")
 
 
 def q_lm_mkn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2322,6 +2326,28 @@ ORDER BY sc.doc_id
 """
 
 
+def q_lm_store_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NgramCountStore roundtrip (r11): two disjoint batches folded on
+    disk as (k, ctx, w, c) counts for every order 1..3, compacted,
+    then scored with the store's order-3 interpolated-KN model —
+    every adjusted table, context stat and discount derives from the
+    folded counts, so the result equals one-shot self-trained
+    kn_ngram_lm_perplexity; same oracle with the full-corpus train
+    predicate."""
+    import tempfile
+
+    from balboa_spark.operators import lm
+
+    docs = _docs(spark, sf_dir)
+    store = lm.NgramCountStore(
+        spark, tempfile.mkdtemp(prefix="balboa_kn3store_entry_"), n=3
+    )
+    for e in range(2):
+        store.process_batch(docs.where(F.col("doc_id") % 2 == e), epoch_id=e)
+    store.compact()
+    return store.kn_perplexity(docs).orderBy("doc_id")
+
+
 BAND_LO, BAND_HI = 0.1, 0.8
 
 
@@ -2433,6 +2459,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_lm_kn3_perplexity": q_lm_kn3_perplexity,
     "corpus_lm_mkn_perplexity": q_lm_mkn_perplexity,
     "lm_store_kn_perplexity": q_lm_store_kn_perplexity,
+    "lm_store_kn3_perplexity": q_lm_store_kn3_perplexity,
     "corpus_lm_sbo_perplexity": q_lm_sbo_perplexity,
     "corpus_lm_band": q_lm_band,
     "pipeline_ccnet": q_pipeline_ccnet,
@@ -2499,6 +2526,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_lm_kn3_perplexity": LM_KN3_PERPLEXITY_ORACLE,
     "corpus_lm_mkn_perplexity": LM_MKN_PERPLEXITY_ORACLE,
     "lm_store_kn_perplexity": _kn_bigram_oracle("TRUE"),
+    "lm_store_kn3_perplexity": _kn3_oracle("TRUE"),
     "corpus_lm_sbo_perplexity": LM_SBO_PERPLEXITY_ORACLE,
     "corpus_lm_band": LM_BAND_ORACLE,
     "pipeline_ccnet": PIPELINE_CCNET_ORACLE,

@@ -574,6 +574,163 @@ class BigramCountStore:
                 )
 
 
+class NgramCountStore:
+    """Order-n generalization of :class:`BigramCountStore` (r11): one
+    on-disk (k, ctx, w, c) count relation covering EVERY order 1..n,
+    folded incrementally from a stream — the artifact that keeps the
+    order-n interpolated-KN and stupid-backoff scorers fresh without
+    retraining, the same way the bigram store serves the order-2
+    models. Same manifest protocol end to end (live list as the
+    readers' truth, per-stream applied marks surviving compaction,
+    commit-seq CAS, retired-scope grace, ``max_live_epochs`` size
+    trigger) — the only differences are the row schema and that the
+    epoch dirs are additionally partitioned by ``k`` so single-order
+    readers prune.
+
+    Associativity argument: per-batch counts sum across epochs, and
+    every statistic the scorers derive (adjusted continuation tables,
+    context totals, count-of-counts discounts, vocabulary) is a
+    function of the FOLDED counts alone — so merge-on-read equals the
+    one-shot model, extended from the bigram store's sums to the full
+    derivation tree."""
+
+    def __init__(self, spark: SparkSession, path: str, n: int = 3):
+        if n < 2:
+            raise ValueError(f"n must be >= 2, got {n}")
+        self.spark = spark
+        self.path = path
+        self._man_path = os.path.join(path, "manifest.json")
+        man = self._manifest()
+        if man.get("n") is not None and man["n"] != n:
+            raise ValueError(
+                f"store at {path} was built with n={man['n']}, got {n}"
+            )
+        self.n = n
+
+    # manifest protocol shared verbatim with the bigram store
+    _manifest = BigramCountStore._manifest
+    _live = BigramCountStore._live
+    _write_manifest = BigramCountStore._write_manifest
+    _read_live = BigramCountStore._read_live
+
+    def process_batch(
+        self,
+        batch: DataFrame,
+        epoch_id: int,
+        stream_id: str = "default",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_live_epochs: int | None = None,
+    ) -> None:
+        if not re.fullmatch(r"[A-Za-z0-9_.]+", stream_id) or stream_id == "base":
+            raise ValueError(f"invalid stream_id {stream_id!r}")
+        man = self._manifest()
+        expected_seq = man.get("commit_seq", 0)
+        scope = f"{stream_id}-{epoch_id}"
+        if (
+            epoch_id <= man["applied"].get(stream_id, -1)
+            and scope not in man["live"]
+        ):
+            return  # replayed epoch already folded into a base generation
+        if batch.isEmpty():
+            return
+        (
+            _all_order_counts(batch, self.n, text_col)
+            .repartition("k")
+            .write.mode("overwrite")
+            .partitionBy("k")
+            .parquet(os.path.join(self.path, "grams", f"epoch={scope}"))
+        )
+        if scope not in man["live"]:
+            man["live"] = man["live"] + [scope]
+        man["applied"][stream_id] = max(
+            epoch_id, man["applied"].get(stream_id, -1)
+        )
+        man["n"] = self.n
+        self._write_manifest(man, expected_seq=expected_seq)
+        if max_live_epochs is not None and len(man["live"]) > max_live_epochs:
+            self.compact()
+
+    def counts(self) -> DataFrame | None:
+        """Current (k, ctx, w, c) — the merge-on-read fold."""
+        g = self._read_live("grams")
+        if g is None:
+            return None
+        return g.groupBy("k", "ctx", "w").agg(F.sum("c").alias("c"))
+
+    def kn_perplexity(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        discount: float | None = None,
+        alpha_c: float = 1.0,
+    ) -> DataFrame:
+        """Score against the CURRENT folded order-n KN model — equal
+        to one-shot ``kn_ngram_lm_perplexity`` over the full history."""
+        counts = self.counts()
+        if counts is None:
+            raise ValueError(f"empty store at {self.path}")
+        counts = counts.localCheckpoint(eager=True)
+        return _kn_ngram_score_from_counts(
+            df, counts, self.n, text_col, id_col, discount, alpha_c
+        )
+
+    def sbo_perplexity(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        backoff: float = 0.4,
+        alpha: float = 1.0,
+    ) -> DataFrame:
+        counts = self.counts()
+        if counts is None:
+            raise ValueError(f"empty store at {self.path}")
+        counts = counts.localCheckpoint(eager=True)
+        return _sbo_score_from_counts(
+            df, counts, self.n, text_col, id_col, backoff, alpha
+        )
+
+    def compact(self, vacuum: bool = False) -> None:
+        """Fold live epochs into one base generation with the same
+        retired-scope one-generation grace as the bigram store."""
+        import shutil
+
+        man = self._manifest()
+        expected_seq = man.get("commit_seq", 0)
+        live = man["live"]
+        if len(live) <= 1:
+            return
+        gen = 1 + max(
+            (int(s.rsplit("-", 1)[1]) for s in live if s.startswith("base-")),
+            default=0,
+        )
+        new = f"base-{gen}"
+        (
+            self.counts()
+            .repartition("k")
+            .write.mode("overwrite")
+            .partitionBy("k")
+            .parquet(os.path.join(self.path, "grams", f"epoch={new}"))
+        )
+        reclaim = [
+            s
+            for s in (man.get("retired") or {})
+            if os.path.isdir(os.path.join(self.path, "grams", f"epoch={s}"))
+        ]
+        retired = {} if vacuum else {s: gen for s in live}
+        self._write_manifest(
+            {**man, "live": [new], "retired": retired},
+            expected_seq=expected_seq,
+        )
+        for s in reclaim + (list(live) if vacuum else []):
+            shutil.rmtree(
+                os.path.join(self.path, "grams", f"epoch={s}"),
+                ignore_errors=True,
+            )
+
+
 def bigram_lm_perplexity(
     df: DataFrame,
     text_col: str = "text",
@@ -898,6 +1055,36 @@ def kn_bigram_lm_perplexity(
     return score_kn_bigram_lm(df, model, text_col, id_col)
 
 
+def _all_order_counts(train_df: DataFrame, n: int, text_col: str) -> DataFrame:
+    """LAZY (k, ctx, w, c) count relation for every order 1..n from ONE
+    corpus pass: each position emits its k-gram struct per order into a
+    unioned exploded stream, one groupBy shuffles them together (k=1
+    rows carry ctx='' and double as the unigram table). Shared by the
+    order-n KN and stupid-backoff scorers and by NgramCountStore's
+    per-batch fold — callers materialize (checkpoint or parquet) before
+    multi-consumer use."""
+    arms = ", ".join(
+        f"if(size(tk) >= {k}, transform(sequence(1, size(tk) - {k - 1}), "
+        f"i -> struct({k} AS k, "
+        + (
+            f"array_join(slice(tk, i, {k - 1}), ' ') AS ctx, "
+            if k > 1
+            else "'' AS ctx, "
+        )
+        + f"tk[i + {k - 2}] AS w)), "
+        f"cast(array() as array<struct<k int, ctx string, w string>>))"
+        for k in range(1, n + 1)
+    )
+    return (
+        train_df.select(tokens(F.col(text_col)).alias("tk"))
+        .where(F.size("tk") >= 1)
+        .select(F.explode(F.expr(f"flatten(array({arms}))")).alias("g"))
+        .select("g.k", "g.ctx", "g.w")
+        .groupBy("k", "ctx", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def kn_ngram_lm_perplexity(
     df: DataFrame,
     n: int = 3,
@@ -938,30 +1125,27 @@ def kn_ngram_lm_perplexity(
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
     train_df = df if train is None else train
+    counts = _all_order_counts(train_df, n, text_col).localCheckpoint(
+        eager=True
+    )
+    return _kn_ngram_score_from_counts(
+        df, counts, n, text_col, id_col, discount, alpha_c
+    )
 
-    # one training pass: counts for every order 1..n (k=1 rows carry
-    # ctx='' and give V = their type count)
-    arms = ", ".join(
-        f"if(size(tk) >= {k}, transform(sequence(1, size(tk) - {k - 1}), "
-        f"i -> struct({k} AS k, "
-        + (
-            f"array_join(slice(tk, i, {k - 1}), ' ') AS ctx, "
-            if k > 1
-            else "'' AS ctx, "
-        )
-        + f"tk[i + {k - 2}] AS w)), "
-        f"cast(array() as array<struct<k int, ctx string, w string>>))"
-        for k in range(1, n + 1)
-    )
-    counts = (
-        train_df.select(tokens(F.col(text_col)).alias("tk"))
-        .where(F.size("tk") >= 1)
-        .select(F.explode(F.expr(f"flatten(array({arms}))")).alias("g"))
-        .select("g.k", "g.ctx", "g.w")
-        .groupBy("k", "ctx", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
+
+def _kn_ngram_score_from_counts(
+    df: DataFrame,
+    counts: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float | None = None,
+    alpha_c: float = 1.0,
+) -> DataFrame:
+    """Order-n KN scoring against an already-materialized (k, ctx, w,
+    c) count relation (checkpoint or parquet-backed — the
+    NgramCountStore path); every adjusted table, context stat and
+    discount derives from it without another corpus read."""
     vocab = counts.where(F.col("k") == 1).count()
 
     # per-order relation used by the interpolation at order k:
@@ -1342,32 +1526,25 @@ def stupid_backoff_perplexity(
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
     train_df = df if train is None else train
+    counts = _all_order_counts(train_df, n, text_col).localCheckpoint(
+        eager=True
+    )
+    return _sbo_score_from_counts(
+        df, counts, n, text_col, id_col, backoff, alpha
+    )
 
-    # one training pass: per position, a (k, ctx, w) struct per order
-    # 1..n that fits; k=1 rows carry ctx='' and double as the unigram
-    # table (N = their count sum, V = their distinct-w count)
-    arms = ", ".join(
-        f"if(size(tk) >= {k}, transform(sequence(1, size(tk) - {k - 1}), "
-        f"i -> struct({k} AS k, "
-        + (
-            f"array_join(slice(tk, i, {k - 1}), ' ') AS ctx, "
-            if k > 1
-            else "'' AS ctx, "
-        )
-        + f"tk[i + {k - 2}] AS w)), "
-        f"cast(array() as array<struct<k int, ctx string, w string>>))"
-        for k in range(1, n + 1)
-    )
-    all_grams_expr = f"flatten(array({arms}))"
-    counts = (
-        train_df.select(tokens(F.col(text_col)).alias("tk"))
-        .where(F.size("tk") >= 1)
-        .select(F.explode(F.expr(all_grams_expr)).alias("g"))
-        .select("g.k", "g.ctx", "g.w")
-        .groupBy("k", "ctx", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
+
+def _sbo_score_from_counts(
+    df: DataFrame,
+    counts: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Stupid-backoff scoring against a materialized (k, ctx, w, c)
+    count relation — the store-backed twin of the inline trainer."""
     uni = counts.where(F.col("k") == 1)
     row = uni.agg(
         F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")

@@ -497,3 +497,66 @@ def test_perplexity_monitor_accepts_kn_artifact(spark, tiny, tmp_path):
     assert len(rows) == 1 and rows[0]["n_docs"] == 2
     # mean ppl of the tiny corpus is > 1, so the (0, 1) band alerts
     assert alerts and alerts[0][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# NgramCountStore (r11): incremental order-n counts
+# ---------------------------------------------------------------------------
+
+def _ncorpus(spark):
+    return spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{(i + 1) % 5} tok{i % 3} common words here")
+         for i in range(20)],
+        ["doc_id", "text"],
+    )
+
+
+def test_ngram_store_kn_and_sbo_equal_one_shot(spark, tmp_path):
+    docs = _ncorpus(spark)
+    store = lm.NgramCountStore(spark, str(tmp_path / "ns"), n=3)
+    for e in range(2):
+        store.process_batch(docs.where(f"doc_id % 2 = {e}"), epoch_id=e)
+    store.compact()
+    got = {r["doc_id"]: r["avg_logprob"]
+           for r in store.kn_perplexity(docs).collect()}
+    want = {r["doc_id"]: r["avg_logprob"]
+            for r in lm.kn_ngram_lm_perplexity(docs, n=3).collect()}
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    g2 = {r["doc_id"]: r["avg_logscore"]
+          for r in store.sbo_perplexity(docs).collect()}
+    w2 = {r["doc_id"]: r["avg_logscore"]
+          for r in lm.stupid_backoff_perplexity(docs, n=3).collect()}
+    for k in g2:
+        assert g2[k] == pytest.approx(w2[k], rel=1e-12)
+
+
+def test_ngram_store_replay_gate_and_n_mismatch(spark, tmp_path):
+    docs = _ncorpus(spark)
+    store = lm.NgramCountStore(spark, str(tmp_path / "nr"), n=3)
+    store.process_batch(docs, epoch_id=0)
+    before = sorted(tuple(r) for r in store.counts().collect())
+    store.process_batch(docs, epoch_id=0)  # same-epoch overwrite: no-op fold
+    assert sorted(tuple(r) for r in store.counts().collect()) == before
+    store.compact()
+    store.process_batch(docs, epoch_id=0)  # replay of a folded epoch: skipped
+    assert sorted(tuple(r) for r in store.counts().collect()) == before
+    with pytest.raises(ValueError, match="built with n=3"):
+        lm.NgramCountStore(spark, str(tmp_path / "nr"), n=5)
+
+
+def test_ngram_store_auto_compaction_bound(spark, tmp_path):
+    docs = _ncorpus(spark)
+    store = lm.NgramCountStore(spark, str(tmp_path / "na"), n=3)
+    for e in range(6):
+        store.process_batch(
+            docs.where(f"doc_id % 6 = {e}"), epoch_id=e, max_live_epochs=2
+        )
+        assert len(store._manifest()["live"]) <= 3
+    ctrl = lm.NgramCountStore(spark, str(tmp_path / "nactrl"), n=3)
+    for e in range(6):
+        ctrl.process_batch(docs.where(f"doc_id % 6 = {e}"), epoch_id=e)
+    assert sorted(tuple(r) for r in store.counts().collect()) == sorted(
+        tuple(r) for r in ctrl.counts().collect()
+    )
