@@ -1423,6 +1423,7 @@ def ccnet_pipeline(
     source_col: str = "source",
     low_quantile: float = 0.1,
     high_quantile: float = 0.8,
+    order: int = 2,
 ) -> DataFrame:
     """The composed CCNet curation chain (Wenzek et al. 2020, fig. 1),
     stitched from this module's operators: exact dedup (keep-first by
@@ -1445,7 +1446,13 @@ def ccnet_pipeline(
     aggregate (broadcast back, rounded to 6 — the quality_bins
     convention, SQL-replayable); swap in ``perplexity_band_filter``'s
     approxQuantile sketch at 100 TB where exact percentile's map-side
-    multiset is the bottleneck."""
+    multiset is the bottleneck.
+
+    ``order`` > 2 scores with the recursive order-n interpolated KN
+    (CCNet's reference filter is order 5) — same chain, the LM stage
+    swaps to the order-n counts + score-from-counts path; documents
+    with fewer than ``order`` tokens then drop from the output (the
+    scorers' absence contract)."""
     from pyspark.sql import Window
 
     norm = F.array_join(tokens(F.col(text_col)), " ")
@@ -1460,12 +1467,18 @@ def ccnet_pipeline(
         .drop("_rn", "_fp")
         .localCheckpoint(eager=True)
     )
-    model = train_kn_bigram_lm(
-        kept.where(F.col(source_col) == ref_source), text_col, id_col
-    )
-    scored = score_kn_bigram_lm(kept, model, text_col, id_col).join(
-        kept.select(id_col, source_col), [id_col]
-    )
+    ref = kept.where(F.col(source_col) == ref_source)
+    if order == 2:
+        model = train_kn_bigram_lm(ref, text_col, id_col)
+        scored = score_kn_bigram_lm(kept, model, text_col, id_col)
+    else:
+        counts = _all_order_counts(ref, order, text_col).localCheckpoint(
+            eager=True
+        )
+        scored = _kn_ngram_score_from_counts(
+            kept, counts, order, text_col, id_col
+        )
+    scored = scored.join(kept.select(id_col, source_col), [id_col])
     bnds = scored.agg(
         F.round(
             F.percentile(F.col("perplexity"), F.lit(low_quantile)), 6

@@ -560,3 +560,16 @@ def test_ngram_store_auto_compaction_bound(spark, tmp_path):
     assert sorted(tuple(r) for r in store.counts().collect()) == sorted(
         tuple(r) for r in ctrl.counts().collect()
     )
+
+
+def test_ccnet_pipeline_order_n(spark):
+    clean, gib = _planted_corpus()
+    rows = (
+        [(i, "src0", t) for i, t in enumerate(clean[:25])]
+        + [(200 + i, "src1", t) for i, t in enumerate(gib[:8])]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = lm.ccnet_pipeline(docs, order=3).collect()
+    assert out and set(r["band"] for r in out) <= {"head", "middle", "tail"}
+    gib_bands = [r["band"] for r in out if r["doc_id"] >= 200]
+    assert gib_bands.count("tail") >= len(gib_bands) * 0.7
