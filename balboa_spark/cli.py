@@ -165,6 +165,17 @@ def run(args: argparse.Namespace, spark=None) -> int:
         from balboa_spark.operators import lm
 
         docs = spark.read.parquet(args.input)
+        if args.smoothing != "addalpha" and (
+            args.min_count != 1 or args.approx_vocab
+        ):
+            # loud failure, not a silently unpruned artifact: the KN
+            # trainers take neither option
+            raise SystemExit(
+                "--min-count/--approx-vocab apply only to "
+                "--smoothing addalpha; the kn/mkn trainers keep every "
+                "gram type (their statistics are type-count-derived, "
+                "so pruning would change the model, not just its size)"
+            )
         if args.smoothing == "kn":
             lm.save_kn_bigram_lm(
                 lm.train_kn_bigram_lm(docs, alpha_c=args.alpha), args.model

@@ -89,19 +89,24 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per identical normalized text.
 
-    One shuffle on the fingerprint (uniform md5 — skew-free), no join:
-    the representative is chosen by a min-over-group window. This
-    replaces the round-1 corpus-cardinality broadcast of the keep-set,
-    which could not survive a large corpus."""
-    from pyspark.sql import Window
-
-    w_fp = df.withColumn("fp", fingerprint(F.col(text_col)))
-    keep = F.min(id_col).over(Window.partitionBy("fp"))
-    return (
-        w_fp.withColumn("_keep", keep)
-        .filter(F.col(id_col) == F.col("_keep"))
-        .drop("fp", "_keep")
+    The keep-set is ``groupBy(fp).agg(min(id))`` over a NARROW
+    (fp, id) projection, joined back left-semi on the unique id. Both
+    shuffles are skew-proof at mass-duplicate scale: the groupBy
+    partial-aggregates map-side (a fingerprint duplicated millions of
+    times — exactly what exact dedup exists to remove — reduces to one
+    row per map task before the exchange), and the semi-join keys on
+    the uniform id, so the text column never shuffles by fingerprint.
+    This replaces the r1 corpus-cardinality broadcast AND the r2-r11
+    min-over-window variant, whose single unsplittable window
+    partition per fingerprint shipped every duplicate (text included)
+    to one task."""
+    keep = (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
+    return df.join(keep, [id_col], "left_semi")
 
 
 # -- MinHash ----------------------------------------------------------------

@@ -205,6 +205,48 @@ def _live_scope_count(store, state_path: str) -> int:
     return len([s for s in _state_scopes(state_path) if s not in retired])
 
 
+def _should_compact(store, state_path: str, max_live: int) -> bool:
+    """Size trigger with the near-no-op guard (r12): fire only when
+    the live scope count exceeds the cap AND compact() would actually
+    do something — fold >= 2 directories or reclaim expired retirees.
+    With ``max_live`` configured below the irreducible floor (one
+    base + each stream's latest epoch, which must stay individually
+    excludable for torn-batch replay), the bare count comparison
+    would otherwise run a manifest-CAS write + directory listing as a
+    no-op on EVERY micro-batch."""
+    man = store._read_manifest() or {}
+    retired = set(man.get("retired") or [])
+    scopes = _state_scopes(state_path)
+    if len([s for s in scopes if s not in retired]) <= max_live:
+        return False
+    fold = [s for s in _fold_candidates(scopes) if s not in retired]
+    return len(fold) >= 2 or bool(retired & set(scopes))
+
+
+def _claim_auto_scope(store, state_path: str) -> str:
+    """Mint and CLAIM a fresh ``auto-N`` scope for a one-shot writer.
+
+    Directory numbering alone invites a two-writer collision: two
+    concurrent one-shot callers list the same epoch dirs, both mint
+    ``auto-N``, and the second overwrite silently replaces the
+    first's committed parquet — with no CAS to catch it, because
+    these stores' manifests carry no live list (reader truth is the
+    partition dirs). The claim closes that hole: N is
+    ``max(dir-derived next, last manifest claim + 1)`` and is stamped
+    into the manifest under the commit-seq CAS BEFORE any data is
+    written, so the loser of an interleaved read-modify-write raises
+    ``ConcurrentWriterError`` instead of reusing the winner's scope —
+    the loud-failure single-writer contract the live-list stores got
+    in r11, extended to the dir-truth stores."""
+    man = store._read_manifest() or {}
+    expected = man.get("commit_seq", 0)
+    n = max(
+        store._next_epoch(state_path), int(man.get("claimed_auto", -1)) + 1
+    )
+    store._write_manifest(extra={"claimed_auto": n}, expected_seq=expected)
+    return f"auto-{n}"
+
+
 def _check_format(path: str) -> None:
     man_path = os.path.join(path, MANIFEST)
     if os.path.exists(man_path):
@@ -353,12 +395,10 @@ class MinHashDedupStore:
         rewrites the same state, so a torn previous append
         self-heals; a duplicate band row would change no collision
         decision anyway)."""
-        self._write_manifest()
-        scope = (
-            f"auto-{self._next_epoch(self.bands_path)}"
-            if epoch_id is None
-            else _epoch_scope(epoch_id, stream_id)
-        )
+        if epoch_id is None:
+            scope = _claim_auto_scope(self, self.bands_path)
+        else:
+            scope = _epoch_scope(epoch_id, stream_id)
         (
             self._band(kept, text_col, id_col)
             .repartition("band_idx")
@@ -366,6 +406,10 @@ class MinHashDedupStore:
             .partitionBy("band_idx")
             .parquet(os.path.join(self.bands_path, f"epoch={scope}"))
         )
+        if epoch_id is not None:
+            # data lands, THEN the manifest commits (store-wide order;
+            # the auto path stamped at claim time)
+            self._write_manifest()
 
     def process_batch(
         self,
@@ -389,9 +433,8 @@ class MinHashDedupStore:
             batch, text_col, id_col, epoch_id=epoch_id, stream_id=stream_id
         ).localCheckpoint(eager=True)
         self.add(kept, text_col, id_col, epoch_id=epoch_id, stream_id=stream_id)
-        if (
-            max_live_epochs is not None
-            and _live_scope_count(self, self.bands_path) > max_live_epochs
+        if max_live_epochs is not None and _should_compact(
+            self, self.bands_path, max_live_epochs
         ):
             self.compact()
         return kept
@@ -488,35 +531,38 @@ class ExactDedupStore:
             fresh = fps.join(stored, ["bucket", "_h"], "left_anti")
         else:
             fresh = fps
-        # within-batch keep-first: lowest id per fingerprint
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("_h").orderBy("id")
+        # within-batch keep-first: lowest id per fingerprint, as a
+        # map-side-combinable groupBy-min over the narrow (id, _h)
+        # relation — NEVER a row_number window over _h, whose single
+        # unsplittable partition per fingerprint would ship every copy
+        # of a mass-duplicated page to one task at 100 TB
         kept_ids = (
-            fresh.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
+            fresh.groupBy("bucket", "_h")
+            .agg(F.min("id").alias("id"))
             .select("id", "bucket", "_h")
             .localCheckpoint(eager=True)  # decide before the append job
         )
-        self._write_manifest()
         new_fps = kept_ids.select("bucket", "_h").distinct()
-        ep_scope = (
-            f"auto-{self._next_epoch(self.fp_path)}"
-            if epoch_id is None
-            else scope
-        )
+        if epoch_id is None:
+            ep_scope = _claim_auto_scope(self, self.fp_path)
+        else:
+            ep_scope = scope
         (
             new_fps.repartition("bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(os.path.join(self.fp_path, f"epoch={ep_scope}"))
         )
+        if epoch_id is not None:
+            # data lands, THEN the manifest commits (the store-wide
+            # ordering; the auto path stamped at claim time, which must
+            # precede the write by nature of the claim)
+            self._write_manifest()
         out = batch.join(
             kept_ids.select(F.col("id").alias(id_col)), [id_col], "left_semi"
         )
-        if (
-            max_live_epochs is not None
-            and _live_scope_count(self, self.fp_path) > max_live_epochs
+        if max_live_epochs is not None and _should_compact(
+            self, self.fp_path, max_live_epochs
         ):
             self.compact()
         return out
@@ -665,7 +711,6 @@ class SpanDedupStore:
         ).distinct()
         out = _span_drop_covered(staged, removed, self.span_tokens, id_col)
         out = out.localCheckpoint(eager=True)  # decide before the append job
-        self._write_manifest()
         # append only hashes NOT already in history: without the
         # anti-join the store grows with total processed tokens (and
         # with every replay) instead of distinct content, and the
@@ -675,20 +720,22 @@ class SpanDedupStore:
             new_hashes = new_hashes.join(
                 stored, ["bucket", "_h"], "left_anti"
             )
-        ep_scope = (
-            f"auto-{self._next_epoch(self.hashes_path)}"
-            if epoch_id is None
-            else scope
-        )
+        if epoch_id is None:
+            ep_scope = _claim_auto_scope(self, self.hashes_path)
+        else:
+            ep_scope = scope
         (
             new_hashes.repartition("bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(os.path.join(self.hashes_path, f"epoch={ep_scope}"))
         )
-        if (
-            max_live_epochs is not None
-            and _live_scope_count(self, self.hashes_path) > max_live_epochs
+        if epoch_id is not None:
+            # data lands, THEN the manifest commits (store-wide order;
+            # the auto path stamped at claim time)
+            self._write_manifest()
+        if max_live_epochs is not None and _should_compact(
+            self, self.hashes_path, max_live_epochs
         ):
             self.compact()
         return out

@@ -1179,10 +1179,14 @@ def _kn_ngram_score_from_counts(
         # stats, the discount estimate, and the score join
         tk_tab = order_table(k).localCheckpoint(eager=True)
         tables[k] = tk_tab
-        if k > 1:
-            stats[k] = tk_tab.groupBy("ctx").agg(
-                F.sum("a").alias("A"), F.count(F.lit(1)).alias("n1p")
-            )
+        if k == 1:
+            # the order-1 base distribution is the alpha-smoothed
+            # continuation — it never uses a discount, so don't pay a
+            # driver-blocking count-of-counts job estimating one
+            continue
+        stats[k] = tk_tab.groupBy("ctx").agg(
+            F.sum("a").alias("A"), F.count(F.lit(1)).alias("n1p")
+        )
         if discount is None:
             row = tk_tab.agg(
                 F.sum((F.col("a") == 1).cast("long")).alias("n1"),
@@ -1415,6 +1419,73 @@ def mkn_bigram_lm_perplexity(
     return score_mkn_bigram_lm(df, model, text_col, id_col)
 
 
+def _ccnet_dedup_documents(
+    df: DataFrame, text_col: str, id_col: str, source_col: str
+) -> DataFrame:
+    """Keep-first (min id) per normalized-text hash, as groupBy-min
+    over the NARROW (fp, id) projection + left-semi join back on the
+    unique id. The groupBy partial-aggregates map-side, so a
+    boilerplate page duplicated millions of times reduces to one row
+    per map task before the exchange, and the text column never
+    shuffles by the skewable fingerprint — the r12 replacement for
+    the row_number-over-fp window, whose single unsplittable
+    partition per fingerprint was the engine's one flagged
+    scale-killer."""
+    norm = F.array_join(tokens(F.col(text_col)), " ")
+    keep = (
+        df.select(F.col(id_col), F.md5(norm).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.select(id_col, source_col, text_col).join(
+        keep, [id_col], "left_semi"
+    )
+
+
+def _ccnet_dedup_paragraphs(
+    df: DataFrame, text_col: str, id_col: str, source_col: str
+) -> DataFrame:
+    """CCNet's actual dedup granularity (Wenzek et al. 2020 §3.1:
+    paragraph = line of the WET file): split on newlines, hash each
+    normalized paragraph, keep only the globally FIRST occurrence of
+    each hash — min (doc_id, paragraph index), a partial-aggregatable
+    groupBy-min over the narrow (hash, id, idx) relation, never a
+    window — then reassemble each document from its surviving
+    paragraphs in original order. Paragraphs that normalize to empty
+    (blank lines) are dropped; documents keeping no paragraph drop
+    out entirely."""
+    paras = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_para"),
+    )
+    norm = F.array_join(tokens(F.col("_para")), " ")
+    hp = paras.withColumn("_norm", norm).where(
+        F.col("_norm") != ""
+    ).withColumn("_fp", F.md5(F.col("_norm")))
+    keep = (
+        hp.select(F.col("_fp"), F.col(id_col), F.col("_idx"))
+        .groupBy("_fp")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("_idx"))).alias("_k")
+        )
+        .select(F.col(f"_k.{id_col}").alias(id_col), F.col("_k._idx").alias("_idx"))
+    )
+    kept_paras = hp.join(keep, [id_col, "_idx"], "left_semi")
+    return kept_paras.groupBy(id_col, source_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_idx"), F.col("_para")))
+                ),
+                lambda x: x.getField("_para"),
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+
+
 def ccnet_pipeline(
     df: DataFrame,
     ref_source: str = "src0",
@@ -1424,49 +1495,59 @@ def ccnet_pipeline(
     low_quantile: float = 0.1,
     high_quantile: float = 0.8,
     order: int = 2,
+    granularity: str = "document",
+    threshold: str = "exact",
+    lid_train: DataFrame | None = None,
+    lid_label_col: str = "lang",
+    lid_n: int = 3,
 ) -> DataFrame:
     """The composed CCNet curation chain (Wenzek et al. 2020, fig. 1),
     stitched from this module's operators: exact dedup (keep-first by
-    normalized-text hash — CCNet's paragraph-hash dedup at document
-    granularity) -> interpolated-KN bigram LM trained on the CLEAN
-    REFERENCE slice (CCNet trains on Wikipedia; here ``ref_source``
-    selects the curated source) -> per-document perplexity over the
-    whole deduped corpus -> CCNet's head/middle/tail banding by
-    perplexity quantiles (head = most fluent; pipelines typically keep
-    head+middle).
+    normalized hash — ``granularity="paragraph"`` for the paper's
+    line-level dedup, ``"document"`` for whole-document) -> optional
+    language ID (``lid_train``: a labeled (lang, text) frame trains
+    the char-n-gram NB classifier of ``operators.lid``; CCNet uses
+    fastText there — see ``lid.fasttext_lang_id`` for the import-gated
+    slot) -> interpolated-KN LM trained on the CLEAN REFERENCE slice
+    (CCNet trains on Wikipedia; ``ref_source`` selects the curated
+    source) -> per-document perplexity -> head/middle/tail banding by
+    perplexity quantiles (per LANGUAGE when LID is armed, matching
+    CCNet's per-language models; head = most fluent).
 
-    Output: ``(id_col, source_col, perplexity, band)`` for every
-    deduped document with >= 2 tokens (no bigrams -> no score, the
-    same absence contract as the scoring operators).
+    Output: ``(id_col, source_col[, lang], perplexity, band)`` for
+    every deduped document with >= ``order`` tokens (no grams -> no
+    score, the scorers' absence contract).
 
     Plan notes: the deduped frame is localCheckpoint-ed ONCE — it
-    feeds the reference-slice training pass, the scoring pass, and the
-    source re-attach join, and none of that lineage should re-run the
-    dedup window. Band thresholds are the exact-percentile single-row
-    aggregate (broadcast back, rounded to 6 — the quality_bins
-    convention, SQL-replayable); swap in ``perplexity_band_filter``'s
-    approxQuantile sketch at 100 TB where exact percentile's map-side
-    multiset is the bottleneck.
+    feeds the reference-slice training pass, the scoring pass, and
+    the source re-attach join. The SCORED frame is also
+    checkpoint-ed: it feeds both the threshold aggregate and the
+    output branch, and Catalyst has no cross-branch aggregate-lineage
+    reuse, so without the checkpoint the LM scoring joins would run
+    twice (the r10 double-scoring shape). ``threshold="exact"`` is
+    the SQL-replayable percentile (rounded to 6, the quality_bins
+    convention); ``"approx"`` swaps in ``percentile_approx`` — a
+    bounded KLL-style sketch aggregate, still fully declarative — for
+    100 TB corpora where exact percentile's map-side multiset is the
+    bottleneck.
 
     ``order`` > 2 scores with the recursive order-n interpolated KN
     (CCNet's reference filter is order 5) — same chain, the LM stage
-    swaps to the order-n counts + score-from-counts path; documents
-    with fewer than ``order`` tokens then drop from the output (the
-    scorers' absence contract)."""
-    from pyspark.sql import Window
-
-    norm = F.array_join(tokens(F.col(text_col)), " ")
-    fp = df.select(
-        F.col(id_col), F.col(source_col), F.col(text_col),
-        F.md5(norm).alias("_fp"),
-    )
-    w = Window.partitionBy("_fp").orderBy(id_col)
-    kept = (
-        fp.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_fp")
-        .localCheckpoint(eager=True)
-    )
+    swaps to the order-n counts + score-from-counts path."""
+    if granularity == "document":
+        kept = _ccnet_dedup_documents(df, text_col, id_col, source_col)
+    elif granularity == "paragraph":
+        kept = _ccnet_dedup_paragraphs(df, text_col, id_col, source_col)
+    else:
+        raise ValueError(
+            f"granularity must be 'document' or 'paragraph', got "
+            f"{granularity!r}"
+        )
+    if threshold not in ("exact", "approx"):
+        raise ValueError(
+            f"threshold must be 'exact' or 'approx', got {threshold!r}"
+        )
+    kept = kept.localCheckpoint(eager=True)
     ref = kept.where(F.col(source_col) == ref_source)
     if order == 2:
         model = train_kn_bigram_lm(ref, text_col, id_col)
@@ -1479,25 +1560,60 @@ def ccnet_pipeline(
             kept, counts, order, text_col, id_col
         )
     scored = scored.join(kept.select(id_col, source_col), [id_col])
-    bnds = scored.agg(
-        F.round(
-            F.percentile(F.col("perplexity"), F.lit(low_quantile)), 6
-        ).alias("_lo"),
-        F.round(
-            F.percentile(F.col("perplexity"), F.lit(high_quantile)), 6
-        ).alias("_hi"),
-    )
-    return (
-        scored.crossJoin(F.broadcast(bnds))
-        .select(
-            F.col(id_col),
-            F.col(source_col),
-            F.col("perplexity"),
-            F.when(F.col("perplexity") < F.col("_lo"), F.lit("head"))
-            .when(F.col("perplexity") <= F.col("_hi"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("band"),
+    group_cols: list[str] = []
+    if lid_train is not None:
+        from balboa_spark.operators import lid as _lid
+
+        model_lid = _lid.train_char_ngram_lid(
+            lid_train, label_col=lid_label_col, text_col=text_col, n=lid_n
         )
+        langs = _lid.classify_lang(
+            kept, model_lid, text_col=text_col, id_col=id_col
+        ).select(id_col, "lang")
+        scored = scored.join(langs, [id_col])
+        group_cols = ["lang"]
+    # checkpoint before the threshold aggregate: scored feeds two
+    # branches and its LM joins must not run twice
+    scored = scored.localCheckpoint(eager=True)
+    if threshold == "exact":
+        lo_agg = F.round(
+            F.percentile(F.col("perplexity"), F.lit(low_quantile)), 6
+        )
+        hi_agg = F.round(
+            F.percentile(F.col("perplexity"), F.lit(high_quantile)), 6
+        )
+    else:
+        lo_agg = F.round(
+            F.percentile_approx(
+                F.col("perplexity"), F.lit(low_quantile), F.lit(10000)
+            ),
+            6,
+        )
+        hi_agg = F.round(
+            F.percentile_approx(
+                F.col("perplexity"), F.lit(high_quantile), F.lit(10000)
+            ),
+            6,
+        )
+    band = (
+        F.when(F.col("perplexity") < F.col("_lo"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("band")
+    )
+    out_cols = [F.col(id_col), F.col(source_col)]
+    if group_cols:
+        # per-language thresholds (one row per language, broadcast
+        # back on the language key — CCNet's per-language banding)
+        bnds = scored.groupBy(*group_cols).agg(
+            lo_agg.alias("_lo"), hi_agg.alias("_hi")
+        )
+        return scored.join(F.broadcast(bnds), group_cols).select(
+            *out_cols, F.col("lang"), F.col("perplexity"), band
+        )
+    bnds = scored.agg(lo_agg.alias("_lo"), hi_agg.alias("_hi"))
+    return scored.crossJoin(F.broadcast(bnds)).select(
+        *out_cols, F.col("perplexity"), band
     )
 
 

@@ -495,3 +495,26 @@ def test_streaming_ccnet_composition(spark, tmp_path):
         {"the", "cat", "sat", "on", "mat", "dog", "bird", "flew", "over",
          "tree"}
     )
+
+
+def test_exact_store_mass_duplicate_batch_keeps_min_id(spark, tmp_path):
+    """r12 skew case for the store's within-batch keep-first (now a
+    groupBy-min, not a window over _h): 10k copies of one text in a
+    single batch keep exactly the lowest id; a later batch of the
+    same text keeps nothing."""
+    from pyspark.sql import functions as F
+
+    from balboa_spark.operators.dedup_store import ExactDedupStore
+
+    store = ExactDedupStore(spark, str(tmp_path / "mass"))
+    batch = spark.range(10_000).select(
+        (F.col("id") + 7).alias("doc_id"),
+        F.lit("copy me please").alias("text"),
+    )
+    out = store.process_batch(batch, epoch_id=0)
+    assert [r["doc_id"] for r in out.collect()] == [7]
+    replayed = store.process_batch(
+        spark.createDataFrame([(99999, "copy me please")], "doc_id long, text string"),
+        epoch_id=1,
+    )
+    assert replayed.count() == 0

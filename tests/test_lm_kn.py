@@ -573,3 +573,99 @@ def test_ccnet_pipeline_order_n(spark):
     assert out and set(r["band"] for r in out) <= {"head", "middle", "tail"}
     gib_bands = [r["band"] for r in out if r["doc_id"] >= 200]
     assert gib_bands.count("tail") >= len(gib_bands) * 0.7
+
+
+# ---------------------------------------------------------------------------
+# r12: paragraph-granularity ccnet dedup, threshold arms, arg guards
+# ---------------------------------------------------------------------------
+
+def test_ccnet_paragraph_dedup_keeps_first_occurrence(spark):
+    """CCNet's actual granularity (Wenzek et al. 2020 §3.1): the
+    shared boilerplate line survives only in its globally-first
+    (doc_id, idx) slot; blank lines drop; a doc made entirely of
+    already-seen paragraphs drops out."""
+    rows = [
+        (1, "src0", "Alpha beta gamma\nShared boiler plate\nDelta epsilon"),
+        (2, "src0", "Shared boiler plate\nZeta eta theta"),
+        (3, "src1", "Shared boiler plate"),
+        (4, "src1", "   \nUnique line here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in lm._ccnet_dedup_paragraphs(
+            docs, "text", "doc_id", "source"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}  # doc 3: nothing left
+    assert out[1]["text"] == (
+        "Alpha beta gamma\nShared boiler plate\nDelta epsilon"
+    )
+    assert out[2]["text"] == "Zeta eta theta"
+    assert out[4]["text"] == "Unique line here"  # blank line dropped
+    assert out[2]["source"] == "src0"
+
+
+def test_ccnet_paragraph_dedup_within_doc_repeats(spark):
+    # a paragraph repeated INSIDE one doc keeps only its first slot
+    docs = spark.createDataFrame(
+        [(7, "src0", "Same line twice\nMiddle bit\nSame line twice")],
+        ["doc_id", "source", "text"],
+    )
+    out = lm._ccnet_dedup_paragraphs(docs, "text", "doc_id", "source").collect()
+    assert out[0]["text"] == "Same line twice\nMiddle bit"
+
+
+def test_ccnet_pipeline_paragraph_granularity_e2e(spark):
+    clean, _ = _planted_corpus()
+    # two-paragraph docs sharing one boilerplate line; a pure-dup doc
+    boiler = "the cat sat on the mat"
+    rows = [
+        (i, "src0", f"{boiler}\n{t}") for i, t in enumerate(clean[:20])
+    ] + [(500, "src1", boiler)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = lm.ccnet_pipeline(docs, granularity="paragraph").collect()
+    ids = {r["doc_id"] for r in out}
+    assert 500 not in ids  # its only paragraph was doc 0's
+    assert 0 in ids and len(ids) >= 15
+    assert set(r["band"] for r in out) <= {"head", "middle", "tail"}
+
+
+def test_ccnet_threshold_approx_parity_and_validation(spark):
+    clean, gib = _planted_corpus()
+    rows = [(i, "src0", t) for i, t in enumerate(clean)] + [
+        (200 + i, "src1", t) for i, t in enumerate(gib)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    exact = {r["doc_id"]: r["band"] for r in lm.ccnet_pipeline(docs).collect()}
+    approx = {
+        r["doc_id"]: r["band"]
+        for r in lm.ccnet_pipeline(docs, threshold="approx").collect()
+    }
+    assert set(exact) == set(approx)  # same scored population
+    agree = sum(exact[i] == approx[i] for i in exact)
+    # percentile_approx at accuracy 10000 returns an exact order
+    # statistic here; only interpolation-boundary docs may flip band
+    assert agree >= 0.9 * len(exact)
+    with pytest.raises(ValueError, match="granularity"):
+        lm.ccnet_pipeline(docs, granularity="sentence")
+    with pytest.raises(ValueError, match="threshold"):
+        lm.ccnet_pipeline(docs, threshold="sketchy")
+
+
+def test_cli_lm_train_kn_rejects_pruning_flags(spark, tiny, tmp_path):
+    from balboa_spark import cli
+
+    inp = str(tmp_path / "docs")
+    tiny.write.parquet(inp)
+    model = str(tmp_path / "m")
+    args = cli.build_parser().parse_args(
+        ["lm-train", inp, model, "--smoothing", "kn", "--min-count", "2"]
+    )
+    with pytest.raises(SystemExit, match="min-count"):
+        cli.run(args, spark=spark)
+    args = cli.build_parser().parse_args(
+        ["lm-train", inp, model, "--smoothing", "mkn", "--approx-vocab"]
+    )
+    with pytest.raises(SystemExit, match="approx-vocab"):
+        cli.run(args, spark=spark)

@@ -565,3 +565,42 @@ def test_domain_profile_partial_aggregates(spark):
         .toString()
     )
     assert "partial" in plan.lower()  # map-side combine on the domain key
+
+
+def test_exact_dedup_keep_first_is_partial_agg_not_window(spark):
+    """r12: every keep-first exact-dedup site must be the map-side-
+    combinable groupBy-min + semi-join shape, NEVER a row_number /
+    min-over-window partitioned by the fingerprint — a window
+    partition cannot partial-aggregate, so a boilerplate page
+    duplicated millions of times would ship every copy to ONE task."""
+    from balboa_spark.operators import dedup, lm
+
+    docs = spark.createDataFrame(
+        [(1, "src0", "a b c"), (2, "src0", "a b c"), (3, "src1", "x y z")],
+        "doc_id long, source string, text string",
+    )
+    for df in (
+        dedup.exact_dedup(docs),
+        lm._ccnet_dedup_documents(docs, "text", "doc_id", "source"),
+        lm._ccnet_dedup_paragraphs(docs, "text", "doc_id", "source"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "partial" in plan.lower()
+
+
+def test_exact_dedup_mass_duplicate_keeps_min_id(spark):
+    """The skew scenario the r12 rewrite exists for: one fingerprint
+    duplicated 10k times partial-aggregates instead of landing in a
+    single window partition; exactly the min id survives."""
+    from balboa_spark.operators import dedup
+
+    base = spark.range(10_000).select(
+        (F.col("id") + 100).alias("doc_id"), F.lit("copy me please").alias("text")
+    )
+    uniq = spark.createDataFrame(
+        [(1, "one of a kind"), (2, "another unique row")],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_dedup(base.unionByName(uniq)).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 100]

@@ -402,3 +402,99 @@ def test_lm_vacuum_under_reader_contract(spark, tmp_path):
     vac.compact(vacuum=True)  # deletes the folded dirs immediately
     with pytest.raises(Exception):  # Spark surfaces a missing-input error
         doomed_plan.collect()
+
+
+# ---------------------------------------------------------------------------
+# r12: two-writer auto-scope collision guard for the dir-truth stores
+# ---------------------------------------------------------------------------
+# These stores' manifests carry no live list (reader truth is the
+# partition dirs), so before r12 two concurrent ONE-SHOT writers could
+# both mint auto-N from the same directory listing and silently
+# overwrite each other's parquet. The claim stamps the chosen N into
+# the manifest under the commit-seq CAS before any data lands — the
+# loser raises instead of reusing the winner's scope.
+
+def test_exact_dedup_store_two_oneshot_writers_raise(spark, tmp_path):
+    from balboa_spark.operators.dedup_store import ExactDedupStore
+
+    path = str(tmp_path / "ex2w")
+    a = ExactDedupStore(spark, path)
+    b = ExactDedupStore(spark, path)
+    batch_a = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+    batch_b = _docs(spark, [(10, "epsilon zeta")])
+    _hook_first_read(a, "_read_manifest", lambda: b.process_batch(batch_b))
+    with pytest.raises(ConcurrentWriterError, match="single-writer"):
+        a.process_batch(batch_a)
+    # winner's scope committed and claimed; loser wrote nothing
+    assert b._read_manifest()["claimed_auto"] == 0
+    assert b.fingerprints().count() == 1
+
+
+def test_span_dedup_store_two_oneshot_writers_raise(spark, tmp_path):
+    path = str(tmp_path / "sp2w")
+    a = SpanDedupStore(spark, path, span_tokens=2)
+    b = SpanDedupStore(spark, path, span_tokens=2)
+    batch = _docs(spark, [(1, "a b c d"), (2, "e f g h")])
+    _hook_first_read(a, "_read_manifest", lambda: b.process_batch(batch))
+    with pytest.raises(ConcurrentWriterError, match="single-writer"):
+        a.process_batch(_docs(spark, [(5, "x y z w")]))
+    assert b._read_manifest()["claimed_auto"] == 0
+
+
+def test_minhash_store_two_oneshot_writers_raise(spark, tmp_path):
+    path = str(tmp_path / "mh2w")
+    a = MinHashDedupStore(spark, path)
+    b = MinHashDedupStore(spark, path)
+    batch = _docs(spark, [(1, "the quick brown fox jumps over the dog")])
+    _hook_first_read(a, "_read_manifest", lambda: b.process_batch(batch))
+    with pytest.raises(ConcurrentWriterError, match="single-writer"):
+        a.process_batch(_docs(spark, [(9, "a wholly different sentence here")]))
+    assert b._read_manifest()["claimed_auto"] == 0
+
+
+def test_auto_scopes_increment_across_serial_oneshot_batches(spark, tmp_path):
+    """Serial one-shot batches mint auto-0, auto-1, ... and the claim
+    tracks the max even if a dir listing lags (claim = max(dirs,
+    last claim + 1))."""
+    from balboa_spark.operators.dedup_store import ExactDedupStore
+
+    store = ExactDedupStore(spark, str(tmp_path / "serial"))
+    store.process_batch(_docs(spark, [(1, "first batch text")]))
+    store.process_batch(_docs(spark, [(2, "second batch text")]))
+    scopes = {
+        d for d in os.listdir(os.path.join(str(tmp_path / "serial"), "fps"))
+        if d.startswith("epoch=")
+    }
+    assert scopes == {"epoch=auto-0", "epoch=auto-1"}
+    assert store._read_manifest()["claimed_auto"] == 1
+
+
+def test_size_trigger_skips_near_noop_compaction(spark, tmp_path):
+    """ADVICE r11: with max_live_epochs below the irreducible floor
+    (each stream's latest epoch is never foldable), the trigger must
+    NOT run compact() as a per-batch manifest-CAS no-op — it fires
+    only when >= 2 dirs would actually fold."""
+    from balboa_spark.operators.dedup_store import ExactDedupStore
+
+    store = ExactDedupStore(spark, str(tmp_path / "noop"))
+    calls = []
+    orig = store.compact
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    store.compact = counting
+    for e in range(2):
+        store.process_batch(
+            _docs(spark, [(e, f"text number {e}")]),
+            epoch_id=e,
+            max_live_epochs=0,
+        )
+    # scopes {default-0, default-1}: only default-0 is foldable -> no call
+    assert calls == []
+    store.process_batch(
+        _docs(spark, [(2, "text number 2")]), epoch_id=2, max_live_epochs=0
+    )
+    # now {default-0, default-1} fold under default-2's watch
+    assert calls == [1]
