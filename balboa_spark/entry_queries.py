@@ -276,10 +276,32 @@ QUERIES.update(QUERIES_TEMPORAL)
 # vector_store_topk (CAS), pipeline_crawl / corpus_domain_cap /
 # corpus_domain_profile (psl out_col guard).
 #
-# ROUND-12 ROTATION PLAN (for the next builder): next-stalest are the
-# green-r8-only tail entries (the r10-demoted cohort is green r9+r10
-# and can wait one more round); demote entries double-verified by then
-# (green r10 AND r11), keeping the "no entry older than 3 rounds" rule.
+# Round-12 rotation (this round; executes the r11 plan + 4 new
+# kernels + 1 kernel-changed recall): IN = the 4 r12-new entries
+# (corpus_lm_kn5_perplexity, pipeline_ccnet5, pipeline_ccnet_par,
+# corpus_lang_id), dedup_exact RECALLED from the tail because its
+# kernel changed this round (exact_dedup rewritten from the
+# min-over-window to groupBy-min + semi-join), and the 10 stalest
+# tail entries (last real-driver green r9: embedding_seed_topk,
+# corpus_bpe_vocab, corpus_mixture_temperature, corpus_epoch_shuffle,
+# corpus_normalize_unicode, corpus_length_batches, corpus_blocklist,
+# corpus_snapshot_diff, corpus_bpe_encode, corpus_weighted_sample).
+# OUT = the 10 entries promoted in r11 (green r7 AND r11, kernels
+# unchanged since) + 5 r10-new entries now double-verified (green r10
+# AND r11, kernels unchanged: corpus_lm_perplexity,
+# corpus_lm3_perplexity, lm_store_perplexity, corpus_leakage_split,
+# events_skew_metrics). Kernel-changed-this-round entries all stay
+# in-cap: pipeline_ccnet (dedup stage + checkpoint + threshold arms),
+# exact_dedup_store (groupBy-min + claim + manifest order),
+# span_dedup_store (claim + manifest order), the kn scorer family
+# (order-1 discount-estimate skip).
+#
+# ROUND-13 ROTATION PLAN (for the next builder): next-stalest are the
+# remaining r8+r9-green tail entries (corpus_html_extract,
+# supplier_entity_resolve, corpus_pack_bestfit, obs_blocklist_match,
+# corpus_dataset_profile, events_props_extract, events_heavy_users,
+# corpus_source_overlap) plus the r10-demoted green-r6+r10 cohort;
+# demote entries double-verified by then (green r11 AND r12).
 CAP_50 = [
     # -- §2 backbone, kept in-cap as standing canaries (green r5-r7) --
     "observations_agg",   # A1-A3 core fold
@@ -301,22 +323,14 @@ CAP_50 = [
     "pipeline_pretrain",
     "corpus_bm25_topk",
     "corpus_bpe_segment",
-    # -- r10-NEW operators: first grading (displaced embedding_seed_topk,
-    #    corpus_bpe_vocab, corpus_mixture_temperature, and
-    #    corpus_epoch_shuffle — all double-verified green r8+r9 with
-    #    families still covered: ann_lsh_topk/ann_quality_eval,
-    #    corpus_bpe_segment, corpus_mixture_resample, and the
-    #    epoch_shuffle_write bench item) --
-    "corpus_lm_perplexity",
-    "corpus_lm3_perplexity",
-    "lm_store_perplexity",
-    "corpus_leakage_split",
-    # -- r10-new kernels: persisted-store roundtrips, first grading --
+    # -- persisted-store roundtrips (store_delta_fold/bm25/vector:
+    #    green r10+r11 but held as the store-family canaries;
+    #    span_dedup_store: kernel changed r12 — claim + manifest
+    #    order — needs fresh grading) --
     "store_delta_fold",
     "span_dedup_store",
     "bm25_store_topk",
     "vector_store_topk",
-    "events_skew_metrics",
     # -- r7-new cohort entries kept in-cap: PSL-kernel-changed this
     #    round (domain_profile/domain_cap/pipeline_crawl) or one more
     #    grading wanted --
@@ -325,7 +339,9 @@ CAP_50 = [
     "pipeline_crawl",
     "corpus_domain_cap",
     "events_psi_drift",
-    # -- r11-NEW kernels: first grading --
+    # -- r11 LM family: kn scorer kernel touched r12 (order-1
+    #    discount-estimate skip) -> stay for re-grading; mkn/sbo/band
+    #    kernels unchanged but green-r11-only (one more round) --
     "corpus_lm_kn_perplexity",
     "corpus_lm_kn3_perplexity",
     "corpus_lm_mkn_perplexity",
@@ -333,19 +349,26 @@ CAP_50 = [
     "lm_store_kn3_perplexity",
     "corpus_lm_sbo_perplexity",
     "corpus_lm_band",
+    # -- kernel-changed r12: dedup rewrite + claim guard --
     "pipeline_ccnet",
     "exact_dedup_store",
-    # -- promoted r11: last real-driver green in r7, three rounds ago --
-    "events_rolling_1h",
-    "events_funnel",
-    "events_zorder",
-    "corpus_tfidf_keywords",
-    "corpus_boilerplate",
-    "corpus_quality_bins",
-    "corpus_mixture_upsample",
-    "corpus_expectations",
-    "corpus_pack_sequences",
-    "dedup_semantic",
+    "dedup_exact",
+    # -- r12-NEW kernels: first grading --
+    "corpus_lm_kn5_perplexity",
+    "pipeline_ccnet5",
+    "pipeline_ccnet_par",
+    "corpus_lang_id",
+    # -- promoted r12: last real-driver green in r9, three rounds ago --
+    "embedding_seed_topk",
+    "corpus_bpe_vocab",
+    "corpus_mixture_temperature",
+    "corpus_epoch_shuffle",
+    "corpus_normalize_unicode",
+    "corpus_length_batches",
+    "corpus_blocklist",
+    "corpus_snapshot_diff",
+    "corpus_bpe_encode",
+    "corpus_weighted_sample",
 ]
 
 # Tail rationale: every entry is either (a) real-driver green in two
@@ -361,8 +384,24 @@ CAP_50 = [
 #     candidates; agg_incremental — same merge fold as
 #     observations_agg.
 _TAIL = [
+    # --- demoted r12 (green r7 AND r11, kernels unchanged) ---
+    "events_rolling_1h",       # RANGE-frame rolling kernel
+    "events_funnel",           # ordered-step funnel kernel
+    "events_zorder",           # morton-interleave layout kernel
+    "corpus_tfidf_keywords",   # tf-idf top-k kernel
+    "corpus_boilerplate",      # line-frequency boilerplate kernel
+    "corpus_quality_bins",     # exact-percentile binning kernel (same convention graded via in-cap corpus_lm_band)
+    "corpus_mixture_upsample", # epoch-expansion mixture arm
+    "corpus_expectations",     # expectation-suite kernel
+    "corpus_pack_sequences",   # greedy packing kernel
+    "dedup_semantic",          # embedding-bucket near-dup kernel
+    # --- demoted r12 (green r10 AND r11, kernels unchanged) ---
+    "corpus_lm_perplexity",    # add-alpha bigram; KN family (harder arithmetic) stays in-cap
+    "corpus_lm3_perplexity",   # add-alpha order-3; kn5 now grades the deep-order path
+    "lm_store_perplexity",     # BigramCountStore roundtrip; kn store twins stay in-cap
+    "corpus_leakage_split",    # group-aware split kernel
+    "events_skew_metrics",     # keyed skew-stats kernel
     # --- demoted r11 (kernels unchanged) ---
-    "dedup_exact",             # green r5-r7+r10; exact-dedup family now graded harder via in-cap exact_dedup_store (same keep rule + persisted history)
     "explode_normalize",       # green r6+r10; FEVER two-level explode kernel
     "entries_rrname_residual", # green r6+r10; rides in-cap entries_rrname + F5 predicate
     "cof_projection",          # green r6+r10; pure projection over in-cap agg
@@ -382,19 +421,9 @@ _TAIL = [
     "corpus_dsir_topk",        # green r7-r10 (4x); hashed-ngram importance kernel
     "events_props_profile",    # green r7-r10 (4x); semistructured map-explode kernel
     # --- demoted r10 (real-driver green r8 AND r9, kernels unchanged) ---
-    "embedding_seed_topk",  # seeded-ANN arm; ANN family in-cap via ann_lsh_topk + ann_quality_eval
-    "corpus_bpe_vocab",   # BPE trainer output; family in-cap via corpus_bpe_segment
-    "corpus_mixture_temperature",  # temperature arm; mixture family in-cap via corpus_mixture_resample
-    "corpus_epoch_shuffle",  # md5-order projection double-verified r8+r9; write path exercised by the epoch_shuffle_write bench item
-    "corpus_normalize_unicode",  # Arrow-seam NFC kernel; double-verified r8+r9
-    "corpus_length_batches",  # length-bucket kernel; packing family in-cap via pack_boundaries
-    "corpus_blocklist",   # broadcast blocklist join; sibling obs_blocklist_match green r8+r9
-    "corpus_snapshot_diff",   # anti-join diff kernel; double-verified r8+r9
-    "corpus_bpe_encode",  # BPE encode arm; family in-cap via corpus_bpe_segment/vocab
     "corpus_html_extract",    # html_to_text kernel; graded inside in-cap pipeline_crawl
     "supplier_entity_resolve",# same SymSpell kernel as in-cap customer_fuzzy_pairs
     "corpus_pack_bestfit",    # FFD packing arm; family in-cap via pack_boundaries
-    "corpus_weighted_sample", # A-ES weighted-sample kernel; double-verified r8+r9
     "obs_blocklist_match",    # broadcast blocklist join; double-verified r8+r9
     # --- standing tail ---
     "dedup_embedding",    # bucketed-cosine kernel under dedup_semantic; graded via dedup_components pairs

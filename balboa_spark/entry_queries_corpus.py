@@ -2233,12 +2233,17 @@ def q_pipeline_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.ccnet_pipeline(planted).orderBy("doc_id")
 
 
-# Replays every stage: normalized-hash keep-first dedup, interpolated
-# KN trained on the kept src0 slice (same arithmetic as
-# _kn_bigram_oracle), scoring over all kept docs, tertile banding by
-# rounded exact quantiles.
-PIPELINE_CCNET_ORACLE = r"""
-WITH raw AS (
+# The ccnet oracle is assembled from shared pieces (r12) so the
+# document-dedup, paragraph-dedup, order-2 and order-5 chain variants
+# replay the SAME proven arithmetic: a dedup prefix that must produce
+# a CTE named ``kept (doc_id, source, text)``, the tokenizer pair
+# ``ktoks``/``ttoks``, a scoring block ending in
+# ``scored (doc_id, perplexity)``, and the tertile band suffix.
+
+# Keep-first = min doc_id per normalized-text hash (the engine's
+# groupBy-min contract; the oracle's window formulation is equivalent
+# on DuckDB's small replay side).
+_CCNET_DOC_DEDUP_PREFIX = r"""raw AS (
   SELECT doc_id, source, text FROM documents
   UNION ALL
   SELECT doc_id + 10000, source, text FROM documents
@@ -2255,14 +2260,20 @@ kept AS (
     FROM rt
   ) WHERE rn = 1
 ),
-ktoks AS (
+"""
+
+_CCNET_KTOKS = r"""ktoks AS (
   SELECT doc_id, source,
          list_filter(string_split_regex(lower(text), '\s+'),
                      t -> t <> '') AS tk
   FROM kept
 ),
 ttoks AS (SELECT * FROM ktoks WHERE source = 'src0'),
-tbg AS (
+"""
+
+# Interpolated-KN bigram scoring (same arithmetic as _kn_bigram_oracle)
+# -> scored (doc_id, perplexity)
+_CCNET_KN2_SCORED = r"""tbg AS (
   SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
          unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
   FROM ttoks WHERE len(tk) >= 2
@@ -2312,18 +2323,31 @@ scored AS (
          exp(-(sum(lp) / count(*))) AS perplexity
   FROM j GROUP BY doc_id
 ),
-b AS (
+"""
+
+_CCNET_BAND_SUFFIX = r"""b AS (
   SELECT round(quantile_cont(perplexity, 0.1), 6) AS lo,
          round(quantile_cont(perplexity, 0.8), 6) AS hi
   FROM scored
 )
-SELECT sc.doc_id, k.source, sc.perplexity,
-       CASE WHEN sc.perplexity < b.lo THEN 'head'
-            WHEN sc.perplexity <= b.hi THEN 'middle'
+SELECT z.doc_id, k.source, z.perplexity,
+       CASE WHEN z.perplexity < b.lo THEN 'head'
+            WHEN z.perplexity <= b.hi THEN 'middle'
             ELSE 'tail' END AS band
-FROM scored sc JOIN kept k USING (doc_id), b
-ORDER BY sc.doc_id
+FROM scored z JOIN kept k USING (doc_id), b
+ORDER BY z.doc_id
 """
+
+# Replays every stage: normalized-hash keep-first dedup, interpolated
+# KN trained on the kept src0 slice, scoring over all kept docs,
+# tertile banding by rounded exact quantiles.
+PIPELINE_CCNET_ORACLE = (
+    "WITH "
+    + _CCNET_DOC_DEDUP_PREFIX
+    + _CCNET_KTOKS
+    + _CCNET_KN2_SCORED
+    + _CCNET_BAND_SUFFIX
+)
 
 
 def q_lm_store_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2416,6 +2440,336 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# r12: order-n KN oracle GENERATOR (graded at n=5, the depth CCNet's
+# KenLM filter actually runs), order-5 + paragraph ccnet chains, and
+# the char-n-gram NB language-ID stage
+# ---------------------------------------------------------------------------
+
+def _kn_ctes(n: int, train_cte: str, score_cte: str) -> str:
+    """Generate the CTE chain replaying operators.lm's order-n
+    interpolated-KN recursion in DuckDB SQL, for ANY n >= 2 —
+    the hand-written ``_kn3_oracle`` is its fixed point at n=3 (a
+    test pins row-for-row equality on real data). Consumes two CTEs
+    holding (doc_id, tk) token lists: ``train_cte`` for counts,
+    ``score_cte`` for the scoring stream; ends with ``j (doc_id,
+    lp)`` — the caller appends the per-doc aggregate.
+
+    Table layout mirrors lm._kn_ngram_score_from_counts: raw k-gram
+    counts rg2..rg{n}; adjusted continuation tables a1..a{n-1}
+    (order-(k+1) TYPE table grouped by its last-k suffix); per-order
+    context stats st2..st{n}; one Ney discount per order k >= 2 from
+    that order's count-of-counts; the alpha-smoothed continuation
+    unigram base."""
+    parts: list[str] = []
+    for k in range(2, n + 1):
+        m = k - 2  # ctx spans k-1 tokens: slice(i, i+m); w = tk[i+k-1]
+        parts.append(
+            f"rg{k} AS (\n"
+            f"  SELECT ctx, w, count(*) AS c FROM (\n"
+            f"    SELECT unnest(list_transform(range(1, len(tk) - {m}),\n"
+            f"             i -> array_to_string(list_slice(tk, i, i + {m}),"
+            f" ' '))) AS ctx,\n"
+            f"           unnest(list_transform(range(1, len(tk) - {m}),"
+            f" i -> tk[i + {k - 1}])) AS w\n"
+            f"    FROM {train_cte} WHERE len(tk) >= {k}) GROUP BY 1, 2\n"
+            f")"
+        )
+    parts.append("a1 AS (SELECT w, count(*) AS a FROM rg2 GROUP BY 1)")
+    for k in range(2, n):
+        parts.append(
+            f"a{k} AS (\n"
+            f"  SELECT substring(ctx, strpos(ctx, ' ') + 1) AS ctx, w,\n"
+            f"         count(*) AS a\n"
+            f"  FROM rg{k + 1} GROUP BY 1, 2\n"
+            f")"
+        )
+
+    def tbl(k: int) -> tuple[str, str]:
+        return (f"rg{n}", "c") if k == n else (f"a{k}", "a")
+
+    for k in range(2, n + 1):
+        t, c = tbl(k)
+        parts.append(
+            f"st{k} AS (SELECT ctx, sum({c}) AS tot, count(*) AS nfw"
+            f" FROM {t} GROUP BY 1)"
+        )
+    dsel = []
+    for k in range(2, n + 1):
+        t, c = tbl(k)
+        one = f"sum(CASE WHEN {c} = 1 THEN 1 ELSE 0 END)"
+        two = f"sum(CASE WHEN {c} = 2 THEN 1 ELSE 0 END)"
+        dsel.append(
+            f"         (SELECT CASE WHEN {one} + 2 * {two} > 0\n"
+            f"                 THEN {one} / ({one} + 2 * {two})\n"
+            f"                 ELSE 0.5 END FROM {t}) AS d{k}"
+        )
+    parts.append(
+        "sc AS (\n"
+        "  SELECT (SELECT count(*) FROM rg2) AS a1_total,\n"
+        "         (SELECT count(DISTINCT t)"
+        f" FROM (SELECT unnest(tk) AS t FROM {train_cte})) AS vocab,\n"
+        + ",\n".join(dsel)
+        + "\n)"
+    )
+    m = n - 2
+    sfx = []
+    for k in range(n, 1, -1):
+        # ctx{k} = last k-1 tokens before w: slice(i + n-k, i + n-2)
+        sfx.append(
+            f"         unnest(list_transform(range(1, len(tk) - {m}),\n"
+            f"           i -> array_to_string(list_slice(tk, i + {n - k},"
+            f" i + {m}), ' '))) AS ctx{k}"
+        )
+    parts.append(
+        "sg AS (\n"
+        "  SELECT doc_id,\n"
+        + ",\n".join(sfx)
+        + ",\n"
+        f"         unnest(list_transform(range(1, len(tk) - {m}),"
+        f" i -> tk[i + {n - 1}])) AS w\n"
+        f"  FROM {score_cte} WHERE len(tk) >= {n}\n"
+        ")"
+    )
+    expr = "(coalesce(a1.a, 0) + 1.0) / (sc.a1_total + 1.0 * sc.vocab)"
+    for k in range(2, n + 1):
+        t, c = tbl(k)
+        expr = (
+            f"CASE WHEN st{k}.tot IS NOT NULL THEN\n"
+            f"              greatest(coalesce({t}.{c}, 0) - sc.d{k}, 0.0)"
+            f" / st{k}.tot\n"
+            f"              + sc.d{k} * st{k}.nfw / st{k}.tot * ({expr})\n"
+            f"            ELSE {expr} END"
+        )
+    joins = [
+        f"  LEFT JOIN rg{n} ON rg{n}.ctx = sg.ctx{n} AND rg{n}.w = sg.w",
+        f"  LEFT JOIN st{n} ON st{n}.ctx = sg.ctx{n}",
+    ]
+    for k in range(n - 1, 1, -1):
+        joins.append(
+            f"  LEFT JOIN a{k} ON a{k}.ctx = sg.ctx{k} AND a{k}.w = sg.w"
+        )
+        joins.append(f"  LEFT JOIN st{k} ON st{k}.ctx = sg.ctx{k}")
+    joins.append("  LEFT JOIN a1 ON a1.w = sg.w")
+    joins.append("  CROSS JOIN sc")
+    parts.append(
+        "j AS (\n"
+        f"  SELECT sg.doc_id, ln({expr}) AS lp\n"
+        "  FROM sg\n" + "\n".join(joins) + "\n)"
+    )
+    return ",\n".join(parts)
+
+
+def _knN_oracle(n: int, train_pred: str) -> str:
+    return f"""
+WITH {_TOKS_SQL},
+ttoks AS (SELECT * FROM toks WHERE {train_pred}),
+{_kn_ctes(n, "ttoks", "toks")}
+SELECT doc_id, count(*) AS n_grams,
+       sum(lp) / count(*) AS avg_logprob,
+       exp(-(sum(lp) / count(*))) AS perplexity
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_lm_kn5_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-5 interpolated KN — the depth CCNet's KenLM reference
+    filter runs (Wenzek et al. 2020): the full 4-deep recursion of
+    adjusted continuation tables, graded against the generated
+    DuckDB replay."""
+    from balboa_spark.operators import lm
+
+    docs = _docs(spark, sf_dir)
+    return lm.kn_ngram_lm_perplexity(
+        docs, n=5, train=docs.where(F.col("doc_id") % 2 == 0)
+    ).orderBy("doc_id")
+
+
+LM_KN5_PERPLEXITY_ORACLE = _knN_oracle(5, "doc_id % 2 = 0")
+
+
+def q_pipeline_ccnet5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet chain at its reference order: hash dedup -> order-5
+    interpolated-KN LM on the kept src0 slice -> banding. Same
+    planted-duplicate construction as pipeline_ccnet."""
+    from balboa_spark.operators import lm
+
+    docs = load_tables(spark, sf_dir, names=("documents",))[
+        "documents"
+    ].select("doc_id", "source", "text")
+    planted = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "source", "text"
+        )
+    )
+    return lm.ccnet_pipeline(planted, order=5).orderBy("doc_id")
+
+
+PIPELINE_CCNET5_ORACLE = (
+    "WITH "
+    + _CCNET_DOC_DEDUP_PREFIX
+    + _CCNET_KTOKS
+    + _kn_ctes(5, "ttoks", "ktoks")
+    + """,
+scored AS (
+  SELECT doc_id, exp(-(sum(lp) / count(*))) AS perplexity
+  FROM j GROUP BY doc_id
+),
+"""
+    + _CCNET_BAND_SUFFIX
+)
+
+
+def q_pipeline_ccnet_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet dedup at the paper's actual granularity (paragraph =
+    line): every document gets a COMMON boilerplate first line
+    planted plus a full +10000 duplicate block, so the paragraph
+    keep-first is observable three ways — the boilerplate line
+    survives only in the min doc, duplicate docs' paragraphs all
+    drop, originals keep their body text."""
+    from balboa_spark.operators import lm
+
+    docs = load_tables(spark, sf_dir, names=("documents",))[
+        "documents"
+    ].select("doc_id", "source", "text")
+    with_boiler = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit(CCNET_PAR_BOILER), F.lit("\n"), F.col("text")
+        ).alias("text"),
+    )
+    planted = with_boiler.unionByName(
+        with_boiler.select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "source", "text"
+        )
+    )
+    return lm.ccnet_pipeline(planted, granularity="paragraph").orderBy(
+        "doc_id"
+    )
+
+
+CCNET_PAR_BOILER = "subscribe to our newsletter for updates"
+
+# Paragraph dedup replay: split on newline, hash each normalized
+# line, keep the global first (doc_id, idx) per hash, drop blank
+# lines, reassemble in order; docs keeping nothing vanish. Then the
+# shared KN-bigram + banding blocks over the rebuilt text.
+_CCNET_PAR_DEDUP_PREFIX = f"""raw AS (
+  SELECT doc_id, source,
+         '{CCNET_PAR_BOILER}' || chr(10) || text AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, source,
+         '{CCNET_PAR_BOILER}' || chr(10) || text
+  FROM documents
+),
+""" + r"""paras AS (
+  SELECT doc_id, source,
+         unnest(range(1, len(parts) + 1)) AS idx,
+         unnest(parts) AS para
+  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS parts
+        FROM raw)
+),
+hp AS (
+  SELECT doc_id, source, idx, para,
+         array_to_string(list_filter(
+           string_split_regex(lower(para), '\s+'), t -> t <> ''), ' ')
+           AS norm
+  FROM paras
+),
+hpk AS (SELECT *, md5(norm) AS fp FROM hp WHERE norm <> ''),
+keepp AS (
+  SELECT doc_id, idx FROM (
+    SELECT doc_id, idx,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn
+    FROM hpk
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT h.doc_id, h.source,
+         string_agg(h.para, chr(10) ORDER BY h.idx) AS text
+  FROM hpk h JOIN keepp USING (doc_id, idx)
+  GROUP BY 1, 2
+),
+"""
+
+PIPELINE_CCNET_PAR_ORACLE = (
+    "WITH "
+    + _CCNET_PAR_DEDUP_PREFIX
+    + _CCNET_KTOKS
+    + _CCNET_KN2_SCORED
+    + _CCNET_BAND_SUFFIX
+)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram NB language ID (operators/lid.py — the CCNet
+    chain's LID stage): trained on the even-id half with ``source``
+    standing in as the language label, classifying every document.
+    Training AND scoring replayed in SQL — counts, shared-vocabulary
+    add-alpha smoothing, log priors, rounded-score argmax with the
+    language tie-break."""
+    from balboa_spark.operators import lid
+
+    docs = _docs(spark, sf_dir)
+    model = lid.train_char_ngram_lid(
+        docs.where(F.col("doc_id") % 2 == 0), label_col="source", n=3
+    )
+    return lid.classify_lang(docs, model).orderBy("doc_id")
+
+
+LANG_ID_ORACLE = r"""
+WITH tr AS (
+  SELECT source AS lang, lower(text) AS s
+  FROM documents WHERE doc_id % 2 = 0
+),
+tg AS (
+  SELECT lang,
+         unnest(list_transform(range(1, length(s) - 1),
+                i -> substring(s, i, 3))) AS gram
+  FROM tr
+),
+cnt AS (SELECT lang, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+vv AS (SELECT count(DISTINCT gram) AS vocab FROM cnt),
+lt AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY 1),
+nd AS (
+  SELECT source AS lang, count(*) AS n_docs
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+td AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+langs AS (
+  SELECT lt.lang, lt.tot,
+         ln(nd.n_docs / CAST(td.n AS DOUBLE)) AS logprior
+  FROM lt JOIN nd USING (lang) CROSS JOIN td
+),
+sg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(s) - 1),
+                i -> substring(s, i, 3))) AS gram
+  FROM (SELECT doc_id, lower(text) AS s FROM documents)
+),
+per AS (
+  SELECT sg.doc_id, l.lang,
+         round(max(l.logprior)
+               + sum(ln((coalesce(c.c, 0) + 1.0)
+                        / (l.tot + 1.0 * v.vocab))), 6) AS score
+  FROM sg
+  CROSS JOIN langs l
+  LEFT JOIN cnt c ON c.lang = l.lang AND c.gram = sg.gram
+  CROSS JOIN vv v
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM per
+)
+SELECT doc_id, lang, score FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -2463,6 +2817,10 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_lm_sbo_perplexity": q_lm_sbo_perplexity,
     "corpus_lm_band": q_lm_band,
     "pipeline_ccnet": q_pipeline_ccnet,
+    "corpus_lm_kn5_perplexity": q_lm_kn5_perplexity,
+    "pipeline_ccnet5": q_pipeline_ccnet5,
+    "pipeline_ccnet_par": q_pipeline_ccnet_par,
+    "corpus_lang_id": q_lang_id,
     "exact_dedup_store": q_exact_dedup_store,
     "corpus_leakage_split": q_leakage_split,
     "corpus_span_dedup": q_span_dedup,
@@ -2530,6 +2888,10 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_lm_sbo_perplexity": LM_SBO_PERPLEXITY_ORACLE,
     "corpus_lm_band": LM_BAND_ORACLE,
     "pipeline_ccnet": PIPELINE_CCNET_ORACLE,
+    "corpus_lm_kn5_perplexity": LM_KN5_PERPLEXITY_ORACLE,
+    "pipeline_ccnet5": PIPELINE_CCNET5_ORACLE,
+    "pipeline_ccnet_par": PIPELINE_CCNET_PAR_ORACLE,
+    "corpus_lang_id": LANG_ID_ORACLE,
     "exact_dedup_store": EXACT_DEDUP_STORE_ORACLE,
     "corpus_leakage_split": LEAKAGE_SPLIT_ORACLE,
 }

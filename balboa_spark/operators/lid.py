@@ -1,0 +1,209 @@
+"""Character-n-gram language identification — the CCNet chain's LID
+stage (Wenzek et al. 2020 fig. 1: dedup -> LID -> LM; the paper uses
+fastText, Joulin et al. 2017, for which ``fasttext_lang_id`` is the
+import-gated slot).
+
+The built-in engine is a multinomial Naive Bayes over character
+n-grams (the classic LID recipe: Cavnar & Trenkle 1994; Dunning 1994),
+expressed entirely as DataFrame algebra so training AND scoring are
+SQL-replayable by the driver's DuckDB oracle — the same
+engine-replayable contract as ``classifier.py``'s logreg:
+
+    score(doc, L) = log P(L) + sum over char n-gram occurrences g of
+                    log (c_L(g) + alpha) / (tot_L + alpha * V)
+
+with V the distinct-gram vocabulary across ALL languages (one shared
+smoothing denominator base, so unseen grams cost each language its
+own OOV penalty).
+
+Scale shape: the model is two relations — a gram-type-sized count
+table (lang, gram, c), never collected to the driver, and a
+#languages-sized (lang, tot, logprior) table that broadcasts. Scoring
+is one explode over the corpus, one broadcast cross join with the
+language table (the x|L| blowup — |L| is the label alphabet, dozens
+at most), one gram-keyed LEFT join against the count table (AQE
+decides broadcast vs shuffle by its size), and a partial-aggregating
+groupBy(id, lang) sum. The winner pick is a row_number window
+partitioned by doc id whose partition size is EXACTLY |L| rows by
+construction — bounded, unlike a content-keyed window, so it is not a
+skew hazard. Scores are rounded to 6 decimals before ranking (the
+quality_bins cross-engine convention) with the language as the
+deterministic tie-break.
+
+Documents with no char n-gram (text shorter than n after lowering)
+are absent from the output — the LM scorers' absence contract.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class LIDModel(NamedTuple):
+    """Trained char-n-gram NB model: ``counts`` is the gram-type-sized
+    (lang, gram, c) relation; ``langs`` the tiny (lang, tot, logprior)
+    relation; ``vocab`` the shared distinct-gram count."""
+
+    counts: DataFrame
+    langs: DataFrame
+    vocab: int
+    n: int
+    alpha: float
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Array of overlapping character n-grams of ``lower(text)`` —
+    ``substr`` over a generated index sequence, all JVM-side. Guarded
+    for short text: ``sequence(1, 0)`` would COUNT DOWN (Spark's
+    default negative step), so texts shorter than ``n`` map to an
+    explicit empty array instead."""
+    s = F.lower(text)
+    cnt = F.length(s) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt), lambda i: s.substr(i, F.lit(n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_char_ngram_lid(
+    train: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    alpha: float = 1.0,
+) -> LIDModel:
+    """Train the NB model from a labeled (label_col, text_col) frame.
+    One explode + one groupBy(lang, gram) (map-side combinable); the
+    per-language totals and doc-count priors are one aggregate each
+    over the count/table relations; only the |L|-sized language table
+    and one scalar (V) reach the driver."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    g = train.select(
+        F.col(label_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = (
+        g.groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = counts.select("gram").distinct().count()
+    tots = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
+    ndocs = train.groupBy(F.col(label_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = train.count()
+    langs = (
+        tots.join(ndocs, ["lang"])
+        .select(
+            "lang",
+            "tot",
+            F.log(F.col("n_docs").cast("double") / F.lit(float(total))).alias(
+                "logprior"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return LIDModel(counts=counts, langs=langs, vocab=int(vocab), n=n,
+                    alpha=float(alpha))
+
+
+def score_langs(
+    df: DataFrame,
+    model: LIDModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(document, language) NB log-score: ``(id_col, lang,
+    score)`` with score rounded to 6 decimals (cross-engine hash
+    stability). One row per doc per language."""
+    g = df.select(
+        F.col(id_col),
+        F.explode(char_ngrams(F.col(text_col), model.n)).alias("gram"),
+    )
+    al = float(model.alpha)
+    lp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(al))
+        / (F.col("tot").cast("double") + F.lit(al * model.vocab))
+    )
+    per_lang = (
+        g.crossJoin(F.broadcast(model.langs))
+        .join(model.counts, ["lang", "gram"], "left")
+        .select(F.col(id_col), F.col("lang"), F.col("logprior"), lp.alias("lp"))
+        .groupBy(id_col, "lang")
+        .agg(F.first("logprior").alias("logprior"), F.sum("lp").alias("gsum"))
+    )
+    return per_lang.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.round(F.col("logprior") + F.col("gsum"), 6).alias("score"),
+    )
+
+
+def classify_lang(
+    df: DataFrame,
+    model: LIDModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Argmax language per document: ``(id_col, lang, score)``.
+    Winner = highest rounded score, ties broken by language ascending
+    — a row_number window whose partitions are |L| rows by
+    construction (bounded; not the content-keyed skew shape)."""
+    from pyspark.sql import Window
+
+    scored = score_langs(df, model, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def fasttext_lang_id(
+    df: DataFrame,
+    model_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's actual LID: a fastText ``lid.176.bin`` model scored via
+    an Arrow-batched mapInPandas (one model load per executor python
+    worker, vectorized predict per batch). Import-gated like the
+    multimodal codec arms — fastText is not installable in this
+    sandbox (pip is network-denied, documented PERF.md), so the path
+    raises until the dependency exists; the NB engine above is the
+    tested default."""
+    try:
+        import fasttext  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-gated
+        raise NotImplementedError(
+            "fasttext is not installed; use train_char_ngram_lid/"
+            "classify_lang (the built-in NB engine) or install "
+            "fasttext and a lid.176.bin model"
+        ) from e
+    import pandas as pd  # pragma: no cover - env-gated
+
+    schema = f"{id_col} long, lang string, score double"
+
+    def scorer(batches):  # pragma: no cover - env-gated
+        model = fasttext.load_model(model_path)
+        for pdf in batches:
+            labels, probs = model.predict(
+                [t.replace("\n", " ") for t in pdf[text_col].tolist()]
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "lang": [ls[0].replace("__label__", "") for ls in labels],
+                    "score": [float(ps[0]) for ps in probs],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(scorer, schema)

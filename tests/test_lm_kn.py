@@ -669,3 +669,51 @@ def test_cli_lm_train_kn_rejects_pruning_flags(spark, tiny, tmp_path):
     )
     with pytest.raises(SystemExit, match="approx-vocab"):
         cli.run(args, spark=spark)
+
+
+def test_kn_oracle_generator_matches_hand_written_n3():
+    """The order-n oracle GENERATOR (graded at n=5) must reproduce the
+    proven hand-written n=3 oracle row-for-row on real data — pins the
+    generator's recursion against the r11-graded fixed point."""
+    import duckdb
+
+    from balboa_spark import entry_queries_corpus as eqc
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    a = con.execute(eqc._kn3_oracle("doc_id % 2 = 0")).fetchall()
+    b = con.execute(eqc._knN_oracle(3, "doc_id % 2 = 0")).fetchall()
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        assert (x[0], x[1]) == (y[0], y[1])  # doc_id, n_grams exact
+        assert y[2] == pytest.approx(x[2], rel=1e-9)
+        assert y[3] == pytest.approx(x[3], rel=1e-9)
+
+
+def test_kn5_spark_matches_generated_oracle_smoke(spark):
+    """End-to-end order-5 cross-engine check at smoke scale (the
+    driver grades the same pair at sf0.01)."""
+    import duckdb
+
+    from balboa_spark import entry_queries_corpus as eqc
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["doc_id"]: r
+        for r in eqc.q_lm_kn5_perplexity(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    want = con.execute(eqc.LM_KN5_PERPLEXITY_ORACLE).fetchall()
+    assert len(want) == len(got) > 0
+    for doc_id, n_grams, avg_lp, ppl in want:
+        r = got[doc_id]
+        assert r["n_grams"] == n_grams
+        assert r["perplexity"] == pytest.approx(ppl, rel=1e-6)
