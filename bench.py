@@ -576,16 +576,69 @@ def main() -> None:
 
     @timed("pipeline_ccnet")
     def _():
-        # the composed CCNet chain (r11): hash dedup -> KN LM trained
-        # on the src0 slice -> perplexity -> head/middle/tail banding.
-        # One dedup window + one training pass + three gram-keyed
-        # joins + a broadcast threshold row; the deduped frame is
-        # checkpointed once inside the operator.
+        # the composed CCNet chain (r11; dedup stage rewritten r12 to
+        # groupBy-min + semi-join): hash dedup -> KN LM trained on the
+        # src0 slice -> perplexity -> head/middle/tail banding. One
+        # partial-agg dedup shuffle + one training pass + three
+        # gram-keyed joins + a broadcast threshold row; deduped and
+        # scored frames are checkpointed once each inside the operator.
         from balboa_spark.operators import lm
 
         lm.ccnet_pipeline(
             par(spark.table("documents").select("doc_id", "source", "text"))
         ).write.mode("overwrite").format("noop").save()
+
+    @timed("pipeline_ccnet_approx")
+    def _():
+        # the 100 TB threshold arm: percentile_approx sketch aggregate
+        # instead of exact percentile's map-side multiset — the swap
+        # point the r11 verdict asked to be benched (same chain
+        # otherwise; the delta IS the threshold cost)
+        from balboa_spark.operators import lm
+
+        lm.ccnet_pipeline(
+            par(spark.table("documents").select("doc_id", "source", "text")),
+            threshold="approx",
+        ).write.mode("overwrite").format("noop").save()
+
+    @timed("lm_kn5_perplexity")
+    def _():
+        # order-5 interpolated KN (r12) — the depth CCNet's KenLM
+        # filter runs: ONE corpus pass emits all 5 gram orders into a
+        # single checkpointed count table; 4 adjusted-table
+        # derivations + 2 gram-keyed joins per order, all codegen.
+        from balboa_spark.operators import lm
+
+        lm.kn_ngram_lm_perplexity(
+            par(spark.table("documents")), n=5
+        ).write.mode("overwrite").format("noop").save()
+
+    @timed("pipeline_ccnet_par")
+    def _():
+        # paragraph-granularity ccnet dedup (r12): posexplode ->
+        # narrow (hash, id, idx) groupBy-min -> semi-join ->
+        # collect_list reassembly, then the same KN chain.
+        from balboa_spark.operators import lm
+
+        lm.ccnet_pipeline(
+            par(spark.table("documents").select("doc_id", "source", "text")),
+            granularity="paragraph",
+        ).write.mode("overwrite").format("noop").save()
+
+    @timed("lang_id")
+    def _():
+        # char-trigram NB LID (r12): explode to grams, broadcast
+        # |L|-row language table, one gram-keyed left join, partial-agg
+        # per-(doc, lang) sum, bounded |L|-row argmax window.
+        from balboa_spark.operators import lid
+
+        docs = par(spark.table("documents"))
+        model = lid.train_char_ngram_lid(
+            docs.where(F.col("doc_id") % 2 == 0), label_col="source"
+        )
+        lid.classify_lang(docs, model).write.mode("overwrite").format(
+            "noop"
+        ).save()
 
     @timed("fuzzy_pairs")
     def _():
