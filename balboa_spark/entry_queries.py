@@ -318,11 +318,9 @@ CAP_50 = [
     "events_asof",
     "corpus_quality_signals",
     "corpus_mixture_resample",
-    "events_interval_join",
     # -- r7-cohort keepers (heaviest kernels; green r7-r10) --
     "pipeline_pretrain",
     "corpus_bm25_topk",
-    "corpus_bpe_segment",
     # -- persisted-store roundtrips (store_delta_fold/bm25/vector:
     #    green r10+r11 but held as the store-family canaries;
     #    span_dedup_store: kernel changed r12 — claim + manifest
@@ -358,6 +356,8 @@ CAP_50 = [
     "pipeline_ccnet5",
     "pipeline_ccnet_par",
     "corpus_lang_id",
+    "corpus_lm_kn_by_source",
+    "pipeline_ccnet_lid",
     # -- promoted r12: last real-driver green in r9, three rounds ago --
     "embedding_seed_topk",
     "corpus_bpe_vocab",
@@ -396,6 +396,8 @@ _TAIL = [
     "corpus_pack_sequences",   # greedy packing kernel
     "dedup_semantic",          # embedding-bucket near-dup kernel
     # --- demoted r12 (green r10 AND r11, kernels unchanged) ---
+    "corpus_bpe_segment",      # green r7-r11 (5x); BPE family freshly in-cap via the r12-promoted corpus_bpe_vocab + corpus_bpe_encode
+    "events_interval_join",    # green r5-r7+r11 (4x); temporal family canary stays via in-cap events_asof
     "corpus_lm_perplexity",    # add-alpha bigram; KN family (harder arithmetic) stays in-cap
     "corpus_lm3_perplexity",   # add-alpha order-3; kn5 now grades the deep-order path
     "lm_store_perplexity",     # BigramCountStore roundtrip; kn store twins stay in-cap

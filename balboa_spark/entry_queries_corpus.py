@@ -2770,6 +2770,259 @@ SELECT doc_id, lang, score FROM r WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_lm_kn_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group interpolated-KN LMs in one relational plan (r12 —
+    CCNet's per-language models, with ``source`` as the group label):
+    one bigram KN per source trained on the ``doc_id % 3 = 0`` slice
+    (3 is coprime with the 20-source id cycle, so every source
+    trains), scored over all documents. Grades the fully-relational
+    statistics path — per-group vocab, unigram mass and Ney discount
+    as joined relations instead of collected scalars."""
+    from balboa_spark.operators import lm
+
+    docs = _docs(spark, sf_dir)
+    return lm.kn_ngram_lm_perplexity_by_group(
+        docs,
+        n=2,
+        group_col="source",
+        train=docs.where(F.col("doc_id") % 3 == 0),
+    ).orderBy("doc_id")
+
+
+# Twin of kn_ngram_lm_perplexity_by_group at n=2: _kn_bigram_oracle
+# with `source` added to every key — counts, context stats,
+# continuation counts, count-of-counts discount, vocabulary and
+# unigram mass all per-source; docs join their OWN source's relations.
+LM_KN_BY_SOURCE_ORACLE = r"""
+WITH gtoks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+ttoks AS (SELECT * FROM gtoks WHERE doc_id % 3 = 0),
+tbg AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+  FROM ttoks WHERE len(tk) >= 2
+),
+c12 AS (SELECT source, w1, w2, count(*) AS c12 FROM tbg GROUP BY 1, 2, 3),
+ctx AS (SELECT source, w1, sum(c12) AS c1, count(*) AS n1p_fw
+        FROM c12 GROUP BY 1, 2),
+cont AS (SELECT source, w2, count(*) AS n1p_bw FROM c12 GROUP BY 1, 2),
+s AS (
+  SELECT source, count(*) AS types,
+         sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2
+  FROM c12 GROUP BY 1
+),
+v AS (
+  SELECT source, count(DISTINCT t) AS vocab
+  FROM (SELECT source, unnest(tk) AS t FROM ttoks) GROUP BY 1
+),
+d AS (
+  SELECT source,
+         CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2) ELSE 0.5 END
+           AS disc
+  FROM s
+),
+bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+  FROM gtoks WHERE len(tk) >= 2
+),
+j AS (
+  SELECT bg.doc_id, bg.source,
+         ln(CASE WHEN ctx.c1 IS NOT NULL THEN
+              greatest(coalesce(c12.c12, 0) - d.disc, 0.0) / ctx.c1
+              + d.disc * ctx.n1p_fw / ctx.c1
+                * ((coalesce(cont.n1p_bw, 0) + 1.0)
+                   / (s.types + 1.0 * v.vocab))
+            ELSE (coalesce(cont.n1p_bw, 0) + 1.0)
+                 / (s.types + 1.0 * v.vocab)
+            END) AS lp
+  FROM bg
+  LEFT JOIN c12 USING (source, w1, w2)
+  LEFT JOIN ctx USING (source, w1)
+  LEFT JOIN cont USING (source, w2)
+  JOIN s USING (source) JOIN v USING (source) JOIN d USING (source)
+)
+SELECT doc_id, source, count(*) AS n_grams,
+       sum(lp) / count(*) AS avg_logprob,
+       exp(-(sum(lp) / count(*))) AS perplexity
+FROM j GROUP BY doc_id, source ORDER BY doc_id
+"""
+
+
+def q_pipeline_ccnet_lid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE CCNet fig.1 chain, driver-graded end to end (r12):
+    hash dedup over the dup-planted corpus -> char-trigram NB LID
+    (trained on the even-id half, source as language label) -> ONE
+    interpolated-KN bigram LM PER detected language trained on that
+    language's src0 slice -> per-language head/middle/tail banding.
+    Every stage's arithmetic is replayed by the oracle: the dedup
+    keep rule, the NB training + rounded-argmax classification, the
+    per-group KN statistics (vocab/mass/discount as per-language
+    relations), and the per-language rounded exact quantiles."""
+    from balboa_spark.operators import lm
+
+    docs = load_tables(spark, sf_dir, names=("documents",))[
+        "documents"
+    ].select("doc_id", "source", "text")
+    planted = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "source", "text"
+        )
+    )
+    lid_train = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("source").alias("lang"), "text"
+    )
+    return lm.ccnet_pipeline(
+        planted, lid_train=lid_train, per_language_lm=True
+    ).orderBy("doc_id")
+
+
+# LID replay over the KEPT docs: the LANG_ID_ORACLE training CTEs
+# verbatim (model trained on raw even-id documents), classification
+# stream switched to `kept`.
+_CCNET_LID_CLASSIFY = r"""ltr AS (
+  SELECT source AS lang, lower(text) AS s
+  FROM documents WHERE doc_id % 2 = 0
+),
+ltg AS (
+  SELECT lang,
+         unnest(list_transform(range(1, length(s) - 1),
+                i -> substring(s, i, 3))) AS gram
+  FROM ltr
+),
+lcnt AS (SELECT lang, gram, count(*) AS c FROM ltg GROUP BY 1, 2),
+lvv AS (SELECT count(DISTINCT gram) AS vocab FROM lcnt),
+llt AS (SELECT lang, sum(c) AS tot FROM lcnt GROUP BY 1),
+lnd AS (
+  SELECT source AS lang, count(*) AS n_docs
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+ltd AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+llangs AS (
+  SELECT llt.lang, llt.tot,
+         ln(lnd.n_docs / CAST(ltd.n AS DOUBLE)) AS logprior
+  FROM llt JOIN lnd USING (lang) CROSS JOIN ltd
+),
+lsg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(s) - 1),
+                i -> substring(s, i, 3))) AS gram
+  FROM (SELECT doc_id, lower(text) AS s FROM kept)
+),
+lper AS (
+  SELECT lsg.doc_id, l.lang,
+         round(max(l.logprior)
+               + sum(ln((coalesce(c.c, 0) + 1.0)
+                        / (l.tot + 1.0 * v.vocab))), 6) AS score
+  FROM lsg
+  CROSS JOIN llangs l
+  LEFT JOIN lcnt c ON c.lang = l.lang AND c.gram = lsg.gram
+  CROSS JOIN lvv v
+  GROUP BY 1, 2
+),
+klang AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang) AS rn
+    FROM lper
+  ) WHERE rn = 1
+),
+"""
+
+# Per-language bigram KN over the kept+classified docs (the
+# LM_KN_BY_SOURCE_ORACLE shape keyed by predicted lang; train = each
+# language's src0 slice) + per-language banding.
+_CCNET_GROUPED_KN_BAND = r"""ktoksl AS (
+  SELECT k.doc_id, k.source, g.lang,
+         list_filter(string_split_regex(lower(k.text), '\s+'),
+                     t -> t <> '') AS tk
+  FROM kept k JOIN klang g USING (doc_id)
+),
+ttoksl AS (SELECT * FROM ktoksl WHERE source = 'src0'),
+gtbg AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+  FROM ttoksl WHERE len(tk) >= 2
+),
+gc12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM gtbg GROUP BY 1, 2, 3),
+gctx AS (SELECT lang, w1, sum(c12) AS c1, count(*) AS n1p_fw
+         FROM gc12 GROUP BY 1, 2),
+gcont AS (SELECT lang, w2, count(*) AS n1p_bw FROM gc12 GROUP BY 1, 2),
+gs AS (
+  SELECT lang, count(*) AS types,
+         sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2
+  FROM gc12 GROUP BY 1
+),
+gv AS (
+  SELECT lang, count(DISTINCT t) AS vocab
+  FROM (SELECT lang, unnest(tk) AS t FROM ttoksl) GROUP BY 1
+),
+gd AS (
+  SELECT lang,
+         CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2) ELSE 0.5 END
+           AS disc
+  FROM gs
+),
+gbg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+  FROM ktoksl WHERE len(tk) >= 2
+),
+gj AS (
+  SELECT gbg.doc_id, gbg.lang,
+         ln(CASE WHEN gctx.c1 IS NOT NULL THEN
+              greatest(coalesce(gc12.c12, 0) - gd.disc, 0.0) / gctx.c1
+              + gd.disc * gctx.n1p_fw / gctx.c1
+                * ((coalesce(gcont.n1p_bw, 0) + 1.0)
+                   / (gs.types + 1.0 * gv.vocab))
+            ELSE (coalesce(gcont.n1p_bw, 0) + 1.0)
+                 / (gs.types + 1.0 * gv.vocab)
+            END) AS lp
+  FROM gbg
+  LEFT JOIN gc12 USING (lang, w1, w2)
+  LEFT JOIN gctx USING (lang, w1)
+  LEFT JOIN gcont USING (lang, w2)
+  JOIN gs USING (lang) JOIN gv USING (lang) JOIN gd USING (lang)
+),
+gscored AS (
+  SELECT doc_id, lang, exp(-(sum(lp) / count(*))) AS perplexity
+  FROM gj GROUP BY doc_id, lang
+),
+gb AS (
+  SELECT lang,
+         round(quantile_cont(perplexity, 0.1), 6) AS lo,
+         round(quantile_cont(perplexity, 0.8), 6) AS hi
+  FROM gscored GROUP BY lang
+)
+SELECT z.doc_id, k.source, z.lang, z.perplexity,
+       CASE WHEN z.perplexity < gb.lo THEN 'head'
+            WHEN z.perplexity <= gb.hi THEN 'middle'
+            ELSE 'tail' END AS band
+FROM gscored z
+JOIN kept k USING (doc_id)
+JOIN gb USING (lang)
+ORDER BY z.doc_id
+"""
+
+PIPELINE_CCNET_LID_ORACLE = (
+    "WITH "
+    + _CCNET_DOC_DEDUP_PREFIX
+    + _CCNET_LID_CLASSIFY
+    + _CCNET_GROUPED_KN_BAND
+)
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -2821,6 +3074,8 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_ccnet5": q_pipeline_ccnet5,
     "pipeline_ccnet_par": q_pipeline_ccnet_par,
     "corpus_lang_id": q_lang_id,
+    "corpus_lm_kn_by_source": q_lm_kn_by_source,
+    "pipeline_ccnet_lid": q_pipeline_ccnet_lid,
     "exact_dedup_store": q_exact_dedup_store,
     "corpus_leakage_split": q_leakage_split,
     "corpus_span_dedup": q_span_dedup,
@@ -2892,6 +3147,8 @@ ORACLES_CORPUS: dict[str, str] = {
     "pipeline_ccnet5": PIPELINE_CCNET5_ORACLE,
     "pipeline_ccnet_par": PIPELINE_CCNET_PAR_ORACLE,
     "corpus_lang_id": LANG_ID_ORACLE,
+    "corpus_lm_kn_by_source": LM_KN_BY_SOURCE_ORACLE,
+    "pipeline_ccnet_lid": PIPELINE_CCNET_LID_ORACLE,
     "exact_dedup_store": EXACT_DEDUP_STORE_ORACLE,
     "corpus_leakage_split": LEAKAGE_SPLIT_ORACLE,
 }

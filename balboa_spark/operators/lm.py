@@ -1267,6 +1267,205 @@ def _kn_ngram_score_from_counts(
     )
 
 
+def _all_order_counts_by_group(
+    train_df: DataFrame, n: int, text_col: str, group_col: str
+) -> DataFrame:
+    """Group-keyed twin of ``_all_order_counts``: ONE corpus pass into
+    a (``_g``, k, ctx, w, c) relation — the per-language training
+    tables of CCNet's per-language LMs come from a single shuffle,
+    not a per-language loop."""
+    arms = ", ".join(
+        f"if(size(tk) >= {k}, transform(sequence(1, size(tk) - {k - 1}), "
+        f"i -> struct({k} AS k, "
+        + (
+            f"array_join(slice(tk, i, {k - 1}), ' ') AS ctx, "
+            if k > 1
+            else "'' AS ctx, "
+        )
+        + f"tk[i + {k - 2}] AS w)), "
+        f"cast(array() as array<struct<k int, ctx string, w string>>))"
+        for k in range(1, n + 1)
+    )
+    return (
+        train_df.select(
+            F.col(group_col).alias("_g"), tokens(F.col(text_col)).alias("tk")
+        )
+        .where(F.size("tk") >= 1)
+        .select("_g", F.explode(F.expr(f"flatten(array({arms}))")).alias("g"))
+        .select("_g", "g.k", "g.ctx", "g.w")
+        .groupBy("_g", "k", "ctx", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def kn_ngram_lm_perplexity_by_group(
+    df: DataFrame,
+    n: int = 2,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_c: float = 1.0,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """ONE interpolated-KN LM per group, trained and scored in a
+    single relational plan — CCNet's per-language models (Wenzek et
+    al. 2020 train one KenLM per language; scoring a multilingual
+    corpus with one LM makes perplexities incomparable across
+    languages). No per-group loop and NO driver-collected scalars:
+    every statistic the ungrouped scorer collects (vocabulary size,
+    unigram mass, per-order Ney discount) becomes a |G|-row relation
+    derived by groupBy(_g) aggregates and joined back (AQE broadcasts
+    them by size). At n=2 this reproduces ``kn_bigram_lm_perplexity``
+    run per group slice exactly (pinned by test).
+
+    Groups with NO training data produce no LM and their documents
+    are ABSENT from the output (inner join on the per-group base
+    relation) — the scorers' absence contract extended to groups.
+
+    Output: ``(id_col, group_col, n_grams, avg_logprob, perplexity)``
+    for documents with >= n tokens in a trained group."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    train_df = df if train is None else train
+    counts = _all_order_counts_by_group(
+        train_df, n, text_col, group_col
+    ).localCheckpoint(eager=True)
+
+    def order_table(k: int) -> DataFrame:
+        if k == n:
+            return counts.where(F.col("k") == n).select(
+                "_g", F.col("ctx"), F.col("w"), F.col("c").alias("a")
+            )
+        parent = counts.where(F.col("k") == k + 1)
+        sfx = (
+            F.lit("")
+            if k == 1
+            else F.expr("substring(ctx, instr(ctx, ' ') + 1)")
+        )
+        return (
+            parent.select("_g", sfx.alias("ctx"), F.col("w"))
+            .groupBy("_g", "ctx", "w")
+            .agg(F.count(F.lit(1)).alias("a"))
+        )
+
+    tables: dict[int, DataFrame] = {}
+    stats: dict[int, DataFrame] = {}
+    discs: dict[int, DataFrame] = {}
+    for k in range(1, n + 1):
+        tk_tab = order_table(k).localCheckpoint(eager=True)
+        tables[k] = tk_tab
+        if k == 1:
+            continue
+        stats[k] = tk_tab.groupBy("_g", "ctx").agg(
+            F.sum("a").alias("A"), F.count(F.lit(1)).alias("n1p")
+        )
+        # Ney discount PER GROUP as a relation (the ungrouped path's
+        # collected scalar, made group-keyed)
+        discs[k] = (
+            tk_tab.groupBy("_g")
+            .agg(
+                F.sum((F.col("a") == 1).cast("long")).alias("n1"),
+                F.sum((F.col("a") == 2).cast("long")).alias("n2"),
+            )
+            .select(
+                "_g",
+                F.when(
+                    F.col("n1") + 2 * F.col("n2") > 0,
+                    F.col("n1").cast("double")
+                    / (F.col("n1") + 2 * F.col("n2")).cast("double"),
+                )
+                .otherwise(F.lit(0.5))
+                .alias(f"d{k}"),
+            )
+        )
+    base = (
+        tables[1]
+        .groupBy("_g")
+        .agg(F.sum("a").alias("a1_total"))
+        .join(
+            counts.where(F.col("k") == 1)
+            .groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("vocab")),
+            ["_g"],
+        )
+    )
+
+    sfx_cols = ", ".join(
+        f"array_join(slice(tk, i + {n - 1 - (k - 1)}, {k - 1}), ' ') AS ctx{k}"
+        for k in range(2, n + 1)
+    )
+    score_expr = (
+        f"transform(sequence(1, size(tk) - {n - 1}), "
+        f"i -> struct({sfx_cols}, tk[i + {n - 2}] AS w))"
+    )
+    g = (
+        df.select(
+            F.col(id_col),
+            F.col(group_col).alias("_g"),
+            tokens(F.col(text_col)).alias("tk"),
+        )
+        .where(F.size("tk") >= n)
+        .select(F.col(id_col), "_g", F.explode(F.expr(score_expr)).alias("g"))
+        .select(id_col, "_g", "g.*")
+    )
+    g = g.join(base, ["_g"])  # inner: untrained groups drop here
+    for k in range(2, n + 1):
+        g = g.join(discs[k], ["_g"])
+    g = g.join(
+        tables[1].select("_g", F.col("w"), F.col("a").alias("adj1")),
+        ["_g", "w"],
+        "left",
+    )
+    for k in range(2, n + 1):
+        g = g.join(
+            tables[k].select(
+                "_g",
+                F.col("ctx").alias(f"ctx{k}"),
+                F.col("w"),
+                F.col("a").alias(f"adj{k}"),
+            ),
+            ["_g", f"ctx{k}", "w"],
+            "left",
+        ).join(
+            stats[k].select(
+                "_g",
+                F.col("ctx").alias(f"ctx{k}"),
+                F.col("A").alias(f"tot{k}"),
+                F.col("n1p").alias(f"nfw{k}"),
+            ),
+            ["_g", f"ctx{k}"],
+            "left",
+        )
+    p = (
+        F.coalesce(F.col("adj1"), F.lit(0)).cast("double")
+        + F.lit(float(alpha_c))
+    ) / (
+        F.col("a1_total").cast("double")
+        + F.lit(float(alpha_c)) * F.col("vocab").cast("double")
+    )
+    for k in range(2, n + 1):
+        d = F.col(f"d{k}")
+        ak_d = F.col(f"tot{k}").cast("double")
+        seen = (
+            F.greatest(
+                F.coalesce(F.col(f"adj{k}"), F.lit(0)).cast("double") - d,
+                F.lit(0.0),
+            )
+            / ak_d
+            + d * F.col(f"nfw{k}").cast("double") / ak_d * p
+        )
+        p = F.when(F.col(f"tot{k}").isNotNull(), seen).otherwise(p)
+    return (
+        g.select(F.col(id_col), F.col("_g"), F.log(p).alias("lp"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("lp").alias("_s"))
+        .withColumn("avg_logprob", F.col("_s") / F.col("n_grams"))
+        .withColumn("perplexity", F.exp(-F.col("avg_logprob")))
+        .drop("_s")
+        .withColumnRenamed("_g", group_col)
+    )
+
+
 class MKNBigramLM(NamedTuple):
     """Modified Kneser-Ney bigram model (Chen & Goodman 1999 §5.3 —
     the variant KenLM implements): three absolute discounts D1/D2/D3+
@@ -1500,6 +1699,7 @@ def ccnet_pipeline(
     lid_train: DataFrame | None = None,
     lid_label_col: str = "lang",
     lid_n: int = 3,
+    per_language_lm: bool = False,
 ) -> DataFrame:
     """The composed CCNet curation chain (Wenzek et al. 2020, fig. 1),
     stitched from this module's operators: exact dedup (keep-first by
@@ -1511,8 +1711,14 @@ def ccnet_pipeline(
     slot) -> interpolated-KN LM trained on the CLEAN REFERENCE slice
     (CCNet trains on Wikipedia; ``ref_source`` selects the curated
     source) -> per-document perplexity -> head/middle/tail banding by
-    perplexity quantiles (per LANGUAGE when LID is armed, matching
-    CCNet's per-language models; head = most fluent).
+    perplexity quantiles (per LANGUAGE when LID is armed; head = most
+    fluent). ``per_language_lm=True`` upgrades the LM stage to CCNet
+    proper — ONE KN model per detected language, trained on that
+    language's slice of the reference source via
+    ``kn_ngram_lm_perplexity_by_group`` (single relational plan, no
+    per-language loop); languages absent from the reference slice get
+    no LM and drop from the output (the grouped scorer's absence
+    contract).
 
     Output: ``(id_col, source_col[, lang], perplexity, band)`` for
     every deduped document with >= ``order`` tokens (no grams -> no
@@ -1547,20 +1753,12 @@ def ccnet_pipeline(
         raise ValueError(
             f"threshold must be 'exact' or 'approx', got {threshold!r}"
         )
+    if per_language_lm and lid_train is None:
+        raise ValueError("per_language_lm requires lid_train")
     kept = kept.localCheckpoint(eager=True)
     ref = kept.where(F.col(source_col) == ref_source)
-    if order == 2:
-        model = train_kn_bigram_lm(ref, text_col, id_col)
-        scored = score_kn_bigram_lm(kept, model, text_col, id_col)
-    else:
-        counts = _all_order_counts(ref, order, text_col).localCheckpoint(
-            eager=True
-        )
-        scored = _kn_ngram_score_from_counts(
-            kept, counts, order, text_col, id_col
-        )
-    scored = scored.join(kept.select(id_col, source_col), [id_col])
     group_cols: list[str] = []
+    langs = None
     if lid_train is not None:
         from balboa_spark.operators import lid as _lid
 
@@ -1570,8 +1768,35 @@ def ccnet_pipeline(
         langs = _lid.classify_lang(
             kept, model_lid, text_col=text_col, id_col=id_col
         ).select(id_col, "lang")
-        scored = scored.join(langs, [id_col])
         group_cols = ["lang"]
+    if per_language_lm:
+        # CCNet proper: one KN LM per detected language, trained on
+        # that language's slice of the reference source — scored in
+        # one relational plan, no per-language loop
+        kept_l = kept.join(langs, [id_col])
+        scored = kn_ngram_lm_perplexity_by_group(
+            kept_l,
+            n=order,
+            group_col="lang",
+            text_col=text_col,
+            id_col=id_col,
+            train=kept_l.where(F.col(source_col) == ref_source),
+        ).select(id_col, "lang", "perplexity")
+        scored = scored.join(kept.select(id_col, source_col), [id_col])
+    else:
+        if order == 2:
+            model = train_kn_bigram_lm(ref, text_col, id_col)
+            scored = score_kn_bigram_lm(kept, model, text_col, id_col)
+        else:
+            counts = _all_order_counts(ref, order, text_col).localCheckpoint(
+                eager=True
+            )
+            scored = _kn_ngram_score_from_counts(
+                kept, counts, order, text_col, id_col
+            )
+        scored = scored.join(kept.select(id_col, source_col), [id_col])
+        if langs is not None:
+            scored = scored.join(langs, [id_col])
     # checkpoint before the threshold aggregate: scored feeds two
     # branches and its LM joins must not run twice
     scored = scored.localCheckpoint(eager=True)

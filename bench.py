@@ -625,6 +625,20 @@ def main() -> None:
             granularity="paragraph",
         ).write.mode("overwrite").format("noop").save()
 
+    @timed("lm_kn_by_source")
+    def _():
+        # per-group KN (r12): 20 per-source bigram LMs in ONE
+        # relational plan — group-keyed counts/stats/discount
+        # relations joined back, no per-group loop, no collected
+        # scalars.
+        from balboa_spark.operators import lm
+
+        docs = par(spark.table("documents"))
+        lm.kn_ngram_lm_perplexity_by_group(
+            docs, n=2, group_col="source",
+            train=docs.where(F.col("doc_id") % 3 == 0),
+        ).write.mode("overwrite").format("noop").save()
+
     @timed("lang_id")
     def _():
         # char-trigram NB LID (r12): explode to grams, broadcast

@@ -85,5 +85,60 @@ def main() -> None:
         )
 
 
+def order5_sustained() -> None:
+    """r12 stretch probe: NgramCountStore at n=5 (the order users
+    actually run for CCNet filtering) under SUSTAINED append — 20
+    1%-batches against a 20% seed, size trigger armed
+    (max_live_epochs=6). Records per-append wall, merged-read fold
+    wall, and the live-epoch count after each batch: the append curve
+    must stay flat (O(batch)) and the fold cost must stay inside a
+    bounded envelope because compaction keeps the live dir count
+    capped."""
+    from pyspark.sql import functions as F
+
+    from balboa_spark.operators import lm
+    from balboa_spark.session import get_spark, load_tables
+
+    spark = get_spark("lm-store-probe5")
+    docs = load_tables(spark, SF01, names=("documents",))["documents"]
+    path = tempfile.mkdtemp(prefix="lmstore_probe_n5_")
+    store = lm.NgramCountStore(spark, path, n=5)
+
+    t0 = time.time()
+    store.process_batch(docs.where(F.col("doc_id") % 5 == 0), epoch_id=0)
+    seed_s = round(time.time() - t0, 2)
+    print(f"[probe5] seed 20%: {seed_s}s", file=sys.stderr)
+
+    rows = []
+    for e in range(1, 21):
+        batch = docs.where(F.col("doc_id") % 100 == e)
+        t0 = time.time()
+        store.process_batch(batch, epoch_id=e, max_live_epochs=6)
+        append_s = round(time.time() - t0, 2)
+        t0 = time.time()
+        store.counts().write.mode("overwrite").format("noop").save()
+        fold_s = round(time.time() - t0, 2)
+        live = len(store._manifest()["live"])
+        rows.append(
+            {"epoch": e, "append_s": append_s, "fold_s": fold_s, "live": live}
+        )
+        print(
+            f"[probe5] epoch {e}: append={append_s}s fold={fold_s}s live={live}",
+            file=sys.stderr,
+        )
+    print(json.dumps({"seed_s": seed_s, "epochs": rows}))
+    a = [r["append_s"] for r in rows]
+    f = [r["fold_s"] for r in rows]
+    print(
+        f"\nappend first5={sum(a[:5])/5:.2f}s last5={sum(a[-5:])/5:.2f}s | "
+        f"fold first5={sum(f[:5])/5:.2f}s last5={sum(f[-5:])/5:.2f}s | "
+        f"max live={max(r['live'] for r in rows)}",
+        file=sys.stderr,
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "order5":
+        order5_sustained()
+    else:
+        main()

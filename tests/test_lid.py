@@ -138,3 +138,69 @@ def test_train_validates_n(spark):
     train = spark.createDataFrame([("aa", "x")], ["lang", "text"])
     with pytest.raises(ValueError, match="n must be"):
         lid.train_char_ngram_lid(train, n=0)
+
+
+def test_lid_plan_shape(spark):
+    """classify_lang's only non-equi join is the |L|-row broadcast of
+    the language table (intended: L is the label alphabet); the gram
+    count join must be key-equi (no cartesian), and the one Window
+    partitions by doc id with exactly |L| rows per partition."""
+    train = spark.createDataFrame(
+        [("aa", "hello world"), ("bb", "goodbye moon")], ["lang", "text"]
+    )
+    m = lid.train_char_ngram_lid(train)
+    docs = spark.createDataFrame([(1, "hello moon")], ["doc_id", "text"])
+    plan = (
+        lid.classify_lang(docs, m)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the langs cross join is a broadcast nested loop of a 2-row side
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ccnet_per_language_lm(spark):
+    """CCNet proper: with per_language_lm=True each language is
+    scored by its OWN KN model trained on that language's reference
+    slice — the per-language perplexities must match running the
+    single-LM chain on each language's documents separately."""
+    a_docs, b_docs = _two_lang_corpus()
+    rows = (
+        [(i, "src0", t) for i, t in enumerate(a_docs)]
+        + [(100 + i, "src0", t) for i, t in enumerate(b_docs)]
+        + [(900, "src1", a_docs[0])]  # dup: dedup stage still runs
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    lid_train = spark.createDataFrame(
+        [("aa", t) for t in a_docs[:5]] + [("bb", t) for t in b_docs[:5]],
+        ["lang", "text"],
+    )
+    out = lm.ccnet_pipeline(
+        docs, lid_train=lid_train, per_language_lm=True
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 900 not in ids
+    got = {r["doc_id"]: r for r in out}
+    # per-language LM scores == single-LM chain run on that language's
+    # docs alone (the LID split is clean by construction)
+    for lang, lo, hi in (("aa", 0, 100), ("bb", 100, 200)):
+        sl = docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        ref = {r["doc_id"]: r for r in lm.ccnet_pipeline(sl).collect()}
+        for did, r in ref.items():
+            assert got[did]["lang"] == lang
+            assert got[did]["perplexity"] == pytest.approx(
+                r["perplexity"], rel=1e-9
+            )
+            assert got[did]["band"] == r["band"]
+
+
+def test_ccnet_per_language_lm_requires_lid(spark):
+    docs = spark.createDataFrame(
+        [(1, "src0", "x y")], ["doc_id", "source", "text"]
+    )
+    with pytest.raises(ValueError, match="lid_train"):
+        lm.ccnet_pipeline(docs, per_language_lm=True)

@@ -717,3 +717,100 @@ def test_kn5_spark_matches_generated_oracle_smoke(spark):
         r = got[doc_id]
         assert r["n_grams"] == n_grams
         assert r["perplexity"] == pytest.approx(ppl, rel=1e-6)
+
+
+def test_kn5_plan_no_cartesian(spark):
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(4)], ["doc_id", "text"]
+    )
+    plan = (
+        lm.kn_ngram_lm_perplexity(docs, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r12: per-group KN (CCNet's per-language LMs, one relational plan)
+# ---------------------------------------------------------------------------
+
+def _grouped_fixture(spark):
+    rows = [
+        (1, "a", "x y x y x z"),
+        (2, "a", "x y z"),
+        (3, "b", "p q p q r"),
+        (4, "b", "p q r q"),
+        (5, "c", "only group with no train slice"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+def test_kn_by_group_equals_per_slice_ungrouped(spark):
+    """The grouped scorer's relational statistics (per-group vocab,
+    unigram mass, Ney discount as joined relations) must reproduce
+    the ungrouped scorer run independently on each group's slice —
+    bit-level equality of avg_logprob."""
+    docs = _grouped_fixture(spark)
+    train = docs.where(F.col("doc_id") <= 4)
+    got = {
+        r["doc_id"]: r
+        for r in lm.kn_ngram_lm_perplexity_by_group(
+            docs, n=2, train=train
+        ).collect()
+    }
+    for lang in ("a", "b"):
+        sl = docs.where(F.col("lang") == lang)
+        ref = {
+            r["doc_id"]: r
+            for r in lm.kn_ngram_lm_perplexity(
+                sl, n=2, train=train.where(F.col("lang") == lang)
+            ).collect()
+        }
+        for did, r in ref.items():
+            assert got[did]["lang"] == lang
+            assert got[did]["avg_logprob"] == pytest.approx(
+                r["avg_logprob"], rel=1e-12
+            )
+    # group c has no training rows: absent (grouped absence contract)
+    assert 5 not in got
+
+
+def test_kn_by_group_order3_equals_per_slice(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x y z x y z x w"),
+            (2, "a", "x y z w"),
+            (3, "b", "p q r p q r s"),
+            (4, "b", "p q s r"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in lm.kn_ngram_lm_perplexity_by_group(docs, n=3).collect()
+    }
+    for lang in ("a", "b"):
+        sl = docs.where(F.col("lang") == lang)
+        ref = {
+            r["doc_id"]: r
+            for r in lm.kn_ngram_lm_perplexity(sl, n=3).collect()
+        }
+        for did, r in ref.items():
+            assert got[did]["avg_logprob"] == pytest.approx(
+                r["avg_logprob"], rel=1e-12
+            )
+
+
+def test_kn_by_group_validates_order(spark):
+    with pytest.raises(ValueError, match="n must be"):
+        lm.kn_ngram_lm_perplexity_by_group(_grouped_fixture(spark), n=1)
+
+
+def test_kn_by_group_plan_no_cartesian_and_partial_aggs(spark):
+    docs = _grouped_fixture(spark)
+    out = lm.kn_ngram_lm_perplexity_by_group(docs, n=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
