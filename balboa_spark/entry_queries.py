@@ -321,14 +321,16 @@ CAP_50 = [
     # -- r7-cohort keepers (heaviest kernels; green r7-r10) --
     "pipeline_pretrain",
     "corpus_bm25_topk",
-    # -- persisted-store roundtrips (store_delta_fold/bm25/vector:
-    #    green r10+r11 but held as the store-family canaries;
-    #    span_dedup_store: kernel changed r12 — claim + manifest
-    #    order — needs fresh grading) --
+    # -- persisted-store roundtrips (store_delta_fold held as the
+    #    delta-LSM canary; span_dedup_store: kernel changed r12 —
+    #    claim + manifest order — needs fresh grading; bm25/vector
+    #    stores demoted mid-r12: green r10 AND r11, kernels unchanged,
+    #    displaced by the two NEW AttributeStore entries which become
+    #    the store-family's fresh canaries) --
     "store_delta_fold",
     "span_dedup_store",
-    "bm25_store_topk",
-    "vector_store_topk",
+    "attr_store_mix",
+    "attr_mix_report",
     # -- r7-new cohort entries kept in-cap: PSL-kernel-changed this
     #    round (domain_profile/domain_cap/pipeline_crawl) or one more
     #    grading wanted --
@@ -384,6 +386,12 @@ CAP_50 = [
 #     candidates; agg_incremental — same merge fold as
 #     observations_agg.
 _TAIL = [
+    # --- demoted mid-r12 (green r10 AND r11, kernels unchanged since
+    #     the r11 CAS change; store family freshly canaried in-cap via
+    #     attr_store_mix/attr_mix_report + the r12-kernel-changed
+    #     span/exact stores) ---
+    "bm25_store_topk",
+    "vector_store_topk",
     # --- demoted r12 (green r7 AND r11, kernels unchanged) ---
     "events_rolling_1h",       # RANGE-frame rolling kernel
     "events_funnel",           # ordered-step funnel kernel

@@ -3023,6 +3023,192 @@ PIPELINE_CCNET_LID_ORACLE = (
 )
 
 
+# ---------------------------------------------------------------------------
+# attribute store + mixer (r12): Dolma-style tagger/mixer split
+# ---------------------------------------------------------------------------
+
+#: partial-match email pattern, identical semantics under Java regex
+#: (Spark rlike) and RE2 (DuckDB regexp_matches)
+_ATTR_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def _attr_store_fixture(spark: SparkSession, sf_dir: str):
+    """Build a real on-disk AttributeStore over the documents table:
+    tagger ``quality`` written as TWO versions (v1 over full text,
+    v2 re-tagging every doc_id % 7 == 0 over the first 200 chars —
+    latest-wins must pick v2 for those), tagger ``pii`` once. The
+    mixer entries below exercise versioned resolution + rule logic
+    end-to-end against a DuckDB replay of the same arithmetic."""
+    import tempfile
+
+    from balboa_spark.operators.attributes import AttributeStore
+    from balboa_spark.operators.text import tokens
+
+    docs = load_tables(spark, sf_dir, names=("documents",))[
+        "documents"
+    ].select("doc_id", "source", "text")
+    store = AttributeStore(
+        spark, tempfile.mkdtemp(prefix="balboa_attr_entry_")
+    )
+    store.write(
+        docs.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+        ),
+        "quality",
+    )
+    store.write(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            F.size(tokens(F.substring("text", 1, 200))).alias("n_tokens"),
+            F.least(F.length("text"), F.lit(200)).alias("n_chars"),
+        ),
+        "quality",
+    )
+    store.write(
+        docs.select(
+            "doc_id", F.col("text").rlike(_ATTR_EMAIL_RE).alias("has_email")
+        ),
+        "pii",
+    )
+    return docs, store
+
+
+def q_attr_store_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AttributeStore roundtrip + mix: documents kept by a rule over
+    the latest-wins ``quality`` attributes and the ``pii`` tagger.
+    Text flows only through the final id-keyed semi-join (the Dolma
+    mixer contract, operators/attributes.py module docstring)."""
+    docs, store = _attr_store_fixture(spark, sf_dir)
+    kept = store.mix(
+        docs,
+        ["quality", "pii"],
+        "quality__n_tokens BETWEEN 25 AND 80 AND NOT pii__has_email",
+        keep_attrs=True,
+    )
+    return (
+        kept.select(
+            "doc_id", "source", F.col("quality__n_tokens").alias("n_tokens")
+        ).orderBy("doc_id")
+    )
+
+
+#: the two-version quality relation + pii relation, shared by both
+#: attribute oracles. v2 (truncated retag) wins for doc_id % 7 == 0.
+_ATTR_STORE_SQL = rf"""
+qv1 AS (
+  SELECT doc_id,
+         length(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS n_tokens
+  FROM documents WHERE doc_id % 7 <> 0
+),
+qv2 AS (
+  SELECT doc_id,
+         length(list_filter(
+           string_split_regex(lower(substring(text, 1, 200)), '\s+'),
+           t -> t <> '')) AS n_tokens
+  FROM documents WHERE doc_id % 7 = 0
+),
+q AS (SELECT * FROM qv1 UNION ALL SELECT * FROM qv2),
+p AS (
+  SELECT doc_id,
+         regexp_matches(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}') AS has_email
+  FROM documents
+)
+"""
+
+
+ATTR_STORE_MIX_ORACLE = (
+    "WITH " + _ATTR_STORE_SQL + r"""
+SELECT d.doc_id, d.source, q.n_tokens
+FROM documents d
+JOIN q USING (doc_id)
+JOIN p USING (doc_id)
+WHERE q.n_tokens BETWEEN 25 AND 80 AND NOT p.has_email
+ORDER BY d.doc_id
+"""
+)
+
+
+def q_attr_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixer attrition report over a PARTIALLY tagged corpus (quality
+    rows only for doc_id % 3 <> 0): per-rule pass/fail counts where an
+    untagged document's NULL fails every rule — the Dolma default —
+    plus the ``__all__`` conjunction row."""
+    import tempfile
+
+    from balboa_spark.operators.attributes import AttributeStore
+    from balboa_spark.operators.text import tokens
+
+    docs = load_tables(spark, sf_dir, names=("documents",))[
+        "documents"
+    ].select("doc_id", "source", "text")
+    store = AttributeStore(
+        spark, tempfile.mkdtemp(prefix="balboa_attr_rep_entry_")
+    )
+    store.write(
+        docs.where(F.col("doc_id") % 3 != 0).select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+        ),
+        "quality",
+    )
+    store.write(
+        docs.select(
+            "doc_id", F.col("text").rlike(_ATTR_EMAIL_RE).alias("has_email")
+        ),
+        "pii",
+    )
+    return store.mix_report(
+        docs,
+        ["quality", "pii"],
+        {
+            "len_ok": "quality__n_tokens >= 40",
+            "no_email": "NOT pii__has_email",
+        },
+    )
+
+
+ATTR_MIX_REPORT_ORACLE = r"""
+WITH q AS (
+  SELECT doc_id,
+         length(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS n_tokens
+  FROM documents WHERE doc_id % 3 <> 0
+),
+p AS (
+  SELECT doc_id,
+         regexp_matches(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS has_email
+  FROM documents
+),
+j AS (
+  SELECT d.doc_id, q.n_tokens, p.has_email
+  FROM documents d
+  LEFT JOIN q USING (doc_id)
+  LEFT JOIN p USING (doc_id)
+),
+c AS (
+  SELECT
+    SUM(CASE WHEN n_tokens >= 40 THEN 1 ELSE 0 END) AS p_len,
+    SUM(CASE WHEN NOT has_email THEN 1 ELSE 0 END) AS p_email,
+    SUM(CASE WHEN n_tokens >= 40 AND NOT has_email THEN 1 ELSE 0 END)
+      AS p_all,
+    COUNT(*) AS n
+  FROM j
+)
+SELECT rule, CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n - n_pass AS BIGINT) AS n_fail
+FROM (
+  SELECT '__all__' AS rule, p_all AS n_pass, n FROM c
+  UNION ALL SELECT 'len_ok', p_len, n FROM c
+  UNION ALL SELECT 'no_email', p_email, n FROM c
+)
+ORDER BY rule
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_quality_signals": q_quality_signals,
     "corpus_hash_split": q_hash_split,
@@ -3076,6 +3262,8 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_lang_id": q_lang_id,
     "corpus_lm_kn_by_source": q_lm_kn_by_source,
     "pipeline_ccnet_lid": q_pipeline_ccnet_lid,
+    "attr_store_mix": q_attr_store_mix,
+    "attr_mix_report": q_attr_mix_report,
     "exact_dedup_store": q_exact_dedup_store,
     "corpus_leakage_split": q_leakage_split,
     "corpus_span_dedup": q_span_dedup,
@@ -3149,6 +3337,8 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_lang_id": LANG_ID_ORACLE,
     "corpus_lm_kn_by_source": LM_KN_BY_SOURCE_ORACLE,
     "pipeline_ccnet_lid": PIPELINE_CCNET_LID_ORACLE,
+    "attr_store_mix": ATTR_STORE_MIX_ORACLE,
+    "attr_mix_report": ATTR_MIX_REPORT_ORACLE,
     "exact_dedup_store": EXACT_DEDUP_STORE_ORACLE,
     "corpus_leakage_split": LEAKAGE_SPLIT_ORACLE,
 }

@@ -654,6 +654,43 @@ def main() -> None:
             "noop"
         ).save()
 
+    @timed("attr_mix")
+    def _():
+        # attribute store + mixer (r12): two tagger writes (narrow
+        # id+attr parquet, text never persisted), then a mix whose
+        # keep-set is decided entirely on id-keyed attr joins with one
+        # latest-wins partial aggregate per tagger — text is touched
+        # once, by the final left-semi join.
+        import tempfile as _tf
+
+        from balboa_spark.operators.attributes import AttributeStore
+        from balboa_spark.operators.text import tokens as _toks
+
+        docs = par(spark.table("documents").select("doc_id", "source", "text"))
+        store = AttributeStore(spark, _tf.mkdtemp(dir=tmp, prefix="attr_"))
+        store.write(
+            docs.select(
+                "doc_id",
+                F.size(_toks(F.col("text"))).alias("n_tokens"),
+                F.length("text").alias("n_chars"),
+            ),
+            "quality",
+        )
+        store.write(
+            docs.select(
+                "doc_id",
+                F.col("text").rlike(
+                    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+                ).alias("has_email"),
+            ),
+            "pii",
+        )
+        store.mix(
+            docs,
+            ["quality", "pii"],
+            "quality__n_tokens BETWEEN 25 AND 80 AND NOT pii__has_email",
+        ).write.mode("overwrite").format("noop").save()
+
     @timed("fuzzy_pairs")
     def _():
         # exact-recall edit-distance-1 pairs over 15k customer names:

@@ -1,0 +1,306 @@
+"""AttributeStore + mixer: latest-wins versioning, schema pinning,
+CAS two-writer detection, streaming-epoch replay stability, pruning
+compaction with the one-generation grace, and the Dolma null-fails
+mixer contract."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from balboa_spark.operators.attributes import AttributeStore
+from balboa_spark.plans.genstore import ConcurrentWriterError
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows], "doc_id long, text string"
+    )
+
+
+def _quality(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=n, score=s) for i, n, s in rows],
+        "doc_id long, n_tokens int, score double",
+    )
+
+
+def _hook_first_read(ns, side_effect):
+    orig = ns._read_manifest
+    state = {"fired": False}
+
+    def hooked(*a, **k):
+        man = orig(*a, **k)
+        if not state["fired"]:
+            state["fired"] = True
+            side_effect()
+        return man
+
+    ns._read_manifest = hooked
+
+
+# ---------------------------------------------------------------------------
+# write/read roundtrip + latest-wins
+# ---------------------------------------------------------------------------
+
+
+def test_attr_roundtrip_latest_wins(spark, tmp_path):
+    store = AttributeStore(spark, str(tmp_path / "attrs"))
+    v1 = store.write(
+        _quality(spark, [(1, 10, 0.5), (2, 20, 0.9), (3, 30, 0.1)]),
+        "quality",
+    )
+    # re-tag doc 2 with new values: the newer version must win
+    v2 = store.write(_quality(spark, [(2, 99, 0.2)]), "quality")
+    assert (v1, v2) == (1, 2)
+    got = {
+        r["doc_id"]: (r["quality__n_tokens"], r["quality__score"])
+        for r in store.read("quality").collect()
+    }
+    assert got == {1: (10, 0.5), 2: (99, 0.2), 3: (30, 0.1)}
+    # unprefixed read keeps raw column names
+    assert set(store.read("quality", prefix=False).columns) == {
+        "doc_id", "n_tokens", "score",
+    }
+    assert store.taggers() == ["quality"]
+
+
+def test_attr_name_and_schema_guards(spark, tmp_path):
+    store = AttributeStore(spark, str(tmp_path / "attrs"))
+    with pytest.raises(ValueError, match="tagger name"):
+        store.write(_quality(spark, [(1, 1, 1.0)]), "bad name!")
+    store.write(_quality(spark, [(1, 1, 1.0)]), "Quality")  # folds to lower
+    assert store.taggers() == ["quality"]
+    # different columns under the same (case-folded) name: loud error
+    other = spark.createDataFrame(
+        [Row(doc_id=1, lang="en")], "doc_id long, lang string"
+    )
+    with pytest.raises(ValueError, match="new tagger name"):
+        store.write(other, "quality")
+    # id-only frame: no attributes to store
+    with pytest.raises(ValueError, match="attribute column"):
+        store.write(other.select("doc_id"), "lid")
+    # map-typed attribute: not orderable, rejected up front
+    mapped = spark.createDataFrame(
+        [Row(doc_id=1, m={"a": 1})], "doc_id long, m map<string,int>"
+    )
+    with pytest.raises(ValueError, match="not.*orderable|orderable"):
+        store.write(mapped, "lid")
+    with pytest.raises(ValueError, match="no committed attributes"):
+        store.read("lid")
+
+
+# ---------------------------------------------------------------------------
+# CAS: racing one-shot writers
+# ---------------------------------------------------------------------------
+
+
+def test_attr_two_writer_claim_raises(spark, tmp_path):
+    path = str(tmp_path / "attrs")
+    a = AttributeStore(spark, path)
+    a.write(_quality(spark, [(1, 10, 0.5)]), "quality")
+    b = AttributeStore(spark, path)
+    _hook_first_read(
+        a._ns("quality"),
+        lambda: b.write(_quality(spark, [(2, 20, 0.9)]), "quality"),
+    )
+    with pytest.raises(ConcurrentWriterError, match="single-writer"):
+        a.write(_quality(spark, [(3, 30, 0.1)]), "quality")
+    # the winner's rows are intact; the loser wrote nothing
+    got = {r["doc_id"] for r in store_read_ids(b)}
+    assert got == {1, 2}
+
+
+def store_read_ids(store):
+    return store.read("quality").select("doc_id").collect()
+
+
+# ---------------------------------------------------------------------------
+# streaming epochs: replay overwrites its own scope, decisions stable
+# ---------------------------------------------------------------------------
+
+
+def test_attr_epoch_replay_stable(spark, tmp_path):
+    store = AttributeStore(spark, str(tmp_path / "attrs"))
+    store.write(
+        _quality(spark, [(1, 10, 0.5), (2, 20, 0.9)]),
+        "quality", epoch_id=0, stream_id="s",
+    )
+    before = sorted(
+        (r["doc_id"], r["quality__n_tokens"])
+        for r in store.read("quality").collect()
+    )
+    # torn-batch replay: same epoch, same rows — scope dir overwritten
+    store.write(
+        _quality(spark, [(1, 10, 0.5), (2, 20, 0.9)]),
+        "quality", epoch_id=0, stream_id="s",
+    )
+    after = sorted(
+        (r["doc_id"], r["quality__n_tokens"])
+        for r in store.read("quality").collect()
+    )
+    assert before == after
+    # exactly one scope dir for the stream epoch (overwrite, not append)
+    state = tmp_path / "attrs" / "quality" / "state"
+    assert sorted(d for d in os.listdir(state) if d.startswith("epoch=")) == [
+        "epoch=s-0"
+    ]
+
+
+# ---------------------------------------------------------------------------
+# compaction: prune-fold + grace + vacuum + auto-trigger
+# ---------------------------------------------------------------------------
+
+
+def test_attr_compact_prunes_and_graces(spark, tmp_path):
+    store = AttributeStore(spark, str(tmp_path / "attrs"))
+    for v in range(4):  # doc 1 re-tagged every round; doc (10+v) fresh
+        store.write(
+            _quality(spark, [(1, 100 + v, 0.1 * v), (10 + v, v, 0.5)]),
+            "quality",
+        )
+    before = sorted(
+        (r["doc_id"], r["quality__n_tokens"])
+        for r in store.read("quality").collect()
+    )
+    folded = store.compact("quality")
+    assert folded == 4  # all auto scopes fold
+    state = tmp_path / "attrs" / "quality" / "state"
+    base = [d for d in os.listdir(state) if d.startswith("epoch=base-")]
+    assert base == ["epoch=base-1"]
+    # pruned: within the base, doc 1 keeps ONLY its newest version
+    base_rows = spark.read.parquet(str(state / base[0]))
+    assert base_rows.filter(F.col("doc_id") == 1).count() == 1
+    assert base_rows.filter(F.col("doc_id") == 1).first()["n_tokens"] == 103
+    # grace: folded dirs still on disk, reads unchanged
+    assert len([d for d in os.listdir(state) if d.startswith("epoch=auto-")]) == 4
+    after = sorted(
+        (r["doc_id"], r["quality__n_tokens"])
+        for r in store.read("quality").collect()
+    )
+    assert before == after
+    # second compaction reclaims the FIRST fold's retirees; the new
+    # auto-4 scope folds with its own one-generation grace
+    store.write(_quality(spark, [(99, 1, 1.0)]), "quality")
+    store.compact("quality")
+    assert [d for d in os.listdir(state) if d.startswith("epoch=auto-")] == [
+        "epoch=auto-4"
+    ]
+    final = dict(
+        (r["doc_id"], r["quality__n_tokens"])
+        for r in store.read("quality").collect()
+    )
+    assert final[1] == 103 and final[99] == 1
+
+
+def test_attr_compact_vacuum_and_auto_trigger(spark, tmp_path):
+    store = AttributeStore(spark, str(tmp_path / "attrs"))
+    for v in range(3):
+        store.write(_quality(spark, [(v, v, 0.0)]), "quality")
+    store.compact("quality", vacuum=True)
+    state = tmp_path / "attrs" / "quality" / "state"
+    assert not [d for d in os.listdir(state) if d.startswith("epoch=auto-")]
+    # auto-trigger: armed writes keep live scopes bounded
+    for v in range(6):
+        store.write(
+            _quality(spark, [(100 + v, v, 0.0)]), "quality",
+            max_live_epochs=3,
+        )
+    live = [d for d in os.listdir(state) if d.startswith("epoch=")]
+    man = store._ns("quality")._read_manifest()
+    retired = set(man.get("retired") or [])
+    assert len([d for d in live if d[len("epoch="):] not in retired]) <= 4
+    assert store.read("quality").count() == 3 + 6
+
+
+# ---------------------------------------------------------------------------
+# mixer: rules over attributes, null-fails, report
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def mixed_store(spark, tmp_path):
+    docs = _docs(
+        spark,
+        [
+            (1, "short"),
+            (2, "a good long document with plenty of words"),
+            (3, "spam spam spam contact me by email"),
+            (4, "another fine document kept by the rule"),
+            (5, "untagged straggler"),  # gets NO attribute rows
+        ],
+    )
+    store = AttributeStore(spark, str(tmp_path / "attrs"))
+    store.write(
+        _quality(spark, [(1, 1, 0.9), (2, 8, 0.8), (3, 7, 0.7), (4, 7, 0.9)]),
+        "quality",
+    )
+    pii = spark.createDataFrame(
+        [Row(doc_id=i, has_email=e) for i, e in
+         [(1, False), (2, False), (3, True), (4, False)]],
+        "doc_id long, has_email boolean",
+    )
+    store.write(pii, "pii")
+    return docs, store
+
+
+def test_attr_mix_rule_and_null_fails(spark, mixed_store):
+    docs, store = mixed_store
+    kept = store.mix(
+        docs, ["quality", "pii"],
+        "quality__n_tokens >= 5 AND NOT pii__has_email",
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
+    assert kept.columns == docs.columns  # semi-join: text schema intact
+    # untagged doc 5 fails every attribute-touching rule (NULL != keep)
+    kept_all = store.mix(docs, ["quality"], "quality__n_tokens >= 0")
+    assert 5 not in {r["doc_id"] for r in kept_all.collect()}
+    # ... unless the rule says so explicitly
+    kept_null = store.mix(
+        docs, ["quality"],
+        "quality__n_tokens IS NULL OR quality__n_tokens >= 5",
+    )
+    assert sorted(r["doc_id"] for r in kept_null.collect()) == [2, 3, 4, 5]
+    # keep_attrs surfaces the joined attribute columns
+    wide = store.mix(
+        docs, ["quality"], "quality__n_tokens >= 5", keep_attrs=True
+    )
+    assert "quality__score" in wide.columns
+
+
+def test_attr_mix_report(spark, mixed_store):
+    docs, store = mixed_store
+    rep = store.mix_report(
+        docs, ["quality", "pii"],
+        {
+            "len": "quality__n_tokens >= 5",
+            "no_email": "NOT pii__has_email",
+        },
+    )
+    rows = {r["rule"]: (r["n_pass"], r["n_fail"]) for r in rep.collect()}
+    # 5 docs: len passes {2,3,4}; no_email passes {1,2,4}; both {2,4}
+    assert rows == {
+        "len": (3, 2),
+        "no_email": (3, 2),
+        "__all__": (2, 3),
+    }
+    with pytest.raises(ValueError, match="rule name"):
+        store.mix_report(docs, ["quality"], {"bad`name": "1=1"})
+    with pytest.raises(ValueError, match="__all__"):
+        store.mix_report(docs, ["quality"], {"__all__": "1=1"})
+
+
+def test_attr_mix_plan_no_text_shuffle(spark, mixed_store):
+    """The mixer's optimized plan must not shuffle the text column:
+    text appears only in the final semi-join's stream side."""
+    docs, store = mixed_store
+    kept = store.mix(docs, ["quality"], "quality__n_tokens >= 5")
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi, plan
+    # the latest-wins aggregates (the only shuffle-inducing ops on the
+    # attribute side) must never carry the text column
+    for ln in plan.splitlines():
+        if "Aggregate" in ln:
+            assert "text" not in ln, plan
