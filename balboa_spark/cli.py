@@ -131,6 +131,34 @@ def build_parser() -> argparse.ArgumentParser:
     )
     s.add_argument("input", help="parquet dir with (doc_id, text, lang, source)")
     s.add_argument("out", help="output markdown file")
+
+    s = sub.add_parser(
+        "attr-tag",
+        help="run a built-in tagger over a documents parquet and append "
+        "its per-doc attributes to an AttributeStore namespace "
+        "(quality = token/char counts, pii = email flag)",
+    )
+    s.add_argument("store", help="attribute store root dir")
+    s.add_argument("input", help="parquet dir with (doc_id, text)")
+    s.add_argument(
+        "--tagger", choices=("quality", "pii"), default="quality",
+        help="which built-in tagger to run (default quality)",
+    )
+
+    s = sub.add_parser(
+        "attr-mix",
+        help="filter a documents parquet by a SQL rule over stored "
+        "attributes (columns are <tagger>__<attr>; NULL fails) and "
+        "write the kept documents",
+    )
+    s.add_argument("store", help="attribute store root dir")
+    s.add_argument("input", help="parquet dir with (doc_id, ...)")
+    s.add_argument("out", help="output parquet dir")
+    s.add_argument("rule", help="SQL boolean expr over <tagger>__<attr> cols")
+    s.add_argument(
+        "--taggers", default=None,
+        help="comma-separated tagger list (default: all committed)",
+    )
     return p
 
 
@@ -153,6 +181,44 @@ def run(args: argparse.Namespace, spark=None) -> int:
             seq_len=args.seq_len,
         )
         packed.write.mode("overwrite").parquet(args.out)
+        return 0
+
+    if args.cmd == "attr-tag":
+        from pyspark.sql import functions as F
+
+        from balboa_spark.operators.attributes import AttributeStore
+        from balboa_spark.operators.text import tokens
+
+        docs = spark.read.parquet(args.input)
+        store = AttributeStore(spark, args.store)
+        if args.tagger == "quality":
+            attrs = docs.select(
+                "doc_id",
+                F.size(tokens(F.col("text"))).alias("n_tokens"),
+                F.length("text").alias("n_chars"),
+            )
+        else:
+            attrs = docs.select(
+                "doc_id",
+                F.col("text").rlike(
+                    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+                ).alias("has_email"),
+            )
+        ver = store.write(attrs, args.tagger)
+        print(f"tagged {args.tagger} v{ver}")
+        return 0
+
+    if args.cmd == "attr-mix":
+        from balboa_spark.operators.attributes import AttributeStore
+
+        docs = spark.read.parquet(args.input)
+        store = AttributeStore(spark, args.store)
+        taggers = (
+            args.taggers.split(",") if args.taggers else store.taggers()
+        )
+        store.mix(docs, taggers, args.rule).write.mode("overwrite").parquet(
+            args.out
+        )
         return 0
 
     if args.cmd == "corpus-datasheet":

@@ -304,3 +304,103 @@ def test_attr_mix_plan_no_text_shuffle(spark, mixed_store):
     for ln in plan.splitlines():
         if "Aggregate" in ln:
             assert "text" not in ln, plan
+
+
+# ---------------------------------------------------------------------------
+# streaming twin: a tagger as a foreachBatch sink
+# ---------------------------------------------------------------------------
+
+
+def test_attr_streaming_tagger_e2e(spark, tmp_path):
+    """The composition a production tagger runs: landed NDJSON files ->
+    micro-batches -> attribute writes under the stream's epoch scope.
+    Attributes accumulate across batches; a re-tag of the same id in a
+    later epoch wins at read."""
+    import json
+
+    land = tmp_path / "land"
+    land.mkdir()
+    store = AttributeStore(spark, str(tmp_path / "attrs"))
+
+    def line(i, text):
+        return json.dumps({"doc_id": i, "text": text})
+
+    (land / "b1.ndjson").write_text(
+        line(1, "one two three") + "\n" + line(2, "a b c d e") + "\n"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(land)
+    )
+
+    def sink(batch, epoch):
+        attrs = batch.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                )
+            ).alias("n_tokens"),
+        )
+        store.write(
+            attrs, "quality", epoch_id=epoch, stream_id="tagger",
+            max_live_epochs=4,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (land / "b2.ndjson").write_text(
+            line(2, "retagged with six whole words now") + "\n"
+            + line(3, "fresh") + "\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["doc_id"]: r["quality__n_tokens"]
+        for r in store.read("quality").collect()
+    }
+    assert got == {1: 3, 2: 6, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# CLI: attr-tag + attr-mix
+# ---------------------------------------------------------------------------
+
+
+def test_cli_attr_tag_mix_e2e(spark, tmp_path):
+    """attr-tag twice (quality + pii) then attr-mix with a rule:
+    parquet in, filtered parquet out, equal to the library mixer."""
+    from balboa_spark.cli import build_parser, run
+
+    docs = _docs(
+        spark,
+        [(1, "tiny"), (2, "five words of useful content here"),
+         (3, "write me at someone@example.com please do")],
+    )
+    inp = str(tmp_path / "docs_in")
+    docs.write.parquet(inp)
+    store_dir = str(tmp_path / "attrs")
+    out = str(tmp_path / "kept")
+
+    p = build_parser()
+    assert run(p.parse_args(["attr-tag", store_dir, inp]), spark=spark) == 0
+    assert run(
+        p.parse_args(["attr-tag", store_dir, inp, "--tagger", "pii"]),
+        spark=spark,
+    ) == 0
+    assert run(
+        p.parse_args([
+            "attr-mix", store_dir, inp, out,
+            "quality__n_tokens >= 4 AND NOT pii__has_email",
+        ]),
+        spark=spark,
+    ) == 0
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [2]
