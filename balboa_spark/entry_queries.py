@@ -332,13 +332,19 @@ CAP_50 = [
     "attr_store_mix",
     "attr_mix_report",
     # -- r7-new cohort entries kept in-cap: PSL-kernel-changed this
-    #    round (domain_profile/domain_cap/pipeline_crawl) or one more
-    #    grading wanted --
-    "customer_fuzzy_pairs",
+    #    round (domain_profile/domain_cap/pipeline_crawl); fuzzy/psi
+    #    demoted mid-r12 (green r7-r11 multi-round, kernels unchanged)
+    #    to make room for the RECALLED packing entries below --
     "corpus_domain_profile",
     "pipeline_crawl",
     "corpus_domain_cap",
-    "events_psi_drift",
+    # -- RECALLED mid-r12: pack_sequences kernel rewritten (per-token
+    #    posexplode -> per-(doc,seq) fragment slicing, ~seq_len x fewer
+    #    shuffle rows; same-session control 0.66x at sf1.0) — both
+    #    graded twins need fresh grading; pipeline_pretrain (in-cap
+    #    above) rides the same kernel --
+    "corpus_pack_sequences",
+    "corpus_pack_boundaries",
     # -- r11 LM family: kn scorer kernel touched r12 (order-1
     #    discount-estimate skip) -> stay for re-grading; mkn/sbo/band
     #    kernels unchanged but green-r11-only (one more round) --
@@ -386,6 +392,11 @@ CAP_50 = [
 #     candidates; agg_incremental — same merge fold as
 #     observations_agg.
 _TAIL = [
+    # --- demoted mid-r12 (multi-round green, kernels unchanged;
+    #     displaced by the recalled packing twins whose kernel the
+    #     fragment rewrite changed) ---
+    "customer_fuzzy_pairs",    # green r7-r11; SymSpell kernel also rides supplier_entity_resolve
+    "events_psi_drift",        # green r7+r11; PSI kernel unchanged
     # --- demoted mid-r12 (green r10 AND r11, kernels unchanged since
     #     the r11 CAS change; store family freshly canaried in-cap via
     #     attr_store_mix/attr_mix_report + the r12-kernel-changed
@@ -401,7 +412,6 @@ _TAIL = [
     "corpus_quality_bins",     # exact-percentile binning kernel (same convention graded via in-cap corpus_lm_band)
     "corpus_mixture_upsample", # epoch-expansion mixture arm
     "corpus_expectations",     # expectation-suite kernel
-    "corpus_pack_sequences",   # greedy packing kernel
     "dedup_semantic",          # embedding-bucket near-dup kernel
     # --- demoted r12 (green r10 AND r11, kernels unchanged) ---
     "corpus_bpe_segment",      # green r7-r11 (5x); BPE family freshly in-cap via the r12-promoted corpus_bpe_vocab + corpus_bpe_encode
@@ -422,7 +432,6 @@ _TAIL = [
     "agg_incremental",         # green r6+r10; same merge fold as observations_agg
     "events_tumbling",         # green r6+r10; window() tumbling kernel
     "text_profile",            # green r6+r10; scalar text-stats projection
-    "corpus_pack_boundaries",  # green r7-r10 (4x); packing family in-cap via corpus_pack_sequences (promoted r11)
     "corpus_passage_cdc",      # green r7-r10 (4x); span/CDC family in-cap via span_dedup_store
     "corpus_span_dedup",       # green r7-r10 (4x); same span kernel driver-graded via in-cap span_dedup_store
     "corpus_quality_classifier",  # green r7-r10 (4x); quality family in-cap via corpus_quality_signals

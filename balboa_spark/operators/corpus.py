@@ -442,23 +442,75 @@ def pack_sequences(
         )
     else:
         offs = _global_prefix_sum(counts, id_col)
-    tok = (
+    # FRAGMENT materialization (r12): a document with global token span
+    # [_start, _start+_n) overlaps sequences floor(_start/L) ..
+    # floor((_start+_n-1)/L); emit ONE row per (doc, overlapped seq)
+    # carrying the array-SLICED text fragment — never one row per
+    # token. Shuffle volume drops from O(corpus tokens) rows to
+    # O(docs + tokens/seq_len) rows (~seq_len x fewer), each row a
+    # string fragment instead of a token; the per-seq collect_list is
+    # bounded by seq_len fragments (every doc contributes >= 1 token).
+    # Output is byte-identical to the former per-token formulation:
+    # fragments sort by their in-sequence offset and join with the
+    # same single-space separator the tokens did.
+    L = seq_len
+    frag = (
         staged.join(offs, id_col)
-        .select(*shard_keys, F.col("_start"), F.posexplode("_tk").alias("pos", "tok"))
         .select(
             *shard_keys,
-            (F.col("_start") + F.col("pos")).alias("gpos"),
-            F.col("tok"),
-            (F.col("pos") == 0).alias("_doc_head"),
+            "_start",
+            "_tk",
+            F.size("_tk").alias("_n"),
+        )
+        .select(
+            *shard_keys,
+            "_start",
+            "_tk",
+            "_n",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_start") / L),
+                    F.floor((F.col("_start") + F.col("_n") - 1) / L),
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            *shard_keys,
+            "seq_id",
+            "_start",
+            "_tk",
+            # this doc's token span inside seq_id, in global positions
+            F.greatest(F.col("seq_id") * L, F.col("_start")).alias("_lo"),
+            F.least(
+                (F.col("seq_id") + 1) * L, F.col("_start") + F.col("_n")
+            ).alias("_hi"),
+        )
+        .select(
+            *shard_keys,
+            "seq_id",
+            (F.col("_lo") % L).alias("_fpos"),
+            (F.col("_hi") - F.col("_lo")).cast("int").alias("_fn"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_tk"),
+                    (F.col("_lo") - F.col("_start") + 1).cast("int"),
+                    (F.col("_hi") - F.col("_lo")).cast("int"),
+                ),
+            ).alias("_ftext"),
+            # the doc's head lives in its FIRST fragment only
+            F.when(
+                F.col("_lo") == F.col("_start"), F.col("_start") % L
+            ).cast("int").alias("_head"),
         )
     )
     aggs = [
-        F.count(F.lit(1)).alias("n_seq_tokens"),
+        F.sum("_fn").cast("long").alias("n_seq_tokens"),
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("gpos", "tok"))),
-                lambda x: x["tok"],
+                F.array_sort(F.collect_list(F.struct("_fpos", "_ftext"))),
+                lambda x: x["_ftext"],
             ),
         ).alias("seq_text"),
     ]
@@ -467,19 +519,12 @@ def pack_sequences(
         # attention-mask reset points a packed-training loader needs
         # (sequence position 0 is a boundary only when it IS a
         # document head; continuation from the previous sequence is
-        # not a reset). Sorted, per-sequence bounded.
+        # not a reset). Sorted, per-sequence bounded; collect_list
+        # drops the non-head fragments' NULLs.
         aggs.append(
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        F.col("_doc_head"), F.col("gpos") % seq_len
-                    ).cast("int")
-                )
-            ).alias("doc_starts")
+            F.array_sort(F.collect_list(F.col("_head"))).alias("doc_starts")
         )
-    return tok.groupBy(
-        *shard_keys, F.floor(F.col("gpos") / seq_len).alias("seq_id")
-    ).agg(*aggs)
+    return frag.groupBy(*shard_keys, "seq_id").agg(*aggs)
 
 
 def pack_bestfit(

@@ -247,3 +247,88 @@ def perplexity_monitor_sink(
                 on_alert(epoch_id, stats["mean_ppl"])
 
     return sink
+
+
+def lang_drift_monitor_sink(
+    model,
+    reference: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alert_psi: float | None = 0.25,
+    on_alert: Callable[[int, float], None] | None = None,
+):
+    """foreachBatch LANGUAGE-mix drift monitor: classify every
+    micro-batch with a trained char-n-gram LID model
+    (operators.lid.classify_lang) and compare the batch's language
+    shares against a reference corpus's shares pinned ONCE at
+    sink-build time — the categorical twin of
+    :func:`drift_monitor_sink` (whose PSI bins a numeric score; here
+    the "bins" are the languages themselves). A crawl feed silently
+    tipping from en to auto-generated zz pages moves the mix long
+    before any single quality score trips — CCNet's LID stage as a
+    streaming alarm instead of a batch filter.
+
+    Per-batch work: one LID classification (explode + |L|-broadcast
+    join + partial-agg, operators/lid.py) plus arithmetic over at most
+    |ref langs| + |batch langs| rows; the reference corpus is never
+    rescanned. Series rows: (lang, p_ref, p_new, contrib, psi) under
+    an epoch-overwrite partition dir (replay-idempotent, same contract
+    as the other sinks). Alert fires when PSI exceeds ``alert_psi``;
+    a language absent from one side contributes through the same
+    eps-smoothing psi_drift uses (empty "bins" stay finite)."""
+    from balboa_spark.operators.lid import classify_lang
+
+    _check_series_format(out_path)
+    ref_n = reference.count()
+    if ref_n == 0:
+        raise ValueError("reference corpus is empty — no shares to pin")
+    ref_rows = (
+        classify_lang(reference, model, text_col, id_col)
+        .groupBy("lang")
+        .agg((F.count(F.lit(1)) / F.lit(float(ref_n))).alias("p_ref"))
+        .collect()
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        n = batch_df.count()
+        batch_side = (
+            classify_lang(batch_df, model, text_col, id_col)
+            .groupBy("lang")
+            .agg((F.count(F.lit(1)) / F.lit(float(n))).alias("p_new"))
+        )
+        ref_hist = spark.createDataFrame(ref_rows, "lang string, p_ref double")
+        eps = 1e-6
+        rows = (
+            ref_hist.join(batch_side, "lang", "full_outer")
+            .fillna(0.0, ["p_ref", "p_new"])
+            .select(
+                "lang", "p_ref", "p_new",
+                F.round(
+                    ((F.col("p_new") + eps) - (F.col("p_ref") + eps))
+                    * F.log((F.col("p_new") + eps) / (F.col("p_ref") + eps)),
+                    6,
+                ).alias("contrib"),
+            )
+            .collect()
+        )
+        psi = round(sum(r["contrib"] for r in rows), 6)
+        (
+            spark.createDataFrame(
+                [
+                    (r["lang"], r["p_ref"], r["p_new"], r["contrib"], psi)
+                    for r in rows
+                ],
+                "lang string, p_ref double, p_new double, "
+                "contrib double, psi double",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_path, f"epoch_id={epoch_id}"))
+        )
+        if alert_psi is not None and on_alert is not None and psi > alert_psi:
+            on_alert(epoch_id, psi)
+
+    return sink
