@@ -493,3 +493,57 @@ def test_pack_bestfit_deterministic_and_matches_python(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_pack_sequences_matches_python_oracle(spark):
+    """pack_sequences (fragment-sliced materialization, r12) vs an
+    independent pure-Python packer on deterministic pseudo-random
+    corpora: exact (seq_id -> n_seq_tokens, seq_text, doc_starts)
+    parity. Corpora vary doc count, doc length (incl. empty docs, a
+    boundary-exact doc, and one giant doc spanning many sequences)
+    and seq_len (incl. 1). One Spark round-trip per corpus (the
+    passage_dedup fuzz pattern)."""
+    import random
+
+    from balboa_spark.operators import corpus as C
+
+    def py_pack(texts_by_id, L):
+        toks = []
+        starts_at = {}
+        for i in sorted(texts_by_id):
+            tk = [t for t in texts_by_id[i].lower().split() if t]
+            if tk:
+                starts_at[i] = len(toks)
+                toks.extend(tk)
+        seqs = {}
+        for s in range(0, (len(toks) + L - 1) // L):
+            chunk = toks[s * L:(s + 1) * L]
+            heads = sorted(
+                st % L for st in starts_at.values()
+                if s * L <= st < s * L + len(chunk)
+            )
+            seqs[s] = (len(chunk), " ".join(chunk), heads)
+        return seqs
+
+    rng = random.Random(42)
+    for case, L in [(0, 1), (1, 5), (2, 7), (3, 128), (4, 16)]:
+        n_docs = rng.randint(3, 25)
+        texts = {}
+        for i in range(n_docs):
+            n = rng.choice([0, 1, rng.randint(2, 40), L, 3 * L])
+            texts[i] = " ".join(
+                f"w{rng.randint(0, 30)}" for _ in range(n)
+            )
+        df = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        ).repartition(7)
+        got = {
+            int(r["seq_id"]): (
+                r["n_seq_tokens"], r["seq_text"], list(r["doc_starts"])
+            )
+            for r in C.pack_sequences(
+                df, seq_len=L, with_boundaries=True
+            ).collect()
+        }
+        want = py_pack(texts, L)
+        assert got == want, f"case={case} L={L}"
