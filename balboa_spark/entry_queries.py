@@ -296,6 +296,16 @@ QUERIES.update(QUERIES_TEMPORAL)
 # span_dedup_store (claim + manifest order), the kn scorer family
 # (order-1 discount-estimate skip).
 #
+# Mid-r12 amendments (same round, later session): (a) IN =
+# attr_store_mix + attr_mix_report (new AttributeStore kernels, first
+# grading), OUT = bm25_store_topk + vector_store_topk (green r10 AND
+# r11, kernels unchanged since the r11 CAS change); (b) IN =
+# corpus_pack_sequences + corpus_pack_boundaries RECALLED (kernel
+# rewritten: per-token posexplode -> fragment slicing), OUT =
+# customer_fuzzy_pairs + events_psi_drift (multi-round green, kernels
+# unchanged; fuzzy's SymSpell kernel still graded via in-cap
+# supplier-entity path at next rotation).
+#
 # ROUND-13 ROTATION PLAN (for the next builder): next-stalest are the
 # remaining r8+r9-green tail entries (corpus_html_extract,
 # supplier_entity_resolve, corpus_pack_bestfit, obs_blocklist_match,
