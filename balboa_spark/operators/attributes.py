@@ -270,19 +270,42 @@ class AttributeStore:
 
     # -- reads --------------------------------------------------------
 
-    def read(self, tagger: str, prefix: bool = True) -> DataFrame:
+    def read(
+        self,
+        tagger: str,
+        prefix: bool = True,
+        cols: list[str] | None = None,
+    ) -> DataFrame:
         """The tagger's latest-wins attribute relation: one row per
         document id, newest version's values. Resolution is ONE
         ``groupBy(id).agg(max(struct(_ver, attrs...)))`` — ids are
         unique per version so groups are tiny, the aggregate is
         map-side combinable, and no window partitions anything
         skewable. ``prefix`` namespaces the attribute columns as
-        ``<tagger>__<col>`` for the mixer."""
+        ``<tagger>__<col>`` for the mixer.
+
+        ``cols`` restricts the read to a subset of the tagger's
+        attributes: a wide tagger (dozens of signals) mixed on two of
+        them should not drag every column through the resolution
+        aggregate — the struct is built only over the requested
+        columns, so parquet column pruning reaches the scan
+        (plan-tested). Winner selection is unchanged (``_ver`` alone
+        decides between committed versions)."""
         ns = self._ns(tagger)
         man = ns._read_manifest()
         if man is None or not os.path.exists(ns.state_path):
             raise ValueError(f"tagger {tagger!r} has no committed attributes")
-        id_col, cols = man["id_col"], man["columns"]
+        id_col, all_cols = man["id_col"], man["columns"]
+        if cols is None:
+            cols = all_cols
+        else:
+            unknown = sorted(set(cols) - set(all_cols))
+            if unknown:
+                raise ValueError(
+                    f"tagger {tagger!r} has no attributes {unknown}; "
+                    f"committed columns: {all_cols}"
+                )
+            cols = [c for c in all_cols if c in set(cols)]
         df = self.spark.read.parquet(ns.state_path)
         resolved = (
             df.groupBy(id_col)
@@ -303,15 +326,26 @@ class AttributeStore:
         return resolved
 
     def attributes(
-        self, docs: DataFrame, taggers: list[str], id_col: str = "doc_id"
+        self,
+        docs: DataFrame,
+        taggers: list[str] | dict[str, list[str] | None],
+        id_col: str = "doc_id",
     ) -> DataFrame:
         """``docs``' ids left-joined with every named tagger's resolved
         relation (prefixed columns). Only the id column of ``docs``
         flows into the joins — text stays out of every shuffle until
-        the caller semi-joins the verdict back."""
+        the caller semi-joins the verdict back. ``taggers`` is a list
+        of names, or a dict ``{tagger: [cols] | None}`` to
+        column-prune wide taggers down to the attributes a rule
+        actually touches (see :meth:`read`)."""
+        sel = (
+            dict(taggers)
+            if isinstance(taggers, dict)
+            else {t: None for t in taggers}
+        )
         joined = docs.select(F.col(id_col))
-        for t in taggers:
-            rel = self.read(t, prefix=True)
+        for t, tcols in sel.items():
+            rel = self.read(t, prefix=True, cols=tcols)
             ns_id = self._ns(t)._read_manifest()["id_col"]
             if ns_id != id_col:
                 rel = rel.withColumnRenamed(ns_id, id_col)
@@ -323,7 +357,7 @@ class AttributeStore:
     def mix(
         self,
         docs: DataFrame,
-        taggers: list[str],
+        taggers: list[str] | dict[str, list[str] | None],
         rule: str,
         id_col: str = "doc_id",
         keep_attrs: bool = False,
@@ -344,7 +378,7 @@ class AttributeStore:
     def mix_report(
         self,
         docs: DataFrame,
-        taggers: list[str],
+        taggers: list[str] | dict[str, list[str] | None],
         rules: dict[str, str],
         id_col: str = "doc_id",
     ) -> DataFrame:

@@ -404,3 +404,39 @@ def test_cli_attr_tag_mix_e2e(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(out).collect()
     ) == [2]
+
+
+# ---------------------------------------------------------------------------
+# column-pruned reads
+# ---------------------------------------------------------------------------
+
+
+def test_attr_read_cols_prunes_scan(spark, tmp_path):
+    """A wide tagger mixed on a subset must not drag every column
+    through the latest-wins aggregate: with cols=[...] the resolution
+    struct holds only the requested attributes and parquet column
+    pruning reaches the scan (ReadSchema)."""
+    store = AttributeStore(spark, str(tmp_path / "attrs"))
+    store.write(_quality(spark, [(1, 10, 0.5), (2, 99, 0.9)]), "quality")
+    narrow = store.read("quality", cols=["n_tokens"])
+    assert set(narrow.columns) == {"doc_id", "quality__n_tokens"}
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "score" not in scan[0], plan
+    # values resolve identically to the full read
+    full = {
+        r["doc_id"]: r["quality__n_tokens"]
+        for r in store.read("quality").collect()
+    }
+    part = {
+        r["doc_id"]: r["quality__n_tokens"] for r in narrow.collect()
+    }
+    assert full == part
+    with pytest.raises(ValueError, match="no attributes"):
+        store.read("quality", cols=["nope"])
+    # dict form threads per-tagger cols through the mixer
+    docs = _docs(spark, [(1, "a"), (2, "b")])
+    kept = store.mix(
+        docs, {"quality": ["n_tokens"]}, "quality__n_tokens >= 50"
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [2]
