@@ -654,6 +654,8 @@ def main() -> None:
             "noop"
         ).save()
 
+    attr_shared: dict = {}
+
     @timed("attr_mix")
     def _():
         # attribute store + mixer (r12): two tagger writes (narrow
@@ -668,6 +670,7 @@ def main() -> None:
 
         docs = par(spark.table("documents").select("doc_id", "source", "text"))
         store = AttributeStore(spark, _tf.mkdtemp(dir=tmp, prefix="attr_"))
+        attr_shared["store"], attr_shared["docs"] = store, docs
         store.write(
             docs.select(
                 "doc_id",
@@ -689,6 +692,18 @@ def main() -> None:
             docs,
             ["quality", "pii"],
             "quality__n_tokens BETWEEN 25 AND 80 AND NOT pii__has_email",
+        ).write.mode("overwrite").format("noop").save()
+
+    @timed("attr_remix")
+    def _():
+        # the tag-once/mix-many payoff: a DIFFERENT rule over the
+        # store attr_mix built — no tagger re-runs, just the id-keyed
+        # attr joins + the text semi-join. This delta vs attr_mix is
+        # what re-mixing a 100 TB corpus actually costs.
+        attr_shared["store"].mix(
+            attr_shared["docs"],
+            {"quality": ["n_chars"], "pii": None},
+            "quality__n_chars >= 120 AND NOT pii__has_email",
         ).write.mode("overwrite").format("noop").save()
 
     @timed("fuzzy_pairs")
