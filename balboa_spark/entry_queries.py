@@ -345,9 +345,10 @@ CAP_50 = [
     #    round (domain_profile/domain_cap/pipeline_crawl); fuzzy/psi
     #    demoted mid-r12 (green r7-r11 multi-round, kernels unchanged)
     #    to make room for the RECALLED packing entries below --
-    "corpus_domain_profile",
     "pipeline_crawl",
     "corpus_domain_cap",
+    # -- r12-NEW (mid-round): first grading --
+    "graph_pagerank",
     # -- RECALLED mid-r12: pack_sequences kernel rewritten (per-token
     #    posexplode -> per-(doc,seq) fragment slicing, ~seq_len x fewer
     #    shuffle rows; same-session control 0.66x at sf1.0) — both
@@ -404,9 +405,10 @@ CAP_50 = [
 _TAIL = [
     # --- demoted mid-r12 (multi-round green, kernels unchanged;
     #     displaced by the recalled packing twins whose kernel the
-    #     fragment rewrite changed) ---
+    #     fragment rewrite changed, and by graph_pagerank) ---
     "customer_fuzzy_pairs",    # green r7-r11; SymSpell kernel also rides supplier_entity_resolve
     "events_psi_drift",        # green r7+r11; PSI kernel unchanged
+    "corpus_domain_profile",   # green r10 AND r11 post-PSL-change, kernel unchanged r12; domain family still in-cap via pipeline_crawl + corpus_domain_cap
     # --- demoted mid-r12 (green r10 AND r11, kernels unchanged since
     #     the r11 CAS change; store family freshly canaried in-cap via
     #     attr_store_mix/attr_mix_report + the r12-kernel-changed

@@ -449,6 +449,54 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --- link-graph ranking (crawl/domain curation) -----------------------------
+
+#: customer -> supplier "who buys from whom" edges — the stand-in for a
+#: host-link graph at test SF (same shape: many small-out-degree
+#: sources, a popular-sink skew, and an entire dangling class: the
+#: supplier side has no out-edges, so the dangling-mass redistribution
+#: is exercised on every iteration, not just in a corner case).
+_PR_EDGES_SQL = (
+    "SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+    "'s' || CAST(l_suppkey AS VARCHAR) AS dst "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+)
+_PR_ITERS = 3
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier graph (operators/graph.py):
+    3 rounded iterations with uniform teleport + dangling
+    redistribution; the oracle unrolls the SAME arithmetic
+    (pagerank_sql), so the driver grades the iteration, not just a
+    projection."""
+    from balboa_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    edges = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    return pagerank(edges, iters=_PR_ITERS).orderBy("node")
+
+
+def _graph_pagerank_oracle() -> str:
+    from balboa_spark.operators.graph import pagerank_sql
+
+    return pagerank_sql(_PR_EDGES_SQL, iters=_PR_ITERS) + " ORDER BY node"
+
+
 # --- trailing-window anomaly scores ----------------------------------------
 
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,6 +703,7 @@ QUERIES_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_backend_union": q_multi_backend_union,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "graph_pagerank": q_graph_pagerank,
     "join_enrich": q_join_enrich,
     "topk_per_group": q_topk_per_group,
     "events_sessionize": q_events_sessionize,
@@ -677,6 +726,7 @@ ORACLES_EXTRA: dict[str, str] = {
     "multi_backend_union": MULTI_BACKEND_ORACLE,
     "tpch_q1": TPCH_Q1_ORACLE,
     "tpch_q3": TPCH_Q3_SQL,
+    "graph_pagerank": _graph_pagerank_oracle(),
     "join_enrich": JOIN_ENRICH_ORACLE,
     "topk_per_group": TOPK_PER_GROUP_ORACLE,
     "events_sessionize": SESSIONIZE_ORACLE,

@@ -706,6 +706,24 @@ def main() -> None:
             "quality__n_chars >= 120 AND NOT pii__has_email",
         ).write.mode("overwrite").format("noop").save()
 
+    @timed("graph_pagerank")
+    def _():
+        # link-graph ranking (r12): 3 rounded PageRank iterations over
+        # the customer->supplier graph — per iteration one edges join +
+        # one partial-agg groupBy(dst) + a 1-row dangling broadcast;
+        # state is nodes-sized, checkpointed per iteration.
+        from balboa_spark.operators.graph import pagerank
+
+        orders = par(spark.table("orders"))
+        li = par(spark.table("lineitem"))
+        edges = orders.join(
+            li, F.col("o_orderkey") == F.col("l_orderkey")
+        ).select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        pagerank(edges, iters=3).write.mode("overwrite").format("noop").save()
+
     @timed("fuzzy_pairs")
     def _():
         # exact-recall edit-distance-1 pairs over 15k customer names:

@@ -1,0 +1,94 @@
+"""PageRank: hand-computed fixtures, mass conservation, dangling
+redistribution, DuckDB replay parity, plan shape."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from balboa_spark.operators.graph import pagerank, pagerank_sql
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_two_cycle_stays_uniform(spark):
+    """a<->b is symmetric: ranks stay exactly 0.5 at any iteration."""
+    got = _ranks(pagerank(_edges(spark, [("a", "b"), ("b", "a")]), iters=4))
+    assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_pagerank_sink_attracts_and_mass_conserved(spark):
+    """Star a->b, c->b (+ b->a back-edge to avoid a fully dangling
+    graph): the linked-to nodes (b, and a via b's whole mass) far
+    outrank c, who only ever holds its teleport share; total mass
+    stays ~1."""
+    got = _ranks(
+        pagerank(
+            _edges(spark, [("a", "b"), ("c", "b"), ("b", "a")]), iters=10
+        )
+    )
+    assert got["b"] > got["c"] and got["a"] > got["c"]
+    assert abs(got["c"] - 0.05) < 1e-9  # teleport share only: 0.15/3
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_dangling_hand_computed(spark):
+    """a->b with b dangling, one iteration by hand (d=0.85, n=2):
+    dangling mass = rank(b) = 0.5 spread uniformly.
+      r(a) = 0.15/2 + 0.85*(0 + 0.5/2)      = 0.2875
+      r(b) = 0.15/2 + 0.85*(0.5/1 + 0.5/2)  = 0.7125
+    """
+    got = _ranks(pagerank(_edges(spark, [("a", "b")]), iters=1))
+    assert got == {"a": 0.2875, "b": 0.7125}
+    # mass conserved across further iterations despite the dangler
+    got5 = _ranks(pagerank(_edges(spark, [("a", "b")]), iters=5))
+    assert abs(sum(got5.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_iter0_uniform_and_duplicate_edges(spark):
+    got = _ranks(
+        pagerank(
+            _edges(spark, [("a", "b"), ("a", "b"), ("b", "c")]), iters=0
+        )
+    )
+    assert set(got) == {"a", "b", "c"}
+    assert all(abs(v - round(1 / 3, 9)) < 1e-12 for v in got.values())
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(_edges(spark, [("a", "b")]), iters=-1)
+
+
+def test_pagerank_matches_duckdb_replay(spark):
+    """Spark loop == unrolled-CTE replay on a 6-node graph with a
+    hub, a cycle, and two danglers — exact equality after the shared
+    per-iteration rounding."""
+    pairs = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("c", "d"), ("e", "c"), ("a", "f"),
+    ]  # d and f dangle
+    got = _ranks(pagerank(_edges(spark, pairs), iters=4))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE el (src VARCHAR, dst VARCHAR); "
+        + "INSERT INTO el VALUES "
+        + ", ".join(f"('{s}','{t}')" for s, t in pairs)
+    )
+    want = dict(
+        con.execute(
+            pagerank_sql("SELECT src, dst FROM el", iters=4)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_pagerank_plan_shape(spark):
+    """No window anywhere; the only cartesian is the 1-row dangling
+    broadcast (BroadcastNestedLoopJoin with a single-row build side is
+    the intended plan for a scalar join-back)."""
+    out = pagerank(_edges(spark, [("a", "b"), ("b", "a")]), iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
