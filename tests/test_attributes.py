@@ -440,3 +440,43 @@ def test_attr_read_cols_prunes_scan(spark, tmp_path):
         docs, {"quality": ["n_tokens"]}, "quality__n_tokens >= 50"
     )
     assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_attr_latest_wins_random_interleavings(spark, tmp_path):
+    """Latest-wins under many random write sequences == a python dict
+    replay (last write per id wins), including ids rewritten in the
+    same batch values and across compactions."""
+    import random
+
+    rng = random.Random(11)
+    store = AttributeStore(spark, str(tmp_path / "attrs"))
+    expect = {}
+    for batch in range(8):
+        rows = [
+            (rng.randint(0, 12), rng.randint(0, 999), rng.random())
+            for _ in range(rng.randint(1, 6))
+        ]
+        # within one version, duplicate ids resolve by max attr struct
+        # — replay that rule here too
+        per_id = {}
+        for i, n, s in rows:
+            key = (n, round(s, 6))
+            if i not in per_id or key > per_id[i]:
+                per_id[i] = key
+        rows = [(i, n, s) for i, (n, s) in per_id.items()]
+        store.write(
+            spark.createDataFrame(
+                [(i, n, float(f"{s:.6f}")) for i, n, s in rows],
+                "doc_id long, n_tokens int, score double",
+            ),
+            "quality",
+        )
+        for i, n, s in rows:
+            expect[i] = (n, float(f"{s:.6f}"))
+        if batch == 4:
+            store.compact("quality")
+    got = {
+        r["doc_id"]: (r["quality__n_tokens"], r["quality__score"])
+        for r in store.read("quality").collect()
+    }
+    assert got == expect
