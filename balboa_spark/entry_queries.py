@@ -346,9 +346,9 @@ CAP_50 = [
     #    demoted mid-r12 (green r7-r11 multi-round, kernels unchanged)
     #    to make room for the RECALLED packing entries below --
     "pipeline_crawl",
-    "corpus_domain_cap",
     # -- r12-NEW (mid-round): first grading --
     "graph_pagerank",
+    "corpus_main_content",
     # -- RECALLED mid-r12: pack_sequences kernel rewritten (per-token
     #    posexplode -> per-(doc,seq) fragment slicing, ~seq_len x fewer
     #    shuffle rows; same-session control 0.66x at sf1.0) — both
@@ -408,7 +408,8 @@ _TAIL = [
     #     fragment rewrite changed, and by graph_pagerank) ---
     "customer_fuzzy_pairs",    # green r7-r11; SymSpell kernel also rides supplier_entity_resolve
     "events_psi_drift",        # green r7+r11; PSI kernel unchanged
-    "corpus_domain_profile",   # green r10 AND r11 post-PSL-change, kernel unchanged r12; domain family still in-cap via pipeline_crawl + corpus_domain_cap
+    "corpus_domain_profile",   # green r10 AND r11 post-PSL-change, kernel unchanged r12; domain family still in-cap via pipeline_crawl
+    "corpus_domain_cap",       # green r10 AND r11 post-PSL-change, kernel unchanged r12; displaced by corpus_main_content
     # --- demoted mid-r12 (green r10 AND r11, kernels unchanged since
     #     the r11 CAS change; store family freshly canaried in-cap via
     #     attr_store_mix/attr_mix_report + the r12-kernel-changed

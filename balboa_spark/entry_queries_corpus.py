@@ -1439,6 +1439,74 @@ def _html_extract_oracle() -> str:
     )
 
 
+#: chrome-wrapped page for the main-content gate: link-dense nav,
+#: the document text with one inline anchor, a too-short block, a
+#: link-dense footer, plus script/comment noise. In sync with
+#: _SYNTH_CHROME_SQL.
+def _synth_chrome_col():
+    return F.concat(
+        F.lit(
+            "<html><head><title>t</title><style>p{margin:0}</style></head>"
+            '<body><div><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/c">Contact</a></div><h1>'
+        ),
+        F.col("source"),
+        F.lit('</h1><!-- chrome --><p>'),
+        F.col("text"),
+        F.lit(' See <a href="/d/'),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '">details</a>.</p><p>short</p>'
+            '<div><a href="/p">Privacy</a> <a href="/t">Terms of use</a>'
+            "</div><script>var nav = 1 < 2;</script></body></html>"
+        ),
+    )
+
+
+_SYNTH_CHROME_SQL = (
+    "'<html><head><title>t</title><style>p{margin:0}</style></head>"
+    "<body><div><a href=\"/\">Home</a> <a href=\"/a\">About</a> "
+    "<a href=\"/c\">Contact</a></div><h1>' || source || "
+    "'</h1><!-- chrome --><p>' || text || "
+    "' See <a href=\"/d/' || CAST(doc_id AS VARCHAR) || "
+    "'\">details</a>.</p><p>short</p>"
+    "<div><a href=\"/p\">Privacy</a> <a href=\"/t\">Terms of use</a>"
+    "</div><script>var nav = 1 < 2;</script></body></html>'"
+)
+
+_MC_MIN_CHARS = 40
+
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level main-content extraction (text.extract_main_content,
+    the Boilerpipe shallow-text-features gate): every document is
+    wrapped in the SAME chrome-heavy page on both sides — the hash
+    proves the nav/footer/short blocks drop, the article block with
+    its inline anchor survives, and the per-block regex chain matches
+    the DuckDB replay exactly."""
+    from balboa_spark.operators.text import extract_main_content
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return docs.select(
+        "doc_id",
+        extract_main_content(
+            _synth_chrome_col(), min_block_chars=_MC_MIN_CHARS
+        ).alias("main_text"),
+    ).orderBy("doc_id")
+
+
+def _main_content_oracle() -> str:
+    from balboa_spark.operators.text import extract_main_content_sql
+
+    return (
+        "SELECT doc_id, "
+        + extract_main_content_sql(
+            _SYNTH_CHROME_SQL, min_block_chars=_MC_MIN_CHARS
+        )
+        + " AS main_text FROM documents ORDER BY doc_id"
+    )
+
+
 def _synth_url_col():
     """Deterministic per-document URL (Spark side) — www-prefix,
     subdomain, tld by doc_id residues, covering every
@@ -3263,6 +3331,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_lm_kn_by_source": q_lm_kn_by_source,
     "pipeline_ccnet_lid": q_pipeline_ccnet_lid,
     "attr_store_mix": q_attr_store_mix,
+    "corpus_main_content": q_main_content,
     "attr_mix_report": q_attr_mix_report,
     "exact_dedup_store": q_exact_dedup_store,
     "corpus_leakage_split": q_leakage_split,
@@ -3338,6 +3407,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_lm_kn_by_source": LM_KN_BY_SOURCE_ORACLE,
     "pipeline_ccnet_lid": PIPELINE_CCNET_LID_ORACLE,
     "attr_store_mix": ATTR_STORE_MIX_ORACLE,
+    "corpus_main_content": _main_content_oracle(),
     "attr_mix_report": ATTR_MIX_REPORT_ORACLE,
     "exact_dedup_store": EXACT_DEDUP_STORE_ORACLE,
     "corpus_leakage_split": LEAKAGE_SPLIT_ORACLE,

@@ -437,3 +437,125 @@ def html_to_text_sql(expr: str) -> str:
     for pat, rep in HTML_TEXT_RULES:
         out = f"regexp_replace({out}, {_duck_estr(pat)}, {_duck_estr(rep)}, 'g')"
     return out
+
+
+# -- main-content extraction (block-level boilerplate gate) ------------------
+
+# HTML_TEXT_RULES is consumed in three named slices below; the assert
+# pins the index coupling so a rule-table edit cannot silently shift
+# the block boundary out from under the slicer.
+_NONCONTENT_RULES = HTML_TEXT_RULES[:3]  # script/style/comments
+_BLOCK_BREAK_RE = HTML_TEXT_RULES[3][0]  # block-level tag boundary
+_INLINE_RULES = HTML_TEXT_RULES[4:]  # tag strip, entities, whitespace
+assert HTML_TEXT_RULES[3][1] == "\n", "block-break rule moved"
+
+#: Block gate defaults — the shallow-text-features heuristic of
+#: Kohlschuetter et al. 2010 ("Boilerplate Detection Using Shallow
+#: Text Features"): navigation/footer chrome is SHORT and LINK-DENSE,
+#: article text is long and link-sparse. Declared constants so entry
+#: oracles share them.
+MAIN_MIN_BLOCK_CHARS = 80
+MAIN_MAX_LINK_DENSITY = 0.33
+
+#: anchor inner text (the characters that count toward link density)
+_ANCHOR_TEXT_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def extract_main_content(
+    html: Column,
+    min_block_chars: int = MAIN_MIN_BLOCK_CHARS,
+    max_link_density: float = MAIN_MAX_LINK_DENSITY,
+) -> Column:
+    """Main-content text from an HTML payload: where
+    :func:`html_to_text` keeps EVERYTHING the page renders (nav bars,
+    footers, cookie banners), this gates at BLOCK granularity — split
+    the page on block-level tags, keep only blocks whose stripped
+    text is long enough (``min_block_chars``) and whose anchor-text
+    share is low enough (``max_link_density``), join the keepers with
+    newlines. The trafilatura/Boilerpipe step of a crawl pipeline as
+    a pure whole-stage-codegen expression: split + transform/filter
+    higher-order functions over the block array, regexp chains per
+    block — no UDF, no shuffle, one row in one row out.
+
+    Link density counts raw anchor INNER text characters against the
+    block's stripped text length (both before entity decode — a
+    declared, engine-replayable simplification).
+    ``extract_main_content_sql`` replays the identical chain in
+    DuckDB."""
+    page = html
+    for pat, rep in _NONCONTENT_RULES:
+        page = F.regexp_replace(page, pat, rep)
+    blocks = F.split(page, _BLOCK_BREAK_RE)
+
+    def _txt(b: Column) -> Column:
+        out = b
+        for pat, rep in _INLINE_RULES:
+            out = F.regexp_replace(out, pat, rep)
+        return out
+
+    def _anchor_chars(b: Column) -> Column:
+        return F.coalesce(
+            F.aggregate(
+                F.transform(
+                    F.regexp_extract_all(b, F.lit(_ANCHOR_TEXT_RE), F.lit(1)),
+                    F.length,
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        )
+
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(_txt(b).alias("t"), _anchor_chars(b).alias("a")),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["t"]) >= F.lit(int(min_block_chars)))
+        & (
+            s["a"].cast("double")
+            <= F.lit(float(max_link_density)) * F.length(s["t"]).cast("double")
+        ),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
+
+
+def extract_main_content_sql(
+    expr: str,
+    min_block_chars: int = MAIN_MIN_BLOCK_CHARS,
+    max_link_density: float = MAIN_MAX_LINK_DENSITY,
+) -> str:
+    """The DuckDB replay of :func:`extract_main_content` over SQL
+    expression ``expr``: identical regex slices, split, per-block
+    struct, density filter, newline join."""
+    page = expr
+    for pat, rep in _NONCONTENT_RULES:
+        page = (
+            f"regexp_replace({page}, {_duck_estr(pat)}, "
+            f"{_duck_estr(rep)}, 'g')"
+        )
+
+    def _txt(b: str) -> str:
+        out = b
+        for pat, rep in _INLINE_RULES:
+            out = (
+                f"regexp_replace({out}, {_duck_estr(pat)}, "
+                f"{_duck_estr(rep)}, 'g')"
+            )
+        return out
+
+    anchor = (
+        "coalesce(list_sum(list_transform(regexp_extract_all(b, "
+        f"{_duck_estr(_ANCHOR_TEXT_RE)}, 1), y -> length(y))), 0)"
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — an all-chrome page must agree as ''
+    return (
+        "coalesce(array_to_string(list_transform(list_filter(list_transform("
+        f"string_split_regex({page}, {_duck_estr(_BLOCK_BREAK_RE)}), "
+        f"b -> struct_pack(t := {_txt('b')}, a := {anchor})), "
+        f"s -> length(s.t) >= {int(min_block_chars)} "
+        f"AND s.a <= {float(max_link_density)!r} * length(s.t)), "
+        "s -> s.t), chr(10)), '')"
+    )

@@ -121,3 +121,67 @@ def test_engine_parity_fuzz(spark):
         assert got == want
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# extract_main_content: block-level boilerplate gate
+# ---------------------------------------------------------------------------
+
+
+def _mc(spark, page, **kw):
+    from balboa_spark.operators.text import extract_main_content
+
+    df = spark.createDataFrame([(1, page)], "id long, html string")
+    return df.select(
+        extract_main_content(F.col("html"), **kw).alias("t")
+    ).first()["t"]
+
+
+def test_main_content_drops_chrome_keeps_article(spark):
+    page = (
+        '<html><body><div><a href="/">Home</a> <a href="/a">About</a></div>'
+        "<p>The long article body has enough characters to pass the gate "
+        'and an inline <a href="/d">link</a> that is fine.</p>'
+        "<p>short</p>"
+        '<div><a href="/p">Privacy</a> <a href="/t">Terms</a></div>'
+        "<script>var x = '<p>not content</p>';</script></body></html>"
+    )
+    got = _mc(spark, page)
+    assert got.startswith("The long article body")
+    assert "Home" not in got and "Privacy" not in got
+    assert "short" not in got and "not content" not in got
+    assert "link" in got  # inline anchor text survives in content
+
+
+def test_main_content_density_and_length_gates(spark):
+    # a long but fully-link block must drop (density), and lowering
+    # min_block_chars admits a shorter block
+    linky = "<div><a>" + "x" * 200 + "</a></div><p>tiny but real</p>"
+    assert _mc(spark, linky) == ""
+    assert _mc(spark, linky, min_block_chars=5) == "tiny but real"
+    # empty page / all-chrome page -> empty string, not null
+    assert _mc(spark, "<div><a href='/'>nav</a></div>") == ""
+
+
+def test_main_content_matches_duckdb(spark):
+    import duckdb
+
+    from balboa_spark.operators.text import extract_main_content_sql
+
+    pages = [
+        '<body><div><a href="/">Home</a></div><p>'
+        + ("word " * 30)
+        + '</p><div><a href="/t">Terms of service</a></div></body>',
+        "<p>Entities &amp; &lt;tags&gt; inside a sufficiently long "
+        "article block stay decoded exactly like html_to_text.</p>",
+        "",
+    ]
+    con = duckdb.connect()
+    for page in pages:
+        got = _mc(spark, page)
+        want = con.execute(
+            "SELECT " + extract_main_content_sql("html")
+            + " AS t FROM (SELECT ? AS html)",
+            [page],
+        ).fetchone()[0]
+        assert got == want, page
