@@ -323,7 +323,6 @@ CAP_50 = [
     # -- one representative per big family (green r5-r7) --
     "dedup_near_keep",
     "dedup_components",
-    "embedding_knn_join",
     "ann_lsh_topk",
     "events_asof",
     "corpus_quality_signals",
@@ -349,6 +348,7 @@ CAP_50 = [
     # -- r12-NEW (mid-round): first grading --
     "graph_pagerank",
     "corpus_main_content",
+    "hybrid_search_rrf",
     # -- RECALLED mid-r12: pack_sequences kernel rewritten (per-token
     #    posexplode -> per-(doc,seq) fragment slicing, ~seq_len x fewer
     #    shuffle rows; same-session control 0.66x at sf1.0) — both
@@ -410,6 +410,7 @@ _TAIL = [
     "events_psi_drift",        # green r7+r11; PSI kernel unchanged
     "corpus_domain_profile",   # green r10 AND r11 post-PSL-change, kernel unchanged r12; domain family still in-cap via pipeline_crawl
     "corpus_domain_cap",       # green r10 AND r11 post-PSL-change, kernel unchanged r12; displaced by corpus_main_content
+    "embedding_knn_join",      # green r5-r11 multi-round, kernel unchanged; ANN family canary stays via in-cap ann_lsh_topk + the new hybrid_search_rrf (which rides topk_brute)
     # --- demoted mid-r12 (green r10 AND r11, kernels unchanged since
     #     the r11 CAS change; store family freshly canaried in-cap via
     #     attr_store_mix/attr_mix_report + the r12-kernel-changed

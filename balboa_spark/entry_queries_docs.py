@@ -1722,6 +1722,59 @@ ORDER BY i.qid
 """
 
 
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 + ANN fused by reciprocal rank (RRF)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (search.rrf_fuse, Cormack et al. 2009): the
+    BM25 top-25 lexical list over documents and the exact-cosine
+    top-20 vector list over embeddings (ids shared: vec_id is the
+    document id), ranked per list by (score desc, id) and fused as
+    sum 1/(60 + rank). The oracle replays BOTH retrievals (the
+    existing BM25 and cosine oracle SQL verbatim as CTEs) plus the
+    fusion arithmetic."""
+    from balboa_spark.entry_queries_corpus import BM25_K, BM25_QUERY
+    from balboa_spark.operators.search import bm25_topk, rrf_fuse
+
+    t = load_tables(spark, sf_dir, names=("documents", "embeddings"))
+    bm = bm25_topk(
+        t["documents"].select("doc_id", "text"), BM25_QUERY, k=BM25_K
+    ).select("doc_id", "score")
+    emb = t["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ann = similarity.topk_brute(emb, list(qvec), k=TOPK).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
+    )
+    return rrf_fuse([bm, ann], k=RRF_K)
+
+
+def _hybrid_rrf_oracle() -> str:
+    from balboa_spark.entry_queries_corpus import BM25_TOPK_ORACLE
+
+    return f"""
+WITH bm AS ({BM25_TOPK_ORACLE}),
+ann AS ({EMBEDDING_TOPK_ORACLE}),
+bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm
+),
+annr AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos DESC, vec_id) AS r
+  FROM ann
+)
+SELECT COALESCE(bmr.doc_id, annr.doc_id) AS doc_id,
+       round(COALESCE(1.0 / ({RRF_K} + bmr.r), 0)
+             + COALESCE(1.0 / ({RRF_K} + annr.r), 0), 9) AS rrf_score
+FROM bmr FULL OUTER JOIN annr ON bmr.doc_id = annr.doc_id
+ORDER BY rrf_score DESC, doc_id
+"""
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_quality_eval": q_ann_quality_eval,
     "text_profile": q_text_profile,
@@ -1735,6 +1788,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_pretrain": q_pipeline_pretrain,
     "corpus_passage_cdc": q_passage_cdc,
     "embedding_topk": q_embedding_topk,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
     "vector_store_topk": q_vector_store_topk,
     "embedding_knn_join": q_knn_join,
     "embedding_cosine_pairs": q_embedding_pairs,
@@ -1774,6 +1828,7 @@ ORACLES_DOCS: dict[str, str] = {
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": JACCARD_ORACLE,
     "embedding_topk": EMBEDDING_TOPK_ORACLE,
+    "hybrid_search_rrf": _hybrid_rrf_oracle(),
     "vector_store_topk": VECTOR_STORE_TOPK_ORACLE,
     "embedding_knn_join": KNN_JOIN_ORACLE,
     "embedding_cosine_pairs": EMBEDDING_PAIRS_ORACLE,

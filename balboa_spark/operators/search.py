@@ -506,3 +506,58 @@ class PostingsIndex:
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k)
         )
+
+
+def rrf_fuse(
+    lists: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal rank fusion of top-k retrieval lists (Cormack,
+    Clarke & Buettcher 2009: "Reciprocal Rank Fusion outperforms
+    Condorcet and individual rank learning methods"): each input is a
+    (id, score) top-k list; rank within each list by (score desc, id
+    asc) and fuse as ``rrf = sum_l 1/(k + rank_l)`` — absent from a
+    list contributes nothing. The standard hybrid-retrieval combiner
+    (BM25 list + embedding-ANN list -> one ranking) with ``k=60`` the
+    paper's constant.
+
+    Plan note: the per-list rank is a row_number over an UNPARTITIONED
+    window — deliberate and safe here, because the inputs are top-k
+    lists by contract (k rows, already reduced by TakeOrdered/LIMIT
+    upstream), so the single partition holds k rows, not data-scale.
+    The fusion joins are id-keyed over k-sized relations. Output:
+    (id, rrf_score) ordered (rrf_score desc, id), rounded to 9dp for
+    cross-engine hash stability."""
+    from pyspark.sql import Window
+
+    if not lists:
+        raise ValueError("rrf_fuse needs >= 1 input list")
+    fused = None
+    score_cols = []
+    for i, df in enumerate(lists):
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        part = (
+            df.select(id_col, score_col)
+            .withColumn("_r", F.row_number().over(w))
+            .select(
+                F.col(id_col),
+                (F.lit(1.0) / (F.lit(int(k)) + F.col("_r"))).alias(
+                    f"_s{i}"
+                ),
+            )
+        )
+        score_cols.append(f"_s{i}")
+        fused = part if fused is None else fused.join(
+            part, id_col, "full_outer"
+        )
+    total = None
+    for c in score_cols:
+        term = F.coalesce(F.col(c), F.lit(0.0))
+        total = term if total is None else total + term
+    out = fused.select(
+        F.col(id_col), F.round(total, 9).alias("rrf_score")
+    ).orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return out.limit(int(topk)) if topk is not None else out
