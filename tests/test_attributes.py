@@ -480,3 +480,70 @@ def test_attr_latest_wins_random_interleavings(spark, tmp_path):
         for r in store.read("quality").collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# composed streaming pipeline: ingest -> dedup -> tag -> (batch) mix
+# ---------------------------------------------------------------------------
+
+
+def test_attr_streaming_dedup_tag_mix_composition(spark, tmp_path):
+    """The production shape end to end: landed NDJSON micro-batches
+    run cross-batch exact dedup (ExactDedupStore) and tag the kept
+    docs' attributes in the same foreachBatch; afterwards one batch
+    mix over the landed corpus applies a rule — documents that were
+    dropped as duplicates have no attribute rows, so the mixer's
+    null-fails contract excludes them without any extra plumbing."""
+    import json
+
+    from balboa_spark.operators.dedup_store import ExactDedupStore
+
+    land = tmp_path / "land"
+    land.mkdir()
+    dstore = ExactDedupStore(spark, str(tmp_path / "fp"))
+    astore = AttributeStore(spark, str(tmp_path / "attrs"))
+
+    def line(i, text):
+        return json.dumps({"doc_id": i, "text": text})
+
+    def sink(batch, epoch):
+        kept = dstore.process_batch(batch, epoch_id=epoch)
+        astore.write(
+            kept.select(
+                "doc_id",
+                F.size(
+                    F.filter(
+                        F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                    )
+                ).alias("n_tokens"),
+            ),
+            "quality", epoch_id=epoch, stream_id="tagger",
+        )
+
+    (land / "b1.ndjson").write_text(
+        line(1, "the quick brown fox jumps high") + "\n"
+        + line(2, "tiny") + "\n"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(land)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (land / "b2.ndjson").write_text(
+            line(3, "the quick brown fox jumps high") + "\n"  # dup of 1
+            + line(4, "a second genuinely novel document arrives") + "\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    landed = spark.read.schema("doc_id long, text string").json(str(land))
+    kept = astore.mix(landed, ["quality"], "quality__n_tokens >= 5")
+    # 1: kept+tagged+passes; 2: tagged but too short; 3: dup -> never
+    # tagged -> null fails; 4: kept+tagged+passes
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
