@@ -310,8 +310,10 @@ QUERIES.update(QUERIES_TEMPORAL)
 # remaining r8+r9-green tail entries (corpus_html_extract,
 # supplier_entity_resolve, corpus_pack_bestfit, obs_blocklist_match,
 # corpus_dataset_profile, events_props_extract, events_heavy_users,
-# corpus_source_overlap) plus the r10-demoted green-r6+r10 cohort;
-# demote entries double-verified by then (green r11 AND r12).
+# corpus_source_overlap) plus the r10-demoted green-r6+r10 cohort and
+# the seven mid-r12 demotions if their kernels change; demote entries
+# double-verified by then (green r11 AND r12), starting with the r12
+# first-graded cohort once each is double-green.
 CAP_50 = [
     # -- §2 backbone, kept in-cap as standing canaries (green r5-r7) --
     "observations_agg",   # A1-A3 core fold
