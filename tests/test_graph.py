@@ -92,3 +92,52 @@ def test_pagerank_plan_shape(spark):
     out = pagerank(_edges(spark, [("a", "b"), ("b", "a")]), iters=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_pagerank_matches_python_power_iteration_fuzz(spark):
+    """Random digraphs (dangling nodes, hubs, self-loops, duplicate
+    edges) vs an independent pure-Python power iteration applying the
+    identical per-iteration rounding — exact equality."""
+    import random
+
+    def rnd(x, dp=9):
+        # Spark's round() is HALF_UP; Python's built-in round() is
+        # half-even — a tie at the 10th digit would silently diverge
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def py_pagerank(pairs, iters, d=0.85):
+        e = sorted(set(pairs))
+        nodes = sorted({s for s, _ in e} | {t for _, t in e})
+        n = len(nodes)
+        out = {}
+        for s, _ in e:
+            out[s] = out.get(s, 0) + 1
+        r = {v: rnd(1.0 / n) for v in nodes}
+        for _ in range(iters):
+            contrib = {v: 0.0 for v in nodes}
+            for s, t in e:
+                contrib[t] += r[s] / out[s]
+            dm = sum(r[v] for v in nodes if v not in out)
+            r = {
+                v: rnd((1 - d) / n + d * (contrib[v] + dm / n))
+                for v in nodes
+            }
+        return r
+
+    rng = random.Random(23)
+    for case in range(4):
+        n_nodes = rng.randint(4, 18)
+        pairs = [
+            (f"n{rng.randint(0, n_nodes)}", f"n{rng.randint(0, n_nodes)}")
+            for _ in range(rng.randint(3, 40))
+        ]
+        iters = rng.randint(1, 4)
+        got = _ranks(pagerank(_edges(spark, pairs), iters=iters))
+        want = py_pagerank(pairs, iters)
+        assert got == want, f"case={case} iters={iters}"
