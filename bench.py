@@ -724,6 +724,26 @@ def main() -> None:
         )
         pagerank(edges, iters=3).write.mode("overwrite").format("noop").save()
 
+    @timed("graph_harmonic")
+    def _():
+        # HyperBall harmonic centrality (r12): per round one edges
+        # join + one register-max HLL union aggregate (map-side
+        # combinable); node-sized sketch state, checkpointed per
+        # round — the CommonCrawl domain-ranking metric.
+        from balboa_spark.operators.graph import harmonic_centrality
+
+        orders = par(spark.table("orders"))
+        li = par(spark.table("lineitem"))
+        edges = orders.join(
+            li, F.col("o_orderkey") == F.col("l_orderkey")
+        ).select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        harmonic_centrality(edges, max_dist=3).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     @timed("fuzzy_pairs")
     def _():
         # exact-recall edit-distance-1 pairs over 15k customer names:

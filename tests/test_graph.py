@@ -141,3 +141,99 @@ def test_pagerank_matches_python_power_iteration_fuzz(spark):
         got = _ranks(pagerank(_edges(spark, pairs), iters=iters))
         want = py_pagerank(pairs, iters)
         assert got == want, f"case={case} iters={iters}"
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality (HyperBall) — exact at unit scale
+# ---------------------------------------------------------------------------
+
+
+def test_harmonic_path_hand_computed(spark):
+    """a->b->c: harmonic(c) = 1/1 (b) + 1/2 (a) = 1.5; harmonic(b) =
+    1 (a); harmonic(a) = 0. Sparse-mode HLL is exact here."""
+    from balboa_spark.operators.graph import harmonic_centrality
+
+    out = {
+        r["node"]: (r["harmonic"], r["ball_size"])
+        for r in harmonic_centrality(
+            _edges(spark, [("a", "b"), ("b", "c")]), max_dist=3
+        ).collect()
+    }
+    assert out == {"a": (0.0, 1), "b": (1.0, 2), "c": (1.5, 3)}
+
+
+def test_harmonic_hub_cycle_selfloop(spark):
+    """Star into a hub: harmonic(hub) = indegree; a 2-cycle gives 1.0
+    each; self-loops and duplicate edges add nothing."""
+    from balboa_spark.operators.graph import harmonic_centrality
+
+    star = [("s1", "h"), ("s2", "h"), ("s3", "h"), ("h", "h"), ("s1", "h")]
+    out = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(_edges(spark, star), max_dist=2).collect()
+    }
+    assert out["h"] == 3.0 and out["s1"] == 0.0
+    cyc = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(
+            _edges(spark, [("a", "b"), ("b", "a")]), max_dist=4
+        ).collect()
+    }
+    assert cyc == {"a": 1.0, "b": 1.0}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_dist"):
+        harmonic_centrality(_edges(spark, [("a", "b")]), max_dist=0)
+
+
+def test_harmonic_matches_python_bfs_fuzz(spark):
+    """Random digraphs vs exact python BFS harmonic centrality —
+    sparse HLL stays exact at these ball sizes, so equality is
+    exact (6dp rounding both sides)."""
+    import random
+    from collections import deque
+
+    from balboa_spark.operators.graph import harmonic_centrality
+
+    def py_harmonic(pairs, max_dist):
+        e = set(pairs)
+        nodes = sorted({s for s, _ in e} | {t for _, t in e})
+        fwd = {}
+        for s, t in e:
+            fwd.setdefault(s, set()).add(t)
+        h = {}
+        for v in nodes:
+            # BFS over REVERSE reachability: distance from u to v
+            dist = {v: 0}
+            dq = deque([v])
+            rev = {}
+            for s, t in e:
+                rev.setdefault(t, set()).add(s)
+            while dq:
+                x = dq.popleft()
+                if dist[x] >= max_dist:
+                    continue
+                for u in rev.get(x, ()):
+                    if u not in dist:
+                        dist[u] = dist[x] + 1
+                        dq.append(u)
+            h[v] = round(
+                sum(1.0 / d for u, d in dist.items() if d > 0), 6
+            )
+        return h
+
+    rng = random.Random(5)
+    for case in range(3):
+        n_nodes = rng.randint(4, 14)
+        pairs = [
+            (f"n{rng.randint(0, n_nodes)}", f"n{rng.randint(0, n_nodes)}")
+            for _ in range(rng.randint(3, 30))
+        ]
+        md = rng.randint(1, 3)
+        got = {
+            r["node"]: r["harmonic"]
+            for r in harmonic_centrality(
+                _edges(spark, pairs), max_dist=md
+            ).collect()
+        }
+        assert got == py_harmonic(pairs, md), f"case={case} md={md}"
