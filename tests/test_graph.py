@@ -237,3 +237,35 @@ def test_harmonic_matches_python_bfs_fuzz(spark):
             ).collect()
         }
         assert got == py_harmonic(pairs, md), f"case={case} md={md}"
+
+
+def test_personalized_pagerank_seeds(spark):
+    """PPR (seeds): teleport + dangling mass land only on the seed
+    set. In a->b, c->b with seed {a}: c's rank decays to 0 (no
+    teleport, no in-links from the seed side), while a keeps the
+    teleport share; mass stays ~1; DuckDB replay matches exactly."""
+    pairs = [("a", "b"), ("c", "b"), ("b", "a")]
+    got = _ranks(pagerank(_edges(spark, pairs), iters=8, seeds=["a"]))
+    assert got["c"] == 0.0
+    assert got["a"] > 0.15  # teleport share at minimum
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE el (src VARCHAR, dst VARCHAR); INSERT INTO el VALUES "
+        + ", ".join(f"('{s}','{t}')" for s, t in pairs)
+    )
+    want = dict(
+        con.execute(
+            pagerank_sql("SELECT src, dst FROM el", iters=8, seeds=["a"])
+        ).fetchall()
+    )
+    assert got == want
+    # two seeds split the teleport; dangling graph conserves mass
+    got2 = _ranks(
+        pagerank(_edges(spark, [("a", "b")]), iters=6, seeds=["a", "b"])
+    )
+    assert abs(sum(got2.values()) - 1.0) < 1e-6
+    with pytest.raises(ValueError, match="seeds"):
+        pagerank(_edges(spark, pairs), seeds=[])
+    with pytest.raises(ValueError, match="seeds"):
+        pagerank_sql("SELECT 1", seeds=[])
