@@ -186,7 +186,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
     if args.cmd == "attr-tag":
         from pyspark.sql import functions as F
 
-        from balboa_spark.operators.attributes import AttributeStore
+        from balboa_spark.operators.attributes import EMAIL_RE, AttributeStore
         from balboa_spark.operators.text import tokens
 
         docs = spark.read.parquet(args.input)
@@ -200,9 +200,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
         else:
             attrs = docs.select(
                 "doc_id",
-                F.col("text").rlike(
-                    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-                ).alias("has_email"),
+                F.col("text").rlike(EMAIL_RE).alias("has_email"),
             )
         ver = store.write(attrs, args.tagger)
         print(f"tagged {args.tagger} v{ver}")
@@ -214,7 +212,9 @@ def run(args: argparse.Namespace, spark=None) -> int:
         docs = spark.read.parquet(args.input)
         store = AttributeStore(spark, args.store)
         taggers = (
-            args.taggers.split(",") if args.taggers else store.taggers()
+            [t.strip() for t in args.taggers.split(",") if t.strip()]
+            if args.taggers
+            else store.taggers()
         )
         store.mix(docs, taggers, args.rule).write.mode("overwrite").parquet(
             args.out

@@ -3095,9 +3095,9 @@ PIPELINE_CCNET_LID_ORACLE = (
 # attribute store + mixer (r12): Dolma-style tagger/mixer split
 # ---------------------------------------------------------------------------
 
-#: partial-match email pattern, identical semantics under Java regex
-#: (Spark rlike) and RE2 (DuckDB regexp_matches)
-_ATTR_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+#: the shared built-in pii-tagger pattern (operators.attributes) —
+#: the DuckDB oracle below keeps an intentionally independent literal
+from balboa_spark.operators.attributes import EMAIL_RE as _ATTR_EMAIL_RE  # noqa: E402
 
 
 def _attr_store_fixture(spark: SparkSession, sf_dir: str):

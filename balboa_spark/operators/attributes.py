@@ -76,6 +76,13 @@ MANIFEST = "manifest.json"
 #: On-disk format version for attribute namespaces.
 ATTR_FORMAT = 1
 
+#: Partial-match email pattern used by the built-in ``pii`` tagger —
+#: ONE definition shared by the CLI tagger, the bench item, and the
+#: graded fixture (their DuckDB oracle keeps an intentionally
+#: independent literal copy). Identical semantics under Java regex
+#: (Spark rlike) and RE2 (DuckDB regexp_matches).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
 _TAGGER_RE = re.compile(r"[a-z][a-z0-9_]*")
 
 
@@ -167,13 +174,20 @@ class AttributeStore:
         return self._namespaces[t]
 
     def taggers(self) -> list[str]:
-        """Namespaces with a committed manifest, sorted."""
+        """Namespaces with committed DATA, sorted. The manifest alone
+        is not enough: write() claims its version in the manifest
+        BEFORE the parquet lands, so a first-ever write torn between
+        claim and data would otherwise list a namespace that every
+        read rejects — wedging callers (the CLI mixer's default
+        tagger list) on a crash that is supposed to be invisible."""
         if not os.path.exists(self.path):
             return []
         out = []
         for d in sorted(os.listdir(self.path)):
-            if _TAGGER_RE.fullmatch(d) and os.path.exists(
-                os.path.join(self.path, d, MANIFEST)
+            if (
+                _TAGGER_RE.fullmatch(d)
+                and os.path.exists(os.path.join(self.path, d, MANIFEST))
+                and os.path.isdir(os.path.join(self.path, d, "state"))
             ):
                 out.append(d)
         return out
@@ -213,11 +227,14 @@ class AttributeStore:
                 f"got {attrs.columns}"
             )
         for f_ in attrs.schema.fields:
-            if f_.name != id_col and "MapType" in f_.dataType.__class__.__name__:
+            # simpleString covers maps nested inside structs/arrays too
+            # — a nested map would pass a top-level-class check, commit
+            # the schema, and then make every read fail unorderable
+            if f_.name != id_col and "map<" in f_.dataType.simpleString():
                 raise ValueError(
-                    f"attribute {f_.name!r} is map-typed — maps are not "
-                    "orderable, so latest-wins resolution cannot compare "
-                    "them; store a sorted array of entries instead"
+                    f"attribute {f_.name!r} contains a map type — maps "
+                    "are not orderable, so latest-wins resolution cannot "
+                    "compare them; store a sorted array of entries instead"
                 )
         # ONE manifest read serves the schema check AND the claim —
         # the claim's CAS then guards the whole read-modify-write

@@ -85,6 +85,15 @@ def pagerank(
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # iteration-invariant relations, materialized ONCE: edges annotated
+    # with their source's out-degree, and the dangling node set — the
+    # per-iteration plans would otherwise re-derive both (one extra
+    # node-sized shuffle join per iteration per relation, wasted work
+    # that scales with iters)
+    ew = e.join(outdeg, "src").localCheckpoint(eager=True)
+    dangling_nodes = nodes.join(
+        outdeg, nodes["node"] == outdeg["src"], "left_anti"
+    ).localCheckpoint(eager=True)
     d = float(damping)
     tele = None
     if seeds is not None:
@@ -98,15 +107,14 @@ def pagerank(
     for _ in range(iters):
         # mass flowing along edges: rank/outdeg from each linking node
         contrib = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"])
-            .join(e, "src")
+            ranks.join(ew, ranks["node"] == ew["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("m"))
         )
-        # dangling nodes (no out-edges) spread their mass uniformly —
-        # a 1-row aggregate, broadcast back by construction
+        # dangling nodes (no out-edges) spread their mass — a 1-row
+        # aggregate over the precomputed dangling set, broadcast back
         dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         # uniform arm keeps the EXACT original float expression —

@@ -101,6 +101,33 @@ def read_quality_series(spark, out_path: str) -> DataFrame:
     )
 
 
+def _psi_contribs(
+    ref_hist: DataFrame, batch_side: DataFrame, key: str, join: str
+) -> tuple[list, float]:
+    """Shared PSI arithmetic for the drift sinks: join the pinned
+    reference proportions with a batch's proportions on ``key``
+    (``left`` when the reference's bins are exhaustive — numeric bin
+    edges; ``full_outer`` when the batch can surface keys the
+    reference never saw — language labels), eps-smooth, and return the
+    per-key contribution rows plus their rounded sum. One definition
+    so the smoothing/rounding contract cannot drift between sinks."""
+    eps = 1e-6
+    rows = (
+        ref_hist.join(batch_side, key, join)
+        .fillna(0.0, ["p_ref", "p_new"])
+        .select(
+            key, "p_ref", "p_new",
+            F.round(
+                ((F.col("p_new") + eps) - (F.col("p_ref") + eps))
+                * F.log((F.col("p_new") + eps) / (F.col("p_ref") + eps)),
+                6,
+            ).alias("contrib"),
+        )
+        .collect()
+    )
+    return rows, round(sum(r["contrib"] for r in rows), 6)
+
+
 def drift_monitor_sink(
     reference: DataFrame,
     value_col: str,
@@ -141,21 +168,7 @@ def drift_monitor_sink(
             psi_drift(batch_df.limit(0), batch_df, value_col, bin_edges)
             .select("bin", "p_new")
         )
-        eps = 1e-6
-        rows = (
-            ref_hist.join(batch_side, "bin", "left")
-            .fillna(0.0, ["p_new"])
-            .select(
-                "bin", "p_ref", "p_new",
-                F.round(
-                    ((F.col("p_new") + eps) - (F.col("p_ref") + eps))
-                    * F.log((F.col("p_new") + eps) / (F.col("p_ref") + eps)),
-                    6,
-                ).alias("contrib"),
-            )
-            .collect()
-        )
-        psi = round(sum(r["contrib"] for r in rows), 6)
+        rows, psi = _psi_contribs(ref_hist, batch_side, "bin", "left")
         # idempotent under foreachBatch replay: each epoch owns its
         # partition directory and a retry OVERWRITES it — mode=append
         # would duplicate the epoch's rows in the series and
@@ -301,21 +314,7 @@ def lang_drift_monitor_sink(
             .agg((F.count(F.lit(1)) / F.lit(float(n))).alias("p_new"))
         )
         ref_hist = spark.createDataFrame(ref_rows, "lang string, p_ref double")
-        eps = 1e-6
-        rows = (
-            ref_hist.join(batch_side, "lang", "full_outer")
-            .fillna(0.0, ["p_ref", "p_new"])
-            .select(
-                "lang", "p_ref", "p_new",
-                F.round(
-                    ((F.col("p_new") + eps) - (F.col("p_ref") + eps))
-                    * F.log((F.col("p_new") + eps) / (F.col("p_ref") + eps)),
-                    6,
-                ).alias("contrib"),
-            )
-            .collect()
-        )
-        psi = round(sum(r["contrib"] for r in rows), 6)
+        rows, psi = _psi_contribs(ref_hist, batch_side, "lang", "full_outer")
         (
             spark.createDataFrame(
                 [

@@ -665,7 +665,7 @@ def main() -> None:
         # once, by the final left-semi join.
         import tempfile as _tf
 
-        from balboa_spark.operators.attributes import AttributeStore
+        from balboa_spark.operators.attributes import EMAIL_RE, AttributeStore
         from balboa_spark.operators.text import tokens as _toks
 
         docs = par(spark.table("documents").select("doc_id", "source", "text"))
@@ -681,10 +681,7 @@ def main() -> None:
         )
         store.write(
             docs.select(
-                "doc_id",
-                F.col("text").rlike(
-                    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-                ).alias("has_email"),
+                "doc_id", F.col("text").rlike(EMAIL_RE).alias("has_email")
             ),
             "pii",
         )

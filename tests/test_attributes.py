@@ -547,3 +547,26 @@ def test_attr_streaming_dedup_tag_mix_composition(spark, tmp_path):
     # 1: kept+tagged+passes; 2: tagged but too short; 3: dup -> never
     # tagged -> null fails; 4: kept+tagged+passes
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
+
+
+def test_attr_nested_map_rejected_and_torn_first_write_unlisted(spark, tmp_path):
+    """(review r12) A map nested inside a struct must be rejected at
+    write time — a committed-but-unorderable schema would wedge every
+    read; and a namespace whose FIRST write tore between the version
+    claim and the data landing (manifest exists, no state dir) must
+    not be listed by taggers(), or the CLI mixer's default path stays
+    wedged on a crash that is supposed to be invisible."""
+    store = AttributeStore(spark, str(tmp_path / "attrs"))
+    nested = spark.createDataFrame(
+        [Row(doc_id=1, a={"m": {"k": 1}})],
+        "doc_id long, a struct<m: map<string,int>>",
+    )
+    with pytest.raises(ValueError, match="map type"):
+        store.write(nested, "bad")
+    # simulate the torn first write: claim-time manifest, no data
+    ns = store._ns("torn")
+    ns._write_manifest(
+        extra={"last_ver": 1, "id_col": "doc_id", "columns": ["x"]}
+    )
+    store.write(_quality(spark, [(1, 1, 1.0)]), "quality")
+    assert store.taggers() == ["quality"]
