@@ -269,3 +269,41 @@ def test_personalized_pagerank_seeds(spark):
         pagerank(_edges(spark, pairs), seeds=[])
     with pytest.raises(ValueError, match="seeds"):
         pagerank_sql("SELECT 1", seeds=[])
+
+
+def test_pagerank_to_domain_quota_composition(spark):
+    """The README recipe proven end to end: rank a domain graph, turn
+    ranks into per-domain quotas, and cap a document set with
+    domain_cap — higher-ranked domains keep more documents, and the
+    kept subset is deterministic."""
+    from balboa_spark.operators.corpus import domain_cap
+
+    edges = _edges(
+        spark,
+        # hub.example is linked from everyone; cold.example from no one
+        [("a.example", "hub.example"), ("b.example", "hub.example"),
+         ("c.example", "hub.example"), ("hub.example", "a.example")],
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert ranks["hub.example"] > ranks["c.example"]
+    # quota: 3 docs for above-median domains, 1 below (driver-side
+    # arithmetic over the node-sized rank relation)
+    med = sorted(ranks.values())[len(ranks) // 2]
+    docs = spark.createDataFrame(
+        [
+            (d * 10 + i, f"https://{dom}/p/{i}", f"doc {d}-{i}")
+            for d, dom in enumerate(sorted(ranks))
+            for i in range(4)
+        ],
+        "doc_id long, url string, text string",
+    )
+    capped = []
+    for dom in ranks:
+        quota = 3 if ranks[dom] >= med else 1
+        kept = domain_cap(
+            docs.where(F.col("url").startswith(f"https://{dom}/")),
+            quota,
+            url_col="url",
+        )
+        capped.append((dom, kept.count(), quota))
+    assert all(n == q for _, n, q in capped), capped
