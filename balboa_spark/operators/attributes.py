@@ -86,6 +86,16 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _TAGGER_RE = re.compile(r"[a-z][a-z0-9_]*")
 
 
+def _tagger_selection(
+    taggers: "list[str] | dict[str, list[str] | None]",
+) -> dict:
+    """Normalize the mixer's tagger argument: a list of names, or a
+    dict ``{tagger: [cols] | None}`` for column-pruned reads."""
+    return (
+        dict(taggers) if isinstance(taggers, dict) else {t: None for t in taggers}
+    )
+
+
 def _check_tagger_name(tagger: str) -> str:
     """Lowercase namespace names up front: Spark resolves column names
     case-insensitively by default, so two taggers differing only by
@@ -355,11 +365,7 @@ class AttributeStore:
         of names, or a dict ``{tagger: [cols] | None}`` to
         column-prune wide taggers down to the attributes a rule
         actually touches (see :meth:`read`)."""
-        sel = (
-            dict(taggers)
-            if isinstance(taggers, dict)
-            else {t: None for t in taggers}
-        )
+        sel = _tagger_selection(taggers)
         joined = docs.select(F.col(id_col))
         for t, tcols in sel.items():
             rel = self.read(t, prefix=True, cols=tcols)
@@ -383,9 +389,33 @@ class AttributeStore:
         the prefixed attribute columns (``quality__n_tokens >= 50 AND
         NOT pii__has_email``). NULL does not keep (module docstring).
 
-        Plan shape: narrow id+attr joins decide the keep-set; the text
-        relation is touched exactly once, by the final ``left_semi``
-        join on the uniform id key."""
+        Plan shape (batch): narrow id+attr joins decide the keep-set;
+        the text relation is touched exactly once, by the final
+        ``left_semi`` join on the uniform id key.
+
+        STREAMING docs work too: the keep-set shape would make the
+        final semi-join stream-stream (unsupported without
+        watermarks), so the streaming arm left-joins the static
+        attribute relations onto the stream directly and filters —
+        per micro-batch stream-static joins. The attribute relations
+        are a snapshot PINNED at query start (a parquet static side's
+        file listing is resolved once, so epoch dirs written later are
+        not discovered — the same pinning convention as the drift
+        monitors' reference histograms); restart the query to pick up
+        re-tags."""
+        if docs.isStreaming:
+            sel = _tagger_selection(taggers)
+            joined = docs
+            attr_cols: list[str] = []
+            for t, tcols in sel.items():
+                rel = self.read(t, prefix=True, cols=tcols)
+                ns_id = self._ns(t)._read_manifest()["id_col"]
+                if ns_id != id_col:
+                    rel = rel.withColumnRenamed(ns_id, id_col)
+                attr_cols += [c for c in rel.columns if c != id_col]
+                joined = joined.join(rel, id_col, "left")
+            kept = joined.filter(F.expr(rule))
+            return kept if keep_attrs else kept.drop(*attr_cols)
         joined = self.attributes(docs, taggers, id_col=id_col)
         kept = joined.filter(F.expr(rule))
         if keep_attrs:

@@ -570,3 +570,79 @@ def test_attr_nested_map_rejected_and_torn_first_write_unlisted(spark, tmp_path)
     )
     store.write(_quality(spark, [(1, 1, 1.0)]), "quality")
     assert store.taggers() == ["quality"]
+
+
+def test_attr_mix_on_streaming_docs(spark, tmp_path):
+    """mix() applied directly to a STREAMING docs frame: the attribute
+    relations are the static sides of stream-static joins, so the
+    declarative plan carries over — each micro-batch is filtered by
+    the rules with no extra plumbing. The attribute snapshot is
+    PINNED at query start (parquet file listings resolve once) — a
+    re-tag written mid-stream is NOT seen until restart, the same
+    pinning convention as the drift monitors; the test asserts that
+    contract both ways."""
+    import json
+
+    store = AttributeStore(spark, str(tmp_path / "attrs"))
+    store.write(
+        _quality(spark, [(1, 50, 0.9), (2, 3, 0.1), (3, 50, 0.8)]),
+        "quality",
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "b1.ndjson").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": f"doc {i}"}) for i in (1, 2, 3)
+        )
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(land)
+    )
+    kept = store.mix(stream, ["quality"], "quality__n_tokens >= 10")
+    assert kept.isStreaming
+    out = str(tmp_path / "kept")
+    q = (
+        kept.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # re-tag doc 2 upward mid-stream: the pinned snapshot must
+        # NOT see it (doc 2 stays excluded until a restart)
+        store.write(_quality(spark, [(2, 99, 0.5)]), "quality")
+        (land / "b2.ndjson").write_text(
+            json.dumps({"doc_id": 2, "text": "doc 2 again"})
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "doc 1"), (3, "doc 3")]
+
+    # a RESTARTED query pins a fresh snapshot and sees the re-tag
+    stream2 = spark.readStream.schema("doc_id long, text string").json(
+        str(land)
+    )
+    kept2 = store.mix(stream2, ["quality"], "quality__n_tokens >= 10")
+    out2 = str(tmp_path / "kept2")
+    q2 = (
+        kept2.writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # doc 2 appears twice: the fresh query replays BOTH landed files
+    # and both its rows now pass under the re-tagged n_tokens
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert got2 == [1, 2, 2, 3]
