@@ -326,7 +326,7 @@ CAP_50 = [
     "dedup_near_keep",
     "dedup_components",
     "ann_lsh_topk",
-    "events_asof",
+    "events_resample",        # r12-NEW (mid-round): first grading
     "corpus_quality_signals",
     "corpus_mixture_resample",
     # -- r7-cohort keepers (heaviest kernels; green r7-r10) --
@@ -413,6 +413,7 @@ _TAIL = [
     "corpus_domain_profile",   # green r10 AND r11 post-PSL-change, kernel unchanged r12; domain family still in-cap via pipeline_crawl
     "corpus_domain_cap",       # green r10 AND r11 post-PSL-change, kernel unchanged r12; displaced by corpus_main_content
     "embedding_knn_join",      # green r5-r11 multi-round, kernel unchanged; ANN family canary stays via in-cap ann_lsh_topk + the new hybrid_search_rrf (which rides topk_brute)
+    "events_asof",             # green r5-r11 multi-round, kernel unchanged; temporal family canary refreshed via the NEW events_resample + r11-green interval/rolling twins
     # --- demoted mid-r12 (green r10 AND r11, kernels unchanged since
     #     the r11 CAS change; store family freshly canaried in-cap via
     #     attr_store_mix/attr_mix_report + the r12-kernel-changed

@@ -554,7 +554,58 @@ FROM c, t ORDER BY n DESC, user_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# fixed-grid resample with gap generation
+# ---------------------------------------------------------------------------
+
+RESAMPLE_STEP = 86400  # 1-day buckets over the 30-day synthetic span
+
+
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample with generated gap buckets and a
+    forward-filled sum (temporal.resample_events) — the regular-grid
+    series a feature pipeline needs; the oracle generates the same
+    grid with generate_series and replays the ffill window."""
+    from balboa_spark.operators import temporal
+
+    load_tables(spark, sf_dir, names=("events",))
+    return temporal.resample_events(
+        spark.table("events"), step=RESAMPLE_STEP, fill="ffill"
+    ).orderBy("user_id", "bucket_start")
+
+
+EVENTS_RESAMPLE_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) // {RESAMPLE_STEP * 1_000_000} AS b,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+a AS (
+  SELECT user_id, b, COUNT(*) AS n, SUM(cents) AS s
+  FROM c GROUP BY 1, 2
+),
+sp AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM c GROUP BY 1),
+g AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS b FROM sp
+),
+j AS (
+  SELECT g.user_id, g.b, COALESCE(a.n, 0) AS n, a.s
+  FROM g LEFT JOIN a ON a.user_id = g.user_id AND a.b = g.b
+)
+SELECT user_id, CAST(b * {RESAMPLE_STEP} AS BIGINT) AS bucket_start,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(COALESCE(
+         last_value(s IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         AS BIGINT) AS sum_cents
+FROM j
+ORDER BY user_id, bucket_start
+"""
+
+
 QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_resample": q_events_resample,
     "events_asof": q_events_asof,
     "events_rolling_1h": q_events_rolling,
     "events_funnel": q_events_funnel,
@@ -570,6 +621,7 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_TEMPORAL: dict[str, str] = {
+    "events_resample": EVENTS_RESAMPLE_ORACLE,
     "events_asof": EVENTS_ASOF_ORACLE,
     "events_rolling_1h": EVENTS_ROLLING_ORACLE,
     "events_funnel": EVENTS_FUNNEL_ORACLE,

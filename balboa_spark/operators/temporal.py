@@ -340,3 +340,76 @@ def anomaly_scores(
         z.alias("z"),
         (F.abs(z) >= z_threshold).alias("is_anomaly"),
     )
+
+
+def resample_events(
+    df: DataFrame,
+    step: int = 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    fill: str = "zero",
+) -> DataFrame:
+    """Fixed-interval downsampling WITH gap generation: bucket each
+    key's events into ``step``-second intervals over that key's own
+    [min, max] span, emitting EMPTY buckets for the gaps — the
+    regular-grid series every charting/feature pipeline needs, which
+    a plain groupBy can never produce (it has no rows to group where
+    nothing happened).
+
+    Output: (key, bucket_start [epoch seconds], n_events, sum_cents)
+    ordered-safe for hashing; values are integer cents (the module's
+    order-independent exactness convention). ``fill="zero"`` leaves
+    empty buckets at 0; ``fill="ffill"`` carries the last non-empty
+    bucket's sum forward (a step-function resample — gauge-style
+    metrics), leading gaps 0.
+
+    Plan shape: one groupBy for the bucket aggregates, one
+    keys-sized groupBy for the spans, a per-key ``sequence`` explode
+    for the grid (grid size = span/step per key — RESOLUTION-bounded,
+    the caller's step choice, never event-count-bounded), and one
+    grid-keyed left join. The ffill arm adds a per-key ordered window
+    over the grid — bounded by the same resolution, the
+    rolling_features risk class, not a content-skew window. Bucket
+    index is integer ``div`` arithmetic on unix micros (no double
+    division near bucket edges)."""
+    if step < 1:
+        raise ValueError(f"step must be >= 1 second, got {step}")
+    if fill not in ("zero", "ffill"):
+        raise ValueError(f"fill must be 'zero' or 'ffill', got {fill!r}")
+    step_us = int(step) * 1_000_000
+    b = F.expr(f"unix_micros({ts_col}) div {step_us}")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    agg = (
+        df.select(F.col(key_col), b.alias("_b"), cents.alias("_c"))
+        .groupBy(key_col, "_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_c").alias("_s")
+        )
+    )
+    # endpoints use the SAME integer div as the bucket index — a
+    # double division could round up across an integer boundary and
+    # silently drop the min/max event's bucket from the grid
+    span = df.groupBy(key_col).agg(
+        F.expr(f"min(unix_micros({ts_col}) div {step_us})").alias("_lo"),
+        F.expr(f"max(unix_micros({ts_col}) div {step_us})").alias("_hi"),
+    )
+    grid = span.select(
+        F.col(key_col), F.explode(F.sequence("_lo", "_hi")).alias("_b")
+    )
+    out = grid.join(agg, [key_col, "_b"], "left")
+    if fill == "ffill":
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = F.last("_s", ignorenulls=True).over(w)
+    else:
+        filled = F.col("_s")
+    return out.select(
+        F.col(key_col),
+        (F.col("_b") * step).cast("long").alias("bucket_start"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(filled, F.lit(0)).cast("long").alias("sum_cents"),
+    )

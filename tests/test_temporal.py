@@ -547,3 +547,50 @@ def test_pack_sequences_matches_python_oracle(spark):
         }
         want = py_pack(texts, L)
         assert got == want, f"case={case} L={L}"
+
+
+# ---------------------------------------------------------------------------
+# resample_events: fixed-grid downsampling with gap generation
+# ---------------------------------------------------------------------------
+
+
+def test_resample_events_gaps_and_ffill(spark):
+    from datetime import datetime
+
+    from balboa_spark.operators.temporal import resample_events
+
+    rows = [
+        # user 1: events in buckets 0 and 3 (step=60s); 1,2 are gaps
+        (1, datetime(2024, 1, 1, 0, 0, 10), 1.25),
+        (1, datetime(2024, 1, 1, 0, 0, 50), 2.00),
+        (1, datetime(2024, 1, 1, 0, 3, 5), 4.00),
+        # user 2: single event -> single bucket, no gaps
+        (2, datetime(2024, 1, 1, 0, 7, 1), 0.10),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    base = 1704067200  # 2024-01-01T00:00Z epoch seconds
+    got = {
+        (r["user_id"], r["bucket_start"]): (r["n_events"], r["sum_cents"])
+        for r in resample_events(df, step=60).collect()
+    }
+    assert got == {
+        (1, base + 0): (2, 325),
+        (1, base + 60): (0, 0),
+        (1, base + 120): (0, 0),
+        (1, base + 180): (1, 400),
+        (2, base + 420): (1, 10),
+    }
+    ff = {
+        (r["user_id"], r["bucket_start"]): r["sum_cents"]
+        for r in resample_events(df, step=60, fill="ffill").collect()
+    }
+    assert ff[(1, base + 60)] == 325 and ff[(1, base + 120)] == 325
+    assert ff[(1, base + 180)] == 400
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="step"):
+        resample_events(df, step=0)
+    with _pt.raises(ValueError, match="fill"):
+        resample_events(df, fill="nope")
