@@ -304,7 +304,16 @@ QUERIES.update(QUERIES_TEMPORAL)
 # rewritten: per-token posexplode -> fragment slicing), OUT =
 # customer_fuzzy_pairs + events_psi_drift (multi-round green, kernels
 # unchanged; fuzzy's SymSpell kernel still graded via in-cap
-# supplier-entity path at next rotation).
+# supplier-entity path at next rotation); (c) IN = graph_pagerank,
+# corpus_main_content, hybrid_search_rrf, events_resample (all
+# r12-new kernels, first grading), OUT = corpus_domain_profile +
+# corpus_domain_cap (green r10 AND r11 post-PSL-change, kernels
+# unchanged r12; domain family stays via in-cap pipeline_crawl),
+# embedding_knn_join (green r5-r11 multi-round; ANN family stays via
+# ann_lsh_topk + hybrid_search_rrf), events_asof (green r5-r11
+# multi-round; temporal family refreshed via events_resample +
+# r11-green interval/rolling twins). Net churn this round: 17 cap
+# entries first-graded or kernel-recalled.
 #
 # ROUND-13 ROTATION PLAN (for the next builder): next-stalest are the
 # remaining r8+r9-green tail entries (corpus_html_extract,
