@@ -276,10 +276,11 @@ QUERIES.update(QUERIES_TEMPORAL)
 # vector_store_topk (CAS), pipeline_crawl / corpus_domain_cap /
 # corpus_domain_profile (psl out_col guard).
 #
-# Round-12 rotation (this round; executes the r11 plan + 4 new
-# kernels + 1 kernel-changed recall): IN = the 4 r12-new entries
+# Round-12 rotation (this round; executes the r11 plan + 6 new
+# kernels + 1 kernel-changed recall): IN = the 6 r12-new entries
 # (corpus_lm_kn5_perplexity, pipeline_ccnet5, pipeline_ccnet_par,
-# corpus_lang_id), dedup_exact RECALLED from the tail because its
+# corpus_lang_id, corpus_lm_kn_by_source, pipeline_ccnet_lid),
+# dedup_exact RECALLED from the tail because its
 # kernel changed this round (exact_dedup rewritten from the
 # min-over-window to groupBy-min + semi-join), and the 10 stalest
 # tail entries (last real-driver green r9: embedding_seed_topk,
@@ -287,10 +288,10 @@ QUERIES.update(QUERIES_TEMPORAL)
 # corpus_normalize_unicode, corpus_length_batches, corpus_blocklist,
 # corpus_snapshot_diff, corpus_bpe_encode, corpus_weighted_sample).
 # OUT = the 10 entries promoted in r11 (green r7 AND r11, kernels
-# unchanged since) + 5 r10-new entries now double-verified (green r10
-# AND r11, kernels unchanged: corpus_lm_perplexity,
+# unchanged since) + 7 multi-green entries (green r10 AND r11 or
+# longer, kernels unchanged: corpus_lm_perplexity,
 # corpus_lm3_perplexity, lm_store_perplexity, corpus_leakage_split,
-# events_skew_metrics). Kernel-changed-this-round entries all stay
+# events_skew_metrics, corpus_bpe_segment, events_interval_join). Kernel-changed-this-round entries all stay
 # in-cap: pipeline_ccnet (dedup stage + checkpoint + threshold arms),
 # exact_dedup_store (groupBy-min + claim + manifest order),
 # span_dedup_store (claim + manifest order), the kn scorer family

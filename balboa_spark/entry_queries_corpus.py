@@ -2812,15 +2812,19 @@ langs AS (
   FROM lt JOIN nd USING (lang) CROSS JOIN td
 ),
 sg AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, length(s) - 1),
-                i -> substring(s, i, 3))) AS gram
-  FROM (SELECT doc_id, lower(text) AS s FROM documents)
+  SELECT doc_id, gram, count(*) AS occ FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(s) - 1),
+                  i -> substring(s, i, 3))) AS gram
+    FROM (SELECT doc_id, lower(text) AS s FROM documents)
+  ) GROUP BY 1, 2
 ),
 per AS (
+  -- count-weighted over distinct grams (engine parity, r12: sum over
+  -- occurrences == occ * per-type logprob)
   SELECT sg.doc_id, l.lang,
          round(max(l.logprior)
-               + sum(ln((coalesce(c.c, 0) + 1.0)
+               + sum(sg.occ * ln((coalesce(c.c, 0) + 1.0)
                         / (l.tot + 1.0 * v.vocab))), 6) AS score
   FROM sg
   CROSS JOIN langs l
@@ -2902,20 +2906,27 @@ bg AS (
   FROM gtoks WHERE len(tk) >= 2
 ),
 j AS (
+  -- s/d LEFT-joined with fallbacks: a source with train tokens but
+  -- no train bigram still scores through the unigram floor with the
+  -- 0.5 default discount (engine parity, r12 review); v stays an
+  -- inner join — a source with NO train tokens is absent
   SELECT bg.doc_id, bg.source,
          ln(CASE WHEN ctx.c1 IS NOT NULL THEN
-              greatest(coalesce(c12.c12, 0) - d.disc, 0.0) / ctx.c1
-              + d.disc * ctx.n1p_fw / ctx.c1
+              greatest(coalesce(c12.c12, 0) - coalesce(d.disc, 0.5), 0.0)
+                / ctx.c1
+              + coalesce(d.disc, 0.5) * ctx.n1p_fw / ctx.c1
                 * ((coalesce(cont.n1p_bw, 0) + 1.0)
-                   / (s.types + 1.0 * v.vocab))
+                   / (coalesce(s.types, 0) + 1.0 * v.vocab))
             ELSE (coalesce(cont.n1p_bw, 0) + 1.0)
-                 / (s.types + 1.0 * v.vocab)
+                 / (coalesce(s.types, 0) + 1.0 * v.vocab)
             END) AS lp
   FROM bg
   LEFT JOIN c12 USING (source, w1, w2)
   LEFT JOIN ctx USING (source, w1)
   LEFT JOIN cont USING (source, w2)
-  JOIN s USING (source) JOIN v USING (source) JOIN d USING (source)
+  LEFT JOIN s USING (source)
+  JOIN v USING (source)
+  LEFT JOIN d USING (source)
 )
 SELECT doc_id, source, count(*) AS n_grams,
        sum(lp) / count(*) AS avg_logprob,
@@ -2979,15 +2990,17 @@ llangs AS (
   FROM llt JOIN lnd USING (lang) CROSS JOIN ltd
 ),
 lsg AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, length(s) - 1),
-                i -> substring(s, i, 3))) AS gram
-  FROM (SELECT doc_id, lower(text) AS s FROM kept)
+  SELECT doc_id, gram, count(*) AS occ FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(s) - 1),
+                  i -> substring(s, i, 3))) AS gram
+    FROM (SELECT doc_id, lower(text) AS s FROM kept)
+  ) GROUP BY 1, 2
 ),
 lper AS (
   SELECT lsg.doc_id, l.lang,
          round(max(l.logprior)
-               + sum(ln((coalesce(c.c, 0) + 1.0)
+               + sum(lsg.occ * ln((coalesce(c.c, 0) + 1.0)
                         / (l.tot + 1.0 * v.vocab))), 6) AS score
   FROM lsg
   CROSS JOIN llangs l

@@ -399,6 +399,16 @@ class MinHashDedupStore:
             scope = _claim_auto_scope(self, self.bands_path)
         else:
             scope = _epoch_scope(epoch_id, stream_id)
+            if self._read_manifest() is None:
+                # FIRST-ever epoch write: the config manifest must
+                # exist before any data lands, or a crash between the
+                # parquet write and the commit stamp leaves live band
+                # history whose num_hashes/num_bands/k guard never
+                # landed — a reopen with different parameters would
+                # then pass _check_format and append incompatible
+                # hashes (r12 review). Subsequent appends keep the
+                # data-then-stamp order (the stamp is just a seq bump).
+                self._write_manifest()
         (
             self._band(kept, text_col, id_col)
             .repartition("band_idx")
@@ -547,6 +557,10 @@ class ExactDedupStore:
             ep_scope = _claim_auto_scope(self, self.fp_path)
         else:
             ep_scope = scope
+            if self._read_manifest() is None:
+                # first-ever epoch write: config manifest BEFORE data
+                # (see MinHashDedupStore.add — r12 review)
+                self._write_manifest()
         (
             new_fps.repartition("bucket")
             .write.mode("overwrite")
@@ -724,6 +738,10 @@ class SpanDedupStore:
             ep_scope = _claim_auto_scope(self, self.hashes_path)
         else:
             ep_scope = scope
+            if self._read_manifest() is None:
+                # first-ever epoch write: config manifest BEFORE data
+                # (see MinHashDedupStore.add — r12 review)
+                self._write_manifest()
         (
             new_hashes.repartition("bucket")
             .write.mode("overwrite")

@@ -123,9 +123,18 @@ def score_langs(
     """Per-(document, language) NB log-score: ``(id_col, lang,
     score)`` with score rounded to 6 decimals (cross-engine hash
     stability). One row per doc per language."""
-    g = df.select(
-        F.col(id_col),
-        F.explode(char_ngrams(F.col(text_col), model.n)).alias("gram"),
+    # pre-aggregate to (doc, gram, occurrences) BEFORE the x|L| blowup:
+    # a 10 kB document holds ~10k trigram occurrences but only ~1-3k
+    # distinct trigrams, and sum over occurrences == count-weighted sum
+    # over types — the cross join, the count-table join, and the final
+    # aggregate all shrink by the repetition factor (r12 review)
+    g = (
+        df.select(
+            F.col(id_col),
+            F.explode(char_ngrams(F.col(text_col), model.n)).alias("gram"),
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
     )
     al = float(model.alpha)
     lp = F.log(
@@ -135,7 +144,12 @@ def score_langs(
     per_lang = (
         g.crossJoin(F.broadcast(model.langs))
         .join(model.counts, ["lang", "gram"], "left")
-        .select(F.col(id_col), F.col("lang"), F.col("logprior"), lp.alias("lp"))
+        .select(
+            F.col(id_col),
+            F.col("lang"),
+            F.col("logprior"),
+            (F.col("occ").cast("double") * lp).alias("lp"),
+        )
         .groupBy(id_col, "lang")
         .agg(F.first("logprior").alias("logprior"), F.sum("lp").alias("gsum"))
     )
@@ -190,13 +204,20 @@ def fasttext_lang_id(
         ) from e
     import pandas as pd  # pragma: no cover - env-gated
 
-    schema = f"{id_col} long, lang string, score double"
+    # derive the id field's type from the frame — nothing in this
+    # family requires long ids, and a hardcoded 'long' would fail the
+    # Arrow cast for string-keyed corpora (r12 review)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, lang string, score double"
 
     def scorer(batches):  # pragma: no cover - env-gated
         model = fasttext.load_model(model_path)
         for pdf in batches:
             labels, probs = model.predict(
-                [t.replace("\n", " ") for t in pdf[text_col].tolist()]
+                [
+                    (t or "").replace("\n", " ")
+                    for t in pdf[text_col].tolist()
+                ]
             )
             yield pd.DataFrame(
                 {

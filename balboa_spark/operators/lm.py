@@ -1318,9 +1318,14 @@ def kn_ngram_lm_perplexity_by_group(
     them by size). At n=2 this reproduces ``kn_bigram_lm_perplexity``
     run per group slice exactly (pinned by test).
 
-    Groups with NO training data produce no LM and their documents
-    are ABSENT from the output (inner join on the per-group base
-    relation) — the scorers' absence contract extended to groups.
+    Groups with NO training data (not one token) produce no LM and
+    their documents are ABSENT from the output (inner join on the
+    per-group vocab relation) — the scorers' absence contract
+    extended to groups. A group whose training slice has tokens but
+    no top-order n-gram (every train doc shorter than n) still
+    scores: discounts default to 0.5 and probabilities fall through
+    to the add-alpha unigram floor, matching the ungrouped scorer's
+    behavior on the same slice (r12 review fix).
 
     Output: ``(id_col, group_col, n_grams, avg_logprob, perplexity)``
     for documents with >= n tokens in a trained group."""
@@ -1378,15 +1383,25 @@ def kn_ngram_lm_perplexity_by_group(
                 .alias(f"d{k}"),
             )
         )
+    # vocab anchors group existence (any train TOKEN creates it);
+    # a1_total/continuation mass comes from the top-order table and
+    # can be absent for a group whose train docs are all shorter than
+    # n tokens — LEFT join + coalesce, so such a group still scores
+    # through the add-alpha unigram floor instead of silently
+    # dropping every one of its documents (r12 review)
     base = (
-        tables[1]
+        counts.where(F.col("k") == 1)
         .groupBy("_g")
-        .agg(F.sum("a").alias("a1_total"))
+        .agg(F.count(F.lit(1)).alias("vocab"))
         .join(
-            counts.where(F.col("k") == 1)
-            .groupBy("_g")
-            .agg(F.count(F.lit(1)).alias("vocab")),
+            tables[1].groupBy("_g").agg(F.sum("a").alias("a1_total")),
             ["_g"],
+            "left",
+        )
+        .select(
+            "_g",
+            F.coalesce(F.col("a1_total"), F.lit(0)).alias("a1_total"),
+            "vocab",
         )
     )
 
@@ -1408,9 +1423,14 @@ def kn_ngram_lm_perplexity_by_group(
         .select(F.col(id_col), "_g", F.explode(F.expr(score_expr)).alias("g"))
         .select(id_col, "_g", "g.*")
     )
-    g = g.join(base, ["_g"])  # inner: untrained groups drop here
+    g = g.join(base, ["_g"])  # inner: groups with NO train data drop
     for k in range(2, n + 1):
-        g = g.join(discs[k], ["_g"])
+        # left + 0.5 fallback: a group with tokens but no order-k gram
+        # has no estimable discount — same default the ungrouped
+        # scorer's collected-scalar path uses
+        g = g.join(discs[k], ["_g"], "left").withColumn(
+            f"d{k}", F.coalesce(F.col(f"d{k}"), F.lit(0.5))
+        )
     g = g.join(
         tables[1].select("_g", F.col("w"), F.col("a").alias("adj1")),
         ["_g", "w"],
@@ -1621,24 +1641,18 @@ def mkn_bigram_lm_perplexity(
 def _ccnet_dedup_documents(
     df: DataFrame, text_col: str, id_col: str, source_col: str
 ) -> DataFrame:
-    """Keep-first (min id) per normalized-text hash, as groupBy-min
-    over the NARROW (fp, id) projection + left-semi join back on the
-    unique id. The groupBy partial-aggregates map-side, so a
-    boilerplate page duplicated millions of times reduces to one row
-    per map task before the exchange, and the text column never
-    shuffles by the skewable fingerprint — the r12 replacement for
-    the row_number-over-fp window, whose single unsplittable
-    partition per fingerprint was the engine's one flagged
-    scale-killer."""
-    norm = F.array_join(tokens(F.col(text_col)), " ")
-    keep = (
-        df.select(F.col(id_col), F.md5(norm).alias("_fp"))
-        .groupBy("_fp")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
-    return df.select(id_col, source_col, text_col).join(
-        keep, [id_col], "left_semi"
+    """Keep-first (min id) per normalized-text hash — ONE kernel:
+    delegates to ``dedup.exact_dedup`` (groupBy-min over the narrow
+    (fp, id) projection + left-semi join back, the r12 skew-safe
+    shape) instead of a third hand-maintained copy. text.fingerprint's
+    regexp normalization (lower + trim + collapse \s+) produces the
+    same string as the tokens-join normalization this stage used, so
+    the fingerprints — and the graded oracles replaying them — are
+    value-identical (r12 review consolidation)."""
+    from balboa_spark.operators import dedup
+
+    return dedup.exact_dedup(
+        df.select(id_col, source_col, text_col), text_col, id_col
     )
 
 
@@ -1765,9 +1779,19 @@ def ccnet_pipeline(
         model_lid = _lid.train_char_ngram_lid(
             lid_train, label_col=lid_label_col, text_col=text_col, n=lid_n
         )
-        langs = _lid.classify_lang(
-            kept, model_lid, text_col=text_col, id_col=id_col
-        ).select(id_col, "lang")
+        # materialize the classification ONCE: langs feeds both the
+        # per-language TRAIN slice and the scoring stream, and the LID
+        # plan (char-trigram explode x |L| + argmax) is the most
+        # expensive stage here — without the checkpoint it re-executes
+        # per consumer (the double-scoring shape this function already
+        # checkpoints `scored` against; r12 review)
+        langs = (
+            _lid.classify_lang(
+                kept, model_lid, text_col=text_col, id_col=id_col
+            )
+            .select(id_col, "lang")
+            .localCheckpoint(eager=True)
+        )
         group_cols = ["lang"]
     if per_language_lm:
         # CCNet proper: one KN LM per detected language, trained on

@@ -814,3 +814,38 @@ def test_kn_by_group_plan_no_cartesian_and_partial_aggs(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
+
+
+def test_grouped_kn_short_train_group_scores_via_unigram_floor(spark):
+    """(r12 review) A group whose TRAIN slice has tokens but no
+    top-order n-gram (every train doc shorter than n) must still
+    score — discounts default to 0.5 and probabilities fall through
+    to the add-alpha unigram floor — instead of silently dropping the
+    group's every document. Parity: the same slice through the
+    ungrouped scorer."""
+    from balboa_spark.operators import lm
+
+    rows = [
+        # group 'long': normal bigram-trainable slice
+        (1, "long", "alpha beta gamma alpha beta"),
+        (2, "long", "beta gamma alpha beta gamma"),
+        # group 'shorty': train docs are SINGLE tokens (no bigrams)
+        (3, "shorty", "solo"),
+        (4, "shorty", "uno"),
+        # scoring docs (>= 2 tokens) for both groups
+        (11, "long", "alpha beta gamma"),
+        (13, "shorty", "solo uno solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    train = df.where(F.col("doc_id") < 10)
+    out = lm.kn_ngram_lm_perplexity_by_group(
+        df.where(F.col("doc_id") >= 10), n=2, group_col="lang", train=train
+    )
+    got = {r["doc_id"]: (r["lang"], r["perplexity"]) for r in out.collect()}
+    assert set(got) == {11, 13}, got  # shorty doc 13 NOT dropped
+    # parity with the ungrouped scorer on the shorty slice
+    solo = lm.kn_bigram_lm_perplexity(
+        df.where(F.col("doc_id") == 13),
+        train=train.where(F.col("lang") == "shorty"),
+    ).first()
+    assert abs(got[13][1] - solo["perplexity"]) < 1e-9

@@ -498,3 +498,31 @@ def test_size_trigger_skips_near_noop_compaction(spark, tmp_path):
     )
     # now {default-0, default-1} fold under default-2's watch
     assert calls == [1]
+
+
+def test_first_epoch_write_lands_config_manifest_before_data(spark, tmp_path):
+    """(r12 review) A FRESH store's first epoch append must write the
+    config manifest BEFORE any band data: a crash between the data
+    write and the commit stamp would otherwise leave live history
+    with no num_hashes/num_bands/k guard, and a reopen with different
+    parameters would silently append incompatible hashes. Injected
+    crash at the banding step: the manifest must already exist, the
+    data must not."""
+    path = str(tmp_path / "fresh")
+    store = MinHashDedupStore(spark, path)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before data write")
+
+    store._band = boom
+    with pytest.raises(RuntimeError, match="injected"):
+        store.add(
+            _docs(spark, [(1, "some words here for banding")]), epoch_id=0
+        )
+    man = store._read_manifest()
+    assert man is not None and man["num_hashes"] == store.num_hashes
+    assert not os.path.exists(os.path.join(path, "bands"))
+    # the guard makes the reopen-with-different-params check bite even
+    # for this torn first write
+    with pytest.raises(ValueError, match="was built with"):
+        MinHashDedupStore(spark, path, num_hashes=8)
