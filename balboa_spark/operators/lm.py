@@ -1645,7 +1645,7 @@ def _ccnet_dedup_documents(
     delegates to ``dedup.exact_dedup`` (groupBy-min over the narrow
     (fp, id) projection + left-semi join back, the r12 skew-safe
     shape) instead of a third hand-maintained copy. text.fingerprint's
-    regexp normalization (lower + trim + collapse \s+) produces the
+    regexp normalization (lower + trim + whitespace collapse) produces the
     same string as the tokens-join normalization this stage used, so
     the fingerprints — and the graded oracles replaying them — are
     value-identical (r12 review consolidation)."""
