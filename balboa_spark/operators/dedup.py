@@ -46,16 +46,23 @@ def bucket_pairs(
       neighborhood array),
     - LARGER buckets are mass-duplicate clusters (boilerplate docs,
       identical vectors): all-pairs there is O(m²) rows for zero extra
-      information, so they emit consecutive-id CHAIN pairs via a
-      spillable window — identical connected components downstream at
-      linear cost.
+      information, so they emit STAR pairs anchored on the bucket's
+      min id — identical connected components downstream at linear
+      cost. The anchor comes from a groupBy-min (map-side combinable:
+      the hottest bucket reduces to one row per map task before the
+      exchange) and the fan-out is an equi-join on the bucket key,
+      which AQE can skew-split — unlike the r2-r12 consecutive-id
+      chain window, whose single unsplittable partition funneled
+      every member of the hottest bucket into one task.
 
     Callers should pass an already-materialized ``bucketed`` relation
     (localCheckpoint) when the bucket key is expensive to compute: the
     self-join references it twice."""
-    sizes = bucketed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    sizes = bucketed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_anchor")
+    )
     sized = bucketed.join(sizes, list(keys)).filter(F.col("_n") > 1)
-    small = sized.filter(F.col("_n") <= max_bucket).drop("_n")
+    small = sized.filter(F.col("_n") <= max_bucket).drop("_n", "_anchor")
     a, b = small.alias("a"), small.alias("b")
     same_bucket = functools.reduce(
         operator.and_, [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
@@ -65,11 +72,10 @@ def bucket_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
-    big = sized.filter(F.col("_n") > max_bucket)
-    w = Window.partitionBy(*keys).orderBy(id_col)
     big_pairs = (
-        big.select(F.lag(id_col).over(w).alias("id_a"), F.col(id_col).alias("id_b"))
-        .filter(F.col("id_a").isNotNull())
+        sized.filter(F.col("_n") > max_bucket)
+        .filter(F.col(id_col) != F.col("_anchor"))
+        .select(F.col("_anchor").alias("id_a"), F.col(id_col).alias("id_b"))
     )
     return small_pairs.unionByName(big_pairs).distinct()
 
@@ -610,9 +616,18 @@ def ngram_jaccard_pairs(
     self-join (a shingle in 1M docs would otherwise yield 10^12 pairs);
     dropped shingles can only lower recall for pairs already below the
     threshold when corpus-frequent boilerplate is excluded.
-    """
-    from pyspark.sql import Window
 
+    Plan shape (zero windows, r13 rewrite): document frequency comes
+    from ``groupBy(s).count()`` — map-side combinable, so the hottest
+    shingle (by definition the corpus's most frequent string) reduces
+    to one row per map task instead of funneling every (id, s) row
+    into one unsplittable window partition — joined back as a
+    left-semi keep-filter on s (an equi-join AQE can skew-split). Set
+    sizes are a per-doc ``groupBy(id).count()`` joined to the pair
+    relation at the end, mirroring the DuckDB oracle's shape. No
+    shingle-vocabulary broadcast (corpus-cardinality — round-1
+    hazard): both count relations stay distributed.
+    """
     sh = (
         df.select(
             F.col(id_col).alias("id"),
@@ -620,28 +635,27 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    # Stop-shingle cap via a count-over-shingle window: one shuffle on
-    # s (which the inverted-index join needs anyway), and no broadcast
-    # of the shingle vocabulary (corpus-cardinality — round-1 hazard).
-    sh = (
-        sh.withColumn("df_", F.count(F.lit(1)).over(Window.partitionBy("s")))
+    # sh feeds three consumers (DF cap, sizes, self-join) — pin it so
+    # the shingle explode runs once.
+    sh = sh.localCheckpoint(eager=False)
+    keep_s = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_"))
         .filter(F.col("df_") <= max_doc_freq)
-        .drop("df_")
+        .select("s")
     )
-    # Set sizes ride the same rows via a window on id — no second scan.
-    sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
-    a, b = sh.alias("a"), sh.alias("b")
+    fs = sh.join(keep_s, ["s"], "left_semi").localCheckpoint(eager=False)
+    sizes = fs.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = fs.alias("a"), fs.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("a.sz").alias("sz_a"),
-            F.first("b.sz").alias("sz_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = (
         inter
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), ["id_a"])
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), ["id_b"])
         .withColumn(
             "jaccard",
             F.round(

@@ -58,6 +58,29 @@ def test_jaccard_exact_values(spark):
     assert out == {(1, 2): 0.6}
 
 
+def test_jaccard_hot_shingle_cap_no_window(spark):
+    """The stop-shingle DF cap must be a groupBy+semi-join, never a
+    count-over-window: a boilerplate shingle present in every doc of a
+    100 TB corpus would otherwise funnel all its (id, s) rows into ONE
+    unsplittable window partition. Planted skew: a hot shingle in all
+    60 docs (df=60 > cap=50) must be dropped BEFORE pair generation —
+    docs sharing only boilerplate produce no pair — while a rare
+    shared shingle still scores exact Jaccard; and the optimized plan
+    must contain no Window node at all."""
+    hot = "the quick brown"  # one k=3 shingle shared by every doc
+    rows = [(i, f"{hot} unique{i} tail{i} end{i}") for i in range(58)]
+    # two docs that ALSO share a rare tail -> the only surviving pair
+    rows += [(100, f"{hot} shared rare tail"), (101, f"{hot} shared rare tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.1, max_doc_freq=50)
+    assert "Window" not in out._jdf.queryExecution().optimizedPlan().toString()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    # after dropping the hot shingle, docs 100/101 share all surviving
+    # shingles ("quick brown shared", "brown shared rare", "shared rare
+    # tail") -> Jaccard 1.0; every boilerplate-only overlap vanishes
+    assert pairs == {(100, 101): 1.0}
+
+
 def test_vector_store_partition_pruned_topk(spark, emb, tmp_path):
     """Persisted IVF layout: query must (a) partition-prune the index
     to its probe codes and (b) return the same top-k as the on-the-fly
@@ -189,15 +212,20 @@ def test_lsh_candidate_pairs_recall_and_pruning(spark):
 
 def test_lsh_candidate_pairs_hub_bucket_chains(spark):
     """A mass-duplicate cluster (identical vectors -> same bucket in
-    every table) must emit LINEAR chain pairs, not O(m²) all-pairs —
-    and still connect into one component downstream."""
+    every table) must emit LINEAR star pairs (min-id anchor), not
+    O(m²) all-pairs — and still connect into one component
+    downstream. Star (not chain): the anchor comes from a map-side
+    combinable groupBy-min + an AQE-splittable equi-join, with no
+    per-bucket window anywhere in the plan (r13 rewrite)."""
     v = [1.0] * 16
     rows = [(i, v) for i in range(50)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    pairs = similarity.lsh_candidate_pairs(df, dim=16, max_bucket=10).collect()
-    # chain: 49 consecutive pairs (identical across all 16 tables),
+    pairs_df = similarity.lsh_candidate_pairs(df, dim=16, max_bucket=10)
+    assert "Window" not in pairs_df._jdf.queryExecution().optimizedPlan().toString()
+    pairs = pairs_df.collect()
+    # star: 49 anchor pairs (identical across all 16 tables),
     # not C(50,2) = 1225
-    assert sorted((r.id_a, r.id_b) for r in pairs) == [(i, i + 1) for i in range(49)]
+    assert sorted((r.id_a, r.id_b) for r in pairs) == [(0, i) for i in range(1, 50)]
     comp = dedup.connected_components(
         spark.createDataFrame(pairs, "id_a long, id_b long")
     ).collect()
