@@ -3061,20 +3061,29 @@ gbg AS (
   FROM ktoksl WHERE len(tk) >= 2
 ),
 gj AS (
+  -- gs/gd LEFT-joined with fallbacks, mirroring LM_KN_BY_SOURCE's
+  -- r12 parity fix: a detected language whose train slice has tokens
+  -- but no bigram still scores through the unigram floor with the
+  -- 0.5 default discount (the engine's grouped-KN contract); gv
+  -- stays the inner group anchor — a language with NO train tokens
+  -- is absent from the output
   SELECT gbg.doc_id, gbg.lang,
          ln(CASE WHEN gctx.c1 IS NOT NULL THEN
-              greatest(coalesce(gc12.c12, 0) - gd.disc, 0.0) / gctx.c1
-              + gd.disc * gctx.n1p_fw / gctx.c1
+              greatest(coalesce(gc12.c12, 0) - coalesce(gd.disc, 0.5), 0.0)
+                / gctx.c1
+              + coalesce(gd.disc, 0.5) * gctx.n1p_fw / gctx.c1
                 * ((coalesce(gcont.n1p_bw, 0) + 1.0)
-                   / (gs.types + 1.0 * gv.vocab))
+                   / (coalesce(gs.types, 0) + 1.0 * gv.vocab))
             ELSE (coalesce(gcont.n1p_bw, 0) + 1.0)
-                 / (gs.types + 1.0 * gv.vocab)
+                 / (coalesce(gs.types, 0) + 1.0 * gv.vocab)
             END) AS lp
   FROM gbg
   LEFT JOIN gc12 USING (lang, w1, w2)
   LEFT JOIN gctx USING (lang, w1)
   LEFT JOIN gcont USING (lang, w2)
-  JOIN gs USING (lang) JOIN gv USING (lang) JOIN gd USING (lang)
+  LEFT JOIN gs USING (lang)
+  JOIN gv USING (lang)
+  LEFT JOIN gd USING (lang)
 ),
 gscored AS (
   SELECT doc_id, lang, exp(-(sum(lp) / count(*))) AS perplexity

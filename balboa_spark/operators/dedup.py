@@ -92,8 +92,21 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: Column | None = None,
+) -> DataFrame:
     """Keep one representative (min id) per identical normalized text.
+
+    ``key`` overrides the grouping fingerprint (default:
+    ``fingerprint(text_col)`` — lower + trim + whitespace-collapse +
+    md5). Callers whose graded oracle replays a DIFFERENT
+    normalization (e.g. the CCNet chain's tokens-join, which also
+    drops leading/trailing tabs/newlines that trim leaves behind)
+    pass their own Column so engine and oracle agree on every corpus,
+    not just whitespace-clean fixtures.
 
     The keep-set is ``groupBy(fp).agg(min(id))`` over a NARROW
     (fp, id) projection, joined back left-semi on the unique id. Both
@@ -106,8 +119,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     min-over-window variant, whose single unsplittable window
     partition per fingerprint shipped every duplicate (text included)
     to one task."""
+    fp = key if key is not None else fingerprint(F.col(text_col))
     keep = (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        df.select(F.col(id_col), fp.alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)

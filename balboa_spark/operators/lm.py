@@ -1644,15 +1644,18 @@ def _ccnet_dedup_documents(
     """Keep-first (min id) per normalized-text hash — ONE kernel:
     delegates to ``dedup.exact_dedup`` (groupBy-min over the narrow
     (fp, id) projection + left-semi join back, the r12 skew-safe
-    shape) instead of a third hand-maintained copy. text.fingerprint's
-    regexp normalization (lower + trim + whitespace collapse) produces the
-    same string as the tokens-join normalization this stage used, so
-    the fingerprints — and the graded oracles replaying them — are
-    value-identical (r12 review consolidation)."""
+    shape) with the CCNet chain's own tokens-join fingerprint passed
+    as the grouping key. NOT text.fingerprint: Spark trim strips only
+    0x20 spaces, so 'foo\\n' would keep a trailing space after the
+    whitespace-collapse and hash differently from 'foo', while the
+    tokens-join (split + drop-empties + join) that the graded
+    _CCNET_DOC_DEDUP_PREFIX oracle replays treats them as duplicates
+    (r13 ADVICE fix)."""
     from balboa_spark.operators import dedup
 
+    fp = F.md5(F.array_join(tokens(F.col(text_col)), " "))
     return dedup.exact_dedup(
-        df.select(id_col, source_col, text_col), text_col, id_col
+        df.select(id_col, source_col, text_col), text_col, id_col, key=fp
     )
 
 

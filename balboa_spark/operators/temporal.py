@@ -371,14 +371,23 @@ def resample_events(
     grid-keyed left join. The ffill arm adds a per-key ordered window
     over the grid — bounded by the same resolution, the
     rolling_features risk class, not a content-skew window. Bucket
-    index is integer ``div`` arithmetic on unix micros (no double
-    division near bucket edges)."""
+    index is integer FLOOR-division arithmetic on unix micros (no
+    double division near bucket edges, and no double-precision loss
+    at micros magnitude): Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors, so a plain div would shift every pre-1970
+    timestamp into the wrong bucket per engine (r13 ADVICE fix) —
+    ``(x - pmod(x, s)) div s`` is exact integer floor division for
+    either sign."""
     if step < 1:
         raise ValueError(f"step must be >= 1 second, got {step}")
     if fill not in ("zero", "ffill"):
         raise ValueError(f"fill must be 'zero' or 'ffill', got {fill!r}")
     step_us = int(step) * 1_000_000
-    b = F.expr(f"unix_micros({ts_col}) div {step_us}")
+    fdiv = (
+        f"((unix_micros({ts_col}) - pmod(unix_micros({ts_col}), {step_us}))"
+        f" div {step_us})"
+    )
+    b = F.expr(fdiv)
     cents = F.round(F.col(value_col) * 100).cast("long")
     agg = (
         df.select(F.col(key_col), b.alias("_b"), cents.alias("_c"))
@@ -387,12 +396,12 @@ def resample_events(
             F.count(F.lit(1)).alias("_n"), F.sum("_c").alias("_s")
         )
     )
-    # endpoints use the SAME integer div as the bucket index — a
+    # endpoints use the SAME integer floor-div as the bucket index — a
     # double division could round up across an integer boundary and
     # silently drop the min/max event's bucket from the grid
     span = df.groupBy(key_col).agg(
-        F.expr(f"min(unix_micros({ts_col}) div {step_us})").alias("_lo"),
-        F.expr(f"max(unix_micros({ts_col}) div {step_us})").alias("_hi"),
+        F.expr(f"min({fdiv})").alias("_lo"),
+        F.expr(f"max({fdiv})").alias("_hi"),
     )
     grid = span.select(
         F.col(key_col), F.explode(F.sequence("_lo", "_hi")).alias("_b")

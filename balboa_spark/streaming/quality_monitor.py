@@ -289,30 +289,44 @@ def lang_drift_monitor_sink(
     an epoch-overwrite partition dir (replay-idempotent, same contract
     as the other sinks). Alert fires when PSI exceeds ``alert_psi``;
     a language absent from one side contributes through the same
-    eps-smoothing psi_drift uses (empty "bins" stay finite)."""
+    eps-smoothing psi_drift uses (empty "bins" stay finite).
+
+    Shares are normalized by the CLASSIFIED row count on each side,
+    not the raw document count: classify_lang emits no row for
+    documents shorter than the model's n-gram width, so raw-count
+    denominators would make shares sum to < 1 and a shift in the
+    short-doc fraction between reference and batch would deflate
+    every language's p_new uniformly and read as drift (r13 ADVICE
+    fix). Unclassifiable mass is thus excluded from the mix on both
+    sides symmetrically."""
     from balboa_spark.operators.lid import classify_lang
 
     _check_series_format(out_path)
-    ref_n = reference.count()
-    if ref_n == 0:
-        raise ValueError("reference corpus is empty — no shares to pin")
-    ref_rows = (
-        classify_lang(reference, model, text_col, id_col)
-        .groupBy("lang")
-        .agg((F.count(F.lit(1)) / F.lit(float(ref_n))).alias("p_ref"))
-        .collect()
-    )
+
+    def _shares(df: DataFrame) -> list[tuple[str, float]]:
+        counts = (
+            classify_lang(df, model, text_col, id_col)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()  # |L|-bounded
+        )
+        tot = sum(r["c"] for r in counts)
+        return [(r["lang"], r["c"] / float(tot)) for r in counts] if tot else []
+
+    ref_rows = _shares(reference)
+    if not ref_rows:
+        raise ValueError(
+            "reference corpus has no classifiable documents — no shares to pin"
+        )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        n = batch_df.count()
-        batch_side = (
-            classify_lang(batch_df, model, text_col, id_col)
-            .groupBy("lang")
-            .agg((F.count(F.lit(1)) / F.lit(float(n))).alias("p_new"))
-        )
+        batch_rows = _shares(batch_df)
+        batch_side = spark.createDataFrame(
+            batch_rows or [(None, None)], "lang string, p_new double"
+        ).where(F.col("lang").isNotNull())
         ref_hist = spark.createDataFrame(ref_rows, "lang string, p_ref double")
         rows, psi = _psi_contribs(ref_hist, batch_side, "lang", "full_outer")
         (

