@@ -415,6 +415,9 @@ CAP_50 = [
 #     candidates; agg_incremental — same merge fold as
 #     observations_agg.
 _TAIL = [
+    # --- r13-new, pending cap rotation (moved in below) ---
+    "corpus_bpe_bytes",
+    "corpus_bpe_bytes_encode",
     # --- demoted mid-r12 (multi-round green, kernels unchanged;
     #     displaced by the recalled packing twins whose kernel the
     #     fragment rewrite changed, and by graph_pagerank) ---

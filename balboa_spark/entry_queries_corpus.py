@@ -1177,6 +1177,149 @@ FROM ids GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# -- byte-level BPE (r13): GPT-2-shape tokenizer, no OOV -------------------
+
+#: Byte-level merge list learned once by bpe.byte_bpe_fit over the
+#: sf0.01 documents corpus and pinned (same discipline as BPE_MERGES:
+#: the apply path is deterministic and SQL-replayable; the fit loop is
+#: verified merge-for-merge against a clear-room reference in unit
+#: tests). Pieces are uppercase hex pairs of UTF-8 bytes — note
+#: ('20','73') = ' s': the GPT-2 leading-space convention emerging
+#: from data.
+BYTE_BPE_MERGES: list[tuple[str, str]] = [
+    ("20", "73"), ("65", "72"), ("69", "6E"), ("6F", "77"),
+    ("6F", "72"), ("6D", "6572"), ("61", "74"), ("6C", "75"),
+    ("20", "63"), ("61", "73"), ("20", "62"), ("20", "76"),
+]
+BYTE_BPE_TOP = 30
+
+
+def q_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-level tokenizer's apply path, driver-graded: GPT-2
+    pre-tokenize (lookahead-free regex both engines share) -> UTF-8
+    hex-pair units -> pinned merges replayed as the linear fold chain
+    -> heaviest BYTE_BPE_TOP pre-tokens with piece sequences. One
+    corpus pass (pretokenize + explode + groupBy), then pure column
+    folds and a TakeOrdered — no UDF, no extra shuffle."""
+    from balboa_spark.operators import bpe
+
+    hist = bpe.byte_word_histogram(_docs(spark, sf_dir))
+    out = (
+        hist.orderBy(F.col("cnt").desc(), "word")
+        .limit(BYTE_BPE_TOP)
+        .select(
+            "word",
+            "cnt",
+            F.concat_ws(
+                " ", bpe.byte_segment(F.col("word"), BYTE_BPE_MERGES)
+            ).alias("pieces"),
+        )
+    )
+    return out.select(
+        "word",
+        "cnt",
+        "pieces",
+        F.size(F.split("pieces", " ")).alias("n_pieces"),
+    ).orderBy(F.col("cnt").desc(), "word")
+
+
+def _byte_fold_expr(src: str) -> str:
+    """The DuckDB twin of bpe.byte_segment's fold chain over a column
+    named ``src``: hex-pair initial units, then each pinned merge as a
+    list_reduce pass (pieces are [0-9A-F]+ — regex-safe literals)."""
+    expr = f"array_to_string(regexp_extract_all(hex(encode({src})), '..'), ' ')"
+    for a, b in BYTE_BPE_MERGES:
+        expr = (
+            f"list_reduce(string_split({expr}, ' '), (acc, x) -> "
+            f"CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = '{a}' "
+            f"AND x = '{b}' "
+            f"THEN regexp_replace(acc, '([^ ]+)$', '{a}{b}') "
+            f"ELSE acc || ' ' || x END)"
+        )
+    return expr
+
+
+_BYTE_PRETOK_SQL = (
+    r"regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')"
+)
+
+
+def _bpe_bytes_oracle() -> str:
+    return f"""
+WITH pret AS (
+  SELECT unnest({_BYTE_PRETOK_SQL}) AS word FROM documents
+),
+words AS (SELECT word, count(*) AS cnt FROM pret GROUP BY word),
+top AS (
+  SELECT word, cnt FROM words ORDER BY cnt DESC, word LIMIT {BYTE_BPE_TOP}
+),
+seg AS (SELECT word, cnt, {_byte_fold_expr('word')} AS pieces FROM top)
+SELECT word, cnt, pieces,
+       CAST(len(string_split(pieces, ' ')) AS INTEGER) AS n_pieces
+FROM seg ORDER BY cnt DESC, word
+"""
+
+
+def q_bpe_bytes_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents encoded to byte-level piece ids under the pinned
+    merges and the STRUCTURAL vocab (256 base bytes + one id per
+    merge — provably OOV-free on arbitrary UTF-8). Segmentation runs
+    once per DISTINCT pre-token and joins back; the id map is a
+    parameter-sized broadcast."""
+    from balboa_spark.operators import bpe
+
+    enc = bpe.byte_encode_corpus(_docs(spark, sf_dir), BYTE_BPE_MERGES)
+    return enc.select(
+        "doc_id",
+        F.size("piece_ids").alias("n_pieces"),
+        F.concat_ws(
+            " ", F.transform("piece_ids", lambda i: i.cast("string"))
+        ).alias("ids_text"),
+    ).orderBy("doc_id")
+
+
+def _bpe_bytes_encode_oracle() -> str:
+    from balboa_spark.operators.bpe import byte_vocab
+
+    vocab_rows = ", ".join(
+        f"('{p}', {i})" for p, i in byte_vocab(BYTE_BPE_MERGES)
+    )
+    return f"""
+WITH dt AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len({_BYTE_PRETOK_SQL}) + 1),
+           i -> {{'i': i, 'w': {_BYTE_PRETOK_SQL}[i]}})) AS s
+  FROM documents
+),
+dw AS (
+  SELECT doc_id, struct_extract(s, 'i') AS wpos,
+         struct_extract(s, 'w') AS word
+  FROM dt
+),
+uw AS (SELECT DISTINCT word FROM dw),
+dseg AS MATERIALIZED (
+  SELECT word, {_byte_fold_expr('word')} AS pieces FROM uw
+),
+vocab(piece, piece_id) AS (VALUES {vocab_rows}),
+dp AS (
+  SELECT doc_id, wpos,
+         unnest(list_transform(
+           range(1, len(string_split(pieces, ' ')) + 1),
+           j -> {{'j': j, 'p': string_split(pieces, ' ')[j]}})) AS ps
+  FROM dw JOIN dseg USING (word)
+),
+ids AS (
+  SELECT doc_id, wpos, struct_extract(ps, 'j') AS ppos, v.piece_id
+  FROM dp JOIN vocab v ON v.piece = struct_extract(ps, 'p')
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_pieces,
+       string_agg(piece_id::VARCHAR, ' ' ORDER BY wpos, ppos) AS ids_text
+FROM ids GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NFC normalization with a deterministic decomposed prefix
     (e + COMBINING ACUTE) injected so the normalization is observable
@@ -3331,6 +3474,8 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_source_overlap": q_source_overlap,
     "corpus_bpe_vocab": q_bpe_vocab,
     "corpus_bpe_encode": q_bpe_encode,
+    "corpus_bpe_bytes": q_bpe_bytes,
+    "corpus_bpe_bytes_encode": q_bpe_bytes_encode,
     "corpus_snapshot_diff": q_snapshot_diff,
     "corpus_blocklist": q_blocklist,
     "corpus_length_batches": q_length_batches,
@@ -3399,6 +3544,8 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_source_overlap": SOURCE_OVERLAP_ORACLE,
     "corpus_bpe_vocab": _bpe_vocab_oracle(),
     "corpus_bpe_encode": _bpe_encode_oracle(),
+    "corpus_bpe_bytes": _bpe_bytes_oracle(),
+    "corpus_bpe_bytes_encode": _bpe_bytes_encode_oracle(),
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "corpus_span_dedup": SPAN_DEDUP_ORACLE,
     "span_dedup_store": SPAN_DEDUP_ORACLE,

@@ -181,6 +181,167 @@ def segment_any(word: Column, merges: list[tuple[str, str]]) -> Column:
     return segment(word, merges)
 
 
+# -- byte-level arm (GPT-2 shape: Radford et al. 2019 §2.2) ------------------
+#
+# Production GPT-style pipelines tokenize BYTE-level so no text is ever
+# OOV: a byte-level pre-tokenizer splits raw text into pre-tokens
+# (leading space attached), each pre-token becomes its UTF-8 byte
+# sequence, and BPE merges run over a 256-symbol byte alphabet. GPT-2
+# remaps bytes to printable unicode chars (bytes_to_unicode) purely so
+# pieces stay visible strings; this engine's SQL-replayable equivalent
+# is UPPERCASE HEX PAIRS — hex(encode(text)) is identical in Spark and
+# DuckDB, pieces stay regex-safe ([0-9A-F]+) for the same merge folds
+# the word-level arm uses, and decode is unhex(concat(pieces)).
+# Both properties are verified: cross-engine hex parity in the graded
+# oracle, byte-exact encode→decode round-trip on emoji/CJK in tests.
+
+#: GPT-2's pre-tokenizer minus the contraction alternates and the
+#: trailing-space lookahead — RE2 (DuckDB) has no lookahead, and both
+#: engines must replay the SAME split. Leading space attaches to the
+#: following word (the GPT-2 convention that makes " the" one token).
+BYTE_PRETOK_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def byte_pretokenize(text: Column) -> Column:
+    """GPT-2-style pre-tokens of raw text (lossless: concatenating the
+    pre-tokens restores the text exactly — every char lands in exactly
+    one alternative)."""
+    return F.regexp_extract_all(text, F.lit(BYTE_PRETOK_RE), 0)
+
+
+def byte_units(word: Column) -> Column:
+    """Initial byte-level BPE state: the pre-token's UTF-8 bytes as
+    uppercase hex pairs (the 256-symbol base alphabet)."""
+    return F.regexp_extract_all(F.hex(F.encode(word, "UTF-8")), F.lit(".."), 0)
+
+
+def byte_word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The one corpus-sized pass of the byte arm: (word, cnt) over
+    pre-tokens. EVERY pre-token participates (no WORD_RE gate — the
+    whole point of byte level is that nothing is out-of-alphabet)."""
+    return (
+        df.select(F.explode(byte_pretokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def byte_segment(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Segment a pre-token under a fixed byte-merge list: hex pairs,
+    then each merge replayed in learned order — the same linear chain
+    of single-reference string folds as the word arm (pieces are
+    [0-9A-F]+, regex-safe by construction)."""
+    s = F.concat_ws(" ", byte_units(word))
+    for a, b in merges:
+        s = _merge_pass_str(s, a, b)
+    return F.split(s, " ")
+
+
+def byte_segment_arrow(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Arrow-batched byte segmentation for production-sized merge
+    lists — same seam and replay semantics as :func:`segment_arrow`,
+    initial state = the UTF-8 hex pairs."""
+    from pyspark.sql.functions import pandas_udf
+
+    mlist = [tuple(m) for m in merges]
+    ranks = {m: i for i, m in enumerate(mlist)}
+
+    @pandas_udf("array<string>")
+    def _seg(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: _segment_word_py(
+                [f"{byte:02X}" for byte in w.encode("utf-8")], mlist, ranks
+            )
+        )
+
+    return _seg(word)
+
+
+def byte_segment_any(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Byte segmentation with automatic path choice (the
+    :data:`ARROW_MERGE_THRESHOLD` contract of :func:`segment_any`)."""
+    if len(merges) > ARROW_MERGE_THRESHOLD:
+        return byte_segment_arrow(word, merges)
+    return byte_segment(word, merges)
+
+
+def byte_bpe_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 16,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` byte-level merges from the corpus — the
+    word arm's fit loop (one vocab-sized pair-count shuffle + a 1-row
+    TakeOrdered per round, vocab re-materialized per round) over the
+    hex-pair initial state."""
+    vocab = byte_word_histogram(df, text_col).select(
+        "cnt", byte_units(F.col("word")).alias("p")
+    )
+    return _fit_merges(vocab, num_merges, min_pair_count)
+
+
+def byte_vocab(merges: list[tuple[str, str]]) -> list[tuple[str, int]]:
+    """The byte tokenizer's id table, GPT-2 shape: 256 base byte
+    tokens (piece_id = byte value) + one minted piece per merge in
+    learned order. STRUCTURAL, not corpus-derived — every piece any
+    segmentation can ever produce is either a base pair or a merge
+    product, so encode is provably OOV-free on arbitrary UTF-8
+    regardless of what corpus the merges were fit on. Parameter-sized
+    (256 + len(merges) rows): broadcast it."""
+    pieces = [f"{i:02X}" for i in range(256)] + [a + b for a, b in merges]
+    return [(p, i) for i, p in enumerate(pieces)]
+
+
+def byte_encode_corpus(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus → (id, piece_ids array<int>) under the byte tokenizer.
+    Same distributed shape as :func:`encode_corpus` — segmentation
+    runs once per DISTINCT pre-token and joins back; the id map is the
+    parameter-sized structural vocab, broadcast, INNER join (no UNK
+    branch: :func:`byte_vocab` covers every producible piece)."""
+    spark = df.sparkSession
+    vocab = spark.createDataFrame(
+        byte_vocab(merges), "piece string, piece_id int"
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(byte_pretokenize(F.col(text_col))).alias("_wpos", "_word"),
+    )
+    seg = (
+        toks.select("_word")
+        .distinct()
+        .select("_word", byte_segment_any(F.col("_word"), merges).alias("_pieces"))
+    )
+    pieces = toks.join(seg, "_word").select(
+        F.col(id_col), "_wpos", F.posexplode("_pieces").alias("_ppos", "piece")
+    )
+    mapped = pieces.join(F.broadcast(vocab), "piece")
+    return mapped.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("_wpos", "_ppos", "piece_id"))
+            ),
+            lambda s: s["piece_id"],
+        ).alias("piece_ids")
+    )
+
+
+def byte_decode(piece_ids: Column, merges: list[tuple[str, str]]) -> Column:
+    """(array<int> piece ids) → original text: ids back to hex pieces
+    via the structural vocab (an element_at against a parameter-sized
+    array literal), concatenated and unhexed. Byte-exact inverse of
+    :func:`byte_encode_corpus` for any UTF-8 input — the no-OOV
+    round-trip the tests pin on emoji/CJK."""
+    table = F.array(*[F.lit(p) for p, _ in byte_vocab(merges)])
+    hexes = F.transform(piece_ids, lambda i: F.element_at(table, i + 1))
+    return F.decode(F.unhex(F.concat_ws("", hexes)), "UTF-8")
+
+
 def word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The one corpus-sized pass: (word, cnt) for alnum words."""
     return (
@@ -205,6 +366,16 @@ def bpe_fit(
     vocab = word_histogram(df, text_col).select(
         "cnt", chars(F.col("word")).alias("p")
     )
+    return _fit_merges(vocab, num_merges, min_pair_count)
+
+
+def _fit_merges(
+    vocab: DataFrame, num_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """The shared greedy merge loop over a (cnt, p: array<string>)
+    vocabulary relation — one vocab-sized pair-count shuffle + a 1-row
+    TakeOrdered per round, vocab re-materialized per round so lineage
+    stays O(1). Both the char and the byte arm call this."""
     vocab = vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):

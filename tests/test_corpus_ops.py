@@ -1733,6 +1733,146 @@ def test_bpe_segment_arrow_parity_with_column_fold(spark):
     assert both and all(r["col_fold"] == r["arrow"] for r in both)
 
 
+def _byte_bpe_fit_py(corpus: list[str], num_merges: int, min_count: int = 2):
+    """Clear-room reference for the BYTE arm: greedy BPE over hex-pair
+    byte units of GPT-2-style pre-tokens."""
+    import re
+    from collections import Counter
+
+    pretok = re.compile(r" ?[^\W\d_]+| ?\d+| ?[^\s\w]+|_+|\s+")
+    # NOTE: python re has no \p{L}; approximate with the same classes
+    # the engines use by testing on ASCII+latin corpora where the
+    # splits provably coincide (asserted below via lossless concat).
+    hist = Counter(w for line in corpus for w in pretok.findall(line))
+    vocab = {
+        w: [f"{b:02X}" for b in w.encode("utf-8")] for w in hist
+    }
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, pieces in vocab.items():
+            for i in range(len(pieces) - 1):
+                pairs[(pieces[i], pieces[i + 1])] += hist[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_count:
+            break
+        merges.append(best)
+        a, b = best
+        for w, pieces in vocab.items():
+            out, i = [], 0
+            while i < len(pieces):
+                if i + 1 < len(pieces) and pieces[i] == a and pieces[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(pieces[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_byte_pretokenize_lossless(spark):
+    """Concatenating the pre-tokens must restore the raw text exactly
+    (every char falls in exactly one regex alternative) — on ASCII,
+    accents, CJK, emoji, digits, punctuation runs, and whitespace."""
+    from balboa_spark.operators import bpe
+
+    texts = [
+        "Hello, wörld 42!",
+        "  leading and   internal spaces\tand tabs\n",
+        "日本語のテキスト and English mixed 2024",
+        "emoji 🙂🚀 and symbols +++ --- ***",
+        "don't — unicode dash…",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    rows = df.select(
+        "text",
+        F.concat_ws("", bpe.byte_pretokenize(F.col("text"))).alias("back"),
+    ).collect()
+    assert all(r["back"] == r["text"] for r in rows)
+
+
+def test_byte_bpe_fit_matches_reference_impl(spark):
+    """Distributed byte-level fit replays the clear-room greedy
+    reference exactly (merge list over hex-pair units, pre-token
+    histogram weighting, deterministic tie-breaks)."""
+    from balboa_spark.operators import bpe
+
+    corpus = [
+        "low low low low low",
+        "lower lower widest widest widest",
+        "the cat sat on the mat",
+        "the bat and the cat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    want_merges, want_vocab = _byte_bpe_fit_py(corpus, num_merges=10)
+    got = bpe.byte_bpe_fit(df, num_merges=10)
+    assert got == want_merges
+    seg = {
+        r["word"]: list(r["p"])
+        for r in bpe.byte_word_histogram(df)
+        .select("word", bpe.byte_segment(F.col("word"), got).alias("p"))
+        .collect()
+    }
+    assert seg == want_vocab
+
+
+def test_byte_bpe_roundtrip_no_oov_on_arbitrary_utf8(spark):
+    """THE byte-level guarantee: merges fit on plain ASCII must encode
+    ANY UTF-8 text — emoji, CJK, accents, never-seen punctuation —
+    with zero OOV (structural vocab covers every producible piece)
+    and decode back byte-exactly."""
+    from balboa_spark.operators import bpe
+
+    fit_df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog the the")],
+        ["doc_id", "text"],
+    )
+    merges = bpe.byte_bpe_fit(fit_df, num_merges=8)
+    assert merges
+    wild = [
+        (1, "完全に見たことのない日本語テキスト"),
+        (2, "emoji soup 🙂🚀🔥 and naïve café"),
+        (3, "механизм работает"),
+        (4, "the quick brown fox"),  # in-distribution control
+    ]
+    df = spark.createDataFrame(wild, ["doc_id", "text"])
+    enc = bpe.byte_encode_corpus(df, merges)
+    back = enc.select(
+        "doc_id", bpe.byte_decode(F.col("piece_ids"), merges).alias("text")
+    )
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == dict(wild)
+    # structural vocab: base ids are the byte values, merges appended
+    vocab = bpe.byte_vocab(merges)
+    assert vocab[0x41] == ("41", 0x41) and len(vocab) == 256 + len(merges)
+    # and every emitted id is within the structural range (no UNK slot)
+    ids = [i for r in enc.collect() for i in r["piece_ids"]]
+    assert ids and all(0 <= i < 256 + len(merges) for i in ids)
+
+
+def test_byte_segment_arrow_parity_with_column_fold(spark):
+    """The Arrow byte segmenter must reproduce the Column fold exactly
+    on multi-byte text (hex-pair initial units in both paths)."""
+    from balboa_spark.operators import bpe
+
+    corpus = ["héllo héllo wörld wörld wörld 日本 日本 🙂 🙂 🙂"]
+    df = spark.createDataFrame([(0, corpus[0])], ["doc_id", "text"])
+    merges = bpe.byte_bpe_fit(df, num_merges=10)
+    assert merges
+    words = bpe.byte_word_histogram(df).select("word")
+    both = words.select(
+        "word",
+        bpe.byte_segment(F.col("word"), merges).alias("col_fold"),
+        bpe.byte_segment_arrow(F.col("word"), merges).alias("arrow"),
+    ).collect()
+    assert both and all(r["col_fold"] == r["arrow"] for r in both)
+
+
 def test_bpe_segment_word_py_matches_sequential_passes():
     """The rank-skip algorithm inside the Arrow segmenter must equal
     naive sequential-pass replay on adversarial merge lists —
