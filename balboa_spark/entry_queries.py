@@ -418,6 +418,7 @@ _TAIL = [
     # --- r13-new, pending cap rotation (moved in below) ---
     "corpus_bpe_bytes",
     "corpus_bpe_bytes_encode",
+    "pipeline_wet_ccnet",
     # --- demoted mid-r12 (multi-round green, kernels unchanged;
     #     displaced by the recalled packing twins whose kernel the
     #     fragment rewrite changed, and by graph_pagerank) ---

@@ -3257,6 +3257,126 @@ PIPELINE_CCNET_LID_ORACLE = (
 
 
 # ---------------------------------------------------------------------------
+# WET -> CCNet (r13): the real crawl entry pipeline, graded end to end
+# ---------------------------------------------------------------------------
+
+def q_pipeline_wet_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production crawl ENTRY pipeline, driver-graded end to end:
+    WET archive -> main-content extraction -> CCNet (dedup -> LID ->
+    per-language KN -> banding) -> attribute store -> mixer.
+
+    The WET stage is REAL: each document is wrapped in the
+    chrome-heavy synth page, serialized into 4 gzipped WARC/WET
+    shards via wet_bytes (fixture construction — a corpus-sized
+    collect is test plumbing; production reads existing archives with
+    the same read_wet), read back through sources/wet.py's
+    binaryFile + mapInPandas parser, and re-keyed from the WARC
+    headers. Any parser defect (lost/duplicated records, mangled
+    payload bytes, header mixups) changes the hash — this is the
+    first driver grading of the WET parser.
+
+    Downstream, every stage's arithmetic is replayed by the oracle:
+    block-gated main content, the tokens-join dedup keep rule, NB LID
+    train+classify, per-language KN stats, per-language banding, and
+    the mixer's band <> 'tail' keep rule over a real on-disk
+    AttributeStore (text touched only by the final id-keyed join)."""
+    import gzip as _gzip
+    import os as _os
+    import tempfile as _tempfile
+
+    from balboa_spark.operators import lm
+    from balboa_spark.operators.attributes import AttributeStore
+    from balboa_spark.operators.text import extract_main_content
+    from balboa_spark.sources.wet import read_wet, wet_bytes
+
+    docs = load_tables(spark, sf_dir, names=("documents",))[
+        "documents"
+    ].select("doc_id", "source", "text")
+    pages = docs.select("doc_id", "source", _synth_chrome_col().alias("html"))
+    tmp = _tempfile.mkdtemp(prefix="wet_ccnet_")
+    shards: dict[int, list[tuple[str, str, str]]] = {}
+    for r in pages.collect():
+        shards.setdefault(int(r["doc_id"]) % 4, []).append(
+            (
+                f"urn:doc:{r['doc_id']}",
+                f"https://{r['source']}.example.com/{r['doc_id']}",
+                r["html"],
+            )
+        )
+    for k, recs in sorted(shards.items()):
+        with open(_os.path.join(tmp, f"shard-{k}.warc.wet.gz"), "wb") as fh:
+            fh.write(_gzip.compress(wet_bytes(recs)))
+    wet = read_wet(spark, tmp)
+    mc = wet.select(
+        F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("target_uri", r"https://([a-z0-9]+)\.example", 1)
+        .alias("source"),
+        extract_main_content(
+            F.col("text"), min_block_chars=_MC_MIN_CHARS
+        ).alias("text"),
+    )
+    lid_train = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("source").alias("lang"), "text"
+    )
+    banded = lm.ccnet_pipeline(mc, lid_train=lid_train, per_language_lm=True)
+    store = AttributeStore(spark, _os.path.join(tmp, "attrs"))
+    store.write(
+        banded.select("doc_id", "lang", "perplexity", "band"), tagger="ccnet"
+    )
+    mixed = store.mix(mc, ["ccnet"], "ccnet__band <> 'tail'", keep_attrs=True)
+    return mixed.select(
+        "doc_id",
+        "source",
+        F.col("ccnet__lang").alias("lang"),
+        F.col("ccnet__perplexity").alias("perplexity"),
+        F.col("ccnet__band").alias("band"),
+    ).orderBy("doc_id")
+
+
+def _wet_ccnet_prefix() -> str:
+    """The WET-pipeline twin of _CCNET_DOC_DEDUP_PREFIX: ``raw`` is
+    the main content of the chrome synth page (the WET round-trip is
+    byte-faithful by the wet.py parser contract, so DuckDB replays
+    the archive stage as the page expression itself), then the same
+    tokens-join keep-first dedup."""
+    from balboa_spark.operators.text import extract_main_content_sql
+
+    mc = extract_main_content_sql(
+        _SYNTH_CHROME_SQL, min_block_chars=_MC_MIN_CHARS
+    )
+    return rf"""raw AS (
+  SELECT doc_id, source, {mc} AS text FROM documents
+),
+rt AS (
+  SELECT doc_id, source, text,
+         md5(array_to_string(list_filter(
+           string_split_regex(lower(text), '\s+'), t -> t <> ''), ' ')) AS fp
+  FROM raw
+),
+kept AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM rt
+  ) WHERE rn = 1
+),
+"""
+
+
+#: the grouped-KN band suffix with the MIXER's keep rule applied:
+#: band <> 'tail'  <=>  perplexity <= the (rounded) 0.8 quantile.
+PIPELINE_WET_CCNET_ORACLE = (
+    "WITH "
+    + _wet_ccnet_prefix()
+    + _CCNET_LID_CLASSIFY
+    + _CCNET_GROUPED_KN_BAND.replace(
+        "ORDER BY z.doc_id", "WHERE z.perplexity <= gb.hi ORDER BY z.doc_id"
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # attribute store + mixer (r12): Dolma-style tagger/mixer split
 # ---------------------------------------------------------------------------
 
@@ -3475,6 +3595,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bpe_vocab": q_bpe_vocab,
     "corpus_bpe_encode": q_bpe_encode,
     "corpus_bpe_bytes": q_bpe_bytes,
+    "pipeline_wet_ccnet": q_pipeline_wet_ccnet,
     "corpus_bpe_bytes_encode": q_bpe_bytes_encode,
     "corpus_snapshot_diff": q_snapshot_diff,
     "corpus_blocklist": q_blocklist,
@@ -3545,6 +3666,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_bpe_vocab": _bpe_vocab_oracle(),
     "corpus_bpe_encode": _bpe_encode_oracle(),
     "corpus_bpe_bytes": _bpe_bytes_oracle(),
+    "pipeline_wet_ccnet": PIPELINE_WET_CCNET_ORACLE,
     "corpus_bpe_bytes_encode": _bpe_bytes_encode_oracle(),
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "corpus_span_dedup": SPAN_DEDUP_ORACLE,
