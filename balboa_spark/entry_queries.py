@@ -419,6 +419,7 @@ _TAIL = [
     "corpus_bpe_bytes",
     "corpus_bpe_bytes_encode",
     "pipeline_wet_ccnet",
+    "pipeline_ccnet_approx",
     # --- demoted mid-r12 (multi-round green, kernels unchanged;
     #     displaced by the recalled packing twins whose kernel the
     #     fragment rewrite changed, and by graph_pagerank) ---

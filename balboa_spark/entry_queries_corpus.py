@@ -2444,6 +2444,31 @@ def q_pipeline_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.ccnet_pipeline(planted).orderBy("doc_id")
 
 
+def q_pipeline_ccnet_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold="approx" arm of the CCNet chain — the variant a
+    100 TB user actually runs (percentile_approx's bounded sketch
+    instead of exact percentile's map-side multiset) — graded
+    ROWS-ONLY (the corpus_pack_bestfit precedent): the band cut
+    points come from a KLL-style sketch, so band labels may deviate
+    from the exact tertiles within the sketch's rank-error tolerance
+    (percentile_approx default accuracy 10000 -> rank error <= 1e-4)
+    and no SQL oracle can replay them hash-exactly; the row SET is
+    sketch-independent (banding never drops a scored doc), so the
+    rows check pins the whole upstream chain (dedup -> LM -> score)
+    while the sketch stays declared, documented, and driver-visible."""
+    from balboa_spark.operators import lm
+
+    docs = load_tables(spark, sf_dir, names=("documents",))[
+        "documents"
+    ].select("doc_id", "source", "text")
+    planted = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "source", "text"
+        )
+    )
+    return lm.ccnet_pipeline(planted, threshold="approx").orderBy("doc_id")
+
+
 # The ccnet oracle is assembled from shared pieces (r12) so the
 # document-dedup, paragraph-dedup, order-2 and order-5 chain variants
 # replay the SAME proven arithmetic: a dedup prefix that must produce
@@ -3596,6 +3621,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bpe_encode": q_bpe_encode,
     "corpus_bpe_bytes": q_bpe_bytes,
     "pipeline_wet_ccnet": q_pipeline_wet_ccnet,
+    "pipeline_ccnet_approx": q_pipeline_ccnet_approx,
     "corpus_bpe_bytes_encode": q_bpe_bytes_encode,
     "corpus_snapshot_diff": q_snapshot_diff,
     "corpus_blocklist": q_blocklist,

@@ -38,14 +38,73 @@ projection.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PR_ROUND = 9
 
 
-def pagerank(
+def write_graph_edges_bucketed(
     edges: DataFrame,
+    table: str,
+    path: str,
+    num_buckets: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> None:
+    """Persist the graph's edge relation as a catalog table BUCKETED
+    on src — the module docstring's 'bucket edges by src on a real
+    cluster' made concrete. Edges are deduped and annotated with the
+    source's out-degree at WRITE time, so every iterative kernel
+    reading the table pays zero per-iteration work on the big side:
+    the ranks⋈edges join consumes the bucketed scan with NO Exchange
+    (the edges relation — the 100 TB side — never shuffles again,
+    across every iteration of every ranking run), and the outdeg
+    re-derivation disappears entirely. One write, amortized over
+    every subsequent pagerank/harmonic run — the plans/bucketing
+    cost model."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    from balboa_spark.plans.bucketing import write_bucketed
+
+    write_bucketed(e.join(outdeg, "src"), table, path, "src", num_buckets)
+
+
+def _edge_relations(
+    edges: DataFrame | str, src_col: str, dst_col: str
+) -> tuple[DataFrame, DataFrame | None]:
+    """(e, ew) for the iterative kernels: from a DataFrame, the
+    deduped checkpointed edge relation (ew derived by the caller);
+    from a STRING — a catalog table written by
+    :func:`write_graph_edges_bucketed` — the table scan itself,
+    deliberately NOT checkpointed: localCheckpoint rewrites the
+    relation as an RDD-backed scan and DROPS the catalog bucketing
+    metadata, resurrecting the per-iteration edges Exchange the
+    bucketed arm exists to remove. It IS persist()-ed: an
+    InMemoryRelation over a bucketed scan keeps the scan's output
+    partitioning (probed: the ranks⋈edges plan stays Exchange-free on
+    the edges side), so iterations 2..k read cache instead of
+    re-scanning parquet — storage-level MEMORY_AND_DISK, the 100 TB
+    case degrades to disk-local reads, never a shuffle. Callers
+    unpersist after their loop."""
+    if isinstance(edges, str):
+        spark = SparkSession.getActiveSession()
+        ew = spark.table(edges).persist()
+        return ew.select("src", "dst"), ew
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return e, None
+
+
+def pagerank(
+    edges: DataFrame | str,
     iters: int = 5,
     damping: float = 0.85,
     src_col: str = "src",
@@ -63,18 +122,20 @@ def pagerank(
     on the seed set (share 1/|seeds| each) instead of uniformly — the
     crawl-frontier variant that ranks the graph by proximity to
     known-good domains. Seeds are a curated parameter-sized list
-    (broadcast as a literal indicator), never corpus-derived."""
+    (broadcast as a literal indicator), never corpus-derived.
+
+    ``edges`` may also be the NAME of a catalog table written by
+    :func:`write_graph_edges_bucketed` (src, dst, outdeg; bucketed on
+    src): the per-iteration ranks⋈edges join then reads the bucketed
+    scan with NO Exchange on the edges side — at 100 TB the edges
+    relation is the one that must never shuffle per iteration — and
+    the values stay BIT-IDENTICAL to the DataFrame arm (same float
+    expressions, same per-step rounding; asserted in tests)."""
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     if seeds is not None and not seeds:
         raise ValueError("seeds must be None or a non-empty list")
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e, ew = _edge_relations(edges, src_col, dst_col)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -89,8 +150,11 @@ def pagerank(
     # with their source's out-degree, and the dangling node set — the
     # per-iteration plans would otherwise re-derive both (one extra
     # node-sized shuffle join per iteration per relation, wasted work
-    # that scales with iters)
-    ew = e.join(outdeg, "src").localCheckpoint(eager=True)
+    # that scales with iters). The bucketed arm ships outdeg inside
+    # the table instead (write-time annotation, zero per-iteration
+    # derivation) and must NOT checkpoint — see _edge_relations.
+    if ew is None:
+        ew = e.join(outdeg, "src").localCheckpoint(eager=True)
     dangling_nodes = nodes.join(
         outdeg, nodes["node"] == outdeg["src"], "left_anti"
     ).localCheckpoint(eager=True)
@@ -138,6 +202,8 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    if isinstance(edges, str):
+        ew.unpersist()
     return ranks
 
 
@@ -211,7 +277,7 @@ def pagerank_sql(
 
 
 def harmonic_centrality(
-    edges: DataFrame,
+    edges: DataFrame | str,
     max_dist: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
@@ -246,13 +312,10 @@ def harmonic_centrality(
     """
     if max_dist < 1:
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # a string names a bucketed edge table (write_graph_edges_bucketed):
+    # every round's balls⋈edges join reads the bucketed scan with no
+    # Exchange on the edges side — same contract as pagerank's arm
+    e, _ew = _edge_relations(edges, src_col, dst_col)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -298,6 +361,8 @@ def harmonic_centrality(
             )
             .localCheckpoint(eager=True)
         )
+    if isinstance(edges, str):
+        _ew.unpersist()
     return state.select(
         "node",
         F.round(F.col("_h"), 6).alias("harmonic"),

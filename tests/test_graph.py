@@ -307,3 +307,82 @@ def test_pagerank_to_domain_quota_composition(spark):
         )
         capped.append((dom, kept.count(), quota))
     assert all(n == q for _, n, q in capped), capped
+
+
+def test_pagerank_bucketed_edges_bit_identical_no_edge_exchange(spark, tmp_path):
+    """The 100 TB arm: pagerank over a catalog edge table bucketed on
+    src (write_graph_edges_bucketed) must (a) produce BIT-IDENTICAL
+    ranks to the DataFrame arm — same float expressions, same 9dp
+    per-step rounding — and (b) read the edges side of the
+    per-iteration join straight off the bucketed scan with NO
+    Exchange: the representative ranks⋈edges join plan carries
+    exactly one fewer Exchange than its unbucketed twin (the missing
+    one is the edges shuffle, paid once at write time instead of once
+    per iteration per run)."""
+    from balboa_spark.operators.graph import (
+        harmonic_centrality,
+        write_graph_edges_bucketed,
+    )
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+        ("d", "e"), ("e", "a"), ("b", "d"), ("f", "a"),
+    ]
+    edges = _edges(spark, pairs)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        write_graph_edges_bucketed(
+            edges, "b_pr_edges", str(tmp_path / "b_pr_edges"), 4
+        )
+        got_b = _ranks(pagerank("b_pr_edges", iters=5))
+        got_d = _ranks(pagerank(edges, iters=5))
+        assert got_b == got_d  # bit-identical trajectory
+
+        # representative per-iteration join shape, bucketed vs not:
+        # the bucketed plan must be exactly one Exchange lighter
+        ranks0 = spark.createDataFrame(
+            [(n, 1.0 / 6) for n in "abcdef"], "node string, rank double"
+        )
+        ew_tbl = spark.table("b_pr_edges")
+        ew_raw = edges.distinct().join(
+            edges.distinct().groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")),
+            "src",
+        )
+        def _plan(ew):
+            j = (
+                ranks0.join(ew, ranks0["node"] == ew["src"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("m"))
+            )
+            return j._jdf.queryExecution().executedPlan().toString()
+        plan_b, plan_raw = _plan(ew_tbl), _plan(ew_raw)
+        assert "SortMergeJoin" in plan_b, plan_b
+        # bucketed arm: the ONLY exchanges are the ranks side of the
+        # join and the final dst aggregation — the edges side is the
+        # bucketed file scan itself (visible as SelectedBucketsCount),
+        # with no Exchange and no write-time outdeg re-derivation
+        assert plan_b.count("Exchange") == 2, plan_b
+        assert "SelectedBucketsCount" in plan_b, plan_b
+        assert plan_raw.count("Exchange") > plan_b.count("Exchange"), plan_raw
+
+        # harmonic over the same table: identical output to the
+        # DataFrame arm (sketches are deterministic given the data)
+        hb = {
+            r["node"]: (r["harmonic"], r["ball_size"])
+            for r in harmonic_centrality("b_pr_edges", max_dist=3).collect()
+        }
+        hd = {
+            r["node"]: (r["harmonic"], r["ball_size"])
+            for r in harmonic_centrality(edges, max_dist=3).collect()
+        }
+        assert hb == hd
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_pr_edges")
