@@ -646,3 +646,64 @@ def test_attr_mix_on_streaming_docs(spark, tmp_path):
     # and both its rows now pass under the re-tagged n_tokens
     got2 = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
     assert got2 == [1, 2, 2, 3]
+
+
+def test_attr_compact_racing_tagger_write_raises(spark, tmp_path):
+    """Compaction racing a concurrent tagger append in the SAME
+    namespace must lose loudly (the dedup-store maintenance
+    contract): the racer's version bump moves commit_seq, so the
+    compactor's CAS manifest write raises ConcurrentWriterError
+    instead of silently dropping the racer's epoch dir from the fold
+    accounting — and afterwards the racer's data is intact, reads
+    resolve, and a fresh compaction succeeds."""
+    path = str(tmp_path / "attrs")
+    a = AttributeStore(spark, path)
+    for v in range(3):
+        a.write(_quality(spark, [(1, 100 + v, 0.1), (20 + v, v, 0.5)]), "quality")
+    b = AttributeStore(spark, path)
+    _hook_first_read(
+        a._ns("quality"),
+        lambda: b.write(_quality(spark, [(99, 999, 0.9)]), "quality"),
+    )
+    with pytest.raises(ConcurrentWriterError, match="single-writer"):
+        a.compact("quality")
+    # nothing lost: the racer's row and every pre-race version resolve
+    got = {
+        r["doc_id"]: r["quality__n_tokens"]
+        for r in b.read("quality").collect()
+    }
+    assert got[99] == 999 and got[1] == 102 and {20, 21, 22} <= set(got)
+    # the loser's base-1 dir is torn (data written, manifest CAS
+    # refused) — latest-wins resolution makes its duplicate rows
+    # harmless, and the NEXT compaction folds it away with the 3
+    # original autos + the racer's auto: 5 scopes
+    assert b.compact("quality") == 5
+    after = {
+        r["doc_id"]: r["quality__n_tokens"]
+        for r in b.read("quality").collect()
+    }
+    assert after == got
+
+
+def test_attr_compact_racing_other_namespace_is_independent(spark, tmp_path):
+    """Namespaces are independent single-writer domains: a concurrent
+    write to ANOTHER tagger must NOT trip the compactor's CAS (its
+    manifest is per-namespace), and both namespaces stay readable."""
+    path = str(tmp_path / "attrs")
+    a = AttributeStore(spark, path)
+    for v in range(3):
+        a.write(_quality(spark, [(v, v, 0.0)]), "quality")
+    b = AttributeStore(spark, path)
+    _hook_first_read(
+        a._ns("quality"),
+        lambda: b.write(
+            spark.createDataFrame(
+                [Row(doc_id=7, has_email=True)],
+                "doc_id long, has_email boolean",
+            ),
+            "pii",
+        ),
+    )
+    assert a.compact("quality") == 3  # unaffected by the pii writer
+    assert a.read("quality").count() == 3
+    assert b.read("pii").first()["pii__has_email"] is True
