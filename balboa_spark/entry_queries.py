@@ -316,90 +316,123 @@ QUERIES.update(QUERIES_TEMPORAL)
 # r11-green interval/rolling twins). Net churn this round: 17 cap
 # entries first-graded or kernel-recalled.
 #
-# ROUND-13 ROTATION PLAN (for the next builder): next-stalest are the
-# remaining r8+r9-green tail entries (corpus_html_extract,
-# supplier_entity_resolve, corpus_pack_bestfit, obs_blocklist_match,
-# corpus_dataset_profile, events_props_extract, events_heavy_users,
-# corpus_source_overlap) plus the r10-demoted green-r6+r10 cohort and
-# the seven mid-r12 demotions if their kernels change; demote entries
-# double-verified by then (green r11 AND r12), starting with the r12
-# first-graded cohort once each is double-green.
+# Round-13 rotation (this round; executes the VERDICT r12 backlog
+# sweep): OUT = 20 double-green entries (kernels unchanged since
+# their last grading): the 10 r12-promoted r9-cohort entries (green
+# r9 AND r12: embedding_seed_topk, corpus_bpe_vocab/encode,
+# corpus_mixture_temperature, corpus_epoch_shuffle,
+# corpus_normalize_unicode, corpus_length_batches, corpus_blocklist,
+# corpus_snapshot_diff, corpus_weighted_sample), 5 r11-LM siblings
+# (green r11 AND r12, scorers shared with the in-cap kn twins:
+# kn3, mkn, sbo, band, lm_store_kn3), corpus_quality_signals +
+# corpus_mixture_resample (continuously green r5-r12), pipeline_crawl
+# (green r10-r12 post-PSL-change; crawl path now graded HARDER by the
+# new in-cap pipeline_wet_ccnet), corpus_bm25_topk (green r7-r12;
+# retrieval stays via in-cap hybrid_search_rrf), store_delta_fold
+# (green r10-r12; store family canaried by the r12/r13
+# kernel-changed exact/span/attr stores in-cap).
+# IN = 4 r13-NEW entries (corpus_bpe_bytes, corpus_bpe_bytes_encode,
+# pipeline_wet_ccnet — first grading — and pipeline_ccnet_approx,
+# rows-only, the approx-percentile arm), the 5-member dedup cohort
+# whose shared kernels CHANGED r13 (bucket_pairs star pairs +
+# ngram-Jaccard groupBy DF cap) and which was last driver-green in
+# r5: dedup_ngram_jaccard, dedup_minhash_lsh, dedup_minhash_estimate,
+# dedup_simhash, dedup_keep_longest; and the 11 next-stalest r5
+# entries: embedding_topk, embedding_cosine_pairs, tpch_q1,
+# events_sessionize, events_retention, events_anomaly,
+# corpus_contamination, corpus_pii_redact, corpus_hash_split,
+# corpus_vocab_topk, media_dedup. That rotates 16 of the 39-entry
+# r5/r6 stale cohort through the live driver.
+# Kernel-changed-this-round entries all stay in-cap for re-grading:
+# events_resample (floor-div bucketing), pipeline_ccnet/ccnet5/
+# ccnet_par/ccnet_lid (tokens-join dedup fingerprint + lid-oracle
+# LEFT-JOIN parity), dedup_exact/exact_dedup_store (exact_dedup key
+# param), graph_pagerank (_edge_relations refactor).
+#
+# ROUND-14 ROTATION PLAN (for the next builder): retire the REST of
+# the r5/r6 stale cohort — the 8 remaining r5 entries
+# (corpus_hash_sample, events_quantiles, join_enrich, media_stats,
+# pipeline_clean, rollup_observations, topk_per_group, tpch_q3) and
+# the 15-member r6 cohort (corpus_chunk_tokens, corpus_clean_text,
+# corpus_interleave, corpus_sentences, corpus_span_corruption,
+# corpus_stratified_k, corpus_trigram_familiarity, corpus_winnow,
+# dedup_passage, embedding_mean_pool, embedding_pq, embedding_project,
+# embedding_quantize, media_chunks, media_patches). Slots come from
+# demoting the by-then double-green r12 first-graded cohort
+# (graph_pagerank, corpus_main_content, hybrid_search_rrf,
+# attr_store_mix, attr_mix_report, corpus_lang_id, kn5, kn_by_source,
+# the ccnet arms if their kernels finally rest) and this round's
+# 20-member IN cohort once double-green. Verify stalest-first with
+# the last-green script over CORRECTNESS_r01..r13 (the r12 verdict's
+# method), not prose.
 CAP_50 = [
-    # -- §2 backbone, kept in-cap as standing canaries (green r5-r7) --
+    # -- §2 backbone, kept in-cap as standing canaries --
     "observations_agg",   # A1-A3 core fold
     "entries_rrname",     # Q1 forward lookup (+Q4 order/limit)
     "entries_rdata",      # Q2 inverted lookup
     "aliases",            # J1 alias self-join
     "cidr_search",        # C1 numeric-range CIDR
     "input_normalize",    # §2.11 scalar-function surface
-    # -- one representative per big family (green r5-r7) --
+    # -- dedup family: bucket_pairs/ngram kernels CHANGED r13 (star
+    #    pairs + groupBy DF cap) — the whole family re-grades, the
+    #    r5-stale members recalled from the tail --
     "dedup_near_keep",
     "dedup_components",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_estimate",
+    "dedup_simhash",
+    "dedup_keep_longest",
+    # -- ANN/embedding: r5-stale recalls + standing canary --
     "ann_lsh_topk",
-    "events_resample",        # r12-NEW (mid-round): first grading
-    "corpus_quality_signals",
-    "corpus_mixture_resample",
-    # -- r7-cohort keepers (heaviest kernels; green r7-r10) --
+    "embedding_topk",
+    "embedding_cosine_pairs",
+    "hybrid_search_rrf",       # r12 first-graded, double-green then demote
+    # -- temporal: resample kernel changed r13 (floor-div); r5 recalls --
+    "events_resample",
+    "events_sessionize",
+    "events_retention",
+    "events_anomaly",
+    # -- r5-stale recalls: corpus/scalar kernels --
+    "tpch_q1",
+    "corpus_contamination",
+    "corpus_pii_redact",
+    "corpus_hash_split",
+    "corpus_vocab_topk",
+    "media_dedup",
+    # -- heavy composites --
     "pipeline_pretrain",
-    "corpus_bm25_topk",
-    # -- persisted-store roundtrips (store_delta_fold held as the
-    #    delta-LSM canary; span_dedup_store: kernel changed r12 —
-    #    claim + manifest order — needs fresh grading; bm25/vector
-    #    stores demoted mid-r12: green r10 AND r11, kernels unchanged,
-    #    displaced by the two NEW AttributeStore entries which become
-    #    the store-family's fresh canaries) --
-    "store_delta_fold",
+    # -- persisted stores: exact/span kernels changed r12-r13; attr
+    #    entries first-graded r12 (double-green then demote) --
+    "exact_dedup_store",
     "span_dedup_store",
     "attr_store_mix",
     "attr_mix_report",
-    # -- r7-new cohort entries kept in-cap: PSL-kernel-changed this
-    #    round (domain_profile/domain_cap/pipeline_crawl); fuzzy/psi
-    #    demoted mid-r12 (green r7-r11 multi-round, kernels unchanged)
-    #    to make room for the RECALLED packing entries below --
-    "pipeline_crawl",
-    # -- r12-NEW (mid-round): first grading --
+    # -- graph: _edge_relations refactor r13 --
     "graph_pagerank",
-    "corpus_main_content",
-    "hybrid_search_rrf",
-    # -- RECALLED mid-r12: pack_sequences kernel rewritten (per-token
-    #    posexplode -> per-(doc,seq) fragment slicing, ~seq_len x fewer
-    #    shuffle rows; same-session control 0.66x at sf1.0) — both
-    #    graded twins need fresh grading; pipeline_pretrain (in-cap
-    #    above) rides the same kernel --
+    "corpus_main_content",     # r12 first-graded
+    # -- packing: r12 fragment rewrite, double-green then demote --
     "corpus_pack_sequences",
     "corpus_pack_boundaries",
-    # -- r11 LM family: kn scorer kernel touched r12 (order-1
-    #    discount-estimate skip) -> stay for re-grading; mkn/sbo/band
-    #    kernels unchanged but green-r11-only (one more round) --
+    # -- KN family: scorer touched r12 (order-1 skip) — the two
+    #    deepest twins re-grade; siblings demoted (same kernel) --
     "corpus_lm_kn_perplexity",
-    "corpus_lm_kn3_perplexity",
-    "corpus_lm_mkn_perplexity",
     "lm_store_kn_perplexity",
-    "lm_store_kn3_perplexity",
-    "corpus_lm_sbo_perplexity",
-    "corpus_lm_band",
-    # -- kernel-changed r12: dedup rewrite + claim guard --
-    "pipeline_ccnet",
-    "exact_dedup_store",
-    "dedup_exact",
-    # -- r12-NEW kernels: first grading --
     "corpus_lm_kn5_perplexity",
+    "corpus_lm_kn_by_source",
+    # -- ccnet arms: dedup fingerprint changed r13 (tokens-join) +
+    #    lid-oracle LEFT-JOIN parity fix — ALL re-grade --
+    "pipeline_ccnet",
     "pipeline_ccnet5",
     "pipeline_ccnet_par",
-    "corpus_lang_id",
-    "corpus_lm_kn_by_source",
     "pipeline_ccnet_lid",
-    # -- promoted r12: last real-driver green in r9, three rounds ago --
-    "embedding_seed_topk",
-    "corpus_bpe_vocab",
-    "corpus_mixture_temperature",
-    "corpus_epoch_shuffle",
-    "corpus_normalize_unicode",
-    "corpus_length_batches",
-    "corpus_blocklist",
-    "corpus_snapshot_diff",
-    "corpus_bpe_encode",
-    "corpus_weighted_sample",
+    "corpus_lang_id",          # r12 first-graded
+    # -- r13-NEW: first grading --
+    "corpus_bpe_bytes",
+    "corpus_bpe_bytes_encode",
+    "pipeline_wet_ccnet",
+    "pipeline_ccnet_approx",   # rows-only (sketch-banded arm)
 ]
 
 # Tail rationale: every entry is either (a) real-driver green in two
@@ -415,11 +448,29 @@ CAP_50 = [
 #     candidates; agg_incremental — same merge fold as
 #     observations_agg.
 _TAIL = [
-    # --- r13-new, pending cap rotation (moved in below) ---
-    "corpus_bpe_bytes",
-    "corpus_bpe_bytes_encode",
-    "pipeline_wet_ccnet",
-    "pipeline_ccnet_approx",
+    # --- demoted r13 (double-green, kernels unchanged since last
+    #     grading; displaced by the r13 IN cohort) ---
+    "embedding_seed_topk",       # green r9+r12; ANN family in-cap via ann_lsh_topk/embedding_topk
+    "corpus_bpe_vocab",          # green r9+r12; merge-fold path graded harder via in-cap byte entries
+    "corpus_bpe_encode",         # green r9+r12; same encode kernel shape as in-cap corpus_bpe_bytes_encode
+    "corpus_mixture_temperature",# green r9+r12
+    "corpus_epoch_shuffle",      # green r9+r12
+    "corpus_normalize_unicode",  # green r9+r12
+    "corpus_length_batches",     # green r9+r12
+    "corpus_blocklist",          # green r9+r12
+    "corpus_snapshot_diff",      # green r9+r12
+    "corpus_weighted_sample",    # green r9+r12
+    "corpus_lm_kn3_perplexity",  # green r11+r12; same scorer as in-cap kn/kn5
+    "lm_store_kn3_perplexity",   # green r11+r12; store twin stays via lm_store_kn
+    "corpus_lm_mkn_perplexity",  # green r11+r12; kernel unchanged
+    "corpus_lm_sbo_perplexity",  # green r11+r12; kernel unchanged
+    "corpus_lm_band",            # green r11+r12; banding convention graded via ccnet arms
+    "corpus_quality_signals",    # green r5-r12 continuous; quality family rides pipeline_pretrain
+    "corpus_mixture_resample",   # green r5-r12 continuous; mixture family multi-graded
+    "pipeline_crawl",            # green r10-r12; crawl path graded harder by in-cap pipeline_wet_ccnet
+    "corpus_bm25_topk",          # green r7-r12; retrieval stays via in-cap hybrid_search_rrf
+    "store_delta_fold",          # green r10-r12; store family canaried by kernel-changed exact/span/attr stores
+
     # --- demoted mid-r12 (multi-round green, kernels unchanged;
     #     displaced by the recalled packing twins whose kernel the
     #     fragment rewrite changed, and by graph_pagerank) ---
@@ -482,20 +533,9 @@ _TAIL = [
     "ann_pq_topk",        # PQ arm; ANN family graded via in-cap ann_lsh_topk + ann_quality_eval
     # --- standing tail (double-verified or same-kernel siblings) ---
     "pipeline_clean",     # superseded in-cap by the longer pipeline_pretrain chain
-    "embedding_topk",     # brute-force baseline of in-cap ann_lsh_topk/knn_join
-    "corpus_vocab_topk",  # token-count kernel graded harder by tfidf/bm25
-    "corpus_hash_split",  # md5-threshold kernel graded via mixture_resample
     "corpus_dataset_profile",  # green r8+r9; stats-agg kernel, family graded via quality_signals
     "rollup_observations",# GROUPING SETS variant of in-cap observations_agg
-    "dedup_simhash",      # green r3-r5; pigeonhole-block kernel
-    "corpus_contamination",  # green r4-r5; broadcast n-gram join
-    "corpus_pii_redact",  # green r4-r5; pure regex projection
-    "events_sessionize",  # green r4-r5; gaps-and-islands kernel
     "media_stats",        # trivial metadata agg; media family graded via media_chunks
-    "events_anomaly",     # same RANGE-frame machinery as events_rolling_1h
-    "dedup_ngram_jaccard",# green r3-r5; shingle inverted-index kernel
-    "dedup_minhash_lsh",  # green r3-r5; its pair relation feeds in-cap dedup_components/near_keep
-    "events_retention",   # green r5; narrow keyed-agg kernel
     "media_chunks",       # green r6; mapInPandas chunking kernel
     "media_patches",      # green r6; patch-grid kernel, unit plan-asserted
     "corpus_clean_text",  # green r6; graded inside in-cap pipeline_pretrain
@@ -515,15 +555,10 @@ _TAIL = [
     "events_props_extract",  # green r8+r9; sibling events_props_profile stays in-cap
     "events_heavy_users",    # green r8+r9; same keyed-agg family as in-cap events_skew_metrics
     "corpus_source_overlap", # green r8+r9; broadcast-join kernel graded via contamination family
-    "tpch_q1",
     "tpch_q3",
     "join_enrich",
     "topk_per_group",
-    "dedup_keep_longest",
-    "embedding_cosine_pairs",
     "corpus_hash_sample",
-    "media_dedup",
-    "dedup_minhash_estimate",
 ]
 
 assert len(CAP_50) == 50, f"cap must be exactly 50, got {len(CAP_50)}"
