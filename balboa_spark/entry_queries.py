@@ -438,15 +438,13 @@ CAP_50 = [
 # Tail rationale: every entry is either (a) real-driver green in two
 # or more past rounds with an unchanged kernel, (b) a same-kernel
 # sibling of an in-cap entry, or (c) a generic SQL demo that is not a
-# §2 operator. Standing notes:
-#   tpch_q1/q3, join_enrich, topk_per_group — generic SQL demos, not
-#     §2 operators; dedup_keep_longest — rides dedup_near_keep's
-#     pairs+CC path; embedding_cosine_pairs — same scoring kernel as
-#     embedding_topk/knn_join; corpus_hash_sample — same md5-threshold
-#     as corpus_hash_split; media_dedup — same digest path as
-#     media_stats; dedup_minhash_estimate — rides dedup_minhash_lsh's
-#     candidates; agg_incremental — same merge fold as
-#     observations_agg.
+# §2 operator. Standing notes (r13 state):
+#   tpch_q3, join_enrich, topk_per_group — generic SQL demos, not §2
+#     operators (tpch_q1 currently rotated in-cap as the r5-stale
+#     representative of the class); corpus_hash_sample — same
+#     md5-threshold kernel as in-cap corpus_hash_split; media_stats —
+#     same digest path as in-cap media_dedup; agg_incremental — same
+#     merge fold as observations_agg.
 _TAIL = [
     # --- demoted r13 (double-green, kernels unchanged since last
     #     grading; displaced by the r13 IN cohort) ---

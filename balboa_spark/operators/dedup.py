@@ -26,7 +26,7 @@ import functools
 import operator
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from balboa_spark.operators.text import _shingles, fingerprint, tokens
@@ -566,18 +566,36 @@ def near_dedup_keep_best(
     highest-quality copy.
 
     Same scale shape as near_dedup_keep: components via alternating
-    star contraction, ONE windowed row_number per component over only
-    the PAIRED docs (component cardinality, not corpus cardinality),
-    then one anti-join dropping the non-representatives.
+    star contraction, then the representative per component via
+    ``groupBy(comp).agg(min(struct(-score, id)))`` — map-side
+    combinable, so a mass-duplicate component (by definition the
+    hottest key in the relation) reduces to one row per map task
+    before the exchange — and one anti-join dropping the
+    non-representatives. This replaces the r12 row_number window,
+    whose single unsplittable partition funneled the entire hottest
+    component into one task (the same class the exact-dedup and
+    ngram-Jaccard rewrites eliminated); the join back on comp is
+    AQE-skew-splittable, a window is not. Negating the score inside
+    a min(struct) keeps the exact (score desc, id asc) tie order.
     """
     comp = connected_components(pairs)
     scored = comp.join(
         df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")), "id"
     )
-    w = Window.partitionBy("comp").orderBy(F.desc("_score"), F.asc("id"))
+    best = (
+        scored.select(
+            "comp",
+            F.struct(
+                (-F.col("_score")).alias("_ns"), F.col("id").alias("id")
+            ).alias("_s"),
+        )
+        .groupBy("comp")
+        .agg(F.min("_s").alias("_s"))
+        .select("comp", F.col("_s.id").alias("_keep"))
+    )
     drop = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
+        scored.join(best, "comp")
+        .filter(F.col("id") != F.col("_keep"))
         .select(F.col("id").alias(id_col))
     )
     return df.join(drop, id_col, "left_anti")

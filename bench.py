@@ -475,6 +475,19 @@ def main() -> None:
             par(spark.table("documents")), merges512, top_n=30
         ).collect()
 
+    @timed("bpe_bytes_encode")
+    def _():
+        # byte-level tokenizer encode (r13): GPT-2 pre-tokenize ->
+        # per-DISTINCT-pre-token hex-pair fold -> structural-vocab
+        # broadcast join -> positional regroup. The no-OOV production
+        # tokenizer path at corpus scale.
+        from balboa_spark.entry_queries_corpus import BYTE_BPE_MERGES
+        from balboa_spark.operators import bpe
+
+        bpe.byte_encode_corpus(
+            par(spark.table("documents")), BYTE_BPE_MERGES
+        ).write.mode("overwrite").format("noop").save()
+
     @timed("events_skew")
     def _():
         # skew diagnostics: one keys-sized groupBy + a 1-row reduce

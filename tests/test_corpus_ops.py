@@ -242,13 +242,25 @@ def test_near_dedup_keep_best_prefers_score(spark):
         [(1, "aa"), (2, "aaaa"), (3, "aaa"), (4, "zz")], ["doc_id", "text"]
     )
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
-    kept = sorted(
-        r["doc_id"]
-        for r in dedup.near_dedup_keep_best(
-            docs.withColumn("n_chars", F.length("text")), pairs, "n_chars"
-        ).collect()
+    out = dedup.near_dedup_keep_best(
+        docs.withColumn("n_chars", F.length("text")), pairs, "n_chars"
     )
+    # r13: the representative comes from a map-side-combinable
+    # groupBy min(struct(-score, id)), never a per-component window —
+    # a mass-dup component is the hottest key by definition
+    assert "Window" not in out._jdf.queryExecution().optimizedPlan().toString()
+    kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [2, 4]
+    # score tie inside a component breaks to the LOWEST id (the exact
+    # order the retired window used)
+    tie = dedup.near_dedup_keep_best(
+        spark.createDataFrame(
+            [(5, 7), (6, 7), (9, 1)], ["doc_id", "n_chars"]
+        ).withColumn("text", F.lit("x")),
+        spark.createDataFrame([(5, 6)], ["id_a", "id_b"]),
+        "n_chars",
+    )
+    assert sorted(r["doc_id"] for r in tie.collect()) == [5, 9]
 
 
 def test_contamination_broadcasts_only_benchmark(spark, tables):
