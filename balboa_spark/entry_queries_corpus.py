@@ -3342,6 +3342,10 @@ def q_pipeline_wet_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"), min_block_chars=_MC_MIN_CHARS
         ).alias("text"),
     )
+    # mc feeds BOTH the ccnet chain and the mixer's docs side —
+    # materialize once or the WET parse + block-gate regex chain runs
+    # twice (the pipeline_crawl inlined-extraction lesson)
+    mc = mc.localCheckpoint(eager=True)
     lid_train = docs.where(F.col("doc_id") % 2 == 0).select(
         F.col("source").alias("lang"), "text"
     )
