@@ -400,7 +400,6 @@ CAP_50 = [
     "corpus_pii_redact",
     "corpus_hash_split",
     "corpus_vocab_topk",
-    "media_dedup",
     # -- heavy composites --
     "pipeline_pretrain",
     # -- persisted stores: exact/span kernels changed r12-r13; attr
@@ -433,6 +432,7 @@ CAP_50 = [
     "corpus_bpe_bytes_encode",
     "pipeline_wet_ccnet",
     "pipeline_ccnet_approx",   # rows-only (sketch-banded arm)
+    "corpus_unigram_segment",  # r13-NEW: cross-engine Viterbi DP
 ]
 
 # Tail rationale: every entry is either (a) real-driver green in two
@@ -556,6 +556,7 @@ _TAIL = [
     "tpch_q3",
     "join_enrich",
     "topk_per_group",
+    "media_dedup",        # r5-stale; deferred to the r14 cohort to make cap room for the never-graded corpus_unigram_segment; same digest path as media_stats
     "corpus_hash_sample",
 ]
 

@@ -1320,6 +1320,90 @@ FROM ids GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# -- unigram-LM (SentencePiece-style) tokenizer (r13) -----------------------
+
+#: Unigram piece distribution learned once by unigram.unigram_fit over
+#: the sf0.01 documents corpus (seed 64 substrings -> 2 EM rounds with
+#: pruning -> final M-step) and pinned; logp rounded to 6dp. The EM
+#: fit is verified against brute-force segmentation enumeration in
+#: unit tests; the driver grades the Viterbi APPLY path — both engines
+#: run the same forward-(s,bp) DP fold and backward trail walk.
+UNIGRAM_VOCAB: list[tuple[str, float]] = [
+    ("a", -2.759849), ("al", -3.975734), ("as", -7.266568),
+    ("at", -6.633161), ("atch", -4.81787), ("b", -3.490193),
+    ("ba", -13.172373), ("bat", -13.082016), ("batc", -5.61504),
+    ("c", -4.467052), ("ch", -13.016361), ("co", -5.060915),
+    ("colu", -5.230852), ("cus", -11.962554), ("cust", -4.447441),
+    ("d", -3.373204), ("e", -2.502522), ("er", -3.558284),
+    ("f", -3.797699), ("g", -2.879955), ("h", -4.255395),
+    ("hash", -4.432786), ("i", -3.785325), ("in", -3.792815),
+    ("j", -27.61451), ("join", -4.414902), ("k", -3.803874),
+    ("l", -2.784928), ("lu", -9.313436), ("lumn", -5.057592),
+    ("m", -3.752829), ("me", -14.51513), ("mer", -4.52033),
+    ("mn", -5.229665), ("n", -11.97605), ("o", -8.435956),
+    ("ome", -14.44387), ("omer", -4.44907), ("or", -3.394192),
+    ("ow", -3.765388), ("p", -4.477289), ("pa", -11.828908),
+    ("par", -3.815357), ("q", -4.516351), ("r", -4.002123),
+    ("ro", -4.502369), ("row", -4.495647), ("rt", -10.972244),
+    ("s", -3.032262), ("scan", -4.444378), ("st", -4.011625),
+    ("t", -2.757835), ("ta", -4.059918), ("tch", -10.5841),
+    ("to", -8.573719), ("u", -3.956869), ("ue", -4.245564),
+    ("v", -3.785463), ("w", -4.485717), ("y", -3.808954),
+]
+UNIGRAM_MAX_LEN = 4
+UNIGRAM_TOP = 30
+
+
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram tokenizer's apply path, driver-graded: Viterbi
+    max-probability segmentation of the heaviest UNIGRAM_TOP corpus
+    words under the pinned piece distribution — the DP itself (a
+    forward fold over positions + a backward trail walk, both pure
+    Column programs, no UDF) is what the hash checks, score AND
+    pieces. Tie contract: equal scores break to the highest
+    backpointer (shortest final piece) — identical lexicographic
+    struct-max in both engines."""
+    from balboa_spark.operators import unigram
+
+    return unigram.unigram_segment_words(
+        _docs(spark, sf_dir),
+        UNIGRAM_VOCAB,
+        max_piece_len=UNIGRAM_MAX_LEN,
+        top_n=UNIGRAM_TOP,
+    )
+
+
+def _unigram_oracle() -> str:
+    from balboa_spark.operators import unigram
+
+    fwd, trail, pieces, logp = unigram.viterbi_sql(
+        "word", UNIGRAM_VOCAB, UNIGRAM_MAX_LEN
+    )
+    return f"""
+WITH {_TOKS_SQL},
+words AS (
+  SELECT t AS word, count(*) AS cnt
+  FROM (SELECT unnest(tk) AS t FROM toks)
+  WHERE regexp_matches(t, '^[a-z0-9]+$')
+  GROUP BY t
+),
+top AS (
+  SELECT word, cnt FROM words ORDER BY cnt DESC, word LIMIT {UNIGRAM_TOP}
+),
+staged AS MATERIALIZED (SELECT word, cnt, {fwd} AS fwd FROM top),
+staged2 AS MATERIALIZED (SELECT word, cnt, fwd, {trail} AS tr FROM staged),
+-- pieces staged ONCE and MATERIALIZED (DuckDB inlines plain CTEs, so
+-- a non-materialized stage would still duplicate the transform
+-- lambda, re-triggering the lambda cross-talk viterbi_sql documents)
+staged3 AS MATERIALIZED (SELECT word, cnt, fwd, {pieces} AS pl FROM staged2)
+SELECT word, cnt,
+       array_to_string(pl, ' ') AS pieces,
+       CAST(len(pl) AS INTEGER) AS n_pieces,
+       {logp} AS logp
+FROM staged3 ORDER BY cnt DESC, word
+"""
+
+
 def q_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NFC normalization with a deterministic decomposed prefix
     (e + COMBINING ACUTE) injected so the normalization is observable
@@ -3626,6 +3710,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bpe_bytes": q_bpe_bytes,
     "pipeline_wet_ccnet": q_pipeline_wet_ccnet,
     "pipeline_ccnet_approx": q_pipeline_ccnet_approx,
+    "corpus_unigram_segment": q_unigram_segment,
     "corpus_bpe_bytes_encode": q_bpe_bytes_encode,
     "corpus_snapshot_diff": q_snapshot_diff,
     "corpus_blocklist": q_blocklist,
@@ -3697,6 +3782,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_bpe_encode": _bpe_encode_oracle(),
     "corpus_bpe_bytes": _bpe_bytes_oracle(),
     "pipeline_wet_ccnet": PIPELINE_WET_CCNET_ORACLE,
+    "corpus_unigram_segment": _unigram_oracle(),
     "corpus_bpe_bytes_encode": _bpe_bytes_encode_oracle(),
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "corpus_span_dedup": SPAN_DEDUP_ORACLE,

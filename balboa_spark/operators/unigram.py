@@ -1,0 +1,371 @@
+"""Unigram-LM (SentencePiece-style) tokenizer: seed vocab, EM fit,
+and a cross-engine Viterbi segmenter.
+
+Kudo 2018 ("Subword Regularization", §3 — public algorithm): model a
+word as the max-probability concatenation of vocabulary pieces under a
+unigram piece distribution; FIT the distribution by EM over all
+segmentations; SEGMENT by Viterbi. This completes the engine's
+tokenizer family (word-level BPE, byte-level BPE, unigram LM) — the
+three production tokenizer shapes.
+
+Scale design (same discipline as operators/bpe.py):
+
+- One corpus pass builds the word histogram; everything downstream is
+  vocabulary-relational (Heaps' law) or parameter-sized (the piece
+  table itself — bounded driver state).
+- The E-step runs once per DISTINCT word (an Arrow pandas_udf doing
+  per-word forward-backward — the designated Python seam, vocabulary
+  broadcast in the closure), weighted by word count relationally; the
+  M-step is one groupBy(piece) sum. No driver-side loops over data.
+- SEGMENTATION under a FIXED vocab is a pure Column program: a
+  forward DP fold (F.aggregate over the position sequence, array
+  accumulator of (score, backptr) structs) + a backward
+  reconstruction fold — no UDF, no shuffle, and the DuckDB twin
+  (:func:`viterbi_sql`) replays it expression-for-expression, so the
+  driver oracle grades the DP itself.
+- Ties in the DP break to the HIGHEST backpointer (the shortest
+  final piece) — max over (score, bp) structs, identical
+  lexicographic struct comparison in Spark and DuckDB.
+
+Pieces come from lowercased ``^[a-z0-9]+$`` words (the word-BPE
+alphabet contract), so every piece is literal-safe in both engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from balboa_spark.operators.bpe import WORD_RE, word_histogram
+
+#: log-prob assigned to a single character absent from the vocabulary
+#: (fit-on-A / segment-on-B): keeps Viterbi total instead of undefined.
+UNK_LOGP = -20.0
+
+#: fixed rounding of piece log-probs — pinned literals stay short and
+#: the DP's float trajectory is identical across engines.
+LOGP_DP = 6
+
+
+def seed_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    top_m: int = 64,
+) -> DataFrame:
+    """(piece, freq): every substring of length 1..max_piece_len of
+    every vocab word, weighted by word count; the top_m multi-char
+    pieces by (freq desc, piece asc) UNION all single characters
+    (closure: any alnum word stays segmentable). One vocab-sized
+    explode, one groupBy — never corpus-cardinality on the driver."""
+    words = word_histogram(df, text_col)
+    subs = words.select(
+        "cnt",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(int(max_piece_len)),
+                                F.length("word") - i + 1,
+                            ),
+                        ),
+                        lambda le: F.col("word").substr(i, le),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    freq = subs.groupBy("piece").agg(F.sum("cnt").alias("freq"))
+    chars = freq.filter(F.length("piece") == 1)
+    multi = (
+        freq.filter(F.length("piece") >= 2)
+        .orderBy(F.col("freq").desc(), "piece")
+        .limit(int(top_m))
+    )
+    return chars.unionByName(multi)
+
+
+def _fb_expected(word: str, vocab: dict[str, float], max_len: int) -> list:
+    """Forward-backward expected piece counts over ALL segmentations
+    of one word (log-space-free: probs are tiny but words are short;
+    use plain floats with underflow-safe scaling via max-shift)."""
+    n = len(word)
+    # alpha[i] = total prob of prefix i; beta[i] = of suffix from i
+    alpha = [0.0] * (n + 1)
+    alpha[0] = 1.0
+    for i in range(1, n + 1):
+        a = 0.0
+        for j in range(max(0, i - max_len), i):
+            p = vocab.get(word[j:i])
+            if p is not None and alpha[j] > 0.0:
+                a += alpha[j] * p
+        alpha[i] = a
+    beta = [0.0] * (n + 1)
+    beta[n] = 1.0
+    for i in range(n - 1, -1, -1):
+        b = 0.0
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            p = vocab.get(word[i:j])
+            if p is not None and beta[j] > 0.0:
+                b += p * beta[j]
+        beta[i] = b
+    z = alpha[n]
+    if z <= 0.0:
+        return []
+    out: dict[str, float] = {}
+    for i in range(n):
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            piece = word[i:j]
+            p = vocab.get(piece)
+            if p is not None:
+                e = alpha[i] * p * beta[j] / z
+                if e > 0.0:
+                    out[piece] = out.get(piece, 0.0) + e
+    return list(out.items())
+
+
+def unigram_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 48,
+    max_piece_len: int = 4,
+    seed_m: int = 64,
+    em_iters: int = 2,
+    prune_per_iter: float = 0.25,
+) -> list[tuple[str, float]]:
+    """Learn a unigram piece distribution: seed -> (EM round + prune
+    worst multi-char pieces) x em_iters -> final M-step. Returns
+    [(piece, logp)] sorted (piece asc), logp rounded to LOGP_DP —
+    bounded driver state, the tokenizer artifact.
+
+    Per round: ONE Arrow pass over the DISTINCT-word relation
+    (expected counts), one relational M-step. Pruning drops the
+    bottom ``prune_per_iter`` fraction of multi-char pieces by
+    probability (ties: piece desc dropped first) but never below
+    ``vocab_size`` and never a single char (closure)."""
+    words = word_histogram(df, text_col).localCheckpoint(eager=True)
+    seed = {
+        r["piece"]: float(r["freq"])
+        for r in seed_vocab(df, text_col, max_piece_len, seed_m).collect()
+    }
+    tot = sum(seed.values())
+    vocab = {p: f / tot for p, f in seed.items()}
+
+    def em_round(cur: dict[str, float]) -> dict[str, float]:
+        items = sorted(cur.items())
+        pieces, probs = [p for p, _ in items], [pr for _, pr in items]
+
+        from pyspark.sql.functions import pandas_udf
+
+        vmap = dict(zip(pieces, probs))
+
+        @pandas_udf("array<struct<piece:string,e:double>>")
+        def _estep(ws: pd.Series) -> pd.Series:
+            return ws.map(
+                lambda w: [
+                    {"piece": p, "e": e}
+                    for p, e in _fb_expected(w, vmap, max_piece_len)
+                ]
+            )
+
+        counts = (
+            words.select("cnt", _estep("word").alias("_es"))
+            .select("cnt", F.explode("_es").alias("pe"))
+            .groupBy(F.col("pe.piece").alias("piece"))
+            .agg(F.sum(F.col("pe.e") * F.col("cnt")).alias("c"))
+            .collect()
+        )
+        total = sum(r["c"] for r in counts)
+        return {r["piece"]: r["c"] / total for r in counts if r["c"] > 0}
+
+    for _ in range(em_iters):
+        vocab = em_round(vocab)
+        multi = sorted(
+            ((pr, p) for p, pr in vocab.items() if len(p) >= 2),
+        )
+        n_drop = min(
+            int(len(multi) * prune_per_iter),
+            max(0, len(vocab) - int(vocab_size)),
+        )
+        for _, p in multi[:n_drop]:
+            del vocab[p]
+    vocab = em_round(vocab)
+    return sorted((p, round(math.log(pr), LOGP_DP)) for p, pr in vocab.items())
+
+
+# -- Viterbi segmentation: cross-engine DP folds ----------------------------
+
+def _vocab_map(vocab: list[tuple[str, float]]) -> Column:
+    return F.create_map(
+        *[x for p, lp in vocab for x in (F.lit(p), F.lit(float(lp)))]
+    )
+
+
+def viterbi_forward(
+    word: Column, vocab: list[tuple[str, float]], max_piece_len: int
+) -> Column:
+    """Forward DP as ONE F.aggregate over the position sequence:
+    accumulator = array of (s, bp) structs, element p+1 = best score /
+    backpointer for the length-p prefix. Candidates at position i are
+    pieces ending at i with length <= max_piece_len; unknown single
+    chars score UNK_LOGP (totality); ties break to the highest bp
+    (max over (s, bp) structs — identical in DuckDB)."""
+    m = _vocab_map(vocab)
+    L = int(max_piece_len)
+
+    def lookup(piece: Column, length: Column) -> Column:
+        return F.coalesce(
+            F.element_at(m, piece),
+            F.when(length == 1, F.lit(float(UNK_LOGP))),
+        )
+
+    def step(acc: Column, i: Column) -> Column:
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.greatest(F.lit(1), i - F.lit(L) + 1), i),
+                lambda j: F.struct(
+                    (
+                        F.element_at(acc, j)["s"]
+                        + lookup(word.substr(j, i - j + 1), i - j + 1)
+                    ).alias("s"),
+                    (j - 1).alias("bp"),
+                ),
+            ),
+            lambda c: c["s"].isNotNull(),
+        )
+        return F.concat(acc, F.array(F.array_max(cands)))
+
+    init = F.array(F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("bp")))
+    return F.aggregate(F.sequence(F.lit(1), F.length(word)), init, step)
+
+
+def viterbi_pieces(word: Column, fwd: Column) -> Column:
+    """Backward reconstruction from a FORWARD COLUMN REFERENCE (pass
+    a materialized column, not the forward expression — referencing
+    the fold expression three times would clone its whole tree, the
+    bpe single-reference lesson): walk backpointers from the full
+    length, prepending each piece."""
+    n = F.length(word)
+    init = F.struct(
+        n.alias("pos"), F.array().cast("array<string>").alias("parts")
+    )
+
+    def step(acc: Column, _) -> Column:
+        bp = F.element_at(fwd, acc["pos"] + 1)["bp"]
+        return F.when(
+            acc["pos"] > 0,
+            F.struct(
+                bp.alias("pos"),
+                F.concat(
+                    F.array(word.substr(bp + 1, acc["pos"] - bp)),
+                    acc["parts"],
+                ).alias("parts"),
+            ),
+        ).otherwise(acc)
+
+    return F.aggregate(F.sequence(F.lit(1), n), init, step)["parts"]
+
+
+def unigram_segment_words(
+    df: DataFrame,
+    vocab: list[tuple[str, float]],
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary segmented under a fixed unigram vocab:
+    (word, cnt, pieces [space-joined], n_pieces, logp) heaviest-first.
+    Two staged projections keep the plan single-reference: the
+    forward fold materializes as a column, the backward fold and the
+    final score read that column."""
+    words = word_histogram(df, text_col)
+    if top_n is not None:
+        words = words.orderBy(F.col("cnt").desc(), "word").limit(int(top_n))
+    staged = words.select(
+        "word",
+        "cnt",
+        viterbi_forward(F.col("word"), vocab, max_piece_len).alias("_fwd"),
+    )
+    out = staged.select(
+        "word",
+        "cnt",
+        F.concat_ws(
+            " ", viterbi_pieces(F.col("word"), F.col("_fwd"))
+        ).alias("pieces"),
+        F.round(F.element_at("_fwd", -1)["s"], LOGP_DP).alias("logp"),
+    )
+    return out.select(
+        "word",
+        "cnt",
+        "pieces",
+        F.size(F.split("pieces", " ")).alias("n_pieces"),
+        "logp",
+    ).orderBy(F.col("cnt").desc(), "word")
+
+
+def viterbi_sql(
+    word_expr: str, vocab: list[tuple[str, float]], max_piece_len: int
+) -> tuple[str, str, str]:
+    """The DuckDB twin: (fwd_expr, pieces_expr, logp_expr) where
+    fwd_expr computes the forward (s, bp) table over ``word_expr``
+    and the other two assume columns named ``word`` and ``fwd``
+    (the same staged, single-reference shape as the engine).
+    list_reduce has first-element seeding only, so both folds prepend
+    their seed to a same-typed position list (the BPE-oracle
+    convention)."""
+    L = int(max_piece_len)
+    keys = ", ".join(f"'{p}'" for p, _ in vocab)
+    vals = ", ".join(f"CAST({lp!r} AS DOUBLE)" for _, lp in vocab)
+    lookup = (
+        f"coalesce((map([{keys}], [{vals}])"
+        f"[substring({{w}}, j, x.i - j + 1)])[1], "
+        f"CASE WHEN x.i - j + 1 = 1 THEN CAST({UNK_LOGP!r} AS DOUBLE) END)"
+    )
+    fwd = f"""list_reduce(
+  list_prepend(
+    struct_pack(i := 0, st := [struct_pack(s := CAST(0.0 AS DOUBLE), bp := 0)]),
+    list_transform(range(1, length({word_expr}) + 1),
+      k -> struct_pack(i := k, st := CAST(NULL AS STRUCT(s DOUBLE, bp INTEGER)[])))),
+  (acc, x) -> struct_pack(i := x.i, st := list_append(acc.st,
+    list_aggregate(
+      list_filter(
+        list_transform(range(greatest(1, x.i - {L} + 1), x.i + 1),
+          j -> struct_pack(
+            s := acc.st[j].s + {lookup.format(w=word_expr)},
+            bp := j - 1)),
+        c -> c.s IS NOT NULL),
+      'max')))
+).st"""
+    # NB: the backward fold accumulates the POSITION TRAIL as a PLAIN
+    # LIST whose last element is the current position, and the pieces
+    # are cut OUTSIDE the fold. Two DuckDB lambda hazards drove this
+    # shape (both reproduced, both plan-context-dependent): (a) a
+    # struct_pack accumulator whose field rebinds a name a SIBLING
+    # field also reads (pos := new; sibling reading acc.pos) evaluates
+    # in an undefined order, and (b) referencing the same
+    # list_transform lambda twice in one SELECT duplicates it through
+    # CTE inlining and re-triggers (a). A single-field list
+    # accumulator has no sibling fields to cross-talk and was verified
+    # stable inline AND materialized. The trail ends in 0 once the
+    # walk reaches the origin (the CASE stops appending).
+    trail = """list_reduce(
+  list_prepend(
+    [length(word)],
+    list_transform(range(1, length(word) + 1), k -> CAST(NULL AS INTEGER[]))),
+  (acc, x) -> CASE WHEN acc[-1] > 0
+              THEN list_append(acc, fwd[acc[-1] + 1].bp)
+              ELSE acc END
+)"""
+    pieces = """list_reverse(list_transform(
+  range(1, len(tr)),
+  k -> substring(word, tr[k + 1] + 1, tr[k] - tr[k + 1])))"""
+    logp = f"round(fwd[length(word) + 1].s, {LOGP_DP})"
+    return fwd, trail, pieces, logp
