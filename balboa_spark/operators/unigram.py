@@ -311,6 +311,67 @@ def unigram_segment_words(
     ).orderBy(F.col("cnt").desc(), "word")
 
 
+#: id reserved for an unseen single character (the UNK piece); real
+#: pieces get ids 1.. in vocab (piece asc) order.
+UNK_PIECE_ID = 0
+
+
+def unigram_encode_corpus(
+    df: DataFrame,
+    vocab: list[tuple[str, float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Corpus → (id, piece_ids array<int>) under the unigram vocab:
+    Viterbi-segment once per DISTINCT word (the fold runs on the
+    vocabulary-sized relation, never the token stream), join back by
+    word, map pieces to dense ids via a parameter-sized broadcast
+    (vocab order = piece asc, ids from 1; unseen single chars —
+    scored UNK_LOGP by the DP — map to UNK_PIECE_ID so sequences keep
+    their true length). Same distributed shape as
+    bpe.encode_corpus / byte_encode_corpus."""
+    from balboa_spark.operators.bpe import WORD_RE as _WR
+    from balboa_spark.operators.text import tokens
+
+    spark = df.sparkSession
+    idmap = spark.createDataFrame(
+        [(p, i + 1) for i, (p, _) in enumerate(sorted(vocab))],
+        "piece string, piece_id int",
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(tokens(F.col(text_col)), lambda w: w.rlike(_WR))
+        ).alias("_wpos", "_word"),
+    )
+    staged = (
+        toks.select("_word")
+        .distinct()
+        .select(
+            "_word",
+            viterbi_forward(F.col("_word"), vocab, max_piece_len).alias("_fwd"),
+        )
+    )
+    seg = staged.select(
+        "_word", viterbi_pieces(F.col("_word"), F.col("_fwd")).alias("_pieces")
+    )
+    pieces = toks.join(seg, "_word").select(
+        F.col(id_col), "_wpos", F.posexplode("_pieces").alias("_ppos", "piece")
+    )
+    mapped = pieces.join(F.broadcast(idmap), "piece", "left").withColumn(
+        "piece_id", F.coalesce("piece_id", F.lit(UNK_PIECE_ID))
+    )
+    return mapped.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("_wpos", "_ppos", "piece_id"))
+            ),
+            lambda s: s["piece_id"],
+        ).alias("piece_ids")
+    )
+
+
 def viterbi_sql(
     word_expr: str, vocab: list[tuple[str, float]], max_piece_len: int
 ) -> tuple[str, str, str]:

@@ -172,3 +172,28 @@ def test_viterbi_plan_no_udf_no_shuffle(spark):
     out = unigram.unigram_segment_words(df, VOCAB, max_piece_len=L)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def test_unigram_encode_corpus_ids_and_unk(spark):
+    """Encode: ids follow piece-asc order from 1, unseen single chars
+    map to UNK_PIECE_ID, token order is preserved positionally, and
+    decoding ids back through the vocab reassembles the alnum words."""
+    docs = spark.createDataFrame(
+        [(1, "ab abc"), (2, "abx")], ["doc_id", "text"]
+    )
+    enc = {
+        r["doc_id"]: list(r["piece_ids"])
+        for r in unigram.unigram_encode_corpus(docs, VOCAB, max_piece_len=L).collect()
+    }
+    order = [p for p, _ in sorted(VOCAB)]
+    ids = {p: i + 1 for i, p in enumerate(order)}
+    # doc 1: 'ab' -> [ab]; 'abc' -> best of abc / ab+c / a+bc ...
+    best_abc = max(
+        [(["abc"],), (["ab", "c"],), (["a", "bc"],), (["a", "b", "c"],)],
+        key=lambda s: sum(VMAP[p] for p in s[0]),
+    )[0]
+    assert enc[1] == [ids["ab"]] + [ids[p] for p in best_abc]
+    # doc 2: 'abx' -> ab + UNK(x)
+    assert enc[2] == [ids["ab"], unigram.UNK_PIECE_ID]
+    rev = {v: k for k, v in ids.items()}
+    assert "".join(rev.get(i, "x") for i in enc[2]) == "abx"
