@@ -375,10 +375,12 @@ def unigram_encode_corpus(
 def viterbi_sql(
     word_expr: str, vocab: list[tuple[str, float]], max_piece_len: int
 ) -> tuple[str, str, str]:
-    """The DuckDB twin: (fwd_expr, pieces_expr, logp_expr) where
-    fwd_expr computes the forward (s, bp) table over ``word_expr``
-    and the other two assume columns named ``word`` and ``fwd``
-    (the same staged, single-reference shape as the engine).
+    """The DuckDB twin: (fwd_expr, trail_expr, pieces_expr, logp_expr)
+    — fwd computes the forward (s, bp) table over ``word_expr``;
+    trail assumes columns ``word`` and ``fwd``; pieces assumes
+    ``word`` and ``tr``; logp assumes ``word`` and ``fwd``. Stage each
+    as its own MATERIALIZED CTE column (the engine's staged
+    single-reference shape — see the trail note below for why).
     list_reduce has first-element seeding only, so both folds prepend
     their seed to a same-typed position list (the BPE-oracle
     convention)."""

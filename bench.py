@@ -475,6 +475,23 @@ def main() -> None:
             par(spark.table("documents")), merges512, top_n=30
         ).collect()
 
+    @timed("unigram_segment")
+    def _():
+        # unigram-LM Viterbi apply path (r13): word histogram + the
+        # forward/backward Column DP folds over the distinct-word
+        # relation — the SentencePiece tokenizer's hot path.
+        from balboa_spark.entry_queries_corpus import (
+            UNIGRAM_MAX_LEN,
+            UNIGRAM_VOCAB,
+        )
+        from balboa_spark.operators import unigram
+
+        unigram.unigram_segment_words(
+            par(spark.table("documents")),
+            UNIGRAM_VOCAB,
+            max_piece_len=UNIGRAM_MAX_LEN,
+        ).write.mode("overwrite").format("noop").save()
+
     @timed("bpe_bytes_encode")
     def _():
         # byte-level tokenizer encode (r13): GPT-2 pre-tokenize ->
