@@ -452,7 +452,19 @@ class TokenizerStore:
     segmentation expression from the stored merges via
     :func:`segment_any`, so a reader needs no state beyond the path —
     the production shape where the tokenizer is fit once on the
-    corpus snapshot and replayed by every downstream job."""
+    corpus snapshot and replayed by every downstream job.
+
+    ``kind`` (r13): one store persists any of the engine's three
+    tokenizer families under the same commit model — ``"word"``
+    (Sennrich word-level BPE, the original arm), ``"byte"`` (GPT-2
+    byte-level BPE: merges.json over hex-pair units + the STRUCTURAL
+    256+merges vocab), ``"unigram"`` (SentencePiece unigram LM:
+    pieces.json [(piece, logp)] + the piece-asc id table). The kind
+    is pinned by the first committed fit (manifest field, the
+    attribute-store schema-pinning convention): a later fit with a
+    different kind raises instead of silently mixing artifacts that
+    downstream readers would misinterpret. Pre-r13 manifests have no
+    kind field and read as "word"."""
 
     MANIFEST = "manifest.json"
 
@@ -472,6 +484,41 @@ class TokenizerStore:
 
         return os.path.join(self.path, f"gen-{gen}")
 
+    def kind(self) -> str:
+        """The committed tokenizer family ('word' for pre-r13 stores
+        whose manifest predates the field)."""
+        return self._manifest().get("kind", "word")
+
+    def _start_fit(self, kind: str) -> tuple[int, str]:
+        import os
+
+        try:
+            man = self._manifest()
+            committed = man.get("kind", "word")
+            if committed != kind:
+                raise ValueError(
+                    f"store at {self.path} is committed as kind "
+                    f"{committed!r}; a {kind!r} tokenizer needs a new "
+                    "path (kinds never mix within one artifact)"
+                )
+            gen = man["generation"] + 1
+        except FileNotFoundError:
+            gen = 0
+        gen_dir = self._gen_dir(gen)
+        os.makedirs(gen_dir, exist_ok=True)
+        return gen, gen_dir
+
+    def _commit(self, gen: int, extra: dict) -> None:
+        from balboa_spark.plans.genstore import (
+            flip_manifest,
+            vacuum_generations,
+        )
+
+        flip_manifest(
+            self.path, {"generation": gen, **extra}, self.MANIFEST
+        )
+        vacuum_generations(self.path, gen, keep_last=2)
+
     def fit(
         self,
         df: DataFrame,
@@ -485,18 +532,7 @@ class TokenizerStore:
         import json
         import os
 
-        from balboa_spark.plans.genstore import (
-            flip_manifest,
-            vacuum_generations,
-        )
-
-        try:
-            gen = self._manifest()["generation"] + 1
-        except FileNotFoundError:
-            gen = 0
-        gen_dir = self._gen_dir(gen)
-        os.makedirs(gen_dir, exist_ok=True)
-
+        gen, gen_dir = self._start_fit("word")
         merges = bpe_fit(
             df, text_col=text_col, num_merges=num_merges,
             min_pair_count=min_pair_count,
@@ -506,19 +542,97 @@ class TokenizerStore:
         vocab_table(df, merges, text_col=text_col).write.mode(
             "overwrite"
         ).parquet(os.path.join(gen_dir, "vocab"))
-
-        flip_manifest(
-            self.path,
-            {
-                "generation": gen,
-                "num_merges": len(merges),
-                "text_col": text_col,
-                "min_pair_count": min_pair_count,
-            },
-            self.MANIFEST,
-        )
-        vacuum_generations(self.path, gen, keep_last=2)
+        self._commit(gen, {
+            "kind": "word",
+            "num_merges": len(merges),
+            "text_col": text_col,
+            "min_pair_count": min_pair_count,
+        })
         return merges
+
+    def fit_byte(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        num_merges: int = 16,
+        min_pair_count: int = 2,
+    ) -> list[tuple[str, str]]:
+        """Byte-level arm: persist merges.json (hex-pair merges) + the
+        STRUCTURAL vocab parquet (piece, weight=0, piece_id — ids are
+        positional: 256 base bytes then merges, so encode stays
+        provably OOV-free straight off the stored table)."""
+        import json
+        import os
+
+        gen, gen_dir = self._start_fit("byte")
+        merges = byte_bpe_fit(
+            df, text_col=text_col, num_merges=num_merges,
+            min_pair_count=min_pair_count,
+        )
+        with open(os.path.join(gen_dir, "merges.json"), "w") as fh:
+            json.dump([list(m) for m in merges], fh)
+        self.spark.createDataFrame(
+            [(p, 0, i) for p, i in byte_vocab(merges)],
+            "piece string, weight long, piece_id int",
+        ).write.mode("overwrite").parquet(os.path.join(gen_dir, "vocab"))
+        self._commit(gen, {
+            "kind": "byte",
+            "num_merges": len(merges),
+            "text_col": text_col,
+            "min_pair_count": min_pair_count,
+        })
+        return merges
+
+    def fit_unigram(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        vocab_size: int = 48,
+        max_piece_len: int = 4,
+        seed_m: int = 64,
+        em_iters: int = 2,
+    ) -> list[tuple[str, float]]:
+        """Unigram-LM arm: persist pieces.json [(piece, logp)] + the
+        piece-asc id table (UNK_PIECE_ID 0 is implicit; ids from 1)."""
+        import json
+        import os
+
+        from balboa_spark.operators import unigram as _ug
+
+        gen, gen_dir = self._start_fit("unigram")
+        pieces = _ug.unigram_fit(
+            df, text_col=text_col, vocab_size=vocab_size,
+            max_piece_len=max_piece_len, seed_m=seed_m, em_iters=em_iters,
+        )
+        with open(os.path.join(gen_dir, "pieces.json"), "w") as fh:
+            json.dump([[p, lp] for p, lp in pieces], fh)
+        self.spark.createDataFrame(
+            [(p, lp, i + 1) for i, (p, lp) in enumerate(sorted(pieces))],
+            "piece string, logp double, piece_id int",
+        ).write.mode("overwrite").parquet(os.path.join(gen_dir, "vocab"))
+        self._commit(gen, {
+            "kind": "unigram",
+            "vocab_size": len(pieces),
+            "max_piece_len": max_piece_len,
+            "text_col": text_col,
+        })
+        return pieces
+
+    def pieces(
+        self, generation: int | None = None
+    ) -> list[tuple[str, float]]:
+        """The stored unigram piece distribution [(piece, logp)]."""
+        import json
+        import os
+
+        if self.kind() != "unigram":
+            raise ValueError(
+                f"pieces() is the unigram artifact; this store is "
+                f"{self.kind()!r}"
+            )
+        gen = self._resolve_gen(generation)
+        with open(os.path.join(self._gen_dir(gen), "pieces.json")) as fh:
+            return [(p, lp) for p, lp in json.load(fh)]
 
     def generations(self) -> list[int]:
         """Committed, retained tokenizer generations, oldest first —
@@ -551,6 +665,11 @@ class TokenizerStore:
         import json
         import os
 
+        if self.kind() == "unigram":
+            raise ValueError(
+                "merges() is a BPE artifact; this store is 'unigram' — "
+                "use pieces()"
+            )
         gen = self._resolve_gen(generation)
         with open(os.path.join(self._gen_dir(gen), "merges.json")) as fh:
             return [tuple(m) for m in json.load(fh)]
@@ -566,16 +685,43 @@ class TokenizerStore:
     def segment_col(self, word: Column) -> Column:
         """Segmentation expression under the STORED tokenizer —
         Column fold for small merge lists, Arrow batch above the
-        threshold (see :func:`segment_any`)."""
-        return segment_any(word, self.merges())
+        threshold (see :func:`segment_any` / :func:`byte_segment_any`).
+        The unigram kind has no single-Column form (its Viterbi needs
+        the staged two-projection shape — forward fold materialized,
+        backward walk reading the column): use
+        :func:`balboa_spark.operators.unigram.unigram_segment_words`
+        with :meth:`pieces`."""
+        k = self.kind()
+        if k == "word":
+            return segment_any(word, self.merges())
+        if k == "byte":
+            return byte_segment_any(word, self.merges())
+        raise ValueError(
+            "unigram segmentation needs the staged DataFrame path — "
+            "use unigram.unigram_segment_words(df, store.pieces(), ...)"
+        )
 
     def encode(
         self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> DataFrame:
         """Corpus → (id, piece_ids array<int>) under the STORED
-        tokenizer — delegates to :func:`encode_corpus`."""
-        return encode_corpus(
-            df, self.merges(), self.vocab(), text_col=text_col, id_col=id_col
+        tokenizer, whichever kind is committed."""
+        k = self.kind()
+        if k == "word":
+            return encode_corpus(
+                df, self.merges(), self.vocab(),
+                text_col=text_col, id_col=id_col,
+            )
+        if k == "byte":
+            return byte_encode_corpus(
+                df, self.merges(), text_col=text_col, id_col=id_col
+            )
+        from balboa_spark.operators import unigram as _ug
+
+        man = self._manifest()
+        return _ug.unigram_encode_corpus(
+            df, self.pieces(), text_col=text_col, id_col=id_col,
+            max_piece_len=int(man.get("max_piece_len", 4)),
         )
 
 

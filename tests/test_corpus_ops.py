@@ -2316,3 +2316,56 @@ def test_domain_cap_deterministic_uniform_keep(spark):
     assert len(a) == 8  # sitea capped
     assert len(b) == 5  # siteb under cap: all kept
     assert a != list(range(8))  # md5 order, not first-N by id
+
+
+def test_tokenizer_store_byte_and_unigram_kinds(spark, tmp_path):
+    """One store API, three persisted tokenizer families (r13): the
+    byte arm round-trips merges + the structural vocab and encodes
+    never-seen UTF-8 with zero OOV straight off the stored artifact;
+    the unigram arm round-trips its piece distribution and encodes
+    via the stored ids; the kind is pinned by the first fit — a
+    different-kind fit on the same path raises; artifact accessors
+    cross-guard (merges() on a unigram store, pieces() on a BPE one)."""
+    from balboa_spark.operators import bpe, unigram
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox the quick brown dog the the")],
+        ["doc_id", "text"],
+    )
+
+    bts = bpe.TokenizerStore(spark, str(tmp_path / "btok"))
+    bmerges = bts.fit_byte(corpus, num_merges=6)
+    assert bts.kind() == "byte" and bts.merges() == bmerges
+    vocab_rows = bts.vocab().count()
+    assert vocab_rows == 256 + len(bmerges)
+    wild = spark.createDataFrame([(1, "naïve café 🙂")], ["doc_id", "text"])
+    enc = bts.encode(wild).collect()[0]["piece_ids"]
+    assert enc and all(0 <= i < 256 + len(bmerges) for i in enc)
+    back = spark.createDataFrame([(1, list(enc))], "doc_id long, piece_ids array<int>")
+    got = back.select(
+        bpe.byte_decode(F.col("piece_ids"), bmerges).alias("t")
+    ).collect()[0]["t"]
+    assert got == "naïve café 🙂"
+    with pytest.raises(ValueError, match="kind"):
+        bts.fit(corpus)  # word fit on a byte store
+    with pytest.raises(ValueError, match="pieces"):
+        bts.pieces()
+
+    uts = bpe.TokenizerStore(spark, str(tmp_path / "utok"))
+    pieces = uts.fit_unigram(corpus, vocab_size=24, em_iters=1)
+    assert uts.kind() == "unigram" and uts.pieces() == pieces
+    with pytest.raises(ValueError, match="merges"):
+        uts.merges()
+    with pytest.raises(ValueError, match="unigram segmentation"):
+        uts.segment_col(F.lit("quick"))
+    enc_u = {r["doc_id"]: list(r["piece_ids"]) for r in uts.encode(corpus).collect()}
+    ids = {p: i + 1 for i, (p, _) in enumerate(sorted(pieces))}
+    rev = {v: k for k, v in ids.items()}
+    joined = "".join(rev.get(i, "?") for i in enc_u[0])
+    assert joined == "thequickbrownfoxthequickbrowndogthethe"
+    # and the stored distribution drives the same staged segmentation
+    seg = {
+        r["word"]: r["pieces"]
+        for r in unigram.unigram_segment_words(corpus, uts.pieces()).collect()
+    }
+    assert "".join(seg["quick"].split(" ")) == "quick"
