@@ -159,6 +159,32 @@ def build_parser() -> argparse.ArgumentParser:
         "--taggers", default=None,
         help="comma-separated tagger list (default: all committed)",
     )
+
+    s = sub.add_parser(
+        "tokenizer-fit",
+        help="fit a tokenizer on a documents parquet and commit it to "
+        "a TokenizerStore generation (word = Sennrich BPE, byte = "
+        "GPT-2 byte-level BPE, unigram = SentencePiece unigram LM; "
+        "the store pins the kind on first fit)",
+    )
+    s.add_argument("store", help="tokenizer store root dir")
+    s.add_argument("input", help="parquet dir with (doc_id, text)")
+    s.add_argument(
+        "--kind", choices=("word", "byte", "unigram"), default="word"
+    )
+    s.add_argument("--num-merges", type=int, default=64,
+                   help="BPE kinds: merges to learn (default 64)")
+    s.add_argument("--vocab-size", type=int, default=48,
+                   help="unigram kind: target piece count (default 48)")
+
+    s = sub.add_parser(
+        "tokenizer-encode",
+        help="encode a documents parquet to (doc_id, piece_ids) under "
+        "the STORED tokenizer, whichever kind is committed",
+    )
+    s.add_argument("store", help="tokenizer store root dir")
+    s.add_argument("input", help="parquet dir with (doc_id, text)")
+    s.add_argument("out", help="output parquet dir")
     return p
 
 
@@ -219,6 +245,33 @@ def run(args: argparse.Namespace, spark=None) -> int:
         store.mix(docs, taggers, args.rule).write.mode("overwrite").parquet(
             args.out
         )
+        return 0
+
+    if args.cmd == "tokenizer-fit":
+        from balboa_spark.operators.bpe import TokenizerStore
+
+        docs = spark.read.parquet(args.input)
+        ts = TokenizerStore(spark, args.store)
+        if args.kind == "word":
+            art = ts.fit(docs, num_merges=args.num_merges)
+        elif args.kind == "byte":
+            art = ts.fit_byte(docs, num_merges=args.num_merges)
+        else:
+            art = ts.fit_unigram(docs, vocab_size=args.vocab_size)
+        print(
+            f"committed {args.kind} tokenizer gen-"
+            f"{ts._manifest()['generation']} ({len(art)} "
+            f"{'pieces' if args.kind == 'unigram' else 'merges'})"
+        )
+        return 0
+
+    if args.cmd == "tokenizer-encode":
+        from balboa_spark.operators.bpe import TokenizerStore
+
+        ts = TokenizerStore(spark, args.store)
+        ts.encode(spark.read.parquet(args.input)).write.mode(
+            "overwrite"
+        ).parquet(args.out)
         return 0
 
     if args.cmd == "corpus-datasheet":

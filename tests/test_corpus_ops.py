@@ -2369,3 +2369,46 @@ def test_tokenizer_store_byte_and_unigram_kinds(spark, tmp_path):
         for r in unigram.unigram_segment_words(corpus, uts.pieces()).collect()
     }
     assert "".join(seg["quick"].split(" ")) == "quick"
+
+
+def test_cli_tokenizer_fit_encode_e2e(spark, tmp_path):
+    """tokenizer-fit + tokenizer-encode subcommands end to end for all
+    three kinds: fit commits a generation, encode writes (doc_id,
+    piece_ids) equal to calling the library path directly, and a
+    second fit of a DIFFERENT kind on the same store fails loudly."""
+    from balboa_spark.cli import build_parser, run
+    from balboa_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox the quick brown dog the the"),
+         (1, "quick brown quick brown")],
+        ["doc_id", "text"],
+    )
+    inp = str(tmp_path / "docs_in")
+    docs.write.parquet(inp)
+
+    for kind in ("word", "byte", "unigram"):
+        store = str(tmp_path / f"tok_{kind}")
+        out = str(tmp_path / f"enc_{kind}")
+        argv = ["tokenizer-fit", store, inp, "--kind", kind,
+                "--num-merges", "6", "--vocab-size", "24"]
+        assert run(build_parser().parse_args(argv), spark=spark) == 0
+        argv = ["tokenizer-encode", store, inp, out]
+        assert run(build_parser().parse_args(argv), spark=spark) == 0
+        got = {
+            r["doc_id"]: list(r["piece_ids"])
+            for r in spark.read.parquet(out).collect()
+        }
+        ts = bpe.TokenizerStore(spark, store)
+        want = {
+            r["doc_id"]: list(r["piece_ids"])
+            for r in ts.encode(spark.read.parquet(inp)).collect()
+        }
+        assert got == want and set(got) == {0, 1} and all(got.values())
+
+    # kind pinning through the CLI path too
+    import pytest as _pt
+    with _pt.raises(ValueError, match="kind"):
+        run(build_parser().parse_args(
+            ["tokenizer-fit", str(tmp_path / "tok_word"), inp, "--kind", "byte"]
+        ), spark=spark)
