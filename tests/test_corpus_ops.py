@@ -2412,3 +2412,55 @@ def test_cli_tokenizer_fit_encode_e2e(spark, tmp_path):
         run(build_parser().parse_args(
             ["tokenizer-fit", str(tmp_path / "tok_word"), inp, "--kind", "byte"]
         ), spark=spark)
+
+
+def test_byte_bpe_roundtrip_property_arbitrary_unicode(spark):
+    """Property: for ANY unicode text (emoji, CJK, control chars,
+    surrogate-free arbitrary codepoints), byte pre-tokenization is
+    lossless and encode -> decode is byte-exact under merges the text
+    never influenced — the structural no-OOV guarantee, not a
+    fixture coincidence. Batched: one Spark round-trip over many
+    hypothesis examples beats a per-example session hit."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from balboa_spark.operators import bpe
+
+    merges = bpe.byte_bpe_fit(
+        spark.createDataFrame(
+            [(0, "the quick brown fox the quick the")], ["doc_id", "text"]
+        ),
+        num_merges=6,
+    )
+    collected: list[str] = []
+
+    @settings(
+        max_examples=60, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(t=st.text(min_size=1, max_size=40))
+    def gather(t):
+        collected.append(t)
+
+    gather()
+    rows = list(enumerate(dict.fromkeys(collected)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # lossless pre-tokenization
+    pre = df.select(
+        "doc_id",
+        F.concat_ws("", bpe.byte_pretokenize(F.col("text"))).alias("back"),
+        "text",
+    ).collect()
+    assert all(r["back"] == r["text"] for r in pre)
+    # byte-exact encode -> decode
+    enc = bpe.byte_encode_corpus(df, merges)
+    back = {
+        r["doc_id"]: r["t"]
+        for r in enc.select(
+            "doc_id", bpe.byte_decode(F.col("piece_ids"), merges).alias("t")
+        ).collect()
+    }
+    want = dict(rows)
+    # docs whose pre-tokenization is empty (impossible: every char
+    # matches an alternative) would drop; assert none did
+    assert back == want
