@@ -396,7 +396,6 @@ CAP_50 = [
     "events_anomaly",
     # -- r5-stale recalls: corpus/scalar kernels --
     "tpch_q1",
-    "corpus_contamination",
     "corpus_pii_redact",
     "corpus_hash_split",
     "corpus_vocab_topk",
@@ -433,6 +432,7 @@ CAP_50 = [
     "pipeline_wet_ccnet",
     "pipeline_ccnet_approx",   # rows-only (sketch-banded arm)
     "corpus_unigram_segment",  # r13-NEW: cross-engine Viterbi DP
+    "corpus_mixture_budget",   # r13-NEW: token-budget mixture
 ]
 
 # Tail rationale: every entry is either (a) real-driver green in two
@@ -557,6 +557,7 @@ _TAIL = [
     "join_enrich",
     "topk_per_group",
     "media_dedup",        # r5-stale; deferred to the r14 cohort to make cap room for the never-graded corpus_unigram_segment; same digest path as media_stats
+    "corpus_contamination",  # r5-stale; deferred to the r14 cohort to make cap room for the never-graded corpus_mixture_budget; broadcast n-gram join kernel also rides corpus_source_overlap
     "corpus_hash_sample",
 ]
 

@@ -458,6 +458,52 @@ ORDER BY doc_id
 """
 
 
+#: token budgets for the budgeted-mixture entry: src1 is UNDER budget
+#: (kept whole — the least-upper-bound edge), src0/src2 are partially
+#: sampled at different rates, all other sources drop.
+BUDGET_TARGET = {"src0": 700, "src1": 2000, "src2": 400}
+BUDGET_SALT = "budget13"
+
+
+def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture (corpus.mixture_token_budget): production
+    mixtures are specified in tokens, not document proportions. The
+    hash checks the whole arithmetic chain — per-group token totals,
+    the min(1, budget/total) keep fraction, the shared md5-threshold
+    rule — including the kept-whole under-budget group."""
+    return corpus.mixture_token_budget(
+        _docs(spark, sf_dir).select("doc_id", "source", "text"),
+        BUDGET_TARGET,
+        salt=BUDGET_SALT,
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
+def _mixture_budget_oracle() -> str:
+    values = ", ".join(
+        f"('{g}', {int(b)})" for g, b in sorted(BUDGET_TARGET.items())
+    )
+    return rf"""
+WITH tgt(source, b) AS (VALUES {values}),
+tot AS (
+  SELECT source,
+         sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> ''))) AS tok
+  FROM documents GROUP BY 1
+),
+fracs AS (
+  SELECT source,
+         round(least(1.0, b / CAST(tok AS DOUBLE)) * {16**8}) AS v
+  FROM tot JOIN tgt USING (source)
+)
+SELECT doc_id, source FROM documents
+JOIN fracs USING (source)
+WHERE substr(md5(doc_id || ':{BUDGET_SALT}'), 1, 8)
+      < CASE WHEN v >= {16**8} THEN 'g'
+             ELSE lpad(lower(hex(CAST(v AS BIGINT))), 8, '0') END
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # text cleaning (C4/CCNet-style normalization)
 # ---------------------------------------------------------------------------
@@ -3711,6 +3757,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_wet_ccnet": q_pipeline_wet_ccnet,
     "pipeline_ccnet_approx": q_pipeline_ccnet_approx,
     "corpus_unigram_segment": q_unigram_segment,
+    "corpus_mixture_budget": q_mixture_budget,
     "corpus_bpe_bytes_encode": q_bpe_bytes_encode,
     "corpus_snapshot_diff": q_snapshot_diff,
     "corpus_blocklist": q_blocklist,
@@ -3783,6 +3830,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_bpe_bytes": _bpe_bytes_oracle(),
     "pipeline_wet_ccnet": PIPELINE_WET_CCNET_ORACLE,
     "corpus_unigram_segment": _unigram_oracle(),
+    "corpus_mixture_budget": _mixture_budget_oracle(),
     "corpus_bpe_bytes_encode": _bpe_bytes_encode_oracle(),
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "corpus_span_dedup": SPAN_DEDUP_ORACLE,

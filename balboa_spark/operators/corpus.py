@@ -1909,6 +1909,50 @@ def mixture_resample(
     )
 
 
+def mixture_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Down-sample each group to approximately a TOKEN budget — the
+    unit production mixtures are actually specified in ("200B tokens
+    of web, 30B of code"), where mixture_resample speaks in document
+    proportions. keep_frac = min(1, budget / group_token_total), so a
+    group under its budget is kept whole; groups absent from
+    ``budgets`` drop (the mixture_resample contract).
+
+    Selection is the shared md5-threshold rule (_frac_threshold_hex —
+    reshuffle/re-run stable, no RNG state): one groupBy computes each
+    group's token total (map-side combinable sum of a pure token-count
+    projection), the #groups-sized fraction relation joins back, and
+    the achieved token count concentrates around the budget with
+    binomial jitter O(sqrt(budget * avg_doc_tokens)) — a declared
+    approximation: an EXACT cut would need a per-group prefix-sum
+    window over hash order, an unsplittable corpus-scale partition per
+    group (the class dedup.py just eliminated). No driver action."""
+    tgt = df.sparkSession.createDataFrame(
+        [(g, int(b)) for g, b in sorted(budgets.items())],
+        f"`{group_col}` string, _budget long",
+    )
+    totals = df.groupBy(group_col).agg(
+        F.sum(token_count(F.col(text_col))).alias("_tok")
+    )
+    fracs = totals.join(tgt, group_col).select(
+        group_col,
+        F.least(
+            F.lit(1.0), F.col("_budget") / F.col("_tok").cast("double")
+        ).alias("_keep_frac"),
+    )
+    thr = _frac_threshold_hex(F.col("_keep_frac"))
+    h8 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+    )
+    return df.join(fracs, group_col).filter(h8 < thr).select(*df.columns)
+
+
 def dedup_repeated_units(
     df: DataFrame,
     sep: str = "\n",

@@ -2464,3 +2464,37 @@ def test_byte_bpe_roundtrip_property_arbitrary_unicode(spark):
     # docs whose pre-tokenization is empty (impossible: every char
     # matches an alternative) would drop; assert none did
     assert back == want
+
+
+def test_mixture_token_budget_hits_budgets(spark):
+    """Achieved per-group token counts concentrate around the budget
+    (binomial jitter), an under-budget group is kept WHOLE, groups
+    absent from the budgets drop, and selection is
+    partitioning-independent."""
+    from balboa_spark.operators.text import token_count
+
+    rows = [
+        (i, ["web", "code", "forum"][i % 3],
+         " ".join(f"w{i}x{j}" for j in range(20)))
+        for i in range(600)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # web total = 200 docs * 20 tok = 4000; code same; forum dropped
+    budgets = {"web": 1000, "code": 999999}
+    kept = corpus.mixture_token_budget(docs, budgets)
+    got = {
+        r["source"]: r["tok"]
+        for r in kept.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("tok"))
+        .collect()
+    }
+    assert set(got) == {"web", "code"}
+    assert got["code"] == 4000                      # under budget: whole
+    assert 600 <= got["web"] <= 1400                # ~budget +- jitter
+    # deterministic under repartitioning
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in corpus.mixture_token_budget(docs.repartition(13), budgets).collect()
+    )
+    assert a == b
