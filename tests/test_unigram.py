@@ -3,12 +3,8 @@ enumeration, Viterbi DP vs brute max over all segmentations, UNK
 totality, closure, and the cross-engine oracle parity the driver
 grades."""
 
-import itertools
-import math
-
 import duckdb
 import pytest
-from pyspark.sql import functions as F
 
 from balboa_spark.operators import unigram
 
