@@ -274,6 +274,72 @@ def viterbi_pieces(word: Column, fwd: Column) -> Column:
     return F.aggregate(F.sequence(F.lit(1), n), init, step)["parts"]
 
 
+#: vocab-size ceiling for the Column-fold Viterbi: the piece-logprob
+#: MAP LITERAL is one expression node per entry, so a production
+#: 32k-256k-piece vocabulary would build an unanalyzable plan — the
+#: unigram twin of bpe.ARROW_MERGE_THRESHOLD. Above this,
+#: segmentation switches to the Arrow batch path.
+ARROW_VOCAB_THRESHOLD = 512
+
+
+def _viterbi_py(
+    word: str, vmap: dict[str, float], max_len: int
+) -> tuple[list[str], float]:
+    """EXACT Python twin of the Column DP (same candidate order, same
+    additions, same tie rule: equal scores break to the HIGHEST
+    backpointer = shortest final piece), for the Arrow path."""
+    n = len(word)
+    best = [0.0] + [None] * n  # type: ignore[list-item]
+    bp = [0] * (n + 1)
+    for i in range(1, n + 1):
+        b_s, b_j = None, None
+        for j in range(max(1, i - max_len + 1), i + 1):
+            piece = word[j - 1:i]
+            lp = vmap.get(piece)
+            if lp is None and len(piece) == 1:
+                lp = UNK_LOGP
+            if lp is None or best[j - 1] is None:
+                continue
+            s = best[j - 1] + lp
+            # max over (s, bp=j-1): ties -> highest j-1
+            if b_s is None or s > b_s or (s == b_s and j - 1 > b_j):
+                b_s, b_j = s, j - 1
+        best[i], bp[i] = b_s, b_j
+    parts: list[str] = []
+    pos = n
+    while pos > 0:
+        parts.append(word[bp[pos]:pos])
+        pos = bp[pos]
+    parts.reverse()
+    return parts, best[n]
+
+
+def viterbi_segment_arrow(
+    word: Column, vocab: list[tuple[str, float]], max_piece_len: int
+) -> Column:
+    """Arrow-batched Viterbi for production-sized vocabularies — the
+    designated pandas_udf seam (the vocab rides the closure,
+    task-broadcast once per executor; 256k pieces is a few MB).
+    Returns struct(pieces array<string>, logp double), logp rounded
+    like the Column path; parity-tested against the fold."""
+    from pyspark.sql.functions import pandas_udf
+
+    vmap = {p: float(lp) for p, lp in vocab}
+    L = int(max_piece_len)
+
+    @pandas_udf("struct<pieces:array<string>,logp:double>")
+    def _seg(words: pd.Series) -> pd.DataFrame:
+        out = words.map(lambda w: _viterbi_py(w, vmap, L))
+        return pd.DataFrame(
+            {
+                "pieces": out.map(lambda t: t[0]),
+                "logp": out.map(lambda t: round(t[1], LOGP_DP)),
+            }
+        )
+
+    return _seg(word)
+
+
 def unigram_segment_words(
     df: DataFrame,
     vocab: list[tuple[str, float]],
@@ -283,25 +349,42 @@ def unigram_segment_words(
 ) -> DataFrame:
     """Corpus vocabulary segmented under a fixed unigram vocab:
     (word, cnt, pieces [space-joined], n_pieces, logp) heaviest-first.
-    Two staged projections keep the plan single-reference: the
-    forward fold materializes as a column, the backward fold and the
-    final score read that column."""
+    Column-fold DP up to ARROW_VOCAB_THRESHOLD pieces (the
+    oracle-replayable path), Arrow batch above it. Two staged
+    projections keep the fold plan single-reference: the forward fold
+    materializes as a column, the backward fold and the final score
+    read that column."""
     words = word_histogram(df, text_col)
     if top_n is not None:
         words = words.orderBy(F.col("cnt").desc(), "word").limit(int(top_n))
-    staged = words.select(
-        "word",
-        "cnt",
-        viterbi_forward(F.col("word"), vocab, max_piece_len).alias("_fwd"),
-    )
-    out = staged.select(
-        "word",
-        "cnt",
-        F.concat_ws(
-            " ", viterbi_pieces(F.col("word"), F.col("_fwd"))
-        ).alias("pieces"),
-        F.round(F.element_at("_fwd", -1)["s"], LOGP_DP).alias("logp"),
-    )
+    if len(vocab) > ARROW_VOCAB_THRESHOLD:
+        seg = words.select(
+            "word",
+            "cnt",
+            viterbi_segment_arrow(
+                F.col("word"), vocab, max_piece_len
+            ).alias("_sg"),
+        )
+        out = seg.select(
+            "word",
+            "cnt",
+            F.concat_ws(" ", F.col("_sg.pieces")).alias("pieces"),
+            F.col("_sg.logp").alias("logp"),
+        )
+    else:
+        staged = words.select(
+            "word",
+            "cnt",
+            viterbi_forward(F.col("word"), vocab, max_piece_len).alias("_fwd"),
+        )
+        out = staged.select(
+            "word",
+            "cnt",
+            F.concat_ws(
+                " ", viterbi_pieces(F.col("word"), F.col("_fwd"))
+            ).alias("pieces"),
+            F.round(F.element_at("_fwd", -1)["s"], LOGP_DP).alias("logp"),
+        )
     return out.select(
         "word",
         "cnt",
@@ -345,17 +428,23 @@ def unigram_encode_corpus(
             F.filter(tokens(F.col(text_col)), lambda w: w.rlike(_WR))
         ).alias("_wpos", "_word"),
     )
-    staged = (
-        toks.select("_word")
-        .distinct()
-        .select(
+    distinct_words = toks.select("_word").distinct()
+    if len(vocab) > ARROW_VOCAB_THRESHOLD:
+        seg = distinct_words.select(
+            "_word",
+            viterbi_segment_arrow(
+                F.col("_word"), vocab, max_piece_len
+            )["pieces"].alias("_pieces"),
+        )
+    else:
+        staged = distinct_words.select(
             "_word",
             viterbi_forward(F.col("_word"), vocab, max_piece_len).alias("_fwd"),
         )
-    )
-    seg = staged.select(
-        "_word", viterbi_pieces(F.col("_word"), F.col("_fwd")).alias("_pieces")
-    )
+        seg = staged.select(
+            "_word",
+            viterbi_pieces(F.col("_word"), F.col("_fwd")).alias("_pieces"),
+        )
     pieces = toks.join(seg, "_word").select(
         F.col(id_col), "_wpos", F.posexplode("_pieces").alias("_ppos", "piece")
     )

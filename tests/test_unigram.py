@@ -5,6 +5,7 @@ grades."""
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from balboa_spark.operators import unigram
 
@@ -193,3 +194,52 @@ def test_unigram_encode_corpus_ids_and_unk(spark):
     assert enc[2] == [ids["ab"], unigram.UNK_PIECE_ID]
     rev = {v: k for k, v in ids.items()}
     assert "".join(rev.get(i, "x") for i in enc[2]) == "abx"
+
+
+def test_viterbi_arrow_parity_with_column_fold(spark):
+    """The Arrow Viterbi (the >512-piece production path) must
+    reproduce the Column fold exactly — pieces AND rounded scores —
+    including the tie rule and UNK fallback; and a padded 600-piece
+    vocab must force the Arrow path and still agree with the fold run
+    on the real pieces (the padding is unreachable junk)."""
+    import random
+
+    rng = random.Random(7)
+    words = sorted(
+        {"".join(rng.choice("abcx") for _ in range(rng.randint(1, 9)))
+         for _ in range(30)}
+    )
+    df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+
+    fold = {
+        r["word"]: (r["pieces"], r["logp"])
+        for r in unigram.unigram_segment_words(df, VOCAB, max_piece_len=L).collect()
+    }
+    arrow = {
+        r["word"]: (" ".join(r["sg"]["pieces"]), r["sg"]["logp"])
+        for r in df.select(
+            F.explode(F.split("text", " ")).alias("word")
+        ).select(
+            "word",
+            unigram.viterbi_segment_arrow(F.col("word"), VOCAB, L).alias("sg"),
+        ).collect()
+    }
+    assert fold == arrow
+
+    # padded vocab: pieces over an alphabet the words never use, so
+    # results must equal the small-vocab fold while the size trips the
+    # Arrow switch inside unigram_segment_words
+    padded = VOCAB + [
+        (f"q{i}z", -30.0) for i in range(unigram.ARROW_VOCAB_THRESHOLD)
+    ]
+    via_arrow = {
+        r["word"]: (r["pieces"], r["logp"])
+        for r in unigram.unigram_segment_words(
+            df, padded, max_piece_len=L
+        ).collect()
+    }
+    assert via_arrow == fold
+    # plan really is the Arrow seam, not a giant map literal
+    plan = unigram.unigram_segment_words(df, padded, max_piece_len=L)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
