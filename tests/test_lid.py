@@ -334,3 +334,38 @@ def test_lang_drift_shares_ignore_unclassifiable_docs(spark, tmp_path):
     assert abs(rows[0]["psi"]) < 0.05 and not alerts
     shares = {r["lang"]: r["p_new"] for r in rows}
     assert abs(sum(shares.values()) - 1.0) < 1e-9  # classified-mass norm
+
+
+def test_ccnet_per_language_lm_order5(spark):
+    """CCNet at its REAL depth: per_language_lm=True composes with
+    order=5 (one order-5 interpolated-KN model per detected language,
+    the grouped scorer's n passthrough) — per-language perplexities
+    must match the single-LM order-5 chain run on each language's
+    documents alone."""
+    a_docs, b_docs = _two_lang_corpus()
+    rows = (
+        [(i, "src0", t) for i, t in enumerate(a_docs)]
+        + [(100 + i, "src0", t) for i, t in enumerate(b_docs)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    lid_train = spark.createDataFrame(
+        [("aa", t) for t in a_docs[:5]] + [("bb", t) for t in b_docs[:5]],
+        ["lang", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in lm.ccnet_pipeline(
+            docs, lid_train=lid_train, per_language_lm=True, order=5
+        ).collect()
+    }
+    assert got  # order-5 scorer keeps docs with >= 5 tokens
+    for lang, lo, hi in (("aa", 0, 100), ("bb", 100, 200)):
+        sl = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        ref = {r["doc_id"]: r for r in lm.ccnet_pipeline(sl, order=5).collect()}
+        assert set(ref) == {d for d in got if lo <= d < hi}
+        for did, r in ref.items():
+            assert got[did]["lang"] == lang
+            assert got[did]["perplexity"] == pytest.approx(
+                r["perplexity"], rel=1e-9
+            )
+            assert got[did]["band"] == r["band"]
