@@ -1000,8 +1000,13 @@ from balboa_spark.operators.search import BM25_B, BM25_K1  # noqa: E402
 BM25_TOPK_ORACLE = f"""
 WITH {_TOKS_SQL},
 st AS (
-  SELECT doc_id, len(tk) AS dl,
-         list_filter(tk, x -> list_contains({_BM25_TERMS_SQL}, x)) AS qt
+  -- NULL text is a zero-length document: dl=0 and counted in N, the
+  -- PostingsIndex manifest contract (len(NULL tk) is NULL in DuckDB,
+  -- which avg() would silently drop from avgdl but count(*) keeps in
+  -- N — the asymmetry shifts every score)
+  SELECT doc_id, coalesce(len(tk), 0) AS dl,
+         coalesce(list_filter(tk, x -> list_contains({_BM25_TERMS_SQL}, x)),
+                  []) AS qt
   FROM toks
 ),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM st),
@@ -1468,7 +1473,9 @@ WITH d AS (
   SELECT doc_id, 'e' || chr(769) || 'cole ' || text AS text FROM documents
 )
 SELECT doc_id, nfc_normalize(text) AS norm_text,
-       nfc_normalize(text) <> text AS changed
+       -- IS DISTINCT FROM: the engine's changed flag is null-safe
+       -- (eqNullSafe), so NULL text reads changed=false, not NULL
+       nfc_normalize(text) IS DISTINCT FROM text AS changed
 FROM d ORDER BY doc_id
 """
 
@@ -1557,10 +1564,14 @@ n AS (
   FROM documents WHERE doc_id % 7 <> 0
 ),
 j AS (
+  -- presence = join-side id nullness, NOT fp nullness: a NULL-text
+  -- doc present on both sides has fp_old IS NULL and would otherwise
+  -- misreport as 'added' (the engine uses explicit indicator columns
+  -- for the same reason; found by the adversarial-fixture audit)
   SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, fp_old, fp_new,
-         CASE WHEN fp_old IS NULL THEN 'added'
-              WHEN fp_new IS NULL THEN 'removed'
-              WHEN fp_old <> fp_new THEN 'changed'
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN fp_old IS DISTINCT FROM fp_new THEN 'changed'
               ELSE 'unchanged' END AS change
   FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 )
@@ -1771,12 +1782,15 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _main_content_oracle() -> str:
     from balboa_spark.operators.text import extract_main_content_sql
 
+    # NULL propagation: the engine's codegen chain yields NULL main
+    # text for a NULL page, but DuckDB's list/string aggregates can
+    # collapse the NULL path to '' — pin NULL-in-NULL-out explicitly
     return (
-        "SELECT doc_id, "
+        "SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE "
         + extract_main_content_sql(
             _SYNTH_CHROME_SQL, min_block_chars=_MC_MIN_CHARS
         )
-        + " AS main_text FROM documents ORDER BY doc_id"
+        + " END AS main_text FROM documents ORDER BY doc_id"
     )
 
 
@@ -2540,9 +2554,14 @@ WITH raw AS (
   SELECT doc_id + 10001, source, text FROM documents
 ),
 f AS (
+  -- mirrors ExactDedupStore._fp: NULL text -> sentinel 'null' (one
+  -- dedup group), empty token list -> md5('') (DuckDB
+  -- array_to_string([]) is NULL, Spark array_join([]) is '')
   SELECT doc_id, source, doc_id % 2 AS batch,
-         md5(array_to_string(list_filter(
-           string_split_regex(lower(text), '\s+'), t -> t <> ''), ' ')) AS fp
+         CASE WHEN text IS NULL THEN 'null'
+              ELSE md5(coalesce(array_to_string(list_filter(
+                string_split_regex(lower(text), '\s+'), t -> t <> ''), ' '), ''))
+         END AS fp
   FROM raw
 ),
 r AS (
@@ -3506,7 +3525,10 @@ def _wet_ccnet_prefix() -> str:
         _SYNTH_CHROME_SQL, min_block_chars=_MC_MIN_CHARS
     )
     return rf"""raw AS (
-  SELECT doc_id, source, {mc} AS text FROM documents
+  -- coalesce models the WET round trip: a NULL page serializes as an
+  -- EMPTY payload (wet_bytes contract), so the engine reads back ''
+  -- where the direct page expression is NULL
+  SELECT doc_id, source, coalesce({mc}, '') AS text FROM documents
 ),
 rt AS (
   SELECT doc_id, source, text,

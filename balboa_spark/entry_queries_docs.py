@@ -34,9 +34,18 @@ toks AS (
   FROM documents
 ),
 corpus AS (
-  SELECT doc_id, array_to_string(tk, ' ') AS text FROM toks
+  -- DuckDB array_to_string([]) is NULL but Spark array_join([]) is ''
+  -- (found by the adversarial-fixture audit: an all-whitespace doc and
+  -- a NULL doc collapsed into ONE oracle group while the engine keeps
+  -- empty != NULL). Preserve NULL for NULL input, '' for empty lists.
+  SELECT doc_id,
+         CASE WHEN tk IS NULL THEN NULL
+              ELSE coalesce(array_to_string(tk, ' '), '') END AS text
+  FROM toks
   UNION ALL
-  SELECT doc_id + 10000, array_to_string(list_slice(tk, 1, len(tk) - 1), ' ')
+  SELECT doc_id + 10000,
+         CASE WHEN tk IS NULL THEN NULL
+              ELSE coalesce(array_to_string(list_slice(tk, 1, len(tk) - 1), ' '), '') END
   FROM toks WHERE doc_id < {PLANT_MAX_ID}
 )
 """
@@ -609,10 +618,16 @@ toks0 AS (
   FROM documents
 ),
 raw AS (
-  SELECT doc_id, source, array_to_string(tk, ' ') AS text FROM toks0
+  -- NULL-vs-empty parity: array_to_string([]) is NULL in DuckDB but
+  -- array_join([]) is '' in Spark (see CORPUS_SQL note)
+  SELECT doc_id, source,
+         CASE WHEN tk IS NULL THEN NULL
+              ELSE coalesce(array_to_string(tk, ' '), '') END AS text
+  FROM toks0
   UNION ALL
   SELECT doc_id + 10000, source,
-         array_to_string(list_slice(tk, 1, len(tk) - 1), ' ')
+         CASE WHEN tk IS NULL THEN NULL
+              ELSE coalesce(array_to_string(list_slice(tk, 1, len(tk) - 1), ' '), '') END
   FROM toks0 WHERE doc_id < {PLANT_MAX_ID}
 ),
 cln AS (
@@ -779,8 +794,9 @@ EMBEDDING_TOPK_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
 SELECT vec_id,
-       round(list_inner_product(v, qv)
-             / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6) AS cos
+       round(coalesce(list_inner_product(v, qv)
+             / nullif(sqrt(list_inner_product(v, v))
+                      * sqrt(list_inner_product(qv, qv)), 0), 0), 6) AS cos
 FROM e, q
 ORDER BY cos DESC, vec_id
 LIMIT {TOPK}
@@ -829,8 +845,9 @@ e AS (
 ),
 q AS (SELECT v AS qv FROM raw WHERE vec_id = 0)
 SELECT vec_id,
-       round(list_inner_product(v, qv)
-             / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6) AS cos
+       round(coalesce(list_inner_product(v, qv)
+             / nullif(sqrt(list_inner_product(v, v))
+                      * sqrt(list_inner_product(qv, qv)), 0), 0), 6) AS cos
 FROM e, q
 ORDER BY cos DESC, vec_id
 LIMIT {TOPK}
@@ -859,9 +876,9 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {KNN_NQ}),
 scored AS (
   SELECT q.qid, e.vec_id,
-         round(list_inner_product(e.v, q.qv)
-               / (sqrt(list_inner_product(e.v, e.v))
-                  * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cos
+         round(coalesce(list_inner_product(e.v, q.qv)
+             / nullif(sqrt(list_inner_product(e.v, e.v))
+                      * sqrt(list_inner_product(q.qv, q.qv)), 0), 0), 6) AS cos
   FROM q CROSS JOIN e
 )
 SELECT qid, rank, vec_id, cos FROM (
@@ -883,11 +900,13 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDING_PAIRS_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_inner_product(a.v, b.v)
-             / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos
+       round(coalesce(list_inner_product(a.v, b.v)
+             / nullif(sqrt(list_inner_product(a.v, a.v))
+                      * sqrt(list_inner_product(b.v, b.v)), 0), 0), 4) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_inner_product(a.v, b.v)
-            / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) >= {COS_T}
+WHERE round(coalesce(list_inner_product(a.v, b.v)
+             / nullif(sqrt(list_inner_product(a.v, a.v))
+                      * sqrt(list_inner_product(b.v, b.v)), 0), 0), 4) >= {COS_T}
 ORDER BY id_a, id_b
 """
 
@@ -919,8 +938,9 @@ WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embedding
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE round(list_inner_product(a.v, b.v)
-              / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4)
+  WHERE round(coalesce(list_inner_product(a.v, b.v)
+             / nullif(sqrt(list_inner_product(a.v, a.v))
+                      * sqrt(list_inner_product(b.v, b.v)), 0), 0), 4)
         >= {EMB_DEDUP_T}
 ),
 sym AS (
@@ -1309,7 +1329,8 @@ norm AS (
   FROM m GROUP BY 1
 )
 SELECT m.label, CAST(n_pooled AS BIGINT) AS n_pooled, idx,
-       round(CASE WHEN nrm = 0 THEN mean ELSE mean / nrm END, 6) AS val
+       -- + 0.0 canonicalizes -0.0 (see mean_pool engine note)
+       round(CASE WHEN nrm = 0 THEN mean ELSE mean / nrm END, 6) + 0.0 AS val
 FROM m JOIN norm USING (label)
 ORDER BY label, idx
 """
@@ -1449,8 +1470,9 @@ WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embedd
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE round(list_inner_product(a.v, b.v)
-              / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4)
+  WHERE round(coalesce(list_inner_product(a.v, b.v)
+             / nullif(sqrt(list_inner_product(a.v, a.v))
+                      * sqrt(list_inner_product(b.v, b.v)), 0), 0), 4)
         >= {SEM_DEDUP_T}
 ),
 sym AS (
@@ -1502,8 +1524,9 @@ cand AS (
   SELECT a.vec_id, a.v FROM assign a JOIN probe p ON a.cell = p.cell
 )
 SELECT vec_id,
-       round(list_inner_product(v, qv)
-             / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 6) AS cos
+       round(coalesce(list_inner_product(v, qv)
+             / nullif(sqrt(list_inner_product(v, v))
+                      * sqrt(list_inner_product(qv, qv)), 0), 0), 6) AS cos
 FROM cand, q
 ORDER BY cos DESC, vec_id
 LIMIT {TOPK}
@@ -1660,9 +1683,9 @@ def q_ann_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_quality_eval_oracle() -> str:
     k, nq = EVAL_K, EVAL_NQ
     cos = (
-        "round(list_inner_product(e.v, q.qv)"
-        " / (sqrt(list_inner_product(e.v, e.v))"
-        " * sqrt(list_inner_product(q.qv, q.qv))), 6)"
+        "round(coalesce(list_inner_product(e.v, q.qv)"
+        " / nullif(sqrt(list_inner_product(e.v, e.v))"
+        " * sqrt(list_inner_product(q.qv, q.qv)), 0), 0), 6)"
     )
     return f"""
 WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -517,10 +517,12 @@ WITH c AS (
   FROM events
 ),
 w AS (
+  -- HUGEINT accumulators mirror the engine's decimal(38,0): BIGINT
+  -- cents*cents overflows (errors) at |value| > ~3e7
   SELECT event_id, cents,
          count(*) OVER win AS n,
-         sum(cents) OVER win AS s1,
-         sum(cents * cents) OVER win AS s2
+         sum(CAST(cents AS HUGEINT)) OVER win AS s1,
+         sum(CAST(cents AS HUGEINT) * cents) OVER win AS s2
   FROM c
   WINDOW win AS (PARTITION BY user_id ORDER BY us
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)

@@ -576,7 +576,15 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_RESAMPLE_ORACLE = f"""
 WITH c AS (
-  SELECT user_id, epoch_us(ts) // {RESAMPLE_STEP * 1_000_000} AS b,
+  -- exact integer FLOOR division: DuckDB's integer // truncates
+  -- toward zero (-30 // 86400 = 0, not -1), so a bare // shifts every
+  -- pre-1970 timestamp up one bucket; subtracting the positive mod
+  -- first makes the dividend an exact multiple, where truncate ==
+  -- floor (the engine uses the same (x - pmod(x,s)) div s identity)
+  SELECT user_id,
+         (epoch_us(ts) - ((epoch_us(ts) % {RESAMPLE_STEP * 1_000_000})
+                          + {RESAMPLE_STEP * 1_000_000}) % {RESAMPLE_STEP * 1_000_000})
+           // {RESAMPLE_STEP * 1_000_000} AS b,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
 ),

@@ -516,7 +516,16 @@ class ExactDedupStore:
     def _fp(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         from balboa_spark.operators.text import tokens
 
-        fp = F.md5(F.array_join(tokens(F.col(text_col)), " "))
+        # NULL text gets a sentinel fingerprint (no md5 is 'null'):
+        # without it the cross-batch anti-join can never match a NULL
+        # _h, so every NULL-text doc in every batch survives "dedup"
+        # forever while the in-batch groupBy treats them as one group
+        # (SQL NULL joins != NULL grouping) — and the hex-prefix
+        # bucket becomes NULL, landing rows in the Hive default
+        # partition. Found by the adversarial-fixture audit.
+        fp = F.coalesce(
+            F.md5(F.array_join(tokens(F.col(text_col)), " ")), F.lit("null")
+        )
         return df.select(
             F.col(id_col).alias("id"),
             fp.alias("_h"),

@@ -66,10 +66,17 @@ def bm25_topk(
     # checkpoint blocks are not), and both consumers land in the ONE
     # final query, which caches on first use. Blocks release when the
     # plan is garbage-collected (ContextCleaner).
+    # NULL text is a zero-length document (dl=0, still counted in N)
+    # — the same contract PostingsIndex pins in its manifest stats;
+    # without the coalesce, size(NULL)=NULL silently drops NULL docs
+    # from avgdl but not from N, skewing every score
     st = df.select(
         F.col(id_col),
-        F.size(t).alias("_dl"),
-        F.filter(t, lambda x: F.array_contains(qarr, x)).alias("_qt"),
+        F.coalesce(F.size(t), F.lit(0)).alias("_dl"),
+        F.coalesce(
+            F.filter(t, lambda x: F.array_contains(qarr, x)),
+            F.array().cast("array<string>"),
+        ).alias("_qt"),
     ).persist()
     stats = st.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")

@@ -37,7 +37,16 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine with a DEFINED zero-vector semantic: 0.0 when either
+    norm is 0 (a zero embedding is similar to nothing — it can never
+    cross a near-dup/top-k threshold). Plain division here is a
+    production crash: one all-zeros embedding row (a real artifact of
+    truncated/failed encoders) kills the whole job under ANSI mode,
+    and every DuckDB oracle mirrors the same coalesce(nullif) guard.
+    CASE short-circuits in codegen, so the division never runs on the
+    zero-norm rows."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def topk_brute(
@@ -258,7 +267,11 @@ def ivf_assign_col(centroids, vec_col: str = "embedding") -> Column:
     @pandas_udf("int")
     def assign(v: "pd.Series") -> "pd.Series":
         X = np.vstack(v.to_numpy())
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        # zero-norm guard: a zero vector scores 0 against every
+        # centroid (same defined semantic as cosine()), so argmax
+        # falls to the lowest cell id instead of propagating NaN
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / np.where(nrm == 0.0, 1.0, nrm)
         return pd.Series((Xn @ Cn.T).argmax(1).astype("int32"))
 
     return assign(F.col(vec_col))
@@ -585,7 +598,11 @@ def mean_pool(
     return pooled.select(
         group_col,
         F.col("n_pooled").cast("long"),
-        F.transform(vec, lambda x: F.round(x, 6)).alias(vec_col),
+        # + 0.0 canonicalizes IEEE negative zero: a component whose
+        # mean is exactly 0 can come out -0.0 or +0.0 depending on
+        # summation order (engines legitimately differ), and the two
+        # serialize differently ("-0" vs "0") in the driver canon
+        F.transform(vec, lambda x: F.round(x, 6) + F.lit(0.0)).alias(vec_col),
     )
 
 

@@ -315,17 +315,21 @@ def anomaly_scores(
     rolling_features, extended to second moments. Same O(n)-per-key
     sliding RANGE frame; no second pass, no self-join.
 
-    Supported value range: the squared-cents sum is exact 64-bit
-    integer math, which bounds |value| at ~3e7 per event (cents² ≤
-    9.2e18 / window size). Wider than double's exact-integer range
-    (~9.4e5 at cents²) — the long is the right type here, but values
-    beyond the bound would overflow rather than lose precision.
+    Supported value range: the squared-cents sum runs in exact
+    decimal(38,0) (DuckDB: HUGEINT) — cents itself is a 64-bit long
+    (|value| ≤ ~9e16) and cents² ≤ ~8.5e37 fits the 38-digit
+    accumulator at any realistic window size. A previous long-typed
+    s2 bounded |value| at ~3e7 and, worse, one out-of-range event
+    KILLED the whole job with an ANSI multiply overflow (found by the
+    adversarial-fixture audit planting value=1e15) — at 100 TB a
+    single absurd sensor reading must not be a job-stopper.
     """
     w = trailing_window(keys, ts_col, duration_sec)
     cents = F.round(F.col(value_col) * 100).cast("long")
+    c38 = cents.cast("decimal(38,0)")
     n = F.count(F.lit(1)).over(w)
-    s1 = F.sum(cents).over(w)
-    s2 = F.sum(cents * cents).over(w)
+    s1 = F.sum(c38).over(w)  # wide too: a window of near-max cents must not overflow the sum
+    s2 = F.sum(c38 * c38).over(w)
     mean = s1.cast("double") / n
     var = (s2.cast("double") - s1.cast("double") * s1 / n) / n
     std = F.sqrt(var)
@@ -373,11 +377,14 @@ def resample_events(
     rolling_features risk class, not a content-skew window. Bucket
     index is integer FLOOR-division arithmetic on unix micros (no
     double division near bucket edges, and no double-precision loss
-    at micros magnitude): Spark's ``div`` truncates toward zero while
-    DuckDB's ``//`` floors, so a plain div would shift every pre-1970
-    timestamp into the wrong bucket per engine (r13 ADVICE fix) —
-    ``(x - pmod(x, s)) div s`` is exact integer floor division for
-    either sign."""
+    at micros magnitude): BOTH Spark's ``div`` and DuckDB's integer
+    ``//`` truncate toward zero (measured: -30 // 86400 = 0 in
+    DuckDB), so each side subtracts its positive mod first —
+    ``(x - pmod(x, s)) div s`` here, ``(x - ((x%s)+s)%s) // s`` in
+    the oracle — making the dividend an exact multiple, where
+    truncation equals floor for either sign (r13 ADVICE fix,
+    completed on the oracle side by the adversarial-fixture audit:
+    a pre-1970 event shifted one bucket between engines)."""
     if step < 1:
         raise ValueError(f"step must be >= 1 second, got {step}")
     if fill not in ("zero", "ffill"):

@@ -188,7 +188,12 @@ def wet_bytes(records: Iterable[tuple[str, str, str]], version: str = "1.0") -> 
     tests/test_wet.py::test_parser_roundtrip_random_records."""
     out = io.BytesIO()
     for record_id, uri, text in records:
-        payload = text.encode("utf-8", errors="replace")
+        # NULL text serializes as an empty payload: WET has no NULL
+        # representation, and an export sink crashing on one NULL row
+        # (None.encode) is a job-stopper, not a contract
+        payload = ("" if text is None else text).encode(
+            "utf-8", errors="replace"
+        )
         head = (
             f"WARC/{version}\r\n"
             "WARC-Type: conversion\r\n"
