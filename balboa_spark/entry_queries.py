@@ -366,13 +366,19 @@ QUERIES.update(QUERIES_TEMPORAL)
 # the last-green script over CORRECTNESS_r01..r13 (the r12 verdict's
 # method), not prose.
 CAP_50 = [
-    # -- §2 backbone, kept in-cap as standing canaries --
+    # -- §2 backbone, kept in-cap as standing canaries (entries_rdata
+    #    and aliases rotate to the tail this round — green r10 AND
+    #    r12, kernels untouched since r7 — to open slots for the two
+    #    never-graded r13 SFT entries; Q1/A1/C1/§2.11 still canary
+    #    the backbone) --
     "observations_agg",   # A1-A3 core fold
     "entries_rrname",     # Q1 forward lookup (+Q4 order/limit)
-    "entries_rdata",      # Q2 inverted lookup
-    "aliases",            # J1 alias self-join
     "cidr_search",        # C1 numeric-range CIDR
     "input_normalize",    # §2.11 scalar-function surface
+    # -- r13-NEW mid-round: SFT assembly (conversation threading ->
+    #    chat-template render -> loss-mask spans), first grading --
+    "sft_render",
+    "sft_loss_spans",
     # -- dedup family: bucket_pairs/ngram kernels CHANGED r13 (star
     #    pairs + groupBy DF cap) — the whole family re-grades, the
     #    r5-stale members recalled from the tail --
@@ -446,6 +452,12 @@ CAP_50 = [
 #     same digest path as in-cap media_dedup; agg_incremental — same
 #     merge fold as observations_agg.
 _TAIL = [
+    # --- demoted mid-r13 (double-green backbone canaries, kernels
+    #     untouched since r7; slots opened for the never-graded SFT
+    #     pair — backbone still canaried by entries_rrname /
+    #     observations_agg / cidr_search / input_normalize) ---
+    "entries_rdata",      # Q2 inverted lookup; green r10+r12
+    "aliases",            # J1 alias self-join; green r10+r12
     # --- demoted r13 (double-green, kernels unchanged since last
     #     grading; displaced by the r13 IN cohort) ---
     "embedding_seed_topk",       # green r9+r12; ANN family in-cap via ann_lsh_topk/embedding_topk

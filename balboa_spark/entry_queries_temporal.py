@@ -612,6 +612,128 @@ ORDER BY user_id, bucket_start
 """
 
 
+# ---------------------------------------------------------------------------
+# SFT (instruction-tuning) assembly: threaded conversations -> chat
+# template render -> loss-mask spans (operators.sft)
+# ---------------------------------------------------------------------------
+
+SFT_SYSTEM = "you are a helpful assistant"
+SFT_GAP_MIN = 30
+
+#: shared turn CTEs: sessionize (gap rule) -> per-conversation turn
+#: index -> alternating roles -> content with explicit coalesce (the
+#: engine's concat/coalesce contract; DuckDB || would NULL-propagate)
+_SFT_TURNS_SQL = f"""
+t0 AS (
+  SELECT user_id, ts, event_id,
+         event_type || ' ' || coalesce(props, '') AS content,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        + INTERVAL {SFT_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_conv
+  FROM events
+),
+t1 AS (
+  SELECT user_id, ts, event_id, content,
+         CAST(sum(new_conv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conv_id
+  FROM t0
+),
+turns AS (
+  SELECT user_id, conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id, conv_id
+                                 ORDER BY ts, event_id) AS INTEGER) AS turn_idx,
+         content
+  FROM t1
+),
+rt AS (
+  SELECT user_id, conv_id, turn_idx,
+         CASE WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+         content
+  FROM turns
+)
+"""
+
+
+def _sft_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from balboa_spark.operators import sft
+
+    return sft.conversation_turns(
+        _events(spark, sf_dir), gap_minutes=SFT_GAP_MIN
+    )
+
+
+def q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering of gap-threaded conversations
+    (operators.sft): one transcript row per conversation with the
+    loss-accounting aggregates (assistant content mass) an SFT packer
+    needs. The oracle replays sessionization, turn ordering (exact-
+    timestamp ties broken by event_id), role alternation, the
+    ChatML-like template, and every aggregate."""
+    from balboa_spark.operators import sft
+
+    return sft.render_conversations(
+        _sft_turns(spark, sf_dir), system_prompt=SFT_SYSTEM
+    ).orderBy("user_id", "conv_id")
+
+
+SFT_RENDER_ORACLE = f"""
+WITH {_SFT_TURNS_SQL},
+r AS (
+  SELECT user_id, conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         '<|system|>{SFT_SYSTEM}<|end|>'
+           || string_agg('<|' || role || '|>' || content || '<|end|>',
+                         '' ORDER BY turn_idx) AS rendered,
+         CAST(sum(CASE WHEN role = 'assistant' THEN length(content) ELSE 0 END)
+              AS BIGINT) AS assistant_chars,
+         CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+              AS BIGINT) AS assistant_turns
+  FROM rt GROUP BY user_id, conv_id
+)
+SELECT user_id, conv_id, n_turns, rendered,
+       CAST(length(rendered) AS BIGINT) AS total_chars,
+       assistant_chars, assistant_turns
+FROM r ORDER BY user_id, conv_id
+"""
+
+
+def q_sft_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn [content_start, content_end) codepoint spans inside
+    the rendered transcript plus the assistant loss mask — the
+    (conv, span, mask) relation a trainer consumes without re-scanning
+    text. Offsets come from an exclusive cumulative sum of rendered
+    piece lengths over the per-conversation window (key-bounded)."""
+    from balboa_spark.operators import sft
+
+    return sft.loss_mask_spans(
+        _sft_turns(spark, sf_dir), system_prompt=SFT_SYSTEM
+    ).orderBy("user_id", "conv_id", "turn_idx")
+
+
+# piece = '<|' + role + '|>' + content + '<|end|>' -> 4 + len(role)
+# + len(content) + 7 codepoints; system prefix rendered once up front
+_SFT_PREFIX_LEN = len("<|system|>") + len(SFT_SYSTEM) + len("<|end|>")
+
+SFT_LOSS_SPANS_ORACLE = f"""
+WITH {_SFT_TURNS_SQL}
+SELECT user_id, conv_id, turn_idx, role,
+       CAST({_SFT_PREFIX_LEN}
+            + coalesce(sum(4 + length(role) + length(content) + 7) OVER (
+                PARTITION BY user_id, conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + 4 + length(role) AS BIGINT) AS content_start,
+       CAST({_SFT_PREFIX_LEN}
+            + coalesce(sum(4 + length(role) + length(content) + 7) OVER (
+                PARTITION BY user_id, conv_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + 4 + length(role) + length(content) AS BIGINT) AS content_end,
+       CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS INTEGER)
+         AS loss_mask
+FROM rt ORDER BY user_id, conv_id, turn_idx
+"""
+
+
 QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_resample": q_events_resample,
     "events_asof": q_events_asof,
@@ -626,6 +748,8 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_profile": q_events_props_profile,
     "events_skew_metrics": q_events_skew,
     "events_heavy_users": q_events_heavy_users,
+    "sft_render": q_sft_render,
+    "sft_loss_spans": q_sft_loss_spans,
 }
 
 ORACLES_TEMPORAL: dict[str, str] = {
@@ -642,4 +766,6 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "events_props_profile": _props_profile_oracle(),
     "events_skew_metrics": EVENTS_SKEW_ORACLE,
     "events_heavy_users": EVENTS_HEAVY_USERS_ORACLE,
+    "sft_render": SFT_RENDER_ORACLE,
+    "sft_loss_spans": SFT_LOSS_SPANS_ORACLE,
 }

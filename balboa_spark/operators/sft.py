@@ -1,0 +1,221 @@
+"""SFT (instruction-tuning) data assembly: event streams -> threaded
+conversations -> chat-template rendering -> loss-mask spans.
+
+Pretraining gets documents; post-training gets CONVERSATIONS. The
+assembly pipeline every SFT data build runs is (1) thread raw
+interaction logs into ordered per-session turns, (2) render each
+conversation through a chat template (role tags + end-of-turn
+markers), (3) compute which character/token spans the loss applies to
+(assistant turns only — user/system turns are context, not target).
+This module does all three relationally:
+
+- `conversation_turns`: sessionize (gap rule) + row_number per
+  conversation. All windows are partitioned by user/conversation —
+  key-bounded by per-user activity, never corpus-wide (the unbounded
+  content-keyed window class dedup.py eliminated stays banned here).
+- `render_conversations`: per-conversation template render via
+  sort_array(collect_list(struct(...))) + aggregate/concat — one
+  shuffle with map-side combine, rendered text stays distributed
+  (never collected). A conversation's turn list is bounded by the
+  session gap rule, so the per-group array is session-sized, not
+  corpus-sized — same boundedness contract as pack_sequences' per-doc
+  fragment arrays.
+- `loss_mask_spans`: per-turn [start, end) character offsets of each
+  turn's CONTENT inside the rendered string, via an exclusive
+  cumulative sum of rendered piece lengths over the per-conversation
+  window. Offsets are codepoint-based (Spark `length` == DuckDB
+  `length` on VARCHAR), so a downstream tokenizer with byte offsets
+  must convert — documented, not hidden.
+
+Scale: at 100 TB of logs the only shuffles are the per-user session
+window and the per-conversation groupBy — both partition on high-
+cardinality keys (users/conversations), both AQE-splittable. No
+driver-side state, no UDFs (the whole path is JVM codegen).
+
+Chat template (fixed, ChatML-like): every turn renders as
+``<|role|>content<|end|>``; an optional system preamble renders as a
+turn 0 with role ``system``. Roles alternate user/assistant by turn
+parity — real logs carry explicit roles; the alternation default
+exists so raw event streams (no role column) still thread into a
+usable transcript, and any `role_col` overrides it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ROLE_OPEN = "<|"
+ROLE_CLOSE = "|>"
+END_TAG = "<|end|>"
+
+
+def _tag(role: Column) -> Column:
+    return F.concat(F.lit(ROLE_OPEN), role, F.lit(ROLE_CLOSE))
+
+
+def conversation_turns(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple = ("event_id",),
+    content_col: Column | None = None,
+    role_col: str | None = None,
+) -> DataFrame:
+    """(user_id, conv_id, turn_idx, role, content, ts) — one row per
+    turn, conversations split on > gap_minutes of inactivity.
+
+    conv_id is the cumulative count of gap-breaks per user (the
+    classic lag + running-sum sessionization); turn_idx is 1-based
+    within the conversation, ordered by (ts, *order_cols) so exact
+    timestamp ties are deterministic. content defaults to
+    ``event_type`` + ' ' + ``coalesce(props, '')`` with explicit
+    coalesce on BOTH engines (concat propagates NULL in DuckDB but
+    concat_ws silently drops it in Spark — the parity trap)."""
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    if content_col is None:
+        content_col = F.concat(
+            F.col("event_type"), F.lit(" "), F.coalesce(F.col("props"), F.lit(""))
+        )
+    gap = F.lag(ts_col).over(w)
+    new_conv = F.when(
+        gap.isNull()
+        | (F.col(ts_col) > gap + F.expr(f"INTERVAL {gap_minutes} MINUTE")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    turns = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        *[F.col(c) for c in order_cols],
+        content_col.alias("content"),
+        new_conv.alias("_new"),
+        *( [F.col(role_col).alias("_role")] if role_col else [] ),
+    )
+    wconv = Window.partitionBy("user_id").orderBy("ts", *order_cols)
+    turns = turns.withColumn(
+        "conv_id",
+        F.sum("_new").over(wconv.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    # turn_idx restarts per conversation
+    wturn = Window.partitionBy("user_id", "conv_id").orderBy("ts", *order_cols)
+    turns = turns.withColumn("turn_idx", F.row_number().over(wturn))
+    role = (
+        F.col("_role")
+        if role_col
+        else F.when(F.col("turn_idx") % 2 == 1, F.lit("user")).otherwise(
+            F.lit("assistant")
+        )
+    )
+    return turns.select(
+        "user_id",
+        "conv_id",
+        "turn_idx",
+        role.alias("role"),
+        "content",
+        "ts",
+    )
+
+
+def _piece(role: Column, content: Column) -> Column:
+    """One turn's rendered chunk: <|role|>content<|end|>."""
+    return F.concat(_tag(role), content, F.lit(END_TAG))
+
+
+def render_conversations(
+    turns: DataFrame,
+    system_prompt: str | None = None,
+) -> DataFrame:
+    """One row per conversation: the rendered transcript plus the
+    loss-accounting aggregates an SFT packer needs up front.
+
+    Columns: user_id, conv_id, n_turns, rendered, total_chars,
+    assistant_chars (sum of assistant CONTENT codepoints — the
+    loss-bearing mass), assistant_turns.
+
+    The render is sort_array over a per-conversation collect_list of
+    (turn_idx, piece) structs — deterministic regardless of physical
+    row order — then one array-concat. No window, one shuffle."""
+    piece = _piece(F.col("role"), F.col("content"))
+    sys_piece = (
+        _piece(F.lit("system"), F.lit(system_prompt)) if system_prompt else None
+    )
+    agg = (
+        turns.select(
+            "user_id",
+            "conv_id",
+            F.struct(F.col("turn_idx"), piece.alias("piece")).alias("tp"),
+            F.col("role"),
+            F.length("content").alias("content_len"),
+        )
+        .groupBy("user_id", "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("tp")), lambda s: s["piece"]
+                ),
+                "",
+            ).alias("body"),
+            F.sum(
+                F.when(F.col("role") == "assistant", F.col("content_len")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("assistant_chars"),
+            F.sum(
+                F.when(F.col("role") == "assistant", F.lit(1)).otherwise(F.lit(0))
+            ).alias("assistant_turns"),
+        )
+    )
+    rendered = (
+        F.concat(sys_piece, F.col("body")) if sys_piece is not None else F.col("body")
+    )
+    return agg.select(
+        "user_id",
+        "conv_id",
+        "n_turns",
+        rendered.alias("rendered"),
+        F.length(rendered).alias("total_chars"),
+        "assistant_chars",
+        "assistant_turns",
+    )
+
+
+def loss_mask_spans(
+    turns: DataFrame,
+    system_prompt: str | None = None,
+) -> DataFrame:
+    """Per-turn [content_start, content_end) codepoint offsets inside
+    the rendered transcript, plus loss_mask (1 for assistant turns).
+
+    piece_len(turn) = len('<|'+role+'|>') + len(content) + len(END).
+    content_start = prefix + exclusive-cumsum(piece_len) + tag_len;
+    the cumsum window is per-conversation ordered by turn_idx —
+    key-bounded. A trainer consumes this as (conv, span, mask) and
+    never re-scans the rendered text to find the assistant spans."""
+    prefix_len = (
+        len(ROLE_OPEN + "system" + ROLE_CLOSE) + len(system_prompt) + len(END_TAG)
+        if system_prompt
+        else 0
+    )
+    tag_len = F.length(_tag(F.col("role")))
+    piece_len = tag_len + F.length("content") + F.lit(len(END_TAG))
+    w = (
+        Window.partitionBy("user_id", "conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(piece_len).over(w), F.lit(0)) + F.lit(prefix_len)
+    start = before + tag_len
+    return turns.select(
+        "user_id",
+        "conv_id",
+        "turn_idx",
+        "role",
+        start.alias("content_start"),
+        (start + F.length("content")).alias("content_end"),
+        F.when(F.col("role") == "assistant", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("loss_mask"),
+    )

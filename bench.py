@@ -816,6 +816,21 @@ def main() -> None:
             par(spark.table("customer")), "c_name", 1
         ).write.mode("overwrite").format("noop").save()
 
+    @timed("sft_assembly")
+    def _():
+        # SFT data prep end to end: gap-threaded conversations over the
+        # events stream -> chat-template render -> loss-mask spans; two
+        # key-bounded per-user/per-conversation windows + one groupBy
+        from balboa_spark.operators import sft
+
+        turns = sft.conversation_turns(par(spark.table("events")))
+        sft.render_conversations(turns, system_prompt="sys").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        sft.loss_mask_spans(turns, system_prompt="sys").write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     run_items()
     shutil.rmtree(tmp, ignore_errors=True)
 

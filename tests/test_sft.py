@@ -1,0 +1,97 @@
+"""SFT assembly (operators.sft): conversation threading, chat-template
+rendering, loss-mask spans."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from balboa_spark.operators import sft
+
+
+def _ts(minute, second=0, hour=0):
+    return dt.datetime(2024, 1, 1, hour, minute, second)
+
+
+def _events(spark):
+    # user u: one conversation of 3 turns, then a >30min gap, then 1
+    # turn; user v: single event. Exact-timestamp tie on (u, :05).
+    rows = [
+        (1, "u", _ts(0), "ask", '{"q": 1}'),
+        (2, "u", _ts(5), "answer", '{"a": 1}'),
+        (3, "u", _ts(5), "ask", None),          # tie with event 2; NULL props
+        (4, "u", _ts(50), "ask", '{"q": 2}'),   # new conversation (gap 45m)
+        (5, "v", _ts(7), "hello", '{"x": "ü"}'),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string, props string"
+    )
+
+
+def test_conversation_turns_threading_and_roles(spark):
+    t = sft.conversation_turns(_events(spark)).orderBy(
+        "user_id", "conv_id", "turn_idx"
+    )
+    rows = [(r.user_id, r.conv_id, r.turn_idx, r.role, r.content) for r in t.collect()]
+    assert rows == [
+        ("u", 1, 1, "user", 'ask {"q": 1}'),
+        ("u", 1, 2, "assistant", 'answer {"a": 1}'),
+        # ts tie broken by event_id: event 3 AFTER event 2
+        ("u", 1, 3, "user", "ask "),  # NULL props -> coalesce('')
+        ("u", 2, 1, "user", 'ask {"q": 2}'),
+        ("v", 1, 1, "user", 'hello {"x": "ü"}'),
+    ]
+
+
+def test_render_matches_manual_template(spark):
+    r = (
+        sft.render_conversations(
+            sft.conversation_turns(_events(spark)), system_prompt="sys"
+        )
+        .filter((F.col("user_id") == "u") & (F.col("conv_id") == 1))
+        .first()
+    )
+    expected = (
+        "<|system|>sys<|end|>"
+        '<|user|>ask {"q": 1}<|end|>'
+        '<|assistant|>answer {"a": 1}<|end|>'
+        "<|user|>ask <|end|>"
+    )
+    assert r.rendered == expected
+    assert r.n_turns == 3
+    assert r.total_chars == len(expected)
+    assert r.assistant_chars == len('answer {"a": 1}')
+    assert r.assistant_turns == 1
+
+
+def test_loss_spans_slice_the_rendered_content(spark):
+    turns = sft.conversation_turns(_events(spark))
+    rendered = {
+        (r.user_id, r.conv_id): r.rendered
+        for r in sft.render_conversations(turns, system_prompt="sys").collect()
+    }
+    spans = sft.loss_mask_spans(turns, system_prompt="sys")
+    both = spans.join(
+        turns.select("user_id", "conv_id", "turn_idx", "content"),
+        ["user_id", "conv_id", "turn_idx"],
+    ).collect()
+    assert len(both) == 5
+    n_loss = 0
+    for r in both:
+        text = rendered[(r.user_id, r.conv_id)]
+        # the span slices exactly the turn's content out of the render
+        assert text[r.content_start : r.content_end] == r.content
+        assert r.loss_mask == (1 if r.role == "assistant" else 0)
+        n_loss += r.loss_mask
+    assert n_loss == 1
+
+
+def test_explicit_role_column_overrides_alternation(spark):
+    df = _events(spark).withColumn(
+        "who", F.when(F.col("event_id") % 2 == 0, "assistant").otherwise("tool")
+    )
+    t = sft.conversation_turns(df, role_col="who")
+    roles = {r.turn_idx: r.role for r in t.filter(
+        (F.col("user_id") == "u") & (F.col("conv_id") == 1)).collect()}
+    assert roles == {1: "tool", 2: "assistant", 3: "tool"}
