@@ -400,11 +400,17 @@ CAP_50 = [
     "events_sessionize",
     "events_retention",
     "events_anomaly",
-    # -- r5-stale recalls: corpus/scalar kernels --
+    # -- r5-stale recalls: corpus/scalar kernels (corpus_vocab_topk
+    #    yields its slot mid-round to the never-graded
+    #    embedding_kmeans; its tokens+count+rank kernel is elementary
+    #    and shared with a dozen in-cap entries — 15 of the 16
+    #    r5-cohort recalls stay, still meeting the >=15 VERDICT ask) --
     "tpch_q1",
     "corpus_pii_redact",
     "corpus_hash_split",
-    "corpus_vocab_topk",
+    # -- r13-NEW mid-round: Lloyd k-means fit graded via an unrolled
+    #    SQL recursion (the pagerank convention), first grading --
+    "embedding_kmeans",
     # -- heavy composites --
     "pipeline_pretrain",
     # -- persisted stores: exact/span kernels changed r12-r13; attr
@@ -458,6 +464,10 @@ _TAIL = [
     #     observations_agg / cidr_search / input_normalize) ---
     "entries_rdata",      # Q2 inverted lookup; green r10+r12
     "aliases",            # J1 alias self-join; green r10+r12
+    "corpus_vocab_topk",  # r5-stale recall returned to tail mid-round
+                          # (slot to embedding_kmeans); tokens+count
+                          # kernel shared with in-cap tfidf/bpe paths;
+                          # r14 plan re-grades it first
     # --- demoted r13 (double-green, kernels unchanged since last
     #     grading; displaced by the r13 IN cohort) ---
     "embedding_seed_topk",       # green r9+r12; ANN family in-cap via ann_lsh_topk/embedding_topk

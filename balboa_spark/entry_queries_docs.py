@@ -1798,6 +1798,113 @@ ORDER BY rrf_score DESC, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) fit, driver-graded via an unrolled SQL recursion
+# ---------------------------------------------------------------------------
+
+KM_K, KM_ITERS = 8, 2
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (similarity.ivf_fit) graded end to
+    end — the one iterative kernel whose fit loop was unit-only:
+    seeds are the KM_K rows with smallest md5(vec_id) (cross-engine
+    deterministic, no RNG), the fit runs KM_ITERS iterations with the
+    pagerank 9dp-rounding convention, and the output is every
+    vector's final cell assignment (rounded-cosine argmax, min-cell
+    tie-break). The oracle unrolls the identical recursion in SQL:
+    assign -> per-cell per-dim mean -> renormalize, twice, then the
+    final assignment — so a drifted mean, a flipped near-tie, or a
+    mishandled empty cell all change the hash."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"]
+    seed_rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(KM_K)
+        .select("embedding")
+        .collect()
+    )
+    C = similarity.ivf_fit(
+        emb,
+        64,
+        k=KM_K,
+        iters=KM_ITERS,
+        seeds=[list(r[0]) for r in seed_rows],
+        round_digits=9,
+    )
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(C)], "cell int, c array<double>"
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        F.round(similarity.cosine(F.col("embedding"), F.col("c")), 6).alias("s"),
+    )
+    pick = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("s"), (-F.col("cell")).alias("nc"))).alias("m")
+    )
+    return pick.select(
+        "vec_id", (-F.col("m.nc")).cast("int").alias("cell")
+    ).orderBy("vec_id")
+
+
+def _kmeans_oracle() -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(coalesce(list_inner_product({a}, {b})"
+            f" / nullif(sqrt(list_inner_product({a}, {a}))"
+            f" * sqrt(list_inner_product({b}, {b})), 0), 0), 6)"
+        )
+
+    def unit9(src: str) -> str:
+        return (
+            f"list_transform({src}, x -> round(x"
+            f" / coalesce(nullif(sqrt(list_inner_product({src}, {src})), 0), 1), 9))"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""sd AS (
+  SELECT vec_id, v FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KM_K})""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell,
+         {unit9('v')} AS c
+  FROM sd)""",
+    ]
+    for i in range(1, KM_ITERS + 1):
+        p = f"c{i - 1}"
+        ctes += [
+            f"""a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, p.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('e.v', 'p.c')} DESC, p.cell) AS rn
+    FROM e CROSS JOIN {p} p) WHERE rn = 1)""",
+            f"""m{i} AS (
+  SELECT a.cell, t.i AS i, round(avg(e.v[CAST(t.i AS INTEGER)]), 9) AS m
+  FROM a{i} a, e, range(1, 65) t(i)
+  WHERE a.vec_id = e.vec_id GROUP BY 1, 2)""",
+            f"g{i} AS (SELECT cell, list(m ORDER BY i) AS mv FROM m{i} GROUP BY cell)",
+            f"u{i} AS (SELECT cell, {unit9('mv')} AS c FROM g{i})",
+            f"""c{i} AS (
+  SELECT p.cell, coalesce(u.c, p.c) AS c
+  FROM {p} p LEFT JOIN u{i} u USING (cell))""",
+        ]
+    final = f"""fin AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, p.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos('e.v', 'p.c')} DESC, p.cell) AS rn
+    FROM e CROSS JOIN c{KM_ITERS} p) WHERE rn = 1)"""
+    ctes.append(final)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, cell FROM fin ORDER BY vec_id"
+    )
+
+
 QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_quality_eval": q_ann_quality_eval,
     "text_profile": q_text_profile,
@@ -1832,6 +1939,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "embedding_mean_pool": q_embedding_mean_pool,
     "embedding_seed_topk": q_embedding_seed_topk,
+    "embedding_kmeans": q_embedding_kmeans,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -1877,4 +1985,5 @@ ORACLES_DOCS: dict[str, str] = {
     ),
     "embedding_mean_pool": EMBEDDING_MEAN_POOL_ORACLE,
     "embedding_seed_topk": EMBEDDING_SEED_TOPK_ORACLE,
+    "embedding_kmeans": _kmeans_oracle(),
 }

@@ -215,31 +215,51 @@ def ivf_fit(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seeds=None,
+    round_digits: int | None = None,
 ) -> list[list[float]]:
     """Fit k centroids with distributed Lloyd iterations.
 
     Seeds are k id-hash-sampled rows (deterministic — hash of the id
-    column, no RNG state, independent of physical partitioning). Each
-    iteration: cosine-argmax assignment (one Arrow-batched matmul per
-    batch) then per-dimension means as dim JVM-side avg aggregates —
-    ONE shuffle per iteration with map-side combine, and only k×dim
-    floats ever reach the driver (model state, not data)."""
+    column, no RNG state, independent of physical partitioning), or
+    the caller's ``seeds`` (k×dim floats). Each iteration:
+    cosine-argmax assignment (one Arrow-batched matmul per batch)
+    then per-dimension means as dim JVM-side avg aggregates — ONE
+    shuffle per iteration with map-side combine, and only k×dim
+    floats ever reach the driver (model state, not data).
+
+    ``round_digits`` makes the trajectory CROSS-ENGINE replayable
+    (the pagerank 9dp convention): per-iteration means and centroid
+    components round to that many digits and assignments compare
+    6dp-rounded cosines with a min-cell tie-break, so a SQL unroll of
+    the same recursion (the ``embedding_kmeans`` oracle) reproduces
+    every iterate bit-for-bit. Float summation-order drift lives
+    below 9dp at any realistic cluster size; leave ``None`` for the
+    production path (one rounding less per iterate)."""
     import numpy as np
 
-    n = df.count()
-    stride = max(1, n // (2 * k))  # oversample ~2k, keep first k by id
-    seed_rows = (
-        df.filter(F.pmod(F.hash(F.col(id_col)), F.lit(stride)) == 0)
-        .orderBy(id_col)
-        .select(vec_col)
-        .limit(k)
-        .collect()
-    )
-    C = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    if seeds is not None:
+        C = np.asarray(seeds, dtype=np.float64)
+    else:
+        n = df.count()
+        stride = max(1, n // (2 * k))  # oversample ~2k, keep first k by id
+        seed_rows = (
+            df.filter(F.pmod(F.hash(F.col(id_col)), F.lit(stride)) == 0)
+            .orderBy(id_col)
+            .select(vec_col)
+            .limit(k)
+            .collect()
+        )
+        C = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
+    nrm0 = np.linalg.norm(C, axis=1, keepdims=True)
+    C = C / np.where(nrm0 == 0.0, 1.0, nrm0)
+    if round_digits is not None:
+        C = np.round(C, round_digits)
     for _ in range(iters):
         assigned = df.select(
-            ivf_assign_col(C, vec_col).alias("_cell"), F.col(vec_col).alias("_v")
+            ivf_assign_col(C, vec_col, round_digits=6 if round_digits else None)
+            .alias("_cell"),
+            F.col(vec_col).alias("_v"),
         )
         means = (
             assigned.groupBy("_cell")
@@ -248,21 +268,31 @@ def ivf_fit(
         )
         for row in means:
             v = np.array([row[f"d{i}"] for i in range(dim)], dtype=np.float64)
+            if round_digits is not None:
+                v = np.round(v, round_digits)
             nrm = np.linalg.norm(v)
-            if nrm > 0:
-                C[row["_cell"]] = v / nrm
+            upd = v / (nrm if nrm > 0 else 1.0)
+            if round_digits is not None:
+                upd = np.round(upd, round_digits)
+            C[row["_cell"]] = upd
     return [[float(x) for x in row] for row in C]
 
 
-def ivf_assign_col(centroids, vec_col: str = "embedding") -> Column:
+def ivf_assign_col(
+    centroids, vec_col: str = "embedding", round_digits: int | None = None
+) -> Column:
     """Column: index of the nearest centroid by cosine (vectorized
-    argmax over the tiny centroid matrix per Arrow batch)."""
+    argmax over the tiny centroid matrix per Arrow batch).
+    ``round_digits`` rounds the scores first so near-ties resolve the
+    same way in a SQL replay (argmax picks the FIRST max — the lowest
+    cell — matching ORDER BY score DESC, cell)."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.where(cn == 0.0, 1.0, cn)
 
     @pandas_udf("int")
     def assign(v: "pd.Series") -> "pd.Series":
@@ -272,7 +302,10 @@ def ivf_assign_col(centroids, vec_col: str = "embedding") -> Column:
         # falls to the lowest cell id instead of propagating NaN
         nrm = np.linalg.norm(X, axis=1, keepdims=True)
         Xn = X / np.where(nrm == 0.0, 1.0, nrm)
-        return pd.Series((Xn @ Cn.T).argmax(1).astype("int32"))
+        S = Xn @ Cn.T
+        if round_digits is not None:
+            S = np.round(S, round_digits)
+        return pd.Series(S.argmax(1).astype("int32"))
 
     return assign(F.col(vec_col))
 

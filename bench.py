@@ -816,6 +816,24 @@ def main() -> None:
             par(spark.table("customer")), "c_name", 1
         ).write.mode("overwrite").format("noop").save()
 
+    @timed("kmeans_fit")
+    def _():
+        # graded Lloyd path: 2 iterations x (Arrow argmax assign + 64
+        # map-side-combined avg aggregates); only k x dim floats reach
+        # the driver per iteration
+        from balboa_spark.entry_queries_docs import KM_ITERS, KM_K
+
+        emb = par(spark.table("embeddings"))
+        seeds = [
+            list(r[0])
+            for r in emb.orderBy(
+                F.md5(F.col("vec_id").cast("string")), "vec_id"
+            ).limit(KM_K).select("embedding").collect()
+        ]
+        similarity.ivf_fit(
+            emb, 64, k=KM_K, iters=KM_ITERS, seeds=seeds, round_digits=9
+        )
+
     @timed("sft_assembly")
     def _():
         # SFT data prep end to end: gap-threaded conversations over the

@@ -289,6 +289,31 @@ def test_semantic_dedup_matches_exact_on_clusters(spark):
     assert sem == exact == [4 * c for c in range(25)]
 
 
+def test_ivf_fit_replayable_mode_is_deterministic(spark):
+    """The graded k-means path (seeds= + round_digits=9): two fits
+    over different physical layouts of the same data must produce
+    bit-identical centroids (the 9dp rounding pins every iterate),
+    recover the planted clusters, and carry an empty cell's seed
+    forward unchanged."""
+    rows = _clustered_vectors(n_clusters=4)
+    seeds = [rows[0][1], rows[4][1], rows[8][1], rows[12][1],
+             [0.0] * 64]  # 5th seed: zero vector -> empty cell
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df8 = df1.repartition(8)
+    c1 = similarity.ivf_fit(df1, 64, k=5, iters=2, seeds=seeds, round_digits=9)
+    c2 = similarity.ivf_fit(df8, 64, k=5, iters=2, seeds=seeds, round_digits=9)
+    assert c1 == c2
+    # the zero seed scores 0 against everything; every vector prefers
+    # a real centroid, so cell 4 stays empty and keeps its (zero) seed
+    assert c1[4] == [0.0] * 64
+    # real cells converge to distinct near-unit centroids
+    import numpy as np
+
+    C = np.asarray(c1[:4])
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0, atol=1e-6)
+    assert (np.round(C @ C.T, 2) < 0.99).sum() == 12  # off-diagonal distinct
+
+
 def test_ivf_topk_on_clustered_vectors(spark):
     """IVF (learned centroids + nprobe cells): on clustered data the
     probed cells must contain the true high-cosine neighbors, so the
