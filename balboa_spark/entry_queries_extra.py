@@ -366,13 +366,19 @@ def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate, so it has no hash oracle and is exercised in unit
     tests instead."""
     load_tables(spark, sf_dir, names=("events",))
+    # finite-only: Spark's percentile ranks NaN ABOVE +Inf while
+    # DuckDB's quantile_cont ignores it — non-finite readings are
+    # excluded from the distribution AND from n on both engines
+    # (value > -Inf AND value < Inf is false for NaN/±Inf/NULL)
     return spark.sql(
         """
         SELECT event_type,
                round(percentile(value, 0.5), 4) AS p50,
                round(percentile(value, 0.9), 4) AS p90,
                count(*) AS n
-        FROM events GROUP BY event_type ORDER BY event_type
+        FROM events
+        WHERE value > double('-Infinity') AND value < double('Infinity')
+        GROUP BY event_type ORDER BY event_type
         """
     )
 
@@ -382,7 +388,8 @@ SELECT event_type,
        round(quantile_cont(value, 0.5), 4) AS p50,
        round(quantile_cont(value, 0.9), 4) AS p90,
        count(*) AS n
-FROM events GROUP BY event_type ORDER BY event_type
+FROM events WHERE isfinite(value)
+GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -513,7 +520,8 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANOMALY_ORACLE = """
 WITH c AS (
   SELECT event_id, user_id, epoch_us(ts) AS us,
-         CAST(round(value * 100) AS BIGINT) AS cents
+         CASE WHEN isfinite(value)
+              THEN CAST(round(value * 100) AS BIGINT) END AS cents
   FROM events
 ),
 w AS (

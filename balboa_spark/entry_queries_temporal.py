@@ -81,8 +81,10 @@ def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_ROLLING_ORACLE = """
 SELECT event_id,
        count(*) OVER w AS n_trailing,
-       -- DuckDB types sum(BIGINT) as HUGEINT; Spark's is LongType
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+       -- DuckDB types sum(BIGINT) as HUGEINT; Spark's is LongType.
+       -- isfinite mirrors the engine's finite_cents guard (NaN/Inf -> NULL)
+       CAST(sum(CASE WHEN isfinite(value)
+                     THEN CAST(round(value * 100) AS BIGINT) END) OVER w AS BIGINT)
          AS sum_value_cents_trailing
 FROM events
 WINDOW w AS (
@@ -585,7 +587,8 @@ WITH c AS (
          (epoch_us(ts) - ((epoch_us(ts) % {RESAMPLE_STEP * 1_000_000})
                           + {RESAMPLE_STEP * 1_000_000}) % {RESAMPLE_STEP * 1_000_000})
            // {RESAMPLE_STEP * 1_000_000} AS b,
-         CAST(round(value * 100) AS BIGINT) AS cents
+         CASE WHEN isfinite(value)
+              THEN CAST(round(value * 100) AS BIGINT) END AS cents
   FROM events
 ),
 a AS (

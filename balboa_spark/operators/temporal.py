@@ -148,6 +148,23 @@ def interval_join(
     return out
 
 
+def finite_cents(value: Column) -> Column:
+    """``round(value * 100)`` as exact integer cents — the module's
+    order-independent exactness convention — with a FINITE-guard:
+    NaN/±Inf readings (failed sensors, upstream div-by-zero) map to
+    NULL instead of an ANSI CAST_OVERFLOW that kills the whole job,
+    and aggregates skip them like any NULL. The comparison form
+    excludes NaN without isnan(): Spark orders NaN above +Inf, so
+    ``value < Inf`` is false for NaN. DuckDB oracles mirror this as
+    ``CASE WHEN isfinite(value) THEN CAST(round(value*100) AS BIGINT)
+    END``."""
+    inf = float("inf")
+    return F.when(
+        (value > F.lit(-inf)) & (value < F.lit(inf)),
+        F.round(value * 100).cast("long"),
+    )
+
+
 def trailing_window(
     keys: Sequence[str], ts_col: str, duration_sec: int
 ) -> WindowSpec:
@@ -245,7 +262,7 @@ def rolling_features(
     DuckDB's segment tree.
     """
     w = trailing_window(keys, ts_col, duration_sec)
-    cents = F.round(F.col(value_col) * 100).cast("long")
+    cents = finite_cents(F.col(value_col))
     return df.select(
         "*",
         F.count(F.lit(1)).over(w).alias("n_trailing"),
@@ -325,7 +342,7 @@ def anomaly_scores(
     single absurd sensor reading must not be a job-stopper.
     """
     w = trailing_window(keys, ts_col, duration_sec)
-    cents = F.round(F.col(value_col) * 100).cast("long")
+    cents = finite_cents(F.col(value_col))
     c38 = cents.cast("decimal(38,0)")
     n = F.count(F.lit(1)).over(w)
     s1 = F.sum(c38).over(w)  # wide too: a window of near-max cents must not overflow the sum
@@ -395,7 +412,7 @@ def resample_events(
         f" div {step_us})"
     )
     b = F.expr(fdiv)
-    cents = F.round(F.col(value_col) * 100).cast("long")
+    cents = finite_cents(F.col(value_col))
     agg = (
         df.select(F.col(key_col), b.alias("_b"), cents.alias("_c"))
         .groupBy(key_col, "_b")

@@ -143,6 +143,11 @@ def event_rows(base_id: int, base_user: int):
         (ts("2024-01-19 15:00:00"), u2, "view", 19.0, '{"k": "ünïcode"}'),
         (ts("2024-01-19 16:00:00"), u2, "view", 20.0, '{"k": {"a": 1}}'),
         (ts("2024-01-19 17:00:00"), u2, "view", 21.0, '{"K": 22}'),
+        # non-finite values (failed sensor readings / div-by-zero
+        # upstream): the finite-guard contract maps these to NULL
+        (ts("2024-01-20 10:00:00"), u3, "purchase", float("nan"), '{"k": 23}'),
+        (ts("2024-01-20 11:00:00"), u3, "purchase", float("inf"), '{"k": 24}'),
+        (ts("2024-01-20 12:00:00"), u3, "purchase", float("-inf"), '{"k": 25}'),
     ]
     return {
         "event_id": [base_id + i for i in range(len(rows))],

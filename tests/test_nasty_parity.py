@@ -80,6 +80,27 @@ def test_anomaly_survives_huge_value(spark):
     assert out[2].is_anomaly is not None  # window with variance scores
 
 
+def test_finite_cents_maps_nonfinite_to_null(spark):
+    """NaN/±Inf readings must not kill cents-typed kernels with an
+    ANSI CAST_OVERFLOW; they map to NULL and aggregates skip them."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, 5, base, 1.5),
+            (2, 5, base + dt.timedelta(minutes=1), float("nan")),
+            (3, 5, base + dt.timedelta(minutes=2), float("inf")),
+            (4, 5, base + dt.timedelta(minutes=3), float("-inf")),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: (r.n_trailing, r.sum_value_cents_trailing)
+        for r in temporal.rolling_features(df).collect()
+    }
+    # every row counts; only the finite reading contributes cents
+    assert out == {1: (1, 150), 2: (2, 150), 3: (3, 150), 4: (4, 150)}
+
+
 def test_bm25_null_text_is_zero_length_doc(spark):
     """NULL text = dl 0, still counted in N (the PostingsIndex
     manifest contract): scores must equal those of an explicit
