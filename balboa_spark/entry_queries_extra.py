@@ -260,7 +260,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                              OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                                   + INTERVAL '30' MINUTE
                         THEN 1 ELSE 0 END AS new_sess
-            FROM events
+            FROM events WHERE ts IS NOT NULL
           )
         )
         GROUP BY user_id, session_id
@@ -281,7 +281,7 @@ FROM (
                      OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                           + INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_sess
-    FROM events
+    FROM events WHERE ts IS NOT NULL
   )
 )
 GROUP BY user_id, session_id
@@ -293,7 +293,10 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Structured Streaming windowed aggregation (same expression works
     on a stream with a watermark; SURVEY §2.9 T3 extension)."""
     load_tables(spark, sf_dir, names=("events",))
-    events = spark.table("events")
+    # explicit NULL-ts exclusion: Spark's window() silently drops
+    # NULL-ts rows while DuckDB's time_bucket groups them under a NULL
+    # bucket — pin the same contract on both sides
+    events = spark.table("events").filter(F.col("ts").isNotNull())
     w = F.window("ts", "1 hour")
     return (
         events.groupBy(w, "event_type")
@@ -317,7 +320,7 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
        event_type,
        count(*) AS n_events,
        round(sum(value), 2) AS total_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 """
 

@@ -628,13 +628,15 @@ SFT_GAP_MIN = 30
 #: engine's concat/coalesce contract; DuckDB || would NULL-propagate)
 _SFT_TURNS_SQL = f"""
 t0 AS (
+  -- ts IS NOT NULL: the conversation_turns contract (unstamped
+  -- events cannot be ordered; NULL sort position differs per engine)
   SELECT user_id, ts, event_id,
          event_type || ' ' || coalesce(props, '') AS content,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                    OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                         + INTERVAL {SFT_GAP_MIN} MINUTE
               THEN 1 ELSE 0 END AS new_conv
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 t1 AS (
   SELECT user_id, ts, event_id, content,

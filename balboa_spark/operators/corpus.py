@@ -1887,8 +1887,13 @@ def mixture_resample(
     small). No driver action, no RNG state.
     """
     total_w = sum(target.values())
+    if total_w <= 0:
+        raise ValueError(f"target weights must sum > 0, got {total_w}")
+    # zero-weight groups keep nothing and must not reach the _n/_w
+    # division (ANSI /0 kills the job); dropping them here has the
+    # identical keep-semantics — the inner join excludes their rows
     tgt = df.sparkSession.createDataFrame(
-        [(g, w / total_w) for g, w in sorted(target.items())],
+        [(g, w / total_w) for g, w in sorted(target.items()) if w > 0],
         f"`{group_col}` string, _w double",
     )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
@@ -1940,11 +1945,17 @@ def mixture_token_budget(
     totals = df.groupBy(group_col).agg(
         F.sum(token_count(F.col(text_col))).alias("_tok")
     )
+    # a group whose documents are all empty has _tok = 0: nothing to
+    # sample from, keep_frac 0 — and the division must not run (ANSI
+    # /0 is a job-stopper, the adversarial-audit crash class)
     fracs = totals.join(tgt, group_col).select(
         group_col,
-        F.least(
-            F.lit(1.0), F.col("_budget") / F.col("_tok").cast("double")
-        ).alias("_keep_frac"),
+        F.when(
+            F.col("_tok") > 0,
+            F.least(F.lit(1.0), F.col("_budget") / F.col("_tok").cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_keep_frac"),
     )
     thr = _frac_threshold_hex(F.col("_keep_frac"))
     h8 = F.substring(

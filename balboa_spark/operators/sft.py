@@ -73,6 +73,11 @@ def conversation_turns(
     ``event_type`` + ' ' + ``coalesce(props, '')`` with explicit
     coalesce on BOTH engines (concat propagates NULL in DuckDB but
     concat_ws silently drops it in Spark — the parity trap)."""
+    # NULL timestamps are excluded by contract: an unstamped event
+    # cannot be ordered into a conversation, and Spark windows sort
+    # NULLs FIRST while DuckDB sorts them LAST — letting one through
+    # silently diverges the threading between engines
+    events = events.filter(F.col(ts_col).isNotNull())
     order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
     w = Window.partitionBy(user_col).orderBy(*order)
     if content_col is None:

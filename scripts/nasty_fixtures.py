@@ -148,6 +148,10 @@ def event_rows(base_id: int, base_user: int):
         (ts("2024-01-20 10:00:00"), u3, "purchase", float("nan"), '{"k": 23}'),
         (ts("2024-01-20 11:00:00"), u3, "purchase", float("inf"), '{"k": 24}'),
         (ts("2024-01-20 12:00:00"), u3, "purchase", float("-inf"), '{"k": 25}'),
+        # NULL timestamp (unparseable log line): time-ordered operators
+        # exclude it by contract — Spark windows order NULLs FIRST and
+        # DuckDB's LAST, so any kernel that lets it through diverges
+        (None, u3, "view", 1.0, '{"k": 26}'),
     ]
     return {
         "event_id": [base_id + i for i in range(len(rows))],

@@ -15,7 +15,7 @@ import datetime as dt
 import duckdb
 from pyspark.sql import functions as F
 
-from balboa_spark.operators import similarity, temporal
+from balboa_spark.operators import corpus, similarity, temporal
 
 
 def test_cosine_zero_vector_is_zero_not_crash(spark):
@@ -99,6 +99,39 @@ def test_finite_cents_maps_nonfinite_to_null(spark):
     }
     # every row counts; only the finite reading contributes cents
     assert out == {1: (1, 150), 2: (2, 150), 3: (3, 150), 4: (4, 150)}
+
+
+def test_conversation_turns_excludes_null_timestamps(spark):
+    """An unstamped event cannot be ordered into a conversation;
+    NULL-ts rows are excluded by contract (Spark windows sort NULLs
+    FIRST, DuckDB LAST — letting one through diverges the engines)."""
+    from balboa_spark.operators import sft
+
+    df = spark.createDataFrame(
+        [
+            (1, "u", dt.datetime(2024, 1, 1, 0, 0), "a", None),
+            (2, "u", None, "b", None),
+            (3, "u", dt.datetime(2024, 1, 1, 0, 5), "c", None),
+        ],
+        "event_id long, user_id string, ts timestamp, event_type string, props string",
+    )
+    t = sft.conversation_turns(df).collect()
+    assert sorted(r.content for r in t) == ["a ", "c "]
+
+
+def test_mixture_zero_weight_and_zero_token_groups_do_not_divide(spark):
+    """A zero-weight target group and an all-empty-text group must not
+    reach an ANSI /0 — both keep nothing, job survives."""
+    docs = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "b", "p q"), (3, "c", "")],
+        "doc_id long, source string, text string",
+    )
+    kept = corpus.mixture_resample(docs, {"a": 1.0, "b": 0.0}, group_col="source")
+    assert {r.source for r in kept.collect()} <= {"a"}
+    kept2 = corpus.mixture_token_budget(
+        docs, {"a": 100, "c": 100}, group_col="source"
+    )
+    assert {r.source for r in kept2.collect()} == {"a"}
 
 
 def test_bm25_null_text_is_zero_length_doc(spark):
