@@ -114,8 +114,11 @@ def q_store_delta_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="balboa_delta_entry_"), num_buckets=4
     )
     # slice by event TIME so the same aggregate key lands in several
-    # slices — the cross-delta fold is the thing under test
-    sl = F.pmod(F.unix_timestamp("ts_start"), F.lit(3))
+    # slices — the cross-delta fold is the thing under test. coalesce:
+    # a NULL-ts observation must land in SOME slice (pmod(NULL)=NULL
+    # matched no filter, silently dropping the row from the store
+    # while the one-shot oracle kept it — adversarial-audit find)
+    sl = F.coalesce(F.pmod(F.unix_timestamp("ts_start"), F.lit(3)), F.lit(0))
     store.write(aggregate(obs.filter(sl == 0)))
     store.append_delta(obs.filter(sl == 1), epoch_id=0)
     store.append_delta(obs.filter(sl == 2), epoch_id=1)
