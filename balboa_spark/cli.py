@@ -185,6 +185,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("store", help="tokenizer store root dir")
     s.add_argument("input", help="parquet dir with (doc_id, text)")
     s.add_argument("out", help="output parquet dir")
+
+    s = sub.add_parser(
+        "sft-render",
+        help="thread an events parquet into conversations (gap rule) "
+        "and write template-rendered transcripts + loss-mask spans",
+    )
+    s.add_argument("input", help="parquet dir with (event_id, user_id, ts, event_type, props)")
+    s.add_argument("out", help="output dir (transcripts/ + spans/ subdirs)")
+    s.add_argument("--gap-minutes", type=int, default=30)
+    s.add_argument("--system-prompt", default=None)
     return p
 
 
@@ -272,6 +282,22 @@ def run(args: argparse.Namespace, spark=None) -> int:
         ts.encode(spark.read.parquet(args.input)).write.mode(
             "overwrite"
         ).parquet(args.out)
+        return 0
+
+    if args.cmd == "sft-render":
+        import os
+
+        from balboa_spark.operators import sft
+
+        turns = sft.conversation_turns(
+            spark.read.parquet(args.input), gap_minutes=args.gap_minutes
+        )
+        sft.render_conversations(
+            turns, system_prompt=args.system_prompt
+        ).write.mode("overwrite").parquet(os.path.join(args.out, "transcripts"))
+        sft.loss_mask_spans(
+            turns, system_prompt=args.system_prompt
+        ).write.mode("overwrite").parquet(os.path.join(args.out, "spans"))
         return 0
 
     if args.cmd == "corpus-datasheet":

@@ -87,6 +87,20 @@ def test_loss_spans_slice_the_rendered_content(spark):
     assert n_loss == 1
 
 
+def test_cli_sft_render_e2e(spark, tmp_path):
+    """sft-render CLI: events parquet in, transcripts + spans out."""
+    from balboa_spark.cli import build_parser, run
+
+    inp, out = str(tmp_path / "ev"), str(tmp_path / "out")
+    _events(spark).write.parquet(inp)
+    argv = ["sft-render", inp, out, "--system-prompt", "sys"]
+    assert run(build_parser().parse_args(argv), spark=spark) == 0
+    tr = spark.read.parquet(out + "/transcripts")
+    sp = spark.read.parquet(out + "/spans")
+    assert tr.count() == 3 and sp.count() == 5
+    assert all(r.rendered.startswith("<|system|>sys<|end|>") for r in tr.collect())
+
+
 def test_explicit_role_column_overrides_alternation(spark):
     df = _events(spark).withColumn(
         "who", F.when(F.col("event_id") % 2 == 0, "assistant").otherwise("tool")
