@@ -3454,33 +3454,44 @@ def q_pipeline_wet_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     train+classify, per-language KN stats, per-language banding, and
     the mixer's band <> 'tail' keep rule over a real on-disk
     AttributeStore (text touched only by the final id-keyed join)."""
-    import gzip as _gzip
     import os as _os
     import tempfile as _tempfile
 
     from balboa_spark.operators import lm
     from balboa_spark.operators.attributes import AttributeStore
     from balboa_spark.operators.text import extract_main_content
-    from balboa_spark.sources.wet import read_wet, wet_bytes
+    from balboa_spark.sources.wet import read_wet, write_wet_shards
 
     docs = load_tables(spark, sf_dir, names=("documents",))[
         "documents"
     ].select("doc_id", "source", "text")
     pages = docs.select("doc_id", "source", _synth_chrome_col().alias("html"))
     tmp = _tempfile.mkdtemp(prefix="wet_ccnet_")
-    shards: dict[int, list[tuple[str, str, str]]] = {}
-    for r in pages.collect():
-        shards.setdefault(int(r["doc_id"]) % 4, []).append(
-            (
-                f"urn:doc:{r['doc_id']}",
-                f"https://{r['source']}.example.com/{r['doc_id']}",
-                r["html"],
-            )
-        )
-    for k, recs in sorted(shards.items()):
-        with open(_os.path.join(tmp, f"shard-{k}.warc.wet.gz"), "wb") as fh:
-            fh.write(_gzip.compress(wet_bytes(recs)))
-    wet = read_wet(spark, tmp)
+    # archive construction is DISTRIBUTED (write_wet_shards: executors
+    # serialize + write their shard, the driver sees only the 4-row
+    # manifest) — the previous corpus-sized collect + driver-side
+    # wet_bytes was this entry's sf1.0 bottleneck and exactly the
+    # anti-pattern the export sink exists to kill
+    arch = _os.path.join(tmp, "archive")
+    write_wet_shards(
+        pages.select(
+            F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("record_id"),
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/"),
+                F.col("doc_id"),
+            ).alias("target_uri"),
+            F.col("html").alias("text"),
+            # 32-way sharding = 32 parallel serializer tasks; the
+            # oracle replays from `documents` directly, so the shard
+            # layout is free to follow the executor count
+            F.pmod(F.col("doc_id"), F.lit(32)).alias("_shard"),
+        ),
+        arch,
+        shard_col="_shard",
+    ).collect()
+    wet = read_wet(spark, arch)
     mc = wet.select(
         F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
         .cast("long")
