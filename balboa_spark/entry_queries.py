@@ -442,8 +442,12 @@ CAP_50 = [
     #    lid-oracle LEFT-JOIN parity fix — ALL re-grade --
     "pipeline_ccnet",
     "pipeline_ccnet5",
-    "pipeline_ccnet_par",
     "pipeline_ccnet_lid",
+    # -- r13-NEW mid-round: composed post-training pipeline (events ->
+    #    conversations -> transcripts -> packed sequences), first
+    #    grading; slot from pipeline_ccnet_par (same chain kernel as
+    #    its three in-cap siblings, paragraph-granularity arm) --
+    "pipeline_sft",
     "corpus_lang_id",          # r12 first-graded
     # -- r13-NEW: first grading --
     "corpus_bpe_bytes",
@@ -465,6 +469,10 @@ CAP_50 = [
 #     same digest path as in-cap media_dedup; agg_incremental — same
 #     merge fold as observations_agg.
 _TAIL = [
+    "pipeline_ccnet_par",  # ccnet chain re-grades via 3 in-cap siblings
+                           # (ccnet/ccnet5/ccnet_lid share the r13
+                           # fingerprint + kernel); paragraph arm
+                           # re-grades r14
     # --- demoted mid-r13 (double-green backbone canaries, kernels
     #     untouched since r7; slots opened for the never-graded SFT
     #     pair — backbone still canaried by entries_rrname /

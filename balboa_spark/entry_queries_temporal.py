@@ -739,6 +739,68 @@ FROM rt ORDER BY user_id, conv_id, turn_idx
 """
 
 
+SFT_PACK_LEN = 64
+
+
+def q_pipeline_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed POST-TRAINING data pipeline, graded end to end
+    like pipeline_pretrain: events -> gap-threaded conversations ->
+    chat-template transcripts -> concat-and-chunk packed sequences.
+    Each conversation becomes one 'document' keyed user_id*100000 +
+    conv_id (deterministic global pack order on both engines); the
+    oracle replays sessionization, the render, and the packer's
+    global prefix-sum arithmetic."""
+    from balboa_spark.operators import sft
+
+    rendered = sft.render_conversations(
+        _sft_turns(spark, sf_dir), system_prompt=SFT_SYSTEM
+    )
+    docs = rendered.select(
+        (F.col("user_id") * 100000 + F.col("conv_id")).alias("doc_id"),
+        F.col("rendered").alias("text"),
+    )
+    return corpus.pack_sequences(docs, seq_len=SFT_PACK_LEN).orderBy("seq_id")
+
+
+PIPELINE_SFT_ORACLE = f"""
+WITH {_SFT_TURNS_SQL},
+r AS (
+  SELECT user_id * 100000 + conv_id AS doc_id,
+         '<|system|>{SFT_SYSTEM}<|end|>'
+           || string_agg('<|' || role || '|>' || content || '<|end|>',
+                         '' ORDER BY turn_idx) AS text
+  FROM rt GROUP BY user_id, conv_id
+),
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM r
+),
+counts AS (SELECT doc_id, len(tk) AS n FROM tk WHERE len(tk) > 0),
+offs AS (
+  SELECT doc_id,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM counts
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) + 1),
+                               i -> {{'pos': i, 'tok': tk[i]}})) AS s
+  FROM tk WHERE len(tk) > 0
+),
+tok2 AS (
+  SELECT o.start + struct_extract(t.s, 'pos') - 1 AS gpos,
+         struct_extract(t.s, 'tok') AS tok
+  FROM tok t JOIN offs o USING (doc_id)
+)
+SELECT CAST(floor(gpos / {SFT_PACK_LEN}) AS BIGINT) AS seq_id,
+       count(*) AS n_seq_tokens,
+       string_agg(tok, ' ' ORDER BY gpos) AS seq_text
+FROM tok2 GROUP BY 1 ORDER BY seq_id
+"""
+
+
 QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_resample": q_events_resample,
     "events_asof": q_events_asof,
@@ -755,6 +817,7 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_heavy_users": q_events_heavy_users,
     "sft_render": q_sft_render,
     "sft_loss_spans": q_sft_loss_spans,
+    "pipeline_sft": q_pipeline_sft,
 }
 
 ORACLES_TEMPORAL: dict[str, str] = {
@@ -773,4 +836,5 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "events_heavy_users": EVENTS_HEAVY_USERS_ORACLE,
     "sft_render": SFT_RENDER_ORACLE,
     "sft_loss_spans": SFT_LOSS_SPANS_ORACLE,
+    "pipeline_sft": PIPELINE_SFT_ORACLE,
 }
