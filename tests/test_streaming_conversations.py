@@ -110,3 +110,60 @@ def test_turn_cap_force_closes_runaway_conversation(spark, tmp_path):
         assert [r.n_turns for r in got] == [2, 2]
     finally:
         q.stop()
+
+
+def test_state_survives_query_restart(spark, tmp_path):
+    """Keyed conversation state must recover from the checkpoint: a
+    conversation opened before a stop() closes correctly after a NEW
+    query resumes from the same checkpoint dir."""
+    land = tmp_path / "ev"
+    land.mkdir()
+    (land / "b1.ndjson").write_text(
+        json.dumps({"user_id": 3, "ts": "2024-01-01 10:00:00", "content": "one"})
+        + "\n"
+        + json.dumps({"user_id": 3, "ts": "2024-01-01 10:01:00", "content": "two"})
+        + "\n"
+    )
+    # the memory sink cannot recover from a checkpoint — a FILE sink
+    # is the restart-capable shape (and what production would use)
+    from balboa_spark.streaming.conversations import assemble_conversations_stream
+
+    out = str(tmp_path / "convs")
+
+    def start_file_sink():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, content string")
+            .json(str(land))
+        )
+        return (
+            assemble_conversations_stream(stream, system_prompt="sys")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    q = start_file_sink()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # resume from the SAME checkpoint; a 2h-later event closes the
+    # conversation opened before the restart
+    (land / "b2.ndjson").write_text(
+        json.dumps({"user_id": 3, "ts": "2024-01-01 12:30:00", "content": "later"})
+        + "\n"
+    )
+    q2 = start_file_sink()
+    try:
+        q2.processAllAvailable()
+        rows = spark.read.parquet(out).filter("user_id = 3").collect()
+        assert len(rows) == 1
+        assert rows[0].n_turns == 2
+        assert rows[0].rendered.endswith(
+            "<|user|>one<|end|><|assistant|>two<|end|>"
+        )
+    finally:
+        q2.stop()
