@@ -731,7 +731,10 @@ c AS (
                             ELSE lpad(lower(hex(CAST(round((r - floor(r)) * {16**8}) AS BIGINT))), 8, '0')
                        END
                 THEN 1 ELSE 0 END AS nc
-  FROM documents d JOIN fr USING (source)
+  -- null-safe join: a NULL source is ONE group in the engine's
+  -- groupBy/window path; a bare equi-join would drop its documents
+  -- from the mixture (adversarial-audit find)
+  FROM documents d JOIN fr ON d.source IS NOT DISTINCT FROM fr.source
 )
 SELECT doc_id, source, CAST(unnest(range(0, nc)) AS INTEGER) AS copy_idx
 FROM c WHERE nc > 0 ORDER BY doc_id, copy_idx
@@ -1784,9 +1787,11 @@ def _main_content_oracle() -> str:
 
     # NULL propagation: the engine's codegen chain yields NULL main
     # text for a NULL page, but DuckDB's list/string aggregates can
-    # collapse the NULL path to '' — pin NULL-in-NULL-out explicitly
+    # collapse the NULL path to '' — pin NULL-in-NULL-out explicitly.
+    # The synth page concatenates text AND source, so either being
+    # NULL nulls the page (doc_id is never NULL).
     return (
-        "SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE "
+        "SELECT doc_id, CASE WHEN text IS NULL OR source IS NULL THEN NULL ELSE "
         + extract_main_content_sql(
             _SYNTH_CHROME_SQL, min_block_chars=_MC_MIN_CHARS
         )

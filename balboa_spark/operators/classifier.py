@@ -148,9 +148,18 @@ def quality_classifier(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Fit against 'is this the curated source?' and score the whole
-    corpus — the composed CCNet-style learned filter."""
+    corpus — the composed CCNet-style learned filter.
+
+    eqNullSafe, not ==: a NULL source is NOT the curated source, so
+    the document trains as a NEGATIVE example. A bare == yields a
+    NULL label whose gradient rows avg() silently drops — the engine
+    would then train on a smaller set than the oracle's CASE...ELSE 0
+    form (adversarial-audit find: a planted NULL-source doc shifted
+    every score by 2e-4)."""
     w = logreg_fit(
-        df, label=(F.col(source_col) == target_source), text_col=text_col,
+        df,
+        label=F.col(source_col).eqNullSafe(F.lit(target_source)),
+        text_col=text_col,
         id_col=id_col,
     )
     return logreg_score(df, w, text_col=text_col, id_col=id_col)

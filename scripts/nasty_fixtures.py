@@ -100,6 +100,11 @@ def doc_rows(base_id: int):
         ("a|b\\c\"d'e f|g", "en", "src18"),
         ("!!! ??? ... ---", "en", "src19"),
         ("123 456 123 789 123", "en", "src0"),
+        # NULL group keys: lang/source are groupBy keys, URL inputs,
+        # and LID training labels (probed green everywhere — pinned
+        # so a future kernel cannot regress the consistent handling)
+        ("null lang doc words here", None, "src0"),
+        ("null source doc words here", "en", None),
     ]
     return {
         "doc_id": [base_id + i for i in range(len(rows))],
