@@ -408,13 +408,15 @@ CAP_50 = [
     "events_retention",
     "events_anomaly",
     # -- r5-stale recalls: corpus/scalar kernels (corpus_vocab_topk
-    #    yields its slot mid-round to the never-graded
-    #    embedding_kmeans; its tokens+count+rank kernel is elementary
-    #    and shared with a dozen in-cap entries — 15 of the 16
-    #    r5-cohort recalls stay, still meeting the >=15 VERDICT ask) --
-    "tpch_q1",
+    #    and tpch_q1 yield their slots mid-round to the never-graded
+    #    embedding_kmeans and corpus_curriculum_order; vocab_topk's
+    #    tokens+count kernel is shared with a dozen in-cap entries and
+    #    tpch_q1 is a generic SQL demo the tail rationale already
+    #    ranks second-tier — 14 of the 16 r5-cohort recalls stay) --
     "corpus_pii_redact",
     "corpus_hash_split",
+    # -- r13-NEW mid-round: curriculum scheduling, first grading --
+    "corpus_curriculum_order",
     # -- r13-NEW mid-round: Lloyd k-means fit graded via an unrolled
     #    SQL recursion (the pagerank convention), first grading --
     "embedding_kmeans",
@@ -479,6 +481,9 @@ _TAIL = [
     #     observations_agg / cidr_search / input_normalize) ---
     "entries_rdata",      # Q2 inverted lookup; green r10+r12
     "aliases",            # J1 alias self-join; green r10+r12
+    "tpch_q1",            # generic SQL demo (tail-rationale class);
+                          # slot to corpus_curriculum_order; r14
+                          # re-grades it with the demo cohort
     "corpus_vocab_topk",  # r5-stale recall returned to tail mid-round
                           # (slot to embedding_kmeans); tokens+count
                           # kernel shared with in-cap tfidf/bpe paths;

@@ -742,6 +742,48 @@ FROM c WHERE nc > 0 ORDER BY doc_id, copy_idx
 
 
 # ---------------------------------------------------------------------------
+# curriculum scheduling (easy -> hard stages, fixed score edges)
+# ---------------------------------------------------------------------------
+
+CURR_EDGES = (120.0, 260.0)
+CURR_MIX_BACK = 0.25
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule over the documents table: stage by pinned
+    n_chars thresholds (easy = short), md5 intra-stage sort key, 25%
+    spaced-repetition mix-back — a loader replays the easy-to-hard
+    order from (stage, sort_key) alone. Edges are pinned literals
+    (production estimates them once with percentile_approx; the
+    operator itself is a zero-shuffle projection)."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return corpus.curriculum_order(
+        docs, "n_chars", CURR_EDGES, mix_back=CURR_MIX_BACK
+    ).orderBy("stage", "sort_key")
+
+
+def _curriculum_oracle() -> str:
+    thr = corpus.sample_threshold_hex(CURR_MIX_BACK)
+    lo, hi = CURR_EDGES
+    return f"""
+WITH s AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+         CASE WHEN n_chars IS NULL THEN 2
+              WHEN CAST(n_chars AS DOUBLE) <= {lo!r} THEN 0
+              WHEN CAST(n_chars AS DOUBLE) <= {hi!r} THEN 1
+              ELSE 2 END AS st,
+         substr(md5(doc_id || ':curr:mix'), 1, 8) AS u
+  FROM documents
+)
+SELECT doc_id, score,
+       CAST(CASE WHEN st > 0 AND u < '{thr}' THEN st - 1 ELSE st END
+            AS INTEGER) AS stage,
+       md5(doc_id || ':curr') AS sort_key
+FROM s ORDER BY stage, sort_key
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus datasheet (GROUPING SETS rollups)
 # ---------------------------------------------------------------------------
 
@@ -3786,6 +3828,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bm25_topk": q_bm25_topk,
     "bm25_store_topk": q_bm25_store_topk,
     "corpus_mixture_temperature": q_mixture_temperature,
+    "corpus_curriculum_order": q_curriculum_order,
     "corpus_dataset_profile": q_dataset_profile,
     "corpus_bpe_segment": q_bpe_segment,
     "corpus_source_overlap": q_source_overlap,
@@ -3860,6 +3903,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_bm25_topk": BM25_TOPK_ORACLE,
     "bm25_store_topk": BM25_TOPK_ORACLE,
     "corpus_mixture_temperature": _mixture_temperature_oracle(),
+    "corpus_curriculum_order": _curriculum_oracle(),
     "corpus_dataset_profile": DATASET_PROFILE_ORACLE,
     "corpus_bpe_segment": _bpe_oracle(),
     "corpus_source_overlap": SOURCE_OVERLAP_ORACLE,

@@ -2278,6 +2278,62 @@ def contamination_overlap_sketch(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    edges: Sequence[float],
+    id_col: str = "doc_id",
+    salt: str = "curr",
+    mix_back: float = 0.0,
+) -> DataFrame:
+    """Curriculum scheduling: assign every document a training STAGE
+    by fixed score thresholds (stage s holds score in
+    (edges[s-1], edges[s]] — stage 0 is lowest/easiest, NULL scores
+    land in the LAST stage: unscorable data trains last, when the
+    model is most robust) plus a deterministic intra-stage sort key,
+    so a loader reading ORDER BY (stage, sort_key) replays the
+    easy-to-hard schedule identically on any run.
+
+    ``edges`` are CALLER-side literals by design: at 100 TB you
+    estimate them once with percentile_approx (mergeable t-digest, one
+    pass) — estimation is orthogonal to scheduling, and fixing them
+    keeps this operator a pure per-row codegen projection with ZERO
+    shuffles and no ordered statistic inside (an ntile/global
+    row_number formulation would funnel the corpus through one
+    window partition).
+
+    ``mix_back``: spaced-repetition fraction — each non-first-stage
+    document moves one stage EARLIER when its md5 uniform (seeded by
+    ``salt``, reshuffle-stable like every sampling rule here) falls
+    under the fraction, interleaving a taste of harder data into
+    earlier stages (anti-curriculum-overfit, the Bengio 2009 /
+    data-annealing trick).
+
+    Output: (id_col, score, stage, sort_key).
+    """
+    score = F.col(score_col).cast("double")
+    stage = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        stage = F.when(score <= F.lit(float(edges[i])), F.lit(i)).otherwise(stage)
+    stage = F.when(score.isNull(), F.lit(len(edges))).otherwise(stage)
+    if mix_back > 0:
+        u = F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}:mix"))),
+            1,
+            8,
+        )
+        thr = _frac_threshold_hex(F.lit(float(mix_back)))
+        stage = F.when((stage > 0) & (u < thr), stage - 1).otherwise(stage)
+    return df.select(
+        F.col(id_col),
+        score.alias("score"),
+        stage.cast("int").alias("stage"),
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))
+        ).alias("sort_key"),
+    )
+
+
 def mixture_temperature(
     df: DataFrame,
     tau: float,

@@ -2498,3 +2498,36 @@ def test_mixture_token_budget_hits_budgets(spark):
         for r in corpus.mixture_token_budget(docs.repartition(13), budgets).collect()
     )
     assert a == b
+
+
+def test_curriculum_order_stages_and_mix_back(spark):
+    """Stage assignment by fixed edges (NULL -> last stage), md5 sort
+    key deterministic under any partitioning, mix_back moves ~f of
+    non-first-stage docs one stage earlier (never below 0)."""
+    rows = [(i, float(i)) for i in range(300)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars double")
+    out = {
+        r.doc_id: (r.stage, r.sort_key)
+        for r in corpus.curriculum_order(df, "n_chars", (99.5, 199.5)).collect()
+    }
+    assert out[0][0] == 0 and out[150][0] == 1 and out[299][0] == 2
+    assert out[999][0] == 2  # unscorable trains last
+    # repartitioned input -> identical schedule
+    out8 = {
+        r.doc_id: (r.stage, r.sort_key)
+        for r in corpus.curriculum_order(
+            df.repartition(8), "n_chars", (99.5, 199.5)
+        ).collect()
+    }
+    assert out == out8
+    # mix_back: a ~25% md5 fraction of stages 1-2 moves one earlier
+    mixed = {
+        r.doc_id: r.stage
+        for r in corpus.curriculum_order(
+            df, "n_chars", (99.5, 199.5), mix_back=0.25
+        ).collect()
+    }
+    assert all(mixed[i] == 0 for i in range(100))  # stage 0 never moves
+    moved = sum(1 for i in range(100, 300) if mixed[i] == out[i][0] - 1)
+    assert 30 <= moved <= 70  # ~50 of 200 at f=0.25
+    assert all(mixed[i] in (out[i][0], out[i][0] - 1) for i in range(100, 300))
