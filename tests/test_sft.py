@@ -109,3 +109,98 @@ def test_explicit_role_column_overrides_alternation(spark):
     roles = {r.turn_idx: r.role for r in t.filter(
         (F.col("user_id") == "u") & (F.col("conv_id") == 1)).collect()}
     assert roles == {1: "tool", 2: "assistant", 3: "tool"}
+
+
+def _sft_py(events, gap_min, system_prompt):
+    """Pure-Python reference: thread -> render -> spans."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, uid, ts, content in events:
+        if ts is None:
+            continue
+        by_user[uid].append((ts, eid, content))
+    renders, spans = {}, []
+    for uid, evs in by_user.items():
+        evs.sort()
+        convs, cur, last = [], [], None
+        for ts, eid, content in evs:
+            if cur and (ts - last).total_seconds() > gap_min * 60:
+                convs.append(cur)
+                cur = []
+            cur.append(content)
+            last = ts
+        convs.append(cur)
+        for ci, conv in enumerate(convs, start=1):
+            parts = [f"<|system|>{system_prompt}<|end|>"] if system_prompt else []
+            pos = sum(len(p) for p in parts)
+            a_chars = 0
+            for ti, content in enumerate(conv, start=1):
+                role = "user" if ti % 2 == 1 else "assistant"
+                tag = f"<|{role}|>"
+                start = pos + len(tag)
+                spans.append((uid, ci, ti, role, start, start + len(content),
+                              1 if role == "assistant" else 0))
+                if role == "assistant":
+                    a_chars += len(content)
+                parts.append(f"{tag}{content}<|end|>")
+                pos = start + len(content) + len("<|end|>")
+            r = "".join(parts)
+            renders[(uid, ci)] = (len(conv), r, len(r), a_chars)
+    return renders, sorted(spans)
+
+
+def test_sft_assembly_matches_python_reference_fuzz(spark):
+    """Property: for random event streams (duplicate timestamps,
+    unicode contents, NULL ts, multi-user, gap edges), the distributed
+    thread->render->spans pipeline equals a pure-Python reference."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    content = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+        min_size=0, max_size=8,
+    )
+    event = st.tuples(
+        st.integers(0, 2),                       # user
+        st.one_of(st.none(), st.integers(0, 120)),  # minutes offset (None=NULL ts)
+        content,
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(evs=st.lists(event, min_size=1, max_size=14))
+    def check(evs):
+        rows = [
+            (i, u, None if m is None else base + dt.timedelta(minutes=m), c)
+            for i, (u, m, c) in enumerate(evs)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, content string"
+        )
+        from balboa_spark.operators import sft
+
+        turns = sft.conversation_turns(
+            df, content_col=F.col("content"), gap_minutes=30
+        )
+        got_r = {
+            (r.user_id, r.conv_id): (r.n_turns, r.rendered, r.total_chars,
+                                     r.assistant_chars)
+            for r in sft.render_conversations(turns, system_prompt="s").collect()
+        }
+        got_s = sorted(
+            (r.user_id, r.conv_id, r.turn_idx, r.role, r.content_start,
+             r.content_end, r.loss_mask)
+            for r in sft.loss_mask_spans(turns, system_prompt="s").collect()
+        )
+        # reference threads by (ts, event_id) — same tie-break
+        exp_r, exp_s = _sft_py(rows, 30, "s")
+        assert got_r == exp_r
+        assert got_s == exp_s
+
+    check()
