@@ -1,5 +1,14 @@
 """Similarity search over embedding columns (array<float>).
 
+PRECONDITION (whole module): the embedding column is FIXED-dimension —
+every vector has the declared length. Zero vectors and NULL rows are
+handled (defined cosine 0.0 / filtered), but a MIXED-length column is
+upstream corruption: zip_with NULL-pads (silent wrong cosines),
+element_at past the end raises under ANSI, and DuckDB's
+list_inner_product errors — validate dimensions at ingest (one
+``size(embedding) = dim`` expectation) rather than paying a per-row
+guard in every kernel here.
+
 - ``cosine``: pure-Column cosine between two vector columns (cast to
   double so results are bit-identical to the DuckDB oracle).
 - ``topk_brute``: exact top-k for one query vector — a single
