@@ -749,7 +749,13 @@ def q_pipeline_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each conversation becomes one 'document' keyed user_id*100000 +
     conv_id (deterministic global pack order on both engines); the
     oracle replays sessionization, the render, and the packer's
-    global prefix-sum arithmetic."""
+    global prefix-sum arithmetic.
+
+    Packing unit here is WHITESPACE tokens of the rendered transcript
+    — chosen because it keeps every stage exactly SQL-replayable; a
+    production run feeds the same transcripts through the byte-BPE
+    tokenizer (corpus_bpe_bytes_encode's kernel) and packs piece ids
+    with the identical fragment packer."""
     from balboa_spark.operators import sft
 
     rendered = sft.render_conversations(

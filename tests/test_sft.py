@@ -204,3 +204,38 @@ def test_sft_assembly_matches_python_reference_fuzz(spark):
         assert got_s == exp_s
 
     check()
+
+
+def test_sft_conversations_through_attribute_store(spark, tmp_path):
+    """Tag-once-mix-many generalizes beyond documents: rendered
+    conversations tag into the AttributeStore (n_turns /
+    assistant_share signals) and a mixer rule keeps only substantive
+    conversations — text touched once by the final semi-join."""
+    from balboa_spark.operators import sft
+    from balboa_spark.operators.attributes import AttributeStore
+
+    turns = sft.conversation_turns(_events(spark))
+    convs = sft.render_conversations(turns, system_prompt="s").select(
+        (F.abs(F.hash("user_id")).cast("long") * 100 + F.col("conv_id")).alias("doc_id"),
+        "n_turns",
+        "assistant_chars",
+        "total_chars",
+        "rendered",
+    )
+    store = AttributeStore(spark, str(tmp_path / "attrs"))
+    store.write(
+        convs.select(
+            "doc_id",
+            "n_turns",
+            (F.col("assistant_chars") / F.col("total_chars")).alias("a_share"),
+        ),
+        tagger="conv",
+    )
+    kept = store.mix(
+        convs.select("doc_id", "rendered"),
+        ["conv"],
+        "conv__n_turns >= 2 AND conv__a_share > 0.05",
+    )
+    got = kept.count()
+    # only user u's first conversation has >= 2 turns with assistant mass
+    assert got == 1
