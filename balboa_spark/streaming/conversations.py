@@ -125,7 +125,11 @@ def _conv_fn(gap_us: int, system_prompt: str | None, max_open_turns: int):
             rows: list[tuple[int, str]] = []
             for pdf in pdfs:
                 ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
-                rows.extend(zip(ts_us, pdf["content"].astype(str).tolist()))
+                # NOT astype(str): that would render a NULL content as
+                # the literal "None" — NULL renders as the empty turn,
+                # the batch kernel's coalesce convention
+                contents = ["" if c is None else str(c) for c in pdf["content"]]
+                rows.extend(zip(ts_us, contents))
             rows.sort(key=lambda r: r[0])
             if state.exists:
                 start_us, last_us, turns = state.get

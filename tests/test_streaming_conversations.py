@@ -41,6 +41,8 @@ def test_conversations_span_batches_and_match_batch_render(spark, tmp_path):
         [
             {"user_id": 1, "ts": "2024-01-01 10:00:00", "content": "hi there"},
             {"user_id": 1, "ts": None, "content": "dropped"},
+            # NULL content must render as the EMPTY turn, not "None"
+            {"user_id": 9, "ts": "2024-01-01 10:00:00", "content": None},
         ],
     )
     q = _start(spark, tmp_path, land)
@@ -52,6 +54,7 @@ def test_conversations_span_batches_and_match_batch_render(spark, tmp_path):
                 {"user_id": 1, "ts": "2024-01-01 10:05:00", "content": "hello back"},
                 # 2h later: closes the first conversation via the gap rule
                 {"user_id": 1, "ts": "2024-01-01 12:30:00", "content": "new topic"},
+                {"user_id": 9, "ts": "2024-01-01 12:30:00", "content": "closer"},
             ],
         )
         q.processAllAvailable()
@@ -87,6 +90,10 @@ def test_conversations_span_batches_and_match_batch_render(spark, tmp_path):
         b = sft.render_conversations(turns, system_prompt="sys").first()
         assert b.rendered == got.rendered
         assert b.assistant_chars == got.assistant_chars
+
+        u9 = spark.sql("SELECT * FROM closed_convs WHERE user_id = 9").collect()
+        assert len(u9) == 1
+        assert u9[0].rendered == "<|system|>sys<|end|><|user|><|end|>"
     finally:
         q.stop()
 
