@@ -529,9 +529,12 @@ WITH c AS (
 ),
 w AS (
   -- HUGEINT accumulators mirror the engine's decimal(38,0): BIGINT
-  -- cents*cents overflows (errors) at |value| > ~3e7
+  -- cents*cents overflows (errors) at |value| > ~3e7. nv = usable
+  -- readings (count(cents) skips NULL/non-finite) — the moment
+  -- divisor; n = every event — the reported window size
   SELECT event_id, cents,
          count(*) OVER win AS n,
+         count(cents) OVER win AS nv,
          sum(CAST(cents AS HUGEINT)) OVER win AS s1,
          sum(CAST(cents AS HUGEINT) * cents) OVER win AS s2
   FROM c
@@ -539,13 +542,13 @@ w AS (
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, n AS n_window,
-       CASE WHEN n > 1 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n > 0
-            THEN round((cents - CAST(s1 AS DOUBLE) / n)
-                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n), 4)
+       CASE WHEN nv > 1 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nv) / nv > 0
+            THEN round((cents - CAST(s1 AS DOUBLE) / nv)
+                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nv) / nv), 4)
        END AS z,
-       CASE WHEN n > 1 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n > 0
-            THEN abs(round((cents - CAST(s1 AS DOUBLE) / n)
-                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n), 4)) >= 3.0
+       CASE WHEN nv > 1 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nv) / nv > 0
+            THEN abs(round((cents - CAST(s1 AS DOUBLE) / nv)
+                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nv) / nv), 4)) >= 3.0
        END AS is_anomaly
 FROM w ORDER BY event_id
 """

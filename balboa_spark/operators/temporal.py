@@ -345,16 +345,21 @@ def anomaly_scores(
     cents = finite_cents(F.col(value_col))
     c38 = cents.cast("decimal(38,0)")
     n = F.count(F.lit(1)).over(w)
+    # moments divide by the count of USABLE readings, not the window
+    # row count: an unreadable (NULL/non-finite) value contributes
+    # nothing to s1/s2 and must not dilute the mean toward zero —
+    # n_window still reports every event in the window
+    nv = F.count(cents).over(w)
     s1 = F.sum(c38).over(w)  # wide too: a window of near-max cents must not overflow the sum
     s2 = F.sum(c38 * c38).over(w)
-    mean = s1.cast("double") / n
-    var = (s2.cast("double") - s1.cast("double") * s1 / n) / n
+    mean = s1.cast("double") / nv
+    var = (s2.cast("double") - s1.cast("double") * s1 / nv) / nv
     std = F.sqrt(var)
     # guard on var > 0, NOT std > 0: float cancellation can drive var
     # epsilon-negative, where sqrt gives NaN and Spark's NaN ordering
     # evaluates NaN > 0 as TRUE — emitting z = NaN where the oracle's
     # var-gated form emits NULL (hash mismatch on near-constant windows)
-    z = F.when((n > 1) & (var > 0), F.round((cents - mean) / std, 4))
+    z = F.when((nv > 1) & (var > 0), F.round((cents - mean) / std, 4))
     return df.select(
         "*",
         n.alias("n_window"),
