@@ -365,11 +365,12 @@ QUERIES.update(QUERIES_TEMPORAL)
 # (graph_pagerank, corpus_main_content, hybrid_search_rrf,
 # attr_store_mix, attr_mix_report, corpus_lang_id, kn5, kn_by_source,
 # the ccnet arms if their kernels finally rest) and this round's
-# 20-member IN cohort once double-green. ALSO re-grade the three
-# mid-r13 demotions (entries_rdata, aliases, corpus_vocab_topk) that
-# yielded slots to the never-graded SFT/kmeans entries, and demote
-# those four (sft_render, sft_loss_spans, embedding_kmeans + one
-# ccnet arm) once double-green. Verify stalest-first with
+# 20-member IN cohort once double-green. ALSO re-grade the five
+# mid-r13 demotions (entries_rdata, aliases, corpus_vocab_topk,
+# tpch_q1, pipeline_ccnet_par) that yielded slots to the five
+# never-graded session-2 entries (sft_render, sft_loss_spans,
+# pipeline_sft, embedding_kmeans, corpus_curriculum_order), and
+# demote those five once double-green. Verify stalest-first with
 # the last-green script over CORRECTNESS_r01..r13 (the r12 verdict's
 # method), not prose.
 CAP_50 = [
