@@ -688,8 +688,9 @@ r AS (
   SELECT user_id, conv_id,
          CAST(count(*) AS BIGINT) AS n_turns,
          '<|system|>{SFT_SYSTEM}<|end|>'
-           || string_agg('<|' || role || '|>' || content || '<|end|>',
-                         '' ORDER BY turn_idx) AS rendered,
+           || coalesce(
+                string_agg('<|' || role || '|>' || content || '<|end|>',
+                           '' ORDER BY turn_idx), '') AS rendered,
          CAST(sum(CASE WHEN role = 'assistant' THEN length(content) ELSE 0 END)
               AS BIGINT) AS assistant_chars,
          CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
@@ -773,8 +774,9 @@ WITH {_SFT_TURNS_SQL},
 r AS (
   SELECT user_id * 100000 + conv_id AS doc_id,
          '<|system|>{SFT_SYSTEM}<|end|>'
-           || string_agg('<|' || role || '|>' || content || '<|end|>',
-                         '' ORDER BY turn_idx) AS text
+           || coalesce(
+                string_agg('<|' || role || '|>' || content || '<|end|>',
+                           '' ORDER BY turn_idx), '') AS text
   FROM rt GROUP BY user_id, conv_id
 ),
 tk AS (

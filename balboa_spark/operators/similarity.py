@@ -51,9 +51,7 @@ def cosine(a: Column, b: Column) -> Column:
     cross a near-dup/top-k threshold). Plain division here is a
     production crash: one all-zeros embedding row (a real artifact of
     truncated/failed encoders) kills the whole job under ANSI mode,
-    and every DuckDB oracle mirrors the same coalesce(nullif) guard.
-    CASE short-circuits in codegen, so the division never runs on the
-    zero-norm rows."""
+    and every DuckDB oracle mirrors the same coalesce(nullif) guard."""
     # try_divide, NOT a CASE guard: when(denom==0,...).otherwise(dot/denom)
     # duplicates the whole norm() aggregate tree into both branches
     # (no CSE across CASE arms — measured 1.2-1.7x on the ANN bench
@@ -311,7 +309,10 @@ def ivf_assign_col(
 
     @pandas_udf("int")
     def assign(v: "pd.Series") -> "pd.Series":
-        X = np.vstack(v.to_numpy())
+        # float64 before normalizing: the parquet column is FLOAT[]
+        # and a float32 normalize can flip a 6dp-rounded near-tie vs
+        # the float64 SQL oracle (pq_assign below already casts)
+        X = np.vstack(v.to_numpy()).astype(np.float64)
         # zero-norm guard: a zero vector scores 0 against every
         # centroid (same defined semantic as cosine()), so argmax
         # falls to the lowest cell id instead of propagating NaN

@@ -246,6 +246,18 @@ def write_wet_shards(
       (shared filesystem) — on a real cluster point it at the DFS.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # Refuse a dirty target: a re-export with fewer shards (or a
+    # different shard_col) would leave the old shard-*.warc.wet.gz
+    # files in place and read_wet would silently union stale records
+    # with the new export. Fail fast instead of guessing which files
+    # belong to a previous run.
+    stale = sorted(n for n in os.listdir(out_dir) if ".warc.wet" in n)
+    if stale:
+        raise FileExistsError(
+            f"write_wet_shards: {out_dir} already contains "
+            f"{len(stale)} WET shard file(s) (e.g. {stale[0]}); "
+            "export into an empty directory or remove them first"
+        )
     sh = (
         F.col(shard_col)
         if shard_col

@@ -132,10 +132,21 @@ def _conv_fn(gap_us: int, system_prompt: str | None, max_open_turns: int):
                 rows.extend(zip(ts_us, contents))
             rows.sort(key=lambda r: r[0])
             if state.exists:
-                start_us, last_us, turns = state.get
-                turns = [tuple(t) for t in turns]
-            else:
-                start_us, last_us, turns = None, None, []
+                # Merge the buffered OPEN conversation with the new
+                # batch and re-sort, then replay the gap rule over the
+                # merged list: a late-but-in-watermark event landing
+                # before the buffered turns must slot into ts order
+                # (appending it would reorder the render and move
+                # last_us backwards). The replay is bounded by
+                # max_open_turns and is a no-op for in-order arrivals
+                # (stable sort keeps prior turns first on exact-ts
+                # ties — within a batch the kernel has no event_id, so
+                # cross-batch exact-ts ties keep arrival order; the
+                # batch twin breaks those by event_id).
+                _, _, prior = state.get
+                rows = [tuple(t) for t in prior] + rows
+                rows.sort(key=lambda r: r[0])
+            start_us, last_us, turns = None, None, []
             for t_us, content in rows:
                 if start_us is not None and (
                     t_us - last_us > gap_us or len(turns) >= max_open_turns

@@ -157,6 +157,19 @@ def event_rows(base_id: int, base_user: int):
         # exclude it by contract — Spark windows order NULLs FIRST and
         # DuckDB's LAST, so any kernel that lets it through diverges
         (None, u3, "view", 1.0, '{"k": 26}'),
+        # NULL event_type (schema-drifted producer): SFT content =
+        # event_type || ' ' || props goes NULL on both engines. An
+        # ALL-NULL-content conversation (isolated by the gap rule)
+        # must render as the bare system prefix — DuckDB string_agg
+        # over zero non-NULL pieces is NULL and needs the coalesce
+        # the ADVICE r13 fix added; Spark array_join skips NULLs.
+        (ts("2024-02-01 10:00:00"), u3, None, 1.0, '{"k": 27}'),
+        # NULL event_type MID-conversation: the NULL piece must drop
+        # from the render on both engines while n_turns still counts
+        # it and the loss-span cumsum treats its piece length as 0
+        (ts("2024-02-02 10:00:00"), u1, "view", 1.0, '{"k": 28}'),
+        (ts("2024-02-02 10:05:00"), u1, None, 2.0, '{"k": 29}'),
+        (ts("2024-02-02 10:10:00"), u1, "click", 3.0, '{"k": 30}'),
     ]
     return {
         "event_id": [base_id + i for i in range(len(rows))],

@@ -176,3 +176,32 @@ def test_wet_bytes_null_text_roundtrips_as_empty(spark):
     blob = wet_bytes([("urn:1", "https://a", None), ("urn:2", "https://b", "hi")])
     recs = {r[1]: r[6] for r in _parse_warc_bytes("p", blob)}
     assert recs["urn:1"] == "" and recs["urn:2"] == "hi"
+
+
+def test_sft_render_all_null_content_conversation(spark):
+    """A conversation whose every content is NULL (NULL event_type
+    upstream) renders as the BARE system prefix on both engines:
+    Spark array_join skips NULL pieces; the DuckDB oracle needs
+    coalesce(string_agg(...), '') because string_agg over zero
+    non-NULL pieces is NULL (ADVICE r14 fix)."""
+    from balboa_spark.operators import sft
+
+    turns = spark.createDataFrame(
+        [(1, 1, 1, "user", None, dt.datetime(2024, 1, 1, 10, 0))],
+        "user_id long, conv_id long, turn_idx int, role string, "
+        "content string, ts timestamp",
+    )
+    got = sft.render_conversations(turns, system_prompt="sys").first()
+    assert got.rendered == "<|system|>sys<|end|>"
+    assert got.n_turns == 1
+    assert got.total_chars == len("<|system|>sys<|end|>")
+
+    oracle = duckdb.sql(
+        """
+        SELECT '<|system|>sys<|end|>'
+               || coalesce(string_agg('<|' || role || '|>' || content
+                                      || '<|end|>', '' ORDER BY 1), '')
+        FROM (SELECT 'user' AS role, CAST(NULL AS VARCHAR) AS content)
+        """
+    ).fetchone()[0]
+    assert oracle == got.rendered

@@ -174,3 +174,48 @@ def test_state_survives_query_restart(spark, tmp_path):
         )
     finally:
         q2.stop()
+
+
+def test_late_in_watermark_event_slots_into_ts_order(spark, tmp_path):
+    """A late-but-in-watermark event arriving in a LATER micro-batch
+    must merge into the buffered open conversation in ts order — the
+    render reads chronologically, not in arrival order, and last_us
+    must not move backwards (ADVICE r13)."""
+    land = tmp_path / "ev"
+    land.mkdir()
+    (land / "b1.ndjson").write_text(
+        json.dumps({"user_id": 5, "ts": "2024-01-01 10:00:00", "content": "first"})
+        + "\n"
+        + json.dumps({"user_id": 5, "ts": "2024-01-01 10:06:00", "content": "third"})
+        + "\n"
+    )
+    q = _start(spark, tmp_path, land)
+    try:
+        q.processAllAvailable()
+        # arrives AFTER the 10:06 turn but belongs between the two
+        (land / "b2.ndjson").write_text(
+            json.dumps(
+                {"user_id": 5, "ts": "2024-01-01 10:03:00", "content": "second"}
+            )
+            + "\n"
+        )
+        q.processAllAvailable()
+        # 2h later: closes the conversation via the gap rule
+        (land / "b3.ndjson").write_text(
+            json.dumps(
+                {"user_id": 5, "ts": "2024-01-01 12:30:00", "content": "new"}
+            )
+            + "\n"
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM closed_convs WHERE user_id = 5").collect()
+        assert len(rows) == 1
+        assert rows[0].n_turns == 3
+        assert rows[0].rendered == (
+            "<|system|>sys<|end|>"
+            "<|user|>first<|end|>"
+            "<|assistant|>second<|end|>"
+            "<|user|>third<|end|>"
+        )
+    finally:
+        q.stop()

@@ -274,3 +274,21 @@ def test_write_wet_shards_distributed_roundtrip(spark, tmp_path):
         }
 
     assert digest(out1) == digest(out2)
+
+
+def test_write_wet_shards_refuses_dirty_dir(spark, tmp_path):
+    """Re-exporting into a dir that already holds WET shards must fail
+    fast: a narrower re-shard would otherwise leave stale shard files
+    that read_wet silently unions with the new export."""
+    import pytest
+
+    from balboa_spark.sources.wet import write_wet_shards
+
+    df = spark.createDataFrame(
+        [("urn:r:0", "https://ex/0", "t")],
+        "record_id string, target_uri string, text string",
+    )
+    out = str(tmp_path / "dirty")
+    write_wet_shards(df, out, num_shards=1).collect()
+    with pytest.raises(FileExistsError, match="already contains"):
+        write_wet_shards(df, out, num_shards=1).collect()
