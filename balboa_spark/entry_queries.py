@@ -319,7 +319,7 @@ QUERIES.update(QUERIES_TEMPORAL)
 # r11-green interval/rolling twins). Net churn this round: 17 cap
 # entries first-graded or kernel-recalled.
 #
-# Round-13 rotation (this round; executes the VERDICT r12 backlog
+# Round-13 rotation (executed r13; the VERDICT r12 backlog
 # sweep): OUT = 20 double-green entries (kernels unchanged since
 # their last grading): the 10 r12-promoted r9-cohort entries (green
 # r9 AND r12: embedding_seed_topk, corpus_bpe_vocab/encode,
@@ -340,158 +340,244 @@ QUERIES.update(QUERIES_TEMPORAL)
 # whose shared kernels CHANGED r13 (bucket_pairs star pairs +
 # ngram-Jaccard groupBy DF cap) and which was last driver-green in
 # r5: dedup_ngram_jaccard, dedup_minhash_lsh, dedup_minhash_estimate,
-# dedup_simhash, dedup_keep_longest; and the 11 next-stalest r5
-# entries: embedding_topk, embedding_cosine_pairs, tpch_q1,
-# events_sessionize, events_retention, events_anomaly,
-# corpus_contamination, corpus_pii_redact, corpus_hash_split,
-# corpus_vocab_topk, media_dedup. That rotates 16 of the 39-entry
-# r5/r6 stale cohort through the live driver.
+# dedup_simhash, dedup_keep_longest; and the next-stalest r5
+# entries: embedding_topk, embedding_cosine_pairs, events_sessionize,
+# events_retention, events_anomaly, corpus_pii_redact,
+# corpus_hash_split (tpch_q1 and corpus_vocab_topk entered early and
+# yielded their slots mid-round; corpus_contamination and media_dedup
+# were DEFERRED to r14 — see their r13 tail notes — so the EXECUTED
+# r13 recall was 14 of the 39-entry r5/r6 stale cohort, not the 16
+# this paragraph originally claimed).
 # Kernel-changed-this-round entries all stay in-cap for re-grading:
 # events_resample (floor-div bucketing), pipeline_ccnet/ccnet5/
 # ccnet_par/ccnet_lid (tokens-join dedup fingerprint + lid-oracle
 # LEFT-JOIN parity), dedup_exact/exact_dedup_store (exact_dedup key
 # param), graph_pagerank (_edge_relations refactor).
 #
-# ROUND-14 ROTATION PLAN (for the next builder): retire the REST of
-# the r5/r6 stale cohort — the 8 remaining r5 entries
-# (corpus_hash_sample, events_quantiles, join_enrich, media_stats,
-# pipeline_clean, rollup_observations, topk_per_group, tpch_q3) and
-# the 15-member r6 cohort (corpus_chunk_tokens, corpus_clean_text,
-# corpus_interleave, corpus_sentences, corpus_span_corruption,
-# corpus_stratified_k, corpus_trigram_familiarity, corpus_winnow,
-# dedup_passage, embedding_mean_pool, embedding_pq, embedding_project,
-# embedding_quantize, media_chunks, media_patches). Slots come from
-# demoting the by-then double-green r12 first-graded cohort
-# (graph_pagerank, corpus_main_content, hybrid_search_rrf,
-# attr_store_mix, attr_mix_report, corpus_lang_id, kn5, kn_by_source,
-# the ccnet arms if their kernels finally rest) and this round's
-# 20-member IN cohort once double-green. ALSO re-grade the five
-# mid-r13 demotions (entries_rdata, aliases, corpus_vocab_topk,
-# tpch_q1, pipeline_ccnet_par) that yielded slots to the five
-# never-graded session-2 entries (sft_render, sft_loss_spans,
-# pipeline_sft, embedding_kmeans, corpus_curriculum_order), and
-# demote those five once double-green. Verify stalest-first with
-# the last-green script over CORRECTNESS_r01..r13 (the r12 verdict's
-# method), not prose.
-CAP_50 = [
-    # -- §2 backbone, kept in-cap as standing canaries (entries_rdata
-    #    and aliases rotate to the tail this round — green r10 AND
-    #    r12, kernels untouched since r7 — to open slots for the two
-    #    never-graded r13 SFT entries; Q1/A1/C1/§2.11 still canary
-    #    the backbone) --
-    "observations_agg",   # A1-A3 core fold
-    "entries_rrname",     # Q1 forward lookup (+Q4 order/limit)
-    "cidr_search",        # C1 numeric-range CIDR
-    "input_normalize",    # §2.11 scalar-function surface
-    # -- r13-NEW mid-round: SFT assembly (conversation threading ->
-    #    chat-template render -> loss-mask spans), first grading --
-    "sft_render",
-    "sft_loss_spans",
-    # -- dedup family: bucket_pairs/ngram kernels CHANGED r13 (star
-    #    pairs + groupBy DF cap) — the whole family re-grades, the
-    #    r5-stale members recalled from the tail --
-    "dedup_near_keep",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_estimate",
-    "dedup_simhash",
-    "dedup_keep_longest",
-    # -- ANN/embedding: r5-stale recalls + standing canary --
-    "ann_lsh_topk",
-    "embedding_topk",
-    "embedding_cosine_pairs",
-    "hybrid_search_rrf",       # r12 first-graded, double-green then demote
-    # -- temporal: resample kernel changed r13 (floor-div); r5 recalls --
-    "events_resample",
-    "events_sessionize",
-    "events_retention",
-    "events_anomaly",
-    # -- r5-stale recalls: corpus/scalar kernels (corpus_vocab_topk
-    #    and tpch_q1 yield their slots mid-round to the never-graded
-    #    embedding_kmeans and corpus_curriculum_order; vocab_topk's
-    #    tokens+count kernel is shared with a dozen in-cap entries and
-    #    tpch_q1 is a generic SQL demo the tail rationale already
-    #    ranks second-tier — 14 of the 16 r5-cohort recalls stay) --
-    "corpus_pii_redact",
-    "corpus_hash_split",
-    # -- r13-NEW mid-round: curriculum scheduling, first grading --
-    "corpus_curriculum_order",
-    # -- r13-NEW mid-round: Lloyd k-means fit graded via an unrolled
-    #    SQL recursion (the pagerank convention), first grading --
-    "embedding_kmeans",
-    # -- heavy composites --
-    "pipeline_pretrain",
-    # -- persisted stores: exact/span kernels changed r12-r13; attr
-    #    entries first-graded r12 (double-green then demote) --
-    "exact_dedup_store",
-    "span_dedup_store",
-    "attr_store_mix",
-    "attr_mix_report",
-    # -- graph: _edge_relations refactor r13 --
-    "graph_pagerank",
-    "corpus_main_content",     # r12 first-graded
-    # -- packing: r12 fragment rewrite, double-green then demote --
-    "corpus_pack_sequences",
+
+# ROUND-14 ROTATION (executed this round). The r13 plan is carried
+# out in full, as CODE the asserts below and scripts/grading_ledger.py
+# machine-check (the r13 verdict's What's-wrong #3 was prose drifting
+# from the executed cap — R14_IN/R14_OUT exist so prose can't drift
+# again):
+#
+# IN (31) = the ENTIRE remaining r5/r6 stale cohort (12 r5: the 8
+# planned retirements corpus_hash_sample/events_quantiles/join_enrich/
+# media_stats/pipeline_clean/rollup_observations/topk_per_group/
+# tpch_q3, the 2 r13-deferred media_dedup/corpus_contamination, and
+# the 2 mid-r13 early-swaps tpch_q1/corpus_vocab_topk; 15 r6:
+# corpus_chunk_tokens corpus_clean_text corpus_interleave
+# corpus_sentences corpus_span_corruption corpus_stratified_k
+# corpus_trigram_familiarity corpus_winnow dedup_passage
+# embedding_mean_pool embedding_pq embedding_project
+# embedding_quantize media_chunks media_patches), the 3 remaining
+# mid-r13 demotions due a re-grade (entries_rdata, aliases,
+# pipeline_ccnet_par — ccnet_par also re-grades the EXACT-tertile
+# band suffix now that pipeline_ccnet rides the approx twin), and
+# ann_ivf_topk RECALLED because this round's ivf_assign_col float64
+# fix (ADVICE r13) changed its cell-routing kernel.
+#
+# OUT (31), each with a tail note: the four backbone canaries
+# (observations_agg entries_rrname cidr_search input_normalize —
+# multi-round green, kernels years at rest; backbone stays graded
+# via the recalled entries_rdata/aliases/rollup_observations), the
+# double-green r12-first-graded cohort (hybrid_search_rrf
+# attr_store_mix attr_mix_report corpus_main_content
+# corpus_pack_sequences corpus_pack_boundaries + the 4 KN-family
+# twins), the r5+r13 double-greens (corpus_pii_redact
+# corpus_hash_split events_retention), multi-green pipeline_pretrain
+# and span_dedup_store (kernel at rest since r12), and the
+# single-green-post-r13-change same-kernel siblings (5 dedup family
+# members behind in-cap dedup_ngram_jaccard/minhash_lsh/components +
+# exact_dedup_store; embedding_topk/embedding_cosine_pairs/
+# ann_lsh_topk behind the cosine-kernel grade riding in-cap
+# ann_ivf_topk/embedding_kmeans; pipeline_ccnet/ccnet5/ccnet_lid
+# behind in-cap pipeline_ccnet_approx + pipeline_ccnet_par +
+# corpus_lang_id; events_anomaly behind in-cap events_resample +
+# recalled events_quantiles — the pipeline_ccnet_par same-kernel
+# precedent from r13).
+#
+# Kernel/oracle-changed THIS round, staying or entering for
+# re-grading: sft_render/sft_loss_spans/pipeline_sft (NULL-content
+# oracle coalesce + the two-phase threading de-skew),
+# events_sessionize (two-phase gaps-and-islands), pipeline_ccnet_approx
+# (now hash-graded on its sketch-independent projection — the
+# err:no_oracle fix), embedding_kmeans + ann_ivf_topk (ivf_assign
+# float64).
+#
+# ROUND-15 PLAN: demote the r13-first-graded cohort once double-green
+# (corpus_bpe_bytes/_encode, pipeline_wet_ccnet, corpus_unigram_segment,
+# corpus_mixture_budget, corpus_curriculum_order, the SFT trio,
+# embedding_kmeans) and the re-graded r14 IN cohort; recall the
+# then-stalest tail (r7 era: customer_fuzzy_pairs, events_psi_drift,
+# supplier_entity_resolve, corpus_passage_cdc...) per the
+# grading_ledger stalest-first listing, NOT prose.
+
+# The executed swap, as code (grading_ledger.py checks membership:
+# every R14_IN name must be in CAP_50, every R14_OUT in _TAIL,
+# the sets disjoint).
+R14_IN = [
+    "corpus_hash_sample", "events_quantiles", "join_enrich",
+    "media_stats", "pipeline_clean", "rollup_observations",
+    "topk_per_group", "tpch_q3", "media_dedup", "corpus_contamination",
+    "tpch_q1", "corpus_vocab_topk",
+    "corpus_chunk_tokens", "corpus_clean_text", "corpus_interleave",
+    "corpus_sentences", "corpus_span_corruption", "corpus_stratified_k",
+    "corpus_trigram_familiarity", "corpus_winnow", "dedup_passage",
+    "embedding_mean_pool", "embedding_pq", "embedding_project",
+    "embedding_quantize", "media_chunks", "media_patches",
+    "entries_rdata", "aliases", "pipeline_ccnet_par",
+    "ann_ivf_topk",
+]
+R14_OUT = [
+    "observations_agg", "entries_rrname", "cidr_search",
+    "input_normalize",
+    "hybrid_search_rrf", "attr_store_mix", "attr_mix_report",
+    "corpus_main_content", "corpus_pack_sequences",
     "corpus_pack_boundaries",
-    # -- KN family: scorer touched r12 (order-1 skip) — the two
-    #    deepest twins re-grade; siblings demoted (same kernel) --
-    "corpus_lm_kn_perplexity",
-    "lm_store_kn_perplexity",
-    "corpus_lm_kn5_perplexity",
-    "corpus_lm_kn_by_source",
-    # -- ccnet arms: dedup fingerprint changed r13 (tokens-join) +
-    #    lid-oracle LEFT-JOIN parity fix — ALL re-grade --
-    "pipeline_ccnet",
-    "pipeline_ccnet5",
-    "pipeline_ccnet_lid",
-    # -- r13-NEW mid-round: composed post-training pipeline (events ->
-    #    conversations -> transcripts -> packed sequences), first
-    #    grading; slot from pipeline_ccnet_par (same chain kernel as
-    #    its three in-cap siblings, paragraph-granularity arm) --
-    "pipeline_sft",
-    "corpus_lang_id",          # r12 first-graded
-    # -- r13-NEW: first grading --
+    "corpus_lm_kn_perplexity", "lm_store_kn_perplexity",
+    "corpus_lm_kn5_perplexity", "corpus_lm_kn_by_source",
+    "corpus_pii_redact", "corpus_hash_split", "events_retention",
+    "pipeline_pretrain", "span_dedup_store",
+    "dedup_near_keep", "dedup_exact", "dedup_minhash_estimate",
+    "dedup_simhash", "dedup_keep_longest",
+    "embedding_topk", "embedding_cosine_pairs", "ann_lsh_topk",
+    "pipeline_ccnet", "pipeline_ccnet5", "pipeline_ccnet_lid",
+    "events_anomaly",
+]
+
+CAP_50 = [
+    # -- kernel/oracle changed THIS round: must re-grade --
+    "sft_render",            # oracle coalesce fix + threading de-skew
+    "sft_loss_spans",        # threading de-skew
+    "pipeline_sft",          # oracle coalesce fix + threading de-skew
+    "events_sessionize",     # two-phase gaps-and-islands de-skew
+    "pipeline_ccnet_approx", # NOW HASH-GRADED: sketch-independent
+                             # (doc_id, source, perplexity) projection
+                             # with a real ORACLES entry (r13 verdict
+                             # What's-wrong #1 fix)
+    "embedding_kmeans",      # ivf_assign_col float64 (ADVICE r13)
+    "ann_ivf_topk",          # RECALLED from tail: same float64 change
+    # -- r13 first-grades: single-green, stay until double-green --
     "corpus_bpe_bytes",
     "corpus_bpe_bytes_encode",
     "pipeline_wet_ccnet",
-    "pipeline_ccnet_approx",   # rows-only (sketch-banded arm)
-    "corpus_unigram_segment",  # r13-NEW: cross-engine Viterbi DP
-    "corpus_mixture_budget",   # r13-NEW: token-budget mixture
+    "corpus_unigram_segment",
+    "corpus_mixture_budget",
+    "corpus_curriculum_order",
+    # -- kernel changed r13, single-green post-change: kept as the
+    #    family representatives (siblings demoted with same-kernel
+    #    notes) --
+    "dedup_ngram_jaccard",   # star-pairs + groupBy DF-cap kernel
+    "dedup_minhash_lsh",     # minhash signature + banding arm
+    "dedup_components",      # pair->component iteration path
+    "events_resample",       # floor-div bucketing
+    "graph_pagerank",        # _edge_relations refactor
+    "corpus_lang_id",        # lid-oracle LEFT-JOIN parity
+    "exact_dedup_store",     # exact_dedup key param (covers dedup_exact)
+    # -- R14_IN: the full r5/r6 stale-cohort retirement + mid-r13
+    #    demotion re-grades (see rotation comment) --
+    "corpus_hash_sample",
+    "events_quantiles",
+    "join_enrich",
+    "media_stats",
+    "pipeline_clean",
+    "rollup_observations",
+    "topk_per_group",
+    "tpch_q3",
+    "media_dedup",
+    "corpus_contamination",
+    "tpch_q1",
+    "corpus_vocab_topk",
+    "corpus_chunk_tokens",
+    "corpus_clean_text",
+    "corpus_interleave",
+    "corpus_sentences",
+    "corpus_span_corruption",
+    "corpus_stratified_k",
+    "corpus_trigram_familiarity",
+    "corpus_winnow",
+    "dedup_passage",
+    "embedding_mean_pool",
+    "embedding_pq",
+    "embedding_project",
+    "embedding_quantize",
+    "media_chunks",
+    "media_patches",
+    "entries_rdata",
+    "aliases",
+    "pipeline_ccnet_par",
 ]
 
 # Tail rationale: every entry is either (a) real-driver green in two
 # or more past rounds with an unchanged kernel, (b) a same-kernel
 # sibling of an in-cap entry, or (c) a generic SQL demo that is not a
-# §2 operator. Standing notes (r13 state):
-#   tpch_q3, join_enrich, topk_per_group — generic SQL demos, not §2
-#     operators (tpch_q1 currently rotated in-cap as the r5-stale
-#     representative of the class); corpus_hash_sample — same
-#     md5-threshold kernel as in-cap corpus_hash_split; media_stats —
-#     same digest path as in-cap media_dedup; agg_incremental — same
-#     merge fold as observations_agg.
+# §2 operator.
 _TAIL = [
-    "pipeline_ccnet_par",  # ccnet chain re-grades via 3 in-cap siblings
-                           # (ccnet/ccnet5/ccnet_lid share the r13
-                           # fingerprint + kernel); paragraph arm
-                           # re-grades r14
-    # --- demoted mid-r13 (double-green backbone canaries, kernels
-    #     untouched since r7; slots opened for the never-graded SFT
-    #     pair — backbone still canaried by entries_rrname /
-    #     observations_agg / cidr_search / input_normalize) ---
-    "entries_rdata",      # Q2 inverted lookup; green r10+r12
-    "aliases",            # J1 alias self-join; green r10+r12
-    "tpch_q1",            # generic SQL demo (tail-rationale class);
-                          # slot to corpus_curriculum_order; r14
-                          # re-grades it with the demo cohort
-    "corpus_vocab_topk",  # r5-stale recall returned to tail mid-round
-                          # (slot to embedding_kmeans); tokens+count
-                          # kernel shared with in-cap tfidf/bpe paths;
-                          # r14 plan re-grades it first
+    # --- demoted r14: backbone canaries (multi-round green r10-r13,
+    #     kernels at rest since r7; backbone coverage in-cap via the
+    #     recalled entries_rdata (Q2 rides the same dual-sorted
+    #     layout as Q1), aliases (J1), rollup_observations (GROUPING
+    #     SETS over the same A1-A3 fold)) ---
+    "observations_agg",
+    "entries_rrname",
+    "cidr_search",
+    "input_normalize",
+    # --- demoted r14: double-green r12+r13 first-graded cohort,
+    #     kernels unchanged since their r12 grading ---
+    "hybrid_search_rrf",       # retrieval family; BM25+RRF kernel
+    "attr_store_mix",          # AttributeStore tagger/mixer
+    "attr_mix_report",         # mixer report twin
+    "corpus_main_content",     # block-gated main-content kernel;
+                               # also graded inside in-cap pipeline_wet_ccnet
+    "corpus_pack_sequences",   # fragment packer; graded inside in-cap pipeline_sft
+    "corpus_pack_boundaries",  # packer boundary twin
+    "corpus_lm_kn_perplexity", # KN scorer green r12+r13; KN arithmetic
+                               # graded in-cap via pipeline_ccnet_approx/_par
+    "lm_store_kn_perplexity",  # NgramCountStore KN twin, green r12+r13
+    "corpus_lm_kn5_perplexity",# order-5 twin, green r12+r13
+    "corpus_lm_kn_by_source",  # grouped-KN twin, green r12+r13
+    # --- demoted r14: r5+r13 double-greens, kernels unchanged ---
+    "corpus_pii_redact",
+    "corpus_hash_split",       # md5-threshold kernel; sibling
+                               # corpus_hash_sample recalled in-cap
+    "events_retention",        # cohort-retention kernel
+    # --- demoted r14: multi-round green, kernels at rest ---
+    "pipeline_pretrain",       # green r10-r13; clean/quality chain
+                               # canaried by recalled pipeline_clean
+    "span_dedup_store",        # green r12+r13; span kernel at rest
+                               # since r12; store family canaried by
+                               # in-cap exact_dedup_store
+    # --- demoted r14: single-green post-r13-kernel-change SIBLINGS of
+    #     in-cap family representatives (the pipeline_ccnet_par r13
+    #     precedent: the shared kernel re-grades through the kept
+    #     member) ---
+    "dedup_near_keep",         # star-pairs + keep-best; kernel via
+                               # in-cap dedup_ngram_jaccard/components
+    "dedup_exact",             # exact_dedup kernel via in-cap exact_dedup_store
+    "dedup_minhash_estimate",  # minhash kernel via in-cap dedup_minhash_lsh
+    "dedup_simhash",           # same bucket_pairs star kernel
+    "dedup_keep_longest",      # same keep-best groupBy-min(struct) kernel
+    "embedding_topk",          # cosine() kernel via in-cap ann_ivf_topk
+    "embedding_cosine_pairs",  # cosine() kernel via in-cap ann_ivf_topk
+    "ann_lsh_topk",            # cosine + bucket kernels via in-cap
+                               # ann_ivf_topk; LSH banding via in-cap
+                               # dedup_minhash_lsh
+    "pipeline_ccnet",          # chain kernel via in-cap
+                               # pipeline_ccnet_approx (identical plan
+                               # up to the threshold aggregate);
+                               # exact-tertile band suffix re-graded
+                               # via recalled pipeline_ccnet_par
+    "pipeline_ccnet5",         # order-5 arm of the same chain kernel
+    "pipeline_ccnet_lid",      # LID arm; lid kernel via in-cap corpus_lang_id
+    "events_anomaly",          # green r13 on the current kernel (the
+                               # moments fix landed before the r13
+                               # grading run); windowed-agg family via
+                               # in-cap events_resample + recalled
+                               # events_quantiles
     # --- demoted r13 (double-green, kernels unchanged since last
     #     grading; displaced by the r13 IN cohort) ---
-    "embedding_seed_topk",       # green r9+r12; ANN family in-cap via ann_lsh_topk/embedding_topk
+    "embedding_seed_topk",       # green r9+r12; ANN family in-cap via ann_ivf_topk
     "corpus_bpe_vocab",          # green r9+r12; merge-fold path graded harder via in-cap byte entries
     "corpus_bpe_encode",         # green r9+r12; same encode kernel shape as in-cap corpus_bpe_bytes_encode
     "corpus_mixture_temperature",# green r9+r12
@@ -501,107 +587,73 @@ _TAIL = [
     "corpus_blocklist",          # green r9+r12
     "corpus_snapshot_diff",      # green r9+r12
     "corpus_weighted_sample",    # green r9+r12
-    "corpus_lm_kn3_perplexity",  # green r11+r12; same scorer as in-cap kn/kn5
-    "lm_store_kn3_perplexity",   # green r11+r12; store twin stays via lm_store_kn
+    "corpus_lm_kn3_perplexity",  # green r11+r12; same scorer as the KN twins
+    "lm_store_kn3_perplexity",   # green r11+r12; store twin
     "corpus_lm_mkn_perplexity",  # green r11+r12; kernel unchanged
     "corpus_lm_sbo_perplexity",  # green r11+r12; kernel unchanged
     "corpus_lm_band",            # green r11+r12; banding convention graded via ccnet arms
-    "corpus_quality_signals",    # green r5-r12 continuous; quality family rides pipeline_pretrain
+    "corpus_quality_signals",    # green r5-r12 continuous; quality family rides recalled pipeline_clean
     "corpus_mixture_resample",   # green r5-r12 continuous; mixture family multi-graded
     "pipeline_crawl",            # green r10-r12; crawl path graded harder by in-cap pipeline_wet_ccnet
-    "corpus_bm25_topk",          # green r7-r12; retrieval stays via in-cap hybrid_search_rrf
-    "store_delta_fold",          # green r10-r12; store family canaried by kernel-changed exact/span/attr stores
-
-    # --- demoted mid-r12 (multi-round green, kernels unchanged;
-    #     displaced by the recalled packing twins whose kernel the
-    #     fragment rewrite changed, and by graph_pagerank) ---
+    "corpus_bm25_topk",          # green r7-r12; retrieval graded via hybrid_search_rrf r12+r13
+    "store_delta_fold",          # green r10-r12; store family canaried by in-cap exact_dedup_store
+    # --- demoted mid-r12 (multi-round green, kernels unchanged) ---
     "customer_fuzzy_pairs",    # green r7-r11; SymSpell kernel also rides supplier_entity_resolve
     "events_psi_drift",        # green r7+r11; PSI kernel unchanged
-    "corpus_domain_profile",   # green r10 AND r11 post-PSL-change, kernel unchanged r12; domain family still in-cap via pipeline_crawl
-    "corpus_domain_cap",       # green r10 AND r11 post-PSL-change, kernel unchanged r12; displaced by corpus_main_content
-    "embedding_knn_join",      # green r5-r11 multi-round, kernel unchanged; ANN family canary stays via in-cap ann_lsh_topk + the new hybrid_search_rrf (which rides topk_brute)
-    "events_asof",             # green r5-r11 multi-round, kernel unchanged; temporal family canary refreshed via the NEW events_resample + r11-green interval/rolling twins
-    # --- demoted mid-r12 (green r10 AND r11, kernels unchanged since
-    #     the r11 CAS change; store family freshly canaried in-cap via
-    #     attr_store_mix/attr_mix_report + the r12-kernel-changed
-    #     span/exact stores) ---
-    "bm25_store_topk",
-    "vector_store_topk",
+    "corpus_domain_profile",   # green r10+r11 post-PSL-change
+    "corpus_domain_cap",       # green r10+r11 post-PSL-change
+    "embedding_knn_join",      # green r5-r11 multi-round
+    "events_asof",             # green r5-r11 multi-round
+    "bm25_store_topk",         # green r10+r11 post-CAS-change
+    "vector_store_topk",       # green r10+r11 post-CAS-change
     # --- demoted r12 (green r7 AND r11, kernels unchanged) ---
     "events_rolling_1h",       # RANGE-frame rolling kernel
     "events_funnel",           # ordered-step funnel kernel
     "events_zorder",           # morton-interleave layout kernel
     "corpus_tfidf_keywords",   # tf-idf top-k kernel
     "corpus_boilerplate",      # line-frequency boilerplate kernel
-    "corpus_quality_bins",     # exact-percentile binning kernel (same convention graded via in-cap corpus_lm_band)
+    "corpus_quality_bins",     # exact-percentile binning kernel
     "corpus_mixture_upsample", # epoch-expansion mixture arm
     "corpus_expectations",     # expectation-suite kernel
     "dedup_semantic",          # embedding-bucket near-dup kernel
     # --- demoted r12 (green r10 AND r11, kernels unchanged) ---
-    "corpus_bpe_segment",      # green r7-r11 (5x); BPE family freshly in-cap via the r12-promoted corpus_bpe_vocab + corpus_bpe_encode
-    "events_interval_join",    # green r5-r7+r11 (4x); temporal family canary stays via in-cap events_asof
-    "corpus_lm_perplexity",    # add-alpha bigram; KN family (harder arithmetic) stays in-cap
-    "corpus_lm3_perplexity",   # add-alpha order-3; kn5 now grades the deep-order path
-    "lm_store_perplexity",     # BigramCountStore roundtrip; kn store twins stay in-cap
+    "corpus_bpe_segment",      # green r7-r11 (5x)
+    "events_interval_join",    # green r5-r7+r11 (4x)
+    "corpus_lm_perplexity",    # add-alpha bigram
+    "corpus_lm3_perplexity",   # add-alpha order-3
+    "lm_store_perplexity",     # BigramCountStore roundtrip
     "corpus_leakage_split",    # group-aware split kernel
     "events_skew_metrics",     # keyed skew-stats kernel
     # --- demoted r11 (kernels unchanged) ---
     "explode_normalize",       # green r6+r10; FEVER two-level explode kernel
-    "entries_rrname_residual", # green r6+r10; rides in-cap entries_rrname + F5 predicate
-    "cof_projection",          # green r6+r10; pure projection over in-cap agg
-    "multi_backend_union",     # green r6+r10; unionAll of the in-cap store read
-    "rest_dual_search",        # green r6+r10; two in-cap entries() unioned
-    "total_count",             # green r6+r10; count over in-cap observations_agg
+    "entries_rrname_residual", # green r6+r10; rides entries_rdata layout + F5 predicate
+    "cof_projection",          # green r6+r10; pure projection over the agg
+    "multi_backend_union",     # green r6+r10; unionAll of the store read
+    "rest_dual_search",        # green r6+r10; two entries() unioned
+    "total_count",             # green r6+r10; count over observations_agg
     "tag_routing_counts",      # green r6+r10; selector-DAG kernel, unit e2e too
     "agg_incremental",         # green r6+r10; same merge fold as observations_agg
     "events_tumbling",         # green r6+r10; window() tumbling kernel
     "text_profile",            # green r6+r10; scalar text-stats projection
-    "corpus_passage_cdc",      # green r7-r10 (4x); span/CDC family in-cap via span_dedup_store
-    "corpus_span_dedup",       # green r7-r10 (4x); same span kernel driver-graded via in-cap span_dedup_store
-    "corpus_quality_classifier",  # green r7-r10 (4x); quality family in-cap via corpus_quality_signals
-    "ann_quality_eval",        # green r7-r10 (4x); ANN family in-cap via ann_lsh_topk
+    "corpus_passage_cdc",      # green r7-r10 (4x); span/CDC family
+    "corpus_span_dedup",       # green r7-r10 (4x); same span kernel
+    "corpus_quality_classifier",  # green r7-r10 (4x); quality family
+    "ann_quality_eval",        # green r7-r10 (4x); ANN family via ann_ivf_topk
     "corpus_dedup_units",      # green r7-r10 (4x); paragraph-unit explode kernel
     "corpus_dsir_topk",        # green r7-r10 (4x); hashed-ngram importance kernel
     "events_props_profile",    # green r7-r10 (4x); semistructured map-explode kernel
     # --- demoted r10 (real-driver green r8 AND r9, kernels unchanged) ---
-    "corpus_html_extract",    # html_to_text kernel; graded inside in-cap pipeline_crawl
-    "supplier_entity_resolve",# same SymSpell kernel as in-cap customer_fuzzy_pairs
-    "corpus_pack_bestfit",    # FFD packing arm; family in-cap via pack_boundaries
+    "corpus_html_extract",    # html_to_text kernel; graded inside pipeline_crawl
+    "supplier_entity_resolve",# same SymSpell kernel as customer_fuzzy_pairs
+    "corpus_pack_bestfit",    # FFD packing arm
     "obs_blocklist_match",    # broadcast blocklist join; double-verified r8+r9
     # --- standing tail ---
-    "dedup_embedding",    # bucketed-cosine kernel under dedup_semantic; graded via dedup_components pairs
-    "ann_ivf_topk",       # IVF arm; ANN family graded via in-cap ann_lsh_topk + ann_quality_eval
-    "ann_pq_topk",        # PQ arm; ANN family graded via in-cap ann_lsh_topk + ann_quality_eval
-    # --- standing tail (double-verified or same-kernel siblings) ---
-    "pipeline_clean",     # superseded in-cap by the longer pipeline_pretrain chain
-    "corpus_dataset_profile",  # green r8+r9; stats-agg kernel, family graded via quality_signals
-    "rollup_observations",# GROUPING SETS variant of in-cap observations_agg
-    "media_stats",        # trivial metadata agg; media family graded via media_chunks
-    "media_chunks",       # green r6; mapInPandas chunking kernel
-    "media_patches",      # green r6; patch-grid kernel, unit plan-asserted
-    "corpus_clean_text",  # green r6; graded inside in-cap pipeline_pretrain
-    "corpus_interleave",  # green r6; deterministic round-robin kernel
-    "embedding_mean_pool",# green r6; scalar-explode partial agg
-    "corpus_stratified_k",# green r6; exact-k carve window kernel
-    "corpus_chunk_tokens",# green r6; token-window chunking kernel
-    "corpus_trigram_familiarity",  # green r6; broadcast LM join kernel
-    "dedup_passage",      # green r6; passage drop-and-reassemble kernel
-    "embedding_pq",       # green r6; PQ codebook kernel graded via ann_pq_topk r6/r7
-    "embedding_quantize", # green r6; int8 scalar-projection kernel
-    "embedding_project",  # green r6; JL scalar-projection kernel
-    "corpus_span_corruption",  # green r6; span-mask kernel
-    "corpus_sentences",   # green r6; sentence-split explode kernel
-    "corpus_winnow",      # green r6; groupBy-min(struct) winnowing kernel
-    "events_quantiles",   # same windowed-agg family as rolling/anomaly
-    "events_props_extract",  # green r8+r9; sibling events_props_profile stays in-cap
-    "events_heavy_users",    # green r8+r9; same keyed-agg family as in-cap events_skew_metrics
-    "corpus_source_overlap", # green r8+r9; broadcast-join kernel graded via contamination family
-    "tpch_q3",
-    "join_enrich",
-    "topk_per_group",
-    "media_dedup",        # r5-stale; deferred to the r14 cohort to make cap room for the never-graded corpus_unigram_segment; same digest path as media_stats
-    "corpus_contamination",  # r5-stale; deferred to the r14 cohort to make cap room for the never-graded corpus_mixture_budget; broadcast n-gram join kernel also rides corpus_source_overlap
-    "corpus_hash_sample",
+    "dedup_embedding",    # bucketed-cosine kernel; graded via dedup_components pairs
+    "ann_pq_topk",        # PQ arm (pq_assign already float64); ANN family via in-cap ann_ivf_topk
+    "corpus_dataset_profile",  # green r8+r9; stats-agg kernel
+    "events_props_extract",  # green r8+r9; sibling events_props_profile
+    "events_heavy_users",    # green r8+r9; keyed-agg family
+    "corpus_source_overlap", # green r8+r9; broadcast-join kernel rides in-cap corpus_contamination
 ]
 
 assert len(CAP_50) == 50, f"cap must be exactly 50, got {len(CAP_50)}"
@@ -612,4 +664,9 @@ assert set(CAP_50) | set(_TAIL) == set(QUERIES), (
     "every registered query must be in CAP_50 or _TAIL: "
     f"{set(QUERIES) ^ (set(CAP_50) | set(_TAIL))}"
 )
+# The executed rotation is code, not prose: IN entries must be in-cap,
+# OUT entries must be in the tail, and the two sets disjoint.
+assert set(R14_IN) <= set(CAP_50), sorted(set(R14_IN) - set(CAP_50))
+assert set(R14_OUT) <= set(_TAIL), sorted(set(R14_OUT) - set(_TAIL))
+assert not (set(R14_IN) & set(R14_OUT)), "IN/OUT overlap"
 QUERIES = {k: QUERIES[k] for k in CAP_50} | {k: QUERIES[k] for k in _TAIL}

@@ -2643,15 +2643,19 @@ def q_pipeline_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_ccnet_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The threshold="approx" arm of the CCNet chain — the variant a
     100 TB user actually runs (percentile_approx's bounded sketch
-    instead of exact percentile's map-side multiset) — graded
-    ROWS-ONLY (the corpus_pack_bestfit precedent): the band cut
-    points come from a KLL-style sketch, so band labels may deviate
+    instead of exact percentile's map-side multiset). The band cut
+    points come from a KLL-style sketch, so band LABELS may deviate
     from the exact tertiles within the sketch's rank-error tolerance
     (percentile_approx default accuracy 10000 -> rank error <= 1e-4)
-    and no SQL oracle can replay them hash-exactly; the row SET is
-    sketch-independent (banding never drops a scored doc), so the
-    rows check pins the whole upstream chain (dedup -> LM -> score)
-    while the sketch stays declared, documented, and driver-visible."""
+    and no SQL oracle can replay them hash-exactly — so the graded
+    output is the SKETCH-INDEPENDENT projection (doc_id, source,
+    perplexity): banding never drops or rescores a doc (the sketch
+    only moves the two cut points), so these columns are exact by
+    construction and the hash pins the whole upstream chain
+    (dedup -> KN LM -> score) while the approx-banding code still
+    RUNS end to end (the band column is computed, then projected
+    away — the corpus_pack_bestfit mechanism of restricting the
+    oracle to the deterministic projection)."""
     from balboa_spark.operators import lm
 
     docs = load_tables(spark, sf_dir, names=("documents",))[
@@ -2662,7 +2666,11 @@ def q_pipeline_ccnet_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 10000).alias("doc_id"), "source", "text"
         )
     )
-    return lm.ccnet_pipeline(planted, threshold="approx").orderBy("doc_id")
+    return (
+        lm.ccnet_pipeline(planted, threshold="approx")
+        .select("doc_id", "source", "perplexity")
+        .orderBy("doc_id")
+    )
 
 
 # The ccnet oracle is assembled from shared pieces (r12) so the
@@ -2779,6 +2787,23 @@ PIPELINE_CCNET_ORACLE = (
     + _CCNET_KTOKS
     + _CCNET_KN2_SCORED
     + _CCNET_BAND_SUFFIX
+)
+
+# The approx-banding arm grades its sketch-independent projection:
+# same dedup + KN scoring arithmetic as PIPELINE_CCNET_ORACLE, band
+# column excluded (the percentile_approx sketch only moves the two
+# cut points — row set and perplexities are exact by construction).
+PIPELINE_CCNET_APPROX_ORACLE = (
+    "WITH "
+    + _CCNET_DOC_DEDUP_PREFIX
+    + _CCNET_KTOKS
+    + _CCNET_KN2_SCORED
+    + """final AS (
+  SELECT z.doc_id, k.source, z.perplexity
+  FROM scored z JOIN kept k USING (doc_id)
+)
+SELECT * FROM final ORDER BY doc_id
+"""
 )
 
 
@@ -3937,6 +3962,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_lm_sbo_perplexity": LM_SBO_PERPLEXITY_ORACLE,
     "corpus_lm_band": LM_BAND_ORACLE,
     "pipeline_ccnet": PIPELINE_CCNET_ORACLE,
+    "pipeline_ccnet_approx": PIPELINE_CCNET_APPROX_ORACLE,
     "corpus_lm_kn5_perplexity": LM_KN5_PERPLEXITY_ORACLE,
     "pipeline_ccnet5": PIPELINE_CCNET5_ORACLE,
     "pipeline_ccnet_par": PIPELINE_CCNET_PAR_ORACLE,
