@@ -243,28 +243,25 @@ WHERE rk <= 3
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization via lag + cumulative gap counting — the classic
-    streaming-adjacent window pattern (30-minute gap)."""
-    load_tables(spark, sf_dir, names=("events",))
-    return spark.sql(
-        """
-        SELECT user_id, session_id, count(*) AS n_events,
-               min(ts) AS session_start, max(ts) AS session_end
-        FROM (
-          SELECT user_id, ts,
-                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
-          FROM (
-            SELECT user_id, ts, event_id,
-                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                             OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                                  + INTERVAL '30' MINUTE
-                        THEN 1 ELSE 0 END AS new_sess
-            FROM events WHERE ts IS NOT NULL
-          )
-        )
-        GROUP BY user_id, session_id
-        """
+    """Sessionization with a 30-minute gap rule. The ORACLE replays
+    the classic single-window lag + cumulative-sum formulation; the
+    ENGINE runs temporal.gap_sessions — the two-phase
+    gaps-and-islands plan whose heaviest window partition is one
+    user's day-bucket, not one user's entire history (the r13
+    verdict's named scale-killer) — and must produce identical
+    session numbering."""
+    from balboa_spark.operators.temporal import gap_sessions
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    s = gap_sessions(
+        ev.select("user_id", "ts", "event_id"),
+        gap_minutes=30,
+        sess_col="session_id",
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
     )
 
 

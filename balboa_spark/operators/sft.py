@@ -66,46 +66,45 @@ def conversation_turns(
     """(user_id, conv_id, turn_idx, role, content, ts) — one row per
     turn, conversations split on > gap_minutes of inactivity.
 
-    conv_id is the cumulative count of gap-breaks per user (the
-    classic lag + running-sum sessionization); turn_idx is 1-based
-    within the conversation, ordered by (ts, *order_cols) so exact
-    timestamp ties are deterministic. content defaults to
-    ``event_type`` + ' ' + ``coalesce(props, '')`` with explicit
-    coalesce on BOTH engines (concat propagates NULL in DuckDB but
-    concat_ws silently drops it in Spark — the parity trap)."""
-    # NULL timestamps are excluded by contract: an unstamped event
-    # cannot be ordered into a conversation, and Spark windows sort
-    # NULLs FIRST while DuckDB sorts them LAST — letting one through
-    # silently diverges the threading between engines
-    events = events.filter(F.col(ts_col).isNotNull())
-    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
-    w = Window.partitionBy(user_col).orderBy(*order)
+    conv_id is the cumulative count of gap-breaks per user; turn_idx
+    is 1-based within the conversation, ordered by
+    (ts, *order_cols) so exact timestamp ties are deterministic.
+    content defaults to ``event_type`` + ' ' + ``coalesce(props, '')``
+    with explicit coalesce on BOTH engines (concat propagates NULL in
+    DuckDB but concat_ws silently drops it in Spark — the parity
+    trap).
+
+    Scale shape (r14): the threading runs through
+    ``temporal.gap_sessions`` — TWO-PHASE gaps-and-islands
+    (per-(user, day-bucket) local windows + a bucket-summary stitch)
+    instead of the classic per-user lag+cumsum window, so one heavy
+    user (a 10^8-event bot) is no longer a single unsplittable window
+    partition. Numbering is identical to the single-window rule."""
+    # NULL timestamps are excluded by contract (gap_sessions enforces
+    # it too): an unstamped event cannot be ordered into a
+    # conversation, and Spark windows sort NULLs FIRST while DuckDB
+    # sorts them LAST — letting one through silently diverges engines
+    from balboa_spark.operators.temporal import gap_sessions
+
     if content_col is None:
         content_col = F.concat(
             F.col("event_type"), F.lit(" "), F.coalesce(F.col("props"), F.lit(""))
         )
-    gap = F.lag(ts_col).over(w)
-    new_conv = F.when(
-        gap.isNull()
-        | (F.col(ts_col) > gap + F.expr(f"INTERVAL {gap_minutes} MINUTE")),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    turns = events.select(
+    base = events.filter(F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("user_id"),
         F.col(ts_col).alias("ts"),
         *[F.col(c) for c in order_cols],
         content_col.alias("content"),
-        new_conv.alias("_new"),
         *( [F.col(role_col).alias("_role")] if role_col else [] ),
     )
-    wconv = Window.partitionBy("user_id").orderBy("ts", *order_cols)
-    turns = turns.withColumn(
-        "conv_id",
-        F.sum("_new").over(wconv.rowsBetween(Window.unboundedPreceding, 0)),
+    turns = gap_sessions(
+        base,
+        gap_minutes=gap_minutes,
+        user_col="user_id",
+        ts_col="ts",
+        order_cols=order_cols,
+        with_turn_idx=True,
     )
-    # turn_idx restarts per conversation
-    wturn = Window.partitionBy("user_id", "conv_id").orderBy("ts", *order_cols)
-    turns = turns.withColumn("turn_idx", F.row_number().over(wturn))
     role = (
         F.col("_role")
         if role_col

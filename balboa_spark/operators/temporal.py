@@ -451,3 +451,140 @@ def resample_events(
         F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
         F.coalesce(filled, F.lit(0)).cast("long").alias("sum_cents"),
     )
+
+
+def gap_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("event_id",),
+    bucket_minutes: int = 24 * 60,
+    sess_col: str = "conv_id",
+    with_turn_idx: bool = False,
+) -> DataFrame:
+    """Gap-rule sessionization as a TWO-PHASE gaps-and-islands plan —
+    no per-user unbounded window anywhere (the r13 verdict's one
+    remaining unsplittable-partition shape at 100x scale: one bot /
+    service account with 10^8 events is a single window partition the
+    classic lag+cumsum formulation cannot split and AQE cannot save).
+
+    Semantics are EXACTLY the classic single-window rule: a new
+    session starts when the previous event of the same ``user_col``
+    (ordered by ``ts_col, *order_cols``) is more than ``gap_minutes``
+    older; ``sess_col`` is the 1-based cumulative session index per
+    user; ``with_turn_idx`` adds the 1-based position within the
+    session. NULL ``ts_col`` rows are excluded by contract (an
+    unstamped event cannot be ordered; Spark sorts NULLs FIRST and
+    DuckDB LAST, so letting one through diverges engines).
+
+    The decomposition (the pack_sequences distributed-prefix-sum
+    pattern applied to gaps-and-islands):
+
+    1. events bucket by integer FLOOR-division of unix micros into
+       ``bucket_minutes`` spans (the resample_events idiom — exact at
+       any timestamp sign/magnitude);
+    2. LOCAL sessionization per (user, bucket): lag + running sum
+       windows partitioned by BOTH keys — the heaviest partition is
+       one user's single bucket, not their history;
+    3. a per-(user, bucket) SUMMARY relation (first/last ts, local
+       session count) — one row per bucket with events, so the
+       per-user stitch windows below run over a bucket-count-sized
+       relation (a 10^8-event bot at daily buckets is ~365 rows);
+    4. boundary stitch: bucket b's first local session merges with
+       bucket b-1's last iff the boundary gap is within
+       ``gap_minutes`` (chains transitively through single-session
+       buckets); the global id is
+       offset(b) + local_id - attach(b), with offset(b) the exclusive
+       prefix sum of (local_count - attach) over earlier buckets —
+       identical numbering to the single-window cumsum;
+    5. turn_idx, when requested, two-phases the same way: local
+       row_number per (user, bucket, session) + the exclusive prefix
+       of per-bucket session row counts over the summary-sized
+       (user, session, bucket) relation.
+
+    Every window in the plan is partitioned by (user, bucket) over
+    events or by user over the SUMMARY relation; the events-side
+    exchange on (user, bucket) is reused between the local and
+    summary branches (same subtree). Choose ``bucket_minutes`` so one
+    user-bucket fits an executor task (default: 1 day).
+    """
+    if gap_minutes < 1:
+        raise ValueError(f"gap_minutes must be >= 1, got {gap_minutes}")
+    if bucket_minutes < gap_minutes:
+        raise ValueError(
+            f"bucket_minutes ({bucket_minutes}) must be >= gap_minutes "
+            f"({gap_minutes}) so a boundary merge only ever looks one "
+            "present bucket back"
+        )
+    bucket_us = int(bucket_minutes) * 60_000_000
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
+    x = f"unix_micros(cast({ts_col} as timestamp))"
+    bkt = F.expr(f"(({x} - pmod({x}, {bucket_us})) div {bucket_us})")
+
+    ev = events.filter(F.col(ts_col).isNotNull()).withColumn("_bkt", bkt)
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    wl = Window.partitionBy(user_col, "_bkt").orderBy(*order)
+    lag_ts = F.lag(ts_col).over(wl)
+    ev = ev.withColumn(
+        "_new",
+        F.when(lag_ts.isNull() | (F.col(ts_col) > lag_ts + gap), F.lit(1))
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "_loc",
+        F.sum("_new").over(wl.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    ws = Window.partitionBy(user_col).orderBy("_bkt")
+    prev_last = F.lag("_last").over(ws)
+    summ = (
+        ev.groupBy(user_col, "_bkt")
+        .agg(
+            F.min(ts_col).alias("_first"),
+            F.max(ts_col).alias("_last"),
+            F.sum("_new").alias("_ns"),
+        )
+        .withColumn(
+            "_att",
+            F.when(
+                prev_last.isNotNull() & (F.col("_first") <= prev_last + gap),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    summ = summ.select(
+        user_col,
+        "_bkt",
+        "_att",
+        F.coalesce(
+            F.sum(F.col("_ns") - F.col("_att")).over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    out = ev.join(summ, [user_col, "_bkt"]).withColumn(
+        sess_col, (F.col("_off") + F.col("_loc") - F.col("_att")).cast("bigint")
+    )
+    if with_turn_idx:
+        wlr = Window.partitionBy(user_col, "_bkt", sess_col).orderBy(*order)
+        out = out.withColumn("_lrn", F.row_number().over(wlr))
+        wcs = (
+            Window.partitionBy(user_col, sess_col)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        before = (
+            out.groupBy(user_col, sess_col, "_bkt")
+            .agg(F.count(F.lit(1)).alias("_cn"))
+            .select(
+                user_col,
+                sess_col,
+                "_bkt",
+                F.coalesce(F.sum("_cn").over(wcs), F.lit(0)).alias("_tb"),
+            )
+        )
+        out = out.join(before, [user_col, sess_col, "_bkt"]).withColumn(
+            "turn_idx", (F.col("_tb") + F.col("_lrn")).cast("int")
+        )
+    return out.drop("_bkt", "_new", "_loc", "_att", "_off", "_lrn", "_tb")

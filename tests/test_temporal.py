@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from balboa_spark.operators import corpus, temporal
@@ -625,3 +626,130 @@ def test_resample_events_pre_1970_floor_division(spark):
         (1, 60): (1, 200),
         (2, -120): (1, 300),
     }
+
+
+# ----------------------------------------------------- gap_sessions (r14)
+def _classic_sessionize(spark, df, gap_minutes=30):
+    """The single-window reference formulation (what the DuckDB
+    oracles replay)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag = F.lag("ts").over(w)
+    return (
+        df.filter(F.col("ts").isNotNull())
+        .withColumn(
+            "_n",
+            F.when(
+                lag.isNull()
+                | (F.col("ts") > lag + F.expr(f"INTERVAL {gap_minutes} MINUTE")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "conv_id",
+            F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "turn_idx",
+            F.row_number().over(
+                Window.partitionBy("user_id", "conv_id").orderBy(
+                    "ts", "event_id"
+                )
+            ),
+        )
+    )
+
+
+def test_gap_sessions_matches_classic_window_across_buckets(spark):
+    """The two-phase gaps-and-islands numbering must equal the classic
+    per-user lag+cumsum window EXACTLY — including exact-30min
+    boundaries (not a new session), 31-min gaps (new session),
+    sessions straddling bucket edges, chains through several buckets,
+    exact-timestamp ties, and pre-1970 users."""
+    import random
+
+    from balboa_spark.operators.temporal import gap_sessions
+
+    random.seed(7)
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    for u in range(12):
+        t = base + dt.timedelta(minutes=random.randint(0, 50000))
+        for _ in range(random.randint(1, 200)):
+            t += dt.timedelta(
+                minutes=random.choice([0, 1, 29, 30, 31, 60, 1441, 3000])
+            )
+            rows.append((eid, u, t))
+            eid += 1
+    t = dt.datetime(1969, 12, 30)
+    for _ in range(40):
+        t += dt.timedelta(minutes=random.choice([5, 30, 31, 2000]))
+        rows.append((eid, 999, t))
+        eid += 1
+    rows += [
+        (eid, 7, base),
+        (eid + 1, 7, base),
+        (eid + 2, 7, base + dt.timedelta(minutes=30)),
+        (eid + 3, 7, base + dt.timedelta(minutes=61)),
+        (eid + 4, 7, None),  # NULL ts excluded by contract
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    ref = {
+        r.event_id: (r.conv_id, r.turn_idx)
+        for r in _classic_sessionize(spark, df).collect()
+    }
+    for bm in (24 * 60, 60, 45):
+        got = {
+            r.event_id: (r.conv_id, r.turn_idx)
+            for r in gap_sessions(
+                df, 30, bucket_minutes=bm, with_turn_idx=True
+            ).collect()
+        }
+        assert got == ref, f"bucket_minutes={bm} diverged from classic window"
+
+
+def test_gap_sessions_no_unbounded_per_user_window(spark):
+    """The r13 verdict's scale-killer assertion: every event-level
+    Window in the plan (one ordering by ts) must be partitioned by
+    (user, bucket), never by user alone — a mega-user must never
+    become a single window partition. Per-user windows may appear
+    ONLY over the bucket-summary relation (ordered by the bucket
+    index, one row per (user, day))."""
+    import re
+
+    from balboa_spark.operators.temporal import gap_sessions
+
+    df = spark.createDataFrame(
+        [(i, i % 3, dt.datetime(2024, 1, 1 + i % 20)) for i in range(60)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    plan = (
+        gap_sessions(df, 30, with_turn_idx=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert windows, "no Window nodes found — plan parse drifted"
+    for part, order in windows:
+        if "ts#" in order:  # event-level window
+            assert "_bkt#" in part, (
+                f"event-ordered window partitioned by [{part}] — "
+                "unbounded per-user partition leaked back in"
+            )
+        else:  # summary-level stitch windows
+            assert "_bkt#" in order or "conv_id#" in part or "_bkt#" in part, (
+                f"unexpected window shape: [{part}] / [{order}]"
+            )
+
+
+def test_gap_sessions_rejects_bucket_smaller_than_gap(spark):
+    from balboa_spark.operators.temporal import gap_sessions
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="bucket_minutes"):
+        gap_sessions(df, gap_minutes=120, bucket_minutes=60)
