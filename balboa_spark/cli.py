@@ -187,6 +187,24 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("out", help="output parquet dir")
 
     s = sub.add_parser(
+        "tokenizer-export",
+        help="write the stored byte tokenizer as public GPT-2 "
+        "vocab.json + merges.txt artifacts (inference-stack "
+        "interchange)",
+    )
+    s.add_argument("store", help="tokenizer store root dir (byte kind)")
+    s.add_argument("out", help="output dir for vocab.json + merges.txt")
+
+    s = sub.add_parser(
+        "tokenizer-import",
+        help="commit a new byte-tokenizer generation from public "
+        "GPT-2 vocab.json + merges.txt artifacts (ids honored "
+        "verbatim)",
+    )
+    s.add_argument("store", help="tokenizer store root dir")
+    s.add_argument("artifacts", help="dir holding vocab.json + merges.txt")
+
+    s = sub.add_parser(
         "sft-render",
         help="thread an events parquet into conversations (gap rule) "
         "and write template-rendered transcripts + loss-mask spans",
@@ -282,6 +300,24 @@ def run(args: argparse.Namespace, spark=None) -> int:
         ts.encode(spark.read.parquet(args.input)).write.mode(
             "overwrite"
         ).parquet(args.out)
+        return 0
+
+    if args.cmd == "tokenizer-export":
+        from balboa_spark.operators.bpe import TokenizerStore
+
+        vocab = TokenizerStore(spark, args.store).export_gpt2(args.out)
+        print(f"exported {len(vocab)} vocab entries to {args.out}")
+        return 0
+
+    if args.cmd == "tokenizer-import":
+        from balboa_spark.operators.bpe import TokenizerStore
+
+        ts = TokenizerStore(spark, args.store)
+        merges = ts.import_gpt2(args.artifacts)
+        print(
+            f"committed imported byte tokenizer gen-"
+            f"{ts._manifest()['generation']} ({len(merges)} merges)"
+        )
         return 0
 
     if args.cmd == "sft-render":

@@ -298,15 +298,24 @@ def byte_encode_corpus(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab_ids: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Corpus → (id, piece_ids array<int>) under the byte tokenizer.
     Same distributed shape as :func:`encode_corpus` — segmentation
     runs once per DISTINCT pre-token and joins back; the id map is the
     parameter-sized structural vocab, broadcast, INNER join (no UNK
-    branch: :func:`byte_vocab` covers every producible piece)."""
+    branch: :func:`byte_vocab` covers every producible piece).
+
+    ``vocab_ids`` overrides the structural id table with an EXPLICIT
+    [(hex piece, id)] map — the imported-artifact path
+    (:mod:`tokenizer_io`: real GPT-2 ``vocab.json`` ids are not in
+    structural order). An explicit map may be partial, so that path
+    LEFT-joins and emits :data:`UNK_PIECE_ID` for unmapped pieces
+    (the word-arm sentinel convention — never a silent drop)."""
     spark = df.sparkSession
     vocab = spark.createDataFrame(
-        byte_vocab(merges), "piece string, piece_id int"
+        vocab_ids if vocab_ids is not None else byte_vocab(merges),
+        "piece string, piece_id int",
     )
     toks = df.select(
         F.col(id_col),
@@ -320,7 +329,12 @@ def byte_encode_corpus(
     pieces = toks.join(seg, "_word").select(
         F.col(id_col), "_wpos", F.posexplode("_pieces").alias("_ppos", "piece")
     )
-    mapped = pieces.join(F.broadcast(vocab), "piece")
+    if vocab_ids is not None:
+        mapped = pieces.join(F.broadcast(vocab), "piece", "left").withColumn(
+            "piece_id", F.coalesce(F.col("piece_id"), F.lit(UNK_PIECE_ID))
+        )
+    else:
+        mapped = pieces.join(F.broadcast(vocab), "piece")
     return mapped.groupBy(id_col).agg(
         F.transform(
             F.array_sort(
@@ -713,8 +727,18 @@ class TokenizerStore:
                 text_col=text_col, id_col=id_col,
             )
         if k == "byte":
+            # an imported public artifact pins EXPLICIT ids (real
+            # GPT-2 vocab.json is not in structural order) — read the
+            # parameter-sized id table back and honor it verbatim
+            vocab_ids = None
+            if self._manifest().get("vocab_source") == "gpt2_import":
+                vocab_ids = [
+                    (r["piece"], r["piece_id"])
+                    for r in self.vocab().select("piece", "piece_id").collect()
+                ]
             return byte_encode_corpus(
-                df, self.merges(), text_col=text_col, id_col=id_col
+                df, self.merges(), text_col=text_col, id_col=id_col,
+                vocab_ids=vocab_ids,
             )
         from balboa_spark.operators import unigram as _ug
 
@@ -723,6 +747,57 @@ class TokenizerStore:
             df, self.pieces(), text_col=text_col, id_col=id_col,
             max_piece_len=int(man.get("max_piece_len", 4)),
         )
+
+    def export_gpt2(
+        self,
+        out_dir: str,
+        generation: int | None = None,
+        special_tokens: tuple[str, ...] = ("<|endoftext|>",),
+    ) -> dict[str, int]:
+        """Write the stored byte tokenizer as public GPT-2
+        ``vocab.json`` + ``merges.txt`` artifacts (the interchange a
+        post-training inference stack loads — see
+        :mod:`tokenizer_io`). Byte kind only."""
+        from balboa_spark.operators import tokenizer_io
+
+        if self.kind() != "byte":
+            raise ValueError(
+                f"export_gpt2 is the byte-BPE interchange; this store "
+                f"is {self.kind()!r}"
+            )
+        return tokenizer_io.export_gpt2(
+            self.merges(generation), out_dir, special_tokens
+        )
+
+    def import_gpt2(self, in_dir: str) -> list[tuple[str, str]]:
+        """Commit a NEW byte generation from public GPT-2 artifacts.
+        Merges come from ``merges.txt`` (file order); ids from
+        ``vocab.json`` VERBATIM (real artifacts are not in this
+        engine's structural order), persisted in the generation's id
+        parquet and honored by :meth:`encode` via the
+        ``vocab_source`` manifest pin. Special tokens (entries that
+        no byte segmentation can produce) are recorded in the
+        manifest, not the piece table."""
+        import json
+        import os
+
+        from balboa_spark.operators import tokenizer_io
+
+        merges, vocab_hex, specials = tokenizer_io.import_gpt2(in_dir)
+        gen, gen_dir = self._start_fit("byte")
+        with open(os.path.join(gen_dir, "merges.json"), "w") as fh:
+            json.dump([list(m) for m in merges], fh)
+        self.spark.createDataFrame(
+            [(p, 0, i) for p, i in vocab_hex],
+            "piece string, weight long, piece_id int",
+        ).write.mode("overwrite").parquet(os.path.join(gen_dir, "vocab"))
+        self._commit(gen, {
+            "kind": "byte",
+            "num_merges": len(merges),
+            "vocab_source": "gpt2_import",
+            "special_tokens": specials,
+        })
+        return merges
 
 
 #: id emitted for a piece absent from the vocabulary (possible only

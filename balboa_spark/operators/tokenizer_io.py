@@ -1,0 +1,175 @@
+"""Tokenizer-artifact interchange: the public GPT-2 ``vocab.json`` +
+``merges.txt`` format (Radford et al. 2019, §2.2; the format every
+byte-BPE inference stack — HF tokenizers, tiktoken importers,
+llama.cpp converters — can load).
+
+The engine's byte-BPE artifact is engine-private (hex-pair merges in
+``merges.json`` + a structural id parquet — see
+:class:`balboa_spark.operators.bpe.TokenizerStore`). A real user's
+first post-training step is loading the tokenizer into an inference
+stack, so the missing last mile is a faithful mapping between the two
+representations:
+
+- internal pieces are UPPERCASE HEX strings of the piece's bytes
+  (``"20"`` = space, ``"746865"`` = ``the``) — chosen because
+  ``hex(encode(text))`` is replayable on both Spark and DuckDB;
+- the public format writes pieces in GPT-2's ``bytes_to_unicode``
+  remap (byte 0x20 = ``Ġ``, 0x0A = ``Ċ``, ASCII printables as
+  themselves), one merge per ``merges.txt`` line in learned order,
+  and ``vocab.json`` mapping remapped piece -> id.
+
+Export writes this engine's STRUCTURAL ids (byte value 0-255, then
+one id per merge in learned order, then specials — the
+:func:`bpe.byte_vocab` contract). Canonical OpenAI artifacts order
+the 256 base tokens differently (printables first), so import always
+HONORS ``vocab.json`` ids verbatim rather than recomputing them —
+a real GPT-2 artifact round-trips with its real ids. Pre-tokenizer
+caveat (documented, not hidden): this engine's byte pre-tokenizer is
+the RE2-compatible GPT-2 regex WITHOUT the contraction alternates
+and trailing-space lookahead (`bpe.BYTE_PRETOK_RE`), so encodings of
+an imported real-GPT-2 tokenizer match GPT-2 exactly on text where
+those alternates don't fire (no contractions, single spaces).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+__all__ = [
+    "bytes_to_unicode",
+    "unicode_to_bytes",
+    "hex_to_gpt2",
+    "gpt2_to_hex",
+    "export_gpt2",
+    "import_gpt2",
+]
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's published byte -> printable-unicode remap: the 188
+    'nice' printable bytes map to themselves; the remaining 68
+    (controls, space, DEL, soft hyphen...) map to U+0100.. in byte
+    order. Bijective over 0..255 by construction (Radford et al.
+    2019 reference implementation's algorithm, re-derived)."""
+    nice = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    out = {b: chr(b) for b in nice}
+    shift = 0
+    for b in range(256):
+        if b not in out:
+            out[b] = chr(256 + shift)
+            shift += 1
+    return out
+
+
+def unicode_to_bytes() -> dict[str, int]:
+    return {c: b for b, c in bytes_to_unicode().items()}
+
+
+def hex_to_gpt2(piece_hex: str, _b2u: dict[int, str] | None = None) -> str:
+    """Internal hex piece -> GPT-2 remapped string (``"20746865"`` ->
+    ``"Ġthe"``)."""
+    b2u = _b2u or bytes_to_unicode()
+    return "".join(
+        b2u[int(piece_hex[i : i + 2], 16)] for i in range(0, len(piece_hex), 2)
+    )
+
+
+def gpt2_to_hex(token: str, _u2b: dict[str, int] | None = None) -> str | None:
+    """GPT-2 remapped string -> internal hex piece, or None when the
+    token contains a char outside the 256-symbol remap alphabet (a
+    SPECIAL token like ``<|endoftext|>``... is composed of remap
+    chars, actually — specials are detected by the caller via vocab
+    position, this returns None only for genuinely un-remappable
+    chars, e.g. CJK in added-token entries)."""
+    u2b = _u2b or unicode_to_bytes()
+    try:
+        return "".join(f"{u2b[c]:02X}" for c in token)
+    except KeyError:
+        return None
+
+
+def export_gpt2(
+    merges: list[tuple[str, str]],
+    out_dir: str,
+    special_tokens: tuple[str, ...] = ("<|endoftext|>",),
+) -> dict[str, int]:
+    """Write ``vocab.json`` + ``merges.txt`` for a hex-pair merge
+    list. Ids are the engine's structural order (byte value 0-255,
+    merges in learned order, then specials). Returns the vocab dict
+    (remapped token -> id). Fails on a dir already holding either
+    artifact (the write_wet_shards dirty-target convention)."""
+    from balboa_spark.operators.bpe import byte_vocab
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ("vocab.json", "merges.txt"):
+        if os.path.exists(os.path.join(out_dir, name)):
+            raise FileExistsError(
+                f"export_gpt2: {out_dir} already contains {name}; "
+                "export into an empty directory"
+            )
+    b2u = bytes_to_unicode()
+    vocab = {hex_to_gpt2(p, b2u): i for p, i in byte_vocab(merges)}
+    base = len(vocab)
+    for j, sp in enumerate(special_tokens):
+        if sp in vocab:
+            raise ValueError(f"special token {sp!r} collides with a piece")
+        vocab[sp] = base + j
+    tmp = os.path.join(out_dir, "merges.txt.inprogress")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("#version: 0.2\n")
+        for a, b in merges:
+            fh.write(f"{hex_to_gpt2(a, b2u)} {hex_to_gpt2(b, b2u)}\n")
+    os.replace(tmp, os.path.join(out_dir, "merges.txt"))
+    tmp = os.path.join(out_dir, "vocab.json.inprogress")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(vocab, fh, ensure_ascii=False)
+    os.replace(tmp, os.path.join(out_dir, "vocab.json"))
+    return vocab
+
+
+def import_gpt2(
+    in_dir: str,
+) -> tuple[list[tuple[str, str]], list[tuple[str, int]], dict[str, int]]:
+    """Read ``vocab.json`` + ``merges.txt`` ->
+    ``(merges_hex, vocab_hex_ids, specials)``.
+
+    - ``merges_hex``: the merge list in file order, hex-pair space —
+      drives :func:`bpe.byte_segment_any` directly;
+    - ``vocab_hex_ids``: [(hex piece, id)] with ids taken VERBATIM
+      from ``vocab.json`` (real artifacts don't use structural order);
+    - ``specials``: vocab entries that are not byte-composed pieces —
+      base-alphabet singletons and merge products are pieces; any
+      other token (``<|endoftext|>``, added tokens) is special.
+    """
+    u2b = unicode_to_bytes()
+    with open(os.path.join(in_dir, "merges.txt"), encoding="utf-8") as fh:
+        lines = [ln.rstrip("\n") for ln in fh]
+    merges: list[tuple[str, str]] = []
+    for ln in lines:
+        if not ln or ln.startswith("#"):
+            continue
+        a, b = ln.split(" ")
+        ah, bh = gpt2_to_hex(a, u2b), gpt2_to_hex(b, u2b)
+        if ah is None or bh is None:
+            raise ValueError(f"merges.txt line not byte-composed: {ln!r}")
+        merges.append((ah, bh))
+
+    with open(os.path.join(in_dir, "vocab.json"), encoding="utf-8") as fh:
+        raw = json.load(fh)
+    # a PIECE is anything byte_segment could produce: a base byte or a
+    # merge product; everything else in vocab.json is a special token
+    producible = {f"{i:02X}" for i in range(256)} | {a + b for a, b in merges}
+    vocab_hex: list[tuple[str, int]] = []
+    specials: dict[str, int] = {}
+    for tok, idx in raw.items():
+        h = gpt2_to_hex(tok, u2b)
+        if h is not None and h in producible:
+            vocab_hex.append((h, int(idx)))
+        else:
+            specials[tok] = int(idx)
+    return merges, vocab_hex, specials
