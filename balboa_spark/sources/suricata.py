@@ -23,8 +23,22 @@ from balboa_spark.sources.common import finalize, sensor
 TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxx"
 
 
+#: element type of the per-record observation array (all three version
+#: arms must agree so the CASE branches type-unify)
+_OBS_ARR_T = "array<struct<rdata:string,rrtype:string,rrname:string>>"
+
+
 def normalize(raw: DataFrame, sensor_id=None) -> DataFrame:
-    """raw: SURICATA_EVE-shaped DataFrame -> input observations."""
+    """raw: SURICATA_EVE-shaped DataFrame -> input observations.
+
+    SINGLE-SCAN kernel (r14): the r2-r13 formulation was a 3-arm union
+    (detailed | grouped | v1) that scanned — and on the streaming path
+    re-parsed via from_json — the batch three times (measured: the file
+    source reported numInputRows = 3x the landed rows per micro-batch).
+    Each record now builds its observation array in ONE conditional
+    expression and a single explode emits the rows; at ingest scale
+    this is 1/3 the parse CPU for the identical row multiset.
+    """
     dns = raw.filter(
         (F.col("event_type") == "dns") & (F.col("dns.type") == "answer")
     ).withColumn(
@@ -32,66 +46,68 @@ def normalize(raw: DataFrame, sensor_id=None) -> DataFrame:
         F.try_to_timestamp(normalize_ts_fraction(F.col("timestamp")), F.lit(TS_FMT)),
     )
 
-    v2 = dns.filter(F.col("dns.version") == 2)
-
     # v2 dispatch (format_suricata.go:57-95): "detailed" when answers is
     # non-empty; otherwise the "grouped" map — grouped is the fallback,
-    # not gated on its own presence.
+    # not gated on its own presence. A NULL grouped map yields a NULL
+    # array, which explode drops (0 rows), matching the old arm filter.
+    is_v2 = F.col("dns.version") == 2
     has_answers = F.col("dns.answers").isNotNull() & (F.size("dns.answers") > 0)
 
-    detailed = v2.filter(has_answers).select(
-        "_ts", "dns.rcode", F.explode("dns.answers").alias("a")
+    detailed_arr = F.transform(
+        "dns.answers",
+        lambda a: F.struct(
+            a["rdata"].alias("rdata"),
+            a["rrtype"].alias("rrtype"),
+            a["rrname"].alias("rrname"),
+        ),
     )
-    detailed = finalize(
-        detailed,
-        rcode=F.col("rcode"),
-        rdata=F.col("a.rdata"),
-        rrtype=F.col("a.rrtype"),
-        rrname=F.col("a.rrname"),
-        sensor_id=sensor(sensor_id),
-        ts_start=F.col("_ts"),
-    )
-
-    grouped = (
-        v2.filter(~has_answers & F.col("dns.grouped").isNotNull())
-        .select(
-            "_ts",
-            "dns.rcode",
-            "dns.rrname",
-            F.explode("dns.grouped").alias("g_rrtype", "g_rdatas"),
-        )
-        .select(
-            "_ts",
-            "rcode",
-            "rrname",
-            "g_rrtype",
-            F.explode("g_rdatas").alias("g_rdata"),
+    # grouped: map rrtype -> [rdata]; one element per (rrtype, rdata),
+    # rrname from the envelope. A NULL rdata-list for one rrtype drops
+    # only that entry (coalesce -> empty), as the old inner explode did.
+    grouped_arr = F.flatten(
+        F.transform(
+            F.map_entries("dns.grouped"),
+            lambda e: F.coalesce(
+                F.transform(
+                    e["value"],
+                    lambda rd: F.struct(
+                        rd.alias("rdata"),
+                        e["key"].alias("rrtype"),
+                        F.col("dns.rrname").alias("rrname"),
+                    ),
+                ),
+                F.array().cast(_OBS_ARR_T),
+            ),
         )
     )
-    grouped = finalize(
-        grouped,
-        rcode=F.col("rcode"),
-        rdata=F.col("g_rdata"),
-        rrtype=F.col("g_rrtype"),
-        rrname=F.col("rrname"),
-        sensor_id=sensor(sensor_id),
-        ts_start=F.col("_ts"),
-    )
-
     # v1 is the complement of v2: the reference routes EVERY version
     # != 2 through the v1 path (format_suricata.go:57,96), including
-    # hypothetical version > 2 records.
-    v1 = dns.filter(
-        F.col("dns.version").isNull() | (F.col("dns.version") != 2)
-    ).select("_ts", "dns.rcode", "dns.rrname", "dns.rrtype", "dns.rdata")
-    v1 = finalize(
-        v1,
+    # hypothetical version > 2 records — exactly one element (finalize
+    # drops it if required fields are NULL).
+    v1_arr = F.array(
+        F.struct(
+            F.col("dns.rdata").alias("rdata"),
+            F.col("dns.rrtype").alias("rrtype"),
+            F.col("dns.rrname").alias("rrname"),
+        )
+    )
+    # NULL version falls through both whens (NULL condition skips the
+    # branch) into the v1 otherwise — the reference's routing.
+    obs_arr = (
+        F.when(is_v2 & has_answers, detailed_arr)
+        .when(is_v2, grouped_arr)
+        .otherwise(v1_arr)
+    )
+
+    out = dns.select(
+        "_ts", F.col("dns.rcode").alias("rcode"), F.explode(obs_arr).alias("o")
+    )
+    return finalize(
+        out,
         rcode=F.col("rcode"),
-        rdata=F.col("rdata"),
-        rrtype=F.col("rrtype"),
-        rrname=F.col("rrname"),
+        rdata=F.col("o.rdata"),
+        rrtype=F.col("o.rrtype"),
+        rrname=F.col("o.rrname"),
         sensor_id=sensor(sensor_id),
         ts_start=F.col("_ts"),
     )
-
-    return detailed.unionByName(grouped).unionByName(v1)
