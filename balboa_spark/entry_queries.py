@@ -464,7 +464,14 @@ CAP_50 = [
     "pipeline_wet_ccnet",
     "corpus_unigram_segment",
     "corpus_mixture_budget",
-    "corpus_curriculum_order",
+    # -- r14 NEW entry: never graded, must be in-cap (its slot comes
+    #    from corpus_curriculum_order, demoted mid-r14 with a tail
+    #    note: never-graded > single-green re-confirmation under
+    #    stalest-first, and its zero-shuffle projection kernel has no
+    #    r14 changes; driver_sim re-confirmed it green this session) --
+    "corpus_bpe_by_lang",    # per-language byte-BPE fit, the learned
+                             # merge table hash-graded vs an unrolled
+                             # DuckDB replay of the greedy loop
     # -- kernel changed r13, single-green post-change: kept as the
     #    family representatives (siblings demoted with same-kernel
     #    notes) --
@@ -575,6 +582,14 @@ _TAIL = [
                                # grading run); windowed-agg family via
                                # in-cap events_resample + recalled
                                # events_quantiles
+    "corpus_curriculum_order", # green r13; demoted mid-r14 to fund
+                               # the NEVER-graded corpus_bpe_by_lang
+                               # slot (stalest-first: never-graded
+                               # outranks a single-green re-confirm);
+                               # zero-shuffle projection kernel, no
+                               # r14 changes, driver_sim-green this
+                               # session; sibling corpus_epoch_shuffle
+                               # shares the deterministic-order class
     # --- demoted r13 (double-green, kernels unchanged since last
     #     grading; displaced by the r13 IN cohort) ---
     "embedding_seed_topk",       # green r9+r12; ANN family in-cap via ann_ivf_topk

@@ -1416,6 +1416,110 @@ FROM ids GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# -- per-language byte-BPE fit (r14) ----------------------------------------
+
+#: merge budget per language for the graded per-group fit — small
+#: enough that the unrolled DuckDB replay stays readable, large enough
+#: that every language learns several real merges and tie-breaks fire
+BPE_BY_LANG_MERGES = 8
+BPE_BY_LANG_MIN_COUNT = 2
+
+
+def q_bpe_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE byte-level tokenizer fit per language in a single
+    relational plan (bpe.byte_bpe_fit_by_group — the
+    kn_ngram_lm_perplexity_by_group precedent applied to the
+    tokenizer family). The graded output is the LEARNED MERGE TABLE
+    itself — (lang, step, a, b, pair_count) — so the hash pins the
+    whole iterative fit: pre-token histogram, per-group argmax with
+    deterministic tie-breaks, greedy merge replay, and per-group
+    early stopping. Driver state is |G| rows per round; every data
+    pass is shared across groups."""
+    from balboa_spark.operators import bpe
+
+    fit = bpe.byte_bpe_fit_by_group(
+        _docs(spark, sf_dir),
+        group_col="lang",
+        num_merges=BPE_BY_LANG_MERGES,
+        min_pair_count=BPE_BY_LANG_MIN_COUNT,
+    )
+    rows = [
+        (lang, step + 1, a, b, n)
+        for lang, ms in fit.items()
+        for step, (a, b, n) in enumerate(ms)
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, step int, a string, b string, pair_count long"
+    ).orderBy("lang", "step")
+
+
+def _bpe_by_lang_oracle() -> str:
+    """The per-group greedy fit unrolled round by round (the
+    embedding_kmeans unrolled-recursion mechanism): each round counts
+    adjacent pairs per language, picks the (n DESC, a, b) argmax via
+    row_number, and applies the winning merge to that language's
+    vocabulary with the same left-to-right fold the engine uses. A
+    language whose best pair falls under the threshold just stops
+    producing b-rows (its vocab is frozen, so the same argmax fails
+    every later round — no active-set bookkeeping)."""
+    fold = (
+        "list_reduce(string_split(v.pstr, ' '), (acc, x) -> "
+        "CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = b.a AND x = b.b "
+        "THEN regexp_replace(acc, '([^ ]+)$', b.a || b.b) "
+        "ELSE acc || ' ' || x END)"
+    )
+    parts = [
+        f"""v0 AS (
+  SELECT lang AS g, count(*) AS cnt,
+         array_to_string(regexp_extract_all(hex(encode(word)), '..'), ' ')
+           AS pstr
+  FROM (
+    SELECT lang, unnest({_BYTE_PRETOK_SQL}) AS word
+    FROM documents WHERE lang IS NOT NULL
+  ) GROUP BY lang, word
+)"""
+    ]
+    for r in range(BPE_BY_LANG_MERGES):
+        parts.append(
+            f"""p{r} AS (
+  SELECT g, struct_extract(s, 'a') AS a, struct_extract(s, 'b') AS b,
+         sum(cnt) AS n
+  FROM (
+    SELECT g, cnt,
+           unnest(list_transform(range(1, len(l)),
+                                 i -> {{'a': l[i], 'b': l[i + 1]}})) AS s
+    FROM (SELECT g, cnt, string_split(pstr, ' ') AS l FROM v{r})
+  ) GROUP BY g, a, b
+),
+b{r} AS (
+  SELECT g, a, b, n FROM (
+    SELECT g, a, b, n,
+           row_number() OVER (PARTITION BY g ORDER BY n DESC, a, b) AS rn
+    FROM p{r}
+  ) WHERE rn = 1 AND n >= {BPE_BY_LANG_MIN_COUNT}
+),
+v{r + 1} AS (
+  SELECT v.g, v.cnt,
+         CASE WHEN b.a IS NOT NULL THEN {fold} ELSE v.pstr END AS pstr
+  FROM v{r} v LEFT JOIN b{r} b USING (g)
+)"""
+        )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT g, {r + 1} AS step, a, b, n FROM b{r}"
+        for r in range(BPE_BY_LANG_MERGES)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+steps AS ({steps})
+SELECT g AS lang, CAST(step AS INTEGER) AS step, a, b,
+       CAST(n AS BIGINT) AS pair_count
+FROM steps ORDER BY lang, step
+"""
+    )
+
+
 # -- unigram-LM (SentencePiece-style) tokenizer (r13) -----------------------
 
 #: Unigram piece distribution learned once by unigram.unigram_fit over
@@ -3865,6 +3969,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_unigram_segment": q_unigram_segment,
     "corpus_mixture_budget": q_mixture_budget,
     "corpus_bpe_bytes_encode": q_bpe_bytes_encode,
+    "corpus_bpe_by_lang": q_bpe_by_lang,
     "corpus_snapshot_diff": q_snapshot_diff,
     "corpus_blocklist": q_blocklist,
     "corpus_length_batches": q_length_batches,
@@ -3939,6 +4044,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_unigram_segment": _unigram_oracle(),
     "corpus_mixture_budget": _mixture_budget_oracle(),
     "corpus_bpe_bytes_encode": _bpe_bytes_encode_oracle(),
+    "corpus_bpe_by_lang": _bpe_by_lang_oracle(),
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "corpus_span_dedup": SPAN_DEDUP_ORACLE,
     "span_dedup_store": SPAN_DEDUP_ORACLE,

@@ -71,6 +71,25 @@ def merge_pair(pieces: Column, a: str, b: str) -> Column:
     )
 
 
+def merge_pair_col(pieces: Column, a: Column, b: Column) -> Column:
+    """:func:`merge_pair` with the pair as COLUMNS — one greedy merge
+    pass where each row can carry a different (a, b) (the per-group
+    fit joins the round's |G|-row argmax table onto the vocab and
+    applies each group's own merge in a single pass). Same fold
+    semantics as the literal version."""
+    rest = F.slice(pieces, 2, F.greatest(F.size(pieces) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        F.array(F.element_at(pieces, 1)),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == a) & (x == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(a, b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def _merge_pass_str(s: Column, a: str, b: str) -> Column:
     """One greedy merge pass over a SPACE-JOINED piece string — same
     semantics as :func:`merge_pair`, but the expression references its
@@ -279,6 +298,110 @@ def byte_bpe_fit(
         "cnt", byte_units(F.col("word")).alias("p")
     )
     return _fit_merges(vocab, num_merges, min_pair_count)
+
+
+def byte_bpe_fit_by_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    num_merges: int = 16,
+    min_pair_count: int = 2,
+) -> dict[str, list[tuple[str, str, int]]]:
+    """ONE byte-level tokenizer per group, fit in a single relational
+    plan — CCNet trains one model per language
+    (``lm.kn_ngram_lm_perplexity_by_group`` precedent); production
+    tokenizers are likewise fit per language slice so frequent
+    scripts don't starve rare ones of merges.
+
+    No per-group loop: the vocabulary relation carries the group key,
+    each round computes EVERY group's argmax pair in one aggregation
+    (groupBy(_g) over the pair counts — a |G|-row result, the only
+    driver-collected state), and one broadcast join applies each
+    group's own merge to its vocab slice via :func:`merge_pair_col`.
+    Cost per round is identical to the ungrouped fit (one vocab-sized
+    shuffle); |G| never multiplies the data passes. A group whose best
+    pair falls under ``min_pair_count`` simply stops accumulating
+    merges (re-evaluated each round — its frozen vocab reproduces the
+    same failing argmax, so no active-set state is needed and the
+    DuckDB replay can't drift).
+
+    Rows with a NULL group are dropped (no language id -> no
+    per-language tokenizer; route through LID first).
+
+    Returns {group: [(a, b, pair_count), ...] in learned order}.
+    """
+    spark = df.sparkSession
+    vocab = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("_g"),
+            F.explode(byte_pretokenize(F.col(text_col))).alias("word"),
+        )
+        .groupBy("_g", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("_g", "cnt", byte_units(F.col("word")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    merges: dict[str, list[tuple[str, str, int]]] = {}
+    for _ in range(num_merges):
+        best = (
+            vocab.filter(F.size("p") >= 2)
+            .select(
+                "_g",
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(p, 1, size(p) - 1)").alias("a"),
+                        F.expr("slice(p, 2, size(p) - 1)").alias("b"),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy("_g", F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+            .groupBy("_g")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("nn"), "a", "b", "n"
+                    )
+                ).alias("m")
+            )
+            .select("_g", "m.a", "m.b", "m.n")
+            .collect()
+        )
+        round_pairs = [
+            (r["_g"], r["a"], r["b"], int(r["n"]))
+            for r in best
+            if r["n"] >= min_pair_count
+        ]
+        if not round_pairs:
+            break
+        for g, a, b, n in round_pairs:
+            merges.setdefault(g, []).append((a, b, n))
+        mt = spark.createDataFrame(
+            [(g, a, b) for g, a, b, _ in round_pairs],
+            "_g string, _ma string, _mb string",
+        )
+        nxt = (
+            vocab.join(F.broadcast(mt), on="_g", how="left")
+            .select(
+                "_g",
+                "cnt",
+                F.when(
+                    F.col("_ma").isNotNull(),
+                    merge_pair_col(
+                        F.col("p"), F.col("_ma"), F.col("_mb")
+                    ),
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges
 
 
 def byte_vocab(merges: list[tuple[str, str]]) -> list[tuple[str, int]]:

@@ -2624,3 +2624,39 @@ def test_gpt2_import_honors_foreign_ids_hand_example(spark, tmp_path):
     # are absent from the partial vocab -> UNK sentinels, not drops
     assert got[2][0] == 5 and all(i == bpe.UNK_PIECE_ID for i in got[2][1:])
     assert len(got[2]) == 1 + 4  # the + [Ġ, c, a, t]
+
+
+def test_byte_bpe_fit_by_group_matches_per_slice_fit(spark):
+    """The single-plan per-group fit reproduces byte_bpe_fit run on
+    each language slice independently (merge-for-merge, including a
+    group that exhausts its pairs early), and NULL-group rows are
+    dropped."""
+    from balboa_spark.operators import bpe
+
+    slices = {
+        "en": [
+            "low low low low low",
+            "lower lower widest widest widest",
+        ],
+        "de": [
+            "der hund und der mond",
+            "der mond und der hund laufen",
+        ],
+        # tiny slice: every pair count is 1 after a couple of merges,
+        # so this group stops early under min_pair_count=2
+        "fr": ["le chat", "le chien"],
+    }
+    rows = [
+        (i, lang, t)
+        for i, (lang, t) in enumerate(
+            (lang, t) for lang, ts in slices.items() for t in ts
+        )
+    ] + [(99, None, "should be ignored entirely")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    got = bpe.byte_bpe_fit_by_group(df, num_merges=8)
+    assert set(got) <= set(slices)
+    for lang, texts in slices.items():
+        sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
+        want = bpe.byte_bpe_fit(sdf, num_merges=8)
+        assert [(a, b) for a, b, _ in got.get(lang, [])] == want, lang
