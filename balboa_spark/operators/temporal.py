@@ -534,11 +534,29 @@ def gap_sessions(
         "_loc",
         F.sum("_new").over(wl.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    if with_turn_idx:
+        # local row_number per (user, bucket, LOCAL session) computed
+        # on ev BEFORE any join: the (user, _bkt) hash exchange already
+        # satisfies the finer clustering (partitioning on a prefix of
+        # the keys), so this costs a sort extension, not a shuffle —
+        # and it keeps every turn-idx input derivable from the single
+        # checkpointed relation below
+        wlr = Window.partitionBy(user_col, "_bkt", "_loc").orderBy(*order)
+        ev = ev.withColumn("_lrn", F.row_number().over(wlr))
+    # The aggregate branches (bucket summary, turn-idx before-counts)
+    # read only a SLIM projection of the windowed relation — keys, ts,
+    # session flags — never the wide payload columns. Keeping them on
+    # a separate slim subtree means the wide relation computes exactly
+    # once (inside the final join-back). Checkpointing was measured
+    # and REJECTED here: materializing the wide rows cost 3x the
+    # recompute (content strings), and even the slim checkpoint was a
+    # wash against simply recomputing the cheap projected subtree.
+    slim = ev.select(user_col, "_bkt", "_loc", "_new", ts_col)
 
     ws = Window.partitionBy(user_col).orderBy("_bkt")
     prev_last = F.lag("_last").over(ws)
     summ = (
-        ev.groupBy(user_col, "_bkt")
+        slim.groupBy(user_col, "_bkt")
         .agg(
             F.min(ts_col).alias("_first"),
             F.max(ts_col).alias("_last"),
@@ -563,28 +581,43 @@ def gap_sessions(
             F.lit(0),
         ).alias("_off"),
     )
-    out = ev.join(summ, [user_col, "_bkt"]).withColumn(
-        sess_col, (F.col("_off") + F.col("_loc") - F.col("_att")).cast("bigint")
+    if not with_turn_idx:
+        out = ev.join(summ, [user_col, "_bkt"]).withColumn(
+            sess_col,
+            (F.col("_off") + F.col("_loc") - F.col("_att")).cast("bigint"),
+        )
+        return out.drop("_bkt", "_new", "_loc", "_att", "_off")
+
+    # turn-idx path: fold the stitch scalars AND the before-counts
+    # (turns in earlier buckets of the same global session) into ONE
+    # per-(user, bucket, local-session) relation, so the wide events
+    # relation joins exactly once. The before-counts are the exclusive
+    # prefix sum of per-bucket local-session row counts over the
+    # summary-sized relation, keyed by the same global-id formula.
+    wcs = (
+        Window.partitionBy(user_col, "_sess")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    if with_turn_idx:
-        wlr = Window.partitionBy(user_col, "_bkt", sess_col).orderBy(*order)
-        out = out.withColumn("_lrn", F.row_number().over(wlr))
-        wcs = (
-            Window.partitionBy(user_col, sess_col)
-            .orderBy("_bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)
+    stitch = (
+        slim.groupBy(user_col, "_bkt", "_loc")
+        .agg(F.count(F.lit(1)).alias("_cn"))
+        .join(summ, [user_col, "_bkt"])
+        .withColumn(
+            "_sess",
+            (F.col("_off") + F.col("_loc") - F.col("_att")).cast("bigint"),
         )
-        before = (
-            out.groupBy(user_col, sess_col, "_bkt")
-            .agg(F.count(F.lit(1)).alias("_cn"))
-            .select(
-                user_col,
-                sess_col,
-                "_bkt",
-                F.coalesce(F.sum("_cn").over(wcs), F.lit(0)).alias("_tb"),
-            )
+        .select(
+            user_col,
+            "_bkt",
+            "_loc",
+            "_sess",
+            F.coalesce(F.sum("_cn").over(wcs), F.lit(0)).alias("_tb"),
         )
-        out = out.join(before, [user_col, sess_col, "_bkt"]).withColumn(
-            "turn_idx", (F.col("_tb") + F.col("_lrn")).cast("int")
-        )
-    return out.drop("_bkt", "_new", "_loc", "_att", "_off", "_lrn", "_tb")
+    )
+    out = (
+        ev.join(stitch, [user_col, "_bkt", "_loc"])
+        .withColumn(sess_col, F.col("_sess"))
+        .withColumn("turn_idx", (F.col("_tb") + F.col("_lrn")).cast("int"))
+    )
+    return out.drop("_bkt", "_new", "_loc", "_sess", "_lrn", "_tb")
