@@ -407,8 +407,10 @@ QUERIES.update(QUERIES_TEMPORAL)
 #
 # ROUND-15 PLAN: demote the r13-first-graded cohort once double-green
 # (corpus_bpe_bytes/_encode, pipeline_wet_ccnet, corpus_unigram_segment,
-# corpus_mixture_budget, corpus_curriculum_order, the SFT trio,
-# embedding_kmeans) and the re-graded r14 IN cohort; recall the
+# corpus_mixture_budget, the SFT trio, embedding_kmeans — NOTE
+# corpus_curriculum_order already yielded its slot mid-r14 to the new
+# corpus_bpe_by_lang, which as an r14 first-grade must then stay
+# until double-green) and the re-graded r14 IN cohort; recall the
 # then-stalest tail (r7 era: customer_fuzzy_pairs, events_psi_drift,
 # supplier_entity_resolve, corpus_passage_cdc...) per the
 # grading_ledger stalest-first listing, NOT prose.
@@ -459,7 +461,6 @@ CAP_50 = [
     "embedding_kmeans",      # ivf_assign_col float64 (ADVICE r13)
     "ann_ivf_topk",          # RECALLED from tail: same float64 change
     # -- r13 first-grades: single-green, stay until double-green --
-    "corpus_bpe_bytes",
     "corpus_bpe_bytes_encode",
     "pipeline_wet_ccnet",
     "corpus_unigram_segment",
@@ -472,6 +473,11 @@ CAP_50 = [
     "corpus_bpe_by_lang",    # per-language byte-BPE fit, the learned
                              # merge table hash-graded vs an unrolled
                              # DuckDB replay of the greedy loop
+    "corpus_unigram_by_lang",# per-language Viterbi segmentation under
+                             # per-language pinned unigram vocabs (the
+                             # grouped-EM fit unit-pinned per slice);
+                             # slot from corpus_bpe_bytes, demoted
+                             # with a same-kernel tail note
     # -- kernel changed r13, single-green post-change: kept as the
     #    family representatives (siblings demoted with same-kernel
     #    notes) --
@@ -582,6 +588,16 @@ _TAIL = [
                                # grading run); windowed-agg family via
                                # in-cap events_resample + recalled
                                # events_quantiles
+    "corpus_bpe_bytes",        # green r13; demoted mid-r14 to fund
+                               # the NEVER-graded corpus_unigram_by_lang
+                               # slot: its graded surface (pre-token
+                               # histogram + byte_segment fold on top
+                               # tokens) is a strict subset of in-cap
+                               # corpus_bpe_bytes_encode's (same fold
+                               # per DISTINCT pre-token + id join), and
+                               # the byte-BPE FIT now grades harder via
+                               # in-cap corpus_bpe_by_lang;
+                               # driver_sim-green this session
     "corpus_curriculum_order", # green r13; demoted mid-r14 to fund
                                # the NEVER-graded corpus_bpe_by_lang
                                # slot (stalest-first: never-graded

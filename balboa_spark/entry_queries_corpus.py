@@ -1604,6 +1604,158 @@ FROM staged3 ORDER BY cnt DESC, word
 """
 
 
+
+
+# -- per-language unigram segmentation (r14) ---------------------------------
+
+#: Per-language unigram piece distributions learned once by
+#: unigram.unigram_fit_by_group over the sf0.01 documents corpus
+#: (vocab_size=28, seed_m=32, em_iters=2, max_piece_len=4) and pinned
+#: (the UNIGRAM_VOCAB discipline: the apply path is deterministic and
+#: SQL-replayable; the grouped EM fit is verified slice-for-slice
+#: against unigram_fit in unit tests).
+UNIGRAM_BY_LANG_VOCABS: dict[str, list[tuple[str, float]]] = {
+    "de": [("a", -2.750258), ("al", -4.290828), ("as", -4.37508), ("at", -4.464816), ("b", -3.487331), ("c", -3.194026), ("cust", -4.452891), ("d", -3.641932), ("e", -2.60383), ("er", -3.81951), ("f", -3.954097), ("g", -3.090916), ("h", -3.156667), ("i", -3.850269), ("in", -3.529796), ("j", -4.488179), ("k", -3.958416), ("l", -2.921341), ("lu", -4.385624), ("m", -3.499621), ("mer", -4.655553), ("n", -3.869886), ("o", -3.70219), ("omer", -4.477361), ("or", -3.617029), ("ow", -3.543087), ("p", -4.688321), ("par", -3.964198), ("q", -4.766105), ("r", -3.571581), ("ro", -4.709197), ("rt", -8.219114), ("s", -2.942728), ("st", -4.459345), ("t", -2.786601), ("ta", -4.557193), ("to", -7.990257), ("u", -4.210488), ("ue", -4.481608), ("v", -3.899576), ("w", -4.612801), ("y", -3.967112)],
+    "en": [("a", -2.673409), ("ab", -5.108037), ("al", -4.31051), ("at", -4.347698), ("b", -3.703221), ("c", -3.027703), ("d", -3.882434), ("e", -2.612994), ("er", -4.345721), ("f", -3.966719), ("g", -3.014362), ("h", -3.973206), ("hash", -4.513983), ("i", -3.892668), ("in", -3.513688), ("j", -4.612146), ("k", -3.927854), ("l", -2.913076), ("lu", -4.553231), ("m", -3.528116), ("mer", -3.982373), ("n", -3.923816), ("o", -3.366698), ("or", -4.115539), ("orde", -5.107809), ("ow", -3.558071), ("p", -4.574955), ("par", -3.947153), ("q", -4.715549), ("r", -3.328354), ("rder", -5.388831), ("ro", -4.622368), ("s", -2.911988), ("st", -3.815532), ("t", -2.794011), ("ta", -5.19238), ("to", -5.469852), ("u", -3.61438), ("ue", -4.562615), ("v", -3.961449), ("w", -4.435127), ("y", -3.981356)],
+    "es": [("a", -2.813969), ("agg", -4.474196), ("al", -4.082767), ("at", -4.344134), ("b", -3.56828), ("c", -2.954495), ("d", -3.541397), ("e", -2.568934), ("er", -3.702016), ("f", -3.886393), ("g", -3.529955), ("h", -3.9362), ("hash", -4.483302), ("i", -3.939354), ("in", -3.539349), ("j", -4.65336), ("k", -3.928464), ("l", -3.108227), ("lu", -4.58545), ("m", -3.48109), ("mer", -3.865765), ("n", -3.881807), ("o", -3.51766), ("or", -3.639418), ("ow", -4.028256), ("p", -4.611044), ("par", -3.906672), ("q", -4.546388), ("r", -3.56106), ("ro", -4.58859), ("rt", -8.092457), ("s", -3.086134), ("slow", -4.466311), ("st", -3.692481), ("t", -2.86851), ("ta", -4.47361), ("to", -5.472585), ("u", -3.505271), ("ue", -4.480368), ("v", -3.828195), ("w", -4.484515), ("y", -3.886393)],
+    "fr": [("a", -3.081223), ("al", -4.116902), ("as", -4.659286), ("atch", -4.454419), ("b", -3.493876), ("c", -3.475095), ("d", -3.884193), ("data", -4.447992), ("e", -2.584567), ("er", -3.581992), ("f", -3.912909), ("g", -2.978747), ("h", -3.651101), ("i", -3.881201), ("in", -3.441014), ("j", -4.482824), ("k", -3.917016), ("l", -2.860726), ("lu", -4.517966), ("m", -3.391856), ("mer", -3.937165), ("n", -4.483763), ("o", -3.396351), ("or", -3.614554), ("ow", -3.536229), ("p", -4.654156), ("par", -4.008621), ("q", -4.454251), ("r", -3.569117), ("ro", -4.681323), ("rt", -7.738329), ("s", -3.050522), ("scan", -4.392862), ("st", -3.817806), ("t", -2.903236), ("ta", -4.99902), ("to", -5.686757), ("u", -3.478702), ("ue", -4.647108), ("v", -3.985128), ("w", -4.465688), ("y", -3.78606)],
+    "zh": [("a", -2.599582), ("al", -5.69483), ("as", -4.817384), ("at", -4.499135), ("b", -3.59405), ("c", -2.955474), ("d", -3.568473), ("e", -2.570976), ("er", -3.744752), ("f", -3.890405), ("g", -3.053112), ("h", -3.294137), ("i", -3.963301), ("in", -4.064357), ("j", -24.842702), ("join", -4.419989), ("k", -3.993059), ("l", -3.076592), ("lu", -4.233833), ("m", -3.833718), ("mall", -5.020557), ("mer", -3.896058), ("n", -3.826881), ("o", -3.965343), ("or", -3.6415), ("ow", -3.583842), ("p", -4.627529), ("par", -3.948973), ("q", -4.682353), ("r", -3.561055), ("ro", -4.638093), ("s", -2.884936), ("smal", -5.436034), ("st", -3.823648), ("t", -2.822153), ("ta", -4.480805), ("to", -5.146031), ("u", -3.534822), ("ue", -4.887692), ("v", -3.869715), ("w", -4.636941), ("y", -4.036459)],
+}
+UNIGRAM_BY_LANG_TOP = 12
+
+
+def q_unigram_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Viterbi segmentation under per-language pinned
+    unigram vocabularies — CCNet's one-model-per-language discipline
+    applied to the tokenizer APPLY path (the fit twin of
+    corpus_bpe_by_lang). ONE corpus pass builds the (lang, word)
+    histogram; the per-language top-K rank and the five DP arms
+    (each a pure Column fold under its own pinned piece table) run
+    over that checkpointed vocabulary-relational slice, so |langs|
+    never multiplies the data passes. Languages without a pinned
+    vocabulary produce no rows by contract."""
+    from pyspark.sql import Window
+
+    from balboa_spark.operators import unigram
+
+    words = unigram.word_histogram_by_group(_docs(spark, sf_dir), "lang")
+    wtop = Window.partitionBy("_g").orderBy(F.col("cnt").desc(), "word")
+    top = (
+        words.withColumn("_rn", F.row_number().over(wtop))
+        .filter(F.col("_rn") <= UNIGRAM_BY_LANG_TOP)
+        .drop("_rn")
+        .localCheckpoint(eager=False)
+    )
+    arms = []
+    for lang, vocab in sorted(UNIGRAM_BY_LANG_VOCABS.items()):
+        staged = top.filter(F.col("_g") == lang).select(
+            F.col("_g").alias("lang"),
+            "word",
+            "cnt",
+            unigram.viterbi_forward(
+                F.col("word"), vocab, UNIGRAM_MAX_LEN
+            ).alias("_fwd"),
+        )
+        arms.append(
+            staged.select(
+                "lang",
+                "word",
+                "cnt",
+                F.concat_ws(
+                    " ", unigram.viterbi_pieces(F.col("word"), F.col("_fwd"))
+                ).alias("pieces"),
+                F.round(
+                    F.element_at("_fwd", -1)["s"], unigram.LOGP_DP
+                ).alias("logp"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.select(
+        "lang",
+        "word",
+        "cnt",
+        "pieces",
+        F.size(F.split("pieces", " ")).alias("n_pieces"),
+        "logp",
+    ).orderBy("lang", F.col("cnt").desc(), "word")
+
+
+def _unigram_by_lang_oracle() -> str:
+    """ONE DP block over the lang-tagged word relation, the vocabulary
+    selected per row by a CASE over lang (viterbi_sql case_vocabs),
+    and the backward walk as a RECURSIVE CTE instead of the
+    list_reduce fold. Two formulations were built first and REJECTED
+    after reproducing row-level cross-talk (the viterbi_sql trail-note
+    hazard family, which the single-vocab oracle never hits because
+    its word relation is DISTINCT):
+
+    - one per-language DP block per vocab, UNION ALLed: five
+      textually-identical fold stages cross-talked ACROSS blocks (one
+      language's trail walked another language's word length);
+    - a single block keeping the list_reduce trail: rows sharing the
+      same word ACROSS languages still swapped walk results
+      run-dependently (the fold's early-exit CASE freezes vector
+      lanes at different steps; equal-valued input lists with
+      different captured fwd columns collide).
+
+    The recursive walk materializes one row per (lang, word, step) —
+    no sequential lambda, nothing lane-local to leak; ~word-length
+    recursion depth over a TOP-K-bounded relation."""
+    from balboa_spark.operators import unigram
+
+    fwd, _trail, pieces, logp = unigram.viterbi_sql(
+        "word",
+        None,
+        UNIGRAM_MAX_LEN,
+        case_col="lang",
+        case_vocabs=UNIGRAM_BY_LANG_VOCABS,
+    )
+    langs = ", ".join(f"'{g}'" for g in sorted(UNIGRAM_BY_LANG_VOCABS))
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT lang, t AS word, count(*) AS cnt
+  FROM (
+    SELECT lang,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS t
+    FROM documents WHERE lang IS NOT NULL
+  )
+  WHERE regexp_matches(t, '^[a-z0-9]+$')
+  GROUP BY lang, t
+),
+top AS (
+  SELECT lang, word, cnt FROM (
+    SELECT lang, word, cnt,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, word) AS rn
+    FROM words WHERE lang IN ({langs})
+  ) WHERE rn <= {UNIGRAM_BY_LANG_TOP}
+),
+a AS MATERIALIZED (SELECT lang, word, cnt, {fwd} AS fwd FROM top),
+walk AS (
+  SELECT lang, word, length(word) AS pos, [length(word)] AS tr FROM a
+  UNION ALL
+  SELECT w.lang, w.word,
+         a.fwd[w.pos + 1].bp AS pos,
+         list_append(w.tr, a.fwd[w.pos + 1].bp) AS tr
+  FROM walk w JOIN a ON a.lang = w.lang AND a.word = w.word
+  WHERE w.pos > 0
+),
+b AS MATERIALIZED (
+  SELECT a.lang, a.word, a.cnt, a.fwd, w.tr
+  FROM a JOIN walk w ON w.lang = a.lang AND w.word = a.word AND w.pos = 0
+),
+c AS MATERIALIZED (SELECT lang, word, cnt, fwd, tr, {pieces} AS pl FROM b)
+SELECT lang, word, cnt,
+       array_to_string(pl, ' ') AS pieces,
+       CAST(len(pl) AS INTEGER) AS n_pieces,
+       {logp} AS logp
+FROM c ORDER BY lang, cnt DESC, word
+"""
+
+
 def q_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NFC normalization with a deterministic decomposed prefix
     (e + COMBINING ACUTE) injected so the normalization is observable
@@ -3970,6 +4122,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mixture_budget": q_mixture_budget,
     "corpus_bpe_bytes_encode": q_bpe_bytes_encode,
     "corpus_bpe_by_lang": q_bpe_by_lang,
+    "corpus_unigram_by_lang": q_unigram_by_lang,
     "corpus_snapshot_diff": q_snapshot_diff,
     "corpus_blocklist": q_blocklist,
     "corpus_length_batches": q_length_batches,
@@ -4045,6 +4198,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_mixture_budget": _mixture_budget_oracle(),
     "corpus_bpe_bytes_encode": _bpe_bytes_encode_oracle(),
     "corpus_bpe_by_lang": _bpe_by_lang_oracle(),
+    "corpus_unigram_by_lang": _unigram_by_lang_oracle(),
     "corpus_snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "corpus_span_dedup": SPAN_DEDUP_ORACLE,
     "span_dedup_store": SPAN_DEDUP_ORACLE,

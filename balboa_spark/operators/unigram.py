@@ -201,6 +201,151 @@ def unigram_fit(
     return sorted((p, round(math.log(pr), LOGP_DP)) for p, pr in vocab.items())
 
 
+def word_histogram_by_group(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """(_g, word, cnt): the one corpus-sized pass of the per-group fit
+    — :func:`bpe.word_histogram` with the group key carried through.
+    NULL-group rows are dropped (no language id -> no per-language
+    tokenizer; route through LID first)."""
+    from balboa_spark.operators.bpe import tokens
+
+    return (
+        df.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("_g"),
+            F.explode(tokens(F.col(text_col))).alias("word"),
+        )
+        .filter(F.col("word").rlike(WORD_RE))
+        .groupBy("_g", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def unigram_fit_by_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    vocab_size: int = 48,
+    max_piece_len: int = 4,
+    seed_m: int = 64,
+    em_iters: int = 2,
+    prune_per_iter: float = 0.25,
+) -> dict[str, list[tuple[str, float]]]:
+    """ONE unigram piece distribution per group, fit in a single
+    relational plan — the per-language twin of
+    :func:`bpe.byte_bpe_fit_by_group` (CCNet trains per-language
+    models; Wenzek et al. 2020). Per EM round: ONE Arrow pass over the
+    DISTINCT (group, word) relation — the pandas_udf receives both
+    columns and selects the group's piece distribution from a
+    broadcast dict-of-dicts — and one groupBy(_g, piece) M-step whose
+    result (|G| x |V| rows, the per-group tokenizer artifacts) is the
+    only driver-collected state. Seeding, normalization, and pruning
+    run per group with the same rules as :func:`unigram_fit`, so the
+    result equals the ungrouped fit applied to each slice (pinned by
+    test)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    words = word_histogram_by_group(df, group_col, text_col).localCheckpoint(
+        eager=True
+    )
+    subs = words.select(
+        "_g",
+        "cnt",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(int(max_piece_len)),
+                                F.length("word") - i + 1,
+                            ),
+                        ),
+                        lambda le: F.col("word").substr(i, le),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    freq = subs.groupBy("_g", "piece").agg(F.sum("cnt").alias("freq"))
+    wm = Window.partitionBy("_g").orderBy(F.col("freq").desc(), "piece")
+    seed_rows = (
+        freq.filter(F.length("piece") == 1)
+        .unionByName(
+            freq.filter(F.length("piece") >= 2)
+            .withColumn("_rn", F.row_number().over(wm))
+            .filter(F.col("_rn") <= int(seed_m))
+            .drop("_rn")
+        )
+        .collect()
+    )
+    raw: dict[str, dict[str, float]] = {}
+    for r in seed_rows:
+        raw.setdefault(r["_g"], {})[r["piece"]] = float(r["freq"])
+    vocab = {
+        g: {p: f / tot for p, f in d.items()}
+        for g, d in raw.items()
+        for tot in [sum(d.values())]
+    }
+
+    def em_round(
+        cur: dict[str, dict[str, float]],
+    ) -> dict[str, dict[str, float]]:
+        vmaps = {g: dict(d) for g, d in cur.items()}
+
+        @pandas_udf("array<struct<piece:string,e:double>>")
+        def _estep(gs: pd.Series, ws: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    [
+                        {"piece": p, "e": e}
+                        for p, e in _fb_expected(
+                            w, vmaps.get(g, {}), max_piece_len
+                        )
+                    ]
+                    for g, w in zip(gs, ws)
+                ]
+            )
+
+        counts = (
+            words.select("_g", "cnt", _estep("_g", "word").alias("_es"))
+            .select("_g", "cnt", F.explode("_es").alias("pe"))
+            .groupBy("_g", F.col("pe.piece").alias("piece"))
+            .agg(F.sum(F.col("pe.e") * F.col("cnt")).alias("c"))
+            .collect()
+        )
+        out: dict[str, dict[str, float]] = {}
+        totals: dict[str, float] = {}
+        for r in counts:
+            if r["c"] > 0:
+                out.setdefault(r["_g"], {})[r["piece"]] = r["c"]
+                totals[r["_g"]] = totals.get(r["_g"], 0.0) + r["c"]
+        return {
+            g: {p: c / totals[g] for p, c in d.items()}
+            for g, d in out.items()
+        }
+
+    for _ in range(em_iters):
+        vocab = em_round(vocab)
+        for d in vocab.values():
+            multi = sorted((pr, p) for p, pr in d.items() if len(p) >= 2)
+            n_drop = min(
+                int(len(multi) * prune_per_iter),
+                max(0, len(d) - int(vocab_size)),
+            )
+            for _, p in multi[:n_drop]:
+                del d[p]
+    vocab = em_round(vocab)
+    return {
+        g: sorted((p, round(math.log(pr), LOGP_DP)) for p, pr in d.items())
+        for g, d in vocab.items()
+    }
+
+
 # -- Viterbi segmentation: cross-engine DP folds ----------------------------
 
 def _vocab_map(vocab: list[tuple[str, float]]) -> Column:
@@ -462,7 +607,11 @@ def unigram_encode_corpus(
 
 
 def viterbi_sql(
-    word_expr: str, vocab: list[tuple[str, float]], max_piece_len: int
+    word_expr: str,
+    vocab: list[tuple[str, float]] | None,
+    max_piece_len: int,
+    case_col: str | None = None,
+    case_vocabs: dict[str, list[tuple[str, float]]] | None = None,
 ) -> tuple[str, str, str]:
     """The DuckDB twin: (fwd_expr, trail_expr, pieces_expr, logp_expr)
     — fwd computes the forward (s, bp) table over ``word_expr``;
@@ -472,12 +621,33 @@ def viterbi_sql(
     single-reference shape — see the trail note below for why).
     list_reduce has first-element seeding only, so both folds prepend
     their seed to a same-typed position list (the BPE-oracle
-    convention)."""
+    convention).
+
+    ``case_col``/``case_vocabs``: per-group vocabularies selected by a
+    CASE over the named column — ONE DP expression for every group.
+    This exists because the alternative (one textually-identical DP
+    block per group UNION ALLed) re-triggers the lambda cross-talk
+    hazard documented at the trail note below ACROSS blocks: with five
+    per-language blocks, DuckDB evaluated one block's trail against
+    another block's word (reproduced: trail started at the wrong
+    word's length). A single block has nothing to cross-talk with."""
     L = int(max_piece_len)
-    keys = ", ".join(f"'{p}'" for p, _ in vocab)
-    vals = ", ".join(f"CAST({lp!r} AS DOUBLE)" for _, lp in vocab)
+
+    def map_literal(v: list[tuple[str, float]]) -> str:
+        keys = ", ".join(f"'{p}'" for p, _ in v)
+        vals = ", ".join(f"CAST({lp!r} AS DOUBLE)" for _, lp in v)
+        return f"map([{keys}], [{vals}])"
+
+    if case_vocabs is not None:
+        whens = " ".join(
+            f"WHEN '{g}' THEN {map_literal(v)}"
+            for g, v in sorted(case_vocabs.items())
+        )
+        vocab_map = f"(CASE {case_col} {whens} END)"
+    else:
+        vocab_map = map_literal(vocab)
     lookup = (
-        f"coalesce((map([{keys}], [{vals}])"
+        f"coalesce(({vocab_map}"
         f"[substring({{w}}, j, x.i - j + 1)])[1], "
         f"CASE WHEN x.i - j + 1 = 1 THEN CAST({UNK_LOGP!r} AS DOUBLE) END)"
     )

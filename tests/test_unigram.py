@@ -243,3 +243,42 @@ def test_viterbi_arrow_parity_with_column_fold(spark):
     plan = unigram.unigram_segment_words(df, padded, max_piece_len=L)\
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan or "EvalPython" in plan
+
+
+def test_unigram_fit_by_group_matches_per_slice_fit(spark):
+    """The grouped EM fit reproduces unigram_fit run on each language
+    slice independently: identical piece sets, log-probs equal to the
+    pinned rounding (summation order may differ at the last ulp), and
+    NULL-group rows dropped."""
+    import pytest
+
+    from balboa_spark.operators import unigram
+
+    slices = {
+        "en": [
+            "the cat sat on the mat the cat",
+            "the hat and the bat and the cat",
+        ],
+        "de": [
+            "der hund und der mond und der hund",
+            "der mund und der grund",
+        ],
+        "fr": ["le chat et le chien", "le chien et le chat"],
+    }
+    rows = [
+        (i, lang, t)
+        for i, (lang, t) in enumerate(
+            (lang, t) for lang, ts in slices.items() for t in ts
+        )
+    ] + [(99, None, "ignored entirely")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    kw = dict(vocab_size=20, seed_m=16, em_iters=2, max_piece_len=3)
+    got = unigram.unigram_fit_by_group(df, **kw)
+    assert set(got) == set(slices)
+    for lang, texts in slices.items():
+        sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
+        want = unigram.unigram_fit(sdf, **kw)
+        assert [p for p, _ in got[lang]] == [p for p, _ in want], lang
+        for (_, lg), (_, lw) in zip(got[lang], want):
+            assert lg == pytest.approx(lw, abs=2e-6), lang
