@@ -193,7 +193,9 @@ def build_parser() -> argparse.ArgumentParser:
         "interchange)",
     )
     s.add_argument("store", help="tokenizer store root dir (byte kind)")
-    s.add_argument("out", help="output dir for vocab.json + merges.txt")
+    s.add_argument("out", help="output dir for vocab.json + merges.txt "
+                   "(gpt2) or the tokenizer.json path (hf)")
+    s.add_argument("--format", choices=("gpt2", "hf"), default="gpt2")
 
     s = sub.add_parser(
         "tokenizer-import",
@@ -202,7 +204,9 @@ def build_parser() -> argparse.ArgumentParser:
         "verbatim)",
     )
     s.add_argument("store", help="tokenizer store root dir")
-    s.add_argument("artifacts", help="dir holding vocab.json + merges.txt")
+    s.add_argument("artifacts", help="dir holding vocab.json + merges.txt "
+                   "(gpt2) or the tokenizer.json path (hf)")
+    s.add_argument("--format", choices=("gpt2", "hf"), default="gpt2")
 
     s = sub.add_parser(
         "sft-render",
@@ -305,7 +309,12 @@ def run(args: argparse.Namespace, spark=None) -> int:
     if args.cmd == "tokenizer-export":
         from balboa_spark.operators.bpe import TokenizerStore
 
-        vocab = TokenizerStore(spark, args.store).export_gpt2(args.out)
+        ts = TokenizerStore(spark, args.store)
+        vocab = (
+            ts.export_hf(args.out)
+            if args.format == "hf"
+            else ts.export_gpt2(args.out)
+        )
         print(f"exported {len(vocab)} vocab entries to {args.out}")
         return 0
 
@@ -313,7 +322,11 @@ def run(args: argparse.Namespace, spark=None) -> int:
         from balboa_spark.operators.bpe import TokenizerStore
 
         ts = TokenizerStore(spark, args.store)
-        merges = ts.import_gpt2(args.artifacts)
+        merges = (
+            ts.import_hf(args.artifacts)
+            if args.format == "hf"
+            else ts.import_gpt2(args.artifacts)
+        )
         print(
             f"committed imported byte tokenizer gen-"
             f"{ts._manifest()['generation']} ({len(merges)} merges)"

@@ -854,7 +854,10 @@ class TokenizerStore:
             # GPT-2 vocab.json is not in structural order) — read the
             # parameter-sized id table back and honor it verbatim
             vocab_ids = None
-            if self._manifest().get("vocab_source") == "gpt2_import":
+            if self._manifest().get("vocab_source") in (
+                "gpt2_import",
+                "hf_import",
+            ):
                 vocab_ids = [
                     (r["piece"], r["piece_id"])
                     for r in self.vocab().select("piece", "piece_id").collect()
@@ -918,6 +921,51 @@ class TokenizerStore:
             "kind": "byte",
             "num_merges": len(merges),
             "vocab_source": "gpt2_import",
+            "special_tokens": specials,
+        })
+        return merges
+
+    def export_hf(
+        self,
+        out_path: str,
+        generation: int | None = None,
+        special_tokens: tuple[str, ...] = ("<|endoftext|>",),
+    ) -> dict[str, int]:
+        """Write the stored byte tokenizer as a single-file HF
+        ``tokenizer.json`` (tokenizer_io.export_hf). Byte kind only."""
+        from balboa_spark.operators import tokenizer_io
+
+        if self.kind() != "byte":
+            raise ValueError(
+                f"export_hf is the byte-BPE interchange; this store "
+                f"is {self.kind()!r}"
+            )
+        return tokenizer_io.export_hf(
+            self.merges(generation), out_path, special_tokens
+        )
+
+    def import_hf(self, in_path: str) -> list[tuple[str, str]]:
+        """Commit a NEW byte generation from an HF ``tokenizer.json``
+        — the :meth:`import_gpt2` contract (verbatim ids via the
+        ``vocab_source`` manifest pin, specials in the manifest) from
+        the single-file format."""
+        import json
+        import os
+
+        from balboa_spark.operators import tokenizer_io
+
+        merges, vocab_hex, specials = tokenizer_io.import_hf(in_path)
+        gen, gen_dir = self._start_fit("byte")
+        with open(os.path.join(gen_dir, "merges.json"), "w") as fh:
+            json.dump([list(m) for m in merges], fh)
+        self.spark.createDataFrame(
+            [(p, 0, i) for p, i in vocab_hex],
+            "piece string, weight long, piece_id int",
+        ).write.mode("overwrite").parquet(os.path.join(gen_dir, "vocab"))
+        self._commit(gen, {
+            "kind": "byte",
+            "num_merges": len(merges),
+            "vocab_source": "hf_import",
             "special_tokens": specials,
         })
         return merges

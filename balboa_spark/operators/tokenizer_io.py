@@ -43,6 +43,8 @@ __all__ = [
     "gpt2_to_hex",
     "export_gpt2",
     "import_gpt2",
+    "export_hf",
+    "import_hf",
 ]
 
 
@@ -172,4 +174,137 @@ def import_gpt2(
             vocab_hex.append((h, int(idx)))
         else:
             specials[tok] = int(idx)
+    return merges, vocab_hex, specials
+
+
+def export_hf(
+    merges: list[tuple[str, str]],
+    out_path: str,
+    special_tokens: tuple[str, ...] = ("<|endoftext|>",),
+) -> dict[str, int]:
+    """Write a single-file HF ``tokenizer.json`` (the huggingface/
+    tokenizers serialization format — public JSON schema readable from
+    any released tokenizer artifact) for a hex-pair merge list: a
+    ByteLevel pre-tokenizer/decoder around a BPE model whose vocab
+    carries this engine's structural ids and whose merges are
+    ``"a b"`` strings in learned order; specials land in
+    ``added_tokens`` with ids after the pieces. Same byte->printable
+    remap and dirty-target refusal as :func:`export_gpt2`. Returns
+    the model vocab (remapped token -> id, specials included)."""
+    from balboa_spark.operators.bpe import byte_vocab
+
+    if os.path.exists(out_path):
+        raise FileExistsError(
+            f"export_hf: {out_path} exists; export to a fresh path"
+        )
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    b2u = bytes_to_unicode()
+    vocab = {hex_to_gpt2(p, b2u): i for p, i in byte_vocab(merges)}
+    added = []
+    base = len(vocab)
+    for j, sp in enumerate(special_tokens):
+        if sp in vocab:
+            raise ValueError(f"special token {sp!r} collides with a piece")
+        vocab[sp] = base + j
+        added.append(
+            {
+                "id": base + j,
+                "content": sp,
+                "single_word": False,
+                "lstrip": False,
+                "rstrip": False,
+                "normalized": False,
+                "special": True,
+            }
+        )
+    doc = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": added,
+        "normalizer": None,
+        "pre_tokenizer": {
+            "type": "ByteLevel",
+            "add_prefix_space": False,
+            "trim_offsets": True,
+            "use_regex": True,
+        },
+        "post_processor": None,
+        "decoder": {
+            "type": "ByteLevel",
+            "add_prefix_space": False,
+            "trim_offsets": True,
+            "use_regex": True,
+        },
+        "model": {
+            "type": "BPE",
+            "dropout": None,
+            "unk_token": None,
+            "continuing_subword_prefix": None,
+            "end_of_word_suffix": None,
+            "fuse_unk": False,
+            "byte_fallback": False,
+            "vocab": {
+                t: i for t, i in vocab.items() if t not in {a["content"] for a in added}
+            },
+            "merges": [
+                f"{hex_to_gpt2(a, b2u)} {hex_to_gpt2(b, b2u)}"
+                for a, b in merges
+            ],
+        },
+    }
+    tmp = out_path + ".inprogress"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh, ensure_ascii=False)
+    os.replace(tmp, out_path)
+    return vocab
+
+
+def import_hf(
+    in_path: str,
+) -> tuple[list[tuple[str, str]], list[tuple[str, int]], dict[str, int]]:
+    """Read an HF ``tokenizer.json`` ->
+    ``(merges_hex, vocab_hex_ids, specials)`` — the
+    :func:`import_gpt2` contract from the single-file format.
+
+    Only ``model.type == "BPE"`` with a ByteLevel pre-tokenizer maps
+    onto this engine's byte arm; anything else raises (an imported
+    WordPiece/Unigram artifact silently treated as byte-BPE would
+    mis-encode every document). Merges accept both serializations the
+    format has used: ``"a b"`` strings and ``["a", "b"]`` pairs.
+    Ids from ``model.vocab`` are honored VERBATIM; ``added_tokens``
+    and non-byte-composed vocab entries land in specials."""
+    with open(in_path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    model = doc.get("model") or {}
+    if model.get("type") != "BPE":
+        raise ValueError(
+            f"import_hf: model.type={model.get('type')!r}; only BPE "
+            "maps onto the byte arm"
+        )
+    pre = (doc.get("pre_tokenizer") or {}).get("type")
+    if pre not in ("ByteLevel", None):
+        raise ValueError(
+            f"import_hf: pre_tokenizer {pre!r} is not ByteLevel; the "
+            "byte arm cannot reproduce its splits"
+        )
+    u2b = unicode_to_bytes()
+    merges: list[tuple[str, str]] = []
+    for m in model.get("merges", []):
+        a, b = m.split(" ") if isinstance(m, str) else (m[0], m[1])
+        ah, bh = gpt2_to_hex(a, u2b), gpt2_to_hex(b, u2b)
+        if ah is None or bh is None:
+            raise ValueError(f"tokenizer.json merge not byte-composed: {m!r}")
+        merges.append((ah, bh))
+    producible = {f"{i:02X}" for i in range(256)} | {a + b for a, b in merges}
+    vocab_hex: list[tuple[str, int]] = []
+    specials: dict[str, int] = {}
+    for tok, idx in (model.get("vocab") or {}).items():
+        h = gpt2_to_hex(tok, u2b)
+        if h is not None and h in producible:
+            vocab_hex.append((h, int(idx)))
+        else:
+            specials[tok] = int(idx)
+    for a in doc.get("added_tokens") or []:
+        specials.setdefault(a["content"], int(a["id"]))
     return merges, vocab_hex, specials

@@ -2660,3 +2660,89 @@ def test_byte_bpe_fit_by_group_matches_per_slice_fit(spark):
         sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
         want = bpe.byte_bpe_fit(sdf, num_merges=8)
         assert [(a, b) for a, b, _ in got.get(lang, [])] == want, lang
+
+
+def test_hf_tokenizer_json_roundtrip_and_cross_format(spark, tmp_path):
+    """fit -> export single-file HF tokenizer.json -> import into a
+    fresh store -> identical encode ids; and the HF artifact carries
+    the SAME vocab/merges semantics as the GPT-2 pair export of the
+    same store (cross-format consistency)."""
+    import json
+
+    from balboa_spark.operators import bpe, tokenizer_io
+
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(6)]
+        + [(10, "naïve café 猫が好き 🚀🚀")],
+        "doc_id long, text string",
+    )
+    src = bpe.TokenizerStore(spark, str(tmp_path / "src"))
+    src.fit_byte(corpus, num_merges=8)
+    tj = str(tmp_path / "tokenizer.json")
+    vocab = src.export_hf(tj)
+    assert vocab["<|endoftext|>"] == 256 + 8
+
+    # cross-format: same vocab dict as the GPT-2 pair export
+    assert src.export_gpt2(str(tmp_path / "gpt2")) == vocab
+    doc = json.loads(open(tj, encoding="utf-8").read())
+    assert doc["model"]["type"] == "BPE"
+    assert doc["pre_tokenizer"]["type"] == "ByteLevel"
+    assert len(doc["model"]["merges"]) == 8
+    assert doc["added_tokens"][0]["content"] == "<|endoftext|>"
+
+    dst = bpe.TokenizerStore(spark, str(tmp_path / "dst"))
+    merges2 = dst.import_hf(tj)
+    assert merges2 == src.merges()
+    a = {r.doc_id: r.piece_ids for r in src.encode(corpus).collect()}
+    b = {r.doc_id: r.piece_ids for r in dst.encode(corpus).collect()}
+    assert a == b and len(a) == 7
+    # dirty-target refusal
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        src.export_hf(tj)
+
+
+def test_hf_import_pair_merges_foreign_ids_and_type_gate(spark, tmp_path):
+    """A hand-built tokenizer.json with list-pair merges (the newer
+    serialization), foreign ids, and an added special imports to the
+    hand-computed encoding; a non-BPE model.type is refused."""
+    import json
+
+    import pytest
+
+    from balboa_spark.operators import bpe, tokenizer_io
+
+    tj = tmp_path / "tokenizer.json"
+    tj.write_text(
+        json.dumps(
+            {
+                "version": "1.0",
+                "added_tokens": [
+                    {"id": 50256, "content": "<|endoftext|>", "special": True}
+                ],
+                "pre_tokenizer": {"type": "ByteLevel"},
+                "model": {
+                    "type": "BPE",
+                    "vocab": {"the": 5, "Ġthe": 9},
+                    "merges": [["t", "h"], ["th", "e"], ["Ġ", "the"]],
+                },
+            }
+        ),
+        encoding="utf-8",
+    )
+    store = bpe.TokenizerStore(spark, str(tmp_path / "store"))
+    merges = store.import_hf(str(tj))
+    assert merges == [("74", "68"), ("7468", "65"), ("20", "746865")]
+    assert store._manifest()["special_tokens"] == {"<|endoftext|>": 50256}
+    df = spark.createDataFrame([(1, "the the")], "doc_id long, text string")
+    got = store.encode(df).first().piece_ids
+    assert got == [5, 9]
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(
+        json.dumps({"model": {"type": "WordPiece", "vocab": {}}}),
+        encoding="utf-8",
+    )
+    with pytest.raises(ValueError, match="only BPE"):
+        tokenizer_io.import_hf(str(bad))
