@@ -405,6 +405,14 @@ QUERIES.update(QUERIES_TEMPORAL)
 # err:no_oracle fix), embedding_kmeans + ann_ivf_topk (ivf_assign
 # float64).
 #
+# MID-R14 SWAPS (after the rotation above executed; both annotated at
+# their cap/tail entries so prose and code agree): two NEW entries
+# entered the cap — corpus_bpe_by_lang (slot from
+# corpus_curriculum_order) and corpus_unigram_by_lang (slot from
+# corpus_bpe_bytes) — never-graded outranks a single-green re-confirm
+# under stalest-first, and both demotions carry same-kernel /
+# no-r14-change tail notes plus a same-session driver_sim green.
+#
 # ROUND-15 PLAN: demote the r13-first-graded cohort once double-green
 # (corpus_bpe_bytes/_encode, pipeline_wet_ccnet, corpus_unigram_segment,
 # corpus_mixture_budget, the SFT trio, embedding_kmeans — NOTE
