@@ -105,6 +105,18 @@ def doc_rows(base_id: int):
         # so a future kernel cannot regress the consistent handling)
         ("null lang doc words here", None, "src0"),
         ("null source doc words here", "en", None),
+        # the SAME word flooding the top-K of EVERY language: per-lang
+        # kernels whose relations carry duplicate words across groups
+        # (corpus_unigram_by_lang / corpus_bpe_by_lang) — this is the
+        # exact shape that exposed DuckDB's vectorized list_reduce
+        # row cross-talk in the r14 oracle (same-word rows swapped
+        # walk results run-dependently); pinned so the recursive-CTE
+        # replay can never regress to a fold
+        (("crosslang " * 500).strip(), "en", "src1"),
+        (("crosslang " * 500).strip(), "de", "src2"),
+        (("crosslang " * 500).strip(), "fr", "src3"),
+        (("crosslang " * 500).strip(), "es", "src4"),
+        (("crosslang " * 500).strip(), "zh", "src5"),
     ]
     return {
         "doc_id": [base_id + i for i in range(len(rows))],
