@@ -1,0 +1,116 @@
+"""Training-shard sink: validation, determinism, crash consistency."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from balboa_spark.operators import shards
+
+
+def _packed(spark, n=40, seq_len=8):
+    return spark.range(n).select(
+        F.col("id").alias("seq_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(seq_len)), lambda i: i + F.col("id")).alias(
+            "token_ids"
+        ),
+    )
+
+
+def test_write_read_roundtrip_and_deterministic_layout(spark, tmp_path):
+    df = _packed(spark)
+    m = shards.write_training_shards(
+        df, str(tmp_path / "a"), seq_len=8, num_shards=4,
+        extra_manifest={"tokenizer_generation": 3},
+    )
+    assert m["n_sequences"] == 40 and m["tokenizer_generation"] == 3
+
+    got, m2 = shards.read_training_shards(spark, str(tmp_path / "a"))
+    assert m2 == m
+    rows = {r.seq_id: (r.shard, list(r.token_ids)) for r in got.collect()}
+    assert len(rows) == 40
+    # shard assignment is the pure function the module exports
+    want = {
+        r.seq_id: r.s
+        for r in _packed(spark)
+        .select("seq_id", shards.shard_of(F.col("seq_id"), 4).alias("s"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in rows.items()} == want
+    # a second export of the same relation lays out identically
+    shards.write_training_shards(df, str(tmp_path / "b"), seq_len=8, num_shards=4)
+    a = sorted(
+        (r.shard, r.seq_id)
+        for r in shards.read_training_shards(spark, str(tmp_path / "a"))[0].collect()
+    )
+    b = sorted(
+        (r.shard, r.seq_id)
+        for r in shards.read_training_shards(spark, str(tmp_path / "b"))[0].collect()
+    )
+    assert a == b
+
+
+def test_ragged_null_and_dirty_target_refused(spark, tmp_path):
+    df = _packed(spark, n=10)
+    # one ragged row
+    ragged = df.union(
+        spark.createDataFrame([(99, [1, 2, 3])], "seq_id long, token_ids array<bigint>")
+    )
+    with pytest.raises(ValueError, match="length 3"):
+        shards.write_training_shards(ragged, str(tmp_path / "r"), seq_len=8)
+    # NULL id
+    nullid = df.union(
+        spark.createDataFrame(
+            [(None, list(range(8)))], "seq_id long, token_ids array<bigint>"
+        )
+    )
+    with pytest.raises(ValueError):
+        shards.write_training_shards(nullid, str(tmp_path / "n"), seq_len=8)
+    # dirty target
+    shards.write_training_shards(df, str(tmp_path / "d"), seq_len=8)
+    with pytest.raises(FileExistsError):
+        shards.write_training_shards(df, str(tmp_path / "d"), seq_len=8)
+
+
+def test_torn_export_refused_and_count_check(spark, tmp_path):
+    df = _packed(spark, n=12)
+    out = tmp_path / "t"
+    shards.write_training_shards(df, str(out), seq_len=8, num_shards=2)
+    # torn export: data without manifest refuses to mount
+    os.remove(out / "manifest.json")
+    with pytest.raises(FileNotFoundError, match="torn"):
+        shards.read_training_shards(spark, str(out))
+    # a manifest whose count disagrees with the data refuses too
+    m = {
+        "format": "parquet", "seq_len": 8, "num_shards": 2,
+        "n_sequences": 11, "id_col": "seq_id", "tokens_col": "token_ids",
+    }
+    (out / "manifest.json").write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="promises 11"):
+        shards.read_training_shards(spark, str(out))
+
+
+def test_e2e_pack_then_shard_from_documents(spark, tables):
+    """The pretraining hand-off end to end: pack_sequences over the
+    documents table -> drop the (single, documented) short tail
+    sequence -> shard export -> mount. The trainer-side contract is
+    what's asserted: every mounted row has exactly seq_len tokens and
+    the (shard, seq_id) layout is the module's pure function."""
+    from balboa_spark.operators import corpus, shards
+
+    packed = corpus.pack_sequences(tables["documents"], seq_len=32)
+    full = packed.filter(F.col("n_seq_tokens") == 32).select(
+        "seq_id", F.split("seq_text", " ").alias("token_ids")
+    )
+    out = "/tmp/shards_e2e_test"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    m = shards.write_training_shards(
+        full, out, seq_len=32, num_shards=4, tokens_col="token_ids"
+    )
+    df, m2 = shards.read_training_shards(spark, out)
+    assert m2["n_sequences"] == full.count() == df.count()
+    assert df.filter(F.size("token_ids") != 32).count() == 0
+    shutil.rmtree(out, ignore_errors=True)
