@@ -1461,7 +1461,18 @@ def _bpe_by_lang_oracle() -> str:
     vocabulary with the same left-to-right fold the engine uses. A
     language whose best pair falls under the threshold just stops
     producing b-rows (its vocab is frozen, so the same argmax fails
-    every later round — no active-set bookkeeping)."""
+    every later round — no active-set bookkeeping).
+
+    Every pstr is prefixed with a PER-LANGUAGE SENTINEL ('#'||lang):
+    DuckDB's vectorized list_reduce can leak lane state between rows
+    whose input lists are equal-valued while the lambda's captured
+    columns differ (the reproduced corpus_unigram_by_lang cross-talk
+    hazard — see that oracle's docstring), and a word shared by two
+    languages feeds exactly that shape into this fold with each
+    language's own (b.a, b.b) captured. The sentinel makes every
+    language's input list distinct; it never merges (merge pieces are
+    uppercase hex, the sentinel starts with '#') and sentinel-headed
+    adjacent pairs are filtered out of the pair counts."""
     fold = (
         "list_reduce(string_split(v.pstr, ' '), (acc, x) -> "
         "CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = b.a AND x = b.b "
@@ -1471,6 +1482,7 @@ def _bpe_by_lang_oracle() -> str:
     parts = [
         f"""v0 AS (
   SELECT lang AS g, count(*) AS cnt,
+         '#' || lang || ' ' ||
          array_to_string(regexp_extract_all(hex(encode(word)), '..'), ' ')
            AS pstr
   FROM (
@@ -1489,7 +1501,7 @@ def _bpe_by_lang_oracle() -> str:
            unnest(list_transform(range(1, len(l)),
                                  i -> {{'a': l[i], 'b': l[i + 1]}})) AS s
     FROM (SELECT g, cnt, string_split(pstr, ' ') AS l FROM v{r})
-  ) GROUP BY g, a, b
+  ) WHERE struct_extract(s, 'a') NOT LIKE '#%' GROUP BY g, a, b
 ),
 b{r} AS (
   SELECT g, a, b, n FROM (

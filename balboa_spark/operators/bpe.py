@@ -891,9 +891,41 @@ class TokenizerStore:
                 f"export_gpt2 is the byte-BPE interchange; this store "
                 f"is {self.kind()!r}"
             )
+        vocab_ids, specials = self._pinned_export_ids(generation)
         return tokenizer_io.export_gpt2(
-            self.merges(generation), out_dir, special_tokens
+            self.merges(generation), out_dir, special_tokens,
+            vocab_ids=vocab_ids, specials=specials,
         )
+
+    def _pinned_export_ids(self, generation: int | None):
+        """(vocab_ids, specials) for exporting an IMPORTED generation:
+        encode() honors the imported artifact's ids verbatim (the
+        vocab_source pin), so exports must write those same ids — a
+        structural re-derivation would hand an inference stack a vocab
+        that decodes this store's token ids to the wrong text. Returns
+        (None, None) for engine-fit generations (structural ids)."""
+        man = self._manifest()
+        if man.get("vocab_source") not in ("gpt2_import", "hf_import"):
+            return None, None
+        # the manifest describes the LATEST generation only; exporting
+        # an older generation of an imported store has no recorded id
+        # provenance to honor
+        if (
+            generation is not None
+            and generation != man.get("generation")
+        ):
+            raise ValueError(
+                "exporting a non-latest generation of an imported store: "
+                "its id provenance is not recorded; re-import or export "
+                "the latest generation"
+            )
+        vocab_ids = [
+            (r["piece"], int(r["piece_id"]))
+            for r in self.vocab(generation)
+            .select("piece", "piece_id")
+            .collect()
+        ]
+        return vocab_ids, dict(man.get("special_tokens") or {})
 
     def import_gpt2(self, in_dir: str) -> list[tuple[str, str]]:
         """Commit a NEW byte generation from public GPT-2 artifacts.
@@ -940,8 +972,10 @@ class TokenizerStore:
                 f"export_hf is the byte-BPE interchange; this store "
                 f"is {self.kind()!r}"
             )
+        vocab_ids, specials = self._pinned_export_ids(generation)
         return tokenizer_io.export_hf(
-            self.merges(generation), out_path, special_tokens
+            self.merges(generation), out_path, special_tokens,
+            vocab_ids=vocab_ids, specials=specials,
         )
 
     def import_hf(self, in_path: str) -> list[tuple[str, str]]:

@@ -68,24 +68,30 @@ def write_training_shards(
             f"write_training_shards: {out_dir} already holds a manifest; "
             "write to a fresh directory"
         )
-    bad = (
-        packed.filter(
-            F.col(id_col).isNull()
-            | F.col(tokens_col).isNull()
-            | (F.size(tokens_col) != int(seq_len))
-        )
-        .select(id_col, F.size(tokens_col).alias("_n"))
-        .limit(1)
-        .collect()
+    # validation + count in ONE aggregate job: packed is typically the
+    # tail of the whole pack_sequences chain, and every extra action
+    # here recomputes that chain end to end
+    is_bad = (
+        F.col(id_col).isNull()
+        | F.col(tokens_col).isNull()
+        | (F.size(tokens_col) != int(seq_len))
     )
-    if bad:
-        r = bad[0]
-        raise ValueError(
-            f"write_training_shards: sequence {r[id_col]!r} has length "
-            f"{r['_n']} (expected {seq_len}) or a NULL id/tokens; refusing "
-            "to write a ragged dataset"
+    stats = packed.agg(
+        F.count(F.lit(1)).alias("n"), F.count_if(is_bad).alias("bad")
+    ).first()
+    if stats["bad"]:
+        r = (
+            packed.filter(is_bad)
+            .select(id_col, F.size(tokens_col).alias("_n"))
+            .first()
         )
-    n = packed.count()
+        raise ValueError(
+            f"write_training_shards: {stats['bad']} sequence(s) violate "
+            f"the contract — e.g. {r[id_col]!r} has length {r['_n']} "
+            f"(expected {seq_len}) or a NULL id/tokens; refusing to "
+            "write a ragged dataset"
+        )
+    n = stats["n"]
     data = os.path.join(out_dir, DATA_DIR)
     (
         packed.withColumn("shard", shard_of(F.col(id_col), num_shards))

@@ -95,18 +95,55 @@ def gpt2_to_hex(token: str, _u2b: dict[str, int] | None = None) -> str | None:
         return None
 
 
+def _export_vocab(
+    merges: list[tuple[str, str]],
+    special_tokens: tuple[str, ...],
+    vocab_ids: list[tuple[str, int]] | None,
+    specials: dict[str, int] | None,
+    b2u: dict[int, str],
+) -> tuple[dict[str, int], dict[str, int]]:
+    """(full vocab dict, specials dict) for an export. Default:
+    structural ids (byte_vocab) + ``special_tokens`` appended. When
+    ``vocab_ids``/``specials`` are given (a store whose generation was
+    IMPORTED from a public artifact), they are honored VERBATIM —
+    exporting an imported store with re-derived structural ids would
+    contradict what encode() emits under the vocab_source pin, and an
+    inference stack loading the re-export would silently decode the
+    store's token ids to the wrong text."""
+    from balboa_spark.operators.bpe import byte_vocab
+
+    if vocab_ids is not None:
+        vocab = {hex_to_gpt2(p, b2u): i for p, i in vocab_ids}
+        sp = dict(specials or {})
+        overlap = set(vocab) & set(sp)
+        if overlap:
+            raise ValueError(f"specials collide with pieces: {sorted(overlap)}")
+        vocab.update(sp)
+        return vocab, sp
+    vocab = {hex_to_gpt2(p, b2u): i for p, i in byte_vocab(merges)}
+    base = len(vocab)
+    sp = {}
+    for j, tok in enumerate(special_tokens):
+        if tok in vocab:
+            raise ValueError(f"special token {tok!r} collides with a piece")
+        vocab[tok] = sp[tok] = base + j
+    return vocab, sp
+
+
 def export_gpt2(
     merges: list[tuple[str, str]],
     out_dir: str,
     special_tokens: tuple[str, ...] = ("<|endoftext|>",),
+    vocab_ids: list[tuple[str, int]] | None = None,
+    specials: dict[str, int] | None = None,
 ) -> dict[str, int]:
     """Write ``vocab.json`` + ``merges.txt`` for a hex-pair merge
     list. Ids are the engine's structural order (byte value 0-255,
-    merges in learned order, then specials). Returns the vocab dict
-    (remapped token -> id). Fails on a dir already holding either
-    artifact (the write_wet_shards dirty-target convention)."""
-    from balboa_spark.operators.bpe import byte_vocab
-
+    merges in learned order, then specials) — unless
+    ``vocab_ids``/``specials`` pin explicit ids (imported stores; see
+    :func:`_export_vocab`). Returns the vocab dict (remapped token ->
+    id). Fails on a dir already holding either artifact (the
+    write_wet_shards dirty-target convention)."""
     os.makedirs(out_dir, exist_ok=True)
     for name in ("vocab.json", "merges.txt"):
         if os.path.exists(os.path.join(out_dir, name)):
@@ -115,12 +152,7 @@ def export_gpt2(
                 "export into an empty directory"
             )
     b2u = bytes_to_unicode()
-    vocab = {hex_to_gpt2(p, b2u): i for p, i in byte_vocab(merges)}
-    base = len(vocab)
-    for j, sp in enumerate(special_tokens):
-        if sp in vocab:
-            raise ValueError(f"special token {sp!r} collides with a piece")
-        vocab[sp] = base + j
+    vocab, _ = _export_vocab(merges, special_tokens, vocab_ids, specials, b2u)
     tmp = os.path.join(out_dir, "merges.txt.inprogress")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write("#version: 0.2\n")
@@ -181,42 +213,40 @@ def export_hf(
     merges: list[tuple[str, str]],
     out_path: str,
     special_tokens: tuple[str, ...] = ("<|endoftext|>",),
+    vocab_ids: list[tuple[str, int]] | None = None,
+    specials: dict[str, int] | None = None,
 ) -> dict[str, int]:
     """Write a single-file HF ``tokenizer.json`` (the huggingface/
     tokenizers serialization format — public JSON schema readable from
     any released tokenizer artifact) for a hex-pair merge list: a
     ByteLevel pre-tokenizer/decoder around a BPE model whose vocab
-    carries this engine's structural ids and whose merges are
-    ``"a b"`` strings in learned order; specials land in
-    ``added_tokens`` with ids after the pieces. Same byte->printable
-    remap and dirty-target refusal as :func:`export_gpt2`. Returns
-    the model vocab (remapped token -> id, specials included)."""
-    from balboa_spark.operators.bpe import byte_vocab
-
+    carries this engine's structural ids (or the pinned verbatim ids
+    of an imported store — see :func:`_export_vocab`) and whose merges
+    are ``"a b"`` strings in learned order; specials land in
+    ``added_tokens``. Same byte->printable remap and dirty-target
+    refusal as :func:`export_gpt2`. Returns the model vocab (remapped
+    token -> id, specials included)."""
     if os.path.exists(out_path):
         raise FileExistsError(
             f"export_hf: {out_path} exists; export to a fresh path"
         )
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     b2u = bytes_to_unicode()
-    vocab = {hex_to_gpt2(p, b2u): i for p, i in byte_vocab(merges)}
-    added = []
-    base = len(vocab)
-    for j, sp in enumerate(special_tokens):
-        if sp in vocab:
-            raise ValueError(f"special token {sp!r} collides with a piece")
-        vocab[sp] = base + j
-        added.append(
-            {
-                "id": base + j,
-                "content": sp,
-                "single_word": False,
-                "lstrip": False,
-                "rstrip": False,
-                "normalized": False,
-                "special": True,
-            }
-        )
+    vocab, sp_map = _export_vocab(
+        merges, special_tokens, vocab_ids, specials, b2u
+    )
+    added = [
+        {
+            "id": i,
+            "content": tok,
+            "single_word": False,
+            "lstrip": False,
+            "rstrip": False,
+            "normalized": False,
+            "special": True,
+        }
+        for tok, i in sorted(sp_map.items(), key=lambda kv: kv[1])
+    ]
     doc = {
         "version": "1.0",
         "truncation": None,

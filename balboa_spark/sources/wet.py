@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import json
 import os
 import zlib
 from collections.abc import Iterable, Iterator
@@ -138,7 +139,14 @@ def read_wet(
     the parsed relation so the corrupt accounting survives it only
     when asked for.
     """
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        # write_wet_shards stamps its export token in the shard dir;
+        # it is bookkeeping, not an archive
+        .filter(~F.col("path").endswith("_export.json"))
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -258,6 +266,23 @@ def write_wet_shards(
             f"{len(stale)} WET shard file(s) (e.g. {stale[0]}); "
             "export into an empty directory or remove them first"
         )
+    # The dirty check above runs at PLAN-BUILD time but shard files
+    # land at ACTION time, so two manifests built against the same
+    # empty dir (or a stale manifest re-collected after a newer
+    # export) would interleave silently. An export TOKEN closes the
+    # window: this build stamps its parameters, and every executor
+    # task re-verifies the stamp before writing — a mismatched or
+    # missing token fails the task instead of leaving a mixed-shard
+    # directory that read_wet would silently union.
+    token = {
+        "num_shards": int(num_shards),
+        "shard_col": shard_col,
+        "gzip": bool(gzip_output),
+    }
+    tok_tmp = os.path.join(out_dir, "_export.json.inprogress")
+    with open(tok_tmp, "w") as fh:
+        json.dump(token, fh)
+    os.replace(tok_tmp, os.path.join(out_dir, "_export.json"))
     sh = (
         F.col(shard_col)
         if shard_col
@@ -272,6 +297,18 @@ def write_wet_shards(
     suffix = ".warc.wet.gz" if gzip_output else ".warc.wet"
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        tok_path = os.path.join(out_dir, "_export.json")
+        try:
+            with open(tok_path) as fh:
+                current = json.load(fh)
+        except FileNotFoundError:
+            current = None
+        if current != token:
+            raise RuntimeError(
+                f"write_wet_shards: export token at {tok_path} is "
+                f"{current!r}, this manifest was built with {token!r} — "
+                "a newer export owns the directory; re-run the export"
+            )
         k = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values("_rid", kind="mergesort")
         recs = [

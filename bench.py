@@ -52,30 +52,13 @@ def main() -> None:
     errors: dict[str, str] = {}
     items: list[tuple[str, object]] = []
 
-    def host_canary() -> float:
-        # Pure-Python host-speed canary (no Spark, no NumPy): the
-        # sandbox's ambient speed has drifted ~2x across rounds
-        # (r11->r13), drowning raw cross-round item ratios. Each pass
-        # times this fixed deterministic workload; the output reports
-        # every item's median DIVIDED by the canary median
-        # (queries_normalized, in canary units) so the round-over-round
-        # trail compares engine plans, not host weather. Workload mixes
-        # the interpreter's hot loops (hashing, str/int ops, dict,
-        # sort) to track general CPU steal rather than any one subsystem.
-        import hashlib
-
-        t0 = time.time()
-        acc = 0
-        d: dict[int, int] = {}
-        for i in range(400_000):
-            h = hashlib.md5(b"canary-%d" % i).digest()
-            v = int.from_bytes(h[:8], "big")
-            acc ^= v
-            d[v % 9973] = d.get(v % 9973, 0) + 1
-        xs = sorted((k * 2654435761) % 1000003 for k in range(600_000))
-        acc ^= xs[0] ^ xs[-1] ^ len(d)
-        assert acc is not None
-        return round(time.time() - t0, 3)
+    # Pure-Python host-speed canary (no Spark, no NumPy): each pass
+    # times the shared fixed workload; the output reports every item's
+    # median DIVIDED by the canary median (queries_normalized, in
+    # canary units) so the round-over-round trail compares engine
+    # plans, not host weather. ONE shared definition with the
+    # streaming latency probe — see balboa_spark/hostcanary.py.
+    from balboa_spark.hostcanary import host_canary
 
     def timed(name):
         # Registration only — items run (twice) after all definitions.

@@ -56,21 +56,10 @@ MAX_LIVE_DELTAS = 8
 NUM_BUCKETS = 8
 
 
-def host_canary() -> float:
-    import hashlib
-
-    t0 = time.time()
-    acc = 0
-    d: dict[int, int] = {}
-    for i in range(400_000):
-        h = hashlib.md5(b"canary-%d" % i).digest()
-        v = int.from_bytes(h[:8], "big")
-        acc ^= v
-        d[v % 9973] = d.get(v % 9973, 0) + 1
-    xs = sorted((k * 2654435761) % 1000003 for k in range(600_000))
-    acc ^= xs[0] ^ xs[-1] ^ len(d)
-    assert acc is not None
-    return time.time() - t0
+# ONE shared canary definition with bench.py (balboa_spark/hostcanary)
+# — CANARY_REF is calibrated against exactly that workload, and a
+# drifting private copy would silently skew the gate.
+from balboa_spark.hostcanary import host_canary  # noqa: E402
 
 
 EVE = (
@@ -187,6 +176,15 @@ def main() -> int:
             w for e, w in enumerate(walls) if not compacted[e] and e > 0
         )
         compact = sorted(w for e, w in enumerate(walls) if compacted[e])
+        if not steady:
+            # every post-warmup window compacted (tiny PROBE_BATCHES):
+            # a setup problem, not a latency regression — exit 2, not 1
+            print(
+                "SETUP: no steady-state batch to measure (raise "
+                "PROBE_BATCHES above compact_every)",
+                file=sys.stderr,
+            )
+            return 2
         steady_median = steady[len(steady) // 2]
         compact_worst = max(compact) if compact else 0.0
 

@@ -2746,3 +2746,48 @@ def test_hf_import_pair_merges_foreign_ids_and_type_gate(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="only BPE"):
         tokenizer_io.import_hf(str(bad))
+
+
+def test_reexport_of_imported_store_honors_verbatim_ids(spark, tmp_path):
+    """Re-exporting a store whose generation was IMPORTED must write
+    the artifact's verbatim ids (what encode() emits under the
+    vocab_source pin), not re-derived structural ids — a structural
+    re-export would decode this store's token ids to the wrong text
+    on any inference stack (r14 self-review find)."""
+    import json
+
+    import pytest
+
+    from balboa_spark.operators import bpe
+
+    art = tmp_path / "gpt2"
+    art.mkdir()
+    (art / "merges.txt").write_text(
+        "#version: 0.2\nt h\nth e\nĠ the\n", encoding="utf-8"
+    )
+    orig = {"the": 5, "Ġthe": 9, "<|endoftext|>": 50256}
+    (art / "vocab.json").write_text(json.dumps(orig), encoding="utf-8")
+    store = bpe.TokenizerStore(spark, str(tmp_path / "store"))
+    # an engine-fit generation first, so the import below is a LATER
+    # generation and the no-provenance guard has an older one to hit
+    store.fit_byte(
+        spark.createDataFrame([(1, "the the the cat")], "doc_id long, text string"),
+        num_merges=2,
+    )
+    fit_gen = store._manifest()["generation"]
+    store.import_gpt2(str(art))
+
+    out = store.export_gpt2(str(tmp_path / "re"))
+    assert out == orig
+    again = json.loads((tmp_path / "re" / "vocab.json").read_text("utf-8"))
+    assert again == orig
+
+    hf = store.export_hf(str(tmp_path / "tokenizer.json"))
+    assert hf == orig
+    doc = json.loads((tmp_path / "tokenizer.json").read_text("utf-8"))
+    assert doc["model"]["vocab"] == {"the": 5, "Ġthe": 9}
+    assert doc["added_tokens"][0]["id"] == 50256
+
+    # an older generation of an imported store has no id provenance
+    with pytest.raises(ValueError, match="provenance"):
+        store.export_gpt2(str(tmp_path / "old"), generation=fit_gen)

@@ -103,14 +103,15 @@ def test_e2e_pack_then_shard_from_documents(spark, tables):
     full = packed.filter(F.col("n_seq_tokens") == 32).select(
         "seq_id", F.split("seq_text", " ").alias("token_ids")
     )
-    out = "/tmp/shards_e2e_test"
-    import shutil
+    import tempfile
 
-    shutil.rmtree(out, ignore_errors=True)
+    out = tempfile.mkdtemp(prefix="shards_e2e_") + "/out"
     m = shards.write_training_shards(
         full, out, seq_len=32, num_shards=4, tokens_col="token_ids"
     )
     df, m2 = shards.read_training_shards(spark, out)
     assert m2["n_sequences"] == full.count() == df.count()
     assert df.filter(F.size("token_ids") != 32).count() == 0
-    shutil.rmtree(out, ignore_errors=True)
+    import shutil
+
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)

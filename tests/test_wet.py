@@ -292,3 +292,31 @@ def test_write_wet_shards_refuses_dirty_dir(spark, tmp_path):
     write_wet_shards(df, out, num_shards=1).collect()
     with pytest.raises(FileExistsError, match="already contains"):
         write_wet_shards(df, out, num_shards=1).collect()
+
+
+def test_wet_export_token_blocks_interleaved_exports(spark, tmp_path):
+    """The dirty-target check runs at plan-build time but shards land
+    at action time; the export token closes that window (r14
+    self-review find): a manifest built BEFORE a newer export stamped
+    the directory must fail at collect, not silently interleave
+    stale shard files into the newer export."""
+    import pytest
+
+    from balboa_spark.sources import wet
+
+    df = spark.createDataFrame(
+        [(f"<urn:r{i}>", f"http://x/{i}", f"text {i}") for i in range(8)],
+        "record_id string, target_uri string, text string",
+    )
+    out = str(tmp_path / "shards")
+    m16 = wet.write_wet_shards(df, out, num_shards=16)  # built, not run
+    m8 = wet.write_wet_shards(df, out, num_shards=8)    # re-stamps token
+    with pytest.raises(Exception, match="export token|newer export"):
+        m16.collect()
+    rows = m8.collect()  # the token owner writes fine
+    assert sum(r.n_records for r in rows) == 8
+    # re-collecting the OWNING manifest is a harmless same-bytes rewrite
+    assert sum(r.n_records for r in m8.collect()) == 8
+    # and the reader unions only archives, never the token
+    got = wet.read_wet(spark, out)
+    assert got.filter("record_type = 'conversion'").count() == 8
