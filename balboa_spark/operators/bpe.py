@@ -646,10 +646,30 @@ class TokenizerStore:
         return gen, gen_dir
 
     def _commit(self, gen: int, extra: dict) -> None:
+        import json
+        import os
+
         from balboa_spark.plans.genstore import (
             flip_manifest,
             vacuum_generations,
         )
+
+        # Per-generation provenance record, written BEFORE the
+        # manifest flip: the top-level manifest describes only the
+        # latest generation, so an imported gen N followed by an
+        # engine fit at gen N+1 would otherwise lose gen N's
+        # id-provenance and export_gpt2(generation=N) would silently
+        # re-derive structural ids that contradict gen N's stored id
+        # table. vocab_source=None is the explicit "structural ids"
+        # record for engine-fit generations.
+        prov = {
+            "vocab_source": extra.get("vocab_source"),
+            "special_tokens": extra.get("special_tokens") or {},
+        }
+        ptmp = os.path.join(self._gen_dir(gen), "provenance.json.tmp")
+        with open(ptmp, "w") as fh:
+            json.dump(prov, fh)
+        os.replace(ptmp, os.path.join(self._gen_dir(gen), "provenance.json"))
 
         flip_manifest(
             self.path, {"generation": gen, **extra}, self.MANIFEST
@@ -904,24 +924,40 @@ class TokenizerStore:
         structural re-derivation would hand an inference stack a vocab
         that decodes this store's token ids to the wrong text. Returns
         (None, None) for engine-fit generations (structural ids)."""
+        import json
+        import os
+
+        gen = self._resolve_gen(generation)
+        ppath = os.path.join(self._gen_dir(gen), "provenance.json")
+        if os.path.exists(ppath):
+            # post-r15 generations carry their own provenance record,
+            # so the answer is per-REQUESTED-generation regardless of
+            # what the latest manifest says
+            with open(ppath) as fh:
+                prov = json.load(fh)
+            if prov.get("vocab_source") not in ("gpt2_import", "hf_import"):
+                return None, None
+            vocab_ids = [
+                (r["piece"], int(r["piece_id"]))
+                for r in self.vocab(gen)
+                .select("piece", "piece_id")
+                .collect()
+            ]
+            return vocab_ids, dict(prov.get("special_tokens") or {})
+        # pre-provenance generation dir: the top-level manifest is the
+        # only record and it describes the LATEST generation only
         man = self._manifest()
+        if gen != man.get("generation"):
+            raise ValueError(
+                "exporting a generation with no recorded id provenance "
+                "(pre-provenance store, non-latest generation); "
+                "re-import or export the latest generation"
+            )
         if man.get("vocab_source") not in ("gpt2_import", "hf_import"):
             return None, None
-        # the manifest describes the LATEST generation only; exporting
-        # an older generation of an imported store has no recorded id
-        # provenance to honor
-        if (
-            generation is not None
-            and generation != man.get("generation")
-        ):
-            raise ValueError(
-                "exporting a non-latest generation of an imported store: "
-                "its id provenance is not recorded; re-import or export "
-                "the latest generation"
-            )
         vocab_ids = [
             (r["piece"], int(r["piece_id"]))
-            for r in self.vocab(generation)
+            for r in self.vocab(gen)
             .select("piece", "piece_id")
             .collect()
         ]

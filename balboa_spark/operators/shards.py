@@ -10,11 +10,14 @@ analog of the reference's dump/backup sinks, plans/layout.py Q5-Q7):
 - every sequence is VALIDATED against the declared ``seq_len`` before
   anything lands on disk (a single ragged row silently truncated or
   padded by a trainer corrupts loss scaling);
-- shard assignment is a pure function of the sequence id
-  (``pmod(xxhash64(id), num_shards)``) and within-shard order is id
-  order — two writes of the same relation are BYTE-IDENTICAL in
-  layout, and a resumable trainer can name its position as
-  (shard, id) without consulting the producer;
+- shard assignment is a pure function of the sequence id (the repo's
+  md5-derived convention: ``pmod(conv(substr(md5(id), 1, 12), 16,
+  10), num_shards)`` — 48 uniform bits, replayable in DuckDB as
+  ``CAST('0x' || substr(md5(id), 1, 12) AS BIGINT) % N``, so the
+  exact layout a trainer resumes against is oracle-gradeable) and
+  within-shard order is id order — two writes of the same relation
+  are BYTE-IDENTICAL in layout, and a resumable trainer can name its
+  position as (shard, id) without consulting the producer;
 - the manifest commits LAST via atomic rename: a crashed write leaves
   no manifest, and the reader refuses a manifest-less directory, so a
   torn export can never be mounted as a dataset (the ObservationStore
@@ -40,10 +43,18 @@ DATA_DIR = "data"
 
 
 def shard_of(id_col, num_shards: int):
-    """Deterministic shard for a sequence id: pmod(xxhash64(id), N).
-    Pure column expression — the reader, a resuming trainer, and the
-    writer all agree without coordination."""
-    return F.pmod(F.xxhash64(id_col), F.lit(int(num_shards))).cast("int")
+    """Deterministic shard for a sequence id:
+    ``pmod(conv(substr(md5(id), 1, 12), 16, 10), N)`` — the repo's
+    engine-replayable-hash convention (splits/sampling/salting all use
+    md5), so DuckDB can replay the assignment verbatim:
+    ``CAST('0x' || substr(md5(id), 1, 12) AS BIGINT) % N``. Pure
+    column expression — the reader, a resuming trainer, and the
+    DuckDB oracle all agree without coordination. 12 hex digits = 48
+    uniform bits, far above any realistic num_shards."""
+    h48 = F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    return F.pmod(h48, F.lit(int(num_shards))).cast("int")
 
 
 def write_training_shards(
@@ -68,6 +79,14 @@ def write_training_shards(
             f"write_training_shards: {out_dir} already holds a manifest; "
             "write to a fresh directory"
         )
+    # Pin the rows ONCE before the validate+write pair: they are two
+    # separate actions, and a nondeterministic upstream (shuffle-order
+    # ids, a re-read source) could otherwise pass validation and then
+    # land different rows in the write — defeating the seq_len
+    # contract this module exists to enforce. localCheckpoint
+    # truncates the lineage so both actions see the same
+    # materialization.
+    packed = packed.localCheckpoint(eager=False)
     # validation + count in ONE aggregate job: packed is typically the
     # tail of the whole pack_sequences chain, and every extra action
     # here recomputes that chain end to end
@@ -92,6 +111,14 @@ def write_training_shards(
             "write a ragged dataset"
         )
     n = stats["n"]
+    if n == 0:
+        # an empty export would commit a valid manifest over a data
+        # dir with no parquet files, which read_training_shards cannot
+        # mount (schema inference fails before the count check)
+        raise ValueError(
+            "write_training_shards: the relation is empty; refusing to "
+            "commit a dataset no reader can mount"
+        )
     data = os.path.join(out_dir, DATA_DIR)
     (
         packed.withColumn("shard", shard_of(F.col(id_col), num_shards))

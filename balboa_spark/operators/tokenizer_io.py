@@ -247,6 +247,7 @@ def export_hf(
         }
         for tok, i in sorted(sp_map.items(), key=lambda kv: kv[1])
     ]
+    added_contents = {a["content"] for a in added}
     doc = {
         "version": "1.0",
         "truncation": None,
@@ -275,7 +276,7 @@ def export_hf(
             "fuse_unk": False,
             "byte_fallback": False,
             "vocab": {
-                t: i for t, i in vocab.items() if t not in {a["content"] for a in added}
+                t: i for t, i in vocab.items() if t not in added_contents
             },
             "merges": [
                 f"{hex_to_gpt2(a, b2u)} {hex_to_gpt2(b, b2u)}"

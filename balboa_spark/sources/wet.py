@@ -42,6 +42,7 @@ import gzip
 import io
 import json
 import os
+import uuid
 import zlib
 from collections.abc import Iterable, Iterator
 
@@ -270,14 +271,17 @@ def write_wet_shards(
     # land at ACTION time, so two manifests built against the same
     # empty dir (or a stale manifest re-collected after a newer
     # export) would interleave silently. An export TOKEN closes the
-    # window: this build stamps its parameters, and every executor
-    # task re-verifies the stamp before writing — a mismatched or
-    # missing token fails the task instead of leaving a mixed-shard
-    # directory that read_wet would silently union.
+    # window: this build stamps its parameters plus a per-build nonce
+    # (two builds with IDENTICAL parameters must still invalidate each
+    # other), and every executor task re-verifies the stamp before
+    # writing — a mismatched or missing token fails the task instead
+    # of leaving a mixed-shard directory that read_wet would silently
+    # union.
     token = {
         "num_shards": int(num_shards),
         "shard_col": shard_col,
         "gzip": bool(gzip_output),
+        "nonce": uuid.uuid4().hex,
     }
     tok_tmp = os.path.join(out_dir, "_export.json.inprogress")
     with open(tok_tmp, "w") as fh:

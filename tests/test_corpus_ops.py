@@ -2788,6 +2788,58 @@ def test_reexport_of_imported_store_honors_verbatim_ids(spark, tmp_path):
     assert doc["model"]["vocab"] == {"the": 5, "Ġthe": 9}
     assert doc["added_tokens"][0]["id"] == 50256
 
-    # an older generation of an imported store has no id provenance
+    # the older engine-fit generation carries its own provenance
+    # record (vocab_source=None, r15 ADVICE fix), so exporting it
+    # writes structural ids — not the imported gen's verbatim ids
+    old = store.export_gpt2(str(tmp_path / "old"), generation=fit_gen)
+    assert old != orig and all(isinstance(v, int) for v in old.values())
+
+    # pre-provenance stores (no per-gen record) keep the r14 guard:
+    # a non-latest generation with unknown provenance refuses
+    import os
+
+    os.remove(
+        os.path.join(store._gen_dir(fit_gen), "provenance.json")
+    )
     with pytest.raises(ValueError, match="provenance"):
-        store.export_gpt2(str(tmp_path / "old"), generation=fit_gen)
+        store.export_gpt2(str(tmp_path / "old2"), generation=fit_gen)
+
+
+def test_export_of_older_imported_generation_honors_verbatim_ids(
+    spark, tmp_path
+):
+    """The MIRRORED hazard (r15 ADVICE): import at gen N, engine-fit
+    at gen N+1 — export_gpt2(generation=N) must write gen N's
+    verbatim imported ids (keyed off gen N's own provenance record),
+    not silently re-derive structural ids because the LATEST manifest
+    has no vocab_source."""
+    import json
+
+    from balboa_spark.operators import bpe
+
+    art = tmp_path / "gpt2"
+    art.mkdir()
+    (art / "merges.txt").write_text(
+        "#version: 0.2\nt h\nth e\nĠ the\n", encoding="utf-8"
+    )
+    orig = {"the": 5, "Ġthe": 9, "<|endoftext|>": 50256}
+    (art / "vocab.json").write_text(json.dumps(orig), encoding="utf-8")
+    store = bpe.TokenizerStore(spark, str(tmp_path / "store"))
+    store.import_gpt2(str(art))
+    imp_gen = store._manifest()["generation"]
+    store.fit_byte(
+        spark.createDataFrame(
+            [(1, "the the the cat")], "doc_id long, text string"
+        ),
+        num_merges=2,
+    )
+    assert store._manifest()["generation"] != imp_gen
+    assert "vocab_source" not in store._manifest()
+
+    out = store.export_gpt2(str(tmp_path / "re"), generation=imp_gen)
+    assert out == orig
+    again = json.loads((tmp_path / "re" / "vocab.json").read_text("utf-8"))
+    assert again == orig
+    # and the latest (engine-fit) generation still exports structural
+    latest = store.export_gpt2(str(tmp_path / "latest"))
+    assert latest != orig

@@ -320,3 +320,24 @@ def test_wet_export_token_blocks_interleaved_exports(spark, tmp_path):
     # and the reader unions only archives, never the token
     got = wet.read_wet(spark, out)
     assert got.filter("record_type = 'conversion'").count() == 8
+
+
+def test_wet_export_token_nonce_blocks_identical_params(spark, tmp_path):
+    """r15 ADVICE fix: two builds with IDENTICAL parameters against
+    the same directory must still invalidate each other — the token
+    carries a per-build nonce, not just the parameters, so the older
+    manifest fails at collect instead of silently interleaving."""
+    import pytest
+
+    from balboa_spark.sources import wet
+
+    df = spark.createDataFrame(
+        [(f"<urn:s{i}>", f"http://y/{i}", f"body {i}") for i in range(6)],
+        "record_id string, target_uri string, text string",
+    )
+    out = str(tmp_path / "same_params")
+    m_first = wet.write_wet_shards(df, out, num_shards=4)   # built, not run
+    m_second = wet.write_wet_shards(df, out, num_shards=4)  # SAME params
+    with pytest.raises(Exception, match="export token|newer export"):
+        m_first.collect()
+    assert sum(r.n_records for r in m_second.collect()) == 6
