@@ -245,11 +245,13 @@ WHERE rk <= 3
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute gap rule. The ORACLE replays
     the classic single-window lag + cumulative-sum formulation; the
-    ENGINE runs temporal.gap_sessions — the two-phase
-    gaps-and-islands plan whose heaviest window partition is one
-    user's day-bucket, not one user's entire history (the r13
-    verdict's named scale-killer) — and must produce identical
-    session numbering."""
+    ENGINE runs temporal.gap_sessions in ADAPTIVE mode (r15): a
+    user-counts probe picks the classic window on flat data and the
+    two-phase gaps-and-islands plan — whose heaviest window partition
+    is one user's day-bucket, not one user's entire history (the r13
+    verdict's named scale-killer) — when any user is heavy. Both arms
+    produce identical session numbering (parity pinned in
+    tests/test_temporal.py)."""
     from balboa_spark.operators.temporal import gap_sessions
 
     ev = load_tables(spark, sf_dir, names=("events",))["events"]

@@ -74,12 +74,15 @@ def conversation_turns(
     DuckDB but concat_ws silently drops it in Spark — the parity
     trap).
 
-    Scale shape (r14): the threading runs through
-    ``temporal.gap_sessions`` — TWO-PHASE gaps-and-islands
-    (per-(user, day-bucket) local windows + a bucket-summary stitch)
-    instead of the classic per-user lag+cumsum window, so one heavy
-    user (a 10^8-event bot) is no longer a single unsplittable window
-    partition. Numbering is identical to the single-window rule."""
+    Scale shape (r14, adaptive since r15): the threading runs through
+    ``temporal.gap_sessions`` in its default ADAPTIVE mode — one
+    user-counts probe picks the classic per-user lag+cumsum window on
+    flat data (no two-phase overhead when no user is heavy) and the
+    TWO-PHASE gaps-and-islands plan (per-(user, day-bucket) local
+    windows + a bucket-summary stitch) when any user exceeds the
+    heavy threshold, so one heavy user (a 10^8-event bot) is never a
+    single unsplittable window partition. Numbering is identical
+    either way."""
     # NULL timestamps are excluded by contract (gap_sessions enforces
     # it too): an unstamped event cannot be ordered into a
     # conversation, and Spark windows sort NULLs FIRST while DuckDB

@@ -462,12 +462,35 @@ def gap_sessions(
     bucket_minutes: int = 24 * 60,
     sess_col: str = "conv_id",
     with_turn_idx: bool = False,
+    mode: str = "adaptive",
+    heavy_user_rows: int = 1_000_000,
 ) -> DataFrame:
-    """Gap-rule sessionization as a TWO-PHASE gaps-and-islands plan —
-    no per-user unbounded window anywhere (the r13 verdict's one
-    remaining unsplittable-partition shape at 100x scale: one bot /
-    service account with 10^8 events is a single window partition the
-    classic lag+cumsum formulation cannot split and AQE cannot save).
+    """Gap-rule sessionization. Three plan arms, identical numbering
+    (parity pinned both ways in tests/test_temporal.py):
+
+    - ``mode="classic"``: the single lag+cumsum window per user —
+      one shuffle, the cheapest plan, but one mega-user (a bot with
+      10^8 events) is a single window partition AQE cannot split;
+    - ``mode="two_phase"``: the gaps-and-islands decomposition below —
+      skew-immune (heaviest partition = one user's day-bucket), at a
+      measured ~2x local cost on FLAT data (extra summary shuffles +
+      the join-back; r14 bench, sft_assembly 2.45 -> 5.22s);
+    - ``mode="adaptive"`` (default): ONE probe aggregation over the
+      user column (``plans/skew.key_counts`` -> max, map-side
+      combined, shuffle volume = distinct users) picks the arm: the
+      classic window when no user exceeds ``heavy_user_rows``
+      (insurance the data doesn't need), the two-phase otherwise.
+      The probe runs a job at PLAN-BUILD time — gap_sessions in
+      adaptive mode is not fully lazy. ``heavy_user_rows`` defaults
+      to 1M: a 1M-row sorted window partition is a comfortable
+      single task; beyond it the unsplittable-partition risk
+      outweighs the two-phase overhead.
+
+    The two-phase arm: no per-user unbounded window anywhere (the r13
+    verdict's one remaining unsplittable-partition shape at 100x
+    scale: one bot / service account with 10^8 events is a single
+    window partition the classic lag+cumsum formulation cannot split
+    and AQE cannot save).
 
     Semantics are EXACTLY the classic single-window rule: a new
     session starts when the previous event of the same ``user_col``
@@ -517,6 +540,47 @@ def gap_sessions(
             f"({gap_minutes}) so a boundary merge only ever looks one "
             "present bucket back"
         )
+    if mode not in ("adaptive", "classic", "two_phase"):
+        raise ValueError(
+            f"mode must be adaptive|classic|two_phase, got {mode!r}"
+        )
+    if mode == "adaptive":
+        from balboa_spark.plans.skew import key_counts
+
+        probe = events.filter(F.col(ts_col).isNotNull()).select(user_col)
+        row = key_counts(probe, [user_col]).agg(F.max("n")).first()
+        worst = row[0] or 0
+        mode = "classic" if worst <= int(heavy_user_rows) else "two_phase"
+    if mode == "classic":
+        order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+        gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
+        w = Window.partitionBy(user_col).orderBy(*order)
+        lag_ts = F.lag(ts_col).over(w)
+        out = (
+            events.filter(F.col(ts_col).isNotNull())
+            .withColumn(
+                "_new",
+                F.when(
+                    lag_ts.isNull() | (F.col(ts_col) > lag_ts + gap),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            )
+            .withColumn(
+                sess_col,
+                F.sum("_new")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("bigint"),
+            )
+            .drop("_new")
+        )
+        if with_turn_idx:
+            out = out.withColumn(
+                "turn_idx",
+                F.row_number().over(
+                    Window.partitionBy(user_col, sess_col).orderBy(*order)
+                ),
+            )
+        return out
     bucket_us = int(bucket_minutes) * 60_000_000
     gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
     x = f"unix_micros(cast({ts_col} as timestamp))"

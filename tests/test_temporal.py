@@ -703,10 +703,61 @@ def test_gap_sessions_matches_classic_window_across_buckets(spark):
         got = {
             r.event_id: (r.conv_id, r.turn_idx)
             for r in gap_sessions(
-                df, 30, bucket_minutes=bm, with_turn_idx=True
+                df, 30, bucket_minutes=bm, with_turn_idx=True,
+                mode="two_phase",
             ).collect()
         }
         assert got == ref, f"bucket_minutes={bm} diverged from classic window"
+    # the classic arm (what adaptive picks on flat data) matches too
+    got_c = {
+        r.event_id: (r.conv_id, r.turn_idx)
+        for r in gap_sessions(
+            df, 30, with_turn_idx=True, mode="classic"
+        ).collect()
+    }
+    assert got_c == ref, "classic arm diverged from the reference window"
+
+
+def test_gap_sessions_adaptive_picks_arm_by_skew(spark):
+    """The adaptive probe (r15: reclaiming the de-skew's 2x flat-data
+    cost) takes the classic single-window plan when no user exceeds
+    heavy_user_rows, the two-phase otherwise — and both arms number
+    identically on the same input."""
+    import re
+
+    from balboa_spark.operators.temporal import gap_sessions
+
+    df = spark.createDataFrame(
+        [(i, i % 5, dt.datetime(2024, 1, 1 + i % 20)) for i in range(100)],
+        "event_id long, user_id long, ts timestamp",
+    )
+
+    def plan_of(out):
+        return out._jdf.queryExecution().optimizedPlan().toString()
+
+    # flat data, generous threshold -> classic: an event-ordered
+    # window partitioned by user alone, and NO bucket column anywhere
+    flat = gap_sessions(df, 30, with_turn_idx=True, heavy_user_rows=1000)
+    p = plan_of(flat)
+    assert "_bkt#" not in p
+    # low threshold -> every user is "heavy" -> two-phase: every
+    # event-ordered window partitioned by (user, bucket)
+    heavy = gap_sessions(df, 30, with_turn_idx=True, heavy_user_rows=5)
+    p2 = plan_of(heavy)
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", p2)
+    assert any("_bkt#" in part for part, _ in windows)
+    assert {
+        r.event_id: (r.conv_id, r.turn_idx) for r in flat.collect()
+    } == {
+        r.event_id: (r.conv_id, r.turn_idx) for r in heavy.collect()
+    }
+    # NULL ts rows don't count toward the probe and are excluded
+    with_null = df.union(
+        spark.createDataFrame(
+            [(999, 1, None)], "event_id long, user_id long, ts timestamp"
+        )
+    )
+    assert gap_sessions(with_null, 30).filter("event_id = 999").count() == 0
 
 
 def test_gap_sessions_no_unbounded_per_user_window(spark):
@@ -725,7 +776,7 @@ def test_gap_sessions_no_unbounded_per_user_window(spark):
         "event_id long, user_id long, ts timestamp",
     )
     plan = (
-        gap_sessions(df, 30, with_turn_idx=True)
+        gap_sessions(df, 30, with_turn_idx=True, mode="two_phase")
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
