@@ -665,6 +665,9 @@ class TokenizerStore:
         prov = {
             "vocab_source": extra.get("vocab_source"),
             "special_tokens": extra.get("special_tokens") or {},
+            "unk_id": extra.get("unk_id"),
+            "unk_piece": extra.get("unk_piece"),
+            "unk_logp": extra.get("unk_logp"),
         }
         ptmp = os.path.join(self._gen_dir(gen), "provenance.json.tmp")
         with open(ptmp, "w") as fh:
@@ -889,9 +892,21 @@ class TokenizerStore:
         from balboa_spark.operators import unigram as _ug
 
         man = self._manifest()
+        # same verbatim-id pin as the byte arm: an imported public
+        # Unigram artifact's positional ids are honored, never
+        # re-derived piece-asc
+        vocab_ids, unk_id = None, _ug.UNK_PIECE_ID
+        if man.get("vocab_source") == "hf_import":
+            vocab_ids = [
+                (r["piece"], r["piece_id"])
+                for r in self.vocab().select("piece", "piece_id").collect()
+            ]
+            if man.get("unk_id") is not None:
+                unk_id = int(man["unk_id"])
         return _ug.unigram_encode_corpus(
             df, self.pieces(), text_col=text_col, id_col=id_col,
             max_piece_len=int(man.get("max_piece_len", 4)),
+            vocab_ids=vocab_ids, unk_id=unk_id,
         )
 
     def export_gpt2(
@@ -998,15 +1013,25 @@ class TokenizerStore:
         out_path: str,
         generation: int | None = None,
         special_tokens: tuple[str, ...] = ("<|endoftext|>",),
-    ) -> dict[str, int]:
-        """Write the stored byte tokenizer as a single-file HF
-        ``tokenizer.json`` (tokenizer_io.export_hf). Byte kind only."""
+        unk_piece: str = "<unk>",
+    ) -> dict[str, int] | list[tuple[str, float]]:
+        """Write the stored tokenizer as a single-file HF
+        ``tokenizer.json``: a ByteLevel-BPE model for the byte kind
+        (tokenizer_io.export_hf), a Unigram model — pieces +
+        log-probs + unk handling, the SentencePiece-shaped
+        interchange — for the unigram kind
+        (tokenizer_io.export_hf_unigram). The word kind is
+        engine-private (no public single-file schema for its
+        whitespace-word BPE) and refuses."""
         from balboa_spark.operators import tokenizer_io
 
-        if self.kind() != "byte":
+        k = self.kind()
+        if k == "unigram":
+            return self._export_hf_unigram(out_path, generation, unk_piece)
+        if k != "byte":
             raise ValueError(
-                f"export_hf is the byte-BPE interchange; this store "
-                f"is {self.kind()!r}"
+                f"export_hf handles byte and unigram kinds; this store "
+                f"is {k!r}"
             )
         vocab_ids, specials = self._pinned_export_ids(generation)
         return tokenizer_io.export_hf(
@@ -1014,15 +1039,90 @@ class TokenizerStore:
             vocab_ids=vocab_ids, specials=specials,
         )
 
-    def import_hf(self, in_path: str) -> list[tuple[str, str]]:
-        """Commit a NEW byte generation from an HF ``tokenizer.json``
-        — the :meth:`import_gpt2` contract (verbatim ids via the
-        ``vocab_source`` manifest pin, specials in the manifest) from
-        the single-file format."""
+    def _export_hf_unigram(
+        self, out_path: str, generation: int | None, unk_piece: str
+    ) -> list[tuple[str, float]]:
+        """Unigram export arm: structural layout (UNK at 0 +
+        piece-asc ids from 1 — exactly what unigram_encode_corpus
+        emits) for engine-fit generations; the VERBATIM positional
+        table for imported ones (the export_gpt2 id-pin convention —
+        a re-derived layout would decode this store's ids to the
+        wrong pieces on an external stack)."""
         import json
         import os
 
         from balboa_spark.operators import tokenizer_io
+
+        gen = self._resolve_gen(generation)
+        ppath = os.path.join(self._gen_dir(gen), "provenance.json")
+        prov = None
+        if os.path.exists(ppath):
+            with open(ppath) as fh:
+                prov = json.load(fh)
+        elif gen == self._manifest().get("generation"):
+            prov = self._manifest()
+        else:
+            raise ValueError(
+                "exporting a generation with no recorded id provenance "
+                "(pre-provenance store, non-latest generation); "
+                "re-export the latest generation"
+            )
+        if prov.get("vocab_source") == "hf_import":
+            rows = sorted(
+                (
+                    (r["piece"], float(r["logp"]), int(r["piece_id"]))
+                    for r in self.vocab(gen).collect()
+                ),
+                key=lambda e: e[2],
+            )
+            unk_id = prov.get("unk_id")
+            specials = dict(prov.get("special_tokens") or {})
+            # re-insert the UNK and special entries at their recorded
+            # positions so the positional table is dense again — the
+            # UNK row verbatim from the imported artifact
+            entries = {i: (p, lp) for p, lp, i in rows}
+            if unk_id is not None:
+                entries[int(unk_id)] = (
+                    prov.get("unk_piece") or unk_piece,
+                    float(
+                        prov["unk_logp"]
+                        if prov.get("unk_logp") is not None
+                        else tokenizer_io.UNK_EXPORT_LOGP
+                    ),
+                )
+            for tok, i in specials.items():
+                entries.setdefault(int(i), (tok, 0.0))
+            dense = [
+                (p, lp, i) for i, (p, lp) in sorted(entries.items())
+            ]
+            return tokenizer_io.export_hf_unigram(
+                [], out_path, vocab_entries=dense,
+                unk_id=0 if unk_id is None else int(unk_id),
+                specials=specials,
+            )
+        return tokenizer_io.export_hf_unigram(
+            self.pieces(gen), out_path, unk_piece=unk_piece
+        )
+
+    def import_hf(
+        self, in_path: str
+    ) -> list[tuple[str, str]] | list[tuple[str, float]]:
+        """Commit a NEW generation from an HF ``tokenizer.json``,
+        dispatched on ``model.type``: BPE lands in the byte arm (the
+        :meth:`import_gpt2` contract — verbatim ids via the
+        ``vocab_source`` manifest pin, specials in the manifest);
+        Unigram lands in the unigram arm (verbatim positional ids +
+        the artifact's ``unk_id``). Kinds never mix within one store
+        path (:meth:`_start_fit` enforces it)."""
+        import json
+        import os
+
+        from balboa_spark.operators import tokenizer_io
+
+        with open(in_path, encoding="utf-8") as fh:
+            mtype = (json.load(fh).get("model") or {}).get("type")
+        if mtype == "Unigram":
+            return self._import_hf_unigram(in_path)
 
         merges, vocab_hex, specials = tokenizer_io.import_hf(in_path)
         gen, gen_dir = self._start_fit("byte")
@@ -1039,6 +1139,40 @@ class TokenizerStore:
             "special_tokens": specials,
         })
         return merges
+
+    def _import_hf_unigram(self, in_path: str) -> list[tuple[str, float]]:
+        import json
+        import os
+
+        from balboa_spark.operators import tokenizer_io
+
+        entries, unk, specials = tokenizer_io.import_hf_unigram(in_path)
+        if not entries:
+            raise ValueError(
+                f"import_hf: {in_path} has an empty Unigram piece table"
+            )
+        pieces = [(p, lp) for p, lp, _ in entries]
+        gen, gen_dir = self._start_fit("unigram")
+        with open(os.path.join(gen_dir, "pieces.json"), "w") as fh:
+            json.dump([[p, lp] for p, lp in pieces], fh)
+        self.spark.createDataFrame(
+            [(p, lp, i) for p, lp, i in entries],
+            "piece string, logp double, piece_id int",
+        ).write.mode("overwrite").parquet(os.path.join(gen_dir, "vocab"))
+        self._commit(gen, {
+            "kind": "unigram",
+            "vocab_size": len(pieces),
+            # the Viterbi DP window must cover the longest piece
+            "max_piece_len": max(len(p) for p, _ in pieces),
+            "vocab_source": "hf_import",
+            "special_tokens": specials,
+            # the artifact's UNK row verbatim, so a re-export
+            # reproduces it instead of substituting a default
+            "unk_id": None if unk is None else unk[2],
+            "unk_piece": None if unk is None else unk[0],
+            "unk_logp": None if unk is None else unk[1],
+        })
+        return pieces
 
 
 #: id emitted for a piece absent from the vocabulary (possible only

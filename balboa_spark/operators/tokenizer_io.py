@@ -45,6 +45,8 @@ __all__ = [
     "import_gpt2",
     "export_hf",
     "import_hf",
+    "export_hf_unigram",
+    "import_hf_unigram",
 ]
 
 
@@ -339,3 +341,141 @@ def import_hf(
     for a in doc.get("added_tokens") or []:
         specials.setdefault(a["content"], int(a["id"]))
     return merges, vocab_hex, specials
+
+
+#: logp assigned to the UNK entry in exported Unigram artifacts —
+#: MUST equal balboa_spark.operators.unigram.UNK_LOGP (the score the
+#: engine's Viterbi gives an unseen single character), so an external
+#: stack running Viterbi over the exported artifact reproduces the
+#: engine's segmentation; pinned by a test rather than an import (this
+#: module stays pyspark-free).
+UNK_EXPORT_LOGP = -20.0
+
+
+def export_hf_unigram(
+    pieces: list[tuple[str, float]],
+    out_path: str,
+    unk_piece: str = "<unk>",
+    vocab_entries: list[tuple[str, float, int]] | None = None,
+    unk_id: int = 0,
+    specials: dict[str, int] | None = None,
+) -> list[tuple[str, float]]:
+    """Write a single-file HF ``tokenizer.json`` with a
+    ``"type": "Unigram"`` model (the huggingface/tokenizers
+    serialization of a SentencePiece-style unigram LM — public JSON
+    schema: ``model.vocab`` is a positional ``[[piece, logp], ...]``
+    list whose INDEX is the token id, plus ``model.unk_id``).
+
+    Structural layout (``vocab_entries=None``): index 0 is the UNK
+    entry (``unk_piece`` at :data:`UNK_EXPORT_LOGP` — the engine's
+    Viterbi score for an unseen character) and the engine pieces land
+    at indices 1..n in piece-ascending order — EXACTLY the
+    ``unigram.UNK_PIECE_ID`` / piece-asc id convention, so the
+    positional ids equal what ``unigram_encode_corpus`` emits.
+
+    Pinned layout (``vocab_entries=[(piece, logp, id), ...]``): the
+    verbatim positional table of an IMPORTED artifact is re-emitted
+    at its recorded ids (the export_gpt2 id-pin convention); gaps are
+    impossible because positions are ids.
+
+    Pre-tokenizer caveat (documented, not hidden): the engine splits
+    on whitespace and keeps alnum words (``bpe.WORD_RE``); the
+    nearest public pre-tokenizer is ``WhitespaceSplit``, which keeps
+    punctuation runs the engine drops — segmentations agree on
+    alnum-word text. Returns the positional vocab written.
+    """
+    if os.path.exists(out_path):
+        raise FileExistsError(
+            f"export_hf_unigram: {out_path} exists; export to a fresh path"
+        )
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    if vocab_entries is None:
+        vocab = [(unk_piece, float(UNK_EXPORT_LOGP))] + [
+            (p, float(lp)) for p, lp in sorted(pieces)
+        ]
+        unk_id = 0
+    else:
+        by_id = sorted(vocab_entries, key=lambda e: e[2])
+        ids = [e[2] for e in by_id]
+        if ids != list(range(len(ids))):
+            raise ValueError(
+                "export_hf_unigram: pinned ids must be dense 0..n-1 "
+                f"(Unigram ids are positional); got {ids[:5]}..."
+            )
+        vocab = [(p, float(lp)) for p, lp, _ in by_id]
+    added = [
+        {
+            "id": i,
+            "content": tok,
+            "single_word": False,
+            "lstrip": False,
+            "rstrip": False,
+            "normalized": False,
+            "special": True,
+        }
+        for tok, i in sorted((specials or {}).items(), key=lambda kv: kv[1])
+    ]
+    doc = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": added,
+        "normalizer": None,
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+        "post_processor": None,
+        "decoder": None,
+        "model": {
+            "type": "Unigram",
+            "unk_id": int(unk_id),
+            "vocab": [[p, lp] for p, lp in vocab],
+            "byte_fallback": False,
+        },
+    }
+    tmp = out_path + ".inprogress"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh, ensure_ascii=False)
+    os.replace(tmp, out_path)
+    return vocab
+
+
+def import_hf_unigram(
+    in_path: str,
+) -> tuple[
+    list[tuple[str, float, int]],
+    tuple[str, float, int] | None,
+    dict[str, int],
+]:
+    """Read an HF ``tokenizer.json`` with a ``"type": "Unigram"``
+    model -> ``(vocab_entries, unk, specials)`` where
+    ``vocab_entries`` is the verbatim positional table
+    ``[(piece, logp, id), ...]`` (id = list index — honored VERBATIM,
+    the import_gpt2 convention), ``unk`` is the artifact's UNK entry
+    ``(piece, logp, id)`` (None if ``unk_id`` unset — kept verbatim
+    so a re-export reproduces the artifact's own UNK row), and
+    ``specials`` maps added-token content -> id. Entries listed in
+    ``added_tokens`` are excluded from the piece table (they are
+    control tokens no segmentation should produce). Anything but a
+    Unigram model raises."""
+    with open(in_path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    model = doc.get("model") or {}
+    if model.get("type") != "Unigram":
+        raise ValueError(
+            f"import_hf_unigram: model.type={model.get('type')!r}; "
+            "only Unigram maps onto the unigram arm"
+        )
+    raw = model.get("vocab") or []
+    unk_id = model.get("unk_id")
+    specials = {
+        a["content"]: int(a["id"]) for a in doc.get("added_tokens") or []
+    }
+    unk = None
+    if unk_id is not None and 0 <= int(unk_id) < len(raw):
+        p, lp = raw[int(unk_id)]
+        unk = (p, float(lp), int(unk_id))
+    vocab_entries = [
+        (p, float(lp), i)
+        for i, (p, lp) in enumerate(raw)
+        if p not in specials and i != unk_id
+    ]
+    return vocab_entries, unk, specials

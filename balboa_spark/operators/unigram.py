@@ -550,6 +550,8 @@ def unigram_encode_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_piece_len: int = 4,
+    vocab_ids: list[tuple[str, int]] | None = None,
+    unk_id: int = UNK_PIECE_ID,
 ) -> DataFrame:
     """Corpus → (id, piece_ids array<int>) under the unigram vocab:
     Viterbi-segment once per DISTINCT word (the fold runs on the
@@ -557,14 +559,20 @@ def unigram_encode_corpus(
     word, map pieces to dense ids via a parameter-sized broadcast
     (vocab order = piece asc, ids from 1; unseen single chars —
     scored UNK_LOGP by the DP — map to UNK_PIECE_ID so sequences keep
-    their true length). Same distributed shape as
+    their true length). ``vocab_ids``/``unk_id`` override the
+    structural ids with an imported artifact's VERBATIM table (the
+    byte_encode_corpus vocab_ids convention — a store imported from a
+    public Unigram tokenizer.json must emit the artifact's ids, not
+    re-derived piece-asc ones). Same distributed shape as
     bpe.encode_corpus / byte_encode_corpus."""
     from balboa_spark.operators.bpe import WORD_RE as _WR
     from balboa_spark.operators.text import tokens
 
     spark = df.sparkSession
     idmap = spark.createDataFrame(
-        [(p, i + 1) for i, (p, _) in enumerate(sorted(vocab))],
+        vocab_ids
+        if vocab_ids is not None
+        else [(p, i + 1) for i, (p, _) in enumerate(sorted(vocab))],
         "piece string, piece_id int",
     )
     toks = df.select(
@@ -594,7 +602,7 @@ def unigram_encode_corpus(
         F.col(id_col), "_wpos", F.posexplode("_pieces").alias("_ppos", "piece")
     )
     mapped = pieces.join(F.broadcast(idmap), "piece", "left").withColumn(
-        "piece_id", F.coalesce("piece_id", F.lit(UNK_PIECE_ID))
+        "piece_id", F.coalesce("piece_id", F.lit(int(unk_id)))
     )
     return mapped.groupBy(id_col).agg(
         F.transform(

@@ -2843,3 +2843,169 @@ def test_export_of_older_imported_generation_honors_verbatim_ids(
     # and the latest (engine-fit) generation still exports structural
     latest = store.export_gpt2(str(tmp_path / "latest"))
     assert latest != orig
+
+
+def test_unigram_hf_export_import_roundtrip_structural(spark, tmp_path):
+    """r15: the unigram (SentencePiece-shaped) family gets the same
+    public exit as byte-BPE — export an engine-fit store to an HF
+    tokenizer.json with a "type": "Unigram" model, import it into a
+    fresh store, and encode ids are IDENTICAL (the structural
+    positional layout equals the engine's UNK@0 + piece-asc
+    convention)."""
+    import json
+
+    import pytest
+
+    from balboa_spark.operators import bpe, tokenizer_io, unigram
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox the quick brown dog the the"),
+         (1, "quick brown quick brown fox")],
+        ["doc_id", "text"],
+    )
+    src = bpe.TokenizerStore(spark, str(tmp_path / "src"))
+    pieces = src.fit_unigram(corpus, vocab_size=24, em_iters=1)
+
+    tj = str(tmp_path / "tokenizer.json")
+    vocab = src.export_hf(tj)
+    doc = json.loads(open(tj, encoding="utf-8").read())
+    assert doc["model"]["type"] == "Unigram"
+    assert doc["model"]["unk_id"] == 0
+    assert doc["model"]["vocab"][0] == ["<unk>", tokenizer_io.UNK_EXPORT_LOGP]
+    assert doc["model"]["vocab"][1:] == [
+        [p, lp] for p, lp in sorted(pieces)
+    ]
+    assert vocab[0] == ("<unk>", tokenizer_io.UNK_EXPORT_LOGP)
+    # the exported UNK score IS the engine's Viterbi unseen-char score
+    assert tokenizer_io.UNK_EXPORT_LOGP == unigram.UNK_LOGP
+
+    dst = bpe.TokenizerStore(spark, str(tmp_path / "dst"))
+    got_pieces = dst.import_hf(tj)
+    assert sorted(got_pieces) == sorted(pieces)
+    assert dst.kind() == "unigram"
+    a = {r["doc_id"]: list(r["piece_ids"]) for r in src.encode(corpus).collect()}
+    b = {r["doc_id"]: list(r["piece_ids"]) for r in dst.encode(corpus).collect()}
+    assert a == b and a[0]
+
+    # dirty-target refusal (the export_gpt2 convention)
+    with pytest.raises(FileExistsError):
+        src.export_hf(tj)
+
+
+def test_unigram_hf_import_foreign_ids_unk_and_reexport(spark, tmp_path):
+    """A hand-built Unigram tokenizer.json with NON-structural
+    positional ids, a mid-table unk_id, and an added special: encode
+    honors the positional ids VERBATIM (unseen chars -> the
+    artifact's unk_id, not the engine's 0), and a re-export
+    reproduces the artifact's positional table including the verbatim
+    UNK row — even after a LATER engine fit (the per-generation
+    provenance record, mirroring the byte arm's pin)."""
+    import json
+
+    import pytest
+
+    from balboa_spark.operators import bpe, tokenizer_io, unigram
+
+    tj = tmp_path / "foreign.json"
+    # positions: 0=quick 1=<s> (special) 2=<unk> 3=br 4=own
+    tj.write_text(
+        json.dumps({
+            "version": "1.0",
+            "added_tokens": [{"id": 1, "content": "<s>", "special": True}],
+            "model": {
+                "type": "Unigram",
+                "unk_id": 2,
+                "vocab": [
+                    ["quick", -1.5], ["<s>", 0.0], ["<unk>", -11.0],
+                    ["br", -2.0], ["own", -2.5],
+                ],
+            },
+        }),
+        encoding="utf-8",
+    )
+    store = bpe.TokenizerStore(spark, str(tmp_path / "store"))
+    pieces = store.import_hf(str(tj))
+    assert sorted(pieces) == [("br", -2.0), ("own", -2.5), ("quick", -1.5)]
+    assert store._manifest()["unk_id"] == 2
+    assert store._manifest()["special_tokens"] == {"<s>": 1}
+
+    docs = spark.createDataFrame(
+        [(7, "quick brown")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: list(r["piece_ids"]) for r in store.encode(docs).collect()}
+    # "quick" -> [quick]=0; "brown" -> Viterbi: br(−2.0)+own(−2.5)
+    # beats any char fallback -> [br, own] = [3, 4]
+    assert got[7] == [0, 3, 4]
+    # unseen chars hit the artifact's unk_id (2), not the engine's 0
+    oov = spark.createDataFrame([(8, "zq")], "doc_id long, text string")
+    ids = list(store.encode(oov).collect()[0]["piece_ids"])
+    assert 2 in ids
+
+    imp_gen = store._manifest()["generation"]
+    # a later ENGINE fit must not break the imported gen's re-export
+    store.fit_unigram(
+        spark.createDataFrame(
+            [(0, "the quick brown fox the quick")], ["doc_id", "text"]
+        ),
+        vocab_size=16, em_iters=1,
+    )
+    out = str(tmp_path / "re.json")
+    store.export_hf(out, generation=imp_gen)
+    doc = json.loads(open(out, encoding="utf-8").read())
+    assert doc["model"]["unk_id"] == 2
+    assert doc["model"]["vocab"] == [
+        ["quick", -1.5], ["<s>", 0.0], ["<unk>", -11.0],
+        ["br", -2.0], ["own", -2.5],
+    ]
+    assert doc["added_tokens"][0]["content"] == "<s>"
+    # and importing the re-export encodes identically to the original
+    store2 = bpe.TokenizerStore(spark, str(tmp_path / "store2"))
+    store2.import_hf(out)
+    got2 = {
+        r["doc_id"]: list(r["piece_ids"])
+        for r in store2.encode(docs).collect()
+    }
+    assert got2 == got
+
+    # non-Unigram gate on the raw importer
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"model": {"type": "BPE"}}), encoding="utf-8")
+    with pytest.raises(ValueError, match="only Unigram"):
+        tokenizer_io.import_hf_unigram(str(bad))
+
+
+def test_unigram_imported_encode_matches_python_viterbi(spark, tmp_path):
+    """Parity bar of the GPT-2 arm: encoding through an IMPORTED
+    Unigram artifact equals the pure-Python Viterbi over the same
+    piece table with the artifact's verbatim ids."""
+    import json
+
+    from balboa_spark.operators import bpe
+    from balboa_spark.operators.unigram import _viterbi_py
+
+    vocab = [
+        ["th", -1.2], ["e", -1.8], ["the", -1.0], ["qu", -2.0],
+        ["ick", -2.2], ["i", -3.0], ["ck", -2.4], ["<unk>", -9.0],
+    ]
+    tj = tmp_path / "art.json"
+    tj.write_text(
+        json.dumps({"model": {"type": "Unigram", "unk_id": 7, "vocab": vocab}}),
+        encoding="utf-8",
+    )
+    store = bpe.TokenizerStore(spark, str(tmp_path / "s"))
+    store.import_hf(str(tj))
+    ids = {p: i for i, (p, _) in enumerate(vocab)}
+    pieces = [(p, lp) for p, lp in vocab if p != "<unk>"]
+    words = ["the", "quick", "thequick", "xyz"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["piece_ids"])
+        for r in store.encode(docs).collect()
+    }
+    mpl = max(len(p) for p, _ in pieces)
+    for i, w in enumerate(words):
+        parts, _score = _viterbi_py(w, dict(pieces), mpl)
+        want = [ids.get(p, 7) for p in parts]
+        assert got[i] == want, (w, got[i], want)
