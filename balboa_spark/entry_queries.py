@@ -456,23 +456,71 @@ R14_OUT = [
     "events_anomaly",
 ]
 
+# ROUND-15 ROTATION (executed this round; grading_ledger.py checks
+# membership exactly as for R14).
+#
+# IN (12): the staleness frontier — ann_pq_topk + dedup_embedding
+# (last real-driver green r7, AT the 8-round budget this round) and
+# the ENTIRE 8-entry r9 cohort (corpus_dataset_profile,
+# corpus_html_extract, corpus_pack_bestfit, corpus_source_overlap,
+# events_heavy_users, events_props_extract, obs_blocklist_match,
+# supplier_entity_resolve — at 6, recalled early so the budget never
+# binds two cohorts at once) — plus the two NEW r15 entries
+# (never-graded must be in-cap): corpus_training_shards (the shard
+# sink's md5 layout, gradeable since the r15 shard_of convention
+# switch) and sft_pairs (DPO preference-pair assembly).
+#
+# OUT (12), each with a tail note: the nine r13-kernel-change entries
+# now DOUBLE-green on their current kernels (green r13 AND r14,
+# kernels untouched in r14/r15): corpus_bpe_bytes_encode,
+# corpus_mixture_budget, dedup_ngram_jaccard, dedup_minhash_lsh,
+# events_resample, graph_pagerank, corpus_lang_id, exact_dedup_store
+# — plus media_stats, tpch_q1, topk_per_group, join_enrich from the
+# R14_IN block: each is multi-green ACROSS history (r5/r6-era
+# multi-round greens + the r14 re-confirmation on kernels years at
+# rest), and the last three are generic SQL demos (tail rationale
+# class (c)), the cheapest grading surface to pause. dedup_components
+# (the star-loop/components kernel) and dedup_passage/media_dedup
+# stay as the in-cap dedup representatives.
+#
+# Kernel-changed THIS round, staying for re-grade: sft_render /
+# sft_loss_spans / pipeline_sft / events_sessionize (gap_sessions
+# adaptive arm), pipeline_wet_ccnet (WET export-token nonce),
+# corpus_unigram_segment / corpus_unigram_by_lang
+# (unigram_encode_corpus vocab_ids/unk_id seam). r14 first-grades
+# (corpus_bpe_by_lang, corpus_unigram_by_lang, pipeline_ccnet_approx
+# hash-grade, embedding_kmeans/ann_ivf_topk float64) stay until
+# double-green.
+R15_IN = [
+    "ann_pq_topk", "dedup_embedding",
+    "corpus_dataset_profile", "corpus_html_extract",
+    "corpus_pack_bestfit", "corpus_source_overlap",
+    "events_heavy_users", "events_props_extract",
+    "obs_blocklist_match", "supplier_entity_resolve",
+    "corpus_training_shards", "sft_pairs",
+]
+R15_OUT = [
+    "corpus_bpe_bytes_encode", "corpus_mixture_budget",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "events_resample", "graph_pagerank", "corpus_lang_id",
+    "exact_dedup_store",
+    "media_stats", "tpch_q1", "topk_per_group", "join_enrich",
+]
+
 CAP_50 = [
-    # -- kernel/oracle changed THIS round: must re-grade --
-    "sft_render",            # oracle coalesce fix + threading de-skew
-    "sft_loss_spans",        # threading de-skew
-    "pipeline_sft",          # oracle coalesce fix + threading de-skew
-    "events_sessionize",     # two-phase gaps-and-islands de-skew
-    "pipeline_ccnet_approx", # NOW HASH-GRADED: sketch-independent
-                             # (doc_id, source, perplexity) projection
-                             # with a real ORACLES entry (r13 verdict
-                             # What's-wrong #1 fix)
-    "embedding_kmeans",      # ivf_assign_col float64 (ADVICE r13)
-    "ann_ivf_topk",          # RECALLED from tail: same float64 change
-    # -- r13 first-grades: single-green, stay until double-green --
-    "corpus_bpe_bytes_encode",
-    "pipeline_wet_ccnet",
-    "corpus_unigram_segment",
-    "corpus_mixture_budget",
+    # -- kernel/oracle changed THIS round (r15): must re-grade --
+    "sft_render",            # gap_sessions adaptive arm
+    "sft_loss_spans",        # gap_sessions adaptive arm
+    "pipeline_sft",          # gap_sessions adaptive arm
+    "events_sessionize",     # gap_sessions adaptive arm
+    "sft_pairs",             # NEW r15: DPO preference-pair assembly
+    "corpus_training_shards",# NEW r15: shard sink layout (md5 shard_of)
+    "pipeline_wet_ccnet",    # WET export-token nonce (write path)
+    "corpus_unigram_segment",# unigram_encode_corpus vocab_ids seam
+    # -- r14 first-grades: single-green, stay until double-green --
+    "pipeline_ccnet_approx", # first hash-grade was r14
+    "embedding_kmeans",      # ivf_assign_col float64 (first green r14)
+    "ann_ivf_topk",          # same float64 change
     # -- r14 NEW entry: never graded, must be in-cap (its slot comes
     #    from corpus_curriculum_order, demoted mid-r14 with a tail
     #    note: never-graded > single-green re-confirmation under
@@ -486,29 +534,32 @@ CAP_50 = [
                              # grouped-EM fit unit-pinned per slice);
                              # slot from corpus_bpe_bytes, demoted
                              # with a same-kernel tail note
-    # -- kernel changed r13, single-green post-change: kept as the
-    #    family representatives (siblings demoted with same-kernel
-    #    notes) --
-    "dedup_ngram_jaccard",   # star-pairs + groupBy DF-cap kernel
-    "dedup_minhash_lsh",     # minhash signature + banding arm
+    # -- in-cap dedup-family representative (r13 kernel, green
+    #    r13+r14; its star-pairs siblings demoted with notes) --
     "dedup_components",      # pair->component iteration path
-    "events_resample",       # floor-div bucketing
-    "graph_pagerank",        # _edge_relations refactor
-    "corpus_lang_id",        # lid-oracle LEFT-JOIN parity
-    "exact_dedup_store",     # exact_dedup key param (covers dedup_exact)
-    # -- R14_IN: the full r5/r6 stale-cohort retirement + mid-r13
-    #    demotion re-grades (see rotation comment) --
+    # -- R15_IN: the staleness-frontier recall (r7 pair + r9 cohort;
+    #    see rotation comment) --
+    "ann_pq_topk",
+    "dedup_embedding",
+    "corpus_dataset_profile",
+    "corpus_html_extract",
+    "corpus_pack_bestfit",
+    "corpus_source_overlap",
+    "events_heavy_users",
+    "events_props_extract",
+    "obs_blocklist_match",
+    "supplier_entity_resolve",
+    # -- R14_IN remainder: single-green r14 after their recall, kept
+    #    for the double-green confirmation (media_stats/tpch_q1/
+    #    topk_per_group/join_enrich demoted with multi-green-history
+    #    notes to fund the frontier recall) --
     "corpus_hash_sample",
     "events_quantiles",
-    "join_enrich",
-    "media_stats",
     "pipeline_clean",
     "rollup_observations",
-    "topk_per_group",
     "tpch_q3",
     "media_dedup",
     "corpus_contamination",
-    "tpch_q1",
     "corpus_vocab_topk",
     "corpus_chunk_tokens",
     "corpus_clean_text",
@@ -535,6 +586,39 @@ CAP_50 = [
 # sibling of an in-cap entry, or (c) a generic SQL demo that is not a
 # §2 operator.
 _TAIL = [
+    # --- demoted r15: r13-kernel-change entries now DOUBLE-green on
+    #     their current kernels (green r13 AND r14, untouched in
+    #     r14/r15) ---
+    "corpus_bpe_bytes_encode", # byte fold + id join; encode class
+                               # stays graded via in-cap
+                               # corpus_bpe_by_lang's merge-table grade
+    "corpus_mixture_budget",   # mixture family multi-graded; siblings
+                               # corpus_interleave/stratified_k in-cap
+    "dedup_ngram_jaccard",     # bucket_pairs star kernel rides in-cap
+                               # dedup_components + dedup_passage
+    "dedup_minhash_lsh",       # minhash banding double-green r13+r14;
+                               # candidate-generation class canaried by
+                               # in-cap dedup_passage/dedup_components
+    "events_resample",         # floor-div bucketing double-green;
+                               # same idiom graded via in-cap
+                               # events_sessionize's bucket index
+    "graph_pagerank",          # _edge_relations kernel double-green;
+                               # no r15 change (bucketed arm unit+plan
+                               # asserted)
+    "corpus_lang_id",          # lid kernel double-green; LID also
+                               # rides in-cap pipeline_wet_ccnet chain
+    "exact_dedup_store",       # store family double-green r13+r14;
+                               # CAS/epoch conventions shared with
+                               # span/minhash stores (unit e2e)
+    # --- demoted r15: R14_IN members with multi-green HISTORY on
+    #     kernels years at rest (r5/r6-era greens + the r14
+    #     re-confirmation); the last three are generic SQL demos
+    #     (tail rationale class (c)) ---
+    "media_stats",             # projection kernel; media family
+                               # in-cap via media_chunks/patches/dedup
+    "tpch_q1",                 # literal TPC-H SQL, Catalyst demo
+    "topk_per_group",          # generic window demo
+    "join_enrich",             # generic broadcast-join demo
     # --- demoted r14: backbone canaries (multi-round green r10-r13,
     #     kernels at rest since r7; backbone coverage in-cap via the
     #     recalled entries_rdata (Q2 rides the same dual-sorted
@@ -681,18 +765,9 @@ _TAIL = [
     "corpus_dedup_units",      # green r7-r10 (4x); paragraph-unit explode kernel
     "corpus_dsir_topk",        # green r7-r10 (4x); hashed-ngram importance kernel
     "events_props_profile",    # green r7-r10 (4x); semistructured map-explode kernel
-    # --- demoted r10 (real-driver green r8 AND r9, kernels unchanged) ---
-    "corpus_html_extract",    # html_to_text kernel; graded inside pipeline_crawl
-    "supplier_entity_resolve",# same SymSpell kernel as customer_fuzzy_pairs
-    "corpus_pack_bestfit",    # FFD packing arm
-    "obs_blocklist_match",    # broadcast blocklist join; double-verified r8+r9
-    # --- standing tail ---
-    "dedup_embedding",    # bucketed-cosine kernel; graded via dedup_components pairs
-    "ann_pq_topk",        # PQ arm (pq_assign already float64); ANN family via in-cap ann_ivf_topk
-    "corpus_dataset_profile",  # green r8+r9; stats-agg kernel
-    "events_props_extract",  # green r8+r9; sibling events_props_profile
-    "events_heavy_users",    # green r8+r9; keyed-agg family
-    "corpus_source_overlap", # green r8+r9; broadcast-join kernel rides in-cap corpus_contamination
+    # (the former r10-demotion block and standing tail — the r7 pair
+    # and the whole r9 cohort — were RECALLED in-cap by R15_IN: the
+    # staleness frontier, see the rotation comment)
 ]
 
 assert len(CAP_50) == 50, f"cap must be exactly 50, got {len(CAP_50)}"
@@ -705,7 +780,7 @@ assert set(CAP_50) | set(_TAIL) == set(QUERIES), (
 )
 # The executed rotation is code, not prose: IN entries must be in-cap,
 # OUT entries must be in the tail, and the two sets disjoint.
-assert set(R14_IN) <= set(CAP_50), sorted(set(R14_IN) - set(CAP_50))
-assert set(R14_OUT) <= set(_TAIL), sorted(set(R14_OUT) - set(_TAIL))
-assert not (set(R14_IN) & set(R14_OUT)), "IN/OUT overlap"
+assert set(R15_IN) <= set(CAP_50), sorted(set(R15_IN) - set(CAP_50))
+assert set(R15_OUT) <= set(_TAIL), sorted(set(R15_OUT) - set(_TAIL))
+assert not (set(R15_IN) & set(R15_OUT)), "IN/OUT overlap"
 QUERIES = {k: QUERIES[k] for k in CAP_50} | {k: QUERIES[k] for k in _TAIL}

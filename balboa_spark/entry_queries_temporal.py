@@ -183,6 +183,140 @@ FROM tok2 GROUP BY 1 ORDER BY seq_id
 """
 
 
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly (DPO shape, r15): treat each user's
+    scored events as rated responses to one prompt — per prompt the
+    best-scored response (ties -> lowest event_id) pairs against the
+    worst-scored (ties -> lowest event_id), both rendered through the
+    chat template. Prompts whose best and worst scores are equal are
+    dropped (no strict preference). ONE groupBy with max_by/min_by —
+    no per-prompt window, no self-join (operators/sft.py
+    preference_pairs)."""
+    from balboa_spark.operators.sft import preference_pairs
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    ratings = ev.select(
+        F.col("user_id").alias("prompt_id"),
+        F.col("event_id").alias("response_id"),
+        F.concat(
+            F.col("event_type"), F.lit(" "), F.coalesce("props", F.lit(""))
+        ).alias("response"),
+        F.col("value").alias("score"),
+    )
+    return preference_pairs(ratings, system_prompt="sys").orderBy(
+        "prompt_id"
+    )
+
+
+SFT_PAIRS_ORACLE = """
+WITH r AS (
+  SELECT user_id AS prompt_id, event_id AS response_id,
+         event_type || ' ' || coalesce(props, '') AS response,
+         value AS score
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND value IS NOT NULL AND NOT isnan(value)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score DESC, response_id ASC) AS rc,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score ASC, response_id ASC) AS rr
+  FROM r
+),
+c AS (SELECT prompt_id, response_id AS chosen_id, response AS chosen_text,
+             score AS chosen_score FROM ranked WHERE rc = 1),
+j AS (SELECT prompt_id, response_id AS rejected_id, response AS rejected_text,
+             score AS rejected_score FROM ranked WHERE rr = 1)
+SELECT c.prompt_id, chosen_id, rejected_id, chosen_score, rejected_score,
+       '<|system|>sys<|end|>' || '<|user|>' || CAST(c.prompt_id AS VARCHAR)
+         || '<|end|>' || '<|assistant|>' || chosen_text || '<|end|>'
+         AS chosen,
+       '<|system|>sys<|end|>' || '<|user|>' || CAST(c.prompt_id AS VARCHAR)
+         || '<|end|>' || '<|assistant|>' || rejected_text || '<|end|>'
+         AS rejected
+FROM c JOIN j USING (prompt_id)
+WHERE chosen_score > rejected_score
+ORDER BY c.prompt_id
+"""
+
+
+TRAIN_SHARDS_N = 8
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-shard sink's EXACT layout, graded (r14 verdict
+    What's-wrong #3): pack -> shard-assign via the sink's own
+    ``shards.shard_of`` (md5-derived since r15, so DuckDB can replay
+    the assignment) -> within-shard (shard, seq_id) position — the
+    resume cursor a trainer names its position with. One extra
+    keys-partitioned window over the packed (not raw) relation; at
+    100 TB the packed table is ~1/seq_len of the corpus and the
+    window partitions by shard (num_shards-way, uniform by
+    construction of the md5 hash)."""
+    from pyspark.sql import Window
+
+    from balboa_spark.operators.shards import shard_of
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    packed = corpus.pack_sequences(docs, seq_len=PACK_SEQ_LEN)
+    sh = packed.withColumn("shard", shard_of(F.col("seq_id"), TRAIN_SHARDS_N))
+    w = Window.partitionBy("shard").orderBy("seq_id")
+    return sh.select(
+        F.col("shard"),
+        F.col("seq_id"),
+        F.row_number().over(w).cast("int").alias("shard_pos"),
+        F.col("n_seq_tokens"),
+        F.col("seq_text"),
+    ).orderBy("shard", "seq_id")
+
+
+TRAINING_SHARDS_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+counts AS (SELECT doc_id, len(tk) AS n FROM tk WHERE len(tk) > 0),
+offs AS (
+  SELECT doc_id,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM counts
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) + 1),
+                               i -> {{'pos': i, 'tok': tk[i]}})) AS s
+  FROM tk WHERE len(tk) > 0
+),
+tok2 AS (
+  SELECT o.start + struct_extract(t.s, 'pos') - 1 AS gpos,
+         struct_extract(t.s, 'tok') AS tok
+  FROM tok t JOIN offs o USING (doc_id)
+),
+packed AS (
+  SELECT CAST(floor(gpos / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
+         count(*) AS n_seq_tokens,
+         string_agg(tok, ' ' ORDER BY gpos) AS seq_text
+  FROM tok2 GROUP BY 1
+),
+sh AS (
+  SELECT *,
+         CAST(CAST('0x' || substr(md5(CAST(seq_id AS VARCHAR)), 1, 12)
+                   AS BIGINT) % {TRAIN_SHARDS_N} AS INT) AS shard
+  FROM packed
+)
+SELECT shard, seq_id,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY seq_id) AS INT)
+         AS shard_pos,
+       n_seq_tokens, seq_text
+FROM sh
+ORDER BY shard, seq_id
+"""
+
+
 def q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pack_sequences(with_boundaries=True): each packed sequence plus
     the in-sequence offsets where a new document begins — the
@@ -816,6 +950,7 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "corpus_pack_sequences": q_pack_sequences,
     "corpus_pack_boundaries": q_pack_boundaries,
+    "corpus_training_shards": q_training_shards,
     "corpus_pack_bestfit": q_pack_bestfit,
     "events_zorder": q_events_zorder,
     "events_interval_join": q_events_interval_join,
@@ -826,6 +961,7 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sft_render": q_sft_render,
     "sft_loss_spans": q_sft_loss_spans,
     "pipeline_sft": q_pipeline_sft,
+    "sft_pairs": q_sft_pairs,
 }
 
 ORACLES_TEMPORAL: dict[str, str] = {
@@ -835,6 +971,7 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "events_funnel": EVENTS_FUNNEL_ORACLE,
     "corpus_pack_sequences": PACK_SEQUENCES_ORACLE,
     "corpus_pack_boundaries": PACK_BOUNDARIES_ORACLE,
+    "corpus_training_shards": TRAINING_SHARDS_ORACLE,
     "corpus_pack_bestfit": PACK_BESTFIT_ORACLE,
     "events_zorder": _zorder_oracle(),
     "events_interval_join": EVENTS_INTERVAL_JOIN_ORACLE,
@@ -845,4 +982,5 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "sft_render": SFT_RENDER_ORACLE,
     "sft_loss_spans": SFT_LOSS_SPANS_ORACLE,
     "pipeline_sft": PIPELINE_SFT_ORACLE,
+    "sft_pairs": SFT_PAIRS_ORACLE,
 }

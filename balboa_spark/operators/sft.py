@@ -226,3 +226,84 @@ def loss_mask_spans(
         .otherwise(F.lit(0))
         .alias("loss_mask"),
     )
+
+
+def preference_pairs(
+    ratings: DataFrame,
+    prompt_col: str = "prompt_id",
+    prompt_text_col: str | None = None,
+    response_col: str = "response",
+    score_col: str = "score",
+    id_col: str = "response_id",
+    system_prompt: str | None = None,
+) -> DataFrame:
+    """Preference-pair assembly (the DPO/RLHF-reward data shape — the
+    SFT family's natural sibling): per prompt, pair the BEST-scored
+    response (chosen) with the WORST-scored one (rejected), rendered
+    through the same chat template as :func:`render_conversations`.
+
+    Selection is deterministic: chosen = highest ``score_col``, ties
+    to the LOWEST ``id_col``; rejected = lowest score, ties to the
+    lowest id. Prompts where the best and worst scores are EQUAL are
+    dropped (no strict preference exists — emitting an arbitrary pair
+    would teach the model a coin flip), which also drops
+    single-response prompts. NULL/NaN scores and NULL ids are
+    excluded by contract (an unscored response can't be ranked; NaN
+    orders differently across engines).
+
+    Scale shape: ONE groupBy per prompt with max_by/min_by over
+    (score, id) structs — map-side combined, no per-prompt window,
+    no self-join; state per group is two rows regardless of how many
+    responses a prompt has. Output columns: prompt_id, chosen_id,
+    rejected_id, chosen_score, rejected_score, chosen, rejected
+    (rendered transcripts).
+    """
+    r = ratings.filter(
+        F.col(score_col).isNotNull()
+        & ~F.isnan(F.col(score_col))
+        & F.col(id_col).isNotNull()
+        & F.col(prompt_col).isNotNull()
+    )
+    payload = F.struct(
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_score"),
+        F.col(response_col).alias("_text"),
+        *(
+            [F.col(prompt_text_col).alias("_prompt")]
+            if prompt_text_col
+            else []
+        ),
+    )
+    # max over (score, -id): highest score, ties -> lowest id;
+    # min over (score, id): lowest score, ties -> lowest id
+    best = F.max_by(payload, F.struct(F.col(score_col), -F.col(id_col)))
+    worst = F.min_by(payload, F.struct(F.col(score_col), F.col(id_col)))
+    g = r.groupBy(F.col(prompt_col).alias("prompt_id")).agg(
+        best.alias("_c"), worst.alias("_r")
+    )
+    g = g.filter(F.col("_c._score") > F.col("_r._score"))
+    sys_piece = (
+        _piece(F.lit("system"), F.lit(system_prompt)) if system_prompt else None
+    )
+
+    def render(which: str) -> Column:
+        prompt_txt = (
+            F.col(f"{which}._prompt")
+            if prompt_text_col
+            else F.col("prompt_id").cast("string")
+        )
+        body = F.concat(
+            _piece(F.lit("user"), prompt_txt),
+            _piece(F.lit("assistant"), F.col(f"{which}._text")),
+        )
+        return F.concat(sys_piece, body) if sys_piece is not None else body
+
+    return g.select(
+        "prompt_id",
+        F.col("_c._id").alias("chosen_id"),
+        F.col("_r._id").alias("rejected_id"),
+        F.col("_c._score").alias("chosen_score"),
+        F.col("_r._score").alias("rejected_score"),
+        render("_c").alias("chosen"),
+        render("_r").alias("rejected"),
+    )

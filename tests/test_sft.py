@@ -239,3 +239,75 @@ def test_sft_conversations_through_attribute_store(spark, tmp_path):
     got = kept.count()
     # only user u's first conversation has >= 2 turns with assistant mass
     assert got == 1
+
+
+def test_preference_pairs_selection_ties_and_template(spark):
+    """Chosen = highest score (ties -> lowest id), rejected = lowest
+    score (ties -> lowest id); equal best/worst (incl. single-response
+    prompts) drop; NULL/NaN scores and NULL ids are excluded; the
+    rendered pair uses the chat template with the system preamble."""
+    rows = [
+        # prompt 1: clear winner/loser + a NaN and a NULL to ignore
+        (1, 10, "a", 5.0), (1, 11, "b", 1.0), (1, 12, "c", 3.0),
+        (1, 13, "nan", float("nan")), (1, 14, "nul", None),
+        # prompt 2: tie at the top (9.0 twice -> lowest id 20 wins)
+        # and tie at the bottom (2.0 twice -> lowest id 22)
+        (2, 21, "t2", 9.0), (2, 20, "t1", 9.0),
+        (2, 23, "b2", 2.0), (2, 22, "b1", 2.0),
+        # prompt 3: all equal -> dropped
+        (3, 30, "x", 4.0), (3, 31, "y", 4.0),
+        # prompt 4: single response -> dropped
+        (4, 40, "only", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, response_id long, response string, score double"
+    )
+    got = {
+        r.prompt_id: r
+        for r in sft.preference_pairs(df, system_prompt="s").collect()
+    }
+    assert set(got) == {1, 2}
+    assert (got[1].chosen_id, got[1].rejected_id) == (10, 11)
+    assert (got[1].chosen_score, got[1].rejected_score) == (5.0, 1.0)
+    assert got[1].chosen == "<|system|>s<|end|><|user|>1<|end|><|assistant|>a<|end|>"
+    assert got[1].rejected == "<|system|>s<|end|><|user|>1<|end|><|assistant|>b<|end|>"
+    assert (got[2].chosen_id, got[2].rejected_id) == (20, 22)
+
+
+def test_preference_pairs_matches_python_reference_fuzz(spark):
+    """Pure-Python parity fuzz (the sft_assembly fuzz bar): random
+    scored responses across many prompts -> the groupBy max_by/min_by
+    plan equals the obvious per-prompt Python argmax/argmin with the
+    same tie rules."""
+    import math
+    import random
+
+    random.seed(42)
+    rows = []
+    rid = 0
+    for p in range(60):
+        for _ in range(random.randint(1, 8)):
+            score = random.choice(
+                [None, float("nan")] + [float(random.randint(0, 4))] * 8
+            )
+            rows.append((p, rid, f"r{rid}", score))
+            rid += 1
+    df = spark.createDataFrame(
+        rows, "prompt_id long, response_id long, response string, score double"
+    )
+    got = {
+        r.prompt_id: (r.chosen_id, r.rejected_id)
+        for r in sft.preference_pairs(df).collect()
+    }
+    by_prompt: dict[int, list] = {}
+    for p, i, _t, s in rows:
+        if s is None or (isinstance(s, float) and math.isnan(s)):
+            continue
+        by_prompt.setdefault(p, []).append((s, i))
+    want = {}
+    for p, rs in by_prompt.items():
+        chosen = min(rs, key=lambda e: (-e[0], e[1]))
+        rejected = min(rs, key=lambda e: (e[0], e[1]))
+        if chosen[0] > rejected[0]:
+            want[p] = (chosen[1], rejected[1])
+    assert got == want and want
