@@ -21,13 +21,22 @@ analog of the reference's dump/backup sinks, plans/layout.py Q5-Q7):
 - the manifest commits LAST via atomic rename: a crashed write leaves
   no manifest, and the reader refuses a manifest-less directory, so a
   torn export can never be mounted as a dataset (the ObservationStore
-  generation-pointer convention).
+  generation-pointer convention);
+- r15: exports are GENERATIONAL (``gen-<n>/shard=K/``, the genstore
+  pattern shared with ObservationStore/VectorStore/PostingsIndex) and
+  :func:`reexport_training_shards` drives an INCREMENTAL re-export
+  from a corpus delta (``corpus.snapshot_diff``): only shards whose
+  id-set changed are rewritten; every untouched shard hard-links from
+  the previous generation (O(#files) metadata, zero data movement,
+  byte-identical by construction), and the manifest flip is
+  CAS-guarded against concurrent writers.
 
 Scale shape: one repartition by the shard column (a single shuffle,
 AQE-splittable), sort within partitions, ``partitionBy`` write — no
 driver-side iteration; the validation pass is one count over a
 filter. 100 TB of packed sequences is exactly this plan with a larger
-``num_shards``.
+``num_shards``; a 0.1% corpus delta re-export costs one dirty-shard
+write + metadata links, not a full rewrite.
 """
 
 from __future__ import annotations
@@ -71,25 +80,60 @@ def write_training_shards(
     manifest atomically. Returns the manifest dict.
 
     Raises on: an existing manifest (dirty target — the export_gpt2
-    convention), any row whose ``tokens_col`` length differs from
-    ``seq_len`` (reported with a count and an example id), or a NULL
-    ``id_col`` (unaddressable for resume)."""
+    convention; incremental updates go through
+    :func:`reexport_training_shards`), any row whose ``tokens_col``
+    length differs from ``seq_len`` (reported with a count and an
+    example id), or a NULL ``id_col`` (unaddressable for resume)."""
     if os.path.exists(os.path.join(out_dir, MANIFEST)):
         raise FileExistsError(
             f"write_training_shards: {out_dir} already holds a manifest; "
-            "write to a fresh directory"
+            "write to a fresh directory (or reexport_training_shards "
+            "for an incremental update)"
         )
-    # Pin the rows ONCE before the validate+write pair: they are two
-    # separate actions, and a nondeterministic upstream (shuffle-order
-    # ids, a re-read source) could otherwise pass validation and then
-    # land different rows in the write — defeating the seq_len
-    # contract this module exists to enforce. localCheckpoint
-    # truncates the lineage so both actions see the same
-    # materialization.
+    packed, n = _validate_packed(packed, seq_len, id_col, tokens_col)
+    data = os.path.join(out_dir, _gen_dir(0))
+    (
+        packed.withColumn("shard", shard_of(F.col(id_col), num_shards))
+        .repartition(int(num_shards), "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("errorifexists")
+        .partitionBy("shard")
+        .parquet(data)
+    )
+    manifest = {
+        "format": "parquet",
+        "generation": 0,
+        "seq_len": int(seq_len),
+        "num_shards": int(num_shards),
+        "n_sequences": int(n),
+        "id_col": id_col,
+        "tokens_col": tokens_col,
+        **(extra_manifest or {}),
+    }
+    from balboa_spark.plans.genstore import flip_manifest
+
+    flip_manifest(out_dir, manifest, MANIFEST, expected_seq=0)
+    return {**manifest, "commit_seq": 1}
+
+
+def _gen_dir(gen: int) -> str:
+    return f"gen-{gen}"
+
+
+def _validate_packed(
+    packed: DataFrame, seq_len: int, id_col: str, tokens_col: str
+) -> tuple[DataFrame, int]:
+    """(pinned relation, row count) after the contract checks.
+
+    Pins the rows ONCE before the validate+write action pair: they
+    are separate actions, and a nondeterministic upstream
+    (shuffle-order ids, a re-read source) could otherwise pass
+    validation and then land different rows in the write — defeating
+    the seq_len contract this module exists to enforce.
+    localCheckpoint truncates the lineage so both actions see the
+    same materialization. Validation + count run in ONE aggregate
+    job."""
     packed = packed.localCheckpoint(eager=False)
-    # validation + count in ONE aggregate job: packed is typically the
-    # tail of the whole pack_sequences chain, and every extra action
-    # here recomputes that chain end to end
     is_bad = (
         F.col(id_col).isNull()
         | F.col(tokens_col).isNull()
@@ -105,43 +149,127 @@ def write_training_shards(
             .first()
         )
         raise ValueError(
-            f"write_training_shards: {stats['bad']} sequence(s) violate "
+            f"training shards: {stats['bad']} sequence(s) violate "
             f"the contract — e.g. {r[id_col]!r} has length {r['_n']} "
             f"(expected {seq_len}) or a NULL id/tokens; refusing to "
             "write a ragged dataset"
         )
-    n = stats["n"]
-    if n == 0:
+    if stats["n"] == 0:
         # an empty export would commit a valid manifest over a data
         # dir with no parquet files, which read_training_shards cannot
         # mount (schema inference fails before the count check)
         raise ValueError(
-            "write_training_shards: the relation is empty; refusing to "
+            "training shards: the relation is empty; refusing to "
             "commit a dataset no reader can mount"
         )
-    data = os.path.join(out_dir, DATA_DIR)
+    return packed, int(stats["n"])
+
+
+def reexport_training_shards(
+    packed: DataFrame,
+    out_dir: str,
+    changed_ids: DataFrame,
+    extra_manifest: dict | None = None,
+) -> dict:
+    """Incremental re-export after a corpus delta: rewrite ONLY the
+    shards whose id-set changed; hard-link every other shard from the
+    previous generation (byte-identical by construction — same
+    inodes); commit a new generation with a CAS-guarded manifest flip
+    (genstore ``ConcurrentWriterError`` on a racing writer) and
+    vacuum to keep-last-2.
+
+    ``packed`` is the FULL new relation (the manifest's n_sequences
+    re-validates against it); ``changed_ids`` is a one-column
+    relation of every id whose row was added, removed, or changed —
+    exactly ``corpus.snapshot_diff(old, new)``'s id column (added ∪
+    removed ∪ changed). Ids must be row-stable across snapshots for
+    the delta to be meaningful: doc-keyed shards qualify directly;
+    globally renumbered seq_ids (plain concat-and-chunk repacking
+    shifts every downstream offset) do NOT — use the doc-stable
+    packing arms (fragment ids keyed by (doc, chunk), sharded
+    pack mode) for incremental layouts.
+
+    Seq/shape parameters are pinned by the ORIGINAL manifest (a
+    different num_shards changes every hash assignment — that is a
+    fresh export, not a delta). Cost: one dirty-shard-filtered write
+    + one validation aggregate + O(#files) links — a 0.1% delta
+    touches ~num_shards x 0.1% of the data at uniform hashing.
+    """
+    from balboa_spark.plans.genstore import (
+        flip_manifest,
+        link_tree,
+        read_commit_seq,
+        vacuum_generations,
+    )
+
+    mpath = os.path.join(out_dir, MANIFEST)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"reexport_training_shards: {out_dir} has no {MANIFEST}; "
+            "use write_training_shards for the initial export"
+        )
+    expected_seq = read_commit_seq(out_dir, MANIFEST)
+    with open(mpath) as fh:
+        man = json.load(fh)
+    if "generation" not in man:
+        raise ValueError(
+            "reexport_training_shards: pre-generational export layout; "
+            "re-export fully with write_training_shards into a fresh "
+            "directory"
+        )
+    seq_len = int(man["seq_len"])
+    num_shards = int(man["num_shards"])
+    id_col, tokens_col = man["id_col"], man["tokens_col"]
+
+    packed, n = _validate_packed(packed, seq_len, id_col, tokens_col)
+    # dirty shards: <= num_shards rows reach the driver, never ids
+    dirty = sorted(
+        r["s"]
+        for r in changed_ids.select(
+            shard_of(F.col(changed_ids.columns[0]), num_shards).alias("s")
+        )
+        .distinct()
+        .collect()
+    )
+    old_gen, new_gen = int(man["generation"]), int(man["generation"]) + 1
+    if not dirty:
+        return man  # nothing changed; current generation stands
+    old_dir = os.path.join(out_dir, _gen_dir(old_gen))
+    new_dir = os.path.join(out_dir, _gen_dir(new_gen))
+    if os.path.exists(new_dir):
+        raise FileExistsError(
+            f"reexport_training_shards: {new_dir} already exists — a "
+            "torn prior re-export; remove it before retrying"
+        )
+    dirty_set = set(dirty)
     (
         packed.withColumn("shard", shard_of(F.col(id_col), num_shards))
-        .repartition(int(num_shards), "shard")
+        .filter(F.col("shard").isin(dirty))
+        .repartition(len(dirty), "shard")
         .sortWithinPartitions("shard", id_col)
         .write.mode("errorifexists")
         .partitionBy("shard")
-        .parquet(data)
+        .parquet(new_dir)
     )
+    os.makedirs(new_dir, exist_ok=True)  # all-dirty-empty edge: no rows
+    for entry in os.listdir(old_dir):
+        if not entry.startswith("shard="):
+            continue
+        if int(entry.split("=", 1)[1]) in dirty_set:
+            continue
+        link_tree(
+            os.path.join(old_dir, entry), os.path.join(new_dir, entry)
+        )
     manifest = {
-        "format": "parquet",
-        "seq_len": int(seq_len),
-        "num_shards": int(num_shards),
+        **{k: v for k, v in man.items() if k != "commit_seq"},
+        "generation": new_gen,
         "n_sequences": int(n),
-        "id_col": id_col,
-        "tokens_col": tokens_col,
+        "rewritten_shards": dirty,
         **(extra_manifest or {}),
     }
-    tmp = os.path.join(out_dir, MANIFEST + ".inprogress")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(out_dir, MANIFEST))
-    return manifest
+    flip_manifest(out_dir, manifest, MANIFEST, expected_seq=expected_seq)
+    vacuum_generations(out_dir, new_gen, keep_last=2)
+    return {**manifest, "commit_seq": expected_seq + 1}
 
 
 def read_training_shards(
@@ -160,7 +288,14 @@ def read_training_shards(
         )
     with open(mpath) as fh:
         manifest = json.load(fh)
-    df = spark.read.parquet(os.path.join(out_dir, DATA_DIR))
+    # generational layout since r15; pre-generational manifests point
+    # at the legacy flat data/ dir
+    sub = (
+        _gen_dir(int(manifest["generation"]))
+        if "generation" in manifest
+        else DATA_DIR
+    )
+    df = spark.read.parquet(os.path.join(out_dir, sub))
     n = df.count()
     if n != manifest["n_sequences"]:
         raise ValueError(

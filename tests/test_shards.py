@@ -83,8 +83,9 @@ def test_torn_export_refused_and_count_check(spark, tmp_path):
         shards.read_training_shards(spark, str(out))
     # a manifest whose count disagrees with the data refuses too
     m = {
-        "format": "parquet", "seq_len": 8, "num_shards": 2,
-        "n_sequences": 11, "id_col": "seq_id", "tokens_col": "token_ids",
+        "format": "parquet", "generation": 0, "seq_len": 8,
+        "num_shards": 2, "n_sequences": 11, "id_col": "seq_id",
+        "tokens_col": "token_ids",
     }
     (out / "manifest.json").write_text(json.dumps(m))
     with pytest.raises(ValueError, match="promises 11"):
@@ -150,3 +151,100 @@ def test_shard_of_matches_duckdb_md5_replay(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_reexport_links_unchanged_rewrites_dirty(spark, tmp_path):
+    """r15 incremental re-export: after a corpus delta, only shards
+    whose id-set changed are rewritten; unchanged shards HARD-LINK
+    from the previous generation (same inodes — byte-identical by
+    construction); the changed id lands in exactly its recomputed
+    shard; the mounted dataset equals a full rewrite."""
+    out = str(tmp_path / "inc")
+    old = _packed(spark)  # seq_id 0..39
+    m0 = shards.write_training_shards(old, out, seq_len=8, num_shards=4)
+    assert m0["generation"] == 0
+
+    # delta: change id 7's tokens, remove id 13, add id 100
+    new = (
+        old.filter("seq_id NOT IN (7, 13)")
+        .union(
+            spark.createDataFrame(
+                [(7, [9] * 8), (100, [1] * 8)],
+                "seq_id long, token_ids array<bigint>",
+            )
+        )
+    )
+    changed = spark.createDataFrame(
+        [(7,), (13,), (100,)], "seq_id long"
+    )
+    dirty = {
+        r["s"]
+        for r in changed.select(
+            shards.shard_of(F.col("seq_id"), 4).alias("s")
+        ).collect()
+    }
+    clean = set(range(4)) - dirty
+    assert clean, "fixture must leave at least one untouched shard"
+
+    def inodes(gen, k):
+        d = os.path.join(out, f"gen-{gen}", f"shard={k}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    m1 = shards.reexport_training_shards(new, out, changed)
+    assert m1["generation"] == 1
+    assert set(m1["rewritten_shards"]) == dirty
+    assert m1["n_sequences"] == 40  # 40 - 1 removed + 1 added
+    for k in clean:  # untouched shards: SAME inodes (hard links)
+        assert inodes(1, k) == inodes(0, k)
+    for k in dirty:  # dirty shards: genuinely rewritten
+        assert not (
+            set(inodes(1, k).values()) & set(inodes(0, k).values())
+        )
+
+    got, m2 = shards.read_training_shards(spark, out)
+    assert m2["generation"] == 1
+    want = {
+        (r["seq_id"], tuple(r["token_ids"]), r["s"])
+        for r in new.select(
+            "*", shards.shard_of(F.col("seq_id"), 4).alias("s")
+        ).collect()
+    }
+    assert {
+        (r["seq_id"], tuple(r["token_ids"]), r["shard"]) for r in got.collect()
+    } == want
+    # the changed id sits in exactly its recomputed shard
+    sh7 = got.filter("seq_id = 7").collect()[0]
+    assert sh7["shard"] in dirty and list(sh7["token_ids"]) == [9] * 8
+
+    # empty delta: no-op, generation stands
+    none = spark.createDataFrame([], "seq_id long")
+    m3 = shards.reexport_training_shards(new, out, none)
+    assert m3["generation"] == 1
+
+    # a second real delta vacuums gen-0 (keep-last-2 of gen 1+2)
+    changed2 = spark.createDataFrame([(100,)], "seq_id long")
+    m4 = shards.reexport_training_shards(new, out, changed2)
+    assert m4["generation"] == 2
+    assert not os.path.exists(os.path.join(out, "gen-0"))
+    assert shards.read_training_shards(spark, out)[0].count() == 40
+
+
+def test_reexport_refuses_fresh_or_legacy_targets(spark, tmp_path):
+    df = _packed(spark, n=8)
+    changed = spark.createDataFrame([(1,)], "seq_id long")
+    with pytest.raises(FileNotFoundError, match="initial export"):
+        shards.reexport_training_shards(df, str(tmp_path / "nope"), changed)
+    # legacy pre-generational manifest (no generation field)
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    (legacy / shards.MANIFEST).write_text(
+        json.dumps({"format": "parquet", "seq_len": 8, "num_shards": 2,
+                    "n_sequences": 8, "id_col": "seq_id",
+                    "tokens_col": "token_ids"})
+    )
+    with pytest.raises(ValueError, match="pre-generational"):
+        shards.reexport_training_shards(df, str(legacy), changed)
