@@ -1,12 +1,19 @@
 """Custom stateful streaming operator: cross-batch sessionization.
 
 The reference has no windowed operators (SURVEY §2.9 T3) — this is one
-of the engine's declared extensions. The batch twin (lag + cumulative
-gap counting) is `events_sessionize` in entry_queries_extra.py and is
-oracle-checked; this module is the STREAMING form, where sessions span
-micro-batches and so need keyed state: implemented with
-``applyInPandasWithState`` (Arrow-batched per-group pandas, state
-carried by the engine between triggers).
+of the engine's declared extensions. The batch twin is
+``temporal.gap_sessions`` (`events_sessionize` in
+entry_queries_extra.py, oracle-checked) — since r15 an ADAPTIVE plan
+whose two arms (classic per-user window / two-phase gaps-and-islands)
+number sessions identically, so this streaming form is equivalent to
+WHICHEVER batch arm is active: the session boundaries it emits equal
+both (pinned by the both-arms equivalence test in
+tests/test_streaming_sessions.py). This module is the STREAMING form,
+where sessions span micro-batches and so need keyed state:
+implemented with ``applyInPandasWithState`` (Arrow-batched per-group
+pandas, state carried by the engine between triggers). Its state is
+bounded the way the batch two-phase arm bounds its worst task: one
+(start, last, count) triple per live key, never a key's history.
 
 Semantics (same 30-minute-gap rule as the batch twin), all in EVENT
 time:

@@ -861,6 +861,43 @@ def main() -> None:
     run_items()
     shutil.rmtree(tmp, ignore_errors=True)
 
+    # Streaming latency gate (scripts/streaming_latency_probe.py) as a
+    # MACHINE-READABLE bench row: the per-round BENCH_rN record carries
+    # the gate's canary-normalized steady/compaction numbers so the
+    # streaming-hot-path trend is parseable like the query trail
+    # instead of living in PERF prose (r14 verdict task 7). Runs in a
+    # subprocess (own SparkSession, delta-LSM store); a probe failure
+    # is RECORDED, never fatal to the bench.
+    latency_gate: dict | None = None
+    try:
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "streaming_latency_probe.py")],
+            capture_output=True, text=True, timeout=900,
+        )
+        line = next(
+            (ln for ln in proc.stdout.splitlines()
+             if ln.startswith('{"probe"')), None,
+        )
+        if line:
+            p = json.loads(line)
+            latency_gate = {
+                "steady_median_normalized": p["steady_median_normalized"],
+                "compact_worst_normalized": p["compact_worst_normalized"],
+                "host_factor": p["host_factor"],
+                "pass": p["pass"],
+                "rc": proc.returncode,
+            }
+        else:
+            latency_gate = {
+                "rc": proc.returncode,
+                "error": (proc.stderr or proc.stdout)[-400:],
+            }
+    except Exception as exc:  # noqa: BLE001 — the gate must not sink the bench
+        latency_gate = {"rc": -1, "error": repr(exc)[:400]}
+
     import statistics
 
     total = round(sum(timings.values()), 3)
@@ -886,6 +923,7 @@ def main() -> None:
         "host_canary_sec": canary_median,
         "queries_normalized": normalized,
         "normalized_value_median": round(sum(normalized.values()), 2),
+        "streaming_latency_gate": latency_gate,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
