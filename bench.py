@@ -858,6 +858,46 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
 
+    @timed("sft_pairs")
+    def _():
+        # DPO preference-pair assembly: ONE groupBy with partial
+        # max_by/min_by over (score, id) structs — shuffle volume is
+        # two payload rows per prompt regardless of response count
+        from balboa_spark.operators.sft import preference_pairs
+
+        ev = par(spark.table("events"))
+        ratings = ev.select(
+            F.col("user_id").alias("prompt_id"),
+            F.col("event_id").alias("response_id"),
+            F.concat(
+                F.col("event_type"), F.lit(" "), F.coalesce("props", F.lit(""))
+            ).alias("response"),
+            F.col("value").alias("score"),
+        )
+        preference_pairs(ratings, system_prompt="sys").write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    @timed("shard_export")
+    def _():
+        # the trainer hand-off sink end to end: pack -> validate (one
+        # aggregate over the localCheckpointed relation) -> md5
+        # shard-assign -> one num_shards-way repartition +
+        # sortWithinPartitions parquet write + atomic manifest
+        from balboa_spark.operators import corpus as _corpus
+        from balboa_spark.operators import shards as _shards
+
+        out = os.path.join(tmp, "train_shards")
+        shutil.rmtree(out, ignore_errors=True)
+        packed = (
+            _corpus.pack_sequences(par(spark.table("documents")), seq_len=128)
+            .filter(F.col("n_seq_tokens") == 128)
+            .select("seq_id", F.split("seq_text", " ").alias("token_ids"))
+        )
+        _shards.write_training_shards(
+            packed, out, seq_len=128, num_shards=8
+        )
+
     run_items()
     shutil.rmtree(tmp, ignore_errors=True)
 
