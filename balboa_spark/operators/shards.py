@@ -106,6 +106,7 @@ def write_training_shards(
         "seq_len": int(seq_len),
         "num_shards": int(num_shards),
         "n_sequences": int(n),
+        "shard_sequences": _shard_counts(packed, id_col, num_shards),
         "id_col": id_col,
         "tokens_col": tokens_col,
         **(extra_manifest or {}),
@@ -118,6 +119,19 @@ def write_training_shards(
 
 def _gen_dir(gen: int) -> str:
     return f"gen-{gen}"
+
+
+def _shard_counts(packed: DataFrame, id_col: str, num_shards: int) -> dict:
+    """Per-shard row counts for the manifest (<= num_shards rows reach
+    the driver): lets the reader NAME a torn shard or dropped
+    hard-link instead of reporting only a total mismatch. JSON keys
+    are strings by format."""
+    rows = (
+        packed.groupBy(shard_of(F.col(id_col), num_shards).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {str(int(r["s"])): int(r["n"]) for r in rows}
 
 
 def _validate_packed(
@@ -264,6 +278,7 @@ def reexport_training_shards(
         **{k: v for k, v in man.items() if k != "commit_seq"},
         "generation": new_gen,
         "n_sequences": int(n),
+        "shard_sequences": _shard_counts(packed, id_col, num_shards),
         "rewritten_shards": dirty,
         **(extra_manifest or {}),
     }
@@ -273,13 +288,25 @@ def reexport_training_shards(
 
 
 def read_training_shards(
-    spark: SparkSession, out_dir: str
+    spark: SparkSession,
+    out_dir: str,
+    resume_from: tuple[int, object] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Mount a shard directory: refuses when the manifest is absent
-    (a torn export), re-validates the row count against it, and
-    returns (DataFrame with the ``shard`` column, manifest). Global
-    sample order is (shard, id) — the writer's layout, so a trainer's
-    resume cursor is just the last consumed (shard, id)."""
+    (a torn export), re-validates the row count against it — per
+    shard when the manifest carries ``shard_sequences`` (r15 exports;
+    a dropped hard-link or torn shard is then named, not just
+    counted) — and returns (DataFrame with the ``shard`` column,
+    manifest). Global sample order is (shard, id) — the writer's
+    layout, so a trainer's resume cursor is just the last consumed
+    (shard, id).
+
+    ``resume_from=(shard, last_id)`` mounts only the UNCONSUMED
+    suffix: strictly-later shards plus the tail of the cursor shard
+    (``id > last_id``). ``shard`` is a partition column, so the
+    strictly-later-shard predicate PRUNES whole shard directories at
+    the scan (a resume after 90% of a 100 TB run reads ~10% of it);
+    count re-validation is skipped for a partial mount."""
     mpath = os.path.join(out_dir, MANIFEST)
     if not os.path.exists(mpath):
         raise FileNotFoundError(
@@ -296,6 +323,32 @@ def read_training_shards(
         else DATA_DIR
     )
     df = spark.read.parquet(os.path.join(out_dir, sub))
+    if resume_from is not None:
+        s, last_id = int(resume_from[0]), resume_from[1]
+        return (
+            df.filter(
+                (F.col("shard") > s)
+                | ((F.col("shard") == s) & (F.col(manifest["id_col"]) > F.lit(last_id)))
+            ),
+            manifest,
+        )
+    per_shard = manifest.get("shard_sequences")
+    if per_shard is not None:
+        got = {
+            int(r["shard"]): r["n"]
+            for r in df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        want = {int(k): int(v) for k, v in per_shard.items()}
+        if got != want:
+            bad = sorted(
+                k for k in set(got) | set(want) if got.get(k) != want.get(k)
+            )
+            raise ValueError(
+                f"read_training_shards: shard counts diverge from the "
+                f"manifest at shard(s) {bad} — torn shard or dropped "
+                "hard-link; refusing to mount"
+            )
+        return df, manifest
     n = df.count()
     if n != manifest["n_sequences"]:
         raise ValueError(

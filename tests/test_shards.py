@@ -248,3 +248,41 @@ def test_reexport_refuses_fresh_or_legacy_targets(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="pre-generational"):
         shards.reexport_training_shards(df, str(legacy), changed)
+
+
+def test_resume_cursor_mounts_suffix_with_partition_pruning(spark, tmp_path):
+    """r15 trainer-side resume: resume_from=(shard, last_id) mounts
+    exactly the unconsumed suffix in (shard, id) order, and the
+    strictly-later-shard predicate reaches the scan as a PARTITION
+    filter (whole shard directories prune — the property that makes a
+    90%-consumed 100 TB resume read ~10%)."""
+    out = str(tmp_path / "r")
+    df = _packed(spark)
+    shards.write_training_shards(df, out, seq_len=8, num_shards=4)
+    full, m = shards.read_training_shards(spark, out)
+    rows = sorted(
+        (r["shard"], r["seq_id"]) for r in full.collect()
+    )
+    cursor = rows[len(rows) // 2]  # mid-dataset (shard, id)
+    got, _m = shards.read_training_shards(spark, out, resume_from=cursor)
+    want = [p for p in rows if p > cursor]
+    assert sorted((r["shard"], r["seq_id"]) for r in got.collect()) == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
+
+
+def test_per_shard_counts_name_a_torn_shard(spark, tmp_path):
+    """The r15 manifest carries per-shard counts; a dropped shard dir
+    (torn reexport link, partial copy) is refused BY NAME instead of
+    as a bare total mismatch."""
+    import shutil as _sh
+
+    out = str(tmp_path / "t2")
+    m = shards.write_training_shards(
+        _packed(spark), out, seq_len=8, num_shards=4
+    )
+    assert sum(m["shard_sequences"].values()) == m["n_sequences"]
+    victim = sorted(m["shard_sequences"])[0]
+    _sh.rmtree(os.path.join(out, "gen-0", f"shard={victim}"))
+    with pytest.raises(ValueError, match=f"shard.*{victim}"):
+        shards.read_training_shards(spark, out)
