@@ -217,6 +217,36 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("out", help="output dir (transcripts/ + spans/ subdirs)")
     s.add_argument("--gap-minutes", type=int, default=30)
     s.add_argument("--system-prompt", default=None)
+
+    s = sub.add_parser(
+        "sft-pairs",
+        help="assemble DPO preference pairs from a ratings parquet "
+        "(prompt_id, response_id, response, score): best vs worst "
+        "per prompt, template-rendered",
+    )
+    s.add_argument("input", help="parquet dir with (prompt_id, response_id, response, score)")
+    s.add_argument("out", help="output parquet dir")
+    s.add_argument("--system-prompt", default=None)
+
+    s = sub.add_parser(
+        "shards-export",
+        help="validate + export packed sequences as deterministic "
+        "md5-assigned training shards (manifest commits last)",
+    )
+    s.add_argument("input", help="parquet dir with (seq_id, token_ids)")
+    s.add_argument("out", help="shard store root dir (fresh)")
+    s.add_argument("--seq-len", type=int, required=True)
+    s.add_argument("--num-shards", type=int, default=8)
+
+    s = sub.add_parser(
+        "shards-reexport",
+        help="incremental shard re-export after a corpus delta: "
+        "rewrite only dirty shards, hard-link the rest into a new "
+        "generation",
+    )
+    s.add_argument("input", help="parquet dir with the FULL new (seq_id, token_ids)")
+    s.add_argument("out", help="existing shard store root dir")
+    s.add_argument("changed", help="parquet dir whose FIRST column is the changed ids")
     return p
 
 
@@ -347,6 +377,33 @@ def run(args: argparse.Namespace, spark=None) -> int:
         sft.loss_mask_spans(
             turns, system_prompt=args.system_prompt
         ).write.mode("overwrite").parquet(os.path.join(args.out, "spans"))
+        return 0
+
+    if args.cmd == "sft-pairs":
+        from balboa_spark.operators import sft
+
+        sft.preference_pairs(
+            spark.read.parquet(args.input),
+            system_prompt=args.system_prompt,
+        ).write.mode("overwrite").parquet(args.out)
+        return 0
+
+    if args.cmd == "shards-export":
+        from balboa_spark.operators import shards
+
+        shards.write_training_shards(
+            spark.read.parquet(args.input), args.out,
+            seq_len=args.seq_len, num_shards=args.num_shards,
+        )
+        return 0
+
+    if args.cmd == "shards-reexport":
+        from balboa_spark.operators import shards
+
+        shards.reexport_training_shards(
+            spark.read.parquet(args.input), args.out,
+            spark.read.parquet(args.changed),
+        )
         return 0
 
     if args.cmd == "corpus-datasheet":
