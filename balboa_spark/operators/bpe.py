@@ -1047,7 +1047,11 @@ class TokenizerStore:
         emits) for engine-fit generations; the VERBATIM positional
         table for imported ones (the export_gpt2 id-pin convention —
         a re-derived layout would decode this store's ids to the
-        wrong pieces on an external stack)."""
+        wrong pieces on an external stack). Documented caveat: an
+        imported SPECIAL token re-exports at score 0.0 (its original
+        model-vocab score is not recorded — inert in practice, since
+        segmentation never produces an added token; ids and the UNK
+        row round-trip verbatim)."""
         import json
         import os
 

@@ -258,6 +258,16 @@ def preference_pairs(
     rejected_id, chosen_score, rejected_score, chosen, rejected
     (rendered transcripts).
     """
+    id_type = dict(ratings.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # the chosen-side tie rule is encoded as max over (score, -id)
+        # — negation needs an integral id. A string id would fail at
+        # ANALYSIS time anyway; fail here with the actionable message.
+        raise ValueError(
+            f"preference_pairs: id_col {id_col!r} must be an integral "
+            f"type (got {id_type!r}) — the deterministic tie-break "
+            "negates it; map string ids to a dense integer first"
+        )
     r = ratings.filter(
         F.col(score_col).isNotNull()
         & ~F.isnan(F.col(score_col))
