@@ -268,12 +268,18 @@ def test_write_wet_shards_distributed_roundtrip(spark, tmp_path):
 
     def digest(d):
         import os
+        # shard ARCHIVES only: the _export.json token intentionally
+        # differs per build (r15 nonce — identical-parameter builds
+        # must invalidate each other); the byte-determinism contract
+        # is about the data a reader consumes
         return {
             f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
             for f in sorted(os.listdir(d))
+            if ".warc.wet" in f
         }
 
-    assert digest(out1) == digest(out2)
+    d1, d2 = digest(out1), digest(out2)
+    assert d1 == d2 and len(d1) == 4
 
 
 def test_write_wet_shards_refuses_dirty_dir(spark, tmp_path):
