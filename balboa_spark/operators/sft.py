@@ -62,6 +62,8 @@ def conversation_turns(
     order_cols: tuple = ("event_id",),
     content_col: Column | None = None,
     role_col: str | None = None,
+    session_mode: str = "adaptive",
+    heavy_user_rows: int = 1_000_000,
 ) -> DataFrame:
     """(user_id, conv_id, turn_idx, role, content, ts) — one row per
     turn, conversations split on > gap_minutes of inactivity.
@@ -107,6 +109,8 @@ def conversation_turns(
         ts_col="ts",
         order_cols=order_cols,
         with_turn_idx=True,
+        mode=session_mode,
+        heavy_user_rows=heavy_user_rows,
     )
     role = (
         F.col("_role")
