@@ -229,6 +229,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--system-prompt", default=None)
 
     s = sub.add_parser(
+        "sft-rejection",
+        help="rejection-sampling selection (RFT/best-of-n): per "
+        "prompt keep the top-k responses clearing the reward "
+        "threshold, template-rendered",
+    )
+    s.add_argument("input", help="parquet dir with (prompt_id, response_id, response, score)")
+    s.add_argument("out", help="output parquet dir")
+    s.add_argument("--threshold", type=float, required=True)
+    s.add_argument("--top-k", type=int, default=1)
+    s.add_argument("--system-prompt", default=None)
+
+    s = sub.add_parser(
         "shards-export",
         help="validate + export packed sequences as deterministic "
         "md5-assigned training shards (manifest commits last)",
@@ -384,6 +396,16 @@ def run(args: argparse.Namespace, spark=None) -> int:
 
         sft.preference_pairs(
             spark.read.parquet(args.input),
+            system_prompt=args.system_prompt,
+        ).write.mode("overwrite").parquet(args.out)
+        return 0
+
+    if args.cmd == "sft-rejection":
+        from balboa_spark.operators import sft
+
+        sft.rejection_sample(
+            spark.read.parquet(args.input),
+            threshold=args.threshold, k=args.top_k,
             system_prompt=args.system_prompt,
         ).write.mode("overwrite").parquet(args.out)
         return 0

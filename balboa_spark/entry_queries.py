@@ -497,7 +497,7 @@ R15_IN = [
     "corpus_pack_bestfit", "corpus_source_overlap",
     "events_heavy_users", "events_props_extract",
     "obs_blocklist_match", "supplier_entity_resolve",
-    "corpus_training_shards", "sft_pairs",
+    "corpus_training_shards", "sft_pairs", "sft_rejection",
 ]
 R15_OUT = [
     "corpus_bpe_bytes_encode", "corpus_mixture_budget",
@@ -505,6 +505,7 @@ R15_OUT = [
     "events_resample", "graph_pagerank", "corpus_lang_id",
     "exact_dedup_store",
     "media_stats", "tpch_q1", "topk_per_group", "join_enrich",
+    "corpus_hash_sample",
 ]
 
 CAP_50 = [
@@ -514,6 +515,7 @@ CAP_50 = [
     "pipeline_sft",          # gap_sessions adaptive arm
     "events_sessionize",     # gap_sessions adaptive arm
     "sft_pairs",             # NEW r15: DPO preference-pair assembly
+    "sft_rejection",         # NEW r15: rejection-sampling (RFT) top-k
     "corpus_training_shards",# NEW r15: shard sink layout (md5 shard_of)
     "pipeline_wet_ccnet",    # WET export-token nonce (write path)
     "corpus_unigram_segment",# unigram_encode_corpus vocab_ids seam
@@ -551,9 +553,9 @@ CAP_50 = [
     "supplier_entity_resolve",
     # -- R14_IN remainder: single-green r14 after their recall, kept
     #    for the double-green confirmation (media_stats/tpch_q1/
-    #    topk_per_group/join_enrich demoted with multi-green-history
-    #    notes to fund the frontier recall) --
-    "corpus_hash_sample",
+    #    topk_per_group/join_enrich/corpus_hash_sample demoted with
+    #    multi-green-history notes to fund the frontier recall and the
+    #    third NEW entry) --
     "events_quantiles",
     "pipeline_clean",
     "rollup_observations",
@@ -619,6 +621,11 @@ _TAIL = [
     "tpch_q1",                 # literal TPC-H SQL, Catalyst demo
     "topk_per_group",          # generic window demo
     "join_enrich",             # generic broadcast-join demo
+    "corpus_hash_sample",      # md5-threshold kernel, multi-green
+                               # r5..r14 at rest; same kernel in-cap
+                               # via corpus_stratified_k (identical
+                               # md5-prefix threshold rule); slot funds
+                               # the NEW sft_rejection entry
     # --- demoted r14: backbone canaries (multi-round green r10-r13,
     #     kernels at rest since r7; backbone coverage in-cap via the
     #     recalled entries_rdata (Q2 rides the same dual-sorted

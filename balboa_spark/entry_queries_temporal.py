@@ -242,6 +242,59 @@ ORDER BY c.prompt_id
 """
 
 
+REJ_THRESHOLD = 50.0
+REJ_K = 3
+
+
+def q_sft_rejection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection-sampling selection (RFT/best-of-n, r15): per prompt
+    keep the top-3 responses clearing the reward threshold, rendered —
+    the positive-only sibling of sft_pairs. ONE groupBy; the top-k is
+    a slice(sort_array(collect_list)) over the per-prompt response
+    list (bounded by responses-per-prompt), no window, no self-join
+    (operators/sft.py rejection_sample)."""
+    from balboa_spark.operators.sft import rejection_sample
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    ratings = ev.select(
+        F.col("user_id").alias("prompt_id"),
+        F.col("event_id").alias("response_id"),
+        F.concat(
+            F.col("event_type"), F.lit(" "), F.coalesce("props", F.lit(""))
+        ).alias("response"),
+        F.col("value").alias("score"),
+    )
+    return rejection_sample(
+        ratings, threshold=REJ_THRESHOLD, k=REJ_K, system_prompt="sys"
+    ).orderBy("prompt_id", "rank")
+
+
+SFT_REJECTION_ORACLE = f"""
+WITH r AS (
+  SELECT user_id AS prompt_id, event_id AS response_id,
+         event_type || ' ' || coalesce(props, '') AS response,
+         value AS score
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND value IS NOT NULL AND NOT isnan(value)
+    AND value >= {REJ_THRESHOLD}
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score DESC, response_id ASC) AS rk
+  FROM r
+)
+SELECT prompt_id, response_id, score, CAST(rk AS INT) AS rank,
+       '<|system|>sys<|end|>' || '<|user|>' || CAST(prompt_id AS VARCHAR)
+         || '<|end|>' || '<|assistant|>' || response || '<|end|>'
+         AS rendered
+FROM ranked
+WHERE rk <= {REJ_K}
+ORDER BY prompt_id, rank
+"""
+
+
 TRAIN_SHARDS_N = 8
 
 
@@ -963,6 +1016,7 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sft_loss_spans": q_sft_loss_spans,
     "pipeline_sft": q_pipeline_sft,
     "sft_pairs": q_sft_pairs,
+    "sft_rejection": q_sft_rejection,
 }
 
 ORACLES_TEMPORAL: dict[str, str] = {
@@ -984,4 +1038,5 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "sft_loss_spans": SFT_LOSS_SPANS_ORACLE,
     "pipeline_sft": PIPELINE_SFT_ORACLE,
     "sft_pairs": SFT_PAIRS_ORACLE,
+    "sft_rejection": SFT_REJECTION_ORACLE,
 }

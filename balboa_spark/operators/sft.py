@@ -321,3 +321,93 @@ def preference_pairs(
         render("_c").alias("chosen"),
         render("_r").alias("rejected"),
     )
+
+
+def rejection_sample(
+    ratings: DataFrame,
+    threshold: float,
+    k: int = 1,
+    prompt_col: str = "prompt_id",
+    prompt_text_col: str | None = None,
+    response_col: str = "response",
+    score_col: str = "score",
+    id_col: str = "response_id",
+    system_prompt: str | None = None,
+) -> DataFrame:
+    """Rejection-sampling selection (the RFT/STaR/best-of-n data
+    shape): per prompt, keep the top-``k`` responses whose score
+    clears ``threshold``, rendered through the chat template — the
+    positive-only sibling of :func:`preference_pairs` (DPO wants a
+    contrast pair; rejection finetuning wants only the accepted
+    completions).
+
+    Ranking is deterministic: score desc, ties to the LOWEST
+    ``id_col``. NULL/NaN scores and NULL ids are excluded by contract.
+
+    Scale shape: ONE groupBy per prompt; the top-k is a
+    ``slice(sort_array(collect_list(...)), 1, k)`` over the per-prompt
+    response list — bounded by responses-per-prompt (a rating table's
+    natural bound, the render_conversations per-group contract), no
+    window, no self-join. Output: prompt_id, response_id, score,
+    rank (1-based), rendered.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    id_type = dict(ratings.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"rejection_sample: id_col {id_col!r} must be an integral "
+            f"type (got {id_type!r}) — the deterministic rank sorts on "
+            "(-score, id); map string ids to a dense integer first"
+        )
+    r = ratings.filter(
+        F.col(score_col).isNotNull()
+        & ~F.isnan(F.col(score_col))
+        & F.col(id_col).isNotNull()
+        & F.col(prompt_col).isNotNull()
+        & (F.col(score_col) >= F.lit(float(threshold)))
+    )
+    # sort key (-score, id): ascending sort_array = score desc, id asc
+    entry = F.struct(
+        (-F.col(score_col)).alias("_negscore"),
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_score"),
+        F.col(response_col).alias("_text"),
+        *(
+            [F.col(prompt_text_col).alias("_prompt")]
+            if prompt_text_col
+            else []
+        ),
+    )
+    g = (
+        r.groupBy(F.col(prompt_col).alias("prompt_id"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(entry)), 1, int(k)
+            ).alias("_top")
+        )
+        .select(
+            "prompt_id",
+            F.posexplode("_top").alias("_rk0", "_e"),
+        )
+    )
+    sys_piece = (
+        _piece(F.lit("system"), F.lit(system_prompt)) if system_prompt else None
+    )
+    prompt_txt = (
+        F.col("_e._prompt")
+        if prompt_text_col
+        else F.col("prompt_id").cast("string")
+    )
+    body = F.concat(
+        _piece(F.lit("user"), prompt_txt),
+        _piece(F.lit("assistant"), F.col("_e._text")),
+    )
+    rendered = F.concat(sys_piece, body) if sys_piece is not None else body
+    return g.select(
+        "prompt_id",
+        F.col("_e._id").alias("response_id"),
+        F.col("_e._score").alias("score"),
+        (F.col("_rk0") + 1).cast("int").alias("rank"),
+        rendered.alias("rendered"),
+    )

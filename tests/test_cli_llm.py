@@ -34,3 +34,18 @@ def test_cli_sft_pairs_and_shards_e2e(spark, tmp_path):
     assert run(build_parser().parse_args(argv), spark=spark) == 0
     df, m = shards.read_training_shards(spark, sout)
     assert m["generation"] == 1 and df.count() == 20
+
+
+def test_cli_sft_rejection_e2e(spark, tmp_path):
+    from balboa_spark.cli import build_parser, run
+
+    ratings = spark.createDataFrame(
+        [(1, 10, "top", 9.0), (1, 11, "mid", 6.0), (1, 12, "low", 1.0)],
+        "prompt_id long, response_id long, response string, score double",
+    )
+    rin = str(tmp_path / "rat"); ratings.write.parquet(rin)
+    out = str(tmp_path / "rft")
+    argv = ["sft-rejection", rin, out, "--threshold", "5", "--top-k", "2"]
+    assert run(build_parser().parse_args(argv), spark=spark) == 0
+    got = sorted((r.rank, r.response_id) for r in spark.read.parquet(out).collect())
+    assert got == [(1, 10), (2, 11)]

@@ -311,3 +311,71 @@ def test_preference_pairs_matches_python_reference_fuzz(spark):
         if chosen[0] > rejected[0]:
             want[p] = (chosen[1], rejected[1])
     assert got == want and want
+
+
+def test_rejection_sample_threshold_topk_and_template(spark):
+    """Per prompt: responses below the threshold drop; the survivors
+    rank (score desc, ties -> lowest id) and only the top-k render;
+    NULL/NaN scores excluded; k >= 1 enforced; non-integral id
+    refused."""
+    import pytest
+
+    rows = [
+        (1, 10, "a", 9.0), (1, 11, "b", 9.0), (1, 12, "c", 7.0),
+        (1, 13, "d", 2.0),              # below threshold
+        (1, 14, "e", float("nan")), (1, 15, "f", None),
+        (2, 20, "x", 1.0),              # all below -> prompt drops
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, response_id long, response string, score double"
+    )
+    got = sft.rejection_sample(df, threshold=5.0, k=2, system_prompt="s")
+    out = sorted(
+        (r.prompt_id, r.rank, r.response_id, r.score) for r in got.collect()
+    )
+    # tie at 9.0 -> id 10 ranks 1, id 11 ranks 2; c (7.0) cut by k=2
+    assert out == [(1, 1, 10, 9.0), (1, 2, 11, 9.0)]
+    r1 = {r.rank: r.rendered for r in got.collect()}
+    assert r1[1] == "<|system|>s<|end|><|user|>1<|end|><|assistant|>a<|end|>"
+
+    with pytest.raises(ValueError, match="k must be"):
+        sft.rejection_sample(df, threshold=5.0, k=0)
+    bad = df.withColumn("response_id", df.response_id.cast("string"))
+    with pytest.raises(ValueError, match="integral"):
+        sft.rejection_sample(bad, threshold=5.0)
+
+
+def test_rejection_sample_matches_python_reference_fuzz(spark):
+    """Pure-Python parity fuzz: the slice(sort_array(collect_list))
+    plan equals the obvious per-prompt sorted-filter with the same
+    threshold and tie rules."""
+    import math
+    import random
+
+    random.seed(77)
+    rows, rid = [], 0
+    for p in range(50):
+        for _ in range(random.randint(1, 9)):
+            s = random.choice(
+                [None, float("nan")] + [float(random.randint(0, 6))] * 8
+            )
+            rows.append((p, rid, f"r{rid}", s))
+            rid += 1
+    df = spark.createDataFrame(
+        rows, "prompt_id long, response_id long, response string, score double"
+    )
+    K, TH = 3, 3.0
+    got = sorted(
+        (r.prompt_id, r.rank, r.response_id)
+        for r in sft.rejection_sample(df, threshold=TH, k=K).collect()
+    )
+    by_p: dict[int, list] = {}
+    for p, i, _t, s in rows:
+        if s is None or (isinstance(s, float) and math.isnan(s)) or s < TH:
+            continue
+        by_p.setdefault(p, []).append((-s, i))
+    want = []
+    for p, rs in by_p.items():
+        for rk, (_negs, i) in enumerate(sorted(rs)[:K], start=1):
+            want.append((p, rk, i))
+    assert got == sorted(want) and want
