@@ -3009,3 +3009,90 @@ def test_unigram_imported_encode_matches_python_viterbi(spark, tmp_path):
         parts, _score = _viterbi_py(w, dict(pieces), mpl)
         want = [ids.get(p, 7) for p in parts]
         assert got[i] == want, (w, got[i], want)
+
+
+def test_unigram_hf_artifact_roundtrip_property(tmp_path):
+    """Property: for ANY piece table (unicode pieces incl. metaspace/
+    CJK/emoji, arbitrary finite log-probs, any unk position, any
+    added-token overlay), import(export(x)) is a fixpoint of the
+    positional table — ids, pieces, logps, unk, and specials all
+    verbatim. Pure-Python (no Spark) — the artifact layer itself."""
+    import json
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from balboa_spark.operators import tokenizer_io
+
+    piece = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), min_codepoint=33
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pieces=st.lists(piece, min_size=1, max_size=24, unique=True),
+        logps=st.lists(
+            st.floats(
+                min_value=-50, max_value=0, allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=25,
+            max_size=25,
+        ),
+        unk_pos=st.integers(min_value=0, max_value=24),
+        n_specials=st.integers(min_value=0, max_value=2),
+        data=st.data(),
+    )
+    def check(pieces, logps, unk_pos, n_specials, data):
+        # build a positional vocab: pieces at their list positions,
+        # an unk entry inserted, specials appended at the end
+        vocab = [[p, logps[i]] for i, p in enumerate(pieces)]
+        unk_pos = min(unk_pos, len(vocab))
+        vocab.insert(unk_pos, ["<unk>", -99.0])
+        specials = {}
+        for j in range(n_specials):
+            tok = f"<|sp{j}|>"
+            specials[tok] = len(vocab)
+            vocab.append([tok, 0.0])
+        doc = {
+            "added_tokens": [
+                {"id": i, "content": t, "special": True}
+                for t, i in specials.items()
+            ],
+            "model": {"type": "Unigram", "unk_id": unk_pos, "vocab": vocab},
+        }
+        src = tmp_path / f"a_{abs(hash(str(vocab))) % 10**9}.json"
+        src.write_text(json.dumps(doc, ensure_ascii=False), encoding="utf-8")
+        entries, unk, sp = tokenizer_io.import_hf_unigram(str(src))
+        assert unk == ("<unk>", -99.0, unk_pos)
+        assert sp == specials
+        # re-export the verbatim positional table + unk + specials
+        dense = {i: (p, lp) for p, lp, i in entries}
+        dense[unk_pos] = ("<unk>", -99.0)
+        for t, i in specials.items():
+            dense[i] = (t, 0.0)
+        out = str(src) + ".re.json"
+        tokenizer_io.export_hf_unigram(
+            [], out,
+            vocab_entries=[(p, lp, i) for i, (p, lp) in sorted(dense.items())],
+            unk_id=unk_pos, specials=specials,
+        )
+        redoc = json.loads(open(out, encoding="utf-8").read())
+        assert redoc["model"]["vocab"] == vocab
+        assert redoc["model"]["unk_id"] == unk_pos
+        assert {
+            a["content"]: a["id"] for a in redoc["added_tokens"]
+        } == specials
+        os.remove(out)
+        os.remove(src)
+
+    check()
