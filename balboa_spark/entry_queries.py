@@ -459,29 +459,32 @@ R14_OUT = [
 # ROUND-15 ROTATION (executed this round; grading_ledger.py checks
 # membership exactly as for R14).
 #
-# IN (12): the staleness frontier — ann_pq_topk + dedup_embedding
+# IN (13): the staleness frontier — ann_pq_topk + dedup_embedding
 # (last real-driver green r7, AT the 8-round budget this round) and
 # the ENTIRE 8-entry r9 cohort (corpus_dataset_profile,
 # corpus_html_extract, corpus_pack_bestfit, corpus_source_overlap,
 # events_heavy_users, events_props_extract, obs_blocklist_match,
 # supplier_entity_resolve — at 6, recalled early so the budget never
-# binds two cohorts at once) — plus the two NEW r15 entries
+# binds two cohorts at once) — plus the three NEW r15 entries
 # (never-graded must be in-cap): corpus_training_shards (the shard
 # sink's md5 layout, gradeable since the r15 shard_of convention
-# switch) and sft_pairs (DPO preference-pair assembly).
+# switch), sft_pairs (DPO preference-pair assembly), and
+# sft_rejection (rejection-sampling / RFT top-k selection).
 #
-# OUT (12), each with a tail note: the nine r13-kernel-change entries
+# OUT (13), each with a tail note: the nine r13-kernel-change entries
 # now DOUBLE-green on their current kernels (green r13 AND r14,
 # kernels untouched in r14/r15): corpus_bpe_bytes_encode,
 # corpus_mixture_budget, dedup_ngram_jaccard, dedup_minhash_lsh,
 # events_resample, graph_pagerank, corpus_lang_id, exact_dedup_store
-# — plus media_stats, tpch_q1, topk_per_group, join_enrich from the
-# R14_IN block: each is multi-green ACROSS history (r5/r6-era
-# multi-round greens + the r14 re-confirmation on kernels years at
-# rest), and the last three are generic SQL demos (tail rationale
-# class (c)), the cheapest grading surface to pause. dedup_components
-# (the star-loop/components kernel) and dedup_passage/media_dedup
-# stay as the in-cap dedup representatives.
+# — plus media_stats, tpch_q1, topk_per_group, join_enrich,
+# corpus_hash_sample from the R14_IN block: each is multi-green
+# ACROSS history (r5/r6-era multi-round greens + the r14
+# re-confirmation on kernels years at rest); tpch_q1/topk_per_group/
+# join_enrich are generic SQL demos (tail rationale class (c)) and
+# corpus_hash_sample's md5-threshold kernel rides in-cap
+# corpus_stratified_k. dedup_components (the star-loop/components
+# kernel) and dedup_passage/media_dedup stay as the in-cap dedup
+# representatives.
 #
 # Kernel-changed THIS round, staying for re-grade: sft_render /
 # sft_loss_spans / pipeline_sft / events_sessionize (gap_sessions
