@@ -80,8 +80,23 @@ def main() -> None:
         # cannot mask a real regression: a plan that genuinely slowed
         # shows in the median even when one lucky pass keeps the min
         # flat.
+        def spark_canary() -> float:
+            # JVM-side twin of the pure-Python canary (r15): a fixed
+            # 5M-row whole-stage-codegen aggregate. The Python canary
+            # cannot see JVM/GC/shuffle-IO interference — the r15
+            # bench showed the Python canary speeding up while Spark
+            # did not, deflating normalized improvements. Recorded
+            # alongside (spark_canary_sec) so cross-round adjudication
+            # can pick the canary that matches the contended resource;
+            # the normalized trail stays on host_canary for
+            # r14-continuity.
+            t0 = time.time()
+            spark.range(5_000_000).selectExpr("sum(id * 2) AS s").collect()
+            return time.time() - t0
+
         for _ in range(passes):
             pass_log.setdefault("host_canary", []).append(host_canary())
+            pass_log.setdefault("spark_canary", []).append(spark_canary())
             for name, fn in items:
                 if name in errors:
                     continue
@@ -944,9 +959,12 @@ def main() -> None:
     medians = {
         k: round(statistics.median(v), 3)
         for k, v in pass_log.items()
-        if k != "host_canary"
+        if k not in ("host_canary", "spark_canary")
     }
     canary_median = round(statistics.median(pass_log["host_canary"]), 3)
+    spark_canary_median = round(
+        statistics.median(pass_log["spark_canary"]), 3
+    )
     # Dimensionless medians in canary units (median / canary_median):
     # stable across host-speed drift, the judge's cross-round trail.
     normalized = {
@@ -961,6 +979,7 @@ def main() -> None:
         "queries_median": medians,
         "value_median": round(sum(medians.values()), 3),
         "host_canary_sec": canary_median,
+        "spark_canary_sec": spark_canary_median,
         "queries_normalized": normalized,
         "normalized_value_median": round(sum(normalized.values()), 2),
         "streaming_latency_gate": latency_gate,
