@@ -459,7 +459,7 @@ R14_OUT = [
 # ROUND-15 ROTATION (executed this round; grading_ledger.py checks
 # membership exactly as for R14).
 #
-# IN (13): the staleness frontier — ann_pq_topk + dedup_embedding
+# IN (14): the staleness frontier — ann_pq_topk + dedup_embedding
 # (last real-driver green r7, AT the 8-round budget this round) and
 # the ENTIRE 8-entry r9 cohort (corpus_dataset_profile,
 # corpus_html_extract, corpus_pack_bestfit, corpus_source_overlap,
@@ -469,9 +469,10 @@ R14_OUT = [
 # (never-graded must be in-cap): corpus_training_shards (the shard
 # sink's md5 layout, gradeable since the r15 shard_of convention
 # switch), sft_pairs (DPO preference-pair assembly), and
-# sft_rejection (rejection-sampling / RFT top-k selection).
+# sft_rejection (rejection-sampling / RFT top-k selection), and
+# corpus_semantic_order (ICLM packing order).
 #
-# OUT (13), each with a tail note: the nine r13-kernel-change entries
+# OUT (14), each with a tail note: the nine r13-kernel-change entries
 # now DOUBLE-green on their current kernels (green r13 AND r14,
 # kernels untouched in r14/r15): corpus_bpe_bytes_encode,
 # corpus_mixture_budget, dedup_ngram_jaccard, dedup_minhash_lsh,
@@ -501,6 +502,7 @@ R15_IN = [
     "events_heavy_users", "events_props_extract",
     "obs_blocklist_match", "supplier_entity_resolve",
     "corpus_training_shards", "sft_pairs", "sft_rejection",
+    "corpus_semantic_order",
 ]
 R15_OUT = [
     "corpus_bpe_bytes_encode", "corpus_mixture_budget",
@@ -508,7 +510,7 @@ R15_OUT = [
     "events_resample", "graph_pagerank", "corpus_lang_id",
     "exact_dedup_store",
     "media_stats", "tpch_q1", "topk_per_group", "join_enrich",
-    "corpus_hash_sample",
+    "corpus_hash_sample", "corpus_vocab_topk",
 ]
 
 CAP_50 = [
@@ -520,6 +522,8 @@ CAP_50 = [
     "sft_pairs",             # NEW r15: DPO preference-pair assembly
     "sft_rejection",         # NEW r15: rejection-sampling (RFT) top-k
     "corpus_training_shards",# NEW r15: shard sink layout (md5 shard_of)
+    "corpus_semantic_order", # NEW r15: ICLM packing order (kmeans
+                             # recursion + within-cell rank)
     "pipeline_wet_ccnet",    # WET export-token nonce (write path)
     "corpus_unigram_segment",# unigram_encode_corpus vocab_ids seam
     # -- r14 first-grades: single-green, stay until double-green --
@@ -565,7 +569,6 @@ CAP_50 = [
     "tpch_q3",
     "media_dedup",
     "corpus_contamination",
-    "corpus_vocab_topk",
     "corpus_chunk_tokens",
     "corpus_clean_text",
     "corpus_interleave",
@@ -629,6 +632,12 @@ _TAIL = [
                                # via corpus_stratified_k (identical
                                # md5-prefix threshold rule); slot funds
                                # the NEW sft_rejection entry
+    "corpus_vocab_topk",       # tokenize+count+top-k kernel,
+                               # multi-green r5..r14 at rest; class
+                               # graded in-cap via
+                               # corpus_trigram_familiarity (same
+                               # tokenize+groupBy-count shape); slot
+                               # funds the NEW corpus_semantic_order
     # --- demoted r14: backbone canaries (multi-round green r10-r13,
     #     kernels at rest since r7; backbone coverage in-cap via the
     #     recalled entries_rdata (Q2 rides the same dual-sorted

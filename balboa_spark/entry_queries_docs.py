@@ -1848,7 +1848,51 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _kmeans_oracle() -> str:
+def q_semantic_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICLM-style semantic packing order (similarity.semantic_order):
+    the SAME deterministic kmeans recursion as embedding_kmeans, then
+    every vector's (cell, rounded-cosine-to-centroid) ordering key —
+    related documents adjacent in the packed stream. The pack_rank
+    window partitioned by cell is the GRADING surface only (pins the
+    within-cell order at sf0.01); production consumes the sort keys
+    via ORDER BY (cell, sim DESC, id) — a range-partitioned sort, no
+    k-partition window."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"]
+    seed_rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(KM_K)
+        .select("embedding")
+        .collect()
+    )
+    C = similarity.ivf_fit(
+        emb, 64, k=KM_K, iters=KM_ITERS,
+        seeds=[list(r[0]) for r in seed_rows], round_digits=9,
+    )
+    so = similarity.semantic_order(emb, C)
+    w = Window.partitionBy("cell").orderBy(F.col("sim").desc(), "vec_id")
+    return so.select(
+        "vec_id",
+        "cell",
+        "sim",
+        F.row_number().over(w).cast("int").alias("pack_rank"),
+    ).orderBy("cell", "pack_rank")
+
+
+SEMANTIC_ORDER_SELECT = """
+, fin2 AS (
+  SELECT e.vec_id, f.cell, {cos_fin} AS sim
+  FROM fin f JOIN e USING (vec_id) JOIN {last} p ON p.cell = f.cell)
+SELECT vec_id, cell, sim,
+       CAST(row_number() OVER (PARTITION BY cell
+              ORDER BY sim DESC, vec_id) AS INT) AS pack_rank
+FROM fin2 ORDER BY cell, pack_rank
+"""
+
+
+def _kmeans_oracle(select: str | None = None) -> str:
     def cos(a: str, b: str) -> str:
         return (
             f"round(coalesce(list_inner_product({a}, {b})"
@@ -1899,9 +1943,10 @@ def _kmeans_oracle() -> str:
              ORDER BY {cos('e.v', 'p.c')} DESC, p.cell) AS rn
     FROM e CROSS JOIN c{KM_ITERS} p) WHERE rn = 1)"""
     ctes.append(final)
-    return (
-        "WITH " + ",\n".join(ctes)
-        + "\nSELECT vec_id, cell FROM fin ORDER BY vec_id"
+    if select is None:
+        select = "SELECT vec_id, cell FROM fin ORDER BY vec_id"
+    return "WITH " + ",\n".join(ctes) + "\n" + select.format(
+        cos_fin=cos("e.v", "p.c"), last=f"c{KM_ITERS}"
     )
 
 
@@ -1940,6 +1985,7 @@ QUERIES_DOCS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_mean_pool": q_embedding_mean_pool,
     "embedding_seed_topk": q_embedding_seed_topk,
     "embedding_kmeans": q_embedding_kmeans,
+    "corpus_semantic_order": q_semantic_order,
 }
 
 ORACLES_DOCS: dict[str, str] = {
@@ -1986,4 +2032,5 @@ ORACLES_DOCS: dict[str, str] = {
     "embedding_mean_pool": EMBEDDING_MEAN_POOL_ORACLE,
     "embedding_seed_topk": EMBEDDING_SEED_TOPK_ORACLE,
     "embedding_kmeans": _kmeans_oracle(),
+    "corpus_semantic_order": _kmeans_oracle(SEMANTIC_ORDER_SELECT),
 }

@@ -870,3 +870,58 @@ def seed_centroid_scores(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col("_cen")), 6).alias("seed_cos"),
     )
+
+
+def semantic_order(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sim_digits: int = 6,
+) -> DataFrame:
+    """Semantic packing order (the in-context-pretraining data shape,
+    Shi et al. 2023: packing RELATED documents into the same context
+    window beats random packing): assign every vector to its nearest
+    centroid (rounded cosine argmax, min-cell tie-break — exactly the
+    embedding_kmeans assignment rule) and emit the deterministic
+    ordering key a packer consumes as ``ORDER BY (cell, sim DESC,
+    id)`` — cluster-mates adjacent, each cluster streamed
+    closest-to-centroid first.
+
+    Declared approximation (the passage_dedup-vs-suffix-array
+    convention): the published method orders by traversing a
+    document-level kNN graph; this operator is the cluster-then-rank
+    proxy — related docs land adjacent via their shared cell rather
+    than via per-document nearest-neighbor chains. The trade is a
+    kNN-graph build (n x k similarity joins + a sequential traversal
+    that does not shuffle-partition) for one broadcast argmax pass.
+
+    Output: (id, cell, sim). Scale shape: centroids broadcast
+    (parameter-sized), ONE projection over the vectors, no shuffle at
+    all — ordering is deferred to the consumer's sort (a range
+    partition, AQE-splittable), never a per-cell window (k partitions
+    would be unsplittable at 100 TB). ``sim`` is rounded to
+    ``sim_digits`` so a SQL replay ranks ties identically.
+    """
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, c array<double>",
+    )
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "cell",
+        F.round(cosine(F.col(vec_col), F.col("c")), sim_digits).alias("_s"),
+    )
+    pick = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("_s"), (-F.col("cell")).alias("_nc")
+            )
+        ).alias("_m")
+    )
+    return pick.select(
+        id_col,
+        (-F.col("_m._nc")).cast("int").alias("cell"),
+        F.col("_m._s").alias("sim"),
+    )

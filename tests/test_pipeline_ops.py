@@ -1067,3 +1067,35 @@ def test_vector_store_generation_time_travel(spark, emb, tmp_path):
     assert [r.vec_id for r in vs.topk(qvec, k=5, generation=0).collect()] == before
     with pytest.raises(ValueError, match="not retained"):
         vs.main(generation=7)
+
+
+def test_semantic_order_assignment_ranking_and_zero_vectors(spark):
+    """semantic_order (r15, the ICLM packing-order proxy): every
+    vector gets its rounded-cosine argmax cell (min-cell ties), a
+    zero vector scores 0.0 against every centroid (the cosine
+    contract) and still lands deterministically in cell 0, and the
+    documented consumer sort (cell, sim DESC, id) groups
+    cluster-mates adjacent with closest-to-centroid first."""
+    from balboa_spark.operators import similarity
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [10.0, 0.0]),    # exactly centroid 0
+        (2, [9.0, 1.0]),     # near centroid 0
+        (3, [0.0, 5.0]),     # exactly centroid 1
+        (4, [1.0, 9.0]),     # near centroid 1
+        (5, [0.0, 0.0]),     # zero vector -> sim 0 everywhere -> cell 0
+        (6, [3.0, 3.0]),     # exact tie -> min cell (0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.cell, r.sim)
+        for r in similarity.semantic_order(df, cents).collect()
+    }
+    assert got[1] == (0, 1.0) and got[3] == (1, 1.0)
+    assert got[2][0] == 0 and got[4][0] == 1
+    assert got[5] == (0, 0.0)
+    assert got[6][0] == 0 and got[6][1] == round(0.5 ** 0.5, 6)
+    ordered = sorted(got, key=lambda i: (got[i][0], -got[i][1], i))
+    # cluster 0 streams closest-first (1 before 2), then cluster 1
+    assert ordered == [1, 2, 6, 5, 3, 4]
