@@ -1099,3 +1099,49 @@ def test_semantic_order_assignment_ranking_and_zero_vectors(spark):
     ordered = sorted(got, key=lambda i: (got[i][0], -got[i][1], i))
     # cluster 0 streams closest-first (1 before 2), then cluster 1
     assert ordered == [1, 2, 6, 5, 3, 4]
+
+
+def test_semantic_order_feeds_pack_sequences(spark):
+    """The consumer recipe end to end: semantic_order keys -> a
+    sortable pack id -> pack_sequences. All of topic-cluster 0's
+    tokens appear in the packed stream before any of cluster 1's —
+    related documents share context windows (the in-context-
+    pretraining property the operator exists for)."""
+    from balboa_spark.operators import corpus, similarity
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    docs = [
+        (1, "alpha alpha alpha alpha", [9.0, 1.0]),
+        (2, "beta beta beta beta", [1.0, 9.0]),
+        (3, "alpha2 alpha2 alpha2", [8.0, 2.0]),
+        (4, "beta2 beta2 beta2", [2.0, 8.0]),
+        (5, "alpha3 alpha3", [10.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, embedding array<double>"
+    )
+    so = similarity.semantic_order(
+        df.select(F.col("doc_id").alias("vec_id"), "embedding"), cents
+    )
+    keyed = df.join(
+        so.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+    ).select(
+        F.format_string(
+            "%02d|%09d|%06d",
+            F.col("cell"),
+            ((1.0 - F.col("sim")) * 1e8).cast("long"),  # sim DESC
+            F.col("doc_id"),
+        ).alias("pack_id"),
+        "text",
+        "cell",
+    )
+    packed = corpus.pack_sequences(
+        keyed, seq_len=5, id_col="pack_id", text_col="text"
+    ).orderBy("seq_id")
+    stream = " ".join(r.seq_text for r in packed.collect()).split()
+    first_beta = min(
+        i for i, t in enumerate(stream) if t.startswith("beta")
+    )
+    assert all(not t.startswith("alpha") for t in stream[first_beta:])
+    # and within cluster 0, closest-to-centroid (doc 5, sim 1.0) first
+    assert stream[0] == "alpha3"
