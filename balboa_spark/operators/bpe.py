@@ -861,15 +861,39 @@ class TokenizerStore:
             "use unigram.unigram_segment_words(df, store.pieces(), ...)"
         )
 
+    def _gen_provenance(self, gen: int) -> dict:
+        """The REQUESTED generation's provenance record (post-r15
+        gens carry one); pre-provenance fallback: the manifest when
+        gen is latest, else an explicit no-provenance marker."""
+        import json
+        import os
+
+        ppath = os.path.join(self._gen_dir(gen), "provenance.json")
+        if os.path.exists(ppath):
+            with open(ppath) as fh:
+                return json.load(fh)
+        man = self._manifest()
+        if gen == man.get("generation"):
+            return man
+        return {"vocab_source": None, "_unknown": True}
+
     def encode(
-        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        generation: int | None = None,
     ) -> DataFrame:
         """Corpus → (id, piece_ids array<int>) under the STORED
-        tokenizer, whichever kind is committed."""
+        tokenizer, whichever kind is committed. ``generation`` pins a
+        retained historical fit (segmentation AND ids together — the
+        generations() contract); default = latest."""
         k = self.kind()
+        gen = self._resolve_gen(generation)
+        prov = self._gen_provenance(gen)
         if k == "word":
             return encode_corpus(
-                df, self.merges(), self.vocab(),
+                df, self.merges(gen), self.vocab(gen),
                 text_col=text_col, id_col=id_col,
             )
         if k == "byte":
@@ -877,16 +901,15 @@ class TokenizerStore:
             # GPT-2 vocab.json is not in structural order) — read the
             # parameter-sized id table back and honor it verbatim
             vocab_ids = None
-            if self._manifest().get("vocab_source") in (
-                "gpt2_import",
-                "hf_import",
-            ):
+            if prov.get("vocab_source") in ("gpt2_import", "hf_import"):
                 vocab_ids = [
                     (r["piece"], r["piece_id"])
-                    for r in self.vocab().select("piece", "piece_id").collect()
+                    for r in self.vocab(gen)
+                    .select("piece", "piece_id")
+                    .collect()
                 ]
             return byte_encode_corpus(
-                df, self.merges(), text_col=text_col, id_col=id_col,
+                df, self.merges(gen), text_col=text_col, id_col=id_col,
                 vocab_ids=vocab_ids,
             )
         from balboa_spark.operators import unigram as _ug
@@ -896,16 +919,26 @@ class TokenizerStore:
         # Unigram artifact's positional ids are honored, never
         # re-derived piece-asc
         vocab_ids, unk_id = None, _ug.UNK_PIECE_ID
-        if man.get("vocab_source") == "hf_import":
+        if prov.get("vocab_source") == "hf_import":
             vocab_ids = [
                 (r["piece"], r["piece_id"])
-                for r in self.vocab().select("piece", "piece_id").collect()
+                for r in self.vocab(gen).select("piece", "piece_id").collect()
             ]
-            if man.get("unk_id") is not None:
-                unk_id = int(man["unk_id"])
+            if prov.get("unk_id") is not None:
+                unk_id = int(prov["unk_id"])
+        pieces = self.pieces(gen)
+        # the DP window must cover the longest piece; the manifest's
+        # max_piece_len describes only the LATEST fit, so a pinned
+        # older generation derives it from its own piece table (a
+        # window >= the true max is exact — longer candidates simply
+        # never match)
+        if gen == man.get("generation"):
+            mpl = int(man.get("max_piece_len", 4))
+        else:
+            mpl = max((len(p) for p, _ in pieces), default=1)
         return _ug.unigram_encode_corpus(
-            df, self.pieces(), text_col=text_col, id_col=id_col,
-            max_piece_len=int(man.get("max_piece_len", 4)),
+            df, pieces, text_col=text_col, id_col=id_col,
+            max_piece_len=mpl,
             vocab_ids=vocab_ids, unk_id=unk_id,
         )
 
@@ -1270,3 +1303,76 @@ def vocab_table(
         "weight",
         (F.row_number().over(w) - 1).alias("piece_id"),
     )
+
+
+def tokenizer_diff(
+    store: "TokenizerStore",
+    docs: DataFrame,
+    gen_a: int | None = None,
+    gen_b: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Generation drift report: what changed between two retained
+    tokenizer fits, and how much it perturbs encodings — the
+    pre-flight check before pointing a training pipeline at a re-fit
+    tokenizer (a vocab that LOOKS similar can still renumber ids or
+    re-segment common words, silently invalidating every cached
+    token count and packed shard downstream).
+
+    Defaults: ``gen_a`` = previous retained generation, ``gen_b`` =
+    latest. One row: generations, piece-table delta (added / removed
+    / re-identified — same piece string, different id), and encode
+    drift over ``docs`` (documents compared, fraction identical,
+    total tokens under each generation).
+
+    Scale shape: the piece tables are parameter-sized collects; the
+    encode drift is two encode passes + ONE id-keyed equi-join + one
+    aggregate. Run it on a SAMPLE (``corpus.hash_sample``) — the
+    report is an estimate, not a corpus pass.
+    """
+    gens = store.generations()
+    if gen_b is None:
+        gen_b = gens[-1]
+    if gen_a is None:
+        if len(gens) < 2:
+            raise ValueError(
+                f"tokenizer_diff: only {gens} retained — need two "
+                "generations (or pass gen_a/gen_b explicitly)"
+            )
+        gen_a = gens[-2]
+    va = {
+        r["piece"]: int(r["piece_id"])
+        for r in store.vocab(gen_a).select("piece", "piece_id").collect()
+    }
+    vb = {
+        r["piece"]: int(r["piece_id"])
+        for r in store.vocab(gen_b).select("piece", "piece_id").collect()
+    }
+    added = len(set(vb) - set(va))
+    removed = len(set(va) - set(vb))
+    renumbered = sum(
+        1 for p in set(va) & set(vb) if va[p] != vb[p]
+    )
+    ea = store.encode(docs, text_col=text_col, id_col=id_col, generation=gen_a)
+    eb = store.encode(docs, text_col=text_col, id_col=id_col, generation=gen_b)
+    j = ea.alias("a").join(
+        eb.alias("b"), F.col(f"a.{id_col}") == F.col(f"b.{id_col}")
+    )
+    row = j.agg(
+        F.count(F.lit(1)).alias("docs_compared"),
+        F.sum(
+            F.when(
+                F.col("a.piece_ids") == F.col("b.piece_ids"), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("docs_identical"),
+        F.sum(F.size("a.piece_ids")).alias("tokens_a"),
+        F.sum(F.size("b.piece_ids")).alias("tokens_b"),
+    )
+    spark = docs.sparkSession
+    meta = spark.createDataFrame(
+        [(int(gen_a), int(gen_b), added, removed, renumbered)],
+        "gen_a int, gen_b int, pieces_added int, pieces_removed int, "
+        "pieces_renumbered int",
+    )
+    return meta.crossJoin(row)

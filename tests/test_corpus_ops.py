@@ -3096,3 +3096,92 @@ def test_unigram_hf_artifact_roundtrip_property(tmp_path):
         os.remove(src)
 
     check()
+
+
+def test_tokenizer_diff_reports_drift_and_gen_pinned_encode(spark, tmp_path):
+    """r15: generation-pinned encode + the drift report. A re-fit on
+    different data must report piece add/remove counts, renumbering,
+    and the encode-drift fraction; a self-diff reports zero drift.
+    encode(generation=N) reproduces the retained older fit exactly."""
+    import pytest
+
+    from balboa_spark.operators import bpe
+
+    c1 = spark.createDataFrame(
+        [(0, "the quick brown fox the quick brown dog the the"),
+         (1, "quick brown quick brown fox")],
+        ["doc_id", "text"],
+    )
+    c2 = spark.createDataFrame(
+        [(0, "lazy river lazy river stone stone stone lazy"),
+         (1, "river stone river lazy")],
+        ["doc_id", "text"],
+    )
+    store = bpe.TokenizerStore(spark, str(tmp_path / "tok"))
+    store.fit_byte(c1, num_merges=6)
+    g0 = store._manifest()["generation"]
+    enc_g0 = {r["doc_id"]: list(r["piece_ids"]) for r in store.encode(c1).collect()}
+    store.fit_byte(c2, num_merges=6)
+
+    # gen-pinned encode reproduces the OLD fit verbatim
+    enc_pin = {
+        r["doc_id"]: list(r["piece_ids"])
+        for r in store.encode(c1, generation=g0).collect()
+    }
+    assert enc_pin == enc_g0
+    # and differs from the latest fit on the same docs
+    enc_new = {r["doc_id"]: list(r["piece_ids"]) for r in store.encode(c1).collect()}
+    assert enc_new != enc_g0
+
+    rep = bpe.tokenizer_diff(store, c1).collect()[0]
+    assert (rep.gen_a, rep.gen_b) == (g0, g0 + 1)
+    assert rep.pieces_added == 6 and rep.pieces_removed == 6  # 256 base shared
+    # disjoint merge sets: the shared 256 base bytes keep their
+    # structural ids, so nothing renumbers here (renumbering is
+    # covered by the imported-artifact case below)
+    assert rep.pieces_renumbered == 0
+    assert rep.docs_compared == 2 and rep.docs_identical < 2
+    assert rep.tokens_a > 0 and rep.tokens_b > 0
+
+    # self-diff: zero drift
+    same = bpe.tokenizer_diff(store, c1, gen_a=g0 + 1, gen_b=g0 + 1).collect()[0]
+    assert same.pieces_added == same.pieces_removed == same.pieces_renumbered == 0
+    assert same.docs_identical == 2
+
+    # single-generation store refuses a default diff
+    solo = bpe.TokenizerStore(spark, str(tmp_path / "solo"))
+    solo.fit_byte(c1, num_merges=4)
+    with pytest.raises(ValueError, match="need two"):
+        bpe.tokenizer_diff(solo, c1)
+
+
+def test_tokenizer_diff_counts_renumbered_imported_ids(spark, tmp_path):
+    """Two imported artifacts sharing pieces at DIFFERENT ids: the
+    diff counts the renumbered pieces (the silent-invalidation case —
+    the vocab looks the same, every cached id is wrong)."""
+    import json
+
+    from balboa_spark.operators import bpe
+
+    def art(dirname, vocab):
+        d = tmp_path / dirname
+        d.mkdir()
+        (d / "merges.txt").write_text(
+            "#version: 0.2\nt h\nth e\n", encoding="utf-8"
+        )
+        (d / "vocab.json").write_text(json.dumps(vocab), encoding="utf-8")
+        return str(d)
+
+    store = bpe.TokenizerStore(spark, str(tmp_path / "store"))
+    store.import_gpt2(art("a", {"th": 1, "the": 2}))
+    g0 = store._manifest()["generation"]
+    store.import_gpt2(art("b", {"th": 5, "the": 2, "x": 9}))
+
+    docs = spark.createDataFrame([(1, "the th")], "doc_id long, text string")
+    rep = bpe.tokenizer_diff(store, docs).collect()[0]
+    assert (rep.gen_a, rep.gen_b) == (g0, g0 + 1)
+    assert rep.pieces_added == 1       # "x"
+    assert rep.pieces_removed == 0
+    assert rep.pieces_renumbered == 1  # "th": 1 -> 5
+    # same segmentation, different ids -> zero identical docs
+    assert rep.docs_compared == 1 and rep.docs_identical == 0
