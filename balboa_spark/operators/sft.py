@@ -253,7 +253,9 @@ def preference_pairs(
     would teach the model a coin flip), which also drops
     single-response prompts. NULL/NaN scores and NULL ids are
     excluded by contract (an unscored response can't be ranked; NaN
-    orders differently across engines).
+    orders differently across engines). ``id_col`` may be integral or
+    string (UUIDs straight from a rating log work; string ties break
+    on binary UTF-8 order, identical in Spark and DuckDB).
 
     Scale shape: ONE groupBy per prompt with max_by/min_by over
     (score, id) structs — map-side combined, no per-prompt window,
@@ -263,14 +265,15 @@ def preference_pairs(
     (rendered transcripts).
     """
     id_type = dict(ratings.dtypes).get(id_col, "")
-    if id_type not in ("tinyint", "smallint", "int", "bigint"):
-        # the chosen-side tie rule is encoded as max over (score, -id)
-        # — negation needs an integral id. A string id would fail at
-        # ANALYSIS time anyway; fail here with the actionable message.
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "string"):
+        # the tie-break needs a totally ordered, engine-stable id.
+        # Integral and string (binary UTF-8 collation, identical in
+        # Spark and DuckDB) qualify; float ids (NaN), binary, or
+        # nested ids do not.
         raise ValueError(
             f"preference_pairs: id_col {id_col!r} must be an integral "
-            f"type (got {id_type!r}) — the deterministic tie-break "
-            "negates it; map string ids to a dense integer first"
+            f"or string type (got {id_type!r}) — the deterministic "
+            "tie-break orders by it"
         )
     r = ratings.filter(
         F.col(score_col).isNotNull()
@@ -288,9 +291,12 @@ def preference_pairs(
             else []
         ),
     )
-    # max over (score, -id): highest score, ties -> lowest id;
-    # min over (score, id): lowest score, ties -> lowest id
-    best = F.max_by(payload, F.struct(F.col(score_col), -F.col(id_col)))
+    # min over (-score, id): highest score, ties -> lowest id;
+    # min over (score, id): lowest score, ties -> lowest id.
+    # Negating the SCORE (always numeric) instead of the id keeps the
+    # id column free to be a string — production rating logs carry
+    # UUID response ids (r15 verdict gap #2).
+    best = F.min_by(payload, F.struct(-F.col(score_col), F.col(id_col)))
     worst = F.min_by(payload, F.struct(F.col(score_col), F.col(id_col)))
     g = r.groupBy(F.col(prompt_col).alias("prompt_id")).agg(
         best.alias("_c"), worst.alias("_r")
@@ -364,11 +370,12 @@ def rejection_sample(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     id_type = dict(ratings.dtypes).get(id_col, "")
-    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "string"):
         raise ValueError(
             f"rejection_sample: id_col {id_col!r} must be an integral "
-            f"type (got {id_type!r}) — the deterministic rank sorts on "
-            "(-score, id); map string ids to a dense integer first"
+            f"or string type (got {id_type!r}) — the deterministic rank "
+            "sorts on (-score, id), which only needs the id to be "
+            "totally ordered and engine-stable"
         )
     r = ratings.filter(
         F.col(score_col).isNotNull()

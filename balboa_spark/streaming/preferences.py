@@ -34,7 +34,6 @@ equivalence test compares rendered strings, not just ids.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -95,11 +94,17 @@ def _pair_fn(system_prompt: str | None):
             for s, i, t in zip(
                 pdf["score"], pdf["response_id"], pdf["response"]
             ):
-                if s is None or i is None or (
-                    isinstance(s, float) and math.isnan(s)
-                ):
+                # NULL score OR NULL id is excluded by contract, as in
+                # the batch twin.  Arrow->pandas converts a nullable
+                # long column to float64, so a NULL id arrives as NaN
+                # (a float), not None — pd.isna catches both shapes.
+                if pd.isna(s) or pd.isna(i):
                     continue
-                s, i = float(s), int(i)
+                # string ids pass through (binary-UTF-8 tie order, as
+                # in batch); integral ids normalize to Python int so
+                # numpy scalars from Arrow compare cleanly with state
+                s = float(s)
+                i = i if isinstance(i, str) else int(i)
                 t = "" if t is None else str(t)
                 # best: highest score, ties -> lowest id
                 if b_score is None or s > b_score or (
@@ -141,11 +146,40 @@ def preference_stream(
     in which its pair changed; the latest row per prompt is the
     current pair and equals the batch operator over all events so
     far). Use outputMode('update')/'append' with a sink that keeps
-    latest-per-prompt."""
+    latest-per-prompt.
+
+    ``response_id`` (and ``prompt_col``) may be long OR string — the
+    output/state schemas are derived from the input schema, matching
+    the batch twin's r16 string-id support; string ties break on
+    binary UTF-8 order exactly as in batch."""
+    in_fields = {f.name: f.dataType for f in ratings.schema.fields}
+    id_t = in_fields.get("response_id", LongType())
+    prompt_t = in_fields.get(prompt_col, LongType())
+    pair_schema = StructType(
+        [
+            StructField("prompt_id", prompt_t, False),
+            StructField("chosen_id", id_t, False),
+            StructField("rejected_id", id_t, False),
+            StructField("chosen_score", DoubleType(), False),
+            StructField("rejected_score", DoubleType(), False),
+            StructField("chosen", StringType(), False),
+            StructField("rejected", StringType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("b_score", DoubleType()),
+            StructField("b_id", id_t),
+            StructField("b_text", StringType()),
+            StructField("w_score", DoubleType()),
+            StructField("w_id", id_t),
+            StructField("w_text", StringType()),
+        ]
+    )
     return ratings.groupBy(prompt_col).applyInPandasWithState(
         _pair_fn(system_prompt),
-        outputStructType=PAIR_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        outputStructType=pair_schema,
+        stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -340,9 +340,42 @@ def test_rejection_sample_threshold_topk_and_template(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         sft.rejection_sample(df, threshold=5.0, k=0)
-    bad = df.withColumn("response_id", df.response_id.cast("string"))
-    with pytest.raises(ValueError, match="integral"):
+    # float ids refused (NaN breaks the total order); strings are OK
+    bad = df.withColumn("response_id", df.response_id.cast("double"))
+    with pytest.raises(ValueError, match="integral or string"):
         sft.rejection_sample(bad, threshold=5.0)
+    with pytest.raises(ValueError, match="integral or string"):
+        sft.preference_pairs(bad)
+
+
+def test_preference_family_string_ids(spark):
+    """String (UUID-style) response ids work end-to-end (r15 verdict
+    gap #2): ties break on binary UTF-8 order — the lexicographically
+    LOWEST id — in both preference_pairs and rejection_sample, and the
+    selected ids survive into the output columns unchanged."""
+    rows = [
+        # prompt 1: tie at the top (7.0) -> "aa-2" < "ab-1" wins;
+        # tie at the bottom (1.0) -> "ba-9" < "bb-0"
+        (1, "ab-1", "t2", 7.0), (1, "aa-2", "t1", 7.0),
+        (1, "bb-0", "b2", 1.0), (1, "ba-9", "b1", 1.0),
+        # prompt 2: NULL id excluded; remaining pair is strict
+        (2, None, "ghost", 99.0), (2, "x1", "hi", 3.0), (2, "x2", "lo", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "prompt_id long, response_id string, response string, score double",
+    )
+    got = {
+        r.prompt_id: r for r in sft.preference_pairs(df).collect()
+    }
+    assert (got[1].chosen_id, got[1].rejected_id) == ("aa-2", "ba-9")
+    assert (got[2].chosen_id, got[2].rejected_id) == ("x1", "x2")
+
+    rej = sorted(
+        (r.prompt_id, r.rank, r.response_id)
+        for r in sft.rejection_sample(df, threshold=2.5, k=2).collect()
+    )
+    assert rej == [(1, 1, "aa-2"), (1, 2, "ab-1"), (2, 1, "x1")]
 
 
 def test_rejection_sample_matches_python_reference_fuzz(spark):

@@ -107,3 +107,86 @@ def test_preference_stream_updates_and_matches_batch(spark, tmp_path):
             )
     # tie in batch 2 flipped prompt 1's chosen to the lower id
     assert latest[1].chosen_id == 9
+
+
+def test_preference_stream_null_and_string_ids(spark, tmp_path):
+    """r16 hardening: (a) a NULL response_id in a micro-batch arrives
+    in pandas as NaN (Arrow floats the nullable long column) and must
+    be EXCLUDED, not crash the task (ADVICE r15 medium); (b) string
+    (UUID-style) ids flow through the derived state/output schemas
+    and match the batch twin's string-id tie rule."""
+    from balboa_spark.operators.sft import preference_pairs
+    from balboa_spark.streaming.preferences import preference_stream
+
+    # --- (a) NULL id in a long-id stream: excluded, query survives ---
+    land = tmp_path / "r1"
+    land.mkdir()
+    _write(
+        land,
+        "b1.ndjson",
+        [
+            {"prompt_id": 1, "response_id": None, "response": "ghost", "score": 99.0},
+            {"prompt_id": 1, "response_id": 10, "response": "a", "score": 5.0},
+            {"prompt_id": 1, "response_id": 11, "response": "b", "score": 1.0},
+        ],
+    )
+    stream = spark.readStream.schema(
+        "prompt_id long, response_id long, response string, score double"
+    ).json(str(land))
+    q = (
+        preference_stream(stream)
+        .writeStream.format("memory")
+        .queryName("pairs_null_id")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM pairs_null_id").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert (rows[0].chosen_id, rows[0].rejected_id) == (10, 11)
+
+    # --- (b) string ids: schemas derive from input, ties lexicographic ---
+    land2 = tmp_path / "r2"
+    land2.mkdir()
+    evs = [
+        {"prompt_id": 7, "response_id": "ab-1", "response": "t2", "score": 7.0},
+        {"prompt_id": 7, "response_id": "aa-2", "response": "t1", "score": 7.0},
+        {"prompt_id": 7, "response_id": "zz", "response": "lo", "score": 1.0},
+        {"prompt_id": 7, "response_id": None, "response": "ghost", "score": 50.0},
+    ]
+    _write(land2, "b1.ndjson", evs)
+    stream2 = spark.readStream.schema(
+        "prompt_id long, response_id string, response string, score double"
+    ).json(str(land2))
+    q2 = (
+        preference_stream(stream2, system_prompt="s")
+        .writeStream.format("memory")
+        .queryName("pairs_str_id")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        rows2 = spark.sql("SELECT * FROM pairs_str_id").collect()
+    finally:
+        q2.stop()
+    assert len(rows2) == 1
+    got = rows2[0]
+    batch = preference_pairs(
+        spark.createDataFrame(
+            [(r["prompt_id"], r["response_id"], r["response"], r["score"]) for r in evs],
+            "prompt_id long, response_id string, response string, score double",
+        ),
+        system_prompt="s",
+    ).collect()[0]
+    for col in (
+        "chosen_id", "rejected_id", "chosen_score",
+        "rejected_score", "chosen", "rejected",
+    ):
+        assert getattr(got, col) == getattr(batch, col), col
+    assert got.chosen_id == "aa-2" and got.rejected_id == "zz"
