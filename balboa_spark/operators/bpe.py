@@ -875,6 +875,21 @@ class TokenizerStore:
         man = self._manifest()
         if gen == man.get("generation"):
             return man
+        if man.get("vocab_source") in ("gpt2_import", "hf_import"):
+            # the store HAS imported ids somewhere in its history but
+            # this pre-provenance generation can't say whether THEY
+            # are its ids — silently re-deriving structural ids here
+            # would contradict the generation's stored id table,
+            # exactly the hazard export_gpt2/_export_hf_unigram
+            # refuse (r15 ADVICE)
+            raise ValueError(
+                f"generation {gen} predates per-generation provenance "
+                "and is not the latest, but the store manifest records "
+                f"an imported vocab ({man.get('vocab_source')!r}) — "
+                "its id assignment is ambiguous. Re-export the "
+                "generation under a post-r15 fit, or encode the "
+                "latest generation."
+            )
         return {"vocab_source": None, "_unknown": True}
 
     def encode(

@@ -62,7 +62,7 @@ def conversation_turns(
     order_cols: tuple = ("event_id",),
     content_col: Column | None = None,
     role_col: str | None = None,
-    session_mode: str = "adaptive",
+    session_mode: str | None = None,
     heavy_user_rows: int = 1_000_000,
 ) -> DataFrame:
     """(user_id, conv_id, turn_idx, role, content, ts) — one row per

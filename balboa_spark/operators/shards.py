@@ -109,6 +109,11 @@ def write_training_shards(
         "shard_sequences": _shard_counts(packed, id_col, num_shards),
         "id_col": id_col,
         "tokens_col": tokens_col,
+        # which assignment convention this export was written under —
+        # external resume tooling replays shard_of from this, and a
+        # future convention change (as r15's xxhash64 -> md5 switch
+        # was) becomes detectable instead of silently disagreeing
+        "shard_hash": "md5_48",
         **(extra_manifest or {}),
     }
     from balboa_spark.plans.genstore import flip_manifest
@@ -280,6 +285,9 @@ def reexport_training_shards(
         "n_sequences": int(n),
         "shard_sequences": _shard_counts(packed, id_col, num_shards),
         "rewritten_shards": dirty,
+        # generational manifests are all post-r15 md5 exports; stamp
+        # the convention if the original predates the field
+        "shard_hash": man.get("shard_hash", "md5_48"),
         **(extra_manifest or {}),
     }
     flip_manifest(out_dir, manifest, MANIFEST, expected_seq=expected_seq)

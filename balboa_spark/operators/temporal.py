@@ -453,6 +453,16 @@ def resample_events(
     )
 
 
+#: Process-wide default arm for :func:`gap_sessions` (and everything
+#: that rides it: conversation_turns, the sft chain). "adaptive" runs
+#: ONE probe aggregation job at plan-BUILD time (gap_sessions is not
+#: fully lazy in that mode — r15 ADVICE); latency-sensitive
+#: deployments that know their key distribution can set this to
+#: "classic" or "two_phase" once instead of threading mode= through
+#: every call site.
+DEFAULT_SESSION_MODE = "adaptive"
+
+
 def gap_sessions(
     events: DataFrame,
     gap_minutes: int = 30,
@@ -462,7 +472,7 @@ def gap_sessions(
     bucket_minutes: int = 24 * 60,
     sess_col: str = "conv_id",
     with_turn_idx: bool = False,
-    mode: str = "adaptive",
+    mode: str | None = None,
     heavy_user_rows: int = 1_000_000,
 ) -> DataFrame:
     """Gap-rule sessionization. Three plan arms, identical numbering
@@ -475,7 +485,9 @@ def gap_sessions(
       skew-immune (heaviest partition = one user's day-bucket), at a
       measured ~2x local cost on FLAT data (extra summary shuffles +
       the join-back; r14 bench, sft_assembly 2.45 -> 5.22s);
-    - ``mode="adaptive"`` (default): ONE probe aggregation over the
+    - ``mode="adaptive"`` (the default via the module-level
+      ``DEFAULT_SESSION_MODE``; pass mode= or set that global to opt
+      latency-sensitive call sites out): ONE probe aggregation over the
       user column (``plans/skew.key_counts`` -> max, map-side
       combined, shuffle volume = distinct users) picks the arm: the
       classic window when no user exceeds ``heavy_user_rows``
@@ -540,6 +552,8 @@ def gap_sessions(
             f"({gap_minutes}) so a boundary merge only ever looks one "
             "present bucket back"
         )
+    if mode is None:
+        mode = DEFAULT_SESSION_MODE
     if mode not in ("adaptive", "classic", "two_phase"):
         raise ValueError(
             f"mode must be adaptive|classic|two_phase, got {mode!r}"

@@ -2803,6 +2803,13 @@ def test_reexport_of_imported_store_honors_verbatim_ids(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="provenance"):
         store.export_gpt2(str(tmp_path / "old2"), generation=fit_gen)
+    # encode(generation=) hits the same ambiguity and must refuse too
+    # instead of silently re-deriving structural ids (r15 ADVICE low)
+    with pytest.raises(ValueError, match="provenance"):
+        store.encode(
+            spark.createDataFrame([(1, "the")], "doc_id long, text string"),
+            generation=fit_gen,
+        )
 
 
 def test_export_of_older_imported_generation_honors_verbatim_ids(
