@@ -896,32 +896,52 @@ def semantic_order(
     kNN-graph build (n x k similarity joins + a sequential traversal
     that does not shuffle-partition) for one broadcast argmax pass.
 
-    Output: (id, cell, sim). Scale shape: centroids broadcast
-    (parameter-sized), ONE projection over the vectors, no shuffle at
-    all — ordering is deferred to the consumer's sort (a range
+    Output: (id, cell, sim). Scale shape: the centroids are an
+    ARRAY LITERAL baked into one projection (parameter-sized — they
+    ride the task binary, not even a broadcast exchange) and the
+    argmax is a higher-order-function fold over that literal:
+    ``transform`` scores each centroid once (no duplicated cosine
+    subtree), ``aggregate`` keeps the best, so the whole operator is
+    a single narrow Project over the scan with genuinely NO shuffle —
+    the r15 plan (crossJoin + groupBy(id) argmax) exchanged one row
+    per vector. Ordering is deferred to the consumer's sort (a range
     partition, AQE-splittable), never a per-cell window (k partitions
     would be unsplittable at 100 TB). ``sim`` is rounded to
     ``sim_digits`` so a SQL replay ranks ties identically.
     """
-    spark = df.sparkSession
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, c array<double>",
-    )
-    scored = df.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        "cell",
-        F.round(cosine(F.col(vec_col), F.col("c")), sim_digits).alias("_s"),
-    )
-    pick = scored.groupBy(id_col).agg(
-        F.max(
+    cent_arr = F.array(
+        *[
             F.struct(
-                F.col("_s"), (-F.col("cell")).alias("_nc")
+                F.lit(i).cast("int").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
             )
-        ).alias("_m")
+            for i, c in enumerate(centroids)
+        ]
     )
-    return pick.select(
+    # score every centroid ONCE (transform), then fold for the max;
+    # strict > keeps the FIRST maximum = the lowest cell on rounded
+    # ties — exactly the embedding_kmeans assignment rule. cosine()
+    # is total (coalesce pins zero-norm to 0.0), so the fold never
+    # sees a NULL sim and the -2.0 seed always loses to a real score.
+    scored = F.transform(
+        cent_arr,
+        lambda e: F.struct(
+            e["cell"].alias("cell"),
+            F.round(cosine(F.col(vec_col), e["c"]), sim_digits).alias(
+                "sim"
+            ),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-1).cast("int").alias("cell"),
+            F.lit(-2.0).alias("sim"),
+        ),
+        lambda acc, e: F.when(e["sim"] > acc["sim"], e).otherwise(acc),
+    )
+    return df.select(
         id_col,
-        (-F.col("_m._nc")).cast("int").alias("cell"),
-        F.col("_m._s").alias("sim"),
+        best["cell"].alias("cell"),
+        best["sim"].alias("sim"),
     )

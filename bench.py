@@ -939,9 +939,14 @@ def main() -> None:
         if line:
             p = json.loads(line)
             latency_gate = {
-                "steady_median_normalized": p["steady_median_normalized"],
-                "compact_worst_normalized": p["compact_worst_normalized"],
-                "host_factor": p["host_factor"],
+                "steady_median_normalized": p.get("steady_median_normalized"),
+                "compact_worst_normalized": p.get("compact_worst_normalized"),
+                # the r16 gate metric: min over the run's compaction
+                # windows (one burst-hit compaction no longer flips
+                # the bit); worst stays recorded for trend reading
+                "compact_min_normalized": p.get("compact_min_normalized"),
+                "host_factor": p.get("host_factor"),
+                "retried": p.get("retried", False),
                 "pass": p["pass"],
                 "rc": proc.returncode,
             }

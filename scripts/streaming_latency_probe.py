@@ -18,7 +18,10 @@ duration on the host where the r14 targets were calibrated; measured
 wall times are divided by (canary_now / CANARY_REF) before the gate.
 
 Prints one JSON line; exit 0 = inside the band, 1 = regression,
-2 = setup failure.
+2 = setup failure, 3 = the probe stream crashed twice (r16: a single
+StreamingQueryException retries once; the compaction gate metric is
+the MIN over the run's compaction windows — bench's min-of-passes
+estimator — so one burst-hit compaction can't flip the bit).
 
 Run: python scripts/streaming_latency_probe.py
 Env: SPARK_GRAFT_CPUS (default 32), PROBE_BATCHES (default 10),
@@ -90,10 +93,11 @@ def eve_batch(batch: int, rows: int) -> str:
     return "\n".join(out) + "\n"
 
 
-def main() -> int:
-    batches = int(os.environ.get("PROBE_BATCHES", "10"))
-    rows = int(os.environ.get("PROBE_ROWS", "10000"))
-
+def _run_once(batches: int, rows: int) -> dict:
+    """One full probe run; returns the raw measurements. Raises on a
+    crashed stream — the caller owns the retry policy (r15 verdict
+    What's-wrong #2: one slow micro-batch or a StreamingQueryException
+    under host load must not flip the gate bit by itself)."""
     from balboa_spark.operators.aggregate import aggregate
     from balboa_spark.plans.layout import ObservationStore
     from balboa_spark.session import get_spark
@@ -167,67 +171,115 @@ def main() -> int:
             q.stop()
 
         canary_after = host_canary()
-        canary = min(canary_before, canary_after)
-        host_factor = canary / CANARY_REF
-
-        # drop 0 pays the stream's cold start (offset log init, first
-        # codegen) — excluded from the steady set, as in the r13 record
-        steady = sorted(
-            w for e, w in enumerate(walls) if not compacted[e] and e > 0
-        )
-        compact = sorted(w for e, w in enumerate(walls) if compacted[e])
-        if not steady:
-            # every post-warmup window compacted (tiny PROBE_BATCHES):
-            # a setup problem, not a latency regression — exit 2, not 1
-            print(
-                "SETUP: no steady-state batch to measure (raise "
-                "PROBE_BATCHES above compact_every)",
-                file=sys.stderr,
-            )
-            return 2
-        steady_median = steady[len(steady) // 2]
-        compact_worst = max(compact) if compact else 0.0
-
-        steady_norm = steady_median / host_factor
-        compact_norm = compact_worst / host_factor
-        ok = (
-            steady_norm <= STEADY_TARGET_S * BAND
-            and compact_norm <= COMPACT_TARGET_S * BAND
-        )
-
-        print(
-            json.dumps(
-                {
-                    "probe": "streaming_latency",
-                    "batches": batches,
-                    "rows_per_batch": rows,
-                    "walls_sec": [round(w, 2) for w in walls],
-                    "compacted": compacted,
-                    "trigger_execution_ms": trigger_ms,
-                    "steady_median_sec": round(steady_median, 2),
-                    "compact_worst_sec": round(compact_worst, 2),
-                    "canary_sec": round(canary, 3),
-                    "host_factor": round(host_factor, 2),
-                    "steady_median_normalized": round(steady_norm, 2),
-                    "compact_worst_normalized": round(compact_norm, 2),
-                    "gate": {
-                        "steady_max": STEADY_TARGET_S * BAND,
-                        "compact_max": COMPACT_TARGET_S * BAND,
-                    },
-                    "pass": ok,
-                }
-            )
-        )
-        if not ok:
-            print(
-                f"REGRESSION: steady {steady_norm:.2f}s (max "
-                f"{STEADY_TARGET_S * BAND}) / compact {compact_norm:.2f}s "
-                f"(max {COMPACT_TARGET_S * BAND}) normalized",
-                file=sys.stderr,
-            )
-        return 0 if ok else 1
+        return {
+            "walls": walls,
+            "compacted": compacted,
+            "trigger_ms": trigger_ms,
+            "canary": min(canary_before, canary_after),
+        }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    batches = int(os.environ.get("PROBE_BATCHES", "10"))
+    rows = int(os.environ.get("PROBE_ROWS", "10000"))
+
+    # Retry-once on a CRASHED stream (r16 gate hardening): one
+    # StreamingQueryException under host load previously surfaced as
+    # rc=1 with an error blob in the bench record — host weather, not
+    # a regression signal. Two consecutive crashes exit 3 (distinct
+    # from 1 = regression, 2 = setup) with the crash reprs recorded.
+    crashes: list[str] = []
+    res: dict | None = None
+    for _attempt in range(2):
+        try:
+            res = _run_once(batches, rows)
+            break
+        except Exception as exc:  # noqa: BLE001 - crash -> retry once
+            crashes.append(f"{type(exc).__name__}: {exc}"[:300])
+            print(f"CRASH (attempt {_attempt + 1}): {crashes[-1]}",
+                  file=sys.stderr)
+    if res is None:
+        print(json.dumps({
+            "probe": "streaming_latency",
+            "pass": False,
+            "crashed": crashes,
+        }))
+        return 3
+
+    walls, compacted = res["walls"], res["compacted"]
+    host_factor = res["canary"] / CANARY_REF
+
+    # drop 0 pays the stream's cold start (offset log init, first
+    # codegen) — excluded from the steady set, as in the r13 record
+    steady = sorted(
+        w for e, w in enumerate(walls) if not compacted[e] and e > 0
+    )
+    compact = sorted(w for e, w in enumerate(walls) if compacted[e])
+    if not steady:
+        # every post-warmup window compacted (tiny PROBE_BATCHES):
+        # a setup problem, not a latency regression — exit 2, not 1
+        print(
+            "SETUP: no steady-state batch to measure (raise "
+            "PROBE_BATCHES above compact_every)",
+            file=sys.stderr,
+        )
+        return 2
+    steady_median = steady[len(steady) // 2]
+    compact_worst = max(compact) if compact else 0.0
+    # The GATE metric for compaction is the MIN over the run's
+    # compaction windows — the bench's own min-of-passes estimator
+    # (r6b: this host bursts ~30s on byte-identical code; every
+    # compaction does equivalent fold work, so the minimum is the
+    # engine cost and the max is weather). compact_worst stays in the
+    # record for trend reading but no longer flips the bit.
+    compact_min = min(compact) if compact else 0.0
+
+    steady_norm = steady_median / host_factor
+    compact_worst_norm = compact_worst / host_factor
+    compact_min_norm = compact_min / host_factor
+    ok = (
+        steady_norm <= STEADY_TARGET_S * BAND
+        and compact_min_norm <= COMPACT_TARGET_S * BAND
+    )
+
+    print(
+        json.dumps(
+            {
+                "probe": "streaming_latency",
+                "batches": batches,
+                "rows_per_batch": rows,
+                "walls_sec": [round(w, 2) for w in walls],
+                "compacted": compacted,
+                "trigger_execution_ms": res["trigger_ms"],
+                "steady_median_sec": round(steady_median, 2),
+                "compact_worst_sec": round(compact_worst, 2),
+                "compact_min_sec": round(compact_min, 2),
+                "canary_sec": round(res["canary"], 3),
+                "host_factor": round(host_factor, 2),
+                "steady_median_normalized": round(steady_norm, 2),
+                "compact_worst_normalized": round(compact_worst_norm, 2),
+                "compact_min_normalized": round(compact_min_norm, 2),
+                "gate": {
+                    "steady_max": STEADY_TARGET_S * BAND,
+                    "compact_max": COMPACT_TARGET_S * BAND,
+                    "compact_estimator": "min_of_compactions",
+                },
+                "retried": bool(crashes),
+                "pass": ok,
+            }
+        )
+    )
+    if not ok:
+        print(
+            f"REGRESSION: steady {steady_norm:.2f}s (max "
+            f"{STEADY_TARGET_S * BAND}) / compact-min "
+            f"{compact_min_norm:.2f}s (max {COMPACT_TARGET_S * BAND}) "
+            "normalized",
+            file=sys.stderr,
+        )
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
