@@ -513,61 +513,126 @@ R15_OUT = [
     "corpus_hash_sample", "corpus_vocab_topk",
 ]
 
+# ROUND-16 ROTATION (executed this round; grading_ledger.py checks
+# membership exactly as for R15).
+#
+# IN (19): the ENTIRE 17-entry r10 staleness cohort — the r15 verdict
+# task #1 asked for >= 9 with the rest queued to r17; recalling ALL of
+# them clears the frontier in one round, so at r16 close no tail
+# entry is staler than r11 and the 8-round budget does not bind again
+# until r19 — plus the two NEW r16 entries (never-graded must be
+# in-cap): sft_pairs_str (the preference family's string-id arm,
+# grading the r16 tie-break change against lexicographic ids) and
+# corpus_tokenizer_drift (the tokenizer_diff relational core — the
+# one ungraded r15 surface, verdict stretch #9).
+#
+# OUT (19), every one DOUBLE-green on an unchanged kernel, each with
+# a tail note: the r9 cohort recalled by R15_IN (green r9 AND r15,
+# kernels at rest since r9) — corpus_dataset_profile,
+# corpus_html_extract, corpus_pack_bestfit, corpus_source_overlap,
+# events_heavy_users, events_props_extract, obs_blocklist_match,
+# supplier_entity_resolve; the r14 first-grades now green r14 AND r15
+# — pipeline_ccnet_approx, embedding_kmeans, corpus_bpe_by_lang; and
+# eight R14_IN-remainder entries green r14 AND r15 — tpch_q3,
+# entries_rdata, aliases, rollup_observations, events_quantiles,
+# media_dedup, embedding_project, embedding_quantize. The recalled
+# r10 cohort itself restores in-cap family coverage for most of them
+# (ann_quality_eval: ANN; corpus_quality_classifier: quality;
+# corpus_span_dedup/corpus_passage_cdc: span; total_count/
+# agg_incremental/cof_projection/multi_backend_union/rest_dual_search/
+# entries_rrname_residual: the reference backbone).
+#
+# Kernel-changed THIS round, staying for re-grade: sft_pairs /
+# sft_rejection (string-id tie-break: min_by over (-score, id)),
+# corpus_semantic_order (zero-shuffle array-literal argmax fold).
+# The r7 pair recalled by R15_IN (ann_pq_topk, dedup_embedding) stays
+# a second round: their history is the OLDEST (r7) and the r15 bench
+# flagged ann_pq_topk, so the double confirmation lands where the
+# uncertainty is. r15 NEW entries (corpus_training_shards, sft_pairs,
+# sft_rejection, corpus_semantic_order) and r15 kernel-change entries
+# (sft_render family, pipeline_wet_ccnet, corpus_unigram_*) stay
+# until double-green on current kernels.
+R16_IN = [
+    "agg_incremental", "ann_quality_eval", "cof_projection",
+    "corpus_dedup_units", "corpus_dsir_topk", "corpus_passage_cdc",
+    "corpus_quality_classifier", "corpus_span_dedup",
+    "entries_rrname_residual", "events_props_profile",
+    "events_tumbling", "explode_normalize", "multi_backend_union",
+    "rest_dual_search", "tag_routing_counts", "text_profile",
+    "total_count",
+    "sft_pairs_str", "corpus_tokenizer_drift",
+]
+R16_OUT = [
+    "corpus_dataset_profile", "corpus_html_extract",
+    "corpus_pack_bestfit", "corpus_source_overlap",
+    "events_heavy_users", "events_props_extract",
+    "obs_blocklist_match", "supplier_entity_resolve",
+    "pipeline_ccnet_approx", "embedding_kmeans", "corpus_bpe_by_lang",
+    "tpch_q3", "entries_rdata", "aliases", "rollup_observations",
+    "events_quantiles", "media_dedup", "embedding_project",
+    "embedding_quantize",
+]
+
 CAP_50 = [
-    # -- kernel/oracle changed THIS round (r15): must re-grade --
+    # -- kernel changed THIS round (r16): must re-grade --
+    "sft_pairs",             # string-id tie-break (min_by over
+                             # (-score, id)); green r15 on the old
+                             # kernel
+    "sft_rejection",         # guard relaxed to integral-or-string
+    "corpus_semantic_order", # zero-shuffle array-literal argmax fold
+    # -- NEW r16: never graded, must be in-cap --
+    "sft_pairs_str",         # preference pairs under STRING response
+                             # ids ('r'||event_id: lexicographic order
+                             # diverges from numeric)
+    "corpus_tokenizer_drift",# tokenizer_diff relational core: piece
+                             # delta + encode drift, both generations
+                             # replayed in DuckDB
+    # -- r15 kernel-change entries: single-green r15 on current
+    #    kernels, stay for the double-green confirmation --
     "sft_render",            # gap_sessions adaptive arm
     "sft_loss_spans",        # gap_sessions adaptive arm
     "pipeline_sft",          # gap_sessions adaptive arm
     "events_sessionize",     # gap_sessions adaptive arm
-    "sft_pairs",             # NEW r15: DPO preference-pair assembly
-    "sft_rejection",         # NEW r15: rejection-sampling (RFT) top-k
-    "corpus_training_shards",# NEW r15: shard sink layout (md5 shard_of)
-    "corpus_semantic_order", # NEW r15: ICLM packing order (kmeans
-                             # recursion + within-cell rank)
     "pipeline_wet_ccnet",    # WET export-token nonce (write path)
     "corpus_unigram_segment",# unigram_encode_corpus vocab_ids seam
-    # -- r14 first-grades: single-green, stay until double-green --
-    "pipeline_ccnet_approx", # first hash-grade was r14
-    "embedding_kmeans",      # ivf_assign_col float64 (first green r14)
-    "ann_ivf_topk",          # same float64 change
-    # -- r14 NEW entry: never graded, must be in-cap (its slot comes
-    #    from corpus_curriculum_order, demoted mid-r14 with a tail
-    #    note: never-graded > single-green re-confirmation under
-    #    stalest-first, and its zero-shuffle projection kernel has no
-    #    r14 changes; driver_sim re-confirmed it green this session) --
-    "corpus_bpe_by_lang",    # per-language byte-BPE fit, the learned
-                             # merge table hash-graded vs an unrolled
-                             # DuckDB replay of the greedy loop
-    "corpus_unigram_by_lang",# per-language Viterbi segmentation under
-                             # per-language pinned unigram vocabs (the
-                             # grouped-EM fit unit-pinned per slice);
-                             # slot from corpus_bpe_bytes, demoted
-                             # with a same-kernel tail note
-    # -- in-cap dedup-family representative (r13 kernel, green
-    #    r13+r14; its star-pairs siblings demoted with notes) --
-    "dedup_components",      # pair->component iteration path
-    # -- R15_IN: the staleness-frontier recall (r7 pair + r9 cohort;
-    #    see rotation comment) --
+    "corpus_unigram_by_lang",# per-language Viterbi under pinned
+                             # per-language unigram vocabs
+    # -- r15 NEW entries: single-green r15, stay until double-green --
+    "corpus_training_shards",# shard sink layout (md5 shard_of)
+    # -- R15_IN r7 pair: oldest history (r7), single re-confirmation
+    #    r15; ann_pq_topk additionally carried the r15 bench flag
+    #    (adjudicated ambient this round, PERF.md r16) — kept for the
+    #    double confirmation where the uncertainty is --
     "ann_pq_topk",
     "dedup_embedding",
-    "corpus_dataset_profile",
-    "corpus_html_extract",
-    "corpus_pack_bestfit",
-    "corpus_source_overlap",
-    "events_heavy_users",
-    "events_props_extract",
-    "obs_blocklist_match",
-    "supplier_entity_resolve",
-    # -- R14_IN remainder: single-green r14 after their recall, kept
-    #    for the double-green confirmation (media_stats/tpch_q1/
-    #    topk_per_group/join_enrich/corpus_hash_sample demoted with
-    #    multi-green-history notes to fund the frontier recall and the
-    #    third NEW entry) --
-    "events_quantiles",
-    "pipeline_clean",
-    "rollup_observations",
-    "tpch_q3",
-    "media_dedup",
+    # -- in-cap family representatives (multi-green, kernels at
+    #    rest; tail siblings reference these by note) --
+    "ann_ivf_topk",          # ANN family canary
+    "dedup_components",      # pair->component iteration path
+    "dedup_passage",         # span/bucketed-candidates dedup canary
+    "pipeline_ccnet_par",    # ccnet chain canary (paragraph arm)
+    "pipeline_clean",        # quality/clean chain canary
+    # -- R16_IN: the r10 staleness-cohort recall (see rotation
+    #    comment) --
+    "agg_incremental",
+    "ann_quality_eval",
+    "cof_projection",
+    "corpus_dedup_units",
+    "corpus_dsir_topk",
+    "corpus_passage_cdc",
+    "corpus_quality_classifier",
+    "corpus_span_dedup",
+    "entries_rrname_residual",
+    "events_props_profile",
+    "events_tumbling",
+    "explode_normalize",
+    "multi_backend_union",
+    "rest_dual_search",
+    "tag_routing_counts",
+    "text_profile",
+    "total_count",
+    # -- R14_IN remainder kept in-cap (green r14+r15; the slots not
+    #    needed to fund the recall stay for a third confirmation) --
     "corpus_contamination",
     "corpus_chunk_tokens",
     "corpus_clean_text",
@@ -577,16 +642,10 @@ CAP_50 = [
     "corpus_stratified_k",
     "corpus_trigram_familiarity",
     "corpus_winnow",
-    "dedup_passage",
     "embedding_mean_pool",
     "embedding_pq",
-    "embedding_project",
-    "embedding_quantize",
     "media_chunks",
     "media_patches",
-    "entries_rdata",
-    "aliases",
-    "pipeline_ccnet_par",
 ]
 
 # Tail rationale: every entry is either (a) real-driver green in two
@@ -766,27 +825,64 @@ _TAIL = [
     "lm_store_perplexity",     # BigramCountStore roundtrip
     "corpus_leakage_split",    # group-aware split kernel
     "events_skew_metrics",     # keyed skew-stats kernel
-    # --- demoted r11 (kernels unchanged) ---
-    "explode_normalize",       # green r6+r10; FEVER two-level explode kernel
-    "entries_rrname_residual", # green r6+r10; rides entries_rdata layout + F5 predicate
-    "cof_projection",          # green r6+r10; pure projection over the agg
-    "multi_backend_union",     # green r6+r10; unionAll of the store read
-    "rest_dual_search",        # green r6+r10; two entries() unioned
-    "total_count",             # green r6+r10; count over observations_agg
-    "tag_routing_counts",      # green r6+r10; selector-DAG kernel, unit e2e too
-    "agg_incremental",         # green r6+r10; same merge fold as observations_agg
-    "events_tumbling",         # green r6+r10; window() tumbling kernel
-    "text_profile",            # green r6+r10; scalar text-stats projection
-    "corpus_passage_cdc",      # green r7-r10 (4x); span/CDC family
-    "corpus_span_dedup",       # green r7-r10 (4x); same span kernel
-    "corpus_quality_classifier",  # green r7-r10 (4x); quality family
-    "ann_quality_eval",        # green r7-r10 (4x); ANN family via ann_ivf_topk
-    "corpus_dedup_units",      # green r7-r10 (4x); paragraph-unit explode kernel
-    "corpus_dsir_topk",        # green r7-r10 (4x); hashed-ngram importance kernel
-    "events_props_profile",    # green r7-r10 (4x); semistructured map-explode kernel
-    # (the former r10-demotion block and standing tail — the r7 pair
-    # and the whole r9 cohort — were RECALLED in-cap by R15_IN: the
-    # staleness frontier, see the rotation comment)
+    # (the whole former r11-demotion block — the 17-entry r10 cohort,
+    # the tail's staleness frontier — was RECALLED in-cap by R16_IN;
+    # the r7 pair and the r9 cohort had been recalled by R15_IN, see
+    # the rotation comments)
+    # --- demoted r16: the r9 cohort after its R15_IN recall — every
+    #     one DOUBLE-green (r9 AND r15) on kernels at rest since r9 ---
+    "corpus_dataset_profile",  # profile projection; quality family
+                               # in-cap via pipeline_clean +
+                               # recalled corpus_quality_classifier
+    "corpus_html_extract",     # html strip kernel; also graded inside
+                               # in-cap pipeline_wet_ccnet's WET chain
+    "corpus_pack_bestfit",     # best-fit packer arm; packer family
+                               # in-cap via pipeline_sft (fragment
+                               # packer) + corpus_chunk_tokens
+    "corpus_source_overlap",   # cross-source shingle overlap; shingle
+                               # kernels in-cap via recalled
+                               # corpus_span_dedup/corpus_passage_cdc
+    "events_heavy_users",      # heavy-hitter projection; keyed-count
+                               # idiom in-cap via recalled
+                               # events_props_profile
+    "events_props_extract",    # map-extract projection; sibling
+                               # events_props_profile recalled in-cap
+    "obs_blocklist_match",     # blocklist join; blocklist kernel also
+                               # rides in-cap pipeline_clean
+    "supplier_entity_resolve", # SymSpell entity resolution; green
+                               # r9+r15, kernel at rest since r9
+    # --- demoted r16: r14 first-grades now DOUBLE-green (r14 AND
+    #     r15), kernels untouched since their r14 grading ---
+    "pipeline_ccnet_approx",   # approx-threshold ccnet arm; chain
+                               # canaried in-cap by pipeline_ccnet_par
+    "embedding_kmeans",        # kmeans recursion; same recursion
+                               # graded in-cap via corpus_semantic_order
+                               # (ivf_fit seeds + assignment rule)
+    "corpus_bpe_by_lang",      # per-language byte-BPE fit; merge-fold
+                               # class graded in-cap via
+                               # corpus_tokenizer_drift's dual-
+                               # generation word-BPE replay
+    # --- demoted r16: R14_IN remainder now DOUBLE-green (r14 AND
+    #     r15), kernels at rest; slots fund the r10-cohort recall ---
+    "tpch_q3",                 # literal TPC-H SQL, Catalyst demo
+                               # (tail rationale class (c))
+    "entries_rdata",           # Q2 inverted lookup; the dual-sorted
+                               # layout re-grades via recalled
+                               # entries_rrname_residual (same scan +
+                               # F5 residual predicate on top)
+    "aliases",                 # J1 broadcast self-join; green
+                               # r10+r14+r15, kernel at rest since r10
+    "rollup_observations",     # GROUPING-SETS twin of the A1-A3 fold;
+                               # the fold re-grades via recalled
+                               # agg_incremental + total_count
+    "events_quantiles",        # percentile projection; windowed-agg
+                               # family via recalled events_tumbling
+    "media_dedup",             # media exact-dup; media family in-cap
+                               # via media_chunks/media_patches, dedup
+                               # keep-rule via dedup_components
+    "embedding_project",       # JL projection; embedding family
+                               # in-cap via embedding_pq/mean_pool
+    "embedding_quantize",      # int8 quantize; same family coverage
 ]
 
 assert len(CAP_50) == 50, f"cap must be exactly 50, got {len(CAP_50)}"
@@ -799,7 +895,7 @@ assert set(CAP_50) | set(_TAIL) == set(QUERIES), (
 )
 # The executed rotation is code, not prose: IN entries must be in-cap,
 # OUT entries must be in the tail, and the two sets disjoint.
-assert set(R15_IN) <= set(CAP_50), sorted(set(R15_IN) - set(CAP_50))
-assert set(R15_OUT) <= set(_TAIL), sorted(set(R15_OUT) - set(_TAIL))
-assert not (set(R15_IN) & set(R15_OUT)), "IN/OUT overlap"
+assert set(R16_IN) <= set(CAP_50), sorted(set(R16_IN) - set(CAP_50))
+assert set(R16_OUT) <= set(_TAIL), sorted(set(R16_OUT) - set(_TAIL))
+assert not (set(R16_IN) & set(R16_OUT)), "IN/OUT overlap"
 QUERIES = {k: QUERIES[k] for k in CAP_50} | {k: QUERIES[k] for k in _TAIL}

@@ -1152,15 +1152,17 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle() -> str:
-    """DuckDB replay of the greedy merge fold: for each pinned merge,
-    a list_reduce over the space-joined piece string whose accumulator
-    merges (a, b) when a is the accumulator's LAST piece — the string
-    twin of bpe.merge_pair's array fold (first-element seeding on both
-    sides). Pieces are alnum by construction, so the regex literals
-    need no escaping."""
+def _word_fold_expr(merges: list[tuple[str, str]]) -> str:
+    """The greedy merge fold over a word, as a DuckDB expression: for
+    each pinned merge, a list_reduce over the space-joined piece
+    string whose accumulator merges (a, b) when a is the accumulator's
+    LAST piece — the string twin of bpe.merge_pair's array fold
+    (first-element seeding on both sides). Pieces are alnum by
+    construction, so the regex literals need no escaping.
+    Parameterized over the merge list (r16) so two tokenizer
+    generations can be replayed side by side."""
     expr = "array_to_string(regexp_extract_all(word, '.'), ' ')"
-    for a, b in BPE_MERGES:
+    for a, b in merges:
         expr = (
             f"list_reduce(string_split({expr}, ' '), (acc, x) -> "
             f"CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = '{a}' "
@@ -1168,6 +1170,11 @@ def _bpe_oracle() -> str:
             f"THEN regexp_replace(acc, '([^ ]+)$', '{a}{b}') "
             f"ELSE acc || ' ' || x END)"
         )
+    return expr
+
+
+def _bpe_oracle() -> str:
+    expr = _word_fold_expr(BPE_MERGES)
     return f"""
 WITH {_TOKS_SQL},
 words AS (
@@ -1270,6 +1277,133 @@ SELECT doc_id,
        CAST(count(*) AS INTEGER) AS n_pieces,
        string_agg(piece_id::VARCHAR, ' ' ORDER BY wpos, ppos) AS ids_text
 FROM ids GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# -- tokenizer drift report (r16): the graded twin of TokenizerStore
+#    .tokenizer_diff via its store-free relational core ---------------------
+
+#: generation A = a PREFIX of the pinned merge list (an earlier,
+#: shorter fit), generation B = the full list — adding merges shifts
+#: piece weights, so the dense (weight DESC, piece) id ranking really
+#: renumbers surviving pieces and the report's every column is
+#: exercised (added, removed, renumbered, re-segmented docs).
+DRIFT_MERGES_A = BPE_MERGES[:6]
+
+
+def q_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer generation drift report (bpe.tokenizer_diff_frames —
+    the relational core TokenizerStore.tokenizer_diff delegates to,
+    graded r16 per the r15 verdict stretch #9): piece-table delta
+    between two pinned word-BPE generations (added / removed /
+    renumbered under each generation's own dense weight-ranked ids)
+    plus encode drift over the corpus (docs compared / byte-identical
+    id sequences / total tokens under each). Scale shape: the piece
+    tables are parameter-sized collects; the drift is two encode
+    passes + ONE id-keyed equi-join + one aggregate."""
+    from balboa_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    va_df = bpe.vocab_table(docs, DRIFT_MERGES_A)
+    vb_df = bpe.vocab_table(docs, BPE_MERGES)
+    va = {
+        r["piece"]: int(r["piece_id"])
+        for r in va_df.select("piece", "piece_id").collect()
+    }
+    vb = {
+        r["piece"]: int(r["piece_id"])
+        for r in vb_df.select("piece", "piece_id").collect()
+    }
+    ea = bpe.encode_corpus(docs, DRIFT_MERGES_A, va_df)
+    eb = bpe.encode_corpus(docs, BPE_MERGES, vb_df)
+    return bpe.tokenizer_diff_frames(
+        spark, va, vb, ea, eb, gen_a=0, gen_b=1
+    )
+
+
+def _drift_oracle() -> str:
+    """Both generations replayed side by side: the parameterized fold
+    (_word_fold_expr) segments every DISTINCT word under each merge
+    list; per-generation piece weights and dense ids re-derive each
+    vocab; per-doc id strings re-derive each encode; then one
+    full-outer piece join (the delta) and one doc equi-join (the
+    drift) collapse to the report's single row."""
+    def gen(tag: str, merges: list[tuple[str, str]]) -> str:
+        fold = _word_fold_expr(merges)
+        return f"""
+seg_{tag} AS MATERIALIZED (SELECT word, {fold} AS pieces FROM uw),
+vw_{tag} AS (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS weight
+  FROM (
+    SELECT unnest(string_split(s.pieces, ' ')) AS piece, w.cnt
+    FROM seg_{tag} s JOIN words w USING (word)
+  ) GROUP BY piece
+),
+vocab_{tag} AS MATERIALIZED (
+  SELECT piece,
+         CAST(row_number() OVER (ORDER BY weight DESC, piece) - 1
+              AS INTEGER) AS piece_id
+  FROM vw_{tag}
+),
+dp_{tag} AS (
+  SELECT doc_id, wpos,
+         unnest(list_transform(
+           range(1, len(string_split(pieces, ' ')) + 1),
+           j -> {{'j': j, 'p': string_split(pieces, ' ')[j]}})) AS ps
+  FROM dw JOIN seg_{tag} USING (word)
+),
+enc_{tag} AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+         string_agg(v.piece_id::VARCHAR, ' '
+                    ORDER BY wpos, struct_extract(ps, 'j')) AS ids
+  FROM dp_{tag} JOIN vocab_{tag} v ON v.piece = struct_extract(ps, 'p')
+  GROUP BY doc_id
+)"""
+
+    return f"""
+WITH {_TOKS_SQL},
+words AS (
+  SELECT t AS word, count(*) AS cnt
+  FROM (SELECT unnest(tk) AS t FROM toks)
+  WHERE regexp_matches(t, '^[a-z0-9]+$')
+  GROUP BY t
+),
+dt AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) + 1),
+                               i -> {{'i': i, 'w': tk[i]}})) AS s
+  FROM toks
+),
+dw AS (
+  SELECT doc_id, struct_extract(s, 'i') AS wpos,
+         struct_extract(s, 'w') AS word
+  FROM dt WHERE regexp_matches(struct_extract(s, 'w'), '^[a-z0-9]+$')
+),
+uw AS (SELECT DISTINCT word FROM words),
+{gen("a", DRIFT_MERGES_A)},
+{gen("b", BPE_MERGES)},
+delta AS (
+  SELECT
+    CAST(count(*) FILTER (WHERE a.piece IS NULL) AS INTEGER) AS pieces_added,
+    CAST(count(*) FILTER (WHERE b.piece IS NULL) AS INTEGER) AS pieces_removed,
+    CAST(count(*) FILTER (WHERE a.piece IS NOT NULL AND b.piece IS NOT NULL
+                          AND a.piece_id <> b.piece_id) AS INTEGER)
+      AS pieces_renumbered
+  FROM vocab_a a FULL OUTER JOIN vocab_b b ON a.piece = b.piece
+),
+drift AS (
+  SELECT CAST(count(*) AS BIGINT) AS docs_compared,
+         CAST(sum(CASE WHEN a.ids = b.ids THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_identical,
+         CAST(sum(a.n_pieces) AS BIGINT) AS tokens_a,
+         CAST(sum(b.n_pieces) AS BIGINT) AS tokens_b
+  FROM enc_a a JOIN enc_b b USING (doc_id)
+)
+SELECT CAST(0 AS INTEGER) AS gen_a, CAST(1 AS INTEGER) AS gen_b,
+       delta.pieces_added, delta.pieces_removed, delta.pieces_renumbered,
+       drift.docs_compared, drift.docs_identical,
+       drift.tokens_a, drift.tokens_b
+FROM delta, drift
 """
 
 
@@ -4127,6 +4261,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_source_overlap": q_source_overlap,
     "corpus_bpe_vocab": q_bpe_vocab,
     "corpus_bpe_encode": q_bpe_encode,
+    "corpus_tokenizer_drift": q_tokenizer_drift,
     "corpus_bpe_bytes": q_bpe_bytes,
     "pipeline_wet_ccnet": q_pipeline_wet_ccnet,
     "pipeline_ccnet_approx": q_pipeline_ccnet_approx,
@@ -4204,6 +4339,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_source_overlap": SOURCE_OVERLAP_ORACLE,
     "corpus_bpe_vocab": _bpe_vocab_oracle(),
     "corpus_bpe_encode": _bpe_encode_oracle(),
+    "corpus_tokenizer_drift": _drift_oracle(),
     "corpus_bpe_bytes": _bpe_bytes_oracle(),
     "pipeline_wet_ccnet": PIPELINE_WET_CCNET_ORACLE,
     "corpus_unigram_segment": _unigram_oracle(),

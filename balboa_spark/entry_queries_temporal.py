@@ -242,6 +242,69 @@ ORDER BY c.prompt_id
 """
 
 
+def q_sft_pairs_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-id preference pairs (r16, the r15 verdict's gap #2
+    closed and graded): the same DPO assembly as sft_pairs but with
+    UUID-style STRING response ids — 'r' || event_id — whose
+    lexicographic order deliberately DIVERGES from numeric order
+    ('r10' < 'r9'), so the hash compare actually pins the binary-UTF-8
+    tie rule, not a relabeled integer order. Kernel unchanged: ONE
+    groupBy, min_by over (-score, id) structs (negating the SCORE is
+    what freed the id type)."""
+    from balboa_spark.operators.sft import preference_pairs
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    ratings = ev.select(
+        F.col("user_id").alias("prompt_id"),
+        F.concat(F.lit("r"), F.col("event_id").cast("string")).alias(
+            "response_id"
+        ),
+        F.concat(
+            F.col("event_type"), F.lit(" "), F.coalesce("props", F.lit(""))
+        ).alias("response"),
+        F.col("value").alias("score"),
+    )
+    return preference_pairs(ratings, system_prompt="sys").orderBy(
+        "prompt_id"
+    )
+
+
+SFT_PAIRS_STR_ORACLE = """
+WITH r AS (
+  SELECT user_id AS prompt_id, 'r' || CAST(event_id AS VARCHAR) AS response_id,
+         event_type || ' ' || coalesce(props, '') AS response,
+         value AS score
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND value IS NOT NULL AND NOT isnan(value)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score DESC,
+                                     response_id ASC) AS rc,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score ASC,
+                                     response_id ASC) AS rr
+  FROM r
+),
+c AS (SELECT prompt_id, response_id AS chosen_id, response AS chosen_text,
+             score AS chosen_score FROM ranked WHERE rc = 1),
+j AS (SELECT prompt_id, response_id AS rejected_id, response AS rejected_text,
+             score AS rejected_score FROM ranked WHERE rr = 1)
+SELECT c.prompt_id, chosen_id, rejected_id, chosen_score, rejected_score,
+       '<|system|>sys<|end|>' || '<|user|>' || CAST(c.prompt_id AS VARCHAR)
+         || '<|end|>' || '<|assistant|>' || chosen_text || '<|end|>'
+         AS chosen,
+       '<|system|>sys<|end|>' || '<|user|>' || CAST(c.prompt_id AS VARCHAR)
+         || '<|end|>' || '<|assistant|>' || rejected_text || '<|end|>'
+         AS rejected
+FROM c JOIN j USING (prompt_id)
+WHERE chosen_score > rejected_score
+ORDER BY c.prompt_id
+"""
+
+
 REJ_THRESHOLD = 50.0
 REJ_K = 3
 
@@ -1016,6 +1079,7 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sft_loss_spans": q_sft_loss_spans,
     "pipeline_sft": q_pipeline_sft,
     "sft_pairs": q_sft_pairs,
+    "sft_pairs_str": q_sft_pairs_str,
     "sft_rejection": q_sft_rejection,
 }
 
@@ -1038,5 +1102,6 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "sft_loss_spans": SFT_LOSS_SPANS_ORACLE,
     "pipeline_sft": PIPELINE_SFT_ORACLE,
     "sft_pairs": SFT_PAIRS_ORACLE,
+    "sft_pairs_str": SFT_PAIRS_STR_ORACLE,
     "sft_rejection": SFT_REJECTION_ORACLE,
 }

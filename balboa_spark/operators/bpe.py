@@ -1364,13 +1364,35 @@ def tokenizer_diff(
         r["piece"]: int(r["piece_id"])
         for r in store.vocab(gen_b).select("piece", "piece_id").collect()
     }
+    ea = store.encode(docs, text_col=text_col, id_col=id_col, generation=gen_a)
+    eb = store.encode(docs, text_col=text_col, id_col=id_col, generation=gen_b)
+    return tokenizer_diff_frames(
+        docs.sparkSession, va, vb, ea, eb,
+        gen_a=int(gen_a), gen_b=int(gen_b), id_col=id_col,
+    )
+
+
+def tokenizer_diff_frames(
+    spark,
+    va: dict,
+    vb: dict,
+    ea: DataFrame,
+    eb: DataFrame,
+    gen_a: int = 0,
+    gen_b: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Store-free relational core of :func:`tokenizer_diff` (split out
+    r16 so the drift report is driver-gradeable — the
+    `corpus_tokenizer_drift` entry feeds it pinned-merge vocab/encode
+    relations the DuckDB oracle can replay). ``va``/``vb`` are
+    piece -> id dicts (parameter-sized); ``ea``/``eb`` are encode
+    relations (id, piece_ids)."""
     added = len(set(vb) - set(va))
     removed = len(set(va) - set(vb))
     renumbered = sum(
         1 for p in set(va) & set(vb) if va[p] != vb[p]
     )
-    ea = store.encode(docs, text_col=text_col, id_col=id_col, generation=gen_a)
-    eb = store.encode(docs, text_col=text_col, id_col=id_col, generation=gen_b)
     j = ea.alias("a").join(
         eb.alias("b"), F.col(f"a.{id_col}") == F.col(f"b.{id_col}")
     )
@@ -1384,7 +1406,6 @@ def tokenizer_diff(
         F.sum(F.size("a.piece_ids")).alias("tokens_a"),
         F.sum(F.size("b.piece_ids")).alias("tokens_b"),
     )
-    spark = docs.sparkSession
     meta = spark.createDataFrame(
         [(int(gen_a), int(gen_b), added, removed, renumbered)],
         "gen_a int, gen_b int, pieces_added int, pieces_removed int, "
