@@ -856,6 +856,21 @@ class TokenizerStore:
             return segment_any(word, self.merges())
         if k == "byte":
             return byte_segment_any(word, self.merges())
+        if k == "wordpiece":
+            # greedy longest-match has a single-Column Arrow form
+            from balboa_spark.operators import wordpiece as _wp
+
+            man = self._manifest()
+            vocab = {
+                r["piece"]
+                for r in self.vocab().select("piece").collect()
+            }
+            return _wp.wordpiece_segment_col(
+                word, vocab,
+                unk_token=man.get("unk_token", "[UNK]"),
+                prefix=man.get("continuing_subword_prefix", "##"),
+                max_chars=int(man.get("max_input_chars_per_word", 100)),
+            )
         raise ValueError(
             "unigram segmentation needs the staged DataFrame path — "
             "use unigram.unigram_segment_words(df, store.pieces(), ...)"
@@ -926,6 +941,31 @@ class TokenizerStore:
             return byte_encode_corpus(
                 df, self.merges(gen), text_col=text_col, id_col=id_col,
                 vocab_ids=vocab_ids,
+            )
+        if k == "wordpiece":
+            # wordpiece generations exist only via import — the id
+            # table and segmentation params are always the artifact's
+            from balboa_spark.operators import wordpiece as _wp
+
+            man = self._manifest()
+            vocab_ids = [
+                (r["piece"], int(r["piece_id"]))
+                for r in self.vocab(gen).select("piece", "piece_id").collect()
+            ]
+            return _wp.wordpiece_encode_corpus(
+                df, vocab_ids,
+                unk_token=prov.get(
+                    "unk_token", man.get("unk_token", "[UNK]")
+                ),
+                prefix=prov.get(
+                    "continuing_subword_prefix",
+                    man.get("continuing_subword_prefix", "##"),
+                ),
+                max_chars=int(prov.get(
+                    "max_input_chars_per_word",
+                    man.get("max_input_chars_per_word", 100),
+                )),
+                text_col=text_col, id_col=id_col,
             )
         from balboa_spark.operators import unigram as _ug
 
@@ -1076,6 +1116,33 @@ class TokenizerStore:
         k = self.kind()
         if k == "unigram":
             return self._export_hf_unigram(out_path, generation, unk_piece)
+        if k == "wordpiece":
+            gen = self._resolve_gen(generation)
+            prov = self._gen_provenance(gen)
+            if prov.get("vocab_source") != "hf_import":
+                raise ValueError(
+                    "export_hf: wordpiece generations exist only via "
+                    "import; this generation has no imported id table"
+                )
+            man = self._manifest()
+            vocab_ids = [
+                (r["piece"], int(r["piece_id"]))
+                for r in self.vocab(gen).select("piece", "piece_id").collect()
+            ]
+            params = {
+                key: prov.get(key, man.get(key))
+                for key in (
+                    "unk_token",
+                    "continuing_subword_prefix",
+                    "max_input_chars_per_word",
+                )
+            }
+            return tokenizer_io.export_hf_wordpiece(
+                vocab_ids, params, out_path,
+                specials=prov.get(
+                    "special_tokens", man.get("special_tokens")
+                ),
+            )
         if k != "byte":
             raise ValueError(
                 f"export_hf handles byte and unigram kinds; this store "
@@ -1175,6 +1242,8 @@ class TokenizerStore:
             mtype = (json.load(fh).get("model") or {}).get("type")
         if mtype == "Unigram":
             return self._import_hf_unigram(in_path)
+        if mtype == "WordPiece":
+            return self._import_hf_wordpiece(in_path)
 
         merges, vocab_hex, specials = tokenizer_io.import_hf(in_path)
         gen, gen_dir = self._start_fit("byte")
@@ -1225,6 +1294,34 @@ class TokenizerStore:
             "unk_logp": None if unk is None else unk[1],
         })
         return pieces
+
+    def _import_hf_wordpiece(self, in_path: str) -> list[tuple[str, int]]:
+        """Commit a NEW wordpiece generation from a BERT-family HF
+        ``tokenizer.json`` (r16 — the third public interchange
+        family): the id table VERBATIM, the segmentation params
+        (unk / ## prefix / max word chars) in the manifest, specials
+        recorded. :meth:`encode` dispatches to the greedy
+        longest-match segmenter (operators/wordpiece.py)."""
+        import os
+
+        from balboa_spark.operators import tokenizer_io
+
+        vocab_ids, params, specials = tokenizer_io.import_hf_wordpiece(
+            in_path
+        )
+        gen, gen_dir = self._start_fit("wordpiece")
+        self.spark.createDataFrame(
+            [(p, 0, i) for p, i in vocab_ids],
+            "piece string, weight long, piece_id int",
+        ).write.mode("overwrite").parquet(os.path.join(gen_dir, "vocab"))
+        self._commit(gen, {
+            "kind": "wordpiece",
+            "vocab_size": len(vocab_ids),
+            "vocab_source": "hf_import",
+            "special_tokens": specials,
+            **params,
+        })
+        return vocab_ids
 
 
 #: id emitted for a piece absent from the vocabulary (possible only

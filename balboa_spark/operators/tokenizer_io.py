@@ -479,3 +479,89 @@ def import_hf_unigram(
         if p not in specials and i != unk_id
     ]
     return vocab_entries, unk, specials
+
+
+def import_hf_wordpiece(
+    in_path: str,
+) -> tuple[list[tuple[str, int]], dict, dict[str, int]]:
+    """Read an HF ``tokenizer.json`` with a ``"type": "WordPiece"``
+    model (the BERT family) -> ``(vocab_ids, params, specials)``:
+    ``vocab_ids`` is the ``model.vocab`` id map VERBATIM
+    (``[(piece, id), ...]`` — the import_gpt2 convention), ``params``
+    carries the segmentation contract (``unk_token``,
+    ``continuing_subword_prefix``, ``max_input_chars_per_word``) with
+    the format's published defaults, and ``specials`` maps
+    added-token content -> id. The unk token STAYS in the piece table
+    (greedy segmentation emits it); other added tokens are excluded
+    (control tokens no segmentation should produce). Anything but a
+    WordPiece model raises."""
+    with open(in_path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    model = doc.get("model") or {}
+    if model.get("type") != "WordPiece":
+        raise ValueError(
+            f"import_hf_wordpiece: model.type={model.get('type')!r}; "
+            "only WordPiece maps onto the wordpiece arm"
+        )
+    params = {
+        "unk_token": model.get("unk_token", "[UNK]"),
+        "continuing_subword_prefix": model.get(
+            "continuing_subword_prefix", "##"
+        ),
+        "max_input_chars_per_word": int(
+            model.get("max_input_chars_per_word", 100)
+        ),
+    }
+    specials = {
+        a["content"]: int(a["id"]) for a in doc.get("added_tokens") or []
+    }
+    vocab_ids = [
+        (p, int(i))
+        for p, i in (model.get("vocab") or {}).items()
+        if p not in specials or p == params["unk_token"]
+    ]
+    if not vocab_ids:
+        raise ValueError(
+            f"import_hf_wordpiece: {in_path} has an empty vocab"
+        )
+    return vocab_ids, params, specials
+
+
+def export_hf_wordpiece(
+    vocab_ids: list[tuple[str, int]],
+    params: dict,
+    out_path: str,
+    specials: dict[str, int] | None = None,
+) -> dict[str, int]:
+    """Write a WordPiece id table back as a single-file HF
+    ``tokenizer.json`` (``"type": "WordPiece"``): ids VERBATIM, the
+    segmentation params round-tripped, specials in ``added_tokens`` —
+    so an imported artifact re-exports byte-compatibly and an external
+    stack segments identically. Returns the written vocab map."""
+    vocab = {p: int(i) for p, i in vocab_ids}
+    doc = {
+        "version": "1.0",
+        "model": {
+            "type": "WordPiece",
+            "unk_token": params.get("unk_token", "[UNK]"),
+            "continuing_subword_prefix": params.get(
+                "continuing_subword_prefix", "##"
+            ),
+            "max_input_chars_per_word": int(
+                params.get("max_input_chars_per_word", 100)
+            ),
+            "vocab": vocab,
+        },
+        "added_tokens": [
+            {"id": int(i), "content": p, "special": True}
+            for p, i in sorted(
+                (specials or {}).items(), key=lambda kv: kv[1]
+            )
+            if p not in vocab
+        ],
+    }
+    tmp = out_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh, ensure_ascii=False)
+    os.replace(tmp, out_path)
+    return vocab
