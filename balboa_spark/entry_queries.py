@@ -516,7 +516,7 @@ R15_OUT = [
 # ROUND-16 ROTATION (executed this round; grading_ledger.py checks
 # membership exactly as for R15).
 #
-# IN (19): the ENTIRE 17-entry r10 staleness cohort — the r15 verdict
+# IN (20): the ENTIRE 17-entry r10 staleness cohort — the r15 verdict
 # task #1 asked for >= 9 with the rest queued to r17; recalling ALL of
 # them clears the frontier in one round, so at r16 close no tail
 # entry is staler than r11 and the 8-round budget does not bind again
@@ -524,9 +524,12 @@ R15_OUT = [
 # in-cap): sft_pairs_str (the preference family's string-id arm,
 # grading the r16 tie-break change against lexicographic ids) and
 # corpus_tokenizer_drift (the tokenizer_diff relational core — the
-# one ungraded r15 surface, verdict stretch #9).
+# one ungraded r15 surface, verdict stretch #9), and
+# corpus_wordpiece_segment (the r16 WordPiece arm's greedy
+# longest-match segmentation, replayed in DuckDB via a RECURSIVE CTE
+# whose LATERAL argmax consumes the longest matching piece per step).
 #
-# OUT (19), every one DOUBLE-green on an unchanged kernel, each with
+# OUT (20), every one DOUBLE-green on an unchanged kernel, each with
 # a tail note: the r9 cohort recalled by R15_IN (green r9 AND r15,
 # kernels at rest since r9) — corpus_dataset_profile,
 # corpus_html_extract, corpus_pack_bestfit, corpus_source_overlap,
@@ -535,7 +538,8 @@ R15_OUT = [
 # — pipeline_ccnet_approx, embedding_kmeans, corpus_bpe_by_lang; and
 # eight R14_IN-remainder entries green r14 AND r15 — tpch_q3,
 # entries_rdata, aliases, rollup_observations, events_quantiles,
-# media_dedup, embedding_project, embedding_quantize. The recalled
+# media_dedup, embedding_project, embedding_quantize, corpus_winnow.
+# The recalled
 # r10 cohort itself restores in-cap family coverage for most of them
 # (ann_quality_eval: ANN; corpus_quality_classifier: quality;
 # corpus_span_dedup/corpus_passage_cdc: span; total_count/
@@ -561,6 +565,7 @@ R16_IN = [
     "rest_dual_search", "tag_routing_counts", "text_profile",
     "total_count",
     "sft_pairs_str", "corpus_tokenizer_drift",
+    "corpus_wordpiece_segment",
 ]
 R16_OUT = [
     "corpus_dataset_profile", "corpus_html_extract",
@@ -570,7 +575,7 @@ R16_OUT = [
     "pipeline_ccnet_approx", "embedding_kmeans", "corpus_bpe_by_lang",
     "tpch_q3", "entries_rdata", "aliases", "rollup_observations",
     "events_quantiles", "media_dedup", "embedding_project",
-    "embedding_quantize",
+    "embedding_quantize", "corpus_winnow",
 ]
 
 CAP_50 = [
@@ -587,6 +592,8 @@ CAP_50 = [
     "corpus_tokenizer_drift",# tokenizer_diff relational core: piece
                              # delta + encode drift, both generations
                              # replayed in DuckDB
+    "corpus_wordpiece_segment", # WordPiece greedy longest-match vs a
+                             # recursive-CTE DuckDB replay
     # -- r15 kernel-change entries: single-green r15 on current
     #    kernels, stay for the double-green confirmation --
     "sft_render",            # gap_sessions adaptive arm
@@ -641,7 +648,6 @@ CAP_50 = [
     "corpus_span_corruption",
     "corpus_stratified_k",
     "corpus_trigram_familiarity",
-    "corpus_winnow",
     "embedding_mean_pool",
     "embedding_pq",
     "media_chunks",
@@ -883,6 +889,10 @@ _TAIL = [
     "embedding_project",       # JL projection; embedding family
                                # in-cap via embedding_pq/mean_pool
     "embedding_quantize",      # int8 quantize; same family coverage
+    "corpus_winnow",           # winnowing fingerprints; the span-
+                               # fingerprint family re-grades via
+                               # recalled corpus_span_dedup +
+                               # corpus_passage_cdc
 ]
 
 assert len(CAP_50) == 50, f"cap must be exactly 50, got {len(CAP_50)}"

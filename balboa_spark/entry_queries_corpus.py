@@ -1407,6 +1407,109 @@ FROM delta, drift
 """
 
 
+# -- WordPiece segmentation (r16): greedy longest-match, graded via a
+#    recursive-CTE replay ---------------------------------------------------
+
+#: pinned WordPiece vocabulary (the BPE_MERGES discipline: chosen once
+#: against the corpus and pinned) — deliberately PARTIAL coverage so
+#: the graded surface exercises every arm: single-piece words, head +
+#: ##-continuation chains, UNK dead-ends, and the greedy-beats-
+#: backtracking case ('query': greedy takes head 'que' and dead-ends
+#: -> [UNK], even though 'q' + '##uery' would have segmented — the
+#: published algorithm does NOT backtrack, and the hash pins that).
+WP_VOCAB: tuple[str, ...] = (
+    "join", "row", "data", "the", "a", "scan", "sort", "key", "big",
+    "part",
+    "cus", "col", "fil", "mer", "bat", "val", "or", "s", "w", "h",
+    "gr", "ta", "li", "que", "fa", "du", "ag", "sp", "st", "sm",
+    "win", "slo", "ve", "pa",
+    "##tomer", "##umn", "##ter", "##ge", "##ch", "##an", "##ash",
+    "##all", "##ow", "##der", "##ctor", "##ne", "##able", "##lue",
+    "##ey", "##ream", "##dow", "##ark", "##oup", "##art", "##ig",
+    "##uery", "##ast", "##atch", "##g", "##p", "##low", "##le",
+    "##a", "##ue", "##rt", "##mall",
+)
+WP_TOP = 30
+
+
+def q_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heaviest WP_TOP alnum words segmented under the pinned
+    WordPiece vocabulary (operators/wordpiece.py — greedy
+    longest-match-first, ##-continuations, whole-word [UNK] on any
+    dead-end). The corpus pass is one tokenize + groupBy count +
+    TakeOrdered; segmentation is one Arrow batch over the 30-row
+    result. Graded against a DuckDB RECURSIVE-CTE replay of the
+    greedy loop (each step consumes the longest matching piece via a
+    correlated LATERAL argmax) — the first data-dependent-stride
+    loop the oracle suite replays."""
+    from balboa_spark.operators.bpe import WORD_RE
+    from balboa_spark.operators.text import tokens
+    from balboa_spark.operators.wordpiece import wordpiece_segment_col
+
+    docs = _docs(spark, sf_dir)
+    top = (
+        docs.select(
+            F.explode(
+                F.filter(tokens(F.col("text")), lambda w: w.rlike(WORD_RE))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(WP_TOP)
+    )
+    seg = wordpiece_segment_col(F.col("word"), set(WP_VOCAB))
+    return top.select(
+        "word",
+        "cnt",
+        F.concat_ws(" ", seg).alias("pieces"),
+        F.size(seg).cast("int").alias("n_pieces"),
+    ).orderBy(F.col("cnt").desc(), "word")
+
+
+def _wordpiece_oracle() -> str:
+    vocab_rows = ", ".join(f"('{p}')" for p in WP_VOCAB)
+    return f"""
+WITH RECURSIVE {_TOKS_SQL},
+vocab(piece) AS (VALUES {vocab_rows}),
+words AS (
+  SELECT t AS word, count(*) AS cnt
+  FROM (SELECT unnest(tk) AS t FROM toks)
+  WHERE regexp_matches(t, '^[a-z0-9]+$')
+  GROUP BY t
+),
+top AS (SELECT word, cnt FROM words ORDER BY cnt DESC, word LIMIT {WP_TOP}),
+step(word, pos, pieces, np, failed) AS (
+  SELECT word, 1, CAST('' AS VARCHAR), 0, false FROM top
+  UNION ALL
+  SELECT s.word,
+         CASE WHEN m.piece IS NULL THEN len(s.word) + 1
+              ELSE s.pos + m.consumed END,
+         CASE WHEN m.piece IS NULL THEN '[UNK]'
+              ELSE CASE WHEN s.pieces = '' THEN m.piece
+                   ELSE s.pieces || ' ' || m.piece END END,
+         CASE WHEN m.piece IS NULL THEN 1 ELSE s.np + 1 END,
+         m.piece IS NULL
+  FROM step s
+  LEFT JOIN LATERAL (
+    SELECT v.piece,
+           len(v.piece) - CASE WHEN s.pos > 1 THEN 2 ELSE 0 END AS consumed
+    FROM vocab v
+    WHERE (s.pos = 1 AND v.piece NOT LIKE '##%'
+           AND substr(s.word, s.pos, len(v.piece)) = v.piece)
+       OR (s.pos > 1 AND v.piece LIKE '##%'
+           AND substr(s.word, s.pos, len(v.piece) - 2) = substr(v.piece, 3))
+    ORDER BY consumed DESC, v.piece LIMIT 1
+  ) m ON true
+  WHERE s.pos <= len(s.word) AND NOT s.failed
+)
+SELECT t.word, t.cnt, s.pieces, CAST(s.np AS INTEGER) AS n_pieces
+FROM top t JOIN step s ON s.word = t.word
+WHERE s.pos > len(s.word) OR s.failed
+ORDER BY t.cnt DESC, t.word
+"""
+
+
 # -- byte-level BPE (r13): GPT-2-shape tokenizer, no OOV -------------------
 
 #: Byte-level merge list learned once by bpe.byte_bpe_fit over the
@@ -4262,6 +4365,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bpe_vocab": q_bpe_vocab,
     "corpus_bpe_encode": q_bpe_encode,
     "corpus_tokenizer_drift": q_tokenizer_drift,
+    "corpus_wordpiece_segment": q_wordpiece_segment,
     "corpus_bpe_bytes": q_bpe_bytes,
     "pipeline_wet_ccnet": q_pipeline_wet_ccnet,
     "pipeline_ccnet_approx": q_pipeline_ccnet_approx,
@@ -4340,6 +4444,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_bpe_vocab": _bpe_vocab_oracle(),
     "corpus_bpe_encode": _bpe_encode_oracle(),
     "corpus_tokenizer_drift": _drift_oracle(),
+    "corpus_wordpiece_segment": _wordpiece_oracle(),
     "corpus_bpe_bytes": _bpe_bytes_oracle(),
     "pipeline_wet_ccnet": PIPELINE_WET_CCNET_ORACLE,
     "corpus_unigram_segment": _unigram_oracle(),

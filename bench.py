@@ -913,6 +913,45 @@ def main() -> None:
             packed, out, seq_len=128, num_shards=8
         )
 
+    @timed("tokenizer_drift")
+    def _():
+        # dual-generation drift report (r16): two vocab derivations +
+        # two encode passes over the corpus + one id-keyed equi-join
+        # collapsing to a single report row
+        from balboa_spark.entry_queries_corpus import q_tokenizer_drift
+
+        q_tokenizer_drift(spark, SF_DIR).collect()
+
+    # untimed setup for the wordpiece item: a realistic artifact-shaped
+    # id table (top-2k full words + ##-continuation singles), built
+    # once at definition time — the item measures the ENCODE path
+    _wp_vocab_ids = [("[UNK]", 0)] + [
+        (r["_w"], i + 1)
+        for i, r in enumerate(
+            spark.table("documents")
+            .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("_w"))
+            .filter(F.col("_w").rlike("^[a-z0-9]+$"))
+            .groupBy("_w").count()
+            .orderBy(F.col("count").desc(), "_w")
+            .limit(2000)
+            .collect()
+        )
+    ] + [
+        (f"##{c}", 3000 + i)
+        for i, c in enumerate("abcdefghijklmnopqrstuvwxyz0123456789")
+    ]
+
+    @timed("wordpiece_encode")
+    def _():
+        # greedy longest-match WordPiece encode (r16): Arrow batch
+        # over the DISTINCT pre-token relation + broadcast id join —
+        # the imported-artifact (BERT-family) encode path
+        from balboa_spark.operators import wordpiece as _wp
+
+        _wp.wordpiece_encode_corpus(
+            par(spark.table("documents")), _wp_vocab_ids
+        ).write.mode("overwrite").format("noop").save()
+
     run_items()
     shutil.rmtree(tmp, ignore_errors=True)
 
