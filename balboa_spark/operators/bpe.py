@@ -1117,13 +1117,11 @@ class TokenizerStore:
         if k == "unigram":
             return self._export_hf_unigram(out_path, generation, unk_piece)
         if k == "wordpiece":
+            # every wordpiece generation (imported OR engine-fit; the
+            # kind is post-provenance, r16) stores an EXPLICIT id
+            # table — export writes it verbatim either way
             gen = self._resolve_gen(generation)
             prov = self._gen_provenance(gen)
-            if prov.get("vocab_source") != "hf_import":
-                raise ValueError(
-                    "export_hf: wordpiece generations exist only via "
-                    "import; this generation has no imported id table"
-                )
             man = self._manifest()
             vocab_ids = [
                 (r["piece"], int(r["piece_id"]))
@@ -1294,6 +1292,47 @@ class TokenizerStore:
             "unk_logp": None if unk is None else unk[1],
         })
         return pieces
+
+    def fit_wordpiece(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        num_merges: int = 16,
+        min_pair_count: int = 2,
+    ) -> list[tuple[str, str]]:
+        """WordPiece arm (r16): train under the published likelihood
+        rule (wordpiece.wordpiece_fit — merge argmax on
+        count(ab)/(count(a)*count(b))) and persist the FINAL piece
+        table with dense (weight DESC, piece) ids plus the default
+        segmentation params; :meth:`encode`/:meth:`segment_col`
+        dispatch to greedy longest-match over the stored vocab."""
+        import json
+        import os
+
+        from balboa_spark.operators import wordpiece as _wp
+
+        gen, gen_dir = self._start_fit("wordpiece")
+        merges, vocab_ids = _wp.wordpiece_fit(
+            df, num_merges=num_merges, min_pair_count=min_pair_count,
+            text_col=text_col,
+        )
+        with open(os.path.join(gen_dir, "merges.json"), "w") as fh:
+            json.dump([list(m) for m in merges], fh)
+        self.spark.createDataFrame(
+            [(p, 0, i) for p, i in vocab_ids],
+            "piece string, weight long, piece_id int",
+        ).write.mode("overwrite").parquet(os.path.join(gen_dir, "vocab"))
+        self._commit(gen, {
+            "kind": "wordpiece",
+            "num_merges": len(merges),
+            "vocab_size": len(vocab_ids),
+            "text_col": text_col,
+            "min_pair_count": min_pair_count,
+            "unk_token": "[UNK]",
+            "continuing_subword_prefix": "##",
+            "max_input_chars_per_word": 100,
+        })
+        return merges
 
     def _import_hf_wordpiece(self, in_path: str) -> list[tuple[str, int]]:
         """Commit a NEW wordpiece generation from a BERT-family HF

@@ -163,3 +163,121 @@ def wordpiece_encode_corpus(
             lambda s: s["piece_id"],
         ).alias("piece_ids")
     )
+
+
+def _wp_merge_pair(pieces: Column, a: str, b: str) -> Column:
+    """One greedy left-to-right merge pass for WordPiece pieces:
+    adjacent (a, b) becomes ``a + b[2:]`` — the continuation marker of
+    the RIGHT piece is absorbed (within a word only the head piece is
+    unprefixed, so b always carries ``##``). Fold semantics identical
+    to bpe.merge_pair (first-element seeding, merged piece becomes the
+    fold's last element)."""
+    merged = a + b[2:]
+    rest = F.slice(pieces, 2, F.greatest(F.size(pieces) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        F.array(F.element_at(pieces, 1)),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == a) & (x == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def wordpiece_fit(
+    df: DataFrame,
+    num_merges: int,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+    score_digits: int = 12,
+) -> tuple[list[tuple[str, str]], list[tuple[str, int]]]:
+    """WordPiece TRAINING under the published likelihood rule
+    (Schuster & Nakajima 2012; the huggingface/tokenizers WordPiece
+    trainer): each round merges the adjacent pair maximizing
+    ``count(ab) / (count(a) * count(b))`` — pairs whose parts are rare
+    outside the pair win over merely-frequent pairs, which is the one
+    behavioral difference from BPE's raw-count argmax.
+
+    Plan shape per round (the bpe._fit_merges discipline): ONE
+    vocab-sized pass produces BOTH the pair counts and the symbol
+    counts (two aggregates over the same localCheckpointed relation),
+    one broadcast-joined score argmax collects a single row, and the
+    winning merge applies as a pure column fold — driver state is the
+    merge list only. The score is rounded to ``score_digits`` before
+    the (score DESC, a, b) tie-break so the argmax is
+    float-order-stable.
+
+    Returns ``(merges, vocab_ids)``: the merge list in learn order
+    and the FINAL piece table with dense ids (weight DESC, piece —
+    the vocab_table ranking convention), ready for
+    :func:`wordpiece_encode_corpus` / a TokenizerStore commit.
+    """
+    from balboa_spark.operators.bpe import chars, word_histogram
+
+    hist = word_histogram(df, text_col)
+    vocab = hist.select(
+        "cnt",
+        F.transform(
+            chars(F.col("word")),
+            lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit("##"), c)),
+        ).alias("p"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = (
+            vocab.filter(F.size("p") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(p, 1, size(p) - 1)").alias("a"),
+                        F.expr("slice(p, 2, size(p) - 1)").alias("b"),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        syms = (
+            vocab.select("cnt", F.explode("p").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = (
+            pairs.join(
+                F.broadcast(syms.select(F.col("s").alias("a"),
+                                        F.col("c").alias("ca"))), "a")
+            .join(
+                F.broadcast(syms.select(F.col("s").alias("b"),
+                                        F.col("c").alias("cb"))), "b")
+            .select(
+                "a", "b", "n",
+                F.round(
+                    F.col("n") / (F.col("ca") * F.col("cb")), score_digits
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        nxt = vocab.select(
+            "cnt", _wp_merge_pair(F.col("p"), a, b).alias("p")
+        ).localCheckpoint(eager=True)
+        vocab.unpersist()
+        vocab = nxt
+    wt = (
+        vocab.select("cnt", F.explode("p").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("weight"))
+        .orderBy(F.col("weight").desc(), "piece")
+        .collect()
+    )
+    vocab.unpersist()
+    vocab_ids = [(r["piece"], i) for i, r in enumerate(wt)]
+    return merges, vocab_ids

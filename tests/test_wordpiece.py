@@ -142,3 +142,92 @@ def test_unk_piece_id_sentinel(spark, tmp_path):
     docs = spark.createDataFrame([(1, "xyz hello")], "doc_id long, text string")
     enc = {r.doc_id: list(r.piece_ids) for r in store.encode(docs).collect()}
     assert enc[1] == [UNK_PIECE_ID, 55]
+
+
+def _ref_wp_fit(word_counts, num_merges, min_pair_count=2):
+    """Clear-room likelihood-rule reference (exact Fractions, greedy
+    left-to-right merge application)."""
+    from fractions import Fraction
+
+    vocab = [
+        ([w[0]] + ["##" + c for c in w[1:]], c)
+        for w, c in word_counts.items()
+    ]
+    merges = []
+    for _ in range(num_merges):
+        pairs, syms = {}, {}
+        for ps, c in vocab:
+            for s in ps:
+                syms[s] = syms.get(s, 0) + c
+            for a, b in zip(ps, ps[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = max(
+            pairs.items(),
+            key=lambda kv: (
+                Fraction(kv[1], syms[kv[0][0]] * syms[kv[0][1]]),
+                # score DESC then (a, b) ASC -> invert the tiebreak
+                tuple(-ord(ch) for ch in kv[0][0] + "\x00" + kv[0][1]),
+            ),
+        )
+        (a, b), n = best
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        merged = a + b[2:]
+        nxt = []
+        for ps, c in vocab:
+            out = [ps[0]]
+            for x in ps[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            nxt.append((out, c))
+        vocab = nxt
+    return merges, vocab
+
+
+def test_wordpiece_fit_matches_reference_and_roundtrips(spark, tmp_path):
+    """The likelihood-scored fit matches the clear-room reference
+    merge-for-merge (the byte_bpe_fit parity bar) on a fixture where
+    the likelihood rule DIVERGES from BPE's raw-count argmax, and the
+    fitted store segments/encodes/exports end to end."""
+    from balboa_spark.operators import bpe
+    from balboa_spark.operators.wordpiece import wordpiece_fit
+
+    # (t, ##h) has pair count 8 but t and ##h occur 8x each ->
+    # score 8/64 = 0.125; (q, ##z) has pair count only 2 but q and z
+    # occur NOWHERE else -> score 2/4 = 0.5: the likelihood rule
+    # picks the rare-but-exclusive pair FIRST, where raw-count BPE
+    # would pick (t, ##h)
+    rows = (
+        [("the tht hat",)] * 4          # t/h heavy, th pair frequent
+        + [("qz",)] * 2                 # q,z exclusive to the pair
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, (t,) in enumerate(rows)], "doc_id long, text string"
+    )
+    word_counts = {"the": 4, "tht": 4, "hat": 4, "qz": 2}
+    want_merges, _ = _ref_wp_fit(word_counts, num_merges=4)
+    got_merges, vocab_ids = wordpiece_fit(docs, num_merges=4)
+    assert got_merges == want_merges and got_merges
+    assert got_merges[0] == ("q", "##z")  # the likelihood divergence
+    pieces = {p for p, _ in vocab_ids}
+    assert "qz" in pieces
+
+    # fitted store end to end: segment + encode + export/import
+    store = bpe.TokenizerStore(spark, str(tmp_path / "wpfit"))
+    store.fit_wordpiece(docs, num_merges=4)
+    assert store.kind() == "wordpiece"
+    enc = {r.doc_id: list(r.piece_ids) for r in store.encode(docs).collect()}
+    assert enc and all(len(v) > 0 for v in enc.values())
+    out = str(tmp_path / "wp_export.json")
+    exported = store.export_hf(out)
+    store2 = bpe.TokenizerStore(spark, str(tmp_path / "wpfit2"))
+    assert dict(store2.import_hf(out)) == exported
+    enc2 = {
+        r.doc_id: list(r.piece_ids) for r in store2.encode(docs).collect()
+    }
+    assert enc2 == enc
