@@ -516,7 +516,7 @@ R15_OUT = [
 # ROUND-16 ROTATION (executed this round; grading_ledger.py checks
 # membership exactly as for R15).
 #
-# IN (20): the ENTIRE 17-entry r10 staleness cohort — the r15 verdict
+# IN (21): the ENTIRE 17-entry r10 staleness cohort — the r15 verdict
 # task #1 asked for >= 9 with the rest queued to r17; recalling ALL of
 # them clears the frontier in one round, so at r16 close no tail
 # entry is staler than r11 and the 8-round budget does not bind again
@@ -527,9 +527,11 @@ R15_OUT = [
 # one ungraded r15 surface, verdict stretch #9), and
 # corpus_wordpiece_segment (the r16 WordPiece arm's greedy
 # longest-match segmentation, replayed in DuckDB via a RECURSIVE CTE
-# whose LATERAL argmax consumes the longest matching piece per step).
+# whose LATERAL argmax consumes the longest matching piece per step),
+# and corpus_wordpiece_fit (the likelihood-rule TRAINING loop unrolled
+# round by round in DuckDB — the corpus_bpe_by_lang mechanism).
 #
-# OUT (20), every one DOUBLE-green on an unchanged kernel, each with
+# OUT (21), every one DOUBLE-green on an unchanged kernel, each with
 # a tail note: the r9 cohort recalled by R15_IN (green r9 AND r15,
 # kernels at rest since r9) — corpus_dataset_profile,
 # corpus_html_extract, corpus_pack_bestfit, corpus_source_overlap,
@@ -538,7 +540,8 @@ R15_OUT = [
 # — pipeline_ccnet_approx, embedding_kmeans, corpus_bpe_by_lang; and
 # eight R14_IN-remainder entries green r14 AND r15 — tpch_q3,
 # entries_rdata, aliases, rollup_observations, events_quantiles,
-# media_dedup, embedding_project, embedding_quantize, corpus_winnow.
+# media_dedup, embedding_project, embedding_quantize, corpus_winnow,
+# media_chunks.
 # The recalled
 # r10 cohort itself restores in-cap family coverage for most of them
 # (ann_quality_eval: ANN; corpus_quality_classifier: quality;
@@ -565,7 +568,7 @@ R16_IN = [
     "rest_dual_search", "tag_routing_counts", "text_profile",
     "total_count",
     "sft_pairs_str", "corpus_tokenizer_drift",
-    "corpus_wordpiece_segment",
+    "corpus_wordpiece_segment", "corpus_wordpiece_fit",
 ]
 R16_OUT = [
     "corpus_dataset_profile", "corpus_html_extract",
@@ -575,7 +578,7 @@ R16_OUT = [
     "pipeline_ccnet_approx", "embedding_kmeans", "corpus_bpe_by_lang",
     "tpch_q3", "entries_rdata", "aliases", "rollup_observations",
     "events_quantiles", "media_dedup", "embedding_project",
-    "embedding_quantize", "corpus_winnow",
+    "embedding_quantize", "corpus_winnow", "media_chunks",
 ]
 
 CAP_50 = [
@@ -594,6 +597,8 @@ CAP_50 = [
                              # replayed in DuckDB
     "corpus_wordpiece_segment", # WordPiece greedy longest-match vs a
                              # recursive-CTE DuckDB replay
+    "corpus_wordpiece_fit",  # likelihood-rule training loop vs an
+                             # unrolled round-by-round DuckDB replay
     # -- r15 kernel-change entries: single-green r15 on current
     #    kernels, stay for the double-green confirmation --
     "sft_render",            # gap_sessions adaptive arm
@@ -650,7 +655,6 @@ CAP_50 = [
     "corpus_trigram_familiarity",
     "embedding_mean_pool",
     "embedding_pq",
-    "media_chunks",
     "media_patches",
 ]
 
@@ -893,6 +897,8 @@ _TAIL = [
                                # fingerprint family re-grades via
                                # recalled corpus_span_dedup +
                                # corpus_passage_cdc
+    "media_chunks",            # fixed-window media chunker; media
+                               # family in-cap via media_patches
 ]
 
 assert len(CAP_50) == 50, f"cap must be exactly 50, got {len(CAP_50)}"

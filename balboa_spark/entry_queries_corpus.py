@@ -1510,6 +1510,98 @@ ORDER BY t.cnt DESC, t.word
 """
 
 
+WP_FIT_MERGES = 6
+WP_FIT_MIN_COUNT = 2
+
+
+def q_wordpiece_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WordPiece TRAINING loop graded (r16 — the
+    corpus_bpe_by_lang precedent applied to the likelihood rule): the
+    learned merge table (step, a, b, pair_count) under
+    count(ab)/(count(a)*count(b)) scoring, so the hash pins the whole
+    iterative fit — char-split initialization, the dual pair/symbol
+    aggregates, the rounded-score argmax with (score DESC, a, b)
+    tie-break, the ##-absorbing greedy merge application, and the
+    min-count early stop (operators/wordpiece.py wordpiece_fit)."""
+    from balboa_spark.operators.wordpiece import wordpiece_fit
+
+    stats: list = []
+    wordpiece_fit(
+        _docs(spark, sf_dir), num_merges=WP_FIT_MERGES,
+        min_pair_count=WP_FIT_MIN_COUNT, stats_out=stats,
+    )
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(stats)],
+        "step int, a string, b string, pair_count long",
+    ).orderBy("step")
+
+
+def _wordpiece_fit_oracle() -> str:
+    """The likelihood fit unrolled round by round (the
+    _bpe_by_lang_oracle mechanism, single-group so no sentinel
+    needed): each round derives pair AND symbol counts from the
+    current piece strings, takes the UNFILTERED rounded-score argmax
+    (filtering before the argmax would silently substitute the
+    next-best pair where the engine STOPS), merges only when its
+    pair_count clears the threshold — a stopped round emits no b-row
+    and every later round recomputes the same failing argmax, so the
+    vocab stays frozen with no active-set bookkeeping."""
+    fold = (
+        "list_reduce(string_split(v.pstr, ' '), (acc, x) -> "
+        "CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = b.a AND x = b.b "
+        "THEN regexp_replace(acc, '([^ ]+)$', b.a || substr(b.b, 3)) "
+        "ELSE acc || ' ' || x END)"
+    )
+    parts = [f"""v0 AS (
+  SELECT count(*) AS cnt,
+         array_to_string(list_transform(range(1, len(word)+1),
+           i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+                ELSE '##' || substr(word, i, 1) END), ' ') AS pstr
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS word
+        FROM documents)
+  WHERE regexp_matches(word, '^[a-z0-9]+$')
+  GROUP BY word
+)"""]
+    for r in range(WP_FIT_MERGES):
+        parts.append(f"""p{r} AS (
+  SELECT struct_extract(s, 'a') AS a, struct_extract(s, 'b') AS b,
+         sum(cnt) AS n
+  FROM (SELECT cnt,
+               unnest(list_transform(range(1, len(string_split(pstr, ' '))),
+                 i -> {{'a': string_split(pstr, ' ')[i],
+                        'b': string_split(pstr, ' ')[i+1]}})) AS s
+        FROM v{r} WHERE len(string_split(pstr, ' ')) >= 2)
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""sy{r} AS (
+  SELECT sym, sum(cnt) AS c
+  FROM (SELECT cnt, unnest(string_split(pstr, ' ')) AS sym FROM v{r})
+  GROUP BY 1
+)""")
+        parts.append(f"""b{r} AS (
+  SELECT * FROM (
+    SELECT p.a, p.b, p.n, round(p.n / (sa.c * sb.c), 12) AS score
+    FROM p{r} p JOIN sy{r} sa ON sa.sym = p.a JOIN sy{r} sb ON sb.sym = p.b
+    ORDER BY score DESC, p.a, p.b LIMIT 1)
+  WHERE n >= {WP_FIT_MIN_COUNT}
+)""")
+        parts.append(f"""v{r+1} AS (
+  SELECT v.cnt, CASE WHEN b.a IS NULL THEN v.pstr ELSE {fold} END AS pstr
+  FROM v{r} v LEFT JOIN b{r} b ON true
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r + 1} AS step, a, b, n FROM b{r}"
+        for r in range(WP_FIT_MERGES)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT CAST(step AS INTEGER) AS step, a, b,"
+          " CAST(n AS BIGINT) AS pair_count FROM ("
+        + unions + ") ORDER BY step"
+    )
+
+
 # -- byte-level BPE (r13): GPT-2-shape tokenizer, no OOV -------------------
 
 #: Byte-level merge list learned once by bpe.byte_bpe_fit over the
@@ -4366,6 +4458,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bpe_encode": q_bpe_encode,
     "corpus_tokenizer_drift": q_tokenizer_drift,
     "corpus_wordpiece_segment": q_wordpiece_segment,
+    "corpus_wordpiece_fit": q_wordpiece_fit,
     "corpus_bpe_bytes": q_bpe_bytes,
     "pipeline_wet_ccnet": q_pipeline_wet_ccnet,
     "pipeline_ccnet_approx": q_pipeline_ccnet_approx,
@@ -4445,6 +4538,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_bpe_encode": _bpe_encode_oracle(),
     "corpus_tokenizer_drift": _drift_oracle(),
     "corpus_wordpiece_segment": _wordpiece_oracle(),
+    "corpus_wordpiece_fit": _wordpiece_fit_oracle(),
     "corpus_bpe_bytes": _bpe_bytes_oracle(),
     "pipeline_wet_ccnet": PIPELINE_WET_CCNET_ORACLE,
     "corpus_unigram_segment": _unigram_oracle(),

@@ -192,6 +192,7 @@ def wordpiece_fit(
     min_pair_count: int = 2,
     text_col: str = "text",
     score_digits: int = 12,
+    stats_out: list | None = None,
 ) -> tuple[list[tuple[str, str]], list[tuple[str, int]]]:
     """WordPiece TRAINING under the published likelihood rule
     (Schuster & Nakajima 2012; the huggingface/tokenizers WordPiece
@@ -212,7 +213,9 @@ def wordpiece_fit(
     Returns ``(merges, vocab_ids)``: the merge list in learn order
     and the FINAL piece table with dense ids (weight DESC, piece —
     the vocab_table ranking convention), ready for
-    :func:`wordpiece_encode_corpus` / a TokenizerStore commit.
+    :func:`wordpiece_encode_corpus` / a TokenizerStore commit. Pass a
+    list as ``stats_out`` to also receive each round's winning
+    ``(a, b, pair_count)`` — the driver-graded fit surface.
     """
     from balboa_spark.operators.bpe import chars, word_histogram
 
@@ -266,6 +269,8 @@ def wordpiece_fit(
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
+        if stats_out is not None:
+            stats_out.append((a, b, int(best[0]["n"])))
         nxt = vocab.select(
             "cnt", _wp_merge_pair(F.col("p"), a, b).alias("p")
         ).localCheckpoint(eager=True)
