@@ -516,7 +516,7 @@ R15_OUT = [
 # ROUND-16 ROTATION (executed this round; grading_ledger.py checks
 # membership exactly as for R15).
 #
-# IN (21): the ENTIRE 17-entry r10 staleness cohort — the r15 verdict
+# IN (22): the ENTIRE 17-entry r10 staleness cohort — the r15 verdict
 # task #1 asked for >= 9 with the rest queued to r17; recalling ALL of
 # them clears the frontier in one round, so at r16 close no tail
 # entry is staler than r11 and the 8-round budget does not bind again
@@ -529,9 +529,11 @@ R15_OUT = [
 # longest-match segmentation, replayed in DuckDB via a RECURSIVE CTE
 # whose LATERAL argmax consumes the longest matching piece per step),
 # and corpus_wordpiece_fit (the likelihood-rule TRAINING loop unrolled
-# round by round in DuckDB — the corpus_bpe_by_lang mechanism).
+# round by round in DuckDB — the corpus_bpe_by_lang mechanism), and
+# sft_pairs_topk (bounded all-pairs preference assembly: top-k x
+# bottom-k candidates per prompt under a margin filter).
 #
-# OUT (21), every one DOUBLE-green on an unchanged kernel, each with
+# OUT (22), every one DOUBLE-green on an unchanged kernel, each with
 # a tail note: the r9 cohort recalled by R15_IN (green r9 AND r15,
 # kernels at rest since r9) — corpus_dataset_profile,
 # corpus_html_extract, corpus_pack_bestfit, corpus_source_overlap,
@@ -541,7 +543,7 @@ R15_OUT = [
 # eight R14_IN-remainder entries green r14 AND r15 — tpch_q3,
 # entries_rdata, aliases, rollup_observations, events_quantiles,
 # media_dedup, embedding_project, embedding_quantize, corpus_winnow,
-# media_chunks.
+# media_chunks, corpus_interleave.
 # The recalled
 # r10 cohort itself restores in-cap family coverage for most of them
 # (ann_quality_eval: ANN; corpus_quality_classifier: quality;
@@ -569,6 +571,7 @@ R16_IN = [
     "total_count",
     "sft_pairs_str", "corpus_tokenizer_drift",
     "corpus_wordpiece_segment", "corpus_wordpiece_fit",
+    "sft_pairs_topk",
 ]
 R16_OUT = [
     "corpus_dataset_profile", "corpus_html_extract",
@@ -579,6 +582,7 @@ R16_OUT = [
     "tpch_q3", "entries_rdata", "aliases", "rollup_observations",
     "events_quantiles", "media_dedup", "embedding_project",
     "embedding_quantize", "corpus_winnow", "media_chunks",
+    "corpus_interleave",
 ]
 
 CAP_50 = [
@@ -599,6 +603,8 @@ CAP_50 = [
                              # recursive-CTE DuckDB replay
     "corpus_wordpiece_fit",  # likelihood-rule training loop vs an
                              # unrolled round-by-round DuckDB replay
+    "sft_pairs_topk",        # bounded all-pairs (K-way ranking) DPO
+                             # assembly: top-k x bottom-k + margin
     # -- r15 kernel-change entries: single-green r15 on current
     #    kernels, stay for the double-green confirmation --
     "sft_render",            # gap_sessions adaptive arm
@@ -648,7 +654,6 @@ CAP_50 = [
     "corpus_contamination",
     "corpus_chunk_tokens",
     "corpus_clean_text",
-    "corpus_interleave",
     "corpus_sentences",
     "corpus_span_corruption",
     "corpus_stratified_k",
@@ -899,6 +904,10 @@ _TAIL = [
                                # corpus_passage_cdc
     "media_chunks",            # fixed-window media chunker; media
                                # family in-cap via media_patches
+    "corpus_interleave",       # round-robin mixture interleave;
+                               # mixture family in-cap via
+                               # corpus_stratified_k (and multi-green
+                               # tail siblings)
 ]
 
 assert len(CAP_50) == 50, f"cap must be exactly 50, got {len(CAP_50)}"

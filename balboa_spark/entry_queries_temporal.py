@@ -305,6 +305,73 @@ ORDER BY c.prompt_id
 """
 
 
+PAIRS_TOPK_K = 2
+PAIRS_TOPK_MARGIN = 10.0
+
+
+def q_sft_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded all-pairs preference assembly (K-way-ranking DPO shape,
+    r16): per prompt the top-2 chosen candidates cross the bottom-2
+    rejected candidates, pairs kept only when the score gap clears the
+    margin — at most k^2 rows per prompt regardless of response count.
+    ONE salted two-stage aggregation builds BOTH candidate lists; the
+    k x k expansion is a row-local array cross, no self-join
+    (operators/sft.py preference_pairs_topk)."""
+    from balboa_spark.operators.sft import preference_pairs_topk
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    ratings = ev.select(
+        F.col("user_id").alias("prompt_id"),
+        F.col("event_id").alias("response_id"),
+        F.concat(
+            F.col("event_type"), F.lit(" "), F.coalesce("props", F.lit(""))
+        ).alias("response"),
+        F.col("value").alias("score"),
+    )
+    return preference_pairs_topk(
+        ratings, k=PAIRS_TOPK_K, min_margin=PAIRS_TOPK_MARGIN,
+        system_prompt="sys",
+    ).orderBy("prompt_id", "chosen_rank", "rejected_rank")
+
+
+SFT_PAIRS_TOPK_ORACLE = f"""
+WITH r AS (
+  SELECT user_id AS prompt_id, event_id AS response_id,
+         event_type || ' ' || coalesce(props, '') AS response,
+         value AS score
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND value IS NOT NULL AND NOT isnan(value)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score DESC, response_id ASC) AS rc,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score ASC, response_id ASC) AS rr
+  FROM r
+),
+c AS (SELECT prompt_id, response_id AS chosen_id, response AS chosen_text,
+             score AS chosen_score, CAST(rc AS INTEGER) AS chosen_rank
+      FROM ranked WHERE rc <= {PAIRS_TOPK_K}),
+j AS (SELECT prompt_id, response_id AS rejected_id, response AS rejected_text,
+             score AS rejected_score, CAST(rr AS INTEGER) AS rejected_rank
+      FROM ranked WHERE rr <= {PAIRS_TOPK_K})
+SELECT c.prompt_id, chosen_id, rejected_id, chosen_score, rejected_score,
+       chosen_rank, rejected_rank,
+       '<|system|>sys<|end|>' || '<|user|>' || CAST(c.prompt_id AS VARCHAR)
+         || '<|end|>' || '<|assistant|>' || chosen_text || '<|end|>'
+         AS chosen,
+       '<|system|>sys<|end|>' || '<|user|>' || CAST(c.prompt_id AS VARCHAR)
+         || '<|end|>' || '<|assistant|>' || rejected_text || '<|end|>'
+         AS rejected
+FROM c JOIN j USING (prompt_id)
+WHERE chosen_score > rejected_score + {PAIRS_TOPK_MARGIN}
+  AND chosen_id <> rejected_id
+ORDER BY c.prompt_id, chosen_rank, rejected_rank
+"""
+
+
 REJ_THRESHOLD = 50.0
 REJ_K = 3
 
@@ -1080,6 +1147,7 @@ QUERIES_TEMPORAL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_sft": q_pipeline_sft,
     "sft_pairs": q_sft_pairs,
     "sft_pairs_str": q_sft_pairs_str,
+    "sft_pairs_topk": q_sft_pairs_topk,
     "sft_rejection": q_sft_rejection,
 }
 
@@ -1103,5 +1171,6 @@ ORACLES_TEMPORAL: dict[str, str] = {
     "pipeline_sft": PIPELINE_SFT_ORACLE,
     "sft_pairs": SFT_PAIRS_ORACLE,
     "sft_pairs_str": SFT_PAIRS_STR_ORACLE,
+    "sft_pairs_topk": SFT_PAIRS_TOPK_ORACLE,
     "sft_rejection": SFT_REJECTION_ORACLE,
 }

@@ -440,3 +440,137 @@ def rejection_sample(
         (F.col("_rk0") + 1).cast("int").alias("rank"),
         rendered.alias("rendered"),
     )
+
+
+def preference_pairs_topk(
+    ratings: DataFrame,
+    k: int = 4,
+    min_margin: float = 0.0,
+    prompt_col: str = "prompt_id",
+    prompt_text_col: str | None = None,
+    response_col: str = "response",
+    score_col: str = "score",
+    id_col: str = "response_id",
+    system_prompt: str | None = None,
+    salt_partitions: int = 16,
+) -> DataFrame:
+    """Bounded ALL-PAIRS preference assembly (the K-way-ranking DPO
+    data shape, r16): where :func:`preference_pairs` emits one
+    best-vs-worst pair per prompt, real rating logs carry K scored
+    responses and standard DPO datasets expand every strict
+    preference among them. Unbounded all-pairs is quadratic in
+    responses-per-prompt (a 2M-response viral prompt would emit 4e12
+    rows), so this operator emits the top-``k`` chosen candidates x
+    bottom-``k`` rejected candidates per prompt — at most k^2 pairs —
+    keeping only pairs with ``chosen_score > rejected_score +
+    min_margin`` (``min_margin`` drops near-tie pairs that teach the
+    reward model noise).
+
+    Ranking is deterministic (score then id — string or integral ids,
+    the r16 preference-family convention). Scale shape: ONE salted
+    TWO-STAGE aggregation produces BOTH candidate lists (the
+    rejection_sample de-skew: stage 1 caps each (prompt, md5-salt)
+    bucket at k per side, stage 2 merges <= salt_partitions x k
+    survivors); the k x k expansion is a row-LOCAL cross of two
+    k-bounded arrays on the merged prompt row — no self-join, no
+    window, no additional shuffle. Output: prompt_id, chosen_id,
+    rejected_id, chosen_score, rejected_score, chosen_rank (1-based
+    among chosen candidates), rejected_rank (1-based among rejected,
+    worst first), chosen, rejected (rendered).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    id_type = dict(ratings.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "string"):
+        raise ValueError(
+            f"preference_pairs_topk: id_col {id_col!r} must be an "
+            f"integral or string type (got {id_type!r})"
+        )
+    r = ratings.filter(
+        F.col(score_col).isNotNull()
+        & ~F.isnan(F.col(score_col))
+        & F.col(id_col).isNotNull()
+        & F.col(prompt_col).isNotNull()
+    )
+    payload = [
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_score"),
+        F.col(response_col).alias("_text"),
+        *(
+            [F.col(prompt_text_col).alias("_prompt")]
+            if prompt_text_col
+            else []
+        ),
+    ]
+    # ascending sort_array over (-score, id) = best first;
+    # over (score, id) = worst first — both string-id safe
+    top_e = F.struct((-F.col(score_col)).alias("_neg"), *payload)
+    bot_e = F.struct(F.col(score_col).alias("_pos"), *payload)
+    salt = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(int(salt_partitions)),
+    )
+    local = r.groupBy(
+        F.col(prompt_col).alias("prompt_id"), salt.alias("_salt")
+    ).agg(
+        F.slice(F.sort_array(F.collect_list(top_e)), 1, int(k)).alias("_lt"),
+        F.slice(F.sort_array(F.collect_list(bot_e)), 1, int(k)).alias("_lb"),
+    )
+    merged = (
+        local.select(
+            "prompt_id",
+            F.explode(F.arrays_zip("_lt", "_lb")).alias("_z"),
+        )
+        .select("prompt_id", F.col("_z._lt").alias("_t"), F.col("_z._lb").alias("_b"))
+        .groupBy("prompt_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("_t")), 1, int(k)
+            ).alias("_top"),
+            F.slice(
+                F.sort_array(F.collect_list("_b")), 1, int(k)
+            ).alias("_bot"),
+        )
+    )
+    pairs = merged.select(
+        "prompt_id",
+        F.posexplode("_top").alias("_ci0", "_c"),
+        "_bot",
+    ).select(
+        "prompt_id",
+        "_ci0",
+        "_c",
+        F.posexplode("_bot").alias("_ri0", "_r"),
+    ).filter(
+        (F.col("_c._score") > F.col("_r._score") + F.lit(float(min_margin)))
+        & (F.col("_c._id") != F.col("_r._id"))
+    )
+    sys_piece = (
+        _piece(F.lit("system"), F.lit(system_prompt)) if system_prompt else None
+    )
+
+    def render(which: str) -> Column:
+        prompt_txt = (
+            F.col(f"{which}._prompt")
+            if prompt_text_col
+            else F.col("prompt_id").cast("string")
+        )
+        body = F.concat(
+            _piece(F.lit("user"), prompt_txt),
+            _piece(F.lit("assistant"), F.col(f"{which}._text")),
+        )
+        return F.concat(sys_piece, body) if sys_piece is not None else body
+
+    return pairs.select(
+        "prompt_id",
+        F.col("_c._id").alias("chosen_id"),
+        F.col("_r._id").alias("rejected_id"),
+        F.col("_c._score").alias("chosen_score"),
+        F.col("_r._score").alias("rejected_score"),
+        (F.col("_ci0") + 1).cast("int").alias("chosen_rank"),
+        (F.col("_ri0") + 1).cast("int").alias("rejected_rank"),
+        render("_c").alias("chosen"),
+        render("_r").alias("rejected"),
+    )

@@ -412,3 +412,86 @@ def test_rejection_sample_matches_python_reference_fuzz(spark):
         for rk, (_negs, i) in enumerate(sorted(rs)[:K], start=1):
             want.append((p, rk, i))
     assert got == sorted(want) and want
+
+
+def test_preference_pairs_topk_bounded_allpairs(spark):
+    """K-way ranking -> bounded all-pairs: top-k chosen x bottom-k
+    rejected per prompt, strict margin filter, deterministic ranks,
+    rendered template; a response in both candidate sets never pairs
+    with itself."""
+    rows = [
+        # prompt 1: scores 9,7,5,3,1 (ids 10..14) with k=2 ->
+        # chosen candidates (10,11), rejected candidates (14,13);
+        # all 4 cross pairs are strict
+        (1, 10, "a", 9.0), (1, 11, "b", 7.0), (1, 12, "c", 5.0),
+        (1, 13, "d", 3.0), (1, 14, "e", 1.0),
+        # prompt 2: two equal scores -> no strict pair
+        (2, 20, "x", 4.0), (2, 21, "y", 4.0),
+        # prompt 3: single response -> in both sets, never self-pairs
+        (3, 30, "solo", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, response_id long, response string, score double"
+    )
+    got = sft.preference_pairs_topk(df, k=2, system_prompt="s")
+    out = sorted(
+        (r.prompt_id, r.chosen_id, r.rejected_id,
+         r.chosen_rank, r.rejected_rank)
+        for r in got.collect()
+    )
+    assert out == [
+        (1, 10, 13, 1, 2), (1, 10, 14, 1, 1),
+        (1, 11, 13, 2, 2), (1, 11, 14, 2, 1),
+    ]
+    r1 = [r for r in got.collect() if r.chosen_id == 10 and r.rejected_id == 14][0]
+    assert r1.chosen == "<|system|>s<|end|><|user|>1<|end|><|assistant|>a<|end|>"
+    assert r1.rejected == "<|system|>s<|end|><|user|>1<|end|><|assistant|>e<|end|>"
+
+    # margin: only pairs with gap > 4.0 survive
+    wide = sorted(
+        (r.chosen_id, r.rejected_id)
+        for r in sft.preference_pairs_topk(df, k=2, min_margin=4.0).collect()
+    )
+    assert wide == [(10, 13), (10, 14), (11, 14)]
+
+
+def test_preference_pairs_topk_matches_python_reference_fuzz(spark):
+    """Parity fuzz: the salted two-stage candidate selection + local
+    k x k cross equals the obvious per-prompt sorted top/bottom-k
+    expansion (the rejection_sample fuzz bar), including string-id
+    tie behavior."""
+    import math
+    import random
+
+    random.seed(1234)
+    rows, rid = [], 0
+    for p in range(40):
+        for _ in range(random.randint(1, 10)):
+            s = random.choice(
+                [None, float("nan")] + [float(random.randint(0, 5))] * 8
+            )
+            rows.append((p, f"r{rid}", f"t{rid}", s))
+            rid += 1
+    df = spark.createDataFrame(
+        rows, "prompt_id long, response_id string, response string, score double"
+    )
+    K = 3
+    got = sorted(
+        (r.prompt_id, r.chosen_id, r.rejected_id,
+         r.chosen_rank, r.rejected_rank)
+        for r in sft.preference_pairs_topk(df, k=K).collect()
+    )
+    by_p: dict[int, list] = {}
+    for p, i, _t, s in rows:
+        if s is None or (isinstance(s, float) and math.isnan(s)):
+            continue
+        by_p.setdefault(p, []).append((s, i))
+    want = []
+    for p, rs in by_p.items():
+        top = sorted(rs, key=lambda e: (-e[0], e[1]))[:K]
+        bot = sorted(rs, key=lambda e: (e[0], e[1]))[:K]
+        for ci, (cs, cid) in enumerate(top, 1):
+            for ri, (rs_, rid_) in enumerate(bot, 1):
+                if cs > rs_ and cid != rid_:
+                    want.append((p, cid, rid_, ci, ri))
+    assert got == sorted(want) and want
