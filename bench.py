@@ -913,6 +913,23 @@ def main() -> None:
             packed, out, seq_len=128, num_shards=8
         )
 
+    @timed("sft_pairs_topk")
+    def _():
+        # bounded all-pairs DPO assembly (r16): one salted two-stage
+        # dual-candidate aggregation + a row-local k x k cross
+        from balboa_spark.operators.sft import preference_pairs_topk
+
+        ev = par(spark.table("events"))
+        ratings = ev.select(
+            F.col("user_id").alias("prompt_id"),
+            F.col("event_id").alias("response_id"),
+            F.col("event_type").alias("response"),
+            F.col("value").alias("score"),
+        )
+        preference_pairs_topk(ratings, k=4).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
     @timed("tokenizer_drift")
     def _():
         # dual-generation drift report (r16): two vocab derivations +
