@@ -516,7 +516,7 @@ R15_OUT = [
 # ROUND-16 ROTATION (executed this round; grading_ledger.py checks
 # membership exactly as for R15).
 #
-# IN (22): the ENTIRE 17-entry r10 staleness cohort — the r15 verdict
+# IN (23): the ENTIRE 17-entry r10 staleness cohort — the r15 verdict
 # task #1 asked for >= 9 with the rest queued to r17; recalling ALL of
 # them clears the frontier in one round, so at r16 close no tail
 # entry is staler than r11 and the 8-round budget does not bind again
@@ -531,9 +531,11 @@ R15_OUT = [
 # and corpus_wordpiece_fit (the likelihood-rule TRAINING loop unrolled
 # round by round in DuckDB — the corpus_bpe_by_lang mechanism), and
 # sft_pairs_topk (bounded all-pairs preference assembly: top-k x
-# bottom-k candidates per prompt under a margin filter).
+# bottom-k candidates per prompt under a margin filter), and
+# corpus_fim (deterministic fill-in-the-middle schedule + PSM/SPM
+# render, md5-replayable).
 #
-# OUT (22), every one DOUBLE-green on an unchanged kernel, each with
+# OUT (23), every one DOUBLE-green on an unchanged kernel, each with
 # a tail note: the r9 cohort recalled by R15_IN (green r9 AND r15,
 # kernels at rest since r9) — corpus_dataset_profile,
 # corpus_html_extract, corpus_pack_bestfit, corpus_source_overlap,
@@ -543,7 +545,7 @@ R15_OUT = [
 # eight R14_IN-remainder entries green r14 AND r15 — tpch_q3,
 # entries_rdata, aliases, rollup_observations, events_quantiles,
 # media_dedup, embedding_project, embedding_quantize, corpus_winnow,
-# media_chunks, corpus_interleave.
+# media_chunks, corpus_interleave, embedding_mean_pool.
 # The recalled
 # r10 cohort itself restores in-cap family coverage for most of them
 # (ann_quality_eval: ANN; corpus_quality_classifier: quality;
@@ -571,7 +573,7 @@ R16_IN = [
     "total_count",
     "sft_pairs_str", "corpus_tokenizer_drift",
     "corpus_wordpiece_segment", "corpus_wordpiece_fit",
-    "sft_pairs_topk",
+    "sft_pairs_topk", "corpus_fim",
 ]
 R16_OUT = [
     "corpus_dataset_profile", "corpus_html_extract",
@@ -582,7 +584,7 @@ R16_OUT = [
     "tpch_q3", "entries_rdata", "aliases", "rollup_observations",
     "events_quantiles", "media_dedup", "embedding_project",
     "embedding_quantize", "corpus_winnow", "media_chunks",
-    "corpus_interleave",
+    "corpus_interleave", "embedding_mean_pool",
 ]
 
 CAP_50 = [
@@ -605,6 +607,8 @@ CAP_50 = [
                              # unrolled round-by-round DuckDB replay
     "sft_pairs_topk",        # bounded all-pairs (K-way ranking) DPO
                              # assembly: top-k x bottom-k + margin
+    "corpus_fim",            # fill-in-the-middle schedule + render,
+                             # md5-deterministic, zero-shuffle
     # -- r15 kernel-change entries: single-green r15 on current
     #    kernels, stay for the double-green confirmation --
     "sft_render",            # gap_sessions adaptive arm
@@ -658,7 +662,6 @@ CAP_50 = [
     "corpus_span_corruption",
     "corpus_stratified_k",
     "corpus_trigram_familiarity",
-    "embedding_mean_pool",
     "embedding_pq",
     "media_patches",
 ]
@@ -908,6 +911,9 @@ _TAIL = [
                                # mixture family in-cap via
                                # corpus_stratified_k (and multi-green
                                # tail siblings)
+    "embedding_mean_pool",     # token->doc mean pooling; embedding
+                               # family in-cap via embedding_pq +
+                               # ann_ivf_topk
 ]
 
 assert len(CAP_50) == 50, f"cap must be exactly 50, got {len(CAP_50)}"

@@ -1407,6 +1407,80 @@ FROM delta, drift
 """
 
 
+# -- FIM transformation (r16): deterministic fill-in-the-middle ------------
+
+FIM_RATE, FIM_SPM_RATE = 0.6, 0.5
+
+
+def q_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fill-in-the-middle schedule + render
+    (corpus.fim_transform — the FIM pretraining objective, Bavarian et
+    al. 2022): with md5-derived probability each document splits at
+    two md5-derived token cuts into (prefix, middle, suffix) and
+    renders PSM or SPM (the joint mix); the rest pass through. One
+    narrow projection, no shuffle — the whole schedule (apply, mode,
+    cut points, segment lengths, rendered text) hash-graded."""
+    docs = _docs(spark, sf_dir)
+    return corpus.fim_transform(
+        docs, fim_rate=FIM_RATE, spm_rate=FIM_SPM_RATE
+    ).orderBy("doc_id")
+
+
+def _fim_oracle() -> str:
+    from balboa_spark.operators.corpus import sample_threshold_hex
+
+    thr = sample_threshold_hex(FIM_RATE)
+    spm_thr = sample_threshold_hex(FIM_SPM_RATE)
+
+    def h48mod(tag: str) -> str:
+        return (
+            "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+            f"':fim:{tag}'), 1, 12) AS BIGINT) % (n + 1) AS BIGINT)"
+        )
+
+    return f"""
+WITH tk AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+base AS (
+  SELECT doc_id, text, tk, len(tk) AS n,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':fim:apply'), 1, 8)
+           < '{thr}' AND coalesce(len(tk), 0) >= 2 AS applied,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':fim:mode'), 1, 8)
+           < '{spm_thr}' AS spm
+  FROM tk
+),
+cuts AS (
+  SELECT *, least(c1, c2) AS lo, greatest(c1, c2) AS hi
+  FROM (SELECT *, {h48mod("c1")} AS c1, {h48mod("c2")} AS c2 FROM base)
+),
+seg AS (
+  SELECT doc_id, text, n, applied, spm, lo, hi,
+         -- DuckDB yields NULL (not '') for the empty slice tk[1:0]
+         coalesce(array_to_string(tk[1:lo], ' '), '') AS pfx,
+         coalesce(array_to_string(tk[lo+1:hi], ' '), '') AS mid,
+         coalesce(array_to_string(tk[hi+1:n], ' '), '') AS sfx
+  FROM cuts
+)
+SELECT doc_id,
+       applied AS fim_applied,
+       CASE WHEN NOT applied THEN 'none'
+            WHEN spm THEN 'spm' ELSE 'psm' END AS mode,
+       CAST(CASE WHEN applied THEN lo ELSE 0 END AS INTEGER) AS n_prefix,
+       CAST(CASE WHEN applied THEN hi - lo ELSE 0 END AS INTEGER) AS n_middle,
+       CAST(CASE WHEN applied THEN n - hi ELSE 0 END AS INTEGER) AS n_suffix,
+       CASE WHEN NOT applied THEN text
+            WHEN spm THEN '<fim_prefix><fim_suffix>' || sfx
+                 || '<fim_middle>' || pfx
+                 || CASE WHEN lo > 0 AND hi > lo THEN ' ' ELSE '' END || mid
+            ELSE '<fim_prefix>' || pfx || '<fim_suffix>' || sfx
+                 || '<fim_middle>' || mid END AS rendered
+FROM seg ORDER BY doc_id
+"""
+
+
 # -- WordPiece segmentation (r16): greedy longest-match, graded via a
 #    recursive-CTE replay ---------------------------------------------------
 
@@ -4459,6 +4533,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_tokenizer_drift": q_tokenizer_drift,
     "corpus_wordpiece_segment": q_wordpiece_segment,
     "corpus_wordpiece_fit": q_wordpiece_fit,
+    "corpus_fim": q_fim,
     "corpus_bpe_bytes": q_bpe_bytes,
     "pipeline_wet_ccnet": q_pipeline_wet_ccnet,
     "pipeline_ccnet_approx": q_pipeline_ccnet_approx,
@@ -4539,6 +4614,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "corpus_tokenizer_drift": _drift_oracle(),
     "corpus_wordpiece_segment": _wordpiece_oracle(),
     "corpus_wordpiece_fit": _wordpiece_fit_oracle(),
+    "corpus_fim": _fim_oracle(),
     "corpus_bpe_bytes": _bpe_bytes_oracle(),
     "pipeline_wet_ccnet": PIPELINE_WET_CCNET_ORACLE,
     "corpus_unigram_segment": _unigram_oracle(),

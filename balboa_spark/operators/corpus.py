@@ -2584,3 +2584,123 @@ def write_datasheet(df: DataFrame, out_path: str) -> None:
 """
     with open(out_path, "w") as fh:
         fh.write(md)
+
+
+FIM_PREFIX_TAG = "<fim_prefix>"
+FIM_SUFFIX_TAG = "<fim_suffix>"
+FIM_MIDDLE_TAG = "<fim_middle>"
+
+
+def fim_transform(
+    df: DataFrame,
+    fim_rate: float = 0.5,
+    spm_rate: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "fim",
+) -> DataFrame:
+    """Deterministic fill-in-the-middle transformation (the FIM
+    pretraining objective, Bavarian et al. 2022: moving a document's
+    middle behind its suffix teaches infilling for free): with
+    probability ``fim_rate`` a document splits at two md5-derived
+    token cut points into (prefix, middle, suffix) and renders in PSM
+    format — ``<fim_prefix>P<fim_suffix>S<fim_middle>M`` — or, with
+    probability ``spm_rate`` among transformed docs, in SPM format —
+    ``<fim_prefix><fim_suffix>S<fim_middle>P M`` (the joint PSM+SPM
+    training mix the paper recommends); the rest pass through
+    verbatim.
+
+    Every decision (apply, mode, both cut points) derives from
+    ``md5(id:salt:tag)`` — re-runs, repartitioning, epochs, and
+    cluster size cannot change which documents transform or where
+    they split (the span_corruption determinism convention), and a
+    SQL oracle replays the schedule exactly.
+
+    One narrow projection over the scan: tokenize, two hash mods for
+    the cuts, three slices, one concat — no shuffle, no UDF. Output:
+    (id, fim_applied, mode, n_prefix, n_middle, n_suffix, rendered).
+    """
+    if not 0 <= fim_rate <= 1 or not 0 <= spm_rate <= 1:
+        raise ValueError("need 0 <= fim_rate <= 1 and 0 <= spm_rate <= 1")
+    apply_thr = sample_threshold_hex(fim_rate)
+    spm_thr = sample_threshold_hex(spm_rate)
+
+    def h8(tag: str) -> Column:
+        return F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":" + salt + ":" + tag),
+                )
+            ),
+            1,
+            8,
+        )
+
+    def cut(tag: str, n: Column) -> Column:
+        # uniform cut point in [0, n] — 12 hex digits = 48 bits, the
+        # shard_of convention, so DuckDB replays the mod verbatim
+        h48 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":" + salt + ":" + tag),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h48, n + 1)
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        tokens(F.col(text_col)).alias("_tk"),
+    )
+    n = F.size("_tk")
+    # NULL text (size -> NULL) never transforms: coalesce pins the
+    # apply predicate to FALSE so the row passes through (rendered =
+    # the original NULL) instead of poisoning the whole row NULL
+    applied = (h8("apply") < F.lit(apply_thr)) & (
+        F.coalesce(n, F.lit(0)) >= 2
+    )
+    spm = h8("mode") < F.lit(spm_thr)
+    c1, c2 = cut("c1", n), cut("c2", n)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    pfx = F.array_join(F.slice(F.col("_tk"), 1, lo), " ")
+    mid = F.array_join(
+        F.slice(F.col("_tk"), lo + 1, hi - lo), " "
+    )
+    sfx = F.array_join(
+        F.slice(F.col("_tk"), hi + 1, n - hi), " "
+    )
+    psm = F.concat(
+        F.lit(FIM_PREFIX_TAG), pfx,
+        F.lit(FIM_SUFFIX_TAG), sfx,
+        F.lit(FIM_MIDDLE_TAG), mid,
+    )
+    spm_r = F.concat(
+        F.lit(FIM_PREFIX_TAG), F.lit(FIM_SUFFIX_TAG), sfx,
+        F.lit(FIM_MIDDLE_TAG), pfx,
+        F.when((lo > 0) & (hi > lo), F.lit(" ")).otherwise(F.lit("")),
+        mid,
+    )
+    mode = F.when(~applied, F.lit("none")).when(spm, F.lit("spm")).otherwise(
+        F.lit("psm")
+    )
+    return toks.select(
+        F.col(id_col),
+        applied.alias("fim_applied"),
+        mode.alias("mode"),
+        F.when(applied, lo).otherwise(F.lit(0)).cast("int").alias("n_prefix"),
+        F.when(applied, hi - lo).otherwise(F.lit(0)).cast("int").alias("n_middle"),
+        F.when(applied, n - hi).otherwise(F.lit(0)).cast("int").alias("n_suffix"),
+        F.when(~applied, F.col("_text"))
+        .when(spm, spm_r)
+        .otherwise(psm)
+        .alias("rendered"),
+    )

@@ -3192,3 +3192,64 @@ def test_tokenizer_diff_counts_renumbered_imported_ids(spark, tmp_path):
     assert rep.pieces_renumbered == 1  # "th": 1 -> 5
     # same segmentation, different ids -> zero identical docs
     assert rep.docs_compared == 1 and rep.docs_identical == 0
+
+
+def test_fim_transform_schedule_and_formats(spark):
+    """FIM (r16): md5-deterministic apply/mode/cut schedule; PSM and
+    SPM render exactly; pass-through docs keep their original text;
+    segments reassemble to the tokenized document."""
+    import hashlib
+
+    from balboa_spark.operators import corpus
+
+    rows = [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(40)]
+    rows.append((100, "single"))      # n=1: never transforms
+    rows.append((101, "  Mixed   WS\tdoc  here "))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.fim_transform(df, fim_rate=0.6).collect()}
+
+    def h8(i, tag):
+        return hashlib.md5(f"{i}:fim:{tag}".encode()).hexdigest()[:8]
+
+    def h48(i, tag):
+        return int(hashlib.md5(f"{i}:fim:{tag}".encode()).hexdigest()[:12], 16)
+
+    thr = corpus.sample_threshold_hex(0.6)
+    spm_thr = corpus.sample_threshold_hex(0.5)
+    saw = {"psm": 0, "spm": 0, "none": 0}
+    for doc_id, text in rows:
+        tk = text.lower().split()
+        n = len(tk)
+        r = out[doc_id]
+        applied = h8(doc_id, "apply") < thr and n >= 2
+        assert r.fim_applied == applied, doc_id
+        if not applied:
+            assert r.mode == "none" and r.rendered == text
+            assert (r.n_prefix, r.n_middle, r.n_suffix) == (0, 0, 0)
+            saw["none"] += 1
+            continue
+        c1, c2 = h48(doc_id, "c1") % (n + 1), h48(doc_id, "c2") % (n + 1)
+        lo, hi = min(c1, c2), max(c1, c2)
+        p, m, s = " ".join(tk[:lo]), " ".join(tk[lo:hi]), " ".join(tk[hi:])
+        assert (r.n_prefix, r.n_middle, r.n_suffix) == (lo, hi - lo, n - hi)
+        if h8(doc_id, "mode") < spm_thr:
+            want = (
+                f"<fim_prefix><fim_suffix>{s}<fim_middle>{p}"
+                + (" " if p and m else "") + m
+            )
+            assert r.mode == "spm" and r.rendered == want, doc_id
+            saw["spm"] += 1
+        else:
+            want = f"<fim_prefix>{p}<fim_suffix>{s}<fim_middle>{m}"
+            assert r.mode == "psm" and r.rendered == want, doc_id
+            saw["psm"] += 1
+    # the schedule exercised every arm on this fixture
+    assert all(saw.values()), saw
+    # determinism: a re-run (different partitioning) is identical
+    again = {
+        r.doc_id: r
+        for r in corpus.fim_transform(df.repartition(7), fim_rate=0.6).collect()
+    }
+    assert {k: (v.mode, v.rendered) for k, v in out.items()} == {
+        k: (v.mode, v.rendered) for k, v in again.items()
+    }
