@@ -1304,8 +1304,23 @@ def q_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from balboa_spark.operators import bpe
 
     docs = _docs(spark, sf_dir)
-    va_df = bpe.vocab_table(docs, DRIFT_MERGES_A)
-    vb_df = bpe.vocab_table(docs, BPE_MERGES)
+    # r16 optimization: every subtree here that does NOT depend on the
+    # merge list is computed once and shared. Before, the plan ran SIX
+    # corpus passes (2 vocab collects + 2 encode token streams + 2
+    # vocab re-derivations inside the broadcast joins) plus a distinct
+    # Exchange per encode; now: ONE histogram pass + the two encode
+    # token streams (which must differ — they feed per-generation
+    # segmentations). The vocab tables are parameter-sized, so their
+    # checkpoints are cheap and the collect + broadcast read them
+    # without re-running the histogram. Results are identical by
+    # construction (same histogram, same fold, same ranking window).
+    hist = bpe.word_histogram(docs).localCheckpoint(eager=True)
+    va_df = bpe.vocab_table(docs, DRIFT_MERGES_A, hist=hist).localCheckpoint(
+        eager=True
+    )
+    vb_df = bpe.vocab_table(docs, BPE_MERGES, hist=hist).localCheckpoint(
+        eager=True
+    )
     va = {
         r["piece"]: int(r["piece_id"])
         for r in va_df.select("piece", "piece_id").collect()
@@ -1314,8 +1329,8 @@ def q_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["piece"]: int(r["piece_id"])
         for r in vb_df.select("piece", "piece_id").collect()
     }
-    ea = bpe.encode_corpus(docs, DRIFT_MERGES_A, va_df)
-    eb = bpe.encode_corpus(docs, BPE_MERGES, vb_df)
+    ea = bpe.encode_corpus(docs, DRIFT_MERGES_A, va_df, words=hist)
+    eb = bpe.encode_corpus(docs, BPE_MERGES, vb_df, words=hist)
     return bpe.tokenizer_diff_frames(
         spark, va, vb, ea, eb, gen_a=0, gen_b=1
     )

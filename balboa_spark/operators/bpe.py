@@ -1376,6 +1376,7 @@ def encode_corpus(
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus → (id, piece_ids array<int>): segment every alnum token
     under the merge list and map pieces to dense ids via one broadcast
@@ -1386,19 +1387,29 @@ def encode_corpus(
     The explode keeps per-row state bounded; the regroup restores
     token order positionally. Segmentation cost is paid once per
     DISTINCT word (the fold/Arrow path runs on the vocabulary-sized
-    distinct relation, not the token stream) and joins back by word."""
+    distinct relation, not the token stream) and joins back by word.
+
+    ``words``: an optional precomputed relation with a ``word`` column
+    covering every WORD_RE token of the corpus (e.g. a checkpointed
+    :func:`word_histogram`). When given, the distinct-word relation
+    derives from it instead of re-aggregating the token stream —
+    a caller encoding the SAME corpus under several merge lists (the
+    drift report) pays the distinct Exchange once, not per encode.
+    The word set must cover the corpus exactly (word_histogram does,
+    by construction: same tokenizer, same WORD_RE filter)."""
     toks = df.select(
         F.col(id_col),
         F.posexplode(
             F.filter(tokens(F.col(text_col)), lambda w: w.rlike(WORD_RE))
         ).alias("_wpos", "_word"),
     )
-    seg = (
-        toks.select("_word")
-        .distinct()
-        .select(
-            "_word", segment_any(F.col("_word"), merges).alias("_pieces")
-        )
+    distinct_words = (
+        words.select(F.col("word").alias("_word"))
+        if words is not None
+        else toks.select("_word").distinct()
+    )
+    seg = distinct_words.select(
+        "_word", segment_any(F.col("_word"), merges).alias("_pieces")
     )
     pieces = (
         toks.join(seg, "_word")
@@ -1427,6 +1438,7 @@ def vocab_table(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
+    hist: DataFrame | None = None,
 ) -> DataFrame:
     """The tokenizer's second artifact: the piece vocabulary with
     dense integer ids, (piece, weight, piece_id), id 0 = heaviest.
@@ -1437,11 +1449,16 @@ def vocab_table(
     corpus scale: the piece set is structurally bounded by
     |initial character set| + len(merges) distinct values (every
     merge mints exactly one new piece), so the windowed relation is
-    parameter-sized — never corpus- or vocab-sized."""
+    parameter-sized — never corpus- or vocab-sized.
+
+    ``hist``: optional precomputed :func:`word_histogram` relation
+    (word, cnt) — pass a checkpointed one when deriving several
+    vocabularies over the same corpus (the histogram is
+    merge-list-invariant, so the corpus pass is shareable)."""
     from pyspark.sql import Window
 
     pieces = (
-        word_histogram(df, text_col)
+        (word_histogram(df, text_col) if hist is None else hist)
         .select(
             "cnt", F.explode(segment_any(F.col("word"), merges)).alias("piece")
         )
