@@ -38,10 +38,35 @@ projection.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PR_ROUND = 9
+
+#: r16 optimization: node-STATE relations (ranks, contrib, outdeg,
+#: the dangling set) are n-sized and narrow, while the edges relation
+#: is the 100 TB side that must never shuffle per iteration. When the
+#: node count is known to be small enough to broadcast (~50 bytes/row
+#: -> ~100 MB at the 2M default), every per-iteration join builds on
+#: the node side and the edges scan streams through with ZERO
+#: Exchange — the DataFrame-arm equivalent of what the bucketed-table
+#: arm achieves at write time, and strictly fewer exchanges in both
+#: arms. Above the gate the plan falls back to the sort-merge shape
+#: (billion-node graphs keep working; bucket the edges there).
+#: Parameterized (env) so cluster deployments can size it to executor
+#: memory; the value-rounding convention (PR_ROUND per step) makes the
+#: trajectory reshuffle-deterministic, so the join strategy cannot
+#: change results.
+_BCAST_MAX_NODES = int(
+    os.environ.get("BALBOA_GRAPH_BROADCAST_MAX_NODES", "2000000")
+)
+#: Separate, tighter gate for sketch-bearing state (harmonic's HLL
+#: registers are ~3 KB/node dense at lgk=12 -> ~200 MB at 64k nodes).
+_BCAST_MAX_SKETCH_NODES = int(
+    os.environ.get("BALBOA_GRAPH_BROADCAST_MAX_SKETCH_NODES", "65536")
+)
 
 
 def write_graph_edges_bucketed(
@@ -145,6 +170,12 @@ def pagerank(
     n = nodes.count()  # the one driver scalar (graph order)
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
+
+    def _b(df: DataFrame) -> DataFrame:
+        # node-sized relation: broadcast under the gate so joins
+        # against the (possibly 100 TB) edges side never exchange it
+        return F.broadcast(df) if n <= _BCAST_MAX_NODES else df
+
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # iteration-invariant relations, materialized ONCE: edges annotated
     # with their source's out-degree, and the dangling node set — the
@@ -154,9 +185,9 @@ def pagerank(
     # the table instead (write-time annotation, zero per-iteration
     # derivation) and must NOT checkpoint — see _edge_relations.
     if ew is None:
-        ew = e.join(outdeg, "src").localCheckpoint(eager=True)
+        ew = e.join(_b(outdeg), "src").localCheckpoint(eager=True)
     dangling_nodes = nodes.join(
-        outdeg, nodes["node"] == outdeg["src"], "left_anti"
+        _b(outdeg), nodes["node"] == outdeg["src"], "left_anti"
     ).localCheckpoint(eager=True)
     d = float(damping)
     tele = None
@@ -171,14 +202,14 @@ def pagerank(
     for _ in range(iters):
         # mass flowing along edges: rank/outdeg from each linking node
         contrib = (
-            ranks.join(ew, ranks["node"] == ew["src"])
+            _b(ranks).join(ew, ranks["node"] == ew["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("m"))
         )
         # dangling nodes (no out-edges) spread their mass — a 1-row
         # aggregate over the precomputed dangling set, broadcast back
         dangling = (
-            ranks.join(dangling_nodes, "node", "left_semi")
+            ranks.join(_b(dangling_nodes), "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         # uniform arm keeps the EXACT original float expression —
@@ -194,7 +225,7 @@ def pagerank(
                 F.coalesce(F.col("m"), F.lit(0.0)) + F.col("dm") * tele
             )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(_b(contrib), "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -332,8 +363,18 @@ def harmonic_centrality(
         )
         .localCheckpoint(eager=True)
     )
+    n = state.count()  # cheap: counts the checkpointed partitions
+
+    def _bn(df: DataFrame) -> DataFrame:
+        # narrow node-sized relation (no sketches) — pagerank's gate
+        return F.broadcast(df) if n <= _BCAST_MAX_NODES else df
+
+    def _bs(df: DataFrame) -> DataFrame:
+        # sketch-bearing state: ~3 KB/node worst case, tighter gate
+        return F.broadcast(df) if n <= _BCAST_MAX_SKETCH_NODES else df
+
     for t in range(1, max_dist + 1):
-        flowed = state.join(e, state["node"] == e["src"]).select(
+        flowed = _bs(state).join(e, state["node"] == e["src"]).select(
             F.col("dst").alias("node"), F.col("_sk")
         )
         merged = (
@@ -346,7 +387,7 @@ def harmonic_centrality(
             )
         )
         state = (
-            merged.join(state.select("node", "_prev", "_h"), "node")
+            merged.join(_bn(state.select("node", "_prev", "_h")), "node")
             .select(
                 "node",
                 "_sk",
