@@ -1167,6 +1167,7 @@ def clean_text(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """Text normalization for training corpora (the C4/CCNet-style
     cleaning stage): strip control characters and U+FFFD replacement
@@ -1179,13 +1180,20 @@ def clean_text(
 
     Pure Column projection: regexp_replace + translate + trim inside
     whole-stage codegen — no UDF, no shuffle, scales as a map.
+
+    ``passthrough`` carries extra input columns into the output (the
+    gopher_filter convention), so a pipeline keeps metadata like the
+    source WITHOUT an id-keyed join back against the corpus — at scale
+    that join is a full corpus shuffle this projection never needs.
     """
     t = F.col(text_col)
     cleaned = F.regexp_replace(t, CLEAN_CTRL_RE, "")
     cleaned = F.translate(cleaned, CLEAN_PUNCT_FROM, CLEAN_PUNCT_TO)
     cleaned = F.trim(F.regexp_replace(cleaned, "\\s+", " "))
+    extra = [c for c in passthrough if c != id_col]
     return df.select(
         F.col(id_col),
+        *extra,
         cleaned.alias("clean_text"),
         (F.length(t) - F.length(cleaned)).alias("n_removed"),
     )
@@ -1572,8 +1580,11 @@ def pretrain_pipeline(
     from balboa_spark.operators import dedup
 
     cleaned = (
-        clean_text(df, text_col=text_col, id_col=id_col)
-        .join(df.select(id_col, source_col), id_col)
+        # passthrough carries the source through the projection — the
+        # previous id-keyed join back against df was a full corpus
+        # shuffle for one metadata column (r16 optimization)
+        clean_text(df, text_col=text_col, id_col=id_col,
+                   passthrough=(source_col,))
         # materialize the clean stage ONCE: the gate's signal
         # expressions each reference clean_text, and an inlined
         # clean_text regex chain re-runs per reference (the
