@@ -986,7 +986,10 @@ DSIR_K = 50
 def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     target = docs.filter(F.col("source") == DSIR_TARGET_SOURCE)
-    return corpus.dsir_topk(docs, target, k=DSIR_K)
+    # target is a slice of docs: the subset arm reuses the persisted
+    # doc-bucket relation for the target counts (r16 optimization;
+    # identical values — the oracle below is unchanged)
+    return corpus.dsir_topk(docs, target, k=DSIR_K, target_subset=True)
 
 
 DSIR_TOPK_ORACLE = f"""

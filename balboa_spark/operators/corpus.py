@@ -1615,6 +1615,9 @@ def pretrain_pipeline(
         k=dsir_k,
         text_col=text_col,
         id_col=id_col,
+        # the target IS a slice of kept: reuse kept's persisted
+        # doc-bucket counts instead of a second tokenize pass
+        target_subset=True,
     )
     chosen = kept.join(sel.select(id_col), id_col, "left_semi")
     return pack_sequences(
@@ -2050,6 +2053,7 @@ def dsir_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "dsir",
+    target_subset: bool = False,
 ) -> DataFrame:
     """Per-document DSIR log importance weight
     ``log p_target(x) - log p_raw(x)`` under hashed-n-gram bag models
@@ -2094,9 +2098,29 @@ def dsir_weights(
     # use.
     doc_b = bucket_counts(df).persist()
     raw_b = doc_b.groupBy("_b").agg(F.sum("_c").alias("_rc"))
-    tgt_b = (
-        bucket_counts(target).groupBy("_b").agg(F.sum("_c").alias("_tc"))
-    )
+    if target_subset:
+        # r16 optimization: when the caller KNOWS target is a row
+        # subset of df (the common in-corpus reference slice, e.g.
+        # df.filter(source == ...)), its bucket counts are a semi-join
+        # of the persisted doc_b against the target ids — no second
+        # tokenize/explode/shuffle pass over the target text. With a
+        # broadcastable id set this is a map-side filter over the
+        # cached relation; identical counts by construction PROVIDED
+        # id_col is a unique, non-null key (the engine's doc_id
+        # contract — a NULL id never equi-joins, and duplicate ids
+        # would over-match). Leave False for external reference
+        # corpora (disjoint id spaces or differing text) — and for id
+        # sets too large to broadcast, where re-tokenizing the (small)
+        # target is the cheaper plan.
+        tgt_b = (
+            doc_b.join(target.select(id_col), id_col, "left_semi")
+            .groupBy("_b")
+            .agg(F.sum("_c").alias("_tc"))
+        )
+    else:
+        tgt_b = (
+            bucket_counts(target).groupBy("_b").agg(F.sum("_c").alias("_tc"))
+        )
     # smoothed log-ratio per bucket; buckets absent from the target
     # take tc=0 (the +1 smoothing keeps the log finite). Totals are
     # single-row aggregates broadcast into the 256-row table.
@@ -2142,11 +2166,14 @@ def dsir_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "dsir",
+    target_subset: bool = False,
 ) -> DataFrame:
     """Keep the k most target-like documents by DSIR weight
     (deterministic: ties break on id). orderBy+limit plans as
-    TakeOrdered — per-partition heaps, no global sort."""
-    w = dsir_weights(df, target, text_col=text_col, id_col=id_col, salt=salt)
+    TakeOrdered — per-partition heaps, no global sort.
+    ``target_subset`` — see :func:`dsir_weights`."""
+    w = dsir_weights(df, target, text_col=text_col, id_col=id_col, salt=salt,
+                     target_subset=target_subset)
     return w.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)
 
 

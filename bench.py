@@ -423,7 +423,10 @@ def main() -> None:
 
         docs = par(spark.table("documents"))
         target = docs.filter(F.col("source") == "src0")
-        corpus.dsir_topk(docs, target, k=100).collect()
+        # target_subset: the same arm the graded corpus_dsir_topk query
+        # runs (r16) — target counts semi-joined from the persisted
+        # doc-bucket relation, no second tokenize pass
+        corpus.dsir_topk(docs, target, k=100, target_subset=True).collect()
 
     @timed("epoch_shuffle_write")
     def _():

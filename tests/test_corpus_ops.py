@@ -1208,6 +1208,32 @@ def test_dsir_ranks_target_like_docs_first(spark):
     assert min(w[i] for i in range(5)) > max(w[10 + i] for i in range(5))
 
 
+def test_dsir_target_subset_arm_matches_retokenize(spark):
+    # r16 optimization parity: when target is a row subset of df, the
+    # semi-join arm (target_subset=True, no second tokenize pass) must
+    # produce byte-identical weights to the re-tokenizing default
+    rows = [(i, f"src{i % 3}", "alpha beta gamma delta " * (1 + i % 4))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    target = df.filter(F.col("source") == "src0")
+    a = sorted(
+        map(tuple, corpus.dsir_weights(df, target).collect())
+    )
+    b = sorted(
+        map(tuple,
+            corpus.dsir_weights(df, target, target_subset=True).collect())
+    )
+    assert a == b
+    ta = sorted(
+        map(tuple, corpus.dsir_topk(df, target, k=7).collect())
+    )
+    tb = sorted(
+        map(tuple,
+            corpus.dsir_topk(df, target, k=7, target_subset=True).collect())
+    )
+    assert ta == tb
+
+
 def test_epoch_shuffle_is_deterministic_and_complete(spark):
     df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
     a = corpus.epoch_shuffle(df, epoch=0).collect()
