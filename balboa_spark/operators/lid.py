@@ -168,16 +168,26 @@ def classify_lang(
 ) -> DataFrame:
     """Argmax language per document: ``(id_col, lang, score)``.
     Winner = highest rounded score, ties broken by language ascending
-    — a row_number window whose partitions are |L| rows by
-    construction (bounded; not the content-keyed skew shape)."""
-    from pyspark.sql import Window
-
+    — ``min(struct(-score, lang))`` per document (r16: replaces the
+    per-doc row_number window; a struct-min aggregate is PARTIAL —
+    the doc x |L| relation collapses map-side before the exchange and
+    nothing is sorted, where the window shuffled and sorted every
+    (doc, lang) row. Negating the rounded score inside the struct
+    keeps the exact (score desc, lang asc) order; scores are never
+    NULL — every emitted (doc, lang) row carries a finite log-sum)."""
     scored = score_langs(df, model, text_col, id_col)
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        scored.select(
+            F.col(id_col),
+            F.struct(
+                (-F.col("score")).alias("_ns"),
+                F.col("lang").alias("lang"),
+                F.col("score").alias("score"),
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_s").alias("_s"))
+        .select(F.col(id_col), F.col("_s.lang"), F.col("_s.score"))
     )
 
 
