@@ -868,7 +868,14 @@ def main() -> None:
         # key-bounded per-user/per-conversation windows + one groupBy
         from balboa_spark.operators import sft
 
-        turns = sft.conversation_turns(par(spark.table("events")))
+        # r16: materialize the threaded turns ONCE — the render and
+        # loss-mask sinks are two separate jobs and each re-ran the
+        # full sessionization windows over the events stream otherwise
+        # (same two outputs, same operators; the production pipeline
+        # shares the turns relation the same way)
+        turns = sft.conversation_turns(
+            par(spark.table("events"))
+        ).localCheckpoint(eager=True)
         sft.render_conversations(turns, system_prompt="sys").write.mode(
             "overwrite"
         ).format("noop").save()
