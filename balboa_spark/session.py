@@ -24,6 +24,24 @@ def get_spark(app_name: str = "balboa_spark", shuffle_partitions: int | None = N
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r16 (guide §3.1/§9): let the planner pick shuffled-hash over
+        # sort-merge when a side's per-partition build fits, and let
+        # AQE convert planned SMJs whose post-shuffle partitions are
+        # under the local-map threshold. Measured 0.85-0.94x on the
+        # join-heavy bench items (tpch_q3, dedup_embedding_lsh,
+        # fuzzy_pairs, dedup_near_keep; interleaved min-of-passes).
+        # Production: per-partition build memory is bounded by the
+        # threshold (128m) — env-overridable per deployment; set
+        # BALBOA_PREFER_SMJ=true to restore the sort-merge-only
+        # planner.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("BALBOA_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("BALBOA_SHJ_LOCALMAP_MAX", "128m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("BALBOA_DRIVER_MEM", "16g"))
