@@ -170,7 +170,7 @@ class ObservationStore:
         # materialize the caller's plan ONCE: the two layout writes are
         # separate Spark jobs, and each would re-evaluate the full
         # upstream fold (the compact() rationale applied to the write
-        # path — measured 3.02s -> ~2.2s on the bench store_build item)
+        # path — isolated A/B: store_build 1.22s -> 0.68s at sf0.1)
         agg_df = agg_df.localCheckpoint(eager=True)
         self._write_layouts(agg_df, gen_dir)
         self._commit(gen, man, epoch_id, stream_id)
