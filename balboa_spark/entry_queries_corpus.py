@@ -2670,22 +2670,24 @@ def q_pipeline_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   test scale, so the Gopher mode-gram arrays would run in one
     #   task (at production scale the scan has real partitions and
     #   this is a near-no-op);
-    # - localCheckpoint: the gate's signal expressions each reference
-    #   the text column, and an INLINED html_to_text chain re-runs its
-    #   16 regexes once per reference (measured 6.9s -> 1.5s for the
-    #   gate alone) — materialize the extraction once, like
-    #   passage_dedup/span_dedup do for their exploded relations.
-    extracted = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "doc_id",
-            _synth_url_col().alias("url"),
-            html_to_text(_synth_html_col()).alias("text"),
-        )
-        .localCheckpoint(eager=True)
+    # - localCheckpoint BELOW the keep filter, with the gate verdict
+    #   computed in the same projection chain as the extraction: an
+    #   INLINED html_to_text chain re-runs its 16 regexes once per
+    #   reference (measured 6.9s -> 1.5s for the gate alone), and a
+    #   keep filter pushed below a text-only checkpoint re-inlines the
+    #   tokenize chain per reference inside the pushed predicate (the
+    #   r16 pretrain_pipeline finding: 1.80s -> 0.86s for the gate
+    #   stage) — one checkpoint materializes extraction AND verdict,
+    #   each subtree single-use.
+    extracted = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id",
+        _synth_url_col().alias("url"),
+        html_to_text(_synth_html_col()).alias("text"),
     )
     gated = (
         corpus.gopher_filter(extracted, passthrough=("url", "text"))
+        .select("doc_id", "url", "text", "keep")
+        .localCheckpoint(eager=True)
         .filter("keep")
         .select("doc_id", "url", "text")
     )

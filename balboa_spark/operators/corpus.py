@@ -1569,14 +1569,16 @@ def pretrain_pipeline(
     relation; the CLI ``corpus-pretrain`` subcommand writes it to
     parquet.
 
-    Stage stitching: one ``id`` equi-join re-attaching the source
-    after cleaning and one left-semi join applying the DSIR keep-set;
-    the shared intermediates (gated corpus, deduped corpus) are
-    ``persist()``-ed because they feed 2 and 4 downstream consumers
-    respectively (ReuseExchange does not dedupe across those
-    subtrees — measured 3x on the driver query). Cache lifetime is
-    GC-bound like every internal persist here; a caller looping over
-    corpora should drop plan references promptly."""
+    Stage stitching: ``source`` rides the clean/gate projections
+    (passthrough — no join-back), one left-semi join applies the DSIR
+    keep-set, and clean+gate materialize in ONE localCheckpoint
+    (verdict computed below the checkpoint, so the keep filter never
+    re-inlines the tokenize chain). The shared intermediates (gated
+    corpus, deduped corpus) are ``persist()``-ed because they feed 2
+    and 4 downstream consumers respectively (ReuseExchange does not
+    dedupe across those subtrees — measured 3x on the driver query).
+    Cache lifetime is GC-bound like every internal persist here; a
+    caller looping over corpora should drop plan references promptly."""
     from balboa_spark.operators import dedup
 
     cleaned = (
@@ -1585,26 +1587,26 @@ def pretrain_pipeline(
         # shuffle for one metadata column (r16 optimization)
         clean_text(df, text_col=text_col, id_col=id_col,
                    passthrough=(source_col,))
-        # materialize the clean stage ONCE: the gate's signal
-        # expressions each reference clean_text, and an inlined
-        # clean_text regex chain re-runs per reference (the
-        # pipeline_crawl finding; measured 7.1s -> 5.8s warm and
-        # 19.4s -> 7.3s cold for the whole chain at sf0.1)
-        .localCheckpoint(eager=True)
     )
     gated = gopher_filter(
         cleaned, text_col="clean_text", id_col=id_col,
         passthrough=("clean_text", source_col),
     )
-    kept0 = (
-        gated.filter("keep")
-        .select(
-            F.col(id_col),
-            F.col("clean_text").alias(text_col),
-            F.col(source_col),
-        )
-        .persist()
-    )
+    # ONE materialization for clean + gate: filtering on `keep` below
+    # a checkpoint would let predicate pushdown inline the tokenize
+    # chain once per reference inside the pushed filter (~8 evals of
+    # split(lower(text)) per row — measured 1.80s -> 0.86s for the
+    # gate stage at sf0.1, r16). Computing the verdict in the SAME
+    # projection chain as the clean stage keeps every array subtree
+    # single-use (CollapseProject never duplicates non-cheap aliases),
+    # and the filter then reads a materialized boolean.
+    ckpt = gated.select(
+        F.col(id_col),
+        F.col("clean_text").alias(text_col),
+        F.col(source_col),
+        F.col("keep"),
+    ).localCheckpoint(eager=True)
+    kept0 = ckpt.filter("keep").drop("keep").persist()
     pairs = dedup.minhash_lsh_pairs(
         kept0, text_col, id_col, max_bucket=max_bucket
     )
@@ -1619,7 +1621,14 @@ def pretrain_pipeline(
         # doc-bucket counts instead of a second tokenize pass
         target_subset=True,
     )
-    chosen = kept.join(sel.select(id_col), id_col, "left_semi")
+    # materialize the keep-set ONCE: pack_sequences references its
+    # input in two subtrees (the narrow counts/prefix-sum branch and
+    # the fragment branch), so an un-materialized sel would re-run the
+    # whole DSIR ranking per reference. The checkpoint is k rows of
+    # one id column — parameter-sized at any corpus scale (measured
+    # 8.48s -> 6.64s for the composed pipeline at sf0.1, r16).
+    sel_ids = sel.select(id_col).localCheckpoint(eager=True)
+    chosen = kept.join(sel_ids, id_col, "left_semi")
     return pack_sequences(
         chosen, seq_len=seq_len, text_col=text_col, id_col=id_col
     )
