@@ -390,11 +390,18 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket=ORACLE_MAX_BUCKET,
     )
     kept = dedup.near_dedup_keep(corpus, pairs)
-    prof = text.text_profile(kept)
-    return (
-        prof.filter(F.col("quality") >= PIPELINE_QUALITY_T)
+    # narrow persist() barrier before the quality filter: pushed
+    # straight into text_profile's projection, the quality predicate
+    # inlines the tokenize chain per reference (53 split(lower...)
+    # nodes in the r16 plan audit); the cache boundary computes the
+    # profile once, no extra pass (populates during the one action)
+    prof = (
+        text.text_profile(kept)
         .select("doc_id", "n_tokens", "n_bpe_tokens", "quality")
-        .orderBy("doc_id")
+        .persist()
+    )
+    return (
+        prof.filter(F.col("quality") >= PIPELINE_QUALITY_T).orderBy("doc_id")
     )
 
 

@@ -53,9 +53,10 @@ def _stopword_array() -> Column:
     return F.array(*[F.lit(w) for w in flat])
 
 
-def quality_features(text: Column) -> list[Column]:
-    """The four signal columns (x1..x4), each in [0, 1]."""
-    toks = tokens(text)
+def _quality_features_from_tokens(text: Column, toks: Column) -> list[Column]:
+    """The four signal columns (x1..x4), each in [0, 1], over an
+    already-staged token array (the signals reference it ~5x; staged,
+    the tokenize runs once per row — the r16 text_profile finding)."""
     n = F.size(toks).cast("double")
     chars = F.length(text).cast("double")
     punct = F.regexp_count(text, F.lit(QC_PUNCT_RE)).cast("double")
@@ -70,14 +71,25 @@ def quality_features(text: Column) -> list[Column]:
     ]
 
 
+def quality_features(text: Column) -> list[Column]:
+    """The four signal columns (x1..x4), each in [0, 1]."""
+    return _quality_features_from_tokens(text, tokens(text))
+
+
 def _features_frame(
     df: DataFrame, text_col: str, id_col: str, label: Column | None
 ) -> DataFrame:
-    xs = quality_features(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        tokens(F.col(text_col)).alias("_tk"),
+        *([] if label is None else [label.cast("double").alias("y")]),
+    )
+    xs = _quality_features_from_tokens(F.col("_t"), F.col("_tk"))
     cols = [F.col(id_col)] + [x.alias(f"x{i+1}") for i, x in enumerate(xs)]
     if label is not None:
-        cols.append(label.cast("double").alias("y"))
-    return df.select(*cols)
+        cols.append(F.col("y"))
+    return staged.select(*cols)
 
 
 def logreg_fit(
@@ -126,17 +138,25 @@ def logreg_score(
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """(id, score, keep) under fixed weights — pure projection, the
-    learned constants inlined into codegen."""
-    xs = quality_features(F.col(text_col))
+    """(id, score, keep) under fixed weights — staged projections, no
+    shuffle: the token array is aliased once (the four features
+    reference it ~5x) and the score once (keep references it again);
+    unstaged, the tokenize chain re-ran ~10x per row (r16 plan
+    audit)."""
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        tokens(F.col(text_col)).alias("_tk"),
+    )
+    xs = _quality_features_from_tokens(F.col("_t"), F.col("_tk"))
     z = F.lit(weights[0])
     for j in range(4):
         z = z + F.lit(weights[j + 1]) * xs[j]
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
-    return df.select(
+    return staged.select(F.col(id_col), score.alias("score")).select(
         F.col(id_col),
-        score.alias("score"),
-        (score >= threshold).alias("keep"),
+        F.col("score"),
+        (F.col("score") >= threshold).alias("keep"),
     )
 
 

@@ -237,26 +237,39 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash(text: Column) -> Column:
-    """32-bit SimHash: bit j is the majority vote over tokens of bit j
-    of the token's hash. Token-hash bit j = parity of the ascii code of
-    hex digit j of md5(token) — cheap, deterministic, and expressible
-    identically in the DuckDB oracle."""
-    toks = tokens(text)
-    n = F.size(toks).cast("long")
+def _simhash_from_md5(md_arr: Column) -> Column:
+    """32-bit SimHash fingerprint from the per-token md5 array: bit j
+    is the majority vote over tokens of the parity of the ascii code
+    of hex digit j of md5(token). Callers stage ``md_arr`` as an
+    aliased projection column so the 33 references here (32 bit votes
+    + the length) read ONE evaluated array — CollapseProject keeps a
+    multi-referenced non-cheap alias staged (the minhash_lsh_pairs
+    round-1 lesson; inlined, the tokenize+md5 subtree re-ran per
+    reference: 276 split(lower...) nodes in the dedup_simhash plan)."""
+    n = F.size(md_arr).cast("long")
 
     # one-parameter lambda per bit (see minhash_signature note)
     def bit_pred(j: int):
-        return lambda t: F.ascii(F.substring(F.md5(t), j + 1, 1)) % 2 == 1
+        return lambda m: F.ascii(F.substring(m, j + 1, 1)) % 2 == 1
 
     bits = []
     for j in range(SIMHASH_BITS):
-        ones = F.size(F.filter(toks, bit_pred(j))).cast("long")
+        ones = F.size(F.filter(md_arr, bit_pred(j))).cast("long")
         bits.append(F.when(ones * 2 >= n, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")))
     total = bits[0]
     for b in bits[1:]:
         total = total + b
     return F.when(n > 0, total).otherwise(F.lit(None).cast("long"))
+
+
+def simhash(text: Column) -> Column:
+    """32-bit SimHash of ``text`` as a single Column expression —
+    identical values to the staged path in :func:`simhash_pairs`.
+    Column expressions cannot alias subtrees, so every bit vote here
+    re-evaluates the md5 array; use the staged DataFrame form for
+    corpus-sized inputs."""
+    toks = tokens(text)
+    return _simhash_from_md5(F.transform(toks, lambda t: F.md5(t)))
 
 
 SIMHASH_BLOCKS = 4
@@ -283,9 +296,21 @@ def simhash_pairs(
 
     Requires max_hamming < SIMHASH_BLOCKS for exactness.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
-    ).filter(F.col("sh").isNotNull())
+    # staged: tokenize once, md5 once per token, then the 33 bit-vote
+    # references read the staged array (see _simhash_from_md5) — and
+    # the narrow (id, sh) relation is MATERIALIZED before the aliased
+    # self-join below, which would otherwise re-derive the whole
+    # fingerprint subtree per side (the minhash bands lesson).
+    sh = (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk"))
+        .select("id", F.transform(F.col("_tk"), lambda t: F.md5(t)).alias("_md"))
+        .select("id", _simhash_from_md5(F.col("_md")).alias("sh"))
+        # checkpoint BEFORE the null filter: a filter below the cut
+        # would push into the projection and re-derive the bit votes
+        # inside the predicate; above it, it reads the stored column
+        .localCheckpoint(eager=True)
+        .filter(F.col("sh").isNotNull())
+    )
     block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
     blocks = F.array(
         *[
@@ -726,11 +751,31 @@ def minhash_estimate_pairs(
     join back is two equi-joins against a (id, sig) relation — no
     re-tokenization, no shingle-set shuffle.
     """
+    # stage the shingle array BEFORE assembling the 16-element
+    # signature: minhash_signature as one Column expression references
+    # the shingle subtree once per hash (tokenize+shingle re-ran 16x
+    # per row — measured 52s vs 3.5s for the graded query at sf0.1,
+    # r16); aliased in a projection, CollapseProject keeps it staged
+    # and each array_min reads the one evaluated array (the
+    # minhash_bands round-1 lesson, applied to the estimate arm)
+    def seeded(h: int):
+        prefix = F.lit(f"h{h}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
     staged = (
         df.filter(F.size(tokens(F.col(text_col))) >= k)
         .select(
             F.col(id_col).alias("id"),
-            minhash_signature(F.col(text_col), num_hashes, k).alias("_sig"),
+            _shingles(tokens(F.col(text_col)), k).alias("_sh"),
+        )
+        .select(
+            "id",
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("_sh"), seeded(h)))
+                    for h in range(num_hashes)
+                ]
+            ).alias("_sig"),
         )
         .localCheckpoint(eager=True)
     )

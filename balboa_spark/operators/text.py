@@ -48,18 +48,26 @@ def bpe_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
 
 
+def _stopword_hits_from_tokens(toks: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     """Number of tokens (with repeats) found in the language's
     stopword list."""
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+    return _stopword_hits_from_tokens(tokens(text), lang)
 
 
-def lang_id(text: Column) -> Column:
-    """Language with the highest stopword-hit ratio; 'und' when no list
-    scores > 0. Deterministic tie-break: alphabetical language order
-    wins (de > en > es > fr precedence encoded by >= comparisons)."""
-    scores = {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
+def _lang_id_from_tokens(toks: Column) -> Column:
+    """:func:`lang_id` over an already-staged token array — callers
+    with a multi-signal projection alias the array once so the four
+    per-language scans share ONE tokenize (Column expressions cannot
+    alias subtrees; only a projection stage can)."""
+    scores = {
+        lang: _stopword_hits_from_tokens(toks, lang)
+        for lang in sorted(STOPWORDS)
+    }
     langs = sorted(STOPWORDS)
     best = F.lit("und")
     best_score = F.lit(0)
@@ -73,6 +81,13 @@ def lang_id(text: Column) -> Column:
     return best
 
 
+def lang_id(text: Column) -> Column:
+    """Language with the highest stopword-hit ratio; 'und' when no list
+    scores > 0. Deterministic tie-break: alphabetical language order
+    wins (de > en > es > fr precedence encoded by >= comparisons)."""
+    return _lang_id_from_tokens(tokens(text))
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic in [0,1] (rounded to 4 decimals):
 
@@ -84,7 +99,12 @@ def quality_score(text: Column) -> Column:
     Every term is a plain column expression; the same arithmetic runs
     in the DuckDB oracle.
     """
-    toks = tokens(text)
+    return _quality_score_from_tokens(text, tokens(text))
+
+
+def _quality_score_from_tokens(text: Column, toks: Column) -> Column:
+    """:func:`quality_score` with the token array supplied — see
+    :func:`_lang_id_from_tokens` for why staged callers pass it."""
     n = F.size(toks)
     n_d = n.cast("double")
     punct = F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double")
@@ -115,8 +135,12 @@ def shingle_fingerprint(text: Column, k: int = 3) -> Column:
     """Rolling-hash-style fingerprint: lexicographic min of md5 over
     word k-shingles (a 1-hash MinHash; robust to local edits where
     ``fingerprint`` is not)."""
+    return _shingle_fingerprint_from_tokens(tokens(text), k)
+
+
+def _shingle_fingerprint_from_tokens(toks: Column, k: int = 3) -> Column:
     return F.array_min(
-        F.transform(_shingles(tokens(text), k), lambda s: F.md5(s))
+        F.transform(_shingles(toks, k), lambda s: F.md5(s))
     )
 
 
@@ -269,16 +293,23 @@ def winnow_fingerprints(
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass profile: id, token counts, language guess, quality,
-    fingerprints. Single projection — no shuffle, no UDF."""
+    fingerprints. Two staged projections, no shuffle, no UDF: the
+    token array is aliased once and every token-derived signal reads
+    the staged column — unstaged, the six signals re-ran the tokenize
+    chain ~13x per row (40 split(lower...) nodes in the r16 plan
+    audit; CollapseProject keeps a multi-referenced non-cheap alias
+    staged, so this holds in the optimized plan)."""
     t = F.col(text_col)
-    return df.select(
+    staged = df.select(F.col(id_col), t.alias("_t"), tokens(t).alias("_tk"))
+    tk = F.col("_tk")
+    return staged.select(
         F.col(id_col),
-        token_count(t).alias("n_tokens"),
-        bpe_token_count(t).alias("n_bpe_tokens"),
-        lang_id(t).alias("lang_guess"),
-        quality_score(t).alias("quality"),
-        fingerprint(t).alias("fp_exact"),
-        shingle_fingerprint(t).alias("fp_shingle"),
+        F.size(tk).alias("n_tokens"),
+        bpe_token_count(F.col("_t")).alias("n_bpe_tokens"),
+        _lang_id_from_tokens(tk).alias("lang_guess"),
+        _quality_score_from_tokens(F.col("_t"), tk).alias("quality"),
+        fingerprint(F.col("_t")).alias("fp_exact"),
+        _shingle_fingerprint_from_tokens(tk).alias("fp_shingle"),
     )
 
 

@@ -272,17 +272,26 @@ def main() -> None:
         # quality gate -> PII scrub -> context-window chunking: the
         # training-data prep chain, all JVM-side projections, ONE pass
         # over the corpus (the quality verdict carries the text through
-        # rather than joining back against the corpus).
+        # rather than joining back against the corpus). The narrow
+        # (id, text, keep) relation rides a lazy persist(): filtering
+        # on keep straight off the projection lets predicate pushdown
+        # inline the tokenize chain per reference inside the pushed
+        # filter (~8 evals/row — the r16 pretrain_pipeline finding);
+        # the cache boundary keeps the verdict computed once, with no
+        # extra pass (it populates during the one action).
         from balboa_spark.operators import corpus
 
         docs = par(spark.table("documents"))
-        kept = corpus.gopher_filter(docs, passthrough=["text"]).filter(
-            F.col("keep")
+        gated = (
+            corpus.gopher_filter(docs, passthrough=["text"])
+            .select("doc_id", "text", "keep")
+            .persist()
         )
-        clean = corpus.redact_pii(kept)
+        clean = corpus.redact_pii(gated.filter(F.col("keep")))
         corpus.chunk_tokens(
             clean.withColumnRenamed("text_redacted", "text")
         ).write.mode("overwrite").format("noop").save()
+        gated.unpersist()
 
     @timed("events_asof")
     def _():
