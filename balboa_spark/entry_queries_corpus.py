@@ -159,9 +159,13 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     from balboa_spark.operators.text import tokens
 
-    tk = tokens(F.col("text"))
-    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).select(
-        F.array_join(F.slice(tk, 1, F.size(tk) - 1), " ").alias("text")
+    tk = F.col("_tk")
+    bench = (
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(tokens(F.col("text")).alias("_tk"))
+        .select(
+            F.array_join(F.slice(tk, 1, F.size(tk) - 1), " ").alias("text")
+        )
     )
     return corpus.contamination_ngrams(docs, bench, n=NGRAM_N)
 
@@ -1230,8 +1234,17 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from balboa_spark.operators import bpe
 
     docs = _docs(spark, sf_dir)
-    vocab = bpe.vocab_table(docs, BPE_MERGES)
-    enc = bpe.encode_corpus(docs, BPE_MERGES, vocab)
+    # the tokenizer_drift sharing (r16), applied to the single-
+    # generation encode: ONE checkpointed histogram feeds the vocab
+    # derivation AND the encode's distinct-word segmentation, and the
+    # parameter-sized vocab checkpoint keeps its broadcast from
+    # re-running the histogram (before: 2 corpus passes + a hidden
+    # vocab re-derivation inside the broadcast join)
+    hist = bpe.word_histogram(docs).localCheckpoint(eager=True)
+    vocab = bpe.vocab_table(docs, BPE_MERGES, hist=hist).localCheckpoint(
+        eager=True
+    )
+    enc = bpe.encode_corpus(docs, BPE_MERGES, vocab, words=hist)
     return enc.select(
         "doc_id",
         F.size("piece_ids").alias("n_pieces"),

@@ -1090,15 +1090,19 @@ def contamination_ngrams(
     document id; no corpus-cardinality relation is ever collected or
     broadcast.
     """
+    # token arrays staged once per side: _shingles references its
+    # input 3x, so an inlined tokens(text) re-ran the tokenize chain
+    # per reference (r16 plan audit)
     bench_grams = (
-        benchmark.select(
-            F.explode(_shingles(tokens(F.col(text_col)), n)).alias("gram")
-        )
+        benchmark.select(tokens(F.col(text_col)).alias("_tk"))
+        .select(F.explode(_shingles(F.col("_tk"), n)).alias("gram"))
         .distinct()
     )
     corpus_grams = corpus.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    ).select(
         F.col(id_col),
-        F.explode_outer(F.array_distinct(_shingles(tokens(F.col(text_col)), n))).alias(
+        F.explode_outer(F.array_distinct(_shingles(F.col("_tk"), n))).alias(
             "gram"
         ),
     )
@@ -1135,8 +1139,10 @@ def boilerplate_ratio(
     action.
     """
     grams = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(_shingles(tokens(F.col(text_col)), k))).alias(
+        F.explode(F.array_distinct(_shingles(F.col("_tk"), k))).alias(
             "_gram"
         ),
     )
@@ -2296,7 +2302,9 @@ def contamination_overlap_sketch(
 
     def gram_sketch(frame: DataFrame, side: str) -> DataFrame:
         return frame.select(
-            F.explode(_shingles(tokens(F.col(text_col)), n)).alias("_g")
+            tokens(F.col(text_col)).alias("_tk")
+        ).select(
+            F.explode(_shingles(F.col("_tk"), n)).alias("_g")
         ).agg(F.theta_sketch_agg("_g").alias("_s")).select(
             F.lit(side).alias("_side"), "_s"
         )
@@ -2482,10 +2490,16 @@ def source_overlap(
     Output: (source_a, source_b, n_shared_ngrams), source_a <
     source_b, densely only for pairs that share at least one gram.
     """
-    grams = df.select(
-        F.col(source_col).alias("_src"),
-        F.explode(_shingles(tokens(F.col(text_col)), n)).alias("gram"),
-    ).distinct()
+    grams = (
+        df.select(
+            F.col(source_col).alias("_src"),
+            tokens(F.col(text_col)).alias("_tk"),
+        )
+        .select(
+            "_src", F.explode(_shingles(F.col("_tk"), n)).alias("gram")
+        )
+        .distinct()
+    )
     per_gram = grams.groupBy("gram").agg(
         F.array_sort(F.collect_set("_src")).alias("_srcs")
     )

@@ -172,9 +172,16 @@ def minhash_bands(
         prefix = F.lit(f"h{h}|")
         return lambda s: F.md5(F.concat(prefix, s))
 
-    shingled = df.filter(F.size(tokens(F.col(text_col))) >= k).select(
-        F.col(id_col).alias("id"),
-        _shingles(tokens(F.col(text_col)), k).alias("sh"),
+    # token array staged once: _shingles references its input 3x, so
+    # an inlined tokens(text) re-ran the tokenize chain per reference
+    # (r16 plan audit; the pushed size filter adds the 2nd and last
+    # tokenize per row — down from 4)
+    shingled = (
+        df.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk")
+        )
+        .filter(F.size("_tk") >= k)
+        .select("id", _shingles(F.col("_tk"), k).alias("sh"))
     )
     sig_cols = shingled.select(
         "id",
@@ -687,8 +694,11 @@ def ngram_jaccard_pairs(
     """
     sh = (
         df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(_shingles(tokens(F.col(text_col)), k))).alias("s"),
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk")
+        )
+        .select(
+            "id",
+            F.explode(F.array_distinct(_shingles(F.col("_tk"), k))).alias("s"),
         )
         .distinct()
     )
