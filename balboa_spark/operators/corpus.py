@@ -403,6 +403,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     shard_col: str | None = None,
     with_boundaries: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (pretraining batch prep): the
     corpus token stream, in ``id_col`` order, cut into fixed
@@ -425,10 +426,20 @@ def pack_sequences(
     independent per shard (seq_id = (shard, local_seq)), trading
     global concatenation order for shard-local order where even the
     narrow relation's extra shuffle matters.
+
+    ``tokens_col``: optional pre-tokenized array column (exactly
+    ``text.tokens(text_col)``) — a caller that already staged the
+    token array (pretrain_pipeline, r17) skips this kernel's tokenize
+    pass; the packing is identical because the same tokenizer produced
+    the column.
     """
     shard_keys = [shard_col] if shard_col is not None else []
+    staged_tk = (
+        F.col(tokens_col) if tokens_col is not None
+        else tokens(F.col(text_col))
+    )
     staged = df.select(
-        F.col(id_col), *shard_keys, tokens(F.col(text_col)).alias("_tk")
+        F.col(id_col), *shard_keys, staged_tk.alias("_tk")
     ).filter(F.size("_tk") > 0)
     counts = staged.select(F.col(id_col), *shard_keys, F.size("_tk").alias("_n"))
     if shard_col is not None:
@@ -1612,9 +1623,27 @@ def pretrain_pipeline(
         F.col(source_col),
         F.col("keep"),
     ).localCheckpoint(eager=True)
-    kept0 = ckpt.filter("keep").drop("keep").persist()
+    # ONE tokenize pass for the whole downstream pipeline (r17): every
+    # remaining consumer — MinHash shingles, DSIR n-grams, sequence
+    # packing — derives from the SAME token array, so it is staged
+    # into the kept persist and each kernel takes it via its
+    # tokens_col seam instead of re-tokenizing (3 full tokenize passes
+    # -> 1). `text` itself is dropped here: nothing downstream reads
+    # it (pack_sequences rebuilds seq_text from the token fragments),
+    # so the cached relation carries tokens INSTEAD of text, not both.
+    # The dedup anti-join and the DSIR semi-join both build on tiny
+    # broadcast sides, so the token arrays never ride a shuffle.
+    kept0 = (
+        ckpt.filter("keep")
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            tokens(F.col(text_col)).alias("_tk"),
+        )
+        .persist()
+    )
     pairs = dedup.minhash_lsh_pairs(
-        kept0, text_col, id_col, max_bucket=max_bucket
+        kept0, text_col, id_col, max_bucket=max_bucket, tokens_col="_tk"
     )
     kept = dedup.near_dedup_keep(kept0, pairs, id_col=id_col).persist()
     sel = dsir_topk(
@@ -1626,6 +1655,7 @@ def pretrain_pipeline(
         # the target IS a slice of kept: reuse kept's persisted
         # doc-bucket counts instead of a second tokenize pass
         target_subset=True,
+        tokens_col="_tk",
     )
     # materialize the keep-set ONCE: pack_sequences references its
     # input in two subtrees (the narrow counts/prefix-sum branch and
@@ -1636,7 +1666,8 @@ def pretrain_pipeline(
     sel_ids = sel.select(id_col).localCheckpoint(eager=True)
     chosen = kept.join(sel_ids, id_col, "left_semi")
     return pack_sequences(
-        chosen, seq_len=seq_len, text_col=text_col, id_col=id_col
+        chosen, seq_len=seq_len, text_col=text_col, id_col=id_col,
+        tokens_col="_tk",
     )
 
 
@@ -2040,10 +2071,10 @@ def dedup_repeated_units(
 _DSIR_BUCKET_CHARS = 2  # md5-prefix buckets: 16^2 = 256
 
 
-def _dsir_grams(text_col: str) -> Column:
-    """Unigrams + bigrams of the whitespace tokens (the DSIR paper's
-    hashed n-gram feature set)."""
-    t = tokens(F.col(text_col))
+def _dsir_grams_from_tokens(t: Column) -> Column:
+    """Unigrams + bigrams over an already-tokenized array (the DSIR
+    paper's hashed n-gram feature set); ``t`` must hold
+    ``text.tokens(...)`` output."""
     bi = F.when(
         F.size(t) >= 2,
         F.zip_with(
@@ -2053,6 +2084,11 @@ def _dsir_grams(text_col: str) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.concat(t, bi)
+
+
+def _dsir_grams(text_col: str) -> Column:
+    """Unigrams + bigrams of the whitespace tokens of ``text_col``."""
+    return _dsir_grams_from_tokens(tokens(F.col(text_col)))
 
 
 def _dsir_bucket(gram: Column, salt: str) -> Column:
@@ -2069,10 +2105,18 @@ def dsir_weights(
     id_col: str = "doc_id",
     salt: str = "dsir",
     target_subset: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document DSIR log importance weight
     ``log p_target(x) - log p_raw(x)`` under hashed-n-gram bag models
     with add-1 smoothing.
+
+    ``tokens_col``: optional pre-tokenized array column (must hold
+    exactly ``text.tokens(text_col)``) present on ``df`` — and on
+    ``target`` unless ``target_subset`` already bypasses the target
+    tokenize. Skips this kernel's own tokenize pass when the caller
+    staged the token array once for several consumers
+    (pretrain_pipeline, r17); identical grams by construction.
 
     Output: (id, n_grams, weight) — weight rounded to 4 decimals
     (documents more target-like than the raw corpus score > 0).
@@ -2093,10 +2137,15 @@ def dsir_weights(
     B = 16**_DSIR_BUCKET_CHARS
 
     def bucket_counts(frame: DataFrame) -> DataFrame:
+        grams = (
+            _dsir_grams_from_tokens(F.col(tokens_col))
+            if tokens_col is not None
+            else _dsir_grams(text_col)
+        )
         return (
             frame.select(
                 F.col(id_col),
-                F.explode(_dsir_grams(text_col)).alias("_g"),
+                F.explode(grams).alias("_g"),
             )
             .select(F.col(id_col), _dsir_bucket(F.col("_g"), salt).alias("_b"))
             .groupBy(id_col, "_b")
@@ -2182,13 +2231,14 @@ def dsir_topk(
     id_col: str = "doc_id",
     salt: str = "dsir",
     target_subset: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Keep the k most target-like documents by DSIR weight
     (deterministic: ties break on id). orderBy+limit plans as
     TakeOrdered — per-partition heaps, no global sort.
-    ``target_subset`` — see :func:`dsir_weights`."""
+    ``target_subset`` / ``tokens_col`` — see :func:`dsir_weights`."""
     w = dsir_weights(df, target, text_col=text_col, id_col=id_col, salt=salt,
-                     target_subset=target_subset)
+                     target_subset=target_subset, tokens_col=tokens_col)
     return w.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)
 
 

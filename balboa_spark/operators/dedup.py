@@ -159,13 +159,21 @@ def minhash_bands(
     num_hashes: int = 16,
     num_bands: int = 4,
     k: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, band_idx, band_hash) — each document's banded MinHash
     signature, the join key of LSH candidate generation. Staged
     projections keep the optimized plan at exactly H array_min nodes
     (see minhash_lsh_pairs). Also the unit an incremental dedup store
     persists: band collisions against STORED bands find near-dups of
-    already-ingested documents without recomputing anything."""
+    already-ingested documents without recomputing anything.
+
+    ``tokens_col``: optional pre-tokenized array column holding
+    EXACTLY ``text.tokens(text_col)`` (lowercased whitespace tokens,
+    empties removed). A pipeline that already materialized the token
+    array (pretrain_pipeline's shared-token persist, r17) skips this
+    kernel's tokenize pass; the signature is identical by construction
+    because the same tokenizer produced the column."""
     rows_per_band = num_hashes // num_bands
 
     def seeded(h: int):
@@ -176,10 +184,12 @@ def minhash_bands(
     # an inlined tokens(text) re-ran the tokenize chain per reference
     # (r16 plan audit; the pushed size filter adds the 2nd and last
     # tokenize per row — down from 4)
+    staged_tk = (
+        F.col(tokens_col) if tokens_col is not None
+        else tokens(F.col(text_col))
+    )
     shingled = (
-        df.select(
-            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk")
-        )
+        df.select(F.col(id_col).alias("id"), staged_tk.alias("_tk"))
         .filter(F.size("_tk") >= k)
         .select("id", _shingles(F.col("_tk"), k).alias("sh"))
     )
@@ -211,6 +221,7 @@ def minhash_lsh_pairs(
     num_bands: int = 4,
     k: int = 3,
     max_bucket: int = 1000,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
 
@@ -234,7 +245,8 @@ def minhash_lsh_pairs(
     # sf0.1, the round-1 lesson). bucket_pairs keeps giant band
     # buckets (mass-duplicate clusters) linear via chain pairs.
     bands = minhash_bands(
-        df, text_col, id_col, num_hashes, num_bands, k
+        df, text_col, id_col, num_hashes, num_bands, k,
+        tokens_col=tokens_col,
     ).localCheckpoint(eager=True)
     return bucket_pairs(bands, ["band_idx", "band_hash"], "id", max_bucket)
 

@@ -1,5 +1,5 @@
 """Capture `.explain("formatted")` for declared driver queries into
-plans/r16/<query>_<tag>.txt — the optimization round's evidence files
+plans/r17/<query>_<tag>.txt — the optimization round's evidence files
 (the judge checks plan claims against these, not a live Spark).
 
 Usage: python scripts/capture_plans.py <tag> <query_name> [...]
@@ -21,7 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(REPO, "plans", "r16")
+OUT_DIR = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r17"))
 
 MARKERS = (
     "Exchange",

@@ -1234,6 +1234,33 @@ def test_dsir_target_subset_arm_matches_retokenize(spark):
     assert ta == tb
 
 
+def test_tokens_col_seams_match_inline_tokenize(spark):
+    # r17 optimization parity: the pre-tokenized tokens_col arms of
+    # dsir_weights / pack_sequences / minhash_bands must be
+    # byte-identical to the inline-tokenize defaults — the pretrain
+    # pipeline stages ONE token array for all three consumers.
+    from balboa_spark.operators import dedup, text
+
+    rows = [(i, f"src{i % 3}", "alpha beta gamma delta epsilon " * (1 + i % 4))
+            for i in range(30)] + [(97, "src0", ""), (98, "src1", "  one")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    staged = df.withColumn("_tk", text.tokens(F.col("text")))
+    target = df.filter(F.col("source") == "src0")
+    staged_target = staged.filter(F.col("source") == "src0")
+    a = sorted(map(tuple, corpus.dsir_weights(df, target).collect()))
+    b = sorted(map(tuple, corpus.dsir_weights(
+        staged, staged_target, tokens_col="_tk").collect()))
+    assert a == b
+    pa = sorted(map(tuple, corpus.pack_sequences(df, seq_len=16).collect()))
+    pb = sorted(map(tuple, corpus.pack_sequences(
+        staged, seq_len=16, tokens_col="_tk").collect()))
+    assert pa == pb
+    ba = sorted(map(tuple, dedup.minhash_bands(df).collect()))
+    bb = sorted(map(tuple, dedup.minhash_bands(
+        staged, tokens_col="_tk").collect()))
+    assert ba == bb
+
+
 def test_epoch_shuffle_is_deterministic_and_complete(spark):
     df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
     a = corpus.epoch_shuffle(df, epoch=0).collect()
