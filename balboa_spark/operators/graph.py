@@ -59,14 +59,18 @@ PR_ROUND = 9
 #: memory; the value-rounding convention (PR_ROUND per step) makes the
 #: trajectory reshuffle-deterministic, so the join strategy cannot
 #: change results.
-_BCAST_MAX_NODES = int(
-    os.environ.get("BALBOA_GRAPH_BROADCAST_MAX_NODES", "2000000")
-)
+def _bcast_max_nodes() -> int:
+    # read lazily per call (r17, advisor note): a session can tune the
+    # gate without re-importing the module
+    return int(os.environ.get("BALBOA_GRAPH_BROADCAST_MAX_NODES", "2000000"))
+
+
 #: Separate, tighter gate for sketch-bearing state (harmonic's HLL
 #: registers are ~3 KB/node dense at lgk=12 -> ~200 MB at 64k nodes).
-_BCAST_MAX_SKETCH_NODES = int(
-    os.environ.get("BALBOA_GRAPH_BROADCAST_MAX_SKETCH_NODES", "65536")
-)
+def _bcast_max_sketch_nodes() -> int:
+    return int(
+        os.environ.get("BALBOA_GRAPH_BROADCAST_MAX_SKETCH_NODES", "65536")
+    )
 
 
 def write_graph_edges_bucketed(
@@ -169,21 +173,29 @@ def pagerank(
     )
     n = nodes.count()  # the one driver scalar (graph order)
     if n == 0:
+        if isinstance(edges, str):
+            ew.unpersist()
         return nodes.select("node", F.lit(0.0).alias("rank"))
+    gate = _bcast_max_nodes()
 
     def _b(df: DataFrame) -> DataFrame:
         # node-sized relation: broadcast under the gate so joins
         # against the (possibly 100 TB) edges side never exchange it
-        return F.broadcast(df) if n <= _BCAST_MAX_NODES else df
+        return F.broadcast(df) if n <= gate else df
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # iteration-invariant relations, materialized ONCE: edges annotated
     # with their source's out-degree, and the dangling node set — the
     # per-iteration plans would otherwise re-derive both (one extra
     # node-sized shuffle join per iteration per relation, wasted work
-    # that scales with iters). The bucketed arm ships outdeg inside
-    # the table instead (write-time annotation, zero per-iteration
-    # derivation) and must NOT checkpoint — see _edge_relations.
+    # that scales with iters). outdeg stays a map-side-combinable
+    # groupBy + broadcast join back over the checkpointed edges (NOT a
+    # count-over-window pass: the window would re-Exchange the full
+    # 100 TB edge relation hash(src) — skew-prone on hot sources —
+    # where this shape shuffles edges once and aggregates node-sized).
+    # The bucketed arm ships outdeg inside the table instead
+    # (write-time annotation, zero per-iteration derivation) and must
+    # NOT checkpoint — see _edge_relations.
     if ew is None:
         ew = e.join(_b(outdeg), "src").localCheckpoint(eager=True)
     dangling_nodes = nodes.join(
@@ -231,6 +243,15 @@ def pagerank(
                 "node",
                 F.round(new_rank, round_dp).alias("rank"),
             )
+            # EAGER checkpoint, deliberately (r17 measured rejection):
+            # lazy (eager=False) looked like 2 jobs/iteration -> 1,
+            # but the state is consumed by TWO broadcast builds per
+            # iteration (contrib ranks, dangling mass) whose exchange
+            # jobs run concurrently — each recomputes the
+            # unmaterialized lineage, and min-of-3 interleaved A/B
+            # read 1.02-1.12x SLOWER across all three graph bench
+            # items. Eager materializes once, every consumer reads
+            # the cache.
             .localCheckpoint(eager=True)
         )
     if isinstance(edges, str):
@@ -364,14 +385,15 @@ def harmonic_centrality(
         .localCheckpoint(eager=True)
     )
     n = state.count()  # cheap: counts the checkpointed partitions
+    ngate, sgate = _bcast_max_nodes(), _bcast_max_sketch_nodes()
 
     def _bn(df: DataFrame) -> DataFrame:
         # narrow node-sized relation (no sketches) — pagerank's gate
-        return F.broadcast(df) if n <= _BCAST_MAX_NODES else df
+        return F.broadcast(df) if n <= ngate else df
 
     def _bs(df: DataFrame) -> DataFrame:
         # sketch-bearing state: ~3 KB/node worst case, tighter gate
-        return F.broadcast(df) if n <= _BCAST_MAX_SKETCH_NODES else df
+        return F.broadcast(df) if n <= sgate else df
 
     for t in range(1, max_dist + 1):
         flowed = _bs(state).join(e, state["node"] == e["src"]).select(
@@ -400,6 +422,11 @@ def harmonic_centrality(
                     / F.lit(float(t))
                 ).alias("_h"),
             )
+            # eager, deliberately (r17 measured rejection — pagerank
+            # note): state feeds both the flowed broadcast and the
+            # merged union per round; a lazy checkpoint is recomputed
+            # by each concurrent consumer job and measured 1.12x
+            # slower on the harmonic bench item
             .localCheckpoint(eager=True)
         )
     if isinstance(edges, str):
