@@ -479,10 +479,22 @@ def byte_decode(piece_ids: Column, merges: list[tuple[str, str]]) -> Column:
     return F.decode(F.unhex(F.concat_ws("", hexes)), "UTF-8")
 
 
-def word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """The one corpus-sized pass: (word, cnt) for alnum words."""
+def word_histogram(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
+    """The one corpus-sized pass: (word, cnt) for alnum words.
+
+    ``tokens_col``: optional pre-tokenized array column holding
+    EXACTLY ``text.tokens(text_col)`` — a caller that already staged
+    the token array (tokenizer_diff's shared stream, r17) skips the
+    tokenize chain; identical by construction (same tokenizer, same
+    WORD_RE filter applied here either way)."""
+    tk = (
+        F.col(tokens_col) if tokens_col is not None
+        else tokens(F.col(text_col))
+    )
     return (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        df.select(F.explode(tk).alias("word"))
         .filter(F.col("word").rlike(WORD_RE))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -913,11 +925,20 @@ class TokenizerStore:
         text_col: str = "text",
         id_col: str = "doc_id",
         generation: int | None = None,
+        words: DataFrame | None = None,
+        tokens_col: str | None = None,
     ) -> DataFrame:
         """Corpus → (id, piece_ids array<int>) under the STORED
         tokenizer, whichever kind is committed. ``generation`` pins a
         retained historical fit (segmentation AND ids together — the
-        generations() contract); default = latest."""
+        generations() contract); default = latest.
+
+        ``words`` / ``tokens_col`` (word kind only, r17): the
+        :func:`encode_corpus` sharing seams — a caller encoding the
+        same corpus under several generations (tokenizer_diff) stages
+        the token array and the word histogram once and passes both;
+        other kinds tokenize differently, so the seams raise rather
+        than silently ignore."""
         k = self.kind()
         gen = self._resolve_gen(generation)
         prov = self._gen_provenance(gen)
@@ -925,6 +946,13 @@ class TokenizerStore:
             return encode_corpus(
                 df, self.merges(gen), self.vocab(gen),
                 text_col=text_col, id_col=id_col,
+                words=words, tokens_col=tokens_col,
+            )
+        if words is not None or tokens_col is not None:
+            raise ValueError(
+                f"words=/tokens_col= are word-kind seams; this store "
+                f"is committed as kind {k!r} (its tokenizer does not "
+                "consume text.tokens arrays)"
             )
         if k == "byte":
             # an imported public artifact pins EXPLICIT ids (real
@@ -1377,6 +1405,7 @@ def encode_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     words: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Corpus → (id, piece_ids array<int>): segment every alnum token
     under the merge list and map pieces to dense ids via one broadcast
@@ -1396,11 +1425,23 @@ def encode_corpus(
     a caller encoding the SAME corpus under several merge lists (the
     drift report) pays the distinct Exchange once, not per encode.
     The word set must cover the corpus exactly (word_histogram does,
-    by construction: same tokenizer, same WORD_RE filter)."""
+    by construction: same tokenizer, same WORD_RE filter); an
+    uncovered word FAILS LOUDLY (left join + raise_error, r17 — a
+    histogram from a different corpus or text column can never
+    silently shorten encodings).
+
+    ``tokens_col``: optional pre-tokenized array column holding
+    EXACTLY ``text.tokens(text_col)`` — a caller encoding the same
+    staged corpus twice (the drift report) tokenizes once; identical
+    by construction (the WORD_RE filter still applies here)."""
+    tk = (
+        F.col(tokens_col) if tokens_col is not None
+        else tokens(F.col(text_col))
+    )
     toks = df.select(
         F.col(id_col),
         F.posexplode(
-            F.filter(tokens(F.col(text_col)), lambda w: w.rlike(WORD_RE))
+            F.filter(tk, lambda w: w.rlike(WORD_RE))
         ).alias("_wpos", "_word"),
     )
     distinct_words = (
@@ -1411,12 +1452,29 @@ def encode_corpus(
     seg = distinct_words.select(
         "_word", segment_any(F.col("_word"), merges).alias("_pieces")
     )
+    if words is not None:
+        # coverage assertion, zero-cost when covered: NULL _pieces
+        # (word absent from `words`) raises instead of vanishing in
+        # the posexplode below
+        pieces_col = F.coalesce(
+            F.col("_pieces"),
+            F.raise_error(
+                F.concat(
+                    F.lit("encode_corpus: words= does not cover token "),
+                    F.col("_word"),
+                )
+            ),
+        )
+        joined = toks.join(seg, "_word", "left")
+    else:
+        pieces_col = F.col("_pieces")
+        joined = toks.join(seg, "_word")
     pieces = (
-        toks.join(seg, "_word")
+        joined
         .select(
             F.col(id_col),
             "_wpos",
-            F.posexplode("_pieces").alias("_ppos", "piece"),
+            F.posexplode(pieces_col).alias("_ppos", "piece"),
         )
     )
     mapped = pieces.join(
@@ -1517,8 +1575,37 @@ def tokenizer_diff(
         r["piece"]: int(r["piece_id"])
         for r in store.vocab(gen_b).select("piece", "piece_id").collect()
     }
-    ea = store.encode(docs, text_col=text_col, id_col=id_col, generation=gen_a)
-    eb = store.encode(docs, text_col=text_col, id_col=id_col, generation=gen_b)
+    if store.kind() == "word":
+        # r17: the two encode passes share ONE staged token stream and
+        # ONE word histogram (both generation-invariant) instead of
+        # each re-tokenizing the corpus and re-aggregating its distinct
+        # words — the q_tokenizer_drift sharing applied to the
+        # store-backed report. The token array is doc-sized
+        # (tokenizer_diff's contract is a SAMPLE, see above), the
+        # histogram covers the staged stream by construction, and
+        # encode_corpus raises on any coverage gap rather than
+        # dropping tokens.
+        staged = docs.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+        ).localCheckpoint(eager=True)
+        hist = word_histogram(staged, tokens_col="_tk").localCheckpoint(
+            eager=True
+        )
+        ea = store.encode(
+            staged, id_col=id_col, generation=gen_a,
+            words=hist, tokens_col="_tk",
+        )
+        eb = store.encode(
+            staged, id_col=id_col, generation=gen_b,
+            words=hist, tokens_col="_tk",
+        )
+    else:
+        ea = store.encode(
+            docs, text_col=text_col, id_col=id_col, generation=gen_a
+        )
+        eb = store.encode(
+            docs, text_col=text_col, id_col=id_col, generation=gen_b
+        )
     return tokenizer_diff_frames(
         docs.sparkSession, va, vb, ea, eb,
         gen_a=int(gen_a), gen_b=int(gen_b), id_col=id_col,

@@ -3215,6 +3215,93 @@ def test_tokenizer_diff_reports_drift_and_gen_pinned_encode(spark, tmp_path):
         bpe.tokenizer_diff(solo, c1)
 
 
+def test_encode_corpus_words_seam_parity_and_loud_failure(spark):
+    """r17 (advisor note): encode_corpus(words=word_histogram(df))
+    must be byte-identical to words=None, and an UNDER-covering words
+    relation must raise instead of silently dropping tokens from
+    piece_ids. The tokens_col seam composes with both."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from balboa_spark.operators import bpe, text
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox the quick"),
+         (1, "brown fox jumps over the lazy dog"),
+         (2, ""), (3, "  fox  ")],
+        ["doc_id", "text"],
+    )
+    merges = [("t", "h"), ("th", "e"), ("o", "x"), ("f", "ox")]
+    vocab = bpe.vocab_table(docs, merges).localCheckpoint(eager=True)
+    base = {
+        r["doc_id"]: list(r["piece_ids"])
+        for r in bpe.encode_corpus(docs, merges, vocab).collect()
+    }
+    hist = bpe.word_histogram(docs).localCheckpoint(eager=True)
+    shared = {
+        r["doc_id"]: list(r["piece_ids"])
+        for r in bpe.encode_corpus(
+            docs, merges, vocab, words=hist
+        ).collect()
+    }
+    assert shared == base
+    staged = docs.withColumn("_tk", text.tokens(F.col("text")))
+    both = {
+        r["doc_id"]: list(r["piece_ids"])
+        for r in bpe.encode_corpus(
+            staged, merges, vocab, words=hist, tokens_col="_tk"
+        ).collect()
+    }
+    assert both == base
+    # a histogram from a DIFFERENT corpus fails loudly, never silently
+    partial = hist.filter(F.col("word") != "fox")
+    with pytest.raises(SparkRuntimeException, match="does not cover token fox"):
+        bpe.encode_corpus(docs, merges, vocab, words=partial).collect()
+
+
+def test_tokenizer_diff_word_store_shared_stream_parity(spark, tmp_path):
+    """r17: the word-kind store diff stages one token array + one
+    histogram shared by both generation encodes; the report must be
+    identical to the unshared per-generation encodes."""
+    from balboa_spark.operators import bpe
+
+    c1 = spark.createDataFrame(
+        [(0, "the quick brown fox the quick brown dog the the"),
+         (1, "quick brown quick brown fox")],
+        ["doc_id", "text"],
+    )
+    c2 = spark.createDataFrame(
+        [(0, "lazy river lazy river stone stone stone lazy"),
+         (1, "river stone river lazy")],
+        ["doc_id", "text"],
+    )
+    store = bpe.TokenizerStore(spark, str(tmp_path / "tokw"))
+    store.fit(c1, num_merges=6)
+    g0 = store._manifest()["generation"]
+    store.fit(c2, num_merges=6)
+
+    rep = bpe.tokenizer_diff(store, c1).collect()[0]
+    # unshared replay: per-generation encodes without the seams
+    va = {r["piece"]: int(r["piece_id"])
+          for r in store.vocab(g0).select("piece", "piece_id").collect()}
+    vb = {r["piece"]: int(r["piece_id"])
+          for r in store.vocab(g0 + 1).select("piece", "piece_id").collect()}
+    want = bpe.tokenizer_diff_frames(
+        spark, va, vb,
+        store.encode(c1, generation=g0),
+        store.encode(c1, generation=g0 + 1),
+        gen_a=g0, gen_b=g0 + 1,
+    ).collect()[0]
+    assert rep.asDict() == want.asDict()
+    # non-word kinds refuse the seams instead of silently ignoring
+    import pytest
+
+    bstore = bpe.TokenizerStore(spark, str(tmp_path / "tokb"))
+    bstore.fit_byte(c1, num_merges=4)
+    with pytest.raises(ValueError, match="word-kind seams"):
+        bstore.encode(c1, tokens_col="_tk")
+
+
 def test_tokenizer_diff_counts_renumbered_imported_ids(spark, tmp_path):
     """Two imported artifacts sharing pieces at DIFFERENT ids: the
     diff counts the renumbered pieces (the silent-invalidation case —
