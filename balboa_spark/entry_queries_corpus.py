@@ -160,14 +160,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from balboa_spark.operators.text import tokens
 
     tk = F.col("_tk")
+    # r17: hand the sliced token array straight to the gram kernel —
+    # the array_join(" ") + re-tokenize round-trip segmented back to
+    # the identical array (tokens are lowercase and whitespace-free),
+    # one dead split(lower chain in the plan
     bench = (
         docs.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select(tokens(F.col("text")).alias("_tk"))
-        .select(
-            F.array_join(F.slice(tk, 1, F.size(tk) - 1), " ").alias("text")
-        )
+        .select(F.slice(tk, 1, F.size(tk) - 1).alias("_tk"))
     )
-    return corpus.contamination_ngrams(docs, bench, n=NGRAM_N)
+    return corpus.contamination_ngrams(
+        docs, bench, n=NGRAM_N, bench_tokens_col="_tk"
+    )
 
 
 CONTAMINATION_ORACLE = f"""

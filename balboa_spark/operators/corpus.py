@@ -1088,6 +1088,8 @@ def contamination_ngrams(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_tokens_col: str | None = None,
+    bench_tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark-contamination scan: for each corpus document, the
     number of distinct word n-grams it shares with ANY benchmark
@@ -1103,14 +1105,28 @@ def contamination_ngrams(
     """
     # token arrays staged once per side: _shingles references its
     # input 3x, so an inlined tokens(text) re-ran the tokenize chain
-    # per reference (r16 plan audit)
+    # per reference (r16 plan audit). *_tokens_col (r17): optional
+    # pre-tokenized array columns holding EXACTLY text.tokens(text) —
+    # a caller whose side is BUILT from a token array (q_contamination
+    # derives its eval set by dropping each doc's last token) skips
+    # the join-text-then-retokenize round-trip; identical by
+    # construction (lowercase whitespace-free tokens re-split to
+    # themselves).
+    bench_tk = (
+        F.col(bench_tokens_col) if bench_tokens_col is not None
+        else tokens(F.col(text_col))
+    )
     bench_grams = (
-        benchmark.select(tokens(F.col(text_col)).alias("_tk"))
+        benchmark.select(bench_tk.alias("_tk"))
         .select(F.explode(_shingles(F.col("_tk"), n)).alias("gram"))
         .distinct()
     )
+    corpus_tk = (
+        F.col(corpus_tokens_col) if corpus_tokens_col is not None
+        else tokens(F.col(text_col))
+    )
     corpus_grams = corpus.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+        F.col(id_col), corpus_tk.alias("_tk")
     ).select(
         F.col(id_col),
         F.explode_outer(F.array_distinct(_shingles(F.col("_tk"), n))).alias(
