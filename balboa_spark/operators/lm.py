@@ -1151,55 +1151,79 @@ def _kn_ngram_score_from_counts(
     # per-order relation used by the interpolation at order k:
     #   top order n -> raw counts; k < n -> adjusted counts from the
     #   order-(k+1) type table grouped by its last-k-token suffix
-    #   (suffix ctx = ctx minus its first token, then the old w joins on)
-    def order_table(k: int) -> DataFrame:
-        if k == n:
-            return counts.where(F.col("k") == n).select(
-                F.col("ctx"), F.col("w"), F.col("c").alias("a")
-            )
+    #   (suffix ctx = ctx minus its first token, then the old w joins on).
+    # r17 (guide §2.4/§1.2): ALL orders derive in ONE shuffle + ONE
+    # checkpoint. The per-order derivations are independent projections
+    # of the same checkpointed count table, so unioning them first and
+    # aggregating by (ko, ctx, w) — ko keys the arms apart — produces
+    # row-identical per-order tables (each arm carries a distinct ko,
+    # so no cross-order mixing) while collapsing n eager checkpoints +
+    # (n-1) driver-blocking discount collects + the a1_total collect
+    # (2n+1 serialized jobs at n=5) into adj-checkpoint + one collect.
+    lower = None
+    for k in range(1, n):
         parent = counts.where(F.col("k") == k + 1)
-        if k == 1:
-            sfx = F.lit("")
-        else:
+        sfx = (
+            F.lit("")
+            if k == 1
             # drop the first token of the (k)-token parent context:
             # everything after the first space
-            sfx = F.expr("substring(ctx, instr(ctx, ' ') + 1)")
-        return (
-            parent.select(sfx.alias("ctx"), F.col("w"))
-            .groupBy("ctx", "w")
-            .agg(F.count(F.lit(1)).alias("a"))
+            else F.expr("substring(ctx, instr(ctx, ' ') + 1)")
         )
+        arm = parent.select(
+            F.lit(k).alias("ko"), sfx.alias("ctx"), F.col("w")
+        )
+        lower = arm if lower is None else lower.unionByName(arm)
+    adj = (
+        lower.groupBy("ko", "ctx", "w")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .unionByName(
+            counts.where(F.col("k") == n).select(
+                F.lit(n).alias("ko"),
+                F.col("ctx"),
+                F.col("w"),
+                F.col("c").alias("a"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
 
     tables: dict[int, DataFrame] = {}
     stats: dict[int, DataFrame] = {}
     discounts: dict[int, float] = {}
     for k in range(1, n + 1):
-        # adjusted tables are derived aggregations over the checkpoint;
-        # materialize each once (gram-type-sized) — they feed the ctx
-        # stats, the discount estimate, and the score join
-        tk_tab = order_table(k).localCheckpoint(eager=True)
-        tables[k] = tk_tab
+        tables[k] = adj.where(F.col("ko") == k).select("ctx", "w", "a")
         if k == 1:
             # the order-1 base distribution is the alpha-smoothed
-            # continuation — it never uses a discount, so don't pay a
-            # driver-blocking count-of-counts job estimating one
+            # continuation — it never uses a discount
             continue
-        stats[k] = tk_tab.groupBy("ctx").agg(
+        stats[k] = tables[k].groupBy("ctx").agg(
             F.sum("a").alias("A"), F.count(F.lit(1)).alias("n1p")
         )
+    # ONE collect: every order's count-of-counts (Ney discount
+    # numerators) + the unigram mass A_1, off the adj checkpoint.
+    # Integer aggregates — no float-order sensitivity vs the per-order
+    # collects they replace.
+    by_k = {
+        r["ko"]: r
+        for r in adj.groupBy("ko")
+        .agg(
+            F.sum((F.col("a") == 1).cast("long")).alias("n1"),
+            F.sum((F.col("a") == 2).cast("long")).alias("n2"),
+            F.sum("a").alias("atot"),
+        )
+        .collect()
+    }
+    for k in range(2, n + 1):
         if discount is None:
-            row = tk_tab.agg(
-                F.sum((F.col("a") == 1).cast("long")).alias("n1"),
-                F.sum((F.col("a") == 2).cast("long")).alias("n2"),
-            ).collect()[0]
-            n1, n2 = row["n1"] or 0, row["n2"] or 0
+            r = by_k.get(k)
+            n1 = (r["n1"] if r else 0) or 0
+            n2 = (r["n2"] if r else 0) or 0
             discounts[k] = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) else 0.5
         else:
             discounts[k] = float(discount)
     # A_1 = sum_w a_1(w) = number of bigram types (scalar)
-    a1_total = (
-        tables[1].agg(F.sum("a")).collect()[0][0] or 0
-    )
+    a1_total = (by_k[1]["atot"] if 1 in by_k else 0) or 0
 
     # scoring stream: full-context positions with every suffix context
     sfx_cols = ", ".join(
@@ -1336,28 +1360,42 @@ def kn_ngram_lm_perplexity_by_group(
         train_df, n, text_col, group_col
     ).localCheckpoint(eager=True)
 
-    def order_table(k: int) -> DataFrame:
-        if k == n:
-            return counts.where(F.col("k") == n).select(
-                "_g", F.col("ctx"), F.col("w"), F.col("c").alias("a")
-            )
+    # r17 (guide §2.4, the ungrouped scorer's fusion made group-keyed):
+    # all per-order adjusted tables from ONE shuffle + ONE checkpoint —
+    # the unioned arms carry a distinct ko each, so the (_g, ko, ctx, w)
+    # aggregate reproduces every per-order groupBy row-identically.
+    lower = None
+    for k in range(1, n):
         parent = counts.where(F.col("k") == k + 1)
         sfx = (
             F.lit("")
             if k == 1
             else F.expr("substring(ctx, instr(ctx, ' ') + 1)")
         )
-        return (
-            parent.select("_g", sfx.alias("ctx"), F.col("w"))
-            .groupBy("_g", "ctx", "w")
-            .agg(F.count(F.lit(1)).alias("a"))
+        arm = parent.select(
+            "_g", F.lit(k).alias("ko"), sfx.alias("ctx"), F.col("w")
         )
+        lower = arm if lower is None else lower.unionByName(arm)
+    adj = (
+        lower.groupBy("_g", "ko", "ctx", "w")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .unionByName(
+            counts.where(F.col("k") == n).select(
+                "_g",
+                F.lit(n).alias("ko"),
+                F.col("ctx"),
+                F.col("w"),
+                F.col("c").alias("a"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
 
     tables: dict[int, DataFrame] = {}
     stats: dict[int, DataFrame] = {}
     discs: dict[int, DataFrame] = {}
     for k in range(1, n + 1):
-        tk_tab = order_table(k).localCheckpoint(eager=True)
+        tk_tab = adj.where(F.col("ko") == k).select("_g", "ctx", "w", "a")
         tables[k] = tk_tab
         if k == 1:
             continue
