@@ -21,8 +21,10 @@ table (lang, gram, c), never collected to the driver, and a
 #languages-sized (lang, tot, logprior) table that broadcasts. Scoring
 is one explode over the corpus, one broadcast cross join with the
 language table (the x|L| blowup — |L| is the label alphabet, dozens
-at most), one gram-keyed LEFT join against the count table (AQE
-decides broadcast vs shuffle by its size), and a partial-aggregating
+at most), one gram-keyed LEFT join against the count table
+(broadcast under BALBOA_LID_BROADCAST_MAX_ROWS using the exact row
+count recorded at train time — the corpus-scale gram stream then
+never exchanges; shuffled above the gate), and a partial-aggregating
 groupBy(id, lang) sum. The winner pick is a row_number window
 partitioned by doc id whose partition size is EXACTLY |L| rows by
 construction — bounded, unlike a content-keyed window, so it is not a
@@ -45,13 +47,28 @@ from pyspark.sql import functions as F
 class LIDModel(NamedTuple):
     """Trained char-n-gram NB model: ``counts`` is the gram-type-sized
     (lang, gram, c) relation; ``langs`` the tiny (lang, tot, logprior)
-    relation; ``vocab`` the shared distinct-gram count."""
+    relation; ``vocab`` the shared distinct-gram count. ``n_rows`` is
+    the exact row count of ``counts`` (known for free at train time),
+    letting the scorer broadcast the count table under a size gate —
+    the checkpointed relation carries no size statistics, so the
+    planner alone would never pick the broadcast."""
 
     counts: DataFrame
     langs: DataFrame
     vocab: int
     n: int
     alpha: float
+    n_rows: int = -1
+
+
+def _bcast_max_count_rows() -> int:
+    """Gate for broadcasting the (lang, gram, c) count table in
+    score_langs — read lazily per call (tunable per session). A row is
+    ~40 bytes framed; the 2M default is ~80 MB broadcast, the same
+    envelope as graph.py's node-state gate. Set 0 to disable."""
+    import os
+
+    return int(os.environ.get("BALBOA_LID_BROADCAST_MAX_ROWS", "2000000"))
 
 
 def char_ngrams(text: Column, n: int) -> Column:
@@ -93,7 +110,13 @@ def train_char_ngram_lid(
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    vocab = counts.select("gram").distinct().count()
+    # one aggregate yields BOTH the shared vocabulary size and the
+    # exact count-table row count (r17: feeds the scorer's broadcast
+    # gate) — same single job the distinct().count() used to be
+    vrow = counts.agg(
+        F.countDistinct("gram").alias("v"), F.count(F.lit(1)).alias("r")
+    ).collect()[0]
+    vocab, n_rows = vrow["v"], vrow["r"]
     tots = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
     ndocs = train.groupBy(F.col(label_col).alias("lang")).agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -111,7 +134,7 @@ def train_char_ngram_lid(
         .localCheckpoint(eager=True)
     )
     return LIDModel(counts=counts, langs=langs, vocab=int(vocab), n=n,
-                    alpha=float(alpha))
+                    alpha=float(alpha), n_rows=int(n_rows))
 
 
 def score_langs(
@@ -141,9 +164,18 @@ def score_langs(
         (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(al))
         / (F.col("tot").cast("double") + F.lit(al * model.vocab))
     )
+    # r17 (guide §2.4/§3.1): the count table is gram-type-sized —
+    # bounded by |charset|^n x |L|, NOT corpus-sized — so under the
+    # gate it broadcasts and the exploded doc-gram stream (the
+    # corpus-scale side) flows straight into the partial aggregate
+    # with NO Exchange; above the gate the join shuffles as before.
+    # Left join + build-right is BHJ-legal; same rows either way.
+    cnts = model.counts
+    if 0 <= model.n_rows <= _bcast_max_count_rows():
+        cnts = F.broadcast(cnts)
     per_lang = (
         g.crossJoin(F.broadcast(model.langs))
-        .join(model.counts, ["lang", "gram"], "left")
+        .join(cnts, ["lang", "gram"], "left")
         .select(
             F.col(id_col),
             F.col("lang"),
