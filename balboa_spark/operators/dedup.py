@@ -400,7 +400,14 @@ def _cc_driver(spark, e0: DataFrame) -> DataFrame:
         [StructField("id", utype, False), StructField("comp", utype, False)]
     )
     rows = [(x, comp_min[r]) for x, r in roots.items()]
-    return spark.createDataFrame(rows, schema)
+    # r17 (guide §3.1): createDataFrame is RDD-backed with UNKNOWN size
+    # stats (defaultSizeInBytes = Long.Max), so every downstream join
+    # against the corpus planned as a full SortMergeJoin — the corpus
+    # side exchanged by id to meet a paired-docs-sized relation. One
+    # tiny materialization job attaches REAL size stats, and the
+    # planner broadcasts the labels under the auto threshold (the
+    # near_dedup_keep anti-join stops shuffling the 100 TB side).
+    return spark.createDataFrame(rows, schema).localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -518,9 +525,18 @@ def connected_components(
     # themselves. groupBy-min guards the labels' uniqueness even if
     # max_iterations cut the loop before the exact fixpoint.
     stars = edges.groupBy("u").agg(F.min("v").alias("_root"))
-    return nodes.join(
-        stars.withColumnRenamed("u", "id"), "id", "left"
-    ).select("id", F.coalesce(F.col("_root"), F.col("id")).alias("comp"))
+    return (
+        nodes.join(stars.withColumnRenamed("u", "id"), "id", "left")
+        .select("id", F.coalesce(F.col("_root"), F.col("id")).alias("comp"))
+        # r17: materialize the labels (paired-docs-sized — tiny vs the
+        # corpus at real dup rates) so consumers get real size stats —
+        # the same contract as the driver arm above: downstream
+        # corpus joins broadcast the labels instead of exchanging the
+        # corpus, and multi-consumer callers (keep_best reads comp
+        # under both its best- and drop-subtrees) stop recomputing the
+        # star loop's final join.
+        .localCheckpoint(eager=True)
+    )
 
 
 def near_dedup_keep(
@@ -623,9 +639,15 @@ def near_dedup_keep_best(
     a min(struct) keeps the exact (score desc, id asc) tie order.
     """
     comp = connected_components(pairs)
+    # r17: scored is |comp|-sized (inner join keeps paired docs only)
+    # but its lineage holds a full corpus scan; it feeds BOTH the best-
+    # aggregate and the drop-join below, so without a barrier the plan
+    # scans the corpus twice. One small materialization job makes both
+    # consumers read the cached rows — and gives the planner real size
+    # stats for the joins (broadcast, not corpus exchange).
     scored = comp.join(
         df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")), "id"
-    )
+    ).localCheckpoint(eager=True)
     best = (
         scored.select(
             "comp",
