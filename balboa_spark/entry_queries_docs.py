@@ -390,15 +390,20 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket=ORACLE_MAX_BUCKET,
     )
     kept = dedup.near_dedup_keep(corpus, pairs)
-    # narrow persist() barrier before the quality filter: pushed
-    # straight into text_profile's projection, the quality predicate
-    # inlines the tokenize chain per reference (53 split(lower...)
-    # nodes in the r16 plan audit); the cache boundary computes the
-    # profile once, no extra pass (populates during the one action)
+    # narrow lazy-localCheckpoint barrier before the quality filter:
+    # pushed straight into text_profile's projection, the quality
+    # predicate inlines the tokenize chain per reference (53
+    # split(lower...) nodes in the r16 plan audit); the barrier
+    # computes the profile once, no extra pass (materializes during
+    # the one action). r17 (advisor note): localCheckpoint instead of
+    # a never-unpersisted persist() — the RDD storage is freed when
+    # the plan is GC'd, matching the sibling pipelines' convention,
+    # and repeated invocations in a long session don't accumulate
+    # entries in the cache manager.
     prof = (
         text.text_profile(kept)
         .select("doc_id", "n_tokens", "n_bpe_tokens", "quality")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     return (
         prof.filter(F.col("quality") >= PIPELINE_QUALITY_T).orderBy("doc_id")
