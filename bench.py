@@ -13,6 +13,23 @@ plus the scale-path extensions: tpch_q1 scan-agg, minhash near-dup,
 embedding top-k.
 
 Run: python bench.py   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Scaling-probe mode (r17, VERDICT item 8): at sf0.1 every item is
+job-overhead-bound, so low-core/high-core ratios sit near 1 and say
+nothing about compute scaling. To make the c8-vs-c32 comparison
+diagnostic, generate the deterministic 10x dataset once —
+
+    python scripts/make_scaledata.py            # -> .scaledata/sf1
+
+— then run the same bench against it:
+
+    SPARK_GRAFT_SF_DIR=/root/repo/.scaledata/sf1 python bench.py
+
+Same items, same methodology, same JSON contract (the "sf" field
+reports the directory's suffix, "1" here). make_scaledata.py
+replicates sf0.1 with per-replica perturbations chosen so workload
+DENSITY stays constant (dup rates, fuzzy-pair rates, join fan-outs)
+while volume is 10x — see its docstring.
 """
 
 from __future__ import annotations
