@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import operator
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -401,13 +402,19 @@ def _cc_driver(spark, e0: DataFrame) -> DataFrame:
     )
     rows = [(x, comp_min[r]) for x, r in roots.items()]
     # r17 (guide §3.1): createDataFrame is RDD-backed with UNKNOWN size
-    # stats (defaultSizeInBytes = Long.Max), so every downstream join
-    # against the corpus planned as a full SortMergeJoin — the corpus
-    # side exchanged by id to meet a paired-docs-sized relation. One
-    # tiny materialization job attaches REAL size stats, and the
-    # planner broadcasts the labels under the auto threshold (the
-    # near_dedup_keep anti-join stops shuffling the 100 TB side).
-    return spark.createDataFrame(rows, schema).localCheckpoint(eager=True)
+    # stats (defaultSizeInBytes = Long.Max — and a localCheckpoint does
+    # NOT help: LogicalRDD inherits the replaced plan's stats, which
+    # are the same unknown; measured 1.1-1.2x SLOWER for the pure
+    # checkpoint, recorded rejection), so every downstream join against
+    # the corpus plans as a full SortMergeJoin — the 100 TB side
+    # exchanged by id to meet a paired-docs-sized relation. This arm's
+    # size IS known: len(rows) <= 2 x driver_max_edges (~4M labels
+    # worst case, the same bounded envelope as the union-find collect
+    # itself), so hint the broadcast explicitly — downstream keep/drop
+    # joins build on the labels and the corpus never exchanges. The
+    # distributed arm below stays unhinted (its label count is
+    # unbounded).
+    return F.broadcast(spark.createDataFrame(rows, schema))
 
 
 def connected_components(
@@ -525,18 +532,9 @@ def connected_components(
     # themselves. groupBy-min guards the labels' uniqueness even if
     # max_iterations cut the loop before the exact fixpoint.
     stars = edges.groupBy("u").agg(F.min("v").alias("_root"))
-    return (
-        nodes.join(stars.withColumnRenamed("u", "id"), "id", "left")
-        .select("id", F.coalesce(F.col("_root"), F.col("id")).alias("comp"))
-        # r17: materialize the labels (paired-docs-sized — tiny vs the
-        # corpus at real dup rates) so consumers get real size stats —
-        # the same contract as the driver arm above: downstream
-        # corpus joins broadcast the labels instead of exchanging the
-        # corpus, and multi-consumer callers (keep_best reads comp
-        # under both its best- and drop-subtrees) stop recomputing the
-        # star loop's final join.
-        .localCheckpoint(eager=True)
-    )
+    return nodes.join(
+        stars.withColumnRenamed("u", "id"), "id", "left"
+    ).select("id", F.coalesce(F.col("_root"), F.col("id")).alias("comp"))
 
 
 def near_dedup_keep(
@@ -642,12 +640,26 @@ def near_dedup_keep_best(
     # r17: scored is |comp|-sized (inner join keeps paired docs only)
     # but its lineage holds a full corpus scan; it feeds BOTH the best-
     # aggregate and the drop-join below, so without a barrier the plan
-    # scans the corpus twice. One small materialization job makes both
-    # consumers read the cached rows — and gives the planner real size
-    # stats for the joins (broadcast, not corpus exchange).
+    # scans the corpus twice (20 parquet scans in the r17 before-plan
+    # of dedup_keep_longest, 4 after). One small materialization job
+    # makes both consumers read the cached rows — at 100 TB this
+    # removes a full corpus scan per consumer.
     scored = comp.join(
         df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")), "id"
     ).localCheckpoint(eager=True)
+    # the checkpoint hides comp's plan (and any broadcast hint in it)
+    # from the planner, and RDD-backed relations carry unknown-huge
+    # stats — but the exact row count is free off the cache, so gate
+    # explicit hints on it: under the gate the best-join builds on the
+    # component relation and the final anti-join builds on the drop
+    # set, and the corpus (the 100 TB side) never exchanges.
+    small = scored.count() <= int(
+        os.environ.get("BALBOA_DEDUP_BROADCAST_MAX_LABELS", "4000000")
+    )
+
+    def _h(rel: DataFrame) -> DataFrame:
+        return F.broadcast(rel) if small else rel
+
     best = (
         scored.select(
             "comp",
@@ -660,11 +672,11 @@ def near_dedup_keep_best(
         .select("comp", F.col("_s.id").alias("_keep"))
     )
     drop = (
-        scored.join(best, "comp")
+        scored.join(_h(best), "comp")
         .filter(F.col("id") != F.col("_keep"))
         .select(F.col("id").alias(id_col))
     )
-    return df.join(drop, id_col, "left_anti")
+    return df.join(_h(drop), id_col, "left_anti")
 
 
 def embedding_near_dedup(
