@@ -30,17 +30,27 @@ def get_spark(app_name: str = "balboa_spark", shuffle_partitions: int | None = N
         # under the local-map threshold. Measured 0.85-0.94x on the
         # join-heavy bench items (tpch_q3, dedup_embedding_lsh,
         # fuzzy_pairs, dedup_near_keep; interleaved min-of-passes).
-        # Production: per-partition build memory is bounded by the
-        # threshold (128m) — env-overridable per deployment; set
-        # BALBOA_PREFER_SMJ=true to restore the sort-merge-only
-        # planner.
+        # r17 (VERDICT item 5 skew probe, plans/r17/shj_skew_probe.md):
+        # the local-map threshold compares COMPRESSED shuffle bytes but
+        # the hash build lives in UNCOMPRESSED execution memory, so a
+        # skewed build partition that compresses well converts at 128m
+        # and then dies building ("Can't acquire 268435456 bytes memory
+        # to build hash relation" — a hard failure where SMJ spills and
+        # completes; reproduced at 128m AND 512m, clean at 32m). The
+        # default is therefore 32m: small enough that a compressible
+        # hot partition stays sort-merge, large enough that genuinely
+        # small post-shuffle partitions (the bench's, and any
+        # well-partitioned join at scale) still convert. The static
+        # flip stayed SMJ in every probe arm (the AQE threshold was the
+        # failing trigger); set BALBOA_PREFER_SMJ=true to restore the
+        # sort-merge-only static planner per deployment.
         .config(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("BALBOA_PREFER_SMJ", "false"),
         )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            os.environ.get("BALBOA_SHJ_LOCALMAP_MAX", "128m"),
+            os.environ.get("BALBOA_SHJ_LOCALMAP_MAX", "32m"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
